@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: for each query result
+parquet under OUTDIR, run the corresponding oracle SQL from oracle_sql.json
+in DuckDB against the testdata tables, and compare schema + values.
+
+Usage: python3 scripts/check.py <sfDir> <outDir>
+"""
+import sys, json, glob, os
+import duckdb
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+    results = {}
+    for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
+        if not os.path.isdir(qdir):
+            continue
+        name = os.path.basename(qdir)
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{qdir}/*.parquet')").fetch_arrow_table()
+        except Exception as e:
+            results[name] = f"READ_FAIL: {e}"
+            continue
+        if name not in oracles:
+            results[name] = f"NO_ORACLE rows={got.num_rows}" + (
+                " (OK, rows>0)" if got.num_rows > 0 else " EMPTY!")
+            continue
+        try:
+            exp = con.execute(oracles[name]).fetch_arrow_table()
+        except Exception as e:
+            results[name] = f"ORACLE_FAIL: {e}"
+            continue
+        # sort columns by name (mirrors driver), then compare
+        got_s = got.select(sorted(got.column_names))
+        exp_s = exp.select(sorted(exp.column_names))
+        if got_s.column_names != exp_s.column_names:
+            results[name] = f"COLS got={got_s.column_names} exp={exp_s.column_names}"
+            continue
+        if got_s.num_rows != exp_s.num_rows:
+            results[name] = f"ROWS got={got_s.num_rows} exp={exp_s.num_rows}"
+            continue
+        schema_mismatch = [
+            (f, str(got_s.schema.field(f).type), str(exp_s.schema.field(f).type))
+            for f in got_s.column_names
+            if got_s.schema.field(f).type != exp_s.schema.field(f).type]
+        gv, ev = got_s.to_pylist(), exp_s.to_pylist()
+        if gv != ev:
+            bad = next(i for i, (a, b) in enumerate(zip(gv, ev)) if a != b)
+            results[name] = f"VALUES first diff at row {bad}: got={gv[bad]} exp={ev[bad]}"
+            continue
+        results[name] = "OK" + (f" (schema diff {schema_mismatch})" if schema_mismatch else "")
+    width = max(len(k) for k in results) if results else 0
+    n_ok = sum(1 for v in results.values() if v.startswith(("OK", "NO_ORACLE rows")) and "EMPTY" not in v)
+    for k in sorted(results):
+        print(f"{k:<{width}}  {results[k]}")
+    print(f"== {n_ok}/{len(results)} pass ==")
+    sys.exit(0 if n_ok == len(results) else 1)
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,313 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational query parity with the reference's delegated-engine surface.
+  *
+  * The reference (delta-rs v0.4.1) delegates all relational execution to
+  * DataFusion / PyArrow (see /root/reference/rust/src/delta_datafusion.rs:48-111
+  * and rust/tests/datafusion_test.rs). These queries re-express that surface —
+  * filter/sort (datafusion_test.rs:21-24), min/max aggregation
+  * (datafusion_test.rs:83-99), projection (python/tests/test_table_read.py:63-72)
+  * — plus the wider relational algebra (joins, windows, set ops, semi/anti
+  * joins) in idiomatic Spark, letting Catalyst plan them.
+  *
+  * Oracle-exactness strategy:
+  *  - Aggregated doubles are summed in DECIMAL(18,6) then cast to double so
+  *    Spark and DuckDB produce bit-identical results regardless of summation
+  *    order (exact decimal arithmetic; no double has an exact decimal-half
+  *    representation, so double→decimal rounding is unambiguous).
+  *  - No timestamp-typed output columns: cast to date or epoch seconds.
+  *  - Every query has a total ORDER BY for deterministic row order.
+  */
+object Relational {
+
+  private val dec = DecimalType(18, 6)
+  private val dec38_6 = DecimalType(38, 6)
+  private val dec38_12 = DecimalType(38, 12)
+  /** Order-insensitive exact sum of a double column. Result stays DECIMAL so
+    * Spark and DuckDB agree bit-for-bit (decimal→double conversion differs
+    * between engines at high scale; decimal128(38,s) is identical in both). */
+  private def dsum(c: Column): Column = sum(c.cast(dec)).cast(dec38_6)
+  private val DSUM = "CAST(SUM(CAST(%s AS DECIMAL(18,6))) AS DECIMAL(38,6))"
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: map-side partial aggregation, one shuffle
+    // on the (tiny-cardinality) grouping key. Scales: combiner keeps shuffle
+    // bytes O(#groups × #partitions).
+    "q1_agg" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          sum($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))
+            .cast(dec38_12).as("sum_disc_price"),
+          // sum(qty)*1e6 ≪ 2^53 at any tested SF, so decimal→double is exact
+          // in both engines and the double division is then deterministic.
+          (dsum($"l_quantity").cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // filter + sort — mirrors rust/tests/datafusion_test.rs:21-24 (id > 5 ORDER BY).
+    // Predicate pushes to the parquet scan (PushedFilters), projection prunes columns.
+    "q2_filter_sort" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_quantity" > 45)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
+    // min/max/count — mirrors rust/tests/datafusion_test.rs:83-99 (stats-backed
+    // aggregate); Spark answers from parquet footer stats under AQE where possible.
+    "q3_minmax" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem").agg(
+        min($"l_quantity").as("min_qty"),
+        max($"l_quantity").as("max_qty"),
+        min($"l_extendedprice").as("min_price"),
+        max($"l_extendedprice").as("max_price"),
+        min($"l_shipdate").cast("date").as("min_ship"),
+        max($"l_shipdate").cast("date").as("max_ship"),
+        count(lit(1)).as("n"))
+    },
+
+    // column projection — mirrors python/tests/test_table_read.py:63-72; scan
+    // reads only 3 columns (check ReadSchema in explain).
+    "q4_projection" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_returnflag")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
+    // broadcast hash join: customer is the small dimension — no shuffle of orders.
+    "q5_join" -> { (s, dir) =>
+      import s.implicits._
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy($"c_mktsegment")
+        .agg(dsum($"o_totalprice").as("total_price"), count(lit(1)).as("n_orders"))
+        .orderBy($"c_mktsegment")
+    },
+
+    // 5-table star join (TPC-H Q5-flavored): fact table joins broadcast dims;
+    // single shuffle for the final small-key aggregation.
+    "q6_multijoin" -> { (s, dir) =>
+      import s.implicits._
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+                $"o_orderdate" <  lit("1997-01-01").cast("timestamp"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy($"r_name", $"n_name")
+        .agg(
+          sum($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))
+            .cast(dec38_12).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"r_name", $"n_name")
+    },
+
+    // window function: per-supplier top-3 earliest shipments (total order within
+    // the window frame → deterministic). One shuffle on l_suppkey.
+    "q7_window" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 3)
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"rn")
+        .orderBy($"l_suppkey", $"rn", $"l_orderkey", $"l_linenumber")
+    },
+
+    "q8_distinct" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders").select($"o_orderpriority").distinct().orderBy($"o_orderpriority")
+    },
+
+    "q9_intersect" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders").select($"o_custkey".as("key"))
+        .intersect(t(s, dir, "customer").filter($"c_acctbal" > 5000).select($"c_custkey".as("key")))
+        .orderBy($"key")
+    },
+
+    "q10_except" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "customer").select($"c_custkey".as("key"))
+        .except(t(s, dir, "orders").select($"o_custkey".as("key")))
+        .orderBy($"key")
+    },
+
+    // top-k: Spark plans TakeOrderedAndProject — no full sort, no full shuffle.
+    "q11_topk" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders").select($"o_orderkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey").limit(10)
+    },
+
+    // scalar string/date/math functions (all codegen'd builtins, no UDFs).
+    "q12_scalar" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders").select(
+        $"o_orderkey",
+        upper(substring($"o_orderpriority", 1, 3)).as("pri3"),
+        year($"o_orderdate").as("yr"),
+        month($"o_orderdate").as("mo"),
+        floor($"o_totalprice").cast("long").as("price_floor"),
+        length($"o_orderstatus").as("status_len"),
+        concat($"o_orderstatus", lit("-"), $"o_orderpriority").as("tag"))
+        .orderBy($"o_orderkey")
+    },
+
+    // group-by + having (post-aggregation filter).
+    "q13_having" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem").groupBy($"l_partkey")
+        .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("qty"))
+        .filter($"n" >= 3)
+        .orderBy($"l_partkey")
+    },
+
+    // EXISTS → left-semi join (build side broadcast; no row duplication).
+    "q14_semijoin" -> { (s, dir) =>
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val big = t(s, dir, "orders").filter($"o_totalprice" > 400000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+        .select($"c_custkey", $"c_name").orderBy($"c_custkey")
+    },
+
+    // NOT EXISTS → left-anti join.
+    "q15_antijoin" -> { (s, dir) =>
+      import s.implicits._
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select($"c_custkey", $"c_name").orderBy($"c_custkey")
+    },
+
+    // conditional aggregation (CASE WHEN inside SUM, decimal-exact).
+    "q16_case" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem").groupBy($"l_returnflag")
+        .agg(
+          sum(when($"l_discount" > 0.05, $"l_extendedprice".cast(dec))
+            .otherwise(lit(0).cast(dec))).cast(dec38_6).as("disc_rev"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    },
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |${DSUM.format("l_quantity")} AS sum_qty,
+         |${DSUM.format("l_extendedprice")} AS sum_base_price,
+         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,12)) AS sum_disc_price,
+         |CAST(${DSUM.format("l_quantity")} AS DOUBLE) / count(*) AS avg_qty,
+         |count(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_filter_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q3_minmax" ->
+      """SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        |CAST(min(l_shipdate) AS DATE) AS min_ship, CAST(max(l_shipdate) AS DATE) AS max_ship,
+        |count(*) AS n FROM lineitem""".stripMargin,
+
+    "q4_projection" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q5_join" ->
+      s"""SELECT c_mktsegment, ${DSUM.format("o_totalprice")} AS total_price, count(*) AS n_orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q6_multijoin" ->
+      """SELECT r_name, n_name,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,12)) AS revenue,
+        |count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q7_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, rn FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) WHERE rn <= 3
+        |ORDER BY l_suppkey, rn, l_orderkey, l_linenumber""".stripMargin,
+
+    "q8_distinct" ->
+      "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority",
+
+    "q9_intersect" ->
+      """SELECT o_custkey AS key FROM orders
+        |INTERSECT
+        |SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000
+        |ORDER BY key""".stripMargin,
+
+    "q10_except" ->
+      """SELECT c_custkey AS key FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS key FROM orders
+        |ORDER BY key""".stripMargin,
+
+    "q11_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q12_scalar" ->
+      """SELECT o_orderkey,
+        |upper(substr(o_orderpriority, 1, 3)) AS pri3,
+        |CAST(year(o_orderdate) AS INT) AS yr,
+        |CAST(month(o_orderdate) AS INT) AS mo,
+        |CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        |CAST(length(o_orderstatus) AS INT) AS status_len,
+        |concat(o_orderstatus, '-', o_orderpriority) AS tag
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q13_having" ->
+      s"""SELECT l_partkey, count(*) AS n, ${DSUM.format("l_quantity")} AS qty
+         |FROM lineitem GROUP BY l_partkey HAVING count(*) >= 3
+         |ORDER BY l_partkey""".stripMargin,
+
+    "q14_semijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q15_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q16_case" ->
+      """SELECT l_returnflag,
+        |CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_extendedprice AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS disc_rev,
+        |count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
+}
