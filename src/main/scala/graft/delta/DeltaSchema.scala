@@ -1,0 +1,51 @@
+package graft.delta
+
+import org.apache.spark.sql.types._
+
+/** Delta `schemaString` ⇄ Spark `StructType`.
+  *
+  * The Delta schema JSON (`rust/src/schema.rs:135-161`: `struct`/`array`/
+  * `map`/primitive, with `elementType`/`containsNull`/`keyType`/`valueType`/
+  * `valueContainsNull`) is the same JSON dialect Spark's own
+  * `DataType.fromJson`/`.json` speaks — both descend from the original Spark
+  * SQL schema format — so the conversion delegates to Spark with validation.
+  *
+  * Divergences from the reference handled here:
+  *  - `timestamp` maps to Spark's µs `TimestampType` per the Delta protocol;
+  *    the reference's ns mapping is a known quirk (`rust/src/delta_arrow.rs:96-99`)
+  *    we deliberately do NOT copy.
+  *  - `map` is a real `MapType`; the reference degrades to an Arrow Dictionary
+  *    (`rust/src/delta_arrow.rs:119-135`) because Arrow 4 lacked maps.
+  */
+object DeltaSchema {
+
+  /** Parse a Delta schemaString into a Spark schema. */
+  def fromJson(schemaString: String): StructType =
+    DataType.fromJson(schemaString) match {
+      case s: StructType => s
+      case other => throw new IllegalArgumentException(
+        s"Delta schemaString must be a struct, got: ${other.simpleString}")
+    }
+
+  /** Serialize a Spark schema as a Delta schemaString. */
+  def toJson(schema: StructType): String = {
+    validate(schema)
+    schema.json
+  }
+
+  private val supportedPrimitives: Set[DataType] = Set(
+    StringType, LongType, IntegerType, ShortType, ByteType, FloatType,
+    DoubleType, BooleanType, BinaryType, DateType, TimestampType)
+
+  /** Reject Spark types with no Delta-protocol encoding
+    * (`rust/src/delta_arrow.rs:60-104` is the full primitive list). */
+  def validate(dt: DataType): Unit = dt match {
+    case s: StructType => s.fields.foreach(f => validate(f.dataType))
+    case a: ArrayType => validate(a.elementType)
+    case m: MapType => validate(m.keyType); validate(m.valueType)
+    case _: DecimalType => ()
+    case p if supportedPrimitives.contains(p) => ()
+    case other => throw new IllegalArgumentException(
+      s"type ${other.simpleString} has no Delta-protocol encoding")
+  }
+}

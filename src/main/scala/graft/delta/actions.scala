@@ -1,0 +1,235 @@
+package graft.delta
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{JsonNodeFactory, ObjectNode}
+import scala.jdk.CollectionConverters._
+
+/** Delta transaction-log actions.
+  *
+  * Mirrors the reference's action model (`rust/src/action.rs:706-721`, the
+  * `Action` enum) with the exact Delta-protocol JSON field names (camelCase,
+  * `rust/src/action.rs:146,368,504,608,661`). Serialization is hand-rolled on
+  * Jackson's tree model for full control over optional-field omission — the
+  * log is newline-delimited JSON, one wrapped action per line
+  * (`{"add":{...}}`), see `rust/src/delta.rs:504-514`.
+  */
+sealed trait Action
+
+/** A data file that is part of the table (`rust/src/action.rs:150-185`). */
+final case class AddAction(
+    path: String,
+    size: Long,
+    partitionValues: Map[String, String],
+    modificationTime: Long,
+    dataChange: Boolean,
+    stats: Option[String] = None,
+    tags: Option[Map[String, String]] = None)
+  extends Action
+
+/** A tombstone for a removed file (`rust/src/action.rs:500-522`). */
+final case class RemoveAction(
+    path: String,
+    deletionTimestamp: Long,
+    dataChange: Boolean,
+    extendedFileMetadata: Option[Boolean] = None,
+    partitionValues: Option[Map[String, String]] = None,
+    size: Option[Long] = None,
+    tags: Option[Map[String, String]] = None)
+  extends Action
+
+/** Table format spec (`rust/src/action.rs:356-365`). */
+final case class Format(provider: String = "parquet", options: Map[String, String] = Map.empty)
+
+/** Table metadata; a new metaData action fully replaces the previous one
+  * (`rust/src/action.rs:368-387`, applied at `rust/src/delta.rs:1434-1436`). */
+final case class MetaDataAction(
+    id: String,
+    name: Option[String],
+    description: Option[String],
+    format: Format,
+    schemaString: String,
+    partitionColumns: Seq[String],
+    createdTime: Option[Long],
+    configuration: Map[String, String])
+  extends Action
+
+/** Streaming-writer idempotence token (`rust/src/action.rs:607-616`). */
+final case class TxnAction(appId: String, version: Long, lastUpdated: Option[Long] = None)
+  extends Action
+
+/** Protocol version guard (`rust/src/action.rs:661-670`). */
+final case class ProtocolAction(minReaderVersion: Int = 1, minWriterVersion: Int = 2)
+  extends Action
+
+/** Freeform commit provenance (`rust/src/action.rs:719`: `commitInfo(Value)`). */
+final case class CommitInfoAction(info: JsonNode) extends Action
+
+/** Per-file statistics carried in `Add.stats` as embedded JSON
+  * (`rust/src/action.rs:113-127`); min/max/nullCount values stay raw
+  * `JsonNode`s because nested-struct stats recurse
+  * (`ColumnValueStat`, `rust/src/action.rs:60-111`). */
+final case class FileStats(
+    numRecords: Long,
+    minValues: Map[String, JsonNode],
+    maxValues: Map[String, JsonNode],
+    nullCount: Map[String, JsonNode])
+
+object ActionCodec {
+  val mapper = new ObjectMapper()
+  private val nf = JsonNodeFactory.instance
+
+  // ---------- serialization ----------
+
+  private def strMap(m: Map[String, String]): ObjectNode = {
+    val o = nf.objectNode()
+    m.foreach { case (k, v) => if (v == null) o.putNull(k) else o.put(k, v) }
+    o
+  }
+
+  def toNode(a: Action): ObjectNode = {
+    val wrapper = nf.objectNode()
+    a match {
+      case add: AddAction =>
+        val o = wrapper.putObject("add")
+        o.put("path", add.path)
+        o.set[ObjectNode]("partitionValues", strMap(add.partitionValues))
+        o.put("size", add.size)
+        o.put("modificationTime", add.modificationTime)
+        o.put("dataChange", add.dataChange)
+        add.stats.foreach(o.put("stats", _))
+        add.tags.foreach(t => o.set[ObjectNode]("tags", strMap(t)))
+      case rm: RemoveAction =>
+        val o = wrapper.putObject("remove")
+        o.put("path", rm.path)
+        o.put("deletionTimestamp", rm.deletionTimestamp)
+        o.put("dataChange", rm.dataChange)
+        rm.extendedFileMetadata.foreach(o.put("extendedFileMetadata", _))
+        rm.partitionValues.foreach(pv => o.set[ObjectNode]("partitionValues", strMap(pv)))
+        rm.size.foreach(o.put("size", _))
+        rm.tags.foreach(t => o.set[ObjectNode]("tags", strMap(t)))
+      case md: MetaDataAction =>
+        val o = wrapper.putObject("metaData")
+        o.put("id", md.id)
+        md.name.fold[Unit](o.putNull("name"))(o.put("name", _))
+        md.description.fold[Unit](o.putNull("description"))(o.put("description", _))
+        val f = o.putObject("format")
+        f.put("provider", md.format.provider)
+        f.set[ObjectNode]("options", strMap(md.format.options))
+        o.put("schemaString", md.schemaString)
+        val pc = o.putArray("partitionColumns")
+        md.partitionColumns.foreach(pc.add)
+        md.createdTime.foreach(o.put("createdTime", _))
+        o.set[ObjectNode]("configuration", strMap(md.configuration))
+      case tx: TxnAction =>
+        val o = wrapper.putObject("txn")
+        o.put("appId", tx.appId)
+        o.put("version", tx.version)
+        tx.lastUpdated.foreach(o.put("lastUpdated", _))
+      case p: ProtocolAction =>
+        val o = wrapper.putObject("protocol")
+        o.put("minReaderVersion", p.minReaderVersion)
+        o.put("minWriterVersion", p.minWriterVersion)
+      case ci: CommitInfoAction =>
+        wrapper.set[ObjectNode]("commitInfo", ci.info)
+    }
+    wrapper
+  }
+
+  def toJsonLine(a: Action): String = mapper.writeValueAsString(toNode(a))
+
+  /** Newline-joined log entry, mirroring `log_entry_from_actions`
+    * (`rust/src/delta.rs:1407-1416`). */
+  def logEntry(actions: Seq[Action]): String = actions.map(toJsonLine).mkString("\n")
+
+  // ---------- deserialization ----------
+
+  private def optStr(n: JsonNode, f: String): Option[String] =
+    Option(n.get(f)).filterNot(_.isNull).map(_.asText)
+  private def optLong(n: JsonNode, f: String): Option[Long] =
+    Option(n.get(f)).filterNot(_.isNull).map(_.asLong)
+  private def optBool(n: JsonNode, f: String): Option[Boolean] =
+    Option(n.get(f)).filterNot(_.isNull).map(_.asBoolean)
+  private def strMapOf(n: JsonNode): Map[String, String] =
+    n.properties().asScala.map(e =>
+      e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText)).toMap
+  private def optStrMap(n: JsonNode, f: String): Option[Map[String, String]] =
+    Option(n.get(f)).filterNot(_.isNull).map(strMapOf)
+
+  def fromNode(wrapper: JsonNode): Option[Action] = {
+    val it = wrapper.properties().asScala.iterator
+    if (!it.hasNext) return None
+    val e = it.next()
+    val n = e.getValue
+    e.getKey match {
+      case "add" => Some(AddAction(
+        path = n.get("path").asText,
+        size = optLong(n, "size").getOrElse(0L),
+        partitionValues = optStrMap(n, "partitionValues").getOrElse(Map.empty),
+        modificationTime = optLong(n, "modificationTime").getOrElse(0L),
+        dataChange = optBool(n, "dataChange").getOrElse(true),
+        stats = optStr(n, "stats"),
+        tags = optStrMap(n, "tags")))
+      case "remove" => Some(RemoveAction(
+        path = n.get("path").asText,
+        deletionTimestamp = optLong(n, "deletionTimestamp").getOrElse(0L),
+        dataChange = optBool(n, "dataChange").getOrElse(true),
+        extendedFileMetadata = optBool(n, "extendedFileMetadata"),
+        partitionValues = optStrMap(n, "partitionValues"),
+        size = optLong(n, "size"),
+        tags = optStrMap(n, "tags")))
+      case "metaData" => Some(MetaDataAction(
+        id = n.get("id").asText,
+        name = optStr(n, "name"),
+        description = optStr(n, "description"),
+        format = Option(n.get("format")).map(f => Format(
+          provider = optStr(f, "provider").getOrElse("parquet"),
+          options = optStrMap(f, "options").getOrElse(Map.empty))).getOrElse(Format()),
+        schemaString = n.get("schemaString").asText,
+        partitionColumns = Option(n.get("partitionColumns"))
+          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil),
+        createdTime = optLong(n, "createdTime"),
+        configuration = optStrMap(n, "configuration").getOrElse(Map.empty)))
+      case "txn" => Some(TxnAction(
+        appId = n.get("appId").asText,
+        version = n.get("version").asLong,
+        lastUpdated = optLong(n, "lastUpdated")))
+      case "protocol" => Some(ProtocolAction(
+        minReaderVersion = n.get("minReaderVersion").asInt,
+        minWriterVersion = n.get("minWriterVersion").asInt))
+      case "commitInfo" => Some(CommitInfoAction(n))
+      case _ => None // forward compatibility: unknown action types are ignored
+    }
+  }
+
+  def fromJsonLine(line: String): Option[Action] =
+    fromNode(mapper.readTree(line))
+
+  // ---------- stats ----------
+
+  private def nodeMapOf(n: JsonNode): Map[String, JsonNode] =
+    n.properties().asScala.map(e => e.getKey -> e.getValue).toMap
+
+  def statsFromJson(json: String): Option[FileStats] = {
+    val n = mapper.readTree(json)
+    optLong(n, "numRecords").map { nr =>
+      FileStats(
+        numRecords = nr,
+        minValues = Option(n.get("minValues")).filterNot(_.isNull).map(nodeMapOf).getOrElse(Map.empty),
+        maxValues = Option(n.get("maxValues")).filterNot(_.isNull).map(nodeMapOf).getOrElse(Map.empty),
+        nullCount = Option(n.get("nullCount")).filterNot(_.isNull).map(nodeMapOf).getOrElse(Map.empty))
+    }
+  }
+
+  def statsToJson(s: FileStats): String = {
+    val o = nf.objectNode()
+    o.put("numRecords", s.numRecords)
+    def put(field: String, m: Map[String, JsonNode]): Unit = {
+      val t = o.putObject(field)
+      m.foreach { case (k, v) => t.set[JsonNode](k, v) }
+    }
+    put("minValues", s.minValues)
+    put("maxValues", s.maxValues)
+    put("nullCount", s.nullCount)
+    mapper.writeValueAsString(o)
+  }
+}
