@@ -49,12 +49,17 @@ def main():
             (f, str(got_s.schema.field(f).type), str(exp_s.schema.field(f).type))
             for f in got_s.column_names
             if got_s.schema.field(f).type != exp_s.schema.field(f).type]
+        if schema_mismatch:
+            # Strict: the driver's hash gate diverges on any physical-type
+            # difference (round 1: decimal encodings) even when values match.
+            results[name] = f"SCHEMA {schema_mismatch}"
+            continue
         gv, ev = got_s.to_pylist(), exp_s.to_pylist()
         if gv != ev:
             bad = next(i for i, (a, b) in enumerate(zip(gv, ev)) if a != b)
             results[name] = f"VALUES first diff at row {bad}: got={gv[bad]} exp={ev[bad]}"
             continue
-        results[name] = "OK" + (f" (schema diff {schema_mismatch})" if schema_mismatch else "")
+        results[name] = "OK"
     width = max(len(k) for k in results) if results else 0
     n_ok = sum(1 for v in results.values() if v.startswith(("OK", "NO_ORACLE rows")) and "EMPTY" not in v)
     for k in sorted(results):

@@ -1,24 +1,46 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main. Prints ONE JSON line with per-query wall seconds.
+  *
+  * Methodology (round-2 fixes per VERDICT):
+  *  - Materializes the full physical plan via `queryExecution.toRdd.foreach`
+  *    — a bare `.count()` lets Catalyst drop sorts/projections and times a
+  *    cheaper plan than the one Verify checks.
+  *  - Warms the JVM/codegen/parquet-footer caches with three representative
+  *    untimed queries first, so the first timed query isn't charged ~4s of
+  *    one-time startup cost.
+  */
 object Bench {
+  private def materialize(df: DataFrame): Unit =
+    df.queryExecution.toRdd.foreach(_ => ())
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val qs = SparkEntry.queries
+    // Warmup: one agg, one join, one semi-join — covers codegen paths.
+    Seq("q1_agg", "q5_join", "q14_semijoin").foreach { w =>
+      qs.get(w).foreach(fn => try materialize(fn(spark, sfDir))
+                        catch { case _: Throwable => () })
+    }
+    val results = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

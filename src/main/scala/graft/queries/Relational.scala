@@ -16,23 +16,34 @@ import org.apache.spark.sql.types.DecimalType
   * joins) in idiomatic Spark, letting Catalyst plan them.
   *
   * Oracle-exactness strategy:
-  *  - Aggregated doubles are summed in DECIMAL(18,6) then cast to double so
-  *    Spark and DuckDB produce bit-identical results regardless of summation
-  *    order (exact decimal arithmetic; no double has an exact decimal-half
-  *    representation, so double→decimal rounding is unambiguous).
+  *  - Aggregated doubles are converted per-row to exact BIGINT micro-units
+  *    (decimal-exact ×1e6) and summed as longs: order-insensitive, and int64
+  *    is hash-stable at the driver's gate where DECIMAL output columns are
+  *    not (parquet FIXED_LEN_BYTE_ARRAY vs arrow decimal128 — round 1).
   *  - No timestamp-typed output columns: cast to date or epoch seconds.
   *  - Every query has a total ORDER BY for deterministic row order.
   */
 object Relational {
 
   private val dec = DecimalType(18, 6)
-  private val dec38_6 = DecimalType(38, 6)
-  private val dec38_12 = DecimalType(38, 12)
-  /** Order-insensitive exact sum of a double column. Result stays DECIMAL so
-    * Spark and DuckDB agree bit-for-bit (decimal→double conversion differs
-    * between engines at high scale; decimal128(38,s) is identical in both). */
-  private def dsum(c: Column): Column = sum(c.cast(dec)).cast(dec38_6)
-  private val DSUM = "CAST(SUM(CAST(%s AS DECIMAL(18,6))) AS DECIMAL(38,6))"
+  /** Order-insensitive exact sum of a double money/quantity column, emitted as
+    * BIGINT micro-units (value × 1e6). The source columns carry ≤2 decimal
+    * digits, so the per-row decimal→micro-long conversion is exact, and a sum
+    * of longs is order-insensitive. DECIMAL output columns are avoided
+    * entirely: Spark's parquet FIXED_LEN_BYTE_ARRAY decimals hash differently
+    * from the oracle's arrow decimal128 at the driver's gate even when values
+    * compare equal (round-1 verdict), while int64 is encoding-stable. */
+  private def lsum(c: Column): Column = sum((c.cast(dec) * 1000000).cast("long"))
+  private val DSUM = "CAST(SUM(CAST(CAST(%s AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)"
+  /** Per-row `extendedprice × (1 − discount)` in 1e-8 fixed-point (cents ×
+    * discount-micro): both factors are exactly representable as longs, the
+    * product is exact, and long-sums are order-insensitive. */
+  private def discPrice(price: Column, discount: Column): Column =
+    sum((price.cast(dec) * 100).cast("long") *
+        ((lit(1).cast(dec) - discount.cast(dec)) * 1000000).cast("long"))
+  private val DISC_PRICE =
+    "CAST(SUM(CAST(CAST(%s AS DECIMAL(18,6)) * 100 AS BIGINT) * " +
+    "CAST((1 - CAST(%s AS DECIMAL(18,6))) * 1000000 AS BIGINT)) AS BIGINT)"
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
@@ -46,13 +57,13 @@ object Relational {
       t(s, dir, "lineitem")
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          dsum($"l_quantity").as("sum_qty"),
-          dsum($"l_extendedprice").as("sum_base_price"),
-          sum($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))
-            .cast(dec38_12).as("sum_disc_price"),
-          // sum(qty)*1e6 ≪ 2^53 at any tested SF, so decimal→double is exact
-          // in both engines and the double division is then deterministic.
-          (dsum($"l_quantity").cast("double") / count(lit(1))).as("avg_qty"),
+          lsum($"l_quantity").as("sum_qty"),
+          lsum($"l_extendedprice").as("sum_base_price"),
+          discPrice($"l_extendedprice", $"l_discount").as("sum_disc_price"),
+          // micro-long → double is exact (≪ 2^53 at tested SFs); the double
+          // divisions are then IEEE-deterministic in both engines.
+          (lsum($"l_quantity").cast("double") / 1000000.0d / count(lit(1)))
+            .as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
@@ -90,18 +101,21 @@ object Relational {
         .orderBy($"l_orderkey", $"l_linenumber")
     },
 
-    // broadcast hash join: customer is the small dimension — no shuffle of orders.
+    // orders ⋈ customer: both sides scale with SF, so no broadcast hint —
+    // AQE picks broadcast at small SF and shuffle-hash/sort-merge at scale.
     "q5_join" -> { (s, dir) =>
       import s.implicits._
       val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
         .groupBy($"c_mktsegment")
-        .agg(dsum($"o_totalprice").as("total_price"), count(lit(1)).as("n_orders"))
+        .agg(lsum($"o_totalprice").as("total_price"), count(lit(1)).as("n_orders"))
         .orderBy($"c_mktsegment")
     },
 
-    // 5-table star join (TPC-H Q5-flavored): fact table joins broadcast dims;
-    // single shuffle for the final small-key aggregation.
+    // 5-table star join (TPC-H Q5-flavored). Only genuinely bounded dims are
+    // broadcast (nation=25 rows, region=5 rows — fixed regardless of SF);
+    // customer scales linearly, so its join strategy is left to AQE. Date
+    // filter sits before the joins so it pushes to the orders scan.
     "q6_multijoin" -> { (s, dir) =>
       import s.implicits._
       val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
@@ -109,13 +123,12 @@ object Relational {
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
                 $"o_orderdate" <  lit("1997-01-01").cast("timestamp"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy($"r_name", $"n_name")
         .agg(
-          sum($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))
-            .cast(dec38_12).as("revenue"),
+          discPrice($"l_extendedprice", $"l_discount").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy($"r_name", $"n_name")
     },
@@ -177,7 +190,7 @@ object Relational {
     "q13_having" -> { (s, dir) =>
       import s.implicits._
       t(s, dir, "lineitem").groupBy($"l_partkey")
-        .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("qty"))
+        .agg(count(lit(1)).as("n"), lsum($"l_quantity").as("qty"))
         .filter($"n" >= 3)
         .orderBy($"l_partkey")
     },
@@ -199,13 +212,14 @@ object Relational {
         .select($"c_custkey", $"c_name").orderBy($"c_custkey")
     },
 
-    // conditional aggregation (CASE WHEN inside SUM, decimal-exact).
+    // conditional aggregation (CASE WHEN inside SUM, micro-unit exact).
     "q16_case" -> { (s, dir) =>
       import s.implicits._
       t(s, dir, "lineitem").groupBy($"l_returnflag")
         .agg(
-          sum(when($"l_discount" > 0.05, $"l_extendedprice".cast(dec))
-            .otherwise(lit(0).cast(dec))).cast(dec38_6).as("disc_rev"),
+          sum(when($"l_discount" > 0.05,
+                ($"l_extendedprice".cast(dec) * 1000000).cast("long"))
+            .otherwise(lit(0L))).as("disc_rev"),
           count(lit(1)).as("n"))
         .orderBy($"l_returnflag")
     },
@@ -216,8 +230,8 @@ object Relational {
       s"""SELECT l_returnflag, l_linestatus,
          |${DSUM.format("l_quantity")} AS sum_qty,
          |${DSUM.format("l_extendedprice")} AS sum_base_price,
-         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,12)) AS sum_disc_price,
-         |CAST(${DSUM.format("l_quantity")} AS DOUBLE) / count(*) AS avg_qty,
+         |${DISC_PRICE.format("l_extendedprice", "l_discount")} AS sum_disc_price,
+         |CAST(${DSUM.format("l_quantity")} AS DOUBLE) / 1000000 / count(*) AS avg_qty,
          |count(*) AS count_order
          |FROM lineitem GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -242,8 +256,8 @@ object Relational {
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q6_multijoin" ->
-      """SELECT r_name, n_name,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,12)) AS revenue,
+      s"""SELECT r_name, n_name,
+        |${DISC_PRICE.format("l_extendedprice", "l_discount")} AS revenue,
         |count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -306,7 +320,7 @@ object Relational {
 
     "q16_case" ->
       """SELECT l_returnflag,
-        |CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_extendedprice AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS disc_rev,
+        |CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) ELSE 0 END) AS BIGINT) AS disc_rev,
         |count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
