@@ -1,0 +1,282 @@
+package graft.delta
+
+import java.util.UUID
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Checkpoint parquet read/write.
+  *
+  * Layout mirrors the reference's checkpoint schema
+  * (`rust/src/delta_arrow.rs:140-249`, written by
+  * `rust/src/checkpoints.rs:104-248`): one nullable struct column per action
+  * type (`txn`, `add`, `remove`, `metaData`, `protocol`; `commitInfo` is not
+  * checkpointed — `rust/src/action.rs:765-767`), with `add` additionally
+  * carrying typed `partitionValues_parsed` and `stats_parsed` structs
+  * (string→typed per `typed_partition_value_from_string`,
+  * `rust/src/checkpoints.rs:278-345`).
+  */
+object Checkpoints {
+
+  // ------------------------------------------------------------ schema
+
+  private val strMap = MapType(StringType, StringType, valueContainsNull = true)
+
+  private def txnType = StructType(Seq(
+    StructField("appId", StringType), StructField("version", LongType),
+    StructField("lastUpdated", LongType)))
+
+  private def removeType = StructType(Seq(
+    StructField("path", StringType), StructField("deletionTimestamp", LongType),
+    StructField("dataChange", BooleanType),
+    StructField("extendedFileMetadata", BooleanType),
+    StructField("partitionValues", strMap), StructField("size", LongType),
+    StructField("tags", strMap)))
+
+  private def metaDataType = StructType(Seq(
+    StructField("id", StringType), StructField("name", StringType),
+    StructField("description", StringType),
+    StructField("format", StructType(Seq(
+      StructField("provider", StringType), StructField("options", strMap)))),
+    StructField("schemaString", StringType),
+    StructField("partitionColumns", ArrayType(StringType)),
+    StructField("configuration", strMap),
+    StructField("createdTime", LongType)))
+
+  private def protocolType = StructType(Seq(
+    StructField("minReaderVersion", IntegerType),
+    StructField("minWriterVersion", IntegerType)))
+
+  /** Partition-value string→typed conversion supports the same primitive set
+    * as the reference (`rust/src/checkpoints.rs:278-345`): string,
+    * long/integer/short/byte, boolean. Others stay untyped (null). */
+  private def parsedPartitionType(dt: DataType): Option[DataType] = dt match {
+    case StringType | LongType | IntegerType | ShortType | ByteType | BooleanType => Some(dt)
+    case _ => None
+  }
+
+  /** Stats values we materialize typed; everything else stays in the JSON
+    * `stats` string only. */
+  private def parsedStatsType(dt: DataType): Option[DataType] = dt match {
+    case StringType | LongType | IntegerType | ShortType | ByteType |
+         BooleanType | DoubleType | FloatType | DateType => Some(dt)
+    case _ => None
+  }
+
+  private final case class SchemaInfo(
+      dataFields: Seq[StructField],      // non-partition fields, typed-stat-able
+      partitionFields: Seq[StructField]) // partition fields, typed-partition-able
+
+  private def schemaInfo(snap: Snapshot): SchemaInfo = {
+    val md = snap.metadata
+    val schema = Try(snap.schema).toOption.getOrElse(StructType(Nil))
+    val partCols = md.map(_.partitionColumns).getOrElse(Nil).toSet
+    SchemaInfo(
+      dataFields = schema.fields.toSeq.filterNot(f => partCols.contains(f.name))
+        .flatMap(f => parsedStatsType(f.dataType).map(t => StructField(f.name, t))),
+      partitionFields = schema.fields.toSeq.filter(f => partCols.contains(f.name))
+        .flatMap(f => parsedPartitionType(f.dataType).map(t => StructField(f.name, t))))
+  }
+
+  private def addType(info: SchemaInfo): StructType = {
+    val base = Seq(
+      StructField("path", StringType), StructField("partitionValues", strMap),
+      StructField("size", LongType), StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType), StructField("stats", StringType),
+      StructField("tags", strMap))
+    val pvParsed =
+      if (info.partitionFields.nonEmpty)
+        Seq(StructField("partitionValues_parsed", StructType(info.partitionFields)))
+      else Nil
+    val statsParsed =
+      if (info.dataFields.nonEmpty)
+        Seq(StructField("stats_parsed", StructType(Seq(
+          StructField("numRecords", LongType),
+          StructField("minValues", StructType(info.dataFields)),
+          StructField("maxValues", StructType(info.dataFields)),
+          StructField("nullCount", StructType(
+            info.dataFields.map(f => StructField(f.name, LongType))))))))
+      else Nil
+    StructType(base ++ pvParsed ++ statsParsed)
+  }
+
+  private def checkpointSchema(info: SchemaInfo): StructType = StructType(Seq(
+    StructField("txn", txnType), StructField("add", addType(info)),
+    StructField("remove", removeType), StructField("metaData", metaDataType),
+    StructField("protocol", protocolType)))
+
+  // ------------------------------------------------------------ encode
+
+  private def typedValue(s: String, dt: DataType): Any =
+    Try(dt match {
+      case StringType  => s
+      case LongType    => s.toLong
+      case IntegerType => s.toInt
+      case ShortType   => s.toShort
+      case ByteType    => s.toByte
+      case BooleanType => s.toBoolean
+      case DoubleType  => s.toDouble
+      case FloatType   => s.toFloat
+      case DateType    => java.sql.Date.valueOf(s)
+      case _ => null
+    }).getOrElse(null)
+
+  private def jsonValue(n: JsonNode, dt: DataType): Any =
+    if (n == null || n.isNull) null
+    else Try(dt match {
+      case StringType  => n.asText
+      case LongType    => n.asLong
+      case IntegerType => n.asInt
+      case ShortType   => n.asInt.toShort
+      case ByteType    => n.asInt.toByte
+      case BooleanType => n.asBoolean
+      case DoubleType  => n.asDouble
+      case FloatType   => n.asDouble.toFloat
+      case DateType    => java.sql.Date.valueOf(n.asText)
+      case _ => null
+    }).getOrElse(null)
+
+  private def addRow(a: AddAction, info: SchemaInfo): Row = {
+    val base = Seq(
+      a.path, a.partitionValues, a.size, a.modificationTime, a.dataChange,
+      a.stats.orNull, a.tags.orNull)
+    val pvParsed =
+      if (info.partitionFields.isEmpty) Nil
+      else Seq(Row.fromSeq(info.partitionFields.map(f =>
+        a.partitionValues.get(f.name).flatMap(Option(_))
+          .map(typedValue(_, f.dataType)).orNull)))
+    val statsParsed =
+      if (info.dataFields.isEmpty) Nil
+      else {
+        val st = a.stats.flatMap(s => Try(ActionCodec.statsFromJson(s)).toOption.flatten)
+        Seq(st.map { s =>
+          Row(
+            s.numRecords,
+            Row.fromSeq(info.dataFields.map(f => jsonValue(s.minValues.get(f.name).orNull, f.dataType))),
+            Row.fromSeq(info.dataFields.map(f => jsonValue(s.maxValues.get(f.name).orNull, f.dataType))),
+            Row.fromSeq(info.dataFields.map(f =>
+              Option(s.nullCount.get(f.name).orNull).filter(_.isNumber).map(_.asLong).orNull)))
+        }.orNull)
+      }
+    Row.fromSeq(base ++ pvParsed ++ statsParsed)
+  }
+
+  private def actionRow(a: Action, info: SchemaInfo): Row = a match {
+    case t: TxnAction => Row(Row(t.appId, t.version, t.lastUpdated.orNull), null, null, null, null)
+    case add: AddAction => Row(null, addRow(add, info), null, null, null)
+    case r: RemoveAction => Row(null, null,
+      Row(r.path, r.deletionTimestamp, r.dataChange, r.extendedFileMetadata.orNull,
+          r.partitionValues.orNull, r.size.orNull, r.tags.orNull), null, null)
+    case m: MetaDataAction => Row(null, null, null,
+      Row(m.id, m.name.orNull, m.description.orNull,
+          Row(m.format.provider, m.format.options), m.schemaString,
+          m.partitionColumns, m.configuration, m.createdTime.orNull), null)
+    case p: ProtocolAction => Row(null, null, null, null,
+      Row(p.minReaderVersion, p.minWriterVersion))
+    case _: CommitInfoAction =>
+      throw new IllegalArgumentException("commitInfo is never checkpointed")
+  }
+
+  /** Snapshot → checkpoint action list, reference order
+    * (`rust/src/checkpoints.rs:104-150`): protocol, metaData, txns, removes,
+    * adds. Returns the number of actions written. */
+  def write(log: DeltaLog, snap: Snapshot): Long = {
+    val md = snap.metadata.getOrElse(
+      throw new IllegalStateException("cannot checkpoint a table without metaData"))
+    val info = schemaInfo(snap)
+    val acts: Seq[Action] =
+      Seq(ProtocolAction(snap.minReaderVersion, snap.minWriterVersion), md) ++
+      snap.appTransactionVersion.toSeq.sortBy(_._1).map { case (app, v) => TxnAction(app, v) } ++
+      snap.tombstones ++
+      snap.files
+    val rows = acts.map(actionRow(_, info))
+    val schema = checkpointSchema(info)
+
+    val tmpDir = new Path(log.logPath, s".tmp-checkpoint-${UUID.randomUUID()}")
+    log.spark.createDataFrame(rows.asJava, schema)
+      .coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+    val fs = tmpDir.getFileSystem(log.spark.sessionState.newHadoopConf())
+    val part = fs.listStatus(tmpDir).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no checkpoint part file in $tmpDir"))
+    val dst = log.checkpointFile(snap.version)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    log.store.renameNoReplace(part, dst)
+    fs.delete(tmpDir, true)
+    acts.size.toLong
+  }
+
+  // ------------------------------------------------------------ decode
+
+  private def optS(r: Row, f: String): Option[String] =
+    Try(r.getAs[String](f)).toOption.flatMap(Option(_))
+  private def optL(r: Row, f: String): Option[Long] =
+    Try(r.isNullAt(r.fieldIndex(f))).toOption.flatMap(n =>
+      if (n) None else Some(r.getAs[Long](f)))
+  private def optB(r: Row, f: String): Option[Boolean] =
+    Try(r.isNullAt(r.fieldIndex(f))).toOption.flatMap(n =>
+      if (n) None else Some(r.getAs[Boolean](f)))
+  private def optM(r: Row, f: String): Option[Map[String, String]] =
+    Try(r.getAs[scala.collection.Map[String, String]](f)).toOption
+      .flatMap(Option(_)).map(_.toMap)
+
+  /** Decode one checkpoint row — `Action::from_parquet_record`
+    * (`rust/src/action.rs:726-775`): exactly one non-null struct column. */
+  private[delta] def rowToAction(row: Row): Option[Action] = {
+    def struct(name: String): Option[Row] =
+      Try(row.fieldIndex(name)).toOption
+        .filterNot(row.isNullAt).map(i => row.getStruct(i))
+    struct("add").map { a =>
+      AddAction(
+        path = a.getAs[String]("path"),
+        size = optL(a, "size").getOrElse(0L),
+        partitionValues = optM(a, "partitionValues").getOrElse(Map.empty),
+        modificationTime = optL(a, "modificationTime").getOrElse(0L),
+        dataChange = optB(a, "dataChange").getOrElse(true),
+        stats = optS(a, "stats"),
+        tags = optM(a, "tags"))
+    }.orElse(struct("remove").map { r =>
+      RemoveAction(
+        path = r.getAs[String]("path"),
+        deletionTimestamp = optL(r, "deletionTimestamp").getOrElse(0L),
+        dataChange = optB(r, "dataChange").getOrElse(true),
+        extendedFileMetadata = optB(r, "extendedFileMetadata"),
+        partitionValues = optM(r, "partitionValues"),
+        size = optL(r, "size"),
+        tags = optM(r, "tags"))
+    }).orElse(struct("metaData").map { m =>
+      val fmt = Try(m.getStruct(m.fieldIndex("format"))).toOption
+      MetaDataAction(
+        id = m.getAs[String]("id"),
+        name = optS(m, "name"),
+        description = optS(m, "description"),
+        format = Format(
+          provider = fmt.flatMap(f => optS(f, "provider")).getOrElse("parquet"),
+          options = fmt.flatMap(f => optM(f, "options")).getOrElse(Map.empty)),
+        schemaString = m.getAs[String]("schemaString"),
+        partitionColumns = Try(m.getSeq[String](m.fieldIndex("partitionColumns")))
+          .toOption.map(_.toSeq).getOrElse(Nil),
+        createdTime = optL(m, "createdTime"),
+        configuration = optM(m, "configuration").getOrElse(Map.empty))
+    }).orElse(struct("protocol").map { p =>
+      ProtocolAction(p.getAs[Int]("minReaderVersion"), p.getAs[Int]("minWriterVersion"))
+    }).orElse(struct("txn").map { t =>
+      TxnAction(t.getAs[String]("appId"), t.getAs[Long]("version"), optL(t, "lastUpdated"))
+    })
+  }
+
+  /** Read checkpoint parquet file(s) into actions — `restore_checkpoint`
+    * (`rust/src/delta.rs:524-546`). Row count is O(#files in the table), the
+    * same driver-side bound as the snapshot itself. */
+  def read(spark: SparkSession, paths: Seq[Path]): Seq[Action] = {
+    val buf = mutable.Buffer[Action]()
+    spark.read.parquet(paths.map(_.toString): _*).collect()
+      .foreach(r => rowToAction(r).foreach(buf += _))
+    buf.toSeq
+  }
+}

@@ -1,0 +1,225 @@
+package graft.delta
+
+import scala.collection.mutable
+import scala.util.matching.Regex
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Errors mirroring the reference's `DeltaTableError` variants
+  * (`rust/src/delta.rs:284-291` and friends). */
+final class NotATableException(path: String)
+  extends IllegalArgumentException(s"not a Delta table: $path (no _delta_log commits)")
+final class VersionNotFoundException(version: Long, path: String)
+  extends IllegalArgumentException(s"version $version does not exist in $path")
+
+/** `_last_checkpoint` pointer content (`rust/src/delta.rs:38-43`). */
+final case class CheckPoint(version: Long, size: Long, parts: Option[Int] = None)
+
+/** The transaction log of one Delta table: commit-file naming, log replay,
+  * incremental refresh, checkpoint discovery, time travel.
+  *
+  * Driver-side by design — the reference's client is single-threaded on the
+  * log too (`rust/src/delta.rs:589-657`); the distributed part of the system
+  * is the *scan* over the resulting file list, which Spark executes. State
+  * per snapshot is O(#files) on the driver, same as the reference's
+  * `Vec<Add>` (see Snapshot scale note).
+  */
+final class DeltaLog private (
+    val spark: SparkSession,
+    val tablePath: Path,
+    val store: LogStore) {
+
+  import DeltaLog._
+
+  val logPath = new Path(tablePath, "_delta_log")
+
+  /** `%020d.json` commit naming (`rust/src/delta.rs:407-410`). */
+  def commitFile(version: Long): Path = new Path(logPath, f"$version%020d.json")
+
+  /** Single-part checkpoint naming (`rust/src/delta.rs:412-416`). */
+  def checkpointFile(version: Long): Path =
+    new Path(logPath, f"$version%020d.checkpoint.parquet")
+
+  // ---------------------------------------------------------------- listing
+
+  /** All commit versions present, ascending — one listing instead of the
+    * reference's per-version HEAD probe loop (`rust/src/delta.rs:548-586`;
+    * its own TODO at /root/reference/TODO:2 suggests exactly this). */
+  def listCommitVersions(): Seq[Long] =
+    store.list(logPath).flatMap { st =>
+      st.getPath.getName match {
+        case CommitFileRe(v) =>
+          commitTimestamps.synchronized {
+            commitTimestamps.getOrElseUpdate(v.toLong, st.getModificationTime)
+          }
+          Some(v.toLong)
+        case _ => None
+      }
+    }.sorted
+
+  def latestVersion(): Long = listCommitVersions().lastOption.getOrElse(-1L)
+
+  /** Read `_delta_log/_last_checkpoint` (`rust/src/delta.rs:438-443`). */
+  def lastCheckpoint(): Option[CheckPoint] = {
+    val p = new Path(logPath, "_last_checkpoint")
+    if (!store.exists(p)) None
+    else {
+      val n = ActionCodec.mapper.readTree(store.read(p))
+      Some(CheckPoint(
+        version = n.get("version").asLong,
+        size = n.get("size").asLong,
+        parts = Option(n.get("parts")).filterNot(_.isNull).map(_.asInt)))
+    }
+  }
+
+  /** Newest complete checkpoint with version ≤ `maxVersion` —
+    * `find_latest_check_point_for_version` (`rust/src/delta.rs:445-502`),
+    * matching both single-part and multi-part naming. */
+  def findLatestCheckpointForVersion(maxVersion: Long): Option[CheckPoint] = {
+    var best: Option[CheckPoint] = None
+    val partsSeen = mutable.Map[(Long, Int), Int]() // (version, totalParts) → count
+    store.list(logPath).foreach { st =>
+      st.getPath.getName match {
+        case CheckpointFileRe(v) if v.toLong <= maxVersion =>
+          val ver = v.toLong
+          if (best.forall(_.version < ver)) best = Some(CheckPoint(ver, 0))
+        case CheckpointPartRe(v, _, total) if v.toLong <= maxVersion =>
+          val key = (v.toLong, total.toInt)
+          val seen = partsSeen.getOrElse(key, 0) + 1
+          partsSeen(key) = seen
+          if (seen == total.toInt && best.forall(_.version < v.toLong))
+            best = Some(CheckPoint(v.toLong, 0, Some(total.toInt)))
+        case _ => ()
+      }
+    }
+    best
+  }
+
+  def checkpointPaths(cp: CheckPoint): Seq[Path] = cp.parts match {
+    case None => Seq(checkpointFile(cp.version))
+    case Some(n) => (1 to n).map(i =>
+      new Path(logPath, f"${cp.version}%020d.checkpoint.$i%010d.$n%010d.parquet"))
+  }
+
+  // --------------------------------------------------------------- replay
+
+  /** Parse one commit file into actions — `apply_log`
+    * (`rust/src/delta.rs:504-522`): newline-delimited JSON, one wrapped
+    * action per line. */
+  def readCommit(version: Long): Seq[Action] =
+    store.readLines(commitFile(version))
+      .filter(_.nonEmpty)
+      .flatMap(ActionCodec.fromJsonLine)
+      .toSeq
+
+  @volatile private var cached: Snapshot = Snapshot()
+  private val commitTimestamps = mutable.Map[Long, Long]()
+
+  def snapshot: Snapshot = cached
+
+  /** Refresh to the latest version — `update`/`update_incremental`
+    * (`rust/src/delta.rs:612-638`). Replays only commits newer than the
+    * cached snapshot; cold-start restores the newest checkpoint first
+    * (`DeltaTable::load`, `rust/src/delta.rs:589-608`). */
+  def update(): Snapshot = synchronized {
+    var snap = cached
+    if (snap.version < 0) {
+      lastCheckpoint().foreach { cp =>
+        snap = Snapshot.replay(
+          Snapshot(), Checkpoints.read(spark, checkpointPaths(cp)).iterator, cp.version)
+      }
+    }
+    val versions = listCommitVersions().filter(_ > snap.version)
+    versions.foreach { v =>
+      snap = Snapshot.replay(snap, readCommit(v).iterator, v)
+    }
+    cached = snap
+    snap
+  }
+
+  /** Pinned historical snapshot — `load_version`
+    * (`rust/src/delta.rs:672-709`): validate the version exists, restore the
+    * newest checkpoint ≤ version, replay the trailing commits. */
+  def snapshotForVersion(version: Long): Snapshot = {
+    val versions = listCommitVersions()
+    val cp = findLatestCheckpointForVersion(version)
+    if (!versions.contains(version) && !cp.exists(_.version == version))
+      throw new VersionNotFoundException(version, tablePath.toString)
+    var snap = cp match {
+      case Some(c) =>
+        Snapshot.replay(Snapshot(), Checkpoints.read(spark, checkpointPaths(c)).iterator, c.version)
+      case None => Snapshot()
+    }
+    versions.filter(v => v > snap.version && v <= version).foreach { v =>
+      snap = Snapshot.replay(snap, readCommit(v).iterator, v)
+    }
+    snap
+  }
+
+  /** Commit-file modification time, cached — `get_version_timestamp`
+    * (`rust/src/delta.rs:711-729`, cache at :566-571). */
+  def versionTimestamp(version: Long): Long =
+    commitTimestamps.synchronized {
+      commitTimestamps.getOrElseUpdate(
+        version, store.fileStatus(commitFile(version)).getModificationTime)
+    }
+
+  /** Latest version whose commit timestamp ≤ `tsMillis` — the binary search
+    * of `load_with_datetime` (`rust/src/delta.rs:1041-1075`). */
+  def versionForTimestamp(tsMillis: Long): Long = {
+    val versions = listCommitVersions().toIndexedSeq
+    if (versions.isEmpty) throw new NotATableException(tablePath.toString)
+    var lo = 0
+    var hi = versions.length - 1
+    var ans = -1L
+    while (lo <= hi) {
+      val mid = (lo + hi) / 2
+      if (versionTimestamp(versions(mid)) <= tsMillis) { ans = versions(mid); lo = mid + 1 }
+      else hi = mid - 1
+    }
+    if (ans < 0)
+      throw new VersionNotFoundException(versions.head, s"${tablePath} at timestamp $tsMillis (before first commit)")
+    ans
+  }
+
+  def snapshotForTimestamp(tsMillis: Long): Snapshot =
+    snapshotForVersion(versionForTimestamp(tsMillis))
+
+  // ------------------------------------------------------------- writing
+
+  def startTransaction(): OptimisticTransaction = new OptimisticTransaction(this)
+
+  /** Write a single-part checkpoint for the current snapshot + update
+    * `_last_checkpoint` — `create_checkpoint_from_table`
+    * (`rust/src/checkpoints.rs:104-248`). */
+  def checkpoint(): CheckPoint = checkpoint(update())
+
+  def checkpoint(snap: Snapshot): CheckPoint = {
+    val size = Checkpoints.write(this, snap)
+    val cp = CheckPoint(snap.version, size)
+    val json = {
+      val o = ActionCodec.mapper.createObjectNode()
+      o.put("version", cp.version)
+      o.put("size", cp.size)
+      ActionCodec.mapper.writeValueAsString(o)
+    }
+    store.write(new Path(logPath, "_last_checkpoint"), json)
+    cp
+  }
+}
+
+object DeltaLog {
+  /** `%020d.json` */
+  private val CommitFileRe: Regex = """^(\d{20})\.json$""".r
+  /** `%020d.checkpoint.parquet` (`rust/src/delta.rs:450-455`) */
+  private val CheckpointFileRe: Regex = """^(\d{20})\.checkpoint\.parquet$""".r
+  /** `%020d.checkpoint.%010d.%010d.parquet` */
+  private val CheckpointPartRe: Regex =
+    """^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$""".r
+
+  def forPath(spark: SparkSession, path: String): DeltaLog = {
+    val p = new Path(path)
+    new DeltaLog(spark, p, new HadoopLogStore(spark.sessionState.newHadoopConf()))
+  }
+}

@@ -1,0 +1,130 @@
+package graft.delta
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** User-facing Delta table at a pinned snapshot.
+  *
+  * Mirrors `DeltaTable` (`rust/src/delta.rs:389-404`) plus the scan role the
+  * reference delegates to DataFusion/PyArrow
+  * (`rust/src/delta_datafusion.rs:48-111`, `python/deltalake/table.py:193-266`):
+  * here the host engine is Spark, so the scan is a `DataFrame` over the
+  * snapshot's active files with the log-declared schema — Catalyst then owns
+  * projection pruning, predicate pushdown, and distribution.
+  */
+final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot) {
+
+  def spark: SparkSession = log.spark
+  def version: Long = snapshot.version
+  def schema: StructType = snapshot.schema
+  def partitionColumns: Seq[String] = snapshot.partitionColumns
+
+  /** Relative paths of active files — `get_files` (`rust/src/delta.rs:805`). */
+  def files: Seq[AddAction] = snapshot.files
+
+  /** Absolute URIs — `get_file_uris` (`rust/src/delta.rs:828`). */
+  def fileUris(fs: Seq[AddAction] = snapshot.files): Seq[String] =
+    fs.map(a => new Path(log.tablePath, a.path).toString)
+
+  /** Scan the table. `basePath` keeps Hive-layout partition columns visible;
+    * the explicit log schema (not parquet inference) types them, so the plan
+    * is a plain `FileSourceScanExec` with column pruning + parquet row-group
+    * skipping for free. */
+  def toDF: DataFrame = toDF(Nil, Nil)
+
+  def toDF(partitionFilters: Seq[PartitionFilter]): DataFrame =
+    toDF(partitionFilters, Nil)
+
+  /** Scan with file-level pruning done before Spark ever lists a file:
+    * partition filters against `Add.partitionValues`
+    * (`rust/src/delta.rs:733-766`) and data predicates against per-file
+    * min/max stats (`rust/src/delta_datafusion.rs:60-97`). */
+  def toDF(partitionFilters: Seq[PartitionFilter],
+           dataPredicates: Seq[StatsPredicate]): DataFrame = {
+    val afterPartition = PartitionFilter.prune(snapshot.files, partitionFilters)
+    val selected = StatsPredicate.prune(afterPartition, dataPredicates)
+    if (selected.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else {
+      spark.read
+        .option("basePath", log.tablePath.toString)
+        .schema(schema)
+        .parquet(fileUris(selected): _*)
+    }
+  }
+
+  /** Table-level statistics merged from per-file stats (D4). */
+  def statistics: TableStatistics = snapshot.statistics
+
+  /** Commit provenance, newest last. */
+  def history: Seq[JsonNode] = snapshot.commitInfos
+
+  /** Delete expired tombstoned files — `vacuum` (`rust/src/delta.rs:920-969`).
+    *
+    * Retention below the 168 h floor is rejected
+    * (`rust/src/delta.rs:881-884`); expiry cutoff per `get_stale_files`
+    * (:881-898); hidden files/dirs (`.`/`_` prefix except `_delta_index`,
+    * `_change_data`, and `k=v` partition dirs) are never candidates
+    * (:904-916). Returns the (relative) deleted — or with `dryRun` the
+    * would-be deleted — paths, sorted.
+    */
+  def vacuum(retentionHours: Double = 168.0, dryRun: Boolean = false): Seq[String] = {
+    if (retentionHours < 168.0)
+      throw new IllegalArgumentException(
+        s"invalid vacuum retention period $retentionHours h: minimum is 168 h")
+    val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
+    val expired = snapshot.tombstones
+      .filter(_.deletionTimestamp < cutoff).map(_.path).toSet
+    val active = snapshot.files.map(_.path).toSet
+
+    def isHidden(rel: String): Boolean =
+      rel.split('/').exists { seg =>
+        (seg.startsWith(".") || seg.startsWith("_")) &&
+          seg != "_delta_index" && seg != "_change_data" && !seg.contains("=")
+      }
+
+    val fs = log.tablePath.getFileSystem(spark.sessionState.newHadoopConf())
+    val base = log.tablePath.toUri.getPath.stripSuffix("/")
+    val it = fs.listFiles(log.tablePath, true)
+    val candidates = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+      if (!rel.startsWith("_delta_log") && !isHidden(rel) &&
+          !active.contains(rel) && expired.contains(rel))
+        candidates += rel
+    }
+    val result = candidates.result().sorted
+    if (!dryRun) result.foreach(rel => fs.delete(new Path(log.tablePath, rel), false))
+    result
+  }
+}
+
+object DeltaTable {
+
+  /** `open_table` (`rust/src/delta.rs:1453-1459`): latest version. */
+  def forPath(spark: SparkSession, path: String): DeltaTable = {
+    val log = DeltaLog.forPath(spark, path)
+    val snap = log.update()
+    if (snap.version < 0) throw new NotATableException(path)
+    new DeltaTable(log, snap)
+  }
+
+  /** `open_table_with_version` (`rust/src/delta.rs:1463-1472`). */
+  def forPath(spark: SparkSession, path: String, version: Long): DeltaTable = {
+    val log = DeltaLog.forPath(spark, path)
+    new DeltaTable(log, log.snapshotForVersion(version))
+  }
+
+  /** `open_table_with_ds` (`rust/src/delta.rs:1477-1484`): version active at
+    * a point in time, via binary search on commit timestamps. */
+  def forPathAsOf(spark: SparkSession, path: String, timestampMillis: Long): DeltaTable = {
+    val log = DeltaLog.forPath(spark, path)
+    new DeltaTable(log, log.snapshotForTimestamp(timestampMillis))
+  }
+
+  def isDeltaTable(spark: SparkSession, path: String): Boolean =
+    DeltaLog.forPath(spark, path).listCommitVersions().nonEmpty
+}

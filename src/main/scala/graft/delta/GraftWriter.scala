@@ -1,0 +1,283 @@
+package graft.delta
+
+import java.time.LocalDate
+import java.util.UUID
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+final class SchemaMismatchException(msg: String) extends IllegalArgumentException(msg)
+
+/** Table writer: distributed parquet write + transactional commit.
+  *
+  * The data write is plain Spark (`df.write.partitionBy(...).parquet`) — the
+  * executor-side analog of the reference's buffered writer
+  * (`rust/src/writer.rs:59-177`); the commit then records one `Add` per
+  * produced file with **real stats** (numRecords/min/max/nullCount read from
+  * parquet footers — exceeding the reference, which leaves min/max TODO at
+  * `rust/tests/write_exploration.rs:274-280`). SaveMode semantics follow
+  * `DeltaOperation`'s modes (`rust/src/action.rs:806-815`).
+  *
+  * Scale: the parquet write is fully distributed; the driver only lists the
+  * staged files, reads O(#new files) footers, and commits — the same
+  * O(files) driver bound as the log itself.
+  */
+object GraftWriter {
+
+  /** Write `df` to `path` as a Delta table; returns the committed version. */
+  def write(df: DataFrame, path: String,
+            mode: SaveMode = SaveMode.ErrorIfExists,
+            partitionBy: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val log = DeltaLog.forPath(spark, path)
+    val snap = log.update()
+    val exists = snap.version >= 0
+
+    if (exists) mode match {
+      case SaveMode.ErrorIfExists =>
+        throw new IllegalStateException(s"Delta table already exists at $path")
+      case SaveMode.Ignore => return snap.version
+      case _ => ()
+    }
+
+    val partCols =
+      if (exists && partitionBy.isEmpty) snap.partitionColumns
+      else partitionBy
+    if (exists && partCols != snap.partitionColumns)
+      throw new SchemaMismatchException(
+        s"partition columns $partCols != table's ${snap.partitionColumns}")
+    if (exists) {
+      // Schema must match the table's (the reference rejects mismatched
+      // record batches, rust/src/writer.rs:229-248); nullability is not
+      // load-bearing for parquet round-trips, names+types are.
+      val tbl = snap.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      val inc = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      if (tbl != inc)
+        throw new SchemaMismatchException(s"schema mismatch: table=$tbl incoming=$inc")
+    }
+    val missing = partCols.filterNot(df.schema.fieldNames.contains)
+    if (missing.nonEmpty)
+      throw new SchemaMismatchException(s"partition columns not in data: $missing")
+
+    val conf = spark.sessionState.newHadoopConf()
+    val tablePath = new Path(path)
+    val fs = tablePath.getFileSystem(conf)
+    val staging = new Path(tablePath, s".tmp-write-${UUID.randomUUID()}")
+
+    try {
+      val writer = if (partCols.nonEmpty) df.write.partitionBy(partCols: _*) else df.write
+      writer.mode(SaveMode.Overwrite).parquet(staging.toString)
+
+      // Collect staged part files and move them into the table directory,
+      // keeping the Hive partition layout (`rust/src/delta.rs:1279-1298`).
+      val adds = mutable.Buffer[AddAction]()
+      val stagingBase = staging.toUri.getPath.stripSuffix("/")
+      val it = fs.listFiles(staging, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (name.endsWith(".parquet")) {
+          val rel = st.getPath.toUri.getPath.stripPrefix(stagingBase).stripPrefix("/")
+          val dst = new Path(tablePath, rel)
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(st.getPath, dst))
+            throw new java.io.IOException(s"failed to move staged file to $dst")
+          val dstStatus = fs.getFileStatus(dst)
+          adds += AddAction(
+            path = rel,
+            size = dstStatus.getLen,
+            partitionValues = partitionValuesOf(rel),
+            modificationTime = dstStatus.getModificationTime,
+            dataChange = true,
+            stats = Some(FooterStats.statsJson(dst, conf)))
+        }
+      }
+
+      val now = System.currentTimeMillis()
+      val txn = log.startTransaction()
+      if (!exists) {
+        txn.addAction(ProtocolAction())
+        txn.addAction(MetaDataAction(
+          id = UUID.randomUUID().toString,
+          name = None, description = None,
+          format = Format(),
+          schemaString = DeltaSchema.toJson(df.schema),
+          partitionColumns = partCols,
+          createdTime = Some(now),
+          configuration = Map.empty))
+      }
+      if (exists && mode == SaveMode.Overwrite)
+        snap.files.foreach(f => txn.addAction(RemoveAction(
+          path = f.path, deletionTimestamp = now, dataChange = true,
+          extendedFileMetadata = Some(true),
+          partitionValues = Some(f.partitionValues), size = Some(f.size))))
+      txn.addActions(adds.toSeq)
+
+      val info = ActionCodec.mapper.createObjectNode()
+      info.put("timestamp", now)
+      info.put("operation", "WRITE")
+      val params = info.putObject("operationParameters")
+      params.put("mode", mode.toString)
+      params.put("partitionBy", partCols.mkString(","))
+      val version = txn.commit(Some(CommitInfoAction(info)))
+
+      // Auto-checkpoint cadence — every 10th commit, like the reference's
+      // checkpoint Lambda (`aws/delta-checkpoint/src/main.rs:46`).
+      if (version % 10 == 0 && version != 0) log.checkpoint()
+      version
+    } finally {
+      fs.delete(staging, true)
+    }
+  }
+
+  /** Parse `k=v` Hive segments of a relative file path into partitionValues
+    * (`rust/src/partitions.rs:100-128`); `__HIVE_DEFAULT_PARTITION__` ⇒ null. */
+  def partitionValuesOf(relPath: String): Map[String, String] =
+    relPath.split('/').dropRight(1).flatMap { seg =>
+      seg.indexOf('=') match {
+        case -1 => None
+        case i =>
+          val v = unescapePathName(seg.substring(i + 1))
+          Some(seg.substring(0, i) ->
+            (if (v == "__HIVE_DEFAULT_PARTITION__") null else v))
+      }
+    }.toMap
+
+  /** Reverse Hive path escaping (%xx) as Spark's catalog does. */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}
+
+/** Per-file Delta stats from parquet footers: exact numRecords, and
+  * min/max/nullCount for top-level primitive columns (nested and
+  * non-footer-stat types are omitted — skip-on-doubt readers handle absence).
+  */
+object FooterStats {
+
+  def statsJson(file: Path, conf: Configuration): String = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val footer = reader.getFooter
+      val blocks = footer.getBlocks
+      var numRecords = 0L
+      // column dotted path → (min, max, nulls, statsValid)
+      final case class Acc(var min: Any, var max: Any, var nulls: Long, var valid: Boolean)
+      val accs = mutable.LinkedHashMap[String, Acc]()
+
+      blocks.forEach { block =>
+        numRecords += block.getRowCount
+        block.getColumns.forEach { col =>
+          if (col.getPath.size == 1) { // top-level only
+            val name = col.getPath.toDotString
+            val acc = accs.getOrElseUpdate(name, Acc(null, null, 0L, true))
+            val st = col.getStatistics
+            if (st == null || st.isEmpty || st.getNumNulls < 0) acc.valid = false
+            else {
+              acc.nulls += st.getNumNulls
+              if (st.hasNonNullValue) {
+                val prim = col.getPrimitiveType
+                (convert(st.genericGetMin.asInstanceOf[AnyRef], prim),
+                 convert(st.genericGetMax.asInstanceOf[AnyRef], prim)) match {
+                  case (Some(mn), Some(mx)) =>
+                    acc.min = reduce(acc.min, mn, takeMin = true)
+                    acc.max = reduce(acc.max, mx, takeMin = false)
+                  case _ =>
+                    acc.min = BadStat; acc.max = BadStat
+                }
+              }
+            }
+          }
+        }
+      }
+
+      val o = ActionCodec.mapper.createObjectNode()
+      o.put("numRecords", numRecords)
+      val mins = o.putObject("minValues")
+      val maxs = o.putObject("maxValues")
+      val nulls = o.putObject("nullCount")
+      accs.foreach { case (name, acc) =>
+        if (acc.valid) {
+          nulls.put(name, acc.nulls)
+          putVal(mins, name, acc.min)
+          putVal(maxs, name, acc.max)
+        }
+      }
+      ActionCodec.mapper.writeValueAsString(o)
+    } finally reader.close()
+  }
+
+  private object BadStat
+
+  private def reduce(cur: Any, v: Any, takeMin: Boolean): Any =
+    if (cur == BadStat || v == BadStat) BadStat
+    else if (cur == null) v
+    else (cur, v) match {
+      case (a: Long, b: Long)       => if ((b < a) == takeMin) b else a
+      case (a: Double, b: Double)   => if ((b < a) == takeMin) b else a
+      case (a: String, b: String)   => if ((b < a) == takeMin) b else a
+      case (a: Boolean, b: Boolean) => if ((b < a) == takeMin) b else a
+      case _ => BadStat
+    }
+
+  /** Typed footer value → stats value; None for types we don't encode. */
+  private def convert(v: AnyRef, prim: org.apache.parquet.schema.PrimitiveType): Option[Any] = {
+    val logical = prim.getLogicalTypeAnnotation
+    prim.getPrimitiveTypeName match {
+      case PrimitiveTypeName.INT32 =>
+        logical match {
+          case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+            Some(LocalDate.ofEpochDay(v.asInstanceOf[Number].longValue).toString)
+          case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => None
+          case _ => Some(v.asInstanceOf[Number].longValue)
+        }
+      case PrimitiveTypeName.INT64 =>
+        logical match {
+          case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => None
+          case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => None
+          case _ => Some(v.asInstanceOf[Number].longValue)
+        }
+      case PrimitiveTypeName.FLOAT =>
+        val d = v.asInstanceOf[Number].doubleValue
+        if (d.isNaN) None else Some(d)
+      case PrimitiveTypeName.DOUBLE =>
+        val d = v.asInstanceOf[Number].doubleValue
+        if (d.isNaN) None else Some(d)
+      case PrimitiveTypeName.BOOLEAN => Some(v.asInstanceOf[Boolean].booleanValue)
+      case PrimitiveTypeName.BINARY =>
+        logical match {
+          case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+            Some(v.asInstanceOf[Binary].toStringUsingUTF8)
+          case _ => None
+        }
+      case _ => None // INT96, FIXED_LEN_BYTE_ARRAY
+    }
+  }
+
+  private def putVal(o: com.fasterxml.jackson.databind.node.ObjectNode,
+                     name: String, v: Any): Unit = v match {
+    case l: Long    => o.put(name, l)
+    case d: Double  => o.put(name, d)
+    case s: String  => o.put(name, s)
+    case b: Boolean => o.put(name, b)
+    case _ => () // null (all-null column) or BadStat: omit
+  }
+}

@@ -1,0 +1,114 @@
+package graft.delta
+
+import java.io.{FileNotFoundException, IOException}
+import java.net.URI
+import java.nio.charset.StandardCharsets
+import java.nio.file.{FileAlreadyExistsException => NioExists, Files, Paths, StandardCopyOption}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+
+/** Storage seam for the transaction log — the role of the reference's
+  * `StorageBackend` trait (`rust/src/storage/mod.rs:372-427`): head/get/list/
+  * put/delete plus an **atomic create-new rename**, whose contract (fail with
+  * AlreadyExists when the destination exists; `rust/src/storage/mod.rs:416-423`)
+  * is what makes optimistic commits linearizable.
+  */
+trait LogStore {
+
+  /** List statuses directly under `dir`, sorted by path; empty if missing. */
+  def list(dir: Path): Seq[FileStatus]
+
+  def exists(path: Path): Boolean
+
+  def fileStatus(path: Path): FileStatus
+
+  /** Read a whole UTF-8 text file. */
+  def read(path: Path): String
+
+  def readLines(path: Path): Iterator[String] =
+    read(path).linesIterator
+
+  /** Write a UTF-8 text file, overwriting (for non-commit artifacts like
+    * `_last_checkpoint`). */
+  def write(path: Path, content: String): Unit
+
+  /** Move `src` to `dst` atomically, failing with
+    * [[VersionAlreadyExists]]-able `FileAlreadyExistsException` when `dst`
+    * exists. Mirrors `rename_obj_noreplace`
+    * (`rust/src/storage/file/rename.rs:48-65`, RENAME_NOREPLACE). */
+  def renameNoReplace(src: Path, dst: Path): Unit
+
+  def delete(path: Path): Unit
+
+  def mkdirs(dir: Path): Unit
+}
+
+/** Hadoop-FS LogStore. On `file:` URIs the create-new rename uses
+  * `Files.createLink` (atomic hard-link, kernel-enforced EEXIST — the POSIX
+  * equivalent of the reference's `renameat2(RENAME_NOREPLACE)`), because both
+  * `File.renameTo` and nio `ATOMIC_MOVE` silently replace an existing
+  * destination on Linux. Object stores without a native create-new primitive
+  * need an external lock (the reference's DynamoDB lock client,
+  * `rust/src/storage/s3/dynamodb_lock.rs`) and are out of local scope.
+  */
+final class HadoopLogStore(conf: Configuration) extends LogStore {
+
+  private def fs(path: Path): FileSystem = path.getFileSystem(conf)
+
+  override def list(dir: Path): Seq[FileStatus] =
+    try fs(dir).listStatus(dir).toSeq.sortBy(_.getPath.getName)
+    catch { case _: FileNotFoundException => Nil }
+
+  override def exists(path: Path): Boolean = fs(path).exists(path)
+
+  override def fileStatus(path: Path): FileStatus = fs(path).getFileStatus(path)
+
+  override def read(path: Path): String = {
+    val in = fs(path).open(path)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  override def write(path: Path, content: String): Unit = {
+    val out = fs(path).create(path, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def isLocal(path: Path): Boolean = {
+    val scheme = Option(path.toUri.getScheme).getOrElse("file")
+    scheme == "file"
+  }
+
+  private def localPath(path: Path): java.nio.file.Path = {
+    val uri = path.toUri
+    if (uri.getScheme == null) Paths.get(uri.getPath)
+    else Paths.get(new URI("file", null, uri.getPath, null))
+  }
+
+  override def renameNoReplace(src: Path, dst: Path): Unit =
+    if (isLocal(src) && isLocal(dst)) {
+      val (s, d) = (localPath(src), localPath(dst))
+      try {
+        Files.createLink(d, s) // atomic; EEXIST if d exists
+        Files.delete(s)
+      } catch {
+        case e: NioExists =>
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+            s"destination exists: $dst (${e.getMessage})")
+      }
+    } else {
+      // Generic FS: HDFS rename has no-replace semantics for files; object
+      // stores must provide their own lock-backed implementation.
+      val f = fs(dst)
+      if (f.exists(dst))
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(s"destination exists: $dst")
+      if (!f.rename(src, dst))
+        throw new IOException(s"rename $src -> $dst failed")
+    }
+
+  override def delete(path: Path): Unit = fs(path).delete(path, false)
+
+  override def mkdirs(dir: Path): Unit = fs(dir).mkdirs(dir)
+}

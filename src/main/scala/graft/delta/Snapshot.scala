@@ -31,18 +31,65 @@ final case class Snapshot(
   def partitionColumns: Seq[String] = metadata.map(_.partitionColumns).getOrElse(Nil)
 
   /** Aggregate per-file stats into table-level statistics — the reference's
-    * `statistics()` fold (`rust/src/delta_datafusion.rs:117-209`). */
+    * `statistics()` fold (`rust/src/delta_datafusion.rs:117-209`): row count,
+    * byte size, and per-column min/max/nullCount. Column values stay raw
+    * JSON nodes (numbers/strings — the same skip-on-doubt discipline as
+    * [[StatsPredicate]]); a column's min/max is None when any file lacks it. */
   lazy val statistics: TableStatistics = {
     val parsed = files.flatMap(_.stats.flatMap(ActionCodec.statsFromJson))
-    val numRecords = if (parsed.size == files.size) Some(parsed.map(_.numRecords).sum) else None
+    val complete = parsed.size == files.size
+    val numRecords = if (complete) Some(parsed.map(_.numRecords).sum) else None
+
+    def isLess(a: JsonNode, b: JsonNode): Option[Boolean] =
+      if (a.isNumber && b.isNumber) Some(a.asDouble < b.asDouble)
+      else if (a.isTextual && b.isTextual) Some(a.asText < b.asText)
+      else None
+    def fold(maps: Seq[Map[String, JsonNode]], keepLeft: (JsonNode, JsonNode) => Option[Boolean])
+        : Map[String, JsonNode] =
+      if (!complete || maps.isEmpty) Map.empty
+      else {
+        val keys = maps.map(_.keySet).reduce(_ intersect _)
+        keys.flatMap { k =>
+          val vs = maps.map(_(k))
+          vs.reduceLeft[JsonNode] { (best, v) =>
+            keepLeft(best, v) match {
+              case Some(true) => best
+              case Some(false) => v
+              case None => return Map.empty // incomparable types: give up column-wide
+            }
+          } match { case best => Some(k -> best) }
+        }.toMap
+      }
+
+    val mins = fold(parsed.map(_.minValues), (a, b) => isLess(a, b))
+    val maxs = fold(parsed.map(_.maxValues), (a, b) => isLess(b, a))
+    val nulls: Map[String, Long] =
+      if (!complete || parsed.isEmpty) Map.empty
+      else {
+        val keys = parsed.map(_.nullCount.keySet).reduce(_ intersect _)
+        keys.flatMap { k =>
+          val vs = parsed.map(_.nullCount(k))
+          if (vs.forall(_.isNumber)) Some(k -> vs.map(_.asLong).sum) else None
+        }.toMap
+      }
+
     TableStatistics(
       numFiles = files.size,
       sizeInBytes = files.map(_.size).sum,
-      numRecords = numRecords)
+      numRecords = numRecords,
+      minValues = mins,
+      maxValues = maxs,
+      nullCounts = nulls)
   }
 }
 
-final case class TableStatistics(numFiles: Long, sizeInBytes: Long, numRecords: Option[Long])
+final case class TableStatistics(
+    numFiles: Long,
+    sizeInBytes: Long,
+    numRecords: Option[Long],
+    minValues: Map[String, JsonNode] = Map.empty,
+    maxValues: Map[String, JsonNode] = Map.empty,
+    nullCounts: Map[String, Long] = Map.empty)
 
 object Snapshot {
 

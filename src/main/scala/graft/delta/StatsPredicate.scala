@@ -1,0 +1,63 @@
+package graft.delta
+
+import com.fasterxml.jackson.databind.JsonNode
+
+/** File-skipping predicates evaluated against per-file min/max/nullCount
+  * stats before the scan — the role the reference's per-file `Statistics`
+  * play in its DataFusion provider (`rust/src/delta_datafusion.rs:60-97`),
+  * with the scalar comparison rules of `left_larger_than_right`
+  * (`rust/src/delta_datafusion.rs:226-261`: numbers by value, strings
+  * lexicographically).
+  *
+  * Semantics are conservative (skip-on-doubt): a file is dropped only when
+  * its stats PROVE no row can match; missing or unparsable stats keep the
+  * file. This composes with—not replaces—parquet row-group skipping, which
+  * Spark applies for free below the file level.
+  */
+sealed trait StatsPredicate { def column: String }
+
+object StatsPredicate {
+  final case class Gt(column: String, value: Any) extends StatsPredicate
+  final case class Ge(column: String, value: Any) extends StatsPredicate
+  final case class Lt(column: String, value: Any) extends StatsPredicate
+  final case class Le(column: String, value: Any) extends StatsPredicate
+  final case class EqTo(column: String, value: Any) extends StatsPredicate
+  /** `col IS NOT NULL` — provable only when nullCount == numRecords. */
+  final case class NotNull(column: String) extends StatsPredicate
+
+  /** 3-valued stat comparison: Some(cmp sign) when comparable, None on doubt. */
+  private def cmp(stat: JsonNode, v: Any): Option[Int] = (stat, v) match {
+    case (n, d: Double) if n.isNumber  => Some(java.lang.Double.compare(n.asDouble, d))
+    case (n, l: Long) if n.isNumber    => Some(java.lang.Double.compare(n.asDouble, l.toDouble))
+    case (n, i: Int) if n.isNumber     => Some(java.lang.Double.compare(n.asDouble, i.toDouble))
+    case (n, s: String) if n.isTextual => Some(n.asText.compareTo(s))
+    case _ => None
+  }
+
+  /** Can any row in a file with these stats match the predicate? */
+  private def mayMatch(p: StatsPredicate, st: FileStats): Boolean = {
+    def minOf(c: String) = st.minValues.get(c)
+    def maxOf(c: String) = st.maxValues.get(c)
+    p match {
+      case Gt(c, v) => maxOf(c).flatMap(cmp(_, v)).forall(_ > 0)
+      case Ge(c, v) => maxOf(c).flatMap(cmp(_, v)).forall(_ >= 0)
+      case Lt(c, v) => minOf(c).flatMap(cmp(_, v)).forall(_ < 0)
+      case Le(c, v) => minOf(c).flatMap(cmp(_, v)).forall(_ <= 0)
+      case EqTo(c, v) =>
+        maxOf(c).flatMap(cmp(_, v)).forall(_ >= 0) &&
+        minOf(c).flatMap(cmp(_, v)).forall(_ <= 0)
+      case NotNull(c) =>
+        !st.nullCount.get(c).exists(n => n.isNumber && n.asLong == st.numRecords)
+    }
+  }
+
+  /** Keep files whose stats cannot rule out a match. */
+  def prune(files: Seq[AddAction], predicates: Seq[StatsPredicate]): Seq[AddAction] =
+    if (predicates.isEmpty) files
+    else files.filter { f =>
+      f.stats.flatMap(ActionCodec.statsFromJson) match {
+        case None => true // no/bad stats ⇒ cannot prove ⇒ keep
+        case Some(st) => predicates.forall(mayMatch(_, st))
+      }
+    }
+}

@@ -209,8 +209,13 @@ object ActionCodec {
   private def nodeMapOf(n: JsonNode): Map[String, JsonNode] =
     n.properties().asScala.map(e => e.getKey -> e.getValue).toMap
 
+  /** Tolerant parse: malformed stats degrade to None (the reference's
+    * `get_stats` returns a Result the callers treat as optional —
+    * `rust/src/delta.rs:837-843`); one corrupt Add must not poison the
+    * snapshot-wide fold. */
   def statsFromJson(json: String): Option[FileStats] = {
-    val n = mapper.readTree(json)
+    val n = try mapper.readTree(json) catch { case _: Exception => return None }
+    if (n == null || !n.isObject) return None
     optLong(n, "numRecords").map { nr =>
       FileStats(
         numRecords = nr,

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.delta._
+
+/** End-to-end Delta-log-layer queries for the driver's correctness gate.
+  *
+  * Each query builds a real Delta table (commit log + parquet data files)
+  * from a deterministic slice of the testdata, reads it back through the
+  * engine (`DeltaTable.forPath` → log replay → snapshot scan), and is
+  * oracle-checked against DuckDB running plain SQL over the same source
+  * parquet — so the whole chain (writer → transaction → log replay →
+  * pruning → scan) must agree with the oracle byte-for-byte.
+  *
+  * Timestamp columns are excluded from outputs per the oracle-exactness
+  * rules (see Relational.scala scaladoc).
+  */
+object DeltaQueries {
+
+  private val workRoot = "/root/repo/target/graftwork"
+
+  private def freshDir(name: String): String = {
+    val dir = new java.io.File(s"$workRoot/$name")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (dir.exists()) rm(dir)
+    dir.mkdirs()
+    dir.toString
+  }
+
+  private def li(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+  private val cols = "l_orderkey, l_linenumber, l_quantity, l_returnflag"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // open_table + scan: write a slice as a Delta table, read it back through
+    // log replay. Exercises S1/S4/S5/S11/T1-T7/S13-15 end-to-end.
+    "q17_delta_roundtrip" -> { (s, dir) =>
+      val t = freshDir("roundtrip")
+      GraftWriter.write(li(s, dir).filter(col("l_orderkey") < 1000), t)
+      DeltaTable.forPath(s, t).toDF
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // partitioned write + partition-pruned read (P3-P5/Q4): only the
+    // l_returnflag=R files are handed to the scan.
+    "q18_delta_partition_prune" -> { (s, dir) =>
+      val t = freshDir("partprune")
+      GraftWriter.write(li(s, dir).filter(col("l_orderkey") < 2000), t,
+        SaveMode.ErrorIfExists, partitionBy = Seq("l_returnflag"))
+      val dt = DeltaTable.forPath(s, t)
+      dt.toDF(Seq(PartitionFilter.Eq("l_returnflag", "R")))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // time travel (S2/V1): append on top of v0, then read version 0.
+    "q19_delta_timetravel" -> { (s, dir) =>
+      val t = freshDir("timetravel")
+      val d = li(s, dir)
+      GraftWriter.write(d.filter(col("l_orderkey") < 500), t)
+      GraftWriter.write(
+        d.filter(col("l_orderkey") >= 500 && col("l_orderkey") < 1000), t, SaveMode.Append)
+      DeltaTable.forPath(s, t, version = 0).toDF
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // checkpointing (S6-S9/D7/S18): 12 commits → auto-checkpoint at v10; a
+    // fresh client restores via _last_checkpoint + trailing JSON replay.
+    "q20_delta_checkpoint" -> { (s, dir) =>
+      val t = freshDir("checkpoint")
+      val d = li(s, dir)
+      (0 until 12).foreach { i =>
+        GraftWriter.write(
+          d.filter(col("l_orderkey") >= i * 100 && col("l_orderkey") < (i + 1) * 100), t,
+          if (i == 0) SaveMode.ErrorIfExists else SaveMode.Append)
+      }
+      DeltaTable.forPath(s, t).toDF
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // stats-based file skipping (D4): two disjoint-range commits; the
+    // predicate-matching read must prune to one file set via Add.stats
+    // before Spark lists anything.
+    "q21_delta_statskip" -> { (s, dir) =>
+      val t = freshDir("statskip")
+      val d = li(s, dir)
+      GraftWriter.write(d.filter(col("l_orderkey") < 800).repartition(1), t)
+      GraftWriter.write(
+        d.filter(col("l_orderkey") >= 800 && col("l_orderkey") < 1600).repartition(1), t,
+        SaveMode.Append)
+      val dt = DeltaTable.forPath(s, t)
+      val pruned = dt.toDF(Nil, Seq(StatsPredicate.Ge("l_orderkey", 800L)))
+      // the pruned scan still needs the row-level predicate for exactness
+      pruned.filter(col("l_orderkey") >= 800)
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q17_delta_roundtrip" ->
+      s"""SELECT $cols FROM lineitem WHERE l_orderkey < 1000
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q18_delta_partition_prune" ->
+      s"""SELECT $cols FROM lineitem
+         |WHERE l_orderkey < 2000 AND l_returnflag = 'R'
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q19_delta_timetravel" ->
+      s"""SELECT $cols FROM lineitem WHERE l_orderkey < 500
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q20_delta_checkpoint" ->
+      s"""SELECT $cols FROM lineitem WHERE l_orderkey < 1200
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q21_delta_statskip" ->
+      s"""SELECT $cols FROM lineitem
+         |WHERE l_orderkey >= 800 AND l_orderkey < 1600
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+  )
+}

@@ -1,0 +1,98 @@
+package graft.delta
+
+import graft.SparkTestBase
+import org.apache.spark.sql.SaveMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class CheckpointSpec extends AnyFunSuite with SparkTestBase {
+  import LogFixtures._
+
+  test("checkpoint write + reload round-trip (checkpoint_writer_test.rs:12-62)") {
+    val dir = tempTable("cp-roundtrip").toString
+    import spark.implicits._
+    GraftWriter.write((0 until 20).map(i => (i.toLong, s"v$i")).toDF("id", "v"), dir)
+    (0 until 5).foreach { b =>
+      GraftWriter.write(Seq(((100 + b).toLong, s"x$b")).toDF("id", "v"), dir, SaveMode.Append)
+    }
+    val log = DeltaLog.forPath(spark, dir)
+    val before = log.update()
+    val cp = log.checkpoint()
+    assert(cp.version == 5)
+
+    assert(log.lastCheckpoint().map(_.version).contains(5L))
+    assert(log.store.exists(log.checkpointFile(5)))
+
+    // a FRESH client restores through the checkpoint and sees identical state
+    val log2 = DeltaLog.forPath(spark, dir)
+    val snap2 = log2.update()
+    assert(snap2.version == before.version)
+    assert(snap2.files.map(_.path).toSet == before.files.map(_.path).toSet)
+    assert(snap2.metadata.map(_.schemaString) == before.metadata.map(_.schemaString))
+    assert(snap2.minReaderVersion == 1 && snap2.minWriterVersion == 2)
+    // stats survive the checkpoint round-trip
+    assert(snap2.statistics.numRecords == before.statistics.numRecords)
+  }
+
+  test("checkpoint + trailing commits replay on top") {
+    val dir = tempTable("cp-trailing").toString
+    import spark.implicits._
+    GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir)
+    DeltaLog.forPath(spark, dir).checkpoint()
+    GraftWriter.write(Seq((2L, "b")).toDF("id", "v"), dir, SaveMode.Append)
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.version == 1)
+    assert(dt.toDF.count() == 2)
+  }
+
+  test("auto-checkpoint fires every 10th commit (delta-checkpoint main.rs:46)") {
+    val dir = tempTable("cp-auto").toString
+    import spark.implicits._
+    (0 to 10).foreach { i =>
+      GraftWriter.write(Seq((i.toLong, s"v$i")).toDF("id", "v"), dir,
+        if (i == 0) SaveMode.ErrorIfExists else SaveMode.Append)
+    }
+    val log = DeltaLog.forPath(spark, dir)
+    assert(log.lastCheckpoint().map(_.version).contains(10L))
+    assert(log.update().files.size == 11)
+  }
+
+  test("time travel works through and past a checkpoint (findLatestCheckpointForVersion)") {
+    val dir = tempTable("cp-tt").toString
+    import spark.implicits._
+    (0 until 12).foreach { i =>
+      GraftWriter.write(Seq((i.toLong, s"v$i")).toDF("id", "v"), dir,
+        if (i == 0) SaveMode.ErrorIfExists else SaveMode.Append)
+    }
+    val log = DeltaLog.forPath(spark, dir)
+    assert(log.findLatestCheckpointForVersion(11).map(_.version).contains(10L))
+    assert(log.findLatestCheckpointForVersion(9).isEmpty) // no checkpoint ≤ 9
+    assert(log.snapshotForVersion(11).files.size == 12)
+    assert(log.snapshotForVersion(10).files.size == 11)
+    assert(log.snapshotForVersion(3).files.size == 4) // pure JSON replay
+  }
+
+  test("partitioned checkpoint carries partitionValues through parquet") {
+    val dir = tempTable("cp-part").toString
+    import spark.implicits._
+    GraftWriter.write((0 until 30).map(i => (i.toLong, i % 3)).toDF("id", "p"),
+      dir, SaveMode.ErrorIfExists, Seq("p"))
+    val log = DeltaLog.forPath(spark, dir)
+    log.checkpoint()
+    val snap2 = DeltaLog.forPath(spark, dir).update()
+    assert(snap2.files.forall(_.partitionValues.keySet == Set("p")))
+    assert(snap2.files.map(_.partitionValues("p")).toSet == Set("0", "1", "2"))
+    val dt = new DeltaTable(log, snap2)
+    assert(dt.toDF(Seq(PartitionFilter.Eq("p", "2"))).count() == 10)
+  }
+
+  test("checkpoint of hand-written log with txns round-trips app versions") {
+    val dir = tempTable("cp-txn")
+    writeCommit(dir, 0, Seq(protocol, metaData, add("f0.parquet"),
+      """{"txn":{"appId":"stream-1","version":41}}"""))
+    val log = DeltaLog.forPath(spark, dir.toString)
+    log.update()
+    log.checkpoint()
+    val snap = DeltaLog.forPath(spark, dir.toString).update()
+    assert(snap.appTransactionVersion == Map("stream-1" -> 41L))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.delta
+
+import graft.SparkTestBase
+import org.apache.spark.sql.SaveMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class WriterSpec extends AnyFunSuite with SparkTestBase {
+  import LogFixtures.tempTable
+
+  private def sampleDF(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"name-$i", i % 3)).toDF("id", "name", "bucket")
+  }
+
+  test("write + read back round-trips values") {
+    val dir = tempTable("wr-roundtrip").toString
+    GraftWriter.write(sampleDF(0 until 100), dir)
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.version == 0)
+    val rows = dt.toDF.orderBy("id").collect()
+    assert(rows.length == 100)
+    assert(rows.head.getLong(0) == 0 && rows.last.getLong(0) == 99)
+    assert(dt.schema.fieldNames.toSeq == Seq("id", "name", "bucket"))
+  }
+
+  test("Add actions carry real footer stats (numRecords/min/max/nullCount)") {
+    val dir = tempTable("wr-stats").toString
+    GraftWriter.write(sampleDF(0 until 50), dir)
+    val dt = DeltaTable.forPath(spark, dir)
+    val stats = dt.files.flatMap(_.stats).flatMap(ActionCodec.statsFromJson)
+    assert(stats.nonEmpty && stats.size == dt.files.size)
+    assert(stats.map(_.numRecords).sum == 50)
+    val tbl = dt.statistics
+    assert(tbl.numRecords.contains(50L))
+    assert(tbl.minValues("id").asLong == 0L)
+    assert(tbl.maxValues("id").asLong == 49L)
+    assert(tbl.minValues("name").asText == "name-0")
+    assert(tbl.nullCounts("id") == 0L)
+  }
+
+  test("SaveMode semantics: ErrorIfExists, Ignore, Append, Overwrite (action.rs:806-815)") {
+    val dir = tempTable("wr-modes").toString
+    GraftWriter.write(sampleDF(0 until 10), dir)
+    intercept[IllegalStateException] { GraftWriter.write(sampleDF(0 until 10), dir) }
+    GraftWriter.write(sampleDF(0 until 10), dir, SaveMode.Ignore) // no-op
+    assert(DeltaTable.forPath(spark, dir).version == 0)
+
+    GraftWriter.write(sampleDF(10 until 30), dir, SaveMode.Append)
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 30)
+
+    GraftWriter.write(sampleDF(0 until 5), dir, SaveMode.Overwrite)
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.toDF.count() == 5)
+    assert(dt.snapshot.tombstones.nonEmpty) // overwrite tombstoned old files
+    // time travel still sees the appended state
+    assert(DeltaTable.forPath(spark, dir, 1).toDF.count() == 30)
+  }
+
+  test("schema mismatch on append is rejected (writer.rs:229-248 analog)") {
+    val dir = tempTable("wr-schema").toString
+    GraftWriter.write(sampleDF(0 until 10), dir)
+    import spark.implicits._
+    val wrong = Seq((1, "x")).toDF("id", "name") // id int, missing bucket
+    intercept[SchemaMismatchException] {
+      GraftWriter.write(wrong, dir, SaveMode.Append)
+    }
+  }
+
+  test("partitioned write: hive layout, partitionValues, pruning, typed read") {
+    val dir = tempTable("wr-part").toString
+    GraftWriter.write(sampleDF(0 until 90), dir, SaveMode.ErrorIfExists, Seq("bucket"))
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.partitionColumns == Seq("bucket"))
+    assert(dt.files.forall(a => a.path.contains("bucket=") &&
+      a.partitionValues.keySet == Set("bucket")))
+    // full read sees the partition column with its declared type
+    val df = dt.toDF
+    assert(df.schema("bucket").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(df.count() == 90)
+    // partition-filtered read prunes files before the scan
+    val pruned = dt.toDF(Seq(PartitionFilter.Eq("bucket", "1")))
+    assert(pruned.count() == 30)
+    assert(pruned.select("bucket").distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
+    // in / not-in (read_delta_test.rs:148-228 semantics)
+    assert(dt.toDF(Seq(PartitionFilter.In("bucket", Set("0", "2")))).count() == 60)
+    assert(dt.toDF(Seq(PartitionFilter.NotIn("bucket", Set("0", "2")))).count() == 30)
+  }
+
+  test("stats-based file skipping drops files whose min/max exclude the predicate") {
+    val dir = tempTable("wr-skip").toString
+    import spark.implicits._
+    // two ordered writes → disjoint id ranges in separate files
+    GraftWriter.write((0 until 50).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+      .repartition(1), dir)
+    GraftWriter.write((1000 until 1050).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+      .repartition(1), dir, SaveMode.Append)
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.files.size == 2)
+    val kept = StatsPredicate.prune(dt.files, Seq(StatsPredicate.Ge("id", 1000L)))
+    assert(kept.size == 1)
+    assert(dt.toDF(Nil, Seq(StatsPredicate.Ge("id", 1000L))).count() == 50)
+    // predicate satisfiable by both files keeps both (skip-on-doubt)
+    assert(StatsPredicate.prune(dt.files, Seq(StatsPredicate.Ge("id", 10L))).size == 2)
+  }
+}
