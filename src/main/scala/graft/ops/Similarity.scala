@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity search over an embedding column (`array<float>`).
+  *
+  * Spark-first design: the dot-product kernel is a codegen'd
+  * `aggregate(zip_with(...))` expression — no UDFs — and the scale path
+  * avoids all-pairs scans by coarse quantization (IVF probing).
+  *
+  * Scores are computed in **quantized fixed-point** (component × 1000 →
+  * BIGINT): integer dot products are exact and order-independent, so results
+  * are deterministic across engines and partitionings — floating-point
+  * summation order never changes a ranking.
+  */
+object Similarity {
+
+  /** Exact quantized dot product of two array columns as one SQL expression. */
+  private def dotQ(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b,
+       |  (x, y) -> cast(round(cast(x as double) * 1000) as bigint)
+       |          * cast(round(cast(y as double) * 1000) as bigint)),
+       |  0L, (acc, v) -> acc + v)""".stripMargin
+
+  /** Brute-force top-k by quantized dot product against one query vector.
+    * The query row is broadcast; the scan is a single pass over the corpus
+    * (the correct baseline, and the recall=1 reference for ANN variants).
+    * `TakeOrderedAndProject` keeps the top-k per partition — no full sort. */
+  def bruteForceTopK(vectors: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, k: Int): DataFrame = {
+    val query = vectors.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("query_vec"))
+    vectors.crossJoin(broadcast(query))
+      .withColumn("dot_q", expr(dotQ(vecCol, "query_vec")))
+      .select(col(idCol), col("dot_q"))
+      .orderBy(col("dot_q").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF-style ANN: coarse-quantize by `clusterCol` (centroid = mean vector
+    * per cluster), probe the `nProbe` clusters nearest to the query, then
+    * exact-search only within the probed clusters.
+    *
+    * At 100 TB the corpus is partitioned by cluster id, so a probe touches
+    * `nProbe/|clusters|` of the data; centroids are tiny and broadcast. */
+  def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String, clusterCol: String,
+              queryId: Long, k: Int, nProbe: Int = 2): DataFrame = {
+    // centroids: mean per (cluster, dim) — positional explode keeps it columnar
+    val comps = vectors.select(col(clusterCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+    val centroids = comps.groupBy(clusterCol, "pos").agg(avg("v").as("c"))
+      .groupBy(clusterCol)
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col(clusterCol), expr("transform(pc, x -> cast(x.c as float))").as("centroid"))
+
+    val query = vectors.filter(col(idCol) === queryId).select(col(vecCol).as("query_vec"))
+    val probed = centroids.crossJoin(broadcast(query))
+      .withColumn("cdot", expr(dotQ("centroid", "query_vec")))
+      .orderBy(col("cdot").desc, col(clusterCol))
+      .limit(nProbe)
+      .select(clusterCol)
+
+    vectors.join(broadcast(probed), clusterCol)
+      .crossJoin(broadcast(query))
+      .withColumn("dot_q", expr(dotQ(vecCol, "query_vec")))
+      .select(col(idCol), col("dot_q"))
+      .orderBy(col("dot_q").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Random-hyperplane LSH bucketing: `nPlanes` sign bits from deterministic
+    * pseudo-random hyperplanes (hash-derived, seedable, no stored model).
+    * Vectors sharing a bucket are ANN candidates — the scale path when no
+    * cluster assignment exists. */
+  def lshBuckets(vectors: DataFrame, idCol: String, vecCol: String,
+                 nPlanes: Int = 16, seed: Int = 42): DataFrame = {
+    // plane p component d = ±1 by bit parity of xxhash64(p, d, seed):
+    // sign bit_p = sign(Σ_d vec[d] · s(p,d)) — computed positionally.
+    val signExpr = (0 until nPlanes).map { p =>
+      s"""(case when aggregate(zip_with($vecCol, sequence(0, size($vecCol) - 1),
+         |  (x, d) -> case when pmod(xxhash64($p, d, $seed), 2) = 0
+         |            then cast(x as double) else -cast(x as double) end),
+         |  cast(0 as double), (acc, v) -> acc + v) > 0 then ${1L << p}L else 0L end)""".stripMargin
+    }.mkString(" + ")
+    vectors.withColumn("bucket", expr(signExpr))
+  }
+}

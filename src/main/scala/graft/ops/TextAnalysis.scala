@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators: token counting, quality scoring, language ID,
+  * document fingerprinting. All codegen'd built-ins — the hot path stays in
+  * whole-stage codegen with no UDFs, so throughput scales with scan speed. */
+object TextAnalysis {
+
+  /** Per-document token statistics (whitespace tokenization):
+    * token count, distinct-token count, summed token chars, longest token.
+    * All emitted as BIGINT for cross-engine type stability. */
+  def tokenStats(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), split(lower(col(textCol)), " ").as("w"))
+      .select(
+        col(idCol),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+        expr("aggregate(w, 0L, (acc, x) -> acc + length(x))").as("total_chars"),
+        expr("array_max(transform(w, x -> cast(length(x) as bigint)))").as("max_token_len"))
+
+  /** BPE-ish subword token count: whitespace words further split by a
+    * greedy length-4 chunking — a deterministic stand-in for a real BPE
+    * vocab (not shippable in this container), with the same plan shape:
+    * per-row expression, no shuffle. */
+  def subwordCount(df: DataFrame, textCol: String, idCol: String,
+                   chunk: Int = 4): DataFrame =
+    df.select(col(idCol),
+      expr(s"""aggregate(split(lower($textCol), ' '), 0L,
+              |  (acc, x) -> acc + cast(ceil(length(x) / $chunk.0) as bigint))"""
+        .stripMargin).as("n_subwords"))
+
+  /** Quality score components: fraction of very short tokens, repetition
+    * ratio (1 − distinct/total), mean token length — the standard cheap
+    * heuristics for corpus filtering, as exact micro-unit integers. */
+  def qualityScore(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    tokenStats(df, textCol, idCol).select(
+      col(idCol),
+      // micro-unit ratios via integer `div`: exact, engine-stable (double
+      // division + cast could round across an integer boundary)
+      expr("(n_tokens - n_distinct) * 1000000 div n_tokens").as("repetition_micro"),
+      expr("total_chars * 1000000 div n_tokens").as("mean_token_len_micro"))
+
+  /** N-gram-profile language ID: score each candidate language by marker
+    * token hits; predict the argmax (ties broken lexicographically).
+    * The profiles are deliberately tiny — the operator's value is its plan
+    * shape (one pass, no shuffle, no UDF), not the linguistics. */
+  def languageId(df: DataFrame, textCol: String, idCol: String,
+                 profiles: Map[String, Seq[String]] = defaultProfiles): DataFrame = {
+    val w = split(lower(col(textCol)), " ")
+    val scores: Seq[(String, Column)] = profiles.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val arr = array(markers.map(lit): _*)
+      lang -> size(expr_filter(w, arr))
+    }
+    val best = scores.map { case (lang, s) => struct(s.as("score"), lit(lang).as("lang")) }
+    df.select(col(idCol),
+      greatest(best: _*).getField("lang").as("pred_lang"))
+  }
+
+  private def expr_filter(w: Column, markers: Column): Column =
+    filter(w, t => array_contains(markers, t))
+
+  private val defaultProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "los", "que", "de"),
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "fr" -> Seq("le", "les", "des", "et", "une"))
+
+  /** Polynomial rolling-hash fingerprint of the whole document (base 31,
+    * mod 1e9+7 so the fold never overflows under ANSI arithmetic) — a
+    * Rabin-Karp-style content fingerprint computed as one codegen'd fold
+    * over the characters. */
+  def fingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      expr(s"aggregate(split($textCol, ''), 0L, (acc, c) -> pmod(acc * 31L + ascii(c), 1000000007L))")
+        .as("fingerprint"))
+}

@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops._
+
+/** LLM-data-pipeline queries over the `documents`, `embeddings`, and
+  * `events` tables: deduplication (exact / fingerprint / Jaccard /
+  * MinHash-LSH / SimHash), similarity search (brute-force + IVF),
+  * text analysis, windowed event aggregation, multimodal plumbing.
+  *
+  * Oracle-checked wherever DuckDB can express the same semantics; the
+  * hash-based operators (MinHash bands, SimHash, LSH buckets) get rows-only
+  * checks plus ScalaTest coverage, except MinHash-LSH whose *verified*
+  * output equals the brute-force Jaccard oracle (the planted near-dup
+  * regime sits at J≥0.9, where 16×4 banding has recall ≈ 1 − 3·10⁻¹²).
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries a nanosecond parquet timestamp, which Spark 4
+    * refuses by default; read it as a raw nanos LONG and convert explicitly
+    * (floor to µs — the same truncation DuckDB's ns→day truncation implies). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private val dec = DecimalType(18, 6)
+  private def lsum(c: org.apache.spark.sql.Column) =
+    sum((c.cast(dec) * 1000000).cast("long"))
+  private val DSUM = "CAST(SUM(CAST(CAST(%s AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: representative row per duplicate key group; single
+    // hash-shuffle with map-side combine.
+    "q22_dedup_exact" -> { (s, dir) =>
+      Dedup.exact(events(s, dir), Seq("user_id", "event_type", "value"), "event_id")
+        .select("event_id").orderBy("event_id")
+    },
+
+    // fingerprint dedup: md5 of a normalized prefix as the shuffle key.
+    "q23_dedup_fingerprint" -> { (s, dir) =>
+      Dedup.byFingerprint(t(s, dir, "documents"), "text", "doc_id")
+        .select("doc_id", "n_dupes").orderBy("doc_id")
+    },
+
+    // exact 3-gram-shingle Jaccard pairs (≥ 0.5) on a bounded slice —
+    // candidate pairs come from the shingle-equality join, never all-pairs.
+    "q24_dedup_jaccard" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+      Dedup.jaccardPairs(Dedup.shingles(docs, "text", "doc_id"), "doc_id", 1, 2)
+        .orderBy("id_a", "id_b")
+    },
+
+    // MinHash-LSH near-dedup over the FULL document set: banded signatures →
+    // bucket join → exact verification. Output provably equals brute force
+    // at this data's similarity gap.
+    "q25_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id", 1, 2)
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash near-dup candidates: 4×16-bit band bucketing + Hamming filter.
+    "q26_simhash" -> { (s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 16)
+        .orderBy("id_a", "id_b")
+    },
+
+    // token counting (n_tokens / n_distinct / total_chars / max_token_len).
+    "q27_text_stats" -> { (s, dir) =>
+      TextAnalysis.tokenStats(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // quality scoring in exact micro-units.
+    "q28_quality" -> { (s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // brute-force ANN baseline: quantized-dot-product top-10 to vec_id 0.
+    "q29_ann_cosine" -> { (s, dir) =>
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0, k = 10)
+    },
+
+    // IVF ANN: probe the 2 nearest label-clusters, exact-search within.
+    "q30_ann_ivf" -> { (s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+        queryId = 0, k = 10, nProbe = 2)
+    },
+
+    // tumbling-window event aggregation (batch shape of the streaming agg).
+    "q31_events_window" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(to_date(date_trunc("day", col("ts_us"))).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), lsum(col("value")).as("sum_value"))
+        .orderBy("day", "event_type")
+    },
+
+    // multimodal plumbing: text → binary payload → batched stub decode.
+    "q32_multimodal" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      MultiModal.extractMetadata(docs, "payload").orderBy("doc_id")
+    },
+
+    // language-ID heuristic (rows-only: the testdata lang column is
+    // synthetic — same vocabulary for every language — so no oracle exists).
+    "q33_langid" -> { (s, dir) =>
+      TextAnalysis.languageId(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // rolling-hash document fingerprint.
+    "q34_fingerprint" -> { (s, dir) =>
+      TextAnalysis.fingerprint(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+  )
+
+  private val jaccardOracle =
+    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents%s),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |       FROM d, UNNEST(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT id_a, id_b FROM pairs
+      |JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+      |WHERE 2 * inter >= (ca.n + cb.n - inter)
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q22_dedup_exact" ->
+      """SELECT min(event_id) AS event_id FROM events
+        |GROUP BY user_id, event_type, value ORDER BY event_id""".stripMargin,
+
+    "q23_dedup_fingerprint" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_dupes FROM documents
+        |GROUP BY md5(lower(substr(text, 1, 80))) ORDER BY doc_id""".stripMargin,
+
+    "q24_dedup_jaccard" -> jaccardOracle.format(" WHERE doc_id < 300"),
+
+    "q25_minhash_lsh" -> jaccardOracle.format(""),
+
+    "q27_text_stats" ->
+      """SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+        |CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS total_chars,
+        |CAST(list_max(list_transform(w, x -> length(x))) AS BIGINT) AS max_token_len
+        |FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q28_quality" ->
+      """SELECT doc_id,
+        |CAST((len(w) - len(list_distinct(w))) * 1000000 // len(w) AS BIGINT) AS repetition_micro,
+        |CAST(CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) * 1000000 // len(w) AS BIGINT) AS mean_token_len_micro
+        |FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q29_ann_cosine" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+        |  i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+        |     * CAST(round(CAST(qe[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS dot_q
+        |FROM embeddings, q
+        |ORDER BY dot_q DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q31_events_window" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         |count(*) AS n, ${DSUM.format("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}

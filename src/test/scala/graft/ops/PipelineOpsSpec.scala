@@ -1,0 +1,181 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private val corpus = docs(
+    1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+    2L -> "the quick brown fox jumps over the lazy dog near the river delta", // near-dup of 1
+    3L -> "completely different words about spark catalyst optimizer plans here today",
+    4L -> "the quick brown fox jumps over the lazy dog near the river bank") // exact dup of 1
+
+  test("exact dedup keeps one representative per key") {
+    val out = Dedup.exact(corpus, Seq("text"), "doc_id").orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("fingerprint dedup groups shared prefixes") {
+    val out = Dedup.byFingerprint(corpus, "text", "doc_id", prefixLen = 40)
+    // docs 1, 2, 4 share the first 40 chars
+    val kept = out.orderBy("doc_id").collect()
+    assert(kept.length == 2)
+    assert(kept.head.getAs[Long]("n_dupes") == 3)
+  }
+
+  test("shingles are distinct per doc and require >= n words") {
+    val sh = Dedup.shingles(docs(1L -> "a b c d", 2L -> "x y"), "text", "doc_id")
+    val got = sh.as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a b c"), (1L, "b c d"))) // doc 2 too short
+  }
+
+  test("jaccardPairs finds exactly the similar pairs at the threshold") {
+    val sh = Dedup.shingles(corpus, "text", "doc_id")
+    val pairs = Dedup.jaccardPairs(sh, "doc_id", 1, 2)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    // higher threshold keeps only the exact dup (jaccard 1.0)
+    val strict = Dedup.jaccardPairs(sh, "doc_id", 99, 100).as[(Long, Long)].collect().toSet
+    assert(strict == Set((1L, 4L)))
+  }
+
+  test("minhash LSH pairs match brute-force jaccard on planted dups") {
+    val lsh = Dedup.minhashLshPairs(corpus, "text", "doc_id", 1, 2)
+      .as[(Long, Long)].collect().toSet
+    assert(lsh == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("minhash signatures are identical for identical text") {
+    val sh = Dedup.shingles(corpus, "text", "doc_id")
+    val sigs = Dedup.minhashSignatures(sh, "doc_id")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(4L))
+    assert(sigs(1L) != sigs(3L))
+    assert(sigs(1L).length == 64)
+  }
+
+  test("simhash: identical docs at distance 0, distances order by similarity") {
+    val h = Dedup.simhash(corpus, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    def dist(a: Long, b: Long): Int = java.lang.Long.bitCount(h(a) ^ h(b))
+    assert(dist(1L, 4L) == 0) // exact dup → identical simhash
+    assert(dist(1L, 2L) < dist(1L, 3L)) // near-dup closer than unrelated
+    // band-bucketed pair generation finds the exact dup, skips unrelated
+    val pairs = Dedup.simhashPairs(corpus, "text", "doc_id", maxHamming = 16)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 4L)) == 0)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f), 0),
+    (2L, Array(0.0f, 1.0f, 0.0f), 1),
+    (3L, Array(0.0f, 0.9f, 0.1f), 1),
+    (4L, Array(-1.0f, 0.0f, 0.0f), 2)).toDF("vec_id", "embedding", "label")
+
+  test("brute-force top-k ranks by quantized dot product, query first") {
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", queryId = 0, k = 3)
+      .as[(Long, Long)].collect()
+    assert(top.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(top.head._2 == 1000L * 1000L) // <q,q> at ×1000 quantization
+  }
+
+  test("IVF probes the nearest clusters and finds the true neighbors") {
+    val top = Similarity.ivfTopK(vecs, "vec_id", "embedding", "label",
+      queryId = 0, k = 2, nProbe = 1)
+      .as[(Long, Long)].collect()
+    assert(top.map(_._1).toSeq == Seq(0L, 1L)) // cluster 0 only
+  }
+
+  test("LSH buckets are deterministic and collide for near-identical vectors") {
+    val b = Similarity.lshBuckets(vecs, "vec_id", "embedding", nPlanes = 8)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(b(0L) == b(1L)) // nearly colinear → same sign pattern
+    assert(b(0L) != b(4L)) // antipodal → all signs flip
+  }
+}
+
+class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the cat and the hat"),
+    (2L, "unique words only here")).toDF("doc_id", "text")
+
+  test("tokenStats counts tokens, distincts, chars") {
+    val m = TextAnalysis.tokenStats(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(m(1L) == ((5L, 4L, 15L, 3L))) // the cat and the hat
+    assert(m(2L) == ((4L, 4L, 19L, 6L)))
+  }
+
+  test("qualityScore micro-units are exact integer division") {
+    val m = TextAnalysis.qualityScore(docs, "text", "doc_id")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m(1L)._1 == 200000L) // 1 repeated of 5 tokens = 0.2
+    assert(m(1L)._2 == 3000000L) // mean token len 3.0
+  }
+
+  test("languageId picks the language with most marker hits") {
+    val d = Seq(
+      (1L, "el perro y la casa de los amigos"),
+      (2L, "the dog and a house of friends"),
+      (3L, "der hund und die katze nicht hier")).toDF("doc_id", "text")
+    val m = TextAnalysis.languageId(d, "text", "doc_id")
+      .as[(Long, String)].collect().toMap
+    assert(m(1L) == "es" && m(2L) == "en" && m(3L) == "de")
+  }
+
+  test("fingerprint is deterministic and content-sensitive") {
+    val f1 = TextAnalysis.fingerprint(docs, "text", "doc_id").as[(Long, Long)].collect().toMap
+    val f2 = TextAnalysis.fingerprint(docs, "text", "doc_id").as[(Long, Long)].collect().toMap
+    assert(f1 == f2)
+    assert(f1(1L) != f1(2L))
+    assert(f1.values.forall(v => v >= 0 && v < 1000000007L))
+  }
+}
+
+class MultiModalSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("extractMetadata decodes batched binary payloads with typed schema") {
+    val df = Seq((1L, Array[Byte](10, 20, 30, 40, 50)), (2L, Array[Byte](0)))
+      .toDF("id", "payload")
+    val out = MultiModal.extractMetadata(df, "payload").orderBy("id").collect()
+    assert(out.map(_.schema.fieldNames.toSeq).head == Seq("id", "width", "height", "n_bytes", "checksum"))
+    val r1 = out.head
+    assert(r1.getAs[Int]("width") == 11 && r1.getAs[Int]("height") == 21)
+    assert(r1.getAs[Long]("n_bytes") == 5)
+    val r2 = out(1)
+    assert(r2.getAs[Int]("width") == 1 && r2.getAs[Int]("height") == 0) // 1-byte payload: no height byte
+  }
+
+  test("null payloads decode to empty metadata instead of crashing") {
+    val df = Seq((1L, Option.empty[Array[Byte]])).toDF("id", "payload")
+    val out = MultiModal.extractMetadata(df, "payload").collect()
+    assert(out.head.getAs[Long]("n_bytes") == 0)
+  }
+
+  test("sampleSlices explodes each payload into n bounded slices") {
+    val df = Seq((1L, "abcdefgh".getBytes)).toDF("id", "payload")
+    val out = MultiModal.sampleSlices(df, "payload", "id", n = 4)
+      .orderBy("slice_idx").collect()
+    assert(out.length == 4)
+    assert(out.map(r => new String(r.getAs[Array[Byte]]("payload"))).toSeq ==
+      Seq("ab", "cd", "ef", "gh"))
+  }
+}
