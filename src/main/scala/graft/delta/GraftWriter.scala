@@ -66,17 +66,57 @@ object GraftWriter {
     if (missing.nonEmpty)
       throw new SchemaMismatchException(s"partition columns not in data: $missing")
 
+    val adds = stageFiles(df, path, partCols)
+    val now = System.currentTimeMillis()
+    val txn = log.startTransaction()
+    if (!exists) {
+      txn.addAction(ProtocolAction())
+      txn.addAction(MetaDataAction(
+        id = UUID.randomUUID().toString,
+        name = None, description = None,
+        format = Format(),
+        schemaString = DeltaSchema.toJson(df.schema),
+        partitionColumns = partCols,
+        createdTime = Some(now),
+        configuration = Map.empty))
+    }
+    if (exists && mode == SaveMode.Overwrite)
+      snap.files.foreach(f => txn.addAction(RemoveAction(
+        path = f.path, deletionTimestamp = now, dataChange = true,
+        extendedFileMetadata = Some(true),
+        partitionValues = Some(f.partitionValues), size = Some(f.size))))
+    txn.addActions(adds)
+
+    val info = ActionCodec.mapper.createObjectNode()
+    info.put("timestamp", now)
+    info.put("operation", "WRITE")
+    val params = info.putObject("operationParameters")
+    params.put("mode", mode.toString)
+    params.put("partitionBy", partCols.mkString(","))
+    val version = txn.commit(Some(CommitInfoAction(info)))
+
+    // Auto-checkpoint cadence — every 10th commit, like the reference's
+    // checkpoint Lambda (`aws/delta-checkpoint/src/main.rs:46`).
+    if (version % 10 == 0 && version != 0) log.checkpoint()
+    version
+  }
+
+  /** Distributed parquet write into a staging dir under the table path, then
+    * move each produced file into place (keeping the Hive partition layout,
+    * `rust/src/delta.rs:1279-1298`) and return one stats-carrying Add per
+    * file. Shared by the batch writer and the streaming sink; the commit
+    * itself is the caller's. */
+  private[graft] def stageFiles(df: DataFrame, path: String,
+                                partCols: Seq[String]): Seq[AddAction] = {
+    val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val tablePath = new Path(path)
     val fs = tablePath.getFileSystem(conf)
     val staging = new Path(tablePath, s".tmp-write-${UUID.randomUUID()}")
-
     try {
       val writer = if (partCols.nonEmpty) df.write.partitionBy(partCols: _*) else df.write
       writer.mode(SaveMode.Overwrite).parquet(staging.toString)
 
-      // Collect staged part files and move them into the table directory,
-      // keeping the Hive partition layout (`rust/src/delta.rs:1279-1298`).
       val adds = mutable.Buffer[AddAction]()
       val stagingBase = staging.toUri.getPath.stripSuffix("/")
       val it = fs.listFiles(staging, true)
@@ -99,39 +139,7 @@ object GraftWriter {
             stats = Some(FooterStats.statsJson(dst, conf)))
         }
       }
-
-      val now = System.currentTimeMillis()
-      val txn = log.startTransaction()
-      if (!exists) {
-        txn.addAction(ProtocolAction())
-        txn.addAction(MetaDataAction(
-          id = UUID.randomUUID().toString,
-          name = None, description = None,
-          format = Format(),
-          schemaString = DeltaSchema.toJson(df.schema),
-          partitionColumns = partCols,
-          createdTime = Some(now),
-          configuration = Map.empty))
-      }
-      if (exists && mode == SaveMode.Overwrite)
-        snap.files.foreach(f => txn.addAction(RemoveAction(
-          path = f.path, deletionTimestamp = now, dataChange = true,
-          extendedFileMetadata = Some(true),
-          partitionValues = Some(f.partitionValues), size = Some(f.size))))
-      txn.addActions(adds.toSeq)
-
-      val info = ActionCodec.mapper.createObjectNode()
-      info.put("timestamp", now)
-      info.put("operation", "WRITE")
-      val params = info.putObject("operationParameters")
-      params.put("mode", mode.toString)
-      params.put("partitionBy", partCols.mkString(","))
-      val version = txn.commit(Some(CommitInfoAction(info)))
-
-      // Auto-checkpoint cadence — every 10th commit, like the reference's
-      // checkpoint Lambda (`aws/delta-checkpoint/src/main.rs:46`).
-      if (version % 10 == 0 && version != 0) log.checkpoint()
-      version
+      adds.toSeq
     } finally {
       fs.delete(staging, true)
     }

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import graft.delta._
+
+/** Polling micro-batch *source* over a Delta table — the reference's
+  * "stream table update" capability (`update_incremental` polling,
+  * `rust/src/delta.rs:635-638`; README.adoc feature table): tail the
+  * transaction log and emit each new version's added rows as a batch.
+  *
+  * Honors `dataChange = false` (`rust/src/action.rs:166-170`): files added
+  * by compaction/optimize commits carry no new rows and are skipped, so
+  * downstream consumers never double-read rewritten data.
+  *
+  * Driver-side state is one long (the last version seen); each poll reads
+  * only the new commit files, never replays history — O(new commits), like
+  * the reference's incremental update.
+  */
+final class DeltaTailer(log: DeltaLog, startAfterVersion: Long = -1L) {
+
+  @volatile private var lastSeen: Long = startAfterVersion
+
+  def lastSeenVersion: Long = lastSeen
+
+  /** Added files of versions in `(lastSeen, latest]` with dataChange=true. */
+  private def newAdds(upTo: Long): Seq[AddAction] =
+    log.listCommitVersions()
+      .filter(v => v > lastSeen && v <= upTo)
+      .flatMap(v => log.readCommit(v))
+      .collect { case a: AddAction if a.dataChange => a }
+
+  /** Poll once: Some((version, batch)) when the log advanced, None when idle.
+    * The batch contains exactly the rows added since the last poll. */
+  def nextBatch(): Option[(Long, DataFrame)] = synchronized {
+    val snap = log.update()
+    if (snap.version <= lastSeen) None
+    else {
+      val adds = newAdds(snap.version)
+      val schema = snap.schema
+      val df =
+        if (adds.isEmpty)
+          log.spark.createDataFrame(
+            log.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else
+          log.spark.read
+            .option("basePath", log.tablePath.toString)
+            .schema(schema)
+            .parquet(adds.map(a =>
+              new org.apache.hadoop.fs.Path(log.tablePath, a.path).toString): _*)
+      val version = snap.version
+      lastSeen = version
+      Some((version, df))
+    }
+  }
+}
+
+object DeltaTailer {
+  /** Tail from the current end of the log (only future commits). */
+  def fromLatest(log: DeltaLog): DeltaTailer =
+    new DeltaTailer(log, log.update().version)
+
+  /** Tail from the beginning (replays all data as the first batch). */
+  def fromStart(log: DeltaLog): DeltaTailer = new DeltaTailer(log, -1L)
+}

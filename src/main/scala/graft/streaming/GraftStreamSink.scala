@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.DataFrame
+
+import graft.delta._
+
+/** Exactly-once Structured Streaming sink for Delta tables, carried by
+  * `writeStream.foreachBatch`.
+  *
+  * Idempotence is the reference's `txn` action protocol
+  * (`rust/src/action.rs:607-616`, replay rule `rust/src/delta.rs:1437-1442`):
+  * each committed micro-batch records `txn { appId, version = epochId }`;
+  * on replay (failure/restart re-delivers a batch), the sink consults
+  * `snapshot.appTransactionVersion(appId)` and skips epochs already
+  * committed. Commit metadata mirrors `DeltaOperation::StreamingUpdate
+  * { outputMode, queryId, epochId }` (`rust/src/action.rs:792-800`) with the
+  * reference's OutputMode names (`rust/src/action.rs:818-826`).
+  *
+  * Usage:
+  * {{{
+  *   val sink = new GraftStreamSink(tablePath, appId = "my-stream")
+  *   df.writeStream.foreachBatch(sink.writeBatch _).start()
+  * }}}
+  */
+final class GraftStreamSink(
+    tablePath: String,
+    appId: String,
+    partitionBy: Seq[String] = Nil,
+    outputMode: String = "Append",
+    queryId: String = UUID.randomUUID().toString) {
+
+  /** Write one micro-batch transactionally; returns the committed version,
+    * or -1 if the epoch was already committed (idempotent skip). */
+  def writeBatch(batch: DataFrame, epochId: Long): Long = {
+    val spark = batch.sparkSession
+    val log = DeltaLog.forPath(spark, tablePath)
+    val snap = log.update()
+
+    // ST1: exactly-once gate
+    if (snap.appTransactionVersion.get(appId).exists(_ >= epochId)) return -1L
+
+    if (snap.version >= 0) {
+      val tbl = snap.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      val inc = batch.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      if (tbl != inc)
+        throw new SchemaMismatchException(s"schema mismatch: table=$tbl batch=$inc")
+    }
+
+    val adds = GraftWriter.stageFiles(batch, tablePath, partitionBy)
+    val now = System.currentTimeMillis()
+    val txn = log.startTransaction()
+    if (snap.version < 0) {
+      txn.addAction(ProtocolAction())
+      txn.addAction(MetaDataAction(
+        id = UUID.randomUUID().toString, name = None, description = None,
+        format = Format(), schemaString = DeltaSchema.toJson(batch.schema),
+        partitionColumns = partitionBy, createdTime = Some(now),
+        configuration = Map.empty))
+    }
+    txn.addAction(TxnAction(appId, epochId, Some(now)))
+    txn.addActions(adds)
+
+    // ST2: StreamingUpdate commit provenance
+    val info = ActionCodec.mapper.createObjectNode()
+    info.put("timestamp", now)
+    info.put("operation", "STREAMING UPDATE")
+    val params = info.putObject("operationParameters")
+    params.put("outputMode", outputMode)
+    params.put("queryId", queryId)
+    params.put("epochId", epochId)
+    val version = txn.commit(Some(CommitInfoAction(info)))
+    if (version % 10 == 0 && version != 0) log.checkpoint()
+    version
+  }
+}
