@@ -72,12 +72,16 @@ object Dedup {
   }
 
   /** MinHash signature per document: `numHashes` independent min-hashes of
-    * the shingle set (xxhash64 with distinct seeds). One shuffle on the id;
-    * the signature is a fixed 64×8-byte vector regardless of document size —
-    * this is what makes near-dedup feasible at 100 TB. */
+    * the shingle set. The shingle string is hashed ONCE to a long; the hash
+    * family is then derived by re-hashing that 8-byte long with per-function
+    * seeds — ~an order of magnitude cheaper per row than hashing the string
+    * `numHashes` times. One shuffle on the id; the signature is a fixed
+    * 64×8-byte vector regardless of document size — this is what makes
+    * near-dedup feasible at 100 TB. */
   def minhashSignatures(sh: DataFrame, idCol: String, numHashes: Int = 64): DataFrame =
-    sh.groupBy(idCol).agg(
-      array((0 until numHashes).map(j => min(xxhash64(col("shingle"), lit(j)))): _*).as("sig"))
+    sh.withColumn("h0", xxhash64(col("shingle")))
+      .groupBy(idCol).agg(
+        array((0 until numHashes).map(j => min(xxhash64(col("h0"), lit(j)))): _*).as("sig"))
 
   /** LSH banding: signature → (bandIdx, bandHash) rows; docs sharing any
     * band bucket are candidates. bands×rowsPerBand must equal the signature
@@ -108,12 +112,14 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    // exact verify on candidates only
+    // Exact verify on candidates only. The candidate set is small relative
+    // to the corpus (near-dup pairs + band collisions) but still scales with
+    // it, so no hard-coded broadcast — AQE converts these to broadcast joins
+    // at runtime when the side is actually small.
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
     val counts = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
-    candidates
-      .join(a, "id_a")
+    a.join(candidates, "id_a")
       .join(b, Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
       .join(counts.select(col(idCol).as("id_a"), col("n").as("na")), "id_a")
