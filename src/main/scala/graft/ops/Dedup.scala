@@ -128,6 +128,55 @@ object Dedup {
       .select("id_a", "id_b")
   }
 
+  /** Embedding-cosine similar pairs, exact: quantize components to integers
+    * (×1000 → BIGINT) so dot products and squared norms are exact and
+    * order-independent, then compare cos²(a,b) ≥ (num/den)² as pure integer
+    * arithmetic: `dot > 0 ∧ dot²·den² ≥ num²·|a|²·|b|²`.
+    *
+    * This is the all-pairs BASELINE (O(n²) — fine for a bounded slice, and
+    * the recall=1 reference for the LSH variant below, which is the 100 TB
+    * path). */
+  def embeddingSimilarPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                            thresholdNum: Long, thresholdDen: Long): DataFrame = {
+    val q = vectors.select(
+      col(idCol),
+      expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1000) as bigint))").as("e"))
+      .withColumn("nrm", expr("aggregate(e, 0L, (acc, x) -> acc + x * x)"))
+    val a = q.select(col(idCol).as("id_a"), col("e").as("ea"), col("nrm").as("na"))
+    val b = q.select(col(idCol).as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("dot", expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * (thresholdDen * thresholdDen) >=
+          col("na") * col("nb") * (thresholdNum * thresholdNum))
+      .select("id_a", "id_b")
+  }
+
+  /** Embedding-cosine similar pairs, LSH-bucketed (the scale path): vectors
+    * sharing a random-hyperplane sign bucket are candidates; exact integer
+    * cosine verification runs within buckets only. Same contract as
+    * [[embeddingSimilarPairs]] with recall < 1 for low-similarity pairs —
+    * the standard LSH trade: collision probability per plane is
+    * 1 − θ/π, so only high-cosine pairs are reliably caught. */
+  def embeddingSimilarPairsLsh(vectors: DataFrame, idCol: String, vecCol: String,
+                               thresholdNum: Long, thresholdDen: Long,
+                               nPlanes: Int = 8, seed: Int = 42): DataFrame = {
+    val bucketed = Similarity.lshBuckets(vectors, idCol, vecCol, nPlanes, seed)
+      .select(col(idCol), col(vecCol), col("bucket"))
+    val q = bucketed.select(
+      col(idCol), col("bucket"),
+      expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1000) as bigint))").as("e"))
+      .withColumn("nrm", expr("aggregate(e, 0L, (acc, x) -> acc + x * x)"))
+    val a = q.select(col("bucket"), col(idCol).as("id_a"), col("e").as("ea"), col("nrm").as("na"))
+    val b = q.select(col("bucket"), col(idCol).as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
+    a.join(b, "bucket").filter(col("id_a") < col("id_b"))
+      .withColumn("dot", expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * (thresholdDen * thresholdDen) >=
+          col("na") * col("nb") * (thresholdNum * thresholdNum))
+      .select("id_a", "id_b").distinct()
+  }
+
   /** 64-bit SimHash per document from its distinct 3-gram-shingle set: bit i
     * is the sign of Σ_shingles (±1 by bit i of xxhash64(shingle)). Shingle
     * features (not unigrams) keep the hash discriminative when documents

@@ -123,6 +123,17 @@ object PipelineQueries {
       TextAnalysis.fingerprint(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")
     },
+
+    // embedding-cosine similar pairs (exact integer cosine threshold) on a
+    // bounded slice — the brute-force baseline; the LSH-bucketed scale
+    // variant is exercised in ScalaTest (recall < 1 at this data's low
+    // max-cosine makes a rows-only gate entry flaky).
+    "q35_embed_similar" -> { (s, dir) =>
+      Dedup.embeddingSimilarPairs(
+        t(s, dir, "embeddings").filter(col("vec_id") < 1000), "vec_id", "embedding",
+        thresholdNum = 45, thresholdDen = 100)
+        .orderBy("id_a", "id_b")
+    },
   )
 
   private val jaccardOracle =
@@ -177,5 +188,18 @@ object PipelineQueries {
       s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
          |count(*) AS n, ${DSUM.format("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q35_embed_similar" ->
+      """WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+        |  FROM embeddings WHERE vec_id < 1000),
+        |n AS (SELECT vec_id, e, CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS nrm FROM v),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        CAST(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) AS BIGINT) AS dot,
+        |        a.nrm AS na, b.nrm AS nb
+        |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b FROM p
+        |WHERE dot > 0 AND dot * dot * 10000 >= na * nb * 2025
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

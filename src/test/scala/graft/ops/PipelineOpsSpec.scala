@@ -76,6 +76,39 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
   }
 }
 
+class EmbeddingDedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.2f)),
+    (1L, Array(0.99f, 0.01f, 0.2f)), // near-dup of 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, -0.2f)), // antipodal of 0 (dot < 0 → excluded)
+    (4L, Array(1.0f, 0.0f, 0.2f))) // exact dup of 0
+    .toDF("vec_id", "embedding")
+
+  test("embeddingSimilarPairs finds exactly the high-cosine pairs") {
+    val pairs = Dedup.embeddingSimilarPairs(vecs, "vec_id", "embedding", 95, 100)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (0L, 4L), (1L, 4L)))
+  }
+
+  test("antipodal vectors are never similar (dot <= 0 guard)") {
+    val pairs = Dedup.embeddingSimilarPairs(vecs, "vec_id", "embedding", 1, 100)
+      .as[(Long, Long)].collect().toSet
+    assert(!pairs.exists(p => p == ((0L, 3L)) || p == ((3L, 4L))))
+  }
+
+  test("LSH-bucketed variant finds exact dups and stays a subset of brute force") {
+    val brute = Dedup.embeddingSimilarPairs(vecs, "vec_id", "embedding", 95, 100)
+      .as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingSimilarPairsLsh(vecs, "vec_id", "embedding", 95, 100)
+      .as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute))
+    assert(lsh.contains((0L, 4L))) // identical vectors always share every bucket
+  }
+}
+
 class SimilaritySpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
