@@ -28,31 +28,47 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
   def fileUris(fs: Seq[AddAction] = snapshot.files): Seq[String] =
     fs.map(a => new Path(log.tablePath, a.path).toString)
 
-  /** Scan the table. `basePath` keeps Hive-layout partition columns visible;
-    * the explicit log schema (not parquet inference) types them, so the plan
-    * is a plain `FileSourceScanExec` with column pruning + parquet row-group
-    * skipping for free. */
+  /** Scan the table through a [[GraftFileIndex]]: the snapshot's file
+    * inventory is exposed to Catalyst, so partition filters and simple data
+    * predicates written as plain `df.filter(...)` prune files at plan time
+    * (no pre-filtered path lists), with column pruning + parquet row-group
+    * skipping below for free. */
   def toDF: DataFrame = toDF(Nil, Nil)
 
   def toDF(partitionFilters: Seq[PartitionFilter]): DataFrame =
     toDF(partitionFilters, Nil)
 
-  /** Scan with file-level pruning done before Spark ever lists a file:
-    * partition filters against `Add.partitionValues`
-    * (`rust/src/delta.rs:733-766`) and data predicates against per-file
-    * min/max stats (`rust/src/delta_datafusion.rs:60-97`). */
+  /** Scan with additional explicit pre-pruning (the reference's API shape:
+    * partition filters against `Add.partitionValues`,
+    * `rust/src/delta.rs:733-766`; data predicates against per-file stats,
+    * `rust/src/delta_datafusion.rs:60-97`). Catalyst-pushed filters prune
+    * further inside [[GraftFileIndex.listFiles]]. */
   def toDF(partitionFilters: Seq[PartitionFilter],
            dataPredicates: Seq[StatsPredicate]): DataFrame = {
     val afterPartition = PartitionFilter.prune(snapshot.files, partitionFilters)
     val selected = StatsPredicate.prune(afterPartition, dataPredicates)
-    if (selected.isEmpty) {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else {
-      spark.read
-        .option("basePath", log.tablePath.toString)
-        .schema(schema)
-        .parquet(fileUris(selected): _*)
-    }
+    scanWithIndex(new GraftFileIndex(spark, log, snapshot, Some(selected)))
+  }
+
+  /** The live index of the most recent scan (observability/tests). */
+  @volatile private var lastIndexVar: Option[GraftFileIndex] = None
+  def lastFileIndex: Option[GraftFileIndex] = lastIndexVar
+
+  private def scanWithIndex(index: GraftFileIndex): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    lastIndexVar = Some(index)
+    val relation = HadoopFsRelation(
+      location = index,
+      partitionSchema = index.partitionSchema,
+      dataSchema = index.dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = Map.empty)(spark)
+    // HadoopFsRelation appends partition columns after data columns;
+    // project back to the table's declared column order.
+    spark.baseRelationToDataFrame(relation)
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
   }
 
   /** Table-level statistics merged from per-file stats (D4). */

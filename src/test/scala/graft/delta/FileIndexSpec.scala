@@ -1,0 +1,92 @@
+package graft.delta
+
+import graft.SparkTestBase
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+class FileIndexSpec extends AnyFunSuite with SparkTestBase {
+  import LogFixtures.tempTable
+  import spark.implicits._
+
+  private def listedCount(dt: DeltaTable): Int =
+    dt.lastFileIndex.map(_.lastListedFileCount)
+      .getOrElse(fail("no file index recorded"))
+
+  test("plain .filter on a partition column prunes files inside Catalyst") {
+    val dir = tempTable("fi-part").toString
+    GraftWriter.write(
+      (0 until 90).map(i => (i.toLong, i % 3)).toDF("id", "bucket"),
+      dir, SaveMode.ErrorIfExists, Seq("bucket"))
+    val dt = DeltaTable.forPath(spark, dir)
+    val total = dt.files.size
+
+    assert(dt.toDF.count() == 90)
+    assert(listedCount(dt) == total) // unfiltered scan lists everything
+
+    val one = dt.toDF.filter(col("bucket") === 1)
+    assert(one.count() == 30)
+    assert(listedCount(dt) < total) // Catalyst-pushed partition filter pruned
+    assert(one.select("bucket").distinct().as[Int].collect().toSeq == Seq(1))
+
+    // IN-list partition pruning
+    val two = dt.toDF.filter(col("bucket").isin(0, 2))
+    assert(two.count() == 60)
+  }
+
+  test("plain .filter on a data column skips files via Add.stats") {
+    val dir = tempTable("fi-stats").toString
+    GraftWriter.write((0 until 50).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+      .repartition(1), dir)
+    GraftWriter.write((1000 until 1050).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+      .repartition(1), dir, SaveMode.Append)
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.files.size == 2)
+
+    val hi = dt.toDF.filter(col("id") >= 1000L)
+    assert(hi.count() == 50)
+    assert(listedCount(dt) == 1) // second file's [min,max] excludes the range
+
+    val none = dt.toDF.filter(col("id") > 999999L)
+    assert(none.count() == 0)
+    assert(listedCount(dt) == 0) // provably-empty scan lists nothing
+
+    val all = dt.toDF.filter(col("id") >= 0L)
+    assert(all.count() == 100)
+    assert(listedCount(dt) == 2)
+  }
+
+  test("explicit pre-pruning composes with Catalyst-pushed filters") {
+    val dir = tempTable("fi-compose").toString
+    GraftWriter.write(
+      (0 until 120).map(i => (i.toLong, i % 4)).toDF("id", "p").repartition(1),
+      dir, SaveMode.ErrorIfExists, Seq("p"))
+    val dt = DeltaTable.forPath(spark, dir)
+    // pre-prune to p ∈ {1, 2} via the reference-style API, then Catalyst
+    // narrows to p = 2 from the pushed filter
+    val df = dt.toDF(Seq(PartitionFilter.In("p", Set("1", "2"))))
+      .filter(col("p") === 2)
+    assert(df.count() == 30)
+    assert(listedCount(dt) == 1)
+  }
+
+  test("schema column order and types survive the FileIndex scan") {
+    val dir = tempTable("fi-order").toString
+    GraftWriter.write(
+      (0 until 10).map(i => (i.toLong, s"s$i", i)).toDF("a", "b", "part"),
+      dir, SaveMode.ErrorIfExists, Seq("part"))
+    val dt = DeltaTable.forPath(spark, dir)
+    val df = dt.toDF
+    assert(df.schema.fieldNames.toSeq == Seq("a", "b", "part"))
+    assert(df.schema("part").dataType == org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("empty prune result yields an empty, correctly-typed DataFrame") {
+    val dir = tempTable("fi-empty").toString
+    GraftWriter.write(Seq((1L, "x")).toDF("id", "v"), dir)
+    val dt = DeltaTable.forPath(spark, dir)
+    val df = dt.toDF(Nil, Seq(StatsPredicate.Gt("id", 999L)))
+    assert(df.count() == 0)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+}
