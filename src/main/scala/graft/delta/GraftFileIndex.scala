@@ -44,6 +44,10 @@ final class GraftFileIndex(
 
   private val baseFiles: Seq[AddAction] = preSelected.getOrElse(snapshot.files)
 
+  /** Files this scan covers — the stats substrate for plan-time rewrites
+    * (see [[StatsOnlyAggregates]]). */
+  def statsFiles: Seq[AddAction] = baseFiles
+
   override def rootPaths: Seq[Path] = Seq(log.tablePath)
 
   override def refresh(): Unit = ()

@@ -31,11 +31,26 @@ final case class Snapshot(
   def partitionColumns: Seq[String] = metadata.map(_.partitionColumns).getOrElse(Nil)
 
   /** Aggregate per-file stats into table-level statistics — the reference's
-    * `statistics()` fold (`rust/src/delta_datafusion.rs:117-209`): row count,
-    * byte size, and per-column min/max/nullCount. Column values stay raw
-    * JSON nodes (numbers/strings — the same skip-on-doubt discipline as
-    * [[StatsPredicate]]); a column's min/max is None when any file lacks it. */
-  lazy val statistics: TableStatistics = {
+    * `statistics()` fold (`rust/src/delta_datafusion.rs:117-209`). */
+  lazy val statistics: TableStatistics = TableStatistics.of(files)
+}
+
+final case class TableStatistics(
+    numFiles: Long,
+    sizeInBytes: Long,
+    numRecords: Option[Long],
+    minValues: Map[String, JsonNode] = Map.empty,
+    maxValues: Map[String, JsonNode] = Map.empty,
+    nullCounts: Map[String, Long] = Map.empty)
+
+object TableStatistics {
+
+  /** Merge per-file stats over any file set: row count, byte size, and
+    * per-column min/max/nullCount. Column values stay raw JSON nodes
+    * (numbers/strings — the same skip-on-doubt discipline as
+    * [[StatsPredicate]]); a column's min/max is None when any file lacks it
+    * or types are incomparable. */
+  def of(files: Seq[AddAction]): TableStatistics = {
     val parsed = files.flatMap(_.stats.flatMap(ActionCodec.statsFromJson))
     val complete = parsed.size == files.size
     val numRecords = if (complete) Some(parsed.map(_.numRecords).sum) else None
@@ -82,14 +97,6 @@ final case class Snapshot(
       nullCounts = nulls)
   }
 }
-
-final case class TableStatistics(
-    numFiles: Long,
-    sizeInBytes: Long,
-    numRecords: Option[Long],
-    minValues: Map[String, JsonNode] = Map.empty,
-    maxValues: Map[String, JsonNode] = Map.empty,
-    nullCounts: Map[String, Long] = Map.empty)
 
 object Snapshot {
 
