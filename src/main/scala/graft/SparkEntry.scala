@@ -16,12 +16,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++ graft.queries.DeltaQueries.queries ++
-      graft.queries.PipelineQueries.queries
+    graft.queries.Relational.queries ++ graft.queries.Relational.queries2 ++
+      graft.queries.DeltaQueries.queries ++ graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracleSql ++ graft.queries.DeltaQueries.oracleSql ++
-      graft.queries.PipelineQueries.oracleSql
+    graft.queries.Relational.oracleSql ++ graft.queries.Relational.oracleSql2 ++
+      graft.queries.DeltaQueries.oracleSql ++ graft.queries.PipelineQueries.oracleSql
 }

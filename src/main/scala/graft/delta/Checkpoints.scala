@@ -184,8 +184,13 @@ object Checkpoints {
 
   /** Snapshot → checkpoint action list, reference order
     * (`rust/src/checkpoints.rs:104-150`): protocol, metaData, txns, removes,
-    * adds. Returns the number of actions written. */
-  def write(log: DeltaLog, snap: Snapshot): Long = {
+    * adds. Writes one file, or — above `maxActionsPerPart` — a multi-part
+    * checkpoint (`%020d.checkpoint.%010d.%010d.parquet`, the naming
+    * `find_latest_check_point_for_version` matches,
+    * `rust/src/delta.rs:412-436`), so checkpoints of 10⁶-file tables never
+    * funnel through one writer task. Returns (actions written, parts). */
+  def write(log: DeltaLog, snap: Snapshot,
+            maxActionsPerPart: Int = 500000): (Long, Option[Int]) = {
     val md = snap.metadata.getOrElse(
       throw new IllegalStateException("cannot checkpoint a table without metaData"))
     val info = schemaInfo(snap)
@@ -196,19 +201,28 @@ object Checkpoints {
       snap.files
     val rows = acts.map(actionRow(_, info))
     val schema = checkpointSchema(info)
+    val nParts = math.max(1, math.ceil(acts.size.toDouble / maxActionsPerPart).toInt)
 
     val tmpDir = new Path(log.logPath, s".tmp-checkpoint-${UUID.randomUUID()}")
     log.spark.createDataFrame(rows.asJava, schema)
-      .coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+      .repartition(nParts).write.mode("overwrite").parquet(tmpDir.toString)
     val fs = tmpDir.getFileSystem(log.spark.sessionState.newHadoopConf())
-    val part = fs.listStatus(tmpDir).map(_.getPath)
-      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(s"no checkpoint part file in $tmpDir"))
-    val dst = log.checkpointFile(snap.version)
-    if (fs.exists(dst)) fs.delete(dst, false)
-    log.store.renameNoReplace(part, dst)
+    val parts = fs.listStatus(tmpDir).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    if (parts.length != nParts)
+      throw new IllegalStateException(
+        s"expected $nParts checkpoint part files in $tmpDir, found ${parts.length}")
+    val dsts =
+      if (nParts == 1) Seq(log.checkpointFile(snap.version))
+      else (1 to nParts).map(i => new Path(log.logPath,
+        f"${snap.version}%020d.checkpoint.$i%010d.$nParts%010d.parquet"))
+    parts.zip(dsts).foreach { case (src, dst) =>
+      if (fs.exists(dst)) fs.delete(dst, false)
+      log.store.renameNoReplace(src, dst)
+    }
     fs.delete(tmpDir, true)
-    acts.size.toLong
+    (acts.size.toLong, if (nParts == 1) None else Some(nParts))
   }
 
   // ------------------------------------------------------------ decode

@@ -125,10 +125,16 @@ final class DeltaLog private (
   def update(): Snapshot = synchronized {
     var snap = cached
     if (snap.version < 0) {
-      lastCheckpoint().foreach { cp =>
-        snap = Snapshot.replay(
-          Snapshot(), Checkpoints.read(spark, checkpointPaths(cp)).iterator, cp.version)
-      }
+      // `_last_checkpoint` is advisory: if its files are missing/incomplete
+      // (e.g. a torn multipart write), fall back to discovery, then to pure
+      // JSON replay — a stale pointer must never brick the table.
+      lastCheckpoint()
+        .filter(cp => checkpointPaths(cp).forall(store.exists))
+        .orElse(findLatestCheckpointForVersion(Long.MaxValue))
+        .foreach { cp =>
+          snap = Snapshot.replay(
+            Snapshot(), Checkpoints.read(spark, checkpointPaths(cp)).iterator, cp.version)
+        }
     }
     val versions = listCommitVersions().filter(_ > snap.version)
     versions.foreach { v =>
@@ -195,13 +201,17 @@ final class DeltaLog private (
     * (`rust/src/checkpoints.rs:104-248`). */
   def checkpoint(): CheckPoint = checkpoint(update())
 
-  def checkpoint(snap: Snapshot): CheckPoint = {
-    val size = Checkpoints.write(this, snap)
-    val cp = CheckPoint(snap.version, size)
+  def checkpoint(snap: Snapshot): CheckPoint =
+    checkpoint(snap, maxActionsPerPart = 500000)
+
+  def checkpoint(snap: Snapshot, maxActionsPerPart: Int): CheckPoint = {
+    val (size, parts) = Checkpoints.write(this, snap, maxActionsPerPart)
+    val cp = CheckPoint(snap.version, size, parts)
     val json = {
       val o = ActionCodec.mapper.createObjectNode()
       o.put("version", cp.version)
       o.put("size", cp.size)
+      cp.parts.foreach(o.put("parts", _))
       ActionCodec.mapper.writeValueAsString(o)
     }
     store.write(new Path(logPath, "_last_checkpoint"), json)

@@ -225,6 +225,56 @@ object Relational {
     },
   )
 
+  /** Added in round 2: rollup/cube and union-all coverage (still the
+    * delegated-engine surface — Catalyst supplies the plans). */
+  val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ROLLUP: hierarchical subtotals; NULL group rows ordered explicitly
+    // (Spark sorts NULLS FIRST asc by default, DuckDB NULLS LAST — the
+    // oracle pins NULLS FIRST).
+    "q36_rollup" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), lsum($"l_quantity").as("qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+
+    // CUBE over two dims.
+    "q37_cube" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    },
+
+    // UNION ALL with a provenance tag.
+    "q38_unionall" -> { (s, dir) =>
+      import s.implicits._
+      val hi = t(s, dir, "orders").filter($"o_totalprice" > 400000)
+        .select($"o_orderkey", lit("hi").as("band"))
+      val lo = t(s, dir, "orders").filter($"o_totalprice" < 1000)
+        .select($"o_orderkey", lit("lo").as("band"))
+      hi.unionAll(lo).orderBy($"o_orderkey", $"band")
+    },
+  )
+
+  val oracleSql2: Map[String, String] = Map(
+    "q36_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n, ${DSUM.format("l_quantity")} AS qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q37_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q38_unionall" ->
+      """SELECT o_orderkey, 'hi' AS band FROM orders WHERE o_totalprice > 400000
+        |UNION ALL
+        |SELECT o_orderkey, 'lo' AS band FROM orders WHERE o_totalprice < 1000
+        |ORDER BY o_orderkey, band""".stripMargin,
+  )
+
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -85,6 +85,46 @@ class CheckpointSpec extends AnyFunSuite with SparkTestBase {
     assert(dt.toDF(Seq(PartitionFilter.Eq("p", "2"))).count() == 10)
   }
 
+  test("multi-part checkpoint write + restore (delta.rs:412-436 naming)") {
+    val dir = tempTable("cp-multipart").toString
+    import spark.implicits._
+    GraftWriter.write((0 until 40).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(4), dir)
+    val log = DeltaLog.forPath(spark, dir)
+    val before = log.update()
+    assert(before.files.size >= 4)
+    // force multipart: ≤3 actions per part
+    val cp = log.checkpoint(before, maxActionsPerPart = 3)
+    assert(cp.parts.exists(_ >= 2), s"expected multipart, got $cp")
+    assert(log.lastCheckpoint().flatMap(_.parts) == cp.parts)
+    assert(log.checkpointPaths(cp).forall(log.store.exists))
+    assert(log.findLatestCheckpointForVersion(before.version)
+      .flatMap(_.parts) == cp.parts)
+
+    val snap2 = DeltaLog.forPath(spark, dir).update()
+    assert(snap2.version == before.version)
+    assert(snap2.files.map(_.path).toSet == before.files.map(_.path).toSet)
+    assert(snap2.metadata.map(_.id) == before.metadata.map(_.id))
+  }
+
+  test("incomplete multipart set is not selected by checkpoint discovery") {
+    val dir = tempTable("cp-incomplete").toString
+    import spark.implicits._
+    GraftWriter.write((0 until 20).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(4), dir)
+    val log = DeltaLog.forPath(spark, dir)
+    val cp = log.checkpoint(log.update(), maxActionsPerPart = 3)
+    // drop one part: the set is no longer complete
+    log.store.delete(log.checkpointPaths(cp).head)
+    assert(DeltaLog.forPath(spark, dir)
+      .findLatestCheckpointForVersion(Long.MaxValue).isEmpty)
+    // snapshotForVersion falls back to pure JSON replay and still works
+    assert(DeltaLog.forPath(spark, dir).snapshotForVersion(0).files.nonEmpty)
+    // and a cold update() survives the stale _last_checkpoint pointer
+    val fresh = DeltaLog.forPath(spark, dir).update()
+    assert(fresh.version == 0 && fresh.files.nonEmpty)
+  }
+
   test("checkpoint of hand-written log with txns round-trips app versions") {
     val dir = tempTable("cp-txn")
     writeCommit(dir, 0, Seq(protocol, metaData, add("f0.parquet"),
