@@ -1,0 +1,155 @@
+package graft.delta
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed log replay — the spill path for tables whose file count
+  * outgrows driver memory (SURVEY §7 risk: the reference's `Vec<Add>` state,
+  * like our default [[Snapshot]], is O(#files) on one machine).
+  *
+  * The commit log is itself data: every commit JSON (plus the newest
+  * checkpoint parquet) is read as a DataFrame with its version, and
+  * last-writer-wins resolution per path runs as a `max_by` aggregation on
+  * executors. File pruning (partition + stats predicates) is applied as
+  * DataFrame filters BEFORE anything is collected, so the driver only ever
+  * holds the pruned survivors of a query — at 1M files and a selective
+  * partition filter that is thousands of rows, not the inventory.
+  *
+  * Assumption (documented): within one commit version a path appears at most
+  * once as add or remove (true of every writer here and of the reference's;
+  * a same-version add+remove pair resolves remove-wins deterministically).
+  */
+object DistributedReplay {
+
+  private val addSchema = StructType(Seq(
+    StructField("path", StringType),
+    StructField("partitionValues", MapType(StringType, StringType)),
+    StructField("size", LongType),
+    StructField("modificationTime", LongType),
+    StructField("dataChange", BooleanType),
+    StructField("stats", StringType)))
+
+  private val lineSchema = StructType(Seq(
+    StructField("add", addSchema),
+    StructField("remove", StructType(Seq(
+      StructField("path", StringType),
+      StructField("deletionTimestamp", LongType),
+      StructField("dataChange", BooleanType))))))
+
+  /** Active files at the latest version as a DataFrame with columns
+    * (path, partitionValues, size, modificationTime, dataChange, stats). */
+  def activeFiles(log: DeltaLog): DataFrame = {
+    val spark = log.spark
+    val versions = log.listCommitVersions()
+    val cp = log.lastCheckpoint()
+      .filter(c => log.checkpointPaths(c).forall(log.store.exists))
+      .orElse(log.findLatestCheckpointForVersion(Long.MaxValue))
+
+    // commits newer than the checkpoint, each tagged with its version
+    val tail = versions.filter(v => cp.forall(_.version < v))
+    val commitDf: Option[DataFrame] = if (tail.isEmpty) None else Some {
+      spark.read.schema(lineSchema)
+        .json(tail.map(v => log.commitFile(v).toString): _*)
+        .withColumn("version",
+          regexp_extract(input_file_name(), "(\\d{20})\\.json", 1).cast("long"))
+        .select(
+          col("version"),
+          coalesce(col("add.path"), col("remove.path")).as("path"),
+          col("add.partitionValues").as("partitionValues"),
+          col("add.size").as("size"),
+          col("add.modificationTime").as("modificationTime"),
+          col("add.dataChange").as("dataChange"),
+          col("add.stats").as("stats"),
+          col("add.path").isNotNull.as("isAdd"))
+        .filter(col("path").isNotNull)
+    }
+
+    val cpDf: Option[DataFrame] = cp.map { c =>
+      spark.read.parquet(log.checkpointPaths(c).map(_.toString): _*)
+        .filter(col("add").isNotNull)
+        .select(
+          lit(c.version).as("version"),
+          col("add.path").as("path"),
+          col("add.partitionValues").as("partitionValues"),
+          col("add.size").as("size"),
+          col("add.modificationTime").as("modificationTime"),
+          col("add.dataChange").as("dataChange"),
+          col("add.stats").as("stats"),
+          lit(true).as("isAdd"))
+    }
+
+    val all = (cpDf.toSeq ++ commitDf.toSeq) match {
+      case Nil => return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(addSchema.fields))
+      case dfs => dfs.reduce(_ unionByName _)
+    }
+
+    // last-writer-wins per path: order by (version, remove-beats-add on tie)
+    all
+      .withColumn("ord", struct(col("version"), when(col("isAdd"), 0).otherwise(1)))
+      .groupBy("path")
+      .agg(max_by(
+        struct(col("isAdd"), col("partitionValues"), col("size"),
+          col("modificationTime"), col("dataChange"), col("stats")),
+        col("ord")).as("last"))
+      .filter(col("last.isAdd"))
+      .select(col("path"), col("last.partitionValues").as("partitionValues"),
+        col("last.size").as("size"),
+        col("last.modificationTime").as("modificationTime"),
+        col("last.dataChange").as("dataChange"), col("last.stats").as("stats"))
+  }
+
+  private def partitionPredicate(f: PartitionFilter): Column = f match {
+    case PartitionFilter.Eq(k, v) => col("partitionValues").getItem(k) === v
+    case PartitionFilter.Ne(k, v) => col("partitionValues").getItem(k) =!= v
+    case PartitionFilter.In(k, vs) => col("partitionValues").getItem(k).isin(vs.toSeq: _*)
+    case PartitionFilter.NotIn(k, vs) =>
+      col("partitionValues").getItem(k).isNotNull &&
+        !col("partitionValues").getItem(k).isin(vs.toSeq: _*)
+  }
+
+  /** Numeric stats predicate → skip-on-doubt Column over the stats JSON
+    * (missing/unparsable stats keep the file, same as [[StatsPredicate]]). */
+  private def statsPredicate(p: StatsPredicate): Option[Column] = {
+    def j(field: String, c: String): Column =
+      get_json_object(col("stats"), s"$$.$field['$c']").cast("double")
+    def num(v: Any): Option[Double] = v match {
+      case d: Double => Some(d); case l: Long => Some(l.toDouble)
+      case i: Int => Some(i.toDouble); case _ => None
+    }
+    p match {
+      case StatsPredicate.Gt(c, v) => num(v).map(d => coalesce(j("maxValues", c) > d, lit(true)))
+      case StatsPredicate.Ge(c, v) => num(v).map(d => coalesce(j("maxValues", c) >= d, lit(true)))
+      case StatsPredicate.Lt(c, v) => num(v).map(d => coalesce(j("minValues", c) < d, lit(true)))
+      case StatsPredicate.Le(c, v) => num(v).map(d => coalesce(j("minValues", c) <= d, lit(true)))
+      case StatsPredicate.EqTo(c, v) => num(v).map(d =>
+        coalesce(j("minValues", c) <= d, lit(true)) && coalesce(j("maxValues", c) >= d, lit(true)))
+      case StatsPredicate.NotNull(_) => None // needs numRecords comparison; keep file
+    }
+  }
+
+  /** Replay + prune distributedly, collect only the surviving AddActions.
+    * This is what a 10⁶-file table calls instead of materializing
+    * `snapshot.files`. */
+  def prunedAddActions(log: DeltaLog,
+                       partitionFilters: Seq[PartitionFilter] = Nil,
+                       statsPredicates: Seq[StatsPredicate] = Nil): Seq[AddAction] = {
+    val filtered = (partitionFilters.map(partitionPredicate) ++
+      statsPredicates.flatMap(statsPredicate))
+      .foldLeft(activeFiles(log))(_ filter _)
+    filtered.collect().toSeq.map { r =>
+      AddAction(
+        path = r.getAs[String]("path"),
+        size = Option(r.getAs[java.lang.Long]("size")).map(_.longValue).getOrElse(0L),
+        partitionValues = Option(r.getAs[scala.collection.Map[String, String]]("partitionValues"))
+          .map(_.toMap).getOrElse(Map.empty),
+        modificationTime = Option(r.getAs[java.lang.Long]("modificationTime"))
+          .map(_.longValue).getOrElse(0L),
+        dataChange = Option(r.getAs[java.lang.Boolean]("dataChange"))
+          .forall(_.booleanValue),
+        stats = Option(r.getAs[String]("stats")))
+    }
+  }
+}
