@@ -143,6 +143,15 @@ object ActionCodec {
 
   // ---------- deserialization ----------
 
+  /** Required-field access with a diagnosable error instead of an NPE
+    * (malformed wire data must name the missing field). */
+  private def reqStr(n: JsonNode, action: String, f: String): String =
+    Option(n.get(f)).filterNot(_.isNull).map(_.asText).getOrElse(
+      throw new IllegalArgumentException(s"malformed $action action: missing field '$f'"))
+  private def reqLong(n: JsonNode, action: String, f: String): Long =
+    Option(n.get(f)).filterNot(_.isNull).map(_.asLong).getOrElse(
+      throw new IllegalArgumentException(s"malformed $action action: missing field '$f'"))
+
   private def optStr(n: JsonNode, f: String): Option[String] =
     Option(n.get(f)).filterNot(_.isNull).map(_.asText)
   private def optLong(n: JsonNode, f: String): Option[Long] =
@@ -162,7 +171,7 @@ object ActionCodec {
     val n = e.getValue
     e.getKey match {
       case "add" => Some(AddAction(
-        path = n.get("path").asText,
+        path = reqStr(n, "add", "path"),
         size = optLong(n, "size").getOrElse(0L),
         partitionValues = optStrMap(n, "partitionValues").getOrElse(Map.empty),
         modificationTime = optLong(n, "modificationTime").getOrElse(0L),
@@ -170,7 +179,7 @@ object ActionCodec {
         stats = optStr(n, "stats"),
         tags = optStrMap(n, "tags")))
       case "remove" => Some(RemoveAction(
-        path = n.get("path").asText,
+        path = reqStr(n, "remove", "path"),
         deletionTimestamp = optLong(n, "deletionTimestamp").getOrElse(0L),
         dataChange = optBool(n, "dataChange").getOrElse(true),
         extendedFileMetadata = optBool(n, "extendedFileMetadata"),
@@ -178,20 +187,20 @@ object ActionCodec {
         size = optLong(n, "size"),
         tags = optStrMap(n, "tags")))
       case "metaData" => Some(MetaDataAction(
-        id = n.get("id").asText,
+        id = reqStr(n, "metaData", "id"),
         name = optStr(n, "name"),
         description = optStr(n, "description"),
         format = Option(n.get("format")).map(f => Format(
           provider = optStr(f, "provider").getOrElse("parquet"),
           options = optStrMap(f, "options").getOrElse(Map.empty))).getOrElse(Format()),
-        schemaString = n.get("schemaString").asText,
+        schemaString = reqStr(n, "metaData", "schemaString"),
         partitionColumns = Option(n.get("partitionColumns"))
           .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil),
         createdTime = optLong(n, "createdTime"),
         configuration = optStrMap(n, "configuration").getOrElse(Map.empty)))
       case "txn" => Some(TxnAction(
-        appId = n.get("appId").asText,
-        version = n.get("version").asLong,
+        appId = reqStr(n, "txn", "appId"),
+        version = reqLong(n, "txn", "version"),
         lastUpdated = optLong(n, "lastUpdated")))
       case "protocol" => Some(ProtocolAction(
         minReaderVersion = n.get("minReaderVersion").asInt,

@@ -86,6 +86,41 @@ object DeltaQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // OPTIMIZE compaction: many small commits → one compacted file; the
+    // compacted table must still read identically (dataChange=false commit).
+    "q39_delta_optimize" -> { (s, dir) =>
+      val t = freshDir("optimize")
+      val d = li(s, dir)
+      (0 until 6).foreach { i =>
+        GraftWriter.write(
+          d.filter(col("l_orderkey") >= i * 100 && col("l_orderkey") < (i + 1) * 100)
+            .repartition(1), t,
+          if (i == 0) SaveMode.ErrorIfExists else SaveMode.Append)
+      }
+      Optimize.compact(s, t)
+      DeltaTable.forPath(s, t).toDF
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // streaming tail (ST5): three committed versions consumed as micro-
+    // batches by the polling source; their union must equal the table.
+    "q40_delta_stream_tail" -> { (s, dir) =>
+      val t = freshDir("streamtail")
+      val d = li(s, dir)
+      val log = graft.delta.DeltaLog.forPath(s, t)
+      val tailer = graft.streaming.DeltaTailer.fromStart(log)
+      (0 until 3).foreach { i =>
+        GraftWriter.write(
+          d.filter(col("l_orderkey") >= i * 200 && col("l_orderkey") < (i + 1) * 200), t,
+          if (i == 0) SaveMode.ErrorIfExists else SaveMode.Append)
+      }
+      Iterator.continually(tailer.nextBatch())
+        .takeWhile(_.isDefined).flatten
+        .map(_._2)
+        .reduce(_ unionByName _)
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // stats-based file skipping (D4): two disjoint-range commits; the
     // predicate-matching read must prune to one file set via Add.stats
     // before Spark lists anything.
@@ -121,6 +156,12 @@ object DeltaQueries {
     "q21_delta_statskip" ->
       s"""SELECT $cols FROM lineitem
          |WHERE l_orderkey >= 800 AND l_orderkey < 1600
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q39_delta_optimize" ->
+      s"""SELECT $cols FROM lineitem WHERE l_orderkey < 600
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q40_delta_stream_tail" ->
+      s"""SELECT $cols FROM lineitem WHERE l_orderkey < 600
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
   )
 }

@@ -101,6 +101,21 @@ class ActionCodecSpec extends AnyFunSuite {
     assert(ActionCodec.statsFromJson("""{"noNumRecords":1}""").isEmpty)
   }
 
+  test("missing required fields raise diagnosable errors, not NPEs") {
+    val e1 = intercept[IllegalArgumentException] {
+      ActionCodec.fromJsonLine("""{"add":{"size":10}}""")
+    }
+    assert(e1.getMessage.contains("add") && e1.getMessage.contains("path"))
+    val e2 = intercept[IllegalArgumentException] {
+      ActionCodec.fromJsonLine("""{"txn":{"appId":"a"}}""")
+    }
+    assert(e2.getMessage.contains("version"))
+    val e3 = intercept[IllegalArgumentException] {
+      ActionCodec.fromJsonLine("""{"metaData":{"id":"x"}}""")
+    }
+    assert(e3.getMessage.contains("schemaString"))
+  }
+
   test("unknown action types are skipped (forward compatibility)") {
     assert(ActionCodec.fromJsonLine("""{"cdc":{"path":"x"}}""").isEmpty)
   }
