@@ -68,6 +68,52 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic k-means-lite coarse quantizer: centroids initialized from
+    * the `k` lowest-id vectors, `iters` Lloyd iterations expressed as
+    * DataFrame ops (assign = broadcast-centroids crossJoin + `min_by` on
+    * (distance, cid); update = positional-explode mean). Returns
+    * (id, cluster) assignments.
+    *
+    * Scale shape per iteration: one broadcast of k·dim doubles + one
+    * shuffle for the centroid update — the corpus is never shuffled for
+    * assignment. Ties break on lowest cid, so results are reproducible. */
+  def kmeansAssign(vectors: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int = 3): DataFrame = {
+    val v = vectors.select(col(idCol),
+      expr(s"transform($vecCol, x -> cast(x as double))").as("dv"))
+    val distExpr =
+      "aggregate(zip_with(dv, centroid, (x, y) -> (x - y) * (x - y)), cast(0 as double), (a, b) -> a + b)"
+
+    var centroids = v.orderBy(col(idCol)).limit(k)
+      .select(row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col(idCol)))
+        .cast("int").as("cid"), col("dv").as("centroid"))
+
+    var assign: DataFrame = null
+    for (_ <- 1 to iters) {
+      assign = v.crossJoin(broadcast(centroids))
+        .withColumn("dist", expr(distExpr))
+        .groupBy(idCol)
+        .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cluster"))
+      centroids = v.join(assign, idCol)
+        .select(col("cluster").as("cid"), posexplode(col("dv")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg("x").as("c"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("cid"), expr("transform(pc, p -> p.c)").as("centroid"))
+    }
+    assign
+  }
+
+  /** IVF without a pre-existing cluster column: quantize with
+    * [[kmeansAssign]], then probe as [[ivfTopK]]. */
+  def ivfTopKAuto(vectors: DataFrame, idCol: String, vecCol: String,
+                  queryId: Long, k: Int, nClusters: Int = 16,
+                  nProbe: Int = 2, kmeansIters: Int = 3): DataFrame = {
+    val assigned = vectors.join(
+      kmeansAssign(vectors, idCol, vecCol, nClusters, kmeansIters), idCol)
+    ivfTopK(assigned, idCol, vecCol, "cluster", queryId, k, nProbe)
+  }
+
   /** Random-hyperplane LSH bucketing: `nPlanes` sign bits from deterministic
     * pseudo-random hyperplanes (hash-derived, seedable, no stored model).
     * Vectors sharing a bucket are ANN candidates — the scale path when no

@@ -133,6 +133,26 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(top.map(_._1).toSeq == Seq(0L, 1L)) // cluster 0 only
   }
 
+  test("kmeans quantizer recovers separated clusters; auto-IVF matches brute force") {
+    import spark.implicits._
+    // two tight, well-separated clusters
+    val pts = (0 until 10).map(i => (i.toLong, Array(1.0f + i * 0.01f, 0.0f, 0.0f))) ++
+      (10 until 20).map(i => (i.toLong, Array(0.0f, 1.0f + (i - 10) * 0.01f, 0.0f)))
+    val df = pts.toDF("vec_id", "embedding")
+    val assign = Similarity.kmeansAssign(df, "vec_id", "embedding", k = 2, iters = 4)
+      .as[(Long, Int)].collect().toMap
+    val c0 = (0L until 10L).map(assign)
+    val c1 = (10L until 20L).map(assign)
+    assert(c0.toSet.size == 1 && c1.toSet.size == 1 && c0.head != c1.head)
+
+    val auto = Similarity.ivfTopKAuto(df, "vec_id", "embedding",
+      queryId = 0, k = 5, nClusters = 2, nProbe = 1)
+      .as[(Long, Long)].collect().map(_._1).toSeq
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding", 0, 5)
+      .as[(Long, Long)].collect().map(_._1).toSeq
+    assert(auto == brute) // probed cluster contains all true neighbors here
+  }
+
   test("LSH buckets are deterministic and collide for near-identical vectors") {
     val b = Similarity.lshBuckets(vecs, "vec_id", "embedding", nPlanes = 8)
       .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
