@@ -86,7 +86,15 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     * (:904-916). Returns the (relative) deleted — or with `dryRun` the
     * would-be deleted — paths, sorted.
     */
-  def vacuum(retentionHours: Double = 168.0, dryRun: Boolean = false): Seq[String] = {
+  def vacuum(retentionHours: Double = 168.0, dryRun: Boolean = false): Seq[String] =
+    vacuum(retentionHours, dryRun, parallelDeleteThreshold = 1000)
+
+  /** As [[vacuum]]; above `parallelDeleteThreshold` candidates the deletes
+    * run as a Spark job (`foreachPartition`) instead of a driver loop — at
+    * 10⁶ expired files a sequential driver delete is hours of FS round
+    * trips. */
+  def vacuum(retentionHours: Double, dryRun: Boolean,
+             parallelDeleteThreshold: Int): Seq[String] = {
     if (retentionHours < 168.0)
       throw new IllegalArgumentException(
         s"invalid vacuum retention period $retentionHours h: minimum is 168 h")
@@ -113,7 +121,22 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
         candidates += rel
     }
     val result = candidates.result().sorted
-    if (!dryRun) result.foreach(rel => fs.delete(new Path(log.tablePath, rel), false))
+    if (!dryRun) {
+      if (result.size > parallelDeleteThreshold) {
+        val baseUri = log.tablePath.toString
+        val serConf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf())
+        spark.sparkContext
+          .parallelize(result, math.max(1, math.min(64, result.size / 100)))
+          .foreachPartition { (it: Iterator[String]) =>
+            val basePath = new Path(baseUri)
+            val pfs = basePath.getFileSystem(serConf.value)
+            it.foreach(rel => pfs.delete(new Path(basePath, rel), false))
+          }
+      } else {
+        result.foreach(rel => fs.delete(new Path(log.tablePath, rel), false))
+      }
+    }
     result
   }
 }

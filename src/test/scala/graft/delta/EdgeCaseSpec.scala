@@ -1,0 +1,99 @@
+package graft.delta
+
+import graft.SparkTestBase
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EdgeCaseSpec extends AnyFunSuite with SparkTestBase {
+  import LogFixtures.tempTable
+  import spark.implicits._
+
+  test("null partition values round-trip as __HIVE_DEFAULT_PARTITION__") {
+    val dir = tempTable("edge-nullpart").toString
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a")), (4L, None))
+      .toDF("id", "p")
+    GraftWriter.write(df, dir, SaveMode.ErrorIfExists, Seq("p"))
+    val dt = DeltaTable.forPath(spark, dir)
+    // the log carries null partition values, not the sentinel string
+    assert(dt.files.exists(_.partitionValues("p") == null))
+    assert(dt.files.exists(_.partitionValues("p") == "a"))
+    val back = dt.toDF
+    assert(back.count() == 4)
+    assert(back.filter(col("p").isNull).select("id").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+    // equality partition filter never matches the null partition (reference semantics)
+    assert(dt.toDF(Seq(PartitionFilter.Eq("p", "a"))).count() == 2)
+    // Catalyst-pushed IS NULL also resolves correctly through the index
+    assert(dt.toDF.filter(col("p").isNull).count() == 2)
+  }
+
+  test("array/map/struct columns round-trip; footer stats skip nested gracefully") {
+    val dir = tempTable("edge-complex").toString
+    val df = Seq(
+      (1L, Seq(1, 2, 3), Map("k" -> 1L), ("x", 10)),
+      (2L, Seq.empty[Int], Map.empty[String, Long], ("y", 20)))
+      .toDF("id", "arr", "m", "st")
+    GraftWriter.write(df, dir)
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.schema("arr").dataType.typeName == "array")
+    assert(dt.schema("m").dataType.typeName == "map")
+    assert(dt.schema("st").dataType.typeName == "struct")
+    val rows = dt.toDF.orderBy("id").collect()
+    assert(rows(0).getAs[scala.collection.Seq[Int]]("arr").toSeq == Seq(1, 2, 3))
+    assert(rows(0).getAs[scala.collection.Map[String, Long]]("m").toMap == Map("k" -> 1L))
+    assert(rows(1).getAs[scala.collection.Seq[Int]]("arr").isEmpty)
+    // stats exist and carry the top-level primitive column
+    val st = dt.statistics
+    assert(st.numRecords.contains(2L))
+    assert(st.minValues.contains("id") && !st.minValues.contains("arr"))
+  }
+
+  test("decimal and date columns round-trip through writer and scan") {
+    val dir = tempTable("edge-decimal").toString
+    val df = Seq(
+      (1L, BigDecimal("12345.67"), java.sql.Date.valueOf("2021-03-04")),
+      (2L, BigDecimal("-0.01"), java.sql.Date.valueOf("1999-12-31")))
+      .toDF("id", "dec", "dt")
+    GraftWriter.write(df, dir)
+    val back = DeltaTable.forPath(spark, dir).toDF.orderBy("id").collect()
+    assert(back(0).getAs[java.math.BigDecimal]("dec").toPlainString.startsWith("12345.67"))
+    assert(back(1).getAs[java.sql.Date]("dt") == java.sql.Date.valueOf("1999-12-31"))
+    // date min/max land in stats as ISO strings → usable for skipping
+    val st = DeltaTable.forPath(spark, dir).statistics
+    assert(st.minValues.get("dt").exists(_.asText == "1999-12-31"))
+    assert(st.maxValues.get("dt").exists(_.asText == "2021-03-04"))
+  }
+
+  test("forPathAsOf end-to-end (timestamp time travel)") {
+    val dir = tempTable("edge-asof").toString
+    GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir)
+    val log = DeltaLog.forPath(spark, dir)
+    val t0 = log.versionTimestamp(0)
+    // second commit strictly later
+    Thread.sleep(5)
+    GraftWriter.write(Seq((2L, "b")).toDF("id", "v"), dir, SaveMode.Append)
+    LogFixtures.setCommitTime(java.nio.file.Paths.get(dir), 1, t0 + 60000)
+    assert(DeltaTable.forPathAsOf(spark, dir, t0).toDF.count() == 1)
+    assert(DeltaTable.forPathAsOf(spark, dir, t0 + 120000).toDF.count() == 2)
+  }
+
+  test("Optimize honors partition filters (compacts only the selected partition)") {
+    val dir = tempTable("edge-optfilter").toString
+    (0 until 3).foreach { i =>
+      GraftWriter.write(
+        (0 until 10).map(j => ((i * 10 + j).toLong, j % 2)).toDF("id", "p").repartition(1),
+        dir, if (i == 0) SaveMode.ErrorIfExists else SaveMode.Append, Seq("p"))
+    }
+    val before = DeltaTable.forPath(spark, dir)
+    val p0Before = before.files.count(_.partitionValues("p") == "0")
+    val p1Before = before.files.count(_.partitionValues("p") == "1")
+    assert(p0Before == 3 && p1Before == 3)
+    val m = Optimize.compact(spark, dir,
+      partitionFilters = Seq(PartitionFilter.Eq("p", "0")))
+    assert(m.filesRemoved == 3)
+    val after = DeltaTable.forPath(spark, dir)
+    assert(after.files.count(_.partitionValues("p") == "1") == 3) // untouched
+    assert(after.files.count(_.partitionValues("p") == "0") < 3)
+    assert(after.toDF.count() == 30)
+  }
+}

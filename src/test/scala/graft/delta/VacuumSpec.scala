@@ -37,6 +37,22 @@ class VacuumSpec extends AnyFunSuite with SparkTestBase {
     assert(Files.exists(dataA))
   }
 
+  test("parallel delete path removes the same files as the driver loop") {
+    val dir = tempTable("vac-parallel")
+    val oldTs = System.currentTimeMillis() - 400L * 3600 * 1000
+    val dead = (0 until 8).map(i => f"dead-$i%02d.parquet")
+    dead.foreach(f => Files.writeString(dir.resolve(f), "x"))
+    Files.writeString(dir.resolve("keep.parquet"), "k")
+    writeCommit(dir, 0, Seq(protocol, metaData, add("keep.parquet")) ++ dead.map(add(_)))
+    writeCommit(dir, 1, dead.map(remove(_, ts = oldTs)))
+    val dt = DeltaTable.forPath(spark, dir.toString)
+    // force the distributed path with threshold 0
+    val deleted = dt.vacuum(retentionHours = 168, dryRun = false, parallelDeleteThreshold = 0)
+    assert(deleted == dead)
+    assert(dead.forall(f => !Files.exists(dir.resolve(f))))
+    assert(Files.exists(dir.resolve("keep.parquet")))
+  }
+
   test("fresh tombstones are retained; hidden files are never candidates (delta.rs:904-916)") {
     val dir = tempTable("vac-keep")
     Files.writeString(dir.resolve("fresh.parquet"), "f")
