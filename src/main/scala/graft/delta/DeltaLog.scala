@@ -108,10 +108,15 @@ final class DeltaLog private (
     * (`rust/src/delta.rs:504-522`): newline-delimited JSON, one wrapped
     * action per line. */
   def readCommit(version: Long): Seq[Action] =
-    store.readLines(commitFile(version))
-      .filter(_.nonEmpty)
-      .flatMap(ActionCodec.fromJsonLine)
-      .toSeq
+    try
+      store.readLines(commitFile(version))
+        .filter(_.nonEmpty)
+        .flatMap(ActionCodec.fromJsonLine)
+        .toSeq
+    catch {
+      case e: Exception => throw new IllegalStateException(
+        s"corrupt commit file ${commitFile(version)}: ${e.getMessage}", e)
+    }
 
   @volatile private var cached: Snapshot = Snapshot()
   private val commitTimestamps = mutable.Map[Long, Long]()

@@ -121,6 +121,20 @@ object DeltaQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // SQL over a Delta table (the reference's delegated-SQL surface,
+    // rust/tests/datafusion_test.rs:12-33: register table → run SQL):
+    // register the snapshot as a temp view and run an aggregation in
+    // spark.sql — Catalyst plans it over the GraftFileIndex scan.
+    "q42_delta_sql" -> { (s, dir) =>
+      val t = freshDir("deltasql")
+      GraftWriter.write(li(s, dir).filter(col("l_orderkey") < 1500), t)
+      DeltaTable.forPath(s, t).toDF.createOrReplaceTempView("graft_delta_sql")
+      s.sql("""SELECT l_returnflag, count(*) AS n,
+              |CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS qty
+              |FROM graft_delta_sql WHERE l_orderkey > 5
+              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
     // stats-based file skipping (D4): two disjoint-range commits; the
     // predicate-matching read must prune to one file set via Add.stats
     // before Spark lists anything.
@@ -163,5 +177,10 @@ object DeltaQueries {
     "q40_delta_stream_tail" ->
       s"""SELECT $cols FROM lineitem WHERE l_orderkey < 600
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q42_delta_sql" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem WHERE l_orderkey < 1500 AND l_orderkey > 5
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

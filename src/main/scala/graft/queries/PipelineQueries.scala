@@ -124,6 +124,12 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // BPE-ish subword token counting (greedy length-4 chunking).
+    "q41_subword" -> { (s, dir) =>
+      TextAnalysis.subwordCount(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // embedding-cosine similar pairs (exact integer cosine threshold) on a
     // bounded slice — the brute-force baseline; the LSH-bucketed scale
     // variant is exercised in ScalaTest (recall < 1 at this data's low
@@ -188,6 +194,12 @@ object PipelineQueries {
       s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
          |count(*) AS n, ${DSUM.format("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q41_subword" ->
+      """SELECT doc_id,
+        |CAST(list_sum(list_transform(string_split(lower(text), ' '),
+        |  x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q35_embed_similar" ->
       """WITH v AS (SELECT vec_id,

@@ -46,6 +46,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(strict == Set((1L, 4L)))
   }
 
+  test("stop-shingle DF cap drops ubiquitous shingles from candidate generation") {
+    // "x y z" appears in every doc → DF 4; with cap 3 it generates no candidates
+    val d = docs(
+      1L -> "x y z a b c",
+      2L -> "x y z d e f",
+      3L -> "x y z g h i",
+      4L -> "x y z j k l")
+    val sh = Dedup.shingles(d, "text", "doc_id")
+    val uncapped = Dedup.jaccardPairs(sh, "doc_id", 1, 100)
+    assert(uncapped.count() > 0) // the shared "x y z" shingle joins everything
+    val capped = Dedup.jaccardPairs(sh, "doc_id", 1, 100, maxShingleDf = Some(3))
+    assert(capped.count() == 0)
+  }
+
   test("minhash LSH pairs match brute-force jaccard on planted dups") {
     val lsh = Dedup.minhashLshPairs(corpus, "text", "doc_id", 1, 2)
       .as[(Long, Long)].collect().toSet

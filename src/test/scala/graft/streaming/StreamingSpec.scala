@@ -68,6 +68,37 @@ class StreamingSinkSpec extends AnyFunSuite with SparkTestBase {
   }
 }
 
+class DeltaPipelineSpec extends AnyFunSuite with SparkTestBase {
+  import graft.delta.LogFixtures.tempTable
+  import spark.implicits._
+
+  test("delta→delta replication: tailer source feeding the exactly-once sink") {
+    val src = tempTable("pipe-src").toString
+    val dst = tempTable("pipe-dst").toString
+    GraftWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), src)
+
+    val tailer = DeltaTailer.fromStart(DeltaLog.forPath(spark, src))
+    val sink = new GraftStreamSink(dst, appId = "replicator")
+
+    def drain(): Unit =
+      Iterator.continually(tailer.nextBatch()).takeWhile(_.isDefined).flatten
+        .foreach { case (version, batch) => sink.writeBatch(batch, version) }
+
+    drain() // replicates v0
+    GraftWriter.write(Seq((3L, "c")).toDF("id", "v"), src, SaveMode.Append)
+    GraftWriter.write(Seq((4L, "d")).toDF("id", "v"), src, SaveMode.Append)
+    drain() // replicates v1+v2 (one batch, epoch = src version 2)
+
+    val out = DeltaTable.forPath(spark, dst).toDF.as[(Long, String)].collect().sorted
+    assert(out.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // replaying the same epochs is a no-op (exactly-once across the pipe)
+    val tailer2 = DeltaTailer.fromStart(DeltaLog.forPath(spark, src))
+    Iterator.continually(tailer2.nextBatch()).takeWhile(_.isDefined).flatten
+      .foreach { case (version, batch) => sink.writeBatch(batch, version) }
+    assert(DeltaTable.forPath(spark, dst).toDF.count() == 4)
+  }
+}
+
 class DeltaTailerSpec extends AnyFunSuite with SparkTestBase {
   import graft.delta.LogFixtures.tempTable
   import spark.implicits._
