@@ -103,7 +103,10 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
                       thresholdNum: Long = 1, thresholdDen: Long = 2,
                       numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val sh = shingles(docs, textCol, idCol).cache()
+    // deliberately NOT cached: shingles are cheap to recompute per consumer,
+    // and pinning an O(corpus) table in executor memory for the lifetime of
+    // the session starves later queries (and is infeasible at 100 TB).
+    val sh = shingles(docs, textCol, idCol)
     val sigs = minhashSignatures(sh, idCol, numHashes)
     val bandRows = lshBands(sigs, idCol, bands, numHashes / bands)
     val x = bandRows.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
@@ -199,7 +202,8 @@ object Dedup {
     * Hamming distance (`bit_count(xor)`). */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 16): DataFrame = {
-    val hashed = simhash(df, textCol, idCol).cache()
+    val hashed = simhash(df, textCol, idCol) // uncached: see minhashLshPairs
+
     val bands = hashed.select(col(idCol), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)"))
