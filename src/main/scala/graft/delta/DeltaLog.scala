@@ -141,13 +141,26 @@ final class DeltaLog private (
             Snapshot(), Checkpoints.read(spark, checkpointPaths(cp)).iterator, cp.version)
         }
     }
-    val versions = listCommitVersions().filter(_ > snap.version)
+    // Contiguous replay only — the reference probes version-by-version and
+    // stops at the first missing commit (`EndOfLog`, rust/src/delta.rs:
+    // 284-291,640-657); a listing-based replay must not leak commits past a
+    // gap. (Commits OLDER than the restored checkpoint may legitimately be
+    // cleaned away; contiguity is enforced from the replay start.)
+    val versions = contiguousFrom(listCommitVersions().filter(_ > snap.version), snap.version)
     versions.foreach { v =>
       snap = Snapshot.replay(snap, readCommit(v).iterator, v)
     }
     cached = snap
     snap
   }
+
+  private def contiguousFrom(versions: Seq[Long], after: Long): Seq[Long] =
+    versions.headOption match {
+      case None => Nil
+      case Some(first) if first != after + 1 => Nil // gap right at the start
+      case Some(first) =>
+        versions.zipWithIndex.takeWhile { case (v, i) => v == first + i }.map(_._1)
+    }
 
   /** Pinned historical snapshot — `load_version`
     * (`rust/src/delta.rs:672-709`): validate the version exists, restore the

@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Rounding helper shared by interpreted and generated code: HALF_UP away
+  * from zero, matching both Spark's `round()` and DuckDB's `round()` so
+  * results stay oracle-exact. */
+object QMath {
+  def qround(v: Double): Long =
+    if (v < 0) -math.floor(-v + 0.5).toLong else math.floor(v + 0.5).toLong
+}
+
+/** Codegen'd quantized dot product of two float/double array columns:
+  * `Σ round(a[i]·scale) · round(b[i]·scale)` as a LONG — exact integer
+  * arithmetic, order-independent, engine-stable.
+  *
+  * This is the (b)-tier custom-operator case from the build rules: the
+  * built-in formulation `aggregate(zip_with(a, b, (x,y) -> …), 0L, +)`
+  * allocates an intermediate array per row and walks higher-order-function
+  * lambdas per element; this expression is a single fused loop over the two
+  * `ArrayData` buffers with no allocation, inside whole-stage codegen. On
+  * the brute-force ANN kernel (500k pairs × 64 dims) that is the hot path.
+  *
+  * Null semantics: null array → null (BinaryExpression); null element →
+  * null result (same as the zip_with formulation). Lengths may differ; the
+  * common prefix is used.
+  */
+case class QuantizedDotProduct(left: Expression, right: Expression, scale: Int)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType | LongType | IntegerType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (elemType(left).isDefined && elemType(right).isDefined)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_q needs two array<float|double|long|int> columns, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  private def getElem(a: ArrayData, t: DataType, i: Int): Double = t match {
+    case FloatType  => a.getFloat(i).toDouble
+    case DoubleType => a.getDouble(i)
+    case LongType   => a.getLong(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case _ => throw new IllegalStateException("unreachable")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (ta, tb) = (elemType(left).get, elemType(right).get)
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += QMath.qround(getElem(a, ta, i) * scale) *
+             QMath.qround(getElem(b, tb, i) * scale)
+      i += 1
+    }
+    acc
+  }
+
+  private def accessor(t: DataType, arr: String, i: String): String = t match {
+    case FloatType   => s"(double)$arr.getFloat($i)"
+    case DoubleType  => s"$arr.getDouble($i)"
+    case LongType    => s"(double)$arr.getLong($i)"
+    case IntegerType => s"(double)$arr.getInt($i)"
+    case _ => throw new IllegalStateException("unreachable")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (ta, tb) = (elemType(left).get, elemType(right).get)
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $acc += graft.functions.QMath.qround(${accessor(ta, a, i)} * $scale)
+         |        * graft.functions.QMath.qround(${accessor(tb, b, i)} * $scale);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantizedDotProduct =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_q"
+}
+
+/** Column-API entry points for the custom expressions. */
+object functions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Exact quantized dot product (see [[QuantizedDotProduct]]). */
+  def dot_q(a: Column, b: Column, scale: Int = 1000): Column =
+    ColumnBridge.column(QuantizedDotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), scale))
+}

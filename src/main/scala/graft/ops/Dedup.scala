@@ -141,14 +141,13 @@ object Dedup {
     * path). */
   def embeddingSimilarPairs(vectors: DataFrame, idCol: String, vecCol: String,
                             thresholdNum: Long, thresholdDen: Long): DataFrame = {
-    val q = vectors.select(
-      col(idCol),
-      expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1000) as bigint))").as("e"))
-      .withColumn("nrm", expr("aggregate(e, 0L, (acc, x) -> acc + x * x)"))
+    import graft.functions.functions.dot_q
+    val q = vectors.select(col(idCol), col(vecCol).as("e"))
+      .withColumn("nrm", dot_q(col("e"), col("e")))
     val a = q.select(col(idCol).as("id_a"), col("e").as("ea"), col("nrm").as("na"))
     val b = q.select(col(idCol).as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("dot", expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("dot", dot_q(col("ea"), col("eb")))
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * (thresholdDen * thresholdDen) >=
           col("na") * col("nb") * (thresholdNum * thresholdNum))
@@ -164,16 +163,14 @@ object Dedup {
   def embeddingSimilarPairsLsh(vectors: DataFrame, idCol: String, vecCol: String,
                                thresholdNum: Long, thresholdDen: Long,
                                nPlanes: Int = 8, seed: Int = 42): DataFrame = {
-    val bucketed = Similarity.lshBuckets(vectors, idCol, vecCol, nPlanes, seed)
-      .select(col(idCol), col(vecCol), col("bucket"))
-    val q = bucketed.select(
-      col(idCol), col("bucket"),
-      expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1000) as bigint))").as("e"))
-      .withColumn("nrm", expr("aggregate(e, 0L, (acc, x) -> acc + x * x)"))
+    import graft.functions.functions.dot_q
+    val q = Similarity.lshBuckets(vectors, idCol, vecCol, nPlanes, seed)
+      .select(col(idCol), col("bucket"), col(vecCol).as("e"))
+      .withColumn("nrm", dot_q(col("e"), col("e")))
     val a = q.select(col("bucket"), col(idCol).as("id_a"), col("e").as("ea"), col("nrm").as("na"))
     val b = q.select(col("bucket"), col(idCol).as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
     a.join(b, "bucket").filter(col("id_a") < col("id_b"))
-      .withColumn("dot", expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("dot", dot_q(col("ea"), col("eb")))
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * (thresholdDen * thresholdDen) >=
           col("na") * col("nb") * (thresholdNum * thresholdNum))

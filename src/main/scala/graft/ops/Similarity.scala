@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Vector-similarity search over an embedding column (`array<float>`).
   *
-  * Spark-first design: the dot-product kernel is a codegen'd
-  * `aggregate(zip_with(...))` expression — no UDFs — and the scale path
-  * avoids all-pairs scans by coarse quantization (IVF probing).
+  * Spark-first design: the dot-product kernel is the custom codegen'd
+  * [[graft.functions.QuantizedDotProduct]] expression — no UDFs — and the
+  * scale path avoids all-pairs scans by coarse quantization (IVF probing).
   *
   * Scores are computed in **quantized fixed-point** (component × 1000 →
   * BIGINT): integer dot products are exact and order-independent, so results
@@ -16,12 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact quantized dot product of two array columns as one SQL expression. */
-  private def dotQ(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b,
-       |  (x, y) -> cast(round(cast(x as double) * 1000) as bigint)
-       |          * cast(round(cast(y as double) * 1000) as bigint)),
-       |  0L, (acc, v) -> acc + v)""".stripMargin
+  /** Exact quantized dot product — the codegen'd custom expression
+    * [[graft.functions.QuantizedDotProduct]] (fused loop, no per-row array
+    * allocation; ~an order of magnitude faster than the
+    * `aggregate(zip_with(...))` formulation on the brute-force kernel). */
+  private def dotQ(a: String, b: String): org.apache.spark.sql.Column =
+    graft.functions.functions.dot_q(col(a), col(b))
 
   /** Brute-force top-k by quantized dot product against one query vector.
     * The query row is broadcast; the scan is a single pass over the corpus
@@ -32,7 +32,7 @@ object Similarity {
     val query = vectors.filter(col(idCol) === queryId)
       .select(col(vecCol).as("query_vec"))
     vectors.crossJoin(broadcast(query))
-      .withColumn("dot_q", expr(dotQ(vecCol, "query_vec")))
+      .withColumn("dot_q", dotQ(vecCol, "query_vec"))
       .select(col(idCol), col("dot_q"))
       .orderBy(col("dot_q").desc, col(idCol))
       .limit(k)
@@ -55,14 +55,14 @@ object Similarity {
 
     val query = vectors.filter(col(idCol) === queryId).select(col(vecCol).as("query_vec"))
     val probed = centroids.crossJoin(broadcast(query))
-      .withColumn("cdot", expr(dotQ("centroid", "query_vec")))
+      .withColumn("cdot", dotQ("centroid", "query_vec"))
       .orderBy(col("cdot").desc, col(clusterCol))
       .limit(nProbe)
       .select(clusterCol)
 
     vectors.join(broadcast(probed), clusterCol)
       .crossJoin(broadcast(query))
-      .withColumn("dot_q", expr(dotQ(vecCol, "query_vec")))
+      .withColumn("dot_q", dotQ(vecCol, "query_vec"))
       .select(col(idCol), col("dot_q"))
       .orderBy(col("dot_q").desc, col(idCol))
       .limit(k)

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ catalyst-Expression bridge. `ExpressionUtils` is `private[sql]`
+  * in Spark 4's Scala signatures, so — as extension libraries conventionally
+  * do — this one-file shim lives inside the `org.apache.spark.sql` package
+  * hierarchy to lift the two conversions our custom expressions need.
+  * Nothing else in this repo uses the Spark-internal namespace. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -128,6 +128,16 @@ class DeltaLogSpec extends AnyFunSuite with SparkTestBase {
     assert(snap.metadata.get.configuration == Map("x" -> "y"))
   }
 
+  test("a gap in the log hides later commits (EndOfLog semantics, delta.rs:284-291)") {
+    val dir = tempTable("gap")
+    writeCommit(dir, 0, Seq(protocol, metaData, add("f0.parquet")))
+    writeCommit(dir, 1, Seq(add("f1.parquet")))
+    writeCommit(dir, 3, Seq(add("f3.parquet"))) // v2 missing
+    val snap = DeltaLog.forPath(spark, dir.toString).update()
+    assert(snap.version == 1)
+    assert(snap.files.map(_.path).toSet == Set("f0.parquet", "f1.parquet"))
+  }
+
   test("re-add of same path replaces in place, no duplicates") {
     val dir = tempTable("readd")
     writeCommit(dir, 0, Seq(protocol, metaData, add("f0.parquet", size = 100)))

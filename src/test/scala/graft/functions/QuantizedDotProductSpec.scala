@@ -1,0 +1,68 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.functions.functions.dot_q
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class QuantizedDotProductSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("matches the aggregate(zip_with) built-in formulation exactly") {
+    val df = Seq(
+      (1L, Array(0.1f, -0.25f, 3.0f), Array(1.0f, 2.0f, -0.5f)),
+      (2L, Array(0.0f, 0.0f), Array(1.0f, 1.0f)),
+      (3L, Array(1.2345f), Array(-1.2345f)))
+      .toDF("id", "a", "b")
+    val ref = df.withColumn("r", expr(
+      """aggregate(zip_with(a, b, (x, y) ->
+        |  cast(round(cast(x as double) * 1000) as bigint)
+        |  * cast(round(cast(y as double) * 1000) as bigint)), 0L, (acc, v) -> acc + v)"""
+        .stripMargin))
+    val got = ref.withColumn("g", dot_q(col("a"), col("b")))
+      .select("id", "r", "g").collect()
+    got.foreach(r => assert(r.getLong(1) == r.getLong(2), s"row $r"))
+  }
+
+  test("interpreted eval agrees with codegen") {
+    val e = QuantizedDotProduct(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(0.5f, -0.5f, 2.25f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0f, 1.0f, 1.0f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      1000)
+    // interpreted: 500*1000 + (-500)*1000 + 2250*1000
+    assert(e.eval(null) == 500L * 1000 - 500L * 1000 + 2250L * 1000)
+  }
+
+  test("rounding is HALF_UP away from zero (matches Spark round and DuckDB round)") {
+    assert(QMath.qround(2.5) == 3L)
+    assert(QMath.qround(-2.5) == -3L)
+    assert(QMath.qround(2.4999) == 2L)
+    assert(QMath.qround(-2.4999) == -2L)
+    assert(QMath.qround(0.0) == 0L)
+  }
+
+  test("null array → null; null element → null; length mismatch → common prefix") {
+    val df = Seq(
+      (1L, Some(Seq(Some(1.0f), Some(2.0f))), Some(Seq(Some(1.0f), Some(1.0f)))),
+      (2L, None, Some(Seq(Some(1.0f)))),
+      (3L, Some(Seq(Some(1.0f), None)), Some(Seq(Some(1.0f), Some(1.0f)))),
+      (4L, Some(Seq(Some(1.0f), Some(2.0f), Some(3.0f))), Some(Seq(Some(2.0f)))))
+      .toDF("id", "a", "b")
+    val out = df.withColumn("d", dot_q(col("a"), col("b")))
+      .select("id", "d").collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(1L) == Some(3000000L))
+    assert(out(2L).isEmpty)
+    assert(out(3L).isEmpty)
+    assert(out(4L) == Some(2000000L)) // prefix: 1000*2000
+  }
+
+  test("works on long/int arrays too (pre-quantized inputs, scale 1)") {
+    val df = Seq((1L, Seq(10L, 20L), Seq(3L, 4L))).toDF("id", "a", "b")
+    val out = df.withColumn("d", dot_q(col("a"), col("b"), scale = 1)).collect()
+    assert(out.head.getAs[Long]("d") == 10 * 3 + 20 * 4)
+  }
+}
