@@ -118,6 +118,21 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // composed pipeline: quality-filter → fingerprint-dedup → per-language
+    // counts — the operators chained as a real corpus-cleaning job, checked
+    // end-to-end by one oracle.
+    "q43_pipeline" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val quality = TextAnalysis.qualityScore(docs, "text", "doc_id")
+        .filter(col("repetition_micro") <= 300000)
+      val candidates = docs.join(quality.select("doc_id"), "doc_id")
+      val kept = Dedup.byFingerprint(candidates, "text", "doc_id")
+        .select("doc_id")
+      docs.join(kept, "doc_id")
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    },
+
     // rolling-hash document fingerprint.
     "q34_fingerprint" -> { (s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents"), "text", "doc_id")
@@ -200,6 +215,18 @@ object PipelineQueries {
         |CAST(list_sum(list_transform(string_split(lower(text), ' '),
         |  x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q43_pipeline" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, text,
+        |    (len(w) - len(list_distinct(w))) * 1000000 // len(w) AS rep
+        |  FROM (SELECT doc_id, lang, text, string_split(lower(text), ' ') AS w FROM documents)
+        |), kept AS (
+        |  SELECT min(doc_id) AS doc_id FROM q WHERE rep <= 300000
+        |  GROUP BY md5(lower(substr(text, 1, 80)))
+        |)
+        |SELECT lang, count(*) AS n_docs FROM q JOIN kept USING (doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q35_embed_similar" ->
       """WITH v AS (SELECT vec_id,
