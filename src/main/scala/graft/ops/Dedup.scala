@@ -180,19 +180,14 @@ object Dedup {
   /** 64-bit SimHash per document from its distinct 3-gram-shingle set: bit i
     * is the sign of Σ_shingles (±1 by bit i of xxhash64(shingle)). Shingle
     * features (not unigrams) keep the hash discriminative when documents
-    * share a small vocabulary. All codegen'd conditional aggregates — one
-    * shuffle on the id. */
-  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tokens = shingles(df, textCol, idCol)
-      .withColumn("h", xxhash64(col("shingle")))
-    val bitCols = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$i"))
-    val bitSums = tokens.groupBy(idCol).agg(bitCols.head, bitCols.tail: _*)
-    val hashExpr = (0 until 64)
-      .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L))
-      .reduce[Column](_ + _)
-    bitSums.select(col(idCol), hashExpr.as("simhash"))
-  }
+    * share a small vocabulary. Computed by the single-buffer
+    * [[graft.functions.SimHashAgg]] typed aggregate (one 64-counter buffer
+    * per group instead of 64 separate conditional-sum buffers) — one
+    * shuffle on the id with a 256-byte partial-agg payload. */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    shingles(df, textCol, idCol)
+      .groupBy(idCol)
+      .agg(graft.functions.SimHashAgg.simhash_agg(xxhash64(col("shingle"))).as("simhash"))
 
   /** SimHash near-dup pairs: band the 64-bit hash into 4×16-bit keys, join
     * on band equality (bucketed candidate generation), then filter by exact

@@ -66,3 +66,43 @@ class QuantizedDotProductSpec extends AnyFunSuite with SparkTestBase {
     assert(out.head.getAs[Long]("d") == 10 * 3 + 20 * 4)
   }
 }
+
+class SimHashAggSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+  import graft.functions.SimHashAgg.simhash_agg
+
+  test("matches the declarative 64-conditional-sum formulation bit for bit") {
+    val features = Seq(
+      (1L, 0x0123456789abcdefL), (1L, 0x0f0f0f0f0f0f0f0fL), (1L, -1L),
+      (2L, 42L), (2L, 43L),
+      (3L, 0L)).toDF("id", "h")
+    val viaAgg = features.groupBy("id").agg(simhash_agg(col("h")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    // declarative reference computation
+    val bitCols = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$i"))
+    val ref = features.groupBy("id").agg(bitCols.head, bitCols.tail: _*)
+      .collect().map { r =>
+        var h = 0L
+        (0 until 64).foreach(i => if (r.getAs[Long](s"s$i") > 0) h |= (1L << i))
+        r.getAs[Long]("id") -> h
+      }.toMap
+    assert(viaAgg == ref)
+  }
+
+  test("single feature yields its own bit pattern; null features are ignored") {
+    val one = Seq((1L, Some(0xdeadbeefL)), (1L, None)).toDF("id", "h")
+      .groupBy("id").agg(simhash_agg(col("h")).as("s"))
+      .as[(Long, Long)].collect().head
+    assert(one._2 == 0xdeadbeefL) // every set bit counts +1, clear bits -1 → sign reproduces the hash
+  }
+
+  test("partial-aggregation merge across partitions is exact") {
+    val many = (0 until 1000).map(i => (i % 4).toLong -> (i * 0x9E3779B97F4A7C15L))
+    val a = many.toDF("id", "h").repartition(8)
+      .groupBy("id").agg(simhash_agg(col("h")).as("s")).as[(Long, Long)].collect().toMap
+    val b = many.toDF("id", "h").coalesce(1)
+      .groupBy("id").agg(simhash_agg(col("h")).as("s")).as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+}
