@@ -248,6 +248,22 @@ object Relational {
         .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
     },
 
+    // TPC-H Q16-flavored: distinct supplier count per part brand/type slice
+    // (covers the part + supplier tables; count(distinct) forces a two-phase
+    // aggregate over the join).
+    "q44_partsupp" -> { (s, dir) =>
+      import s.implicits._
+      val li = t(s, dir, "lineitem"); val p = t(s, dir, "part")
+      val su = t(s, dir, "supplier")
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .filter($"p_size" <= 20 && $"s_acctbal" > 0)
+        .groupBy($"p_brand", $"p_type")
+        .agg(countDistinct($"s_suppkey").as("supplier_cnt"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"p_brand", $"p_type")
+    },
+
     // UNION ALL with a provenance tag.
     "q38_unionall" -> { (s, dir) =>
       import s.implicits._
@@ -273,6 +289,14 @@ object Relational {
         |UNION ALL
         |SELECT o_orderkey, 'lo' AS band FROM orders WHERE o_totalprice < 1000
         |ORDER BY o_orderkey, band""".stripMargin,
+    "q44_partsupp" ->
+      """SELECT p_brand, p_type, count(DISTINCT s_suppkey) AS supplier_cnt,
+        |count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE p_size <= 20 AND s_acctbal > 0
+        |GROUP BY p_brand, p_type ORDER BY p_brand, p_type""".stripMargin,
   )
 
   val oracleSql: Map[String, String] = Map(

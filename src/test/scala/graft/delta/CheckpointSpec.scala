@@ -85,6 +85,30 @@ class CheckpointSpec extends AnyFunSuite with SparkTestBase {
     assert(dt.toDF(Seq(PartitionFilter.Eq("p", "2"))).count() == 10)
   }
 
+  test("checkpoint carries typed stats_parsed and partitionValues_parsed (delta_arrow.rs:140-249)") {
+    val dir = tempTable("cp-parsed").toString
+    import spark.implicits._
+    GraftWriter.write(
+      (0 until 30).map(i => (i.toLong, s"n$i", i % 3)).toDF("id", "name", "p"),
+      dir, SaveMode.ErrorIfExists, Seq("p"))
+    val log = DeltaLog.forPath(spark, dir)
+    log.checkpoint()
+    val cp = spark.read.parquet(log.checkpointFile(0).toString)
+    val adds = cp.filter(org.apache.spark.sql.functions.col("add").isNotNull)
+      .select("add.path", "add.partitionValues_parsed.p",
+        "add.stats_parsed.numRecords", "add.stats_parsed.minValues.id",
+        "add.stats_parsed.maxValues.id", "add.stats_parsed.nullCount.id")
+      .collect()
+    assert(adds.nonEmpty)
+    // partitionValues_parsed.p is typed INT (not the string "0"/"1"/"2")
+    assert(adds.map(_.getInt(1)).toSet == Set(0, 1, 2))
+    // stats_parsed carries real values matching the stats JSON
+    assert(adds.map(_.getLong(2)).sum == 30L) // numRecords total
+    assert(adds.map(_.getLong(3)).min == 0L)  // global min id
+    assert(adds.map(_.getLong(4)).max == 29L) // global max id
+    assert(adds.forall(_.getLong(5) == 0L))   // no nulls
+  }
+
   test("multi-part checkpoint write + restore (delta.rs:412-436 naming)") {
     val dir = tempTable("cp-multipart").toString
     import spark.implicits._
