@@ -86,6 +86,26 @@ class WriterSpec extends AnyFunSuite with SparkTestBase {
     assert(dt.toDF(Seq(PartitionFilter.NotIn("bucket", Set("0", "2")))).count() == 30)
   }
 
+  test("concurrent appends through the writer all land, one version each") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val dir = tempTable("wr-concurrent").toString
+    GraftWriter.write(sampleDF(0 until 10), dir)
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val versions = Await.result(Future.sequence((1 to 4).map { w =>
+      Future {
+        GraftWriter.write(sampleDF(w * 100 until w * 100 + 10), dir, SaveMode.Append)
+      }
+    }), 120.seconds)
+    pool.shutdown()
+    assert(versions.sorted == (1L to 4L))
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.version == 4)
+    assert(dt.toDF.count() == 50) // 10 initial + 4×10 appended, none lost
+  }
+
   test("stats-based file skipping drops files whose min/max exclude the predicate") {
     val dir = tempTable("wr-skip").toString
     import spark.implicits._
