@@ -27,10 +27,24 @@ object DeltaSchema {
         s"Delta schemaString must be a struct, got: ${other.simpleString}")
     }
 
-  /** Serialize a Spark schema as a Delta schemaString. */
+  /** Serialize a Spark schema as a Delta schemaString. `timestamp_ntz`
+    * (Spark 4's default reading of tz-less parquet timestamps) is encoded as
+    * the protocol's `timestamp` — µs precision either way; the value is
+    * unchanged, the reader surfaces it as (UTC-normalized) TimestampType. */
   def toJson(schema: StructType): String = {
-    validate(schema)
-    schema.json
+    val normalized = StructType(schema.fields.map(f =>
+      f.copy(dataType = normalizeType(f.dataType))))
+    validate(normalized)
+    normalized.json
+  }
+
+  private def normalizeType(dt: DataType): DataType = dt match {
+    case TimestampNTZType => TimestampType
+    case s: StructType => StructType(s.fields.map(f => f.copy(dataType = normalizeType(f.dataType))))
+    case a: ArrayType => a.copy(elementType = normalizeType(a.elementType))
+    case m: MapType => m.copy(keyType = normalizeType(m.keyType),
+      valueType = normalizeType(m.valueType))
+    case other => other
   }
 
   private val supportedPrimitives: Set[DataType] = Set(

@@ -64,6 +64,26 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTestBase {
     assert(st.maxValues.get("dt").exists(_.asText == "2021-03-04"))
   }
 
+  test("timestamp_ntz columns write as protocol 'timestamp' and round-trip values") {
+    val dir = tempTable("edge-ntz").toString
+    // testdata timestamps read as TimestampNTZType in Spark 4
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+      .filter(col("l_orderkey") < 100)
+    assert(li.schema("l_shipdate").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    GraftWriter.write(li, dir)
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.schema("l_shipdate").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // values agree when both sides are viewed as UTC dates
+    val expected = li.select(to_date(col("l_shipdate")).cast("string"))
+      .as[String].collect().sorted
+    val got = dt.toDF.select(to_date(col("l_shipdate")).cast("string"))
+      .as[String].collect().sorted
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("forPathAsOf end-to-end (timestamp time travel)") {
     val dir = tempTable("edge-asof").toString
     GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir)
