@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Rebind a streaming micro-batch DataFrame as a batch DataFrame over the
+    * same physical rows (what `foreachBatch` does internally) so a V1
+    * `Sink.addBatch` implementation can run ordinary batch writes on it. */
+  def rebatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

@@ -1,0 +1,65 @@
+package graft.delta
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftDeltaSourceSpec extends AnyFunSuite with SparkTestBase {
+  import LogFixtures.tempTable
+  import spark.implicits._
+
+  test("df.write.format + spark.read.format round-trip by short name") {
+    val dir = tempTable("fmt-roundtrip").toString
+    (0 until 50).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .write.format("graft-delta").save(dir)
+    assert(DeltaTable.forPath(spark, dir).version == 0)
+
+    val back = spark.read.format("graft-delta").load(dir)
+    assert(back.count() == 50)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "v"))
+
+    // append + overwrite through the format
+    Seq((100L, "x")).toDF("id", "v").write.format("graft-delta").mode("append").save(dir)
+    assert(spark.read.format("graft-delta").load(dir).count() == 51)
+    Seq((0L, "z")).toDF("id", "v").write.format("graft-delta").mode("overwrite").save(dir)
+    assert(spark.read.format("graft-delta").load(dir).count() == 1)
+  }
+
+  test("versionAsOf option time-travels") {
+    val dir = tempTable("fmt-asof").toString
+    Seq((1L, "a")).toDF("id", "v").write.format("graft-delta").save(dir)
+    Seq((2L, "b")).toDF("id", "v").write.format("graft-delta").mode("append").save(dir)
+    assert(spark.read.format("graft-delta").option("versionAsOf", 0).load(dir).count() == 1)
+    assert(spark.read.format("graft-delta").load(dir).count() == 2)
+  }
+
+  test("partitionBy option writes hive layout; pushed filters prune") {
+    val dir = tempTable("fmt-part").toString
+    (0 until 60).map(i => (i.toLong, i % 3)).toDF("id", "p")
+      .write.format("graft-delta").option("partitionBy", "p").save(dir)
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.partitionColumns == Seq("p"))
+    val df = spark.read.format("graft-delta").load(dir).filter(col("p") === 1)
+    assert(df.count() == 20)
+  }
+
+  test("writeStream.format('graft-delta') is an exactly-once streaming sink") {
+    val dir = tempTable("fmt-stream").toString
+    val ckpt = tempTable("fmt-stream-ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().withColumnRenamed("value", "id")
+      .writeStream.format("graft-delta")
+      .option("appId", "fmt-e2e")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start(dir)
+    mem.addData(1L to 40L: _*)
+    q.awaitTermination(60000)
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.toDF.as[Long].collect().sorted.toSeq == (1L to 40L))
+    assert(dt.snapshot.appTransactionVersion.contains("fmt-e2e"))
+  }
+}
