@@ -3,9 +3,10 @@ package graft.delta
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.streaming.Sink
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
 
 /** `format("graft-delta")` packaging — the idiomatic Spark entry points over
   * the engine, so a user needs no graft imports at the call site:
@@ -27,7 +28,8 @@ import org.apache.spark.sql.streaming.OutputMode
   * columns after data columns (HadoopFsRelation convention).
   */
 final class GraftDeltaSource extends RelationProvider
-  with CreatableRelationProvider with StreamSinkProvider with DataSourceRegister {
+  with CreatableRelationProvider with StreamSinkProvider with StreamSourceProvider
+  with DataSourceRegister {
 
   override def shortName(): String = "graft-delta"
 
@@ -57,6 +59,29 @@ final class GraftDeltaSource extends RelationProvider
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     GraftWriter.write(data, path, mode, partitionBy)
     createRelation(sqlContext, parameters)
+  }
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val declared = schema.getOrElse(
+      DeltaTable.forPath(sqlContext.sparkSession, pathOf(parameters)).schema)
+    (shortName(), declared)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val log = DeltaLog.forPath(spark, path)
+    val declared = schema.getOrElse {
+      val snap = log.update()
+      if (snap.version < 0) throw new NotATableException(path)
+      snap.schema
+    }
+    new org.apache.spark.sql.graftbridge.GraftDeltaStreamSource(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], log, declared)
   }
 
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],

@@ -45,6 +45,44 @@ class GraftDeltaSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(df.count() == 20)
   }
 
+  test("readStream.format('graft-delta') tails the log version by version") {
+    val src = tempTable("fmt-rsrc").toString
+    val dst = tempTable("fmt-rsrc-ckpt").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.format("graft-delta").save(src)
+
+    val q = spark.readStream.format("graft-delta").load(src)
+      .writeStream.format("memory").queryName("graft_tail")
+      .option("checkpointLocation", dst)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_tail").count() == 2)
+
+      Seq((3L, "c")).toDF("id", "v").write.format("graft-delta").mode("append").save(src)
+      q.processAllAvailable()
+      val rows = spark.table("graft_tail").as[(Long, String)].collect().sorted.toSeq
+      assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c"))) // no duplicates
+    } finally q.stop()
+  }
+
+  test("readStream → transform → graft-delta sink: delta-to-delta streaming pipeline") {
+    val src = tempTable("fmt-pipe-src").toString
+    val dst = tempTable("fmt-pipe-dst").toString
+    val ckpt = tempTable("fmt-pipe-ckpt").toString
+    (1L to 10L).map(i => (i, i * 2)).toDF("id", "v").write.format("graft-delta").save(src)
+
+    val q = spark.readStream.format("graft-delta").load(src)
+      .filter(col("v") > 4)
+      .writeStream.format("graft-delta")
+      .option("appId", "pipe-1")
+      .option("checkpointLocation", ckpt)
+      .start(dst)
+    try {
+      q.processAllAvailable()
+      assert(DeltaTable.forPath(spark, dst).toDF.count() == 8) // v in {6..20}
+    } finally q.stop()
+  }
+
   test("writeStream.format('graft-delta') is an exactly-once streaming sink") {
     val dir = tempTable("fmt-stream").toString
     val ckpt = tempTable("fmt-stream-ckpt").toString
