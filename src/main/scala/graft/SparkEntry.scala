@@ -6,7 +6,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Aggregates the query groups:
   *  - [[graft.queries.Relational]]: relational parity with the reference's
-  *    delegated engines (DataFusion/PyArrow).
+  *    delegated engines (DataFusion/PyArrow) — q1–q16, q36–q38, q44;
+  *  - [[graft.queries.DeltaQueries]]: end-to-end Delta-log-engine queries
+  *    (write → log replay → pruned scan vs oracle) — q17–q21, q39–q40, q42;
+  *  - [[graft.queries.PipelineQueries]]: LLM-data-pipeline operators
+  *    (dedup, similarity, text analysis, windows, multimodal) — q22–q35,
+  *    q41, q43.
   */
 object SparkEntry {
 
