@@ -45,6 +45,18 @@ class GraftDeltaSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(df.count() == 20)
   }
 
+  test("CREATE TABLE ... USING graft-delta registers a catalog table over the log") {
+    val dir = tempTable("fmt-ddl").toString
+    (0 until 25).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .write.format("graft-delta").save(dir)
+    spark.sql("DROP TABLE IF EXISTS graft_ddl_t")
+    spark.sql(s"CREATE TABLE graft_ddl_t USING `graft-delta` OPTIONS (path '$dir')")
+    try {
+      assert(spark.sql("SELECT count(*) FROM graft_ddl_t").head.getLong(0) == 25)
+      assert(spark.sql("SELECT max(id) FROM graft_ddl_t WHERE id < 10").head.getLong(0) == 9)
+    } finally spark.sql("DROP TABLE graft_ddl_t")
+  }
+
   test("readStream.format('graft-delta') tails the log version by version") {
     val src = tempTable("fmt-rsrc").toString
     val dst = tempTable("fmt-rsrc-ckpt").toString
