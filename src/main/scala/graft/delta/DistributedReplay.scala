@@ -37,14 +37,16 @@ object DistributedReplay {
       StructField("deletionTimestamp", LongType),
       StructField("dataChange", BooleanType))))))
 
-  /** Active files at the latest version as a DataFrame with columns
-    * (path, partitionValues, size, modificationTime, dataChange, stats). */
-  def activeFiles(log: DeltaLog): DataFrame = {
+  /** Active files at the latest (or a pinned) version as a DataFrame with
+    * columns (path, partitionValues, size, modificationTime, dataChange,
+    * stats). */
+  def activeFiles(log: DeltaLog, version: Option[Long] = None): DataFrame = {
     val spark = log.spark
-    val versions = log.listCommitVersions()
+    val maxV = version.getOrElse(Long.MaxValue)
+    val versions = log.listCommitVersions().filter(_ <= maxV)
     val cp = log.lastCheckpoint()
-      .filter(c => log.checkpointPaths(c).forall(log.store.exists))
-      .orElse(log.findLatestCheckpointForVersion(Long.MaxValue))
+      .filter(c => c.version <= maxV && log.checkpointPaths(c).forall(log.store.exists))
+      .orElse(log.findLatestCheckpointForVersion(maxV))
 
     // commits newer than the checkpoint, each tagged with its version
     val tail = versions.filter(v => cp.forall(_.version < v))
@@ -135,10 +137,11 @@ object DistributedReplay {
     * `snapshot.files`. */
   def prunedAddActions(log: DeltaLog,
                        partitionFilters: Seq[PartitionFilter] = Nil,
-                       statsPredicates: Seq[StatsPredicate] = Nil): Seq[AddAction] = {
+                       statsPredicates: Seq[StatsPredicate] = Nil,
+                       version: Option[Long] = None): Seq[AddAction] = {
     val filtered = (partitionFilters.map(partitionPredicate) ++
       statsPredicates.flatMap(statsPredicate))
-      .foldLeft(activeFiles(log))(_ filter _)
+      .foldLeft(activeFiles(log, version))(_ filter _)
     filtered.collect().toSeq.map { r =>
       AddAction(
         path = r.getAs[String]("path"),

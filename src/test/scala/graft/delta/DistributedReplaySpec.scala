@@ -56,6 +56,19 @@ class DistributedReplaySpec extends AnyFunSuite with SparkTestBase {
     assert(dist.nonEmpty && dist.size < snap.files.size)
   }
 
+  test("version-pinned distributed replay matches driver time travel") {
+    val dir = tempTable("dr-tt").toString
+    GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir)
+    GraftWriter.write(Seq((2L, "b")).toDF("id", "v"), dir, SaveMode.Append)
+    GraftWriter.write(Seq((1L, "z")).toDF("id", "v"), dir, SaveMode.Overwrite)
+    val log = DeltaLog.forPath(spark, dir)
+    (0L to 2L).foreach { v =>
+      val driver = log.snapshotForVersion(v).files
+      val dist = DistributedReplay.prunedAddActions(log, version = Some(v))
+      assert(fileSet(dist) == fileSet(driver), s"version $v")
+    }
+  }
+
   test("empty log yields an empty file set") {
     val dir = tempTable("dr-empty")
     LogFixtures.writeCommit(dir, 0, Seq(LogFixtures.protocol, LogFixtures.metaData))
