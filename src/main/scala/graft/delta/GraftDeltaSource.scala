@@ -81,7 +81,8 @@ final class GraftDeltaSource extends RelationProvider
       snap.schema
     }
     new org.apache.spark.sql.graftbridge.GraftDeltaStreamSource(
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], log, declared)
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], log, declared,
+      maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong))
   }
 
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],

@@ -24,21 +24,39 @@ import graft.delta.{AddAction, DeltaLog}
 final class GraftDeltaStreamSource(
     spark: SparkSession,
     log: DeltaLog,
-    override val schema: StructType) extends Source {
+    override val schema: StructType,
+    maxVersionsPerTrigger: Option[Long] = None) extends Source {
 
   private def versionOf(o: V1Offset): Long = o match {
     case l: LongOffset => l.offset
     case other => other.json.trim.toLong // SerializedOffset after restart
   }
 
+  /** Highest version already offered as a batch end — the throttle anchor.
+    * -1 until the first batch; recovered from the engine's first getBatch
+    * call after a restart. */
+  @volatile private var lastOffered: Long = -1L
+
   override def getOffset: Option[V1Offset] = {
-    val v = log.update().version
-    if (v < 0) None else Some(LongOffset(v))
+    val latest = log.update().version
+    if (latest < 0) None
+    else {
+      // Rate limiting: a backfill over a 10⁴-version history must not land
+      // in one micro-batch; cap each trigger at maxVersionsPerTrigger
+      // versions past the last offered end.
+      val capped = maxVersionsPerTrigger match {
+        case Some(max) if lastOffered >= 0 => math.min(latest, lastOffered + max)
+        case Some(max) => math.min(latest, max - 1) // first trigger: versions 0..max-1
+        case None => latest
+      }
+      Some(LongOffset(capped))
+    }
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val startV = start.map(versionOf).getOrElse(-1L)
     val endV = versionOf(end)
+    lastOffered = math.max(lastOffered, endV)
     val adds: Seq[AddAction] = log.listCommitVersions()
       .filter(v => v > startV && v <= endV)
       .flatMap(log.readCommit)

@@ -77,6 +77,27 @@ class GraftDeltaSourceSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("maxVersionsPerTrigger throttles a backfill into multiple micro-batches") {
+    val src = tempTable("fmt-throttle").toString
+    val ckpt = tempTable("fmt-throttle-ckpt").toString
+    (0 until 4).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v").write.format("graft-delta")
+        .mode(if (i == 0) "errorifexists" else "append").save(src)
+    }
+    val q = spark.readStream.format("graft-delta")
+      .option("maxVersionsPerTrigger", 1)
+      .load(src)
+      .writeStream.format("memory").queryName("graft_throttle")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      // everything arrives, but across ≥4 micro-batches (one version each)
+      assert(spark.table("graft_throttle").count() == 4)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 4)
+    } finally q.stop()
+  }
+
   test("readStream → transform → graft-delta sink: delta-to-delta streaming pipeline") {
     val src = tempTable("fmt-pipe-src").toString
     val dst = tempTable("fmt-pipe-dst").toString
