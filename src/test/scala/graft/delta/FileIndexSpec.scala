@@ -81,6 +81,18 @@ class FileIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(df.schema("part").dataType == org.apache.spark.sql.types.IntegerType)
   }
 
+  test("small delta tables auto-broadcast in joins (sizeInBytes reaches the planner)") {
+    val dir = tempTable("fi-broadcast").toString
+    GraftWriter.write((0 until 20).map(i => (i.toLong, s"dim$i")).toDF("k", "name"), dir)
+    val small = DeltaTable.forPath(spark, dir).toDF
+    val big = spark.range(0, 10000).withColumnRenamed("id", "k")
+    val joined = big.join(small, "k")
+    assert(joined.count() == 20)
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin") || physical.contains("BroadcastExchange"),
+      s"expected broadcast join for a tiny delta dim table, got:\n$physical")
+  }
+
   test("empty prune result yields an empty, correctly-typed DataFrame") {
     val dir = tempTable("fi-empty").toString
     GraftWriter.write(Seq((1L, "x")).toDF("id", "v"), dir)
