@@ -1,0 +1,99 @@
+package graft.delta
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+final case class DmlMetrics(filesRewritten: Long, rowsAffected: Long, version: Long)
+
+/** Copy-on-write DML: DELETE and UPDATE by predicate.
+  *
+  * Beyond the reference (delta-rs v0.4.1 is read/append/overwrite only), but
+  * protocol-pure: both operations are remove+add commits over exactly the
+  * files that contain affected rows.
+  *
+  * Scale shape:
+  *  1. affected-file detection is a distributed scan with the predicate
+  *     pushed down (`input_file_name()` over the pruned FileIndex scan —
+  *     partition pruning, stats skipping, and parquet row-group skipping
+  *     all narrow it before any row is read);
+  *  2. only affected files are rewritten (distributed), untouched files'
+  *     Add entries are carried over;
+  *  3. one optimistic commit. Blind-retry concurrency, like every write
+  *     here and in the reference (`rust/src/delta.rs:1306-1322` TODO).
+  */
+object Dml {
+
+  /** DELETE FROM table WHERE predicate. Rows where the predicate is NULL
+    * are kept (SQL semantics). */
+  def delete(spark: SparkSession, path: String, predicate: Column): DmlMetrics =
+    rewrite(spark, path, predicate, "DELETE", df => df, keepMatches = false)
+
+  /** UPDATE table SET assignments WHERE predicate. */
+  def update(spark: SparkSession, path: String, predicate: Column,
+             assignments: Map[String, Column]): DmlMetrics =
+    rewrite(spark, path, predicate, "UPDATE", df => {
+      val matches = coalesce(predicate, lit(false))
+      assignments.foldLeft(df) { case (d, (name, value)) =>
+        d.withColumn(name, when(matches, value).otherwise(col(name)))
+      }
+    }, keepMatches = true)
+
+  private def rewrite(spark: SparkSession, path: String, predicate: Column,
+                      operation: String,
+                      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                      keepMatches: Boolean): DmlMetrics = {
+    val log = DeltaLog.forPath(spark, path)
+    val snap = log.update()
+    if (snap.version < 0) throw new NotATableException(path)
+    val dt = new DeltaTable(log, snap)
+
+    // 1. which files contain matching rows? (predicate pushed into the scan)
+    val tableBase = log.tablePath.toUri.getPath.stripSuffix("/")
+    val affectedUris = dt.toDF.filter(predicate)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val affected = snap.files.filter { a =>
+      val abs = new org.apache.hadoop.fs.Path(log.tablePath, a.path).toUri.getPath
+      affectedUris.exists(u => java.net.URLDecoder.decode(u, "UTF-8").endsWith(abs) ||
+        u.endsWith(a.path))
+    }
+    if (affected.isEmpty) return DmlMetrics(0, 0, snap.version)
+
+    // 2. rewrite only the affected files
+    val index = new GraftFileIndex(spark, log, snap, Some(affected))
+    val affectedDf = {
+      import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+      import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      val rel = HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
+        None, new ParquetFileFormat(), Map.empty)(spark)
+      spark.baseRelationToDataFrame(rel).select(snap.schema.fieldNames.map(col): _*)
+    }
+    val beforeRows = affectedDf.count()
+    val rewritten =
+      if (keepMatches) transform(affectedDf)
+      else affectedDf.filter(!coalesce(predicate, lit(false)))
+    val adds = GraftWriter.stageFiles(rewritten, path, snap.partitionColumns)
+    val afterRows = adds.flatMap(_.stats.flatMap(ActionCodec.statsFromJson))
+      .map(_.numRecords).sum
+    val rowsAffected =
+      if (keepMatches) affectedDf.filter(coalesce(predicate, lit(false))).count()
+      else beforeRows - afterRows
+
+    // 3. one commit: remove affected, add rewrites
+    val now = System.currentTimeMillis()
+    val txn = log.startTransaction()
+    affected.foreach(f => txn.addAction(RemoveAction(
+      path = f.path, deletionTimestamp = now, dataChange = true,
+      extendedFileMetadata = Some(true),
+      partitionValues = Some(f.partitionValues), size = Some(f.size))))
+    txn.addActions(adds)
+    val info = ActionCodec.mapper.createObjectNode()
+    info.put("timestamp", now)
+    info.put("operation", operation)
+    val params = info.putObject("operationParameters")
+    params.put("predicate", predicate.toString)
+    params.put("numFilesRewritten", affected.size)
+    val version = txn.commit(Some(CommitInfoAction(info)))
+    DmlMetrics(affected.size, rowsAffected, version)
+  }
+}

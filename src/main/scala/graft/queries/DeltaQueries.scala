@@ -121,6 +121,28 @@ object DeltaQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // copy-on-write DELETE: remove a slice, table must read as if filtered.
+    "q45_delta_delete" -> { (s, dir) =>
+      val t = freshDir("delete")
+      GraftWriter.write(li(s, dir).filter(col("l_orderkey") < 1000), t)
+      Dml.delete(s, t, col("l_quantity") > 30)
+      DeltaTable.forPath(s, t).toDF
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // copy-on-write UPDATE: bump quantity for one returnflag, emit micro-units.
+    "q46_delta_update" -> { (s, dir) =>
+      val t = freshDir("update")
+      GraftWriter.write(li(s, dir).filter(col("l_orderkey") < 1000), t)
+      Dml.update(s, t, col("l_returnflag") === "R",
+        Map("l_quantity" -> (col("l_quantity") + 100.0)))
+      DeltaTable.forPath(s, t).toDF
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_quantity").cast("decimal(18,6)") * 1000000).cast("long").as("qty"),
+          col("l_returnflag"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // SQL over a Delta table (the reference's delegated-SQL surface,
     // rust/tests/datafusion_test.rs:12-33: register table → run SQL):
     // register the snapshot as a temp view and run an aggregation in
@@ -182,5 +204,16 @@ object DeltaQueries {
         |CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS qty
         |FROM lineitem WHERE l_orderkey < 1500 AND l_orderkey > 5
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q45_delta_delete" ->
+      s"""SELECT $cols FROM lineitem
+         |WHERE l_orderkey < 1000 AND NOT (l_quantity > 30)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q46_delta_update" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CAST(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity + 100 ELSE l_quantity END
+        |  AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS qty,
+        |l_returnflag
+        |FROM lineitem WHERE l_orderkey < 1000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
   )
 }
