@@ -48,26 +48,14 @@ object Dml {
     val dt = new DeltaTable(log, snap)
 
     // 1. which files contain matching rows? (predicate pushed into the scan)
-    val tableBase = log.tablePath.toUri.getPath.stripSuffix("/")
     val affectedUris = dt.toDF.filter(predicate)
       .select(input_file_name().as("f")).distinct()
       .collect().map(_.getString(0)).toSet
-    val affected = snap.files.filter { a =>
-      val abs = new org.apache.hadoop.fs.Path(log.tablePath, a.path).toUri.getPath
-      affectedUris.exists(u => java.net.URLDecoder.decode(u, "UTF-8").endsWith(abs) ||
-        u.endsWith(a.path))
-    }
+    val affected = matchFiles(log, snap, affectedUris)
     if (affected.isEmpty) return DmlMetrics(0, 0, snap.version)
 
     // 2. rewrite only the affected files
-    val index = new GraftFileIndex(spark, log, snap, Some(affected))
-    val affectedDf = {
-      import org.apache.spark.sql.execution.datasources.HadoopFsRelation
-      import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-      val rel = HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
-        None, new ParquetFileFormat(), Map.empty)(spark)
-      spark.baseRelationToDataFrame(rel).select(snap.schema.fieldNames.map(col): _*)
-    }
+    val affectedDf = scanSubset(spark, log, snap, affected)
     val beforeRows = affectedDf.count()
     val rewritten =
       if (keepMatches) transform(affectedDf)
@@ -95,5 +83,27 @@ object Dml {
     params.put("numFilesRewritten", affected.size)
     val version = txn.commit(Some(CommitInfoAction(info)))
     DmlMetrics(affected.size, rowsAffected, version)
+  }
+
+  /** Resolve `input_file_name()` URIs back to the snapshot's Add entries
+    * (the URIs are absolute and %-encoded; Add paths are table-relative). */
+  private[delta] def matchFiles(log: DeltaLog, snap: Snapshot,
+                                uris: Set[String]): Seq[AddAction] =
+    snap.files.filter { a =>
+      val abs = new org.apache.hadoop.fs.Path(log.tablePath, a.path).toUri.getPath
+      uris.exists(u => java.net.URLDecoder.decode(u, "UTF-8").endsWith(abs) ||
+        u.endsWith(a.path))
+    }
+
+  /** Scan only `files` of the snapshot, in table-schema column order.
+    * Distributed parquet read through the same FileIndex as a full scan. */
+  private[delta] def scanSubset(spark: SparkSession, log: DeltaLog,
+                                snap: Snapshot, files: Seq[AddAction]) = {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val index = new GraftFileIndex(spark, log, snap, Some(files))
+    val rel = HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
+      None, new ParquetFileFormat(), Map.empty)(spark)
+    spark.baseRelationToDataFrame(rel).select(snap.schema.fieldNames.map(col): _*)
   }
 }

@@ -1,0 +1,189 @@
+package graft.delta
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+final case class MergeMetrics(filesRewritten: Long, rowsUpdated: Long,
+                              rowsDeleted: Long, rowsInserted: Long,
+                              version: Long)
+
+final class MultipleMatchException(msg: String) extends IllegalStateException(msg)
+
+/** MERGE INTO (upsert): copy-on-write merge of a source DataFrame into a
+  * Delta table on a join condition.
+  *
+  * Beyond the reference (delta-rs v0.4.1 has no DML), but protocol-pure:
+  * one optimistic commit of remove+add actions, exactly like [[Dml]].
+  *
+  * The target is aliased `t` and the source `s`; the join condition and all
+  * clause conditions/assignments must reference columns through those
+  * aliases (`col("t.id") === col("s.id")`) — unqualified names are ambiguous
+  * once both sides carry the column.
+  *
+  * Clause semantics (at most one of each):
+  *  - `whenMatchedUpdate(cond, set)` — matched rows satisfying `cond` get
+  *    the assignments; update has priority over delete where both match.
+  *  - `whenMatchedDelete(cond)` — matched rows satisfying `cond` (and not
+  *    claimed by update) are dropped.
+  *  - `whenNotMatchedInsert*(cond, values)` — source rows matching no
+  *    target row are inserted.
+  * A target row matched by more than one source row raises
+  * [[MultipleMatchException]] — with a rewriting clause the output would
+  * otherwise be ambiguous, and even insert-only merges would duplicate the
+  * kept row through the join.
+  *
+  * Scale shape:
+  *  1. affected-file detection is a distributed inner join (source vs the
+  *     pruned scan); AQE broadcasts a small source;
+  *  2. only affected-file rows are re-joined (full-outer) against the
+  *     source — both joins shuffle on the merge keys, the canonical
+  *     copy-on-write merge shape;
+  *  3. insert-only merges rewrite nothing: matched files are detected only
+  *     to filter the inserts, and the commit carries adds alone;
+  *  4. one optimistic commit, blind-retry like every writer here and in the
+  *     reference (`rust/src/delta.rs:1306-1322` TODO).
+  */
+final class MergeBuilder private[delta] (
+    spark: SparkSession, path: String, source: DataFrame, condition: Column) {
+
+  private var updateClause: Option[(Column, Map[String, Column])] = None
+  private var deleteClause: Option[Column] = None
+  private var insertClause: Option[(Column, Option[Map[String, Column]])] = None
+
+  def whenMatchedUpdate(set: Map[String, Column]): MergeBuilder =
+    whenMatchedUpdate(lit(true), set)
+  def whenMatchedUpdate(cond: Column, set: Map[String, Column]): MergeBuilder = {
+    require(updateClause.isEmpty, "whenMatchedUpdate already given")
+    updateClause = Some((cond, set)); this
+  }
+  def whenMatchedDelete(): MergeBuilder = whenMatchedDelete(lit(true))
+  def whenMatchedDelete(cond: Column): MergeBuilder = {
+    require(deleteClause.isEmpty, "whenMatchedDelete already given")
+    deleteClause = Some(cond); this
+  }
+  /** Insert unmatched source rows, mapping target columns from the
+    * same-named source columns. */
+  def whenNotMatchedInsertAll(): MergeBuilder = {
+    require(insertClause.isEmpty, "whenNotMatchedInsert already given")
+    insertClause = Some((lit(true), None)); this
+  }
+  def whenNotMatchedInsert(values: Map[String, Column]): MergeBuilder =
+    whenNotMatchedInsert(lit(true), values)
+  def whenNotMatchedInsert(cond: Column, values: Map[String, Column]): MergeBuilder = {
+    require(insertClause.isEmpty, "whenNotMatchedInsert already given")
+    insertClause = Some((cond, Some(values))); this
+  }
+
+  def execute(): MergeMetrics = {
+    require(updateClause.nonEmpty || deleteClause.nonEmpty || insertClause.nonEmpty,
+      "merge needs at least one when-clause")
+    val log = DeltaLog.forPath(spark, path)
+    val snap = log.update()
+    if (snap.version < 0) throw new NotATableException(path)
+    val dt = new DeltaTable(log, snap)
+
+    val fieldNames = snap.schema.fieldNames.toSet
+    updateClause.foreach { case (_, set) =>
+      val bad = set.keys.filterNot(fieldNames.contains)
+      require(bad.isEmpty, s"update assigns unknown columns: ${bad.mkString(",")}")
+    }
+    insertClause.foreach {
+      case (_, Some(vs)) =>
+        val bad = vs.keys.filterNot(fieldNames.contains)
+        require(bad.isEmpty, s"insert sets unknown columns: ${bad.mkString(",")}")
+      case (_, None) =>
+        val missing = snap.schema.fieldNames.filterNot(source.columns.contains)
+        if (missing.nonEmpty) throw new SchemaMismatchException(
+          s"insertAll: source lacks target columns ${missing.mkString(",")}")
+    }
+
+    // 1. which files hold matched target rows (condition pushed where possible)
+    val affectedUris = dt.toDF.withColumn("__file", input_file_name()).alias("t")
+      .join(source.alias("s"), condition)
+      .select(col("__file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val affected = Dml.matchFiles(log, snap, affectedUris)
+
+    // 2. full-outer join of affected rows vs source. __t doubles as presence
+    // marker and per-target-row id for multiple-match detection.
+    val tAug = Dml.scanSubset(spark, log, snap, affected)
+      .withColumn("__t", monotonically_increasing_id()).alias("t")
+    val sAug = source.withColumn("__s", lit(true)).alias("s")
+    val joined = tAug.join(sAug, condition, "full_outer")
+
+    val tPresent = col("__t").isNotNull
+    val matched = tPresent && col("__s").isNotNull
+    val updC = updateClause.map { case (c, _) => coalesce(c, lit(false)) }.getOrElse(lit(false))
+    val delC = deleteClause.map(c => coalesce(c, lit(false))).getOrElse(lit(false))
+    val insC = insertClause.map { case (c, _) => coalesce(c, lit(false)) }.getOrElse(lit(false))
+    val applyUpd = matched && updC
+    val applyDel = matched && !updC && delC
+    val isIns = !tPresent && insC
+
+    // one aggregation pass: metrics + multiple-match detection
+    val per = joined.groupBy(col("__t")).agg(
+      sum(when(matched, 1L).otherwise(0L)).as("nm"),
+      sum(when(applyUpd, 1L).otherwise(0L)).as("nu"),
+      sum(when(applyDel, 1L).otherwise(0L)).as("nd"),
+      sum(when(isIns, 1L).otherwise(0L)).as("ni"))
+    val tot = per.agg(
+      coalesce(max(col("nm")), lit(0L)),
+      coalesce(sum(col("nu")), lit(0L)),
+      coalesce(sum(col("nd")), lit(0L)),
+      coalesce(sum(col("ni")), lit(0L))).first()
+    if (tot.getLong(0) > 1)
+      throw new MultipleMatchException(
+        "merge: a target row matched more than one source row")
+    val (nUpd, nDel, nIns) = (tot.getLong(1), tot.getLong(2), tot.getLong(3))
+
+    // 3. build the rewritten rows. Insert-only merges rewrite no files.
+    val rewriteFiles = updateClause.nonEmpty || deleteClause.nonEmpty
+    val outFilter =
+      if (rewriteFiles) (tPresent && !applyDel) || isIns else isIns
+    val outFields = snap.schema.fields.map { f =>
+      val tCol = col(s"t.`${f.name}`")
+      val insV: Column = insertClause match {
+        case Some((_, Some(vs))) => vs.getOrElse(f.name, lit(null))
+        case Some((_, None))     => col(s"s.`${f.name}`")
+        case None                => lit(null)
+      }
+      val updV: Column = updateClause match {
+        case Some((_, set)) => set.getOrElse(f.name, tCol)
+        case None           => tCol
+      }
+      when(!tPresent, insV).when(applyUpd, updV).otherwise(tCol)
+        .cast(f.dataType).as(f.name)
+    }
+    val rewritten = joined.filter(outFilter).select(outFields.toSeq: _*)
+
+    val removes = if (rewriteFiles) affected else Nil
+    if (removes.isEmpty && nIns == 0)
+      return MergeMetrics(0, nUpd, nDel, 0, snap.version)
+    val adds = GraftWriter.stageFiles(rewritten, path, snap.partitionColumns)
+
+    // 4. one commit: remove rewritten files, add their replacements + inserts
+    val now = System.currentTimeMillis()
+    val txn = log.startTransaction()
+    removes.foreach(f => txn.addAction(RemoveAction(
+      path = f.path, deletionTimestamp = now, dataChange = true,
+      extendedFileMetadata = Some(true),
+      partitionValues = Some(f.partitionValues), size = Some(f.size))))
+    txn.addActions(adds)
+    val info = ActionCodec.mapper.createObjectNode()
+    info.put("timestamp", now)
+    info.put("operation", "MERGE")
+    val params = info.putObject("operationParameters")
+    params.put("predicate", condition.toString)
+    params.put("numFilesRewritten", removes.size)
+    val version = txn.commit(Some(CommitInfoAction(info)))
+    MergeMetrics(removes.size, nUpd, nDel, nIns, version)
+  }
+}
+
+object Merge {
+  /** Start a MERGE INTO the table at `path` from `source` on `condition`
+    * (reference columns as `t.&lt;col&gt;` / `s.&lt;col&gt;`). */
+  def into(spark: SparkSession, path: String, source: DataFrame,
+           condition: Column): MergeBuilder =
+    new MergeBuilder(spark, path, source, condition)
+}

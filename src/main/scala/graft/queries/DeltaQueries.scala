@@ -143,6 +143,33 @@ object DeltaQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // MERGE INTO (upsert): keys <500 untouched, 500-999 updated (max qty per
+    // key + 1000), 1000-1499 inserted. Source is key-deduped (the synthetic
+    // lineitem has duplicate (okey,line) keys, and merge forbids one target
+    // row matching two source rows); the reverse fan-out — one source row
+    // updating several duplicate target rows — is legal and exercised here.
+    // ORDER BY needs all four columns: keys alone are non-unique.
+    "q47_delta_merge" -> { (s, dir) =>
+      val t = freshDir("merge")
+      GraftWriter.write(li(s, dir).filter(col("l_orderkey") < 1000), t)
+      val src = li(s, dir)
+        .filter(col("l_orderkey") >= 500 && col("l_orderkey") < 1500)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg((max("l_quantity") + 1000.0).as("l_quantity"),
+          max("l_returnflag").as("l_returnflag"))
+      Merge.into(s, t, src,
+          col("t.l_orderkey") === col("s.l_orderkey") &&
+          col("t.l_linenumber") === col("s.l_linenumber"))
+        .whenMatchedUpdate(Map("l_quantity" -> col("s.l_quantity")))
+        .whenNotMatchedInsertAll()
+        .execute()
+      DeltaTable.forPath(s, t).toDF
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_quantity").cast("decimal(18,6)") * 1000000).cast("long").as("qty"),
+          col("l_returnflag"))
+        .orderBy("l_orderkey", "l_linenumber", "qty", "l_returnflag")
+    },
+
     // SQL over a Delta table (the reference's delegated-SQL surface,
     // rust/tests/datafusion_test.rs:12-33: register table → run SQL):
     // register the snapshot as a temp view and run an aggregation in
@@ -215,5 +242,25 @@ object DeltaQueries {
         |l_returnflag
         |FROM lineitem WHERE l_orderkey < 1000
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q47_delta_merge" ->
+      """SELECT * FROM (
+        |  SELECT l.l_orderkey, l.l_linenumber,
+        |    CAST(CAST(CASE WHEN l.l_orderkey >= 500 THEN m.mx + 1000 ELSE l.l_quantity END
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS qty,
+        |    l.l_returnflag
+        |  FROM lineitem l
+        |  LEFT JOIN (SELECT l_orderkey, l_linenumber, max(l_quantity) AS mx
+        |             FROM lineitem WHERE l_orderkey >= 500 AND l_orderkey < 1500
+        |             GROUP BY 1, 2) m
+        |    ON l.l_orderkey = m.l_orderkey AND l.l_linenumber = m.l_linenumber
+        |  WHERE l.l_orderkey < 1000
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(CAST(max(l_quantity) + 1000 AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS qty,
+        |    max(l_returnflag) AS l_returnflag
+        |  FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey < 1500
+        |  GROUP BY 1, 2
+        |)
+        |ORDER BY l_orderkey, l_linenumber, qty, l_returnflag""".stripMargin,
   )
 }

@@ -1,0 +1,107 @@
+package graft.delta
+
+import graft.SparkTestBase
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MergeSpec extends AnyFunSuite with SparkTestBase {
+  import LogFixtures.tempTable
+  import spark.implicits._
+
+  test("upsert: update matched, insert unmatched") {
+    val dir = tempTable("merge-upsert").toString
+    GraftWriter.write((0 until 10).map(i => (i.toLong, i * 1.0)).toDF("id", "v"), dir)
+    val src = Seq((5L, 500.0), (6L, 600.0), (20L, 20.0)).toDF("id", "v")
+
+    val m = Merge.into(spark, dir, src, col("t.id") === col("s.id"))
+      .whenMatchedUpdate(Map("v" -> col("s.v")))
+      .whenNotMatchedInsertAll()
+      .execute()
+    assert(m.rowsUpdated == 2 && m.rowsInserted == 1 && m.rowsDeleted == 0)
+
+    val rows = DeltaTable.forPath(spark, dir).toDF
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(rows.size == 11)
+    assert(rows.find(_._1 == 5L).get._2 == 500.0)
+    assert(rows.find(_._1 == 6L).get._2 == 600.0)
+    assert(rows.find(_._1 == 20L).get._2 == 20.0)
+    assert(rows.find(_._1 == 3L).get._2 == 3.0) // untouched
+  }
+
+  test("matched delete clause drops rows; update has priority") {
+    val dir = tempTable("merge-del").toString
+    GraftWriter.write((0 until 10).map(i => (i.toLong, i * 1.0)).toDF("id", "v"), dir)
+    val src = (0 until 10).map(i => (i.toLong, 0.0)).toDF("id", "v")
+
+    val m = Merge.into(spark, dir, src, col("t.id") === col("s.id"))
+      .whenMatchedUpdate(col("t.id") < 3, Map("v" -> lit(-1.0)))
+      .whenMatchedDelete(col("t.id") >= 7)
+      .execute()
+    assert(m.rowsUpdated == 3 && m.rowsDeleted == 3 && m.rowsInserted == 0)
+
+    val rows = DeltaTable.forPath(spark, dir).toDF
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(rows.map(_._1) == (0L until 7L))
+    assert(rows.take(3).forall(_._2 == -1.0))
+    assert(rows.drop(3).forall { case (id, v) => v == id.toDouble })
+  }
+
+  test("insert-only merge rewrites no files and does not duplicate matches") {
+    val dir = tempTable("merge-insonly").toString
+    GraftWriter.write((0 until 10).map(i => (i.toLong, s"n$i")).toDF("id", "v")
+      .repartition(1), dir)
+    val before = DeltaTable.forPath(spark, dir).files.map(_.path).toSet
+    val src = Seq((5L, "dup"), (100L, "new")).toDF("id", "v")
+
+    val m = Merge.into(spark, dir, src, col("t.id") === col("s.id"))
+      .whenNotMatchedInsertAll()
+      .execute()
+    assert(m.filesRewritten == 0 && m.rowsInserted == 1)
+
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(before.subsetOf(dt.files.map(_.path).toSet)) // originals untouched
+    assert(dt.toDF.count() == 11)
+    assert(dt.toDF.filter(col("id") === 5L).count() == 1) // not duplicated
+    assert(dt.toDF.filter(col("id") === 100L).select("v").as[String].head() == "new")
+  }
+
+  test("a target row matching two source rows raises MultipleMatchException") {
+    val dir = tempTable("merge-dup").toString
+    GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir)
+    val src = Seq((1L, "x"), (1L, "y")).toDF("id", "v")
+    intercept[MultipleMatchException] {
+      Merge.into(spark, dir, src, col("t.id") === col("s.id"))
+        .whenMatchedUpdate(Map("v" -> col("s.v"))).execute()
+    }
+    // table unchanged, no commit
+    assert(DeltaTable.forPath(spark, dir).version == 0)
+  }
+
+  test("no-op merge (nothing matched, nothing to insert) commits nothing") {
+    val dir = tempTable("merge-noop").toString
+    GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir)
+    val src = Seq((1L, "x")).toDF("id", "v") // matches, but insert-only merge
+    val m = Merge.into(spark, dir, src, col("t.id") === col("s.id"))
+      .whenNotMatchedInsertAll().execute()
+    assert(m.rowsInserted == 0 && m.version == 0)
+    assert(DeltaTable.forPath(spark, dir).version == 0)
+  }
+
+  test("partitioned upsert keeps the hive layout") {
+    val dir = tempTable("merge-part").toString
+    GraftWriter.write((0 until 40).map(i => (i.toLong, i % 2)).toDF("id", "p"),
+      dir, SaveMode.ErrorIfExists, Seq("p"))
+    val src = Seq((3L, 9), (100L, 9)).toDF("id", "p") // move 3 to p=9, insert 100
+    val m = Merge.into(spark, dir, src, col("t.id") === col("s.id"))
+      .whenMatchedUpdate(Map("p" -> col("s.p")))
+      .whenNotMatchedInsertAll()
+      .execute()
+    assert(m.rowsUpdated == 1 && m.rowsInserted == 1)
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.toDF.count() == 41)
+    assert(dt.files.forall(_.partitionValues.keySet == Set("p")))
+    assert(dt.toDF.filter(col("p") === 9).select("id").as[Long].collect().toSet
+      == Set(3L, 100L))
+  }
+}
