@@ -16,6 +16,9 @@ object Verify {
       // compare sees the same timestamp type the oracle produces.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
+      // run the correctness gate with the engine's optimizer rules active,
+      // so stats-only rewrites and scan re-scoping are oracle-validated too
+      .config("spark.sql.extensions", "graft.delta.GraftSparkExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

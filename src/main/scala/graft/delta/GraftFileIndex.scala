@@ -28,9 +28,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * handful a pruned query touches.
   */
 final class GraftFileIndex(
-    spark: SparkSession,
-    log: DeltaLog,
-    snapshot: Snapshot,
+    private[delta] val spark: SparkSession,
+    private[delta] val log: DeltaLog,
+    private[delta] val snapshot: Snapshot,
     preSelected: Option[Seq[AddAction]] = None) extends FileIndex {
 
   private val tableSchema: StructType = snapshot.schema
@@ -120,8 +120,11 @@ final class GraftFileIndex(
 
   // ---- the prune --------------------------------------------------------
 
-  override def listFiles(partitionFilters: Seq[Expression],
-                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+  /** Steps 1-2 of the prune without the directory grouping — also the
+    * plan-time entry for [[PruneGraftScans]], which re-scopes the index so
+    * `sizeInBytes` (and thus broadcast decisions) reflect the pruned set. */
+  private[delta] def pruneFiles(partitionFilters: Seq[Expression],
+                                dataFilters: Seq[Expression]): Seq[AddAction] = {
     // 1. partition pruning, mirroring PartitioningAwareFileIndex's binding
     val afterPartition =
       if (partitionFilters.isEmpty || partitionSchema.isEmpty) baseFiles
@@ -137,7 +140,12 @@ final class GraftFileIndex(
 
     // 2. stats-based skipping from pushed data filters
     val statsPreds = dataFilters.flatMap(toStats)
-    val selected = StatsPredicate.prune(afterPartition, statsPreds)
+    StatsPredicate.prune(afterPartition, statsPreds)
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val selected = pruneFiles(partitionFilters, dataFilters)
     lastListedFileCount = selected.size
 
     // 3. group by partition tuple → PartitionDirectory

@@ -1,0 +1,63 @@
+package graft.delta
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Plan-time scan re-scoping: fold a `Filter`'s prunable conjuncts into the
+  * [[GraftFileIndex]] itself, so the relation's `sizeInBytes` — the number
+  * the join planner compares against `autoBroadcastJoinThreshold` — reflects
+  * the files the scan will actually read, not the whole table.
+  *
+  * Spark's own `PruneFileSourcePartitions` does exactly this, but only for
+  * `CatalogFileIndex`-backed scans; a custom `FileIndex` is invisible to it.
+  * Without this rule a Delta scan of one partition out of a thousand still
+  * advertises the full-table size and a perfectly broadcastable join side
+  * gets shuffle-planned — at 100 TB that's the difference between a
+  * broadcast and a multi-TB shuffle. Runtime semantics are unchanged (the
+  * `Filter` stays in place; `listFiles` would prune the same set later) —
+  * only the *statistics* move to plan time.
+  *
+  * The reference's analog is pre-scan file pruning feeding its
+  * `statistics()` (`rust/src/delta.rs:733-766`,
+  * `rust/src/delta_datafusion.rs:117-209`).
+  *
+  * Idempotence for the fixed-point optimizer batch: rewrite only when the
+  * prune strictly shrinks the file set.
+  */
+object PruneGraftScans extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(_, lr: LogicalRelation) =>
+      rescope(f, lr).getOrElse(f)
+  }
+
+  private def rescope(f: Filter, lr: LogicalRelation): Option[LogicalPlan] =
+    lr.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location match {
+          case idx: GraftFileIndex =>
+            val conjuncts = splitConjuncts(f.condition).filter(_.deterministic)
+            if (conjuncts.isEmpty) return None
+            val partCols = idx.partitionSchema.fieldNames.toSet
+            val (partFilters, dataFilters) = conjuncts.partition(e =>
+              e.references.nonEmpty && e.references.forall(a => partCols.contains(a.name)))
+            val pruned = idx.pruneFiles(partFilters, dataFilters)
+            if (pruned.size >= idx.statsFiles.size) None
+            else {
+              val newIndex = new GraftFileIndex(idx.spark, idx.log, idx.snapshot, Some(pruned))
+              val newRel = fs.copy(location = newIndex)(fs.sparkSession)
+              Some(f.copy(child = lr.copy(relation = newRel)))
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+}

@@ -104,8 +104,11 @@ object StatsOnlyAggregates extends Rule[LogicalPlan] {
   }
 }
 
-/** `spark.sql.extensions` entry point registering [[StatsOnlyAggregates]]. */
+/** `spark.sql.extensions` entry point registering [[StatsOnlyAggregates]]
+  * and [[PruneGraftScans]]. */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => StatsOnlyAggregates)
+    extensions.injectOptimizerRule(_ => PruneGraftScans)
+  }
 }
