@@ -177,6 +177,40 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Multi-table LSH similar pairs: candidates collide in ANY of `nTables`
+    * independent bucketings ([[Similarity.lshBucketsMulti]]), are deduped
+    * BEFORE verification (each pair's exact integer-cosine check runs once,
+    * however many tables it collided in), then exact-verified — precision
+    * is therefore 1 by construction and recall is 1 − (1 − p^b)^L vs the
+    * single-table p^b of [[embeddingSimilarPairsLsh]].
+    *
+    * Scale shape: per-(table, bucket) self-joins — never all-pairs — then
+    * two key-joins to re-attach vectors to the deduped candidate set. The
+    * candidate count scales with L·Σ_bucket n_b², tunable via b (bucket
+    * granularity) against L (recall). */
+  def embeddingSimilarPairsMultiLsh(vectors: DataFrame, idCol: String, vecCol: String,
+                                    thresholdNum: Long, thresholdDen: Long,
+                                    nTables: Int = 8, nPlanes: Int = 8,
+                                    seed: Int = 42): DataFrame = {
+    import graft.functions.functions.dot_q
+    val bucketed = Similarity.lshBucketsMulti(vectors, idCol, vecCol, nTables, nPlanes, seed)
+    val ca = bucketed.select(col("tbl"), col("bucket"), col(idCol).as("id_a"))
+    val cb = bucketed.select(col("tbl"), col("bucket"), col(idCol).as("id_b"))
+    val cand = ca.join(cb, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val v = vectors.select(col(idCol), col(vecCol).as("e"))
+      .withColumn("nrm", dot_q(col("e"), col("e")))
+    cand
+      .join(v.select(col(idCol).as("id_a"), col("e").as("ea"), col("nrm").as("na")), "id_a")
+      .join(v.select(col(idCol).as("id_b"), col("e").as("eb"), col("nrm").as("nb")), "id_b")
+      .withColumn("dot", dot_q(col("ea"), col("eb")))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * (thresholdDen * thresholdDen) >=
+          col("na") * col("nb") * (thresholdNum * thresholdNum))
+      .select("id_a", "id_b")
+  }
+
   /** 64-bit SimHash per document from its distinct 3-gram-shingle set: bit i
     * is the sign of Σ_shingles (±1 by bit i of xxhash64(shingle)). Shingle
     * features (not unigrams) keep the hash discriminative when documents

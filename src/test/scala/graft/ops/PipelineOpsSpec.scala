@@ -121,6 +121,42 @@ class EmbeddingDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(lsh.subsetOf(brute))
     assert(lsh.contains((0L, 4L))) // identical vectors always share every bucket
   }
+
+  test("multi-table LSH lifts recall over single-table at precision 1") {
+    // deterministic planted corpus: 60 random unit vectors + 30 high-cosine
+    // pairs (unit vector + small perturbation, cos ≈ 0.97-0.99)
+    val rnd = new scala.util.Random(7)
+    def unit(dim: Int): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val dim = 16
+    val noise = (0 until 60).map(i => (i.toLong, unit(dim)))
+    val planted = (0 until 30).flatMap { i =>
+      val a = unit(dim)
+      val e = unit(dim)
+      val b = a.zip(e).map { case (x, p) => x + 0.15f * p }
+      Seq((1000L + 2 * i, a), (1001L + 2 * i, b))
+    }
+    val vecs = (noise ++ planted).toDF("vec_id", "embedding")
+
+    val brute = Dedup.embeddingSimilarPairs(vecs, "vec_id", "embedding", 90, 100)
+      .as[(Long, Long)].collect().toSet
+    val single = Dedup.embeddingSimilarPairsLsh(vecs, "vec_id", "embedding", 90, 100,
+      nPlanes = 8).as[(Long, Long)].collect().toSet
+    val multi = Dedup.embeddingSimilarPairsMultiLsh(vecs, "vec_id", "embedding", 90, 100,
+      nTables = 8, nPlanes = 8).as[(Long, Long)].collect().toSet
+
+    assert(brute.size >= 20) // the plant worked
+    assert(multi.subsetOf(brute)) // precision 1: exact verify after candidates
+    // multi's table 0 uses the same plane range as the single bucketing,
+    // so single candidates are a strict floor for multi
+    assert(single.subsetOf(multi))
+    assert(multi.size > single.size, s"multi=${multi.size} single=${single.size}")
+    assert(multi.size.toDouble / brute.size >= 0.9,
+      s"recall ${multi.size.toDouble / brute.size}")
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite with SparkTestBase {
