@@ -212,7 +212,14 @@ final class DeltaLog private (
 
   // ------------------------------------------------------------- writing
 
-  def startTransaction(): OptimisticTransaction = new OptimisticTransaction(this)
+  /** New transaction pinned to this log's current snapshot. A never-loaded
+    * log is refreshed first so the conflict window starts at the true
+    * latest version, not at -1 (which would classify the table's own
+    * historical commits as conflicts). */
+  def startTransaction(): OptimisticTransaction = {
+    if (snapshot.version < 0) update()
+    new OptimisticTransaction(this)
+  }
 
   /** Write a single-part checkpoint for the current snapshot + update
     * `_last_checkpoint` — `create_checkpoint_from_table`

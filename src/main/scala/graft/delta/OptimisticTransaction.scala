@@ -8,6 +8,25 @@ import org.apache.hadoop.fs.{FileAlreadyExistsException, Path}
 final class CommitConflictException(attempts: Int)
   extends RuntimeException(s"commit failed after $attempts attempts (version conflicts)")
 
+/** A concurrent commit invalidated this transaction; retrying at the next
+  * version would be semantically wrong, so the commit aborts. The caller's
+  * remedy is to re-read the table and redo the operation. */
+sealed abstract class ConcurrentCommitException(msg: String)
+  extends RuntimeException(msg)
+/** A concurrent commit changed the table's metadata or protocol. */
+final class MetadataChangedException(version: Long)
+  extends ConcurrentCommitException(
+    s"concurrent commit $version changed table metadata/protocol")
+/** A concurrent commit appended data a file-rewriting transaction
+  * (DELETE/UPDATE/MERGE/overwrite) did not see. */
+final class ConcurrentAppendException(version: Long)
+  extends ConcurrentCommitException(
+    s"concurrent commit $version appended data this rewrite did not see")
+/** A concurrent commit removed a file this transaction also removes. */
+final class ConcurrentDeleteDeleteException(version: Long, path: String)
+  extends ConcurrentCommitException(
+    s"concurrent commit $version also removed $path")
+
 /** Optimistic-concurrency transaction — the reference's `DeltaTransaction`
   * (`rust/src/delta.rs:986-1416`):
   *
@@ -19,10 +38,31 @@ final class CommitConflictException(attempts: Int)
   *     (`try_commit_transaction`, :998-1014); `AlreadyExists` ⇒ another
   *     writer won that version ⇒ retry with the next one.
   *
-  * Conflict semantics are blind-retry, as in the reference (semantic
-  * conflict resolution is its open TODO, `rust/src/delta.rs:1306-1322`).
+  * Retries are **semantically checked** (the reference leaves this as its
+  * open TODO, `rust/src/delta.rs:1306-1322`, and blind-retries): every
+  * version committed after this transaction's read snapshot is classified
+  * before we attempt (or re-attempt) the rename —
+  *
+  *  - a concurrent metadata/protocol change aborts any transaction
+  *    ([[MetadataChangedException]]);
+  *  - two transactions removing the same file abort the loser
+  *    ([[ConcurrentDeleteDeleteException]]) — the file is already gone;
+  *  - a concurrent `dataChange` append aborts a transaction carrying
+  *    `dataChange` removes ([[ConcurrentAppendException]]): a predicate
+  *    rewrite (DELETE/UPDATE/MERGE/overwrite) did not see the new rows.
+  *    Compactions (`dataChange=false` removes) commute with appends, so
+  *    OPTIMIZE never blocks writers and vice versa — only an overlap of
+  *    removed files conflicts it.
+  *
+  * Append-only transactions therefore retry freely (appends commute), and
+  * the check reads only the commits that actually raced (O(contention),
+  * not O(log)).
   */
 final class OptimisticTransaction(val log: DeltaLog) {
+
+  /** The version this transaction's view of the table is based on. */
+  private val readVersion: Long = log.snapshot.version
+  private var checkedThrough: Long = readVersion
 
   private val actions = mutable.Buffer[Action]()
 
@@ -44,21 +84,47 @@ final class OptimisticTransaction(val log: DeltaLog) {
   def commit(operation: Option[CommitInfoAction] = None,
              maxAttempts: Int = OptimisticTransaction.MaxRetryCommitAttempts): Long = {
     val tmp = prepareCommit(operation.toSeq)
+    val ourRemoves = actions.collect { case r: RemoveAction => r.path }.toSet
+    val ourDataChangeRemoves = actions.exists {
+      case r: RemoveAction => r.dataChange
+      case _ => false
+    }
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
-      val target = log.latestVersion() + 1
+      val latest = log.latestVersion()
       try {
-        log.store.renameNoReplace(tmp, log.commitFile(target))
+        // classify every commit that landed since our read snapshot before
+        // (re-)attempting; an incompatible winner aborts instead of retrying
+        while (checkedThrough < latest) {
+          checkedThrough += 1
+          checkConflict(checkedThrough, ourRemoves, ourDataChangeRemoves)
+        }
+        log.store.renameNoReplace(tmp, log.commitFile(latest + 1))
         log.update()
-        return target
+        return latest + 1
       } catch {
-        case _: FileAlreadyExistsException => () // lost the race; retry at next version
+        case _: FileAlreadyExistsException => () // lost the race; re-check and retry
+        case e: ConcurrentCommitException =>
+          log.store.delete(tmp)
+          throw e
       }
     }
     log.store.delete(tmp)
     throw new CommitConflictException(maxAttempts)
   }
+
+  private def checkConflict(version: Long, ourRemoves: Set[String],
+                            ourDataChangeRemoves: Boolean): Unit =
+    log.readCommit(version).foreach {
+      case _: MetaDataAction | _: ProtocolAction =>
+        throw new MetadataChangedException(version)
+      case r: RemoveAction if ourRemoves.contains(r.path) =>
+        throw new ConcurrentDeleteDeleteException(version, r.path)
+      case a: AddAction if a.dataChange && ourDataChangeRemoves =>
+        throw new ConcurrentAppendException(version)
+      case _ => () // their appends/compactions commute with ours
+    }
 }
 
 object OptimisticTransaction {
