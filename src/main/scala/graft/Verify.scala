@@ -21,6 +21,11 @@ object Verify {
       .config("spark.sql.extensions", "graft.delta.GraftSparkExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // static-conf extensions only apply at first-session creation; fail fast
+    // if that assumption ever breaks rather than silently running un-ruled
+    require(spark.sessionState.analyzer.postHocResolutionRules
+        .exists(_.isInstanceOf[graft.delta.GraftDeltaInserts.type]),
+      "GraftSparkExtensions not applied — extensions config must precede session creation")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -1,12 +1,63 @@
 package graft.delta
 
-import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.{Sink, Source}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
+
+/** The relation `format("graft-delta")` reads resolve to: a
+  * [[HadoopFsRelation]] over the snapshot's [[GraftFileIndex]] (so scans
+  * keep whole-stage-codegen parquet reading, partition pruning and stats
+  * skipping), plus [[InsertableRelation]] so `INSERT INTO` / `INSERT
+  * OVERWRITE` on a catalog table route through the transaction log.
+  *
+  * The insert hook is load-bearing for correctness, not a convenience:
+  * Spark's analyzer prefers the `InsertableRelation` plan
+  * (`InsertIntoDataSourceCommand`) over the raw-`HadoopFsRelation` path
+  * (`InsertIntoHadoopFsRelationCommand`) — and the latter writes parquet
+  * files straight into the table directory with **no log commit**,
+  * producing orphan data invisible to every snapshot. */
+/** Parquet format whose WRITE path is disabled: any plan that tries to
+  * write files directly through the relation (Spark's
+  * `InsertIntoHadoopFsRelationCommand`, reached for partitioned-table
+  * INSERTs when [[GraftSparkExtensions]] is not registered) fails before a
+  * single file lands, instead of silently committing nothing to the log.
+  * Reads are untouched. */
+final class GraftParquetFileFormat extends ParquetFileFormat {
+  override def prepareWrite(sparkSession: SparkSession,
+                            job: org.apache.hadoop.mapreduce.Job,
+                            options: Map[String, String],
+                            dataSchema: StructType): org.apache.spark.sql.execution.datasources.OutputWriterFactory =
+    throw new IllegalStateException(
+      "direct file writes would bypass the graft-delta transaction log; set " +
+      "spark.sql.extensions=graft.delta.GraftSparkExtensions so INSERT INTO " +
+      "partitioned graft-delta tables commits through the log")
+}
+
+final class GraftDeltaRelation(
+    index: GraftFileIndex, timeTravel: Boolean, spark: SparkSession)
+  extends HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
+    None, new GraftParquetFileFormat(), Map.empty)(spark)
+  with InsertableRelation {
+
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    if (timeTravel) throw new IllegalStateException(
+      "cannot INSERT into a time-travel (versionAsOf/timestampAsOf) relation")
+    // the query's columns arrive positionally aligned (and already cast) to
+    // this relation's output = dataSchema ++ partitionSchema; rename
+    // positionally, then restore the table's declared column order
+    val renamed = data.toDF(schema.fieldNames.toSeq: _*)
+    val ordered = renamed.select(index.snapshot.schema.fieldNames.map(col).toSeq: _*)
+    GraftWriter.write(ordered, index.log.tablePath.toString,
+      if (overwrite) SaveMode.Overwrite else SaveMode.Append,
+      index.snapshot.partitionColumns)
+    index.log.update()
+  }
+}
 
 /** `format("graft-delta")` packaging — the idiomatic Spark entry points over
   * the engine, so a user needs no graft imports at the call site:
@@ -41,14 +92,15 @@ final class GraftDeltaSource extends RelationProvider
                               parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
+    val timeTravel = parameters.contains("versionAsOf") || parameters.contains("timestampAsOf")
     val table = (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {
       case (Some(v), _) => DeltaTable.forPath(spark, path, v.toLong)
       case (None, Some(ts)) => DeltaTable.forPathAsOf(spark, path, ts.toLong)
       case _ => DeltaTable.forPath(spark, path)
     }
-    val index = new GraftFileIndex(spark, table.log, table.snapshot)
-    HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
-      None, new ParquetFileFormat(), Map.empty)(spark)
+    val index = new GraftFileIndex(spark, table.log, table.snapshot,
+      live = !timeTravel)
+    new GraftDeltaRelation(index, timeTravel, spark)
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,

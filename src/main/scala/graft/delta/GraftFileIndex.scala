@@ -31,7 +31,8 @@ final class GraftFileIndex(
     private[delta] val spark: SparkSession,
     private[delta] val log: DeltaLog,
     private[delta] val snapshot: Snapshot,
-    preSelected: Option[Seq[AddAction]] = None) extends FileIndex {
+    preSelected: Option[Seq[AddAction]] = None,
+    private[delta] val live: Boolean = false) extends FileIndex {
 
   private val tableSchema: StructType = snapshot.schema
   private val partCols: Seq[String] = snapshot.partitionColumns
@@ -42,7 +43,16 @@ final class GraftFileIndex(
   def dataSchema: StructType =
     StructType(tableSchema.fields.filterNot(f => partCols.contains(f.name)))
 
-  private val baseFiles: Seq[AddAction] = preSelected.getOrElse(snapshot.files)
+  /** `live` indices (the catalog/format read path) re-resolve the latest
+    * snapshot per listing, so a cached `LogicalRelation` still reads current
+    * data after commits (read-your-writes through a catalog table name).
+    * The incremental `update()` costs one log-dir listing when nothing
+    * changed. Pinned indices (explicit DeltaTable handles, time travel,
+    * DML rewrites) keep their construction-time file set. The schema is
+    * always construction-time — a concurrent metadata change requires
+    * re-resolving the relation, as with any Spark catalog table. */
+  private def baseFiles: Seq[AddAction] =
+    preSelected.getOrElse(if (live) log.update().files else snapshot.files)
 
   /** Files this scan covers — the stats substrate for plan-time rewrites
     * (see [[StatsOnlyAggregates]]). */

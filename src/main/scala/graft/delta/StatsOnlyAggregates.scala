@@ -110,5 +110,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => StatsOnlyAggregates)
     extensions.injectOptimizerRule(_ => PruneGraftScans)
+    extensions.injectPostHocResolutionRule(_ => GraftDeltaInserts)
   }
 }

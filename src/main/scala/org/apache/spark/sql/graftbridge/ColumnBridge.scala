@@ -14,6 +14,14 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** `Dataset.ofRows` — materialize an analyzed logical plan as a DataFrame
+    * (needed by command `run` implementations; `classic.Dataset` is
+    * `private[sql]`). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Rebind a streaming micro-batch DataFrame as a batch DataFrame over the
     * same physical rows (what `foreachBatch` does internally) so a V1
     * `Sink.addBatch` implementation can run ordinary batch writes on it. */
