@@ -1,0 +1,206 @@
+package graft.delta
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.LongType
+
+/** SQL `DELETE FROM` / `UPDATE` / `MERGE INTO` over graft-delta catalog
+  * tables, routed to the engine's copy-on-write DML ([[Dml]], [[Merge]]).
+  *
+  * Spark only supports these statements against DataSource-V2 catalogs —
+  * `ResolveSessionCatalog` rejects a V1 table with UNSUPPORTED_FEATURE
+  * before any injected resolution rule can run (the Resolution batch throws
+  * mid-iteration). So this rule is injected into the **Hints** batch, which
+  * the analyzer runs before Resolution: it sees the freshly parsed
+  * `DeleteFromTable`/`UpdateTable`/`MergeIntoTable` nodes, resolves the
+  * target name against the session catalog itself, and — only when the
+  * provider is graft-delta — swaps the statement for a runnable command.
+  * Conditions and assignment values are kept as unresolved expressions and
+  * resolve naturally against the table scan (or merge join) inside the
+  * command, after alias qualifiers are remapped (`DELETE FROM tbl x WHERE
+  * x.id…` → bare `id`; merge aliases → the engine's `t`/`s`).
+  *
+  * Each command returns `num_affected_rows`, and every mutation is one
+  * optimistic log commit with the usual conflict checks.
+  */
+final class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  import GraftSqlDml.{InsertClause, MatchedClause, MatchedDelete, MatchedUpdate, MatchedUpdateStar}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    // conditions/assignments are converted to opaque Columns here: a command
+    // must not expose unresolved Expressions through its constructor fields
+    // or checkAnalysis rejects it before run() can resolve them itself
+    case DeleteFromTable(GraftTarget(path, quals), condition) =>
+      GraftSqlDeleteCommand(path, colOf(stripQuals(condition, quals)))
+
+    case UpdateTable(GraftTarget(path, quals), assignments, condition) =>
+      GraftSqlUpdateCommand(path,
+        assignments.map(a => (lastName(a.key), colOf(stripQuals(a.value, quals)))),
+        condition.map(c => colOf(stripQuals(c, quals))))
+
+    case m @ MergeIntoTable(GraftTarget(path, tQuals), _, _, _, _, _, _) =>
+      if (m.notMatchedBySourceActions.nonEmpty)
+        throw new IllegalArgumentException(
+          "graft-delta MERGE does not support WHEN NOT MATCHED BY SOURCE")
+      val sAlias = m.sourceTable match {
+        case SubqueryAlias(ident, _) => Set(ident.name)
+        case _ => Set.empty[String]
+      }
+      // remap user aliases onto the engine's canonical t/s aliases
+      def requalify(e: Expression): Column = colOf(e.transformUp {
+        case a: UnresolvedAttribute if a.nameParts.size > 1 =>
+          if (tQuals.contains(a.nameParts.head) ||
+              (a.nameParts.size > 2 && tQuals.contains(a.nameParts.init.mkString("."))))
+            UnresolvedAttribute(Seq("t", a.nameParts.last))
+          else if (sAlias.contains(a.nameParts.head))
+            UnresolvedAttribute(Seq("s", a.nameParts.last))
+          else a
+      })
+      def cond(c: Option[Expression]): Column =
+        c.map(requalify).getOrElse(org.apache.spark.sql.functions.lit(true))
+      def assigns(as: Seq[Assignment]): Map[String, Column] =
+        as.map(a => lastName(a.key) -> requalify(a.value)).toMap
+      val matched: Seq[MatchedClause] = m.matchedActions.map {
+        case u: UpdateAction     => MatchedUpdate(cond(u.condition), assigns(u.assignments))
+        case u: UpdateStarAction => MatchedUpdateStar(cond(u.condition))
+        case d: DeleteAction     => MatchedDelete(cond(d.condition))
+        case other => throw new IllegalArgumentException(
+          s"graft-delta MERGE: unsupported matched action $other")
+      }
+      val inserts: Seq[InsertClause] = m.notMatchedActions.map {
+        case i: InsertAction     => InsertClause(cond(i.condition), Some(assigns(i.assignments)))
+        case i: InsertStarAction => InsertClause(cond(i.condition), None)
+        case other => throw new IllegalArgumentException(
+          s"graft-delta MERGE: unsupported not-matched action $other")
+      }
+      GraftSqlMergeCommand(path, m.sourceTable, requalify(m.mergeCondition),
+        matched, inserts)
+  }
+
+  private def colOf(e: Expression): Column = ColumnBridge.column(e)
+
+  private def lastName(e: Expression): String = e match {
+    case a: UnresolvedAttribute => a.nameParts.last
+    case other => other.sql
+  }
+
+  /** Drop leading qualifier parts naming the table/alias so the predicate
+    * resolves against a bare table scan. */
+  private def stripQuals(e: Expression, quals: Set[String]): Expression =
+    e.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.size > 1 =>
+        var parts = a.nameParts
+        while (parts.size > 1 && quals.contains(parts.head)) parts = parts.tail
+        if (parts eq a.nameParts) a else UnresolvedAttribute(parts)
+    }
+
+  /** Matches a DML target that is a graft-delta catalog table; yields the
+    * table path and the qualifier names (alias, table, db, catalog) that may
+    * prefix column references. */
+  private object GraftTarget {
+    def unapply(p: LogicalPlan): Option[(String, Set[String])] = p match {
+      case SubqueryAlias(ident, child) =>
+        unapply(child).map { case (path, quals) => (path, quals + ident.name) }
+      case u: UnresolvedRelation => lookup(u.multipartIdentifier)
+      case _ => None
+    }
+
+    private def lookup(nameParts: Seq[String]): Option[(String, Set[String])] = {
+      val ident = nameParts match {
+        case Seq(t) => TableIdentifier(t)
+        case Seq(db, t) => TableIdentifier(t, Some(db))
+        case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
+          TableIdentifier(t, Some(db))
+        case _ => return None
+      }
+      try {
+        val catalog = spark.sessionState.catalog
+        if (!catalog.tableExists(ident)) return None
+        val meta = catalog.getTableMetadata(ident)
+        if (!meta.provider.exists(_.equalsIgnoreCase("graft-delta"))) return None
+        val path = meta.storage.properties.get("path")
+          .orElse(meta.storage.locationUri.map(_.getPath))
+        path.map((_, nameParts.toSet + ident.table))
+      } catch { case _: Exception => None }
+    }
+  }
+}
+
+private[delta] object GraftSqlDml {
+  val affectedRows: Seq[Attribute] =
+    Seq(AttributeReference("num_affected_rows", LongType, nullable = false)())
+
+  sealed trait MatchedClause
+  final case class MatchedUpdate(cond: Column, set: Map[String, Column]) extends MatchedClause
+  final case class MatchedUpdateStar(cond: Column) extends MatchedClause
+  final case class MatchedDelete(cond: Column) extends MatchedClause
+  /** `values = None` ⇒ INSERT * (all target columns from same-named source). */
+  final case class InsertClause(cond: Column, values: Option[Map[String, Column]])
+}
+
+final case class GraftSqlDeleteCommand(path: String, condition: Column)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlDml.affectedRows
+  override def run(session: SparkSession): Seq[Row] = {
+    val m = Dml.delete(session, path, condition)
+    Seq(Row(m.rowsAffected))
+  }
+}
+
+final case class GraftSqlUpdateCommand(path: String,
+    assignments: Seq[(String, Column)], condition: Option[Column])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlDml.affectedRows
+  override def run(session: SparkSession): Seq[Row] = {
+    val cond = condition.getOrElse(org.apache.spark.sql.functions.lit(true))
+    val m = Dml.update(session, path, cond, assignments.toMap)
+    Seq(Row(m.rowsAffected))
+  }
+}
+
+final case class GraftSqlMergeCommand(path: String, source: LogicalPlan,
+    condition: Column, matchedClauses: Seq[GraftSqlDml.MatchedClause],
+    insertClauses: Seq[GraftSqlDml.InsertClause])
+  extends LeafRunnableCommand {
+  import GraftSqlDml._
+
+  override val output: Seq[Attribute] = GraftSqlDml.affectedRows
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val sourceDf = ColumnBridge.ofRows(session, source)
+    val schema = DeltaTable.forPath(session, path).schema
+    def starSet: Map[String, Column] = schema.fieldNames.map(f =>
+      f -> org.apache.spark.sql.functions.col(s"s.`$f`")).toMap
+
+    var b = Merge.into(session, path, sourceDf, condition)
+    // SQL MERGE is first-matching-clause-wins in listed order; the builder's
+    // fixed update-over-delete priority is neutralized by guarding each
+    // clause with the negation of all earlier clauses' conditions
+    var priorMiss: Column = org.apache.spark.sql.functions.lit(true)
+    def ordered(c: Column): Column = {
+      val effective = c && priorMiss
+      priorMiss = priorMiss &&
+        !org.apache.spark.sql.functions.coalesce(c, org.apache.spark.sql.functions.lit(false))
+      effective
+    }
+    matchedClauses.foreach {
+      case MatchedUpdate(c, set)  => b = b.whenMatchedUpdate(ordered(c), set)
+      case MatchedUpdateStar(c)   => b = b.whenMatchedUpdate(ordered(c), starSet)
+      case MatchedDelete(c)       => b = b.whenMatchedDelete(ordered(c))
+    }
+    insertClauses.foreach {
+      case InsertClause(c, Some(values)) => b = b.whenNotMatchedInsert(c, values)
+      case InsertClause(c, None)         => b = b.whenNotMatchedInsert(c, starSet)
+    }
+    val m = b.execute()
+    Seq(Row(m.rowsUpdated + m.rowsDeleted + m.rowsInserted))
+  }
+}

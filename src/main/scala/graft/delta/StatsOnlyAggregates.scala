@@ -111,5 +111,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectOptimizerRule(_ => StatsOnlyAggregates)
     extensions.injectOptimizerRule(_ => PruneGraftScans)
     extensions.injectPostHocResolutionRule(_ => GraftDeltaInserts)
+    extensions.injectHintResolutionRule(session => new GraftSqlDml(session))
   }
 }

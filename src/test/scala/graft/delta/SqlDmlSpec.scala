@@ -1,0 +1,92 @@
+package graft.delta
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL DELETE/UPDATE/MERGE over graft-delta catalog tables (GraftSqlDml
+  * hint-stage rewrite; requires GraftSparkExtensions, like Delta Lake). */
+class SqlDmlSpec extends AnyFunSuite with SparkTestBase {
+  import LogFixtures.tempTable
+  import spark.implicits._
+
+  private def ext = InsertIntoSpec.extensionSession(spark)
+
+  private def mkTable(name: String, tbl: String): String = {
+    val dir = tempTable(name).toString
+    GraftWriter.write((0 until 10).map(i => (i.toLong, i * 1.0)).toDF("id", "v"), dir)
+    ext.sql(s"CREATE TABLE $tbl USING `graft-delta` OPTIONS (path '$dir')")
+    dir
+  }
+
+  test("DELETE FROM with alias-qualified predicate") {
+    val dir = mkTable("sqldml-del", "g_del")
+    try {
+      val out = ext.sql("DELETE FROM g_del x WHERE x.id < 3").collect()
+      assert(out.map(_.getLong(0)).toSeq == Seq(3L))
+      assert(ext.sql("SELECT count(*) FROM g_del").head().getLong(0) == 7)
+      assert(DeltaLog.forPath(ext, dir).update().version == 1)
+    } finally ext.sql("DROP TABLE g_del")
+  }
+
+  test("UPDATE SET with expression referencing the row") {
+    val dir = mkTable("sqldml-upd", "g_upd")
+    try {
+      val out = ext.sql("UPDATE g_upd SET v = v + 100 WHERE id >= 8").collect()
+      assert(out.map(_.getLong(0)).toSeq == Seq(2L))
+      val rows = ext.sql("SELECT id, v FROM g_upd ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(rows.count { case (id, v) => v == id + 100.0 } == 2)
+      assert(rows.count { case (id, v) => v == id.toDouble } == 8)
+      assert(DeltaLog.forPath(ext, dir).update().version == 1)
+    } finally ext.sql("DROP TABLE g_upd")
+  }
+
+  test("MERGE INTO with custom aliases, UPDATE SET and INSERT *") {
+    val dir = mkTable("sqldml-merge", "g_mrg")
+    try {
+      val out = ext.sql(
+        """MERGE INTO g_mrg tgt
+          |USING (SELECT 5 AS id, 500.0 AS v UNION ALL SELECT 50 AS id, 50.0 AS v) src
+          |ON tgt.id = src.id
+          |WHEN MATCHED THEN UPDATE SET v = src.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      assert(out.map(_.getLong(0)).toSeq == Seq(2L)) // 1 update + 1 insert
+      val rows = ext.sql("SELECT id, v FROM g_mrg ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(rows.length == 11)
+      assert(rows.find(_._1 == 5L).get._2 == 500.0)
+      assert(rows.find(_._1 == 50L).get._2 == 50.0)
+    } finally ext.sql("DROP TABLE g_mrg")
+  }
+
+  test("MERGE with UPDATE SET * and WHEN MATCHED DELETE condition") {
+    val dir = mkTable("sqldml-merge2", "g_mrg2")
+    try {
+      ext.sql(
+        """MERGE INTO g_mrg2 t2
+          |USING (SELECT 1 AS id, -1.0 AS v UNION ALL SELECT 2 AS id, -2.0 AS v) s2
+          |ON t2.id = s2.id
+          |WHEN MATCHED AND t2.id = 2 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin).collect()
+      val rows = ext.sql("SELECT id, v FROM g_mrg2 ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(rows.length == 9) // id=2 deleted
+      assert(!rows.exists(_._1 == 2L))
+      assert(rows.find(_._1 == 1L).get._2 == -1.0)
+    } finally ext.sql("DROP TABLE g_mrg2")
+  }
+
+  test("DML statements on non-graft tables keep Spark's normal behavior") {
+    val dir = tempTable("sqldml-plain").toString
+    (0 until 5).map(i => (i.toLong, s"x$i")).toDF("id", "v")
+      .write.mode("overwrite").parquet(dir)
+    ext.sql(s"CREATE TABLE plain_pq USING parquet OPTIONS (path '$dir')")
+    try {
+      val e = intercept[Exception] {
+        ext.sql("DELETE FROM plain_pq WHERE id = 1")
+      }
+      assert(e.getMessage.contains("does not support DELETE"))
+    } finally ext.sql("DROP TABLE plain_pq")
+  }
+}
