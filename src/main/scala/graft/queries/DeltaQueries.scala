@@ -170,6 +170,27 @@ object DeltaQueries {
         .orderBy("l_orderkey", "l_linenumber", "qty", "l_returnflag")
     },
 
+    // Full SQL DML path: CREATE TABLE → SQL DELETE → SQL UPDATE → read back.
+    // Exercises the GraftSqlDml hint-stage rewrite end-to-end in the gate
+    // session (whose extensions Verify asserts at startup). Semantics:
+    // delete qty>30 rows, then bump remaining 'A'-flag rows by 50.
+    "q48_sql_dml" -> { (s, dir) =>
+      val t = freshDir("sqldml")
+      GraftWriter.write(li(s, dir).filter(col("l_orderkey") < 1000), t)
+      s.sql("DROP TABLE IF EXISTS graft_gate_dml")
+      s.sql(s"CREATE TABLE graft_gate_dml USING `graft-delta` OPTIONS (path '$t')")
+      s.sql("DELETE FROM graft_gate_dml WHERE l_quantity > 30")
+      s.sql("UPDATE graft_gate_dml SET l_quantity = l_quantity + 50 WHERE l_returnflag = 'A'")
+      val out = s.sql(
+        """SELECT l_orderkey, l_linenumber,
+          |CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS qty,
+          |l_returnflag
+          |FROM graft_gate_dml
+          |ORDER BY l_orderkey, l_linenumber, qty, l_returnflag""".stripMargin)
+      s.sql("DROP TABLE graft_gate_dml")
+      out
+    },
+
     // SQL over a Delta table (the reference's delegated-SQL surface,
     // rust/tests/datafusion_test.rs:12-33: register table → run SQL):
     // register the snapshot as a temp view and run an aggregation in
@@ -242,6 +263,13 @@ object DeltaQueries {
         |l_returnflag
         |FROM lineitem WHERE l_orderkey < 1000
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q48_sql_dml" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CAST(CAST(CASE WHEN l_returnflag = 'A' THEN l_quantity + 50 ELSE l_quantity END
+        |  AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS qty,
+        |l_returnflag
+        |FROM lineitem WHERE l_orderkey < 1000 AND NOT (l_quantity > 30)
+        |ORDER BY l_orderkey, l_linenumber, qty, l_returnflag""".stripMargin,
     "q47_delta_merge" ->
       """SELECT * FROM (
         |  SELECT l.l_orderkey, l.l_linenumber,
