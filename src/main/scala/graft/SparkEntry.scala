@@ -8,7 +8,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[graft.queries.Relational]]: relational parity with the reference's
   *    delegated engines (DataFusion/PyArrow) — q1–q16, q36–q38, q44;
   *  - [[graft.queries.DeltaQueries]]: end-to-end Delta-log-engine queries
-  *    (write → log replay → pruned scan vs oracle) — q17–q21, q39–q40, q42;
+  *    (write → log replay → pruned scan vs oracle) — q17–q21, q39–q40, q42,
+  *    plus DML: API DELETE/UPDATE/MERGE q45–q47 and SQL DML q48;
   *  - [[graft.queries.PipelineQueries]]: LLM-data-pipeline operators
   *    (dedup, similarity, text analysis, windows, multimodal) — q22–q35,
   *    q41, q43.
