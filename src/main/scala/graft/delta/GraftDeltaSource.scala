@@ -109,7 +109,8 @@ final class GraftDeltaSource extends RelationProvider
     val path = pathOf(parameters)
     val partitionBy = parameters.get("partitionBy")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    GraftWriter.write(data, path, mode, partitionBy)
+    val mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean)
+    GraftWriter.write(data, path, mode, partitionBy, mergeSchema)
     createRelation(sqlContext, parameters)
   }
 

@@ -31,10 +31,17 @@ final class SchemaMismatchException(msg: String) extends IllegalArgumentExceptio
   */
 object GraftWriter {
 
-  /** Write `df` to `path` as a Delta table; returns the committed version. */
+  /** Write `df` to `path` as a Delta table; returns the committed version.
+    *
+    * `mergeSchema = true` enables schema evolution on an existing table:
+    * columns shared by name must keep their exact type, and df-only columns
+    * are appended (nullable) to the table schema via a new `metaData` action
+    * in the same commit — old files simply null-fill them on read (by-name
+    * parquet resolution). Partition columns can never change. */
   def write(df: DataFrame, path: String,
             mode: SaveMode = SaveMode.ErrorIfExists,
-            partitionBy: Seq[String] = Nil): Long = {
+            partitionBy: Seq[String] = Nil,
+            mergeSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
@@ -53,14 +60,31 @@ object GraftWriter {
     if (exists && partCols != snap.partitionColumns)
       throw new SchemaMismatchException(
         s"partition columns $partCols != table's ${snap.partitionColumns}")
+    var evolvedMetadata: Option[MetaDataAction] = None
     if (exists) {
-      // Schema must match the table's (the reference rejects mismatched
-      // record batches, rust/src/writer.rs:229-248); nullability is not
-      // load-bearing for parquet round-trips, names+types are.
       val tbl = snap.schema.fields.map(f => (f.name, f.dataType)).toSeq
       val inc = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
-      if (tbl != inc)
-        throw new SchemaMismatchException(s"schema mismatch: table=$tbl incoming=$inc")
+      if (mergeSchema) {
+        val tblTypes = tbl.toMap
+        val conflicts = inc.collect {
+          case (n, dt) if tblTypes.get(n).exists(_ != dt) =>
+            s"$n: table=${tblTypes(n)} incoming=$dt"
+        }
+        if (conflicts.nonEmpty) throw new SchemaMismatchException(
+          s"mergeSchema type conflicts: ${conflicts.mkString("; ")}")
+        val newFields = df.schema.fields.filterNot(f =>
+          snap.schema.fieldNames.contains(f.name)).map(_.copy(nullable = true))
+        if (newFields.nonEmpty)
+          evolvedMetadata = Some(snap.metadata.get.copy(
+            schemaString = DeltaSchema.toJson(
+              org.apache.spark.sql.types.StructType(snap.schema.fields ++ newFields))))
+      } else {
+        // Schema must match the table's (the reference rejects mismatched
+        // record batches, rust/src/writer.rs:229-248); nullability is not
+        // load-bearing for parquet round-trips, names+types are.
+        if (tbl != inc)
+          throw new SchemaMismatchException(s"schema mismatch: table=$tbl incoming=$inc")
+      }
     }
     val missing = partCols.filterNot(df.schema.fieldNames.contains)
     if (missing.nonEmpty)
@@ -80,6 +104,7 @@ object GraftWriter {
         createdTime = Some(now),
         configuration = Map.empty))
     }
+    evolvedMetadata.foreach(txn.addAction)
     if (exists && mode == SaveMode.Overwrite)
       snap.files.foreach(f => txn.addAction(RemoveAction(
         path = f.path, deletionTimestamp = now, dataChange = true,

@@ -170,6 +170,22 @@ object DeltaQueries {
         .orderBy("l_orderkey", "l_linenumber", "qty", "l_returnflag")
     },
 
+    // Schema evolution: first batch lacks l_returnflag; second batch appends
+    // it via mergeSchema. Old rows null-fill the evolved column on read.
+    "q49_schema_evolution" -> { (s, dir) =>
+      val t = freshDir("evolve")
+      val base = li(s, dir).select("l_orderkey", "l_linenumber", "l_quantity")
+      GraftWriter.write(base.filter(col("l_orderkey") < 500), t)
+      GraftWriter.write(
+        li(s, dir).filter(col("l_orderkey") >= 500 && col("l_orderkey") < 1000),
+        t, SaveMode.Append, mergeSchema = true)
+      DeltaTable.forPath(s, t).toDF
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_quantity").cast("decimal(18,6)") * 1000000).cast("long").as("qty"),
+          coalesce(col("l_returnflag"), lit("-")).as("flag"))
+        .orderBy("l_orderkey", "l_linenumber", "qty", "flag")
+    },
+
     // Full SQL DML path: CREATE TABLE → SQL DELETE → SQL UPDATE → read back.
     // Exercises the GraftSqlDml hint-stage rewrite end-to-end in the gate
     // session (whose extensions Verify asserts at startup). Semantics:
@@ -263,6 +279,12 @@ object DeltaQueries {
         |l_returnflag
         |FROM lineitem WHERE l_orderkey < 1000
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q49_schema_evolution" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS qty,
+        |CASE WHEN l_orderkey >= 500 THEN l_returnflag ELSE '-' END AS flag
+        |FROM lineitem WHERE l_orderkey < 1000
+        |ORDER BY l_orderkey, l_linenumber, qty, flag""".stripMargin,
     "q48_sql_dml" ->
       """SELECT l_orderkey, l_linenumber,
         |CAST(CAST(CASE WHEN l_returnflag = 'A' THEN l_quantity + 50 ELSE l_quantity END

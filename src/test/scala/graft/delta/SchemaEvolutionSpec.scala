@@ -1,0 +1,76 @@
+package graft.delta
+
+import graft.SparkTestBase
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SchemaEvolutionSpec extends AnyFunSuite with SparkTestBase {
+  import LogFixtures.tempTable
+  import spark.implicits._
+
+  test("mergeSchema append adds columns; old rows null-fill on read") {
+    val dir = tempTable("evolve").toString
+    GraftWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    val v = GraftWriter.write(Seq((3L, "c", 30.0)).toDF("id", "v", "score"),
+      dir, SaveMode.Append, mergeSchema = true)
+    assert(v == 1)
+
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.schema.fieldNames.toSeq == Seq("id", "v", "score"))
+    assert(dt.schema("score").nullable)
+    val rows = dt.toDF.orderBy("id")
+      .select(col("id"), col("score")).as[(Long, Option[Double])].collect().toSeq
+    assert(rows == Seq((1L, None), (2L, None), (3L, Some(30.0))))
+  }
+
+  test("append with new columns and no mergeSchema is rejected") {
+    val dir = tempTable("evolve-strict").toString
+    GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir)
+    intercept[SchemaMismatchException] {
+      GraftWriter.write(Seq((2L, "b", 1.0)).toDF("id", "v", "x"),
+        dir, SaveMode.Append)
+    }
+    assert(DeltaLog.forPath(spark, dir).update().version == 0)
+  }
+
+  test("mergeSchema type conflict on a shared column is rejected") {
+    val dir = tempTable("evolve-conflict").toString
+    GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir)
+    val e = intercept[SchemaMismatchException] {
+      GraftWriter.write(Seq((2L, 99)).toDF("id", "v"), // v: int vs string
+        dir, SaveMode.Append, mergeSchema = true)
+    }
+    assert(e.getMessage.contains("type conflicts"))
+  }
+
+  test("time travel to a pre-evolution version shows the old schema") {
+    val dir = tempTable("evolve-tt").toString
+    GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir)
+    GraftWriter.write(Seq((2L, "b", 1.5)).toDF("id", "v", "score"),
+      dir, SaveMode.Append, mergeSchema = true)
+    assert(DeltaTable.forPath(spark, dir, 0).schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(DeltaTable.forPath(spark, dir).schema.fieldNames.toSeq == Seq("id", "v", "score"))
+  }
+
+  test("format writer honors the mergeSchema option") {
+    val dir = tempTable("evolve-fmt").toString
+    Seq((1L, "a")).toDF("id", "v").write.format("graft-delta").save(dir)
+    Seq((2L, "b", 7L)).toDF("id", "v", "n").write.format("graft-delta")
+      .mode("append").option("mergeSchema", "true").save(dir)
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.schema.fieldNames.toSeq == Seq("id", "v", "n"))
+    assert(dt.toDF.count() == 2)
+  }
+
+  test("overwrite with mergeSchema keeps prior columns in the schema") {
+    val dir = tempTable("evolve-ow").toString
+    GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir)
+    GraftWriter.write(Seq((9L, 1.0)).toDF("id", "w"),
+      dir, SaveMode.Overwrite, mergeSchema = true)
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.schema.fieldNames.toSeq == Seq("id", "v", "w"))
+    val row = dt.toDF.select("id", "v", "w").as[(Long, Option[String], Option[Double])].head()
+    assert(row == ((9L, None, Some(1.0))))
+  }
+}
