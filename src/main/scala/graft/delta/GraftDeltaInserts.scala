@@ -26,34 +26,75 @@ object GraftDeltaInserts extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case c: InsertIntoHadoopFsRelationCommand
         if c.fileIndex.exists(_.isInstanceOf[GraftFileIndex]) =>
-      if (c.staticPartitions.nonEmpty) throw new IllegalArgumentException(
-        "graft-delta: static partition spec in INSERT is not supported; " +
-        "include the partition columns in the inserted data instead")
+      // static partition values are already folded into the query as
+      // literal columns by PreprocessTableInsertion; the spec is still
+      // needed to scope an INSERT OVERWRITE to the named partitions
       GraftInsertCommand(c.fileIndex.get.asInstanceOf[GraftFileIndex],
-        c.query, c.mode, c.outputColumnNames)
+        c.query, c.mode, c.outputColumnNames, c.staticPartitions)
   }
 }
 
 /** Transactional replacement for `InsertIntoHadoopFsRelationCommand` over a
-  * graft-delta table: stage parquet + commit Adds via [[GraftWriter]]. The
+  * graft-delta table: stage parquet + commit remove/add actions. The
   * incoming `query` is already column-aligned and cast by Spark's V1 insert
-  * preprocessing; `outputColumnNames` names its output positionally. */
+  * preprocessing (static partition values included as literal columns);
+  * `outputColumnNames` names its output positionally.
+  *
+  * Overwrite scoping matches Spark's file-source semantics, expressed as
+  * log actions instead of directory deletes:
+  *  - static `PARTITION (p=…)` spec → only files matching the spec are
+  *    removed;
+  *  - `partitionOverwriteMode=dynamic` → only partitions receiving new
+  *    data are removed;
+  *  - plain overwrite → the whole table is replaced. */
 final case class GraftInsertCommand(
     index: GraftFileIndex, query: LogicalPlan, mode: SaveMode,
-    outputColumnNames: Seq[String]) extends LeafRunnableCommand {
+    outputColumnNames: Seq[String],
+    staticPartitions: Map[String, String]) extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
 
   override def run(session: SparkSession): Seq[Row] = {
     if (!index.live) throw new IllegalStateException(
       "cannot INSERT into a pinned (time-travel) graft-delta relation")
-    val snap = index.snapshot
+    val log = index.log
+    val snap = log.update()
     val df = org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(session, query)
       .toDF(outputColumnNames.toSeq: _*)
     val ordered = df.select(snap.schema.fieldNames.map(col).toSeq: _*)
-    GraftWriter.write(ordered, index.log.tablePath.toString, mode,
+
+    val txn = log.startTransaction()
+    val adds = GraftWriter.stageFiles(ordered, log.tablePath.toString,
       snap.partitionColumns)
-    index.log.update()
+    val removes: Seq[AddAction] =
+      if (mode != SaveMode.Overwrite) Nil
+      else if (staticPartitions.nonEmpty)
+        snap.files.filter(f => staticPartitions.forall { case (k, v) =>
+          f.partitionValues.get(k).contains(v)
+        })
+      else if (snap.partitionColumns.nonEmpty &&
+        session.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+          .equalsIgnoreCase("dynamic")) {
+        val touched = adds.map(_.partitionValues).toSet
+        snap.files.filter(f => touched.contains(f.partitionValues))
+      } else snap.files
+
+    val now = System.currentTimeMillis()
+    removes.foreach(f => txn.addAction(RemoveAction(
+      path = f.path, deletionTimestamp = now, dataChange = true,
+      extendedFileMetadata = Some(true),
+      partitionValues = Some(f.partitionValues), size = Some(f.size))))
+    txn.addActions(adds)
+    val info = ActionCodec.mapper.createObjectNode()
+    info.put("timestamp", now)
+    info.put("operation", "WRITE")
+    val params = info.putObject("operationParameters")
+    params.put("mode", mode.toString)
+    if (staticPartitions.nonEmpty)
+      params.put("staticPartitions", staticPartitions.map { case (k, v) => s"$k=$v" }.mkString(","))
+    val version = txn.commit(Some(CommitInfoAction(info)))
+    if (version % 10 == 0 && version != 0) log.checkpoint()
+    log.update()
     Seq.empty
   }
 }
