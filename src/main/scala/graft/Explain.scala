@@ -15,6 +15,7 @@ object Explain {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", false)
+      .config("spark.sql.extensions", "graft.delta.GraftSparkExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names =

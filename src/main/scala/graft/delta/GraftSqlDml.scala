@@ -181,20 +181,12 @@ final case class GraftSqlMergeCommand(path: String, source: LogicalPlan,
       f -> org.apache.spark.sql.functions.col(s"s.`$f`")).toMap
 
     var b = Merge.into(session, path, sourceDf, condition)
-    // SQL MERGE is first-matching-clause-wins in listed order; the builder's
-    // fixed update-over-delete priority is neutralized by guarding each
-    // clause with the negation of all earlier clauses' conditions
-    var priorMiss: Column = org.apache.spark.sql.functions.lit(true)
-    def ordered(c: Column): Column = {
-      val effective = c && priorMiss
-      priorMiss = priorMiss &&
-        !org.apache.spark.sql.functions.coalesce(c, org.apache.spark.sql.functions.lit(false))
-      effective
-    }
+    // the builder applies clauses first-matching-wins in declaration order —
+    // exactly SQL MERGE's semantics — so clauses pass through unmodified
     matchedClauses.foreach {
-      case MatchedUpdate(c, set)  => b = b.whenMatchedUpdate(ordered(c), set)
-      case MatchedUpdateStar(c)   => b = b.whenMatchedUpdate(ordered(c), starSet)
-      case MatchedDelete(c)       => b = b.whenMatchedDelete(ordered(c))
+      case MatchedUpdate(c, set)  => b = b.whenMatchedUpdate(c, set)
+      case MatchedUpdateStar(c)   => b = b.whenMatchedUpdate(c, starSet)
+      case MatchedDelete(c)       => b = b.whenMatchedDelete(c)
     }
     insertClauses.foreach {
       case InsertClause(c, Some(values)) => b = b.whenNotMatchedInsert(c, values)

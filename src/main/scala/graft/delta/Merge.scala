@@ -20,13 +20,10 @@ final class MultipleMatchException(msg: String) extends IllegalStateException(ms
   * aliases (`col("t.id") === col("s.id")`) — unqualified names are ambiguous
   * once both sides carry the column.
   *
-  * Clause semantics (at most one of each):
-  *  - `whenMatchedUpdate(cond, set)` — matched rows satisfying `cond` get
-  *    the assignments; update has priority over delete where both match.
-  *  - `whenMatchedDelete(cond)` — matched rows satisfying `cond` (and not
-  *    claimed by update) are dropped.
-  *  - `whenNotMatchedInsert*(cond, values)` — source rows matching no
-  *    target row are inserted.
+  * Clause semantics (any number of each, SQL MERGE ordering): matched
+  * clauses — `whenMatchedUpdate(cond, set)` / `whenMatchedDelete(cond)` —
+  * apply **first-matching-clause-wins in declaration order**, as do the
+  * `whenNotMatchedInsert*` clauses over unmatched source rows.
   * A target row matched by more than one source row raises
   * [[MultipleMatchException]] — with a rewriting clause the output would
   * otherwise be ambiguous, and even insert-only merges would duplicate the
@@ -46,36 +43,48 @@ final class MultipleMatchException(msg: String) extends IllegalStateException(ms
 final class MergeBuilder private[delta] (
     spark: SparkSession, path: String, source: DataFrame, condition: Column) {
 
-  private var updateClause: Option[(Column, Map[String, Column])] = None
-  private var deleteClause: Option[Column] = None
-  private var insertClause: Option[(Column, Option[Map[String, Column]])] = None
+  import MergeBuilder._
+
+  private val matchedClauses = scala.collection.mutable.Buffer[MatchedClause]()
+  private val insertClauses =
+    scala.collection.mutable.Buffer[(Column, Option[Map[String, Column]])]()
 
   def whenMatchedUpdate(set: Map[String, Column]): MergeBuilder =
     whenMatchedUpdate(lit(true), set)
   def whenMatchedUpdate(cond: Column, set: Map[String, Column]): MergeBuilder = {
-    require(updateClause.isEmpty, "whenMatchedUpdate already given")
-    updateClause = Some((cond, set)); this
+    matchedClauses += MatchedUpdate(cond, set); this
   }
   def whenMatchedDelete(): MergeBuilder = whenMatchedDelete(lit(true))
   def whenMatchedDelete(cond: Column): MergeBuilder = {
-    require(deleteClause.isEmpty, "whenMatchedDelete already given")
-    deleteClause = Some(cond); this
+    matchedClauses += MatchedDelete(cond); this
   }
   /** Insert unmatched source rows, mapping target columns from the
     * same-named source columns. */
   def whenNotMatchedInsertAll(): MergeBuilder = {
-    require(insertClause.isEmpty, "whenNotMatchedInsert already given")
-    insertClause = Some((lit(true), None)); this
+    insertClauses += ((lit(true), None)); this
   }
   def whenNotMatchedInsert(values: Map[String, Column]): MergeBuilder =
     whenNotMatchedInsert(lit(true), values)
   def whenNotMatchedInsert(cond: Column, values: Map[String, Column]): MergeBuilder = {
-    require(insertClause.isEmpty, "whenNotMatchedInsert already given")
-    insertClause = Some((cond, Some(values))); this
+    insertClauses += ((cond, Some(values))); this
+  }
+
+  /** First-wins rewrite of clause conditions: clause i's effective
+    * condition is its own AND the negation of every earlier clause's —
+    * SQL MERGE's first-matching-clause-wins, and it makes the effective
+    * conditions mutually exclusive by construction. */
+  private def firstWins(conds: Seq[Column]): Seq[Column] = {
+    var priorMiss: Column = lit(true)
+    conds.map { c0 =>
+      val c = coalesce(c0, lit(false))
+      val eff = c && priorMiss
+      priorMiss = priorMiss && !c
+      eff
+    }
   }
 
   def execute(): MergeMetrics = {
-    require(updateClause.nonEmpty || deleteClause.nonEmpty || insertClause.nonEmpty,
+    require(matchedClauses.nonEmpty || insertClauses.nonEmpty,
       "merge needs at least one when-clause")
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
@@ -83,11 +92,13 @@ final class MergeBuilder private[delta] (
     val dt = new DeltaTable(log, snap)
 
     val fieldNames = snap.schema.fieldNames.toSet
-    updateClause.foreach { case (_, set) =>
-      val bad = set.keys.filterNot(fieldNames.contains)
-      require(bad.isEmpty, s"update assigns unknown columns: ${bad.mkString(",")}")
+    matchedClauses.foreach {
+      case MatchedUpdate(_, set) =>
+        val bad = set.keys.filterNot(fieldNames.contains)
+        require(bad.isEmpty, s"update assigns unknown columns: ${bad.mkString(",")}")
+      case _ => ()
     }
-    insertClause.foreach {
+    insertClauses.foreach {
       case (_, Some(vs)) =>
         val bad = vs.keys.filterNot(fieldNames.contains)
         require(bad.isEmpty, s"insert sets unknown columns: ${bad.mkString(",")}")
@@ -113,12 +124,21 @@ final class MergeBuilder private[delta] (
 
     val tPresent = col("__t").isNotNull
     val matched = tPresent && col("__s").isNotNull
-    val updC = updateClause.map { case (c, _) => coalesce(c, lit(false)) }.getOrElse(lit(false))
-    val delC = deleteClause.map(c => coalesce(c, lit(false))).getOrElse(lit(false))
-    val insC = insertClause.map { case (c, _) => coalesce(c, lit(false)) }.getOrElse(lit(false))
-    val applyUpd = matched && updC
-    val applyDel = matched && !updC && delC
-    val isIns = !tPresent && insC
+    // first-wins effective conditions across the ordered clause lists
+    val matchedEff = firstWins(matchedClauses.toSeq.map(_.cond))
+    val updPairs = matchedClauses.toSeq.zip(matchedEff).collect {
+      case (MatchedUpdate(_, set), eff) => (eff, set)
+    }
+    val delEffs = matchedClauses.toSeq.zip(matchedEff).collect {
+      case (MatchedDelete(_), eff) => eff
+    }
+    val insEffs = firstWins(insertClauses.toSeq.map(_._1))
+    val anyUpd = updPairs.map(_._1).reduceOption(_ || _).getOrElse(lit(false))
+    val anyDel = delEffs.reduceOption(_ || _).getOrElse(lit(false))
+    val anyIns = insEffs.reduceOption(_ || _).getOrElse(lit(false))
+    val applyUpd = matched && anyUpd
+    val applyDel = matched && anyDel
+    val isIns = !tPresent && anyIns
 
     // one aggregation pass: metrics + multiple-match detection
     val per = joined.groupBy(col("__t")).agg(
@@ -137,19 +157,24 @@ final class MergeBuilder private[delta] (
     val (nUpd, nDel, nIns) = (tot.getLong(1), tot.getLong(2), tot.getLong(3))
 
     // 3. build the rewritten rows. Insert-only merges rewrite no files.
-    val rewriteFiles = updateClause.nonEmpty || deleteClause.nonEmpty
+    // The effective conditions are mutually exclusive, so the when-chains
+    // below are order-independent within each list.
+    val rewriteFiles = matchedClauses.nonEmpty
     val outFilter =
       if (rewriteFiles) (tPresent && !applyDel) || isIns else isIns
     val outFields = snap.schema.fields.map { f =>
       val tCol = col(s"t.`${f.name}`")
-      val insV: Column = insertClause match {
-        case Some((_, Some(vs))) => vs.getOrElse(f.name, lit(null))
-        case Some((_, None))     => col(s"s.`${f.name}`")
-        case None                => lit(null)
+      val sCol = col(s"s.`${f.name}`")
+      val insV: Column = insertClauses.toSeq.zip(insEffs).foldRight(lit(null): Column) {
+        case (((_, values), eff), acc) =>
+          val v = values match {
+            case Some(vs) => vs.getOrElse(f.name, lit(null))
+            case None     => sCol
+          }
+          when(eff, v).otherwise(acc)
       }
-      val updV: Column = updateClause match {
-        case Some((_, set)) => set.getOrElse(f.name, tCol)
-        case None           => tCol
+      val updV: Column = updPairs.foldRight(tCol) { case ((eff, set), acc) =>
+        when(eff, set.getOrElse(f.name, tCol)).otherwise(acc)
       }
       when(!tPresent, insV).when(applyUpd, updV).otherwise(tCol)
         .cast(f.dataType).as(f.name)
@@ -178,6 +203,13 @@ final class MergeBuilder private[delta] (
     val version = txn.commit(Some(CommitInfoAction(info)))
     MergeMetrics(removes.size, nUpd, nDel, nIns, version)
   }
+}
+
+object MergeBuilder {
+  private sealed trait MatchedClause { def cond: Column }
+  private final case class MatchedUpdate(cond: Column, set: Map[String, Column])
+    extends MatchedClause
+  private final case class MatchedDelete(cond: Column) extends MatchedClause
 }
 
 object Merge {

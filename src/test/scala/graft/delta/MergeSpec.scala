@@ -29,7 +29,7 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.find(_._1 == 3L).get._2 == 3.0) // untouched
   }
 
-  test("matched delete clause drops rows; update has priority") {
+  test("matched delete clause drops rows; earlier update clause wins its rows") {
     val dir = tempTable("merge-del").toString
     GraftWriter.write((0 until 10).map(i => (i.toLong, i * 1.0)).toDF("id", "v"), dir)
     val src = (0 until 10).map(i => (i.toLong, 0.0)).toDF("id", "v")
@@ -86,6 +86,28 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
       .whenNotMatchedInsertAll().execute()
     assert(m.rowsInserted == 0 && m.version == 0)
     assert(DeltaTable.forPath(spark, dir).version == 0)
+  }
+
+  test("multiple clauses of the same kind: first-matching-clause-wins order") {
+    val dir = tempTable("merge-multi").toString
+    GraftWriter.write((0 until 10).map(i => (i.toLong, i * 1.0)).toDF("id", "v"), dir)
+    val src = (0 until 12).map(i => (i.toLong, 0.0)).toDF("id", "v")
+    val m = Merge.into(spark, dir, src, col("t.id") === col("s.id"))
+      .whenMatchedUpdate(col("t.id") < 2, Map("v" -> lit(-1.0)))
+      .whenMatchedUpdate(col("t.id") < 5, Map("v" -> lit(-2.0))) // ids 2-4 only
+      .whenMatchedDelete(col("t.id") >= 8)
+      .whenNotMatchedInsert(col("s.id") === 10L, Map("id" -> col("s.id"), "v" -> lit(10.0)))
+      .whenNotMatchedInsertAll() // catches id=11 only (10 claimed above)
+      .execute()
+    assert(m.rowsUpdated == 5 && m.rowsDeleted == 2 && m.rowsInserted == 2)
+    val rows = DeltaTable.forPath(spark, dir).toDF
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(rows.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 10L, 11L))
+    assert(rows.take(2).forall(_._2 == -1.0))       // first update clause
+    assert(rows.slice(2, 5).forall(_._2 == -2.0))   // second update clause
+    assert(rows.slice(5, 8).forall { case (id, v) => v == id.toDouble }) // untouched
+    assert(rows.find(_._1 == 10L).get._2 == 10.0)   // first insert clause
+    assert(rows.find(_._1 == 11L).get._2 == 0.0)    // insertAll fallback
   }
 
   test("partitioned upsert keeps the hive layout") {
