@@ -46,9 +46,6 @@ final class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
         condition.map(c => colOf(stripQuals(c, quals))))
 
     case m @ MergeIntoTable(GraftTarget(path, tQuals), _, _, _, _, _, _) =>
-      if (m.notMatchedBySourceActions.nonEmpty)
-        throw new IllegalArgumentException(
-          "graft-delta MERGE does not support WHEN NOT MATCHED BY SOURCE")
       val sAlias = m.sourceTable match {
         case SubqueryAlias(ident, _) => Set(ident.name)
         case _ => Set.empty[String]
@@ -80,8 +77,14 @@ final class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
         case other => throw new IllegalArgumentException(
           s"graft-delta MERGE: unsupported not-matched action $other")
       }
+      val bySource: Seq[MatchedClause] = m.notMatchedBySourceActions.map {
+        case u: UpdateAction => MatchedUpdate(cond(u.condition), assigns(u.assignments))
+        case d: DeleteAction => MatchedDelete(cond(d.condition))
+        case other => throw new IllegalArgumentException(
+          s"graft-delta MERGE: unsupported not-matched-by-source action $other")
+      }
       GraftSqlMergeCommand(path, m.sourceTable, requalify(m.mergeCondition),
-        matched, inserts)
+        matched, inserts, bySource)
   }
 
   private def colOf(e: Expression): Column = ColumnBridge.column(e)
@@ -167,7 +170,8 @@ final case class GraftSqlUpdateCommand(path: String,
 
 final case class GraftSqlMergeCommand(path: String, source: LogicalPlan,
     condition: Column, matchedClauses: Seq[GraftSqlDml.MatchedClause],
-    insertClauses: Seq[GraftSqlDml.InsertClause])
+    insertClauses: Seq[GraftSqlDml.InsertClause],
+    bySourceClauses: Seq[GraftSqlDml.MatchedClause] = Nil)
   extends LeafRunnableCommand {
   import GraftSqlDml._
 
@@ -191,6 +195,12 @@ final case class GraftSqlMergeCommand(path: String, source: LogicalPlan,
     insertClauses.foreach {
       case InsertClause(c, Some(values)) => b = b.whenNotMatchedInsert(c, values)
       case InsertClause(c, None)         => b = b.whenNotMatchedInsert(c, starSet)
+    }
+    bySourceClauses.foreach {
+      case MatchedUpdate(c, set) => b = b.whenNotMatchedBySourceUpdate(c, set)
+      case MatchedDelete(c)      => b = b.whenNotMatchedBySourceDelete(c)
+      case MatchedUpdateStar(_) => throw new IllegalArgumentException(
+        "UPDATE SET * is undefined for NOT MATCHED BY SOURCE (no source row)")
     }
     val m = b.execute()
     Seq(Row(m.rowsUpdated + m.rowsDeleted + m.rowsInserted))

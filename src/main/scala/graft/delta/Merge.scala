@@ -46,6 +46,7 @@ final class MergeBuilder private[delta] (
   import MergeBuilder._
 
   private val matchedClauses = scala.collection.mutable.Buffer[MatchedClause]()
+  private val bySourceClauses = scala.collection.mutable.Buffer[MatchedClause]()
   private val insertClauses =
     scala.collection.mutable.Buffer[(Column, Option[Map[String, Column]])]()
 
@@ -68,6 +69,18 @@ final class MergeBuilder private[delta] (
   def whenNotMatchedInsert(cond: Column, values: Map[String, Column]): MergeBuilder = {
     insertClauses += ((cond, Some(values))); this
   }
+  /** Target rows with NO matching source row: update. Conditions and
+    * assignments may reference only `t.` columns (the source side is null).
+    * Any by-source clause forces a full-table rewrite — every file may hold
+    * unmatched rows — so these are the most expensive merge clauses. */
+  def whenNotMatchedBySourceUpdate(cond: Column, set: Map[String, Column]): MergeBuilder = {
+    bySourceClauses += MatchedUpdate(cond, set); this
+  }
+  def whenNotMatchedBySourceDelete(): MergeBuilder = whenNotMatchedBySourceDelete(lit(true))
+  /** Target rows with NO matching source row: delete. */
+  def whenNotMatchedBySourceDelete(cond: Column): MergeBuilder = {
+    bySourceClauses += MatchedDelete(cond); this
+  }
 
   /** First-wins rewrite of clause conditions: clause i's effective
     * condition is its own AND the negation of every earlier clause's —
@@ -84,7 +97,7 @@ final class MergeBuilder private[delta] (
   }
 
   def execute(): MergeMetrics = {
-    require(matchedClauses.nonEmpty || insertClauses.nonEmpty,
+    require(matchedClauses.nonEmpty || insertClauses.nonEmpty || bySourceClauses.nonEmpty,
       "merge needs at least one when-clause")
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
@@ -92,7 +105,7 @@ final class MergeBuilder private[delta] (
     val dt = new DeltaTable(log, snap)
 
     val fieldNames = snap.schema.fieldNames.toSet
-    matchedClauses.foreach {
+    (matchedClauses ++ bySourceClauses).foreach {
       case MatchedUpdate(_, set) =>
         val bad = set.keys.filterNot(fieldNames.contains)
         require(bad.isEmpty, s"update assigns unknown columns: ${bad.mkString(",")}")
@@ -108,12 +121,18 @@ final class MergeBuilder private[delta] (
           s"insertAll: source lacks target columns ${missing.mkString(",")}")
     }
 
-    // 1. which files hold matched target rows (condition pushed where possible)
-    val affectedUris = dt.toDF.withColumn("__file", input_file_name()).alias("t")
-      .join(source.alias("s"), condition)
-      .select(col("__file")).distinct()
-      .collect().map(_.getString(0)).toSet
-    val affected = Dml.matchFiles(log, snap, affectedUris)
+    // 1. which files hold matched target rows (condition pushed where
+    // possible). By-source clauses touch unmatched rows, which any file may
+    // hold — the whole table rewrites, and the detection scan is skipped.
+    val affected =
+      if (bySourceClauses.nonEmpty) snap.files
+      else {
+        val affectedUris = dt.toDF.withColumn("__file", input_file_name()).alias("t")
+          .join(source.alias("s"), condition)
+          .select(col("__file")).distinct()
+          .collect().map(_.getString(0)).toSet
+        Dml.matchFiles(log, snap, affectedUris)
+      }
 
     // 2. full-outer join of affected rows vs source. __t doubles as presence
     // marker and per-target-row id for multiple-match detection.
@@ -133,18 +152,31 @@ final class MergeBuilder private[delta] (
       case (MatchedDelete(_), eff) => eff
     }
     val insEffs = firstWins(insertClauses.toSeq.map(_._1))
+    // not-matched-by-source: target row present, no source row joined
+    val bySource = tPresent && !col("__s").isNotNull
+    val bySourceEff = firstWins(bySourceClauses.toSeq.map(_.cond))
+    val bsUpdPairs = bySourceClauses.toSeq.zip(bySourceEff).collect {
+      case (MatchedUpdate(_, set), eff) => (eff, set)
+    }
+    val bsDelEffs = bySourceClauses.toSeq.zip(bySourceEff).collect {
+      case (MatchedDelete(_), eff) => eff
+    }
     val anyUpd = updPairs.map(_._1).reduceOption(_ || _).getOrElse(lit(false))
     val anyDel = delEffs.reduceOption(_ || _).getOrElse(lit(false))
     val anyIns = insEffs.reduceOption(_ || _).getOrElse(lit(false))
+    val anyBsUpd = bsUpdPairs.map(_._1).reduceOption(_ || _).getOrElse(lit(false))
+    val anyBsDel = bsDelEffs.reduceOption(_ || _).getOrElse(lit(false))
     val applyUpd = matched && anyUpd
     val applyDel = matched && anyDel
+    val applyBsUpd = bySource && anyBsUpd
+    val applyBsDel = bySource && anyBsDel
     val isIns = !tPresent && anyIns
 
     // one aggregation pass: metrics + multiple-match detection
     val per = joined.groupBy(col("__t")).agg(
       sum(when(matched, 1L).otherwise(0L)).as("nm"),
-      sum(when(applyUpd, 1L).otherwise(0L)).as("nu"),
-      sum(when(applyDel, 1L).otherwise(0L)).as("nd"),
+      sum(when(applyUpd || applyBsUpd, 1L).otherwise(0L)).as("nu"),
+      sum(when(applyDel || applyBsDel, 1L).otherwise(0L)).as("nd"),
       sum(when(isIns, 1L).otherwise(0L)).as("ni"))
     val tot = per.agg(
       coalesce(max(col("nm")), lit(0L)),
@@ -159,9 +191,9 @@ final class MergeBuilder private[delta] (
     // 3. build the rewritten rows. Insert-only merges rewrite no files.
     // The effective conditions are mutually exclusive, so the when-chains
     // below are order-independent within each list.
-    val rewriteFiles = matchedClauses.nonEmpty
+    val rewriteFiles = matchedClauses.nonEmpty || bySourceClauses.nonEmpty
     val outFilter =
-      if (rewriteFiles) (tPresent && !applyDel) || isIns else isIns
+      if (rewriteFiles) (tPresent && !applyDel && !applyBsDel) || isIns else isIns
     val outFields = snap.schema.fields.map { f =>
       val tCol = col(s"t.`${f.name}`")
       val sCol = col(s"s.`${f.name}`")
@@ -176,14 +208,20 @@ final class MergeBuilder private[delta] (
       val updV: Column = updPairs.foldRight(tCol) { case ((eff, set), acc) =>
         when(eff, set.getOrElse(f.name, tCol)).otherwise(acc)
       }
-      when(!tPresent, insV).when(applyUpd, updV).otherwise(tCol)
+      val bsUpdV: Column = bsUpdPairs.foldRight(tCol) { case ((eff, set), acc) =>
+        when(eff, set.getOrElse(f.name, tCol)).otherwise(acc)
+      }
+      when(!tPresent, insV).when(applyUpd, updV).when(applyBsUpd, bsUpdV)
+        .otherwise(tCol)
         .cast(f.dataType).as(f.name)
     }
     val rewritten = joined.filter(outFilter).select(outFields.toSeq: _*)
 
+    // nothing changed anywhere: skip the rewrite entirely (matters most for
+    // by-source merges, whose affected set is the whole table)
+    if (nUpd == 0 && nDel == 0 && nIns == 0)
+      return MergeMetrics(0, 0, 0, 0, snap.version)
     val removes = if (rewriteFiles) affected else Nil
-    if (removes.isEmpty && nIns == 0)
-      return MergeMetrics(0, nUpd, nDel, 0, snap.version)
     val adds = GraftWriter.stageFiles(rewritten, path, snap.partitionColumns)
 
     // 4. one commit: remove rewritten files, add their replacements + inserts

@@ -110,6 +110,37 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.find(_._1 == 11L).get._2 == 0.0)    // insertAll fallback
   }
 
+  test("WHEN NOT MATCHED BY SOURCE deletes/updates unmatched target rows") {
+    val dir = tempTable("merge-bysource").toString
+    GraftWriter.write((0 until 10).map(i => (i.toLong, i * 1.0)).toDF("id", "v"), dir)
+    val src = Seq((3L, 300.0), (4L, 400.0)).toDF("id", "v")
+    // sync semantics: matched rows refresh, unmatched old rows (<2) drop,
+    // other unmatched rows get flagged with v = -9
+    val m = Merge.into(spark, dir, src, col("t.id") === col("s.id"))
+      .whenMatchedUpdate(Map("v" -> col("s.v")))
+      .whenNotMatchedBySourceDelete(col("t.id") < 2)
+      .whenNotMatchedBySourceUpdate(col("t.id") >= 8, Map("v" -> lit(-9.0)))
+      .execute()
+    assert(m.rowsUpdated == 4 && m.rowsDeleted == 2) // 2 matched + 2 flagged; 0,1 dropped
+    val rows = DeltaTable.forPath(spark, dir).toDF
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(rows.map(_._1) == Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L))
+    assert(rows.find(_._1 == 3L).get._2 == 300.0)
+    assert(rows.find(_._1 == 8L).get._2 == -9.0)
+    assert(rows.find(_._1 == 5L).get._2 == 5.0) // untouched middle
+  }
+
+  test("by-source merge with no applicable rows commits nothing") {
+    val dir = tempTable("merge-bysource-noop").toString
+    GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir)
+    val src = Seq((1L, "x")).toDF("id", "v") // everything matches
+    val m = Merge.into(spark, dir, src, col("t.id") === col("s.id"))
+      .whenNotMatchedBySourceDelete()
+      .execute()
+    assert(m.rowsDeleted == 0 && m.version == 0)
+    assert(DeltaTable.forPath(spark, dir).version == 0)
+  }
+
   test("partitioned upsert keeps the hive layout") {
     val dir = tempTable("merge-part").toString
     GraftWriter.write((0 until 40).map(i => (i.toLong, i % 2)).toDF("id", "p"),

@@ -77,6 +77,23 @@ class SqlDmlSpec extends AnyFunSuite with SparkTestBase {
     } finally ext.sql("DROP TABLE g_mrg2")
   }
 
+  test("MERGE with WHEN NOT MATCHED BY SOURCE (sync-table shape)") {
+    val dir = mkTable("sqldml-bysource", "g_bys")
+    try {
+      val out = ext.sql(
+        """MERGE INTO g_bys t USING (SELECT 5 AS id, 500.0 AS v) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE AND t.id < 2 THEN DELETE""".stripMargin).collect()
+      assert(out.head.getLong(0) == 3) // 1 update + 2 deletes
+      val ids = ext.sql("SELECT id FROM g_bys ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L))
+      assert(ext.sql("SELECT v FROM g_bys WHERE id = 5").head().getDouble(0) == 500.0)
+    } finally ext.sql("DROP TABLE g_bys")
+  }
+
   test("DML statements on non-graft tables keep Spark's normal behavior") {
     val dir = tempTable("sqldml-plain").toString
     (0 until 5).map(i => (i.toLong, s"x$i")).toDF("id", "v")
