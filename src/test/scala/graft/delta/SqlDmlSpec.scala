@@ -94,6 +94,20 @@ class SqlDmlSpec extends AnyFunSuite with SparkTestBase {
     } finally ext.sql("DROP TABLE g_bys")
   }
 
+  test("DELETE with an IN-subquery predicate resolves against session views") {
+    val dir = mkTable("sqldml-subq", "g_subq")
+    try {
+      ext.createDataset(Seq(1L, 3L))(ext.implicits.newLongEncoder)
+        .toDF("bad_id").createOrReplaceTempView("bad_ids")
+      val out = ext.sql(
+        "DELETE FROM g_subq WHERE id IN (SELECT bad_id FROM bad_ids)").collect()
+      assert(out.head.getLong(0) == 2)
+      val ids = ext.sql("SELECT id FROM g_subq ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(0L, 2L, 4L, 5L, 6L, 7L, 8L, 9L))
+    } finally ext.sql("DROP TABLE g_subq")
+  }
+
   test("DML statements on non-graft tables keep Spark's normal behavior") {
     val dir = tempTable("sqldml-plain").toString
     (0 until 5).map(i => (i.toLong, s"x$i")).toDF("id", "v")
