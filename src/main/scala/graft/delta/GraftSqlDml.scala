@@ -34,6 +34,28 @@ final class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
   import GraftSqlDml.{InsertClause, MatchedClause, MatchedDelete, MatchedUpdate, MatchedUpdateStar}
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    // SQL time travel (`VERSION AS OF` / `TIMESTAMP AS OF`) — DSv2-only in
+    // stock Spark; for graft tables the pinned relation is resolved right
+    // here and returned as an ordinary LogicalRelation leaf
+    case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
+        if GraftTarget.unapply(tt.relation).isDefined =>
+      val path = GraftTarget.unapply(tt.relation).get._1
+      val table = (tt.version, tt.timestamp) match {
+        case (Some(v), _) => DeltaTable.forPath(spark, path, v.toLong)
+        case (None, Some(ts)) =>
+          require(ts.foldable, "TIMESTAMP AS OF requires a constant expression")
+          val micros = org.apache.spark.sql.catalyst.expressions.Cast(
+            ts, org.apache.spark.sql.types.TimestampType,
+            Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+          require(micros != null, s"invalid TIMESTAMP AS OF expression: ${ts.sql}")
+          DeltaTable.forPathAsOf(spark, path, micros.asInstanceOf[Long] / 1000L)
+        case _ => throw new IllegalArgumentException(
+          "time travel needs VERSION AS OF or TIMESTAMP AS OF")
+      }
+      val index = new GraftFileIndex(spark, table.log, table.snapshot)
+      org.apache.spark.sql.execution.datasources.LogicalRelation(
+        new GraftDeltaRelation(index, timeTravel = true, spark), false)
+
     // conditions/assignments are converted to opaque Columns here: a command
     // must not expose unresolved Expressions through its constructor fields
     // or checkAnalysis rejects it before run() can resolve them itself

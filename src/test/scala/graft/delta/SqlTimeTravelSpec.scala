@@ -1,0 +1,55 @@
+package graft.delta
+
+import graft.SparkTestBase
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL time travel on graft-delta catalog tables (GraftSqlDml rewrite of
+  * RelationTimeTravel; stock Spark supports the syntax only for DSv2). */
+class SqlTimeTravelSpec extends AnyFunSuite with SparkTestBase {
+  import LogFixtures.tempTable
+  import spark.implicits._
+
+  private def ext = InsertIntoSpec.extensionSession(spark)
+
+  test("VERSION AS OF pins a historical snapshot") {
+    val dir = tempTable("sql-tt").toString
+    GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir)
+    GraftWriter.write(Seq((2L, "b")).toDF("id", "v"), dir, SaveMode.Append)
+    ext.sql(s"CREATE TABLE g_tt_v USING `graft-delta` OPTIONS (path '$dir')")
+    try {
+      assert(ext.sql("SELECT count(*) FROM g_tt_v VERSION AS OF 0").head().getLong(0) == 1)
+      assert(ext.sql("SELECT count(*) FROM g_tt_v VERSION AS OF 1").head().getLong(0) == 2)
+      assert(ext.sql("SELECT count(*) FROM g_tt_v").head().getLong(0) == 2)
+      intercept[Exception] { ext.sql("SELECT * FROM g_tt_v VERSION AS OF 9").collect() }
+    } finally ext.sql("DROP TABLE g_tt_v")
+  }
+
+  test("TIMESTAMP AS OF resolves through commit mtimes") {
+    val dir = tempTable("sql-tt-ts").toString
+    GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir)
+    val afterV0 = new java.sql.Timestamp(
+      DeltaLog.forPath(spark, dir).versionTimestamp(0) + 1)
+    Thread.sleep(1100) // distinct mtimes (fs second granularity safety)
+    GraftWriter.write(Seq((2L, "b")).toDF("id", "v"), dir, SaveMode.Append)
+    ext.sql(s"CREATE TABLE g_tt_ts USING `graft-delta` OPTIONS (path '$dir')")
+    try {
+      val n = ext.sql(s"SELECT count(*) FROM g_tt_ts TIMESTAMP AS OF '$afterV0'")
+        .head().getLong(0)
+      assert(n == 1)
+    } finally ext.sql("DROP TABLE g_tt_ts")
+  }
+
+  test("non-graft tables keep Spark's unsupported time-travel error") {
+    val dir = tempTable("sql-tt-plain").toString
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(dir)
+    ext.sql(s"CREATE TABLE g_tt_plain USING parquet OPTIONS (path '$dir')")
+    try {
+      val e = intercept[Exception] {
+        ext.sql("SELECT * FROM g_tt_plain VERSION AS OF 0").collect()
+      }
+      assert(e.getMessage.contains("TIME_TRAVEL") || e.getMessage.contains("Time travel"))
+    } finally ext.sql("DROP TABLE g_tt_plain")
+  }
+}
