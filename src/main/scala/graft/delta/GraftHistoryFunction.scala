@@ -1,0 +1,48 @@
+package graft.delta
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types._
+
+/** `SELECT * FROM graft_history('/path/to/table')` — the SQL face of
+  * `DeltaTable.history` (DESCRIBE HISTORY's role for graft-delta tables),
+  * registered as a table-valued function by [[GraftSparkExtensions]].
+  *
+  * One row per commit: version, commit-file mtime (epoch millis), the
+  * commitInfo `operation` when recorded, and the full commitInfo JSON.
+  * History is table-metadata-scale (one row per commit, bounded by
+  * checkpoint cadence), so materializing it at resolution time is cheap. */
+object GraftHistoryFunction {
+
+  private val schema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("timestamp_ms", LongType, nullable = false),
+    StructField("operation", StringType, nullable = true),
+    StructField("commit_info", StringType, nullable = true)))
+
+  private def build(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size == 1 && exprs.head.foldable,
+      "graft_history expects one constant path argument")
+    val path = String.valueOf(exprs.head.eval(null))
+    val spark = SparkSession.active
+    val log = DeltaLog.forPath(spark, path)
+    val versions = log.listCommitVersions()
+    if (versions.isEmpty) throw new NotATableException(path)
+    val rows = versions.map { v =>
+      val info = log.readCommit(v).collectFirst { case c: CommitInfoAction => c.info }
+      Row(v, log.versionTimestamp(v),
+        info.flatMap(n => Option(n.get("operation")).map(_.asText)).orNull,
+        info.map(_.toString).orNull)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+      .queryExecution.analyzed
+  }
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("graft_history"),
+      new ExpressionInfo(getClass.getName, "graft_history"),
+      build)
+}

@@ -112,5 +112,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectOptimizerRule(_ => PruneGraftScans)
     extensions.injectPostHocResolutionRule(_ => GraftDeltaInserts)
     extensions.injectHintResolutionRule(session => new GraftSqlDml(session))
+    extensions.injectTableFunction(GraftHistoryFunction.descriptor)
   }
 }

@@ -41,6 +41,17 @@ class SqlTimeTravelSpec extends AnyFunSuite with SparkTestBase {
     } finally ext.sql("DROP TABLE g_tt_ts")
   }
 
+  test("graft_history table function lists commits with operations") {
+    val dir = tempTable("sql-history").toString
+    GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir)
+    GraftWriter.write(Seq((2L, "b")).toDF("id", "v"), dir, SaveMode.Append)
+    Dml.delete(ext, dir, col("id") === 1L)
+    val rows = ext.sql(s"SELECT version, operation FROM graft_history('$dir') ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows.map(_._1) == Seq(0L, 1L, 2L))
+    assert(rows.map(_._2) == Seq("WRITE", "WRITE", "DELETE"))
+  }
+
   test("non-graft tables keep Spark's unsupported time-travel error") {
     val dir = tempTable("sql-tt-plain").toString
     Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(dir)
