@@ -145,7 +145,8 @@ final class GraftDeltaSource extends RelationProvider
       throw new IllegalArgumentException(
         "graft-delta sink requires an appId option (the txn idempotence key)"))
     val sink = new graft.streaming.GraftStreamSink(
-      path, appId, partitionColumns, outputMode.toString)
+      path, appId, partitionColumns, outputMode.toString,
+      mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean))
     new Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         // the micro-batch DataFrame is bound to the streaming plan; rebind

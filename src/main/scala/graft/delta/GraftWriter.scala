@@ -65,19 +65,7 @@ object GraftWriter {
       val tbl = snap.schema.fields.map(f => (f.name, f.dataType)).toSeq
       val inc = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
       if (mergeSchema) {
-        val tblTypes = tbl.toMap
-        val conflicts = inc.collect {
-          case (n, dt) if tblTypes.get(n).exists(_ != dt) =>
-            s"$n: table=${tblTypes(n)} incoming=$dt"
-        }
-        if (conflicts.nonEmpty) throw new SchemaMismatchException(
-          s"mergeSchema type conflicts: ${conflicts.mkString("; ")}")
-        val newFields = df.schema.fields.filterNot(f =>
-          snap.schema.fieldNames.contains(f.name)).map(_.copy(nullable = true))
-        if (newFields.nonEmpty)
-          evolvedMetadata = Some(snap.metadata.get.copy(
-            schemaString = DeltaSchema.toJson(
-              org.apache.spark.sql.types.StructType(snap.schema.fields ++ newFields))))
+        evolvedMetadata = evolveSchema(snap, df.schema)
       } else {
         // Schema must match the table's (the reference rejects mismatched
         // record batches, rust/src/writer.rs:229-248); nullability is not
@@ -124,6 +112,27 @@ object GraftWriter {
     // checkpoint Lambda (`aws/delta-checkpoint/src/main.rs:46`).
     if (version % 10 == 0 && version != 0) log.checkpoint()
     version
+  }
+
+  /** Schema-evolution core shared by the batch writer and streaming sink:
+    * shared columns must keep their exact type; incoming-only columns are
+    * appended (nullable). Returns the evolved metaData action to commit, or
+    * None when the schema is unchanged. */
+  private[graft] def evolveSchema(snap: Snapshot,
+                                  incoming: org.apache.spark.sql.types.StructType): Option[MetaDataAction] = {
+    val tblTypes = snap.schema.fields.map(f => (f.name, f.dataType)).toMap
+    val conflicts = incoming.fields.collect {
+      case f if tblTypes.get(f.name).exists(_ != f.dataType) =>
+        s"${f.name}: table=${tblTypes(f.name)} incoming=${f.dataType}"
+    }
+    if (conflicts.nonEmpty) throw new SchemaMismatchException(
+      s"mergeSchema type conflicts: ${conflicts.mkString("; ")}")
+    val newFields = incoming.fields.filterNot(f =>
+      snap.schema.fieldNames.contains(f.name)).map(_.copy(nullable = true))
+    if (newFields.isEmpty) None
+    else Some(snap.metadata.get.copy(
+      schemaString = DeltaSchema.toJson(
+        org.apache.spark.sql.types.StructType(snap.schema.fields ++ newFields))))
   }
 
   /** Distributed parquet write into a staging dir under the table path, then

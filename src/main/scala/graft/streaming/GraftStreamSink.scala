@@ -29,7 +29,8 @@ final class GraftStreamSink(
     appId: String,
     partitionBy: Seq[String] = Nil,
     outputMode: String = "Append",
-    queryId: String = UUID.randomUUID().toString) {
+    queryId: String = UUID.randomUUID().toString,
+    mergeSchema: Boolean = false) {
 
   /** Write one micro-batch transactionally; returns the committed version,
     * or -1 if the epoch was already committed (idempotent skip). */
@@ -41,11 +42,18 @@ final class GraftStreamSink(
     // ST1: exactly-once gate
     if (snap.appTransactionVersion.get(appId).exists(_ >= epochId)) return -1L
 
+    var evolvedMetadata: Option[MetaDataAction] = None
     if (snap.version >= 0) {
-      val tbl = snap.schema.fields.map(f => (f.name, f.dataType)).toSeq
-      val inc = batch.schema.fields.map(f => (f.name, f.dataType)).toSeq
-      if (tbl != inc)
-        throw new SchemaMismatchException(s"schema mismatch: table=$tbl batch=$inc")
+      if (mergeSchema) {
+        // mid-stream schema evolution: new nullable columns commit with
+        // this epoch's metaData action, same contract as the batch writer
+        evolvedMetadata = GraftWriter.evolveSchema(snap, batch.schema)
+      } else {
+        val tbl = snap.schema.fields.map(f => (f.name, f.dataType)).toSeq
+        val inc = batch.schema.fields.map(f => (f.name, f.dataType)).toSeq
+        if (tbl != inc)
+          throw new SchemaMismatchException(s"schema mismatch: table=$tbl batch=$inc")
+      }
     }
 
     val adds = GraftWriter.stageFiles(batch, tablePath, partitionBy)
@@ -59,6 +67,7 @@ final class GraftStreamSink(
         partitionColumns = partitionBy, createdTime = Some(now),
         configuration = Map.empty))
     }
+    evolvedMetadata.foreach(txn.addAction)
     txn.addAction(TxnAction(appId, epochId, Some(now)))
     txn.addActions(adds)
 

@@ -26,6 +26,24 @@ class StreamingSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(dt.snapshot.appTransactionVersion == Map("app-A" -> 1L))
   }
 
+  test("mergeSchema sink evolves the table schema mid-stream") {
+    val dir = tempTable("sink-evolve").toString
+    val sink = new GraftStreamSink(dir, appId = "app-ev", mergeSchema = true)
+    assert(sink.writeBatch(Seq((1L, "a")).toDF("id", "v"), epochId = 0) == 0)
+    assert(sink.writeBatch(Seq((2L, "b", 7.5)).toDF("id", "v", "score"), epochId = 1) == 1)
+
+    val dt = graft.delta.DeltaTable.forPath(spark, dir)
+    assert(dt.schema.fieldNames.toSeq == Seq("id", "v", "score"))
+    val rows = dt.toDF.orderBy("id")
+      .select("id", "score").as[(Long, Option[Double])].collect().toSeq
+    assert(rows == Seq((1L, None), (2L, Some(7.5))))
+    // strict sink still rejects the widened batch
+    val strict = new GraftStreamSink(dir, appId = "app-strict")
+    intercept[graft.delta.SchemaMismatchException] {
+      strict.writeBatch(Seq((3L, "c", 1.0, true)).toDF("id", "v", "score", "flag"), 0)
+    }
+  }
+
   test("two apps keep independent idempotence cursors") {
     val dir = tempTable("sink-2apps").toString
     val a = new GraftStreamSink(dir, appId = "app-A")
