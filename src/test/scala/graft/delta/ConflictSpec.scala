@@ -83,6 +83,26 @@ class ConflictSpec extends AnyFunSuite with SparkTestBase {
     assert(live.exists(p => !p.contains("compacted"))) // the appended file
   }
 
+  test("disjoint racing DMLs abort conservatively (no predicate tracking)") {
+    // the racer's rewrite commits dataChange adds, so the stale DELETE
+    // aborts even though the two predicates touch disjoint files — without
+    // read-predicate tracking this is the safe call; the caller re-reads
+    // and retries the operation
+    val dir = tempTable("cf-disjoint").toString
+    GraftWriter.write((0 until 50).map(i => (i.toLong, s"n$i")).toDF("id", "v")
+      .repartition(1), dir)
+    GraftWriter.write((1000 until 1050).map(i => (i.toLong, s"n$i")).toDF("id", "v")
+      .repartition(1), dir, SaveMode.Append)
+    val log = DeltaLog.forPath(spark, dir)
+    val snap = log.update()
+    val lowFile = snap.files.find(_.stats.exists(!_.contains("1000"))).get
+    val txn = log.startTransaction()
+    Dml.delete(spark, dir, col("id") >= 1000 && col("id") < 1010) // racer: high file only
+    txn.addAction(RemoveAction(path = lowFile.path,
+      deletionTimestamp = 1L, dataChange = true))
+    intercept[ConcurrentCommitException] { txn.commit() }
+  }
+
   test("concurrent metadata change aborts any transaction") {
     val dir = mkTable("cf-meta")
     val txn = staleTxn(dir) {
