@@ -190,7 +190,9 @@ final class DeltaLog private (
     }
 
   /** Latest version whose commit timestamp ≤ `tsMillis` — the binary search
-    * of `load_with_datetime` (`rust/src/delta.rs:1041-1075`). */
+    * of `load_with_datetime` (`rust/src/delta.rs:1041-1075`). A timestamp
+    * before the first commit clamps to the earliest version (the reference's
+    * `if version < 0 { version = 0 }`, `rust/src/delta.rs:1069-1071`). */
   def versionForTimestamp(tsMillis: Long): Long = {
     val versions = listCommitVersions().toIndexedSeq
     if (versions.isEmpty) throw new NotATableException(tablePath.toString)
@@ -202,9 +204,7 @@ final class DeltaLog private (
       if (versionTimestamp(versions(mid)) <= tsMillis) { ans = versions(mid); lo = mid + 1 }
       else hi = mid - 1
     }
-    if (ans < 0)
-      throw new VersionNotFoundException(versions.head, s"${tablePath} at timestamp $tsMillis (before first commit)")
-    ans
+    if (ans < 0) versions.head else ans
   }
 
   def snapshotForTimestamp(tsMillis: Long): Snapshot =

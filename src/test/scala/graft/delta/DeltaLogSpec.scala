@@ -101,7 +101,8 @@ class DeltaLogSpec extends AnyFunSuite with SparkTestBase {
     assert(log.versionForTimestamp(t0 + 9999) == 0)
     assert(log.versionForTimestamp(t0 + 10000) == 1)
     assert(log.versionForTimestamp(t0 + 999999) == 2)
-    intercept[VersionNotFoundException] { log.versionForTimestamp(t0 - 1) }
+    // before the first commit: clamps to the earliest version (delta.rs:1069-1071)
+    assert(log.versionForTimestamp(t0 - 1) == 0)
     assert(log.snapshotForTimestamp(t0 + 15000).files.size == 2)
   }
 
