@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** All multi-table hyperplane-LSH bucket ids for one vector, in ONE fused
+  * pass: returns `array<long>` of length `nTables`, where bucket `t` packs
+  * the sign bits of planes `[t*nPlanes, (t+1)*nPlanes)`.
+  *
+  * Hyperplane component (p, d) is ±1 by the parity of Spark's
+  * `xxhash64(p, d, seed)` — the same hash-derived family as the SQL
+  * formulation it replaces (`Similarity.bucketExpr`), kept bit-identical via
+  * [[XXH64.hashInt]] chaining, so buckets are seed-deterministic with no
+  * stored model.
+  *
+  * Why a custom Expression (tier (b) of the build rules): the SQL version
+  * evaluates `nTables·nPlanes` separate `aggregate(zip_with(...))` lambdas,
+  * recomputing `xxhash64` per ROW per component even though the sign matrix
+  * is row-independent — and at 96 tables the expression tree is megabytes of
+  * task binary that falls out of whole-stage codegen. Here the ±1 matrix is
+  * computed once per executor (lazily, keyed by dim) and each row is a
+  * single `planes×dim` multiply-add loop: ~25k fused ops/row at 96×4×64
+  * versus ~25k hash invocations/row interpreted.
+  *
+  * Null semantics: null array → null; null element → element skipped
+  * (treated as 0 contribution — consistent for candidate generation; exact
+  * verification downstream decides membership).
+  */
+case class LshBucketsMultiExpr(child: Expression, nTables: Int, nPlanes: Int,
+                               seed: Int) extends UnaryExpression {
+
+  require(nPlanes >= 1 && nPlanes <= 63, "nPlanes must be in [1, 63]")
+  require(nTables >= 1, "nTables must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def elemType: Option[DataType] = child.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (elemType.isDefined)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"lsh_buckets needs an array<float|double> column, got ${child.dataType.simpleString}")
+
+  /** ±1 sign matrix, laid out [plane][dim], built once per (executor, dim).
+    * Plane p, component d: +1 iff xxhash64(p, d, seed) is even — the exact
+    * chain Spark's `xxhash64(p, d, seed)` literal call produces. */
+  @transient private lazy val signCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Byte]]()
+
+  def signMatrix(dim: Int): Array[Byte] =
+    signCache.computeIfAbsent(dim, { _ =>
+      val nP = nTables * nPlanes
+      val m = new Array[Byte](nP * dim)
+      var p = 0
+      while (p < nP) {
+        var d = 0
+        while (d < dim) {
+          var h = XXH64.hashInt(p, 42L)
+          h = XXH64.hashInt(d, h)
+          h = XXH64.hashInt(seed, h)
+          m(p * dim + d) = if ((h & 1L) == 0L) 1 else -1
+          d += 1
+        }
+        p += 1
+      }
+      m
+    })
+
+  /** Row kernel, shared by interpreted eval and codegen (called through an
+    * object reference — the loop itself JITs as ordinary JVM code). */
+  def buckets(a: ArrayData): ArrayData = {
+    val isFloat = elemType.get == FloatType
+    val dim = a.numElements()
+    val signs = signMatrix(dim)
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var j = 0
+      while (j < nPlanes) {
+        val p = t * nPlanes + j
+        var acc = 0.0
+        var d = 0
+        while (d < dim) {
+          if (!a.isNullAt(d)) {
+            val v = if (isFloat) a.getFloat(d).toDouble else a.getDouble(d)
+            acc += signs(p * dim + d) * v
+          }
+          d += 1
+        }
+        if (acc > 0) bucket |= (1L << j)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = buckets(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshExpr", this, classOf[LshBucketsMultiExpr].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.buckets($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucketsMultiExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "lsh_buckets_multi"
+}

@@ -114,4 +114,10 @@ object functions {
   def dot_q(a: Column, b: Column, scale: Int = 1000): Column =
     ColumnBridge.column(QuantizedDotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b), scale))
+
+  /** All multi-table LSH bucket ids in one fused pass (see
+    * [[LshBucketsMultiExpr]]). */
+  def lsh_buckets_multi(vec: Column, nTables: Int, nPlanes: Int, seed: Int): Column =
+    ColumnBridge.column(LshBucketsMultiExpr(
+      ColumnBridge.expression(vec), nTables, nPlanes, seed))
 }

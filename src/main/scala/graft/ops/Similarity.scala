@@ -114,27 +114,15 @@ object Similarity {
     ivfTopK(assigned, idCol, vecCol, "cluster", queryId, k, nProbe)
   }
 
-  /** SQL expression for one bucket: sign bits of planes
-    * [planeBase, planeBase + nPlanes) packed into a long. Plane p component
-    * d = ±1 by bit parity of xxhash64(p, d, seed) — deterministic
-    * hash-derived hyperplanes, no stored model. */
-  private def bucketExpr(vecCol: String, planeBase: Int, nPlanes: Int,
-                         seed: Int): String =
-    (0 until nPlanes).map { j =>
-      val p = planeBase + j
-      s"""(case when aggregate(zip_with($vecCol, sequence(0, size($vecCol) - 1),
-         |  (x, d) -> case when pmod(xxhash64($p, d, $seed), 2) = 0
-         |            then cast(x as double) else -cast(x as double) end),
-         |  cast(0 as double), (acc, v) -> acc + v) > 0 then ${1L << j}L else 0L end)""".stripMargin
-    }.mkString(" + ")
-
   /** Random-hyperplane LSH bucketing: `nPlanes` sign bits from deterministic
     * pseudo-random hyperplanes (hash-derived, seedable, no stored model).
     * Vectors sharing a bucket are ANN candidates — the scale path when no
-    * cluster assignment exists. */
+    * cluster assignment exists. Computed by the fused
+    * [[graft.functions.LshBucketsMultiExpr]] kernel (single table). */
   def lshBuckets(vectors: DataFrame, idCol: String, vecCol: String,
                  nPlanes: Int = 16, seed: Int = 42): DataFrame =
-    vectors.withColumn("bucket", expr(bucketExpr(vecCol, 0, nPlanes, seed)))
+    vectors.withColumn("bucket",
+      element_at(graft.functions.functions.lsh_buckets_multi(col(vecCol), 1, nPlanes, seed), 1))
 
   /** Multi-table LSH: `nTables` independent bucketings (disjoint plane
     * ranges), exploded to one row per (vector, table). Candidates = pairs
@@ -142,14 +130,16 @@ object Similarity {
     * table's p^b — the standard lever for lifting recall on moderate-cosine
     * neighbors without lowering the per-bucket precision.
     *
+    * All `nTables` buckets come from ONE pass over the vector
+    * ([[graft.functions.LshBucketsMultiExpr]] — the sign matrix is
+    * precomputed per executor, not re-hashed per row).
+    *
     * Output: (idCol, tbl, bucket). Bucket values are only comparable within
     * the same `tbl`. */
   def lshBucketsMulti(vectors: DataFrame, idCol: String, vecCol: String,
                       nTables: Int = 8, nPlanes: Int = 8,
-                      seed: Int = 42): DataFrame = {
-    val buckets = (0 until nTables)
-      .map(t => bucketExpr(vecCol, t * nPlanes, nPlanes, seed))
-      .mkString("array(", ", ", ")")
-    vectors.select(col(idCol), posexplode(expr(buckets)).as(Seq("tbl", "bucket")))
-  }
+                      seed: Int = 42): DataFrame =
+    vectors.select(col(idCol),
+      posexplode(graft.functions.functions.lsh_buckets_multi(col(vecCol), nTables, nPlanes, seed))
+        .as(Seq("tbl", "bucket")))
 }

@@ -146,13 +146,27 @@ object PipelineQueries {
     },
 
     // embedding-cosine similar pairs (exact integer cosine threshold) on a
-    // bounded slice — the brute-force baseline; the LSH-bucketed scale
-    // variant is exercised in ScalaTest (recall < 1 at this data's low
-    // max-cosine makes a rows-only gate entry flaky).
+    // bounded slice — the brute-force recall=1 BASELINE for q50 below.
     "q35_embed_similar" -> { (s, dir) =>
       Dedup.embeddingSimilarPairs(
         t(s, dir, "embeddings").filter(col("vec_id") < 1000), "vec_id", "embedding",
         thresholdNum = 45, thresholdDen = 100)
+        .orderBy("id_a", "id_b")
+    },
+
+    // the SCALE PATH for embedding near-dup, held to the same brute-force
+    // oracle as q35: multi-table hyperplane LSH candidates → exact integer
+    // cosine verify. Precision is 1 by construction (exact verify); recall
+    // is analytic — the worst matched pair at this threshold sits at
+    // cos ≈ 0.45 ⇒ per-plane collision p = 1 − acos(0.45)/π ≈ 0.649, so
+    // 96 tables × 4 planes give miss = (1 − p⁴)⁹⁶ ≈ 8·10⁻⁹ per pair —
+    // and the hash-derived planes are seed-deterministic, so a verified
+    // run is reproducible bit-for-bit.
+    "q50_embed_lsh" -> { (s, dir) =>
+      Dedup.embeddingSimilarPairsMultiLsh(
+        t(s, dir, "embeddings").filter(col("vec_id") < 1000), "vec_id", "embedding",
+        thresholdNum = 45, thresholdDen = 100,
+        nTables = 96, nPlanes = 4)
         .orderBy("id_a", "id_b")
     },
   )
@@ -167,6 +181,19 @@ object PipelineQueries {
       |SELECT id_a, id_b FROM pairs
       |JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
       |WHERE 2 * inter >= (ca.n + cb.n - inter)
+      |ORDER BY id_a, id_b""".stripMargin
+
+  private val embedPairsOracle =
+    """WITH v AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+      |  FROM embeddings WHERE vec_id < 1000),
+      |n AS (SELECT vec_id, e, CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS nrm FROM v),
+      |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |        CAST(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) AS BIGINT) AS dot,
+      |        a.nrm AS na, b.nrm AS nb
+      |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b FROM p
+      |WHERE dot > 0 AND dot * dot * 10000 >= na * nb * 2025
       |ORDER BY id_a, id_b""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
@@ -228,17 +255,10 @@ object PipelineQueries {
         |SELECT lang, count(*) AS n_docs FROM q JOIN kept USING (doc_id)
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
-    "q35_embed_similar" ->
-      """WITH v AS (SELECT vec_id,
-        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
-        |  FROM embeddings WHERE vec_id < 1000),
-        |n AS (SELECT vec_id, e, CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS nrm FROM v),
-        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |        CAST(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) AS BIGINT) AS dot,
-        |        a.nrm AS na, b.nrm AS nb
-        |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b FROM p
-        |WHERE dot > 0 AND dot * dot * 10000 >= na * nb * 2025
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q35_embed_similar" -> embedPairsOracle,
+
+    // q50 is LSH-approximate on the Spark side but held to the exact
+    // brute-force oracle — the gate proves the scale path loses nothing.
+    "q50_embed_lsh" -> embedPairsOracle,
   )
 }
