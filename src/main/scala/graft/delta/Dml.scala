@@ -67,9 +67,14 @@ object Dml {
       if (keepMatches) affectedDf.filter(coalesce(predicate, lit(false))).count()
       else beforeRows - afterRows
 
-    // 3. one commit: remove affected, add rewrites
+    // 3. one commit: remove affected, add rewrites. The predicate's
+    // partition-column projection becomes the declared read domain, so
+    // concurrent adds in disjoint partitions commute instead of aborting us.
     val now = System.currentTimeMillis()
-    val txn = log.startTransaction()
+    val txn = log.startTransaction().withReadFilters(
+      PartitionFilter.fromCatalyst(
+        org.apache.spark.sql.graftbridge.ColumnBridge.catalystExpression(predicate),
+        snap.partitionColumns))
     affected.foreach(f => txn.addAction(RemoveAction(
       path = f.path, deletionTimestamp = now, dataChange = true,
       extendedFileMetadata = Some(true),

@@ -224,9 +224,18 @@ final class MergeBuilder private[delta] (
     val removes = if (rewriteFiles) affected else Nil
     val adds = GraftWriter.stageFiles(rewritten, path, snap.partitionColumns)
 
-    // 4. one commit: remove rewritten files, add their replacements + inserts
+    // 4. one commit: remove rewritten files, add their replacements + inserts.
+    // t-qualified partition constraints in the join condition scope the read
+    // domain, letting partition-disjoint concurrent writes commute. A
+    // by-source merge reads unmatched rows in EVERY partition, so its
+    // domain stays whole-table (empty filter list = conservative).
     val now = System.currentTimeMillis()
-    val txn = log.startTransaction()
+    val readDomain =
+      if (bySourceClauses.nonEmpty) Nil
+      else PartitionFilter.fromCatalyst(
+        org.apache.spark.sql.graftbridge.ColumnBridge.catalystExpression(condition),
+        snap.partitionColumns, qualifier = Some("t"))
+    val txn = log.startTransaction().withReadFilters(readDomain)
     removes.foreach(f => txn.addAction(RemoveAction(
       path = f.path, deletionTimestamp = now, dataChange = true,
       extendedFileMetadata = Some(true),

@@ -50,6 +50,12 @@ final class ConcurrentDeleteDeleteException(version: Long, path: String)
   *  - a concurrent `dataChange` append aborts a transaction carrying
   *    `dataChange` removes ([[ConcurrentAppendException]]): a predicate
   *    rewrite (DELETE/UPDATE/MERGE/overwrite) did not see the new rows.
+  *    When the rewrite declared a partition-scoped read domain
+  *    ([[withReadFilters]]), only adds whose `partitionValues` fall INSIDE
+  *    that domain conflict — partition-disjoint DMLs and appends commute,
+  *    which is what keeps many-writer throughput alive at scale (Delta's
+  *    winning-commit check at partition granularity). No declared domain ⇒
+  *    conservative whole-table semantics, never wrong.
   *    Compactions (`dataChange=false` removes) commute with appends, so
   *    OPTIMIZE never blocks writers and vice versa — only an overlap of
   *    removed files conflicts it.
@@ -63,6 +69,18 @@ final class OptimisticTransaction(val log: DeltaLog) {
   /** The version this transaction's view of the table is based on. */
   private val readVersion: Long = log.snapshot.version
   private var checkedThrough: Long = readVersion
+
+  /** Partition-level projection of this transaction's read predicate.
+    * `None` = domain unknown (whole table). `Some(Nil)` = a predicate was
+    * declared but constrains no partition column — still the whole table. */
+  private var readFilters: Option[Seq[PartitionFilter]] = None
+
+  /** Declare the partitions this transaction read (see
+    * [[PartitionFilter.fromCatalyst]]); called by DML before commit. */
+  def withReadFilters(filters: Seq[PartitionFilter]): this.type = {
+    readFilters = Some(filters)
+    this
+  }
 
   private val actions = mutable.Buffer[Action]()
 
@@ -121,10 +139,17 @@ final class OptimisticTransaction(val log: DeltaLog) {
         throw new MetadataChangedException(version)
       case r: RemoveAction if ourRemoves.contains(r.path) =>
         throw new ConcurrentDeleteDeleteException(version, r.path)
-      case a: AddAction if a.dataChange && ourDataChangeRemoves =>
+      case a: AddAction if a.dataChange && ourDataChangeRemoves && addInReadDomain(a) =>
         throw new ConcurrentAppendException(version)
-      case _ => () // their appends/compactions commute with ours
+      case _ => () // their appends/compactions/disjoint-partition adds commute
     }
+
+  /** Could the concurrent add's rows have matched our read predicate?
+    * Unknown domain or an empty filter list ⇒ yes (whole-table read). */
+  private def addInReadDomain(a: AddAction): Boolean = readFilters match {
+    case Some(fs) if fs.nonEmpty => fs.forall(_.matches(a.partitionValues))
+    case _ => true
+  }
 }
 
 object OptimisticTransaction {

@@ -55,4 +55,85 @@ object PartitionFilter {
   def prune(files: Seq[AddAction], filters: Seq[PartitionFilter]): Seq[AddAction] =
     if (filters.isEmpty) files
     else files.filter(f => filters.forall(_.matches(f.partitionValues)))
+
+  /** Partition-column constraints IMPLIED by a Catalyst predicate: every
+    * top-level conjunct of the form `partCol = lit` / `partCol IN (lits)` /
+    * `partCol != lit` becomes a filter. The result is a NECESSARY condition
+    * of the predicate — rows (and therefore files) matching the predicate
+    * always lie inside the returned domain — which is what conflict
+    * detection needs: it may only be used to prove a concurrent add
+    * DISJOINT from the predicate's read set. Unrecognized shapes (OR,
+    * non-literal comparands, expressions over the column) contribute
+    * nothing, degrading toward the conservative whole-table domain.
+    *
+    * `qualifier`: when set, qualified references must carry that qualifier
+    * (the MERGE target alias); unqualified references always bind. Literal
+    * rendering matches the writer's Hive-style partition strings (long 5 →
+    * "5", string as-is). */
+  def fromCatalyst(pred: org.apache.spark.sql.catalyst.expressions.Expression,
+                   partCols: Seq[String],
+                   qualifier: Option[String] = None): Seq[PartitionFilter] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Literal, Not, Expression, In => CIn}
+
+    // Column-API predicates convert to UnresolvedFunction('=' / 'in' / 'and'
+    // / '!') before analysis; SQL-path predicates may arrive as the typed
+    // nodes. Normalize both shapes.
+    object UF {
+      def unapply(e: Expression): Option[(String, Seq[Expression])] = e match {
+        case f: UnresolvedFunction if f.nameParts.lengthCompare(1) == 0 =>
+          Some((f.nameParts.head.toLowerCase, f.arguments))
+        case _ => None
+      }
+    }
+    val partSet = partCols.map(_.toLowerCase).toSet
+    def attrName(e: Expression): Option[String] = e match {
+      case a: AttributeReference if partSet(a.name.toLowerCase) => Some(a.name)
+      case u: UnresolvedAttribute =>
+        u.nameParts match {
+          case Seq(c) if partSet(c.toLowerCase) => Some(c)
+          case Seq(q, c) if qualifier.exists(_.equalsIgnoreCase(q)) && partSet(c.toLowerCase) => Some(c)
+          case _ => None
+        }
+      case _ => None
+    }
+    def litStr(e: Expression): Option[String] = e match {
+      case l: Literal => Option(l.value).map(_.toString)
+      case _ => None
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case UF("and", Seq(l, r)) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def asEq(e: Expression): Option[(Expression, Expression)] = e match {
+      case EqualTo(a, b) => Some((a, b))
+      case UF("=", Seq(a, b)) => Some((a, b))
+      case _ => None
+    }
+    def asNot(e: Expression): Option[Expression] = e match {
+      case Not(x) => Some(x)
+      case UF("!", Seq(x)) => Some(x)
+      case UF("not", Seq(x)) => Some(x)
+      case _ => None
+    }
+    def asIn(e: Expression): Option[(Expression, Seq[Expression])] = e match {
+      case CIn(a, vs) => Some((a, vs))
+      case UF("in", a +: vs) if vs.nonEmpty => Some((a, vs))
+      case _ => None
+    }
+    def eqFilter(a: Expression, b: Expression, mk: (String, String) => PartitionFilter) =
+      attrName(a).flatMap(n => litStr(b).map(mk(n, _)))
+        .orElse(attrName(b).flatMap(n => litStr(a).map(mk(n, _))))
+
+    conjuncts(pred).flatMap { c =>
+      asEq(c).flatMap { case (a, b) => eqFilter(a, b, Eq.apply) }
+        .orElse(asNot(c).flatMap(asEq).flatMap { case (a, b) => eqFilter(a, b, Ne.apply) })
+        .orElse(asIn(c).flatMap { case (a, vs) =>
+          val strs = vs.map(litStr)
+          if (strs.forall(_.isDefined)) attrName(a).map(n => In(n, strs.flatten.toSet))
+          else None
+        })
+    }
+  }
 }

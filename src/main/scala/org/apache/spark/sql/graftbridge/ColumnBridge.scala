@@ -14,6 +14,16 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Column → concrete (pre-analysis) catalyst tree. `expression` returns a
+    * lazy `ColumnNodeExpression` wrapper in Spark 4; structural inspection
+    * (e.g. extracting partition-column conjuncts) needs the converted tree,
+    * where `=`/`in`/`and` appear as `UnresolvedFunction`s. */
+  def catalystExpression(c: Column): Expression = expression(c) match {
+    case org.apache.spark.sql.classic.ColumnNodeExpression(node) =>
+      org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(node)
+    case e => e
+  }
+
   /** `Dataset.ofRows` — materialize an analyzed logical plan as a DataFrame
     * (needed by command `run` implementations; `classic.Dataset` is
     * `private[sql]`). */

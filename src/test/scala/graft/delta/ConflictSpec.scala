@@ -83,11 +83,11 @@ class ConflictSpec extends AnyFunSuite with SparkTestBase {
     assert(live.exists(p => !p.contains("compacted"))) // the appended file
   }
 
-  test("disjoint racing DMLs abort conservatively (no predicate tracking)") {
-    // the racer's rewrite commits dataChange adds, so the stale DELETE
-    // aborts even though the two predicates touch disjoint files — without
-    // read-predicate tracking this is the safe call; the caller re-reads
-    // and retries the operation
+  test("disjoint racing DMLs on an UNPARTITIONED table abort conservatively") {
+    // the racer's rewrite commits dataChange adds; with no partition
+    // columns there is no read-domain projection, so the stale DELETE
+    // aborts even though the two predicates touch disjoint files — the
+    // safe call; the caller re-reads and retries the operation
     val dir = tempTable("cf-disjoint").toString
     GraftWriter.write((0 until 50).map(i => (i.toLong, s"n$i")).toDF("id", "v")
       .repartition(1), dir)
@@ -101,6 +101,108 @@ class ConflictSpec extends AnyFunSuite with SparkTestBase {
     txn.addAction(RemoveAction(path = lowFile.path,
       deletionTimestamp = 1L, dataChange = true))
     intercept[ConcurrentCommitException] { txn.commit() }
+  }
+
+  private def mkPartTable(name: String): String = {
+    val dir = tempTable(name).toString
+    GraftWriter.write(
+      (0 until 40).map(i => (i.toLong, if (i % 2 == 0) "a" else "b")).toDF("id", "p")
+        .repartition(4), // several files per partition dir
+      dir, partitionBy = Seq("p"))
+    dir
+  }
+
+  test("partition-disjoint racing DMLs both commit (read-domain scoping)") {
+    val dir = mkPartTable("cf-part-disjoint")
+    // racer: DELETE in partition b lands while our DELETE in partition a
+    // holds a stale snapshot — its dataChange adds sit outside our domain
+    val log = DeltaLog.forPath(spark, dir)
+    log.update()
+    Dml.delete(spark, dir, col("p") === "b" && col("id") < 10)
+    // stale DELETE on partition a: both the detection scan and the commit
+    // run against the pre-racer snapshot held by `log`
+    val snap = log.snapshot
+    val txn = log.startTransaction().withReadFilters(
+      Seq(PartitionFilter.Eq("p", "a")))
+    snap.files.filter(_.partitionValues.get("p").contains("a"))
+      .foreach(f => txn.addAction(RemoveAction(
+        path = f.path, deletionTimestamp = 1L, dataChange = true,
+        partitionValues = Some(f.partitionValues))))
+    val v = txn.commit() // no abort: the racer's adds are in partition b
+    assert(v == 2)
+  }
+
+  test("same-partition append still aborts a partition-scoped rewrite") {
+    val dir = mkPartTable("cf-part-same")
+    val log = DeltaLog.forPath(spark, dir)
+    val snap = log.update()
+    val txn = log.startTransaction().withReadFilters(
+      Seq(PartitionFilter.Eq("p", "a")))
+    // racer appends INTO partition a — inside the rewrite's read domain
+    GraftWriter.write(Seq((100L, "a")).toDF("id", "p"), dir,
+      SaveMode.Append, partitionBy = Seq("p"))
+    snap.files.filter(_.partitionValues.get("p").contains("a"))
+      .foreach(f => txn.addAction(RemoveAction(
+        path = f.path, deletionTimestamp = 1L, dataChange = true,
+        partitionValues = Some(f.partitionValues))))
+    intercept[ConcurrentAppendException] { txn.commit() }
+  }
+
+  test("Dml.delete extracts its read domain from the predicate end-to-end") {
+    val dir = mkPartTable("cf-dml-e2e")
+    // two full DML operations racing on disjoint partitions: the second
+    // starts from a snapshot that predates the first's commit
+    val logA = DeltaLog.forPath(spark, dir)
+    logA.update() // snapshot v0 pinned
+    Dml.delete(spark, dir, col("p") === "b" && col("id") < 10) // racer wins v1
+    // stale rewrite through the full Dml path would re-read; emulate the
+    // stale read by committing through logA's pinned snapshot
+    val snapA = logA.snapshot
+    assert(snapA.version == 0)
+    val txn = logA.startTransaction().withReadFilters(
+      PartitionFilter.fromCatalyst(
+        org.apache.spark.sql.graftbridge.ColumnBridge.catalystExpression(
+          col("p") === "a" && col("id") < 10),
+        Seq("p")))
+    snapA.files.filter(_.partitionValues.get("p").contains("a")).take(1)
+      .foreach(f => txn.addAction(RemoveAction(
+        path = f.path, deletionTimestamp = 1L, dataChange = true,
+        partitionValues = Some(f.partitionValues))))
+    assert(txn.commit() == 2)
+    // and a NON-partition predicate yields no filters -> conservative abort
+    val logB = DeltaLog.forPath(spark, dir)
+    logB.update()
+    val txn2 = logB.startTransaction().withReadFilters(
+      PartitionFilter.fromCatalyst(
+        org.apache.spark.sql.graftbridge.ColumnBridge.catalystExpression(col("id") < 5),
+        Seq("p")))
+    // racer rewrites in partition b (keeps some rows, so it commits adds)
+    Dml.delete(spark, dir, col("p") === "b" && col("id") < 25)
+    val aFile = logB.snapshot.files.find(_.partitionValues.get("p").contains("a")).get
+    txn2.addAction(RemoveAction(
+      path = aFile.path, deletionTimestamp = 1L, dataChange = true,
+      partitionValues = Some(aFile.partitionValues)))
+    intercept[ConcurrentAppendException] { txn2.commit() }
+  }
+
+  test("fromCatalyst extracts Eq/Ne/In conjuncts, ignores OR and data columns") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{catalystExpression => ex}
+    val pc = Seq("p", "q")
+    assert(PartitionFilter.fromCatalyst(ex(col("p") === "a"), pc) ==
+      Seq(PartitionFilter.Eq("p", "a")))
+    assert(PartitionFilter.fromCatalyst(ex(lit(3) === col("q")), pc) ==
+      Seq(PartitionFilter.Eq("q", "3")))
+    assert(PartitionFilter.fromCatalyst(ex(col("p") =!= "a" && col("id") < 5), pc) ==
+      Seq(PartitionFilter.Ne("p", "a")))
+    assert(PartitionFilter.fromCatalyst(ex(col("p").isin("a", "b") && col("q") === "1"), pc)
+      .toSet == Set(PartitionFilter.In("p", Set("a", "b")), PartitionFilter.Eq("q", "1")))
+    // OR is not a necessary condition per-branch: nothing extracted
+    assert(PartitionFilter.fromCatalyst(ex(col("p") === "a" || col("p") === "b"), pc).isEmpty)
+    // data columns contribute nothing
+    assert(PartitionFilter.fromCatalyst(ex(col("id") === 7), pc).isEmpty)
+    // MERGE-style qualified refs bind only through the declared qualifier
+    assert(PartitionFilter.fromCatalyst(ex(col("t.p") === "a" && col("s.p") === "zz"),
+      Seq("p"), qualifier = Some("t")) == Seq(PartitionFilter.Eq("p", "a")))
   }
 
   test("concurrent metadata change aborts any transaction") {
