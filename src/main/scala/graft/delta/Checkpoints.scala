@@ -286,11 +286,26 @@ object Checkpoints {
 
   /** Read checkpoint parquet file(s) into actions — `restore_checkpoint`
     * (`rust/src/delta.rs:524-546`). Row count is O(#files in the table), the
-    * same driver-side bound as the snapshot itself. */
+    * same driver-side bound as the snapshot itself. (Above the distributed
+    * threshold, [[DeltaLog.update]] replaces this with executor-side replay
+    * + [[readNonAdd]].) */
   def read(spark: SparkSession, paths: Seq[Path]): Seq[Action] = {
     val buf = mutable.Buffer[Action]()
     spark.read.parquet(paths.map(_.toString): _*).collect()
       .foreach(r => rowToAction(r).foreach(buf += _))
     buf.toSeq
+  }
+
+  /** Only the non-`add` actions of a checkpoint (metaData, protocol, txn,
+    * remove) — the O(1)-ish table state plus tombstones. The dominant `add`
+    * rows are filtered out ON THE EXECUTORS, so the driver collect is tiny
+    * even for a million-file checkpoint; the add-set is resolved separately
+    * by [[DistributedReplay.activeFiles]]. */
+  def readNonAdd(spark: SparkSession, paths: Seq[Path]): Seq[Action] = {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(paths.map(_.toString): _*)
+    val filtered =
+      if (df.columns.contains("add")) df.filter(col("add").isNull) else df
+    filtered.collect().iterator.flatMap(rowToAction).toSeq
   }
 }

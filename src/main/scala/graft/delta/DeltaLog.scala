@@ -136,10 +136,7 @@ final class DeltaLog private (
       lastCheckpoint()
         .filter(cp => checkpointPaths(cp).forall(store.exists))
         .orElse(findLatestCheckpointForVersion(Long.MaxValue))
-        .foreach { cp =>
-          snap = Snapshot.replay(
-            Snapshot(), Checkpoints.read(spark, checkpointPaths(cp)).iterator, cp.version)
-        }
+        .foreach { cp => snap = restoreCheckpoint(cp) }
     }
     // Contiguous replay only — the reference probes version-by-version and
     // stops at the first missing commit (`EndOfLog`, rust/src/delta.rs:
@@ -153,6 +150,28 @@ final class DeltaLog private (
     cached = snap
     snap
   }
+
+  /** Checkpoints at or above this many actions restore through
+    * [[DistributedReplay]] (executor-side parse + last-writer-wins) instead
+    * of the driver-side row loop; the driver then collects only the
+    * resolved survivors. Tunable via `spark.graft.replay.distributedThreshold`. */
+  private def distributedReplayThreshold: Long =
+    spark.conf.getOption(DeltaLog.DistributedThresholdKey)
+      .map(_.toLong).getOrElse(500000L)
+
+  /** Cold-start checkpoint restore, auto-routed by size: large checkpoints
+    * replay on the executors (adds via [[DistributedReplay.activeFiles]],
+    * the small non-add state via [[Checkpoints.readNonAdd]]); small ones
+    * take the direct driver path. `size` 0 means "unknown" (discovery
+    * fallback) and stays on the driver path. */
+  private def restoreCheckpoint(cp: CheckPoint): Snapshot =
+    if (cp.size > 0 && cp.size >= distributedReplayThreshold) {
+      val nonAdd = Checkpoints.readNonAdd(spark, checkpointPaths(cp))
+      val adds = DistributedReplay.prunedAddActions(this, version = Some(cp.version))
+      Snapshot.replay(Snapshot(), nonAdd.iterator ++ adds.iterator, cp.version)
+    } else
+      Snapshot.replay(
+        Snapshot(), Checkpoints.read(spark, checkpointPaths(cp)).iterator, cp.version)
 
   private def contiguousFrom(versions: Seq[Long], after: Long): Seq[Long] =
     versions.headOption match {
@@ -245,6 +264,9 @@ final class DeltaLog private (
 }
 
 object DeltaLog {
+  /** Conf key for the distributed checkpoint-restore threshold (actions). */
+  val DistributedThresholdKey = "spark.graft.replay.distributedThreshold"
+
   /** `%020d.json` */
   private val CommitFileRe: Regex = """^(\d{20})\.json$""".r
   /** `%020d.checkpoint.parquet` (`rust/src/delta.rs:450-455`) */

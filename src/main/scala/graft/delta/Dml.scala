@@ -54,18 +54,41 @@ object Dml {
     val affected = matchFiles(log, snap, affectedUris)
     if (affected.isEmpty) return DmlMetrics(0, 0, snap.version)
 
-    // 2. rewrite only the affected files
+    // 2. rewrite only the affected files — ONE pass over them. Metrics ride
+    // along instead of re-scanning: DELETE's affected-row count is
+    // (before − after) where `before` comes from the snapshot's footer
+    // stats and `after` from the written files' footers; UPDATE's matched
+    // count is an observed aggregate collected during the write itself.
     val affectedDf = scanSubset(spark, log, snap, affected)
-    val beforeRows = affectedDf.count()
+    val beforeFromStats: Option[Long] = {
+      val counts = affected.map(_.stats.flatMap(ActionCodec.statsFromJson).map(_.numRecords))
+      if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+    }
+    val metricName = s"graft_dml_${java.util.UUID.randomUUID()}"
     val rewritten =
-      if (keepMatches) transform(affectedDf)
+      if (keepMatches)
+        // observe BEFORE the transform: the predicate must see pre-update
+        // values (post-transform the assignments may have falsified it)
+        transform(affectedDf.observe(metricName,
+          coalesce(sum(when(coalesce(predicate, lit(false)), 1L)), lit(0L)).as("matched")))
       else affectedDf.filter(!coalesce(predicate, lit(false)))
-    val adds = GraftWriter.stageFiles(rewritten, path, snap.partitionColumns)
+    // only UPDATE carries an observed metric; DELETE must not wait on one
+    val (adds, observed) =
+      if (keepMatches)
+        ObservedMetrics.run(spark, metricName) {
+          GraftWriter.stageFiles(rewritten, path, snap.partitionColumns)
+        }
+      else
+        (GraftWriter.stageFiles(rewritten, path, snap.partitionColumns), None)
     val afterRows = adds.flatMap(_.stats.flatMap(ActionCodec.statsFromJson))
       .map(_.numRecords).sum
     val rowsAffected =
-      if (keepMatches) affectedDf.filter(coalesce(predicate, lit(false))).count()
-      else beforeRows - afterRows
+      if (keepMatches)
+        observed.map(_.getAs[Long]("matched")).getOrElse(
+          // metrics did not surface (listener starvation): recompute
+          affectedDf.filter(coalesce(predicate, lit(false))).count())
+      else
+        beforeFromStats.getOrElse(affectedDf.count()) - afterRows
 
     // 3. one commit: remove affected, add rewrites. The predicate's
     // partition-column projection becomes the declared read domain, so

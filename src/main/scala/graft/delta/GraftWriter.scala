@@ -135,11 +135,24 @@ object GraftWriter {
         org.apache.spark.sql.types.StructType(snap.schema.fields ++ newFields))))
   }
 
+  /** Above this many staged files, footer-stats collection runs as a
+    * distributed Spark job instead of on the driver pool (overridable via
+    * `spark.graft.write.statsExecutorThreshold`). */
+  private val StatsExecutorThresholdKey = "spark.graft.write.statsExecutorThreshold"
+  private val StatsExecutorThresholdDefault = 512
+
   /** Distributed parquet write into a staging dir under the table path, then
     * move each produced file into place (keeping the Hive partition layout,
     * `rust/src/delta.rs:1279-1298`) and return one stats-carrying Add per
     * file. Shared by the batch writer and the streaming sink; the commit
-    * itself is the caller's. */
+    * itself is the caller's.
+    *
+    * Scale shape of the post-write bookkeeping (O(#new files), like the
+    * commit itself): file moves are metadata ops run on a bounded driver
+    * thread pool, and footer-stats reads — real I/O — parallelize the same
+    * way, switching to a distributed Spark job above
+    * [[StatsExecutorThresholdKey]] files so a 10k-file write never
+    * serializes 10k footer reads through one machine. */
   private[graft] def stageFiles(df: DataFrame, path: String,
                                 partCols: Seq[String]): Seq[AddAction] = {
     val spark = df.sparkSession
@@ -151,32 +164,94 @@ object GraftWriter {
       val writer = if (partCols.nonEmpty) df.write.partitionBy(partCols: _*) else df.write
       writer.mode(SaveMode.Overwrite).parquet(staging.toString)
 
-      val adds = mutable.Buffer[AddAction]()
       val stagingBase = staging.toUri.getPath.stripSuffix("/")
+      val staged = mutable.Buffer[(String, Path)]() // (table-relative, staged src)
       val it = fs.listFiles(staging, true)
       while (it.hasNext) {
         val st = it.next()
-        val name = st.getPath.getName
-        if (name.endsWith(".parquet")) {
+        if (st.getPath.getName.endsWith(".parquet")) {
           val rel = st.getPath.toUri.getPath.stripPrefix(stagingBase).stripPrefix("/")
-          val dst = new Path(tablePath, rel)
-          fs.mkdirs(dst.getParent)
-          if (!fs.rename(st.getPath, dst))
-            throw new java.io.IOException(s"failed to move staged file to $dst")
-          val dstStatus = fs.getFileStatus(dst)
-          adds += AddAction(
-            path = rel,
-            size = dstStatus.getLen,
-            partitionValues = partitionValuesOf(rel),
-            modificationTime = dstStatus.getModificationTime,
-            dataChange = true,
-            stats = Some(FooterStats.statsJson(dst, conf)))
+          staged += ((rel, st.getPath))
         }
       }
-      adds.toSeq
+
+      // 1. move into place (parallel metadata ops; distinct destinations)
+      val moved: Seq[(String, Long, Long)] = inDriverPool(staged.toSeq) { case (rel, src) =>
+        val dst = new Path(tablePath, rel)
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"failed to move staged file to $dst")
+        val s = fs.getFileStatus(dst)
+        (rel, s.getLen, s.getModificationTime)
+      }
+
+      // 2. footer stats: distributed job for big writes, driver pool otherwise
+      val threshold = spark.conf.getOption(StatsExecutorThresholdKey)
+        .map(_.toInt).getOrElse(StatsExecutorThresholdDefault)
+      val statsByRel: Map[String, String] =
+        if (moved.size >= threshold)
+          executorSideStats(spark, tablePath, moved.map(_._1), conf)
+        else
+          inDriverPool(moved.map(_._1))(rel =>
+            rel -> FooterStats.statsJson(new Path(tablePath, rel), conf)).toMap
+
+      moved.map { case (rel, len, mtime) =>
+        AddAction(
+          path = rel,
+          size = len,
+          partitionValues = partitionValuesOf(rel),
+          modificationTime = mtime,
+          dataChange = true,
+          stats = Some(statsByRel(rel)))
+      }
     } finally {
       fs.delete(staging, true)
     }
+  }
+
+  /** Delete staged-but-uncommitted files (abort path: multi-match or no-op
+    * detection after a single-pass rewrite). They were never in the log, so
+    * readers cannot have seen them. */
+  private[graft] def discardStaged(spark: SparkSession, path: String,
+                                   adds: Seq[AddAction]): Unit = {
+    val tablePath = new Path(path)
+    val fs = tablePath.getFileSystem(spark.sessionState.newHadoopConf())
+    adds.foreach(a => fs.delete(new Path(tablePath, a.path), false))
+  }
+
+  /** Run `f` over `items` on a bounded thread pool, preserving order.
+    * Sized for metadata/footer I/O concurrency, not CPU. */
+  private def inDriverPool[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    if (items.lengthCompare(2) < 0) return items.map(f)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(32, items.size))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.sequence(items.map(a => Future(f(a)))), Duration.Inf)
+    finally pool.shutdown()
+  }
+
+  /** Footer stats as a Spark job: the file list is tiny, the footer reads
+    * are the real I/O — ship them to the executors (the reference's
+    * exploration writer likewise returns Adds from the write tasks,
+    * `rust/tests/write_exploration.rs:88-130`). The Hadoop conf travels as
+    * key-value pairs; `Configuration` itself is not serializable. */
+  private def executorSideStats(spark: SparkSession, tablePath: Path,
+                                rels: Seq[String],
+                                conf: Configuration): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val confPairs = conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    val table = tablePath.toString
+    val parallelism = math.min(rels.size,
+      math.max(1, spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(rels, parallelism)
+      .map { rel =>
+        val c = new Configuration(false)
+        confPairs.foreach { case (k, v) => c.set(k, v) }
+        rel -> FooterStats.statsJson(new Path(new Path(table), rel), c)
+      }
+      .collect().toMap
   }
 
   /** Parse `k=v` Hive segments of a relative file path into partitionValues

@@ -172,21 +172,25 @@ final class MergeBuilder private[delta] (
     val applyBsDel = bySource && anyBsDel
     val isIns = !tPresent && anyIns
 
-    // one aggregation pass: metrics + multiple-match detection
-    val per = joined.groupBy(col("__t")).agg(
-      sum(when(matched, 1L).otherwise(0L)).as("nm"),
-      sum(when(applyUpd || applyBsUpd, 1L).otherwise(0L)).as("nu"),
-      sum(when(applyDel || applyBsDel, 1L).otherwise(0L)).as("nd"),
-      sum(when(isIns, 1L).otherwise(0L)).as("ni"))
-    val tot = per.agg(
-      coalesce(max(col("nm")), lit(0L)),
-      coalesce(sum(col("nu")), lit(0L)),
-      coalesce(sum(col("nd")), lit(0L)),
-      coalesce(sum(col("ni")), lit(0L))).first()
-    if (tot.getLong(0) > 1)
-      throw new MultipleMatchException(
-        "merge: a target row matched more than one source row")
-    val (nUpd, nDel, nIns) = (tot.getLong(1), tot.getLong(2), tot.getLong(3))
+    // metrics + multiple-match detection ride ALONG the rewrite as observed
+    // aggregates (one execution of the join, not two). Multi-match is pure
+    // arithmetic: each of the `before` target rows appears in the join
+    // output either as its k≥1 match rows or as 1 unmatched row, so
+    // matched_pairs + unmatched_targets > before  ⇔  some target matched
+    // more than one source row. `before` is exact from the affected files'
+    // footer stats; when a foreign file lacks stats, a dedicated distinct
+    // count verifies instead (rare path).
+    val beforeFromStats: Option[Long] = {
+      val counts = affected.map(_.stats.flatMap(ActionCodec.statsFromJson).map(_.numRecords))
+      if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+    }
+    val metricName = s"graft_merge_${java.util.UUID.randomUUID()}"
+    val joinedObs = joined.observe(metricName,
+      coalesce(sum(when(matched, 1L)), lit(0L)).as("matched_pairs"),
+      coalesce(sum(when(bySource, 1L)), lit(0L)).as("unmatched_t"),
+      coalesce(sum(when(applyUpd || applyBsUpd, 1L)), lit(0L)).as("nu"),
+      coalesce(sum(when(applyDel || applyBsDel, 1L)), lit(0L)).as("nd"),
+      coalesce(sum(when(isIns, 1L)), lit(0L)).as("ni"))
 
     // 3. build the rewritten rows. Insert-only merges rewrite no files.
     // The effective conditions are mutually exclusive, so the when-chains
@@ -215,14 +219,56 @@ final class MergeBuilder private[delta] (
         .otherwise(tCol)
         .cast(f.dataType).as(f.name)
     }
-    val rewritten = joined.filter(outFilter).select(outFields.toSeq: _*)
+    val rewritten = joinedObs.filter(outFilter).select(outFields.toSeq: _*)
 
-    // nothing changed anywhere: skip the rewrite entirely (matters most for
-    // by-source merges, whose affected set is the whole table)
-    if (nUpd == 0 && nDel == 0 && nIns == 0)
-      return MergeMetrics(0, 0, 0, 0, snap.version)
     val removes = if (rewriteFiles) affected else Nil
-    val adds = GraftWriter.stageFiles(rewritten, path, snap.partitionColumns)
+    val (adds, observed) = ObservedMetrics.run(spark, metricName) {
+      GraftWriter.stageFiles(rewritten, path, snap.partitionColumns)
+    }
+    def discardStaged(): Unit = GraftWriter.discardStaged(spark, path, adds)
+
+    val (nUpd, nDel, nIns) = observed match {
+      case Some(row) =>
+        val pairs = row.getAs[Long]("matched_pairs")
+        val unmatchedT = row.getAs[Long]("unmatched_t")
+        val multiMatched = beforeFromStats match {
+          case Some(before) => pairs + unmatchedT > before
+          case None => // foreign file without stats: verify explicitly
+            pairs > joined.filter(matched).select("__t").distinct().count()
+        }
+        if (multiMatched) {
+          discardStaged()
+          throw new MultipleMatchException(
+            "merge: a target row matched more than one source row")
+        }
+        (row.getAs[Long]("nu"), row.getAs[Long]("nd"), row.getAs[Long]("ni"))
+      case None =>
+        // observed metrics did not surface (listener starvation): recompute
+        // with the standalone aggregation pass
+        val per = joined.groupBy(col("__t")).agg(
+          sum(when(matched, 1L).otherwise(0L)).as("nm"),
+          sum(when(applyUpd || applyBsUpd, 1L).otherwise(0L)).as("nu"),
+          sum(when(applyDel || applyBsDel, 1L).otherwise(0L)).as("nd"),
+          sum(when(isIns, 1L).otherwise(0L)).as("ni"))
+        val tot = per.agg(
+          coalesce(max(col("nm")), lit(0L)),
+          coalesce(sum(col("nu")), lit(0L)),
+          coalesce(sum(col("nd")), lit(0L)),
+          coalesce(sum(col("ni")), lit(0L))).first()
+        if (tot.getLong(0) > 1) {
+          discardStaged()
+          throw new MultipleMatchException(
+            "merge: a target row matched more than one source row")
+        }
+        (tot.getLong(1), tot.getLong(2), tot.getLong(3))
+    }
+
+    // nothing changed anywhere: discard the staged rewrite and commit
+    // nothing (matters most for no-op by-source merges)
+    if (nUpd == 0 && nDel == 0 && nIns == 0) {
+      discardStaged()
+      return MergeMetrics(0, 0, 0, 0, snap.version)
+    }
 
     // 4. one commit: remove rewritten files, add their replacements + inserts.
     // t-qualified partition constraints in the join condition scope the read

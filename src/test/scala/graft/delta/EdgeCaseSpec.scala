@@ -9,6 +9,36 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTestBase {
   import LogFixtures.tempTable
   import spark.implicits._
 
+  test("distributed checkpoint restore equals the driver path exactly") {
+    val dir = tempTable("edge-dist-restore").toString
+    // a table with removes (DML), metadata, txns and a checkpoint: every
+    // snapshot component must survive the executor-side restore
+    GraftWriter.write((0 until 60).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(3), dir)
+    (1 to 9).foreach(i => GraftWriter.write(
+      Seq((100L + i, s"a$i")).toDF("id", "v"), dir, SaveMode.Append))
+    Dml.delete(spark, dir, col("id") < 10) // tombstones in the checkpoint
+    val log0 = DeltaLog.forPath(spark, dir)
+    log0.checkpoint()
+    GraftWriter.write(Seq((500L, "tail")).toDF("id", "v"), dir, SaveMode.Append)
+
+    def freshSnap() = DeltaLog.forPath(spark, dir).update()
+    val driver = freshSnap() // default threshold: driver path
+    spark.conf.set(DeltaLog.DistributedThresholdKey, "1")
+    val dist = try freshSnap()
+    finally spark.conf.unset(DeltaLog.DistributedThresholdKey)
+
+    assert(dist.version == driver.version)
+    assert(dist.files.map(f => (f.path, f.size, f.partitionValues, f.stats)).toSet ==
+      driver.files.map(f => (f.path, f.size, f.partitionValues, f.stats)).toSet)
+    assert(dist.tombstones.map(_.path).toSet == driver.tombstones.map(_.path).toSet)
+    assert(dist.metadata.map(_.schemaString) == driver.metadata.map(_.schemaString))
+    assert(dist.minReaderVersion == driver.minReaderVersion)
+    // and the data read through the distributed-restored snapshot agrees
+    assert(new DeltaTable(DeltaLog.forPath(spark, dir), dist).toDF.count() ==
+      new DeltaTable(DeltaLog.forPath(spark, dir), driver).toDF.count())
+  }
+
   test("null partition values round-trip as __HIVE_DEFAULT_PARTITION__") {
     val dir = tempTable("edge-nullpart").toString
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a")), (4L, None))

@@ -38,6 +38,29 @@ class WriterSpec extends AnyFunSuite with SparkTestBase {
     assert(tbl.nullCounts("id") == 0L)
   }
 
+  test("executor-side stats path produces identical Adds to the driver pool") {
+    // same data written through both stats paths: threshold 1 forces the
+    // distributed footer-stats job; default keeps the driver pool
+    val viaJob = tempTable("wr-stats-exec").toString
+    val viaPool = tempTable("wr-stats-pool").toString
+    val df = sampleDF(0 until 200).repartition(8)
+    spark.conf.set("spark.graft.write.statsExecutorThreshold", "1")
+    try GraftWriter.write(df, viaJob)
+    finally spark.conf.unset("spark.graft.write.statsExecutorThreshold")
+    GraftWriter.write(df, viaPool)
+
+    // file names are write-unique UUIDs, so compare the multisets of
+    // per-file stats rather than path-aligned lists
+    def statsOf(dir: String) =
+      DeltaTable.forPath(spark, dir).files.flatMap(_.stats).flatMap(ActionCodec.statsFromJson)
+    val (a, b) = (statsOf(viaJob), statsOf(viaPool))
+    assert(a.nonEmpty && a.size == b.size)
+    assert(a.map(_.numRecords).sorted == b.map(_.numRecords).sorted)
+    assert(a.map(_.minValues("id").asLong).sorted == b.map(_.minValues("id").asLong).sorted)
+    assert(a.map(_.maxValues("id").asLong).sorted == b.map(_.maxValues("id").asLong).sorted)
+    assert(DeltaTable.forPath(spark, viaJob).statistics.numRecords.contains(200L))
+  }
+
   test("SaveMode semantics: ErrorIfExists, Ignore, Append, Overwrite (action.rs:806-815)") {
     val dir = tempTable("wr-modes").toString
     GraftWriter.write(sampleDF(0 until 10), dir)
