@@ -277,6 +277,36 @@ class InteropGoldenTableSpec extends AnyFunSuite with SparkTestBase {
     assert(t.toDF.select("state", "cases").filter("cases > 0").limit(5).collect().length == 5)
   }
 
+  // ----------------------------------------------------------------- golden
+
+  test("golden/data-reader-array-primitives: nested array columns of every primitive (s3_test.rs:100-111 shape)") {
+    val t = DeltaTable.forPath(spark, s"$gold/golden/data-reader-array-primitives")
+    assert(t.version == 0)
+    assert(t.snapshot.minWriterVersion == 2 && t.snapshot.minReaderVersion == 1)
+    val df = t.toDF
+    // ten array-typed columns, 10 rows over 2 files: arrays of int/long/
+    // byte/short/bool/float/double/string/binary/decimal through the scan
+    assert(df.count() == 10L)
+    val row = df.selectExpr(
+      "as_array_int[0] AS i", "as_array_long[0] AS l", "as_array_string[0] AS s",
+      "as_array_boolean[0] AS b", "as_array_double[0] AS d")
+      .orderBy("i").collect()
+    assert(row.map(_.getInt(0)).toSeq == (0 until 10))
+    assert(row.map(_.getLong(1)).toSeq == (0L until 10L))
+    assert(row.map(_.getString(2)).toSeq == (0 until 10).map(_.toString))
+    assert(row.head.getBoolean(3)) // row 0: [true]
+    assert(row.map(_.getDouble(4)).toSeq == (0 until 10).map(_.toDouble))
+    // aggregate over exploded arrays
+    assert(df.selectExpr("explode(as_array_int) AS v")
+      .agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0) == 45L)
+  }
+
+  test("concurrent_workers seed table: readable v0 with empty file list") {
+    val t = DeltaTable.forPath(spark, s"$gold/concurrent_workers")
+    assert(t.version == 0)
+    assert(t.files.isEmpty) // the fixture ships only the protocol/metaData commit
+  }
+
   // -------------------------------------------------------- time travel/ds
 
   test("simple_table copy: mtime-based time travel (read_simple_table_test.rs:129-187)") {
