@@ -245,8 +245,14 @@ final class DeltaLog private (
     * (`rust/src/checkpoints.rs:104-248`). */
   def checkpoint(): CheckPoint = checkpoint(update())
 
+  /** Part sizing honors `spark.graft.checkpoint.maxActionsPerPart`, so the
+    * auto-checkpoint cadence multiparts on its own once a table's live
+    * action count crosses the configured bound — no caller opt-in needed
+    * (the reference's writer likewise reads `checkpoint_size` from table
+    * config rather than a call-site argument). */
   def checkpoint(snap: Snapshot): CheckPoint =
-    checkpoint(snap, maxActionsPerPart = 500000)
+    checkpoint(snap, maxActionsPerPart = spark.conf
+      .getOption(DeltaLog.MaxActionsPerPartKey).map(_.toInt).getOrElse(500000))
 
   def checkpoint(snap: Snapshot, maxActionsPerPart: Int): CheckPoint = {
     val (size, parts) = Checkpoints.write(this, snap, maxActionsPerPart)
@@ -266,6 +272,10 @@ final class DeltaLog private (
 object DeltaLog {
   /** Conf key for the distributed checkpoint-restore threshold (actions). */
   val DistributedThresholdKey = "spark.graft.replay.distributedThreshold"
+
+  /** Conf key bounding actions per checkpoint part (default 500k); crossing
+    * it turns every auto/explicit checkpoint multi-part. */
+  val MaxActionsPerPartKey = "spark.graft.checkpoint.maxActionsPerPart"
 
   /** `%020d.json` */
   private val CommitFileRe: Regex = """^(\d{20})\.json$""".r

@@ -55,7 +55,7 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
   def lastFileIndex: Option[GraftFileIndex] = lastIndexVar
 
   private def scanWithIndex(index: GraftFileIndex): DataFrame = {
-    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     lastIndexVar = Some(index)
     val relation = HadoopFsRelation(
@@ -65,9 +65,13 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
       bucketSpec = None,
       fileFormat = new ParquetFileFormat(),
       options = Map.empty)(spark)
+    // Attach log-derived catalog statistics (exact rowCount under
+    // CBO/planStats) — see [[RelationStats]].
+    val lr = LogicalRelation(
+      relation, RelationStats.catalogTable(log, snapshot, relation.schema))
     // HadoopFsRelation appends partition columns after data columns;
     // project back to the table's declared column order.
-    spark.baseRelationToDataFrame(relation)
+    org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, lr)
       .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
   }
 

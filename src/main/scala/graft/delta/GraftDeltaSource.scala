@@ -110,7 +110,8 @@ final class GraftDeltaSource extends RelationProvider
     val partitionBy = parameters.get("partitionBy")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean)
-    GraftWriter.write(data, path, mode, partitionBy, mergeSchema)
+    val overwriteSchema = parameters.get("overwriteSchema").exists(_.toBoolean)
+    GraftWriter.write(data, path, mode, partitionBy, mergeSchema, overwriteSchema)
     createRelation(sqlContext, parameters)
   }
 

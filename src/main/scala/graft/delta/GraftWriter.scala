@@ -37,11 +37,18 @@ object GraftWriter {
     * columns shared by name must keep their exact type, and df-only columns
     * are appended (nullable) to the table schema via a new `metaData` action
     * in the same commit — old files simply null-fill them on read (by-name
-    * parquet resolution). Partition columns can never change. */
+    * parquet resolution). Partition columns can never change.
+    *
+    * `overwriteSchema = true` (Overwrite mode only) replaces the table
+    * schema wholesale — and, when `partitionBy` is given, the partitioning —
+    * in the same commit that removes every previous file. Legal because the
+    * new metadata governs exactly the new files; no old file survives to be
+    * read under the wrong schema. */
   def write(df: DataFrame, path: String,
             mode: SaveMode = SaveMode.ErrorIfExists,
             partitionBy: Seq[String] = Nil,
-            mergeSchema: Boolean = false): Long = {
+            mergeSchema: Boolean = false,
+            overwriteSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
@@ -54,17 +61,29 @@ object GraftWriter {
       case _ => ()
     }
 
+    if (overwriteSchema && mergeSchema)
+      throw new SchemaMismatchException(
+        "overwriteSchema and mergeSchema are mutually exclusive")
+    if (overwriteSchema && exists && mode != SaveMode.Overwrite)
+      throw new SchemaMismatchException(
+        "overwriteSchema requires SaveMode.Overwrite: replacing the schema " +
+        "while old files stay active would misread them")
     val partCols =
       if (exists && partitionBy.isEmpty) snap.partitionColumns
       else partitionBy
-    if (exists && partCols != snap.partitionColumns)
+    if (exists && partCols != snap.partitionColumns && !overwriteSchema)
       throw new SchemaMismatchException(
         s"partition columns $partCols != table's ${snap.partitionColumns}")
     var evolvedMetadata: Option[MetaDataAction] = None
     if (exists) {
       val tbl = snap.schema.fields.map(f => (f.name, f.dataType)).toSeq
       val inc = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
-      if (mergeSchema) {
+      if (overwriteSchema) {
+        if (tbl != inc || partCols != snap.partitionColumns)
+          evolvedMetadata = Some(snap.metadata.get.copy(
+            schemaString = DeltaSchema.toJson(df.schema),
+            partitionColumns = partCols))
+      } else if (mergeSchema) {
         evolvedMetadata = evolveSchema(snap, df.schema)
       } else {
         // Schema must match the table's (the reference rejects mismatched

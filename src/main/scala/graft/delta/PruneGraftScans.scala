@@ -48,7 +48,12 @@ object PruneGraftScans extends Rule[LogicalPlan] {
             else {
               val newIndex = new GraftFileIndex(idx.spark, idx.log, idx.snapshot, Some(pruned))
               val newRel = fs.copy(location = newIndex)(fs.sparkSession)
-              Some(f.copy(child = lr.copy(relation = newRel)))
+              // Catalog stats (if attached) must shrink with the scan, or a
+              // stale full-table rowCount/size would override the pruned
+              // relation size in computeStats.
+              val newCatalog = lr.catalogTable.map(ct => ct.copy(stats = Some(
+                RelationStats.pruned(pruned, fs.sparkSession.sessionState.conf))))
+              Some(f.copy(child = lr.copy(relation = newRel, catalogTable = newCatalog)))
             }
           case _ => None
         }

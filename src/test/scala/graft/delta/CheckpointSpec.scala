@@ -131,6 +131,21 @@ class CheckpointSpec extends AnyFunSuite with SparkTestBase {
     assert(snap2.metadata.map(_.id) == before.metadata.map(_.id))
   }
 
+  test("maxActionsPerPart conf multiparts the default checkpoint path") {
+    val dir = tempTable("cp-conf-multipart").toString
+    import spark.implicits._
+    GraftWriter.write((0 until 40).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(4), dir)
+    val log = DeltaLog.forPath(spark, dir)
+    spark.conf.set(DeltaLog.MaxActionsPerPartKey, "3")
+    try {
+      val cp = log.checkpoint() // no caller opt-in: cadence path signature
+      assert(cp.parts.exists(_ >= 2), s"expected conf-driven multipart, got $cp")
+      val snap2 = DeltaLog.forPath(spark, dir).update()
+      assert(snap2.files.map(_.path).toSet == log.snapshot.files.map(_.path).toSet)
+    } finally spark.conf.unset(DeltaLog.MaxActionsPerPartKey)
+  }
+
   test("incomplete multipart set is not selected by checkpoint discovery") {
     val dir = tempTable("cp-incomplete").toString
     import spark.implicits._

@@ -73,4 +73,44 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkTestBase {
     val row = dt.toDF.select("id", "v", "w").as[(Long, Option[String], Option[Double])].head()
     assert(row == ((9L, None, Some(1.0))))
   }
+
+  test("overwriteSchema replaces schema and partitioning on overwrite") {
+    val dir = tempTable("evolve-ows").toString
+    GraftWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    val v = GraftWriter.write(
+      Seq(("x", 1.5, "p1"), ("y", 2.5, "p2")).toDF("name", "score", "p"),
+      dir, SaveMode.Overwrite, partitionBy = Seq("p"), overwriteSchema = true)
+    assert(v == 1)
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.schema.fieldNames.toSeq == Seq("name", "score", "p"))
+    assert(dt.partitionColumns == Seq("p"))
+    assert(dt.toDF.orderBy("name").as[(String, Double, String)].collect().toSeq ==
+      Seq(("x", 1.5, "p1"), ("y", 2.5, "p2")))
+    // history: the old schema is still readable at version 0
+    assert(DeltaTable.forPath(spark, dir, 0).schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+
+  test("overwriteSchema outside Overwrite mode is rejected") {
+    val dir = tempTable("evolve-ows-mode").toString
+    GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir)
+    intercept[SchemaMismatchException] {
+      GraftWriter.write(Seq(("x", 1.0)).toDF("name", "score"),
+        dir, SaveMode.Append, overwriteSchema = true)
+    }
+    intercept[SchemaMismatchException] {
+      GraftWriter.write(Seq(("x", 1.0)).toDF("name", "score"),
+        dir, SaveMode.Overwrite, mergeSchema = true, overwriteSchema = true)
+    }
+    assert(DeltaLog.forPath(spark, dir).update().version == 0)
+  }
+
+  test("format writer honors the overwriteSchema option") {
+    val dir = tempTable("evolve-ows-fmt").toString
+    Seq((1L, "a")).toDF("id", "v").write.format("graft-delta").save(dir)
+    Seq(("z", 9L)).toDF("name", "n").write.format("graft-delta")
+      .mode("overwrite").option("overwriteSchema", "true").save(dir)
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.schema.fieldNames.toSeq == Seq("name", "n"))
+    assert(dt.toDF.as[(String, Long)].collect().toSeq == Seq(("z", 9L)))
+  }
 }
