@@ -265,7 +265,50 @@ final class DeltaLog private (
       ActionCodec.mapper.writeValueAsString(o)
     }
     store.write(new Path(logPath, "_last_checkpoint"), json)
+    val cfg = TableConfig.of(snap)
+    if (TableConfig.expiredLogCleanupEnabled(cfg))
+      cleanUpExpiredLogs(snap.version, TableConfig.logRetentionMillis(cfg))
     cp
+  }
+
+  /** Auto-checkpoint cadence: checkpoint when `version` is a positive
+    * multiple of the table's `delta.checkpointInterval` (default 10) — the
+    * reference's checkpoint Lambda fires on the same `version % interval`
+    * test (`aws/delta-checkpoint/src/main.rs:46`), with the interval read
+    * from table config, not code. Called by every committing writer
+    * (batch, streaming sink, SQL INSERT). */
+  def maybeCheckpoint(version: Long): Unit = {
+    if (version > 0 &&
+        version % TableConfig.checkpointInterval(TableConfig.of(snapshot)) == 0)
+      checkpoint()
+  }
+
+  /** Delete log entries a checkpoint has superseded once they outlive
+    * `delta.logRetentionDuration` — without this, a 100 TB table writing
+    * thousands of commits a day accumulates an unbounded `_delta_log`
+    * listing (the cost of EVERY snapshot load). Only versions strictly
+    * below `checkpointVersion` are candidates, so replay-from-checkpoint
+    * contiguity is untouched; time travel older than the retention window
+    * is the documented casualty (as in Delta). Returns deleted file names. */
+  def cleanUpExpiredLogs(checkpointVersion: Long, retentionMillis: Long): Seq[String] = {
+    val cutoff = System.currentTimeMillis() - retentionMillis
+    val deleted = Seq.newBuilder[String]
+    store.list(logPath).foreach { st =>
+      val name = st.getPath.getName
+      val versionOf: Option[Long] = name match {
+        case CommitFileRe(v)           => Some(v.toLong)
+        case CheckpointFileRe(v)       => Some(v.toLong)
+        case CheckpointPartRe(v, _, _) => Some(v.toLong)
+        case _                         => None
+      }
+      versionOf.foreach { v =>
+        if (v < checkpointVersion && st.getModificationTime < cutoff) {
+          store.delete(st.getPath)
+          deleted += name
+        }
+      }
+    }
+    deleted.result().sorted
   }
 }
 

@@ -83,14 +83,16 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
 
   /** Delete expired tombstoned files — `vacuum` (`rust/src/delta.rs:920-969`).
     *
-    * Retention below the 168 h floor is rejected
-    * (`rust/src/delta.rs:881-884`); expiry cutoff per `get_stale_files`
-    * (:881-898); hidden files/dirs (`.`/`_` prefix except `_delta_index`,
-    * `_change_data`, and `k=v` partition dirs) are never candidates
-    * (:904-916). Returns the (relative) deleted — or with `dryRun` the
-    * would-be deleted — paths, sorted.
+    * The retention floor — and the default when `retentionHours` is omitted
+    * (NaN) — is the table's `delta.deletedFileRetentionDuration` (168 h when
+    * unset, the reference's fixed floor, `rust/src/delta.rs:881-884`); an
+    * explicit retention below the floor is rejected. Expiry cutoff per
+    * `get_stale_files` (:881-898); hidden files/dirs (`.`/`_` prefix except
+    * `_delta_index`, `_change_data`, and `k=v` partition dirs) are never
+    * candidates (:904-916). Returns the (relative) deleted — or with
+    * `dryRun` the would-be deleted — paths, sorted.
     */
-  def vacuum(retentionHours: Double = 168.0, dryRun: Boolean = false): Seq[String] =
+  def vacuum(retentionHours: Double = Double.NaN, dryRun: Boolean = false): Seq[String] =
     vacuum(retentionHours, dryRun, parallelDeleteThreshold = 1000)
 
   /** As [[vacuum]]; above `parallelDeleteThreshold` candidates the deletes
@@ -99,10 +101,14 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     * trips. */
   def vacuum(retentionHours: Double, dryRun: Boolean,
              parallelDeleteThreshold: Int): Seq[String] = {
-    if (retentionHours < 168.0)
+    val floorHours =
+      TableConfig.deletedFileRetentionMillis(TableConfig.of(snapshot)) / 3600e3
+    val effectiveHours = if (retentionHours.isNaN) floorHours else retentionHours
+    if (effectiveHours < floorHours)
       throw new IllegalArgumentException(
-        s"invalid vacuum retention period $retentionHours h: minimum is 168 h")
-    val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
+        s"invalid vacuum retention period $effectiveHours h: minimum is " +
+        s"$floorHours h (${TableConfig.DeletedFileRetention})")
+    val cutoff = System.currentTimeMillis() - (effectiveHours * 3600 * 1000).toLong
     val expired = snapshot.tombstones
       .filter(_.deletionTimestamp < cutoff).map(_.path).toSet
     val active = snapshot.files.map(_.path).toSet
@@ -142,6 +148,26 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
       }
     }
     result
+  }
+
+  /** Commit updated table properties (`metaData.configuration`) — the knob
+    * behind [[TableConfig]]'s behaviors (append-only, checkpoint cadence,
+    * retention windows). `delta.*` keys are validated up front; other keys
+    * pass through as user metadata. Returns the committed version. */
+  def setProperties(props: Map[String, String]): Long = {
+    TableConfig.validate(props)
+    val snap = log.update()
+    val md = snap.metadata.getOrElse(
+      throw new IllegalStateException(s"table ${log.tablePath} has no metadata"))
+    val txn = log.startTransaction()
+    txn.addAction(md.copy(configuration = md.configuration ++ props))
+    val info = ActionCodec.mapper.createObjectNode()
+    info.put("timestamp", System.currentTimeMillis())
+    info.put("operation", "SET TBLPROPERTIES")
+    val params = info.putObject("operationParameters")
+    params.put("properties",
+      props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(","))
+    txn.commit(Some(CommitInfoAction(info)))
   }
 }
 

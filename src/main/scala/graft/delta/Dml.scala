@@ -45,6 +45,10 @@ object Dml {
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
     if (snap.version < 0) throw new NotATableException(path)
+    // fail before staging any rewrite files (the commit-time gate would
+    // catch it too, but only after the wasted write)
+    if (TableConfig.appendOnly(TableConfig.of(snap)))
+      throw new AppendOnlyTableException(path)
     val dt = new DeltaTable(log, snap)
 
     // 1. which files contain matching rows? (predicate pushed into the scan)

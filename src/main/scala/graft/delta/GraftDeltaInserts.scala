@@ -93,7 +93,7 @@ final case class GraftInsertCommand(
     if (staticPartitions.nonEmpty)
       params.put("staticPartitions", staticPartitions.map { case (k, v) => s"$k=$v" }.mkString(","))
     val version = txn.commit(Some(CommitInfoAction(info)))
-    if (version % 10 == 0 && version != 0) log.checkpoint()
+    log.maybeCheckpoint(version)
     log.update()
     Seq.empty
   }

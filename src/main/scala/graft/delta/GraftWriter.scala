@@ -127,9 +127,7 @@ object GraftWriter {
     params.put("partitionBy", partCols.mkString(","))
     val version = txn.commit(Some(CommitInfoAction(info)))
 
-    // Auto-checkpoint cadence — every 10th commit, like the reference's
-    // checkpoint Lambda (`aws/delta-checkpoint/src/main.rs:46`).
-    if (version % 10 == 0 && version != 0) log.checkpoint()
+    log.maybeCheckpoint(version)
     version
   }
 

@@ -102,6 +102,8 @@ final class MergeBuilder private[delta] (
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
     if (snap.version < 0) throw new NotATableException(path)
+    if (TableConfig.appendOnly(TableConfig.of(snap)))
+      throw new AppendOnlyTableException(path)
     val dt = new DeltaTable(log, snap)
 
     val fieldNames = snap.schema.fieldNames.toSet

@@ -26,6 +26,12 @@ final class ConcurrentAppendException(version: Long)
 final class ConcurrentDeleteDeleteException(version: Long, path: String)
   extends ConcurrentCommitException(
     s"concurrent commit $version also removed $path")
+/** The table is configured `delta.appendOnly=true` and this transaction
+  * carries a data-changing remove. */
+final class AppendOnlyTableException(path: String)
+  extends IllegalStateException(
+    s"table $path is append-only (${TableConfig.AppendOnly}=true): " +
+    "DELETE/UPDATE/MERGE/overwrite are not allowed")
 
 /** Optimistic-concurrency transaction — the reference's `DeltaTransaction`
   * (`rust/src/delta.rs:986-1416`):
@@ -101,6 +107,16 @@ final class OptimisticTransaction(val log: DeltaLog) {
     * line (`DeltaOperation`, `rust/src/action.rs:779-803`). */
   def commit(operation: Option[CommitInfoAction] = None,
              maxAttempts: Int = OptimisticTransaction.MaxRetryCommitAttempts): Long = {
+    // delta.appendOnly gate — the effective config is the one this commit
+    // leaves behind (a same-commit metaData wins over the read snapshot's).
+    val effectiveConfig = actions.reverseIterator
+      .collectFirst { case m: MetaDataAction => m.configuration }
+      .getOrElse(TableConfig.of(log.snapshot))
+    if (TableConfig.appendOnly(effectiveConfig) && actions.exists {
+          case r: RemoveAction => r.dataChange
+          case _ => false
+        })
+      throw new AppendOnlyTableException(log.tablePath.toString)
     val tmp = prepareCommit(operation.toSeq)
     val ourRemoves = actions.collect { case r: RemoveAction => r.path }.toSet
     val ourDataChangeRemoves = actions.exists {

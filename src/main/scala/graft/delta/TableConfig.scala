@@ -1,0 +1,106 @@
+package graft.delta
+
+/** Table-level configuration: the `delta.*` keys of
+  * `metaData.configuration`.
+  *
+  * The reference carries the map verbatim (`DeltaTableMetaData.configuration`,
+  * `rust/src/delta.rs:308-330`) and its checkpoint Lambda reads the cadence
+  * from table config rather than code (`aws/delta-checkpoint/src/main.rs:46`);
+  * the keys and interval grammar here are the Delta protocol's published
+  * table properties, so tables written by other Delta clients keep their
+  * declared behavior when operated on by this engine.
+  *
+  * Durations use the protocol's calendar-interval strings
+  * (`"interval <n> <unit>"`, unit ∈ millisecond/second/minute/hour/day/week,
+  * singular or plural).
+  */
+object TableConfig {
+
+  /** `true` ⇒ the table only accepts appends: any commit carrying a
+    * `dataChange` remove (DELETE/UPDATE/MERGE/overwrite) is rejected.
+    * Compaction (`dataChange=false`) still commutes. */
+  val AppendOnly = "delta.appendOnly"
+
+  /** Auto-checkpoint every N commits (default 10). */
+  val CheckpointInterval = "delta.checkpointInterval"
+
+  /** How long superseded log entries survive after a checkpoint
+    * (default 30 days). Bounds time travel. */
+  val LogRetention = "delta.logRetentionDuration"
+
+  /** Vacuum retention floor and no-arg default (default 1 week). */
+  val DeletedFileRetention = "delta.deletedFileRetentionDuration"
+
+  /** Whether checkpoints trigger expired-log cleanup (default true). */
+  val EnableExpiredLogCleanup = "delta.enableExpiredLogCleanup"
+
+  private val Known: Map[String, String => Unit] = Map(
+    AppendOnly -> parseBoolean(AppendOnly) _,
+    CheckpointInterval -> { v: String =>
+      val n = try v.toInt catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"$CheckpointInterval must be an int, got '$v'") }
+      require(n >= 1, s"$CheckpointInterval must be >= 1, got $n")
+    },
+    LogRetention -> { v: String => parseIntervalMillis(v, LogRetention); () },
+    DeletedFileRetention -> { v: String => parseIntervalMillis(v, DeletedFileRetention); () },
+    EnableExpiredLogCleanup -> parseBoolean(EnableExpiredLogCleanup) _)
+
+  /** Effective configuration of a snapshot (empty before the first
+    * `metaData`). */
+  def of(snap: Snapshot): Map[String, String] =
+    snap.metadata.map(_.configuration).getOrElse(Map.empty)
+
+  def appendOnly(config: Map[String, String]): Boolean =
+    config.get(AppendOnly).exists(_.trim.equalsIgnoreCase("true"))
+
+  def checkpointInterval(config: Map[String, String]): Int =
+    config.get(CheckpointInterval).map(_.trim.toInt).getOrElse(10)
+
+  def logRetentionMillis(config: Map[String, String]): Long =
+    config.get(LogRetention).map(parseIntervalMillis(_, LogRetention))
+      .getOrElse(30L * 24 * 3600 * 1000)
+
+  def deletedFileRetentionMillis(config: Map[String, String]): Long =
+    config.get(DeletedFileRetention).map(parseIntervalMillis(_, DeletedFileRetention))
+      .getOrElse(7L * 24 * 3600 * 1000)
+
+  def expiredLogCleanupEnabled(config: Map[String, String]): Boolean =
+    !config.get(EnableExpiredLogCleanup).exists(_.trim.equalsIgnoreCase("false"))
+
+  /** Fail fast on properties this engine would silently ignore or
+    * mis-parse later: unknown `delta.`-prefixed keys and malformed values.
+    * Non-`delta.` keys pass through untouched (user metadata). */
+  def validate(props: Map[String, String]): Unit = props.foreach { case (k, v) =>
+    Known.get(k) match {
+      case Some(check) => check(v)
+      case None if k.startsWith("delta.") =>
+        throw new IllegalArgumentException(
+          s"unknown delta table property '$k' (supported: ${Known.keys.toSeq.sorted.mkString(", ")})")
+      case None => ()
+    }
+  }
+
+  private def parseBoolean(key: String)(v: String): Unit = {
+    val t = v.trim.toLowerCase
+    require(t == "true" || t == "false", s"$key must be true|false, got '$v'")
+  }
+
+  private val IntervalRe =
+    """(?i)^\s*(?:interval\s+)?(\d+)\s*(millisecond|second|minute|hour|day|week)s?\s*$""".r
+
+  /** `"interval 30 days"` → milliseconds. */
+  private[delta] def parseIntervalMillis(s: String, key: String): Long = s match {
+    case IntervalRe(n, unit) =>
+      val factor = unit.toLowerCase match {
+        case "millisecond" => 1L
+        case "second"      => 1000L
+        case "minute"      => 60L * 1000
+        case "hour"        => 3600L * 1000
+        case "day"         => 24L * 3600 * 1000
+        case "week"        => 7L * 24 * 3600 * 1000
+      }
+      n.toLong * factor
+    case _ => throw new IllegalArgumentException(
+      s"$key: cannot parse interval '$s' (expected e.g. \"interval 30 days\")")
+  }
+}

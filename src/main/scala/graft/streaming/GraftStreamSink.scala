@@ -80,7 +80,7 @@ final class GraftStreamSink(
     params.put("queryId", queryId)
     params.put("epochId", epochId)
     val version = txn.commit(Some(CommitInfoAction(info)))
-    if (version % 10 == 0 && version != 0) log.checkpoint()
+    log.maybeCheckpoint(version)
     version
   }
 }

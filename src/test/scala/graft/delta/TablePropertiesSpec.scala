@@ -1,0 +1,134 @@
+package graft.delta
+
+import graft.SparkTestBase
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `delta.*` table properties drive engine behavior: append-only enforcement,
+  * auto-checkpoint cadence, log retention cleanup, vacuum retention floor. */
+class TablePropertiesSpec extends AnyFunSuite with SparkTestBase {
+  import LogFixtures.tempTable
+  import spark.implicits._
+
+  test("interval grammar parses and validates") {
+    assert(TableConfig.parseIntervalMillis("interval 30 days", "k") == 30L * 86400000)
+    assert(TableConfig.parseIntervalMillis("interval 1 week", "k") == 7L * 86400000)
+    assert(TableConfig.parseIntervalMillis("INTERVAL 2 HOURS", "k") == 7200000L)
+    assert(TableConfig.parseIntervalMillis("90 minutes", "k") == 5400000L)
+    intercept[IllegalArgumentException](TableConfig.parseIntervalMillis("fortnight", "k"))
+    intercept[IllegalArgumentException](
+      TableConfig.validate(Map("delta.nope" -> "1")))
+    intercept[IllegalArgumentException](
+      TableConfig.validate(Map(TableConfig.CheckpointInterval -> "zero")))
+    intercept[IllegalArgumentException](
+      TableConfig.validate(Map(TableConfig.AppendOnly -> "maybe")))
+    TableConfig.validate(Map("user.owner" -> "data-eng")) // non-delta passes
+  }
+
+  test("appendOnly allows appends + OPTIMIZE, blocks DELETE/UPDATE/overwrite") {
+    val dir = tempTable("props-appendonly").toString
+    GraftWriter.write((0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(4), dir)
+    DeltaTable.forPath(spark, dir).setProperties(Map(TableConfig.AppendOnly -> "true"))
+
+    // appends still fine
+    GraftWriter.write(Seq((100L, "x")).toDF("id", "v"), dir, SaveMode.Append)
+    intercept[AppendOnlyTableException] {
+      Dml.delete(spark, dir, col("id") < 10)
+    }
+    intercept[AppendOnlyTableException] {
+      Dml.update(spark, dir, col("id") === 1, Map("v" -> org.apache.spark.sql.functions.lit("y")))
+    }
+    intercept[AppendOnlyTableException] {
+      GraftWriter.write(Seq((0L, "z")).toDF("id", "v"), dir, SaveMode.Overwrite)
+    }
+    // compaction removes are dataChange=false — they commute with appendOnly
+    val m = Optimize.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(m.filesRemoved > 0)
+    // nothing was lost
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 101)
+    // and the property can be turned back off
+    DeltaTable.forPath(spark, dir).setProperties(Map(TableConfig.AppendOnly -> "false"))
+    assert(Dml.delete(spark, dir, col("id") === 100L).rowsAffected == 1)
+  }
+
+  test("checkpointInterval drives the auto-checkpoint cadence") {
+    val dir = tempTable("props-cpinterval").toString
+    GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir) // v0
+    val dt = DeltaTable.forPath(spark, dir)
+    dt.setProperties(Map(TableConfig.CheckpointInterval -> "3")) // v1
+    val log = DeltaLog.forPath(spark, dir)
+    assert(log.lastCheckpoint().isEmpty)
+    GraftWriter.write(Seq((2L, "b")).toDF("id", "v"), dir, SaveMode.Append) // v2
+    assert(log.lastCheckpoint().isEmpty)
+    GraftWriter.write(Seq((3L, "c")).toDF("id", "v"), dir, SaveMode.Append) // v3 → checkpoint
+    assert(DeltaLog.forPath(spark, dir).lastCheckpoint().map(_.version).contains(3L))
+  }
+
+  test("expired commits are cleaned after checkpoint per logRetentionDuration") {
+    val dir = tempTable("props-logclean").toString
+    (0 until 12).foreach { i =>
+      GraftWriter.write(Seq((i.toLong, s"v$i")).toDF("id", "v"), dir,
+        if (i == 0) SaveMode.ErrorIfExists else SaveMode.Append)
+    } // v0..v11, auto-checkpoint at v10
+    val log = DeltaLog.forPath(spark, dir)
+    assert(log.lastCheckpoint().map(_.version).contains(10L))
+
+    // age versions 0..7 one hour into the past
+    val fs = log.logPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val old = System.currentTimeMillis() - 3600 * 1000
+    (0 to 7).foreach(v => fs.setTimes(log.commitFile(v), old, -1))
+
+    DeltaTable.forPath(spark, dir).setProperties(
+      Map(TableConfig.LogRetention -> "interval 30 minutes")) // v12
+    val deleted = DeltaLog.forPath(spark, dir).checkpoint()
+    assert(deleted.version == 12)
+    val remaining = (0L to 12L).filter(v => fs.exists(log.commitFile(v)))
+    // 0..7 aged out; 8..12 inside retention
+    assert(remaining == (8L to 12L), s"remaining=$remaining")
+
+    // cold reads still see everything via the checkpoint
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 12)
+    // time travel within surviving commits works; to a cleaned version fails
+    assert(DeltaTable.forPath(spark, dir, 11).toDF.count() == 12)
+    intercept[VersionNotFoundException](DeltaTable.forPath(spark, dir, 5))
+  }
+
+  test("enableExpiredLogCleanup=false keeps every commit") {
+    val dir = tempTable("props-logkeep").toString
+    GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir)
+    DeltaTable.forPath(spark, dir).setProperties(Map(
+      TableConfig.LogRetention -> "interval 1 millisecond",
+      TableConfig.EnableExpiredLogCleanup -> "false"))
+    val log = DeltaLog.forPath(spark, dir)
+    val fs = log.logPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val old = System.currentTimeMillis() - 3600 * 1000
+    fs.setTimes(log.commitFile(0), old, -1)
+    log.checkpoint()
+    assert(fs.exists(log.commitFile(0)))
+  }
+
+  test("vacuum floor and default come from deletedFileRetentionDuration") {
+    val dir = tempTable("props-vacuum").toString
+    GraftWriter.write((0 until 50).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(2), dir)
+    GraftWriter.write(Seq((99L, "x")).toDF("id", "v"), dir, SaveMode.Overwrite)
+
+    // default floor (168 h): immediate tombstones are not expired
+    assert(DeltaTable.forPath(spark, dir).vacuum(dryRun = true).isEmpty)
+    // explicit retention below the floor still rejected
+    intercept[IllegalArgumentException](
+      DeltaTable.forPath(spark, dir).vacuum(1.0, dryRun = true))
+
+    // table owner lowers the floor to zero → no-arg vacuum reclaims now
+    DeltaTable.forPath(spark, dir).setProperties(
+      Map(TableConfig.DeletedFileRetention -> "interval 0 hours"))
+    val dt = DeltaTable.forPath(spark, dir)
+    val dry = dt.vacuum(dryRun = true)
+    assert(dry.size == 2, s"expected both pre-overwrite files, got $dry")
+    assert(dt.vacuum() == dry)
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 1)
+  }
+}
