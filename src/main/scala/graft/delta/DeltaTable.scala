@@ -150,6 +150,16 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     result
   }
 
+  /** Rewind the table's live state to `version` with one forward commit —
+    * see [[Restore]]. */
+  def restoreToVersion(version: Long): RestoreMetrics =
+    Restore.toVersion(spark, log.tablePath.toString, version)
+
+  /** As [[restoreToVersion]], targeting the newest version committed at or
+    * before `tsMillis`. */
+  def restoreToTimestamp(tsMillis: Long): RestoreMetrics =
+    Restore.toTimestamp(spark, log.tablePath.toString, tsMillis)
+
   /** Commit updated table properties (`metaData.configuration`) — the knob
     * behind [[TableConfig]]'s behaviors (append-only, checkpoint cadence,
     * retention windows). `delta.*` keys are validated up front; other keys

@@ -238,7 +238,7 @@ object GraftWriter {
 
   /** Run `f` over `items` on a bounded thread pool, preserving order.
     * Sized for metadata/footer I/O concurrency, not CPU. */
-  private def inDriverPool[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+  private[delta] def inDriverPool[A, B](items: Seq[A])(f: A => B): Seq[B] = {
     if (items.lengthCompare(2) < 0) return items.map(f)
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration

@@ -1,0 +1,83 @@
+package graft.delta
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+final case class RestoreMetrics(
+    filesRestored: Long, filesRemoved: Long, version: Long)
+
+/** A file the restore target references was physically reclaimed (vacuum). */
+final class RestoreException(msg: String) extends IllegalStateException(msg)
+
+/** RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF — rewind the table's *live
+  * state* to a historical snapshot with a single forward commit (no history
+  * is rewritten; the restore itself is one more version, so a bad restore is
+  * undone by another restore).
+  *
+  * Protocol-pure diff commit on top of the log layer the reference defines
+  * (`load_version`, `rust/src/delta.rs:672-709`): re-`add` the target's files
+  * missing from the current snapshot, `remove` the current files absent from
+  * the target, and re-commit the target's `metaData` when schema /
+  * partitioning / configuration changed in between. Data files are never
+  * copied — restore cost is O(#changed files) metadata, independent of table
+  * bytes, which is what makes it usable on a 100 TB table.
+  *
+  * Files to re-add must still exist physically: a vacuum past the target
+  * version makes that state unrecoverable ([[RestoreException]], listing the
+  * missing files). The existence probe parallelizes on the driver pool —
+  * same O(#files) bound as the commit itself.
+  */
+object Restore {
+
+  def toVersion(spark: SparkSession, path: String, version: Long): RestoreMetrics = {
+    val log = DeltaLog.forPath(spark, path)
+    val current = log.update()
+    if (current.version < 0) throw new NotATableException(path)
+    if (version == current.version)
+      return RestoreMetrics(0, 0, current.version)
+    val target = log.snapshotForVersion(version) // throws VersionNotFoundException
+
+    val currentPaths = current.files.map(_.path).toSet
+    val targetPaths = target.files.map(_.path).toSet
+    val toAdd = target.files.filterNot(f => currentPaths.contains(f.path))
+    val toRemove = current.files.filterNot(f => targetPaths.contains(f.path))
+
+    val fs = log.tablePath.getFileSystem(spark.sessionState.newHadoopConf())
+    val missing = GraftWriter.inDriverPool(toAdd)(a =>
+      if (fs.exists(new Path(log.tablePath, a.path))) None else Some(a.path)).flatten
+    if (missing.nonEmpty)
+      throw new RestoreException(
+        s"cannot restore $path to version $version: ${missing.size} data " +
+        s"file(s) were vacuumed, e.g. ${missing.take(3).mkString(", ")}")
+
+    val now = System.currentTimeMillis()
+    val txn = log.startTransaction()
+    (current.metadata, target.metadata) match {
+      case (Some(cur), Some(tgt))
+          if cur.schemaString != tgt.schemaString ||
+             cur.partitionColumns != tgt.partitionColumns ||
+             cur.configuration != tgt.configuration =>
+        txn.addAction(tgt)
+      case _ => ()
+    }
+    toAdd.foreach(a => txn.addAction(a.copy(dataChange = true)))
+    toRemove.foreach(f => txn.addAction(RemoveAction(
+      path = f.path, deletionTimestamp = now, dataChange = true,
+      extendedFileMetadata = Some(true),
+      partitionValues = Some(f.partitionValues), size = Some(f.size))))
+
+    val info = ActionCodec.mapper.createObjectNode()
+    info.put("timestamp", now)
+    info.put("operation", "RESTORE")
+    val params = info.putObject("operationParameters")
+    params.put("version", version)
+    val v = txn.commit(Some(CommitInfoAction(info)))
+    log.maybeCheckpoint(v)
+    RestoreMetrics(toAdd.size, toRemove.size, v)
+  }
+
+  def toTimestamp(spark: SparkSession, path: String, tsMillis: Long): RestoreMetrics = {
+    val log = DeltaLog.forPath(spark, path)
+    toVersion(spark, path, log.versionForTimestamp(tsMillis))
+  }
+}

@@ -221,6 +221,21 @@ object DeltaQueries {
               |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     },
 
+    // RESTORE: delete + append on top of v0, rewind to v0 with one diff
+    // commit; the restored read must equal the original selection exactly.
+    "q51_restore" -> { (s, dir) =>
+      val t = freshDir("restore")
+      val d = li(s, dir)
+      GraftWriter.write(d.filter(col("l_orderkey") < 1000), t) // v0
+      Dml.delete(s, t, col("l_quantity") > 25) // v1
+      GraftWriter.write(
+        d.filter(col("l_orderkey") >= 1000 && col("l_orderkey") < 1500), t,
+        SaveMode.Append) // v2
+      DeltaTable.forPath(s, t).restoreToVersion(0) // v3
+      DeltaTable.forPath(s, t).toDF
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // stats-based file skipping (D4): two disjoint-range commits; the
     // predicate-matching read must prune to one file set via Add.stats
     // before Spark lists anything.
@@ -259,6 +274,9 @@ object DeltaQueries {
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q39_delta_optimize" ->
       s"""SELECT $cols FROM lineitem WHERE l_orderkey < 600
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q51_restore" ->
+      s"""SELECT $cols FROM lineitem WHERE l_orderkey < 1000
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q40_delta_stream_tail" ->
       s"""SELECT $cols FROM lineitem WHERE l_orderkey < 600
