@@ -236,6 +236,23 @@ object DeltaQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // OPTIMIZE ZORDER: cluster on (l_orderkey, l_quantity), then serve a
+    // range query through stats pruning + row filter; contents must still
+    // match the oracle exactly (dataChange=false rewrite + skipping safety).
+    "q52_zorder" -> { (s, dir) =>
+      val t = freshDir("zorder")
+      GraftWriter.write(li(s, dir).filter(col("l_orderkey") < 2000).repartition(8), t)
+      Optimize.zorder(s, t, Seq("l_orderkey", "l_quantity"),
+        targetFileBytes = 64L * 1024)
+      DeltaTable.forPath(s, t)
+        .toDF(Nil, Seq(StatsPredicate.Ge("l_orderkey", 500L),
+                       StatsPredicate.Lt("l_orderkey", 1000L)))
+        .filter(col("l_orderkey") >= 500 && col("l_orderkey") < 1000)
+        // total order: (okey, line) is non-unique in the synthetic data, and
+        // the zorder rewrite permutes the tie order the scan feeds the sort
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    },
+
     // stats-based file skipping (D4): two disjoint-range commits; the
     // predicate-matching read must prune to one file set via Add.stats
     // before Spark lists anything.
@@ -278,6 +295,10 @@ object DeltaQueries {
     "q51_restore" ->
       s"""SELECT $cols FROM lineitem WHERE l_orderkey < 1000
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q52_zorder" ->
+      s"""SELECT $cols FROM lineitem
+         |WHERE l_orderkey >= 500 AND l_orderkey < 1000
+         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
     "q40_delta_stream_tail" ->
       s"""SELECT $cols FROM lineitem WHERE l_orderkey < 600
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
