@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph clustering for dedup pipelines: near-dup pair lists (from
+  * [[Dedup]]'s MinHash/SimHash/Jaccard/embedding generators) are edges; the
+  * unit of deduplication is the *connected component* (A~B, B~C ⇒ A,B,C are
+  * one document family even when A~C was never emitted), and the curation
+  * step keeps one survivor per family.
+  *
+  * Scale shape: min-label propagation, one hop per round — each round is a
+  * shuffle-join of the (symmetrized) edge list against the current labels
+  * plus a map-side-combined min-aggregate; rounds = component diameter.
+  * Near-dup families are dense (LSH emits most intra-family pairs), so
+  * diameters are small single digits in practice; `maxIterations` bounds the
+  * pathological chain. Lineage is truncated every round (eager
+  * `localCheckpoint`), or iterative plans would grow exponentially.
+  * Convergence is detected by the monotone label sum (labels only ever
+  * decrease), costing one aggregate instead of a self-join per round.
+  */
+object Clustering {
+
+  /** Connected components of the undirected graph given by `pairs`.
+    * Returns `(id, comp)` for every node appearing in `pairs`, where `comp`
+    * is the component's minimum node id. */
+  def connectedComponents(pairs: DataFrame,
+                          aCol: String = "id_a", bCol: String = "id_b",
+                          maxIterations: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val sym = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      iter += 1
+      val nbrLabels = sym
+        .join(labels.select(col("id").as("dst"), col("comp")), "dst")
+        .select(col("src").as("id"), col("comp"))
+      val next = labels.union(nbrLabels)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint(true)
+      val s = next.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+      converged = s.compareTo(prevSum) == 0 // labels only decrease
+      prevSum = s
+      labels = next
+    }
+    labels
+  }
+
+  /** One survivor per duplicate family: every document keeps its component
+    * (its own id when it appears in no pair), and the first row per
+    * component under `preference` — a TOTAL order, e.g.
+    * `Seq(length(col("text")).desc, col("doc_id"))` — survives. Returns the
+    * surviving rows with the original schema. */
+  def survivors(docs: DataFrame, idCol: String, pairs: DataFrame,
+                preference: Seq[Column],
+                aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+      .select(col("id"), col("comp"))
+    val joined = docs.join(comps, docs(idCol) === comps("id"), "left")
+      .withColumn("__graft_comp", coalesce(col("comp"), docs(idCol).cast("long")))
+      .drop("id", "comp")
+    val w = Window.partitionBy(col("__graft_comp")).orderBy(preference: _*)
+    joined.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_comp", "__graft_rn")
+  }
+}

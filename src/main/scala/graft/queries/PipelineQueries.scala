@@ -58,6 +58,22 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // duplicate-family clustering: Jaccard pairs → connected components
+    // (min-label propagation, one shuffle-join per hop). Oracle = DuckDB
+    // recursive transitive closure over the identical pair set.
+    "q53_dedup_cluster" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+      val pairs = Dedup.jaccardPairs(Dedup.shingles(docs, "text", "doc_id"), "doc_id", 1, 2)
+      Clustering.connectedComponents(pairs).orderBy("id")
+    },
+
+    // deterministic stratified sample: 20 docs per language ranked by
+    // md5(doc_id) — reproducible curation, identical in any engine.
+    "q54_stratified" -> { (s, dir) =>
+      Sampling.stratified(t(s, dir, "documents"), Seq("lang"), "doc_id", 20)
+        .select("doc_id", "lang").orderBy("doc_id")
+    },
+
     // MinHash-LSH near-dedup over the FULL document set: banded signatures →
     // bucket join → exact verification. Output provably equals brute force
     // at this data's similarity gap.
@@ -208,6 +224,32 @@ object PipelineQueries {
     "q24_dedup_jaccard" -> jaccardOracle.format(" WHERE doc_id < 300"),
 
     "q25_minhash_lsh" -> jaccardOracle.format(""),
+
+    "q54_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    // transitive closure of the q24 pair graph; comp = min reachable id
+    "q53_dedup_cluster" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents WHERE doc_id < 300),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |       FROM d, UNNEST(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b FROM p0
+        |      JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+        |      WHERE 2 * inter >= (ca.n + cb.n - inter)),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (SELECT a, b FROM e
+        |                UNION
+        |                SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+        |SELECT CAST(a AS BIGINT) AS id, CAST(least(a, min(b)) AS BIGINT) AS comp
+        |FROM reach GROUP BY a ORDER BY id""".stripMargin,
 
     "q27_text_stats" ->
       """SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,

@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ClusteringSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def comps(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Clustering.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("chains, triangles and isolated pairs resolve to min-id components") {
+    val m = comps(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 20L)))
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("a long path needs diameter rounds and still converges") {
+    val path = (0L until 40L).map(i => (i, i + 1))
+    val m = comps(path)
+    assert(m.size == 41 && m.values.forall(_ == 0L))
+  }
+
+  test("matches a BFS reference on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 200).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    // reference: union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> find(v)).toMap
+    // find() roots are min-ids because union always keeps the smaller root
+    assert(comps(edges) == expected)
+  }
+
+  test("survivors keeps one row per family by preference, singletons intact") {
+    val docs = Seq(
+      (1L, "short"), (2L, "a much longer body"), (3L, "mid body"),
+      (7L, "solo"), (9L, "also solo")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Clustering.survivors(docs, "doc_id", pairs,
+      Seq(length(col("text")).desc, col("doc_id")))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 7L, 9L))
+  }
+}
