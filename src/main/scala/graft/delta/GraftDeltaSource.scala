@@ -136,7 +136,10 @@ final class GraftDeltaSource extends RelationProvider
     }
     new org.apache.spark.sql.graftbridge.GraftDeltaStreamSource(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], log, declared,
-      maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong))
+      maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong),
+      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong),
+      maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map(_.toLong),
+      startingVersion = parameters.get("startingVersion").map(_.toLong))
   }
 
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],

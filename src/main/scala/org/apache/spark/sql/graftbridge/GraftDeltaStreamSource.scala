@@ -18,6 +18,16 @@ import graft.delta.{AddAction, DeltaLog}
   * the checkpointLocation give end-to-end exactly-once with the
   * `graft-delta` sink's txn idempotence.
   *
+  * Admission control is version-granular by construction — an offset must
+  * identify a commit boundary, never half a commit, or restart replay would
+  * duplicate rows. `maxVersionsPerTrigger` caps versions per batch;
+  * `maxFilesPerTrigger` / `maxBytesPerTrigger` walk the pending commits in
+  * order and stop *before* the commit that would cross the cap (always
+  * admitting at least one version, so a single oversized commit cannot
+  * stall the stream). `startingVersion` pins where a fresh query (no
+  * checkpoint yet) begins — the backfill-skip knob for subscribing to a
+  * long-lived table's tail.
+  *
   * Lives in the bridge package because the V1 `Source`/`Offset` interfaces
   * are `private[sql]`; all Delta-log logic stays in `graft.delta`.
   */
@@ -25,42 +35,73 @@ final class GraftDeltaStreamSource(
     spark: SparkSession,
     log: DeltaLog,
     override val schema: StructType,
-    maxVersionsPerTrigger: Option[Long] = None) extends Source {
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxFilesPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None,
+    startingVersion: Option[Long] = None) extends Source {
 
   private def versionOf(o: V1Offset): Long = o match {
     case l: LongOffset => l.offset
     case other => other.json.trim.toLong // SerializedOffset after restart
   }
 
+  /** Versions at or below this are never served (fresh queries only; a
+    * checkpointed offset takes precedence on restart). */
+  private val floor: Long = startingVersion.map(_ - 1).getOrElse(-1L)
+
   /** Highest version already offered as a batch end — the throttle anchor.
-    * -1 until the first batch; recovered from the engine's first getBatch
-    * call after a restart. */
-  @volatile private var lastOffered: Long = -1L
+    * `floor` until the first batch; recovered from the engine's first
+    * getBatch call after a restart. */
+  @volatile private var lastOffered: Long = floor
+
+  private def dataChangeAdds(version: Long): Seq[AddAction] =
+    log.readCommit(version).collect { case a: AddAction if a.dataChange => a }
 
   override def getOffset: Option[V1Offset] = {
     val latest = log.update().version
-    if (latest < 0) None
-    else {
+    if (latest < 0 || latest <= lastOffered) {
+      if (latest < 0) None else Some(LongOffset(lastOffered))
+    } else {
       // Rate limiting: a backfill over a 10⁴-version history must not land
-      // in one micro-batch; cap each trigger at maxVersionsPerTrigger
-      // versions past the last offered end.
-      val capped = maxVersionsPerTrigger match {
-        case Some(max) if lastOffered >= 0 => math.min(latest, lastOffered + max)
-        case Some(max) => math.min(latest, max - 1) // first trigger: versions 0..max-1
+      // in one micro-batch.
+      val byVersions = maxVersionsPerTrigger match {
+        case Some(max) => math.min(latest, lastOffered + max)
         case None => latest
       }
-      Some(LongOffset(capped))
+      val end =
+        if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) byVersions
+        else {
+          // walk pending commits in order; stop before the cap-crossing one
+          var files = 0L; var bytes = 0L
+          var end = lastOffered
+          val pending = log.listCommitVersions()
+            .filter(v => v > lastOffered && v <= byVersions)
+          val it = pending.iterator
+          var stop = false
+          while (it.hasNext && !stop) {
+            val v = it.next()
+            val adds = dataChangeAdds(v)
+            files += adds.size
+            bytes += adds.map(_.size).sum
+            val over = maxFilesPerTrigger.exists(files > _) ||
+              maxBytesPerTrigger.exists(bytes > _)
+            if (over && end > lastOffered) stop = true // keep at least one
+            else end = v
+          }
+          end
+        }
+      if (end <= lastOffered) Some(LongOffset(lastOffered))
+      else Some(LongOffset(end))
     }
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val startV = start.map(versionOf).getOrElse(-1L)
+    val startV = math.max(start.map(versionOf).getOrElse(-1L), floor)
     val endV = versionOf(end)
     lastOffered = math.max(lastOffered, endV)
     val adds: Seq[AddAction] = log.listCommitVersions()
       .filter(v => v > startV && v <= endV)
-      .flatMap(log.readCommit)
-      .collect { case a: AddAction if a.dataChange => a }
+      .flatMap(dataChangeAdds)
     val batch =
       if (adds.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -98,6 +98,71 @@ class GraftDeltaSourceSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("maxFilesPerTrigger admits whole commits up to the file budget") {
+    val src = tempTable("fmt-filecap").toString
+    val ckpt = tempTable("fmt-filecap-ckpt").toString
+    // 4 commits × 2 files each
+    (0 until 4).foreach { i =>
+      (0 until 20).map(j => ((i * 20 + j).toLong, s"v$i")).toDF("id", "v")
+        .repartition(2).write.format("graft-delta")
+        .mode(if (i == 0) "errorifexists" else "append").save(src)
+    }
+    val q = spark.readStream.format("graft-delta")
+      .option("maxFilesPerTrigger", 4) // = 2 commits per batch
+      .load(src)
+      .writeStream.format("memory").queryName("graft_filecap")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_filecap").count() == 80)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 2, s"expected ≥2 throttled batches, got ${batches.length}")
+      assert(batches.forall(_.numInputRows <= 40))
+    } finally q.stop()
+  }
+
+  test("a single commit larger than maxBytesPerTrigger still advances") {
+    val src = tempTable("fmt-bytecap").toString
+    val ckpt = tempTable("fmt-bytecap-ckpt").toString
+    (0 until 100).map(i => (i.toLong, "x" * 50)).toDF("id", "v")
+      .write.format("graft-delta").save(src)
+    val q = spark.readStream.format("graft-delta")
+      .option("maxBytesPerTrigger", 1) // far below any file size
+      .load(src)
+      .writeStream.format("memory").queryName("graft_bytecap")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_bytecap").count() == 100)
+    } finally q.stop()
+  }
+
+  test("startingVersion skips the backfill for a fresh query") {
+    val src = tempTable("fmt-startver").toString
+    val ckpt = tempTable("fmt-startver-ckpt").toString
+    (0 until 3).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v").write.format("graft-delta")
+        .mode(if (i == 0) "errorifexists" else "append").save(src)
+    }
+    val q = spark.readStream.format("graft-delta")
+      .option("startingVersion", 2)
+      .load(src)
+      .writeStream.format("memory").queryName("graft_startver")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      // only version 2's rows; earlier versions never served
+      assert(spark.table("graft_startver").as[(Long, String)].collect().toSeq ==
+        Seq((2L, "v2")))
+      Seq((9L, "v9")).toDF("id", "v").write.format("graft-delta").mode("append").save(src)
+      q.processAllAvailable()
+      assert(spark.table("graft_startver").count() == 2)
+    } finally q.stop()
+  }
+
   test("readStream → transform → graft-delta sink: delta-to-delta streaming pipeline") {
     val src = tempTable("fmt-pipe-src").toString
     val dst = tempTable("fmt-pipe-dst").toString
