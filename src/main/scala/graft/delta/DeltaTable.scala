@@ -179,6 +179,38 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
       props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(","))
     txn.commit(Some(CommitInfoAction(info)))
   }
+
+  /** Remove table properties by key (no-op keys ignored). */
+  def unsetProperties(keys: Seq[String]): Long = {
+    val snap = log.update()
+    val md = snap.metadata.getOrElse(
+      throw new IllegalStateException(s"table ${log.tablePath} has no metadata"))
+    val txn = log.startTransaction()
+    txn.addAction(md.copy(configuration = md.configuration -- keys))
+    val info = ActionCodec.mapper.createObjectNode()
+    info.put("timestamp", System.currentTimeMillis())
+    info.put("operation", "UNSET TBLPROPERTIES")
+    info.putObject("operationParameters").put("properties", keys.sorted.mkString(","))
+    txn.commit(Some(CommitInfoAction(info)))
+  }
+
+  /** Declare a CHECK constraint (see [[Constraints]]). Existing rows are
+    * validated first — one distributed scan — so the declaration is
+    * trustworthy from the moment it commits (ALTER TABLE ADD CONSTRAINT
+    * semantics). */
+  def addCheckConstraint(name: String, sqlExpr: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    val violations = toDF
+      .filter(coalesce(expr(sqlExpr).cast("boolean"), lit(true)) === false).count()
+    if (violations > 0) throw new IllegalStateException(
+      s"cannot add CHECK constraint $name ($sqlExpr): " +
+      s"$violations existing row(s) violate it")
+    setProperties(Map(Constraints.Prefix + name -> sqlExpr))
+  }
+
+  /** Drop a CHECK constraint by name. */
+  def dropCheckConstraint(name: String): Long =
+    unsetProperties(Seq(Constraints.Prefix + name))
 }
 
 object DeltaTable {

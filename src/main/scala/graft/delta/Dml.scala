@@ -77,13 +77,14 @@ object Dml {
           coalesce(sum(when(coalesce(predicate, lit(false)), 1L)), lit(0L)).as("matched")))
       else affectedDf.filter(!coalesce(predicate, lit(false)))
     // only UPDATE carries an observed metric; DELETE must not wait on one
+    val checked = Constraints.enforce(rewritten, snap)
     val (adds, observed) =
       if (keepMatches)
         ObservedMetrics.run(spark, metricName) {
-          GraftWriter.stageFiles(rewritten, path, snap.partitionColumns)
+          GraftWriter.stageFiles(checked, path, snap.partitionColumns)
         }
       else
-        (GraftWriter.stageFiles(rewritten, path, snap.partitionColumns), None)
+        (GraftWriter.stageFiles(checked, path, snap.partitionColumns), None)
     val afterRows = adds.flatMap(_.stats.flatMap(ActionCodec.statsFromJson))
       .map(_.numRecords).sum
     val rowsAffected =

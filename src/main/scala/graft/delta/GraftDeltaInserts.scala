@@ -64,8 +64,8 @@ final case class GraftInsertCommand(
     val ordered = df.select(snap.schema.fieldNames.map(col).toSeq: _*)
 
     val txn = log.startTransaction()
-    val adds = GraftWriter.stageFiles(ordered, log.tablePath.toString,
-      snap.partitionColumns)
+    val adds = GraftWriter.stageFiles(Constraints.enforce(ordered, snap),
+      log.tablePath.toString, snap.partitionColumns)
     val removes: Seq[AddAction] =
       if (mode != SaveMode.Overwrite) Nil
       else if (staticPartitions.nonEmpty)

@@ -97,7 +97,7 @@ object GraftWriter {
     if (missing.nonEmpty)
       throw new SchemaMismatchException(s"partition columns not in data: $missing")
 
-    val adds = stageFiles(df, path, partCols)
+    val adds = stageFiles(Constraints.enforce(df, snap), path, partCols)
     val now = System.currentTimeMillis()
     val txn = log.startTransaction()
     if (!exists) {

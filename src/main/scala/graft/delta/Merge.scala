@@ -225,7 +225,8 @@ final class MergeBuilder private[delta] (
 
     val removes = if (rewriteFiles) affected else Nil
     val (adds, observed) = ObservedMetrics.run(spark, metricName) {
-      GraftWriter.stageFiles(rewritten, path, snap.partitionColumns)
+      GraftWriter.stageFiles(Constraints.enforce(rewritten, snap), path,
+        snap.partitionColumns)
     }
     def discardStaged(): Unit = GraftWriter.discardStaged(spark, path, adds)
 

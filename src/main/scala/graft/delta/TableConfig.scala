@@ -73,9 +73,12 @@ object TableConfig {
   def validate(props: Map[String, String]): Unit = props.foreach { case (k, v) =>
     Known.get(k) match {
       case Some(check) => check(v)
+      case None if k.startsWith(Constraints.Prefix) =>
+        require(v.trim.nonEmpty, s"$k: empty CHECK expression")
       case None if k.startsWith("delta.") =>
         throw new IllegalArgumentException(
-          s"unknown delta table property '$k' (supported: ${Known.keys.toSeq.sorted.mkString(", ")})")
+          s"unknown delta table property '$k' (supported: " +
+          s"${Known.keys.toSeq.sorted.mkString(", ")}, ${Constraints.Prefix}<name>)")
       case None => ()
     }
   }

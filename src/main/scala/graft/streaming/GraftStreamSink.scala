@@ -56,7 +56,8 @@ final class GraftStreamSink(
       }
     }
 
-    val adds = GraftWriter.stageFiles(batch, tablePath, partitionBy)
+    val adds = GraftWriter.stageFiles(
+      Constraints.enforce(batch, snap), tablePath, partitionBy)
     val now = System.currentTimeMillis()
     val txn = log.startTransaction()
     if (snap.version < 0) {

@@ -1,0 +1,112 @@
+package graft.delta
+
+import graft.SparkTestBase
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Write-path invariants: NOT NULL nullability + delta.constraints.* CHECKs
+  * enforced inside the write job, transactionally (no half-writes). */
+class ConstraintsSpec extends AnyFunSuite with SparkTestBase {
+  import LogFixtures.tempTable
+  import spark.implicits._
+
+  private def mkTable(dir: String): Unit =
+    GraftWriter.write((0 until 50).map(i => (i.toLong, i * 10L, s"v$i"))
+      .toDF("id", "qty", "v"), dir)
+
+  test("CHECK constraint rejects violating appends, accepts clean ones") {
+    val dir = tempTable("chk-append").toString
+    mkTable(dir)
+    DeltaTable.forPath(spark, dir).addCheckConstraint("qty_nonneg", "qty >= 0")
+
+    GraftWriter.write(Seq((100L, 5L, "ok")).toDF("id", "qty", "v"),
+      dir, SaveMode.Append)
+    val before = DeltaLog.forPath(spark, dir).update().version
+    val e = intercept[Exception] {
+      GraftWriter.write(Seq((101L, -1L, "bad")).toDF("id", "qty", "v"),
+        dir, SaveMode.Append)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("constraint violated")), s"got: $e")
+    // nothing committed, nothing half-written
+    assert(DeltaLog.forPath(spark, dir).update().version == before)
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 51)
+  }
+
+  test("NULL CHECK result passes (SQL semantics); FALSE fails") {
+    val dir = tempTable("chk-null").toString
+    GraftWriter.write(Seq((1L, Some(10L)), (2L, None: Option[Long]))
+      .toDF("id", "qty"), dir)
+    DeltaTable.forPath(spark, dir).addCheckConstraint("qty_pos", "qty > 0")
+    // null qty → NULL check → passes
+    GraftWriter.write(Seq((3L, None: Option[Long])).toDF("id", "qty"),
+      dir, SaveMode.Append)
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 3)
+    intercept[Exception] {
+      GraftWriter.write(Seq((4L, Some(0L))).toDF("id", "qty"), dir, SaveMode.Append)
+    }
+  }
+
+  test("addCheckConstraint validates existing rows first") {
+    val dir = tempTable("chk-existing").toString
+    mkTable(dir)
+    val e = intercept[IllegalStateException] {
+      DeltaTable.forPath(spark, dir).addCheckConstraint("impossible", "qty > 100")
+    }
+    assert(e.getMessage.contains("existing row"))
+    // nothing declared
+    assert(Constraints.of(DeltaLog.forPath(spark, dir).update()).isEmpty)
+  }
+
+  test("UPDATE and MERGE cannot write rows that violate a CHECK") {
+    val dir = tempTable("chk-dml").toString
+    mkTable(dir)
+    DeltaTable.forPath(spark, dir).addCheckConstraint("qty_cap", "qty <= 1000")
+    intercept[Exception] {
+      Dml.update(spark, dir, col("id") < 5, Map("qty" -> lit(5000L)))
+    }
+    assert(DeltaTable.forPath(spark, dir).toDF.filter(col("qty") > 1000).count() == 0)
+    intercept[Exception] {
+      Merge.into(spark, dir, Seq((1L, 9999L)).toDF("id", "qty"),
+          col("t.id") === col("s.id"))
+        .whenMatchedUpdate(Map("qty" -> col("s.qty")))
+        .execute()
+    }
+    // in-range DML still works
+    assert(Dml.update(spark, dir, col("id") === 1, Map("qty" -> lit(999L)))
+      .rowsAffected == 1)
+  }
+
+  test("dropCheckConstraint lifts enforcement") {
+    val dir = tempTable("chk-drop").toString
+    mkTable(dir)
+    val dt = DeltaTable.forPath(spark, dir)
+    dt.addCheckConstraint("qty_nonneg", "qty >= 0")
+    DeltaTable.forPath(spark, dir).dropCheckConstraint("qty_nonneg")
+    GraftWriter.write(Seq((200L, -7L, "now ok")).toDF("id", "qty", "v"),
+      dir, SaveMode.Append)
+    assert(DeltaTable.forPath(spark, dir).toDF.filter(col("qty") < 0).count() == 1)
+  }
+
+  test("declared NOT NULL columns reject null rows on append") {
+    val dir = tempTable("chk-notnull").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    val df0 = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L, "a"))), schema)
+    GraftWriter.write(df0, dir)
+    assert(!DeltaTable.forPath(spark, dir).schema("id").nullable)
+
+    val dfBad = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(null, "b"))),
+      StructType(schema.map(_.copy(nullable = true))))
+    intercept[Exception] {
+      GraftWriter.write(dfBad, dir, SaveMode.Append)
+    }
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 1)
+  }
+}
