@@ -113,5 +113,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectPostHocResolutionRule(_ => GraftDeltaInserts)
     extensions.injectHintResolutionRule(session => new GraftSqlDml(session))
     extensions.injectTableFunction(GraftHistoryFunction.descriptor)
+    extensions.injectTableFunction(GraftDetailFunction.descriptor)
   }
 }

@@ -52,6 +52,21 @@ class SqlTimeTravelSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_._2) == Seq("WRITE", "WRITE", "DELETE"))
   }
 
+  test("graft_detail table function summarizes the live snapshot") {
+    val dir = tempTable("sql-detail").toString
+    GraftWriter.write((0 until 60).map(i => (i.toLong, i % 3)).toDF("id", "p"),
+      dir, SaveMode.ErrorIfExists, partitionBy = Seq("p"))
+    DeltaTable.forPath(ext, dir).setProperties(Map(TableConfig.CheckpointInterval -> "5"))
+    val r = ext.sql(s"SELECT * FROM graft_detail('$dir')").head()
+    assert(r.getAs[Long]("version") == 1L)
+    assert(r.getAs[Long]("num_files") ==
+      DeltaLog.forPath(ext, dir).update().files.size.toLong)
+    assert(r.getAs[Long]("num_records") == 60L)
+    assert(r.getAs[String]("partition_columns") == "p")
+    assert(r.getAs[String]("properties").contains("\"delta.checkpointInterval\":\"5\""))
+    assert(r.getAs[String]("schema_json").contains("\"id\""))
+  }
+
   test("non-graft tables keep Spark's unsupported time-travel error") {
     val dir = tempTable("sql-tt-plain").toString
     Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(dir)
