@@ -15,19 +15,39 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** md5-based rank within the stratum; ties (hash collisions) break on the
-    * id itself, keeping the order total. */
-  private def hashRank(strataCols: Seq[String], idCol: String) =
-    Window.partitionBy(strataCols.map(col): _*)
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+  /** Exact k-smallest-hash per stratum without a one-task-per-stratum
+    * global window (a handful of language strata over a 100 TB corpus would
+    * otherwise serialize into a handful of tasks). Two phases, both exact:
+    *
+    *  1. per-input-partition top-k per stratum (window keyed by
+    *     `(stratum, spark_partition_id)` — fully parallel). Any row in the
+    *     global top-k is in its own partition's top-k, so phase 1 keeps a
+    *     superset of the answer while cutting candidates to ≤ k·P per
+    *     stratum;
+    *  2. global top-k per stratum over the bounded candidate set.
+    *
+    * Ranking key is `md5(id)` with the id as tiebreak — total, and
+    * reproducible across runs, engines, and partitionings. */
+  private def topKPerStratum(df: DataFrame, strataCols: Seq[String],
+                             idCol: String, k: Column): DataFrame = {
+    val h = md5(col(idCol).cast("string"))
+    val local = Window
+      .partitionBy((strataCols.map(col) :+ spark_partition_id()): _*)
+      .orderBy(h, col(idCol))
+    val global = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(h, col(idCol))
+    df.withColumn("__graft_lrank", row_number().over(local))
+      .filter(col("__graft_lrank") <= k)
+      .withColumn("__graft_rank", row_number().over(global))
+      .filter(col("__graft_rank") <= k)
+      .drop("__graft_lrank", "__graft_rank")
+  }
 
   /** Exactly `min(k, |stratum|)` rows per stratum — equalizes class balance
     * (e.g. k docs per language) regardless of source skew. */
   def stratified(df: DataFrame, strataCols: Seq[String], idCol: String,
                  k: Int): DataFrame =
-    df.withColumn("__graft_rank", row_number().over(hashRank(strataCols, idCol)))
-      .filter(col("__graft_rank") <= k)
-      .drop("__graft_rank")
+    topKPerStratum(df, strataCols, idCol, lit(k))
 
   /** Bernoulli-style deterministic fraction: keep a row iff the first 4
     * bytes of md5(id) fall under `fraction` of the 32-bit space. Stateless
@@ -50,9 +70,9 @@ object Sampling {
     val spark = df.sparkSession
     import spark.implicits._
     val q = quotas.toSeq.toDF(strataCol + "__q_key", "__graft_quota")
-    df.join(broadcast(q), col(strataCol) === col(strataCol + "__q_key"))
-      .withColumn("__graft_rank", row_number().over(hashRank(Seq(strataCol), idCol)))
-      .filter(col("__graft_rank") <= col("__graft_quota"))
-      .drop(strataCol + "__q_key", "__graft_quota", "__graft_rank")
+    topKPerStratum(
+      df.join(broadcast(q), col(strataCol) === col(strataCol + "__q_key")),
+      Seq(strataCol), idCol, col("__graft_quota"))
+      .drop(strataCol + "__q_key", "__graft_quota")
   }
 }
