@@ -1,0 +1,98 @@
+package graft.delta
+
+import java.util.UUID
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** CONVERT TO DELTA: adopt an existing parquet directory as a Delta table
+  * *in place* — version 0 is a commit describing the files that are already
+  * there (protocol + metaData + one stats-carrying `Add` per file); no byte
+  * of data is rewritten or moved. After conversion the directory is a
+  * first-class table: transactional appends, DML, time travel, OPTIMIZE,
+  * streaming — the adoption path for the petabytes a team already has on
+  * disk before switching engines.
+  *
+  * Hive-partitioned layouts convert with their partition values parsed from
+  * the `k=v` path segments (`rust/src/partitions.rs:100-128` grammar);
+  * partition-column types come from Spark's own partition discovery. Footer
+  * stats are collected the same way the writer stages them (driver pool,
+  * distributed job above the threshold), so stats-based skipping works from
+  * version 0.
+  */
+object Convert {
+
+  /** Convert the parquet directory at `path`; `partitionBy` names the hive
+    * partition columns (empty for flat layouts). Returns version 0. */
+  def parquetToDelta(spark: SparkSession, path: String,
+                     partitionBy: Seq[String] = Nil): Long = {
+    val log = DeltaLog.forPath(spark, path)
+    if (log.update().version >= 0)
+      throw new IllegalStateException(s"$path is already a Delta table")
+
+    val conf = spark.sessionState.newHadoopConf()
+    val tablePath = new Path(path)
+    val fs = tablePath.getFileSystem(conf)
+    if (!fs.exists(tablePath))
+      throw new IllegalArgumentException(s"no such directory: $path")
+
+    // inferred schema includes typed partition columns for hive layouts
+    val inferred = spark.read.parquet(path).schema
+    val missing = partitionBy.filterNot(inferred.fieldNames.contains)
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"partition columns not present in $path: $missing")
+
+    val base = tablePath.toUri.getPath.stripSuffix("/")
+    val rels = {
+      val out = mutable.Buffer[String]()
+      val it = fs.listFiles(tablePath, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+        val hidden = rel.split('/').exists(seg =>
+          (seg.startsWith(".") || seg.startsWith("_")) && !seg.contains("="))
+        if (st.getPath.getName.endsWith(".parquet") && !hidden)
+          out += rel
+      }
+      out.toSeq
+    }
+    if (rels.isEmpty)
+      throw new IllegalArgumentException(s"no parquet files under $path")
+
+    val statsByRel = GraftWriter.collectStats(spark, tablePath, rels, conf)
+    val statuses = GraftWriter.inDriverPool(rels)(rel =>
+      rel -> fs.getFileStatus(new Path(tablePath, rel))).toMap
+    val now = System.currentTimeMillis()
+
+    val txn = log.startTransaction()
+    txn.addAction(ProtocolAction())
+    txn.addAction(MetaDataAction(
+      id = UUID.randomUUID().toString,
+      name = None, description = None,
+      format = Format(),
+      schemaString = DeltaSchema.toJson(inferred),
+      partitionColumns = partitionBy,
+      createdTime = Some(now),
+      configuration = Map.empty))
+    rels.sorted.foreach { rel =>
+      val pv = GraftWriter.partitionValuesOf(rel)
+      val missingPv = partitionBy.filterNot(pv.contains)
+      if (missingPv.nonEmpty) throw new IllegalArgumentException(
+        s"file $rel lacks partition values for $missingPv")
+      txn.addAction(AddAction(
+        path = rel,
+        size = statuses(rel).getLen,
+        partitionValues = partitionBy.map(c => c -> pv(c)).toMap,
+        modificationTime = statuses(rel).getModificationTime,
+        dataChange = true,
+        stats = Some(statsByRel(rel))))
+    }
+    val info = ActionCodec.mapper.createObjectNode()
+    info.put("timestamp", now)
+    info.put("operation", "CONVERT")
+    info.putObject("operationParameters")
+      .put("partitionBy", partitionBy.mkString(","))
+    txn.commit(Some(CommitInfoAction(info)))
+  }
+}

@@ -203,14 +203,7 @@ object GraftWriter {
       }
 
       // 2. footer stats: distributed job for big writes, driver pool otherwise
-      val threshold = spark.conf.getOption(StatsExecutorThresholdKey)
-        .map(_.toInt).getOrElse(StatsExecutorThresholdDefault)
-      val statsByRel: Map[String, String] =
-        if (moved.size >= threshold)
-          executorSideStats(spark, tablePath, moved.map(_._1), conf)
-        else
-          inDriverPool(moved.map(_._1))(rel =>
-            rel -> FooterStats.statsJson(new Path(tablePath, rel), conf)).toMap
+      val statsByRel = collectStats(spark, tablePath, moved.map(_._1), conf)
 
       moved.map { case (rel, len, mtime) =>
         AddAction(
@@ -224,6 +217,21 @@ object GraftWriter {
     } finally {
       fs.delete(staging, true)
     }
+  }
+
+  /** Footer stats for table-relative parquet paths: distributed job above
+    * [[StatsExecutorThresholdKey]] files, bounded driver pool otherwise.
+    * Shared by the writer's staging and CONVERT TO DELTA. */
+  private[delta] def collectStats(spark: SparkSession, tablePath: Path,
+                                  rels: Seq[String],
+                                  conf: Configuration): Map[String, String] = {
+    val threshold = spark.conf.getOption(StatsExecutorThresholdKey)
+      .map(_.toInt).getOrElse(StatsExecutorThresholdDefault)
+    if (rels.size >= threshold)
+      executorSideStats(spark, tablePath, rels, conf)
+    else
+      inDriverPool(rels)(rel =>
+        rel -> FooterStats.statsJson(new Path(tablePath, rel), conf)).toMap
   }
 
   /** Delete staged-but-uncommitted files (abort path: multi-match or no-op

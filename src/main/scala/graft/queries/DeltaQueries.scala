@@ -253,6 +253,20 @@ object DeltaQueries {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     },
 
+    // CONVERT TO DELTA: a plain hive-partitioned parquet dir is adopted in
+    // place (v0 = describe-what's-there commit), then read back through the
+    // log with a partition filter — pruning + stats must work from v0.
+    "q55_convert" -> { (s, dir) =>
+      val t = freshDir("convert")
+      li(s, dir).filter(col("l_orderkey") < 1500)
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(t)
+      Convert.parquetToDelta(s, t, partitionBy = Seq("l_returnflag"))
+      DeltaTable.forPath(s, t)
+        .toDF(Seq(PartitionFilter.Eq("l_returnflag", "A")))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    },
+
     // stats-based file skipping (D4): two disjoint-range commits; the
     // predicate-matching read must prune to one file set via Add.stats
     // before Spark lists anything.
@@ -299,6 +313,10 @@ object DeltaQueries {
       s"""SELECT $cols FROM lineitem
          |WHERE l_orderkey >= 500 AND l_orderkey < 1000
          |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
+    "q55_convert" ->
+      s"""SELECT $cols FROM lineitem
+         |WHERE l_orderkey < 1500 AND l_returnflag = 'A'
+         |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
     "q40_delta_stream_tail" ->
       s"""SELECT $cols FROM lineitem WHERE l_orderkey < 600
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
