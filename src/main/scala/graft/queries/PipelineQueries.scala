@@ -74,6 +74,19 @@ object PipelineQueries {
         .select("doc_id", "lang").orderBy("doc_id")
     },
 
+    // sequence packing: whitespace token counts → best-fit-decreasing bins
+    // of 2048 tokens (per-partition pack, globally unique bin ids). Bin
+    // composition is partitioning-defined → rows-only gate + PackingSpec
+    // invariants (each doc exactly once, no bin over budget, fill > 0.9).
+    "q56_packing" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      Packing.packSequences(docs, "doc_id", "n_tokens", budget = 2048, numPartitions = 8)
+        .groupBy("bin_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+        .orderBy("bin_id")
+    },
+
     // MinHash-LSH near-dedup over the FULL document set: banded signatures →
     // bucket join → exact verification. Output provably equals brute force
     // at this data's similarity gap.
