@@ -1,0 +1,66 @@
+package graft.delta
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** SHALLOW CLONE: a new table whose version 0 references the source
+  * snapshot's data files by absolute URI — zero bytes copied, O(#files)
+  * metadata. The clone then lives its own life: appends, DML, OPTIMIZE and
+  * time travel land in the clone's log as local files, never touching the
+  * source (copy-on-write at table granularity). The experimentation pattern
+  * at 100 TB — fork the table, try the migration/cleanup, throw the fork
+  * away.
+  *
+  * Rides the Delta protocol's two `add.path` forms (relative to the table
+  * root OR absolute URI — the reference parses both through the same field,
+  * `rust/src/action.rs:244-261`); every reader path here resolves
+  * `new Path(tableRoot, add.path)`, which Hadoop defines as the absolute
+  * URI when the child carries one. Safety: vacuum candidates come from
+  * listing the clone's own directory, so a clone can never reclaim source
+  * bytes; cloned Adds keep their stats, so skipping works from version 0.
+  */
+object Clone {
+
+  /** Clone `sourcePath` (optionally a pinned historical `version`) into
+    * empty `targetPath`. Returns the clone's version 0. */
+  def shallow(spark: SparkSession, sourcePath: String, targetPath: String,
+              version: Option[Long] = None): Long = {
+    val srcLog = DeltaLog.forPath(spark, sourcePath)
+    val srcSnap = version match {
+      case Some(v) => srcLog.snapshotForVersion(v)
+      case None =>
+        val s = srcLog.update()
+        if (s.version < 0) throw new NotATableException(sourcePath)
+        s
+    }
+    val tgtLog = DeltaLog.forPath(spark, targetPath)
+    if (tgtLog.update().version >= 0)
+      throw new IllegalStateException(s"clone target $targetPath is already a Delta table")
+
+    val conf = spark.sessionState.newHadoopConf()
+    val srcBase = srcLog.tablePath.getFileSystem(conf).makeQualified(srcLog.tablePath)
+    val now = System.currentTimeMillis()
+
+    val txn = tgtLog.startTransaction()
+    txn.addAction(ProtocolAction())
+    val md = srcSnap.metadata.getOrElse(
+      throw new IllegalStateException(s"source $sourcePath has no metadata"))
+    txn.addAction(md.copy(id = UUID.randomUUID().toString, createdTime = Some(now)))
+    srcSnap.files.foreach { a =>
+      // absolute sources stay absolute; relative ones qualify against the
+      // source root
+      txn.addAction(a.copy(
+        path = new Path(srcBase, a.path).toString,
+        dataChange = true))
+    }
+    val info = ActionCodec.mapper.createObjectNode()
+    info.put("timestamp", now)
+    info.put("operation", "CLONE")
+    val params = info.putObject("operationParameters")
+    params.put("source", srcBase.toString)
+    params.put("sourceVersion", srcSnap.version)
+    txn.commit(Some(CommitInfoAction(info)))
+  }
+}

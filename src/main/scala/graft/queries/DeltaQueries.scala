@@ -267,6 +267,21 @@ object DeltaQueries {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity")
     },
 
+    // SHALLOW CLONE: zero-copy fork of the delta table, then a
+    // delete-in-the-clone; the clone must read the source snapshot minus
+    // the deleted slice while the source stays untouched (verified by the
+    // oracle equality itself — the readback goes through the clone's log
+    // and the source's data files).
+    "q57_clone" -> { (s, dir) =>
+      val t = freshDir("clonesrc")
+      val c = freshDir("clonedst")
+      GraftWriter.write(li(s, dir).filter(col("l_orderkey") < 1200), t)
+      Clone.shallow(s, t, c)
+      Dml.delete(s, c, col("l_quantity") > 35)
+      DeltaTable.forPath(s, c).toDF
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    },
+
     // stats-based file skipping (D4): two disjoint-range commits; the
     // predicate-matching read must prune to one file set via Add.stats
     // before Spark lists anything.
@@ -317,6 +332,10 @@ object DeltaQueries {
       s"""SELECT $cols FROM lineitem
          |WHERE l_orderkey < 1500 AND l_returnflag = 'A'
          |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+    "q57_clone" ->
+      s"""SELECT $cols FROM lineitem
+         |WHERE l_orderkey < 1200 AND NOT (l_quantity > 35)
+         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
     "q40_delta_stream_tail" ->
       s"""SELECT $cols FROM lineitem WHERE l_orderkey < 600
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
