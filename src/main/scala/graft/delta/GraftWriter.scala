@@ -359,12 +359,37 @@ object FooterStats {
       accs.foreach { case (name, acc) =>
         if (acc.valid) {
           nulls.put(name, acc.nulls)
-          putVal(mins, name, acc.min)
-          putVal(maxs, name, acc.max)
+          putVal(mins, name, truncateMin(acc.min))
+          putVal(maxs, name, truncateMax(acc.max))
         }
       }
       ActionCodec.mapper.writeValueAsString(o)
     } finally reader.close()
+  }
+
+  /** Long string stats are truncated to bounds, not stored verbatim — a
+    * free-text column would otherwise embed kilobytes of document body in
+    * EVERY Add's stats JSON, and the log (replayed on each snapshot load,
+    * shipped in each checkpoint) would scale with document size instead of
+    * file count. A prefix is a valid lower bound as-is; the upper bound is
+    * the prefix with its last char bumped (chars at Char.MaxValue drop
+    * right-to-left first). Comparisons during accumulation stay exact —
+    * truncation happens only at emit. */
+  private[delta] val MaxStringStatLength = 64
+
+  private def truncateMin(v: Any): Any = v match {
+    case s: String if s.length > MaxStringStatLength =>
+      s.substring(0, MaxStringStatLength)
+    case other => other
+  }
+
+  private[delta] def truncateMax(v: Any): Any = v match {
+    case s: String if s.length > MaxStringStatLength =>
+      var i = MaxStringStatLength - 1
+      while (i >= 0 && s.charAt(i) == Char.MaxValue) i -= 1
+      if (i < 0) BadStat // no upper bound expressible; omit (skip-on-doubt)
+      else s.substring(0, i) + (s.charAt(i) + 1).toChar
+    case other => other
   }
 
   private object BadStat

@@ -38,6 +38,39 @@ class WriterSpec extends AnyFunSuite with SparkTestBase {
     assert(tbl.nullCounts("id") == 0L)
   }
 
+  test("long string stats truncate to bounds, and the bounds stay sound") {
+    val dir = tempTable("wr-truncstats").toString
+    val long = "m" * 500
+    // rows around the eventual min/max so the true extremes are long strings
+    val rows = Seq(("aaa" + "z" * 300), ("zzz" + "a" * 300), long)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    GraftWriter.write(rows.toDF("id", "text").coalesce(1), dir)
+    val st = DeltaTable.forPath(spark, dir).statistics
+    val mn = st.minValues("text").asText
+    val mx = st.maxValues("text").asText
+    assert(mn.length <= FooterStats.MaxStringStatLength, s"min not truncated: ${mn.length}")
+    assert(mx.length <= FooterStats.MaxStringStatLength, s"max not truncated: ${mx.length}")
+    // sound bounds over the true values
+    val texts = rows.map(_._2)
+    assert(texts.forall(t => mn <= t), "min must lower-bound every value")
+    assert(texts.forall(t => mx >= t), "max must upper-bound every value")
+    // and skipping with them remains correct: a value above the bumped max prunes
+    val snap = DeltaLog.forPath(spark, dir).update()
+    assert(StatsPredicate.prune(snap.files,
+      Seq(StatsPredicate.Ge("text", "zzzb"))).isEmpty)
+    assert(StatsPredicate.prune(snap.files,
+      Seq(StatsPredicate.Ge("text", "zzz"))).size == 1)
+  }
+
+  test("truncateMax bumps past Char.MaxValue runs right-to-left") {
+    val s = "ab" + (Char.MaxValue.toString * 100)
+    val out = FooterStats.truncateMax(s)
+    assert(out == "ac", s"got $out")
+    // all-maxchar string: no expressible upper bound → omitted
+    val none = FooterStats.truncateMax(Char.MaxValue.toString * 100)
+    assert(none != null && none.toString.contains("BadStat"))
+  }
+
   test("executor-side stats path produces identical Adds to the driver pool") {
     // same data written through both stats paths: threshold 1 forces the
     // distributed footer-stats job; default keeps the driver pool
