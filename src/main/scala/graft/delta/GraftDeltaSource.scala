@@ -139,7 +139,8 @@ final class GraftDeltaSource extends RelationProvider
       maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong),
       maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong),
       maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map(_.toLong),
-      startingVersion = parameters.get("startingVersion").map(_.toLong))
+      startingVersion = parameters.get("startingVersion").map(_.toLong),
+      metadataPath = Some(metadataPath))
   }
 
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],

@@ -178,10 +178,15 @@ object Optimize {
         case DateType       => unix_date(col(c)).cast(DoubleType)
         case TimestampType  => unix_micros(col(c)).cast(DoubleType)
         case StringType     =>
-          // first 7 UTF-8 bytes as a non-negative long: byte order equals
-          // lexicographic order for UTF-8
-          conv(hex(substring(encode(col(c), "UTF-8"), 1, 7)), 16, 10)
-            .cast(DoubleType)
+          // First 6 UTF-8 bytes, ZERO-PADDED to a fixed width, as a
+          // non-negative numeric: with equal byte lengths, UTF-8 byte order
+          // equals lexicographic order ('b' > 'ab' because 0x62_0000… >
+          // 0x61_62_00…; an unpadded slice would invert that). 6 bytes =
+          // 48 bits, inside Double's 53-bit exact-integer range — 7 bytes
+          // would silently round. Ties beyond byte 6 share a surrogate,
+          // which only coarsens clustering, never stats correctness.
+          conv(hex(rpad(substring(encode(col(c), "UTF-8"), 1, 6), 6,
+            Array[Byte](0))), 16, 10).cast(DoubleType)
         case other => throw new IllegalArgumentException(
           s"zorder does not support column $c of type $other")
       }

@@ -97,8 +97,25 @@ object PartitionFilter {
         }
       case _ => None
     }
+    // Only literal types whose `toString` coincides with the writer's
+    // Hive-style partition rendering may produce a filter value. Typed
+    // date/timestamp/decimal literals carry INTERNAL representations
+    // (days-since-epoch Int, micros Long, Decimal) whose string form never
+    // equals the partition string, so an Eq/In built from them would
+    // under-approximate the read domain and let conflict detection wrongly
+    // prove disjointness. For those we return None: the conjunct is dropped
+    // and the domain degrades to the conservative whole-table read set.
     def litStr(e: Expression): Option[String] = e match {
-      case l: Literal => Option(l.value).map(_.toString)
+      case l: Literal =>
+        l.dataType match {
+          case org.apache.spark.sql.types.StringType =>
+            Option(l.value).map(_.toString)
+          case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.BooleanType =>
+            Option(l.value).map(_.toString)
+          case _ => None
+        }
       case _ => None
     }
     def conjuncts(e: Expression): Seq[Expression] = e match {

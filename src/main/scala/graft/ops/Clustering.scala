@@ -22,13 +22,31 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
+  private def isIntegral(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
+
   /** Connected components of the undirected graph given by `pairs`.
     * Returns `(id, comp)` for every node appearing in `pairs`, where `comp`
-    * is the component's minimum node id. */
+    * is the component's minimum node id under the id type's ordering.
+    * Integral ids widen to long and converge on the monotone label sum (one
+    * aggregate per round); any other id type (string doc ids, …) keeps its
+    * native type and converges on an any-label-changed probe (one
+    * label-table join per round) — never a lossy cast. */
   def connectedComponents(pairs: DataFrame,
                           aCol: String = "id_a", bCol: String = "id_b",
                           maxIterations: Int = 50): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val aType = pairs.schema(aCol).dataType
+    val bType = pairs.schema(bCol).dataType
+    val integral = isIntegral(aType) && isIntegral(bType)
+    require(integral || aType == bType,
+      s"connectedComponents: edge id columns must share a type, got $aType / $bType")
+    val edges =
+      if (integral)
+        pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      else pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val sym = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -37,7 +55,9 @@ object Clustering {
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
-    var prevSum = labels.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = if (integral) labelSum(labels) else null
 
     var iter = 0
     var converged = false
@@ -49,9 +69,16 @@ object Clustering {
       val next = labels.union(nbrLabels)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint(true)
-      val s = next.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
-      converged = s.compareTo(prevSum) == 0 // labels only decrease
-      prevSum = s
+      if (integral) {
+        val s = labelSum(next)
+        converged = s.compareTo(prevSum) == 0 // labels only decrease
+        prevSum = s
+      } else {
+        converged = next
+          .join(labels.select(col("id"), col("comp").as("__graft_prev")), "id")
+          .where(col("comp") =!= col("__graft_prev"))
+          .isEmpty
+      }
       labels = next
     }
     labels
@@ -65,11 +92,16 @@ object Clustering {
   def survivors(docs: DataFrame, idCol: String, pairs: DataFrame,
                 preference: Seq[Column],
                 aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    // Components key on the DOC id type: a string doc id must never take the
+    // old `cast(id as long)` path, where every non-numeric id became null and
+    // collapsed into one component (one survivor for the whole corpus).
+    val idType = docs.schema(idCol).dataType
     val comps = connectedComponents(pairs, aCol, bCol)
-      .select(col("id"), col("comp"))
-    val joined = docs.join(comps, docs(idCol) === comps("id"), "left")
-      .withColumn("__graft_comp", coalesce(col("comp"), docs(idCol).cast("long")))
-      .drop("id", "comp")
+      .select(col("id").cast(idType).as("__graft_cid"),
+        col("comp").cast(idType).as("__graft_pcomp"))
+    val joined = docs.join(comps, docs(idCol) === col("__graft_cid"), "left")
+      .withColumn("__graft_comp", coalesce(col("__graft_pcomp"), docs(idCol)))
+      .drop("__graft_cid", "__graft_pcomp")
     val w = Window.partitionBy(col("__graft_comp")).orderBy(preference: _*)
     joined.withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") === 1)

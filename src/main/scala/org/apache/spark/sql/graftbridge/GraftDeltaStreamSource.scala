@@ -38,7 +38,8 @@ final class GraftDeltaStreamSource(
     maxVersionsPerTrigger: Option[Long] = None,
     maxFilesPerTrigger: Option[Long] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    startingVersion: Option[Long] = None) extends Source {
+    startingVersion: Option[Long] = None,
+    metadataPath: Option[String] = None) extends Source {
 
   private def versionOf(o: V1Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -49,10 +50,56 @@ final class GraftDeltaStreamSource(
     * checkpointed offset takes precedence on restart). */
   private val floor: Long = startingVersion.map(_ - 1).getOrElse(-1L)
 
+  private val throttled =
+    maxVersionsPerTrigger.nonEmpty || maxFilesPerTrigger.nonEmpty || maxBytesPerTrigger.nonEmpty
+
+  // The throttle anchor must survive restarts: on a restart whose last batch
+  // COMMITTED, the engine calls getOffset before any getBatch, so an anchor
+  // that reset to `floor` would rate-limit to an offset BELOW the
+  // checkpointed one — the offset log then regresses and later batches
+  // re-serve already-processed versions (duplicates). Persist the anchor in
+  // the per-source checkpoint dir Spark hands us (`metadataPath`), the same
+  // place FileStreamSource keeps its seen-files log. Only driver-side
+  // single-writer access, so a plain overwrite-via-rename suffices.
+  private val anchorFile: Option[org.apache.hadoop.fs.Path] =
+    metadataPath.filter(_ => throttled)
+      .map(p => new org.apache.hadoop.fs.Path(p, "graft-throttle-anchor"))
+  private lazy val anchorFs = anchorFile.map(
+    _.getFileSystem(spark.sessionState.newHadoopConf()))
+
+  private def readAnchor(): Option[Long] =
+    anchorFile.flatMap { p =>
+      try {
+        val fs = anchorFs.get
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          try Some(new String(
+            org.apache.commons.io.IOUtils.toByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+          finally in.close()
+        }
+      } catch { case scala.util.control.NonFatal(_) => None } // corrupt → floor
+    }
+
+  private def persistAnchor(v: Long): Unit =
+    anchorFile.foreach { p =>
+      try {
+        val fs = anchorFs.get
+        val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tmp")
+        val out = fs.create(tmp, true)
+        try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        if (fs.exists(p)) fs.delete(p, false)
+        fs.rename(tmp, p)
+      } catch { case scala.util.control.NonFatal(_) => () } // lost anchor ≤ stale anchor
+    }
+
   /** Highest version already offered as a batch end — the throttle anchor.
-    * `floor` until the first batch; recovered from the engine's first
-    * getBatch call after a restart. */
-  @volatile private var lastOffered: Long = floor
+    * `floor` on a fresh query; recovered from the persisted anchor (and,
+    * defensively, from getBatch's offsets) after a restart. */
+  @volatile private var lastOffered: Long =
+    math.max(floor, readAnchor().getOrElse(floor))
 
   private def dataChangeAdds(version: Long): Seq[AddAction] =
     log.readCommit(version).collect { case a: AddAction if a.dataChange => a }
@@ -91,14 +138,24 @@ final class GraftDeltaStreamSource(
           end
         }
       if (end <= lastOffered) Some(LongOffset(lastOffered))
-      else Some(LongOffset(end))
+      else {
+        lastOffered = end
+        persistAnchor(end)
+        Some(LongOffset(end))
+      }
     }
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val startV = math.max(start.map(versionOf).getOrElse(-1L), floor)
     val endV = versionOf(end)
-    lastOffered = math.max(lastOffered, endV)
+    // start is the engine's checkpointed offset on a restart replay — a
+    // second recovery path for the throttle anchor alongside the persisted
+    // file (covers a lost anchor write when the last batch was uncommitted)
+    if (math.max(startV, endV) > lastOffered) {
+      lastOffered = math.max(startV, endV)
+      persistAnchor(lastOffered)
+    }
     val adds: Seq[AddAction] = log.listCommitVersions()
       .filter(v => v > startV && v <= endV)
       .flatMap(dataChangeAdds)

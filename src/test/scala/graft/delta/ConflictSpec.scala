@@ -205,6 +205,58 @@ class ConflictSpec extends AnyFunSuite with SparkTestBase {
       Seq("p"), qualifier = Some("t")) == Seq(PartitionFilter.Eq("p", "a")))
   }
 
+  test("typed date/timestamp/decimal literals yield NO filter (conservative)") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{catalystExpression => ex}
+    val pc = Seq("p")
+    // DateType literal's internal value is days-since-epoch — its toString
+    // ("18628") never equals the Hive partition string ("2021-01-01"), so
+    // emitting Eq("p","18628") would falsely prove disjointness. The safe
+    // output is no filter at all.
+    assert(PartitionFilter.fromCatalyst(
+      ex(col("p") === lit(java.sql.Date.valueOf("2021-01-01"))), pc).isEmpty)
+    assert(PartitionFilter.fromCatalyst(
+      ex(col("p") === lit(java.sql.Timestamp.valueOf("2021-01-01 10:00:00"))), pc).isEmpty)
+    assert(PartitionFilter.fromCatalyst(
+      ex(col("p") === lit(BigDecimal("1.50"))), pc).isEmpty)
+    assert(PartitionFilter.fromCatalyst(
+      ex(col("p").isin(java.sql.Date.valueOf("2021-01-01"),
+        java.sql.Date.valueOf("2021-01-02"))), pc).isEmpty)
+    // string / integral / boolean literals still extract
+    assert(PartitionFilter.fromCatalyst(ex(col("p") === lit(5L)), pc) ==
+      Seq(PartitionFilter.Eq("p", "5")))
+    assert(PartitionFilter.fromCatalyst(ex(col("p") === lit(true)), pc) ==
+      Seq(PartitionFilter.Eq("p", "true")))
+  }
+
+  test("date-partitioned rewrite vs concurrent append aborts (no false disjointness)") {
+    // Regression: before litStr was type-restricted, DELETE ... WHERE p =
+    // DATE'2021-01-01' produced Eq("p","18628"), which matched no add's
+    // partitionValues -> the racer's append was "proven" disjoint and the
+    // stale rewrite committed, silently losing the conflict.
+    val dir = tempTable("cf-date-part").toString
+    val df = spark.sql(
+      """SELECT id, CASE WHEN id % 2 = 0 THEN DATE'2021-01-01'
+        |            ELSE DATE'2021-01-02' END AS p
+        |FROM range(0, 40)""".stripMargin)
+    GraftWriter.write(df.repartition(2), dir, partitionBy = Seq("p"))
+    val log = DeltaLog.forPath(spark, dir)
+    val snap = log.update()
+    val txn = log.startTransaction().withReadFilters(
+      PartitionFilter.fromCatalyst(
+        org.apache.spark.sql.graftbridge.ColumnBridge.catalystExpression(
+          col("p") === lit(java.sql.Date.valueOf("2021-01-01"))),
+        Seq("p")))
+    // racer appends INTO the same date partition the rewrite is reading
+    GraftWriter.write(
+      spark.sql("SELECT 100L AS id, DATE'2021-01-01' AS p"),
+      dir, SaveMode.Append, partitionBy = Seq("p"))
+    snap.files.filter(_.partitionValues.get("p").contains("2021-01-01")).take(1)
+      .foreach(f => txn.addAction(RemoveAction(
+        path = f.path, deletionTimestamp = 1L, dataChange = true,
+        partitionValues = Some(f.partitionValues))))
+    intercept[ConcurrentAppendException] { txn.commit() }
+  }
+
   test("concurrent metadata change aborts any transaction") {
     val dir = mkTable("cf-meta")
     val txn = staleTxn(dir) {

@@ -163,6 +163,45 @@ class GraftDeltaSourceSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("throttled restart after a committed batch does not re-serve versions") {
+    // Regression (ADVICE r4): on restart the engine calls getOffset BEFORE
+    // any getBatch; with rate limiting on, an anchor that reset to floor
+    // produced an offset below the checkpointed one, the offset log
+    // regressed, and later batches duplicated rows. The anchor is now
+    // persisted under the source's checkpoint metadataPath.
+    val src = tempTable("fmt-restart").toString
+    val dst = tempTable("fmt-restart-dst").toString
+    val ckpt = tempTable("fmt-restart-ckpt").toString
+    (0 until 4).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v").write.format("graft-delta")
+        .mode(if (i == 0) "errorifexists" else "append").save(src)
+    }
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("maxVersionsPerTrigger", 1)
+        .load(src)
+        .writeStream.format("graft-delta")
+        .option("appId", "restart-anchor")
+        .option("checkpointLocation", ckpt)
+        .start(dst)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // first run drains versions 0..3, every batch committed
+    assert(DeltaTable.forPath(spark, dst).toDF.count() == 4)
+    (4 until 6).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v").write.format("graft-delta")
+        .mode("append").save(src)
+    }
+    // restart from the checkpoint: a regressed offset would re-serve old
+    // versions under FRESH batch ids, which the sink's txn idempotence
+    // cannot skip — duplicates would land in dst
+    run()
+    val rows = DeltaTable.forPath(spark, dst).toDF
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(rows == (0 until 6).map(i => (i.toLong, s"v$i")),
+      s"restart re-served already-committed versions: $rows")
+  }
+
   test("readStream → transform → graft-delta sink: delta-to-delta streaming pipeline") {
     val src = tempTable("fmt-pipe-src").toString
     val dst = tempTable("fmt-pipe-dst").toString

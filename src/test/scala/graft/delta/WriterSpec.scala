@@ -39,6 +39,7 @@ class WriterSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("long string stats truncate to bounds, and the bounds stay sound") {
+    import spark.implicits._
     val dir = tempTable("wr-truncstats").toString
     val long = "m" * 500
     // rows around the eventual min/max so the true extremes are long strings

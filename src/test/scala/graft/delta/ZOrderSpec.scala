@@ -96,6 +96,24 @@ class ZOrderSpec extends AnyFunSuite with SparkTestBase {
     assert(nFiles > 2 && ks < nFiles, s"string-range query kept $ks of $nFiles")
   }
 
+  test("string surrogate is order-preserving across byte lengths") {
+    // Regression (ADVICE r4): an unpadded byte slice compared 'ab' > 'b'
+    // (0x6162 > 0x62); the zero-padded fixed-width surrogate must follow
+    // lexicographic order, so bucket codes are monotone in string order.
+    val strs = Seq("a", "ab", "abc", "b", "ba", "c", "ca", "cab", "d", "da",
+      "db", "e", "ea", "f", "fa", "g")
+    val df = new scala.util.Random(3).shuffle(
+      strs.zipWithIndex.map { case (s, i) => (i.toLong, s) })
+      .toDF("id", "s")
+    val z = Optimize.zValue(df, Seq("s"), df.schema)
+    val codeByStr = df.withColumn("z", z)
+      .select("s", "z").as[(String, Long)].collect().toMap
+    strs.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(codeByStr(lo) <= codeByStr(hi),
+        s"surrogate order broken: z('$lo')=${codeByStr(lo)} > z('$hi')=${codeByStr(hi)}")
+    }
+  }
+
   test("zorder rejects partition and unknown columns") {
     val dir = tempTable("zorder-bad").toString
     GraftWriter.write(Seq((1L, "a")).toDF("id", "p"), dir,

@@ -43,6 +43,36 @@ class ClusteringSpec extends AnyFunSuite with SparkTestBase {
     assert(comps(edges) == expected)
   }
 
+  test("string doc ids cluster on the native type — no null-collapse") {
+    // Regression (ADVICE r4): cast(id as long) on non-numeric ids produced
+    // nulls, so every unpaired document fell into ONE null component and all
+    // but one were dropped.
+    val m = Clustering.connectedComponents(
+      Seq(("doc-a", "doc-b"), ("doc-b", "doc-c"), ("doc-x", "doc-y"))
+        .toDF("id_a", "id_b"))
+      .as[(String, String)].collect().toMap
+    assert(m == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a",
+      "doc-x" -> "doc-x", "doc-y" -> "doc-x"))
+
+    val docs = Seq(
+      ("doc-a", "short"), ("doc-b", "a much longer body"), ("doc-c", "mid body"),
+      ("doc-p", "solo"), ("doc-q", "also solo"), ("doc-r", "third solo")
+    ).toDF("doc_id", "text")
+    val pairs = Seq(("doc-a", "doc-b"), ("doc-b", "doc-c")).toDF("id_a", "id_b")
+    val kept = Clustering.survivors(docs, "doc_id", pairs,
+      Seq(length(col("text")).desc, col("doc_id")))
+      .select("doc_id").as[String].collect().sorted.toSeq
+    // every singleton survives — under the bug only one of doc-p/q/r did
+    assert(kept == Seq("doc-b", "doc-p", "doc-q", "doc-r"))
+  }
+
+  test("mixed-width integral ids still take the long fast path") {
+    val m = Clustering.connectedComponents(
+      Seq((1, 2), (2, 3)).toDF("id_a", "id_b")) // IntegerType edges
+      .as[(Long, Long)].collect().toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("survivors keeps one row per family by preference, singletons intact") {
     val docs = Seq(
       (1L, "short"), (2L, "a much longer body"), (3L, "mid body"),
