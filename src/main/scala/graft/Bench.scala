@@ -25,6 +25,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.delta.GraftSparkExtensions")
+      .config("spark.sql.catalog.spark_catalog", "graft.delta.catalog.GraftCatalog")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.queries

@@ -19,6 +19,7 @@ object Verify {
       // run the correctness gate with the engine's optimizer rules active,
       // so stats-only rewrites and scan re-scoping are oracle-validated too
       .config("spark.sql.extensions", "graft.delta.GraftSparkExtensions")
+      .config("spark.sql.catalog.spark_catalog", "graft.delta.catalog.GraftCatalog")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // static-conf extensions only apply at first-session creation; fail fast

@@ -32,6 +32,50 @@ object GraftDeltaInserts extends Rule[LogicalPlan] {
       GraftInsertCommand(c.fileIndex.get.asInstanceOf[GraftFileIndex],
         c.query, c.mode, c.outputColumnNames, c.staticPartitions)
   }
+
+  /** The one transactional insert both SQL surfaces share (the V1
+    * [[GraftInsertCommand]] swap and the catalog's v2 `V1Write` funnel):
+    * stage parquet, then one commit of remove+add actions. `ordered` must
+    * already be in the table's declared column order. */
+  private[delta] def commitInsert(session: SparkSession, log: DeltaLog,
+                                  ordered: org.apache.spark.sql.DataFrame,
+                                  overwrite: Boolean,
+                                  staticPartitions: Map[String, String],
+                                  dynamicMode: Boolean): Long = {
+    val snap = log.update()
+    val txn = log.startTransaction()
+    val adds = GraftWriter.stageFiles(Constraints.enforce(ordered, snap),
+      log.tablePath.toString, snap.partitionColumns)
+    val removes: Seq[AddAction] =
+      if (!overwrite) Nil
+      else if (staticPartitions.nonEmpty)
+        snap.files.filter(f => staticPartitions.forall { case (k, v) =>
+          f.partitionValues.get(k).contains(v)
+        })
+      else if (snap.partitionColumns.nonEmpty && dynamicMode) {
+        val touched = adds.map(_.partitionValues).toSet
+        snap.files.filter(f => touched.contains(f.partitionValues))
+      } else snap.files
+
+    val now = System.currentTimeMillis()
+    removes.foreach(f => txn.addAction(RemoveAction(
+      path = f.path, deletionTimestamp = now, dataChange = true,
+      extendedFileMetadata = Some(true),
+      partitionValues = Some(f.partitionValues), size = Some(f.size))))
+    txn.addActions(adds)
+    val info = ActionCodec.mapper.createObjectNode()
+    info.put("timestamp", now)
+    info.put("operation", "WRITE")
+    val params = info.putObject("operationParameters")
+    params.put("mode", if (overwrite) "Overwrite" else "Append")
+    if (staticPartitions.nonEmpty)
+      params.put("staticPartitions",
+        staticPartitions.map { case (k, v) => s"$k=$v" }.mkString(","))
+    val version = txn.commit(Some(CommitInfoAction(info)))
+    log.maybeCheckpoint(version)
+    log.update()
+    version
+  }
 }
 
 /** Transactional replacement for `InsertIntoHadoopFsRelationCommand` over a
@@ -62,39 +106,12 @@ final case class GraftInsertCommand(
     val df = org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(session, query)
       .toDF(outputColumnNames.toSeq: _*)
     val ordered = df.select(snap.schema.fieldNames.map(col).toSeq: _*)
-
-    val txn = log.startTransaction()
-    val adds = GraftWriter.stageFiles(Constraints.enforce(ordered, snap),
-      log.tablePath.toString, snap.partitionColumns)
-    val removes: Seq[AddAction] =
-      if (mode != SaveMode.Overwrite) Nil
-      else if (staticPartitions.nonEmpty)
-        snap.files.filter(f => staticPartitions.forall { case (k, v) =>
-          f.partitionValues.get(k).contains(v)
-        })
-      else if (snap.partitionColumns.nonEmpty &&
-        session.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-          .equalsIgnoreCase("dynamic")) {
-        val touched = adds.map(_.partitionValues).toSet
-        snap.files.filter(f => touched.contains(f.partitionValues))
-      } else snap.files
-
-    val now = System.currentTimeMillis()
-    removes.foreach(f => txn.addAction(RemoveAction(
-      path = f.path, deletionTimestamp = now, dataChange = true,
-      extendedFileMetadata = Some(true),
-      partitionValues = Some(f.partitionValues), size = Some(f.size))))
-    txn.addActions(adds)
-    val info = ActionCodec.mapper.createObjectNode()
-    info.put("timestamp", now)
-    info.put("operation", "WRITE")
-    val params = info.putObject("operationParameters")
-    params.put("mode", mode.toString)
-    if (staticPartitions.nonEmpty)
-      params.put("staticPartitions", staticPartitions.map { case (k, v) => s"$k=$v" }.mkString(","))
-    val version = txn.commit(Some(CommitInfoAction(info)))
-    log.maybeCheckpoint(version)
-    log.update()
+    GraftDeltaInserts.commitInsert(session, log, ordered,
+      overwrite = mode == SaveMode.Overwrite,
+      staticPartitions = staticPartitions,
+      dynamicMode = session.conf
+        .get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        .equalsIgnoreCase("dynamic"))
     Seq.empty
   }
 }

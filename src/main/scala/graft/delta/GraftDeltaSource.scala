@@ -80,13 +80,57 @@ final class GraftDeltaRelation(
   */
 final class GraftDeltaSource extends RelationProvider
   with CreatableRelationProvider with StreamSinkProvider with StreamSourceProvider
-  with DataSourceRegister {
+  with DataSourceRegister
+  with org.apache.spark.sql.connector.catalog.TableProvider {
 
   override def shortName(): String = "graft-delta"
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-delta requires a path (use .load(path)/.save(path))"))
+
+  // ---- TableProvider ----------------------------------------------------
+  // Declaring the source "V2" routes SQL DDL (CREATE TABLE / CTAS / ALTER)
+  // through the catalog plugin ([[graft.delta.catalog.GraftCatalog]]) for
+  // transactional, log-first DDL. Execution stays V1: the returned
+  // [[graft.delta.catalog.GraftTable]] advertises no batch/stream
+  // read-write capability, so every read/write/stream entry point falls
+  // back to the optimized relation/sink paths below (Spark gates each
+  // fallback on the table's capabilities).
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-delta requires a path"))
+    DeltaTable.forPath(SparkSession.active, path).schema
+  }
+
+  override def inferPartitioning(options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-delta requires a path"))
+    // called unconditionally by getTableFromProvider, including for WRITES
+    // to not-yet-existing tables (df.write / writeStream to a new path) —
+    // an empty partitioning, not an error, is the correct answer there
+    val snap = DeltaLog.forPath(SparkSession.active, path).update()
+    if (snap.version < 0) Array.empty
+    else snap.partitionColumns
+      .map(org.apache.spark.sql.connector.expressions.Expressions.identity).toArray
+  }
+
+  override def getTable(schema: StructType,
+                        partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+                        properties: java.util.Map[String, String]): org.apache.spark.sql.connector.catalog.Table = {
+    val path = Option(properties.get("path"))
+      .orElse(Option(properties.get("location")))
+      .getOrElse(throw new IllegalArgumentException("graft-delta requires a path"))
+    val partCols = org.apache.spark.sql.graftbridge.CatalogBridge
+      .identityPartitionNames(partitioning).collect { case Right(name) => name }
+    new graft.delta.catalog.GraftTable(path, schema, partCols,
+      scala.jdk.CollectionConverters.MapHasAsScala(properties).asScala.toMap
+        .filterNot(_._1 == "location") + ("path" -> path))
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {

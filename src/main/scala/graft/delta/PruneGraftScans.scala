@@ -28,10 +28,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   */
 object PruneGraftScans extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case f @ Filter(_, lr: LogicalRelation) =>
-      rescope(f, lr).getOrElse(f)
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.planRewrites.enabled", "true").toBoolean) plan
+    else plan.transformDown {
+      case f @ Filter(_, lr: LogicalRelation) =>
+        rescope(f, lr).getOrElse(f)
+    }
 
   private def rescope(f: Filter, lr: LogicalRelation): Option[LogicalPlan] =
     lr.relation match {

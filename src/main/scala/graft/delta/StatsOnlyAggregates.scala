@@ -33,10 +33,12 @@ import org.apache.spark.sql.types._
   */
 object StatsOnlyAggregates extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case agg @ Aggregate(Nil, _, ScanOverIndex(index), _) =>
-      tryRewrite(agg, index).getOrElse(agg)
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.planRewrites.enabled", "true").toBoolean) plan
+    else plan.transformDown {
+      case agg @ Aggregate(Nil, _, ScanOverIndex(index), _) =>
+        tryRewrite(agg, index).getOrElse(agg)
+    }
 
   /** Matches the scan (optionally under an attribute-only Project). */
   private object ScanOverIndex {
@@ -110,6 +112,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => StatsOnlyAggregates)
     extensions.injectOptimizerRule(_ => PruneGraftScans)
+    extensions.injectResolutionRule(session => new GraftV2Fallback(session))
     extensions.injectPostHocResolutionRule(_ => GraftDeltaInserts)
     extensions.injectHintResolutionRule(session => new GraftSqlDml(session))
     extensions.injectTableFunction(GraftHistoryFunction.descriptor)

@@ -1,0 +1,281 @@
+package graft.delta.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Column => V2Column, DelegatingCatalogExtension, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+
+import graft.delta._
+
+/** Session-catalog extension in the DeltaCatalog role (the reference's
+  * engine-integration surface, `rust/src/delta_datafusion.rs:38-125`, done
+  * the Spark-native way): registered as
+  * `spark.sql.catalog.spark_catalog = graft.delta.catalog.GraftCatalog`, it
+  * intercepts catalog operations on `graft-delta` tables so SQL DDL is
+  * transactional against the Delta log, and delegates everything else to the
+  * built-in session catalog untouched.
+  *
+  *  - `CREATE TABLE ... USING graft-delta` initializes the `_delta_log`
+  *    (schema, partition columns, validated `delta.*` TBLPROPERTIES) in a
+  *    version-0 commit, or ADOPTS an existing table at the location (schema
+  *    read from the log, like `CONVERT`/open-table semantics); the metastore
+  *    entry is registered with the resolved schema either way.
+  *  - CTAS works because the returned [[GraftTable]] accepts the planner's
+  *    v2 `AppendData`/`OverwriteByExpression` through a `V1Write` funnel into
+  *    [[GraftWriter]] — the same transactional write every other path uses.
+  *  - `ALTER TABLE ... ADD COLUMNS / SET TBLPROPERTIES / UNSET
+  *    TBLPROPERTIES` commit a metadata action to the log FIRST (schema
+  *    evolution exactly as `mergeSchema` would produce), then update the
+  *    metastore, so the log remains the source of truth.
+  *  - `\`graft-delta\`.\`/abs/path\`` identifiers resolve without any
+  *    metastore entry (path tables, `python/deltalake/table.py:193` role),
+  *    including `VERSION AS OF` / `TIMESTAMP AS OF` time travel via the
+  *    catalog's `loadTable(ident, version/timestamp)` entry points.
+  *
+  * Reads and writes stay on the existing optimized V1 path: the session
+  * catalog returns V1 table metadata, so scans go through [[GraftFileIndex]]
+  * (stats skipping, partition pruning) and inserts through the
+  * `InsertableRelation` dispatch — the catalog adds resolution, not a
+  * second execution engine.
+  */
+class GraftCatalog extends DelegatingCatalogExtension {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private val Provider = "graft-delta"
+
+  private def isGraftProvider(properties: util.Map[String, String]): Boolean =
+    Option(properties.get(TableCatalog.PROP_PROVIDER)).exists(_.equalsIgnoreCase(Provider))
+
+  /** `graft-delta`.`/abs/path` — a path table needs no metastore entry. */
+  private def isPathIdent(ident: Identifier): Boolean =
+    ident.namespace.length == 1 && ident.namespace.head.equalsIgnoreCase(Provider) &&
+      ident.name.contains("/")
+
+  /** Reserved/engine keys that must not leak into the table's Delta
+    * configuration (they describe the metastore entry, not the table). */
+  private def tableConfiguration(properties: util.Map[String, String]): Map[String, String] =
+    properties.asScala.toMap.filterNot { case (k, _) =>
+      k == TableCatalog.PROP_PROVIDER || k == TableCatalog.PROP_LOCATION ||
+        k == TableCatalog.PROP_COMMENT || k == TableCatalog.PROP_OWNER ||
+        k == TableCatalog.PROP_EXTERNAL || k == "is_managed_location" ||
+        k == "transient_lastDdlTime" || k.startsWith("option.")
+    }
+
+  private def partitionColumnsOf(partitions: Array[Transform]): Seq[String] =
+    org.apache.spark.sql.graftbridge.CatalogBridge.identityPartitionNames(partitions).map {
+      case Right(name) => name
+      case Left(other) => throw new IllegalArgumentException(
+        s"graft-delta supports only identity partitioning, got $other " +
+          "(use OPTIMIZE ZORDER for multi-dimensional clustering)")
+    }
+
+  private def locationOf(ident: Identifier, properties: util.Map[String, String]): String =
+    Option(properties.get(TableCatalog.PROP_LOCATION)).getOrElse {
+      val db = if (ident.namespace.nonEmpty) Some(ident.namespace.last) else None
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(ident.name, db)).toString
+    }
+
+  /** Build the resolution-time v2 handle from the CURRENT log state (the
+    * log, not the metastore, is the schema's source of truth — a table
+    * altered by another writer reads correctly without re-registering). */
+  private def graftTable(location: String,
+                         extraOptions: Map[String, String] = Map.empty): GraftTable = {
+    val snap = DeltaLog.forPath(spark, location).update()
+    if (snap.version < 0) throw new NotATableException(location)
+    new GraftTable(location, snap.schema, snap.partitionColumns,
+      Map("path" -> location) ++ extraOptions)
+  }
+
+  /** The graft-delta location of a NAMED catalog table, if it is one. */
+  private def graftLocationOf(ident: Identifier): Option[String] =
+    org.apache.spark.sql.graftbridge.CatalogBridge
+      .asV1CatalogTable(super.loadTable(ident))
+      .filter(_.provider.exists(_.equalsIgnoreCase(Provider)))
+      .map(ct => ct.storage.properties.getOrElse("path", ct.location.getPath))
+
+  override def loadTable(ident: Identifier): Table =
+    if (isPathIdent(ident)) graftTable(ident.name)
+    else {
+      val base = super.loadTable(ident)
+      org.apache.spark.sql.graftbridge.CatalogBridge.asV1CatalogTable(base)
+        .filter(_.provider.exists(_.equalsIgnoreCase(Provider)))
+        .map(ct => graftTable(ct.storage.properties.getOrElse("path", ct.location.getPath)))
+        .getOrElse(base)
+    }
+
+  /** SQL `VERSION AS OF` through the catalog. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    if (isPathIdent(ident))
+      graftTable(ident.name, Map("versionAsOf" -> version))
+    else graftLocationOf(ident)
+      .map(loc => graftTable(loc, Map("versionAsOf" -> version)))
+      .getOrElse(super.loadTable(ident, version))
+
+  /** SQL `TIMESTAMP AS OF` through the catalog. Spark hands micros since
+    * epoch; the reader option takes a timestamp string. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val ts = java.time.Instant.ofEpochSecond(
+      timestamp / 1000000L, (timestamp % 1000000L) * 1000L).toString
+    if (isPathIdent(ident)) graftTable(ident.name, Map("timestampAsOf" -> ts))
+    else graftLocationOf(ident)
+      .map(loc => graftTable(loc, Map("timestampAsOf" -> ts)))
+      .getOrElse(super.loadTable(ident, timestamp))
+  }
+
+  override def createTable(ident: Identifier, columns: Array[V2Column],
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    if (!isGraftProvider(properties))
+      return super.createTable(ident, columns, partitions, properties)
+
+    val declared = org.apache.spark.sql.graftbridge.CatalogBridge
+      .v2ColumnsToStructType(columns)
+    val partCols = partitionColumnsOf(partitions)
+    val location = locationOf(ident, properties)
+    val config = tableConfiguration(properties)
+    TableConfig.validate(config)
+
+    val log = DeltaLog.forPath(spark, location)
+    val snap = log.update()
+    val resolvedSchema: StructType =
+      if (snap.version >= 0) {
+        // location already holds a Delta table: ADOPT it (open-table
+        // semantics); a declared schema must agree with the log's
+        if (declared.nonEmpty && declared != snap.schema)
+          throw new IllegalArgumentException(
+            s"declared schema $declared does not match existing graft-delta " +
+              s"table at $location: ${snap.schema}")
+        if (partCols.nonEmpty && partCols != snap.partitionColumns)
+          throw new IllegalArgumentException(
+            s"declared partitioning $partCols does not match existing table's " +
+              s"${snap.partitionColumns}")
+        snap.schema
+      } else {
+        if (declared.isEmpty) throw new IllegalArgumentException(
+          s"CREATE TABLE on a new graft-delta location requires a column list " +
+            s"(no Delta table exists at $location)")
+        val missing = partCols.filterNot(declared.fieldNames.contains)
+        if (missing.nonEmpty) throw new IllegalArgumentException(
+          s"partition columns not in schema: $missing")
+        initializeTable(log, declared, partCols, config)
+        declared
+      }
+
+    // metastore entry carries the resolved schema so DESCRIBE/column
+    // resolution agree with the log
+    val metastoreProps = new util.HashMap[String, String](properties)
+    if (!metastoreProps.containsKey(TableCatalog.PROP_LOCATION))
+      metastoreProps.put(TableCatalog.PROP_LOCATION, location)
+    metastoreProps.put(TableCatalog.PROP_EXTERNAL, "true")
+    super.createTable(ident,
+      org.apache.spark.sql.graftbridge.CatalogBridge
+        .structTypeToV2Columns(resolvedSchema),
+      partitions, metastoreProps)
+
+    // the returned table is what CTAS writes into — it funnels the v2
+    // append back into the transactional v1 writer
+    new GraftTable(location, resolvedSchema,
+      if (partCols.nonEmpty) partCols else {
+        val s = log.update(); if (s.version >= 0) s.partitionColumns else Nil
+      },
+      Map("path" -> location))
+  }
+
+  /** Version-0 commit of an empty table: protocol + metadata, no files —
+    * the same shape the reference's `create` writes
+    * (`rust/src/delta.rs:986-1035` via `prepare_commit`). */
+  private def initializeTable(log: DeltaLog, schema: StructType,
+                              partCols: Seq[String],
+                              config: Map[String, String]): Unit = {
+    val now = System.currentTimeMillis()
+    val txn = log.startTransaction()
+    txn.addAction(ProtocolAction())
+    txn.addAction(MetaDataAction(
+      id = java.util.UUID.randomUUID().toString,
+      name = None, description = None,
+      format = Format(),
+      schemaString = DeltaSchema.toJson(schema),
+      partitionColumns = partCols,
+      createdTime = Some(now),
+      configuration = config))
+    val info = ActionCodec.mapper.createObjectNode()
+    info.put("timestamp", now)
+    info.put("operation", "CREATE TABLE")
+    info.putObject("operationParameters")
+      .put("partitionBy", partCols.mkString(","))
+    txn.commit(Some(CommitInfoAction(info)))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    graftLocationOf(ident) match {
+      case Some(location) =>
+        alterDeltaLog(location, changes)
+        // Sync the metastore's cosmetic schema copy (reads resolve through
+        // the log). Hive-style catalogs require partition columns LAST, so
+        // re-derive the full schema with added columns before them instead
+        // of delegating the raw AddColumn (which appends at the very end).
+        val snap = DeltaLog.forPath(spark, location).update()
+        val pc = snap.partitionColumns
+        if (changes.exists(_.isInstanceOf[TableChange.AddColumn])) {
+          val reordered = StructType(
+            snap.schema.fields.filterNot(f => pc.contains(f.name)) ++
+              pc.flatMap(c => snap.schema.fields.find(_.name == c)))
+          val db = if (ident.namespace.nonEmpty) Some(ident.namespace.last) else None
+          spark.sessionState.catalog.alterTableSchema(
+            org.apache.spark.sql.catalyst.TableIdentifier(ident.name, db), reordered)
+        }
+        val rest = changes.filterNot(_.isInstanceOf[TableChange.AddColumn])
+        if (rest.nonEmpty) super.alterTable(ident, rest: _*)
+        loadTable(ident)
+      case None => super.alterTable(ident, changes: _*)
+    }
+
+  /** Apply ALTER changes to the Delta log as ONE metadata commit; the log,
+    * not the metastore, is what every reader replays. */
+  private def alterDeltaLog(location: String, changes: Seq[TableChange]): Unit = {
+    val log = DeltaLog.forPath(spark, location)
+    val snap = log.update()
+    if (snap.version < 0) throw new IllegalStateException(
+      s"no graft-delta table at $location")
+    val meta = snap.metadata.getOrElse(throw new IllegalStateException(
+      s"table at $location has no metadata action"))
+
+    var schema = snap.schema
+    var config = TableConfig.of(snap)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        if (add.fieldNames.length != 1) throw new IllegalArgumentException(
+          "graft-delta supports adding top-level columns only, got " +
+            add.fieldNames.mkString("."))
+        if (schema.fieldNames.contains(add.fieldNames.head))
+          throw new IllegalArgumentException(
+            s"column ${add.fieldNames.head} already exists")
+        // added columns must be absent-tolerant: old files simply lack them
+        if (!add.isNullable) throw new IllegalArgumentException(
+          "added columns must be nullable: existing files have no values for them")
+        schema = schema.add(add.fieldNames.head, add.dataType, nullable = true)
+      case set: TableChange.SetProperty =>
+        TableConfig.validate(Map(set.property -> set.value))
+        config = config + (set.property -> set.value)
+      case rm: TableChange.RemoveProperty =>
+        config = config - rm.property
+      case other => throw new IllegalArgumentException(
+        s"graft-delta does not support ALTER change $other")
+    }
+
+    val txn = log.startTransaction()
+    txn.addAction(meta.copy(
+      schemaString = DeltaSchema.toJson(schema),
+      configuration = config))
+    val info = ActionCodec.mapper.createObjectNode()
+    info.put("timestamp", System.currentTimeMillis())
+    info.put("operation", "ALTER TABLE")
+    txn.commit(Some(CommitInfoAction(info)))
+  }
+}

@@ -207,6 +207,39 @@ object DeltaQueries {
       out
     },
 
+    // Full DSv2 catalog DDL path (GraftCatalog as spark_catalog): CTAS into
+    // a partitioned table, ALTER ADD COLUMNS committed to the log, positional
+    // INSERT through the V1_BATCH_WRITE funnel, then a static-partition
+    // INSERT OVERWRITE scoped to one partition's files. Every statement is a
+    // log commit; the read replays them all.
+    "q58_catalog_ddl" -> { (s, dir) =>
+      val t = freshDir("catddl")
+      li(s, dir).createOrReplaceTempView("graft_cat_src")
+      s.sql("DROP TABLE IF EXISTS graft_gate_cat")
+      s.sql(
+        s"""CREATE TABLE graft_gate_cat USING `graft-delta`
+           |PARTITIONED BY (l_returnflag) LOCATION '$t'
+           |AS SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+           |FROM graft_cat_src WHERE l_orderkey < 1000""".stripMargin)
+      s.sql("ALTER TABLE graft_gate_cat ADD COLUMNS (bonus BIGINT)")
+      s.sql(
+        """INSERT INTO graft_gate_cat
+          |SELECT l_orderkey + 1000000, l_linenumber, l_quantity, l_returnflag, 42
+          |FROM graft_cat_src WHERE l_orderkey < 100""".stripMargin)
+      s.sql(
+        """INSERT OVERWRITE TABLE graft_gate_cat PARTITION (l_returnflag = 'R')
+          |SELECT l_orderkey, l_linenumber, l_quantity * 2, CAST(NULL AS BIGINT)
+          |FROM graft_cat_src WHERE l_orderkey < 500 AND l_returnflag = 'R'""".stripMargin)
+      val out = s.sql(
+        """SELECT l_orderkey, l_linenumber,
+          |CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS qty,
+          |l_returnflag AS flag, COALESCE(bonus, -1) AS bonus
+          |FROM graft_gate_cat
+          |ORDER BY l_orderkey, l_linenumber, qty, flag, bonus""".stripMargin)
+      s.sql("DROP TABLE graft_gate_cat")
+      out
+    },
+
     // SQL over a Delta table (the reference's delegated-SQL surface,
     // rust/tests/datafusion_test.rs:12-33: register table → run SQL):
     // register the snapshot as a temp view and run an aggregation in
@@ -368,6 +401,28 @@ object DeltaQueries {
         |l_returnflag
         |FROM lineitem WHERE l_orderkey < 1000 AND NOT (l_quantity > 30)
         |ORDER BY l_orderkey, l_linenumber, qty, l_returnflag""".stripMargin,
+    "q58_catalog_ddl" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        |         CAST(NULL AS BIGINT) AS bonus
+        |  FROM lineitem WHERE l_orderkey < 1000),
+        |ins AS (
+        |  SELECT l_orderkey + 1000000 AS l_orderkey, l_linenumber, l_quantity,
+        |         l_returnflag, CAST(42 AS BIGINT) AS bonus
+        |  FROM lineitem WHERE l_orderkey < 100),
+        |kept AS (
+        |  SELECT * FROM base WHERE l_returnflag <> 'R'
+        |  UNION ALL
+        |  SELECT * FROM ins WHERE l_returnflag <> 'R'),
+        |ovw AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity * 2 AS l_quantity,
+        |         'R' AS l_returnflag, CAST(NULL AS BIGINT) AS bonus
+        |  FROM lineitem WHERE l_orderkey < 500 AND l_returnflag = 'R')
+        |SELECT l_orderkey, l_linenumber,
+        |CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS qty,
+        |l_returnflag AS flag, COALESCE(bonus, -1) AS bonus
+        |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ovw)
+        |ORDER BY l_orderkey, l_linenumber, qty, flag, bonus""".stripMargin,
     "q47_delta_merge" ->
       """SELECT * FROM (
         |  SELECT l.l_orderkey, l.l_linenumber,

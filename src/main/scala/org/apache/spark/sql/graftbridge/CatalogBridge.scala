@@ -1,0 +1,54 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+import org.apache.spark.sql.connector.catalog.{Table, V1Table}
+
+/** V1 catalog-table shims for [[graft.delta.catalog.GraftCatalog]].
+  * `V1Table` is `private[sql]`, so the synthesis lives in the bridge
+  * namespace (see [[ColumnBridge]]'s note); returning V1 metadata from the
+  * catalog is what keeps reads and inserts on the engine's optimized V1
+  * relation path instead of demanding a parallel DSv2 scan implementation. */
+object CatalogBridge {
+
+  /** The wrapped v1 metadata of a catalog table, if it is one. */
+  def asV1CatalogTable(table: Table): Option[CatalogTable] = table match {
+    case v1: V1Table => Some(v1.v1Table)
+    case _ => None
+  }
+
+  /** A `DataSourceV2Relation.timeTravelSpec` as graft-delta reader options
+    * (`TimeTravelSpec` is `private[sql]`). Timestamps arrive as micros. */
+  def timeTravelOptions(
+      spec: org.apache.spark.sql.catalyst.analysis.TimeTravelSpec): Map[String, String] =
+    spec match {
+      case org.apache.spark.sql.catalyst.analysis.AsOfVersion(v) =>
+        Map("versionAsOf" -> v)
+      case org.apache.spark.sql.catalyst.analysis.AsOfTimestamp(micros) =>
+        Map("timestampAsOf" -> java.time.Instant.ofEpochSecond(
+          micros / 1000000L, (micros % 1000000L) * 1000L).toString)
+    }
+
+  /** Single-column identity-transform names; None for any other transform
+    * shape (bucket/years/…). `IdentityTransform`/`FieldReference` extractors
+    * are `private[sql]`. */
+  def identityPartitionNames(
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform])
+      : Seq[Either[String, String]] =
+    partitions.toSeq.map {
+      case org.apache.spark.sql.connector.expressions.IdentityTransform(
+            org.apache.spark.sql.connector.expressions.FieldReference(Seq(name))) =>
+        Right(name.toString)
+      case other => Left(other.toString)
+    }
+
+  /** v2 Column[] ⇄ StructType (`CatalogV2Util` is `private[sql]`). */
+  def v2ColumnsToStructType(
+      columns: Array[org.apache.spark.sql.connector.catalog.Column]): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util.v2ColumnsToStructType(columns)
+
+  def structTypeToV2Columns(
+      schema: org.apache.spark.sql.types.StructType): Array[org.apache.spark.sql.connector.catalog.Column] =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util.structTypeToV2Columns(schema)
+}

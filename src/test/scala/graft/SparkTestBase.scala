@@ -14,5 +14,7 @@ object SparkTestBase {
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", false)
+    .config("spark.sql.extensions", "graft.delta.GraftSparkExtensions")
+    .config("spark.sql.catalog.spark_catalog", "graft.delta.catalog.GraftCatalog")
     .getOrCreate()
 }

@@ -13,7 +13,15 @@ class FileIndexSpec extends AnyFunSuite with SparkTestBase {
     dt.lastFileIndex.map(_.lastListedFileCount)
       .getOrElse(fail("no file index recorded"))
 
-  test("plain .filter on a partition column prunes files inside Catalyst") {
+  /** These tests assert which files the SCAN's OWN index listed; the
+    * session-wide plan rewrites (StatsOnlyAggregates answers counts from
+    * stats, PruneGraftScans swaps in a re-scoped index) would bypass it. */
+  private def withoutPlanRewrites[A](f: => A): A = {
+    spark.conf.set("spark.graft.planRewrites.enabled", "false")
+    try f finally spark.conf.unset("spark.graft.planRewrites.enabled")
+  }
+
+  test("plain .filter on a partition column prunes files inside Catalyst") { withoutPlanRewrites {
     val dir = tempTable("fi-part").toString
     GraftWriter.write(
       (0 until 90).map(i => (i.toLong, i % 3)).toDF("id", "bucket"),
@@ -32,9 +40,9 @@ class FileIndexSpec extends AnyFunSuite with SparkTestBase {
     // IN-list partition pruning
     val two = dt.toDF.filter(col("bucket").isin(0, 2))
     assert(two.count() == 60)
-  }
+  } }
 
-  test("plain .filter on a data column skips files via Add.stats") {
+  test("plain .filter on a data column skips files via Add.stats") { withoutPlanRewrites {
     val dir = tempTable("fi-stats").toString
     GraftWriter.write((0 until 50).map(i => (i.toLong, s"n$i")).toDF("id", "name")
       .repartition(1), dir)
@@ -54,9 +62,9 @@ class FileIndexSpec extends AnyFunSuite with SparkTestBase {
     val all = dt.toDF.filter(col("id") >= 0L)
     assert(all.count() == 100)
     assert(listedCount(dt) == 2)
-  }
+  } }
 
-  test("explicit pre-pruning composes with Catalyst-pushed filters") {
+  test("explicit pre-pruning composes with Catalyst-pushed filters") { withoutPlanRewrites {
     val dir = tempTable("fi-compose").toString
     GraftWriter.write(
       (0 until 120).map(i => (i.toLong, i % 4)).toDF("id", "p").repartition(1),
@@ -68,7 +76,7 @@ class FileIndexSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("p") === 2)
     assert(df.count() == 30)
     assert(listedCount(dt) == 1)
-  }
+  } }
 
   test("schema column order and types survive the FileIndex scan") {
     val dir = tempTable("fi-order").toString

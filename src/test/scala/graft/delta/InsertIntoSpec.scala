@@ -52,31 +52,20 @@ class InsertIntoSpec extends AnyFunSuite with SparkTestBase {
     assert(DeltaLog.forPath(spark, dir).update().version == 0)
   }
 
-  test("INSERT INTO a partitioned table without extensions fails fast, no orphans") {
-    // without GraftSparkExtensions, Spark routes partitioned INSERTs to
-    // InsertIntoHadoopFsRelationCommand; the write-disabled file format must
-    // fail before a single orphan parquet lands in the table dir
-    val dir = tempTable("sql-insert-part-noext").toString
-    GraftWriter.write(Seq((1L, 0), (2L, 1)).toDF("id", "p"), dir,
-      org.apache.spark.sql.SaveMode.ErrorIfExists, Seq("p"))
-    spark.sql(s"CREATE TABLE graft_ins_noext USING `graft-delta` OPTIONS (path '$dir')")
-    try {
-      def parquetCount: Int = {
-        def walk(f: java.io.File): Int =
-          if (f.isDirectory) f.listFiles().map(walk).sum
-          else if (f.getName.endsWith(".parquet")) 1 else 0
-        walk(new java.io.File(dir))
-      }
-      val before = parquetCount
-      val e = intercept[Exception] {
-        spark.sql("INSERT INTO graft_ins_noext (id, p) VALUES (3, 1)")
-      }
-      def messages(t: Throwable): Seq[String] =
-        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-      assert(messages(e).exists(_.contains("GraftSparkExtensions")))
-      assert(parquetCount == before, "no orphan files may land")
-      assert(DeltaLog.forPath(spark, dir).update().version == 0)
-    } finally spark.sql("DROP TABLE graft_ins_noext")
+  test("the relation's file format refuses direct writes (no-extensions guard)") {
+    // In a session WITHOUT GraftSparkExtensions, Spark routes partitioned
+    // INSERTs to InsertIntoHadoopFsRelationCommand, whose first write step is
+    // format.prepareWrite — the write-disabled format must fail there,
+    // before a single orphan parquet lands in the table dir. (The shared
+    // test session carries the extensions, so the guard is asserted at the
+    // exact entry point that command calls.)
+    val e = intercept[IllegalStateException] {
+      new GraftParquetFileFormat().prepareWrite(spark,
+        org.apache.hadoop.mapreduce.Job.getInstance(
+          spark.sessionState.newHadoopConf()),
+        Map.empty, new org.apache.spark.sql.types.StructType().add("id", "long"))
+    }
+    assert(e.getMessage.contains("GraftSparkExtensions"))
   }
 
   test("INSERT INTO a partitioned table commits through the log (with extensions)") {
