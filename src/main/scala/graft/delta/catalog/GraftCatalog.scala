@@ -42,7 +42,8 @@ import graft.delta._
   * `InsertableRelation` dispatch — the catalog adds resolution, not a
   * second execution engine.
   */
-class GraftCatalog extends DelegatingCatalogExtension {
+class GraftCatalog extends DelegatingCatalogExtension
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -210,6 +211,72 @@ class GraftCatalog extends DelegatingCatalogExtension {
     info.putObject("operationParameters")
       .put("partitionBy", partCols.mkString(","))
     txn.commit(Some(CommitInfoAction(info)))
+  }
+
+  // ---- StagingTableCatalog: CTAS / REPLACE / CREATE OR REPLACE ----------
+
+  override def stageCreate(ident: Identifier, columns: Array[V2Column],
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): org.apache.spark.sql.connector.catalog.StagedTable = {
+    // CREATE has no replacement semantics: create fully up front (log v0 +
+    // metastore), append into it, drop on abort
+    val created = createTable(ident, columns, partitions, properties)
+    created match {
+      case gt: GraftTable => new GraftStagedCreate(gt, () => dropTable(ident))
+      case other => new BestEffortStagedTable(other, () => dropTable(ident))
+    }
+  }
+
+  override def stageReplace(ident: Identifier, columns: Array[V2Column],
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String]): org.apache.spark.sql.connector.catalog.StagedTable =
+    stageReplaceInternal(ident, columns, partitions, properties, orCreate = false)
+
+  override def stageCreateOrReplace(ident: Identifier, columns: Array[V2Column],
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String]): org.apache.spark.sql.connector.catalog.StagedTable =
+    stageReplaceInternal(ident, columns, partitions, properties, orCreate = true)
+
+  private def stageReplaceInternal(ident: Identifier, columns: Array[V2Column],
+                                   partitions: Array[Transform],
+                                   properties: util.Map[String, String],
+                                   orCreate: Boolean): org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!isGraftProvider(properties)) {
+      // delegate-backed replace: non-atomic drop + create, like a
+      // non-staging session catalog would do
+      if (tableExists(ident)) dropTable(ident)
+      else if (!orCreate) throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+      return new BestEffortStagedTable(
+        super.createTable(ident, columns, partitions, properties),
+        () => dropTable(ident))
+    }
+    val existing = tableExists(ident)
+    if (!existing && !orCreate)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val declared = org.apache.spark.sql.graftbridge.CatalogBridge
+      .v2ColumnsToStructType(columns)
+    if (declared.isEmpty) throw new IllegalArgumentException(
+      "REPLACE TABLE ... USING graft-delta requires a column list or AS SELECT")
+    val partCols = partitionColumnsOf(partitions)
+    val missing = partCols.filterNot(declared.fieldNames.contains)
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"partition columns not in schema: $missing")
+    // keep the EXISTING table's location on replace (REPLACE changes
+    // contents and schema, not identity)
+    val location = graftLocationOf(ident).getOrElse(locationOf(ident, properties))
+    val config = tableConfiguration(properties)
+    TableConfig.validate(config)
+    new GraftStagedTable(location, declared, partCols, () => {
+      // metastore sync after the one-commit overwrite
+      if (tableExists(ident)) dropTable(ident)
+      val metastoreProps = new util.HashMap[String, String](properties)
+      if (!metastoreProps.containsKey(TableCatalog.PROP_LOCATION))
+        metastoreProps.put(TableCatalog.PROP_LOCATION, location)
+      metastoreProps.put(TableCatalog.PROP_EXTERNAL, "true")
+      super.createTable(ident,
+        org.apache.spark.sql.graftbridge.CatalogBridge.structTypeToV2Columns(declared),
+        partitions, metastoreProps)
+    })
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =

@@ -173,6 +173,45 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("CREATE OR REPLACE TABLE AS SELECT replaces contents and schema in one commit") {
+    val dir = tempTable("cat-replace").toString
+    withTable("cat_rep_t") {
+      spark.sql(
+        s"""CREATE TABLE cat_rep_t USING `graft-delta` LOCATION '$dir'
+           |AS SELECT id, CAST(id AS STRING) AS v FROM range(0, 20)""".stripMargin)
+      val v0 = DeltaTable.forPath(spark, dir).version
+      spark.sql(
+        s"""CREATE OR REPLACE TABLE cat_rep_t USING `graft-delta` LOCATION '$dir'
+           |AS SELECT id * 10 AS key, CAST(id AS DOUBLE) AS score FROM range(0, 5)""".stripMargin)
+      // new schema + contents, same location, ONE more commit
+      val dt = DeltaTable.forPath(spark, dir)
+      assert(dt.schema.fieldNames.toSeq == Seq("key", "score"))
+      assert(spark.table("cat_rep_t").count() == 5)
+      assert(dt.version == v0 + 1)
+      // time travel to the pre-replace table still works
+      assert(spark.read.format("graft-delta").option("versionAsOf", v0).load(dir)
+        .schema.fieldNames.toSeq == Seq("id", "v"))
+    }
+  }
+
+  test("REPLACE TABLE without AS SELECT empties the table with the new schema") {
+    val dir = tempTable("cat-replace-empty").toString
+    withTable("cat_repe_t") {
+      spark.sql(
+        s"""CREATE TABLE cat_repe_t USING `graft-delta` LOCATION '$dir'
+           |AS SELECT id FROM range(0, 9)""".stripMargin)
+      spark.sql(
+        s"""REPLACE TABLE cat_repe_t (a BIGINT, b STRING)
+           |USING `graft-delta` LOCATION '$dir'""".stripMargin)
+      assert(spark.table("cat_repe_t").count() == 0)
+      assert(DeltaTable.forPath(spark, dir).schema.fieldNames.toSeq == Seq("a", "b"))
+      // REPLACE (no OR CREATE) on a missing table is an error
+      intercept[Exception] {
+        spark.sql("REPLACE TABLE cat_rep_missing (x INT) USING `graft-delta`")
+      }
+    }
+  }
+
   test("DML (DELETE/UPDATE/MERGE) still works on catalog tables") {
     val dir = tempTable("cat-dml").toString
     withTable("cat_dml_t") {
