@@ -71,6 +71,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Benchmark-contamination detection: corpus documents whose n-gram
+    * shingle sets CONTAIN a large fraction of some benchmark document's
+    * shingles (containment = |corpus∩bench| / |bench| ≥ threshold — the
+    * published decontamination recipe: a training doc that embeds a test
+    * item scores high even when the rest of the doc dilutes Jaccard).
+    *
+    * Scale shape: the corpus is shingled ONCE and joined to the benchmark's
+    * shingle set on the shingle value. The benchmark side (test/eval
+    * suites: thousands of docs, not billions) is aggregated to a distinct
+    * (bench_id, shingle) table small enough to BROADCAST — the 100 TB
+    * corpus is never shuffled, each partition streams against the
+    * broadcast hash map, and the only shuffle is the (doc, bench) overlap
+    * count over the tiny surviving candidate set.
+    *
+    * Returns `(doc_id, bench_id, inter, bench_n)` for pairs at or above
+    * `thresholdNum/thresholdDen` (exact rational, integer-only compare). */
+  def contamination(corpus: DataFrame, corpusTextCol: String, corpusIdCol: String,
+                    benchmark: DataFrame, benchTextCol: String, benchIdCol: String,
+                    n: Int = 3,
+                    thresholdNum: Long = 4, thresholdDen: Long = 5): DataFrame = {
+    val corpusSh = shingles(corpus, corpusTextCol, corpusIdCol, n)
+      .select(col(corpusIdCol).as("doc_id"), col("shingle"))
+    val benchSh = shingles(benchmark, benchTextCol, benchIdCol, n)
+      .select(col(benchIdCol).as("bench_id"), col("shingle"))
+    val benchCounts = benchSh.groupBy("bench_id").agg(count(lit(1)).as("bench_n"))
+    val inter = corpusSh
+      .join(broadcast(benchSh), Seq("shingle"))
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("inter"))
+    inter.join(broadcast(benchCounts), "bench_id")
+      .filter(col("inter") * thresholdDen >= col("bench_n") * thresholdNum)
+      .select(col("doc_id"), col("bench_id"), col("inter"), col("bench_n"))
+  }
+
   /** MinHash signature per document: `numHashes` independent min-hashes of
     * the shingle set. The shingle string is hashed ONCE to a long; the hash
     * family is then derived by re-hashing that 8-byte long with per-function

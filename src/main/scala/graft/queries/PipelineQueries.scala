@@ -58,6 +58,20 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // benchmark contamination: corpus docs containing ≥ 60% of a benchmark
+    // doc's 3-gram shingles (benchmark = every 20th document, as an eval
+    // suite stand-in). The benchmark shingle table broadcasts; the corpus
+    // is never shuffled before the tiny candidate aggregation.
+    "q59_contamination" -> { (s, dir) =>
+      val corpus = t(s, dir, "documents").filter(col("doc_id") < 600)
+      val bench = t(s, dir, "documents")
+        .filter(col("doc_id") % 20 === 0 && col("doc_id") < 600)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      Dedup.contamination(corpus, "text", "doc_id", bench, "text", "bench_id",
+          n = 3, thresholdNum = 3, thresholdDen = 5)
+        .orderBy("doc_id", "bench_id")
+    },
+
     // duplicate-family clustering: Jaccard pairs → connected components
     // (min-label propagation, one shuffle-join per hop). Oracle = DuckDB
     // recursive transitive closure over the identical pair set.
@@ -237,6 +251,20 @@ object PipelineQueries {
     "q24_dedup_jaccard" -> jaccardOracle.format(" WHERE doc_id < 300"),
 
     "q25_minhash_lsh" -> jaccardOracle.format(""),
+
+    "q59_contamination" ->
+      """WITH c AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |           FROM documents WHERE doc_id < 600),
+        |csh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |        FROM c, UNNEST(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
+        |bsh AS (SELECT doc_id AS bench_id, s FROM csh WHERE bench_id % 20 = 0),
+        |bn AS (SELECT bench_id, count(*) AS bench_n FROM bsh GROUP BY bench_id),
+        |inter AS (SELECT c.doc_id, b.bench_id, count(*) AS inter
+        |          FROM csh c JOIN bsh b ON c.s = b.s GROUP BY 1, 2)
+        |SELECT i.doc_id, i.bench_id, i.inter, bn.bench_n
+        |FROM inter i JOIN bn ON bn.bench_id = i.bench_id
+        |WHERE i.inter * 5 >= bn.bench_n * 3
+        |ORDER BY i.doc_id, i.bench_id""".stripMargin,
 
     "q54_stratified" ->
       """SELECT doc_id, lang FROM (

@@ -60,6 +60,30 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(capped.count() == 0)
   }
 
+  test("contamination flags corpus docs containing a benchmark doc's shingles") {
+    // corpus doc 10 EMBEDS the benchmark item verbatim inside extra text
+    // (high containment, low Jaccard — the case plain near-dup dedup misses);
+    // doc 11 shares nothing; doc 12 is the benchmark item itself
+    val bench = Seq((100L, "what is the capital of france paris is the capital"))
+      .toDF("bench_id", "text")
+    val corpus = docs(
+      10L -> ("intro text before the quiz section " +
+        "what is the capital of france paris is the capital " +
+        "and then a very long discussion follows with many extra words"),
+      11L -> "unrelated training text about completely different topics entirely",
+      12L -> "what is the capital of france paris is the capital")
+    val hits = Dedup.contamination(corpus, "text", "doc_id",
+        bench, "text", "bench_id", n = 3, thresholdNum = 4, thresholdDen = 5)
+      .select("doc_id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(hits == Set((10L, 100L), (12L, 100L)))
+    // Jaccard at the same bar would MISS the embedded case: doc 10's extra
+    // text dilutes the union
+    val jac = Dedup.jaccardPairs(
+      Dedup.shingles(corpus.union(bench.toDF("doc_id", "text")), "text", "doc_id"),
+      "doc_id", 4, 5).as[(Long, Long)].collect().toSet
+    assert(!jac.contains((10L, 100L)) && !jac.contains((100L, 10L)))
+  }
+
   test("minhash LSH pairs match brute-force jaccard on planted dups") {
     val lsh = Dedup.minhashLshPairs(corpus, "text", "doc_id", 1, 2)
       .as[(Long, Long)].collect().toSet
