@@ -133,6 +133,13 @@ object PipelineQueries {
         queryId = 0, k = 10)
     },
 
+    // int8 scalar quantization + quantized brute-force top-10: 4× smaller
+    // scan, exact-integer ranking; oracle replicates the max-abs scheme.
+    "q60_quantized_ann" -> { (s, dir) =>
+      Quantize.quantizedTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0, k = 10)
+    },
+
     // IVF ANN: probe the 2 nearest label-clusters, exact-search within.
     "q30_ann_ivf" -> { (s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", "label",
@@ -314,6 +321,22 @@ object PipelineQueries {
         |     * CAST(round(CAST(qe[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS dot_q
         |FROM embeddings, q
         |ORDER BY dot_q DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q60_quantized_ann" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN mx IS NULL OR mx = 0 THEN 1.0 ELSE 127.0 / mx END AS sc
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |        FROM embeddings)),
+        |q AS (SELECT vec_id, list_transform(range(1, len(embedding) + 1),
+        |        i -> CAST(round(CAST(embedding[i] AS DOUBLE) * sc) AS BIGINT)) AS q8
+        |      FROM s),
+        |qq AS (SELECT q8 AS query_q8 FROM q WHERE vec_id = 0)
+        |SELECT vec_id, CAST(list_sum(list_transform(range(1, len(q8) + 1),
+        |  i -> q8[i] * query_q8[i])) AS BIGINT) AS dot_q8
+        |FROM q, qq
+        |ORDER BY dot_q8 DESC, vec_id LIMIT 10""".stripMargin,
 
     "q31_events_window" ->
       s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
