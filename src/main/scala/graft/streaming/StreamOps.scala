@@ -47,6 +47,19 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("n")): _*)
 
+  /** Streaming exact dedup: keeps the FIRST event per key across
+    * micro-batches, with state bounded by the watermark — the only shape
+    * that survives an unbounded stream (an unbounded seen-keys set would
+    * eventually evict or OOM; here a key's state expires once the
+    * watermark passes it, so a duplicate arriving later than
+    * `watermarkDelay` is the documented trade, not a crash).
+    * `dropDuplicatesWithinWatermark` is Spark's native operator for
+    * exactly this; the wrapper fixes the watermark-column pairing. */
+  def streamingDedup(df: DataFrame, tsCol: String, watermarkDelay: String,
+                     keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Custom keyed running state via `mapGroupsWithState`: maintains a
     * per-key (count, sum) accumulator across micro-batches and emits the
     * running value each batch — the template for bespoke state the built-in

@@ -62,6 +62,31 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingDedup drops cross-batch duplicates, state bounded by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val deduped = StreamOps.streamingDedup(
+      mem.toDF().toDF("ts", "key", "v"),
+      tsCol = "ts", watermarkDelay = "10 minutes", keys = Seq("key"))
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 00:00:00"), "k1", 1.0),
+        (ts("2024-01-01 00:00:10"), "k1", 2.0), // same-batch dup
+        (ts("2024-01-01 00:00:20"), "k2", 3.0))
+      q.processAllAvailable()
+      mem.addData(
+        (ts("2024-01-01 00:01:00"), "k1", 4.0), // cross-batch dup (inside watermark)
+        (ts("2024-01-01 00:02:00"), "k3", 5.0))
+      q.processAllAvailable()
+      val keys = spark.table("sdedup").select("key", "v")
+        .as[(String, Double)].collect().toSeq.sorted
+      // first occurrence per key survives; both dups of k1 dropped
+      assert(keys == Seq(("k1", 1.0), ("k2", 3.0), ("k3", 5.0)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-key state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Double)]
