@@ -1,0 +1,69 @@
+package graft.delta
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions.{col, lit}
+
+/** `SELECT * FROM graft_changes('/path', startVersion[, endVersion])` — the
+  * batch incremental feed: rows ADDED in commits `(start, end]` with
+  * `dataChange = true`, plus a `_commit_version` column. The batch analog
+  * of the streaming source's version offsets (same commit-boundary
+  * alignment, same `dataChange=false` invisibility for compactions), for
+  * catch-up jobs that process a table's tail without a streaming runtime —
+  * "give me everything since the version I checkpointed last night".
+  *
+  * Scale shape: only the NEW files of the requested version range are
+  * scanned — a day's increment of a 100 TB table reads the day's files,
+  * never the table. Copy-on-write rewrites (DELETE/UPDATE/MERGE) surface
+  * their rewritten files, which is the protocol-faithful file-level feed;
+  * row-level before/after images are a CDC extension the reference's
+  * protocol version does not carry. */
+object GraftChangesFunction {
+
+  private def build(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size >= 2 && exprs.size <= 3 && exprs.forall(_.foldable),
+      "graft_changes expects (path, startVersion[, endVersion]) constant arguments")
+    val path = String.valueOf(exprs.head.eval(null))
+    val startV = String.valueOf(exprs(1).eval(null)).toLong
+    val spark = SparkSession.active
+    val log = DeltaLog.forPath(spark, path)
+    val latest = log.update().version
+    if (latest < 0) throw new NotATableException(path)
+    val endV = exprs.lift(2).map(e => String.valueOf(e.eval(null)).toLong)
+      .getOrElse(latest)
+    require(startV <= endV && endV <= latest,
+      s"invalid version range ($startV, $endV] for table at version $latest")
+    val schema = log.snapshotForVersion(endV).schema
+
+    val perVersion = log.listCommitVersions()
+      .filter(v => v > startV && v <= endV)
+      .flatMap { v =>
+        val adds = log.readCommit(v).collect {
+          case a: AddAction if a.dataChange => a
+        }
+        if (adds.isEmpty) None
+        else Some(spark.read
+          .option("basePath", log.tablePath.toString)
+          .schema(schema)
+          .parquet(adds.map(a =>
+            new org.apache.hadoop.fs.Path(log.tablePath, a.path).toString): _*)
+          .select((schema.fieldNames.map(col) :+
+            lit(v).as("_commit_version")): _*))
+      }
+    val out = perVersion match {
+      case Seq() =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schema.add("_commit_version", "long", nullable = false))
+      case head +: tail => tail.foldLeft(head)(_ unionAll _)
+    }
+    out.queryExecution.analyzed
+  }
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("graft_changes"),
+      new ExpressionInfo(getClass.getName, "graft_changes"),
+      build)
+}

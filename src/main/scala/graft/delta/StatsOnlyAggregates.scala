@@ -117,5 +117,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectHintResolutionRule(session => new GraftSqlDml(session))
     extensions.injectTableFunction(GraftHistoryFunction.descriptor)
     extensions.injectTableFunction(GraftDetailFunction.descriptor)
+    extensions.injectTableFunction(GraftChangesFunction.descriptor)
   }
 }

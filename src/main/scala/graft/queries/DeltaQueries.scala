@@ -240,6 +240,29 @@ object DeltaQueries {
       out
     },
 
+    // Batch incremental feed: rows added in (v0, latest] via the
+    // graft_changes TVF — the catch-up-job shape (process the tail since a
+    // checkpointed version, never rescan the table). The OPTIMIZE after the
+    // appends proves dataChange=false compactions stay invisible.
+    "q61_changes" -> { (s, dir) =>
+      val t = freshDir("changes")
+      val d = li(s, dir)
+      GraftWriter.write(d.filter(col("l_orderkey") < 500), t) // v0: the "base"
+      GraftWriter.write(
+        d.filter(col("l_orderkey") >= 500 && col("l_orderkey") < 1000), t,
+        SaveMode.Append) // v1
+      GraftWriter.write(
+        d.filter(col("l_orderkey") >= 1000 && col("l_orderkey") < 1500), t,
+        SaveMode.Append) // v2
+      Optimize.compact(s, t) // v3: dataChange=false, must not appear
+      s.sql(
+        s"""SELECT l_orderkey, l_linenumber,
+           |CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS qty,
+           |l_returnflag, _commit_version
+           |FROM graft_changes('$t', 0)
+           |ORDER BY l_orderkey, l_linenumber, qty, l_returnflag""".stripMargin)
+    },
+
     // SQL over a Delta table (the reference's delegated-SQL surface,
     // rust/tests/datafusion_test.rs:12-33: register table → run SQL):
     // register the snapshot as a temp view and run an aggregation in
@@ -423,6 +446,14 @@ object DeltaQueries {
         |l_returnflag AS flag, COALESCE(bonus, -1) AS bonus
         |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ovw)
         |ORDER BY l_orderkey, l_linenumber, qty, flag, bonus""".stripMargin,
+    "q61_changes" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS qty,
+        |l_returnflag,
+        |CAST(CASE WHEN l_orderkey < 1000 THEN 1 ELSE 2 END AS BIGINT) AS _commit_version
+        |FROM lineitem WHERE l_orderkey >= 500 AND l_orderkey < 1500
+        |ORDER BY l_orderkey, l_linenumber, qty, l_returnflag""".stripMargin,
+
     "q47_delta_merge" ->
       """SELECT * FROM (
         |  SELECT l.l_orderkey, l.l_linenumber,

@@ -67,6 +67,32 @@ class SqlTimeTravelSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[String]("schema_json").contains("\"id\""))
   }
 
+  test("graft_changes returns rows per version range; compactions invisible") {
+    val dir = tempTable("sql-changes").toString
+    GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir)                    // v0
+    GraftWriter.write(Seq((2L, "b"), (3L, "c")).toDF("id", "v"), dir,
+      SaveMode.Append)                                                        // v1
+    GraftWriter.write(Seq((4L, "d")).toDF("id", "v"), dir, SaveMode.Append)  // v2
+    Optimize.compact(spark, dir)                                              // v3 dataChange=false
+
+    def changes(sql: String): Seq[(Long, Long)] =
+      ext.sql(sql).select("id", "_commit_version")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+    // full tail since v0: versions 1..3, compaction invisible
+    assert(changes(s"SELECT * FROM graft_changes('$dir', 0)") ==
+      Seq((2L, 1L), (3L, 1L), (4L, 2L)))
+    // bounded range (0, 1]
+    assert(changes(s"SELECT * FROM graft_changes('$dir', 0, 1)") ==
+      Seq((2L, 1L), (3L, 1L)))
+    // empty range is an empty, correctly-typed result
+    val empty = ext.sql(s"SELECT * FROM graft_changes('$dir', 3)")
+    assert(empty.count() == 0)
+    assert(empty.schema.fieldNames.toSeq == Seq("id", "v", "_commit_version"))
+    // out-of-range end fails fast
+    intercept[Exception] { ext.sql(s"SELECT * FROM graft_changes('$dir', 0, 99)").collect() }
+  }
+
   test("non-graft tables keep Spark's unsupported time-travel error") {
     val dir = tempTable("sql-tt-plain").toString
     Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(dir)
