@@ -225,6 +225,34 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("self-join, views and caching work over the converted v2 relation") {
+    val dir = tempTable("cat-edge").toString
+    withTable("cat_edge_t") {
+      spark.sql(
+        s"""CREATE TABLE cat_edge_t USING `graft-delta` LOCATION '$dir'
+           |AS SELECT id, id % 5 AS grp FROM range(0, 50)""".stripMargin)
+      // self-join: each side resolves to its own relation instance with
+      // distinct exprIds
+      val selfJoin = spark.sql(
+        """SELECT a.id FROM cat_edge_t a JOIN cat_edge_t b
+          |ON a.id = b.id + 1""".stripMargin)
+      assert(selfJoin.count() == 49)
+      // view over the catalog table
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW cat_edge_v AS " +
+        "SELECT grp, count(*) AS n FROM cat_edge_t GROUP BY grp")
+      assert(spark.sql("SELECT count(*) FROM cat_edge_v").head.getLong(0) == 5)
+      // caching the converted plan
+      val df = spark.table("cat_edge_t").filter(col("grp") === 1)
+      df.cache()
+      try {
+        assert(df.count() == 10)
+        assert(df.count() == 10)
+      } finally df.unpersist()
+      // aggregate pushes through the conversion (stats rewrite or scan)
+      assert(spark.sql("SELECT max(id) FROM cat_edge_t").head.getLong(0) == 49)
+    }
+  }
+
   test("non-graft providers pass through the delegate untouched") {
     val dir = tempTable("cat-parquet").toString
     withTable("cat_pq_t") {
