@@ -33,7 +33,30 @@ final class GraftTable(
     val location: String,
     tableSchema: StructType,
     val partitionColumns: Seq[String],
-    val options: Map[String, String]) extends Table with SupportsWrite {
+    val options: Map[String, String]) extends Table with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** SQL `TRUNCATE TABLE`: one commit removing every live file — schema,
+    * partitioning and history stay (time travel to pre-truncate works). */
+  override def truncateTable(): Boolean = {
+    val spark = SparkSession.active
+    val log = DeltaLog.forPath(spark, location)
+    val snap = log.update()
+    if (snap.version < 0) throw new IllegalStateException(
+      s"no graft-delta table at $location")
+    val txn = log.startTransaction()
+    val now = System.currentTimeMillis()
+    snap.files.foreach(f => txn.addAction(graft.delta.RemoveAction(
+      path = f.path, deletionTimestamp = now, dataChange = true,
+      extendedFileMetadata = Some(true),
+      partitionValues = Some(f.partitionValues), size = Some(f.size))))
+    val info = graft.delta.ActionCodec.mapper.createObjectNode()
+    info.put("timestamp", now)
+    info.put("operation", "TRUNCATE")
+    val version = txn.commit(Some(graft.delta.CommitInfoAction(info)))
+    log.maybeCheckpoint(version)
+    true
+  }
 
   override def name(): String = s"graft-delta.`$location`"
 

@@ -225,6 +225,24 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("TRUNCATE TABLE is one commit; history and schema survive") {
+    val dir = tempTable("cat-truncate").toString
+    withTable("cat_trunc_t") {
+      spark.sql(
+        s"""CREATE TABLE cat_trunc_t USING `graft-delta` LOCATION '$dir'
+           |AS SELECT id, CAST(id AS STRING) AS v FROM range(0, 30)""".stripMargin)
+      val before = DeltaTable.forPath(spark, dir).version
+      spark.sql("TRUNCATE TABLE cat_trunc_t")
+      assert(spark.table("cat_trunc_t").count() == 0)
+      val dt = DeltaTable.forPath(spark, dir)
+      assert(dt.version == before + 1) // exactly one commit
+      assert(dt.schema.fieldNames.toSeq == Seq("id", "v"))
+      assert(DeltaTable.forPath(spark, dir, before).toDF.count() == 30) // time travel
+      spark.sql("INSERT INTO cat_trunc_t VALUES (99, 'x')") // still writable
+      assert(spark.table("cat_trunc_t").count() == 1)
+    }
+  }
+
   test("self-join, views and caching work over the converted v2 relation") {
     val dir = tempTable("cat-edge").toString
     withTable("cat_edge_t") {
