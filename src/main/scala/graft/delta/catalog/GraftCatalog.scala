@@ -131,9 +131,17 @@ class GraftCatalog extends DelegatingCatalogExtension
 
   override def createTable(ident: Identifier, columns: Array[V2Column],
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table = {
+                           properties: util.Map[String, String]): Table =
+    createTableTracked(ident, columns, partitions, properties)._1
+
+  /** Like createTable, also reporting whether THIS call initialized the
+    * delta log (vs adopting an existing one) — stageCreate's abort must
+    * roll back a log it created, and only that. */
+  private def createTableTracked(ident: Identifier, columns: Array[V2Column],
+                                 partitions: Array[Transform],
+                                 properties: util.Map[String, String]): (Table, Boolean) = {
     if (!isGraftProvider(properties))
-      return super.createTable(ident, columns, partitions, properties)
+      return (super.createTable(ident, columns, partitions, properties), false)
 
     val declared = org.apache.spark.sql.graftbridge.CatalogBridge
       .v2ColumnsToStructType(columns)
@@ -144,6 +152,7 @@ class GraftCatalog extends DelegatingCatalogExtension
 
     val log = DeltaLog.forPath(spark, location)
     val snap = log.update()
+    val freshlyInitialized = snap.version < 0
     val resolvedSchema: StructType =
       if (snap.version >= 0) {
         // location already holds a Delta table: ADOPT it (open-table
@@ -181,11 +190,11 @@ class GraftCatalog extends DelegatingCatalogExtension
 
     // the returned table is what CTAS writes into — it funnels the v2
     // append back into the transactional v1 writer
-    new GraftTable(location, resolvedSchema,
+    (new GraftTable(location, resolvedSchema,
       if (partCols.nonEmpty) partCols else {
         val s = log.update(); if (s.version >= 0) s.partitionColumns else Nil
       },
-      Map("path" -> location))
+      Map("path" -> location)), freshlyInitialized)
   }
 
   /** Version-0 commit of an empty table: protocol + metadata, no files —
@@ -220,9 +229,23 @@ class GraftCatalog extends DelegatingCatalogExtension
                            properties: util.Map[String, String]): org.apache.spark.sql.connector.catalog.StagedTable = {
     // CREATE has no replacement semantics: create fully up front (log v0 +
     // metastore), append into it, drop on abort
-    val created = createTable(ident, columns, partitions, properties)
+    val (created, freshLog) = createTableTracked(ident, columns, partitions, properties)
     created match {
-      case gt: GraftTable => new GraftStagedCreate(gt, () => dropTable(ident))
+      case gt: GraftTable =>
+        new GraftStagedCreate(gt, () => {
+          dropTable(ident)
+          // roll back a log THIS create initialized, but never one that has
+          // accrued commits since — the location must be reusable after a
+          // failed CTAS, with any schema
+          if (freshLog) {
+            val log = DeltaLog.forPath(spark, gt.location)
+            if (log.update().version == 0) {
+              val logDir = new org.apache.hadoop.fs.Path(log.tablePath, "_delta_log")
+              logDir.getFileSystem(spark.sessionState.newHadoopConf())
+                .delete(logDir, true)
+            }
+          }
+        })
       case other => new BestEffortStagedTable(other, () => dropTable(ident))
     }
   }

@@ -271,6 +271,25 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("failed CTAS aborts: no metastore entry survives") {
+    val dir = tempTable("cat-ctas-fail").toString
+    withTable("cat_fail_t") {
+      intercept[Exception] {
+        spark.sql(
+          s"""CREATE TABLE cat_fail_t USING `graft-delta` LOCATION '$dir'
+             |AS SELECT id, CAST(1 AS INT) / CAST(id - id AS INT) AS boom
+             |FROM range(0, 10)""".stripMargin) // ANSI division by zero
+      }
+      // the staged create was aborted: the name must be free again
+      assert(!spark.catalog.tableExists("cat_fail_t"))
+      // and reusable
+      spark.sql(
+        s"""CREATE TABLE cat_fail_t USING `graft-delta` LOCATION '$dir'
+           |AS SELECT id FROM range(0, 3)""".stripMargin)
+      assert(spark.table("cat_fail_t").count() == 3)
+    }
+  }
+
   test("non-graft providers pass through the delegate untouched") {
     val dir = tempTable("cat-parquet").toString
     withTable("cat_pq_t") {
