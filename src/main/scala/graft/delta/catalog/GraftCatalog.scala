@@ -89,7 +89,10 @@ class GraftCatalog extends DelegatingCatalogExtension
                          extraOptions: Map[String, String] = Map.empty): GraftTable = {
     val snap = DeltaLog.forPath(spark, location).update()
     if (snap.version < 0) throw new NotATableException(location)
-    new GraftTable(location, snap.schema, snap.partitionColumns,
+    // StreamableGraftTable adds the V2TableWithV1Fallback hook so
+    // readStream.table("name") resolves to the V1 streaming source
+    new org.apache.spark.sql.graftbridge.StreamableGraftTable(
+      location, snap.schema, snap.partitionColumns,
       Map("path" -> location) ++ extraOptions)
   }
 

@@ -29,7 +29,7 @@ import graft.delta.{DeltaLog, GraftDeltaInserts}
   * materialized query to [[GraftDeltaInserts.commitInsert]]: stage parquet,
   * ONE transactional remove+add commit, identical semantics to the V1
   * `INSERT` path. */
-final class GraftTable(
+class GraftTable(
     val location: String,
     tableSchema: StructType,
     val partitionColumns: Seq[String],

@@ -52,3 +52,28 @@ object CatalogBridge {
       schema: org.apache.spark.sql.types.StructType): Array[org.apache.spark.sql.connector.catalog.Column] =
     org.apache.spark.sql.connector.catalog.CatalogV2Util.structTypeToV2Columns(schema)
 }
+
+/** [[graft.delta.catalog.GraftTable]] + the `V2TableWithV1Fallback` hook
+  * (`private[sql]`, hence this namespace): `spark.readStream.table("name")`
+  * resolves the v1 metadata to a `StreamingRelation` over the graft-delta
+  * V1 streaming source — catalog names work for streams, not just paths. */
+final class StreamableGraftTable(
+    location: String,
+    tableSchema: org.apache.spark.sql.types.StructType,
+    partitionColumns: Seq[String],
+    options: Map[String, String])
+  extends graft.delta.catalog.GraftTable(location, tableSchema, partitionColumns, options)
+  with org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback {
+
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable =
+    org.apache.spark.sql.catalyst.catalog.CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        location, Some("graft-delta")),
+      tableType = org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+      storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat.empty.copy(
+        locationUri = Some(new java.net.URI(location)),
+        properties = options),
+      schema = tableSchema,
+      provider = Some("graft-delta"),
+      partitionColumnNames = partitionColumns)
+}

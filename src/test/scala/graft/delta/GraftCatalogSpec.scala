@@ -271,6 +271,27 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("readStream.table on a catalog graft table tails the log") {
+    val dir = tempTable("cat-rstream").toString
+    val ckpt = tempTable("cat-rstream-ckpt").toString
+    withTable("cat_stream_t") {
+      spark.sql(
+        s"""CREATE TABLE cat_stream_t USING `graft-delta` LOCATION '$dir'
+           |AS SELECT id, CAST(id AS STRING) AS v FROM range(0, 3)""".stripMargin)
+      val q = spark.readStream.table("cat_stream_t")
+        .writeStream.format("memory").queryName("cat_stream_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("cat_stream_out").count() == 3)
+        spark.sql("INSERT INTO cat_stream_t VALUES (9, 'x')")
+        q.processAllAvailable()
+        assert(spark.table("cat_stream_out").count() == 4) // tails new commits
+      } finally q.stop()
+    }
+  }
+
   test("failed CTAS aborts: no metastore entry survives") {
     val dir = tempTable("cat-ctas-fail").toString
     withTable("cat_fail_t") {
