@@ -42,6 +42,30 @@ object TextAnalysis {
       expr("(n_tokens - n_distinct) * 1000000 div n_tokens").as("repetition_micro"),
       expr("total_chars * 1000000 div n_tokens").as("mean_token_len_micro"))
 
+  /** PII redaction: emails, IPv4 addresses and phone numbers replaced with
+    * typed placeholders, plus per-document match counts (the audit trail a
+    * curation pipeline logs). Patterns stay in the Java-regex/RE2 common
+    * subset (character classes, bounded repetition — no lookaround), so
+    * behavior is identical across engines and the oracle can replicate
+    * redaction byte-for-byte. Order matters and is fixed: emails first
+    * (their domains must not half-match as hosts), then IPs, then phones.
+    * Pure per-row codegen'd `regexp_replace` — one pass, zero shuffle. */
+  private[ops] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[ops] val IpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  private[ops] val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  def redactPii(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          IpRe, "<IP>"),
+        PhoneRe, "<PHONE>").as("redacted"),
+      regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(IpRe)).cast("long").as("n_ips"),
+      regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phones"))
+
   /** N-gram-profile language ID: score each candidate language by marker
     * token hits; predict the argmax (ties broken lexicographically).
     * The profiles are deliberately tiny — the operator's value is its plan

@@ -133,6 +133,20 @@ object PipelineQueries {
         queryId = 0, k = 10)
     },
 
+    // PII redaction over synthesized pii-bearing text (both engines build
+    // the identical string, so redaction compares byte-for-byte).
+    "q62_pii_redact" -> { (s, dir) =>
+      val synth = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          lit("reach user"), col("doc_id").cast("string"),
+          lit("@example.com or 415-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".7 today")).as("text"))
+      TextAnalysis.redactPii(synth, "text", "doc_id").orderBy("doc_id")
+    },
+
     // int8 scalar quantization + quantized brute-force top-10: 4× smaller
     // scan, exact-integer ranking; oracle replicates the max-abs scheme.
     "q60_quantized_ann" -> { (s, dir) =>
@@ -321,6 +335,26 @@ object PipelineQueries {
         |     * CAST(round(CAST(qe[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS dot_q
         |FROM embeddings, q
         |ORDER BY dot_q DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q62_pii_redact" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    'reach user' || CAST(doc_id AS VARCHAR) || '@example.com or 415-555-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 today' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones
+        |FROM synth ORDER BY doc_id""".stripMargin,
 
     "q60_quantized_ann" ->
       """WITH s AS (

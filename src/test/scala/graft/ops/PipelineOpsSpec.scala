@@ -242,6 +242,19 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     (1L, "the cat and the hat"),
     (2L, "unique words only here")).toDF("doc_id", "text")
 
+  test("redactPii replaces emails, ips, phones with typed placeholders + counts") {
+    val rows = Seq(
+      (1L, "write to alice.smith+x@sub.example.co.uk or 192.168.1.200 now"),
+      (2L, "call 415-555-1234 and 650-555-0000 twice"),
+      (3L, "clean text with no pii at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(rows, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == (("write to <EMAIL> or <IP> now", 1L, 1L, 0L)))
+    assert(out(2L) == (("call <PHONE> and <PHONE> twice", 0L, 0L, 2L)))
+    assert(out(3L) == (("clean text with no pii at all", 0L, 0L, 0L)))
+  }
+
   test("tokenStats counts tokens, distincts, chars") {
     val m = TextAnalysis.tokenStats(docs, "text", "doc_id")
       .as[(Long, Long, Long, Long, Long)].collect()
