@@ -48,6 +48,13 @@ object Clone {
     val md = srcSnap.metadata.getOrElse(
       throw new IllegalStateException(s"source $sourcePath has no metadata"))
     txn.addAction(md.copy(id = UUID.randomUUID().toString, createdTime = Some(now)))
+    // DV pointers are table-relative and would dangle from the clone's root;
+    // cloning a DV-carrying snapshot requires compacting first (OPTIMIZE
+    // folds the vectors into rewritten files)
+    if (DeletionVectors.anyDv(srcSnap.files))
+      throw new IllegalStateException(
+        s"cannot shallow-clone $sourcePath: snapshot carries deletion " +
+        "vectors; run OPTIMIZE (compaction purges them) and retry")
     srcSnap.files.foreach { a =>
       // absolute sources stay absolute; relative ones qualify against the
       // source root

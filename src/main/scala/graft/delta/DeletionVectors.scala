@@ -1,0 +1,181 @@
+package graft.delta
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deletion vectors: merge-on-read DELETE/UPDATE.
+  *
+  * Copy-on-write DML (see [[Dml]]) rewrites every file that contains one
+  * matching row — at 100 TB a point delete can rewrite gigabytes to remove
+  * kilobytes. With deletion vectors the matched row POSITIONS are written to
+  * a small side file and the data file is re-committed unchanged with a
+  * pointer to it; scans subtract the positions at read time. This is the
+  * scale path for selective deletes; compaction ([[Optimize]]) later folds
+  * the vectors back into rewritten files.
+  *
+  * The reference (delta-rs v0.4.1) predates deletion vectors entirely; the
+  * protocol shape here is a graft extension carried in the Add action's
+  * `tags` field (`rust/src/action.rs:183-185`, a free-form map that
+  * checkpoint round-trips preserve):
+  *
+  *  - `tags["graft.dv.path"]`  — table-relative path of a parquet DIRECTORY
+  *    holding (path: string, pos: long) rows: `path` is the data file's
+  *    table-relative path, `pos` the 0-based row index within that file;
+  *  - `tags["graft.dv.cardinality"]` — how many of the directory's rows
+  *    target THIS file (so logical row counts need no DV read).
+  *
+  * DV directories live under `_graft_dv/` — hidden from vacuum by the
+  * underscore rule. A file's DV always carries the COMPLETE deleted-position
+  * set for that file (re-deletes union the old positions in), so a scan
+  * needs only the newest Add's pointer. Foreign Delta readers do not know
+  * this extension and would see deleted rows; tables stay interop-readable
+  * the moment OPTIMIZE purges the vectors.
+  *
+  * Read integration is one plan rewrite ([[ApplyDeletionVectors]]): any
+  * `LogicalRelation` over a [[GraftFileIndex]] whose files carry DVs gains a
+  * left-anti join against the DV rows on
+  * `(_metadata.file_path suffix, _metadata.row_index)`. Filters still reach
+  * the parquet scan (the rewrite runs at resolution time, before optimizer
+  * pushdown), and file-level pruning is untouched — per-file min/max remain
+  * valid BOUNDS when rows are deleted, so stats skipping stays sound, while
+  * exact stats answers are fenced off in [[TableStatistics]].
+  */
+object DeletionVectors {
+
+  val PathTag = "graft.dv.path"
+  val CardTag = "graft.dv.cardinality"
+  val Dir = "_graft_dv"
+
+  /** Columns appended by [[scanWithPos]]. */
+  val PathCol = "__graft_dv_file"
+  val PosCol = "__graft_dv_pos"
+
+  /** Marks a LogicalRelation whose DV filtering is already applied (or
+    * deliberately bypassed), so [[ApplyDeletionVectors]] leaves it alone. */
+  private[delta] val AppliedTag = TreeNodeTag[Boolean]("graft.dv.applied")
+
+  val dvSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+
+  def dvPath(a: AddAction): Option[String] = a.tags.flatMap(_.get(PathTag))
+  def cardinality(a: AddAction): Long =
+    a.tags.flatMap(_.get(CardTag)).map(_.toLong).getOrElse(0L)
+  def hasDv(a: AddAction): Boolean = dvPath(a).isDefined
+  def anyDv(files: Seq[AddAction]): Boolean = files.exists(hasDv)
+
+  /** `<table-dir-abs-path>/` — the prefix stripped from
+    * `_metadata.file_path` to recover the table-relative file path. */
+  private[delta] def tableDirPrefix(log: DeltaLog): String =
+    log.tablePath.toUri.getPath.stripSuffix("/") + "/"
+
+  /** All DV rows referenced by `files`, restricted to those files' paths
+    * (a DV directory may be shared by many files and may carry superseded
+    * entries for files whose newer Add points elsewhere). */
+  def dvDf(spark: SparkSession, log: DeltaLog,
+           files: Seq[AddAction]): Option[DataFrame] = {
+    val withDv = files.filter(hasDv)
+    if (withDv.isEmpty) return None
+    val dirs = withDv.flatMap(dvPath).distinct
+      .map(rel => new Path(log.tablePath, rel).toString)
+    val paths = withDv.map(_.path)
+    Some(spark.read.schema(dvSchema).parquet(dirs: _*)
+      .filter(col("path").isin(paths: _*)))
+  }
+
+  /** Scan `files` with existing DVs applied AND per-row provenance exposed:
+    * output = table columns ++ (PathCol: table-relative file path,
+    * PosCol: row index). This is the substrate DV-writing DML reads — the
+    * positions it selects are exactly the coordinates a future scan's
+    * anti-join will subtract. */
+  def scanWithPos(spark: SparkSession, log: DeltaLog, snap: Snapshot,
+                  files: Seq[AddAction]): DataFrame = {
+    val index = new GraftFileIndex(spark, log, snap, Some(files))
+    val rel = HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
+      None, new ParquetFileFormat(), Map.empty)(spark)
+    val wm = LogicalRelation(rel).withMetadataColumns()
+    wm.setTagValue(AppliedTag, true)
+    val df = org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, wm)
+    val prefix = tableDirPrefix(log)
+    val withCols = df
+      .withColumn(PathCol, substring_index(col("_metadata.file_path"), prefix, -1))
+      .withColumn(PosCol, col("_metadata.row_index"))
+    val filtered = dvDf(spark, log, files) match {
+      case Some(dv) =>
+        withCols.join(dv,
+          withCols(PathCol) === dv("path") && withCols(PosCol) === dv("pos"),
+          "left_anti")
+      case None => withCols
+    }
+    filtered.select(
+      (snap.schema.fieldNames.map(col).toSeq :+ col(PathCol) :+ col(PosCol)): _*)
+  }
+
+  /** DataFrame-level DV filter for internal scans that build their own
+    * relation (DML rewrite subsets, OPTIMIZE) — `df` must be the direct
+    * scan of `files` with the table's columns; returns it with deleted rows
+    * subtracted. The relation inside `df` should be tagged [[AppliedTag]]
+    * by the caller when the session runs [[ApplyDeletionVectors]]. */
+  def filterDeleted(spark: SparkSession, log: DeltaLog, snap: Snapshot,
+                    files: Seq[AddAction], df: DataFrame): DataFrame =
+    dvDf(spark, log, files) match {
+      case None => df
+      case Some(dv) =>
+        val prefix = tableDirPrefix(log)
+        val f = substring_index(col("_metadata.file_path"), prefix, -1)
+        df.join(dv, f === dv("path") && col("_metadata.row_index") === dv("pos"),
+            "left_anti")
+          .select(df.columns.map(col).toSeq: _*)
+    }
+}
+
+/** Resolution rule: rewrite every read of a DV-carrying graft scan into the
+  * anti-join described on [[DeletionVectors]]. Runs during analysis so the
+  * optimizer afterwards pushes data filters through the join's left side
+  * into the parquet scan as usual. Write-target relations (INSERT INTO)
+  * are skipped — their round-trip through [[GraftDeltaInserts]] must see
+  * the raw relation. */
+final class ApplyDeletionVectors(session: SparkSession) extends Rule[LogicalPlan] {
+  import DeletionVectors._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val writeTargets = plan.collect {
+      case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement => i.table
+      case w: org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand => w.table
+    }
+    plan.resolveOperatorsDown {
+      case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
+          if fs.location.isInstanceOf[GraftFileIndex] &&
+             lr.getTagValue(AppliedTag).isEmpty &&
+             !writeTargets.exists(_ eq lr) =>
+        val index = fs.location.asInstanceOf[GraftFileIndex]
+        val files = index.statsFiles
+        if (!anyDv(files)) {
+          // cheap common case: tag so repeat fixpoint visits skip the scan
+          lr.setTagValue(AppliedTag, true)
+          lr
+        } else rewrite(lr, index, files)
+    }
+  }
+
+  private def rewrite(lr: LogicalRelation, index: GraftFileIndex,
+                      files: Seq[AddAction]): LogicalPlan = {
+    val wm = lr.withMetadataColumns()
+    wm.setTagValue(AppliedTag, true)
+    val df = org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(session, wm)
+    val dv = dvDf(session, index.log, files).get
+    val prefix = tableDirPrefix(index.log)
+    val joined = df.join(dv,
+      substring_index(col("_metadata.file_path"), prefix, -1) === dv("path") &&
+        col("_metadata.row_index") === dv("pos"),
+      "left_anti")
+    Project(lr.output, joined.queryExecution.analyzed)
+  }
+}

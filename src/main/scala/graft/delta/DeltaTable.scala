@@ -57,6 +57,7 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
   private def scanWithIndex(index: GraftFileIndex): DataFrame = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    import org.apache.spark.sql.functions.col
     lastIndexVar = Some(index)
     val relation = HadoopFsRelation(
       location = index,
@@ -69,10 +70,23 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     // CBO/planStats) — see [[RelationStats]].
     val lr = LogicalRelation(
       relation, RelationStats.catalogTable(log, snapshot, relation.schema))
+    // Deletion vectors are subtracted HERE (not only via the session
+    // extension rule) so a plain-session `toDF` is always correct; the tag
+    // tells [[ApplyDeletionVectors]] this scan is already handled.
+    val files = index.statsFiles
+    val base =
+      if (!DeletionVectors.anyDv(files)) {
+        lr.setTagValue(DeletionVectors.AppliedTag, true)
+        org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, lr)
+      } else {
+        val wm = lr.withMetadataColumns()
+        wm.setTagValue(DeletionVectors.AppliedTag, true)
+        DeletionVectors.filterDeleted(spark, log, snapshot, files,
+          org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, wm))
+      }
     // HadoopFsRelation appends partition columns after data columns;
     // project back to the table's declared column order.
-    org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, lr)
-      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    base.select(schema.fieldNames.map(col): _*)
   }
 
   /** Table-level statistics merged from per-file stats (D4). */

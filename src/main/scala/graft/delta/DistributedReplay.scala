@@ -16,9 +16,10 @@ import org.apache.spark.sql.types._
   * holds the pruned survivors of a query — at 1M files and a selective
   * partition filter that is thousands of rows, not the inventory.
   *
-  * Assumption (documented): within one commit version a path appears at most
-  * once as add or remove (true of every writer here and of the reference's;
-  * a same-version add+remove pair resolves remove-wins deterministically).
+  * Within one commit a path may legally appear as remove AND re-add (the
+  * DV pointer commits of merge-on-read DML do exactly this); the driver's
+  * sequential replay applies them in order, so the add wins — the tie-break
+  * below mirrors that (add outranks remove at equal version).
   */
 object DistributedReplay {
 
@@ -28,7 +29,8 @@ object DistributedReplay {
     StructField("size", LongType),
     StructField("modificationTime", LongType),
     StructField("dataChange", BooleanType),
-    StructField("stats", StringType)))
+    StructField("stats", StringType),
+    StructField("tags", MapType(StringType, StringType))))
 
   private val lineSchema = StructType(Seq(
     StructField("add", addSchema),
@@ -63,6 +65,7 @@ object DistributedReplay {
           col("add.modificationTime").as("modificationTime"),
           col("add.dataChange").as("dataChange"),
           col("add.stats").as("stats"),
+          col("add.tags").as("tags"),
           col("add.path").isNotNull.as("isAdd"))
         .filter(col("path").isNotNull)
     }
@@ -78,6 +81,7 @@ object DistributedReplay {
           col("add.modificationTime").as("modificationTime"),
           col("add.dataChange").as("dataChange"),
           col("add.stats").as("stats"),
+          col("add.tags").as("tags"),
           lit(true).as("isAdd"))
     }
 
@@ -90,17 +94,19 @@ object DistributedReplay {
 
     // last-writer-wins per path: order by (version, remove-beats-add on tie)
     all
-      .withColumn("ord", struct(col("version"), when(col("isAdd"), 0).otherwise(1)))
+      .withColumn("ord", struct(col("version"), when(col("isAdd"), 1).otherwise(0)))
       .groupBy("path")
       .agg(max_by(
         struct(col("isAdd"), col("partitionValues"), col("size"),
-          col("modificationTime"), col("dataChange"), col("stats")),
+          col("modificationTime"), col("dataChange"), col("stats"),
+          col("tags")),
         col("ord")).as("last"))
       .filter(col("last.isAdd"))
       .select(col("path"), col("last.partitionValues").as("partitionValues"),
         col("last.size").as("size"),
         col("last.modificationTime").as("modificationTime"),
-        col("last.dataChange").as("dataChange"), col("last.stats").as("stats"))
+        col("last.dataChange").as("dataChange"), col("last.stats").as("stats"),
+        col("last.tags").as("tags"))
   }
 
   private def partitionPredicate(f: PartitionFilter): Column = f match {
@@ -152,7 +158,9 @@ object DistributedReplay {
           .map(_.longValue).getOrElse(0L),
         dataChange = Option(r.getAs[java.lang.Boolean]("dataChange"))
           .forall(_.booleanValue),
-        stats = Option(r.getAs[String]("stats")))
+        stats = Option(r.getAs[String]("stats")),
+        tags = Option(r.getAs[scala.collection.Map[String, String]]("tags"))
+          .map(_.toMap).filter(_.nonEmpty))
     }
   }
 }

@@ -24,19 +24,177 @@ final case class DmlMetrics(filesRewritten: Long, rowsAffected: Long, version: L
 object Dml {
 
   /** DELETE FROM table WHERE predicate. Rows where the predicate is NULL
-    * are kept (SQL semantics). */
-  def delete(spark: SparkSession, path: String, predicate: Column): DmlMetrics =
-    rewrite(spark, path, predicate, "DELETE", df => df, keepMatches = false)
+    * are kept (SQL semantics). Tables with
+    * `delta.enableDeletionVectors=true` take the merge-on-read path
+    * ([[deleteWithDv]]); others copy-on-write. */
+  def delete(spark: SparkSession, path: String, predicate: Column): DmlMetrics = {
+    if (dvEnabled(spark, path)) deleteWithDv(spark, path, predicate)
+    else rewrite(spark, path, predicate, "DELETE", df => df, keepMatches = false)
+  }
 
   /** UPDATE table SET assignments WHERE predicate. */
   def update(spark: SparkSession, path: String, predicate: Column,
-             assignments: Map[String, Column]): DmlMetrics =
-    rewrite(spark, path, predicate, "UPDATE", df => {
+             assignments: Map[String, Column]): DmlMetrics = {
+    if (dvEnabled(spark, path)) updateWithDv(spark, path, predicate, assignments)
+    else rewrite(spark, path, predicate, "UPDATE", df => {
       val matches = coalesce(predicate, lit(false))
       assignments.foldLeft(df) { case (d, (name, value)) =>
         d.withColumn(name, when(matches, value).otherwise(col(name)))
       }
     }, keepMatches = true)
+  }
+
+  private def dvEnabled(spark: SparkSession, path: String): Boolean = {
+    val log = DeltaLog.forPath(spark, path)
+    TableConfig.deletionVectorsEnabled(TableConfig.of(log.update()))
+  }
+
+  /** Merge-on-read DELETE: write matched row positions as a deletion vector
+    * and re-commit the affected files unchanged with DV pointers — no data
+    * bytes rewritten. See [[DeletionVectors]] for the read contract.
+    *
+    * Scale shape: one distributed scan (pruned by the predicate like the
+    * copy-on-write path) that WRITES the positions as its job output; the
+    * per-file cardinality readback touches only the tiny DV parquet. */
+  def deleteWithDv(spark: SparkSession, path: String, predicate: Column): DmlMetrics = {
+    val log = DeltaLog.forPath(spark, path)
+    val snap = log.update()
+    if (snap.version < 0) throw new NotATableException(path)
+    if (TableConfig.appendOnly(TableConfig.of(snap)))
+      throw new AppendOnlyTableException(path)
+
+    val (affected, dvRel, counts) = stageDeletionVector(spark, log, snap, predicate)
+    if (affected.isEmpty) return DmlMetrics(0, 0, snap.version)
+    val rowsDeleted = counts.values.sum
+
+    val now = System.currentTimeMillis()
+    val txn = log.startTransaction().withReadFilters(
+      PartitionFilter.fromCatalyst(
+        org.apache.spark.sql.graftbridge.ColumnBridge.catalystExpression(predicate),
+        snap.partitionColumns))
+    commitDvReAdds(txn, affected, dvRel, now)
+    val info = ActionCodec.mapper.createObjectNode()
+    info.put("timestamp", now)
+    info.put("operation", "DELETE")
+    val params = info.putObject("operationParameters")
+    params.put("predicate", predicate.toString)
+    params.put("deletionVector", dvRel)
+    params.put("numDeletedRows", rowsDeleted)
+    val version = txn.commit(Some(CommitInfoAction(info)))
+    DmlMetrics(affected.size, rowsDeleted, version)
+  }
+
+  /** Merge-on-read UPDATE: DV the matched rows out of their files and
+    * append the transformed copies as new files — the affected files' bytes
+    * are never rewritten, only the matched rows move. */
+  def updateWithDv(spark: SparkSession, path: String, predicate: Column,
+                   assignments: Map[String, Column]): DmlMetrics = {
+    val log = DeltaLog.forPath(spark, path)
+    val snap = log.update()
+    if (snap.version < 0) throw new NotATableException(path)
+    if (TableConfig.appendOnly(TableConfig.of(snap)))
+      throw new AppendOnlyTableException(path)
+
+    val (affected, dvRel, counts) = stageDeletionVector(spark, log, snap, predicate)
+    if (affected.isEmpty) return DmlMetrics(0, 0, snap.version)
+
+    // matched rows (logical view, old DVs applied) → assignments → append
+    val matched = DeletionVectors.scanWithPos(spark, log, snap, snap.files)
+      .filter(coalesce(predicate, lit(false)))
+      .select(snap.schema.fieldNames.map(col).toSeq: _*)
+    val updated = assignments.foldLeft(matched) {
+      case (d, (name, value)) => d.withColumn(name, value)
+    }
+    val checked = Constraints.enforce(updated, snap)
+    val newAdds = GraftWriter.stageFiles(checked, path, snap.partitionColumns)
+    val rowsUpdated = counts.values.sum
+
+    val now = System.currentTimeMillis()
+    val txn = log.startTransaction().withReadFilters(
+      PartitionFilter.fromCatalyst(
+        org.apache.spark.sql.graftbridge.ColumnBridge.catalystExpression(predicate),
+        snap.partitionColumns))
+    commitDvReAdds(txn, affected, dvRel, now)
+    txn.addActions(newAdds)
+    val info = ActionCodec.mapper.createObjectNode()
+    info.put("timestamp", now)
+    info.put("operation", "UPDATE")
+    val params = info.putObject("operationParameters")
+    params.put("predicate", predicate.toString)
+    params.put("deletionVector", dvRel)
+    params.put("numUpdatedRows", rowsUpdated)
+    val version = txn.commit(Some(CommitInfoAction(info)))
+    DmlMetrics(affected.size, rowsUpdated, version)
+  }
+
+  /** Write the predicate's matched positions as a DV directory and return
+    * (affected Adds with their NEW per-file total cardinality, relative DV
+    * path, per-file NEWLY-deleted counts). Files already carrying a DV get
+    * their old positions unioned in, so each Add's pointer stays complete
+    * on its own. Empty match ⇒ the staged directory is removed and
+    * `(Nil, _, empty)` returned. */
+  private def stageDeletionVector(spark: SparkSession, log: DeltaLog,
+                                  snap: Snapshot, predicate: Column)
+      : (Seq[(AddAction, Long)], String, Map[String, Long]) = {
+    import DeletionVectors.{PathCol, PosCol}
+    val fs = log.tablePath.getFileSystem(spark.sessionState.newHadoopConf())
+    def freshDir(): (String, org.apache.hadoop.fs.Path) = {
+      val rel = s"${DeletionVectors.Dir}/dv-${java.util.UUID.randomUUID()}"
+      (rel, new org.apache.hadoop.fs.Path(log.tablePath, rel))
+    }
+
+    val (rel1, abs1) = freshDir()
+    DeletionVectors.scanWithPos(spark, log, snap, snap.files)
+      .filter(coalesce(predicate, lit(false)))
+      .select(col(PathCol).as("path"), col(PosCol).as("pos"))
+      .write.parquet(abs1.toString)
+
+    val newCounts: Map[String, Long] =
+      spark.read.schema(DeletionVectors.dvSchema).parquet(abs1.toString)
+        .groupBy("path").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (newCounts.isEmpty) {
+      fs.delete(abs1, true)
+      return (Nil, rel1, Map.empty)
+    }
+
+    val affected = snap.files.filter(a => newCounts.contains(a.path))
+    require(affected.size == newCounts.size,
+      s"deletion-vector scan surfaced unknown file paths: " +
+      s"${(newCounts.keySet -- affected.map(_.path)).take(3).mkString(", ")}")
+
+    // union in prior positions so each file's DV pointer is self-complete
+    val (dvRel, totals) =
+      if (!affected.exists(DeletionVectors.hasDv)) (rel1, newCounts)
+      else {
+        val (rel2, abs2) = freshDir()
+        val old = DeletionVectors.dvDf(spark, log, affected).get
+        spark.read.schema(DeletionVectors.dvSchema).parquet(abs1.toString)
+          .unionByName(old).distinct()
+          .write.parquet(abs2.toString)
+        fs.delete(abs1, true)
+        val t = spark.read.schema(DeletionVectors.dvSchema).parquet(abs2.toString)
+          .groupBy("path").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        (rel2, t)
+      }
+    (affected.map(a => a -> totals(a.path)), dvRel, newCounts)
+  }
+
+  /** remove + re-add each affected file with its DV pointer tags. */
+  private def commitDvReAdds(txn: OptimisticTransaction,
+                             affected: Seq[(AddAction, Long)],
+                             dvRel: String, now: Long): Unit =
+    affected.foreach { case (f, totalCard) =>
+      txn.addAction(RemoveAction(
+        path = f.path, deletionTimestamp = now, dataChange = true,
+        extendedFileMetadata = Some(true),
+        partitionValues = Some(f.partitionValues), size = Some(f.size)))
+      val tags = f.tags.getOrElse(Map.empty) +
+        (DeletionVectors.PathTag -> dvRel) +
+        (DeletionVectors.CardTag -> totalCard.toString)
+      txn.addAction(f.copy(dataChange = true, tags = Some(tags)))
+    }
 
   private def rewrite(spark: SparkSession, path: String, predicate: Column,
                       operation: String,
@@ -51,11 +209,14 @@ object Dml {
       throw new AppendOnlyTableException(path)
     val dt = new DeltaTable(log, snap)
 
-    // 1. which files contain matching rows? (predicate pushed into the scan)
-    val affectedUris = dt.toDF.filter(predicate)
-      .select(input_file_name().as("f")).distinct()
+    // 1. which files contain matching rows? (predicate pushed into the
+    // scan; provenance from the DV-aware scan's path column, since
+    // input_file_name() is illegal over a DV anti-join plan)
+    val affectedRel = DeletionVectors.scanWithPos(spark, log, snap, snap.files)
+      .filter(predicate)
+      .select(col(DeletionVectors.PathCol)).distinct()
       .collect().map(_.getString(0)).toSet
-    val affected = matchFiles(log, snap, affectedUris)
+    val affected = snap.files.filter(a => affectedRel.contains(a.path))
     if (affected.isEmpty) return DmlMetrics(0, 0, snap.version)
 
     // 2. rewrite only the affected files — ONE pass over them. Metrics ride
@@ -65,7 +226,9 @@ object Dml {
     // count is an observed aggregate collected during the write itself.
     val affectedDf = scanSubset(spark, log, snap, affected)
     val beforeFromStats: Option[Long] = {
-      val counts = affected.map(_.stats.flatMap(ActionCodec.statsFromJson).map(_.numRecords))
+      // logical rows = footer rows minus DV'd positions
+      val counts = affected.map(a => a.stats.flatMap(ActionCodec.statsFromJson)
+        .map(_.numRecords - DeletionVectors.cardinality(a)))
       if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
     }
     val metricName = s"graft_dml_${java.util.UUID.randomUUID()}"
@@ -118,25 +281,12 @@ object Dml {
     DmlMetrics(affected.size, rowsAffected, version)
   }
 
-  /** Resolve `input_file_name()` URIs back to the snapshot's Add entries
-    * (the URIs are absolute and %-encoded; Add paths are table-relative). */
-  private[delta] def matchFiles(log: DeltaLog, snap: Snapshot,
-                                uris: Set[String]): Seq[AddAction] =
-    snap.files.filter { a =>
-      val abs = new org.apache.hadoop.fs.Path(log.tablePath, a.path).toUri.getPath
-      uris.exists(u => java.net.URLDecoder.decode(u, "UTF-8").endsWith(abs) ||
-        u.endsWith(a.path))
-    }
-
-  /** Scan only `files` of the snapshot, in table-schema column order.
-    * Distributed parquet read through the same FileIndex as a full scan. */
+  /** Scan only `files` of the snapshot, in table-schema column order, with
+    * any deletion vectors applied (a rewrite that re-materialized DV'd rows
+    * would silently resurrect them). Distributed parquet read through the
+    * same FileIndex as a full scan. */
   private[delta] def scanSubset(spark: SparkSession, log: DeltaLog,
-                                snap: Snapshot, files: Seq[AddAction]) = {
-    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
-    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-    val index = new GraftFileIndex(spark, log, snap, Some(files))
-    val rel = HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
-      None, new ParquetFileFormat(), Map.empty)(spark)
-    spark.baseRelationToDataFrame(rel).select(snap.schema.fieldNames.map(col): _*)
-  }
+                                snap: Snapshot, files: Seq[AddAction]) =
+    DeletionVectors.scanWithPos(spark, log, snap, files)
+      .select(snap.schema.fieldNames.map(col).toSeq: _*)
 }

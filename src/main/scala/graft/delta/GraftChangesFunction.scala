@@ -41,7 +41,8 @@ object GraftChangesFunction {
       .filter(v => v > startV && v <= endV)
       .flatMap { v =>
         val adds = log.readCommit(v).collect {
-          case a: AddAction if a.dataChange => a
+          // DV re-adds (merge-on-read DELETE/UPDATE) carry no new rows
+          case a: AddAction if a.dataChange && DeletionVectors.dvPath(a).isEmpty => a
         }
         if (adds.isEmpty) None
         else Some(spark.read

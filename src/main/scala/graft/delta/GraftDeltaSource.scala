@@ -142,6 +142,17 @@ final class GraftDeltaSource extends RelationProvider
       case (None, Some(ts)) => DeltaTable.forPathAsOf(spark, path, ts.toLong)
       case _ => DeltaTable.forPath(spark, path)
     }
+    // the format relation relies on [[ApplyDeletionVectors]] for DV
+    // subtraction; a session without the extensions would silently read
+    // deleted rows — fail instead
+    if (DeletionVectors.anyDv(table.snapshot.files) &&
+        !spark.sparkContext.getConf.get("spark.sql.extensions", "")
+          .contains("GraftSparkExtensions"))
+      throw new IllegalStateException(
+        s"table $path carries deletion vectors; reading it through " +
+        "format(\"graft-delta\") requires " +
+        "spark.sql.extensions=graft.delta.GraftSparkExtensions " +
+        "(or use DeltaTable.forPath)")
     val index = new GraftFileIndex(spark, table.log, table.snapshot,
       live = !timeTravel)
     new GraftDeltaRelation(index, timeTravel, spark)

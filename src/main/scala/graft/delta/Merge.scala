@@ -129,11 +129,15 @@ final class MergeBuilder private[delta] (
     val affected =
       if (bySourceClauses.nonEmpty) snap.files
       else {
-        val affectedUris = dt.toDF.withColumn("__file", input_file_name()).alias("t")
+        // provenance via the DV-aware scan (input_file_name() is illegal
+        // over the anti-join plan a DV'd table resolves to)
+        val affectedRel = DeletionVectors
+          .scanWithPos(spark, log, snap, snap.files)
+          .withColumnRenamed(DeletionVectors.PathCol, "__file").alias("t")
           .join(source.alias("s"), condition)
           .select(col("__file")).distinct()
           .collect().map(_.getString(0)).toSet
-        Dml.matchFiles(log, snap, affectedUris)
+        snap.files.filter(a => affectedRel.contains(a.path))
       }
 
     // 2. full-outer join of affected rows vs source. __t doubles as presence
@@ -183,7 +187,9 @@ final class MergeBuilder private[delta] (
     // footer stats; when a foreign file lacks stats, a dedicated distinct
     // count verifies instead (rare path).
     val beforeFromStats: Option[Long] = {
-      val counts = affected.map(_.stats.flatMap(ActionCodec.statsFromJson).map(_.numRecords))
+      // logical rows: footer rows minus DV'd positions
+      val counts = affected.map(a => a.stats.flatMap(ActionCodec.statsFromJson)
+        .map(_.numRecords - DeletionVectors.cardinality(a)))
       if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
     }
     val metricName = s"graft_merge_${java.util.UUID.randomUUID()}"

@@ -50,15 +50,9 @@ object Optimize {
     // read exactly the candidate files (partition columns restored from the
     // hive layout via the index), repartition so each partition tuple lands
     // in few tasks, and stage the rewrite
-    val index = new GraftFileIndex(spark, log, snap, Some(oldFiles))
-    val df = {
-      import org.apache.spark.sql.execution.datasources.HadoopFsRelation
-      import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-      val rel = HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
-        None, new ParquetFileFormat(), Map.empty)(spark)
-      spark.baseRelationToDataFrame(rel)
-        .select(snap.schema.fieldNames.map(col): _*)
-    }
+    // DV-aware read: the rewrite folds deletion vectors in (new files carry
+    // no DV tags), physically reclaiming deleted rows
+    val df = Dml.scanSubset(spark, log, snap, oldFiles)
     val totalBytes = oldFiles.map(_.size).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val shaped =
@@ -121,15 +115,9 @@ object Optimize {
     val oldFiles = PartitionFilter.prune(snap.files, partitionFilters)
     if (oldFiles.isEmpty) return OptimizeMetrics(0, 0, 0, 0, snap.version)
 
-    val index = new GraftFileIndex(spark, log, snap, Some(oldFiles))
-    val df = {
-      import org.apache.spark.sql.execution.datasources.HadoopFsRelation
-      import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-      val rel = HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
-        None, new ParquetFileFormat(), Map.empty)(spark)
-      spark.baseRelationToDataFrame(rel)
-        .select(snap.schema.fieldNames.map(col): _*)
-    }
+    // DV-aware read: the rewrite folds deletion vectors in (new files carry
+    // no DV tags), physically reclaiming deleted rows
+    val df = Dml.scanSubset(spark, log, snap, oldFiles)
 
     val z = zValue(df, zorderBy, snap.schema)
     val totalBytes = oldFiles.map(_.size).sum

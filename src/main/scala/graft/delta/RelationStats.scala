@@ -51,7 +51,9 @@ object RelationStats {
     val rowCount =
       if (statsEnabled(conf)) {
         val parsed = files.flatMap(_.stats.flatMap(ActionCodec.statsFromJson))
-        if (parsed.size == files.size) Some(BigInt(parsed.map(_.numRecords).sum))
+        if (parsed.size == files.size)
+          Some(BigInt(parsed.map(_.numRecords).sum -
+            files.map(DeletionVectors.cardinality).sum))
         else None
       } else None
     CatalogStatistics(BigInt(files.map(_.size).sum), rowCount)

@@ -52,8 +52,14 @@ object TableStatistics {
     * or types are incomparable. */
   def of(files: Seq[AddAction]): TableStatistics = {
     val parsed = files.flatMap(_.stats.flatMap(ActionCodec.statsFromJson))
-    val complete = parsed.size == files.size
-    val numRecords = if (complete) Some(parsed.map(_.numRecords).sum) else None
+    var complete = parsed.size == files.size
+    // logical rows subtract deletion-vector cardinalities; per-column
+    // min/max/nullCount of a DV'd file describe its PHYSICAL rows — still
+    // valid BOUNDS for pruning, but no longer exact answers, so they are
+    // dropped here (the stats-only aggregate rewrite must bail on them)
+    val dvCards = files.map(DeletionVectors.cardinality).sum
+    val numRecords = if (complete) Some(parsed.map(_.numRecords).sum - dvCards) else None
+    if (dvCards > 0) complete = false
 
     def isLess(a: JsonNode, b: JsonNode): Option[Boolean] =
       if (a.isNumber && b.isNumber) Some(a.asDouble < b.asDouble)
@@ -131,6 +137,7 @@ object Snapshot {
       case m: MetaDataAction => metadata = Some(m)
       case t: TxnAction => txns.put(t.appId, t.version)
       case ci: CommitInfoAction => commitInfos += ci.info
+      case _: CdcAction => () // change-data files are commit-scoped, not state
     }
 
     Snapshot(

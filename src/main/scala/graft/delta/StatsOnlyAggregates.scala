@@ -113,6 +113,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectOptimizerRule(_ => StatsOnlyAggregates)
     extensions.injectOptimizerRule(_ => PruneGraftScans)
     extensions.injectResolutionRule(session => new GraftV2Fallback(session))
+    extensions.injectResolutionRule(session => new ApplyDeletionVectors(session))
     extensions.injectPostHocResolutionRule(_ => GraftDeltaInserts)
     extensions.injectHintResolutionRule(session => new GraftSqlDml(session))
     extensions.injectTableFunction(GraftHistoryFunction.descriptor)

@@ -34,8 +34,18 @@ object TableConfig {
   /** Whether checkpoints trigger expired-log cleanup (default true). */
   val EnableExpiredLogCleanup = "delta.enableExpiredLogCleanup"
 
+  /** `true` ⇒ DELETE/UPDATE take the merge-on-read deletion-vector path
+    * instead of copy-on-write (see [[DeletionVectors]]). */
+  val EnableDeletionVectors = "delta.enableDeletionVectors"
+
+  /** `true` ⇒ DML commits capture row-level changes under `_change_data/`
+    * (see [[ChangeDataFeed]]). */
+  val EnableChangeDataFeed = "delta.enableChangeDataFeed"
+
   private val Known: Map[String, String => Unit] = Map(
     AppendOnly -> parseBoolean(AppendOnly) _,
+    EnableDeletionVectors -> parseBoolean(EnableDeletionVectors) _,
+    EnableChangeDataFeed -> parseBoolean(EnableChangeDataFeed) _,
     CheckpointInterval -> { v: String =>
       val n = try v.toInt catch { case _: NumberFormatException =>
         throw new IllegalArgumentException(s"$CheckpointInterval must be an int, got '$v'") }
@@ -63,6 +73,12 @@ object TableConfig {
   def deletedFileRetentionMillis(config: Map[String, String]): Long =
     config.get(DeletedFileRetention).map(parseIntervalMillis(_, DeletedFileRetention))
       .getOrElse(7L * 24 * 3600 * 1000)
+
+  def deletionVectorsEnabled(config: Map[String, String]): Boolean =
+    config.get(EnableDeletionVectors).exists(_.trim.equalsIgnoreCase("true"))
+
+  def changeDataFeedEnabled(config: Map[String, String]): Boolean =
+    config.get(EnableChangeDataFeed).exists(_.trim.equalsIgnoreCase("true"))
 
   def expiredLogCleanupEnabled(config: Map[String, String]): Boolean =
     !config.get(EnableExpiredLogCleanup).exists(_.trim.equalsIgnoreCase("false"))

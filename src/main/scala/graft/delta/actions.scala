@@ -64,6 +64,17 @@ final case class ProtocolAction(minReaderVersion: Int = 1, minWriterVersion: Int
 /** Freeform commit provenance (`rust/src/action.rs:719`: `commitInfo(Value)`). */
 final case class CommitInfoAction(info: JsonNode) extends Action
 
+/** A change-data file (Delta protocol `cdc` action; beyond the reference,
+  * whose action enum at rust/src/action.rs:706-721 predates CDF). Carries
+  * the row-level changes of ITS commit under `_change_data/`; never part of
+  * table state (log replay ignores it, checkpoints exclude it). */
+final case class CdcAction(
+    path: String,
+    size: Long,
+    partitionValues: Map[String, String] = Map.empty,
+    dataChange: Boolean = false)
+  extends Action
+
 /** Per-file statistics carried in `Add.stats` as embedded JSON
   * (`rust/src/action.rs:113-127`); min/max/nullCount values stay raw
   * `JsonNode`s because nested-struct stats recurse
@@ -131,6 +142,12 @@ object ActionCodec {
         o.put("minWriterVersion", p.minWriterVersion)
       case ci: CommitInfoAction =>
         wrapper.set[ObjectNode]("commitInfo", ci.info)
+      case c: CdcAction =>
+        val o = wrapper.putObject("cdc")
+        o.put("path", c.path)
+        o.set[ObjectNode]("partitionValues", strMap(c.partitionValues))
+        o.put("size", c.size)
+        o.put("dataChange", c.dataChange)
     }
     wrapper
   }
@@ -206,6 +223,11 @@ object ActionCodec {
         minReaderVersion = n.get("minReaderVersion").asInt,
         minWriterVersion = n.get("minWriterVersion").asInt))
       case "commitInfo" => Some(CommitInfoAction(n))
+      case "cdc" => Some(CdcAction(
+        path = reqStr(n, "cdc", "path"),
+        size = optLong(n, "size").getOrElse(0L),
+        partitionValues = optStrMap(n, "partitionValues").getOrElse(Map.empty),
+        dataChange = optBool(n, "dataChange").getOrElse(false)))
       case _ => None // forward compatibility: unknown action types are ignored
     }
   }

@@ -338,6 +338,26 @@ object DeltaQueries {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     },
 
+    // Deletion vectors (merge-on-read DML): DV DELETE then DV UPDATE on the
+    // same table — the second op's positions union with the first's on
+    // shared files, the update's matched rows move to appended files, and
+    // the readback must subtract every DV'd position exactly. No data file
+    // written by v0 is ever rewritten (the 100 TB point-delete shape).
+    "q63_dv_dml" -> { (s, dir) =>
+      val t = freshDir("dvdml")
+      GraftWriter.write(li(s, dir).filter(col("l_orderkey") < 1000), t)
+      DeltaTable.forPath(s, t)
+        .setProperties(Map(TableConfig.EnableDeletionVectors -> "true"))
+      Dml.delete(s, t, col("l_quantity") > 40)                       // DV delete
+      Dml.update(s, t, col("l_returnflag") === "R",                  // DV update
+        Map("l_quantity" -> (col("l_quantity") + 200.0)))
+      DeltaTable.forPath(s, t).toDF
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_quantity").cast("decimal(18,6)") * 1000000).cast("long").as("qty"),
+          col("l_returnflag"))
+        .orderBy("l_orderkey", "l_linenumber", "qty", "l_returnflag")
+    },
+
     // stats-based file skipping (D4): two disjoint-range commits; the
     // predicate-matching read must prune to one file set via Add.stats
     // before Spark lists anything.
@@ -404,6 +424,13 @@ object DeltaQueries {
       s"""SELECT $cols FROM lineitem
          |WHERE l_orderkey < 1000 AND NOT (l_quantity > 30)
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q63_dv_dml" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CAST(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity + 200 ELSE l_quantity END
+        |  AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS qty,
+        |l_returnflag
+        |FROM lineitem WHERE l_orderkey < 1000 AND NOT (l_quantity > 40)
+        |ORDER BY l_orderkey, l_linenumber, qty, l_returnflag""".stripMargin,
     "q46_delta_update" ->
       """SELECT l_orderkey, l_linenumber,
         |CAST(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity + 100 ELSE l_quantity END

@@ -28,7 +28,10 @@ final class DeltaTailer(log: DeltaLog, startAfterVersion: Long = -1L) {
     log.listCommitVersions()
       .filter(v => v > lastSeen && v <= upTo)
       .flatMap(v => log.readCommit(v))
-      .collect { case a: AddAction if a.dataChange => a }
+      .collect { case a: AddAction
+        // DV re-adds (merge-on-read DELETE/UPDATE pointers) introduce no new
+        // rows — serving them would replay the whole file as "new"
+        if a.dataChange && graft.delta.DeletionVectors.dvPath(a).isEmpty => a }
 
   /** Poll once: Some((version, batch)) when the log advanced, None when idle.
     * The batch contains exactly the rows added since the last poll. */

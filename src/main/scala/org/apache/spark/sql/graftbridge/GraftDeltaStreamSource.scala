@@ -102,7 +102,10 @@ final class GraftDeltaStreamSource(
     math.max(floor, readAnchor().getOrElse(floor))
 
   private def dataChangeAdds(version: Long): Seq[AddAction] =
-    log.readCommit(version).collect { case a: AddAction if a.dataChange => a }
+    log.readCommit(version).collect { case a: AddAction
+      // DV re-adds carry no new rows (the pointer-only re-commit of a
+      // merge-on-read DELETE/UPDATE) — never re-serve their files
+      if a.dataChange && graft.delta.DeletionVectors.dvPath(a).isEmpty => a }
 
   override def getOffset: Option[V1Offset] = {
     val latest = log.update().version
