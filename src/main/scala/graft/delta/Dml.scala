@@ -258,6 +258,21 @@ object Dml {
       else
         beforeFromStats.getOrElse(affectedDf.count()) - afterRows
 
+    // change-data capture (one extra pass over affected files, only when
+    // the table property is on)
+    val cdcActions =
+      if (!ChangeDataFeed.enabled(snap)) Nil
+      else {
+        val matchedRows = affectedDf.filter(coalesce(predicate, lit(false)))
+        val changes =
+          if (keepMatches)
+            matchedRows.withColumn(ChangeDataFeed.ChangeType, lit("update_preimage"))
+              .unionByName(transform(matchedRows)
+                .withColumn(ChangeDataFeed.ChangeType, lit("update_postimage")))
+          else matchedRows.withColumn(ChangeDataFeed.ChangeType, lit("delete"))
+        ChangeDataFeed.stage(spark, log, changes)
+      }
+
     // 3. one commit: remove affected, add rewrites. The predicate's
     // partition-column projection becomes the declared read domain, so
     // concurrent adds in disjoint partitions commute instead of aborting us.
@@ -271,6 +286,7 @@ object Dml {
       extendedFileMetadata = Some(true),
       partitionValues = Some(f.partitionValues), size = Some(f.size))))
     txn.addActions(adds)
+    txn.addActions(cdcActions)
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", now)
     info.put("operation", operation)
