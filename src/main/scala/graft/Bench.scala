@@ -1,4 +1,5 @@
 package graft
+import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main. Prints ONE JSON line with per-query wall seconds.
@@ -34,15 +35,53 @@ object Bench {
       qs.get(w).foreach(fn => try materialize(fn(spark, sfDir))
                         catch { case _: Throwable => () })
     }
+    // Per-query session-health telemetry. Round 6 found r5's 2.7×-of-gate
+    // "session degradation" does NOT reproduce at identical code + identical
+    // invocation (r1-set back to ~10 s, q13_having 0.6 s) — i.e. it was
+    // machine contention during the driver's run, not engine state. To make
+    // that separable forever, the JSON now carries per-query JVM CPU seconds
+    // (`cpu`) next to wall seconds (`queries`): a query whose wall grows but
+    // whose CPU doesn't was starved by the MACHINE; one whose CPU grows got
+    // slower in the ENGINE. `load1m` samples the OS run-queue per query.
+    val debug = sys.env.get("SPARK_GRAFT_BENCH_DEBUG").contains("1")
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def processCpuNanos: Long = osBean match {
+      case sun: com.sun.management.OperatingSystemMXBean => sun.getProcessCpuTime
+      case _ => -1L
+    }
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
+    }
+    var lastGc = gcMillis
+    val cpuSec = mutable.LinkedHashMap[String, Double]()
+    val load1m = mutable.LinkedHashMap[String, Double]()
     val results = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
+      val c0 = processCpuNanos
       try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      cpuSec(name) = if (c0 < 0) -1.0 else (processCpuNanos - c0) / 1e9
+      load1m(name) = osBean.getSystemLoadAverage
+      if (debug) {
+        val rt = Runtime.getRuntime
+        val heapMb = (rt.totalMemory - rt.freeMemory) / (1 << 20)
+        val gc = gcMillis
+        val threads = Thread.activeCount()
+        val blocks = org.apache.spark.SparkEnv.get.blockManager
+          .getMatchingBlockIds(_ => true).size
+        System.err.println(
+          f"BENCHDBG $name%-24s ${sec}%8.2fs cpu=${cpuSec(name)}%7.2fs heap=${heapMb}MB gcDelta=${gc - lastGc}ms threads=$threads blocks=$blocks load=${load1m(name)}%.1f")
+        lastGc = gc
+      }
+      name -> sec
     }
-    val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def toJson(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qjson = toJson(results)
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"cpu":${toJson(cpuSec)},"load1m":${toJson(load1m)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

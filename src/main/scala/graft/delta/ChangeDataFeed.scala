@@ -77,8 +77,15 @@ object ChangeDataFeed {
             Some(spark.read.schema(withType).parquet(cdcs.map(c => abs(c.path)): _*))
           else if (adds.nonEmpty && removes.isEmpty)
             Some(fileRows(adds.map(_.path), "insert"))
-          else if (removes.nonEmpty && adds.isEmpty)
-            Some(fileRows(removes.map(_.path), "delete"))
+          else if (removes.nonEmpty && adds.isEmpty) {
+            // rows already DV'd out of a removed file were reported deleted
+            // by the DV commit — don't re-report them here
+            val prior = log.snapshotForVersion(v - 1)
+            val removedPaths = removes.map(_.path).toSet
+            val removedAdds = prior.files.filter(a => removedPaths.contains(a.path))
+            Some(DeletionVectors.filterDeleted(spark, log, prior, removedAdds,
+              fileRows(removes.map(_.path), "delete")))
+          }
           else if (adds.isEmpty && removes.isEmpty) None
           else throw new IllegalStateException(
             s"table ${log.tablePath} version $v rewrote files without " +

@@ -194,10 +194,17 @@ object Checkpoints {
     val md = snap.metadata.getOrElse(
       throw new IllegalStateException("cannot checkpoint a table without metaData"))
     val info = schemaInfo(snap)
+    // DV re-adds (remove+add of the same path in one commit) can leave a path
+    // both tombstoned and active in the snapshot. A checkpoint is an
+    // order-insensitive state dump — repartition() scatters rows and readers
+    // replay them in arbitrary order — so a tombstone for a still-active path
+    // must not be written: if add(F) replayed before remove(F) the active
+    // file would silently vanish and later become vacuum-eligible.
+    val activePaths = snap.files.iterator.map(_.path).toSet
     val acts: Seq[Action] =
       Seq(ProtocolAction(snap.minReaderVersion, snap.minWriterVersion), md) ++
       snap.appTransactionVersion.toSeq.sortBy(_._1).map { case (app, v) => TxnAction(app, v) } ++
-      snap.tombstones ++
+      snap.tombstones.filterNot(t => activePaths.contains(t.path)) ++
       snap.files
     val rows = acts.map(actionRow(_, info))
     val schema = checkpointSchema(info)

@@ -76,6 +76,28 @@ object DeletionVectors {
   private[delta] def tableDirPrefix(log: DeltaLog): String =
     log.tablePath.toUri.getPath.stripSuffix("/") + "/"
 
+  /** Tombstones for every DV directory that the `replaced` files pointed at
+    * and no OTHER live file still references. Emitted by the commits that
+    * supersede or fold away DV pointers (DV re-deletes, OPTIMIZE, CoW
+    * rewrites), so [[DeltaTable.vacuum]] can reclaim the directories after
+    * retention — without these, recurring DV DML grows `_graft_dv/`
+    * unboundedly (the underscore rule hides it from normal vacuum listing).
+    * `dataChange=false`: the row-level change is carried by the file-level
+    * actions of the same commit; the dir tombstone is housekeeping and must
+    * commute like compaction does. */
+  def supersededDirTombstones(snap: Snapshot, replaced: Seq[AddAction],
+                              now: Long): Seq[RemoveAction] = {
+    val oldDirs = replaced.flatMap(dvPath).toSet
+    if (oldDirs.isEmpty) return Nil
+    val replacedPaths = replaced.map(_.path).toSet
+    val stillReferenced = snap.files.iterator
+      .filterNot(a => replacedPaths.contains(a.path))
+      .flatMap(dvPath).toSet
+    (oldDirs -- stillReferenced).toSeq.sorted.map(dir => RemoveAction(
+      path = dir, deletionTimestamp = now, dataChange = false,
+      extendedFileMetadata = Some(false)))
+  }
+
   /** All DV rows referenced by `files`, restricted to those files' paths
     * (a DV directory may be shared by many files and may carry superseded
     * entries for files whose newer Add points elsewhere). */
@@ -85,9 +107,14 @@ object DeletionVectors {
     if (withDv.isEmpty) return None
     val dirs = withDv.flatMap(dvPath).distinct
       .map(rel => new Path(log.tablePath, rel).toString)
-    val paths = withDv.map(_.path)
+    // Restrict to these files' paths via a broadcast semi-join, NOT
+    // `isin(paths)`: a literal In over 10⁵-10⁶ DV-carrying paths is a
+    // planner/driver killer at scale, while a broadcast relation of the
+    // same paths is a few MB the executors hash once.
+    import spark.implicits._
+    val pathsDf = withDv.map(_.path).toDF("path")
     Some(spark.read.schema(dvSchema).parquet(dirs: _*)
-      .filter(col("path").isin(paths: _*)))
+      .join(broadcast(pathsDf), Seq("path"), "left_semi"))
   }
 
   /** Scan `files` with existing DVs applied AND per-row provenance exposed:
@@ -129,8 +156,11 @@ object DeletionVectors {
       case None => df
       case Some(dv) =>
         val prefix = tableDirPrefix(log)
-        val f = substring_index(col("_metadata.file_path"), prefix, -1)
-        df.join(dv, f === dv("path") && col("_metadata.row_index") === dv("pos"),
+        // bind _metadata to df's side explicitly — the DV frame is itself a
+        // parquet read and exposes its own _metadata (ambiguous otherwise)
+        val meta = df.metadataColumn("_metadata")
+        val f = substring_index(meta.getField("file_path"), prefix, -1)
+        df.join(dv, f === dv("path") && meta.getField("row_index") === dv("pos"),
             "left_anti")
           .select(df.columns.map(col).toSeq: _*)
     }

@@ -170,8 +170,19 @@ final class DeltaLog private (
       val adds = DistributedReplay.prunedAddActions(this, version = Some(cp.version))
       Snapshot.replay(Snapshot(), nonAdd.iterator ++ adds.iterator, cp.version)
     } else
-      Snapshot.replay(
-        Snapshot(), Checkpoints.read(spark, checkpointPaths(cp)).iterator, cp.version)
+      replayCheckpointActions(Checkpoints.read(spark, checkpointPaths(cp)), cp.version)
+
+  /** Checkpoint rows arrive in arbitrary order (multi-part files, parquet
+    * row-group scatter), but [[Snapshot.replay]] is order-sensitive:
+    * remove(F) after add(F) drops the file. Checkpoints written before the
+    * round-6 superseded-tombstone filter may carry a tombstone for a path
+    * that is also active (DV re-adds), so replay non-adds first — a
+    * checkpoint is a state dump, and an add row always denotes an ACTIVE
+    * file in that state. */
+  private def replayCheckpointActions(acts: Seq[Action], version: Long): Snapshot = {
+    val (adds, nonAdds) = acts.partition(_.isInstanceOf[AddAction])
+    Snapshot.replay(Snapshot(), (nonAdds ++ adds).iterator, version)
+  }
 
   private def contiguousFrom(versions: Seq[Long], after: Long): Seq[Long] =
     versions.headOption match {
@@ -191,7 +202,7 @@ final class DeltaLog private (
       throw new VersionNotFoundException(version, tablePath.toString)
     var snap = cp match {
       case Some(c) =>
-        Snapshot.replay(Snapshot(), Checkpoints.read(spark, checkpointPaths(c)).iterator, c.version)
+        replayCheckpointActions(Checkpoints.read(spark, checkpointPaths(c)), c.version)
       case None => Snapshot()
     }
     versions.filter(v => v > snap.version && v <= version).foreach { v =>

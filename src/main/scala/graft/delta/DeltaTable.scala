@@ -95,6 +95,13 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
   /** Commit provenance, newest last. */
   def history: Seq[JsonNode] = snapshot.commitInfos
 
+  /** Row-level Change Data Feed over `(startVersion, endVersion]` — table
+    * columns + `_change_type` + `_commit_version`. Requires the DML commits
+    * in range to have been made with `delta.enableChangeDataFeed=true`.
+    * SQL twin: `graft_table_changes('/path', start[, end])`. */
+  def changes(startVersion: Long, endVersion: Long): org.apache.spark.sql.DataFrame =
+    ChangeDataFeed.readChanges(log.spark, log, startVersion, endVersion)
+
   /** Delete expired tombstoned files — `vacuum` (`rust/src/delta.rs:920-969`).
     *
     * The retention floor — and the default when `retentionHours` is omitted
@@ -126,6 +133,16 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     val expired = snapshot.tombstones
       .filter(_.deletionTimestamp < cutoff).map(_.path).toSet
     val active = snapshot.files.map(_.path).toSet
+
+    // deletion-vector directories: hidden from the file walk by the
+    // underscore rule, reclaimed through their own tombstones (written by
+    // the superseding commit, DeletionVectors.supersededDirTombstones).
+    // Guarded against any live Add still pointing at the dir.
+    val liveDvDirs = snapshot.files.flatMap(DeletionVectors.dvPath).toSet
+    val dvDirPrefix = DeletionVectors.Dir + "/"
+    val expiredDvDirs = expired
+      .filter(p => p.startsWith(dvDirPrefix) && !liveDvDirs.contains(p))
+      .toSeq.sorted
 
     def isHidden(rel: String): Boolean =
       rel.split('/').exists { seg =>
@@ -160,8 +177,11 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
       } else {
         result.foreach(rel => fs.delete(new Path(log.tablePath, rel), false))
       }
+      // DV dirs are few (one per superseded DML commit) — recursive driver
+      // deletes; each dir holds a handful of parquet parts
+      expiredDvDirs.foreach(rel => fs.delete(new Path(log.tablePath, rel), true))
     }
-    result
+    (result ++ expiredDvDirs).sorted
   }
 
   /** Rewind the table's live state to `version` with one forward commit —
@@ -185,6 +205,18 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
       throw new IllegalStateException(s"table ${log.tablePath} has no metadata"))
     val txn = log.startTransaction()
     txn.addAction(md.copy(configuration = md.configuration ++ props))
+    // Enabling deletion vectors breaks foreign readers SILENTLY (they don't
+    // know the graft tag extension and would resurrect deleted rows), so the
+    // same commit bumps minReaderVersion to 3 — the table-features protocol
+    // floor, which spec-compliant readers refuse without an advertised
+    // feature list. Readers of THIS engine ignore the bump (replay is
+    // version-tolerant); interop-readability returns once OPTIMIZE purges
+    // the vectors AND the protocol is manually lowered.
+    if (props.get(TableConfig.EnableDeletionVectors).exists(_.trim.equalsIgnoreCase("true"))
+        && snap.minReaderVersion < 3)
+      txn.addAction(ProtocolAction(
+        minReaderVersion = 3,
+        minWriterVersion = math.max(snap.minWriterVersion, 2)))
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", System.currentTimeMillis())
     info.put("operation", "SET TBLPROPERTIES")

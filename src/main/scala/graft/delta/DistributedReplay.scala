@@ -92,7 +92,8 @@ object DistributedReplay {
       case dfs => dfs.reduce(_ unionByName _)
     }
 
-    // last-writer-wins per path: order by (version, remove-beats-add on tie)
+    // last-writer-wins per path: order by (version, add-beats-remove on tie
+    // — same-commit DV re-adds leave the re-added file active)
     all
       .withColumn("ord", struct(col("version"), when(col("isAdd"), 1).otherwise(0)))
       .groupBy("path")

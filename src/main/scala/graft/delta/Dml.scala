@@ -67,12 +67,23 @@ object Dml {
     if (affected.isEmpty) return DmlMetrics(0, 0, snap.version)
     val rowsDeleted = counts.values.sum
 
+    // CDF: the DV'd-out rows ARE the delete images — one extra pass over
+    // the affected files only, same contract as the copy-on-write path
+    val cdcActions =
+      if (!ChangeDataFeed.enabled(snap)) Nil
+      else ChangeDataFeed.stage(spark, log,
+        DeletionVectors.scanWithPos(spark, log, snap, affected.map(_._1))
+          .filter(coalesce(predicate, lit(false)))
+          .select(snap.schema.fieldNames.map(col).toSeq: _*)
+          .withColumn(ChangeDataFeed.ChangeType, lit("delete")))
+
     val now = System.currentTimeMillis()
     val txn = log.startTransaction().withReadFilters(
       PartitionFilter.fromCatalyst(
         org.apache.spark.sql.graftbridge.ColumnBridge.catalystExpression(predicate),
         snap.partitionColumns))
-    commitDvReAdds(txn, affected, dvRel, now)
+    commitDvReAdds(txn, snap, affected, dvRel, now)
+    txn.addActions(cdcActions)
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", now)
     info.put("operation", "DELETE")
@@ -80,7 +91,8 @@ object Dml {
     params.put("predicate", predicate.toString)
     params.put("deletionVector", dvRel)
     params.put("numDeletedRows", rowsDeleted)
-    val version = txn.commit(Some(CommitInfoAction(info)))
+    val version = commitOrClean(spark, log, txn, Some(CommitInfoAction(info)),
+      stagedDirs = Seq(dvRel) ++ cdcActions.map(parentDir))
     DmlMetrics(affected.size, rowsDeleted, version)
   }
 
@@ -109,13 +121,23 @@ object Dml {
     val newAdds = GraftWriter.stageFiles(checked, path, snap.partitionColumns)
     val rowsUpdated = counts.values.sum
 
+    // CDF: pre-images are the matched rows as scanned, post-images the
+    // transformed copies that were just appended
+    val cdcActions =
+      if (!ChangeDataFeed.enabled(snap)) Nil
+      else ChangeDataFeed.stage(spark, log,
+        matched.withColumn(ChangeDataFeed.ChangeType, lit("update_preimage"))
+          .unionByName(updated.select(snap.schema.fieldNames.map(col).toSeq: _*)
+            .withColumn(ChangeDataFeed.ChangeType, lit("update_postimage"))))
+
     val now = System.currentTimeMillis()
     val txn = log.startTransaction().withReadFilters(
       PartitionFilter.fromCatalyst(
         org.apache.spark.sql.graftbridge.ColumnBridge.catalystExpression(predicate),
         snap.partitionColumns))
-    commitDvReAdds(txn, affected, dvRel, now)
+    commitDvReAdds(txn, snap, affected, dvRel, now)
     txn.addActions(newAdds)
+    txn.addActions(cdcActions)
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", now)
     info.put("operation", "UPDATE")
@@ -123,9 +145,32 @@ object Dml {
     params.put("predicate", predicate.toString)
     params.put("deletionVector", dvRel)
     params.put("numUpdatedRows", rowsUpdated)
-    val version = txn.commit(Some(CommitInfoAction(info)))
+    val version = commitOrClean(spark, log, txn, Some(CommitInfoAction(info)),
+      stagedDirs = Seq(dvRel) ++ cdcActions.map(parentDir))
     DmlMetrics(affected.size, rowsUpdated, version)
   }
+
+  /** Table-relative parent directory of a staged cdc file. */
+  private def parentDir(c: CdcAction): String =
+    c.path.substring(0, c.path.lastIndexOf('/'))
+
+  /** Commit, or — on ANY commit failure (conflict, abort) — delete the
+    * staged DV/CDC directories before rethrowing: they are referenced only
+    * by the failed commit's actions, invisible to vacuum (underscore-hidden)
+    * and would otherwise leak forever. */
+  private def commitOrClean(spark: SparkSession, log: DeltaLog,
+                            txn: OptimisticTransaction, info: Option[CommitInfoAction],
+                            stagedDirs: Seq[String]): Long =
+    try txn.commit(info)
+    catch {
+      case e: Throwable =>
+        val fs = log.tablePath.getFileSystem(spark.sessionState.newHadoopConf())
+        stagedDirs.distinct.foreach { rel =>
+          try fs.delete(new org.apache.hadoop.fs.Path(log.tablePath, rel), true)
+          catch { case _: Exception => () }
+        }
+        throw e
+    }
 
   /** Write the predicate's matched positions as a DV directory and return
     * (affected Adds with their NEW per-file total cardinality, relative DV
@@ -181,10 +226,12 @@ object Dml {
     (affected.map(a => a -> totals(a.path)), dvRel, newCounts)
   }
 
-  /** remove + re-add each affected file with its DV pointer tags. */
-  private def commitDvReAdds(txn: OptimisticTransaction,
+  /** remove + re-add each affected file with its DV pointer tags; DV
+    * directories left unreferenced by the re-point are tombstoned for
+    * vacuum. */
+  private def commitDvReAdds(txn: OptimisticTransaction, snap: Snapshot,
                              affected: Seq[(AddAction, Long)],
-                             dvRel: String, now: Long): Unit =
+                             dvRel: String, now: Long): Unit = {
     affected.foreach { case (f, totalCard) =>
       txn.addAction(RemoveAction(
         path = f.path, deletionTimestamp = now, dataChange = true,
@@ -195,6 +242,9 @@ object Dml {
         (DeletionVectors.CardTag -> totalCard.toString)
       txn.addAction(f.copy(dataChange = true, tags = Some(tags)))
     }
+    txn.addActions(DeletionVectors.supersededDirTombstones(
+      snap, affected.map(_._1), now))
+  }
 
   private def rewrite(spark: SparkSession, path: String, predicate: Column,
                       operation: String,
@@ -285,6 +335,7 @@ object Dml {
       path = f.path, deletionTimestamp = now, dataChange = true,
       extendedFileMetadata = Some(true),
       partitionValues = Some(f.partitionValues), size = Some(f.size))))
+    txn.addActions(DeletionVectors.supersededDirTombstones(snap, affected, now))
     txn.addActions(adds)
     txn.addActions(cdcActions)
     val info = ActionCodec.mapper.createObjectNode()
@@ -293,7 +344,8 @@ object Dml {
     val params = info.putObject("operationParameters")
     params.put("predicate", predicate.toString)
     params.put("numFilesRewritten", affected.size)
-    val version = txn.commit(Some(CommitInfoAction(info)))
+    val version = commitOrClean(spark, log, txn, Some(CommitInfoAction(info)),
+      stagedDirs = cdcActions.map(parentDir))
     DmlMetrics(affected.size, rowsAffected, version)
   }
 

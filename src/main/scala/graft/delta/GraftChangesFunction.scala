@@ -68,3 +68,33 @@ object GraftChangesFunction {
       new ExpressionInfo(getClass.getName, "graft_changes"),
       build)
 }
+
+/** `SELECT * FROM graft_table_changes('/path', startVersion[, endVersion])`
+  * — the ROW-level Change Data Feed (table columns + `_change_type` +
+  * `_commit_version`), served by [[ChangeDataFeed.readChanges]]. Requires
+  * the table's DML commits to carry change data
+  * (`delta.enableChangeDataFeed=true` at DML time); contrast with
+  * [[GraftChangesFunction]], the file-level feed that needs no capture. */
+object GraftTableChangesFunction {
+
+  private def build(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size >= 2 && exprs.size <= 3 && exprs.forall(_.foldable),
+      "graft_table_changes expects (path, startVersion[, endVersion]) constant arguments")
+    val path = String.valueOf(exprs.head.eval(null))
+    val startV = String.valueOf(exprs(1).eval(null)).toLong
+    val spark = SparkSession.active
+    val log = DeltaLog.forPath(spark, path)
+    val latest = log.update().version
+    if (latest < 0) throw new NotATableException(path)
+    val endV = exprs.lift(2).map(e => String.valueOf(e.eval(null)).toLong)
+      .getOrElse(latest)
+    require(startV <= endV && endV <= latest,
+      s"invalid version range ($startV, $endV] for table at version $latest")
+    ChangeDataFeed.readChanges(spark, log, startV, endV).queryExecution.analyzed
+  }
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("graft_table_changes"),
+      new ExpressionInfo(getClass.getName, "graft_table_changes"),
+      build)
+}

@@ -279,6 +279,29 @@ final class MergeBuilder private[delta] (
       return MergeMetrics(0, 0, 0, 0, snap.version)
     }
 
+    // change-data capture: pre/post images of updated rows, deleted rows,
+    // inserted rows — one extra execution of the join filtered to each
+    // change class, only when the table property is on (the same
+    // affected-files-only cost contract as Dml.rewrite)
+    val cdcActions =
+      if (!ChangeDataFeed.enabled(snap)) Nil
+      else {
+        val tCols = snap.schema.fields.map(f =>
+          col(s"t.`${f.name}`").cast(f.dataType).as(f.name)).toSeq
+        val ct = ChangeDataFeed.ChangeType
+        val changes = Seq(
+          joined.filter(applyUpd || applyBsUpd).select(tCols: _*)
+            .withColumn(ct, lit("update_preimage")),
+          joined.filter(applyUpd || applyBsUpd).select(outFields.toSeq: _*)
+            .withColumn(ct, lit("update_postimage")),
+          joined.filter(applyDel || applyBsDel).select(tCols: _*)
+            .withColumn(ct, lit("delete")),
+          joined.filter(isIns).select(outFields.toSeq: _*)
+            .withColumn(ct, lit("insert"))
+        ).reduce(_ unionByName _)
+        ChangeDataFeed.stage(spark, log, changes)
+      }
+
     // 4. one commit: remove rewritten files, add their replacements + inserts.
     // t-qualified partition constraints in the join condition scope the read
     // domain, letting partition-disjoint concurrent writes commute. A
@@ -295,14 +318,30 @@ final class MergeBuilder private[delta] (
       path = f.path, deletionTimestamp = now, dataChange = true,
       extendedFileMetadata = Some(true),
       partitionValues = Some(f.partitionValues), size = Some(f.size))))
+    txn.addActions(DeletionVectors.supersededDirTombstones(snap, removes, now))
     txn.addActions(adds)
+    txn.addActions(cdcActions)
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", now)
     info.put("operation", "MERGE")
     val params = info.putObject("operationParameters")
     params.put("predicate", condition.toString)
     params.put("numFilesRewritten", removes.size)
-    val version = txn.commit(Some(CommitInfoAction(info)))
+    val version =
+      try txn.commit(Some(CommitInfoAction(info)))
+      catch {
+        case e: Throwable =>
+          // staged rewrite files and CDC dirs are referenced only by the
+          // failed commit — reclaim them (vacuum never will)
+          discardStaged()
+          val fs = log.tablePath.getFileSystem(spark.sessionState.newHadoopConf())
+          cdcActions.map(c => c.path.substring(0, c.path.lastIndexOf('/')))
+            .distinct.foreach { rel =>
+              try fs.delete(new org.apache.hadoop.fs.Path(log.tablePath, rel), true)
+              catch { case _: Exception => () }
+            }
+          throw e
+      }
     MergeMetrics(removes.size, nUpd, nDel, nIns, version)
   }
 }

@@ -67,6 +67,7 @@ object Optimize {
       path = f.path, deletionTimestamp = now, dataChange = false,
       extendedFileMetadata = Some(true),
       partitionValues = Some(f.partitionValues), size = Some(f.size))))
+    txn.addActions(DeletionVectors.supersededDirTombstones(snap, oldFiles, now))
     txn.addActions(adds)
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", now)
@@ -136,6 +137,7 @@ object Optimize {
       path = f.path, deletionTimestamp = now, dataChange = false,
       extendedFileMetadata = Some(true),
       partitionValues = Some(f.partitionValues), size = Some(f.size))))
+    txn.addActions(DeletionVectors.supersededDirTombstones(snap, oldFiles, now))
     txn.addActions(adds)
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", now)

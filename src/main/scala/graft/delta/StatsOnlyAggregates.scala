@@ -119,5 +119,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectTableFunction(GraftHistoryFunction.descriptor)
     extensions.injectTableFunction(GraftDetailFunction.descriptor)
     extensions.injectTableFunction(GraftChangesFunction.descriptor)
+    extensions.injectTableFunction(GraftTableChangesFunction.descriptor)
   }
 }

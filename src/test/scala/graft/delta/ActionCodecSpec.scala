@@ -117,7 +117,13 @@ class ActionCodecSpec extends AnyFunSuite {
   }
 
   test("unknown action types are skipped (forward compatibility)") {
-    assert(ActionCodec.fromJsonLine("""{"cdc":{"path":"x"}}""").isEmpty)
+    assert(ActionCodec.fromJsonLine("""{"somethingNew":{"path":"x"}}""").isEmpty)
+  }
+
+  test("cdc actions decode with tolerant defaults") {
+    val a = ActionCodec.fromJsonLine(
+      """{"cdc":{"path":"_change_data/f.parquet","size":42,"dataChange":false}}""")
+    assert(a.contains(CdcAction("_change_data/f.parquet", 42L)))
   }
 
   test("logEntry is newline-delimited, one action per line") {

@@ -174,4 +174,43 @@ class CheckpointSpec extends AnyFunSuite with SparkTestBase {
     val snap = DeltaLog.forPath(spark, dir.toString).update()
     assert(snap.appTransactionVersion == Map("stream-1" -> 41L))
   }
+
+  test("checkpoint of a DV table drops superseded tombstones; restore keeps the file") {
+    // DV DML remove+re-adds the same path in one commit, so the snapshot has
+    // the path BOTH tombstoned and active. Checkpoint rows replay in
+    // arbitrary order — if the tombstone survived into the checkpoint, a
+    // restore could fold add(F) before remove(F) and silently lose F.
+    val dir = tempTable("cp-dv-restore").toString
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    GraftWriter.write((0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(2), dir)
+    val log0 = DeltaLog.forPath(spark, dir)
+    new DeltaTable(log0, log0.update())
+      .setProperties(Map(TableConfig.EnableDeletionVectors -> "true"))
+    Dml.delete(spark, dir, col("id") < 10)
+
+    val log = DeltaLog.forPath(spark, dir)
+    val before = log.update()
+    val dvPaths = before.files.filter(DeletionVectors.hasDv).map(_.path)
+    assert(dvPaths.nonEmpty, "precondition: DV commit re-added files")
+    assert(before.tombstones.exists(t => dvPaths.contains(t.path)),
+      "precondition: re-added path is also tombstoned in the snapshot")
+    val cp = log.checkpoint()
+
+    // written checkpoint carries NO tombstone for any active path
+    val cpDf = spark.read.parquet(log.checkpointPaths(cp).map(_.toString): _*)
+    val cpRemovePaths = cpDf.filter(col("remove").isNotNull)
+      .select("remove.path").as[String].collect().toSet
+    val cpAddPaths = cpDf.filter(col("add").isNotNull)
+      .select("add.path").as[String].collect().toSet
+    assert(cpRemovePaths.intersect(cpAddPaths).isEmpty)
+
+    // a fresh client restoring through the checkpoint sees the DV'd file
+    // active, with its tags, and the logical row count intact
+    val snap2 = DeltaLog.forPath(spark, dir).update()
+    assert(snap2.files.map(_.path).toSet == before.files.map(_.path).toSet)
+    assert(snap2.files.filter(DeletionVectors.hasDv).map(_.path).toSet == dvPaths.toSet)
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 90)
+  }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class DeletionVectorsSpec extends AnyFunSuite with SparkTestBase {
-  import LogFixtures.tempTable
+  import LogFixtures.{remove, tempTable, writeCommit}
   import spark.implicits._
 
   private def dvTable(name: String, rows: Int = 100): String = {
@@ -152,6 +152,47 @@ class DeletionVectorsSpec extends AnyFunSuite with SparkTestBase {
     val adds = DistributedReplay.prunedAddActions(log)
     assert(adds.map(DeletionVectors.cardinality).sum == 7)
     assert(adds.exists(DeletionVectors.hasDv))
+  }
+
+  test("enabling DVs bumps minReaderVersion to fence foreign readers") {
+    val dir = dvTable("dv-fence")
+    val snap = DeltaLog.forPath(spark, dir).update()
+    // a reader that doesn't know the graft DV tag extension would silently
+    // resurrect deleted rows — version 3 (table-features floor) fences it
+    assert(snap.minReaderVersion == 3)
+    assert(snap.minWriterVersion >= 2)
+    // our own replay is version-tolerant: reads keep working
+    Dml.delete(spark, dir, col("id") < 5)
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 95)
+  }
+
+  test("re-delete tombstones the superseded DV dir; vacuum reclaims it") {
+    val dir = dvTable("dv-reclaim")
+    Dml.delete(spark, dir, col("id") < 10)  // DV dir A
+    val dirA = DeltaLog.forPath(spark, dir).update()
+      .files.flatMap(DeletionVectors.dvPath).distinct
+    assert(dirA.size == 1)
+    Dml.delete(spark, dir, col("id") >= 10 && col("id") < 20) // supersedes → dir B
+    val log = DeltaLog.forPath(spark, dir)
+    val snap = log.update()
+    val liveDirs = snap.files.flatMap(DeletionVectors.dvPath).toSet
+    assert(!liveDirs.contains(dirA.head), "old dir must be fully superseded")
+    // the superseding commit tombstoned dir A
+    assert(snap.tombstones.exists(t => t.path == dirA.head && !t.dataChange))
+    // fresh tombstone: not vacuum-eligible yet
+    assert(!new DeltaTable(log, snap).vacuum(dryRun = true).contains(dirA.head))
+    // age it via a hand-written expired tombstone, then vacuum for real
+    writeCommit(java.nio.file.Paths.get(dir), snap.version + 1,
+      Seq(remove(dirA.head, ts = System.currentTimeMillis() - 169L * 3600 * 1000)))
+    val log2 = DeltaLog.forPath(spark, dir)
+    val dt2 = new DeltaTable(log2, log2.update())
+    val deleted = dt2.vacuum(retentionHours = 168, dryRun = false)
+    assert(deleted.contains(dirA.head))
+    val fs = log2.tablePath.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(log2.tablePath, dirA.head)))
+    // dir B intact, logical view unharmed
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 80)
+    assert(DeltaTable.forPath(spark, dir).toDF.filter(col("id") < 20).count() == 0)
   }
 
   test("incremental feeds skip pointer-only re-adds") {
