@@ -245,16 +245,23 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document from its distinct 3-gram-shingle set: bit i
-    * is the sign of Σ_shingles (±1 by bit i of xxhash64(shingle)). Shingle
-    * features (not unigrams) keep the hash discriminative when documents
-    * share a small vocabulary. Computed by the single-buffer
+    * is the sign of Σ_shingles (±1 by bit i of the shingle's feature hash).
+    * Shingle features (not unigrams) keep the hash discriminative when
+    * documents share a small vocabulary. Computed by the single-buffer
     * [[graft.functions.SimHashAgg]] typed aggregate (one 64-counter buffer
     * per group instead of 64 separate conditional-sum buffers) — one
-    * shuffle on the id with a 256-byte partial-agg payload. */
+    * shuffle on the id with a 256-byte partial-agg payload.
+    *
+    * The feature hash is the first 15 hex digits of md5 (60 uniform bits;
+    * bits 60-63 of the simhash are then always 0) rather than xxhash64:
+    * md5 is bit-identical in every engine, which makes the whole operator
+    * restatable as the q26 DuckDB oracle — same trade the LSH plane-hash
+    * made for q50. */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
     shingles(df, textCol, idCol)
       .groupBy(idCol)
-      .agg(graft.functions.SimHashAgg.simhash_agg(xxhash64(col("shingle"))).as("simhash"))
+      .agg(graft.functions.SimHashAgg.simhash_agg(
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long")).as("simhash"))
 
   /** SimHash near-dup pairs: band the 64-bit hash into 4×16-bit keys, join
     * on band equality (bucketed candidate generation), then filter by exact

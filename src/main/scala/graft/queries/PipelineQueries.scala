@@ -90,15 +90,26 @@ object PipelineQueries {
 
     // sequence packing: whitespace token counts → best-fit-decreasing bins
     // of 2048 tokens (per-partition pack, globally unique bin ids). Bin
-    // composition is partitioning-defined → rows-only gate + PackingSpec
-    // invariants (each doc exactly once, no bin over budget, fill > 0.9).
+    // COMPOSITION is partitioning-defined, so the gate checks the
+    // SQL-expressible invariants instead: every doc packed exactly once,
+    // token conservation, and zero multi-doc bins over budget (the oracle's
+    // literal 0 — any budget violation breaks the hash match). Bin-level
+    // detail (fill > 0.9, determinism) stays under PackingSpec.
     "q56_packing" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
         .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-      Packing.packSequences(docs, "doc_id", "n_tokens", budget = 2048, numPartitions = 8)
+      val packed = Packing.packSequences(docs, "doc_id", "n_tokens",
+        budget = 2048, numPartitions = 8)
+      val totals = packed.agg(
+        count(lit(1)).as("docs_packed"),
+        countDistinct("doc_id").as("docs_distinct"),
+        sum("n_tokens").as("tokens_packed"))
+      val overBudget = packed
         .groupBy("bin_id")
-        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
-        .orderBy("bin_id")
+        .agg(sum("n_tokens").as("bin_tokens"), count(lit(1)).as("n_docs"))
+        .agg(coalesce(sum(when(col("bin_tokens") > 2048 && col("n_docs") > 1, 1L)),
+          lit(0L)).as("over_budget_bins"))
+      totals.crossJoin(overBudget)
     },
 
     // MinHash-LSH near-dedup over the FULL document set: banded signatures →
@@ -110,8 +121,12 @@ object PipelineQueries {
     },
 
     // SimHash near-dup candidates: 4×16-bit band bucketing + Hamming filter.
+    // Oracle-checked since round 6: the md5-prefix feature hash is
+    // restatable in DuckDB, so the oracle recomputes the full simhash →
+    // band → Hamming pipeline exactly (the q50 restate-the-kernel pattern).
     "q26_simhash" -> { (s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 16)
+        .withColumn("hamming", col("hamming").cast("long"))
         .orderBy("id_a", "id_b")
     },
 
@@ -175,8 +190,12 @@ object PipelineQueries {
       MultiModal.extractMetadata(docs, "payload").orderBy("doc_id")
     },
 
-    // language-ID heuristic (rows-only: the testdata lang column is
-    // synthetic — same vocabulary for every language — so no oracle exists).
+    // language-ID heuristic. Oracle-checked since round 6: the marker-hit
+    // argmax (ties → lexicographically largest lang, Spark's greatest over
+    // (score, lang) structs) restates exactly as DuckDB list_max over the
+    // same structs. (The testdata lang COLUMN stays unusable as truth — the
+    // synthetic vocabulary is language-blind — but the operator's own
+    // semantics are now cross-engine-verified.)
     "q33_langid" -> { (s, dir) =>
       TextAnalysis.languageId(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")
@@ -197,7 +216,9 @@ object PipelineQueries {
         .orderBy("lang")
     },
 
-    // rolling-hash document fingerprint.
+    // rolling-hash document fingerprint. Oracle-checked since round 6: the
+    // base-31 mod-1e9+7 char fold restates as a DuckDB list_reduce (both
+    // engines agree on split(''), ascii, and the fold — verified).
     "q34_fingerprint" -> { (s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")
@@ -400,5 +421,66 @@ object PipelineQueries {
     // q50 is LSH-approximate on the Spark side but held to the exact
     // brute-force oracle — the gate proves the scale path loses nothing.
     "q50_embed_lsh" -> embedPairsOracle,
+
+    // full simhash → band → Hamming pipeline restated (md5-prefix feature
+    // hash is engine-independent; bit i set when the ±1 counter sum > 0)
+    "q26_simhash" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |       FROM d, UNNEST(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
+        |f AS (SELECT doc_id, CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),
+        |bits AS (SELECT doc_id, i,
+        |           SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS c
+        |         FROM f, UNNEST(generate_series(0, 63)) AS t(i) GROUP BY 1, 2),
+        |sim AS (SELECT doc_id,
+        |          CAST(SUM(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+        |        FROM bits GROUP BY doc_id),
+        |bands AS (SELECT doc_id, simhash, b, (simhash >> (b * 16)) & 65535 AS key
+        |          FROM sim, UNNEST(generate_series(0, 3)) AS t(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |                a.simhash AS ha, b.simhash AS hb
+        |         FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key
+        |                                   AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 16
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // marker-hit argmax, ties to the lexicographically largest lang —
+    // DuckDB struct comparison matches Spark greatest() over structs
+    "q33_langid" ->
+      """SELECT doc_id, (list_max([
+        |  {'score': len(list_filter(w, x -> x IN ('der','die','das','und','nicht'))), 'lang': 'de'},
+        |  {'score': len(list_filter(w, x -> x IN ('the','and','of','to','a'))), 'lang': 'en'},
+        |  {'score': len(list_filter(w, x -> x IN ('el','la','los','que','de'))), 'lang': 'es'},
+        |  {'score': len(list_filter(w, x -> x IN ('le','les','des','et','une'))), 'lang': 'fr'}
+        |])).lang AS pred_lang
+        |FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // base-31 mod-1e9+7 rolling hash over the raw characters
+    "q34_fingerprint" ->
+      """SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // packing invariants: exactly-once, token conservation, and the literal
+    // 0 over-budget count (any multi-doc bin past the budget breaks the
+    // hash match on the Spark side)
+    "q56_packing" ->
+      """SELECT CAST(count(*) AS BIGINT) AS docs_packed,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_distinct,
+        |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS tokens_packed,
+        |  CAST(0 AS BIGINT) AS over_budget_bins
+        |FROM documents""".stripMargin,
+
+    // q30 stays rows-only BY MEASUREMENT, not omission: the testdata labels
+    // are not cosine clusters (the true top-10 spans 6 of 10 labels, and
+    // one of those labels ranks 8th by centroid dot), so no sub-linear
+    // probe of this partitioning can equal brute force — an oracle would
+    // assert a property the data doesn't have. SimilaritySpec instead
+    // proves the structural invariants: full-probe IVF ≡ brute force
+    // exactly, and partial probes search only the probed clusters.
   )
 }

@@ -207,6 +207,25 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(top.map(_._1).toSeq == Seq(0L, 1L)) // cluster 0 only
   }
 
+  test("full-probe IVF equals brute force exactly on real embeddings (q30 invariant)") {
+    // the testdata labels are NOT cosine clusters (q30's documented reason
+    // for staying rows-only), but probing EVERY cluster must reduce IVF to
+    // exact search — same results, same order, same dot values
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val full = Similarity.ivfTopK(emb, "vec_id", "embedding", "label",
+      queryId = 0, k = 10, nProbe = 10).as[(Long, Long)].collect().toSeq
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queryId = 0, k = 10).as[(Long, Long)].collect().toSeq
+    assert(full == brute)
+    // a partial probe returns rows only from the probed clusters
+    val labelOf = emb.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    val partial = Similarity.ivfTopK(emb, "vec_id", "embedding", "label",
+      queryId = 0, k = 10, nProbe = 2).as[(Long, Long)].collect().toSeq
+    assert(partial.size == 10)
+    assert(partial.map(p => labelOf(p._1)).toSet.size <= 2)
+  }
+
   test("kmeans quantizer recovers separated clusters; auto-IVF matches brute force") {
     import spark.implicits._
     // two tight, well-separated clusters
