@@ -296,7 +296,13 @@ object Checkpoints {
     * same driver-side bound as the snapshot itself. (Above the distributed
     * threshold, [[DeltaLog.update]] replaces this with executor-side replay
     * + [[readNonAdd]].) */
+  /** Counts driver-side full-checkpoint reads — lets specs assert the
+    * distributed restore path never materializes a big checkpoint on the
+    * driver (EdgeCaseSpec). */
+  private[delta] val driverReads = new java.util.concurrent.atomic.AtomicLong
+
   def read(spark: SparkSession, paths: Seq[Path]): Seq[Action] = {
+    driverReads.incrementAndGet()
     val buf = mutable.Buffer[Action]()
     spark.read.parquet(paths.map(_.toString): _*).collect()
       .foreach(r => rowToAction(r).foreach(buf += _))

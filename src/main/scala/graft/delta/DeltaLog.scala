@@ -154,10 +154,14 @@ final class DeltaLog private (
   /** Checkpoints at or above this many actions restore through
     * [[DistributedReplay]] (executor-side parse + last-writer-wins) instead
     * of the driver-side row loop; the driver then collects only the
-    * resolved survivors. Tunable via `spark.graft.replay.distributedThreshold`. */
+    * resolved survivors. Tunable via `spark.graft.replay.distributedThreshold`.
+    * Default 100k: a 10⁵-action checkpoint collected driver-side is already
+    * hundreds of MB of decoded Action objects (stats strings dominate), the
+    * wrong side of the line at 100×-scale file counts — and below 10⁵ the
+    * distributed job's fixed overhead isn't worth it. */
   private def distributedReplayThreshold: Long =
     spark.conf.getOption(DeltaLog.DistributedThresholdKey)
-      .map(_.toLong).getOrElse(500000L)
+      .map(_.toLong).getOrElse(100000L)
 
   /** Cold-start checkpoint restore, auto-routed by size: large checkpoints
     * replay on the executors (adds via [[DistributedReplay.activeFiles]],
@@ -339,8 +343,20 @@ object DeltaLog {
   private val CheckpointPartRe: Regex =
     """^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$""".r
 
+  /** Session conf naming a [[LogStoreFactory]] class; when set, every
+    * DeltaLog (and therefore every write path — GraftWriter, DML, MERGE,
+    * checkpoints) routes its log I/O through the factory's store. This is
+    * how an object-store deployment swaps in [[ObjectStoreLogStore]]. */
+  val LogStoreFactoryKey = "spark.graft.logStore.factory"
+
   def forPath(spark: SparkSession, path: String): DeltaLog = {
     val p = new Path(path)
-    new DeltaLog(spark, p, new HadoopLogStore(spark.sessionState.newHadoopConf()))
+    val store = spark.conf.getOption(LogStoreFactoryKey) match {
+      case Some(cls) =>
+        Class.forName(cls).getDeclaredConstructor().newInstance()
+          .asInstanceOf[LogStoreFactory].create(spark, p)
+      case None => new HadoopLogStore(spark.sessionState.newHadoopConf())
+    }
+    new DeltaLog(spark, p, store)
   }
 }

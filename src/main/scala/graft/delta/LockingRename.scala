@@ -42,7 +42,8 @@ object LockingRename {
     override def unsafeRename(src: Path, dst: Path): Unit = {
       if (store.exists(dst)) throw new FileAlreadyExistsException(dst.toString)
       if (!store.exists(src)) throw new FileNotFoundException(src.toString)
-      store.write(dst, store.read(src))
+      // byte-exact: checkpoint parquet renames through this seam too
+      store.writeBytes(dst, store.readBytes(src))
       store.delete(src)
     }
   }

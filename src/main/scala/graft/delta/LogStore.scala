@@ -33,6 +33,13 @@ trait LogStore {
     * `_last_checkpoint`). */
   def write(path: Path, content: String): Unit
 
+  /** Byte-exact read/write — checkpoint parquet moves through the rename
+    * seam too, so a copy path must never round-trip through text. */
+  def readBytes(path: Path): Array[Byte] =
+    read(path).getBytes(StandardCharsets.UTF_8)
+  def writeBytes(path: Path, bytes: Array[Byte]): Unit =
+    write(path, new String(bytes, StandardCharsets.UTF_8))
+
   /** Move `src` to `dst` atomically, failing with
     * [[VersionAlreadyExists]]-able `FileAlreadyExistsException` when `dst`
     * exists. Mirrors `rename_obj_noreplace`
@@ -108,7 +115,58 @@ final class HadoopLogStore(conf: Configuration) extends LogStore {
         throw new IOException(s"rename $src -> $dst failed")
     }
 
+  override def readBytes(path: Path): Array[Byte] = {
+    val in = fs(path).open(path)
+    try in.readAllBytes()
+    finally in.close()
+  }
+
+  override def writeBytes(path: Path, bytes: Array[Byte]): Unit = {
+    val out = fs(path).create(path, true)
+    try out.write(bytes)
+    finally out.close()
+  }
+
   override def delete(path: Path): Unit = fs(path).delete(path, false)
 
   override def mkdirs(dir: Path): Unit = fs(dir).mkdirs(dir)
+}
+
+/** Seam for [[DeltaLog.forPath]]'s store selection, named by the session
+  * conf `spark.graft.logStore.factory` (a zero-arg-constructible class):
+  * the hook through which an object-store deployment swaps in a
+  * lock-backed store ([[ObjectStoreLogStore]]) without touching callers —
+  * the role of the reference's `parse_uri` scheme dispatch
+  * (`rust/src/storage/mod.rs:141-192`). */
+trait LogStoreFactory {
+  def create(spark: org.apache.spark.sql.SparkSession, tablePath: Path): LogStore
+}
+
+/** LogStore for object stores WITHOUT an atomic create-new rename (the
+  * S3-class case): every operation delegates to `inner` except
+  * [[renameNoReplace]], which runs the non-atomic copy+delete under the
+  * distributed lease with crash repair ([[LockingRename]]) — the
+  * composition the reference ships as S3StorageBackend + DynamoDB lock
+  * (`rust/src/storage/s3/mod.rs:373-398,495-549`). Commit linearization:
+  * the copy's destination-exists check under the lease surfaces
+  * FileAlreadyExistsException, which [[OptimisticTransaction]] already
+  * treats as a version conflict and retries. */
+final class ObjectStoreLogStore(inner: LogStore, client: LockClient)
+    extends LogStore {
+
+  private val ops = new LockingRename.StoreRenameOps(inner)
+
+  override def renameNoReplace(src: Path, dst: Path): Unit =
+    LockingRename.rename(ops, client, src, dst)
+
+  override def list(dir: Path): Seq[FileStatus] = inner.list(dir)
+  override def exists(path: Path): Boolean = inner.exists(path)
+  override def fileStatus(path: Path): FileStatus = inner.fileStatus(path)
+  override def read(path: Path): String = inner.read(path)
+  override def write(path: Path, content: String): Unit = inner.write(path, content)
+  override def readBytes(path: Path): Array[Byte] = inner.readBytes(path)
+  override def writeBytes(path: Path, bytes: Array[Byte]): Unit =
+    inner.writeBytes(path, bytes)
+  override def delete(path: Path): Unit = inner.delete(path)
+  override def mkdirs(dir: Path): Unit = inner.mkdirs(dir)
 }

@@ -358,6 +358,24 @@ object DeltaQueries {
         .orderBy("l_orderkey", "l_linenumber", "qty", "l_returnflag")
     },
 
+    // Change Data Feed end-to-end: enable capture, UPDATE, read the
+    // row-level feed back (pre/post images from `_change_data` via
+    // readChanges) — oracle recomputes both images from the source rows.
+    // Versions: 0 = create, 1 = SET TBLPROPERTIES, 2 = the UPDATE.
+    "q64_cdf" -> { (s, dir) =>
+      val t = freshDir("cdf")
+      GraftWriter.write(li(s, dir).filter(col("l_orderkey") < 1000), t)
+      DeltaTable.forPath(s, t)
+        .setProperties(Map(TableConfig.EnableChangeDataFeed -> "true"))
+      Dml.update(s, t, col("l_returnflag") === "R",
+        Map("l_quantity" -> (col("l_quantity") + 100.0)))
+      DeltaTable.forPath(s, t).changes(1, 2)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_quantity").cast("decimal(18,6)") * 1000000).cast("long").as("qty"),
+          col("l_returnflag"), col("_change_type"), col("_commit_version"))
+        .orderBy("_change_type", "l_orderkey", "l_linenumber", "qty")
+    },
+
     // stats-based file skipping (D4): two disjoint-range commits; the
     // predicate-matching read must prune to one file set via Add.stats
     // before Spark lists anything.
@@ -438,6 +456,21 @@ object DeltaQueries {
         |l_returnflag
         |FROM lineitem WHERE l_orderkey < 1000
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q64_cdf" ->
+      """WITH m AS (SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |           FROM lineitem WHERE l_orderkey < 1000 AND l_returnflag = 'R')
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS qty,
+        |  l_returnflag, 'update_preimage' AS _change_type,
+        |  CAST(2 AS BIGINT) AS _commit_version
+        |FROM m
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_quantity + 100 AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS qty,
+        |  l_returnflag, 'update_postimage' AS _change_type,
+        |  CAST(2 AS BIGINT) AS _commit_version
+        |FROM m
+        |ORDER BY _change_type, l_orderkey, l_linenumber, qty""".stripMargin,
     "q49_schema_evolution" ->
       """SELECT l_orderkey, l_linenumber,
         |CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS qty,

@@ -39,6 +39,28 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTestBase {
       new DeltaTable(DeltaLog.forPath(spark, dir), driver).toDF.count())
   }
 
+  test("above-threshold restore never materializes the checkpoint on the driver") {
+    val dir = tempTable("edge-dist-nodriver").toString
+    GraftWriter.write((0 until 40).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(4), dir)
+    (1 to 5).foreach(i => GraftWriter.write(
+      Seq((100L + i, s"a$i")).toDF("id", "v"), dir, SaveMode.Append))
+    DeltaLog.forPath(spark, dir).checkpoint()
+
+    // size ≥ threshold ⇒ the add-set resolves on the executors
+    // (DistributedReplay) + readNonAdd; Checkpoints.read (the driver-side
+    // full collect) must not run at all
+    spark.conf.set(DeltaLog.DistributedThresholdKey, "1")
+    try {
+      val before = Checkpoints.driverReads.get()
+      val snap = DeltaLog.forPath(spark, dir).update()
+      assert(Checkpoints.driverReads.get() == before,
+        "driver-side Checkpoints.read ran on an above-threshold restore")
+      assert(snap.files.nonEmpty && snap.metadata.nonEmpty)
+      assert(new DeltaTable(DeltaLog.forPath(spark, dir), snap).toDF.count() == 45)
+    } finally spark.conf.unset(DeltaLog.DistributedThresholdKey)
+  }
+
   test("null partition values round-trip as __HIVE_DEFAULT_PARTITION__") {
     val dir = tempTable("edge-nullpart").toString
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a")), (4L, None))

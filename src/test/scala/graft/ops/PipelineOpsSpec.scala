@@ -226,6 +226,21 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(partial.map(p => labelOf(p._1)).toSet.size <= 2)
   }
 
+  test("ivfTopK with persisted centroids equals the inline-computed path") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // "persist" the centroid table once (round-trips through parquet as a
+    // real serving path would), then query against it
+    val centDir = java.nio.file.Files.createTempDirectory("graft-ivf-cent-").toString
+    Similarity.centroids(emb, "embedding", "label")
+      .write.mode("overwrite").parquet(centDir)
+    val cents = spark.read.parquet(centDir)
+    val served = Similarity.ivfTopK(emb, "vec_id", "embedding", "label",
+      cents, queryId = 0, k = 10, nProbe = 10).as[(Long, Long)].collect().toSeq
+    val inline = Similarity.ivfTopK(emb, "vec_id", "embedding", "label",
+      queryId = 0, k = 10, nProbe = 10).as[(Long, Long)].collect().toSeq
+    assert(served == inline)
+  }
+
   test("kmeans quantizer recovers separated clusters; auto-IVF matches brute force") {
     import spark.implicits._
     // two tight, well-separated clusters
