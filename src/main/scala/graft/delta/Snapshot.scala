@@ -119,7 +119,13 @@ object Snapshot {
   def replay(base: Snapshot, actions: Iterator[Action], newVersion: Long): Snapshot = {
     val files = new mutable.LinkedHashMap[String, AddAction]
     base.files.foreach(a => files.put(a.path, a))
-    val tombstones = mutable.ArrayBuffer[RemoveAction](base.tombstones: _*)
+    // tombstones keyed by path, LAST remove wins: a path re-deleted every
+    // DML cycle (DV re-adds do this on purpose) must not grow the tombstone
+    // list — and therefore every future checkpoint — by one entry per
+    // cycle. Expiry then judges by the LATEST deletionTimestamp, which is
+    // also the correct vacuum semantics.
+    val tombstones = new mutable.LinkedHashMap[String, RemoveAction]
+    base.tombstones.foreach(r => tombstones.put(r.path, r))
     var metadata = base.metadata
     var minReader = base.minReaderVersion
     var minWriter = base.minWriterVersion
@@ -130,7 +136,7 @@ object Snapshot {
       case a: AddAction => files.put(a.path, a)
       case r: RemoveAction =>
         files.remove(r.path)
-        tombstones += r
+        tombstones.put(r.path, r)
       case p: ProtocolAction =>
         minReader = p.minReaderVersion
         minWriter = p.minWriterVersion
@@ -143,7 +149,7 @@ object Snapshot {
     Snapshot(
       version = newVersion,
       files = files.values.toVector,
-      tombstones = tombstones.toVector,
+      tombstones = tombstones.values.toVector,
       metadata = metadata,
       minReaderVersion = minReader,
       minWriterVersion = minWriter,

@@ -79,10 +79,24 @@ object Clustering {
           .where(col("comp") =!= col("__graft_prev"))
           .isEmpty
       }
+      val superseded = labels
       labels = next
+      dropCheckpoint(superseded) // probe above was the last read of it
     }
+    dropCheckpoint(sym) // labels' checkpoint is self-contained now
     labels
   }
+
+  /** Free a superseded eager-localCheckpoint's pinned blocks NOW instead of
+    * waiting for RDD finalization + ContextCleaner (GC-driven — on a large
+    * driver heap that can be never): a long-lived session running many
+    * clustering jobs would otherwise accumulate every iteration's blocks in
+    * the BlockManager. Best-effort: no-ops on non-checkpointed plans. */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    } catch { case _: Throwable => () }
 
   /** One survivor per duplicate family: every document keeps its component
     * (its own id when it appears in no pair), and the first row per

@@ -64,6 +64,21 @@ class DeltaLogSpec extends AnyFunSuite with SparkTestBase {
     intercept[VersionNotFoundException] { log.snapshotForVersion(99) }
   }
 
+  test("re-deleting the same path keeps ONE tombstone (latest wins)") {
+    // DV DML remove+re-adds the same path every cycle; without per-path
+    // dedup the tombstone list — and every future checkpoint — grows by
+    // one entry per cycle forever
+    val dir = tempTable("log-retombstone")
+    writeCommit(dir, 0, Seq(protocol, metaData, add("f0.parquet")))
+    writeCommit(dir, 1, Seq(remove("f0.parquet", ts = 1000L), add("f0.parquet")))
+    writeCommit(dir, 2, Seq(remove("f0.parquet", ts = 2000L), add("f0.parquet")))
+    writeCommit(dir, 3, Seq(remove("f0.parquet", ts = 3000L), add("f0.parquet")))
+    val snap = DeltaLog.forPath(spark, dir.toString).update()
+    assert(snap.files.map(_.path) == Vector("f0.parquet"))
+    assert(snap.tombstones.size == 1)
+    assert(snap.tombstones.head.deletionTimestamp == 3000L)
+  }
+
   test("simple_table golden shape: 5 active files, 31 tombstones (read_simple_table_test.rs:9-60)") {
     val dir = tempTable("simple")
     val all = (0 until 36).map(i => f"part-$i%05d.parquet")
