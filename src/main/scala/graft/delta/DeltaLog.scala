@@ -349,13 +349,35 @@ object DeltaLog {
     * how an object-store deployment swaps in [[ObjectStoreLogStore]]. */
   val LogStoreFactoryKey = "spark.graft.logStore.factory"
 
+  /** Opt-out of the object-store safety fence below — single-writer
+    * deployments only; concurrent commits can silently corrupt the log. */
+  val AllowUnsafeRenameKey = "spark.graft.logStore.allowUnsafeRename"
+
+  /** Schemes whose Hadoop FileSystem `rename` has NO create-new atomicity:
+    * two concurrent committers can both pass the exists-check and the loser
+    * silently overwrites the winner's commit. The reference refuses S3
+    * writes without its lock client (`rust/src/storage/s3/mod.rs`); this is
+    * the same fence at [[forPath]]'s scheme dispatch (the `parse_uri` role,
+    * `rust/src/storage/mod.rs:141-192`). */
+  private val NonAtomicRenameSchemes =
+    Set("s3", "s3a", "s3n", "gs", "oss", "cos", "wasb", "wasbs", "abfs", "abfss", "swift")
+
   def forPath(spark: SparkSession, path: String): DeltaLog = {
     val p = new Path(path)
     val store = spark.conf.getOption(LogStoreFactoryKey) match {
       case Some(cls) =>
         Class.forName(cls).getDeclaredConstructor().newInstance()
           .asInstanceOf[LogStoreFactory].create(spark, p)
-      case None => new HadoopLogStore(spark.sessionState.newHadoopConf())
+      case None =>
+        val scheme = Option(p.toUri.getScheme).getOrElse("file").toLowerCase
+        if (NonAtomicRenameSchemes.contains(scheme) &&
+            !spark.conf.getOption(AllowUnsafeRenameKey).exists(_.toBoolean))
+          throw new IllegalStateException(
+            s"table URI scheme '$scheme://' has no atomic create-new rename: " +
+            s"concurrent commits would corrupt the log. Configure a lock-backed " +
+            s"store via $LogStoreFactoryKey (see ObjectStoreLogStore), or — for " +
+            s"SINGLE-writer use only — set $AllowUnsafeRenameKey=true")
+        new HadoopLogStore(spark.sessionState.newHadoopConf())
     }
     new DeltaLog(spark, p, store)
   }

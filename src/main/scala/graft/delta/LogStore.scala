@@ -107,12 +107,20 @@ final class HadoopLogStore(conf: Configuration) extends LogStore {
       }
     } else {
       // Generic FS: HDFS rename has no-replace semantics for files; object
-      // stores must provide their own lock-backed implementation.
+      // stores must provide their own lock-backed implementation (enforced
+      // by DeltaLog.forPath's scheme fence).
       val f = fs(dst)
       if (f.exists(dst))
         throw new org.apache.hadoop.fs.FileAlreadyExistsException(s"destination exists: $dst")
-      if (!f.rename(src, dst))
+      if (!f.rename(src, dst)) {
+        // exists→rename is not atomic: a racer can land dst between the two
+        // calls, and HDFS signals that as `false`, not an exception — map it
+        // to the conflict type the commit loop retries on
+        if (f.exists(dst))
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+            s"destination exists (lost rename race): $dst")
         throw new IOException(s"rename $src -> $dst failed")
+      }
     }
 
   override def readBytes(path: Path): Array[Byte] = {

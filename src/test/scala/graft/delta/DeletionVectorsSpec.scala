@@ -195,6 +195,21 @@ class DeletionVectorsSpec extends AnyFunSuite with SparkTestBase {
     assert(DeltaTable.forPath(spark, dir).toDF.filter(col("id") < 20).count() == 0)
   }
 
+  test("DV read plan: path restriction is a broadcast join, not an In literal") {
+    val dir = dvTable("dv-planshape")
+    Dml.delete(spark, dir, col("id") < 10)
+    val df = DeltaTable.forPath(spark, dir).toDF
+    assert(df.count() == 90) // materialize with AQE final plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the anti-join subtracts DV rows; the DV frame restricts its paths via
+    // a broadcast semi-join — an `In`-literal over 10⁵⁺ paths would be a
+    // planner/driver killer at scale
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected a broadcast join in the DV plan:\n$plan")
+    assert(!plan.contains("path#") || !plan.contains(" IN ("),
+      "DV path restriction regressed to an In-literal")
+  }
+
   test("incremental feeds skip pointer-only re-adds") {
     val dir = dvTable("dv-feed")
     val v0 = DeltaLog.forPath(spark, dir).update().version

@@ -71,6 +71,22 @@ class ObjectStoreSeamSpec extends AnyFunSuite with SparkTestBase {
   private def commitJson(appId: String): String =
     s"""{"txn":{"appId":"$appId","version":7}}"""
 
+  test("s3a:// without a lock-backed store is refused at forPath (safety fence)") {
+    val e = intercept[IllegalStateException] {
+      DeltaLog.forPath(spark, "s3a://bucket/table")
+    }
+    assert(e.getMessage.contains(DeltaLog.LogStoreFactoryKey))
+    // explicit single-writer opt-out lifts the fence (construction only —
+    // no I/O happens until the log is read)
+    spark.conf.set(DeltaLog.AllowUnsafeRenameKey, "true")
+    try assert(DeltaLog.forPath(spark, "s3a://bucket/table") != null)
+    finally spark.conf.unset(DeltaLog.AllowUnsafeRenameKey)
+    // a configured factory also lifts it
+    withLockedStore {
+      assert(DeltaLog.forPath(spark, "s3a://bucket/table") != null)
+    }
+  }
+
   test("crashed before staging: repair tolerates NotFound, commit proceeds") {
     withLockedStore {
       val dir = tempTable("oss-notfound").toString
