@@ -146,7 +146,8 @@ object Dml {
     params.put("deletionVector", dvRel)
     params.put("numUpdatedRows", rowsUpdated)
     val version = commitOrClean(spark, log, txn, Some(CommitInfoAction(info)),
-      stagedDirs = Seq(dvRel) ++ cdcActions.map(parentDir))
+      stagedDirs = Seq(dvRel) ++ cdcActions.map(parentDir),
+      stagedAdds = newAdds)
     DmlMetrics(affected.size, rowsUpdated, version)
   }
 
@@ -155,12 +156,14 @@ object Dml {
     c.path.substring(0, c.path.lastIndexOf('/'))
 
   /** Commit, or — on ANY commit failure (conflict, abort) — delete the
-    * staged DV/CDC directories before rethrowing: they are referenced only
-    * by the failed commit's actions, invisible to vacuum (underscore-hidden)
-    * and would otherwise leak forever. */
+    * staged DV/CDC directories and staged rewrite files before rethrowing:
+    * they are referenced only by the failed commit's actions, invisible to
+    * vacuum (underscore-hidden dirs / never-tombstoned files) and would
+    * otherwise leak forever. */
   private def commitOrClean(spark: SparkSession, log: DeltaLog,
                             txn: OptimisticTransaction, info: Option[CommitInfoAction],
-                            stagedDirs: Seq[String]): Long =
+                            stagedDirs: Seq[String],
+                            stagedAdds: Seq[AddAction] = Nil): Long =
     try txn.commit(info)
     catch {
       case e: Throwable =>
@@ -169,6 +172,9 @@ object Dml {
           try fs.delete(new org.apache.hadoop.fs.Path(log.tablePath, rel), true)
           catch { case _: Exception => () }
         }
+        if (stagedAdds.nonEmpty)
+          try GraftWriter.discardStaged(spark, log.tablePath.toString, stagedAdds)
+          catch { case _: Exception => () }
         throw e
     }
 
@@ -345,7 +351,7 @@ object Dml {
     params.put("predicate", predicate.toString)
     params.put("numFilesRewritten", affected.size)
     val version = commitOrClean(spark, log, txn, Some(CommitInfoAction(info)),
-      stagedDirs = cdcActions.map(parentDir))
+      stagedDirs = cdcActions.map(parentDir), stagedAdds = adds)
     DmlMetrics(affected.size, rowsAffected, version)
   }
 

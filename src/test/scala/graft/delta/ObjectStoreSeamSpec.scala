@@ -38,6 +38,41 @@ final class TestObjectStoreFactory extends LogStoreFactory {
   }
 }
 
+/** Factory injecting a hard failure into the commit rename for versions ≥
+  * [[FailingRenameFactory.failFromVersion]] on scoped tables — the
+  * deterministic stand-in for "the commit could not land" (network death,
+  * store outage), used to prove staged-artifact reclamation. */
+object FailingRenameFactory {
+  @volatile var failFromVersion: Long = Long.MaxValue
+  val PathScope = "graft-failrename"
+}
+final class FailingRenameFactory extends LogStoreFactory {
+  override def create(spark: SparkSession, tablePath: Path): LogStore = {
+    val hadoop = new HadoopLogStore(spark.sessionState.newHadoopConf())
+    if (!tablePath.toString.contains(FailingRenameFactory.PathScope)) hadoop
+    else new LogStore {
+      private val VersionRe = """^(\d{20})\.json$""".r
+      override def renameNoReplace(src: Path, dst: Path): Unit = {
+        dst.getName match {
+          case VersionRe(v) if v.toLong >= FailingRenameFactory.failFromVersion =>
+            throw new RuntimeException(s"injected rename failure for $dst")
+          case _ => ()
+        }
+        hadoop.renameNoReplace(src, dst)
+      }
+      override def list(dir: Path) = hadoop.list(dir)
+      override def exists(path: Path) = hadoop.exists(path)
+      override def fileStatus(path: Path) = hadoop.fileStatus(path)
+      override def read(path: Path) = hadoop.read(path)
+      override def write(path: Path, content: String) = hadoop.write(path, content)
+      override def readBytes(path: Path) = hadoop.readBytes(path)
+      override def writeBytes(path: Path, bytes: Array[Byte]) = hadoop.writeBytes(path, bytes)
+      override def delete(path: Path) = hadoop.delete(path)
+      override def mkdirs(dir: Path) = hadoop.mkdirs(dir)
+    }
+  }
+}
+
 /** End-to-end proof of the object-store seam (VERDICT r5 "What's missing"
   * #1): the REAL write path (GraftWriter → OptimisticTransaction →
   * LogStore) on a store whose rename is copy+delete, including every crash
@@ -169,6 +204,47 @@ class ObjectStoreSeamSpec extends AnyFunSuite with SparkTestBase {
       assert(DeltaTable.forPath(spark, dir).toDF.count() == 7)
       assert(ObjectStoreSeamFixture.backend.get().isEmpty, "no lease leaked")
     }
+  }
+
+  test("failed DV+CDF commit reclaims its staged DV, CDC, and rewrite files") {
+    spark.conf.set(DeltaLog.LogStoreFactoryKey, classOf[FailingRenameFactory].getName)
+    try {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"${FailingRenameFactory.PathScope}-").toString
+      import org.apache.spark.sql.functions.col
+      GraftWriter.write((0 until 50).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartition(2), dir)                                    // v0
+      DeltaTable.forPath(spark, dir).setProperties(Map(
+        TableConfig.EnableDeletionVectors -> "true",
+        TableConfig.EnableChangeDataFeed -> "true"))             // v1 (+protocol)
+      val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      def dirCount(rel: String): Int = {
+        val p = new Path(dir, rel)
+        if (!fs.exists(p)) 0 else fs.listStatus(p).length
+      }
+
+      FailingRenameFactory.failFromVersion = 2 // every DML commit now dies
+      try {
+        val e1 = intercept[RuntimeException] {
+          Dml.delete(spark, dir, col("id") < 10)
+        }
+        assert(e1.getMessage.contains("injected"))
+        assert(dirCount(DeletionVectors.Dir) == 0, "staged DV dir leaked")
+        assert(dirCount(ChangeDataFeed.Dir) == 0, "staged CDC dir leaked")
+
+        val e2 = intercept[RuntimeException] {
+          Dml.update(spark, dir, col("id") === 5L, Map("v" -> org.apache.spark.sql.functions.lit("X")))
+        }
+        assert(e2.getMessage.contains("injected"))
+        assert(dirCount(DeletionVectors.Dir) == 0)
+        assert(dirCount(ChangeDataFeed.Dir) == 0)
+      } finally FailingRenameFactory.failFromVersion = Long.MaxValue
+
+      // table unharmed and still writable once the store recovers
+      assert(DeltaTable.forPath(spark, dir).toDF.count() == 50)
+      Dml.delete(spark, dir, col("id") < 10)
+      assert(DeltaTable.forPath(spark, dir).toDF.count() == 40)
+    } finally spark.conf.unset(DeltaLog.LogStoreFactoryKey)
   }
 
   test("checkpoint parquet renames byte-exactly through the locked store") {
