@@ -61,6 +61,11 @@ object ChangeDataFeed {
       org.apache.spark.sql.types.StructField(CommitVersion, LongType, nullable = false))
     def abs(rel: String) = new Path(log.tablePath, rel).toString
 
+    // `prior` tracks table state BEFORE the current version, initialized
+    // lazily on the first remove-only commit and advanced incrementally
+    // thereafter — one O(log) replay total, not one per remove-only
+    // version (a truncate-heavy feed would otherwise be O(V²))
+    var prior: Option[Snapshot] = None
     val pairs: Seq[DataFrame] = log.listCommitVersions()
       .filter(v => v > startV && v <= endV)
       .flatMap { v =>
@@ -80,10 +85,11 @@ object ChangeDataFeed {
           else if (removes.nonEmpty && adds.isEmpty) {
             // rows already DV'd out of a removed file were reported deleted
             // by the DV commit — don't re-report them here
-            val prior = log.snapshotForVersion(v - 1)
+            val p = prior.getOrElse(log.snapshotForVersion(v - 1))
+            prior = Some(p) // pin: advanced below, reused by later versions
             val removedPaths = removes.map(_.path).toSet
-            val removedAdds = prior.files.filter(a => removedPaths.contains(a.path))
-            Some(DeletionVectors.filterDeleted(spark, log, prior, removedAdds,
+            val removedAdds = p.files.filter(a => removedPaths.contains(a.path))
+            Some(DeletionVectors.filterDeleted(spark, log, p, removedAdds,
               fileRows(removes.map(_.path), "delete")))
           }
           else if (adds.isEmpty && removes.isEmpty) None
@@ -91,6 +97,7 @@ object ChangeDataFeed {
             s"table ${log.tablePath} version $v rewrote files without " +
             "change data (committed before capture was enabled?); the " +
             "change feed cannot reconstruct row-level changes from a rewrite")
+        prior = prior.map(p => Snapshot.replay(p, actions.iterator, v))
         base.map(_.withColumn(CommitVersion, lit(v)))
       }
     pairs match {

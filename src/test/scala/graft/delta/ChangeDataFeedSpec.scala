@@ -107,18 +107,27 @@ class ChangeDataFeedSpec extends AnyFunSuite with SparkTestBase {
     Dml.delete(spark, dir, col("id") < 10) // 10 rows DV'd out
     val log = DeltaLog.forPath(spark, dir)
     val snap = log.update()
-    // pure-remove commit (TRUNCATE shape): drop every file
-    val now = System.currentTimeMillis()
-    val txn = log.startTransaction()
-    snap.files.foreach(f => txn.addAction(RemoveAction(
-      path = f.path, deletionTimestamp = now, dataChange = true,
-      extendedFileMetadata = Some(true),
-      partitionValues = Some(f.partitionValues), size = Some(f.size))))
-    val v = txn.commit()
-    val ch = changesAt(dir, v)
-    // 90 live rows deleted — the 10 DV'd rows were reported by THEIR commit
+    // TWO pure-remove commits (staged TRUNCATE shape) — also exercises the
+    // incrementally-advanced prior snapshot in readChanges
+    def dropFiles(files: Seq[AddAction]): Long = {
+      val now = System.currentTimeMillis()
+      val txn = DeltaLog.forPath(spark, dir).startTransaction()
+      files.foreach(f => txn.addAction(RemoveAction(
+        path = f.path, deletionTimestamp = now, dataChange = true,
+        extendedFileMetadata = Some(true),
+        partitionValues = Some(f.partitionValues), size = Some(f.size))))
+      txn.commit()
+    }
+    val (firstHalf, rest) = snap.files.splitAt(1)
+    val v1 = dropFiles(firstHalf)
+    val v2 = dropFiles(rest)
+    // 90 live rows deleted across the two commits — the 10 DV'd rows were
+    // reported by THEIR commit, not re-reported here
+    val ch = DeltaTable.forPath(spark, dir).changes(v1 - 1, v2)
     assert(ch.count() == 90)
     assert(ch.filter(col("id") < 10).count() == 0)
+    assert(ch.select(ChangeDataFeed.CommitVersion).distinct().as[Long]
+      .collect().toSet == Set(v1, v2))
   }
 
   test("graft_table_changes TVF serves the row-level feed through SQL") {
