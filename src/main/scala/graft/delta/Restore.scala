@@ -37,14 +37,23 @@ object Restore {
       return RestoreMetrics(0, 0, current.version)
     val target = log.snapshotForVersion(version) // throws VersionNotFoundException
 
-    val currentPaths = current.files.map(_.path).toSet
+    val currentByPath = current.files.map(a => a.path -> a).toMap
     val targetPaths = target.files.map(_.path).toSet
-    val toAdd = target.files.filterNot(f => currentPaths.contains(f.path))
+    // re-add when the path is absent OR its Add ENTRY differs — a DV DML
+    // re-adds the same path with different tags, and a path-only diff would
+    // leave the CURRENT deletion vector in place, silently keeping rows
+    // deleted that the target version still had (re-committing an add for
+    // an existing path replaces it: last-add-wins)
+    val toAdd = target.files.filter(f => !currentByPath.get(f.path).contains(f))
     val toRemove = current.files.filterNot(f => targetPaths.contains(f.path))
 
     val fs = log.tablePath.getFileSystem(spark.sessionState.newHadoopConf())
-    val missing = GraftWriter.inDriverPool(toAdd)(a =>
-      if (fs.exists(new Path(log.tablePath, a.path))) None else Some(a.path)).flatten
+    // both the data files AND any deletion-vector dirs the target's adds
+    // point at must still exist (either may have been vacuumed)
+    val probePaths = toAdd.map(_.path) ++
+      toAdd.flatMap(DeletionVectors.dvPath).distinct
+    val missing = GraftWriter.inDriverPool(probePaths)(p =>
+      if (fs.exists(new Path(log.tablePath, p))) None else Some(p)).flatten
     if (missing.nonEmpty)
       throw new RestoreException(
         s"cannot restore $path to version $version: ${missing.size} data " +

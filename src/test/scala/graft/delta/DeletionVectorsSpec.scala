@@ -210,6 +210,26 @@ class DeletionVectorsSpec extends AnyFunSuite with SparkTestBase {
       "DV path restriction regressed to an In-literal")
   }
 
+  test("restore to a pre-delete version resurrects DV'd rows (tag-aware diff)") {
+    val dir = dvTable("dv-restore")
+    val preDelete = DeltaLog.forPath(spark, dir).update().version
+    val m = Dml.delete(spark, dir, col("id") < 10)
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 90)
+
+    // a path-only diff would see identical path sets and restore NOTHING,
+    // silently keeping the deletion; the tag-aware diff re-adds the
+    // tag-less entries
+    val r = DeltaTable.forPath(spark, dir).restoreToVersion(preDelete)
+    assert(r.filesRestored > 0)
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.toDF.count() == 100)
+    assert(!dt.files.exists(DeletionVectors.hasDv))
+
+    // and restoring forward to the post-delete version re-applies the DVs
+    DeltaTable.forPath(spark, dir).restoreToVersion(m.version)
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 90)
+  }
+
   test("incremental feeds skip pointer-only re-adds") {
     val dir = dvTable("dv-feed")
     val v0 = DeltaLog.forPath(spark, dir).update().version
