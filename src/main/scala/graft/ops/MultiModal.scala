@@ -19,7 +19,10 @@ object MultiModal {
 
   /** Deterministic fake decoder: reads a 4-byte pseudo-header. A real
     * deployment swaps this object for a codec-backed implementation with
-    * the same signature — nothing else changes. */
+    * the same signature — nothing else changes. The checksum folds modulo
+    * 1e9+7 (instead of silent 64-bit wraparound) so the whole stub is
+    * restatable in checked-arithmetic SQL — which is what upgraded the q32
+    * gate from rows-only to a DuckDB hash-match. */
   object StubDecoder {
     final case class Meta(width: Int, height: Int, nBytes: Long, checksum: Long)
     def decode(payload: Array[Byte]): Meta = {
@@ -27,7 +30,10 @@ object MultiModal {
       val h = if (payload.length > 1) (payload(1) & 0xff) + 1 else 0
       var ck = 0L
       var i = 0
-      while (i < payload.length) { ck = ck * 131 + (payload(i) & 0xff); i += 1 }
+      while (i < payload.length) {
+        ck = (ck * 131 + (payload(i) & 0xff)) % 1000000007L
+        i += 1
+      }
       Meta(w, h, payload.length.toLong, ck)
     }
   }

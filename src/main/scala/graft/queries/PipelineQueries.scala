@@ -184,6 +184,9 @@ object PipelineQueries {
     },
 
     // multimodal plumbing: text → binary payload → batched stub decode.
+    // Oracle-checked since round 6: the stub header/checksum restates in
+    // SQL over the (ASCII) payload bytes, so the mapPartitions plumbing —
+    // schema, null handling, batch shape — is held to a DuckDB hash-match.
     "q32_multimodal" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
@@ -474,6 +477,19 @@ object PipelineQueries {
         |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS tokens_packed,
         |  CAST(0 AS BIGINT) AS over_budget_bins
         |FROM documents""".stripMargin,
+
+    // stub decoder restated over the ASCII payload: width/height from the
+    // first two bytes (+1), byte length, and the mod-1e9+7 checksum fold
+    "q32_multimodal" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) + 1 ELSE 0 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN length(text) > 1 THEN ascii(substr(text, 2, 1)) + 1 ELSE 0 END AS INTEGER) AS height,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 131 + c) % 1000000007) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q30 stays rows-only BY MEASUREMENT, not omission: the testdata labels
     // are not cosine clusters (the true top-10 spans 6 of 10 labels, and
