@@ -59,6 +59,9 @@ object Restore {
         s"cannot restore $path to version $version: ${missing.size} data " +
         s"file(s) were vacuumed, e.g. ${missing.take(3).mkString(", ")}")
 
+    val cdcActions = stageRestoreCdc(spark, log, current, target,
+      toAdd, toRemove, currentByPath)
+
     val now = System.currentTimeMillis()
     val txn = log.startTransaction()
     (current.metadata, target.metadata) match {
@@ -74,6 +77,7 @@ object Restore {
       path = f.path, deletionTimestamp = now, dataChange = true,
       extendedFileMetadata = Some(true),
       partitionValues = Some(f.partitionValues), size = Some(f.size))))
+    txn.addActions(cdcActions)
 
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", now)
@@ -83,6 +87,64 @@ object Restore {
     val v = txn.commit(Some(CommitInfoAction(info)))
     log.maybeCheckpoint(v)
     RestoreMetrics(toAdd.size, toRemove.size, v)
+  }
+
+  /** Change capture for a restore commit (only when
+    * `delta.enableChangeDataFeed=true` and the schema is unchanged across
+    * the restore — a cross-schema restore stays uncaptured and the feed
+    * fails LOUDLY for that version rather than emitting mis-shaped rows):
+    *
+    *  - files only in the target → their live rows as `insert` images;
+    *  - files only in the current state → their live rows as `delete`;
+    *  - same-path entries whose DV POINTER changed → position-level diffs:
+    *    positions deleted now but not at the target are `insert`
+    *    (resurrected), positions deleted at the target but not now are
+    *    `delete`. File-level granularity elsewhere matches the TRUNCATE
+    *    feed semantics; a consumer folding ±1 per image lands on the
+    *    restored state exactly. */
+  private def stageRestoreCdc(spark: SparkSession, log: DeltaLog,
+                              current: Snapshot, target: Snapshot,
+                              toAdd: Seq[AddAction], toRemove: Seq[AddAction],
+                              currentByPath: Map[String, AddAction]): Seq[CdcAction] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (!ChangeDataFeed.enabled(current)) return Nil
+    if (current.metadata.map(_.schemaString) != target.metadata.map(_.schemaString))
+      return Nil
+    if (toAdd.isEmpty && toRemove.isEmpty) return Nil
+    val cols = target.schema.fieldNames.map(col).toSeq
+    val ct = ChangeDataFeed.ChangeType
+
+    val newFiles = toAdd.filterNot(a => currentByPath.contains(a.path))
+    val repointed = toAdd.filter(a => currentByPath.contains(a.path))
+
+    val images = scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame]()
+    if (newFiles.nonEmpty)
+      images += DeletionVectors.scanWithPos(spark, log, target, newFiles)
+        .select(cols: _*).withColumn(ct, lit("insert"))
+    if (toRemove.nonEmpty)
+      images += DeletionVectors.scanWithPos(spark, log, current, toRemove)
+        .select(cols: _*).withColumn(ct, lit("delete"))
+    if (repointed.nonEmpty) {
+      import DeletionVectors.{PathCol, PosCol}
+      val currentAdds = repointed.map(a => currentByPath(a.path))
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], DeletionVectors.dvSchema)
+      val curDv = DeletionVectors.dvDf(spark, log, currentAdds).getOrElse(empty)
+      val tgtDv = DeletionVectors.dvDf(spark, log, repointed).getOrElse(empty)
+      // full physical rows of the repointed files (no DV applied)
+      def stripDv(a: AddAction): AddAction = a.copy(tags = a.tags.map(_ -
+        DeletionVectors.PathTag - DeletionVectors.CardTag))
+      val raw = DeletionVectors.scanWithPos(spark, log, target, repointed.map(stripDv))
+      def rowsAt(pos: org.apache.spark.sql.DataFrame) =
+        raw.join(pos, raw(PathCol) === pos("path") && raw(PosCol) === pos("pos"),
+            "left_semi")
+          .select(cols: _*)
+      val resurrected = curDv.exceptAll(tgtDv) // deleted now, live at target
+      val newlyDeleted = tgtDv.exceptAll(curDv) // live now, deleted at target
+      images += rowsAt(resurrected).withColumn(ct, lit("insert"))
+      images += rowsAt(newlyDeleted).withColumn(ct, lit("delete"))
+    }
+    ChangeDataFeed.stage(spark, log, images.reduce(_ unionByName _))
   }
 
   def toTimestamp(spark: SparkSession, path: String, tsMillis: Long): RestoreMetrics = {

@@ -130,6 +130,37 @@ class ChangeDataFeedSpec extends AnyFunSuite with SparkTestBase {
       .collect().toSet == Set(v1, v2))
   }
 
+  test("RESTORE across a DV delete captures position-level images") {
+    val dir = cdfTable("cdf-restore-dv", dv = true)
+    val preDelete = DeltaLog.forPath(spark, dir).update().version
+    val m = Dml.delete(spark, dir, col("id") < 10)
+    // restore back: the 10 DV'd-out rows resurrect → insert images only
+    val r1 = DeltaTable.forPath(spark, dir).restoreToVersion(preDelete)
+    val ch1 = changesAt(dir, r1.version)
+    assert(ch1.count() == 10)
+    assert(ch1.select(ChangeDataFeed.ChangeType).distinct().as[String].head() == "insert")
+    assert(ch1.select("id").as[Long].collect().sorted.toSeq == (0L until 10L))
+    // restore forward: the same 10 rows go away again → delete images
+    val r2 = DeltaTable.forPath(spark, dir).restoreToVersion(m.version)
+    val ch2 = changesAt(dir, r2.version)
+    assert(ch2.count() == 10)
+    assert(ch2.select(ChangeDataFeed.ChangeType).distinct().as[String].head() == "delete")
+  }
+
+  test("RESTORE across a copy-on-write delete captures file-level images") {
+    val dir = cdfTable("cdf-restore-cow")
+    val preDelete = DeltaLog.forPath(spark, dir).update().version
+    Dml.delete(spark, dir, col("id") < 10) // rewrite: 90 live rows in new files
+    val r = DeltaTable.forPath(spark, dir).restoreToVersion(preDelete)
+    val ch = changesAt(dir, r.version)
+    val byType = ch.groupBy(ChangeDataFeed.ChangeType).count().as[(String, Long)]
+      .collect().toMap
+    // file-level feed (TRUNCATE semantics): rewritten files' live rows out,
+    // original files' rows in — folding ±1 lands on the restored state
+    assert(byType == Map("delete" -> 90L, "insert" -> 100L))
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 100)
+  }
+
   test("graft_table_changes TVF serves the row-level feed through SQL") {
     val dir = cdfTable("cdf-tvf")
     val m = Dml.delete(spark, dir, col("id") === 42L)
