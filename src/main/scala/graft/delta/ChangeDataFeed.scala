@@ -50,6 +50,27 @@ object ChangeDataFeed {
       .map(st => CdcAction(path = s"$rel/${st.getPath.getName}", size = st.getLen))
   }
 
+  /** File-level change images for an overwrite-shaped commit (INSERT
+    * OVERWRITE, SaveMode.Overwrite): the removed files' live rows (DVs
+    * applied) as `delete` images, the staged adds' rows as `insert` —
+    * the same granularity as the TRUNCATE and RESTORE feeds. Returns Nil
+    * when capture is off or nothing is being replaced. */
+  def stageOverwrite(spark: SparkSession, log: DeltaLog, snap: Snapshot,
+                     removes: Seq[AddAction], adds: Seq[AddAction]): Seq[CdcAction] = {
+    if (!enabled(snap) || removes.isEmpty) return Nil
+    val cols = snap.schema.fieldNames.map(col).toSeq
+    val deletes = DeletionVectors.scanWithPos(spark, log, snap, removes)
+      .select(cols: _*).withColumn(ChangeType, lit("delete"))
+    val changes =
+      if (adds.isEmpty) deletes
+      else deletes.unionByName(
+        spark.read.option("basePath", log.tablePath.toString)
+          .schema(snap.schema)
+          .parquet(adds.map(a => new Path(log.tablePath, a.path).toString): _*)
+          .select(cols: _*).withColumn(ChangeType, lit("insert")))
+    stage(spark, log, changes)
+  }
+
   /** The change feed over `(startV, endV]`: table columns +
     * `_change_type` + `_commit_version`. */
   def readChanges(spark: SparkSession, log: DeltaLog,

@@ -57,12 +57,17 @@ object GraftDeltaInserts extends Rule[LogicalPlan] {
         snap.files.filter(f => touched.contains(f.partitionValues))
       } else snap.files
 
+    // CDF: an overwrite is a rewrite-shaped commit; without images the
+    // feed would fail loudly for this version
+    val cdcActions = ChangeDataFeed.stageOverwrite(session, log, snap, removes, adds)
+
     val now = System.currentTimeMillis()
     removes.foreach(f => txn.addAction(RemoveAction(
       path = f.path, deletionTimestamp = now, dataChange = true,
       extendedFileMetadata = Some(true),
       partitionValues = Some(f.partitionValues), size = Some(f.size))))
     txn.addActions(adds)
+    txn.addActions(cdcActions)
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", now)
     info.put("operation", "WRITE")

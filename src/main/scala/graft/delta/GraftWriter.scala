@@ -112,11 +112,17 @@ object GraftWriter {
         configuration = Map.empty))
     }
     evolvedMetadata.foreach(txn.addAction)
-    if (exists && mode == SaveMode.Overwrite)
+    if (exists && mode == SaveMode.Overwrite) {
       snap.files.foreach(f => txn.addAction(RemoveAction(
         path = f.path, deletionTimestamp = now, dataChange = true,
         extendedFileMetadata = Some(true),
         partitionValues = Some(f.partitionValues), size = Some(f.size))))
+      // CDF images for the rewrite shape — skipped (loud downstream) when
+      // the overwrite also changes the schema
+      if (evolvedMetadata.isEmpty && !overwriteSchema)
+        txn.addActions(ChangeDataFeed.stageOverwrite(
+          spark, log, snap, snap.files, adds))
+    }
     txn.addActions(adds)
 
     val info = ActionCodec.mapper.createObjectNode()

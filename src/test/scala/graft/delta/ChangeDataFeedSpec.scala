@@ -161,6 +161,30 @@ class ChangeDataFeedSpec extends AnyFunSuite with SparkTestBase {
     assert(DeltaTable.forPath(spark, dir).toDF.count() == 100)
   }
 
+  test("overwrite write captures delete + insert images") {
+    val dir = cdfTable("cdf-overwrite")
+    GraftWriter.write(Seq((500L, "new"), (501L, "new2")).toDF("id", "v"),
+      dir, SaveMode.Overwrite)
+    val v = DeltaLog.forPath(spark, dir).update().version
+    val ch = changesAt(dir, v)
+    val byType = ch.groupBy(ChangeDataFeed.ChangeType).count().as[(String, Long)]
+      .collect().toMap
+    assert(byType == Map("delete" -> 100L, "insert" -> 2L))
+  }
+
+  test("SQL INSERT OVERWRITE captures images through commitInsert") {
+    val dir = cdfTable("cdf-sql-ow")
+    spark.sql(s"CREATE TABLE graft_cdf_ow USING `graft-delta` OPTIONS (path '$dir')")
+    try {
+      spark.sql("INSERT OVERWRITE TABLE graft_cdf_ow VALUES (9, 'z')")
+      val v = DeltaLog.forPath(spark, dir).update().version
+      val ch = changesAt(dir, v)
+      val byType = ch.groupBy(ChangeDataFeed.ChangeType).count().as[(String, Long)]
+        .collect().toMap
+      assert(byType == Map("delete" -> 100L, "insert" -> 1L))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_cdf_ow")
+  }
+
   test("graft_table_changes TVF serves the row-level feed through SQL") {
     val dir = cdfTable("cdf-tvf")
     val m = Dml.delete(spark, dir, col("id") === 42L)
