@@ -71,6 +71,20 @@ object ChangeDataFeed {
     stage(spark, log, changes)
   }
 
+  /** Delete the staged `_change_data` directories of `cdcActions` — the
+    * failed-commit rollback shared by every capture site (the dirs are
+    * referenced only by the failed commit, and vacuum never lists
+    * underscore-hidden paths). Best-effort. */
+  def discardStaged(spark: SparkSession, log: DeltaLog,
+                    cdcActions: Seq[CdcAction]): Unit = {
+    val fs = log.tablePath.getFileSystem(spark.sessionState.newHadoopConf())
+    cdcActions.map(c => c.path.substring(0, c.path.lastIndexOf('/')))
+      .distinct.foreach { rel =>
+        try fs.delete(new Path(log.tablePath, rel), true)
+        catch { case _: Exception => () }
+      }
+  }
+
   /** The change feed over `(startV, endV]`: table columns +
     * `_change_type` + `_commit_version`. */
   def readChanges(spark: SparkSession, log: DeltaLog,

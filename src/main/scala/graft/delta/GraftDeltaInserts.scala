@@ -76,7 +76,15 @@ object GraftDeltaInserts extends Rule[LogicalPlan] {
     if (staticPartitions.nonEmpty)
       params.put("staticPartitions",
         staticPartitions.map { case (k, v) => s"$k=$v" }.mkString(","))
-    val version = txn.commit(Some(CommitInfoAction(info)))
+    val version =
+      try txn.commit(Some(CommitInfoAction(info)))
+      catch {
+        case e: Throwable =>
+          try GraftWriter.discardStaged(session, log.tablePath.toString, adds)
+          catch { case _: Exception => () }
+          ChangeDataFeed.discardStaged(session, log, cdcActions)
+          throw e
+      }
     log.maybeCheckpoint(version)
     log.update()
     version

@@ -112,17 +112,19 @@ object GraftWriter {
         configuration = Map.empty))
     }
     evolvedMetadata.foreach(txn.addAction)
-    if (exists && mode == SaveMode.Overwrite) {
+    // CDF images for the overwrite rewrite shape — skipped (loud
+    // downstream) when the overwrite also changes the schema
+    val cdcActions =
+      if (exists && mode == SaveMode.Overwrite &&
+          evolvedMetadata.isEmpty && !overwriteSchema)
+        ChangeDataFeed.stageOverwrite(spark, log, snap, snap.files, adds)
+      else Nil
+    if (exists && mode == SaveMode.Overwrite)
       snap.files.foreach(f => txn.addAction(RemoveAction(
         path = f.path, deletionTimestamp = now, dataChange = true,
         extendedFileMetadata = Some(true),
         partitionValues = Some(f.partitionValues), size = Some(f.size))))
-      // CDF images for the rewrite shape — skipped (loud downstream) when
-      // the overwrite also changes the schema
-      if (evolvedMetadata.isEmpty && !overwriteSchema)
-        txn.addActions(ChangeDataFeed.stageOverwrite(
-          spark, log, snap, snap.files, adds))
-    }
+    txn.addActions(cdcActions)
     txn.addActions(adds)
 
     val info = ActionCodec.mapper.createObjectNode()
@@ -131,7 +133,16 @@ object GraftWriter {
     val params = info.putObject("operationParameters")
     params.put("mode", mode.toString)
     params.put("partitionBy", partCols.mkString(","))
-    val version = txn.commit(Some(CommitInfoAction(info)))
+    val version =
+      try txn.commit(Some(CommitInfoAction(info)))
+      catch {
+        case e: Throwable =>
+          // staged data files and CDC dirs are referenced only by the
+          // failed commit — reclaim both (vacuum never will)
+          try discardStaged(spark, path, adds) catch { case _: Exception => () }
+          ChangeDataFeed.discardStaged(spark, log, cdcActions)
+          throw e
+      }
 
     log.maybeCheckpoint(version)
     version

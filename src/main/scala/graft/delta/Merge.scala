@@ -334,12 +334,7 @@ final class MergeBuilder private[delta] (
           // staged rewrite files and CDC dirs are referenced only by the
           // failed commit — reclaim them (vacuum never will)
           discardStaged()
-          val fs = log.tablePath.getFileSystem(spark.sessionState.newHadoopConf())
-          cdcActions.map(c => c.path.substring(0, c.path.lastIndexOf('/')))
-            .distinct.foreach { rel =>
-              try fs.delete(new org.apache.hadoop.fs.Path(log.tablePath, rel), true)
-              catch { case _: Exception => () }
-            }
+          ChangeDataFeed.discardStaged(spark, log, cdcActions)
           throw e
       }
     MergeMetrics(removes.size, nUpd, nDel, nIns, version)

@@ -84,7 +84,13 @@ object Restore {
     info.put("operation", "RESTORE")
     val params = info.putObject("operationParameters")
     params.put("version", version)
-    val v = txn.commit(Some(CommitInfoAction(info)))
+    val v =
+      try txn.commit(Some(CommitInfoAction(info)))
+      catch {
+        case e: Throwable =>
+          ChangeDataFeed.discardStaged(spark, log, cdcActions)
+          throw e
+      }
     log.maybeCheckpoint(v)
     RestoreMetrics(toAdd.size, toRemove.size, v)
   }

@@ -185,6 +185,34 @@ class ChangeDataFeedSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_cdf_ow")
   }
 
+  test("partitioned dynamic INSERT OVERWRITE captures only the replaced partition") {
+    val dir = tempTable("cdf-dyn-ow").toString
+    // partitioned table, CDF on: p=0 has 3 rows, p=1 has 2
+    GraftWriter.write(
+      Seq((1L, 0), (2L, 0), (3L, 0), (10L, 1), (11L, 1)).toDF("id", "p"),
+      dir, partitionBy = Seq("p"))
+    DeltaTable.forPath(spark, dir)
+      .setProperties(Map(TableConfig.EnableChangeDataFeed -> "true"))
+    spark.sql(s"CREATE TABLE graft_cdf_dyn USING `graft-delta` OPTIONS (path '$dir')")
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql("INSERT OVERWRITE TABLE graft_cdf_dyn VALUES (99, 0)") // touches p=0 only
+      val v = DeltaLog.forPath(spark, dir).update().version
+      val ch = changesAt(dir, v)
+      val byType = ch.groupBy(ChangeDataFeed.ChangeType).count().as[(String, Long)]
+        .collect().toMap
+      assert(byType == Map("delete" -> 3L, "insert" -> 1L)) // p=1 untouched
+      assert(ch.filter(col("p") === 1).count() == 0)
+      // partition column round-trips through the capture files
+      assert(ch.filter(col(ChangeDataFeed.ChangeType) === "insert")
+        .select("id", "p").as[(Long, Int)].head() == ((99L, 0)))
+    } finally {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+      spark.sql("DROP TABLE IF EXISTS graft_cdf_dyn")
+    }
+  }
+
   test("graft_table_changes TVF serves the row-level feed through SQL") {
     val dir = cdfTable("cdf-tvf")
     val m = Dml.delete(spark, dir, col("id") === 42L)
