@@ -26,27 +26,30 @@ object Dml {
   /** DELETE FROM table WHERE predicate. Rows where the predicate is NULL
     * are kept (SQL semantics). Tables with
     * `delta.enableDeletionVectors=true` take the merge-on-read path
-    * ([[deleteWithDv]]); others copy-on-write. */
+    * ([[deleteWithDv]]); others copy-on-write. The snapshot is replayed
+    * ONCE and threaded through — at 10⁶ files a second replay for the
+    * mode probe is real driver time. */
   def delete(spark: SparkSession, path: String, predicate: Column): DmlMetrics = {
-    if (dvEnabled(spark, path)) deleteWithDv(spark, path, predicate)
-    else rewrite(spark, path, predicate, "DELETE", df => df, keepMatches = false)
+    val log = DeltaLog.forPath(spark, path)
+    val snap = log.update()
+    if (TableConfig.deletionVectorsEnabled(TableConfig.of(snap)))
+      deleteWithDv(spark, path, predicate, Some((log, snap)))
+    else rewrite(spark, log, snap, predicate, "DELETE", df => df, keepMatches = false)
   }
 
   /** UPDATE table SET assignments WHERE predicate. */
   def update(spark: SparkSession, path: String, predicate: Column,
              assignments: Map[String, Column]): DmlMetrics = {
-    if (dvEnabled(spark, path)) updateWithDv(spark, path, predicate, assignments)
-    else rewrite(spark, path, predicate, "UPDATE", df => {
+    val log = DeltaLog.forPath(spark, path)
+    val snap = log.update()
+    if (TableConfig.deletionVectorsEnabled(TableConfig.of(snap)))
+      updateWithDv(spark, path, predicate, assignments, Some((log, snap)))
+    else rewrite(spark, log, snap, predicate, "UPDATE", df => {
       val matches = coalesce(predicate, lit(false))
       assignments.foldLeft(df) { case (d, (name, value)) =>
         d.withColumn(name, when(matches, value).otherwise(col(name)))
       }
     }, keepMatches = true)
-  }
-
-  private def dvEnabled(spark: SparkSession, path: String): Boolean = {
-    val log = DeltaLog.forPath(spark, path)
-    TableConfig.deletionVectorsEnabled(TableConfig.of(log.update()))
   }
 
   /** Merge-on-read DELETE: write matched row positions as a deletion vector
@@ -56,9 +59,11 @@ object Dml {
     * Scale shape: one distributed scan (pruned by the predicate like the
     * copy-on-write path) that WRITES the positions as its job output; the
     * per-file cardinality readback touches only the tiny DV parquet. */
-  def deleteWithDv(spark: SparkSession, path: String, predicate: Column): DmlMetrics = {
-    val log = DeltaLog.forPath(spark, path)
-    val snap = log.update()
+  def deleteWithDv(spark: SparkSession, path: String, predicate: Column,
+                   resolved: Option[(DeltaLog, Snapshot)] = None): DmlMetrics = {
+    val (log, snap) = resolved.getOrElse {
+      val l = DeltaLog.forPath(spark, path); (l, l.update())
+    }
     if (snap.version < 0) throw new NotATableException(path)
     if (TableConfig.appendOnly(TableConfig.of(snap)))
       throw new AppendOnlyTableException(path)
@@ -100,9 +105,11 @@ object Dml {
     * append the transformed copies as new files — the affected files' bytes
     * are never rewritten, only the matched rows move. */
   def updateWithDv(spark: SparkSession, path: String, predicate: Column,
-                   assignments: Map[String, Column]): DmlMetrics = {
-    val log = DeltaLog.forPath(spark, path)
-    val snap = log.update()
+                   assignments: Map[String, Column],
+                   resolved: Option[(DeltaLog, Snapshot)] = None): DmlMetrics = {
+    val (log, snap) = resolved.getOrElse {
+      val l = DeltaLog.forPath(spark, path); (l, l.update())
+    }
     if (snap.version < 0) throw new NotATableException(path)
     if (TableConfig.appendOnly(TableConfig.of(snap)))
       throw new AppendOnlyTableException(path)
@@ -252,12 +259,11 @@ object Dml {
       snap, affected.map(_._1), now))
   }
 
-  private def rewrite(spark: SparkSession, path: String, predicate: Column,
-                      operation: String,
+  private def rewrite(spark: SparkSession, log: DeltaLog, snap: Snapshot,
+                      predicate: Column, operation: String,
                       transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
                       keepMatches: Boolean): DmlMetrics = {
-    val log = DeltaLog.forPath(spark, path)
-    val snap = log.update()
+    val path = log.tablePath.toString
     if (snap.version < 0) throw new NotATableException(path)
     // fail before staging any rewrite files (the commit-time gate would
     // catch it too, but only after the wasted write)
