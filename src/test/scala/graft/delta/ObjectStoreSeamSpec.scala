@@ -247,6 +247,28 @@ class ObjectStoreSeamSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.unset(DeltaLog.LogStoreFactoryKey)
   }
 
+  test("DV+CDF DML repairs a crashed writer and lands through the locked store") {
+    withLockedStore {
+      val dir = tempTable("oss-dvcdf").toString
+      import org.apache.spark.sql.functions.col
+      GraftWriter.write((0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartition(2), dir)                                        // v0
+      DeltaTable.forPath(spark, dir).setProperties(Map(
+        TableConfig.EnableDeletionVectors -> "true",
+        TableConfig.EnableChangeDataFeed -> "true"))                 // v1
+      val log = DeltaLog.forPath(spark, dir)
+      // a crashed writer holds the (expired) lease for the NEXT commit
+      seedCrashedHolder(
+        new Path(log.logPath, "_commit_ghost.json.tmp"), log.commitFile(2))
+      val m = Dml.delete(spark, dir, col("id") < 10)                 // v2
+      assert(m.version == 2 && m.rowsAffected == 10)
+      assert(DeltaTable.forPath(spark, dir).toDF.count() == 90)
+      val ch = DeltaTable.forPath(spark, dir).changes(1, 2)
+      assert(ch.count() == 10)
+      assert(ObjectStoreSeamFixture.backend.get().isEmpty, "lease released")
+    }
+  }
+
   test("checkpoint parquet renames byte-exactly through the locked store") {
     withLockedStore {
       val dir = tempTable("oss-checkpoint").toString
