@@ -207,10 +207,11 @@ class CheckpointSpec extends AnyFunSuite with SparkTestBase {
     assert(cpRemovePaths.intersect(cpAddPaths).isEmpty)
 
     // a fresh client restoring through the checkpoint sees the DV'd file
-    // active, with its tags, and the logical row count intact
+    // active, with its tags, the reader fence, and the logical row count
     val snap2 = DeltaLog.forPath(spark, dir).update()
     assert(snap2.files.map(_.path).toSet == before.files.map(_.path).toSet)
     assert(snap2.files.filter(DeletionVectors.hasDv).map(_.path).toSet == dvPaths.toSet)
+    assert(snap2.minReaderVersion == 3, "DV reader fence must survive checkpoint restore")
     assert(DeltaTable.forPath(spark, dir).toDF.count() == 90)
   }
 }

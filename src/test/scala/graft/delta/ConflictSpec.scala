@@ -275,4 +275,25 @@ class ConflictSpec extends AnyFunSuite with SparkTestBase {
       partitionValues = Map.empty, modificationTime = 0L, dataChange = true))
     intercept[MetadataChangedException] { txn.commit() }
   }
+
+  test("DV delete racing OPTIMIZE of the same files aborts the loser") {
+    val dir = mkTable("cf-dv-optimize")
+    DeltaTable.forPath(spark, dir)
+      .setProperties(Map(TableConfig.EnableDeletionVectors -> "true"))
+    // stale compaction: reads the snapshot, then a DV delete re-points the
+    // same files (remove+re-add) underneath it
+    val log = DeltaLog.forPath(spark, dir)
+    val snap = log.update()
+    val txn = log.startTransaction()
+    Dml.delete(spark, dir, col("id") < 5) // racer: DV remove+re-add
+    snap.files.foreach(f => txn.addAction(RemoveAction(
+      path = f.path, deletionTimestamp = 1L, dataChange = false)))
+    intercept[ConcurrentDeleteDeleteException] { txn.commit() }
+    // and a RETRIED compaction folds the racer's vectors in correctly
+    val m = Optimize.compact(spark, dir, targetFileBytes = 1L)
+    assert(m.filesRemoved > 0)
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.toDF.count() == 35)
+    assert(!dt.files.exists(DeletionVectors.hasDv), "compaction purges DVs")
+  }
 }
