@@ -195,7 +195,9 @@ final class GraftDeltaSource extends RelationProvider
       maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong),
       maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map(_.toLong),
       startingVersion = parameters.get("startingVersion").map(_.toLong),
-      metadataPath = Some(metadataPath))
+      metadataPath = Some(metadataPath),
+      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
+      ignoreDeletes = parameters.get("ignoreDeletes").exists(_.toBoolean))
   }
 
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],

@@ -39,7 +39,9 @@ final class GraftDeltaStreamSource(
     maxFilesPerTrigger: Option[Long] = None,
     maxBytesPerTrigger: Option[Long] = None,
     startingVersion: Option[Long] = None,
-    metadataPath: Option[String] = None) extends Source {
+    metadataPath: Option[String] = None,
+    ignoreChanges: Boolean = false,
+    ignoreDeletes: Boolean = false) extends Source {
 
   private def versionOf(o: V1Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -101,11 +103,40 @@ final class GraftDeltaStreamSource(
   @volatile private var lastOffered: Long =
     math.max(floor, readAnchor().getOrElse(floor))
 
-  private def dataChangeAdds(version: Long): Seq[AddAction] =
-    log.readCommit(version).collect { case a: AddAction
+  private def dataChangeAdds(version: Long): Seq[AddAction] = {
+    val actions = log.readCommit(version)
+    val adds = actions.collect { case a: AddAction
       // DV re-adds carry no new rows (the pointer-only re-commit of a
       // merge-on-read DELETE/UPDATE) — never re-serve their files
       if a.dataChange && graft.delta.DeletionVectors.dvPath(a).isEmpty => a }
+    if (!ignoreChanges) {
+      // an append stream silently RE-SERVING a rewrite's surviving rows
+      // (copy-on-write DELETE/UPDATE/MERGE, INSERT OVERWRITE, RESTORE)
+      // would duplicate data downstream — fail loudly unless the user
+      // opted in. DV pointer re-adds are exempt: same path removed and
+      // re-added, no rows served either way.
+      val addPaths = actions.collect {
+        case a: graft.delta.AddAction if a.dataChange => a.path }.toSet
+      val realRemoves = actions.collect {
+        case r: graft.delta.RemoveAction
+          if r.dataChange && !addPaths.contains(r.path) => r }
+      if (realRemoves.nonEmpty && adds.nonEmpty)
+        throw new IllegalStateException(
+          s"streaming source found a data rewrite at ${log.tablePath} " +
+          s"version $version (files removed and added in one commit). " +
+          "Rewritten files would be re-served as if new — set " +
+          ".option(\"ignoreChanges\", \"true\") to accept that, or stream " +
+          "row-level changes via the change data feed instead")
+      // ignoreChanges subsumes ignoreDeletes (a rewrite whose file had no
+      // survivors degenerates to a delete-only commit)
+      if (realRemoves.nonEmpty && adds.isEmpty && !ignoreDeletes && !ignoreChanges)
+        throw new IllegalStateException(
+          s"streaming source found deleted files at ${log.tablePath} " +
+          s"version $version. Deletes are invisible to an append stream — " +
+          "set .option(\"ignoreDeletes\", \"true\") to accept that")
+    }
+    adds
+  }
 
   override def getOffset: Option[V1Offset] = {
     val latest = log.update().version

@@ -77,6 +77,87 @@ class GraftDeltaSourceSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("a rewrite commit fails the stream unless ignoreChanges is set") {
+    val src = tempTable("fmt-rewrite-guard").toString
+    (0 until 20).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(1)
+      .write.format("graft-delta").save(src)
+    Dml.delete(spark, src, col("id") < 5) // copy-on-write rewrite commit
+
+    // without the option: the stream must fail loudly, not duplicate rows
+    val ckpt1 = tempTable("fmt-rewrite-ck1").toString
+    val q1 = spark.readStream.format("graft-delta").load(src)
+      .writeStream.format("memory").queryName("graft_rw_guard")
+      .option("checkpointLocation", ckpt1).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    assert(e.getMessage.contains("ignoreChanges") ||
+      Option(e.getCause).exists(_.getMessage.contains("ignoreChanges")))
+    q1.stop()
+
+    // with the option: the rewrite's surviving rows are (knowingly) served
+    val ckpt2 = tempTable("fmt-rewrite-ck2").toString
+    val q2 = spark.readStream.format("graft-delta")
+      .option("ignoreChanges", "true").load(src)
+      .writeStream.format("memory").queryName("graft_rw_ok")
+      .option("checkpointLocation", ckpt2).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("graft_rw_ok").count() == 35) // 20 initial + 15 survivors
+    } finally q2.stop()
+  }
+
+  test("a delete-only commit fails the stream unless ignoreDeletes is set") {
+    val src = tempTable("fmt-delete-guard").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.format("graft-delta").save(src)
+    // pure-remove commit (TRUNCATE shape)
+    val log = DeltaLog.forPath(spark, src)
+    val snap = log.update()
+    val txn = log.startTransaction()
+    snap.files.foreach(f => txn.addAction(RemoveAction(
+      path = f.path, deletionTimestamp = 1L, dataChange = true)))
+    txn.commit()
+
+    val ckpt1 = tempTable("fmt-delete-ck1").toString
+    val q1 = spark.readStream.format("graft-delta").load(src)
+      .writeStream.format("memory").queryName("graft_del_guard")
+      .option("checkpointLocation", ckpt1).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    assert(e.getMessage.contains("ignoreDeletes") ||
+      Option(e.getCause).exists(_.getMessage.contains("ignoreDeletes")))
+    q1.stop()
+
+    val ckpt2 = tempTable("fmt-delete-ck2").toString
+    val q2 = spark.readStream.format("graft-delta")
+      .option("ignoreDeletes", "true").load(src)
+      .writeStream.format("memory").queryName("graft_del_ok")
+      .option("checkpointLocation", ckpt2).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("graft_del_ok").count() == 2) // the initial adds only
+    } finally q2.stop()
+  }
+
+  test("DV pointer re-adds pass the guard silently (no option needed)") {
+    val src = tempTable("fmt-dv-guard").toString
+    (0 until 20).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .write.format("graft-delta").save(src)
+    DeltaTable.forPath(spark, src)
+      .setProperties(Map(TableConfig.EnableDeletionVectors -> "true"))
+    Dml.delete(spark, src, col("id") < 5) // merge-on-read: remove+re-add
+
+    val ckpt = tempTable("fmt-dv-ck").toString
+    val q = spark.readStream.format("graft-delta").load(src)
+      .writeStream.format("memory").queryName("graft_dv_guard")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable() // no throw: pointer re-adds serve nothing
+      assert(spark.table("graft_dv_guard").count() == 20)
+    } finally q.stop()
+  }
+
   test("maxVersionsPerTrigger throttles a backfill into multiple micro-batches") {
     val src = tempTable("fmt-throttle").toString
     val ckpt = tempTable("fmt-throttle-ckpt").toString
