@@ -55,8 +55,13 @@ object Clustering {
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      // sum over an EMPTY frame is null — a pair set with no edges (no
+      // duplicates found, a perfectly normal pipeline outcome) must
+      // converge immediately, not NPE
+      val s = df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = if (integral) labelSum(labels) else null
 
     var iter = 0

@@ -84,4 +84,16 @@ class ClusteringSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(2L, 7L, 9L))
   }
+
+  test("an empty pair set converges immediately (no duplicates found)") {
+    // regression: sum over the empty label frame is null — this NPE'd at
+    // sf0.1 where the Jaccard threshold yields zero pairs
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Clustering.connectedComponents(empty).count() == 0)
+    val docs = Seq((1L, "a"), (2L, "bb")).toDF("doc_id", "text")
+    val kept = Clustering.survivors(docs, "doc_id", empty,
+      Seq(length(col("text")).desc, col("doc_id")))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L)) // every doc is its own family
+  }
 }
