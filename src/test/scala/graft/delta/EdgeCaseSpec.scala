@@ -61,6 +61,27 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.unset(DeltaLog.DistributedThresholdKey)
   }
 
+  test("zero-row write creates a readable empty table; DML and checkpoint no-op on it") {
+    val dir = tempTable("edge-empty-table").toString
+    GraftWriter.write(Seq.empty[(Long, String)].toDF("id", "v"), dir)
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.version == 0)
+    assert(dt.toDF.count() == 0)
+    assert(dt.toDF.schema.fieldNames.toSeq == Seq("id", "v"))
+    // DML on the empty table: clean no-ops, not errors
+    assert(Dml.delete(spark, dir, col("id") > 0).rowsAffected == 0)
+    assert(Dml.update(spark, dir, col("id") > 0, Map("v" -> lit("x"))).rowsAffected == 0)
+    // checkpoint + fresh restore of the zero-row state (the write commits
+    // one empty parquet file with numRecords=0 footer stats — protocol-legal)
+    DeltaLog.forPath(spark, dir).checkpoint()
+    val snap = DeltaLog.forPath(spark, dir).update()
+    assert(snap.metadata.nonEmpty)
+    assert(snap.statistics.numRecords.contains(0L))
+    // and appends still work afterwards
+    GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir, SaveMode.Append)
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 1)
+  }
+
   test("null partition values round-trip as __HIVE_DEFAULT_PARTITION__") {
     val dir = tempTable("edge-nullpart").toString
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a")), (4L, None))
