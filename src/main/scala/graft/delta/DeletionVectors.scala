@@ -76,6 +76,20 @@ object DeletionVectors {
   private[delta] def tableDirPrefix(log: DeltaLog): String =
     log.tablePath.toUri.getPath.stripSuffix("/") + "/"
 
+  /** The protocol bump a configuration demands, or None when the current
+    * protocol already satisfies it: enabling deletion vectors must fence
+    * foreign readers (they don't know the graft tag extension and would
+    * silently resurrect deleted rows), so minReaderVersion rises to 3 —
+    * the table-features floor spec-compliant readers refuse without an
+    * advertised feature list. EVERY path that can set table properties
+    * (DeltaTable.setProperties, catalog CREATE, catalog ALTER) must apply
+    * this. */
+  def protocolFence(config: Map[String, String],
+                    minReader: Int, minWriter: Int): Option[ProtocolAction] =
+    if (TableConfig.deletionVectorsEnabled(config) && minReader < 3)
+      Some(ProtocolAction(3, math.max(minWriter, 2)))
+    else None
+
   /** Tombstones for every DV directory that the `replaced` files pointed at
     * and no OTHER live file still references. Emitted by the commits that
     * supersede or fold away DV pointers (DV re-deletes, OPTIMIZE, CoW

@@ -205,18 +205,13 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
       throw new IllegalStateException(s"table ${log.tablePath} has no metadata"))
     val txn = log.startTransaction()
     txn.addAction(md.copy(configuration = md.configuration ++ props))
-    // Enabling deletion vectors breaks foreign readers SILENTLY (they don't
-    // know the graft tag extension and would resurrect deleted rows), so the
-    // same commit bumps minReaderVersion to 3 — the table-features protocol
-    // floor, which spec-compliant readers refuse without an advertised
-    // feature list. Readers of THIS engine ignore the bump (replay is
-    // version-tolerant); interop-readability returns once OPTIMIZE purges
-    // the vectors AND the protocol is manually lowered.
-    if (props.get(TableConfig.EnableDeletionVectors).exists(_.trim.equalsIgnoreCase("true"))
-        && snap.minReaderVersion < 3)
-      txn.addAction(ProtocolAction(
-        minReaderVersion = 3,
-        minWriterVersion = math.max(snap.minWriterVersion, 2)))
+    // Enabling deletion vectors fences foreign readers (protocol bump to
+    // the table-features floor); see DeletionVectors.protocolFence. Readers
+    // of THIS engine ignore the bump (replay is version-tolerant);
+    // interop-readability returns once OPTIMIZE purges the vectors AND the
+    // protocol is manually lowered.
+    DeletionVectors.protocolFence(md.configuration ++ props,
+      snap.minReaderVersion, snap.minWriterVersion).foreach(txn.addAction)
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", System.currentTimeMillis())
     info.put("operation", "SET TBLPROPERTIES")

@@ -208,7 +208,8 @@ class GraftCatalog extends DelegatingCatalogExtension
                               config: Map[String, String]): Unit = {
     val now = System.currentTimeMillis()
     val txn = log.startTransaction()
-    txn.addAction(ProtocolAction())
+    txn.addAction(DeletionVectors.protocolFence(config, 1, 2)
+      .getOrElse(ProtocolAction()))
     txn.addAction(MetaDataAction(
       id = java.util.UUID.randomUUID().toString,
       name = None, description = None,
@@ -366,6 +367,10 @@ class GraftCatalog extends DelegatingCatalogExtension
     txn.addAction(meta.copy(
       schemaString = DeltaSchema.toJson(schema),
       configuration = config))
+    // same reader fence as DeltaTable.setProperties — SQL ALTER must not be
+    // a fence-less side door into deletion vectors
+    DeletionVectors.protocolFence(config,
+      snap.minReaderVersion, snap.minWriterVersion).foreach(txn.addAction)
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", System.currentTimeMillis())
     info.put("operation", "ALTER TABLE")

@@ -311,6 +311,29 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("SQL CREATE/ALTER with deletion vectors apply the reader fence") {
+    // SQL must not be a fence-less side door: a DV table that a foreign
+    // reader can open at minReaderVersion 1 silently resurrects deleted rows
+    val dir1 = tempTable("cat-dv-create").toString
+    withTable("cat_dv_create_t") {
+      spark.sql(
+        s"""CREATE TABLE cat_dv_create_t (id BIGINT, v STRING)
+           |USING `graft-delta` LOCATION '$dir1'
+           |TBLPROPERTIES ('delta.enableDeletionVectors' = 'true')""".stripMargin)
+      assert(DeltaLog.forPath(spark, dir1).update().minReaderVersion == 3)
+    }
+    val dir2 = tempTable("cat-dv-alter").toString
+    withTable("cat_dv_alter_t") {
+      spark.sql(
+        s"""CREATE TABLE cat_dv_alter_t (id BIGINT, v STRING)
+           |USING `graft-delta` LOCATION '$dir2'""".stripMargin)
+      assert(DeltaLog.forPath(spark, dir2).update().minReaderVersion == 1)
+      spark.sql("ALTER TABLE cat_dv_alter_t SET TBLPROPERTIES " +
+        "('delta.enableDeletionVectors' = 'true')")
+      assert(DeltaLog.forPath(spark, dir2).update().minReaderVersion == 3)
+    }
+  }
+
   test("non-graft providers pass through the delegate untouched") {
     val dir = tempTable("cat-parquet").toString
     withTable("cat_pq_t") {
