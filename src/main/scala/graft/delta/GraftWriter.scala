@@ -48,11 +48,16 @@ object GraftWriter {
             mode: SaveMode = SaveMode.ErrorIfExists,
             partitionBy: Seq[String] = Nil,
             mergeSchema: Boolean = false,
-            overwriteSchema: Boolean = false): Long = {
+            overwriteSchema: Boolean = false,
+            configuration: Option[Map[String, String]] = None): Long = {
     val spark = df.sparkSession
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
     val exists = snap.version >= 0
+    // configuration override is a CREATE/REPLACE concept: a plain append or
+    // overwrite must not silently mutate table properties
+    require(configuration.isEmpty || !exists || overwriteSchema,
+      "configuration can only be set at create or schema-replacing overwrite")
 
     if (exists) mode match {
       case SaveMode.ErrorIfExists =>
@@ -79,10 +84,15 @@ object GraftWriter {
       val tbl = snap.schema.fields.map(f => (f.name, f.dataType)).toSeq
       val inc = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
       if (overwriteSchema) {
-        if (tbl != inc || partCols != snap.partitionColumns)
+        // REPLACE semantics: the declared configuration (possibly empty)
+        // REPLACES the table's, like the schema does
+        val newConfig = configuration.getOrElse(snap.metadata.get.configuration)
+        if (tbl != inc || partCols != snap.partitionColumns ||
+            newConfig != snap.metadata.get.configuration)
           evolvedMetadata = Some(snap.metadata.get.copy(
             schemaString = DeltaSchema.toJson(df.schema),
-            partitionColumns = partCols))
+            partitionColumns = partCols,
+            configuration = newConfig))
       } else if (mergeSchema) {
         evolvedMetadata = evolveSchema(snap, df.schema)
       } else {
@@ -101,7 +111,8 @@ object GraftWriter {
     val now = System.currentTimeMillis()
     val txn = log.startTransaction()
     if (!exists) {
-      txn.addAction(ProtocolAction())
+      txn.addAction(DeletionVectors.protocolFence(
+        configuration.getOrElse(Map.empty), 1, 2).getOrElse(ProtocolAction()))
       txn.addAction(MetaDataAction(
         id = UUID.randomUUID().toString,
         name = None, description = None,
@@ -109,9 +120,15 @@ object GraftWriter {
         schemaString = DeltaSchema.toJson(df.schema),
         partitionColumns = partCols,
         createdTime = Some(now),
-        configuration = Map.empty))
+        configuration = configuration.getOrElse(Map.empty)))
     }
     evolvedMetadata.foreach(txn.addAction)
+    // the committed configuration may enable deletion vectors — the reader
+    // fence must ride the same commit on this path too
+    if (exists)
+      evolvedMetadata.foreach(md => DeletionVectors.protocolFence(
+        md.configuration, snap.minReaderVersion, snap.minWriterVersion)
+        .foreach(txn.addAction))
     // CDF images for the overwrite rewrite shape — skipped (loud
     // downstream) when the overwrite also changes the schema
     val cdcActions =

@@ -293,7 +293,7 @@ class GraftCatalog extends DelegatingCatalogExtension
     val location = graftLocationOf(ident).getOrElse(locationOf(ident, properties))
     val config = tableConfiguration(properties)
     TableConfig.validate(config)
-    new GraftStagedTable(location, declared, partCols, () => {
+    new GraftStagedTable(location, declared, partCols, config, () => {
       // metastore sync after the one-commit overwrite
       if (tableExists(ident)) dropTable(ident)
       val metastoreProps = new util.HashMap[String, String](properties)

@@ -28,6 +28,7 @@ final class GraftStagedTable(
     location: String,
     tableSchema: StructType,
     partitionColumns: Seq[String],
+    configuration: Map[String, String],
     onCommit: () => Unit) extends StagedTable with SupportsWrite {
 
   @volatile private var wrote = false
@@ -43,7 +44,10 @@ final class GraftStagedTable(
   private def replaceWith(data: DataFrame): Unit = {
     GraftWriter.write(data.toDF(tableSchema.fieldNames.toSeq: _*), location,
       SaveMode.Overwrite, partitionBy = partitionColumns,
-      overwriteSchema = true)
+      overwriteSchema = true,
+      // REPLACE replaces the declared TBLPROPERTIES along with the schema —
+      // previously they were validated and then silently dropped
+      configuration = Some(configuration))
     wrote = true
   }
 

@@ -334,6 +334,31 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("REPLACE TABLE commits its TBLPROPERTIES to the log (and fences DVs)") {
+    val dir = tempTable("cat-replace-props").toString
+    withTable("cat_rp_t") {
+      spark.sql(
+        s"""CREATE TABLE cat_rp_t (id BIGINT) USING `graft-delta`
+           |LOCATION '$dir' TBLPROPERTIES ('delta.appendOnly' = 'true')""".stripMargin)
+      assert(TableConfig.appendOnly(
+        TableConfig.of(DeltaLog.forPath(spark, dir).update())))
+      // REPLACE with different properties: the declared set REPLACES the
+      // old one in the log (previously validated then silently dropped)
+      spark.sql(
+        s"""CREATE OR REPLACE TABLE cat_rp_t (id BIGINT, v STRING)
+           |USING `graft-delta` LOCATION '$dir'
+           |TBLPROPERTIES ('delta.enableDeletionVectors' = 'true')""".stripMargin)
+      val snap = DeltaLog.forPath(spark, dir).update()
+      val cfg = TableConfig.of(snap)
+      assert(TableConfig.deletionVectorsEnabled(cfg))
+      assert(!TableConfig.appendOnly(cfg), "REPLACE replaces properties")
+      assert(snap.minReaderVersion == 3, "DV fence rides the replace commit")
+      // and time travel still reaches the pre-replace state
+      assert(DeltaTable.forPath(spark, dir, snap.version - 1)
+        .snapshot.metadata.exists(_.configuration.contains(TableConfig.AppendOnly)))
+    }
+  }
+
   test("non-graft providers pass through the delegate untouched") {
     val dir = tempTable("cat-parquet").toString
     withTable("cat_pq_t") {
