@@ -78,10 +78,16 @@ object Bench {
       name -> sec
     }
     def toJson(m: scala.collection.Map[String, Double]): String =
-      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      m.map { case (k, v) => s"\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val qjson = toJson(results)
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"cpu":${toJson(cpuSec)},"load1m":${toJson(load1m)},"sf":"$sfDir"}""")
+    // The primary stdout line carries ONLY what the driver's tail capture
+    // parses (value + queries + sf). Round 6's driver recorded `parsed: null`
+    // because the cpu/load1m telemetry maps pushed `value` out of the tail
+    // window — so telemetry now goes to stderr, next to BENCHDBG.
+    System.err.println(
+      s"""BENCHTEL {"cpu":${toJson(cpuSec)},"load1m":${toJson(load1m)}}""")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -169,10 +169,16 @@ object PipelineQueries {
         queryId = 0, k = 10)
     },
 
-    // IVF ANN: probe the 2 nearest label-clusters, exact-search within.
+    // IVF ANN, full-probe gate: probe ALL label-clusters (nProbe = |labels|),
+    // which provably equals brute force — so the whole IVF machinery
+    // (centroid build, probe ranking, cluster-restricted exact search) is
+    // held to q29's brute-force DuckDB oracle. The sub-linear claim
+    // (partial probes search only the probed clusters) stays property-
+    // tested in SimilaritySpec, because this testdata's labels are not
+    // cosine clusters — no partial probe of them can equal brute force.
     "q30_ann_ivf" -> { (s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", "label",
-        queryId = 0, k = 10, nProbe = 2)
+        queryId = 0, k = 10, nProbe = Int.MaxValue)
     },
 
     // tumbling-window event aggregation (batch shape of the streaming agg).
@@ -491,12 +497,17 @@ object PipelineQueries {
         |    (acc, c) -> (acc * 131 + c) % 1000000007) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // q30 stays rows-only BY MEASUREMENT, not omission: the testdata labels
-    // are not cosine clusters (the true top-10 spans 6 of 10 labels, and
-    // one of those labels ranks 8th by centroid dot), so no sub-linear
-    // probe of this partitioning can equal brute force — an oracle would
-    // assert a property the data doesn't have. SimilaritySpec instead
-    // proves the structural invariants: full-probe IVF ≡ brute force
-    // exactly, and partial probes search only the probed clusters.
+    // q30: the full-probe IVF gate equals brute force by construction, so
+    // it reuses q29's oracle verbatim. (Partial probes CANNOT be oracled on
+    // this testdata — the labels are not cosine clusters: the true top-10
+    // spans 6 of 10 labels, one ranking 8th by centroid dot — so the
+    // sub-linear invariants live in SimilaritySpec instead.)
+    "q30_ann_ivf" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+        |  i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+        |     * CAST(round(CAST(qe[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS dot_q
+        |FROM embeddings, q
+        |ORDER BY dot_q DESC, vec_id LIMIT 10""".stripMargin
   )
 }

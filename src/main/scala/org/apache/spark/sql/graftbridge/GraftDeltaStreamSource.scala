@@ -113,14 +113,24 @@ final class GraftDeltaStreamSource(
       // an append stream silently RE-SERVING a rewrite's surviving rows
       // (copy-on-write DELETE/UPDATE/MERGE, INSERT OVERWRITE, RESTORE)
       // would duplicate data downstream — fail loudly unless the user
-      // opted in. DV pointer re-adds are exempt: same path removed and
-      // re-added, no rows served either way.
+      // opted in.
       val addPaths = actions.collect {
         case a: graft.delta.AddAction if a.dataChange => a.path }.toSet
+      val removedPaths = actions.collect {
+        case r: graft.delta.RemoveAction if r.dataChange => r.path }.toSet
       val realRemoves = actions.collect {
         case r: graft.delta.RemoveAction
           if r.dataChange && !addPaths.contains(r.path) => r }
-      if (realRemoves.nonEmpty && adds.nonEmpty)
+      // Merge-on-read DML is a change commit too: a same-path re-add
+      // carrying a DV pointer means rows in that file were deleted (DV
+      // DELETE) — and any fresh adds alongside it are the transformed
+      // copies of already-served rows (DV UPDATE/MERGE). The pointer-only
+      // re-add serves no rows, so without this fence both shapes slipped
+      // through silently (r6 ADVICE).
+      val dvReAdds = actions.collect { case a: AddAction
+        if a.dataChange && graft.delta.DeletionVectors.hasDv(a) &&
+          removedPaths.contains(a.path) => a }
+      if ((realRemoves.nonEmpty || dvReAdds.nonEmpty) && adds.nonEmpty)
         throw new IllegalStateException(
           s"streaming source found a data rewrite at ${log.tablePath} " +
           s"version $version (files removed and added in one commit). " +
@@ -129,10 +139,13 @@ final class GraftDeltaStreamSource(
           "row-level changes via the change data feed instead")
       // ignoreChanges subsumes ignoreDeletes (a rewrite whose file had no
       // survivors degenerates to a delete-only commit)
-      if (realRemoves.nonEmpty && adds.isEmpty && !ignoreDeletes && !ignoreChanges)
+      if ((realRemoves.nonEmpty || dvReAdds.nonEmpty) && adds.isEmpty &&
+          !ignoreDeletes)
         throw new IllegalStateException(
-          s"streaming source found deleted files at ${log.tablePath} " +
-          s"version $version. Deletes are invisible to an append stream — " +
+          s"streaming source found deleted rows at ${log.tablePath} " +
+          s"version $version" +
+          (if (dvReAdds.nonEmpty) " (deletion-vector re-point)" else "") +
+          ". Deletes are invisible to an append stream — " +
           "set .option(\"ignoreDeletes\", \"true\") to accept that")
     }
     adds

@@ -140,7 +140,11 @@ class GraftDeltaSourceSpec extends AnyFunSuite with SparkTestBase {
     } finally q2.stop()
   }
 
-  test("DV pointer re-adds pass the guard silently (no option needed)") {
+  test("a DV DELETE fails the stream unless ignoreDeletes is set") {
+    // Regression (ADVICE r6): merge-on-read DELETE is remove + same-path
+    // re-add with a DV pointer — no realRemoves, no served adds — and the
+    // old fence exempted ALL same-path re-adds, so row deletions slipped
+    // through with no opt-in. The DV re-point must gate like a delete.
     val src = tempTable("fmt-dv-guard").toString
     (0 until 20).map(i => (i.toLong, s"v$i")).toDF("id", "v")
       .write.format("graft-delta").save(src)
@@ -148,14 +152,64 @@ class GraftDeltaSourceSpec extends AnyFunSuite with SparkTestBase {
       .setProperties(Map(TableConfig.EnableDeletionVectors -> "true"))
     Dml.delete(spark, src, col("id") < 5) // merge-on-read: remove+re-add
 
-    val ckpt = tempTable("fmt-dv-ck").toString
-    val q = spark.readStream.format("graft-delta").load(src)
+    val ckpt1 = tempTable("fmt-dv-ck1").toString
+    val q1 = spark.readStream.format("graft-delta").load(src)
       .writeStream.format("memory").queryName("graft_dv_guard")
-      .option("checkpointLocation", ckpt).start()
+      .option("checkpointLocation", ckpt1).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    assert(e.getMessage.contains("ignoreDeletes") ||
+      Option(e.getCause).exists(_.getMessage.contains("ignoreDeletes")))
+    q1.stop()
+
+    // with the opt-in: the pointer re-add serves nothing (rows just vanish)
+    val ckpt2 = tempTable("fmt-dv-ck2").toString
+    val q2 = spark.readStream.format("graft-delta")
+      .option("ignoreDeletes", "true").load(src)
+      .writeStream.format("memory").queryName("graft_dv_ok")
+      .option("checkpointLocation", ckpt2).start()
     try {
-      q.processAllAvailable() // no throw: pointer re-adds serve nothing
-      assert(spark.table("graft_dv_guard").count() == 20)
-    } finally q.stop()
+      q2.processAllAvailable()
+      assert(spark.table("graft_dv_ok").count() == 20)
+    } finally q2.stop()
+  }
+
+  test("a DV UPDATE fails the stream unless ignoreChanges is set") {
+    // DV UPDATE = pointer re-add (masking old rows) + fresh adds carrying
+    // the transformed copies of already-served rows: serving those copies
+    // as inserts duplicates data downstream, so it gates on ignoreChanges
+    // (ignoreDeletes is NOT enough — there are new files).
+    val src = tempTable("fmt-dvu-guard").toString
+    (0 until 20).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .write.format("graft-delta").save(src)
+    DeltaTable.forPath(spark, src)
+      .setProperties(Map(TableConfig.EnableDeletionVectors -> "true"))
+    Dml.update(spark, src, col("id") < 5, Map("v" -> org.apache.spark.sql.functions.lit("upd")))
+
+    val ckpt1 = tempTable("fmt-dvu-ck1").toString
+    val q1 = spark.readStream.format("graft-delta")
+      .option("ignoreDeletes", "true") // deliberately insufficient
+      .load(src)
+      .writeStream.format("memory").queryName("graft_dvu_guard")
+      .option("checkpointLocation", ckpt1).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    assert(e.getMessage.contains("ignoreChanges") ||
+      Option(e.getCause).exists(_.getMessage.contains("ignoreChanges")))
+    q1.stop()
+
+    // with ignoreChanges: the updated copies are (knowingly) served
+    val ckpt2 = tempTable("fmt-dvu-ck2").toString
+    val q2 = spark.readStream.format("graft-delta")
+      .option("ignoreChanges", "true").load(src)
+      .writeStream.format("memory").queryName("graft_dvu_ok")
+      .option("checkpointLocation", ckpt2).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("graft_dvu_ok").count() == 25) // 20 initial + 5 copies
+    } finally q2.stop()
   }
 
   test("maxVersionsPerTrigger throttles a backfill into multiple micro-batches") {
