@@ -34,11 +34,13 @@ trait LogStore {
   def write(path: Path, content: String): Unit
 
   /** Byte-exact read/write — checkpoint parquet moves through the rename
-    * seam too, so a copy path must never round-trip through text. */
-  def readBytes(path: Path): Array[Byte] =
-    read(path).getBytes(StandardCharsets.UTF_8)
-  def writeBytes(path: Path, bytes: Array[Byte]): Unit =
-    write(path, new String(bytes, StandardCharsets.UTF_8))
+    * seam too, so a copy path must never round-trip through text. ABSTRACT
+    * on purpose (r6 ADVICE): a UTF-8 String default here would silently
+    * corrupt any binary payload a `spark.graft.logStore.factory` plugin
+    * copies (parquet is not valid UTF-8) — a store that cannot move bytes
+    * must fail to compile, not corrupt checkpoints. */
+  def readBytes(path: Path): Array[Byte]
+  def writeBytes(path: Path, bytes: Array[Byte]): Unit
 
   /** Move `src` to `dst` atomically, failing with
     * [[VersionAlreadyExists]]-able `FileAlreadyExistsException` when `dst`

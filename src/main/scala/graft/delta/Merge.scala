@@ -145,7 +145,28 @@ final class MergeBuilder private[delta] (
     val tAug = Dml.scanSubset(spark, log, snap, affected)
       .withColumn("__t", monotonically_increasing_id()).alias("t")
     val sAug = source.withColumn("__s", lit(true)).alias("s")
-    val joined = tAug.join(sAug, condition, "full_outer")
+    // With CDF on, the change images must come from the SAME execution that
+    // produced the rewrite — a re-executed join over a non-deterministic
+    // source (rand(), current_timestamp, a view that moved) would stage
+    // pre/post images that do not fold to the committed state (r6 ADVICE).
+    // An eager localCheckpoint pins one execution of the join; all
+    // downstream reads (rewrite, metrics fallback, four change classes) hit
+    // the materialized rows, and executor loss fails loudly instead of
+    // silently recomputing. Cost contract unchanged: affected-files-only,
+    // paid only when the table captures changes.
+    val cdfOn = ChangeDataFeed.enabled(snap)
+    val joined =
+      if (cdfOn) tAug.join(sAug, condition, "full_outer").localCheckpoint(true)
+      else tAug.join(sAug, condition, "full_outer")
+    // free the checkpoint's pinned blocks NOW (ContextCleaner is GC-driven
+    // — on a big driver heap that can be never); best-effort
+    def releaseJoin(): Unit =
+      if (cdfOn) {
+        try joined.queryExecution.analyzed.collectLeaves().foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+          case _ => ()
+        } catch { case _: Throwable => () }
+      }
 
     val tPresent = col("__t").isNotNull
     val matched = tPresent && col("__s").isNotNull
@@ -246,7 +267,7 @@ final class MergeBuilder private[delta] (
             pairs > joined.filter(matched).select("__t").distinct().count()
         }
         if (multiMatched) {
-          discardStaged()
+          discardStaged(); releaseJoin()
           throw new MultipleMatchException(
             "merge: a target row matched more than one source row")
         }
@@ -265,7 +286,7 @@ final class MergeBuilder private[delta] (
           coalesce(sum(col("nd")), lit(0L)),
           coalesce(sum(col("ni")), lit(0L))).first()
         if (tot.getLong(0) > 1) {
-          discardStaged()
+          discardStaged(); releaseJoin()
           throw new MultipleMatchException(
             "merge: a target row matched more than one source row")
         }
@@ -275,16 +296,16 @@ final class MergeBuilder private[delta] (
     // nothing changed anywhere: discard the staged rewrite and commit
     // nothing (matters most for no-op by-source merges)
     if (nUpd == 0 && nDel == 0 && nIns == 0) {
-      discardStaged()
+      discardStaged(); releaseJoin()
       return MergeMetrics(0, 0, 0, 0, snap.version)
     }
 
     // change-data capture: pre/post images of updated rows, deleted rows,
-    // inserted rows — one extra execution of the join filtered to each
-    // change class, only when the table property is on (the same
-    // affected-files-only cost contract as Dml.rewrite)
+    // inserted rows — each change class filters the ONE materialized join
+    // execution above (localCheckpoint), only when the table property is on
+    // (the same affected-files-only cost contract as Dml.rewrite)
     val cdcActions =
-      if (!ChangeDataFeed.enabled(snap)) Nil
+      if (!cdfOn) Nil
       else {
         val tCols = snap.schema.fields.map(f =>
           col(s"t.`${f.name}`").cast(f.dataType).as(f.name)).toSeq
@@ -335,8 +356,10 @@ final class MergeBuilder private[delta] (
           // failed commit — reclaim them (vacuum never will)
           discardStaged()
           ChangeDataFeed.discardStaged(spark, log, cdcActions)
+          releaseJoin()
           throw e
       }
+    releaseJoin()
     MergeMetrics(removes.size, nUpd, nDel, nIns, version)
   }
 }

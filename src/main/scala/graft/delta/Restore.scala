@@ -77,6 +77,18 @@ object Restore {
       path = f.path, deletionTimestamp = now, dataChange = true,
       extendedFileMetadata = Some(true),
       partitionValues = Some(f.partitionValues), size = Some(f.size))))
+    // the restore abandons the CURRENT entries it repoints or removes; any
+    // DV directory only they referenced becomes unreachable and must be
+    // tombstoned or vacuum can never reclaim it (r6 ADVICE — the same leak
+    // DML/OPTIMIZE/MERGE already close). Dirs the restored target adds
+    // still point at are excluded: they are live again after this commit.
+    val toAddPaths = toAdd.map(_.path).toSet
+    val replacedCurrent =
+      current.files.filter(f => toAddPaths.contains(f.path)) ++ toRemove
+    val targetDvDirs = toAdd.flatMap(DeletionVectors.dvPath).toSet
+    txn.addActions(DeletionVectors
+      .supersededDirTombstones(current, replacedCurrent, now)
+      .filterNot(t => targetDvDirs.contains(t.path)))
     txn.addActions(cdcActions)
 
     val info = ActionCodec.mapper.createObjectNode()

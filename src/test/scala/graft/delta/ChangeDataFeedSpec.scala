@@ -92,6 +92,35 @@ class ChangeDataFeedSpec extends AnyFunSuite with SparkTestBase {
       .select("id").as[Long].head() == 4L)
   }
 
+  test("MERGE with a non-deterministic source: images fold to the committed state") {
+    // Regression (ADVICE r6): the change classes used to re-execute the
+    // source/target join once per class; a non-deterministic source then
+    // staged images diverging from the rows actually committed. The join is
+    // now localCheckpoint'd — ONE execution feeds both the rewrite and the
+    // feed — so the postimage/insert values must equal the table's, even
+    // with rand() in the source.
+    val dir = cdfTable("cdf-merge-nondet")
+    val source = spark.range(0, 10).toDF("id")
+      .withColumn("nv", concat(lit("r"), (rand() * 1e12).cast("long").cast("string")))
+    val m = Merge.into(spark, dir, source, col("t.id") === col("s.id") - 5)
+      .whenMatchedUpdate(Map("v" -> col("s.nv")))
+      .whenNotMatchedInsert(Map("id" -> (col("s.id") + 1000), "v" -> col("s.nv")))
+      .execute()
+    assert(m.rowsUpdated == 5 && m.rowsInserted == 5)
+    val table = DeltaTable.forPath(spark, dir).toDF
+      .select("id", "v").as[(Long, String)].collect().toMap
+    val ch = changesAt(dir, m.version)
+    val post = ch.filter(col(ChangeDataFeed.ChangeType) === "update_postimage")
+      .select("id", "v").as[(Long, String)].collect()
+    val ins = ch.filter(col(ChangeDataFeed.ChangeType) === "insert")
+      .select("id", "v").as[(Long, String)].collect()
+    assert(post.length == 5 && ins.length == 5)
+    (post ++ ins).foreach { case (id, v) =>
+      assert(table.get(id).contains(v),
+        s"image ($id,$v) diverges from committed row ${table.get(id)}")
+    }
+  }
+
   test("append commits surface as insert rows without any capture") {
     val dir = cdfTable("cdf-append")
     GraftWriter.write(Seq((500L, "a"), (501L, "b")).toDF("id", "v"), dir, SaveMode.Append)

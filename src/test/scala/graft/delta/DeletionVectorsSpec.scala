@@ -216,6 +216,10 @@ class DeletionVectorsSpec extends AnyFunSuite with SparkTestBase {
     val m = Dml.delete(spark, dir, col("id") < 10)
     assert(DeltaTable.forPath(spark, dir).toDF.count() == 90)
 
+    val dvDir = DeltaLog.forPath(spark, dir).update()
+      .files.flatMap(DeletionVectors.dvPath).distinct
+    assert(dvDir.size == 1)
+
     // a path-only diff would see identical path sets and restore NOTHING,
     // silently keeping the deletion; the tag-aware diff re-adds the
     // tag-less entries
@@ -224,10 +228,18 @@ class DeletionVectorsSpec extends AnyFunSuite with SparkTestBase {
     val dt = DeltaTable.forPath(spark, dir)
     assert(dt.toDF.count() == 100)
     assert(!dt.files.exists(DeletionVectors.hasDv))
+    // the restore abandoned the DV dir its repointed entries referenced —
+    // without a tombstone vacuum could never reclaim it (r6 ADVICE leak)
+    assert(dt.snapshot.tombstones.exists(t => t.path == dvDir.head && !t.dataChange),
+      s"restore must tombstone the abandoned DV dir ${dvDir.head}")
 
-    // and restoring forward to the post-delete version re-applies the DVs
+    // and restoring forward to the post-delete version re-applies the DVs;
+    // the dir is live again and vacuum's liveDvDirs guard protects it from
+    // the (now-stale) tombstone
     DeltaTable.forPath(spark, dir).restoreToVersion(m.version)
     assert(DeltaTable.forPath(spark, dir).toDF.count() == 90)
+    assert(!DeltaTable.forPath(spark, dir)
+      .vacuum(retentionHours = 168, dryRun = true).contains(dvDir.head))
   }
 
   test("incremental feeds skip pointer-only re-adds") {
