@@ -92,8 +92,14 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
   /** Table-level statistics merged from per-file stats (D4). */
   def statistics: TableStatistics = snapshot.statistics
 
-  /** Commit provenance, newest last. */
-  def history: Seq[JsonNode] = snapshot.commitInfos
+  /** Commit provenance, newest last — read from the commit files on demand
+    * (O(#commits) only when ASKED for history), not accumulated in snapshot
+    * state (which would be O(#commits) driver weight on EVERY load, and
+    * silently truncated after a checkpoint restore — checkpoints don't
+    * carry commitInfo actions). */
+  def history: Seq[JsonNode] =
+    log.listCommitVersions().flatMap(v =>
+      log.readCommit(v).collectFirst { case c: CommitInfoAction => c.info })
 
   /** Row-level Change Data Feed over `(startVersion, endVersion]` — table
     * columns + `_change_type` + `_commit_version`. Requires the DML commits

@@ -170,12 +170,26 @@ final class GraftDeltaSource extends RelationProvider
     createRelation(sqlContext, parameters)
   }
 
+  /** table cols + `_change_type` + `_commit_version` — the shape
+    * [[ChangeDataFeed.readChanges]] serves, declared up front so the
+    * streaming plan binds the change columns. */
+  private def cdfSchema(tableSchema: StructType): StructType =
+    StructType(tableSchema.fields :+
+      org.apache.spark.sql.types.StructField(
+        ChangeDataFeed.ChangeType, org.apache.spark.sql.types.StringType) :+
+      org.apache.spark.sql.types.StructField(
+        ChangeDataFeed.CommitVersion, org.apache.spark.sql.types.LongType,
+        nullable = false))
+
+  private def wantsCdf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
     val declared = schema.getOrElse(
       DeltaTable.forPath(sqlContext.sparkSession, pathOf(parameters)).schema)
-    (shortName(), declared)
+    (shortName(), if (wantsCdf(parameters)) cdfSchema(declared) else declared)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -184,10 +198,16 @@ final class GraftDeltaSource extends RelationProvider
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
     val log = DeltaLog.forPath(spark, path)
-    val declared = schema.getOrElse {
-      val snap = log.update()
-      if (snap.version < 0) throw new NotATableException(path)
-      snap.schema
+    val cdf = wantsCdf(parameters)
+    val declared = schema match {
+      // the engine hands back the (already CDF-shaped) schema it got from
+      // sourceSchema — don't double-append the change columns
+      case Some(s) if !cdf || s.fieldNames.contains(ChangeDataFeed.ChangeType) => s
+      case Some(s) => cdfSchema(s)
+      case None =>
+        val snap = log.update()
+        if (snap.version < 0) throw new NotATableException(path)
+        if (cdf) cdfSchema(snap.schema) else snap.schema
     }
     new org.apache.spark.sql.graftbridge.GraftDeltaStreamSource(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], log, declared,
@@ -197,7 +217,8 @@ final class GraftDeltaSource extends RelationProvider
       startingVersion = parameters.get("startingVersion").map(_.toLong),
       metadataPath = Some(metadataPath),
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
-      ignoreDeletes = parameters.get("ignoreDeletes").exists(_.toBoolean))
+      ignoreDeletes = parameters.get("ignoreDeletes").exists(_.toBoolean),
+      readChangeFeed = cdf)
   }
 
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],

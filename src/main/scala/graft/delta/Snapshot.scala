@@ -7,7 +7,11 @@ import scala.collection.mutable
   *
   * Mirrors `DeltaTableState` (`rust/src/delta.rs:325-335`): active files,
   * tombstones, protocol minimums, current metadata, per-app txn versions,
-  * commitInfos.
+  * and the LATEST commitInfo only. The reference accumulates every
+  * historical commitInfo in table state; at 100k commits that is dead
+  * driver weight on every load, so history is served from the commit files
+  * on demand ([[DeltaTable.history]] / `graft_history`) instead of carried
+  * here.
   *
   * Scale note: the file list is O(#files) on the driver, like the reference's
   * `Vec<Add>`. At 100 TB (~1M files of 100 MB) this is ~hundreds of MB of
@@ -22,7 +26,7 @@ final case class Snapshot(
     minReaderVersion: Int = 0,
     minWriterVersion: Int = 0,
     appTransactionVersion: Map[String, Long] = Map.empty,
-    commitInfos: Vector[JsonNode] = Vector.empty) {
+    lastCommitInfo: Option[JsonNode] = None) {
 
   def schema: org.apache.spark.sql.types.StructType =
     metadata.map(m => DeltaSchema.fromJson(m.schemaString))
@@ -109,7 +113,8 @@ object Snapshot {
   /** Fold actions into state — the one true log-replay kernel, mirroring
     * `process_action` (`rust/src/delta.rs:1418-1449`): add→append file;
     * remove→drop matching path, retain tombstone; protocol→min versions;
-    * metaData→full replace; txn→last-wins upsert; commitInfo→append.
+    * metaData→full replace; txn→last-wins upsert; commitInfo→last-wins
+    * (state keeps only the newest operation's provenance).
     *
     * Unlike the reference's linear `Vec::retain` per remove (O(n²) worst
     * case), the fold keys active files by path in an insertion-ordered map.
@@ -130,7 +135,7 @@ object Snapshot {
     var minReader = base.minReaderVersion
     var minWriter = base.minWriterVersion
     val txns = mutable.Map[String, Long](base.appTransactionVersion.toSeq: _*)
-    val commitInfos = mutable.ArrayBuffer[JsonNode](base.commitInfos: _*)
+    var lastCommitInfo = base.lastCommitInfo
 
     actions.foreach {
       case a: AddAction => files.put(a.path, a)
@@ -142,7 +147,7 @@ object Snapshot {
         minWriter = p.minWriterVersion
       case m: MetaDataAction => metadata = Some(m)
       case t: TxnAction => txns.put(t.appId, t.version)
-      case ci: CommitInfoAction => commitInfos += ci.info
+      case ci: CommitInfoAction => lastCommitInfo = Some(ci.info)
       case _: CdcAction => () // change-data files are commit-scoped, not state
     }
 
@@ -154,6 +159,6 @@ object Snapshot {
       minReaderVersion = minReader,
       minWriterVersion = minWriter,
       appTransactionVersion = txns.toMap,
-      commitInfos = commitInfos.toVector)
+      lastCommitInfo = lastCommitInfo)
   }
 }

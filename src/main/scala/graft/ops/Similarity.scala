@@ -91,7 +91,14 @@ object Similarity {
     *
     * Scale shape per iteration: one broadcast of k·dim doubles + one
     * shuffle for the centroid update — the corpus is never shuffled for
-    * assignment. Ties break on lowest cid, so results are reproducible. */
+    * assignment. Ties break on lowest cid, so results are reproducible.
+    *
+    * Each iteration's centroids (k rows) are eagerly localCheckpoint'ed and
+    * the superseded iteration's blocks reclaimed — without the truncation,
+    * every Lloyd round would nest the previous round's whole plan and
+    * `iters=25` blows up analysis/optimization time (r6 verdict #4); with
+    * it, plan size is flat in `iters` (the returned assignment reads one
+    * materialized k-row relation). */
   def kmeansAssign(vectors: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int = 3): DataFrame = {
     val v = vectors.select(col(idCol),
@@ -99,24 +106,40 @@ object Similarity {
     val distExpr =
       "aggregate(zip_with(dv, centroid, (x, y) -> (x - y) * (x - y)), cast(0 as double), (a, b) -> a + b)"
 
-    var centroids = v.orderBy(col(idCol)).limit(k)
-      .select(row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col(idCol)))
-        .cast("int").as("cid"), col("dv").as("centroid"))
-
-    var assign: DataFrame = null
-    for (_ <- 1 to iters) {
-      assign = v.crossJoin(broadcast(centroids))
+    def assignTo(centroids: DataFrame): DataFrame =
+      v.crossJoin(broadcast(centroids))
         .withColumn("dist", expr(distExpr))
         .groupBy(idCol)
         .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cluster"))
-      centroids = v.join(assign, idCol)
+
+    def dropCheckpoint(df: DataFrame): Unit =
+      try df.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ => ()
+      } catch { case _: Throwable => () }
+
+    var centroids = v.orderBy(col(idCol)).limit(k)
+      .select(row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col(idCol)))
+        .cast("int").as("cid"), col("dv").as("centroid"))
+      .localCheckpoint(true)
+
+    // iters-1 centroid updates; the final assignment happens after the loop
+    // (the original formulation computed — and discarded — one extra
+    // centroid update past the returned assignment)
+    for (_ <- 1 until iters) {
+      val next = v.join(assignTo(centroids), idCol)
         .select(col("cluster").as("cid"), posexplode(col("dv")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(avg("x").as("c"))
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
         .select(col("cid"), expr("transform(pc, p -> p.c)").as("centroid"))
+        .localCheckpoint(true)
+      dropCheckpoint(centroids) // the checkpoint of `next` was its last read
+      centroids = next
     }
-    assign
+    // references only the live (final) checkpoint — safe for the caller to
+    // execute any time; its k-row block is freed by the ContextCleaner
+    assignTo(centroids)
   }
 
   /** IVF without a pre-existing cluster column: quantize with

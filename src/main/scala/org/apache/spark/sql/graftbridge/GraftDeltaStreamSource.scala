@@ -41,7 +41,8 @@ final class GraftDeltaStreamSource(
     startingVersion: Option[Long] = None,
     metadataPath: Option[String] = None,
     ignoreChanges: Boolean = false,
-    ignoreDeletes: Boolean = false) extends Source {
+    ignoreDeletes: Boolean = false,
+    readChangeFeed: Boolean = false) extends Source {
 
   private def versionOf(o: V1Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -163,7 +164,10 @@ final class GraftDeltaStreamSource(
         case None => latest
       }
       val end =
-        if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) byVersions
+        // CDF mode serves row-level changes, not files — only the version
+        // cap applies (the file/byte walk would also trip the append-stream
+        // rewrite fence, which CDF mode exists to make unnecessary)
+        if (readChangeFeed || (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty)) byVersions
         else {
           // walk pending commits in order; stop before the cap-crossing one
           var files = 0L; var bytes = 0L
@@ -202,6 +206,21 @@ final class GraftDeltaStreamSource(
     if (math.max(startV, endV) > lastOffered) {
       lastOffered = math.max(startV, endV)
       persistAnchor(lastOffered)
+    }
+    // CDF mode: serve row-level changes from _change_data (+ synthesized
+    // insert/delete rows for plain appends/truncates) instead of file adds —
+    // the streaming analog of `graft_table_changes`. DML commits yield
+    // pre/post images tagged `_change_type`/`_commit_version`; offsets stay
+    // commit boundaries, and a restart replay re-reads the identical
+    // deterministic change set for (startV, endV].
+    if (readChangeFeed) {
+      val changes =
+        if (endV <= startV)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else graft.delta.ChangeDataFeed.readChanges(spark, log, startV, endV)
+      return spark.internalCreateDataFrame(
+        changes.queryExecution.toRdd, schema, isStreaming = true)
     }
     val adds: Seq[AddAction] = log.listCommitVersions()
       .filter(v => v > startV && v <= endV)

@@ -109,6 +109,117 @@ class CheckpointSpec extends AnyFunSuite with SparkTestBase {
     assert(adds.forall(_.getLong(5) == 0L))   // no nulls
   }
 
+  test("checkpoint parquet schema covers the reference's checkpoint schema field-for-field (delta_arrow.rs:140-249)") {
+    // The inverse of the golden-table READ proofs: a delta-rs 0.4.1 client
+    // restoring from a graft-written checkpoint resolves fields BY NAME
+    // (action.rs:726-775 from_parquet_record), so every field the
+    // reference's writer declares (delta_arrow.rs delta_log_schema_for_table)
+    // must exist here under the same path with the matching type. Extra
+    // fields are fine — the reference reader warns and skips unknown names —
+    // and several of ours exist BECAUSE the reference reader handles them
+    // (partitionValues/tags as parquet maps, action.rs:213-224;552-560 — the
+    // reference writer just couldn't emit them yet, the Map TODOs).
+    import org.apache.spark.sql.types._
+    val dir = tempTable("cp-refschema").toString
+    import spark.implicits._
+    GraftWriter.write(
+      (0 until 10).map(i => (i.toLong, s"n$i", i % 2)).toDF("id", "name", "p"),
+      dir, SaveMode.ErrorIfExists, Seq("p"))
+    val log = DeltaLog.forPath(spark, dir)
+    log.checkpoint()
+    val cp = spark.read.parquet(log.checkpointFile(0).toString).schema
+
+    def at(path: String): DataType = path.split('.')
+      .foldLeft(StructType(cp.fields): DataType) {
+        case (StructType(fs), name) =>
+          fs.find(_.name == name)
+            .getOrElse(fail(s"checkpoint schema lacks reference field $path")).dataType
+        case (other, name) => fail(s"$name under non-struct $other in $path")
+      }
+
+    // hardcoded from delta_arrow.rs:144-249 for table
+    //   (id long, name string) partitioned by (p int)
+    val expected: Seq[(String, DataType)] = Seq(
+      "metaData.id" -> StringType,
+      "metaData.name" -> StringType,
+      "metaData.description" -> StringType,
+      "metaData.schemaString" -> StringType,
+      "metaData.createdTime" -> LongType,
+      "metaData.partitionColumns" -> ArrayType(StringType),
+      "metaData.format.provider" -> StringType,
+      "protocol.minReaderVersion" -> IntegerType,
+      "protocol.minWriterVersion" -> IntegerType,
+      "txn.appId" -> StringType,
+      "txn.version" -> LongType,
+      "remove.path" -> StringType,
+      "remove.deletionTimestamp" -> LongType,
+      "remove.dataChange" -> BooleanType,
+      "remove.extendedFileMetadata" -> BooleanType,
+      "remove.size" -> LongType,
+      "add.path" -> StringType,
+      "add.size" -> LongType,
+      "add.modificationTime" -> LongType,
+      "add.dataChange" -> BooleanType,
+      "add.stats" -> StringType,
+      "add.stats_parsed.numRecords" -> LongType,
+      "add.stats_parsed.minValues.id" -> LongType,
+      "add.stats_parsed.minValues.name" -> StringType,
+      "add.stats_parsed.maxValues.id" -> LongType,
+      "add.stats_parsed.maxValues.name" -> StringType,
+      "add.partitionValues_parsed.p" -> IntegerType)
+    expected.foreach { case (path, dt) =>
+      assert(at(path) == dt, s"$path: expected $dt, got ${at(path)}")
+    }
+    // exactly the reference's five action columns, all nullable structs
+    assert(cp.fields.map(_.name).toSet == Set("txn", "add", "remove", "metaData", "protocol"))
+    assert(cp.fields.forall(f => f.nullable && f.dataType.isInstanceOf[StructType]))
+    // where we exceed the writer TODOs: the map shape the reference READER
+    // expects (string->string parquet maps)
+    val sMap = MapType(StringType, StringType, valueContainsNull = true)
+    assert(at("add.partitionValues") == sMap)
+    assert(at("add.tags") == sMap)
+    assert(at("remove.partitionValues") == sMap)
+    assert(at("metaData.configuration") == sMap)
+    // divergence, on purpose: the reference types stats_parsed.nullCount
+    // with the TABLE types (delta_arrow.rs:215-221) but its own protocol —
+    // and its reader's StatsParsed (action.rs:85-90;323-339) — treat
+    // nullCount as i64 counts; we write long
+    assert(at("add.stats_parsed.nullCount.id") == LongType)
+  }
+
+  test("reference-written checkpointed table replays through our writer and back") {
+    // Take the reference's own `checkpoints` fixture (12 commits, written by
+    // checkpoint_writer_test.rs), restore it THROUGH ITS OWN parquet
+    // checkpoint, re-write the state with OUR checkpoint writer on a fresh
+    // copy, and prove a cold reader restores the identical file set.
+    val gold = "/root/reference/rust/tests/data/checkpoints"
+    val work = tempTable("cp-refreplay").toString
+    val src = java.nio.file.Paths.get(gold)
+    java.nio.file.Files.walk(src).forEach { p =>
+      val rel = src.relativize(p).toString
+      val dst = java.nio.file.Paths.get(work, rel)
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(dst)
+      else java.nio.file.Files.copy(p, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val log = DeltaLog.forPath(spark, work)
+    val before = log.update()
+    assert(before.version == 11)
+
+    log.checkpoint() // OUR writer, on top of the foreign-restored state
+    // delete every JSON commit: the cold load below can ONLY come from the
+    // graft-written checkpoint parquet
+    java.nio.file.Files.list(java.nio.file.Paths.get(work, "_delta_log"))
+      .filter(_.toString.endsWith(".json"))
+      .forEach(p => java.nio.file.Files.delete(p))
+    val after = DeltaLog.forPath(spark, work).update()
+    assert(after.version == before.version)
+    assert(after.files.map(_.path).sorted == before.files.map(_.path).sorted)
+    assert(after.metadata.map(_.schemaString) == before.metadata.map(_.schemaString))
+    assert(after.minReaderVersion == before.minReaderVersion &&
+      after.minWriterVersion == before.minWriterVersion)
+  }
+
   test("multi-part checkpoint write + restore (delta.rs:412-436 naming)") {
     val dir = tempTable("cp-multipart").toString
     import spark.implicits._

@@ -101,6 +101,27 @@ class DeltaLogSpec extends AnyFunSuite with SparkTestBase {
     assert(snap.files.size == 2)
   }
 
+  test("snapshot state holds O(1) commitInfos; history still serves every commit") {
+    // Regression (r6 verdict #3): state used to accumulate EVERY historical
+    // commitInfo — dead driver weight on every load at 100k-commit scale,
+    // and silently truncated after a checkpoint restore anyway (checkpoints
+    // carry no commitInfo actions). State now keeps only the latest;
+    // history reads the commit files on demand.
+    val dir = tempTable("cinfo-bound")
+    def info(op: String): String = s"""{"commitInfo":{"operation":"$op"}}"""
+    writeCommit(dir, 0, Seq(protocol, metaData, add("f0.parquet"), info("op0")))
+    (1 until 200).foreach(v =>
+      writeCommit(dir, v, Seq(add(s"f$v.parquet"), info(s"op$v"))))
+    val log = DeltaLog.forPath(spark, dir.toString)
+    val snap = log.update()
+    assert(snap.version == 199)
+    assert(snap.lastCommitInfo.map(_.get("operation").asText).contains("op199"))
+    // full provenance, newest last, straight from the log
+    val hist = new DeltaTable(log, snap).history
+    assert(hist.size == 200)
+    assert(hist.map(_.get("operation").asText) == (0 until 200).map(i => s"op$i"))
+  }
+
   test("time travel by timestamp: binary search on commit mtimes (delta.rs:1041-1075)") {
     val dir = tempTable("ts")
     writeCommit(dir, 0, Seq(protocol, metaData, add("f0.parquet")))

@@ -212,6 +212,54 @@ class GraftDeltaSourceSpec extends AnyFunSuite with SparkTestBase {
     } finally q2.stop()
   }
 
+  test("readChangeFeed streams row-level changes: UPDATE yields pre/post images, restart-safe") {
+    val src = tempTable("fmt-cdf-stream").toString
+    val dst = tempTable("fmt-cdf-stream-dst").toString
+    val ckpt = tempTable("fmt-cdf-stream-ck").toString
+    (0 until 20).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .write.format("graft-delta").save(src)
+    DeltaTable.forPath(spark, src)
+      .setProperties(Map(TableConfig.EnableChangeDataFeed -> "true"))
+
+    // delta→delta so each restart recovers from the checkpoint (the memory
+    // sink cannot) — duplicates from a replayed version would land in dst
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("readChangeFeed", "true").load(src)
+        .writeStream.format("graft-delta")
+        .option("appId", "cdf-stream")
+        .option("checkpointLocation", ckpt).start(dst)
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    run() // backfill: the initial commit's rows surface as inserts
+    val t0 = DeltaTable.forPath(spark, dst).toDF
+    assert(t0.schema.fieldNames.toSeq ==
+      Seq("id", "v", ChangeDataFeed.ChangeType, ChangeDataFeed.CommitVersion))
+    assert(t0.filter(col(ChangeDataFeed.ChangeType) === "insert").count() == 20)
+
+    // an UPDATE between restarts serves pre/post images — no opt-in needed
+    // (the CDF feed replaces the append-mode rewrite guard)
+    val m = Dml.update(spark, src, col("id") < 3,
+      Map("v" -> org.apache.spark.sql.functions.lit("X")))
+    run()
+    val t1 = DeltaTable.forPath(spark, dst).toDF
+    val pre = t1.filter(col(ChangeDataFeed.ChangeType) === "update_preimage")
+    val post = t1.filter(col(ChangeDataFeed.ChangeType) === "update_postimage")
+    assert(pre.count() == 3 && post.count() == 3)
+    assert(post.select("v").distinct().as[String].head() == "X")
+    assert(pre.select(ChangeDataFeed.CommitVersion).distinct().as[Long].head() == m.version)
+
+    // third leg: a DELETE, then restart — exactly-once across all three
+    // runs (20 inserts + 3 pre + 3 post + 1 delete, nothing replayed)
+    Dml.delete(spark, src, col("id") === 10L)
+    run()
+    val t2 = DeltaTable.forPath(spark, dst).toDF
+    assert(t2.filter(col(ChangeDataFeed.ChangeType) === "delete")
+      .select("id").as[Long].collect().toSeq == Seq(10L))
+    assert(t2.count() == 27, s"expected exactly-once feed, got ${t2.count()} rows")
+  }
+
   test("maxVersionsPerTrigger throttles a backfill into multiple micro-batches") {
     val src = tempTable("fmt-throttle").toString
     val ckpt = tempTable("fmt-throttle-ckpt").toString

@@ -261,6 +261,26 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(auto == brute) // probed cluster contains all true neighbors here
   }
 
+  test("kmeansAssign plan size stays flat as iters grows (lineage truncated per round)") {
+    // Regression (r6 verdict #4): without per-iteration localCheckpoint the
+    // returned plan nested every Lloyd round's full plan — iters=25 blew up
+    // analysis time/plan size. Truncated, the assignment reads one
+    // materialized k-row relation regardless of iters.
+    import spark.implicits._
+    val pts = (0 until 30).map(i =>
+      (i.toLong, Array((i % 3).toFloat, (i % 5).toFloat, 1.0f)))
+    val df = pts.toDF("vec_id", "embedding")
+    def planNodes(d: org.apache.spark.sql.DataFrame): Int =
+      d.queryExecution.analyzed.collect { case n => n }.size
+    val a2 = Similarity.kmeansAssign(df, "vec_id", "embedding", k = 3, iters = 2)
+    val a25 = Similarity.kmeansAssign(df, "vec_id", "embedding", k = 3, iters = 25)
+    assert(planNodes(a25) == planNodes(a2),
+      s"plan grew with iters: ${planNodes(a2)} -> ${planNodes(a25)}")
+    // and it still assigns every vector exactly once
+    assert(a25.count() == 30)
+    assert(a25.select("vec_id").distinct().count() == 30)
+  }
+
   test("LSH buckets are deterministic and collide for near-identical vectors") {
     val b = Similarity.lshBuckets(vecs, "vec_id", "embedding", nPlanes = 8)
       .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
