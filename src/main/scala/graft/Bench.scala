@@ -29,7 +29,14 @@ object Bench {
       .config("spark.sql.catalog.spark_catalog", "graft.delta.catalog.GraftCatalog")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val qs = SparkEntry.queries
+    // optional subset run (stress sweeps, targeted regressions):
+    // SPARK_GRAFT_BENCH_ONLY=q24_dedup_jaccard,q25_minhash_lsh
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val qs = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
     // Warmup: one agg, one join, one semi-join — covers codegen paths.
     Seq("q1_agg", "q5_join", "q14_semijoin").foreach { w =>
       qs.get(w).foreach(fn => try materialize(fn(spark, sfDir))

@@ -48,7 +48,15 @@ object Dedup {
     *
     * Scale note: a shingle shared by k docs contributes k²/2 candidate rows —
     * at 100 TB, stop-shingle removal (drop shingles with document frequency
-    * above a cap) bounds the blowup; `maxShingleDf` applies that cap. */
+    * above a cap) bounds the blowup; `maxShingleDf` applies that cap.
+    *
+    * Recall caveat (measured, round-7 sf1 stress sweep): a duplicate FAMILY
+    * of size k multiplies every one of its shingles' df by k, so a cap below
+    * k × (typical base df) silently drops the exact shingles that witness
+    * the duplicates — on a corpus of 10-member families, cap=40 found 0
+    * pairs where cap=250 found 250k. Size the cap above the largest expected
+    * family × base df, or prefer [[minhashLshPairs]] (whose candidate volume
+    * is banded, not df²) when family sizes are unknown. */
   def jaccardPairs(sh: DataFrame, idCol: String,
                    thresholdNum: Long, thresholdDen: Long,
                    maxShingleDf: Option[Long] = None): DataFrame = {
