@@ -16,8 +16,16 @@ import graft.delta._
   * Driver-side state is one long (the last version seen); each poll reads
   * only the new commit files, never replays history — O(new commits), like
   * the reference's incremental update.
+  *
+  * Same append-feed contract as the first-class `readStream` source
+  * ([[graft.delta.RewriteFence]]): rewrite / delete / DV-DML commits fail
+  * loudly unless `ignoreChanges` / `ignoreDeletes` opt in — a tailer that
+  * silently re-served a rewrite's survivors (or skipped deletions) would
+  * corrupt its consumer just the same.
   */
-final class DeltaTailer(log: DeltaLog, startAfterVersion: Long = -1L) {
+final class DeltaTailer(log: DeltaLog, startAfterVersion: Long = -1L,
+                        ignoreChanges: Boolean = false,
+                        ignoreDeletes: Boolean = false) {
 
   @volatile private var lastSeen: Long = startAfterVersion
 
@@ -27,11 +35,9 @@ final class DeltaTailer(log: DeltaLog, startAfterVersion: Long = -1L) {
   private def newAdds(upTo: Long): Seq[AddAction] =
     log.listCommitVersions()
       .filter(v => v > lastSeen && v <= upTo)
-      .flatMap(v => log.readCommit(v))
-      .collect { case a: AddAction
-        // DV re-adds (merge-on-read DELETE/UPDATE pointers) introduce no new
-        // rows — serving them would replay the whole file as "new"
-        if a.dataChange && graft.delta.DeletionVectors.dvPath(a).isEmpty => a }
+      .flatMap(v => graft.delta.RewriteFence.servableAdds(
+        log.tablePath.toString, v, log.readCommit(v),
+        ignoreChanges, ignoreDeletes))
 
   /** Poll once: Some((version, batch)) when the log advanced, None when idle.
     * The batch contains exactly the rows added since the last poll. */

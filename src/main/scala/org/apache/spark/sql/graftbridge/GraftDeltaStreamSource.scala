@@ -104,53 +104,14 @@ final class GraftDeltaStreamSource(
   @volatile private var lastOffered: Long =
     math.max(floor, readAnchor().getOrElse(floor))
 
-  private def dataChangeAdds(version: Long): Seq[AddAction] = {
-    val actions = log.readCommit(version)
-    val adds = actions.collect { case a: AddAction
-      // DV re-adds carry no new rows (the pointer-only re-commit of a
-      // merge-on-read DELETE/UPDATE) — never re-serve their files
-      if a.dataChange && graft.delta.DeletionVectors.dvPath(a).isEmpty => a }
-    if (!ignoreChanges) {
-      // an append stream silently RE-SERVING a rewrite's surviving rows
-      // (copy-on-write DELETE/UPDATE/MERGE, INSERT OVERWRITE, RESTORE)
-      // would duplicate data downstream — fail loudly unless the user
-      // opted in.
-      val addPaths = actions.collect {
-        case a: graft.delta.AddAction if a.dataChange => a.path }.toSet
-      val removedPaths = actions.collect {
-        case r: graft.delta.RemoveAction if r.dataChange => r.path }.toSet
-      val realRemoves = actions.collect {
-        case r: graft.delta.RemoveAction
-          if r.dataChange && !addPaths.contains(r.path) => r }
-      // Merge-on-read DML is a change commit too: a same-path re-add
-      // carrying a DV pointer means rows in that file were deleted (DV
-      // DELETE) — and any fresh adds alongside it are the transformed
-      // copies of already-served rows (DV UPDATE/MERGE). The pointer-only
-      // re-add serves no rows, so without this fence both shapes slipped
-      // through silently (r6 ADVICE).
-      val dvReAdds = actions.collect { case a: AddAction
-        if a.dataChange && graft.delta.DeletionVectors.hasDv(a) &&
-          removedPaths.contains(a.path) => a }
-      if ((realRemoves.nonEmpty || dvReAdds.nonEmpty) && adds.nonEmpty)
-        throw new IllegalStateException(
-          s"streaming source found a data rewrite at ${log.tablePath} " +
-          s"version $version (files removed and added in one commit). " +
-          "Rewritten files would be re-served as if new — set " +
-          ".option(\"ignoreChanges\", \"true\") to accept that, or stream " +
-          "row-level changes via the change data feed instead")
-      // ignoreChanges subsumes ignoreDeletes (a rewrite whose file had no
-      // survivors degenerates to a delete-only commit)
-      if ((realRemoves.nonEmpty || dvReAdds.nonEmpty) && adds.isEmpty &&
-          !ignoreDeletes)
-        throw new IllegalStateException(
-          s"streaming source found deleted rows at ${log.tablePath} " +
-          s"version $version" +
-          (if (dvReAdds.nonEmpty) " (deletion-vector re-point)" else "") +
-          ". Deletes are invisible to an append stream — " +
-          "set .option(\"ignoreDeletes\", \"true\") to accept that")
-    }
-    adds
-  }
+  /** Servable adds of one commit, through the shared append-feed guard
+    * ([[graft.delta.RewriteFence]]): copy-on-write rewrites, delete-only
+    * commits, and merge-on-read (DV) DML all fail loudly without the
+    * matching ignoreChanges/ignoreDeletes opt-in (r6 ADVICE). */
+  private def dataChangeAdds(version: Long): Seq[AddAction] =
+    graft.delta.RewriteFence.servableAdds(
+      log.tablePath.toString, version, log.readCommit(version),
+      ignoreChanges, ignoreDeletes)
 
   override def getOffset: Option[V1Offset] = {
     val latest = log.update().version
