@@ -11,6 +11,25 @@ import org.apache.spark.sql.SparkSession
   * }}}
   */
 object Inspect {
+
+  /** The CLI's output lines — separated from `main` so the spec can assert
+    * them without forking a JVM around `sys.exit`. */
+  def render(dt: DeltaTable, cmd: String): Seq[String] = cmd match {
+    case "info" =>
+      val st = dt.statistics
+      Seq(
+        s"path:    ${dt.log.tablePath}",
+        s"version: ${dt.version}",
+        s"schema:  ${dt.schema.simpleString}",
+        s"partitions: ${dt.partitionColumns.mkString(", ")}",
+        s"files: ${st.numFiles}  bytes: ${st.sizeInBytes}  rows: ${st.numRecords.getOrElse("?")}",
+        s"tombstones: ${dt.snapshot.tombstones.size}")
+    case "files" =>
+      dt.files.map(_.path)
+    case other =>
+      throw new IllegalArgumentException(s"unknown command: $other")
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println("usage: Inspect (info|files) <table-path> [--version N]")
@@ -31,19 +50,9 @@ object Inspect {
         case Some(v) => DeltaTable.forPath(spark, path, v)
         case None => DeltaTable.forPath(spark, path)
       }
-      cmd match {
-        case "info" =>
-          println(s"path:    $path")
-          println(s"version: ${dt.version}")
-          println(s"schema:  ${dt.schema.simpleString}")
-          println(s"partitions: ${dt.partitionColumns.mkString(", ")}")
-          val st = dt.statistics
-          println(s"files: ${st.numFiles}  bytes: ${st.sizeInBytes}  rows: ${st.numRecords.getOrElse("?")}")
-          println(s"tombstones: ${dt.snapshot.tombstones.size}")
-        case "files" =>
-          dt.files.foreach(a => println(a.path))
-        case other =>
-          System.err.println(s"unknown command: $other"); sys.exit(2)
+      try render(dt, cmd).foreach(println)
+      catch { case e: IllegalArgumentException =>
+        System.err.println(e.getMessage); sys.exit(2)
       }
     } finally spark.stop()
   }

@@ -260,6 +260,33 @@ class GraftDeltaSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(t2.count() == 27, s"expected exactly-once feed, got ${t2.count()} rows")
   }
 
+  test("readChangeFeed fails loudly on a rewrite committed without capture") {
+    // a DML commit made BEFORE delta.enableChangeDataFeed was set has no
+    // _change_data — serving it would mean silently inventing or dropping
+    // row-level changes, so the stream must fail, mirroring the batch
+    // feed's contract (ChangeDataFeedSpec "pre-CDF commits")
+    val src = tempTable("fmt-cdf-precapture").toString
+    (0 until 10).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(1)
+      .write.format("graft-delta").save(src)
+    Dml.delete(spark, src, col("id") < 3) // CoW rewrite, capture OFF
+    DeltaTable.forPath(spark, src)
+      .setProperties(Map(TableConfig.EnableChangeDataFeed -> "true"))
+
+    val ckpt = tempTable("fmt-cdf-precapture-ck").toString
+    val q = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true").load(src)
+      .writeStream.format("memory").queryName("graft_cdf_pre")
+      .option("checkpointLocation", ckpt).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("change data")),
+      s"expected the no-capture failure, got: ${msgs(e)}")
+    q.stop()
+  }
+
   test("maxVersionsPerTrigger throttles a backfill into multiple micro-batches") {
     val src = tempTable("fmt-throttle").toString
     val ckpt = tempTable("fmt-throttle-ckpt").toString
