@@ -88,8 +88,16 @@ object ChangeDataFeed {
   /** The change feed over `(startV, endV]`: table columns +
     * `_change_type` + `_commit_version`. */
   def readChanges(spark: SparkSession, log: DeltaLog,
-                  startV: Long, endV: Long): DataFrame = {
-    val schema = log.snapshotForVersion(endV).schema
+                  startV: Long, endV: Long): DataFrame =
+    readChanges(spark, log, startV, endV, log.snapshotForVersion(endV).schema)
+
+  /** As above with the table schema SUPPLIED — the streaming source calls
+    * this once per micro-batch with its fixed declared schema, skipping the
+    * `snapshotForVersion(endV)` replay (O(log length) per batch on a
+    * long-lived table, for a value the caller already holds). */
+  def readChanges(spark: SparkSession, log: DeltaLog,
+                  startV: Long, endV: Long,
+                  schema: StructType): DataFrame = {
     val withType = StructType(schema.fields :+
       org.apache.spark.sql.types.StructField(ChangeType, StringType))
     val outSchema = StructType(withType.fields :+

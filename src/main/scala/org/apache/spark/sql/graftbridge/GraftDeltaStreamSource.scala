@@ -179,7 +179,10 @@ final class GraftDeltaStreamSource(
         if (endV <= startV)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else graft.delta.ChangeDataFeed.readChanges(spark, log, startV, endV)
+        else graft.delta.ChangeDataFeed.readChanges(spark, log, startV, endV,
+          // table schema = declared minus the two change columns; passing
+          // it skips a full snapshotForVersion replay per micro-batch
+          StructType(schema.fields.dropRight(2)))
       return spark.internalCreateDataFrame(
         changes.queryExecution.toRdd, schema, isStreaming = true)
     }
