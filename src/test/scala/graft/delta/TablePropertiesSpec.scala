@@ -54,6 +54,27 @@ class TablePropertiesSpec extends AnyFunSuite with SparkTestBase {
     assert(Dml.delete(spark, dir, col("id") === 100L).rowsAffected == 1)
   }
 
+  test("unsetProperties removes keys in one metadata commit; isDeltaTable probes the log") {
+    val dir = LogFixtures.tempTable("props-unset").toString
+    assert(!DeltaTable.isDeltaTable(spark, dir))
+    import spark.implicits._
+    GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir)
+    assert(DeltaTable.isDeltaTable(spark, dir))
+
+    DeltaTable.forPath(spark, dir).setProperties(Map(
+      "delta.checkpointInterval" -> "25", "custom.tag" -> "x"))
+    val v = DeltaTable.forPath(spark, dir)
+      .unsetProperties(Seq("custom.tag", "never.set"))
+    val props = TableConfig.of(DeltaLog.forPath(spark, dir).update())
+    assert(!props.contains("custom.tag"))
+    assert(props.get("delta.checkpointInterval").contains("25")) // untouched
+    assert(DeltaLog.forPath(spark, dir).update().version == v)
+    // provenance recorded
+    val hist = DeltaTable.forPath(spark, dir).history
+    assert(hist.exists(n => Option(n.get("operation"))
+      .exists(_.asText == "UNSET TBLPROPERTIES")))
+  }
+
   test("checkpointInterval drives the auto-checkpoint cadence") {
     val dir = tempTable("props-cpinterval").toString
     GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir) // v0
