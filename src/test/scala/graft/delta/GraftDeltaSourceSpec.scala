@@ -287,6 +287,73 @@ class GraftDeltaSourceSpec extends AnyFunSuite with SparkTestBase {
     q.stop()
   }
 
+  test("readChangeFeed composes with startingVersion and maxVersionsPerTrigger") {
+    val src = tempTable("fmt-cdf-compose").toString
+    val ckpt = tempTable("fmt-cdf-compose-ck").toString
+    Seq((1L, "a")).toDF("id", "v").write.format("graft-delta").save(src)
+    DeltaTable.forPath(spark, src)
+      .setProperties(Map(TableConfig.EnableChangeDataFeed -> "true"))
+    val afterProps = DeltaLog.forPath(spark, src).update().version
+    (0 until 3).foreach { i =>
+      Seq((10L + i, s"n$i")).toDF("id", "v").write.format("graft-delta")
+        .mode("append").save(src)
+    }
+
+    // start past the backfill AND the props commit; one version per batch
+    val q = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", afterProps + 1)
+      .option("maxVersionsPerTrigger", 1)
+      .load(src)
+      .writeStream.format("memory").queryName("graft_cdf_compose")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val t = spark.table("graft_cdf_compose")
+      // only the three appends, as inserts, across >= 3 micro-batches
+      assert(t.count() == 3)
+      assert(t.select("id").as[Long].collect().sorted.toSeq == Seq(10L, 11L, 12L))
+      assert(t.select(ChangeDataFeed.ChangeType).distinct().as[String].head() == "insert")
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+    } finally q.stop()
+  }
+
+  test("streaming source tails a reference-written table (foreign log interop)") {
+    // copy a reference-written PARTITIONED table (real data files) and
+    // subscribe to it — the stream must serve all its rows and then pick up
+    // OUR appends on top of the foreign log
+    val gold = java.nio.file.Paths.get(
+      "/root/reference/rust/tests/data/delta-0.8.0-partitioned")
+    val src = tempTable("fmt-foreign-tail").toString
+    java.nio.file.Files.walk(gold).forEach { p =>
+      val dst = java.nio.file.Paths.get(src, gold.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(dst)
+      else java.nio.file.Files.copy(p, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val ckpt = tempTable("fmt-foreign-tail-ck").toString
+    val expected = DeltaTable.forPath(spark, src).toDF.count()
+    assert(expected > 0)
+
+    val q = spark.readStream.format("graft-delta").load(src)
+      .writeStream.format("memory").queryName("graft_foreign_tail")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_foreign_tail").count() == expected)
+
+      // append through OUR writer onto the foreign log; the stream follows
+      // (year/month/day partitioned — give the partition columns values)
+      val schema = DeltaTable.forPath(spark, src).schema
+      val row = org.apache.spark.sql.Row.fromSeq(schema.fields.map(f =>
+        if (f.name == "value") "ours" else "2099").toSeq)
+      val add = spark.createDataFrame(java.util.List.of(row), schema)
+      add.write.format("graft-delta").mode("append").save(src)
+      q.processAllAvailable()
+      assert(spark.table("graft_foreign_tail").count() == expected + 1)
+    } finally q.stop()
+  }
+
   test("maxVersionsPerTrigger throttles a backfill into multiple micro-batches") {
     val src = tempTable("fmt-throttle").toString
     val ckpt = tempTable("fmt-throttle-ckpt").toString
