@@ -94,7 +94,16 @@ object ChangeDataFeed {
   /** As above with the table schema SUPPLIED — the streaming source calls
     * this once per micro-batch with its fixed declared schema, skipping the
     * `snapshotForVersion(endV)` replay (O(log length) per batch on a
-    * long-lived table, for a value the caller already holds). */
+    * long-lived table, for a value the caller already holds).
+    *
+    * Plan-size note (100 TB / 10⁴-version feeds): one frame per version
+    * would build an O(versions)-way union — a planning blowup on long
+    * ranges. Instead the two common commit shapes are each read in ONE
+    * scan across all their versions — cdc-backed commits, and pure-append
+    * commits — with `_commit_version` attached by a broadcast
+    * file→version join (file paths are table-unique). Only pure-remove
+    * commits (TRUNCATE-shaped; they need the PRIOR version's state and DV
+    * filtering) keep a per-version frame. */
   def readChanges(spark: SparkSession, log: DeltaLog,
                   startV: Long, endV: Long,
                   schema: StructType): DataFrame = {
@@ -103,50 +112,80 @@ object ChangeDataFeed {
     val outSchema = StructType(withType.fields :+
       org.apache.spark.sql.types.StructField(CommitVersion, LongType, nullable = false))
     def abs(rel: String) = new Path(log.tablePath, rel).toString
+    def norm(rel: String) = new Path(log.tablePath, rel).toUri.getPath
 
     // `prior` tracks table state BEFORE the current version, initialized
     // lazily on the first remove-only commit and advanced incrementally
     // thereafter — one O(log) replay total, not one per remove-only
     // version (a truncate-heavy feed would otherwise be O(V²))
     var prior: Option[Snapshot] = None
-    val pairs: Seq[DataFrame] = log.listCommitVersions()
+    val cdcFiles = Seq.newBuilder[String]      // absolute cdc paths, all versions
+    val addFiles = Seq.newBuilder[String]      // absolute add paths, all versions
+    val fileVersion = Seq.newBuilder[(String, Long)] // normalized path -> version
+    val removeFrames = Seq.newBuilder[DataFrame]
+
+    log.listCommitVersions()
       .filter(v => v > startV && v <= endV)
-      .flatMap { v =>
+      .foreach { v =>
         val actions = log.readCommit(v)
         val cdcs = actions.collect { case c: CdcAction => c }
         val adds = actions.collect { case a: AddAction if a.dataChange => a }
         val removes = actions.collect { case r: RemoveAction if r.dataChange => r }
-        def fileRows(paths: Seq[String], changeType: String): DataFrame =
-          spark.read.option("basePath", log.tablePath.toString)
-            .schema(schema).parquet(paths.map(abs): _*)
-            .withColumn(ChangeType, lit(changeType))
-        val base =
-          if (cdcs.nonEmpty)
-            Some(spark.read.schema(withType).parquet(cdcs.map(c => abs(c.path)): _*))
-          else if (adds.nonEmpty && removes.isEmpty)
-            Some(fileRows(adds.map(_.path), "insert"))
-          else if (removes.nonEmpty && adds.isEmpty) {
-            // rows already DV'd out of a removed file were reported deleted
-            // by the DV commit — don't re-report them here
-            val p = prior.getOrElse(log.snapshotForVersion(v - 1))
-            prior = Some(p) // pin: advanced below, reused by later versions
-            val removedPaths = removes.map(_.path).toSet
-            val removedAdds = p.files.filter(a => removedPaths.contains(a.path))
-            Some(DeletionVectors.filterDeleted(spark, log, p, removedAdds,
-              fileRows(removes.map(_.path), "delete")))
-          }
-          else if (adds.isEmpty && removes.isEmpty) None
-          else throw new IllegalStateException(
+        if (cdcs.nonEmpty) {
+          cdcFiles ++= cdcs.map(c => abs(c.path))
+          fileVersion ++= cdcs.map(c => norm(c.path) -> v)
+        } else if (adds.nonEmpty && removes.isEmpty) {
+          addFiles ++= adds.map(a => abs(a.path))
+          fileVersion ++= adds.map(a => norm(a.path) -> v)
+        } else if (removes.nonEmpty && adds.isEmpty) {
+          // rows already DV'd out of a removed file were reported deleted
+          // by the DV commit — don't re-report them here
+          val p = prior.getOrElse(log.snapshotForVersion(v - 1))
+          prior = Some(p) // pin: advanced below, reused by later versions
+          val removedPaths = removes.map(_.path).toSet
+          val removedAdds = p.files.filter(a => removedPaths.contains(a.path))
+          removeFrames += DeletionVectors.filterDeleted(spark, log, p, removedAdds,
+            spark.read.option("basePath", log.tablePath.toString)
+              .schema(schema).parquet(removes.map(r => abs(r.path)): _*)
+              .withColumn(ChangeType, lit("delete")))
+            .withColumn(CommitVersion, lit(v))
+        } else if (adds.nonEmpty && removes.nonEmpty)
+          throw new IllegalStateException(
             s"table ${log.tablePath} version $v rewrote files without " +
             "change data (committed before capture was enabled?); the " +
             "change feed cannot reconstruct row-level changes from a rewrite")
         prior = prior.map(p => Snapshot.replay(p, actions.iterator, v))
-        base.map(_.withColumn(CommitVersion, lit(v)))
       }
-    pairs match {
+
+    // scheme-free normalization of the scan's _metadata.file_path so it
+    // joins the Path.toUri.getPath keys ("file:///t/x" and "file:/t/x"
+    // both -> "/t/x"); paths are unique within one table's storage
+    val versionMap = fileVersion.result()
+    lazy val mapDf = broadcast(spark.createDataFrame(versionMap)
+      .toDF("__graft_path", CommitVersion))
+    def attachVersion(df: DataFrame): DataFrame =
+      df.withColumn("__graft_path", regexp_replace(
+          col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+        .join(mapDf, "__graft_path")
+        .drop("__graft_path")
+
+    val cdcPaths = cdcFiles.result()
+    val addPaths = addFiles.result()
+    val frames = Seq.newBuilder[DataFrame]
+    if (cdcPaths.nonEmpty)
+      frames += attachVersion(spark.read.schema(withType).parquet(cdcPaths: _*))
+    if (addPaths.nonEmpty)
+      frames += attachVersion(
+        spark.read.option("basePath", log.tablePath.toString)
+          .schema(schema).parquet(addPaths: _*)
+          .withColumn(ChangeType, lit("insert")))
+    frames ++= removeFrames.result()
+
+    frames.result() match {
       case Seq() => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
-      case head +: tail => tail.foldLeft(head)(_ unionByName _)
+      case head +: tail =>
+        tail.foldLeft(head)(_ unionByName _).select(outSchema.fieldNames.map(col): _*)
     }
   }
 }

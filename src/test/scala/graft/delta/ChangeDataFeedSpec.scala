@@ -252,6 +252,36 @@ class ChangeDataFeedSpec extends AnyFunSuite with SparkTestBase {
     assert(ch.select(ChangeDataFeed.ChangeType).as[String].head() == "delete")
   }
 
+  test("a long feed reads each commit shape in ONE scan (plan width bounded)") {
+    // 30 append versions + 2 DML versions: the old per-version plan was a
+    // 32-way union; the batched reader does one scan for all appends, one
+    // for all cdc-backed commits — union width stays O(#shapes), not
+    // O(#versions), which is what keeps a 10^4-version feed plannable
+    val dir = cdfTable("cdf-planwidth")
+    (0 until 30).foreach { i =>
+      GraftWriter.write(Seq((1000L + i, s"a$i")).toDF("id", "v"), dir,
+        SaveMode.Append)
+    }
+    Dml.delete(spark, dir, col("id") === 3L)
+    Dml.update(spark, dir, col("id") === 5L, Map("v" -> lit("u")))
+    val log = DeltaLog.forPath(spark, dir)
+    val endV = log.update().version
+    val feed = ChangeDataFeed.readChanges(spark, log, -1, endV)
+
+    val unions = feed.queryExecution.analyzed.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }
+    val unionWidth = unions.map(_.children.size).sum
+    assert(unionWidth <= 6, s"feed plan unions $unionWidth branches for ${endV + 1} versions")
+
+    // and the batched read serves the same rows with correct versions
+    assert(feed.count() == 100 + 30 + 1 + 2) // backfill + appends + delete + pre/post
+    val versions = feed.select(ChangeDataFeed.CommitVersion).distinct().count()
+    assert(versions == 33) // v0 backfill + 30 appends + 2 DML (props commit has no rows)
+    assert(feed.filter(col(ChangeDataFeed.ChangeType) === "update_postimage")
+      .select("v").as[String].head() == "u")
+  }
+
   test("rewrite without capture still fails loudly (pre-CDF commits)") {
     val dir = tempTable("cdf-precdf").toString
     GraftWriter.write((0 until 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"), dir)
