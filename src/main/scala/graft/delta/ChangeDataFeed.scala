@@ -172,12 +172,16 @@ object ChangeDataFeed {
     val cdcPaths = cdcFiles.result()
     val addPaths = addFiles.result()
     val frames = Seq.newBuilder[DataFrame]
+    // distinct scan paths: a path added in TWO range versions (remove →
+    // re-add) is scanned once and the version join emits it once PER
+    // version; a duplicate listing would double the scan AND the join
     if (cdcPaths.nonEmpty)
-      frames += attachVersion(spark.read.schema(withType).parquet(cdcPaths: _*))
+      frames += attachVersion(
+        spark.read.schema(withType).parquet(cdcPaths.distinct: _*))
     if (addPaths.nonEmpty)
       frames += attachVersion(
         spark.read.option("basePath", log.tablePath.toString)
-          .schema(schema).parquet(addPaths: _*)
+          .schema(schema).parquet(addPaths.distinct: _*)
           .withColumn(ChangeType, lit("insert")))
     frames ++= removeFrames.result()
 

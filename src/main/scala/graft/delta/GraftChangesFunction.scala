@@ -37,29 +37,42 @@ object GraftChangesFunction {
       s"invalid version range ($startV, $endV] for table at version $latest")
     val schema = log.snapshotForVersion(endV).schema
 
-    val perVersion = log.listCommitVersions()
+    // ONE scan over every added file in the range; `_commit_version`
+    // attached via a broadcast file→version join on scheme-normalized
+    // paths — a per-version frame would union O(versions) branches and
+    // blow up planning on a 10⁴-version catch-up range
+    val fileVersion: Seq[(String, Long)] = log.listCommitVersions()
       .filter(v => v > startV && v <= endV)
       .flatMap { v =>
-        val adds = log.readCommit(v).collect {
+        log.readCommit(v).collect {
           // DV re-adds (merge-on-read DELETE/UPDATE) carry no new rows
-          case a: AddAction if a.dataChange && DeletionVectors.dvPath(a).isEmpty => a
+          case a: AddAction if a.dataChange && DeletionVectors.dvPath(a).isEmpty =>
+            a.path -> v
         }
-        if (adds.isEmpty) None
-        else Some(spark.read
-          .option("basePath", log.tablePath.toString)
-          .schema(schema)
-          .parquet(adds.map(a =>
-            new org.apache.hadoop.fs.Path(log.tablePath, a.path).toString): _*)
-          .select((schema.fieldNames.map(col) :+
-            lit(v).as("_commit_version")): _*))
       }
-    val out = perVersion match {
-      case Seq() =>
+    val out =
+      if (fileVersion.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           schema.add("_commit_version", "long", nullable = false))
-      case head +: tail => tail.foldLeft(head)(_ unionAll _)
-    }
+      else {
+        val mapDf = org.apache.spark.sql.functions.broadcast(
+          spark.createDataFrame(fileVersion.map { case (rel, v) =>
+            (new org.apache.hadoop.fs.Path(log.tablePath, rel).toUri.getPath, v)
+          }).toDF("__graft_path", "_commit_version"))
+        spark.read
+          .option("basePath", log.tablePath.toString)
+          .schema(schema)
+          // distinct: a path re-added in two versions (remove → RESTORE)
+          // is scanned once; the join emits its rows once PER version
+          .parquet(fileVersion.map { case (rel, _) =>
+            new org.apache.hadoop.fs.Path(log.tablePath, rel).toString }
+            .distinct: _*)
+          .withColumn("__graft_path", org.apache.spark.sql.functions.regexp_replace(
+            col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+          .join(mapDf, "__graft_path")
+          .select((schema.fieldNames.map(col) :+ col("_commit_version")): _*)
+      }
     out.queryExecution.analyzed
   }
 
