@@ -96,10 +96,13 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     * (O(#commits) only when ASKED for history), not accumulated in snapshot
     * state (which would be O(#commits) driver weight on EVERY load, and
     * silently truncated after a checkpoint restore — checkpoints don't
-    * carry commitInfo actions). */
+    * carry commitInfo actions). Reads fan out on the driver pool: 10⁴
+    * sequential FS round trips would make history calls painfully slow on
+    * object stores. */
   def history: Seq[JsonNode] =
-    log.listCommitVersions().flatMap(v =>
+    GraftWriter.inDriverPool(log.listCommitVersions())(v =>
       log.readCommit(v).collectFirst { case c: CommitInfoAction => c.info })
+      .flatten
 
   /** Row-level Change Data Feed over `(startVersion, endVersion]` — table
     * columns + `_change_type` + `_commit_version`. Requires the DML commits

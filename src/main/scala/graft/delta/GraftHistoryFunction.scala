@@ -30,7 +30,9 @@ object GraftHistoryFunction {
     val log = DeltaLog.forPath(spark, path)
     val versions = log.listCommitVersions()
     if (versions.isEmpty) throw new NotATableException(path)
-    val rows = versions.map { v =>
+    // commit reads fan out on the driver pool — 10⁴ sequential FS round
+    // trips would stall history queries on object stores
+    val rows = GraftWriter.inDriverPool(versions) { v =>
       val info = log.readCommit(v).collectFirst { case c: CommitInfoAction => c.info }
       Row(v, log.versionTimestamp(v),
         info.flatMap(n => Option(n.get("operation")).map(_.asText)).orNull,
