@@ -124,10 +124,13 @@ object ChangeDataFeed {
     val fileVersion = Seq.newBuilder[(String, Long)] // normalized path -> version
     val removeFrames = Seq.newBuilder[DataFrame]
 
-    log.listCommitVersions()
-      .filter(v => v > startV && v <= endV)
-      .foreach { v =>
-        val actions = log.readCommit(v)
+    // commit files read in parallel on the driver pool (O(versions)
+    // sequential FS round trips otherwise); the classification walk below
+    // stays sequential — `prior` advances version by version
+    val commits: Seq[(Long, Seq[Action])] = GraftWriter.inDriverPool(
+      log.listCommitVersions().filter(v => v > startV && v <= endV))(
+      v => v -> log.readCommit(v))
+    commits.foreach { case (v, actions) =>
         val cdcs = actions.collect { case c: CdcAction => c }
         val adds = actions.collect { case a: AddAction if a.dataChange => a }
         val removes = actions.collect { case r: RemoveAction if r.dataChange => r }

@@ -41,15 +41,14 @@ object GraftChangesFunction {
     // attached via a broadcast file→version join on scheme-normalized
     // paths — a per-version frame would union O(versions) branches and
     // blow up planning on a 10⁴-version catch-up range
-    val fileVersion: Seq[(String, Long)] = log.listCommitVersions()
-      .filter(v => v > startV && v <= endV)
-      .flatMap { v =>
+    val fileVersion: Seq[(String, Long)] = GraftWriter.inDriverPool(
+      log.listCommitVersions().filter(v => v > startV && v <= endV)) { v =>
         log.readCommit(v).collect {
           // DV re-adds (merge-on-read DELETE/UPDATE) carry no new rows
           case a: AddAction if a.dataChange && DeletionVectors.dvPath(a).isEmpty =>
             a.path -> v
         }
-      }
+      }.flatten
     val out =
       if (fileVersion.isEmpty)
         spark.createDataFrame(
