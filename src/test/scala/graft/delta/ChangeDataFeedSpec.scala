@@ -273,6 +273,12 @@ class ChangeDataFeedSpec extends AnyFunSuite with SparkTestBase {
     }
     val unionWidth = unions.map(_.children.size).sum
     assert(unionWidth <= 6, s"feed plan unions $unionWidth branches for ${endV + 1} versions")
+    // the file→version attach must broadcast, never shuffle the row side
+    val physical = feed.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"),
+      s"version-attach join is not broadcast:\n$physical")
+    assert(!physical.contains("SortMergeJoin"),
+      "version-attach join regressed to a shuffle join")
 
     // and the batched read serves the same rows with correct versions
     assert(feed.count() == 100 + 30 + 1 + 2) // backfill + appends + delete + pre/post
