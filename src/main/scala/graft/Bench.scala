@@ -84,17 +84,30 @@ object Bench {
       }
       name -> sec
     }
+    // Locale.ROOT: the f"" interpolator formats with the JVM default
+    // locale — a comma-decimal locale would emit "value":71,6000 and break
+    // the driver's JSON parse (r7 ADVICE).
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     def toJson(m: scala.collection.Map[String, Double]): String =
-      m.map { case (k, v) => s"\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+      m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val qjson = toJson(results)
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // The primary stdout line carries ONLY what the driver's tail capture
-    // parses (value + queries + sf). Round 6's driver recorded `parsed: null`
-    // because the cpu/load1m telemetry maps pushed `value` out of the tail
-    // window — so telemetry now goes to stderr, next to BENCHDBG.
+    // Self-classify machine contention from the run's own telemetry
+    // (BenchContention; gate rule: compare cpu-seconds when contended).
+    val wallSeq = results.values.toSeq
+    val cpuTotal = if (cpuSec.values.exists(_ < 0)) -1.0 else cpuSec.values.sum
+    val loadMed = BenchContention.median(load1m.values.toSeq.filter(_ >= 0))
+    val isContended =
+      BenchContention.contended(wallSeq, cpuSec.values.toSeq, load1m.values.toSeq)
+    // The primary stdout line carries what the driver's tail capture
+    // parses (value + queries + sf) plus three SHORT contention scalars.
+    // Round 6's driver recorded `parsed: null` because the full cpu/load1m
+    // telemetry MAPS pushed `value` out of the tail window — the per-query
+    // maps stay on stderr, next to BENCHDBG.
     System.err.println(
       s"""BENCHTEL {"cpu":${toJson(cpuSec)},"load1m":${toJson(load1m)}}""")
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir","contended":$isContended,"cpu_total":${fmt(cpuTotal)},"load_med":${fmt(loadMed)}}""")
     spark.stop()
   }
 }

@@ -35,6 +35,17 @@ object ChangeDataFeed {
   val ChangeType = "_change_type"
   val CommitVersion = "_commit_version"
 
+  /** Scheme strip applied IDENTICALLY to the broadcast-map keys and to the
+    * scan's `_metadata.file_path`, so the file→version join keys agree on
+    * EVERY store: both sides keep any URI authority ("s3a://bucket/t/x" →
+    * "/bucket/t/x", "hdfs://nn:8020/t/x" → "/nn:8020/t/x", "file:///t/x"
+    * and "file:/t/x" → "/t/x"). Normalizing the map side with
+    * `Path.toUri.getPath` instead would drop the authority on that side
+    * only and silently empty the feed on authority-bearing table paths. */
+  private[delta] val SchemeRe = "^[a-zA-Z][a-zA-Z0-9+.-]*:/+"
+  private[delta] def normalizedKey(p: Path): String =
+    p.toString.replaceFirst(SchemeRe, "/")
+
   def enabled(snap: Snapshot): Boolean =
     TableConfig.changeDataFeedEnabled(TableConfig.of(snap))
 
@@ -112,7 +123,7 @@ object ChangeDataFeed {
     val outSchema = StructType(withType.fields :+
       org.apache.spark.sql.types.StructField(CommitVersion, LongType, nullable = false))
     def abs(rel: String) = new Path(log.tablePath, rel).toString
-    def norm(rel: String) = new Path(log.tablePath, rel).toUri.getPath
+    def norm(rel: String) = normalizedKey(new Path(log.tablePath, rel))
 
     // `prior` tracks table state BEFORE the current version, initialized
     // lazily on the first remove-only commit and advanced incrementally
@@ -160,15 +171,15 @@ object ChangeDataFeed {
         prior = prior.map(p => Snapshot.replay(p, actions.iterator, v))
       }
 
-    // scheme-free normalization of the scan's _metadata.file_path so it
-    // joins the Path.toUri.getPath keys ("file:///t/x" and "file:/t/x"
-    // both -> "/t/x"); paths are unique within one table's storage
+    // the scan's _metadata.file_path run through the SAME SchemeRe strip
+    // as the map keys (see normalizedKey); paths are unique within one
+    // table's storage
     val versionMap = fileVersion.result()
     lazy val mapDf = broadcast(spark.createDataFrame(versionMap)
       .toDF("__graft_path", CommitVersion))
     def attachVersion(df: DataFrame): DataFrame =
       df.withColumn("__graft_path", regexp_replace(
-          col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+          col("_metadata.file_path"), SchemeRe, "/"))
         .join(mapDf, "__graft_path")
         .drop("__graft_path")
 

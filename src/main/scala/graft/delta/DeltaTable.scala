@@ -98,9 +98,12 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     * silently truncated after a checkpoint restore — checkpoints don't
     * carry commitInfo actions). Reads fan out on the driver pool: 10⁴
     * sequential FS round trips would make history calls painfully slow on
-    * object stores. */
+    * object stores. Scoped to the table's OWN snapshot version — a
+    * version-pinned time-travel table must not report provenance for
+    * commits after its pin (r7 ADVICE). */
   def history: Seq[JsonNode] =
-    GraftWriter.inDriverPool(log.listCommitVersions())(v =>
+    GraftWriter.inDriverPool(
+      log.listCommitVersions().filter(_ <= snapshot.version))(v =>
       log.readCommit(v).collectFirst { case c: CommitInfoAction => c.info })
       .flatten
 

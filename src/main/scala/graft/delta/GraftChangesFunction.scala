@@ -57,7 +57,10 @@ object GraftChangesFunction {
       else {
         val mapDf = org.apache.spark.sql.functions.broadcast(
           spark.createDataFrame(fileVersion.map { case (rel, v) =>
-            (new org.apache.hadoop.fs.Path(log.tablePath, rel).toUri.getPath, v)
+            // same SchemeRe strip as the scan side below — keeps any URI
+            // authority on BOTH sides (ChangeDataFeed.normalizedKey)
+            (ChangeDataFeed.normalizedKey(
+              new org.apache.hadoop.fs.Path(log.tablePath, rel)), v)
           }).toDF("__graft_path", "_commit_version"))
         spark.read
           .option("basePath", log.tablePath.toString)
@@ -68,7 +71,7 @@ object GraftChangesFunction {
             new org.apache.hadoop.fs.Path(log.tablePath, rel).toString }
             .distinct: _*)
           .withColumn("__graft_path", org.apache.spark.sql.functions.regexp_replace(
-            col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+            col("_metadata.file_path"), ChangeDataFeed.SchemeRe, "/"))
           .join(mapDf, "__graft_path")
           .select((schema.fieldNames.map(col) :+ col("_commit_version")): _*)
       }

@@ -180,9 +180,15 @@ final class GraftDeltaStreamSource(
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         else graft.delta.ChangeDataFeed.readChanges(spark, log, startV, endV,
-          // table schema = declared minus the two change columns; passing
-          // it skips a full snapshotForVersion replay per micro-batch
-          StructType(schema.fields.dropRight(2)))
+          // table schema = declared minus the two change columns BY NAME —
+          // a user-supplied .schema() may place them anywhere (r7 ADVICE);
+          // passing it skips a full snapshotForVersion replay per micro-batch
+          StructType(schema.fields.filterNot(f =>
+            f.name == graft.delta.ChangeDataFeed.ChangeType ||
+            f.name == graft.delta.ChangeDataFeed.CommitVersion)))
+          // align row layout to the DECLARED column order before the raw
+          // internal-row handoff below, which relabels without reordering
+          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
       return spark.internalCreateDataFrame(
         changes.queryExecution.toRdd, schema, isStreaming = true)
     }

@@ -288,6 +288,45 @@ class ChangeDataFeedSpec extends AnyFunSuite with SparkTestBase {
       .select("v").as[String].head() == "u")
   }
 
+  test("feed survives URI-authority table paths (r7 advisor: join-key normalization)") {
+    // s3a://bucket/... -shaped path: authority present, so a map side keyed
+    // by Path.toUri.getPath (drops authority) and a scan side keyed by a
+    // scheme-only strip of _metadata.file_path (keeps it) would join NOTHING
+    // — the feed returned zero rows with no error. Both sides now share
+    // ChangeDataFeed.normalizedKey / SchemeRe.
+    val dir = AuthorityFs.wrap(spark, tempTable("cdf-authority").toString)
+    GraftWriter.write(
+      (0 until 50).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(2), dir)
+    val log = DeltaLog.forPath(spark, dir)
+    new DeltaTable(log, log.update())
+      .setProperties(Map(TableConfig.EnableChangeDataFeed -> "true"))
+    GraftWriter.write(Seq((100L, "a")).toDF("id", "v"), dir, SaveMode.Append)
+    val m = Dml.delete(spark, dir, col("id") < 3)
+
+    // insert frame (pure-append commit), cdc frame (DELETE), and the
+    // backfill all flow through the file→version join
+    val feed = ChangeDataFeed.readChanges(spark, log, -1, m.version)
+    assert(feed.count() == 50 + 1 + 3,
+      "authority-bearing path emptied the file→version join")
+    assert(feed.filter(col(ChangeDataFeed.ChangeType) === "delete")
+      .select("id").as[Long].collect().sorted.toSeq == (0L until 3L))
+    // the batch file-level TVF shares the same key normalization
+    val tvf = spark.sql(s"SELECT * FROM graft_changes('$dir', ${m.version - 2}, ${m.version - 1})")
+    assert(tvf.count() == 1 && tvf.select("id").as[Long].head() == 100L)
+  }
+
+  test("map-side key ≡ scan-side strip for every URI shape") {
+    for (uri <- Seq("file:///t/x.parquet", "file:/t/x.parquet",
+                    "s3a://bucket/t/x.parquet", "hdfs://nn:8020/t/x.parquet",
+                    "/t/x.parquet")) {
+      val mapKey = ChangeDataFeed.normalizedKey(new org.apache.hadoop.fs.Path(uri))
+      val scanKey = spark.range(1)
+        .select(regexp_replace(lit(uri), ChangeDataFeed.SchemeRe, "/"))
+        .as[String].head()
+      assert(mapKey == scanKey, s"$uri: map=$mapKey scan=$scanKey")
+    }
+  }
+
   test("rewrite without capture still fails loudly (pre-CDF commits)") {
     val dir = tempTable("cdf-precdf").toString
     GraftWriter.write((0 until 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"), dir)

@@ -120,6 +120,11 @@ class DeltaLogSpec extends AnyFunSuite with SparkTestBase {
     val hist = new DeltaTable(log, snap).history
     assert(hist.size == 200)
     assert(hist.map(_.get("operation").asText) == (0 until 200).map(i => s"op$i"))
+    // a version-pinned handle reports provenance only up to its pin —
+    // commits after a time-travel snapshot must stay invisible (r7 ADVICE)
+    val pinned = DeltaTable.forPath(spark, dir.toString, 49).history
+    assert(pinned.size == 50)
+    assert(pinned.map(_.get("operation").asText) == (0 until 50).map(i => s"op$i"))
   }
 
   test("time travel by timestamp: binary search on commit mtimes (delta.rs:1041-1075)") {
