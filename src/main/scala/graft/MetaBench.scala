@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.delta.DeltaLog
+
+/** Metadata-path microbenchmark: how the SNAPSHOT machinery scales in the
+  * number of commits, independent of data volume — the axis a 100 TB table
+  * with years of history stresses (r7 verdict #6). Synthesizes an
+  * N-commit table (default 10⁴: one tiny real parquet file + commitInfo
+  * per commit, checkpoint near the tip), then times
+  *  - cold `forPath` (checkpoint restore + tail replay),
+  *  - warm `update()` (no new commits — must be a listing, not a replay),
+  *  - `graft_history` over all N commits (executor-built rows above the
+  *    distributed threshold),
+  *  - `graft_changes` over the full version range (single batched scan,
+  *    O(#shapes) plan).
+  * Prints one JSON line; numbers recorded in BASELINE.md lock the r7
+  * scale fixes (O(1) snapshot commitInfos, batched feed, distributed
+  * history) against regression. */
+object MetaBench {
+
+  private def timed[A](f: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val a = f
+    ((System.nanoTime() - t0) / 1e9, a)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_META_COMMITS", "10000").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.delta.GraftSparkExtensions")
+      .config("spark.sql.catalog.spark_catalog", "graft.delta.catalog.GraftCatalog")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = Files.createTempDirectory("graft-metabench-")
+    val logDir = dir.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    // one real (tiny) parquet data file, hard-copied per commit so the
+    // full-range feed scan reads real footers, not fakes
+    import spark.implicits._
+    Seq((1L, "x")).toDF("id", "v").coalesce(1).write.parquet(dir.resolve("seed").toString)
+    val seed = Files.list(dir.resolve("seed")).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    val schemaJson =
+      """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"v\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
+    def commitLines(v: Int): String = {
+      val head =
+        if (v == 0)
+          s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+{"metaData":{"id":"00000000-0000-0000-0000-000000000000","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":1600000000000}}
+"""
+        else ""
+      head +
+        s"""{"add":{"path":"part-$v.parquet","partitionValues":{},"size":${Files.size(seed)},"modificationTime":${1600000000000L + v},"dataChange":true}}
+{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Append"},"engineInfo":"graft-metabench","clusterId":"local","readVersion":${v - 1}}}
+"""
+    }
+    (0 until n).foreach { v =>
+      Files.copy(seed, dir.resolve(s"part-$v.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      Files.write(logDir.resolve(f"$v%020d.json"), commitLines(v).getBytes(UTF_8))
+    }
+    // checkpoint near the tip: cold load = restore + 10-commit tail replay
+    val cpLog = DeltaLog.forPath(spark, dir.toString)
+    cpLog.checkpoint(cpLog.snapshotForVersion(n - 11L))
+
+    val (coldSec, cold) = timed {
+      val log = DeltaLog.forPath(spark, dir.toString)
+      log.update()
+    }
+    require(cold.version == n - 1 && cold.files.size == n,
+      s"cold snapshot wrong: v=${cold.version} files=${cold.files.size}")
+    val warmLog = DeltaLog.forPath(spark, dir.toString)
+    warmLog.update()
+    val (warmSec, _) = timed(warmLog.update())
+    val (histSec, histRows) = timed(
+      spark.sql(s"SELECT * FROM graft_history('${dir.toString}')").count())
+    require(histRows == n, s"history rows $histRows != $n")
+    val (feedSec, feedRows) = timed(
+      spark.sql(s"SELECT * FROM graft_changes('${dir.toString}', 0, ${n - 1})").count())
+    require(feedRows == n - 1, s"feed rows $feedRows != ${n - 1}")
+
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    println(s"""{"metric":"metadata_path","commits":$n,"cold_forPath_sec":${fmt(coldSec)},"warm_update_sec":${fmt(warmSec)},"history_sec":${fmt(histSec)},"changes_full_range_sec":${fmt(feedSec)}}""")
+    spark.stop()
+  }
+}

@@ -144,10 +144,24 @@ final class DeltaLog private (
     // gap. (Commits OLDER than the restored checkpoint may legitimately be
     // cleaned away; contiguity is enforced from the replay start.)
     val versions = contiguousFrom(listCommitVersions().filter(_ > snap.version), snap.version)
-    versions.foreach { v =>
-      snap = Snapshot.replay(snap, readCommit(v).iterator, v)
-    }
+    snap = replayTail(snap, versions)
     cached = snap
+    snap
+  }
+
+  /** Fold `versions` onto `snap` in order, with the commit READS prefetched
+    * in pooled chunks: the fold must stay sequential, but a long tail read
+    * one file at a time is O(tail) FS round trips — minutes on an object
+    * store at 10⁴ commits. Chunking bounds driver memory to 256 commits'
+    * actions at once. */
+  private def replayTail(start: Snapshot, versions: Seq[Long]): Snapshot = {
+    var snap = start
+    versions.grouped(256).foreach { chunk =>
+      val read = GraftWriter.inDriverPool(chunk)(v => v -> readCommit(v))
+      read.foreach { case (v, actions) =>
+        snap = Snapshot.replay(snap, actions.iterator, v)
+      }
+    }
     snap
   }
 
@@ -209,10 +223,7 @@ final class DeltaLog private (
         replayCheckpointActions(Checkpoints.read(spark, checkpointPaths(c)), c.version)
       case None => Snapshot()
     }
-    versions.filter(v => v > snap.version && v <= version).foreach { v =>
-      snap = Snapshot.replay(snap, readCommit(v).iterator, v)
-    }
-    snap
+    replayTail(snap, versions.filter(v => v > snap.version && v <= version))
   }
 
   /** Commit-file modification time, cached — `get_version_timestamp`

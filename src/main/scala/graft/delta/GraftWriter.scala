@@ -278,17 +278,35 @@ object GraftWriter {
     adds.foreach(a => fs.delete(new Path(tablePath, a.path), false))
   }
 
-  /** Run `f` over `items` on a bounded thread pool, preserving order.
-    * Sized for metadata/footer I/O concurrency, not CPU. */
+  private val DriverPoolPrefix = "graft-driver-pool-"
+
+  /** One shared bounded pool per JVM for driver-side metadata fan-out
+    * (commit/footer/probe I/O) — per-call pools (r7) paid creation and
+    * teardown churn on every history/feed/convert call in a loop. Daemon
+    * threads: the pool must never hold the JVM open. */
+  private lazy val driverPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(32,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, DriverPoolPrefix + n.incrementAndGet())
+          t.setDaemon(true)
+          t
+        }
+      })
+
+  /** Run `f` over `items` on the shared driver pool, preserving order.
+    * Sized for metadata/footer I/O concurrency, not CPU. A call made FROM
+    * a pool thread runs inline — nested fan-out on a fixed-size shared
+    * pool could otherwise park every thread waiting on child futures. */
   private[delta] def inDriverPool[A, B](items: Seq[A])(f: A => B): Seq[B] = {
-    if (items.lengthCompare(2) < 0) return items.map(f)
+    if (items.lengthCompare(2) < 0 ||
+        Thread.currentThread().getName.startsWith(DriverPoolPrefix))
+      return items.map(f)
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(32, items.size))
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try Await.result(Future.sequence(items.map(a => Future(f(a)))), Duration.Inf)
-    finally pool.shutdown()
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(driverPool)
+    Await.result(Future.sequence(items.map(a => Future(f(a)))), Duration.Inf)
   }
 
   /** Footer stats as a Spark job: the file list is tiny, the footer reads

@@ -52,6 +52,34 @@ class SqlTimeTravelSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_._2) == Seq("WRITE", "WRITE", "DELETE"))
   }
 
+  test("graft_history distributed path is row-identical to the driver path") {
+    import LogFixtures.writeCommit
+    val dir = tempTable("sql-history-dist")
+    def info(op: String): String = s"""{"commitInfo":{"operation":"$op","n":1}}"""
+    writeCommit(dir, 0, Seq(LogFixtures.protocol, LogFixtures.metaData,
+      LogFixtures.add("f0.parquet"), info("op0")))
+    (1 until 200).foreach { v =>
+      // every third commit has NO commitInfo — both paths must still emit
+      // its row (nulls), not drop it
+      val lines = Seq(LogFixtures.add(s"f$v.parquet")) ++
+        (if (v % 3 == 0) Nil else Seq(info(s"op$v")))
+      writeCommit(dir, v, lines)
+    }
+    val q = s"SELECT * FROM graft_history('${dir.toString}') ORDER BY version"
+    def run(): Seq[(Long, Long, String, String)] =
+      ext.sql(q).collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getString(3))).toSeq
+    val driver = run()
+    assert(driver.size == 200)
+    ext.conf.set(GraftHistoryFunction.ThresholdKey, "50")
+    try {
+      val dist = run()
+      assert(dist == driver, "distributed history diverged from driver path")
+      assert(dist.count(_._3 == null) == 66) // v=3,6,...,198
+      assert(dist.filter(_._3 != null).forall(t => t._4.contains(t._3)))
+    } finally ext.conf.unset(GraftHistoryFunction.ThresholdKey)
+  }
+
   test("graft_detail table function summarizes the live snapshot") {
     val dir = tempTable("sql-detail").toString
     GraftWriter.write((0 until 60).map(i => (i.toLong, i % 3)).toDF("id", "p"),
