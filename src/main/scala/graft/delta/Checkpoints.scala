@@ -142,8 +142,13 @@ object Checkpoints {
     }).getOrElse(null)
 
   private def addRow(a: AddAction, info: SchemaInfo): Row = {
+    // dataChange=false in checkpoints: a checkpoint is a state dump, not a
+    // change record (Delta protocol; the Databricks-written golden
+    // checkpoint does the same — InteropGoldenTableSpec diffs against it).
+    // Nothing reads dataChange off restored state: every consumer
+    // (RewriteFence, feeds, conflict detection) reads COMMITS.
     val base = Seq(
-      a.path, a.partitionValues, a.size, a.modificationTime, a.dataChange,
+      a.path, a.partitionValues, a.size, a.modificationTime, false,
       a.stats.orNull, a.tags.orNull)
     val pvParsed =
       if (info.partitionFields.isEmpty) Nil
@@ -170,7 +175,7 @@ object Checkpoints {
     case t: TxnAction => Row(Row(t.appId, t.version, t.lastUpdated.orNull), null, null, null, null)
     case add: AddAction => Row(null, addRow(add, info), null, null, null)
     case r: RemoveAction => Row(null, null,
-      Row(r.path, r.deletionTimestamp, r.dataChange, r.extendedFileMetadata.orNull,
+      Row(r.path, r.deletionTimestamp, false, r.extendedFileMetadata.orNull,
           r.partitionValues.orNull, r.size.orNull, r.tags.orNull), null, null)
     case m: MetaDataAction => Row(null, null, null,
       Row(m.id, m.name.orNull, m.description.orNull,

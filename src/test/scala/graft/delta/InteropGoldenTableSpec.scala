@@ -307,6 +307,66 @@ class InteropGoldenTableSpec extends AnyFunSuite with SparkTestBase {
     assert(t.files.isEmpty) // the fixture ships only the protocol/metaData commit
   }
 
+  // ------------------------------------------------- write-side golden diff
+
+  /** The reverse interop direction: graft WRITES, the foreign artifact is
+    * the yardstick. `delta-inspect` cannot build here (no crate registry in
+    * this sandbox — `cargo build --offline` fails resolving dependencies),
+    * so this is the r7 verdict's prescribed fallback: checkpoint the golden
+    * log ourselves and diff action-for-action against the checkpoint a
+    * FOREIGN writer produced for the very same commits. */
+  test("graft checkpoint of the golden log diffs clean against the foreign-written checkpoint") {
+    val src = java.nio.file.Paths.get(s"$gold/simple_table_with_checkpoint/_delta_log")
+    val dir = Files.createTempDirectory("graft-interop-ckpt-")
+    val logDir = dir.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    // commits only — graft must produce the checkpoint + _last_checkpoint
+    (0 to 10).foreach { v =>
+      val name = f"$v%020d.json"
+      Files.copy(src.resolve(name), logDir.resolve(name))
+    }
+    val log = DeltaLog.forPath(spark, dir.toString)
+    val cp = log.checkpoint()
+    assert(cp.version == 10 && cp.parts.isEmpty)
+
+    def actions(p: org.apache.hadoop.fs.Path): Seq[Action] =
+      Checkpoints.read(spark, Seq(p))
+    val ours = actions(log.checkpointFile(10))
+    val theirs = actions(new org.apache.hadoop.fs.Path(
+      src.resolve("00000000000000000010.checkpoint.parquet").toString))
+
+    // identical action multiplicity: 11 adds + protocol + metaData
+    assert(ours.size == 13 && theirs.size == 13)
+    def adds(as: Seq[Action]) = as.collect { case a: AddAction =>
+      (a.path, a.partitionValues, a.size, a.modificationTime, a.dataChange,
+        a.stats, a.tags) }.toSet
+    assert(adds(ours) == adds(theirs),
+      "add actions diverge from the foreign checkpoint")
+    val Seq(opr) = ours.collect { case p: ProtocolAction => p }
+    val Seq(tpr) = theirs.collect { case p: ProtocolAction => p }
+    assert(opr == tpr)
+    val Seq(omd) = ours.collect { case m: MetaDataAction => m }
+    val Seq(tmd) = theirs.collect { case m: MetaDataAction => m }
+    assert(omd.id == tmd.id && omd.schemaString == tmd.schemaString &&
+      omd.partitionColumns == tmd.partitionColumns &&
+      omd.configuration == tmd.configuration &&
+      omd.createdTime == tmd.createdTime && omd.format == tmd.format)
+
+    // _last_checkpoint: same JSON content as the foreign pointer
+    val oursLc = ActionCodec.mapper.readTree(
+      Files.readString(logDir.resolve("_last_checkpoint")))
+    val theirsLc = ActionCodec.mapper.readTree(
+      Files.readString(src.resolve("_last_checkpoint")))
+    assert(oursLc == theirsLc)
+
+    // restore equivalence: a cold load through OUR checkpoint yields the
+    // same state as the golden table restored through THEIRS
+    val viaOurs = DeltaTable.forPath(spark, dir.toString)
+    val viaTheirs = DeltaTable.forPath(spark, s"$gold/simple_table_with_checkpoint")
+    assert(viaOurs.version == viaTheirs.version)
+    assert(paths(viaOurs).toSet == paths(viaTheirs).toSet)
+  }
+
   // -------------------------------------------------------- time travel/ds
 
   test("simple_table copy: mtime-based time travel (read_simple_table_test.rs:129-187)") {
