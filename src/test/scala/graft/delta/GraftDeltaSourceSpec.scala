@@ -497,6 +497,66 @@ class GraftDeltaSourceSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("CDF soak: CoW UPDATE + MERGE + DV DELETE + RESTORE across two restarts folds to the source state") {
+    // The composed end-to-end assertion the individual CDF specs don't
+    // make: a delta→delta readChangeFeed pipeline, driven through every
+    // DML shape with checkpoint restarts between them, must deliver a
+    // change stream that FOLDS to the source's final state exactly once.
+    val src = tempTable("cdf-soak-src").toString
+    val dst = tempTable("cdf-soak-dst").toString
+    val ckpt = tempTable("cdf-soak-ck").toString
+    (0 until 40).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(2)
+      .write.format("graft-delta").save(src)
+    DeltaTable.forPath(spark, src)
+      .setProperties(Map(TableConfig.EnableChangeDataFeed -> "true"))
+
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("readChangeFeed", "true").load(src)
+        .writeStream.format("graft-delta")
+        .option("appId", "cdf-soak")
+        .option("checkpointLocation", ckpt).start(dst)
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    run() // leg 1: backfill (40 inserts)
+    Dml.update(spark, src, col("id") < 5,
+      Map("v" -> org.apache.spark.sql.functions.lit("U"))) // CoW UPDATE
+    val restorePoint = DeltaLog.forPath(spark, src).update().version
+    Merge.into(spark, src, Seq((5L, "MU"), (6L, "MD"), (100L, "MI")).toDF("id", "v"),
+        col("t.id") === col("s.id"))
+      .whenMatchedUpdate(col("s.v") === "MU", Map("v" -> col("s.v")))
+      .whenMatchedDelete(col("s.v") === "MD")
+      .whenNotMatchedInsertAll()
+      .execute() // MERGE: update + delete + insert
+    run() // leg 2: restart recovers from the checkpoint
+    DeltaTable.forPath(spark, src)
+      .setProperties(Map(TableConfig.EnableDeletionVectors -> "true"))
+    Dml.delete(spark, src, col("id") === 7L) // merge-on-read DELETE
+    assert(DeltaTable.forPath(spark, src).files.exists(DeletionVectors.hasDv))
+    DeltaTable.forPath(spark, src).restoreToVersion(restorePoint) // RESTORE
+    run() // leg 3: second restart
+
+    // fold the delivered feed: per version, removals before additions
+    val changes = DeltaTable.forPath(spark, dst).toDF
+      .select("id", "v", ChangeDataFeed.ChangeType, ChangeDataFeed.CommitVersion)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val folded = changes.groupBy(_._4).toSeq.sortBy(_._1)
+      .foldLeft(Map.empty[Long, String]) { case (state, (_, vs)) =>
+        val minus = vs.filter(c => c._3 == "delete" || c._3 == "update_preimage")
+        val plus = vs.filter(c => c._3 == "insert" || c._3 == "update_postimage")
+        val removed = state -- minus.map(_._1)
+        removed ++ plus.map(c => c._1 -> c._2)
+      }
+    val srcState = DeltaTable.forPath(spark, src).toDF
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(folded == srcState,
+      s"feed fold diverged from source: missing=${srcState.keySet -- folded.keySet} " +
+      s"extra=${folded.keySet -- srcState.keySet}")
+    // and the feed was exactly-once: every (version, change_type, id) unique
+    assert(changes.distinct.length == changes.length, "replayed change rows")
+  }
+
   test("writeStream.format('graft-delta') is an exactly-once streaming sink") {
     val dir = tempTable("fmt-stream").toString
     val ckpt = tempTable("fmt-stream-ckpt").toString
