@@ -46,7 +46,7 @@ object DeltaQueries {
       val t = freshDir("roundtrip")
       GraftWriter.write(li(s, dir).filter(col("l_orderkey") < 1000), t)
       DeltaTable.forPath(s, t).toDF
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     },
 
     // partitioned write + partition-pruned read (P3-P5/Q4): only the
@@ -58,7 +58,7 @@ object DeltaQueries {
       val dt = DeltaTable.forPath(s, t)
       dt.toDF(Seq(PartitionFilter.Eq("l_returnflag", "R")))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     },
 
     // time travel (S2/V1): append on top of v0, then read version 0.
@@ -69,7 +69,7 @@ object DeltaQueries {
       GraftWriter.write(
         d.filter(col("l_orderkey") >= 500 && col("l_orderkey") < 1000), t, SaveMode.Append)
       DeltaTable.forPath(s, t, version = 0).toDF
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     },
 
     // checkpointing (S6-S9/D7/S18): 12 commits → auto-checkpoint at v10; a
@@ -83,7 +83,7 @@ object DeltaQueries {
           if (i == 0) SaveMode.ErrorIfExists else SaveMode.Append)
       }
       DeltaTable.forPath(s, t).toDF
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     },
 
     // OPTIMIZE compaction: many small commits → one compacted file; the
@@ -99,7 +99,7 @@ object DeltaQueries {
       }
       Optimize.compact(s, t)
       DeltaTable.forPath(s, t).toDF
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     },
 
     // streaming tail (ST5): three committed versions consumed as micro-
@@ -118,7 +118,7 @@ object DeltaQueries {
         .takeWhile(_.isDefined).flatten
         .map(_._2)
         .reduce(_ unionByName _)
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     },
 
     // copy-on-write DELETE: remove a slice, table must read as if filtered.
@@ -127,7 +127,7 @@ object DeltaQueries {
       GraftWriter.write(li(s, dir).filter(col("l_orderkey") < 1000), t)
       Dml.delete(s, t, col("l_quantity") > 30)
       DeltaTable.forPath(s, t).toDF
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     },
 
     // copy-on-write UPDATE: bump quantity for one returnflag, emit micro-units.
@@ -140,7 +140,7 @@ object DeltaQueries {
         .select(col("l_orderkey"), col("l_linenumber"),
           (col("l_quantity").cast("decimal(18,6)") * 1000000).cast("long").as("qty"),
           col("l_returnflag"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "qty", "l_returnflag")
     },
 
     // MERGE INTO (upsert): keys <500 untouched, 500-999 updated (max qty per
@@ -260,7 +260,7 @@ object DeltaQueries {
            |CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS qty,
            |l_returnflag, _commit_version
            |FROM graft_changes('$t', 0)
-           |ORDER BY l_orderkey, l_linenumber, qty, l_returnflag""".stripMargin)
+           |ORDER BY l_orderkey, l_linenumber, qty, l_returnflag, _commit_version""".stripMargin)
     },
 
     // SQL over a Delta table (the reference's delegated-SQL surface,
@@ -289,7 +289,7 @@ object DeltaQueries {
         SaveMode.Append) // v2
       DeltaTable.forPath(s, t).restoreToVersion(0) // v3
       DeltaTable.forPath(s, t).toDF
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     },
 
     // OPTIMIZE ZORDER: cluster on (l_orderkey, l_quantity), then serve a
@@ -320,7 +320,7 @@ object DeltaQueries {
       DeltaTable.forPath(s, t)
         .toDF(Seq(PartitionFilter.Eq("l_returnflag", "A")))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     },
 
     // SHALLOW CLONE: zero-copy fork of the delta table, then a
@@ -373,7 +373,8 @@ object DeltaQueries {
         .select(col("l_orderkey"), col("l_linenumber"),
           (col("l_quantity").cast("decimal(18,6)") * 1000000).cast("long").as("qty"),
           col("l_returnflag"), col("_change_type"), col("_commit_version"))
-        .orderBy("_change_type", "l_orderkey", "l_linenumber", "qty")
+        .orderBy("_change_type", "l_orderkey", "l_linenumber", "qty", "l_returnflag",
+          "_commit_version")
     },
 
     // stats-based file skipping (D4): two disjoint-range commits; the
@@ -390,34 +391,34 @@ object DeltaQueries {
       val pruned = dt.toDF(Nil, Seq(StatsPredicate.Ge("l_orderkey", 800L)))
       // the pruned scan still needs the row-level predicate for exactness
       pruned.filter(col("l_orderkey") >= 800)
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     },
   )
 
   val oracleSql: Map[String, String] = Map(
     "q17_delta_roundtrip" ->
       s"""SELECT $cols FROM lineitem WHERE l_orderkey < 1000
-         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
     "q18_delta_partition_prune" ->
       s"""SELECT $cols FROM lineitem
          |WHERE l_orderkey < 2000 AND l_returnflag = 'R'
-         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
     "q19_delta_timetravel" ->
       s"""SELECT $cols FROM lineitem WHERE l_orderkey < 500
-         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
     "q20_delta_checkpoint" ->
       s"""SELECT $cols FROM lineitem WHERE l_orderkey < 1200
-         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
     "q21_delta_statskip" ->
       s"""SELECT $cols FROM lineitem
          |WHERE l_orderkey >= 800 AND l_orderkey < 1600
-         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
     "q39_delta_optimize" ->
       s"""SELECT $cols FROM lineitem WHERE l_orderkey < 600
-         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
     "q51_restore" ->
       s"""SELECT $cols FROM lineitem WHERE l_orderkey < 1000
-         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
     "q52_zorder" ->
       s"""SELECT $cols FROM lineitem
          |WHERE l_orderkey >= 500 AND l_orderkey < 1000
@@ -425,14 +426,14 @@ object DeltaQueries {
     "q55_convert" ->
       s"""SELECT $cols FROM lineitem
          |WHERE l_orderkey < 1500 AND l_returnflag = 'A'
-         |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
     "q57_clone" ->
       s"""SELECT $cols FROM lineitem
          |WHERE l_orderkey < 1200 AND NOT (l_quantity > 35)
          |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
     "q40_delta_stream_tail" ->
       s"""SELECT $cols FROM lineitem WHERE l_orderkey < 600
-         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
     "q42_delta_sql" ->
       """SELECT l_returnflag, count(*) AS n,
         |CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS qty
@@ -441,7 +442,7 @@ object DeltaQueries {
     "q45_delta_delete" ->
       s"""SELECT $cols FROM lineitem
          |WHERE l_orderkey < 1000 AND NOT (l_quantity > 30)
-         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
     "q63_dv_dml" ->
       """SELECT l_orderkey, l_linenumber,
         |CAST(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity + 200 ELSE l_quantity END
@@ -455,7 +456,7 @@ object DeltaQueries {
         |  AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS qty,
         |l_returnflag
         |FROM lineitem WHERE l_orderkey < 1000
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, qty, l_returnflag""".stripMargin,
     "q64_cdf" ->
       """WITH m AS (SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |           FROM lineitem WHERE l_orderkey < 1000 AND l_returnflag = 'R')
@@ -470,7 +471,7 @@ object DeltaQueries {
         |  l_returnflag, 'update_postimage' AS _change_type,
         |  CAST(2 AS BIGINT) AS _commit_version
         |FROM m
-        |ORDER BY _change_type, l_orderkey, l_linenumber, qty""".stripMargin,
+        |ORDER BY _change_type, l_orderkey, l_linenumber, qty, l_returnflag, _commit_version""".stripMargin,
     "q49_schema_evolution" ->
       """SELECT l_orderkey, l_linenumber,
         |CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS qty,
@@ -512,7 +513,7 @@ object DeltaQueries {
         |l_returnflag,
         |CAST(CASE WHEN l_orderkey < 1000 THEN 1 ELSE 2 END AS BIGINT) AS _commit_version
         |FROM lineitem WHERE l_orderkey >= 500 AND l_orderkey < 1500
-        |ORDER BY l_orderkey, l_linenumber, qty, l_returnflag""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, qty, l_returnflag, _commit_version""".stripMargin,
 
     "q47_delta_merge" ->
       """SELECT * FROM (

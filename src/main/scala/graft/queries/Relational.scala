@@ -75,7 +75,10 @@ object Relational {
       t(s, dir, "lineitem")
         .filter($"l_quantity" > 45)
         .select($"l_orderkey", $"l_linenumber", $"l_quantity")
-        .orderBy($"l_orderkey", $"l_linenumber")
+        // (okey, line) is NOT unique in the synthetic lineitem (118k dup
+        // keys at sf0.1) — the sf1 sweep caught tie-order divergence, so
+        // every row-level lineitem output orders by ALL projected columns
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity")
     },
 
     // min/max/count — mirrors rust/tests/datafusion_test.rs:83-99 (stats-backed
@@ -98,7 +101,7 @@ object Relational {
       import s.implicits._
       t(s, dir, "lineitem")
         .select($"l_orderkey", $"l_linenumber", $"l_returnflag")
-        .orderBy($"l_orderkey", $"l_linenumber")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_returnflag")
     },
 
     // orders ⋈ customer: both sides scale with SF, so no broadcast hint —
@@ -312,7 +315,7 @@ object Relational {
 
     "q2_filter_sort" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
 
     "q3_minmax" ->
       """SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
@@ -322,7 +325,7 @@ object Relational {
 
     "q4_projection" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag""".stripMargin,
 
     "q5_join" ->
       s"""SELECT c_mktsegment, ${DSUM.format("o_totalprice")} AS total_price, count(*) AS n_orders
