@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.delta._
+
+/** One-off write/DML scale probe over the full sf1 lineitem (6M rows).
+  *
+  * The driver's delta gates all operate on bounded orderkey slices (≤4k
+  * rows) — correctness-sized. This probe runs the transactional tier at
+  * volume: full-table write, snapshot load, stats-pruned read, DV DELETE
+  * (merge-on-read point delete — must not rewrite any data file), CoW
+  * UPDATE of a small slice, OPTIMIZE compact, and a full-range change
+  * feed read. Timings land in BASELINE.md (round-8 close-out).
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/tmp/sf1 sbt "Test/runMain graft.ScaleProbeMain"
+  */
+object ScaleProbeMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.delta.GraftSparkExtensions")
+      .config("spark.sql.catalog.spark_catalog", "graft.delta.catalog.GraftCatalog")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t = "/tmp/graft_scaleprobe/lineitem"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File("/tmp/graft_scaleprobe"))
+
+    def timed[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"PROBE $label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val n = li.count()
+    println(s"PROBE rows $n")
+
+    timed("write 6M rows (32 files)") {
+      GraftWriter.write(li.repartition(32), t)
+    }
+    timed("cold snapshot load + count") {
+      assert(DeltaTable.forPath(spark, t).toDF.count() == n)
+    }
+    timed("stats-pruned 1-replica read") {
+      // replica key ranges are disjoint per make_sf1.py; stats pruning
+      // should drop file sets wholesale before Spark lists anything
+      val c = DeltaTable.forPath(spark, t)
+        .toDF(Nil, Seq(StatsPredicate.Ge("l_orderkey", 90000000L)))
+        .filter(col("l_orderkey") >= 90000000L).count()
+      println(s"PROBE   pruned-read rows $c")
+    }
+    timed("enable DV") {
+      DeltaTable.forPath(spark, t)
+        .setProperties(Map(TableConfig.EnableDeletionVectors -> "true"))
+    }
+    val del = timed("DV point DELETE (~0.1% rows)") {
+      Dml.delete(spark, t, col("l_orderkey") % 1000 === 7 && col("l_quantity") > 45)
+    }
+    println(s"PROBE   delete metrics $del")
+    timed("post-delete count") {
+      println("PROBE   rows now " + DeltaTable.forPath(spark, t).toDF.count())
+    }
+    timed("CoW UPDATE (0.1% slice, +100 qty, DV off)") {
+      DeltaTable.forPath(spark, t)
+        .setProperties(Map(TableConfig.EnableDeletionVectors -> "false"))
+      Dml.update(spark, t, col("l_orderkey") % 1000 === 3,
+        Map("l_quantity" -> (col("l_quantity") + 100.0)))
+    }
+    timed("OPTIMIZE compact") {
+      Optimize.compact(spark, t)
+    }
+    timed("full-range graft_changes count") {
+      println("PROBE   change rows " + spark.sql(s"SELECT count(*) FROM graft_changes('$t', 0)").collect()(0).getLong(0))
+    }
+    timed("final full count") {
+      println("PROBE   rows final " + DeltaTable.forPath(spark, t).toDF.count())
+    }
+    spark.stop()
+  }
+}
