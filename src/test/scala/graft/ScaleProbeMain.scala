@@ -84,8 +84,39 @@ object ScaleProbeMain {
     timed("full-range graft_changes count") {
       println("PROBE   change rows " + spark.sql(s"SELECT count(*) FROM graft_changes('$t', 0)").collect()(0).getLong(0))
     }
-    timed("final full count") {
-      println("PROBE   rows final " + DeltaTable.forPath(spark, t).toDF.count())
+    timed("MERGE upsert (0.1% update + 0.1% insert)") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey", "l_linenumber")
+        .orderBy(col("l_quantity").desc, col("l_extendedprice").desc)
+      val upd = li.filter(col("l_orderkey") % 1000 === 13)
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .drop("_rn")
+        .withColumn("l_quantity", col("l_quantity") + 1000.0)
+      val ins = upd.withColumn("l_orderkey", col("l_orderkey") + 1000000000L)
+      val m = Merge.into(spark, t, upd.unionByName(ins),
+          col("t.l_orderkey") === col("s.l_orderkey") &&
+          col("t.l_linenumber") === col("s.l_linenumber"))
+        .whenMatchedUpdate(Map("l_quantity" -> col("s.l_quantity")))
+        .whenNotMatchedInsertAll()
+        .execute()
+      println(s"PROBE   merge metrics $m")
+    }
+    timed("OPTIMIZE zorder (okey, qty)") {
+      Optimize.zorder(spark, t, Seq("l_orderkey", "l_quantity"),
+        targetFileBytes = 32L * 1024 * 1024)
+    }
+    val before = DeltaTable.forPath(spark, t).toDF.count()
+    timed("VACUUM all stale files (forced parallel path)") {
+      DeltaTable.forPath(spark, t)
+        .setProperties(Map(TableConfig.DeletedFileRetention -> "interval 0 hours"))
+      val del = DeltaTable.forPath(spark, t)
+        .vacuum(0.0, dryRun = false, parallelDeleteThreshold = 10)
+      println(s"PROBE   vacuumed ${del.size} stale files")
+    }
+    timed("post-vacuum full count (no live file lost)") {
+      val after = DeltaTable.forPath(spark, t).toDF.count()
+      assert(after == before, s"vacuum lost rows: $before -> $after")
+      println(s"PROBE   rows final $after")
     }
     spark.stop()
   }
