@@ -32,11 +32,20 @@ object DeltaSchema {
     * the protocol's `timestamp` — µs precision either way; the value is
     * unchanged, the reader surfaces it as (UTC-normalized) TimestampType. */
   def toJson(schema: StructType): String = {
-    val normalized = StructType(schema.fields.map(f =>
-      f.copy(dataType = normalizeType(f.dataType))))
+    val normalized = normalize(schema)
     validate(normalized)
     normalized.json
   }
+
+  /** Normalize a Spark schema to the shape the protocol records (NTZ → µs
+    * TimestampType, values identical under the engine's fixed UTC session
+    * zone). Every comparison of an INCOMING schema against a table's
+    * metadata schema must go through this: the metadata was persisted via
+    * [[toJson]]'s normalization, so a table created from an NTZ frame would
+    * otherwise refuse an append of the very same frame (found by the
+    * round-8 6M-row scale probe — tz-naive parquet reads as NTZ). */
+  def normalize(schema: StructType): StructType =
+    StructType(schema.fields.map(f => f.copy(dataType = normalizeType(f.dataType))))
 
   private def normalizeType(dt: DataType): DataType = dt match {
     case TimestampNTZType => TimestampType

@@ -82,7 +82,9 @@ object GraftWriter {
     var evolvedMetadata: Option[MetaDataAction] = None
     if (exists) {
       val tbl = snap.schema.fields.map(f => (f.name, f.dataType)).toSeq
-      val inc = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      // normalized: metadata was persisted through DeltaSchema.toJson's
+      // NTZ→timestamp mapping, the incoming frame must compare post-map
+      val inc = DeltaSchema.normalize(df.schema).fields.map(f => (f.name, f.dataType)).toSeq
       if (overwriteSchema) {
         // REPLACE semantics: the declared configuration (possibly empty)
         // REPLACES the table's, like the schema does
@@ -170,7 +172,8 @@ object GraftWriter {
     * appended (nullable). Returns the evolved metaData action to commit, or
     * None when the schema is unchanged. */
   private[graft] def evolveSchema(snap: Snapshot,
-                                  incoming: org.apache.spark.sql.types.StructType): Option[MetaDataAction] = {
+                                  rawIncoming: org.apache.spark.sql.types.StructType): Option[MetaDataAction] = {
+    val incoming = DeltaSchema.normalize(rawIncoming)
     val tblTypes = snap.schema.fields.map(f => (f.name, f.dataType)).toMap
     val conflicts = incoming.fields.collect {
       case f if tblTypes.get(f.name).exists(_ != f.dataType) =>

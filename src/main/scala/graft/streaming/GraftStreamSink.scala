@@ -50,7 +50,8 @@ final class GraftStreamSink(
         evolvedMetadata = GraftWriter.evolveSchema(snap, batch.schema)
       } else {
         val tbl = snap.schema.fields.map(f => (f.name, f.dataType)).toSeq
-        val inc = batch.schema.fields.map(f => (f.name, f.dataType)).toSeq
+        val inc = graft.delta.DeltaSchema.normalize(batch.schema)
+          .fields.map(f => (f.name, f.dataType)).toSeq
         if (tbl != inc)
           throw new SchemaMismatchException(s"schema mismatch: table=$tbl batch=$inc")
       }

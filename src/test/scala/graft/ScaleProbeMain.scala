@@ -118,6 +118,34 @@ object ScaleProbeMain {
       assert(after == before, s"vacuum lost rows: $before -> $after")
       println(s"PROBE   rows final $after")
     }
+
+    // streaming delta→delta at volume: 6M-row initial snapshot batch, then
+    // a 600k append, folded into a graft-delta sink exactly once
+    val ssrc = "/tmp/graft_scaleprobe/stream_src"
+    val sdst = "/tmp/graft_scaleprobe/stream_dst"
+    val sckpt = "/tmp/graft_scaleprobe/stream_ckpt"
+    timed("stream source write (6M rows)") {
+      li.repartition(32).write.format("graft-delta").save(ssrc)
+    }
+    val q = spark.readStream.format("graft-delta").load(ssrc)
+      .writeStream.format("graft-delta")
+      .option("checkpointLocation", sckpt)
+      .option("appId", "scaleprobe")
+      .start(sdst)
+    try {
+      timed("stream initial 6M-row batch") { q.processAllAvailable() }
+      timed("stream 600k-row append batch") {
+        li.filter(col("l_orderkey") < 10000000L)
+          .write.format("graft-delta").mode("append").save(ssrc)
+        q.processAllAvailable()
+      }
+      timed("sink count == source count") {
+        val sc = DeltaTable.forPath(spark, sdst).toDF.count()
+        val tc = DeltaTable.forPath(spark, ssrc).toDF.count()
+        assert(sc == tc, s"sink $sc != source $tc")
+        println(s"PROBE   streamed rows $sc")
+      }
+    } finally q.stop()
     spark.stop()
   }
 }

@@ -179,4 +179,29 @@ class WriterSpec extends AnyFunSuite with SparkTestBase {
     // predicate satisfiable by both files keeps both (skip-on-doubt)
     assert(StatsPredicate.prune(dt.files, Seq(StatsPredicate.Ge("id", 10L))).size == 2)
   }
+
+  test("an NTZ-timestamp frame appends to the table it created (round-8 probe find)") {
+    // tz-naive parquet reads as TimestampNTZType in Spark 4; the metadata
+    // records the protocol's `timestamp` (DeltaSchema.toJson normalization),
+    // so every incoming-schema comparison must normalize too — a table
+    // created from an NTZ frame must accept an append of that same frame
+    import org.apache.spark.sql.functions._
+    val dir = tempTable("wr-ntz").toString
+    import spark.implicits._
+    val df = Seq((1L, "2024-01-02 03:04:05"), (2L, "2024-06-07 08:09:10"))
+      .toDF("id", "s")
+      .select(col("id"), col("s").cast("timestamp_ntz").as("ts"))
+    assert(df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+    GraftWriter.write(df, dir)
+    GraftWriter.write(df, dir, SaveMode.Append)                  // batch append
+    assert(GraftWriter.evolveSchema(                             // mergeSchema path
+      DeltaLog.forPath(spark, dir).update(), df.schema).isEmpty) // no bogus conflict
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(dt.toDF.count() == 4)
+    // values survive the NTZ→UTC-timestamp normalization bit-for-bit
+    assert(dt.toDF.select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("f"))
+      .distinct().orderBy("f").as[String].collect().toSeq ==
+      Seq("2024-01-02 03:04:05", "2024-06-07 08:09:10"))
+  }
 }
