@@ -159,8 +159,15 @@ class GraftCatalog extends DelegatingCatalogExtension
     val resolvedSchema: StructType =
       if (snap.version >= 0) {
         // location already holds a Delta table: ADOPT it (open-table
-        // semantics); a declared schema must agree with the log's
-        if (declared.nonEmpty && declared != snap.schema)
+        // semantics); a declared schema must agree with the log's on
+        // names+types — same policy as the writer's append check
+        // (nullability is not load-bearing for parquet round-trips), and
+        // compared post-NTZ-normalization since the metadata was persisted
+        // through DeltaSchema.toJson's timestamp_ntz→timestamp mapping (a
+        // TIMESTAMP_NTZ DDL column is the same protocol type)
+        def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+        if (declared.nonEmpty &&
+            shape(DeltaSchema.normalize(declared)) != shape(snap.schema))
           throw new IllegalArgumentException(
             s"declared schema $declared does not match existing graft-delta " +
               s"table at $location: ${snap.schema}")

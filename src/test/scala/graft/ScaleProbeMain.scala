@@ -146,6 +146,27 @@ object ScaleProbeMain {
         println(s"PROBE   streamed rows $sc")
       }
     } finally q.stop()
+
+    // governance tier at volume: adopt a plain 6M-row parquet dir in place,
+    // fork it zero-copy, rewind the fork's delete with one diff commit
+    val conv = "/tmp/graft_scaleprobe/convert"
+    timed("CONVERT 6M-row parquet dir (32 files)") {
+      li.repartition(32).write.mode("overwrite").parquet(conv)
+      Convert.parquetToDelta(spark, conv)
+      assert(DeltaTable.forPath(spark, conv).toDF.count() == n)
+    }
+    val cl = "/tmp/graft_scaleprobe/clone"
+    timed("shallow CLONE (zero-copy fork)") {
+      Clone.shallow(spark, conv, cl)
+      assert(DeltaTable.forPath(spark, cl).toDF.count() == n)
+    }
+    timed("DELETE 10% in clone, then RESTORE to pre-delete") {
+      Dml.delete(spark, cl, col("l_orderkey") % 10 === 0)
+      DeltaTable.forPath(spark, cl).restoreToVersion(0)
+      assert(DeltaTable.forPath(spark, cl).toDF.count() == n)
+      // the source table is untouched by the fork's churn
+      assert(DeltaTable.forPath(spark, conv).toDF.count() == n)
+    }
     spark.stop()
   }
 }

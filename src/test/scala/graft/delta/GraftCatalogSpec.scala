@@ -65,6 +65,20 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("TIMESTAMP_NTZ DDL columns adopt a timestamp-typed table (NTZ normalization)") {
+    val dir = tempTable("cat-adopt-ntz").toString
+    (0 until 5).map(i => (i.toLong, s"2024-01-0${i + 1} 10:00:00")).toDF("id", "s")
+      .selectExpr("id", "CAST(s AS TIMESTAMP_NTZ) AS ts")
+      .write.format("graft-delta").save(dir)
+    withTable("cat_adopt_ntz") {
+      // declared NTZ column ≡ the protocol `timestamp` the log recorded
+      spark.sql(
+        s"""CREATE TABLE cat_adopt_ntz (id BIGINT, ts TIMESTAMP_NTZ)
+           |USING `graft-delta` LOCATION '$dir'""".stripMargin)
+      assert(spark.table("cat_adopt_ntz").count() == 5)
+    }
+  }
+
   test("CTAS writes through one transactional commit") {
     val dir = tempTable("cat-ctas").toString
     withTable("cat_ctas_t") {
