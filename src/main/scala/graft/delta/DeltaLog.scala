@@ -380,7 +380,10 @@ object DeltaLog {
         Class.forName(cls).getDeclaredConstructor().newInstance()
           .asInstanceOf[LogStoreFactory].create(spark, p)
       case None =>
-        val scheme = Option(p.toUri.getScheme).getOrElse("file").toLowerCase
+        // Locale.ROOT: under a Turkish-default-locale JVM "SWIFT".toLowerCase
+        // is "swıft" (dotless ı) — silently bypassing this safety fence
+        val scheme = Option(p.toUri.getScheme).getOrElse("file")
+          .toLowerCase(java.util.Locale.ROOT)
         if (NonAtomicRenameSchemes.contains(scheme) &&
             !spark.conf.getOption(AllowUnsafeRenameKey).exists(_.toBoolean))
           throw new IllegalStateException(

@@ -82,17 +82,20 @@ object PartitionFilter {
     object UF {
       def unapply(e: Expression): Option[(String, Seq[Expression])] = e match {
         case f: UnresolvedFunction if f.nameParts.lengthCompare(1) == 0 =>
-          Some((f.nameParts.head.toLowerCase, f.arguments))
+          Some((f.nameParts.head.toLowerCase(java.util.Locale.ROOT), f.arguments))
         case _ => None
       }
     }
-    val partSet = partCols.map(_.toLowerCase).toSet
+    // Locale.ROOT case-fold throughout: a default-locale fold breaks
+    // I-containing names under tr ("ID" -> "ıd" vs "id" -> "id")
+    def fold(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val partSet = partCols.map(fold).toSet
     def attrName(e: Expression): Option[String] = e match {
-      case a: AttributeReference if partSet(a.name.toLowerCase) => Some(a.name)
+      case a: AttributeReference if partSet(fold(a.name)) => Some(a.name)
       case u: UnresolvedAttribute =>
         u.nameParts match {
-          case Seq(c) if partSet(c.toLowerCase) => Some(c)
-          case Seq(q, c) if qualifier.exists(_.equalsIgnoreCase(q)) && partSet(c.toLowerCase) => Some(c)
+          case Seq(c) if partSet(fold(c)) => Some(c)
+          case Seq(q, c) if qualifier.exists(_.equalsIgnoreCase(q)) && partSet(fold(c)) => Some(c)
           case _ => None
         }
       case _ => None

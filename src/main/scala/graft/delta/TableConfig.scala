@@ -100,7 +100,7 @@ object TableConfig {
   }
 
   private def parseBoolean(key: String)(v: String): Unit = {
-    val t = v.trim.toLowerCase
+    val t = v.trim.toLowerCase(java.util.Locale.ROOT)
     require(t == "true" || t == "false", s"$key must be true|false, got '$v'")
   }
 
@@ -110,7 +110,9 @@ object TableConfig {
   /** `"interval 30 days"` → milliseconds. */
   private[delta] def parseIntervalMillis(s: String, key: String): Long = s match {
     case IntervalRe(n, unit) =>
-      val factor = unit.toLowerCase match {
+      // Locale.ROOT: the (?i) regex admits "MINUTES", whose default-locale
+      // lowercase under tr is "mınutes" — a MatchError, not a parse
+      val factor = unit.toLowerCase(java.util.Locale.ROOT) match {
         case "millisecond" => 1L
         case "second"      => 1000L
         case "minute"      => 60L * 1000

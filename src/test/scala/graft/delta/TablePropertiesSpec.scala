@@ -27,6 +27,23 @@ class TablePropertiesSpec extends AnyFunSuite with SparkTestBase {
     TableConfig.validate(Map("user.owner" -> "data-eng")) // non-delta passes
   }
 
+  test("parsing and the scheme fence are locale-independent (Turkish-I)") {
+    // "MINUTES".toLowerCase and "SWIFT".toLowerCase produce dotless-ı
+    // strings under tr, which would MatchError the interval parser and
+    // silently BYPASS the non-atomic-rename safety fence (same bug class as
+    // the r7 Bench %.4f JSON break) — all case-folds must run under
+    // Locale.ROOT
+    val saved = java.util.Locale.getDefault
+    java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+    try {
+      assert(TableConfig.parseIntervalMillis("INTERVAL 30 MINUTES", "k") == 1800000L)
+      TableConfig.validate(Map(TableConfig.AppendOnly -> "TRUE"))
+      val e = intercept[IllegalStateException](
+        DeltaLog.forPath(spark, "SWIFT://container/t"))
+      assert(e.getMessage.contains("no atomic create-new rename"))
+    } finally java.util.Locale.setDefault(saved)
+  }
+
   test("appendOnly allows appends + OPTIMIZE, blocks DELETE/UPDATE/overwrite") {
     val dir = tempTable("props-appendonly").toString
     GraftWriter.write((0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
