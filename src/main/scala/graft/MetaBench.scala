@@ -66,7 +66,8 @@ object MetaBench {
     }
     (0 until n).foreach { v =>
       Files.copy(seed, dir.resolve(s"part-$v.parquet"), StandardCopyOption.REPLACE_EXISTING)
-      Files.write(logDir.resolve(f"$v%020d.json"), commitLines(v).getBytes(UTF_8))
+      Files.write(logDir.resolve(DeltaLog.pad20(v) + ".json"),
+        commitLines(v).getBytes(UTF_8))
     }
     // checkpoint near the tip: cold load = restore + 10-commit tail replay
     val cpLog = DeltaLog.forPath(spark, dir.toString)

@@ -228,7 +228,7 @@ object Checkpoints {
     val dsts =
       if (nParts == 1) Seq(log.checkpointFile(snap.version))
       else (1 to nParts).map(i => new Path(log.logPath,
-        f"${snap.version}%020d.checkpoint.$i%010d.$nParts%010d.parquet"))
+        DeltaLog.multipartName(snap.version, i, nParts)))
     parts.zip(dsts).foreach { case (src, dst) =>
       if (fs.exists(dst)) fs.delete(dst, false)
       log.store.renameNoReplace(src, dst)

@@ -35,11 +35,12 @@ final class DeltaLog private (
   val logPath = new Path(tablePath, "_delta_log")
 
   /** `%020d.json` commit naming (`rust/src/delta.rs:407-410`). */
-  def commitFile(version: Long): Path = new Path(logPath, f"$version%020d.json")
+  def commitFile(version: Long): Path =
+    new Path(logPath, DeltaLog.pad20(version) + ".json")
 
   /** Single-part checkpoint naming (`rust/src/delta.rs:412-416`). */
   def checkpointFile(version: Long): Path =
-    new Path(logPath, f"$version%020d.checkpoint.parquet")
+    new Path(logPath, DeltaLog.pad20(version) + ".checkpoint.parquet")
 
   // ---------------------------------------------------------------- listing
 
@@ -99,7 +100,7 @@ final class DeltaLog private (
   def checkpointPaths(cp: CheckPoint): Seq[Path] = cp.parts match {
     case None => Seq(checkpointFile(cp.version))
     case Some(n) => (1 to n).map(i =>
-      new Path(logPath, f"${cp.version}%020d.checkpoint.$i%010d.$n%010d.parquet"))
+      new Path(logPath, DeltaLog.multipartName(cp.version, i, n)))
   }
 
   // --------------------------------------------------------------- replay
@@ -339,6 +340,18 @@ final class DeltaLog private (
 }
 
 object DeltaLog {
+  /** Zero-padded protocol numbering under `Locale.ROOT` — the f""
+    * interpolator's `%020d` formats with the JVM default locale, and on a
+    * CLDR JDK under e.g. ar-EG that yields Arabic-Indic digits: every
+    * commit/checkpoint FILE NAME would leave the protocol. (Verified on
+    * this JDK: `String.format(ar-EG, "%020d", 123)` is non-ASCII.) */
+  private[graft] def pad20(v: Long): String =
+    String.format(java.util.Locale.ROOT, "%020d", Long.box(v))
+  private[graft] def pad10(v: Int): String =
+    String.format(java.util.Locale.ROOT, "%010d", Int.box(v))
+  private[graft] def multipartName(version: Long, part: Int, nParts: Int): String =
+    s"${pad20(version)}.checkpoint.${pad10(part)}.${pad10(nParts)}.parquet"
+
   /** Conf key for the distributed checkpoint-restore threshold (actions). */
   val DistributedThresholdKey = "spark.graft.replay.distributedThreshold"
 

@@ -83,7 +83,7 @@ object GraftHistoryFunction {
         val logPath = new org.apache.hadoop.fs.Path(logPathStr)
         val fs = logPath.getFileSystem(c)
         vs.map { v =>
-          val p = new org.apache.hadoop.fs.Path(logPath, f"$v%020d.json")
+          val p = new org.apache.hadoop.fs.Path(logPath, DeltaLog.pad20(v) + ".json")
           val mtime = fs.getFileStatus(p).getModificationTime
           val in = new java.io.BufferedReader(new java.io.InputStreamReader(
             fs.open(p), java.nio.charset.StandardCharsets.UTF_8))

@@ -41,6 +41,14 @@ class TablePropertiesSpec extends AnyFunSuite with SparkTestBase {
       val e = intercept[IllegalStateException](
         DeltaLog.forPath(spark, "SWIFT://container/t"))
       assert(e.getMessage.contains("no atomic create-new rename"))
+      // protocol file NAMES: a CLDR JDK formats %020d with Arabic-Indic
+      // digits under ar-EG — zero-padding must run under Locale.ROOT
+      java.util.Locale.setDefault(java.util.Locale.forLanguageTag("ar-EG"))
+      val log = DeltaLog.forPath(spark, tempTable("locale-ar").toString)
+      assert(log.commitFile(123L).getName == "00000000000000000123.json")
+      assert(log.checkpointPaths(CheckPoint(7L, 1L, parts = Some(2))).map(_.getName) ==
+        Seq("00000000000000000007.checkpoint.0000000001.0000000002.parquet",
+            "00000000000000000007.checkpoint.0000000002.0000000002.parquet"))
     } finally java.util.Locale.setDefault(saved)
   }
 
