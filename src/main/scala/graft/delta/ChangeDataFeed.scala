@@ -41,10 +41,17 @@ object ChangeDataFeed {
     * "/bucket/t/x", "hdfs://nn:8020/t/x" → "/nn:8020/t/x", "file:///t/x"
     * and "file:/t/x" → "/t/x"). Normalizing the map side with
     * `Path.toUri.getPath` instead would drop the authority on that side
-    * only and silently empty the feed on authority-bearing table paths. */
+    * only and silently empty the feed on authority-bearing table paths.
+    *
+    * The map side serializes through `toUri.toString` — PERCENT-ENCODED —
+    * because Spark's `_metadata.file_path` is itself the percent-encoded
+    * `Path.toUri.toString` (a partition dir `region=North America` surfaces
+    * as `region=North%20America`; verified against Spark 4.1.2). A
+    * `Path.toString` key on the map side would silently empty the feed for
+    * any path with a URI-encodable character. */
   private[delta] val SchemeRe = "^[a-zA-Z][a-zA-Z0-9+.-]*:/+"
   private[delta] def normalizedKey(p: Path): String =
-    p.toString.replaceFirst(SchemeRe, "/")
+    p.toUri.toString.replaceFirst(SchemeRe, "/")
 
   def enabled(snap: Snapshot): Boolean =
     TableConfig.changeDataFeedEnabled(TableConfig.of(snap))

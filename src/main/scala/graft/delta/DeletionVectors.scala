@@ -71,10 +71,25 @@ object DeletionVectors {
   def hasDv(a: AddAction): Boolean = dvPath(a).isDefined
   def anyDv(files: Seq[AddAction]): Boolean = files.exists(hasDv)
 
-  /** `<table-dir-abs-path>/` — the prefix stripped from
-    * `_metadata.file_path` to recover the table-relative file path. */
+  /** `<table-dir-abs-path>/` — the prefix located inside
+    * `_metadata.file_path` to cut out the table-relative file path. RAW
+    * (percent-encoded) URI path, because `_metadata.file_path` is the
+    * percent-encoded `Path.toUri.toString`: a decoded prefix never matches
+    * inside the encoded string once the table path carries a space or
+    * non-ASCII char, and `substring_index` would then yield the FULL URI —
+    * so the DV anti-join subtracts nothing and deleted rows silently
+    * resurface. The encoded suffix then percent-DECODES ([[relPathCol]])
+    * so every downstream comparison — DV parquet keys, action paths,
+    * vacuum/rewrite bookkeeping — lives in decoded action-path space. */
   private[delta] def tableDirPrefix(log: DeltaLog): String =
-    log.tablePath.toUri.getPath.stripSuffix("/") + "/"
+    log.tablePath.toUri.getRawPath.stripSuffix("/") + "/"
+
+  /** The table-relative DECODED path of the scanned file — the one
+    * expression every `_metadata.file_path` extraction must use. */
+  private[delta] def relPathCol(log: DeltaLog,
+                                filePath: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.UriPathDecode(
+      substring_index(filePath, tableDirPrefix(log), -1))
 
   /** The protocol bump a configuration demands, or None when the current
     * protocol already satisfies it: enabling deletion vectors must fence
@@ -144,9 +159,8 @@ object DeletionVectors {
     val wm = LogicalRelation(rel).withMetadataColumns()
     wm.setTagValue(AppliedTag, true)
     val df = org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, wm)
-    val prefix = tableDirPrefix(log)
     val withCols = df
-      .withColumn(PathCol, substring_index(col("_metadata.file_path"), prefix, -1))
+      .withColumn(PathCol, relPathCol(log, col("_metadata.file_path")))
       .withColumn(PosCol, col("_metadata.row_index"))
     val filtered = dvDf(spark, log, files) match {
       case Some(dv) =>
@@ -169,11 +183,10 @@ object DeletionVectors {
     dvDf(spark, log, files) match {
       case None => df
       case Some(dv) =>
-        val prefix = tableDirPrefix(log)
         // bind _metadata to df's side explicitly — the DV frame is itself a
         // parquet read and exposes its own _metadata (ambiguous otherwise)
         val meta = df.metadataColumn("_metadata")
-        val f = substring_index(meta.getField("file_path"), prefix, -1)
+        val f = relPathCol(log, meta.getField("file_path"))
         df.join(dv, f === dv("path") && meta.getField("row_index") === dv("pos"),
             "left_anti")
           .select(df.columns.map(col).toSeq: _*)
@@ -215,9 +228,8 @@ final class ApplyDeletionVectors(session: SparkSession) extends Rule[LogicalPlan
     wm.setTagValue(AppliedTag, true)
     val df = org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(session, wm)
     val dv = dvDf(session, index.log, files).get
-    val prefix = tableDirPrefix(index.log)
     val joined = df.join(dv,
-      substring_index(col("_metadata.file_path"), prefix, -1) === dv("path") &&
+      relPathCol(index.log, col("_metadata.file_path")) === dv("path") &&
         col("_metadata.row_index") === dv("pos"),
       "left_anti")
     Project(lr.output, joined.queryExecution.analyzed)
