@@ -148,8 +148,8 @@ object Checkpoints {
     // Nothing reads dataChange off restored state: every consumer
     // (RewriteFence, feeds, conflict detection) reads COMMITS.
     val base = Seq(
-      a.path, a.partitionValues, a.size, a.modificationTime, false,
-      a.stats.orNull, a.tags.orNull)
+      ActionPath.encode(a.path), a.partitionValues, a.size, a.modificationTime,
+      false, a.stats.orNull, a.tags.orNull)
     val pvParsed =
       if (info.partitionFields.isEmpty) Nil
       else Seq(Row.fromSeq(info.partitionFields.map(f =>
@@ -175,7 +175,8 @@ object Checkpoints {
     case t: TxnAction => Row(Row(t.appId, t.version, t.lastUpdated.orNull), null, null, null, null)
     case add: AddAction => Row(null, addRow(add, info), null, null, null)
     case r: RemoveAction => Row(null, null,
-      Row(r.path, r.deletionTimestamp, false, r.extendedFileMetadata.orNull,
+      Row(ActionPath.encode(r.path), r.deletionTimestamp, false,
+          r.extendedFileMetadata.orNull,
           r.partitionValues.orNull, r.size.orNull, r.tags.orNull), null, null)
     case m: MetaDataAction => Row(null, null, null,
       Row(m.id, m.name.orNull, m.description.orNull,
@@ -259,7 +260,7 @@ object Checkpoints {
         .filterNot(row.isNullAt).map(i => row.getStruct(i))
     struct("add").map { a =>
       AddAction(
-        path = a.getAs[String]("path"),
+        path = ActionPath.decode(a.getAs[String]("path")),
         size = optL(a, "size").getOrElse(0L),
         partitionValues = optM(a, "partitionValues").getOrElse(Map.empty),
         modificationTime = optL(a, "modificationTime").getOrElse(0L),
@@ -268,7 +269,7 @@ object Checkpoints {
         tags = optM(a, "tags"))
     }.orElse(struct("remove").map { r =>
       RemoveAction(
-        path = r.getAs[String]("path"),
+        path = ActionPath.decode(r.getAs[String]("path")),
         deletionTimestamp = optL(r, "deletionTimestamp").getOrElse(0L),
         dataChange = optB(r, "dataChange").getOrElse(true),
         extendedFileMetadata = optB(r, "extendedFileMetadata"),

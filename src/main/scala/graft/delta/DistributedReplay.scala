@@ -59,7 +59,10 @@ object DistributedReplay {
           regexp_extract(input_file_name(), "(\\d{20})\\.json", 1).cast("long"))
         .select(
           col("version"),
-          coalesce(col("add.path"), col("remove.path")).as("path"),
+          // protocol space → decoded in-memory space (ActionPath invariant),
+          // on executors via the codegen'd kernel
+          graft.functions.UriPathDecode(
+            coalesce(col("add.path"), col("remove.path"))).as("path"),
           col("add.partitionValues").as("partitionValues"),
           col("add.size").as("size"),
           col("add.modificationTime").as("modificationTime"),
@@ -75,7 +78,7 @@ object DistributedReplay {
         .filter(col("add").isNotNull)
         .select(
           lit(c.version).as("version"),
-          col("add.path").as("path"),
+          graft.functions.UriPathDecode(col("add.path")).as("path"),
           col("add.partitionValues").as("partitionValues"),
           col("add.size").as("size"),
           col("add.modificationTime").as("modificationTime"),

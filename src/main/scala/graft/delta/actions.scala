@@ -102,7 +102,7 @@ object ActionCodec {
     a match {
       case add: AddAction =>
         val o = wrapper.putObject("add")
-        o.put("path", add.path)
+        o.put("path", ActionPath.encode(add.path))
         o.set[ObjectNode]("partitionValues", strMap(add.partitionValues))
         o.put("size", add.size)
         o.put("modificationTime", add.modificationTime)
@@ -111,7 +111,7 @@ object ActionCodec {
         add.tags.foreach(t => o.set[ObjectNode]("tags", strMap(t)))
       case rm: RemoveAction =>
         val o = wrapper.putObject("remove")
-        o.put("path", rm.path)
+        o.put("path", ActionPath.encode(rm.path))
         o.put("deletionTimestamp", rm.deletionTimestamp)
         o.put("dataChange", rm.dataChange)
         rm.extendedFileMetadata.foreach(o.put("extendedFileMetadata", _))
@@ -144,7 +144,7 @@ object ActionCodec {
         wrapper.set[ObjectNode]("commitInfo", ci.info)
       case c: CdcAction =>
         val o = wrapper.putObject("cdc")
-        o.put("path", c.path)
+        o.put("path", ActionPath.encode(c.path))
         o.set[ObjectNode]("partitionValues", strMap(c.partitionValues))
         o.put("size", c.size)
         o.put("dataChange", c.dataChange)
@@ -188,7 +188,7 @@ object ActionCodec {
     val n = e.getValue
     e.getKey match {
       case "add" => Some(AddAction(
-        path = reqStr(n, "add", "path"),
+        path = ActionPath.decode(reqStr(n, "add", "path")),
         size = optLong(n, "size").getOrElse(0L),
         partitionValues = optStrMap(n, "partitionValues").getOrElse(Map.empty),
         modificationTime = optLong(n, "modificationTime").getOrElse(0L),
@@ -196,7 +196,7 @@ object ActionCodec {
         stats = optStr(n, "stats"),
         tags = optStrMap(n, "tags")))
       case "remove" => Some(RemoveAction(
-        path = reqStr(n, "remove", "path"),
+        path = ActionPath.decode(reqStr(n, "remove", "path")),
         deletionTimestamp = optLong(n, "deletionTimestamp").getOrElse(0L),
         dataChange = optBool(n, "dataChange").getOrElse(true),
         extendedFileMetadata = optBool(n, "extendedFileMetadata"),
@@ -224,7 +224,7 @@ object ActionCodec {
         minWriterVersion = n.get("minWriterVersion").asInt))
       case "commitInfo" => Some(CommitInfoAction(n))
       case "cdc" => Some(CdcAction(
-        path = reqStr(n, "cdc", "path"),
+        path = ActionPath.decode(reqStr(n, "cdc", "path")),
         size = optLong(n, "size").getOrElse(0L),
         partitionValues = optStrMap(n, "partitionValues").getOrElse(Map.empty),
         dataChange = optBool(n, "dataChange").getOrElse(false)))
