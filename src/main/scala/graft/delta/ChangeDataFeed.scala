@@ -106,8 +106,14 @@ object ChangeDataFeed {
   /** The change feed over `(startV, endV]`: table columns +
     * `_change_type` + `_commit_version`. */
   def readChanges(spark: SparkSession, log: DeltaLog,
-                  startV: Long, endV: Long): DataFrame =
-    readChanges(spark, log, startV, endV, log.snapshotForVersion(endV).schema)
+                  startV: Long, endV: Long): DataFrame = {
+    val endSnap = log.snapshotForVersion(endV)
+    // capability fence on the batch entry point; the streaming overload
+    // below skips it (the source fences once at stream start through its
+    // GraftFileIndex, and must not pay an O(log) replay per micro-batch)
+    ProtocolSupport.assertReadable(endSnap)
+    readChanges(spark, log, startV, endV, endSnap.schema)
+  }
 
   /** As above with the table schema SUPPLIED — the streaming source calls
     * this once per micro-batch with its fixed declared schema, skipping the

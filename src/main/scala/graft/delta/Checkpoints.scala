@@ -50,7 +50,9 @@ object Checkpoints {
 
   private def protocolType = StructType(Seq(
     StructField("minReaderVersion", IntegerType),
-    StructField("minWriterVersion", IntegerType)))
+    StructField("minWriterVersion", IntegerType),
+    StructField("readerFeatures", ArrayType(StringType)),
+    StructField("writerFeatures", ArrayType(StringType))))
 
   /** Partition-value string→typed conversion supports the same primitive set
     * as the reference (`rust/src/checkpoints.rs:278-345`): string,
@@ -183,7 +185,9 @@ object Checkpoints {
           Row(m.format.provider, m.format.options), m.schemaString,
           m.partitionColumns, m.configuration, m.createdTime.orNull), null)
     case p: ProtocolAction => Row(null, null, null, null,
-      Row(p.minReaderVersion, p.minWriterVersion))
+      Row(p.minReaderVersion, p.minWriterVersion,
+        p.readerFeatures.map(_.toSeq.sorted).orNull,
+        p.writerFeatures.map(_.toSeq.sorted).orNull))
     case _: CommitInfoAction =>
       throw new IllegalArgumentException("commitInfo is never checkpointed")
   }
@@ -208,7 +212,8 @@ object Checkpoints {
     // file would silently vanish and later become vacuum-eligible.
     val activePaths = snap.files.iterator.map(_.path).toSet
     val acts: Seq[Action] =
-      Seq(ProtocolAction(snap.minReaderVersion, snap.minWriterVersion), md) ++
+      Seq(ProtocolAction(snap.minReaderVersion, snap.minWriterVersion,
+        snap.readerFeatures, snap.writerFeatures), md) ++
       snap.appTransactionVersion.toSeq.sortBy(_._1).map { case (app, v) => TxnAction(app, v) } ++
       snap.tombstones.filterNot(t => activePaths.contains(t.path)) ++
       snap.files
@@ -266,7 +271,11 @@ object Checkpoints {
         modificationTime = optL(a, "modificationTime").getOrElse(0L),
         dataChange = optB(a, "dataChange").getOrElse(true),
         stats = optS(a, "stats"),
-        tags = optM(a, "tags"))
+        tags = optM(a, "tags"),
+        // a foreign checkpoint may carry the standard DV descriptor struct;
+        // capture presence so ProtocolSupport can refuse the scan
+        deletionVector = Try(a.fieldIndex("deletionVector")).toOption
+          .filterNot(a.isNullAt).map(_ => "{}"))
     }.orElse(struct("remove").map { r =>
       RemoveAction(
         path = ActionPath.decode(r.getAs[String]("path")),
@@ -291,7 +300,11 @@ object Checkpoints {
         createdTime = optL(m, "createdTime"),
         configuration = optM(m, "configuration").getOrElse(Map.empty))
     }).orElse(struct("protocol").map { p =>
-      ProtocolAction(p.getAs[Int]("minReaderVersion"), p.getAs[Int]("minWriterVersion"))
+      def feats(f: String): Option[Set[String]] =
+        Try(p.getSeq[String](p.fieldIndex(f))).toOption
+          .flatMap(Option(_)).map(_.toSet)
+      ProtocolAction(p.getAs[Int]("minReaderVersion"), p.getAs[Int]("minWriterVersion"),
+        feats("readerFeatures"), feats("writerFeatures"))
     }).orElse(struct("txn").map { t =>
       TxnAction(t.getAs[String]("appId"), t.getAs[Long]("version"), optL(t, "lastUpdated"))
     })

@@ -100,9 +100,11 @@ object DeletionVectors {
     * (DeltaTable.setProperties, catalog CREATE, catalog ALTER) must apply
     * this. */
   def protocolFence(config: Map[String, String],
-                    minReader: Int, minWriter: Int): Option[ProtocolAction] =
+                    minReader: Int, minWriter: Int,
+                    readerFeatures: Option[Set[String]] = None,
+                    writerFeatures: Option[Set[String]] = None): Option[ProtocolAction] =
     if (TableConfig.deletionVectorsEnabled(config) && minReader < 3)
-      Some(ProtocolAction(3, math.max(minWriter, 2)))
+      Some(ProtocolAction(3, math.max(minWriter, 2), readerFeatures, writerFeatures))
     else None
 
   /** Tombstones for every DV directory that the `replaced` files pointed at

@@ -223,7 +223,8 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     // interop-readability returns once OPTIMIZE purges the vectors AND the
     // protocol is manually lowered.
     DeletionVectors.protocolFence(md.configuration ++ props,
-      snap.minReaderVersion, snap.minWriterVersion).foreach(txn.addAction)
+      snap.minReaderVersion, snap.minWriterVersion,
+      snap.readerFeatures, snap.writerFeatures).foreach(txn.addAction)
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", System.currentTimeMillis())
     info.put("operation", "SET TBLPROPERTIES")

@@ -35,7 +35,9 @@ object GraftChangesFunction {
       .getOrElse(latest)
     require(startV <= endV && endV <= latest,
       s"invalid version range ($startV, $endV] for table at version $latest")
-    val schema = log.snapshotForVersion(endV).schema
+    val endSnap = log.snapshotForVersion(endV)
+    ProtocolSupport.assertReadable(endSnap)
+    val schema = endSnap.schema
 
     // ONE scan over every added file in the range; `_commit_version`
     // attached via a broadcast file→version join on scheme-normalized

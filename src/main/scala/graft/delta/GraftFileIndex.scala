@@ -34,6 +34,12 @@ final class GraftFileIndex(
     preSelected: Option[Seq[AddAction]] = None,
     private[delta] val live: Boolean = false) extends FileIndex {
 
+  // every data scan funnels through this index — the protocol capability
+  // fence lives here so unsupported tables refuse loudly instead of
+  // mis-reading (ProtocolSupport scaladoc has the failure modes)
+  ProtocolSupport.assertReadable(snapshot)
+  private var protocolCheckedVersion: Long = snapshot.version
+
   private val tableSchema: StructType = snapshot.schema
   private val partCols: Seq[String] = snapshot.partitionColumns
 
@@ -52,7 +58,16 @@ final class GraftFileIndex(
     * always construction-time — a concurrent metadata change requires
     * re-resolving the relation, as with any Spark catalog table. */
   private def baseFiles: Seq[AddAction] =
-    preSelected.getOrElse(if (live) log.update().files else snapshot.files)
+    preSelected.getOrElse {
+      if (live) {
+        val s = log.update()
+        if (s.version != protocolCheckedVersion) {
+          ProtocolSupport.assertReadable(s)
+          protocolCheckedVersion = s.version
+        }
+        s.files
+      } else snapshot.files
+    }
 
   /** Files this scan covers — the stats substrate for plan-time rewrites
     * (see [[StatsOnlyAggregates]]). */

@@ -129,7 +129,8 @@ object GraftWriter {
     // fence must ride the same commit on this path too
     if (exists)
       evolvedMetadata.foreach(md => DeletionVectors.protocolFence(
-        md.configuration, snap.minReaderVersion, snap.minWriterVersion)
+        md.configuration, snap.minReaderVersion, snap.minWriterVersion,
+        snap.readerFeatures, snap.writerFeatures)
         .foreach(txn.addAction))
     // CDF images for the overwrite rewrite shape — skipped (loud
     // downstream) when the overwrite also changes the schema

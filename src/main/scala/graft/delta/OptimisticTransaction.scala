@@ -107,6 +107,10 @@ final class OptimisticTransaction(val log: DeltaLog) {
     * line (`DeltaOperation`, `rust/src/action.rs:779-803`). */
   def commit(operation: Option[CommitInfoAction] = None,
              maxAttempts: Int = OptimisticTransaction.MaxRetryCommitAttempts): Long = {
+    // protocol capability fence: refuse to write a table whose invariants
+    // graft would not maintain (fresh tables have version -1 / writer 0 and
+    // pass trivially; a same-commit protocol bump is graft's own and exempt)
+    ProtocolSupport.assertWritable(log.snapshot)
     // delta.appendOnly gate — the effective config is the one this commit
     // leaves behind (a same-commit metaData wins over the read snapshot's).
     val effectiveConfig = actions.reverseIterator

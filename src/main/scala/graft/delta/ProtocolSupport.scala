@@ -1,0 +1,133 @@
+package graft.delta
+
+/** A table demands protocol capabilities this engine does not implement. */
+final class UnsupportedProtocolException(msg: String)
+  extends RuntimeException(msg)
+
+/** Delta protocol capability fence.
+  *
+  * The reference tracks `min_reader_version`/`min_writer_version`
+  * (rust/src/delta.rs:1430-1432) but never refuses a table, which on any
+  * post-table-features input silently mis-reads: a delta-spark DV table's
+  * deleted rows resurface (the `add.deletionVector` descriptor is dropped
+  * on parse), and a column-mapping table scans by logical name against
+  * physically renamed parquet columns (all nulls). The protocol's contract
+  * is the opposite — a reader/writer MUST refuse versions and features it
+  * does not implement. This object is that refusal, called on every scan
+  * ([[GraftFileIndex]]), change-feed read, and commit
+  * ([[OptimisticTransaction]]).
+  *
+  * What graft implements:
+  *  - reader 1-2, except column mapping (`delta.columnMapping.mode` other
+  *    than `none` — a reader-2 capability graft lacks);
+  *  - reader 3 with features ⊆ {timestampNtz} — plus graft's own DV tables,
+  *    which declare reader 3 with NO feature list precisely so foreign
+  *    readers refuse them ([[DeletionVectors.protocolFence]]) while graft
+  *    recognizes its `graft.dv.*` tags;
+  *  - writer 1-4, refusing tables whose SCHEMA actually uses capabilities
+  *    graft would not maintain (invariants, generated columns, identity
+  *    columns — version gates alone are too coarse: delta-spark writes
+  *    minWriter 4 for every CDF table whether or not generated columns
+  *    exist);
+  *  - writer 7 with features ⊆ supported writer set below.
+  */
+object ProtocolSupport {
+
+  /** Reader-3 table features graft can serve correctly. */
+  val SupportedReaderFeatures: Set[String] =
+    Set("timestampNtz", "graft.deletionVectors")
+
+  /** Writer-7 table features graft maintains on write. `invariants` is
+    * listed by delta-spark on most v7 tables as legacy carry-over; actual
+    * USE is caught by the schema sniff in [[assertWritable]]. */
+  val SupportedWriterFeatures: Set[String] =
+    Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+      "timestampNtz", "graft.deletionVectors")
+
+  private def config(snap: Snapshot): Map[String, String] =
+    snap.metadata.map(_.configuration).getOrElse(Map.empty)
+
+  private def schemaString(snap: Snapshot): String =
+    snap.metadata.map(_.schemaString).getOrElse("")
+
+  /** Refuse to SCAN a snapshot whose correct interpretation needs reader
+    * capabilities graft lacks. Metadata-level access (history, inspect)
+    * stays open — no data rows are served there. */
+  def assertReadable(snap: Snapshot): Unit = {
+    if (snap.minReaderVersion > 3)
+      refuse(s"requires reader version ${snap.minReaderVersion} " +
+        "(graft supports up to 3)")
+    if (snap.minReaderVersion == 3) {
+      // absent feature list = graft's own DV bump (legacy-graft shape)
+      val unsupported = snap.readerFeatures.getOrElse(Set.empty) --
+        SupportedReaderFeatures
+      if (unsupported.nonEmpty)
+        refuse(s"requires reader table features ${unsupported.toSeq.sorted
+          .mkString("[", ", ", "]")} that graft does not implement")
+    }
+    val mapping = config(snap).getOrElse("delta.columnMapping.mode", "none")
+    if (mapping != "none")
+      refuse(s"uses column mapping mode '$mapping': parquet columns are " +
+        "physically renamed and a by-name scan would return nulls")
+    if (snap.files.exists(_.deletionVector.isDefined))
+      refuse("carries standard deletion-vector descriptors " +
+        "(add.deletionVector); graft implements only its own graft.dv.* " +
+        "tag format — scanning would resurface deleted rows")
+  }
+
+  /** Refuse to COMMIT to a table whose invariants graft would not
+    * maintain. Implies [[assertReadable]] (writing requires reading). */
+  def assertWritable(snap: Snapshot): Unit = {
+    assertReadable(snap)
+    if (snap.minWriterVersion > 7)
+      refuse(s"requires writer version ${snap.minWriterVersion} " +
+        "(graft supports up to 7)")
+    if (snap.minWriterVersion == 7) {
+      val unsupported = snap.writerFeatures.getOrElse(Set.empty) --
+        SupportedWriterFeatures
+      if (unsupported.nonEmpty)
+        refuse(s"requires writer table features ${unsupported.toSeq.sorted
+          .mkString("[", ", ", "]")} that graft does not maintain")
+    } else if (snap.minWriterVersion > 4) {
+      refuse(s"requires writer version ${snap.minWriterVersion} " +
+        "(column mapping / identity columns are not implemented)")
+    }
+    // version gates are coarse; refuse on ACTUAL use of unmaintained
+    // capabilities. The markers are schema-metadata keys (delta-spark
+    // conventions) inside metaData.schemaString.
+    val schema = schemaString(snap)
+    if (schema.contains("\"delta.invariants\""))
+      refuse("schema declares column invariants (delta.invariants) that " +
+        "graft would not enforce on write")
+    if (schema.contains("\"delta.generationExpression\""))
+      refuse("schema declares generated columns (delta.generationExpression) " +
+        "that graft would not compute on write")
+    if (schema.contains("\"delta.identity.start\"") ||
+        schema.contains("\"delta.identity.allowExplicitInsert\""))
+      refuse("schema declares identity columns that graft would not " +
+        "allocate on write")
+  }
+
+  /** Incremental-feed fence ([[RewriteFence]]): one COMMIT's actions must
+    * not flip the table into capability territory the running stream cannot
+    * serve. Cheap (no snapshot replay) — inspects only the commit. */
+  def assertCommitServable(tablePath: String, version: Long,
+                           actions: Seq[Action]): Unit =
+    actions.foreach {
+      case p: ProtocolAction =>
+        assertReadable(Snapshot(
+          minReaderVersion = p.minReaderVersion,
+          readerFeatures = p.readerFeatures))
+      case m: MetaDataAction
+          if m.configuration.getOrElse("delta.columnMapping.mode", "none") != "none" =>
+        refuse(s"commit $version of $tablePath enables column mapping " +
+          "mid-stream; files written after it would scan as nulls")
+      case a: AddAction if a.deletionVector.isDefined =>
+        refuse(s"commit $version of $tablePath carries a standard " +
+          "deletion-vector descriptor graft cannot apply")
+      case _ => ()
+    }
+
+  private def refuse(why: String): Nothing =
+    throw new UnsupportedProtocolException(s"unsupported Delta table: $why")
+}

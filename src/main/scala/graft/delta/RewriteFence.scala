@@ -27,6 +27,12 @@ object RewriteFence {
     * missing opt-in. */
   def servableAdds(tablePath: String, version: Long, actions: Seq[Action],
                    ignoreChanges: Boolean, ignoreDeletes: Boolean): Seq[AddAction] = {
+    // a mid-stream capability flip (protocol bump past what graft reads,
+    // column mapping enable, standard-DV adds) must stop the stream here:
+    // the scan-time fence only sees the START snapshot, and files written
+    // after e.g. a columnMapping enable would read as all-null through the
+    // stream's fixed schema
+    ProtocolSupport.assertCommitServable(tablePath, version, actions)
     val adds = actions.collect { case a: AddAction
       if a.dataChange && DeletionVectors.dvPath(a).isEmpty => a }
     if (!ignoreChanges) {

@@ -25,6 +25,8 @@ final case class Snapshot(
     metadata: Option[MetaDataAction] = None,
     minReaderVersion: Int = 0,
     minWriterVersion: Int = 0,
+    readerFeatures: Option[Set[String]] = None,
+    writerFeatures: Option[Set[String]] = None,
     appTransactionVersion: Map[String, Long] = Map.empty,
     lastCommitInfo: Option[JsonNode] = None) {
 
@@ -134,6 +136,8 @@ object Snapshot {
     var metadata = base.metadata
     var minReader = base.minReaderVersion
     var minWriter = base.minWriterVersion
+    var readerFeats = base.readerFeatures
+    var writerFeats = base.writerFeatures
     val txns = mutable.Map[String, Long](base.appTransactionVersion.toSeq: _*)
     var lastCommitInfo = base.lastCommitInfo
 
@@ -145,6 +149,8 @@ object Snapshot {
       case p: ProtocolAction =>
         minReader = p.minReaderVersion
         minWriter = p.minWriterVersion
+        readerFeats = p.readerFeatures
+        writerFeats = p.writerFeatures
       case m: MetaDataAction => metadata = Some(m)
       case t: TxnAction => txns.put(t.appId, t.version)
       case ci: CommitInfoAction => lastCommitInfo = Some(ci.info)
@@ -158,6 +164,8 @@ object Snapshot {
       metadata = metadata,
       minReaderVersion = minReader,
       minWriterVersion = minWriter,
+      readerFeatures = readerFeats,
+      writerFeatures = writerFeats,
       appTransactionVersion = txns.toMap,
       lastCommitInfo = lastCommitInfo)
   }

@@ -15,7 +15,15 @@ import scala.jdk.CollectionConverters._
   */
 sealed trait Action
 
-/** A data file that is part of the table (`rust/src/action.rs:150-185`). */
+/** A data file that is part of the table (`rust/src/action.rs:150-185`).
+  *
+  * `deletionVector` carries the Delta protocol's standard DV descriptor
+  * VERBATIM (raw JSON) when a foreign writer produced one. Graft's own
+  * merge-on-read DVs use the `graft.dv.*` tag extension instead
+  * ([[DeletionVectors]]); the standard RoaringBitmap format is NOT
+  * implemented, so [[ProtocolSupport]] refuses to scan any snapshot whose
+  * files carry this field — dropping it silently would resurface deleted
+  * rows. */
 final case class AddAction(
     path: String,
     size: Long,
@@ -23,7 +31,8 @@ final case class AddAction(
     modificationTime: Long,
     dataChange: Boolean,
     stats: Option[String] = None,
-    tags: Option[Map[String, String]] = None)
+    tags: Option[Map[String, String]] = None,
+    deletionVector: Option[String] = None)
   extends Action
 
 /** A tombstone for a removed file (`rust/src/action.rs:500-522`). */
@@ -57,8 +66,16 @@ final case class MetaDataAction(
 final case class TxnAction(appId: String, version: Long, lastUpdated: Option[Long] = None)
   extends Action
 
-/** Protocol version guard (`rust/src/action.rs:661-670`). */
-final case class ProtocolAction(minReaderVersion: Int = 1, minWriterVersion: Int = 2)
+/** Protocol version guard (`rust/src/action.rs:661-670`). The reference
+  * predates table features; `readerFeatures`/`writerFeatures` (Delta
+  * protocol, reader/writer version 3/7) round-trip here so
+  * [[ProtocolSupport]] can refuse tables whose features graft does not
+  * implement instead of silently mis-reading them. */
+final case class ProtocolAction(
+    minReaderVersion: Int = 1,
+    minWriterVersion: Int = 2,
+    readerFeatures: Option[Set[String]] = None,
+    writerFeatures: Option[Set[String]] = None)
   extends Action
 
 /** Freeform commit provenance (`rust/src/action.rs:719`: `commitInfo(Value)`). */
@@ -109,6 +126,7 @@ object ActionCodec {
         o.put("dataChange", add.dataChange)
         add.stats.foreach(o.put("stats", _))
         add.tags.foreach(t => o.set[ObjectNode]("tags", strMap(t)))
+        add.deletionVector.foreach(dv => o.set[JsonNode]("deletionVector", mapper.readTree(dv)))
       case rm: RemoveAction =>
         val o = wrapper.putObject("remove")
         o.put("path", ActionPath.encode(rm.path))
@@ -140,6 +158,12 @@ object ActionCodec {
         val o = wrapper.putObject("protocol")
         o.put("minReaderVersion", p.minReaderVersion)
         o.put("minWriterVersion", p.minWriterVersion)
+        p.readerFeatures.foreach { fs =>
+          val arr = o.putArray("readerFeatures"); fs.toSeq.sorted.foreach(arr.add)
+        }
+        p.writerFeatures.foreach { fs =>
+          val arr = o.putArray("writerFeatures"); fs.toSeq.sorted.foreach(arr.add)
+        }
       case ci: CommitInfoAction =>
         wrapper.set[ObjectNode]("commitInfo", ci.info)
       case c: CdcAction =>
@@ -194,7 +218,9 @@ object ActionCodec {
         modificationTime = optLong(n, "modificationTime").getOrElse(0L),
         dataChange = optBool(n, "dataChange").getOrElse(true),
         stats = optStr(n, "stats"),
-        tags = optStrMap(n, "tags")))
+        tags = optStrMap(n, "tags"),
+        deletionVector = Option(n.get("deletionVector")).filterNot(_.isNull)
+          .map(_.toString)))
       case "remove" => Some(RemoveAction(
         path = ActionPath.decode(reqStr(n, "remove", "path")),
         deletionTimestamp = optLong(n, "deletionTimestamp").getOrElse(0L),
@@ -221,7 +247,11 @@ object ActionCodec {
         lastUpdated = optLong(n, "lastUpdated")))
       case "protocol" => Some(ProtocolAction(
         minReaderVersion = n.get("minReaderVersion").asInt,
-        minWriterVersion = n.get("minWriterVersion").asInt))
+        minWriterVersion = n.get("minWriterVersion").asInt,
+        readerFeatures = Option(n.get("readerFeatures")).filterNot(_.isNull)
+          .map(_.elements().asScala.map(_.asText).toSet),
+        writerFeatures = Option(n.get("writerFeatures")).filterNot(_.isNull)
+          .map(_.elements().asScala.map(_.asText).toSet)))
       case "commitInfo" => Some(CommitInfoAction(n))
       case "cdc" => Some(CdcAction(
         path = ActionPath.decode(reqStr(n, "cdc", "path")),

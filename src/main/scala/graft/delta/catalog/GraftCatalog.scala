@@ -377,7 +377,8 @@ class GraftCatalog extends DelegatingCatalogExtension
     // same reader fence as DeltaTable.setProperties — SQL ALTER must not be
     // a fence-less side door into deletion vectors
     DeletionVectors.protocolFence(config,
-      snap.minReaderVersion, snap.minWriterVersion).foreach(txn.addAction)
+      snap.minReaderVersion, snap.minWriterVersion,
+      snap.readerFeatures, snap.writerFeatures).foreach(txn.addAction)
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", System.currentTimeMillis())
     info.put("operation", "ALTER TABLE")

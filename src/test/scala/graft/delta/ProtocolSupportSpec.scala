@@ -1,0 +1,186 @@
+package graft.delta
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The protocol capability fence: tables demanding reader/writer features
+  * graft does not implement must refuse LOUDLY at scan/commit time — the
+  * alternative is silent corruption (resurfaced deleted rows under standard
+  * deletion vectors, all-null columns under column mapping). The reference
+  * tracks protocol versions but never refuses (rust/src/delta.rs:1430-1432);
+  * the Delta protocol requires refusal, and so does safety. */
+class ProtocolSupportSpec extends AnyFunSuite with SparkTestBase {
+  import LogFixtures._
+  import spark.implicits._
+
+  private def protocolLine(minR: Int, minW: Int,
+                           rf: Option[Seq[String]] = None,
+                           wf: Option[Seq[String]] = None): String = {
+    val r = rf.map(f => s""","readerFeatures":[${f.map("\"" + _ + "\"").mkString(",")}]""").getOrElse("")
+    val w = wf.map(f => s""","writerFeatures":[${f.map("\"" + _ + "\"").mkString(",")}]""").getOrElse("")
+    s"""{"protocol":{"minReaderVersion":$minR,"minWriterVersion":$minW$r$w}}"""
+  }
+
+  /** A real one-file graft table whose protocol is then overridden. */
+  private def tableWithProtocol(name: String, protocol: String,
+                                extraMetaConfig: String = ""): String = {
+    val dir = tempTable(name).toString
+    GraftWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    writeCommit(java.nio.file.Paths.get(dir), 1, Seq(protocol))
+    dir
+  }
+
+  test("reader v3 with standard deletionVectors feature refuses the scan") {
+    val dir = tableWithProtocol("ps-dv",
+      protocolLine(3, 7, rf = Some(Seq("deletionVectors")), wf = Some(Seq("deletionVectors"))))
+    val e = intercept[UnsupportedProtocolException] {
+      DeltaTable.forPath(spark, dir).toDF.count()
+    }
+    assert(e.getMessage.contains("deletionVectors"))
+  }
+
+  test("reader v3 with timestampNtz is supported; absent features = graft's own DV shape") {
+    val ntz = tableWithProtocol("ps-ntz",
+      protocolLine(3, 7, rf = Some(Seq("timestampNtz")), wf = Some(Seq("timestampNtz"))))
+    assert(DeltaTable.forPath(spark, ntz).toDF.count() == 2)
+    val legacy = tableWithProtocol("ps-legacy", protocolLine(3, 2))
+    assert(DeltaTable.forPath(spark, legacy).toDF.count() == 2)
+  }
+
+  test("reader v4 refuses; writer v5 refuses writes but serves reads") {
+    val v4 = tableWithProtocol("ps-r4", protocolLine(4, 7))
+    intercept[UnsupportedProtocolException] {
+      DeltaTable.forPath(spark, v4).toDF.count()
+    }
+    val v5 = tableWithProtocol("ps-w5", protocolLine(2, 5))
+    assert(DeltaTable.forPath(spark, v5).toDF.count() == 2)
+    val e = intercept[UnsupportedProtocolException] {
+      GraftWriter.write(Seq((3L, "c")).toDF("id", "v"), v5,
+        mode = org.apache.spark.sql.SaveMode.Append)
+    }
+    assert(e.getMessage.contains("writer version 5"))
+  }
+
+  test("writer v7: supported feature set writes; identityColumns refuses") {
+    val ok = tableWithProtocol("ps-w7ok",
+      protocolLine(1, 7, wf = Some(Seq("appendOnly", "changeDataFeed"))))
+    GraftWriter.write(Seq((3L, "c")).toDF("id", "v"), ok,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    assert(DeltaTable.forPath(spark, ok).toDF.count() == 3)
+
+    val bad = tableWithProtocol("ps-w7id",
+      protocolLine(1, 7, wf = Some(Seq("identityColumns"))))
+    val e = intercept[UnsupportedProtocolException] {
+      GraftWriter.write(Seq((3L, "c")).toDF("id", "v"), bad,
+        mode = org.apache.spark.sql.SaveMode.Append)
+    }
+    assert(e.getMessage.contains("identityColumns"))
+  }
+
+  test("column mapping refuses the scan (physically renamed parquet columns)") {
+    val dir = tempTable("ps-cm").toString
+    GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir)
+    // foreign ALTER flips the mode in a metaData commit
+    val md = DeltaLog.forPath(spark, dir).update().metadata.get
+    val mdLine = ActionCodec.toJsonLine(
+      md.copy(configuration = md.configuration +
+        ("delta.columnMapping.mode" -> "name")))
+    writeCommit(java.nio.file.Paths.get(dir), 1, Seq(protocolLine(2, 5), mdLine))
+    val e = intercept[UnsupportedProtocolException] {
+      DeltaTable.forPath(spark, dir).toDF.count()
+    }
+    assert(e.getMessage.contains("column mapping"))
+  }
+
+  test("a non-conformant add.deletionVector descriptor refuses even at reader v1") {
+    val dir = tempTable("ps-rawdv")
+    Files.writeString(dir.resolve("f.parquet"), "x")
+    val dvAdd = """{"add":{"path":"f.parquet","partitionValues":{},"size":1,""" +
+      """"modificationTime":1587968586000,"dataChange":true,""" +
+      """"deletionVector":{"storageType":"u","pathOrInlineDv":"ab","offset":1,""" +
+      """"sizeInBytes":36,"cardinality":2}}}"""
+    writeCommit(dir, 0, Seq(protocol, metaData, dvAdd))
+    val e = intercept[UnsupportedProtocolException] {
+      DeltaTable.forPath(spark, dir.toString).toDF.count()
+    }
+    assert(e.getMessage.contains("deletion-vector descriptors"))
+    // the descriptor survives parse verbatim (no silent drop)
+    val add = DeltaLog.forPath(spark, dir.toString).update().files.head
+    assert(add.deletionVector.exists(_.contains("\"cardinality\":2")))
+  }
+
+  test("schema-level use sniff: generated columns refuse writes, reads stay open") {
+    val dir = tempTable("ps-gen").toString
+    GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir)
+    val md = DeltaLog.forPath(spark, dir).update().metadata.get
+    val genSchema = md.schemaString.replace(
+      """"name":"v","type":"string","nullable":true,"metadata":{}""",
+      """"name":"v","type":"string","nullable":true,"metadata":{"delta.generationExpression":"CAST(id AS STRING)"}""")
+    assert(genSchema != md.schemaString, "sniff fixture failed to inject")
+    writeCommit(java.nio.file.Paths.get(dir), 1,
+      Seq(ActionCodec.toJsonLine(md.copy(schemaString = genSchema))))
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 1)
+    val e = intercept[UnsupportedProtocolException] {
+      GraftWriter.write(Seq((2L, "b")).toDF("id", "v"), dir,
+        mode = org.apache.spark.sql.SaveMode.Append)
+    }
+    assert(e.getMessage.contains("generated columns"))
+  }
+
+  test("mid-stream capability flips stop the append feed at the commit") {
+    def line(s: String) = ActionCodec.fromJsonLine(s).get
+    // foreign protocol bump past reader support
+    intercept[UnsupportedProtocolException] {
+      RewriteFence.servableAdds("t", 5, Seq(line(protocolLine(4, 7))),
+        ignoreChanges = true, ignoreDeletes = true)
+    }
+    // standard-DV feature announced mid-stream
+    intercept[UnsupportedProtocolException] {
+      RewriteFence.servableAdds("t", 5,
+        Seq(line(protocolLine(3, 7, rf = Some(Seq("deletionVectors"))))),
+        ignoreChanges = true, ignoreDeletes = true)
+    }
+    // column mapping enabled mid-stream
+    val md = MetaDataAction("id", None, None, Format(),
+      schemaString = """{"type":"struct","fields":[]}""",
+      partitionColumns = Nil, createdTime = None,
+      configuration = Map("delta.columnMapping.mode" -> "name"))
+    intercept[UnsupportedProtocolException] {
+      RewriteFence.servableAdds("t", 5, Seq(md),
+        ignoreChanges = true, ignoreDeletes = true)
+    }
+    // graft's OWN DV protocol bump (reader 3, no feature list) keeps serving
+    assert(RewriteFence.servableAdds("t", 5,
+      Seq(line(protocolLine(3, 2))), ignoreChanges = false,
+      ignoreDeletes = false).isEmpty)
+  }
+
+  test("protocol features round-trip through JSON and checkpoint") {
+    val p = ProtocolAction(3, 7, Some(Set("timestampNtz")),
+      Some(Set("appendOnly", "timestampNtz")))
+    assert(ActionCodec.fromJsonLine(ActionCodec.toJsonLine(p)).contains(p))
+    // absent lists stay absent (graft's own shape)
+    val bare = ProtocolAction(1, 2)
+    assert(!ActionCodec.toJsonLine(bare).contains("readerFeatures"))
+    assert(ActionCodec.fromJsonLine(ActionCodec.toJsonLine(bare)).contains(bare))
+
+    // checkpoint: features survive the parquet round trip
+    val dir = tableWithProtocol("ps-ckpt",
+      protocolLine(3, 7, rf = Some(Seq("timestampNtz")), wf = Some(Seq("timestampNtz"))))
+    val log = DeltaLog.forPath(spark, dir)
+    val cp = log.checkpoint()
+    val acts = Checkpoints.read(spark, log.checkpointPaths(cp))
+    val Seq(cpProto) = acts.collect { case pr: ProtocolAction => pr }
+    assert(cpProto == ProtocolAction(3, 7, Some(Set("timestampNtz")), Some(Set("timestampNtz"))))
+    // cold restore through the checkpoint carries the fence inputs
+    val logDir = java.nio.file.Paths.get(dir, "_delta_log")
+    Files.list(logDir).filter(_.toString.endsWith(".json"))
+      .forEach(p => Files.delete(p))
+    val snap = DeltaLog.forPath(spark, dir).update()
+    assert(snap.readerFeatures.contains(Set("timestampNtz")))
+    assert(snap.writerFeatures.contains(Set("timestampNtz")))
+  }
+}
