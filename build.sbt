@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The container locale is POSIX; sun.jnu.encoding follows the OS locale
+// (JEP 400: the -D override is unsupported), so without this the forked
+// JVM cannot create non-ASCII file names (UTF-8 partition-dir values).
+Test / envVars += "LC_ALL" -> "C.utf8"
+run / envVars += "LC_ALL" -> "C.utf8"
 // Forward the forked run's stdout RAW (no "[info] " prefix): Bench's
 // contract is ONE machine-parsable JSON line on stdout, and the log
 // prefix breaks strict line parsers.
@@ -30,5 +35,6 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  "-Dfile.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -109,9 +109,9 @@ object ChangeDataFeed {
                   startV: Long, endV: Long): DataFrame = {
     val endSnap = log.snapshotForVersion(endV)
     // capability fence on the batch entry point; the streaming overload
-    // below skips it (the source fences once at stream start through its
-    // GraftFileIndex, and must not pay an O(log) replay per micro-batch)
-    ProtocolSupport.assertReadable(endSnap)
+    // below skips it (the source fences once at stream start, and must not
+    // pay an O(log) replay per micro-batch)
+    ProtocolSupport.assertRowFeedReadable(endSnap)
     readChanges(spark, log, startV, endV, endSnap.schema)
   }
 

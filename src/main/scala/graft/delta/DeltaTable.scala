@@ -85,8 +85,17 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
           org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, wm))
       }
     // HadoopFsRelation appends partition columns after data columns;
-    // project back to the table's declared column order.
-    base.select(schema.fieldNames.map(col): _*)
+    // project back to the table's declared column order. On a column-mapped
+    // table the relation's attributes are PHYSICAL — this projection is the
+    // single physical→logical conversion point (nested field renames ride a
+    // same-shape struct cast; SimplifyCasts erases it for primitives).
+    if (ColumnMapping.isNameMapped(snapshot))
+      base.select(snapshot.schema.fields.map { f =>
+        val phys = ColumnMapping.physicalFieldName(f)
+        base.col(s"`$phys`").cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+    else
+      base.select(schema.fieldNames.map(col): _*)
   }
 
   /** Table-level statistics merged from per-file stats (D4). */

@@ -36,7 +36,7 @@ object GraftChangesFunction {
     require(startV <= endV && endV <= latest,
       s"invalid version range ($startV, $endV] for table at version $latest")
     val endSnap = log.snapshotForVersion(endV)
-    ProtocolSupport.assertReadable(endSnap)
+    ProtocolSupport.assertRowFeedReadable(endSnap)
     val schema = endSnap.schema
 
     // ONE scan over every added file in the range; `_commit_version`

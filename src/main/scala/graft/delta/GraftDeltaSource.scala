@@ -153,6 +153,14 @@ final class GraftDeltaSource extends RelationProvider
         "format(\"graft-delta\") requires " +
         "spark.sql.extensions=graft.delta.GraftSparkExtensions " +
         "(or use DeltaTable.forPath)")
+    // the V1 relation's output IS the index schema — on a column-mapped
+    // table that would surface physical col-<uuid> names to the user
+    // (DeltaTable.forPath aliases them back; this path has nowhere to)
+    if (ColumnMapping.isNameMapped(table.snapshot))
+      throw new UnsupportedProtocolException(
+        s"column-mapped table $path cannot be read through " +
+        "format(\"graft-delta\") or the catalog; use DeltaTable.forPath, " +
+        "which aliases physical column names back to logical")
     val index = new GraftFileIndex(spark, table.log, table.snapshot,
       live = !timeTravel)
     new GraftDeltaRelation(index, timeTravel, spark)

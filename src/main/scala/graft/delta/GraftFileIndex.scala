@@ -40,8 +40,20 @@ final class GraftFileIndex(
   ProtocolSupport.assertReadable(snapshot)
   private var protocolCheckedVersion: Long = snapshot.version
 
-  private val tableSchema: StructType = snapshot.schema
-  private val partCols: Seq[String] = snapshot.partitionColumns
+  // Column-mapped tables speak PHYSICAL names at rest (parquet columns,
+  // partitionValues keys, stats keys) — the index exposes the physical
+  // schema so every pushed filter, partition lookup, and stats key below
+  // is physical-consistent with no per-expression translation; the scan's
+  // final projection aliases back to logical (see ColumnMapping scaladoc).
+  private val tableSchema: StructType =
+    if (ColumnMapping.isNameMapped(snapshot))
+      ColumnMapping.physicalSchema(snapshot.schema)
+    else snapshot.schema
+  private val partCols: Seq[String] =
+    if (ColumnMapping.isNameMapped(snapshot))
+      snapshot.partitionColumns.map(c =>
+        ColumnMapping.physicalName(snapshot.schema, c))
+    else snapshot.partitionColumns
 
   override val partitionSchema: StructType =
     StructType(partCols.flatMap(c => tableSchema.fields.find(_.name == c)))

@@ -54,6 +54,9 @@ object GraftWriter {
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
     val exists = snap.version >= 0
+    // the protocol fence fires first: "column-mapped table" is the real
+    // reason, not the schema mismatch its physical names would masquerade as
+    if (exists) ProtocolSupport.assertWritable(snap)
     // configuration override is a CREATE/REPLACE concept: a plain append or
     // overwrite must not silently mutate table properties
     require(configuration.isEmpty || !exists || overwriteSchema,

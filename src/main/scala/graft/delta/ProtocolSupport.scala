@@ -65,10 +65,12 @@ object ProtocolSupport {
         refuse(s"requires reader table features ${unsupported.toSeq.sorted
           .mkString("[", ", ", "]")} that graft does not implement")
     }
-    val mapping = config(snap).getOrElse("delta.columnMapping.mode", "none")
-    if (mapping != "none")
-      refuse(s"uses column mapping mode '$mapping': parquet columns are " +
-        "physically renamed and a by-name scan would return nulls")
+    // mode=name scans through the physical-schema path (ColumnMapping);
+    // mode=id would need parquet field-id matching graft does not do
+    val mapping = ColumnMapping.mode(config(snap))
+    if (mapping != "none" && mapping != "name")
+      refuse(s"uses column mapping mode '$mapping': graft reads only " +
+        "name-mapped tables (parquet field-id matching is not implemented)")
     if (snap.files.exists(_.deletionVector.isDefined))
       refuse("carries standard deletion-vector descriptors " +
         "(add.deletionVector); graft implements only its own graft.dv.* " +
@@ -95,6 +97,9 @@ object ProtocolSupport {
     // version gates are coarse; refuse on ACTUAL use of unmaintained
     // capabilities. The markers are schema-metadata keys (delta-spark
     // conventions) inside metaData.schemaString.
+    if (ColumnMapping.mode(config(snap)) != "none")
+      refuse("uses column mapping: graft reads name-mapped tables but does " +
+        "not allocate physical column names on write")
     val schema = schemaString(snap)
     if (schema.contains("\"delta.invariants\""))
       refuse("schema declares column invariants (delta.invariants) that " +
@@ -108,6 +113,17 @@ object ProtocolSupport {
         "allocate on write")
   }
 
+  /** Row-level feeds (CDF reads, `graft_changes`) read change/data files
+    * directly through the logical schema — on a column-mapped table that
+    * path would need the same physical aliasing as the scan and does not
+    * have it yet. Refuse rather than serve nulls. */
+  def assertRowFeedReadable(snap: Snapshot): Unit = {
+    assertReadable(snap)
+    if (ColumnMapping.mode(config(snap)) != "none")
+      refuse("row-level change feeds over column-mapped tables are not " +
+        "implemented (the change-file reader lacks physical-name aliasing)")
+  }
+
   /** Incremental-feed fence ([[RewriteFence]]): one COMMIT's actions must
     * not flip the table into capability territory the running stream cannot
     * serve. Cheap (no snapshot replay) — inspects only the commit. */
@@ -119,9 +135,10 @@ object ProtocolSupport {
           minReaderVersion = p.minReaderVersion,
           readerFeatures = p.readerFeatures))
       case m: MetaDataAction
-          if m.configuration.getOrElse("delta.columnMapping.mode", "none") != "none" =>
+          if ColumnMapping.mode(m.configuration) != "none" =>
         refuse(s"commit $version of $tablePath enables column mapping " +
-          "mid-stream; files written after it would scan as nulls")
+          "mid-stream; files written after it would scan as nulls through " +
+          "the stream's fixed logical schema")
       case a: AddAction if a.deletionVector.isDefined =>
         refuse(s"commit $version of $tablePath carries a standard " +
           "deletion-vector descriptor graft cannot apply")

@@ -44,6 +44,14 @@ final class GraftDeltaStreamSource(
     ignoreDeletes: Boolean = false,
     readChangeFeed: Boolean = false) extends Source {
 
+  // batches read data/change files through the stream's fixed logical
+  // schema — a column-mapped table's physical columns would scan as nulls.
+  // A mid-stream enable is caught per commit by assertCommitServable.
+  if (graft.delta.ColumnMapping.isNameMapped(log.snapshot))
+    throw new graft.delta.UnsupportedProtocolException(
+      s"streaming over the column-mapped table ${log.tablePath} is not " +
+      "implemented (batch reads go through DeltaTable.forPath)")
+
   private def versionOf(o: V1Offset): Long = o match {
     case l: LongOffset => l.offset
     case other => other.json.trim.toLong // SerializedOffset after restart

@@ -1,0 +1,151 @@
+package graft.delta
+
+import java.nio.file.{Files, Path => JPath, StandardCopyOption}
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Read support for `delta.columnMapping.mode = name` — the at-rest format
+  * delta-spark produces for any table with renamed or dropped columns:
+  * parquet columns, `add.partitionValues` keys, and stats keys all carry
+  * stable physical `col-<uuid>` names; the logical names live only in the
+  * schema metadata (`delta.columnMapping.physicalName`). Before this
+  * support the fence refused such tables; a by-logical-name scan would
+  * return all nulls. */
+class ColumnMappingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val PhysId = "col-9f2a"      // logical: id
+  private val PhysPart = "col-7bd1"    // logical: region
+  private val PhysNest = "col-3e55"    // logical: meta (struct)
+  private val PhysInner = "col-c044"   // logical: meta.score
+
+  private def mappedField(name: String, phys: String, id: Int,
+                          dt: DataType): StructField =
+    StructField(name, dt, nullable = true, new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys)
+      .build())
+
+  private def logicalSchema(idName: String = "id"): StructType = StructType(Seq(
+    mappedField(idName, PhysId, 1, LongType),
+    mappedField("meta", PhysNest, 2,
+      StructType(Seq(mappedField("score", PhysInner, 3, LongType)))),
+    mappedField("region", PhysPart, 4, StringType)))
+
+  /** Hand-author a delta-spark-shaped name-mapped table: two partitions,
+    * physical names everywhere at rest. Returns the table dir. */
+  private def mappedTable(mode: String = "name"): String = {
+    val dir = Files.createTempDirectory("graft-cmap-").resolve("t")
+    Files.createDirectories(dir)
+    def dataFile(part: String, ids: Seq[Long]): (String, Long) = {
+      val tmp = Files.createTempDirectory("graft-cmap-stage-")
+      ids.map(i => (i, i * 10)).toDF(PhysId, PhysInner)
+        .select(col(PhysId), struct(col(PhysInner)).as(PhysNest))
+        .coalesce(1).write.parquet(tmp.resolve("out").toString)
+      val src = Files.list(tmp.resolve("out")).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val rel = s"$PhysPart=$part/part-${part.toLowerCase}.parquet"
+      Files.createDirectories(dir.resolve(s"$PhysPart=$part"))
+      Files.copy(src, dir.resolve(rel), StandardCopyOption.REPLACE_EXISTING)
+      (rel, Files.size(dir.resolve(rel)))
+    }
+    val (f1, s1) = dataFile("West", Seq(1L, 2L, 3L))
+    val (f2, s2) = dataFile("East", Seq(10L, 11L))
+    def stats(lo: Long, hi: Long, n: Long) =
+      s"""{"numRecords":$n,"minValues":{"$PhysId":$lo},"maxValues":{"$PhysId":$hi},"nullCount":{"$PhysId":0}}"""
+    val md = MetaDataAction(
+      id = "cmap-test", name = None, description = None, format = Format(),
+      schemaString = logicalSchema().json,
+      partitionColumns = Seq("region"), createdTime = Some(1L),
+      configuration = Map(
+        "delta.columnMapping.mode" -> mode,
+        "delta.columnMapping.maxColumnId" -> "4"))
+    val actions = Seq(
+      ActionCodec.toJsonLine(ProtocolAction(2, 5)),
+      ActionCodec.toJsonLine(md),
+      ActionCodec.toJsonLine(AddAction(f1, s1, Map(PhysPart -> "West"), 1L,
+        dataChange = true, stats = Some(stats(1, 3, 3)))),
+      ActionCodec.toJsonLine(AddAction(f2, s2, Map(PhysPart -> "East"), 1L,
+        dataChange = true, stats = Some(stats(10, 11, 2)))))
+    LogFixtures.writeCommit(dir, 0, actions)
+    dir.toString
+  }
+
+  test("name-mapped table scans with logical names and real values") {
+    val dt = DeltaTable.forPath(spark, mappedTable())
+    val df = dt.toDF
+    assert(df.schema.fieldNames.toSeq == Seq("id", "meta", "region"))
+    assert(df.schema("meta").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("score"), "nested logical name lost")
+    assert(df.count() == 5)
+    // the old bug shape: logical-name scan over physical parquet = nulls
+    assert(df.filter(col("id").isNull).count() == 0)
+    val rows = df.select("id", "meta.score", "region")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(rows.head == (1L, 10L, "West") && rows.last == (11L, 110L, "East"))
+  }
+
+  test("partition pruning and stats skipping work through physical keys") {
+    // plan rewrites swap in a re-scoped index; assert on the scan's OWN
+    // index like FileIndexSpec does
+    spark.conf.set("spark.graft.planRewrites.enabled", "false")
+    try {
+      val dir = mappedTable()
+      val dt = DeltaTable.forPath(spark, dir)
+      assert(dt.toDF.filter(col("region") === "East").count() == 2)
+      assert(dt.lastFileIndex.exists(_.lastListedFileCount == 1),
+        s"partition filter did not prune (listed ${dt.lastFileIndex.map(_.lastListedFileCount)})")
+      assert(dt.toDF.filter(col("id") > 5).count() == 2)
+      assert(dt.lastFileIndex.exists(_.lastListedFileCount == 1),
+        "stats filter did not skip the lo-range file")
+    } finally spark.conf.unset("spark.graft.planRewrites.enabled")
+  }
+
+  test("logical rename is metadata-only: time travel serves both names from the same bytes") {
+    val dir = mappedTable()
+    val md1 = MetaDataAction(
+      id = "cmap-test", name = None, description = None, format = Format(),
+      schemaString = logicalSchema(idName = "ident").json,
+      partitionColumns = Seq("region"), createdTime = Some(1L),
+      configuration = Map(
+        "delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> "4"))
+    LogFixtures.writeCommit(java.nio.file.Paths.get(dir), 1,
+      Seq(ActionCodec.toJsonLine(md1)))
+    val v1 = DeltaTable.forPath(spark, dir)
+    assert(v1.toDF.schema.fieldNames.head == "ident")
+    assert(v1.toDF.agg(sum("ident")).as[Long].head == 27)
+    val v0 = DeltaTable.forPath(spark, dir, 0)
+    assert(v0.toDF.schema.fieldNames.head == "id")
+    assert(v0.toDF.agg(sum("id")).as[Long].head == 27)
+  }
+
+  test("writes, row feeds, streaming, format reads, and mode=id refuse loudly") {
+    val dir = mappedTable()
+    intercept[UnsupportedProtocolException] {
+      GraftWriter.write(Seq((7L, "x")).toDF("id", "region"), dir,
+        mode = org.apache.spark.sql.SaveMode.Append)
+    }
+    intercept[UnsupportedProtocolException] {
+      val log = DeltaLog.forPath(spark, dir)
+      ChangeDataFeed.readChanges(spark, log, -1L, 0L)
+    }
+    intercept[UnsupportedProtocolException] {
+      spark.read.format("graft-delta").load(dir).count()
+    }
+    val stream = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      spark.readStream.format("graft-delta")
+        .schema(logicalSchema()).load(dir)
+        .writeStream.format("memory").queryName("cmap_refuse")
+        .start().processAllAvailable()
+    }
+    assert(stream.getCause.isInstanceOf[UnsupportedProtocolException] ||
+      stream.getMessage.contains("column-mapped"))
+    intercept[UnsupportedProtocolException] {
+      DeltaTable.forPath(spark, mappedTable(mode = "id")).toDF.count()
+    }
+  }
+}

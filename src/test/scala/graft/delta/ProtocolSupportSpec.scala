@@ -80,15 +80,31 @@ class ProtocolSupportSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("identityColumns"))
   }
 
-  test("column mapping refuses the scan (physically renamed parquet columns)") {
+  test("column mapping: mode=name scans through physical names, mode=id refuses") {
     val dir = tempTable("ps-cm").toString
     GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir)
-    // foreign ALTER flips the mode in a metaData commit
+    // foreign ALTER flips the mode in a metaData commit WITHOUT per-field
+    // physicalName metadata (delta-spark always writes it on upgrade, but
+    // tolerate): physical falls back to logical, values stay intact —
+    // real physical renames are covered by ColumnMappingSpec
     val md = DeltaLog.forPath(spark, dir).update().metadata.get
-    val mdLine = ActionCodec.toJsonLine(
+    val nameLine = ActionCodec.toJsonLine(
       md.copy(configuration = md.configuration +
         ("delta.columnMapping.mode" -> "name")))
-    writeCommit(java.nio.file.Paths.get(dir), 1, Seq(protocolLine(2, 5), mdLine))
+    writeCommit(java.nio.file.Paths.get(dir), 1, Seq(protocolLine(2, 5), nameLine))
+    assert(DeltaTable.forPath(spark, dir).toDF
+      .select("id", "v").as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    // writes to the now-mapped table refuse (no physical-name allocation)
+    val w = intercept[UnsupportedProtocolException] {
+      GraftWriter.write(Seq((2L, "b")).toDF("id", "v"), dir,
+        mode = org.apache.spark.sql.SaveMode.Append)
+    }
+    assert(w.getMessage.contains("column mapping"))
+    // mode=id needs parquet field-id matching graft does not do
+    val idLine = ActionCodec.toJsonLine(
+      md.copy(configuration = md.configuration +
+        ("delta.columnMapping.mode" -> "id")))
+    writeCommit(java.nio.file.Paths.get(dir), 2, Seq(idLine))
     val e = intercept[UnsupportedProtocolException] {
       DeltaTable.forPath(spark, dir).toDF.count()
     }
