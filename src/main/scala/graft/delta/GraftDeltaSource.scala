@@ -154,13 +154,17 @@ final class GraftDeltaSource extends RelationProvider
         "spark.sql.extensions=graft.delta.GraftSparkExtensions " +
         "(or use DeltaTable.forPath)")
     // the V1 relation's output IS the index schema — on a column-mapped
-    // table that would surface physical col-<uuid> names to the user
-    // (DeltaTable.forPath aliases them back; this path has nowhere to)
-    if (ColumnMapping.isNameMapped(table.snapshot))
+    // table that would surface physical col-<uuid> names to the user.
+    // The catalog path opts in ([[GraftV2Fallback]] wraps the relation in
+    // a physical→logical aliasing Project); DeltaTable.forPath aliases in
+    // its own projection; a direct format() read has nowhere to.
+    if (ColumnMapping.isNameMapped(table.snapshot) &&
+        !parameters.contains(GraftDeltaSource.MappedReadKey))
       throw new UnsupportedProtocolException(
         s"column-mapped table $path cannot be read through " +
-        "format(\"graft-delta\") or the catalog; use DeltaTable.forPath, " +
-        "which aliases physical column names back to logical")
+        "format(\"graft-delta\") directly; use DeltaTable.forPath or a " +
+        "catalog table reference, which alias physical column names back " +
+        "to logical")
     val index = new GraftFileIndex(spark, table.log, table.snapshot,
       live = !timeTravel)
     new GraftDeltaRelation(index, timeTravel, spark)
@@ -248,4 +252,11 @@ final class GraftDeltaSource extends RelationProvider
       }
     }
   }
+}
+
+object GraftDeltaSource {
+  /** Internal opt-in: the caller takes responsibility for aliasing the
+    * relation's PHYSICAL column names back to logical (only
+    * [[GraftV2Fallback]] — it wraps the scan in an aliasing Project). */
+  private[delta] val MappedReadKey = "graft.internal.mappedRead"
 }

@@ -3,6 +3,7 @@ package graft.delta
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, OverwritePartitionsDynamic, Project, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -55,15 +56,37 @@ final class GraftV2Fallback(session: SparkSession) extends Rule[LogicalPlan] {
       case Some(tt) => org.apache.spark.sql.graftbridge.CatalogBridge.timeTravelOptions(tt)
       case None => Map.empty
     }
-    val params = gt.options ++ dsr.options.asCaseSensitiveMap().asScala ++ asOf
+    val params = gt.options ++ dsr.options.asCaseSensitiveMap().asScala ++
+      asOf + (GraftDeltaSource.MappedReadKey -> "true")
     val rel = new GraftDeltaSource()
       .createRelation(session.sqlContext, params)
       .asInstanceOf[GraftDeltaRelation]
+    val index = rel.location.asInstanceOf[GraftFileIndex]
+    if (ColumnMapping.isNameMapped(index.snapshot)) {
+      // the relation's output is the PHYSICAL schema; project it back to
+      // the v2 relation's logical attributes (exprIds preserved — parents
+      // reference them). Mirror of DeltaTable's scan projection: nested
+      // renames ride a same-shape struct cast, primitives alias directly.
+      val physOutput = rel.schema.fields.toSeq.map(f =>
+        AttributeReference(f.name, f.dataType, f.nullable, f.metadata)())
+      val byPhys = physOutput.map(a => a.name -> a).toMap
+      val lr = LogicalRelation(rel, physOutput,
+        Some(RelationStats.catalogTable(index.log, index.snapshot, rel.schema)),
+        false, None)
+      val logicalFields = index.snapshot.schema.fields.map(f => f.name -> f).toMap
+      val aliases = dsr.output.map { a =>
+        val f = logicalFields(a.name)
+        val phys = byPhys(ColumnMapping.physicalFieldName(f))
+        val child: Expression =
+          if (phys.dataType == f.dataType) phys else Cast(phys, f.dataType)
+        Alias(child, f.name)(exprId = a.exprId, qualifier = a.qualifier)
+      }
+      return Project(aliases, lr)
+    }
     // reuse the v2 relation's attributes (parents reference their exprIds),
     // reordered to the V1 relation's data++partition layout
     val byName = dsr.output.map(a => a.name -> a).toMap
     val v1Output = rel.schema.fields.toSeq.map(f => byName(f.name))
-    val index = rel.location.asInstanceOf[GraftFileIndex]
     val lr = LogicalRelation(rel, v1Output,
       Some(RelationStats.catalogTable(index.log, index.snapshot, rel.schema)),
       false, None)

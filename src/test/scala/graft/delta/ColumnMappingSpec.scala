@@ -123,6 +123,18 @@ class ColumnMappingSpec extends AnyFunSuite with SparkTestBase {
     assert(v0.toDF.agg(sum("id")).as[Long].head == 27)
   }
 
+  test("SQL over a catalog path ident serves logical names (physical aliased in-plan)") {
+    val dir = mappedTable()
+    val rows = spark.sql(
+      s"SELECT id, meta.score AS score, region FROM `graft-delta`.`$dir` " +
+      "WHERE region = 'East' ORDER BY id")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(rows == Seq((10L, 100L, "East"), (11L, 110L, "East")))
+    // aggregate through the aliasing Project; all 5 rows, real values
+    assert(spark.sql(s"SELECT sum(id) FROM `graft-delta`.`$dir`")
+      .as[Long].head() == 27)
+  }
+
   test("writes, row feeds, streaming, format reads, and mode=id refuse loudly") {
     val dir = mappedTable()
     intercept[UnsupportedProtocolException] {
