@@ -76,14 +76,20 @@ object ChangeDataFeed {
   def stageOverwrite(spark: SparkSession, log: DeltaLog, snap: Snapshot,
                      removes: Seq[AddAction], adds: Seq[AddAction]): Seq[CdcAction] = {
     if (!enabled(snap) || removes.isEmpty) return Nil
-    val cols = snap.schema.fieldNames.map(col).toSeq
+    // name-mapped tables stage change files under PHYSICAL names like every
+    // other at-rest file; the feed reader scans them physical and aliases
+    val readSchema =
+      if (ColumnMapping.isNameMapped(snap))
+        ColumnMapping.physicalSchema(snap.schema)
+      else snap.schema
+    val cols = readSchema.fieldNames.map(col).toSeq
     val deletes = DeletionVectors.scanWithPos(spark, log, snap, removes)
       .select(cols: _*).withColumn(ChangeType, lit("delete"))
     val changes =
       if (adds.isEmpty) deletes
       else deletes.unionByName(
         spark.read.option("basePath", log.tablePath.toString)
-          .schema(snap.schema)
+          .schema(readSchema)
           .parquet(adds.map(a => new Path(log.tablePath, a.path).toString): _*)
           .select(cols: _*).withColumn(ChangeType, lit("insert")))
     stage(spark, log, changes)
@@ -112,7 +118,19 @@ object ChangeDataFeed {
     // below skips it (the source fences once at stream start, and must not
     // pay an O(log) replay per micro-batch)
     ProtocolSupport.assertRowFeedReadable(endSnap)
-    readChanges(spark, log, startV, endV, endSnap.schema)
+    if (ColumnMapping.isNameMapped(endSnap)) {
+      // the range's data/change files speak PHYSICAL names (the CDF
+      // metadata columns are never mapped, per the protocol): run the
+      // whole pipeline physical, alias back to logical at the top — the
+      // same single-conversion-point shape as the scan path
+      val logical = endSnap.schema
+      val out = readChanges(spark, log, startV, endV,
+        ColumnMapping.physicalSchema(logical))
+      out.select(logical.fields.map { f =>
+        val phys = ColumnMapping.physicalFieldName(f)
+        out.col(s"`$phys`").cast(f.dataType).as(f.name)
+      }.toSeq ++ Seq(out.col(ChangeType), out.col(CommitVersion)): _*)
+    } else readChanges(spark, log, startV, endV, endSnap.schema)
   }
 
   /** As above with the table schema SUPPLIED — the streaming source calls

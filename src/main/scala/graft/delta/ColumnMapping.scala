@@ -67,4 +67,23 @@ object ColumnMapping {
       valueType = physicalType(m.valueType))
     case other => other
   }
+
+  /** Rename a LOGICAL-named frame to the table's at-rest physical names
+    * (every nesting level — nested renames ride a same-shape struct cast),
+    * so a plain parquet write of the result lands protocol-correct files:
+    * physical columns, physical partition dirs, physical footer-stats keys.
+    * `logical` is the TABLE's schema (it carries the physicalName
+    * metadata); `df`'s columns are matched to it by name. */
+  def toPhysical(df: org.apache.spark.sql.DataFrame,
+                 logical: StructType): org.apache.spark.sql.DataFrame = {
+    val byName = logical.fields.map(f => f.name -> f).toMap
+    df.select(df.schema.fieldNames.toSeq.map { n =>
+      val f = byName.getOrElse(n, throw new IllegalArgumentException(
+        s"column $n is not in the mapped table's schema"))
+      val physDt = physicalType(f.dataType)
+      val c = df.col(s"`$n`")
+      (if (physDt == f.dataType) c else c.cast(physDt))
+        .as(physicalFieldName(f))
+    }: _*)
+  }
 }

@@ -171,8 +171,16 @@ object DeletionVectors {
           "left_anti")
       case None => withCols
     }
+    // the index exposes the PHYSICAL schema on a name-mapped table — the
+    // output keeps those at-rest names (callers stage protocol-correct
+    // change files from them; mapped tables cannot carry graft DVs, so the
+    // anti-join above is a no-op there)
+    val outNames =
+      if (ColumnMapping.isNameMapped(snap))
+        ColumnMapping.physicalSchema(snap.schema).fieldNames
+      else snap.schema.fieldNames
     filtered.select(
-      (snap.schema.fieldNames.map(col).toSeq :+ col(PathCol) :+ col(PosCol)): _*)
+      (outNames.map(col).toSeq :+ col(PathCol) :+ col(PosCol)): _*)
   }
 
   /** DataFrame-level DV filter for internal scans that build their own

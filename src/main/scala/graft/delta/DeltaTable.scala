@@ -222,6 +222,9 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
   def setProperties(props: Map[String, String]): Long = {
     TableConfig.validate(props)
     val snap = log.update()
+    // DDL commits default to the plain write fence (mapped tables refuse —
+    // fail here with the protocol reason, before staging the metaData)
+    ProtocolSupport.assertWritable(snap)
     val md = snap.metadata.getOrElse(
       throw new IllegalStateException(s"table ${log.tablePath} has no metadata"))
     val txn = log.startTransaction()

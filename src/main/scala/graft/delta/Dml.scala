@@ -32,6 +32,9 @@ object Dml {
   def delete(spark: SparkSession, path: String, predicate: Column): DmlMetrics = {
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
+    // fence BEFORE any scan/stage work: on e.g. a column-mapped table the
+    // refusal must be the protocol one, not a downstream analysis error
+    ProtocolSupport.assertWritable(snap)
     if (TableConfig.deletionVectorsEnabled(TableConfig.of(snap)))
       deleteWithDv(spark, path, predicate, Some((log, snap)))
     else rewrite(spark, log, snap, predicate, "DELETE", df => df, keepMatches = false)
@@ -42,6 +45,7 @@ object Dml {
              assignments: Map[String, Column]): DmlMetrics = {
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
+    ProtocolSupport.assertWritable(snap)
     if (TableConfig.deletionVectorsEnabled(TableConfig.of(snap)))
       updateWithDv(spark, path, predicate, assignments, Some((log, snap)))
     else rewrite(spark, log, snap, predicate, "UPDATE", df => {
@@ -65,6 +69,7 @@ object Dml {
       val l = DeltaLog.forPath(spark, path); (l, l.update())
     }
     if (snap.version < 0) throw new NotATableException(path)
+    ProtocolSupport.assertWritable(snap)
     if (TableConfig.appendOnly(TableConfig.of(snap)))
       throw new AppendOnlyTableException(path)
 
@@ -111,6 +116,7 @@ object Dml {
       val l = DeltaLog.forPath(spark, path); (l, l.update())
     }
     if (snap.version < 0) throw new NotATableException(path)
+    ProtocolSupport.assertWritable(snap)
     if (TableConfig.appendOnly(TableConfig.of(snap)))
       throw new AppendOnlyTableException(path)
 

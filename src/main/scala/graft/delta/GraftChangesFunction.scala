@@ -37,7 +37,12 @@ object GraftChangesFunction {
       s"invalid version range ($startV, $endV] for table at version $latest")
     val endSnap = log.snapshotForVersion(endV)
     ProtocolSupport.assertRowFeedReadable(endSnap)
-    val schema = endSnap.schema
+    // name-mapped tables: scan PHYSICAL (file columns, partition dirs,
+    // stats all speak physical names), alias back to logical at the top
+    val logical = endSnap.schema
+    val mapped = ColumnMapping.isNameMapped(endSnap)
+    val schema =
+      if (mapped) ColumnMapping.physicalSchema(logical) else logical
 
     // ONE scan over every added file in the range; `_commit_version`
     // attached via a broadcast file→version join on scheme-normalized
@@ -55,7 +60,7 @@ object GraftChangesFunction {
       if (fileVersion.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          schema.add("_commit_version", "long", nullable = false))
+          logical.add("_commit_version", "long", nullable = false))
       else {
         val mapDf = org.apache.spark.sql.functions.broadcast(
           spark.createDataFrame(fileVersion.map { case (rel, v) =>
@@ -75,7 +80,12 @@ object GraftChangesFunction {
           .withColumn("__graft_path", org.apache.spark.sql.functions.regexp_replace(
             col("_metadata.file_path"), ChangeDataFeed.SchemeRe, "/"))
           .join(mapDf, "__graft_path")
-          .select((schema.fieldNames.map(col) :+ col("_commit_version")): _*)
+          .select((if (mapped)
+            logical.fields.toSeq.map { f =>
+              val phys = ColumnMapping.physicalFieldName(f)
+              col(s"`$phys`").cast(f.dataType).as(f.name)
+            }
+          else schema.fieldNames.toSeq.map(col)) :+ col("_commit_version"): _*)
       }
     out.queryExecution.analyzed
   }

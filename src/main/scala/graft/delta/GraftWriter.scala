@@ -54,9 +54,20 @@ object GraftWriter {
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
     val exists = snap.version >= 0
-    // the protocol fence fires first: "column-mapped table" is the real
-    // reason, not the schema mismatch its physical names would masquerade as
-    if (exists) ProtocolSupport.assertWritable(snap)
+    // name-mapped tables take the plain append/overwrite path: the frame
+    // is renamed to PHYSICAL column names before staging (toPhysical
+    // below), so data files, partition dirs, and footer-stats keys all
+    // land protocol-correct. Schema/partitioning changes stay refused —
+    // they would need physical-name + field-id allocation.
+    val mapped = exists && ColumnMapping.isNameMapped(snap)
+    // the protocol fence fires first: an unsupported capability is the
+    // real reason, not the schema mismatch physical names masquerade as
+    if (exists) ProtocolSupport.assertWritable(snap, allowNameMapping = true)
+    if (mapped && (mergeSchema || overwriteSchema || configuration.nonEmpty))
+      throw new UnsupportedProtocolException(
+        s"schema evolution / replacement on the column-mapped table $path " +
+        "is not implemented (new columns would need physical-name and " +
+        "column-id allocation)")
     // configuration override is a CREATE/REPLACE concept: a plain append or
     // overwrite must not silently mutate table properties
     require(configuration.isEmpty || !exists || overwriteSchema,
@@ -103,8 +114,23 @@ object GraftWriter {
       } else {
         // Schema must match the table's (the reference rejects mismatched
         // record batches, rust/src/writer.rs:229-248); nullability is not
-        // load-bearing for parquet round-trips, names+types are.
-        if (tbl != inc)
+        // load-bearing for parquet round-trips, names+types are — so the
+        // comparison is STRUCTURAL at every nesting level (StructField
+        // equality would otherwise drag in nested nullability and field
+        // metadata, e.g. a mapped table's columnMapping annotations).
+        def structural(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = dt match {
+          case s: org.apache.spark.sql.types.StructType =>
+            org.apache.spark.sql.types.StructType(s.fields.map(f =>
+              org.apache.spark.sql.types.StructField(f.name, structural(f.dataType))))
+          case a: org.apache.spark.sql.types.ArrayType =>
+            org.apache.spark.sql.types.ArrayType(structural(a.elementType))
+          case m: org.apache.spark.sql.types.MapType =>
+            org.apache.spark.sql.types.MapType(structural(m.keyType), structural(m.valueType))
+          case other => other
+        }
+        def shape(s: Seq[(String, org.apache.spark.sql.types.DataType)]) =
+          s.map { case (n, dt) => (n, structural(dt)) }
+        if (shape(tbl) != shape(inc))
           throw new SchemaMismatchException(s"schema mismatch: table=$tbl incoming=$inc")
       }
     }
@@ -112,9 +138,15 @@ object GraftWriter {
     if (missing.nonEmpty)
       throw new SchemaMismatchException(s"partition columns not in data: $missing")
 
-    val adds = stageFiles(Constraints.enforce(df, snap), path, partCols)
+    val enforced = Constraints.enforce(df, snap)
+    val adds =
+      if (mapped)
+        stageFiles(ColumnMapping.toPhysical(enforced, snap.schema), path,
+          partCols.map(c => ColumnMapping.physicalName(snap.schema, c)))
+      else stageFiles(enforced, path, partCols)
     val now = System.currentTimeMillis()
     val txn = log.startTransaction()
+    if (mapped) txn.permitNameMappedCommit()
     if (!exists) {
       txn.addAction(DeletionVectors.protocolFence(
         configuration.getOrElse(Map.empty), 1, 2).getOrElse(ProtocolAction()))

@@ -102,6 +102,9 @@ final class MergeBuilder private[delta] (
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
     if (snap.version < 0) throw new NotATableException(path)
+    // fence BEFORE the join/classify work — protocol refusal, not a
+    // downstream analysis error, is the right failure on e.g. mapped tables
+    ProtocolSupport.assertWritable(snap)
     if (TableConfig.appendOnly(TableConfig.of(snap)))
       throw new AppendOnlyTableException(path)
     val dt = new DeltaTable(log, snap)

@@ -94,6 +94,16 @@ final class OptimisticTransaction(val log: DeltaLog) {
   def addAction(a: Action): this.type = { actions += a; this }
   def addActions(as: Seq[Action]): this.type = { actions ++= as; this }
 
+  private var allowNameMapping = false
+
+  /** Declare that this transaction's data files were staged under the
+    * table's PHYSICAL column names ([[ColumnMapping.toPhysical]]), lifting
+    * the commit fence's column-mapping refusal for mode=name tables. */
+  private[delta] def permitNameMappedCommit(): this.type = {
+    allowNameMapping = true
+    this
+  }
+
   /** Serialize buffered actions to a uniquely-named temp commit file in the
     * log dir — `prepare_commit` (`rust/src/delta.rs:1335-1357`). */
   private[delta] def prepareCommit(extraInfo: Seq[Action]): Path = {
@@ -110,7 +120,7 @@ final class OptimisticTransaction(val log: DeltaLog) {
     // protocol capability fence: refuse to write a table whose invariants
     // graft would not maintain (fresh tables have version -1 / writer 0 and
     // pass trivially; a same-commit protocol bump is graft's own and exempt)
-    ProtocolSupport.assertWritable(log.snapshot)
+    ProtocolSupport.assertWritable(log.snapshot, allowNameMapping)
     // delta.appendOnly gate — the effective config is the one this commit
     // leaves behind (a same-commit metaData wins over the read snapshot's).
     val effectiveConfig = actions.reverseIterator

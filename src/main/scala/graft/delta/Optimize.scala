@@ -35,6 +35,9 @@ object Optimize {
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
     if (snap.version < 0) throw new NotATableException(path)
+    // OPTIMIZE rewrites data files — refuse up front what the commit fence
+    // would refuse after the rewrite work (e.g. column-mapped tables)
+    ProtocolSupport.assertWritable(snap)
     val partCols = snap.partitionColumns
 
     // candidate groups: >1 file in the same partition tuple
@@ -109,6 +112,7 @@ object Optimize {
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
     if (snap.version < 0) throw new NotATableException(path)
+    ProtocolSupport.assertWritable(snap)
     val partCols = snap.partitionColumns
     val bad = zorderBy.filter(c => partCols.contains(c) || !snap.schema.fieldNames.contains(c))
     require(bad.isEmpty, s"zorder columns must be non-partition table columns: $bad")

@@ -33,9 +33,11 @@ final class UnsupportedProtocolException(msg: String)
   */
 object ProtocolSupport {
 
-  /** Reader-3 table features graft can serve correctly. */
+  /** Reader-3 table features graft can serve correctly (`columnMapping`:
+    * mode=name through the physical-schema scan path, [[ColumnMapping]];
+    * mode=id still refuses via the mode check below). */
   val SupportedReaderFeatures: Set[String] =
-    Set("timestampNtz", "graft.deletionVectors")
+    Set("timestampNtz", "columnMapping", "graft.deletionVectors")
 
   /** Writer-7 table features graft maintains on write. `invariants` is
     * listed by delta-spark on most v7 tables as legacy carry-over; actual
@@ -78,28 +80,40 @@ object ProtocolSupport {
   }
 
   /** Refuse to COMMIT to a table whose invariants graft would not
-    * maintain. Implies [[assertReadable]] (writing requires reading). */
-  def assertWritable(snap: Snapshot): Unit = {
+    * maintain. Implies [[assertReadable]] (writing requires reading).
+    *
+    * `allowNameMapping`: set ONLY by writers that stage data under the
+    * table's PHYSICAL column names ([[GraftWriter]] append/overwrite via
+    * [[ColumnMapping.toPhysical]]). Every other commit path — DML,
+    * OPTIMIZE, DDL, the streaming sink — defaults to refusing mapped
+    * tables: a logical-named data file in a mapped table scans as nulls. */
+  def assertWritable(snap: Snapshot, allowNameMapping: Boolean = false): Unit = {
     assertReadable(snap)
     if (snap.minWriterVersion > 7)
       refuse(s"requires writer version ${snap.minWriterVersion} " +
         "(graft supports up to 7)")
     if (snap.minWriterVersion == 7) {
+      val tolerated = if (allowNameMapping) Set("columnMapping") else Set.empty[String]
       val unsupported = snap.writerFeatures.getOrElse(Set.empty) --
-        SupportedWriterFeatures
+        SupportedWriterFeatures -- tolerated
       if (unsupported.nonEmpty)
         refuse(s"requires writer table features ${unsupported.toSeq.sorted
           .mkString("[", ", ", "]")} that graft does not maintain")
     } else if (snap.minWriterVersion > 4) {
-      refuse(s"requires writer version ${snap.minWriterVersion} " +
-        "(column mapping / identity columns are not implemented)")
+      // writer 5 = the column-mapping version bump; acceptable exactly when
+      // the caller opted into physical-name staging (identity columns,
+      // writer 6, stay refused — also caught by the schema sniff below)
+      if (!(allowNameMapping && snap.minWriterVersion == 5))
+        refuse(s"requires writer version ${snap.minWriterVersion} " +
+          "(column mapping / identity columns are not implemented)")
     }
     // version gates are coarse; refuse on ACTUAL use of unmaintained
     // capabilities. The markers are schema-metadata keys (delta-spark
     // conventions) inside metaData.schemaString.
-    if (ColumnMapping.mode(config(snap)) != "none")
-      refuse("uses column mapping: graft reads name-mapped tables but does " +
-        "not allocate physical column names on write")
+    if (ColumnMapping.mode(config(snap)) != "none" && !allowNameMapping)
+      refuse("uses column mapping: this write path does not stage data " +
+        "under the table's physical column names (plain append/overwrite " +
+        "through GraftWriter does)")
     val schema = schemaString(snap)
     if (schema.contains("\"delta.invariants\""))
       refuse("schema declares column invariants (delta.invariants) that " +
@@ -113,29 +127,32 @@ object ProtocolSupport {
         "allocate on write")
   }
 
-  /** Row-level feeds (CDF reads, `graft_changes`) read change/data files
-    * directly through the logical schema — on a column-mapped table that
-    * path would need the same physical aliasing as the scan and does not
-    * have it yet. Refuse rather than serve nulls. */
-  def assertRowFeedReadable(snap: Snapshot): Unit = {
+  /** Row-level feeds (CDF reads, `graft_changes`): name-mapped tables are
+    * served (the feed scans physical and aliases back to logical, same as
+    * the table scan), so this is currently [[assertReadable]] — kept as
+    * the feeds' dedicated fence point. */
+  def assertRowFeedReadable(snap: Snapshot): Unit =
     assertReadable(snap)
-    if (ColumnMapping.mode(config(snap)) != "none")
-      refuse("row-level change feeds over column-mapped tables are not " +
-        "implemented (the change-file reader lacks physical-name aliasing)")
-  }
 
   /** Incremental-feed fence ([[RewriteFence]]): one COMMIT's actions must
     * not flip the table into capability territory the running stream cannot
-    * serve. Cheap (no snapshot replay) — inspects only the commit. */
+    * serve. Cheap (no snapshot replay) — inspects only the commit.
+    * `allowNameMapping` is set by feeds that ALREADY serve the table as
+    * name-mapped (they scan physical and alias): for them a mode=name
+    * metadata action is the table's standing state, not a mid-stream flip
+    * (physical names are immutable once assigned, so logical renames do
+    * not invalidate in-flight physical scans). */
   def assertCommitServable(tablePath: String, version: Long,
-                           actions: Seq[Action]): Unit =
+                           actions: Seq[Action],
+                           allowNameMapping: Boolean = false): Unit =
     actions.foreach {
       case p: ProtocolAction =>
         assertReadable(Snapshot(
           minReaderVersion = p.minReaderVersion,
           readerFeatures = p.readerFeatures))
       case m: MetaDataAction
-          if ColumnMapping.mode(m.configuration) != "none" =>
+          if ColumnMapping.mode(m.configuration) != "none" &&
+            !(allowNameMapping && ColumnMapping.mode(m.configuration) == "name") =>
         refuse(s"commit $version of $tablePath enables column mapping " +
           "mid-stream; files written after it would scan as nulls through " +
           "the stream's fixed logical schema")

@@ -33,6 +33,7 @@ object Restore {
     val log = DeltaLog.forPath(spark, path)
     val current = log.update()
     if (current.version < 0) throw new NotATableException(path)
+    ProtocolSupport.assertWritable(current)
     if (version == current.version)
       return RestoreMetrics(0, 0, current.version)
     val target = log.snapshotForVersion(version) // throws VersionNotFoundException

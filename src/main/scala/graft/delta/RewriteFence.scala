@@ -26,13 +26,16 @@ object RewriteFence {
   /** Servable adds of `actions`, or IllegalStateException naming the
     * missing opt-in. */
   def servableAdds(tablePath: String, version: Long, actions: Seq[Action],
-                   ignoreChanges: Boolean, ignoreDeletes: Boolean): Seq[AddAction] = {
+                   ignoreChanges: Boolean, ignoreDeletes: Boolean,
+                   allowNameMapping: Boolean = false): Seq[AddAction] = {
     // a mid-stream capability flip (protocol bump past what graft reads,
     // column mapping enable, standard-DV adds) must stop the stream here:
     // the scan-time fence only sees the START snapshot, and files written
     // after e.g. a columnMapping enable would read as all-null through the
-    // stream's fixed schema
-    ProtocolSupport.assertCommitServable(tablePath, version, actions)
+    // stream's fixed schema (a feed ALREADY serving the table as
+    // name-mapped passes allowNameMapping — see assertCommitServable)
+    ProtocolSupport.assertCommitServable(tablePath, version, actions,
+      allowNameMapping)
     val adds = actions.collect { case a: AddAction
       if a.dataChange && DeletionVectors.dvPath(a).isEmpty => a }
     if (!ignoreChanges) {

@@ -32,12 +32,12 @@ final class DeltaTailer(log: DeltaLog, startAfterVersion: Long = -1L,
   def lastSeenVersion: Long = lastSeen
 
   /** Added files of versions in `(lastSeen, latest]` with dataChange=true. */
-  private def newAdds(upTo: Long): Seq[AddAction] =
+  private def newAdds(upTo: Long, allowNameMapping: Boolean): Seq[AddAction] =
     log.listCommitVersions()
       .filter(v => v > lastSeen && v <= upTo)
       .flatMap(v => graft.delta.RewriteFence.servableAdds(
         log.tablePath.toString, v, log.readCommit(v),
-        ignoreChanges, ignoreDeletes))
+        ignoreChanges, ignoreDeletes, allowNameMapping))
 
   /** Poll once: Some((version, batch)) when the log advanced, None when idle.
     * The batch contains exactly the rows added since the last poll. */
@@ -45,18 +45,34 @@ final class DeltaTailer(log: DeltaLog, startAfterVersion: Long = -1L,
     val snap = log.update()
     if (snap.version <= lastSeen) None
     else {
-      val adds = newAdds(snap.version)
+      // name-mapped tables: the batch scans PHYSICAL names and aliases
+      // back to logical; the snapshot is re-read per poll, so a logical
+      // rename between polls serves subsequent batches under the new names
+      val mapped = ColumnMapping.isNameMapped(snap)
+      val adds = newAdds(snap.version, allowNameMapping = mapped)
       val schema = snap.schema
       val df =
         if (adds.isEmpty)
           log.spark.createDataFrame(
             log.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else
-          log.spark.read
-            .option("basePath", log.tablePath.toString)
-            .schema(schema)
-            .parquet(adds.map(a =>
-              new org.apache.hadoop.fs.Path(log.tablePath, a.path).toString): _*)
+        else {
+          val paths = adds.map(a =>
+            new org.apache.hadoop.fs.Path(log.tablePath, a.path).toString)
+          if (mapped) {
+            val phys = log.spark.read
+              .option("basePath", log.tablePath.toString)
+              .schema(ColumnMapping.physicalSchema(schema))
+              .parquet(paths: _*)
+            phys.select(schema.fields.toSeq.map { f =>
+              val p = ColumnMapping.physicalFieldName(f)
+              phys.col(s"`$p`").cast(f.dataType).as(f.name)
+            }: _*)
+          } else
+            log.spark.read
+              .option("basePath", log.tablePath.toString)
+              .schema(schema)
+              .parquet(paths: _*)
+        }
       val version = snap.version
       lastSeen = version
       Some((version, df))

@@ -44,13 +44,46 @@ final class GraftDeltaStreamSource(
     ignoreDeletes: Boolean = false,
     readChangeFeed: Boolean = false) extends Source {
 
-  // batches read data/change files through the stream's fixed logical
-  // schema — a column-mapped table's physical columns would scan as nulls.
-  // A mid-stream enable is caught per commit by assertCommitServable.
-  if (graft.delta.ColumnMapping.isNameMapped(log.snapshot))
-    throw new graft.delta.UnsupportedProtocolException(
-      s"streaming over the column-mapped table ${log.tablePath} is not " +
-      "implemented (batch reads go through DeltaTable.forPath)")
+  // Column mapping: a name-mapped table's files speak PHYSICAL names, so
+  // every batch scans physical and aliases back to the declared logical
+  // schema (same single-conversion shape as the table scan); mode=id would
+  // need parquet field-id matching and refuses. A mid-stream ENABLE still
+  // fails per commit (assertCommitServable) — the physical layout under a
+  // running stream's fixed schema must not change.
+  private val mappedTableFields: Option[Map[String, org.apache.spark.sql.types.StructField]] = {
+    val snap = log.snapshot
+    graft.delta.ColumnMapping.mode(snap) match {
+      case "none" => None
+      case "name" =>
+        val byName = snap.schema.fields.map(f => f.name -> f).toMap
+        val unknown = schema.fields.map(_.name)
+          .filterNot(n => n == graft.delta.ChangeDataFeed.ChangeType ||
+            n == graft.delta.ChangeDataFeed.CommitVersion || byName.contains(n))
+        if (unknown.nonEmpty) throw new graft.delta.UnsupportedProtocolException(
+          s"declared stream schema columns ${unknown.mkString("[", ", ", "]")} " +
+          s"do not exist on the column-mapped table ${log.tablePath}; there " +
+          "is no physical column to serve them from")
+        Some(byName)
+      case other => throw new graft.delta.UnsupportedProtocolException(
+        s"streaming over ${log.tablePath} with column mapping mode '$other' " +
+        "is not implemented (graft reads only name-mapped tables)")
+    }
+  }
+
+  /** Alias a physically-scanned frame back to the declared columns in
+    * `names` order (change-feed metadata columns pass through by name). */
+  private def aliasToLogical(df: DataFrame, names: Seq[String]): DataFrame = {
+    val byName = mappedTableFields.get
+    df.select(names.map { n =>
+      if (n == graft.delta.ChangeDataFeed.ChangeType ||
+          n == graft.delta.ChangeDataFeed.CommitVersion) df.col(s"`$n`")
+      else {
+        val f = byName(n)
+        val phys = graft.delta.ColumnMapping.physicalFieldName(f)
+        df.col(s"`$phys`").cast(f.dataType).as(n)
+      }
+    }: _*)
+  }
 
   private def versionOf(o: V1Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -119,7 +152,8 @@ final class GraftDeltaStreamSource(
   private def dataChangeAdds(version: Long): Seq[AddAction] =
     graft.delta.RewriteFence.servableAdds(
       log.tablePath.toString, version, log.readCommit(version),
-      ignoreChanges, ignoreDeletes)
+      ignoreChanges, ignoreDeletes,
+      allowNameMapping = mappedTableFields.isDefined)
 
   override def getOffset: Option[V1Offset] = {
     val latest = log.update().version
@@ -183,20 +217,30 @@ final class GraftDeltaStreamSource(
     // commit boundaries, and a restart replay re-reads the identical
     // deterministic change set for (startV, endV].
     if (readChangeFeed) {
+      // table schema = declared minus the two change columns BY NAME —
+      // a user-supplied .schema() may place them anywhere (r7 ADVICE);
+      // passing it skips a full snapshotForVersion replay per micro-batch
+      val dataFields = StructType(schema.fields.filterNot(f =>
+        f.name == graft.delta.ChangeDataFeed.ChangeType ||
+        f.name == graft.delta.ChangeDataFeed.CommitVersion))
       val changes =
         if (endV <= startV)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else graft.delta.ChangeDataFeed.readChanges(spark, log, startV, endV,
-          // table schema = declared minus the two change columns BY NAME —
-          // a user-supplied .schema() may place them anywhere (r7 ADVICE);
-          // passing it skips a full snapshotForVersion replay per micro-batch
-          StructType(schema.fields.filterNot(f =>
-            f.name == graft.delta.ChangeDataFeed.ChangeType ||
-            f.name == graft.delta.ChangeDataFeed.CommitVersion)))
-          // align row layout to the DECLARED column order before the raw
-          // internal-row handoff below, which relabels without reordering
-          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+        else mappedTableFields match {
+          case Some(byName) =>
+            // scan physical, alias to the declared order in one projection
+            aliasToLogical(
+              graft.delta.ChangeDataFeed.readChanges(spark, log, startV, endV,
+                graft.delta.ColumnMapping.physicalSchema(
+                  StructType(dataFields.fields.map(f => byName(f.name))))),
+              schema.fieldNames.toSeq)
+          case None =>
+            graft.delta.ChangeDataFeed.readChanges(spark, log, startV, endV, dataFields)
+              // align row layout to the DECLARED column order before the raw
+              // internal-row handoff below, which relabels without reordering
+              .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+        }
       return spark.internalCreateDataFrame(
         changes.queryExecution.toRdd, schema, isStreaming = true)
     }
@@ -206,12 +250,24 @@ final class GraftDeltaStreamSource(
     val batch =
       if (adds.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else
-        spark.read
-          .option("basePath", log.tablePath.toString)
-          .schema(schema)
-          .parquet(adds.map(a =>
-            new org.apache.hadoop.fs.Path(log.tablePath, a.path).toString): _*)
+      else {
+        val paths = adds.map(a =>
+          new org.apache.hadoop.fs.Path(log.tablePath, a.path).toString)
+        mappedTableFields match {
+          case Some(byName) =>
+            aliasToLogical(
+              spark.read.option("basePath", log.tablePath.toString)
+                .schema(graft.delta.ColumnMapping.physicalSchema(
+                  StructType(schema.fields.map(f => byName(f.name)))))
+                .parquet(paths: _*),
+              schema.fieldNames.toSeq)
+          case None =>
+            spark.read
+              .option("basePath", log.tablePath.toString)
+              .schema(schema)
+              .parquet(paths: _*)
+        }
+      }
     // streaming-tagged DataFrame over the same (lazy) rows, as file/kafka
     // sources do
     spark.internalCreateDataFrame(batch.queryExecution.toRdd, schema, isStreaming = true)

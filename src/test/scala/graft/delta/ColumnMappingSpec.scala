@@ -37,7 +37,8 @@ class ColumnMappingSpec extends AnyFunSuite with SparkTestBase {
 
   /** Hand-author a delta-spark-shaped name-mapped table: two partitions,
     * physical names everywhere at rest. Returns the table dir. */
-  private def mappedTable(mode: String = "name"): String = {
+  private def mappedTable(mode: String = "name",
+                          extraConfig: Map[String, String] = Map.empty): String = {
     val dir = Files.createTempDirectory("graft-cmap-").resolve("t")
     Files.createDirectories(dir)
     def dataFile(part: String, ids: Seq[Long]): (String, Long) = {
@@ -62,7 +63,7 @@ class ColumnMappingSpec extends AnyFunSuite with SparkTestBase {
       partitionColumns = Seq("region"), createdTime = Some(1L),
       configuration = Map(
         "delta.columnMapping.mode" -> mode,
-        "delta.columnMapping.maxColumnId" -> "4"))
+        "delta.columnMapping.maxColumnId" -> "4") ++ extraConfig)
     val actions = Seq(
       ActionCodec.toJsonLine(ProtocolAction(2, 5)),
       ActionCodec.toJsonLine(md),
@@ -135,27 +136,123 @@ class ColumnMappingSpec extends AnyFunSuite with SparkTestBase {
       .as[Long].head() == 27)
   }
 
-  test("writes, row feeds, streaming, format reads, and mode=id refuse loudly") {
+  test("row-level feeds serve logical names over physical change files") {
+    val dir = mappedTable()
+    val log = DeltaLog.forPath(spark, dir)
+    val feed = ChangeDataFeed.readChanges(spark, log, -1L, 0L)
+    assert(feed.schema.fieldNames.toSeq ==
+      Seq("id", "meta", "region", ChangeDataFeed.ChangeType,
+        ChangeDataFeed.CommitVersion))
+    val rows = feed.select("id", "meta.score", "region",
+        ChangeDataFeed.ChangeType, ChangeDataFeed.CommitVersion)
+      .as[(Long, Long, String, String, Long)].collect().sortBy(_._1)
+    assert(rows.length == 5)
+    assert(rows.head == (1L, 10L, "West", "insert", 0L))
+    assert(rows.last == (11L, 110L, "East", "insert", 0L))
+    // the file-level TVF: same aliasing through its one-scan path
+    val tvf = spark.sql(s"SELECT id, region, _commit_version " +
+      s"FROM graft_changes('$dir', -1) ORDER BY id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(tvf == Seq((1L, "West", 0L), (2L, "West", 0L), (3L, "West", 0L),
+      (10L, "East", 0L), (11L, "East", 0L)))
+  }
+
+  test("streaming backfill serves logical names over physical files") {
+    val dir = mappedTable()
+    val q = spark.readStream.format("graft-delta").load(dir)
+      .writeStream.format("memory").queryName("cmap_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("cmap_stream")
+      .select("id", "meta.score", "region")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(got.length == 5)
+    assert(got.head == (1L, 10L, "West") && got.last == (11L, 110L, "East"))
+    // the polling tailer shares the physical-scan + alias path
+    val tailer = graft.streaming.DeltaTailer.fromStart(DeltaLog.forPath(spark, dir))
+    val (v, batch) = tailer.nextBatch().get
+    assert(v == 0L)
+    assert(batch.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 10L, 11L))
+  }
+
+  private def logicalRows(pairs: (Long, Long, String)*): org.apache.spark.sql.DataFrame =
+    pairs.toSeq.toDF("id", "score", "region")
+      .select(col("id"), struct(col("score")).as("meta"), col("region"))
+
+  test("appends stage physical files: columns, partition dirs, stats all at-rest names") {
+    val dir = mappedTable()
+    val v = GraftWriter.write(logicalRows((20L, 200L, "North")), dir,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    assert(v == 1L)
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.toDF.count() == 6)
+    assert(dt.toDF.filter(col("region") === "North")
+      .select("id", "meta.score").as[(Long, Long)].head() == ((20L, 200L)))
+    // at rest: the new file lives under a PHYSICAL partition dir and its
+    // parquet columns are physical at every nesting level
+    val newAdd = dt.snapshot.files.find(_.partitionValues.get(PhysPart).contains("North"))
+    assert(newAdd.isDefined, s"add keyed by physical partition name; got " +
+      dt.snapshot.files.map(_.partitionValues).mkString(", "))
+    val raw = spark.read.parquet(
+      new java.io.File(dir, newAdd.get.path).getAbsolutePath)
+    assert(raw.schema.fieldNames.toSet == Set(PhysId, PhysNest))
+    assert(raw.schema(PhysNest).dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq(PhysInner))
+    // footer stats keyed physically → stats skipping keeps working
+    assert(newAdd.get.stats.exists(_.contains(PhysId)))
+    spark.conf.set("spark.graft.planRewrites.enabled", "false")
+    try {
+      val fresh = DeltaTable.forPath(spark, dir)
+      assert(fresh.toDF.filter(col("id") > 15).count() == 1)
+      assert(fresh.lastFileIndex.exists(_.lastListedFileCount == 1),
+        "stats skip should isolate the appended file")
+    } finally spark.conf.unset("spark.graft.planRewrites.enabled")
+  }
+
+  test("overwrite with CDF enabled stages physical change files the feed reads back") {
+    val dir = mappedTable(extraConfig = Map("delta.enableChangeDataFeed" -> "true"))
+    GraftWriter.write(logicalRows((30L, 300L, "South"), (31L, 310L, "South")),
+      dir, mode = org.apache.spark.sql.SaveMode.Overwrite)
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.toDF.select("id").as[Long].collect().sorted.toSeq == Seq(30L, 31L))
+    val log = DeltaLog.forPath(spark, dir)
+    val byType = ChangeDataFeed.readChanges(spark, log, 0L, 1L)
+      .groupBy(col(ChangeDataFeed.ChangeType)).count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("delete" -> 5L, "insert" -> 2L), s"got $byType")
+    // images carry logical names and real values
+    val deleted = ChangeDataFeed.readChanges(spark, log, 0L, 1L)
+      .filter(col(ChangeDataFeed.ChangeType) === "delete")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(deleted == Seq(1L, 2L, 3L, 10L, 11L))
+  }
+
+  test("schema evolution, DML, DDL, format reads, unknown stream columns, mode=id refuse") {
     val dir = mappedTable()
     intercept[UnsupportedProtocolException] {
-      GraftWriter.write(Seq((7L, "x")).toDF("id", "region"), dir,
-        mode = org.apache.spark.sql.SaveMode.Append)
+      GraftWriter.write(
+        logicalRows((40L, 400L, "West")).withColumn("extra", lit(1L)), dir,
+        mode = org.apache.spark.sql.SaveMode.Append, mergeSchema = true)
     }
     intercept[UnsupportedProtocolException] {
-      val log = DeltaLog.forPath(spark, dir)
-      ChangeDataFeed.readChanges(spark, log, -1L, 0L)
+      Dml.delete(spark, dir, col("id") === 1L)
+    }
+    intercept[UnsupportedProtocolException] {
+      DeltaTable.forPath(spark, dir).setProperties(Map("delta.appendOnly" -> "false"))
     }
     intercept[UnsupportedProtocolException] {
       spark.read.format("graft-delta").load(dir).count()
     }
-    val stream = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+    // a declared stream column the mapped table does not have cannot be
+    // served (no physical counterpart) — fail at start, not with nulls
+    val stream = intercept[Exception] {
       spark.readStream.format("graft-delta")
-        .schema(logicalSchema()).load(dir)
+        .schema(logicalSchema().add("ghost", LongType)).load(dir)
         .writeStream.format("memory").queryName("cmap_refuse")
         .start().processAllAvailable()
     }
-    assert(stream.getCause.isInstanceOf[UnsupportedProtocolException] ||
-      stream.getMessage.contains("column-mapped"))
+    assert(stream.getMessage.contains("ghost") ||
+      Option(stream.getCause).exists(_.getMessage.contains("ghost")))
     intercept[UnsupportedProtocolException] {
       DeltaTable.forPath(spark, mappedTable(mode = "id")).toDF.count()
     }

@@ -94,17 +94,22 @@ class ProtocolSupportSpec extends AnyFunSuite with SparkTestBase {
     writeCommit(java.nio.file.Paths.get(dir), 1, Seq(protocolLine(2, 5), nameLine))
     assert(DeltaTable.forPath(spark, dir).toDF
       .select("id", "v").as[(Long, String)].collect().toSeq == Seq((1L, "a")))
-    // writes to the now-mapped table refuse (no physical-name allocation)
+    // plain appends stage under physical names (here ≡ logical, the
+    // fallback) and round-trip; DML still refuses (no physical-name DML)
+    GraftWriter.write(Seq((2L, "b")).toDF("id", "v"), dir,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    assert(DeltaTable.forPath(spark, dir).toDF
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
     val w = intercept[UnsupportedProtocolException] {
-      GraftWriter.write(Seq((2L, "b")).toDF("id", "v"), dir,
-        mode = org.apache.spark.sql.SaveMode.Append)
+      Dml.delete(spark, dir, org.apache.spark.sql.functions.col("id") === 1L)
     }
     assert(w.getMessage.contains("column mapping"))
     // mode=id needs parquet field-id matching graft does not do
     val idLine = ActionCodec.toJsonLine(
       md.copy(configuration = md.configuration +
         ("delta.columnMapping.mode" -> "id")))
-    writeCommit(java.nio.file.Paths.get(dir), 2, Seq(idLine))
+    writeCommit(java.nio.file.Paths.get(dir), 3, Seq(idLine))
     val e = intercept[UnsupportedProtocolException] {
       DeltaTable.forPath(spark, dir).toDF.count()
     }
