@@ -22,13 +22,19 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries a nanosecond parquet timestamp, which Spark 4
-    * refuses by default; read it as a raw nanos LONG and convert explicitly
-    * (floor to µs — the same truncation DuckDB's ns→day truncation implies). */
+  /** The events table's `ts` physical type has varied across driver-generated
+    * testdata vintages: parquet ns (which Spark 4 refuses by default — read as
+    * a raw nanos LONG and floor to µs, the same truncation DuckDB's ns→day
+    * truncation implies) vs parquet µs (read natively as TIMESTAMP_NTZ).
+    * Normalize both to a µs-precision timestamp column `ts_us`. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+    val raw = t(s, dir, "events")
+    val tsUs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp_ntz")
+    }
+    raw.withColumn("ts_us", tsUs)
   }
 
   private val dec = DecimalType(18, 6)
