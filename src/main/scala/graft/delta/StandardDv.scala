@@ -90,7 +90,14 @@ object StandardDv {
 
   /** Serialized-bitmap codec: sorted distinct 0-based row positions ⇄ the
     * portable RoaringBitmapArray bytes described above. The 32-bit roaring
-    * library on Spark's classpath supplies each sub-bitmap's portable form. */
+    * library on Spark's classpath supplies each sub-bitmap's portable form.
+    *
+    * Per the RoaringFormatSpec 64-bit extension each sub-bitmap is PRECEDED
+    * by its 4-byte little-endian key (the high 32 bits of the positions it
+    * holds). The writer emits a DENSE key sequence 0..n-1 — empty
+    * sub-bitmaps included — matching the delta-spark RoaringBitmapArray
+    * serializer byte-for-byte; the reader tolerates SPARSE ascending keys,
+    * which the spec permits and other writers may produce. */
   object PositionBitmap {
     val Magic = 1681511377
 
@@ -100,11 +107,14 @@ object StandardDv {
       val nMaps = if (sorted.isEmpty) 0L else (sorted.last >>> 32) + 1
       val maps = Array.fill(nMaps.toInt)(new RoaringBitmap())
       sorted.foreach(p => maps((p >>> 32).toInt).add((p & 0xffffffffL).toInt))
-      val size = 12 + maps.map(_.serializedSizeInBytes()).sum
+      val size = 12 + maps.map(4 + _.serializedSizeInBytes()).sum
       val buf = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
       buf.putInt(Magic)
       buf.putLong(nMaps)
-      maps.foreach(_.serialize(buf))
+      maps.zipWithIndex.foreach { case (m, key) =>
+        buf.putInt(key)
+        m.serialize(buf)
+      }
       buf.array()
     }
 
@@ -116,11 +126,15 @@ object StandardDv {
       require(nMaps >= 0 && nMaps <= Int.MaxValue, s"bad bitmap count $nMaps")
       val out = Array.newBuilder[Long]
       var i = 0L
+      var lastKey = -1
       while (i < nMaps) {
+        val key = buf.getInt
+        require(key > lastKey, s"non-ascending sub-bitmap key $key after $lastKey")
+        lastKey = key
         val rb = new RoaringBitmap()
         rb.deserialize(buf)
         buf.position(buf.position() + rb.serializedSizeInBytes())
-        val high = i << 32
+        val high = key.toLong << 32
         rb.forEach((v: Int) => out += (high | (v & 0xffffffffL)): Unit)
         i += 1
       }
