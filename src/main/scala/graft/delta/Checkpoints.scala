@@ -85,12 +85,22 @@ object Checkpoints {
         .flatMap(f => parsedPartitionType(f.dataType).map(t => StructField(f.name, t))))
   }
 
+  /** `add.deletionVector` descriptor struct — field names and types per the
+    * protocol's Deletion Vector Descriptor Schema (the delta-spark
+    * checkpoint shape; nullable, null on non-DV adds). */
+  private def dvType = StructType(Seq(
+    StructField("storageType", StringType),
+    StructField("pathOrInlineDv", StringType),
+    StructField("offset", IntegerType),
+    StructField("sizeInBytes", IntegerType),
+    StructField("cardinality", LongType)))
+
   private def addType(info: SchemaInfo): StructType = {
     val base = Seq(
       StructField("path", StringType), StructField("partitionValues", strMap),
       StructField("size", LongType), StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType), StructField("stats", StringType),
-      StructField("tags", strMap))
+      StructField("tags", strMap), StructField("deletionVector", dvType))
     val pvParsed =
       if (info.partitionFields.nonEmpty)
         Seq(StructField("partitionValues_parsed", StructType(info.partitionFields)))
@@ -149,9 +159,12 @@ object Checkpoints {
     // checkpoint does the same — InteropGoldenTableSpec diffs against it).
     // Nothing reads dataChange off restored state: every consumer
     // (RewriteFence, feeds, conflict detection) reads COMMITS.
+    val dvRow = a.deletionVector.map(StandardDv.parse).map(d =>
+      Row(d.storageType, d.pathOrInlineDv, d.offset.orNull, d.sizeInBytes,
+        d.cardinality)).orNull
     val base = Seq(
       ActionPath.encode(a.path), a.partitionValues, a.size, a.modificationTime,
-      false, a.stats.orNull, a.tags.orNull)
+      false, a.stats.orNull, a.tags.orNull, dvRow)
     val pvParsed =
       if (info.partitionFields.isEmpty) Nil
       else Seq(Row.fromSeq(info.partitionFields.map(f =>
@@ -272,10 +285,20 @@ object Checkpoints {
         dataChange = optB(a, "dataChange").getOrElse(true),
         stats = optS(a, "stats"),
         tags = optM(a, "tags"),
-        // a foreign checkpoint may carry the standard DV descriptor struct;
-        // capture presence so ProtocolSupport can refuse the scan
+        // a checkpoint (graft- or foreign-written) may carry the standard
+        // DV descriptor struct; rebuild the descriptor JSON the scan path
+        // parses ([[StandardDv.parse]])
         deletionVector = Try(a.fieldIndex("deletionVector")).toOption
-          .filterNot(a.isNullAt).map(_ => "{}"))
+          .filterNot(a.isNullAt).map { i =>
+            val d = a.getStruct(i)
+            StandardDv.Descriptor(
+              storageType = d.getAs[String]("storageType"),
+              pathOrInlineDv = d.getAs[String]("pathOrInlineDv"),
+              offset = Try(d.fieldIndex("offset")).toOption.filterNot(d.isNullAt)
+                .map(i => d.get(i).asInstanceOf[Number].intValue()),
+              sizeInBytes = d.getAs[Number]("sizeInBytes").intValue(),
+              cardinality = d.getAs[Number]("cardinality").longValue()).json
+          })
     }.orElse(struct("remove").map { r =>
       RemoveAction(
         path = ActionPath.decode(r.getAs[String]("path")),

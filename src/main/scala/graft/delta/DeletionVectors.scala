@@ -66,9 +66,20 @@ object DeletionVectors {
     StructField("pos", LongType, nullable = false)))
 
   def dvPath(a: AddAction): Option[String] = a.tags.flatMap(_.get(PathTag))
+
+  /** Deleted-position count for logical row accounting. Graft-tag first:
+    * when graft DML supersedes a standard descriptor it unions the old
+    * positions into its own DV and clears the descriptor, so at most one
+    * source is authoritative per Add. */
   def cardinality(a: AddAction): Long =
-    a.tags.flatMap(_.get(CardTag)).map(_.toLong).getOrElse(0L)
-  def hasDv(a: AddAction): Boolean = dvPath(a).isDefined
+    a.tags.flatMap(_.get(CardTag)).map(_.toLong)
+      .orElse(StandardDv.descriptor(a).map(_.cardinality))
+      .getOrElse(0L)
+
+  /** True when the Add carries deleted positions in EITHER format — the
+    * graft tag extension or the protocol's `add.deletionVector`. */
+  def hasDv(a: AddAction): Boolean =
+    dvPath(a).isDefined || a.deletionVector.isDefined
   def anyDv(files: Seq[AddAction]): Boolean = files.exists(hasDv)
 
   /** `<table-dir-abs-path>/` — the prefix located inside
@@ -129,23 +140,59 @@ object DeletionVectors {
       extendedFileMetadata = Some(false)))
   }
 
-  /** All DV rows referenced by `files`, restricted to those files' paths
-    * (a DV directory may be shared by many files and may carry superseded
-    * entries for files whose newer Add points elsewhere). */
+  /** All DV rows referenced by `files` — graft-tag parquet directories and
+    * standard `add.deletionVector` descriptors decoded on executors —
+    * restricted to those files' paths (a DV directory may be shared by many
+    * files and may carry superseded entries for files whose newer Add
+    * points elsewhere). */
   def dvDf(spark: SparkSession, log: DeltaLog,
            files: Seq[AddAction]): Option[DataFrame] = {
-    val withDv = files.filter(hasDv)
-    if (withDv.isEmpty) return None
-    val dirs = withDv.flatMap(dvPath).distinct
-      .map(rel => new Path(log.tablePath, rel).toString)
-    // Restrict to these files' paths via a broadcast semi-join, NOT
-    // `isin(paths)`: a literal In over 10⁵-10⁶ DV-carrying paths is a
-    // planner/driver killer at scale, while a broadcast relation of the
-    // same paths is a few MB the executors hash once.
+    val withGraft = files.filter(a => dvPath(a).isDefined)
+    val graft =
+      if (withGraft.isEmpty) None
+      else {
+        val dirs = withGraft.flatMap(dvPath).distinct
+          .map(rel => new Path(log.tablePath, rel).toString)
+        // Restrict to these files' paths via a broadcast semi-join, NOT
+        // `isin(paths)`: a literal In over 10⁵-10⁶ DV-carrying paths is a
+        // planner/driver killer at scale, while a broadcast relation of the
+        // same paths is a few MB the executors hash once.
+        import spark.implicits._
+        val pathsDf = withGraft.map(_.path).toDF("path")
+        Some(spark.read.schema(dvSchema).parquet(dirs: _*)
+          .join(broadcast(pathsDf), Seq("path"), "left_semi"))
+      }
+    val std = standardDvDf(spark, log, files)
+    (graft, std) match {
+      case (Some(g), Some(s)) => Some(g.unionByName(s))
+      case _ => graft.orElse(std)
+    }
+  }
+
+  /** (path, pos) rows of the standard `add.deletionVector` descriptors on
+    * `files`. The descriptor list is metadata-scale on the driver; bitmap
+    * decode — ranged file reads, inline Z85 — runs on EXECUTORS, one task
+    * span per slice of files, so a 10⁵-file DV table never materializes
+    * position lists driver-side. A graft-DML superseded descriptor is
+    * cleared from its Add ([[graft.delta.Dml]]), so a file never carries
+    * live positions in both formats. */
+  private def standardDvDf(spark: SparkSession, log: DeltaLog,
+                           files: Seq[AddAction]): Option[DataFrame] = {
+    val withStd = files.filter(_.deletionVector.isDefined)
+    if (withStd.isEmpty) return None
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val tableDir = log.tablePath.toString
     import spark.implicits._
-    val pathsDf = withDv.map(_.path).toDF("path")
-    Some(spark.read.schema(dvSchema).parquet(dirs: _*)
-      .join(broadcast(pathsDf), Seq("path"), "left_semi"))
+    val slices = math.max(1, math.min(withStd.size,
+      spark.sparkContext.defaultParallelism))
+    val ds = spark.createDataset(withStd.map(a => (a.path, a.deletionVector.get)))
+      .repartition(slices)
+    Some(ds.flatMap { case (path, descJson) =>
+      val desc = StandardDv.parse(descJson)
+      StandardDv.readPositions(serConf.value, new Path(tableDir), desc)
+        .map(pos => (path, pos))
+    }.toDF("path", "pos"))
   }
 
   /** Scan `files` with existing DVs applied AND per-row provenance exposed:

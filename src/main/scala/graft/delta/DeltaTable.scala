@@ -173,13 +173,23 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
 
     val fs = log.tablePath.getFileSystem(spark.sessionState.newHadoopConf())
     val base = log.tablePath.toUri.getPath.stripSuffix("/")
+    // standard DV files (deletion_vector_<uuid>.bin) are NOT hidden by the
+    // underscore rule and may be shared by several Adds (one packed file
+    // per DML commit); any live descriptor reference shields the file even
+    // when another writer tombstoned its own reference to it
+    val liveStdDvFiles = snapshot.files
+      .flatMap(StandardDv.descriptor).filter(_.storageType == "u")
+      .map(_.absolutePath(log.tablePath).toUri.getPath
+        .stripPrefix(base).stripPrefix("/"))
+      .toSet
     val it = fs.listFiles(log.tablePath, true)
     val candidates = Seq.newBuilder[String]
     while (it.hasNext) {
       val st = it.next()
       val rel = st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
       if (!rel.startsWith("_delta_log") && !isHidden(rel) &&
-          !active.contains(rel) && expired.contains(rel))
+          !active.contains(rel) && expired.contains(rel) &&
+          !liveStdDvFiles.contains(rel))
         candidates += rel
     }
     val result = candidates.result().sorted

@@ -51,8 +51,9 @@ object GraftChangesFunction {
     val fileVersion: Seq[(String, Long)] = GraftWriter.inDriverPool(
       log.listCommitVersions().filter(v => v > startV && v <= endV)) { v =>
         log.readCommit(v).collect {
-          // DV re-adds (merge-on-read DELETE/UPDATE) carry no new rows
-          case a: AddAction if a.dataChange && DeletionVectors.dvPath(a).isEmpty =>
+          // DV re-adds of either format (merge-on-read DELETE/UPDATE)
+          // carry no new rows
+          case a: AddAction if a.dataChange && !DeletionVectors.hasDv(a) =>
             a.path -> v
         }
       }.flatten

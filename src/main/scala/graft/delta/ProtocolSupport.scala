@@ -20,10 +20,10 @@ final class UnsupportedProtocolException(msg: String)
   * What graft implements:
   *  - reader 1-2, except column mapping (`delta.columnMapping.mode` other
   *    than `none` — a reader-2 capability graft lacks);
-  *  - reader 3 with features ⊆ {timestampNtz} — plus graft's own DV tables,
-  *    which declare reader 3 with NO feature list precisely so foreign
-  *    readers refuse them ([[DeletionVectors.protocolFence]]) while graft
-  *    recognizes its `graft.dv.*` tags;
+  *  - reader 3 with features ⊆ [[SupportedReaderFeatures]] — plus graft's
+  *    own DV tables, which declare reader 3 with NO feature list precisely
+  *    so foreign readers refuse them ([[DeletionVectors.protocolFence]])
+  *    while graft recognizes its `graft.dv.*` tags;
   *  - writer 1-4, refusing tables whose SCHEMA actually uses capabilities
   *    graft would not maintain (invariants, generated columns, identity
   *    columns — version gates alone are too coarse: delta-spark writes
@@ -35,9 +35,12 @@ object ProtocolSupport {
 
   /** Reader-3 table features graft can serve correctly (`columnMapping`:
     * mode=name through the physical-schema scan path, [[ColumnMapping]];
-    * mode=id still refuses via the mode check below). */
+    * mode=id still refuses via the mode check below; `deletionVectors`:
+    * standard descriptors feed the DV anti-join, [[StandardDv]] +
+    * [[DeletionVectors.dvDf]]). */
   val SupportedReaderFeatures: Set[String] =
-    Set("timestampNtz", "columnMapping", "graft.deletionVectors")
+    Set("timestampNtz", "columnMapping", "graft.deletionVectors",
+      "deletionVectors")
 
   /** Writer-7 table features graft maintains on write. `invariants` is
     * listed by delta-spark on most v7 tables as legacy carry-over; actual
@@ -73,10 +76,6 @@ object ProtocolSupport {
     if (mapping != "none" && mapping != "name")
       refuse(s"uses column mapping mode '$mapping': graft reads only " +
         "name-mapped tables (parquet field-id matching is not implemented)")
-    if (snap.files.exists(_.deletionVector.isDefined))
-      refuse("carries standard deletion-vector descriptors " +
-        "(add.deletionVector); graft implements only its own graft.dv.* " +
-        "tag format — scanning would resurface deleted rows")
   }
 
   /** Refuse to COMMIT to a table whose invariants graft would not
@@ -156,9 +155,6 @@ object ProtocolSupport {
         refuse(s"commit $version of $tablePath enables column mapping " +
           "mid-stream; files written after it would scan as nulls through " +
           "the stream's fixed logical schema")
-      case a: AddAction if a.deletionVector.isDefined =>
-        refuse(s"commit $version of $tablePath carries a standard " +
-          "deletion-vector descriptor graft cannot apply")
       case _ => ()
     }
 

@@ -49,10 +49,17 @@ object Restore {
     val toRemove = current.files.filterNot(f => targetPaths.contains(f.path))
 
     val fs = log.tablePath.getFileSystem(spark.sessionState.newHadoopConf())
-    // both the data files AND any deletion-vector dirs the target's adds
-    // point at must still exist (either may have been vacuumed)
+    // both the data files AND any deletion-vector storage the target's adds
+    // point at — graft DV dirs or standard DV files — must still exist
+    // (either may have been vacuumed)
     val probePaths = toAdd.map(_.path) ++
-      toAdd.flatMap(DeletionVectors.dvPath).distinct
+      toAdd.flatMap(DeletionVectors.dvPath).distinct ++
+      toAdd.flatMap(StandardDv.descriptor).filter(_.storageType == "u")
+        .map { d =>
+          val abs = d.absolutePath(log.tablePath).toUri.getPath
+          abs.stripPrefix(log.tablePath.toUri.getPath.stripSuffix("/"))
+            .stripPrefix("/")
+        }.distinct
     val missing = GraftWriter.inDriverPool(probePaths)(p =>
       if (fs.exists(new Path(log.tablePath, p))) None else Some(p)).flatten
     if (missing.nonEmpty)
@@ -152,7 +159,8 @@ object Restore {
       val tgtDv = DeletionVectors.dvDf(spark, log, repointed).getOrElse(empty)
       // full physical rows of the repointed files (no DV applied)
       def stripDv(a: AddAction): AddAction = a.copy(tags = a.tags.map(_ -
-        DeletionVectors.PathTag - DeletionVectors.CardTag))
+        DeletionVectors.PathTag - DeletionVectors.CardTag),
+        deletionVector = None)
       val raw = DeletionVectors.scanWithPos(spark, log, target, repointed.map(stripDv))
       def rowsAt(pos: org.apache.spark.sql.DataFrame) =
         raw.join(pos, raw(PathCol) === pos("path") && raw(PosCol) === pos("pos"),

@@ -29,15 +29,17 @@ object RewriteFence {
                    ignoreChanges: Boolean, ignoreDeletes: Boolean,
                    allowNameMapping: Boolean = false): Seq[AddAction] = {
     // a mid-stream capability flip (protocol bump past what graft reads,
-    // column mapping enable, standard-DV adds) must stop the stream here:
-    // the scan-time fence only sees the START snapshot, and files written
-    // after e.g. a columnMapping enable would read as all-null through the
-    // stream's fixed schema (a feed ALREADY serving the table as
-    // name-mapped passes allowNameMapping — see assertCommitServable)
+    // column mapping enable) must stop the stream here: the scan-time fence
+    // only sees the START snapshot, and files written after e.g. a
+    // columnMapping enable would read as all-null through the stream's
+    // fixed schema (a feed ALREADY serving the table as name-mapped passes
+    // allowNameMapping — see assertCommitServable)
     ProtocolSupport.assertCommitServable(tablePath, version, actions,
       allowNameMapping)
+    // DV-pointer re-adds of EITHER format (graft tags, add.deletionVector)
+    // carry no new rows — never servable
     val adds = actions.collect { case a: AddAction
-      if a.dataChange && DeletionVectors.dvPath(a).isEmpty => a }
+      if a.dataChange && !DeletionVectors.hasDv(a) => a }
     if (!ignoreChanges) {
       val addPaths = actions.collect {
         case a: AddAction if a.dataChange => a.path }.toSet

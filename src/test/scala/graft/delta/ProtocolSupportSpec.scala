@@ -33,11 +33,15 @@ class ProtocolSupportSpec extends AnyFunSuite with SparkTestBase {
     dir
   }
 
-  test("reader v3 with standard deletionVectors feature refuses the scan") {
+  test("reader v3 with standard deletionVectors feature scans; writes refuse") {
     val dir = tableWithProtocol("ps-dv",
       protocolLine(3, 7, rf = Some(Seq("deletionVectors")), wf = Some(Seq("deletionVectors"))))
+    // the descriptor format is implemented (StandardDv) — the scan serves
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 2)
+    // the WRITER feature is not maintained — commits refuse
     val e = intercept[UnsupportedProtocolException] {
-      DeltaTable.forPath(spark, dir).toDF.count()
+      GraftWriter.write(Seq((3L, "c")).toDF("id", "v"), dir,
+        mode = org.apache.spark.sql.SaveMode.Append)
     }
     assert(e.getMessage.contains("deletionVectors"))
   }
@@ -116,18 +120,22 @@ class ProtocolSupportSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("column mapping"))
   }
 
-  test("a non-conformant add.deletionVector descriptor refuses even at reader v1") {
+  test("a non-conformant add.deletionVector descriptor fails the scan loudly") {
     val dir = tempTable("ps-rawdv")
     Files.writeString(dir.resolve("f.parquet"), "x")
+    // "ab" is not a legal Z85 UUID name — the decode must throw, never
+    // silently serve the file's rows undeleted
     val dvAdd = """{"add":{"path":"f.parquet","partitionValues":{},"size":1,""" +
       """"modificationTime":1587968586000,"dataChange":true,""" +
       """"deletionVector":{"storageType":"u","pathOrInlineDv":"ab","offset":1,""" +
       """"sizeInBytes":36,"cardinality":2}}}"""
     writeCommit(dir, 0, Seq(protocol, metaData, dvAdd))
-    val e = intercept[UnsupportedProtocolException] {
+    val e = intercept[Exception] {
       DeltaTable.forPath(spark, dir.toString).toDF.count()
     }
-    assert(e.getMessage.contains("deletion-vector descriptors"))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("Z85")), messages(e).mkString(" | "))
     // the descriptor survives parse verbatim (no silent drop)
     val add = DeltaLog.forPath(spark, dir.toString).update().files.head
     assert(add.deletionVector.exists(_.contains("\"cardinality\":2")))
@@ -158,12 +166,11 @@ class ProtocolSupportSpec extends AnyFunSuite with SparkTestBase {
       RewriteFence.servableAdds("t", 5, Seq(line(protocolLine(4, 7))),
         ignoreChanges = true, ignoreDeletes = true)
     }
-    // standard-DV feature announced mid-stream
-    intercept[UnsupportedProtocolException] {
-      RewriteFence.servableAdds("t", 5,
-        Seq(line(protocolLine(3, 7, rf = Some(Seq("deletionVectors"))))),
-        ignoreChanges = true, ignoreDeletes = true)
-    }
+    // standard-DV feature announced mid-stream: a capability graft SERVES
+    // (descriptors classify as DV re-adds downstream) — keeps streaming
+    assert(RewriteFence.servableAdds("t", 5,
+      Seq(line(protocolLine(3, 7, rf = Some(Seq("deletionVectors"))))),
+      ignoreChanges = true, ignoreDeletes = true).isEmpty)
     // column mapping enabled mid-stream
     val md = MetaDataAction("id", None, None, Format(),
       schemaString = """{"type":"struct","fields":[]}""",
