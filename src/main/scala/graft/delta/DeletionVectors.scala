@@ -129,16 +129,27 @@ object DeletionVectors {
     * commute like compaction does. */
   def supersededDirTombstones(snap: Snapshot, replaced: Seq[AddAction],
                               now: Long): Seq[RemoveAction] = {
-    val oldDirs = replaced.flatMap(dvPath).toSet
-    if (oldDirs.isEmpty) return Nil
+    def dvStorage(a: AddAction): Seq[String] =
+      dvPath(a).toSeq ++ stdDvRel(a).toSeq
+    val old = replaced.flatMap(dvStorage).toSet
+    if (old.isEmpty) return Nil
     val replacedPaths = replaced.map(_.path).toSet
     val stillReferenced = snap.files.iterator
       .filterNot(a => replacedPaths.contains(a.path))
-      .flatMap(dvPath).toSet
-    (oldDirs -- stillReferenced).toSeq.sorted.map(dir => RemoveAction(
-      path = dir, deletionTimestamp = now, dataChange = false,
+      .flatMap(dvStorage).toSet
+    (old -- stillReferenced).toSeq.sorted.map(p => RemoveAction(
+      path = p, deletionTimestamp = now, dataChange = false,
       extendedFileMetadata = Some(false)))
   }
+
+  /** Table-relative path of the STANDARD packed DV file an Add references
+    * ('u' storage only — inline carries no file, 'p' is foreign-absolute
+    * and never graft-reclaimed). 'u' names are table-relative by
+    * construction, so resolving against the root yields the relative path
+    * without knowing the table location. */
+  private[delta] def stdDvRel(a: AddAction): Option[String] =
+    StandardDv.descriptor(a).filter(_.storageType == "u").map(
+      _.absolutePath(new Path("/")).toUri.getPath.stripPrefix("/"))
 
   /** All DV rows referenced by `files` — graft-tag parquet directories and
     * standard `add.deletionVector` descriptors decoded on executors —

@@ -1,5 +1,7 @@
 package graft.delta
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -92,17 +94,17 @@ object Dml {
       PartitionFilter.fromCatalyst(
         org.apache.spark.sql.graftbridge.ColumnBridge.catalystExpression(predicate),
         snap.partitionColumns))
-    commitDvReAdds(txn, snap, affected, dvRel, now)
+    val dvStorage = commitDvReAdds(spark, log, txn, snap, affected, dvRel, now)
     txn.addActions(cdcActions)
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", now)
     info.put("operation", "DELETE")
     val params = info.putObject("operationParameters")
     params.put("predicate", predicate.toString)
-    params.put("deletionVector", dvRel)
+    params.put("deletionVector", dvStorage)
     params.put("numDeletedRows", rowsDeleted)
     val version = commitOrClean(spark, log, txn, Some(CommitInfoAction(info)),
-      stagedDirs = Seq(dvRel) ++ cdcActions.map(parentDir))
+      stagedDirs = Seq(dvStorage) ++ cdcActions.map(parentDir))
     DmlMetrics(affected.size, rowsDeleted, version)
   }
 
@@ -148,7 +150,7 @@ object Dml {
       PartitionFilter.fromCatalyst(
         org.apache.spark.sql.graftbridge.ColumnBridge.catalystExpression(predicate),
         snap.partitionColumns))
-    commitDvReAdds(txn, snap, affected, dvRel, now)
+    val dvStorage = commitDvReAdds(spark, log, txn, snap, affected, dvRel, now)
     txn.addActions(newAdds)
     txn.addActions(cdcActions)
     val info = ActionCodec.mapper.createObjectNode()
@@ -156,10 +158,10 @@ object Dml {
     info.put("operation", "UPDATE")
     val params = info.putObject("operationParameters")
     params.put("predicate", predicate.toString)
-    params.put("deletionVector", dvRel)
+    params.put("deletionVector", dvStorage)
     params.put("numUpdatedRows", rowsUpdated)
     val version = commitOrClean(spark, log, txn, Some(CommitInfoAction(info)),
-      stagedDirs = Seq(dvRel) ++ cdcActions.map(parentDir),
+      stagedDirs = Seq(dvStorage) ++ cdcActions.map(parentDir),
       stagedAdds = newAdds)
     DmlMetrics(affected.size, rowsUpdated, version)
   }
@@ -245,24 +247,78 @@ object Dml {
     (affected.map(a => a -> totals(a.path)), dvRel, newCounts)
   }
 
-  /** remove + re-add each affected file with its DV pointer tags; DV
-    * directories left unreferenced by the re-point are tombstoned for
-    * vacuum. */
-  private def commitDvReAdds(txn: OptimisticTransaction, snap: Snapshot,
+  /** remove + re-add each affected file with its DV pointer; DV storage
+    * left unreferenced by the re-point is tombstoned for vacuum. Returns
+    * the table-relative DV storage the commit references.
+    *
+    * The pointer FORMAT follows the table's protocol: a table advertising
+    * the standard `deletionVectors` writer feature (foreign-created) gets
+    * protocol descriptors foreign readers understand ([[StandardDv]]);
+    * graft-native tables keep the tag extension. Either way the pointer
+    * carries the COMPLETE position set and the other format's pointer is
+    * cleared — an Add never carries live positions in both. */
+  private def commitDvReAdds(spark: SparkSession, log: DeltaLog,
+                             txn: OptimisticTransaction, snap: Snapshot,
                              affected: Seq[(AddAction, Long)],
-                             dvRel: String, now: Long): Unit = {
+                             dvRel: String, now: Long): String = {
+    val standardNative = snap.writerFeatures.exists(_.contains("deletionVectors"))
+    val (storageRel, descByPath) =
+      if (standardNative) stageStandardDv(spark, log, dvRel)
+      else (dvRel, Map.empty[String, StandardDv.Descriptor])
     affected.foreach { case (f, totalCard) =>
       txn.addAction(RemoveAction(
         path = f.path, deletionTimestamp = now, dataChange = true,
         extendedFileMetadata = Some(true),
         partitionValues = Some(f.partitionValues), size = Some(f.size)))
-      val tags = f.tags.getOrElse(Map.empty) +
-        (DeletionVectors.PathTag -> dvRel) +
-        (DeletionVectors.CardTag -> totalCard.toString)
-      txn.addAction(f.copy(dataChange = true, tags = Some(tags)))
+      if (standardNative) {
+        val desc = descByPath(f.path)
+        require(desc.cardinality == totalCard,
+          s"packed DV cardinality ${desc.cardinality} != staged $totalCard " +
+          s"for ${f.path}")
+        val tags = f.tags.map(_ - DeletionVectors.PathTag - DeletionVectors.CardTag)
+          .filter(_.nonEmpty)
+        txn.addAction(f.copy(dataChange = true, tags = tags,
+          deletionVector = Some(desc.json)))
+      } else {
+        val tags = f.tags.getOrElse(Map.empty) +
+          (DeletionVectors.PathTag -> dvRel) +
+          (DeletionVectors.CardTag -> totalCard.toString)
+        txn.addAction(f.copy(dataChange = true, tags = Some(tags),
+          deletionVector = None))
+      }
     }
     txn.addActions(DeletionVectors.supersededDirTombstones(
       snap, affected.map(_._1), now))
+    storageRel
+  }
+
+  /** Convert the staged (path, pos) parquet into ONE packed standard DV
+    * file: per-file roaring bitmaps built on EXECUTORS (one shuffle on
+    * path), streamed into the pack through a local iterator — the driver
+    * holds one file's bitmap at a time, never the full position set. The
+    * staged parquet is deleted once packed. */
+  private def stageStandardDv(spark: SparkSession, log: DeltaLog,
+                              dvRel: String)
+      : (String, Map[String, StandardDv.Descriptor]) = {
+    import spark.implicits._
+    val abs = new org.apache.hadoop.fs.Path(log.tablePath, dvRel).toString
+    val perFile = spark.read.schema(DeletionVectors.dvSchema).parquet(abs)
+      .as[(String, Long)].groupByKey(_._1)
+      .mapGroups { (p, it) =>
+        val ps = it.map(_._2).toArray
+        (p, StandardDv.PositionBitmap.serialize(ps), ps.distinct.length.toLong)
+      }.sort("_1")
+    val conf = spark.sessionState.newHadoopConf()
+    val paths = Seq.newBuilder[String]
+    val descs = StandardDv.writePacked(conf, log.tablePath,
+      perFile.toLocalIterator().asScala.map { case (p, bytes, card) =>
+        paths += p; (bytes, card)
+      })
+    val fs = log.tablePath.getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(log.tablePath, dvRel), true)
+    val binRel = descs.head.absolutePath(new org.apache.hadoop.fs.Path("/"))
+      .toUri.getPath.stripPrefix("/")
+    (binRel, paths.result().zip(descs).toMap)
   }
 
   private def rewrite(spark: SparkSession, log: DeltaLog, snap: Snapshot,

@@ -47,7 +47,7 @@ object ProtocolSupport {
     * USE is caught by the schema sniff in [[assertWritable]]. */
   val SupportedWriterFeatures: Set[String] =
     Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
-      "timestampNtz", "graft.deletionVectors")
+      "timestampNtz", "graft.deletionVectors", "deletionVectors")
 
   private def config(snap: Snapshot): Map[String, String] =
     snap.metadata.map(_.configuration).getOrElse(Map.empty)

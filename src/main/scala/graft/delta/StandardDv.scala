@@ -14,10 +14,14 @@ import org.roaringbitmap.RoaringBitmap
   *
   * The reference (delta-rs v0.4.1) predates deletion vectors; this module
   * implements the published protocol so graft interoperates with foreign
-  * DV tables in both directions — scans apply descriptors foreign writers
-  * produced, and graft's own merge-on-read DML emits descriptors foreign
-  * readers understand (superseding the private `graft.dv.*` tag extension,
-  * which remains readable as a legacy format; [[DeletionVectors]]).
+  * DV tables in both directions. Wiring ([[DeletionVectors]], [[Dml]]):
+  * scans apply descriptors foreign writers produced (decoded on executors
+  * into the same (path, pos) anti-join the tag extension uses), and
+  * merge-on-read DML on a table advertising the `deletionVectors` writer
+  * feature unions existing positions and re-emits packed descriptors
+  * foreign readers understand. Graft-NATIVE tables keep the private
+  * `graft.dv.*` tag extension (their reader-3-no-features protocol fence
+  * predates this module and foreign readers refuse them wholesale).
   *
   * On-disk shape (PROTOCOL.md "Deletion Vector Descriptor Schema" +
   * "Deletion Vector Format"):
@@ -252,10 +256,11 @@ object StandardDv {
     * protocol's multi-vector layout — one file-open per commit, not per
     * affected data file) and return each data file's descriptor in input
     * order. Bitmap bytes arrive pre-serialized ([[PositionBitmap]]), built
-    * on executors so a wide DELETE never materializes raw position lists on
+    * on executors and streamed through an iterator so a wide DELETE never
+    * materializes raw position lists — or even all bitmaps at once — on
     * the driver. */
   def writePacked(conf: Configuration, tablePath: Path,
-                  bitmaps: Seq[(Array[Byte], Long)]): Seq[Descriptor] = {
+                  bitmaps: Iterator[(Array[Byte], Long)]): Seq[Descriptor] = {
     val uuid = UUID.randomUUID()
     val rel = s"deletion_vector_$uuid.bin"
     val file = new Path(tablePath, rel)

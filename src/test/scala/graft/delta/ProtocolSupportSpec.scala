@@ -33,17 +33,16 @@ class ProtocolSupportSpec extends AnyFunSuite with SparkTestBase {
     dir
   }
 
-  test("reader v3 with standard deletionVectors feature scans; writes refuse") {
+  test("reader v3 with standard deletionVectors feature scans and writes") {
     val dir = tableWithProtocol("ps-dv",
       protocolLine(3, 7, rf = Some(Seq("deletionVectors")), wf = Some(Seq("deletionVectors"))))
-    // the descriptor format is implemented (StandardDv) — the scan serves
+    // the descriptor format is implemented (StandardDv) — the scan serves,
+    // and the writer feature is maintained (descriptors survive appends,
+    // DML unions and re-emits them — StandardDvTableSpec)
     assert(DeltaTable.forPath(spark, dir).toDF.count() == 2)
-    // the WRITER feature is not maintained — commits refuse
-    val e = intercept[UnsupportedProtocolException] {
-      GraftWriter.write(Seq((3L, "c")).toDF("id", "v"), dir,
-        mode = org.apache.spark.sql.SaveMode.Append)
-    }
-    assert(e.getMessage.contains("deletionVectors"))
+    GraftWriter.write(Seq((3L, "c")).toDF("id", "v"), dir,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 3)
   }
 
   test("reader v3 with timestampNtz is supported; absent features = graft's own DV shape") {

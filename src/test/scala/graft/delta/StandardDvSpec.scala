@@ -126,7 +126,7 @@ class StandardDvSpec extends AnyFunSuite with SparkTestBase {
       Array(2L, 4294967296L + 1),
       (100L until 200L).toArray)
     val bitmaps = sets.map(ps => (PositionBitmap.serialize(ps), ps.length.toLong))
-    val descs = writePacked(conf, dir, bitmaps)
+    val descs = writePacked(conf, dir, bitmaps.iterator)
     assert(descs.size == 3)
     assert(descs.map(_.pathOrInlineDv).distinct.size == 1, "one shared DV file")
     // protocol shape: version byte 1 ⇒ first offset is 1; each next offset
@@ -150,7 +150,7 @@ class StandardDvSpec extends AnyFunSuite with SparkTestBase {
     val dir = new Path(Files.createTempDirectory("graft-dv-crc-").toString)
     val ps = Array(1L, 2L, 3L)
     val Seq(desc) = writePacked(conf, dir,
-      Seq((PositionBitmap.serialize(ps), ps.length.toLong)))
+      Iterator((PositionBitmap.serialize(ps), ps.length.toLong)))
 
     // corrupt one bitmap byte on disk → CRC mismatch. Drop Hadoop's own
     // .crc sidecar so the PROTOCOL-level CRC is the check that fires.

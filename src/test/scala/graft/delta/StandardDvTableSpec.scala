@@ -9,13 +9,15 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.scalatest.funsuite.AnyFunSuite
 
-/** End-to-end reads of a FOREIGN-written standard deletion-vector table —
+/** End-to-end use of a FOREIGN-written standard deletion-vector table —
   * protocol reader 3 / writer 7 with the `deletionVectors` feature, adds
   * carrying `add.deletionVector` descriptors ("u" packed file and "i"
   * inline). Graft must subtract the deleted positions on scan, keep them
   * subtracted through checkpoint restore and time travel, shield the DV
-  * file from vacuum, classify the DV commit for streams, and still refuse
-  * to WRITE (the `deletionVectors` writer feature is not maintained). */
+  * file from vacuum, classify the DV commit for streams, and MAINTAIN the
+  * feature on write: appends leave descriptors alone, CoW DML folds them
+  * away, merge-on-read DML unions them and re-emits protocol descriptors
+  * foreign readers understand. */
 class StandardDvTableSpec extends AnyFunSuite with SparkTestBase {
   import LogFixtures._
 
@@ -44,20 +46,28 @@ class StandardDvTableSpec extends AnyFunSuite with SparkTestBase {
   }
 
   /** Table: a.parquet ids 0-9, b.parquet ids 10-19; v1 deletes ids {1,3}
-    * from a (packed "u" DV) and {10} from b (inline DV). */
-  private def buildForeignDvTable(): (JPath, StandardDv.Descriptor) = {
+    * from a (packed "u" DV) and {10} from b (inline DV). With `dvEnabled`
+    * the table also carries `delta.enableDeletionVectors=true`, so graft
+    * DML takes the merge-on-read path. */
+  private def buildForeignDvTable(dvEnabled: Boolean = false)
+      : (JPath, StandardDv.Descriptor) = {
     val dir = tempTable("std-dv")
     val sizeA = writeDataFile(dir, "a.parquet", 0L until 10L)
     val sizeB = writeDataFile(dir, "b.parquet", 10L until 20L)
 
     val Seq(descA) = StandardDv.writePacked(conf, new Path(dir.toString),
-      Seq((StandardDv.PositionBitmap.serialize(Array(1L, 3L)), 2L)))
+      Iterator((StandardDv.PositionBitmap.serialize(Array(1L, 3L)), 2L)))
     val inlineBytes = StandardDv.PositionBitmap.serialize(Array(0L))
     val padded = inlineBytes ++ new Array[Byte]((4 - inlineBytes.length % 4) % 4)
     val descB = StandardDv.Descriptor("i", StandardDv.Z85.encode(padded),
       None, padded.length, 1L)
 
-    writeCommit(dir, 0, Seq(protocolDv, metaData,
+    val md =
+      if (dvEnabled)
+        metaData.replace(""""configuration":{}""",
+          """"configuration":{"delta.enableDeletionVectors":"true"}""")
+      else metaData
+    writeCommit(dir, 0, Seq(protocolDv, md,
       addJson("a.parquet", sizeA, None), addJson("b.parquet", sizeB, None)))
     writeCommit(dir, 1, Seq(
       remove("a.parquet"),
@@ -125,12 +135,73 @@ class StandardDvTableSpec extends AnyFunSuite with SparkTestBase {
     assert(served.isEmpty, "DV-pointer re-adds carry no new rows")
   }
 
-  test("writes to a deletionVectors-feature table refuse until maintained") {
+  test("appends leave foreign descriptors untouched") {
+    import spark.implicits._
     val (dir, _) = buildForeignDvTable()
-    val snap = DeltaLog.forPath(spark, dir.toString).update()
-    val e = intercept[UnsupportedProtocolException] {
-      ProtocolSupport.assertWritable(snap)
-    }
-    assert(e.getMessage.contains("deletionVectors"))
+    GraftWriter.write(Seq(100L, 101L).toDF("id"), dir.toString,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    val dt = DeltaTable.forPath(spark, dir.toString)
+    assert(dt.toDF.count() == 19)
+    assert(dt.snapshot.files.flatMap(StandardDv.descriptor).size == 2)
+  }
+
+  test("CoW DELETE rewrites the affected file and drops its descriptor") {
+    val (dir, _) = buildForeignDvTable(dvEnabled = false)
+    val m = Dml.delete(spark, dir.toString,
+      org.apache.spark.sql.functions.col("id") === 5L)
+    assert(m.rowsAffected == 1)
+    val dt = DeltaTable.forPath(spark, dir.toString)
+    val ids = dt.toDF.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == ((0L until 20L).toSet -- Set(1L, 3L, 10L, 5L)).toSeq.sorted)
+    // a.parquet was rewritten clean (the rewrite already subtracted its
+    // DV); b.parquet keeps its untouched inline descriptor
+    val descs = dt.snapshot.files.flatMap(StandardDv.descriptor)
+    assert(descs.size == 1 && descs.head.storageType == "i")
+  }
+
+  test("DV DELETE on a standard-native table emits a protocol descriptor") {
+    val (dir, oldDescA) = buildForeignDvTable(dvEnabled = true)
+    val m = Dml.delete(spark, dir.toString,
+      org.apache.spark.sql.functions.col("id") === 5L)
+    assert(m.rowsAffected == 1)
+    val dt = DeltaTable.forPath(spark, dir.toString)
+    assert(dt.toDF.count() == 16)
+
+    val a = dt.snapshot.files.find(_.path == "a.parquet").get
+    val desc = StandardDv.descriptor(a).get
+    // the new descriptor carries the COMPLETE union {1,3,5} in the
+    // protocol's format; the graft tag extension is absent
+    assert(desc.cardinality == 3)
+    assert(desc.storageType == "u")
+    assert(a.tags.forall(t => !t.contains(DeletionVectors.PathTag)))
+    assert(StandardDv.readPositions(conf, new Path(dir.toString), desc)
+      .toSeq == Seq(1L, 3L, 5L))
+
+    // the superseded packed file is tombstoned for vacuum; no staged
+    // graft-DV parquet dir survives
+    val oldRel = oldDescA.absolutePath(new Path("/")).toUri.getPath.stripPrefix("/")
+    assert(dt.snapshot.tombstones.exists(_.path == oldRel))
+    assert(!Files.exists(dir.resolve(DeletionVectors.Dir)) ||
+      Files.list(dir.resolve(DeletionVectors.Dir)).iterator().asScala.isEmpty)
+  }
+
+  test("DV UPDATE on a standard-native table unions the inline positions") {
+    val (dir, _) = buildForeignDvTable(dvEnabled = true)
+    val m = Dml.update(spark, dir.toString,
+      org.apache.spark.sql.functions.col("id") === 12L,
+      Map("id" -> org.apache.spark.sql.functions.lit(999L)))
+    assert(m.rowsAffected == 1)
+    val dt = DeltaTable.forPath(spark, dir.toString)
+    val ids = dt.toDF.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.count(_ == 999L) == 1)
+    assert(!ids.contains(12L) && !ids.contains(10L))
+    assert(ids.length == 17)
+    // b.parquet's re-add holds {pos 0 (id 10, from the inline DV), pos 2
+    // (id 12)} as a packed standard descriptor
+    val b = dt.snapshot.files.find(_.path == "b.parquet").get
+    val desc = StandardDv.descriptor(b).get
+    assert(desc.cardinality == 2 && desc.storageType == "u")
+    assert(StandardDv.readPositions(conf, new Path(dir.toString), desc)
+      .toSeq == Seq(0L, 2L))
   }
 }
