@@ -37,6 +37,10 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
+    // Absolute machine-speed probe BEFORE warmup (and again after the
+    // timed loop): fixed work, so its seconds depend on machine health
+    // alone — the r8 whole-machine slowdown that `contended` cannot see.
+    val calStPre = BenchCalibration.singleThreadSec()
     // Warmup: one agg, one join, one semi-join — covers codegen paths.
     Seq("q1_agg", "q5_join", "q14_semijoin").foreach { w =>
       qs.get(w).foreach(fn => try materialize(fn(spark, sfDir))
@@ -100,6 +104,13 @@ object Bench {
     val loadMed = BenchContention.median(load1m.values.toSeq.filter(_ >= 0))
     val isContended =
       BenchContention.contended(wallSeq, cpuSec.values.toSeq, load1m.values.toSeq)
+    val calStPost = BenchCalibration.singleThreadSec()
+    val calMt = BenchCalibration.multiThreadSec(
+      Runtime.getRuntime.availableProcessors())
+    // min of pre/post: the healthiest speed the machine showed this run —
+    // a run is degraded only if it NEVER ran at class speed
+    val calSt = math.min(calStPre, calStPost)
+    val degraded = calSt > BenchCalibration.DegradedStSec
     // The primary stdout line carries what the driver's tail capture
     // parses (value + queries + sf) plus three SHORT contention scalars.
     // Round 6's driver recorded `parsed: null` because the full cpu/load1m
@@ -107,7 +118,7 @@ object Bench {
     // maps stay on stderr, next to BENCHDBG.
     System.err.println(
       s"""BENCHTEL {"cpu":${toJson(cpuSec)},"load1m":${toJson(load1m)}}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir","contended":$isContended,"cpu_total":${fmt(cpuTotal)},"load_med":${fmt(loadMed)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir","contended":$isContended,"cpu_total":${fmt(cpuTotal)},"load_med":${fmt(loadMed)},"cal_st":${fmt(calSt)},"cal_st_worst":${fmt(math.max(calStPre, calStPost))},"cal_mt":${fmt(calMt)},"degraded":$degraded}""")
     spark.stop()
   }
 }
