@@ -79,8 +79,8 @@ object ChangeDataFeed {
     // name-mapped tables stage change files under PHYSICAL names like every
     // other at-rest file; the feed reader scans them physical and aliases
     val readSchema =
-      if (ColumnMapping.isNameMapped(snap))
-        ColumnMapping.physicalSchema(snap.schema)
+      if (ColumnMapping.isMapped(snap))
+        ColumnMapping.readSchema(spark, snap)
       else snap.schema
     val cols = readSchema.fieldNames.map(col).toSeq
     val deletes = DeletionVectors.scanWithPos(spark, log, snap, removes)
@@ -118,14 +118,14 @@ object ChangeDataFeed {
     // below skips it (the source fences once at stream start, and must not
     // pay an O(log) replay per micro-batch)
     ProtocolSupport.assertRowFeedReadable(endSnap)
-    if (ColumnMapping.isNameMapped(endSnap)) {
+    if (ColumnMapping.isMapped(endSnap)) {
       // the range's data/change files speak PHYSICAL names (the CDF
       // metadata columns are never mapped, per the protocol): run the
       // whole pipeline physical, alias back to logical at the top — the
       // same single-conversion-point shape as the scan path
       val logical = endSnap.schema
       val out = readChanges(spark, log, startV, endV,
-        ColumnMapping.physicalSchema(logical))
+        ColumnMapping.readSchema(spark, endSnap))
       out.select(logical.fields.map { f =>
         val phys = ColumnMapping.physicalFieldName(f)
         out.col(s"`$phys`").cast(f.dataType).as(f.name)

@@ -1,8 +1,10 @@
 package graft.delta
 
-import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, Metadata, MetadataBuilder, StructField, StructType}
 
-/** Delta column mapping, READ side, `delta.columnMapping.mode = name`.
+/** Delta column mapping, READ side, `delta.columnMapping.mode` `name`
+  * and `id`.
   *
   * A column-mapped table stores data under stable PHYSICAL column names
   * (`col-<uuid>`, recorded per field as schema metadata
@@ -22,15 +24,27 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, St
   * which [[org.apache.spark.sql.catalyst.optimizer.SimplifyCasts]] erases
   * for primitives).
   *
-  * Out of scope, each refused loudly: `mode = id` (parquet field-id
-  * matching), writes of any kind (physical-name allocation), and row-level
-  * feeds (CDF scans would need the same aliasing through the change-file
-  * reader).
+  * `mode = id` rides the same physical-schema path with ONE addition: the
+  * read schema carries each field's `delta.columnMapping.id` as Spark's
+  * `parquet.field.id` metadata and the scan enables Spark's native
+  * field-id matching, so columns resolve by the AUTHORITATIVE parquet
+  * footer ids regardless of at-rest column names ([[readSchema]]). Writes
+  * attach the same ids so staged files are footer-id-correct
+  * ([[toPhysical]]; Spark writes `parquet.field.id` metadata into footers
+  * by default).
+  *
+  * Out of scope, refused loudly: DML/OPTIMIZE on mapped tables (physical-
+  * name allocation for rewrites), and mapping-mode values other than
+  * none/name/id.
   */
 object ColumnMapping {
 
   val ModeKey = "delta.columnMapping.mode"
   val PhysicalNameKey = "delta.columnMapping.physicalName"
+  val FieldIdKey = "delta.columnMapping.id"
+
+  /** Spark's parquet field-id metadata key (SQLConf-gated matching). */
+  val ParquetFieldId = "parquet.field.id"
 
   def mode(config: Map[String, String]): String =
     config.getOrElse(ModeKey, "none")
@@ -38,7 +52,10 @@ object ColumnMapping {
   def mode(snap: Snapshot): String =
     mode(snap.metadata.map(_.configuration).getOrElse(Map.empty))
 
-  def isNameMapped(snap: Snapshot): Boolean = mode(snap) == "name"
+  /** Mapped = the at-rest names differ from logical; both supported modes
+    * scan through the physical-schema path. */
+  def isMapped(snap: Snapshot): Boolean =
+    mode(snap) == "name" || mode(snap) == "id"
 
   /** The field's at-rest name: its recorded physical name, or (unmapped
     * field in a mapped table — never produced by delta-spark, but tolerate)
@@ -55,17 +72,40 @@ object ColumnMapping {
       .map(physicalFieldName).getOrElse(logicalCol)
 
   /** Logical schema → at-rest schema: physical names at every nesting
-    * level, identical types/nullability/metadata. */
-  def physicalSchema(logical: StructType): StructType =
-    StructType(logical.fields.map(f =>
-      f.copy(name = physicalFieldName(f), dataType = physicalType(f.dataType))))
+    * level, identical types/nullability/metadata. With `attachIds` each
+    * field's `delta.columnMapping.id` is restated as `parquet.field.id`
+    * so Spark's parquet reader/writer matches/stamps footer field ids —
+    * ONLY for mode=id tables: name-mode files (e.g. converted in place)
+    * may predate mapping and carry no footer ids at all. */
+  def physicalSchema(logical: StructType, attachIds: Boolean = false): StructType =
+    StructType(logical.fields.map { f =>
+      f.copy(name = physicalFieldName(f),
+        dataType = physicalType(f.dataType, attachIds),
+        metadata = withFieldId(f.metadata, attachIds))
+    })
 
-  private def physicalType(dt: DataType): DataType = dt match {
-    case s: StructType => physicalSchema(s)
-    case a: ArrayType => a.copy(elementType = physicalType(a.elementType))
-    case m: MapType => m.copy(keyType = physicalType(m.keyType),
-      valueType = physicalType(m.valueType))
+  private def withFieldId(m: Metadata, attachIds: Boolean): Metadata =
+    if (!attachIds || !m.contains(FieldIdKey)) m
+    else new MetadataBuilder().withMetadata(m)
+      .putLong(ParquetFieldId, m.getLong(FieldIdKey)).build()
+
+  private def physicalType(dt: DataType, attachIds: Boolean = false): DataType = dt match {
+    case s: StructType => physicalSchema(s, attachIds)
+    case a: ArrayType => a.copy(elementType = physicalType(a.elementType, attachIds))
+    case m: MapType => m.copy(keyType = physicalType(m.keyType, attachIds),
+      valueType = physicalType(m.valueType, attachIds))
     case other => other
+  }
+
+  /** The scan-side read schema for a mapped snapshot, enabling Spark's
+    * field-id matching for mode=id (session conf — harmless for schemas
+    * without id metadata, which is every non-id table here). The ONE
+    * choke point every mapped read path goes through (GraftFileIndex,
+    * the row-level feeds, the streaming source and tailer). */
+  def readSchema(spark: SparkSession, snap: Snapshot): StructType = {
+    val ids = mode(snap) == "id"
+    if (ids) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    physicalSchema(snap.schema, ids)
   }
 
   /** Rename a LOGICAL-named frame to the table's at-rest physical names
@@ -75,15 +115,16 @@ object ColumnMapping {
     * `logical` is the TABLE's schema (it carries the physicalName
     * metadata); `df`'s columns are matched to it by name. */
   def toPhysical(df: org.apache.spark.sql.DataFrame,
-                 logical: StructType): org.apache.spark.sql.DataFrame = {
+                 logical: StructType,
+                 attachIds: Boolean = false): org.apache.spark.sql.DataFrame = {
     val byName = logical.fields.map(f => f.name -> f).toMap
     df.select(df.schema.fieldNames.toSeq.map { n =>
       val f = byName.getOrElse(n, throw new IllegalArgumentException(
         s"column $n is not in the mapped table's schema"))
-      val physDt = physicalType(f.dataType)
+      val physDt = physicalType(f.dataType, attachIds)
       val c = df.col(s"`$n`")
       (if (physDt == f.dataType) c else c.cast(physDt))
-        .as(physicalFieldName(f))
+        .as(physicalFieldName(f), withFieldId(f.metadata, attachIds))
     }: _*)
   }
 }

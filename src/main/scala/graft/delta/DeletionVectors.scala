@@ -234,7 +234,7 @@ object DeletionVectors {
     // change files from them; mapped tables cannot carry graft DVs, so the
     // anti-join above is a no-op there)
     val outNames =
-      if (ColumnMapping.isNameMapped(snap))
+      if (ColumnMapping.isMapped(snap))
         ColumnMapping.physicalSchema(snap.schema).fieldNames
       else snap.schema.fieldNames
     filtered.select(

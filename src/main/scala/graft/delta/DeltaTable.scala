@@ -89,7 +89,7 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     // table the relation's attributes are PHYSICAL — this projection is the
     // single physical→logical conversion point (nested field renames ride a
     // same-shape struct cast; SimplifyCasts erases it for primitives).
-    if (ColumnMapping.isNameMapped(snapshot))
+    if (ColumnMapping.isMapped(snapshot))
       base.select(snapshot.schema.fields.map { f =>
         val phys = ColumnMapping.physicalFieldName(f)
         base.col(s"`$phys`").cast(f.dataType).as(f.name)

@@ -40,9 +40,9 @@ object GraftChangesFunction {
     // name-mapped tables: scan PHYSICAL (file columns, partition dirs,
     // stats all speak physical names), alias back to logical at the top
     val logical = endSnap.schema
-    val mapped = ColumnMapping.isNameMapped(endSnap)
+    val mapped = ColumnMapping.isMapped(endSnap)
     val schema =
-      if (mapped) ColumnMapping.physicalSchema(logical) else logical
+      if (mapped) ColumnMapping.readSchema(spark, endSnap) else logical
 
     // ONE scan over every added file in the range; `_commit_version`
     // attached via a broadcast file→version join on scheme-normalized

@@ -158,7 +158,7 @@ final class GraftDeltaSource extends RelationProvider
     // The catalog path opts in ([[GraftV2Fallback]] wraps the relation in
     // a physical→logical aliasing Project); DeltaTable.forPath aliases in
     // its own projection; a direct format() read has nowhere to.
-    if (ColumnMapping.isNameMapped(table.snapshot) &&
+    if (ColumnMapping.isMapped(table.snapshot) &&
         !parameters.contains(GraftDeltaSource.MappedReadKey))
       throw new UnsupportedProtocolException(
         s"column-mapped table $path cannot be read through " +

@@ -45,12 +45,13 @@ final class GraftFileIndex(
   // schema so every pushed filter, partition lookup, and stats key below
   // is physical-consistent with no per-expression translation; the scan's
   // final projection aliases back to logical (see ColumnMapping scaladoc).
+  // mode=id additionally matches parquet columns by footer field id.
   private val tableSchema: StructType =
-    if (ColumnMapping.isNameMapped(snapshot))
-      ColumnMapping.physicalSchema(snapshot.schema)
+    if (ColumnMapping.isMapped(snapshot))
+      ColumnMapping.readSchema(spark, snapshot)
     else snapshot.schema
   private val partCols: Seq[String] =
-    if (ColumnMapping.isNameMapped(snapshot))
+    if (ColumnMapping.isMapped(snapshot))
       snapshot.partitionColumns.map(c =>
         ColumnMapping.physicalName(snapshot.schema, c))
     else snapshot.partitionColumns

@@ -62,7 +62,7 @@ final class GraftV2Fallback(session: SparkSession) extends Rule[LogicalPlan] {
       .createRelation(session.sqlContext, params)
       .asInstanceOf[GraftDeltaRelation]
     val index = rel.location.asInstanceOf[GraftFileIndex]
-    if (ColumnMapping.isNameMapped(index.snapshot)) {
+    if (ColumnMapping.isMapped(index.snapshot)) {
       // the relation's output is the PHYSICAL schema; project it back to
       // the v2 relation's logical attributes (exprIds preserved — parents
       // reference them). Mirror of DeltaTable's scan projection: nested

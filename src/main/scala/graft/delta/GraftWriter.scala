@@ -59,7 +59,7 @@ object GraftWriter {
     // below), so data files, partition dirs, and footer-stats keys all
     // land protocol-correct. Schema/partitioning changes stay refused —
     // they would need physical-name + field-id allocation.
-    val mapped = exists && ColumnMapping.isNameMapped(snap)
+    val mapped = exists && ColumnMapping.isMapped(snap)
     // the protocol fence fires first: an unsupported capability is the
     // real reason, not the schema mismatch physical names masquerade as
     if (exists) ProtocolSupport.assertWritable(snap, allowNameMapping = true)
@@ -141,7 +141,10 @@ object GraftWriter {
     val enforced = Constraints.enforce(df, snap)
     val adds =
       if (mapped)
-        stageFiles(ColumnMapping.toPhysical(enforced, snap.schema), path,
+        // id-mapped tables: staged files must carry parquet footer field
+        // ids (Spark stamps them from the attached metadata on write)
+        stageFiles(ColumnMapping.toPhysical(enforced, snap.schema,
+            attachIds = ColumnMapping.mode(snap) == "id"), path,
           partCols.map(c => ColumnMapping.physicalName(snap.schema, c)))
       else stageFiles(enforced, path, partCols)
     val now = System.currentTimeMillis()

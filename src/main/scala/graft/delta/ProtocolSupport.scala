@@ -34,10 +34,10 @@ final class UnsupportedProtocolException(msg: String)
 object ProtocolSupport {
 
   /** Reader-3 table features graft can serve correctly (`columnMapping`:
-    * mode=name through the physical-schema scan path, [[ColumnMapping]];
-    * mode=id still refuses via the mode check below; `deletionVectors`:
-    * standard descriptors feed the DV anti-join, [[StandardDv]] +
-    * [[DeletionVectors.dvDf]]). */
+    * mode=name through the physical-schema scan path, mode=id via parquet
+    * field-id matching on the same path, [[ColumnMapping]];
+    * `deletionVectors`: standard descriptors feed the DV anti-join,
+    * [[StandardDv]] + [[DeletionVectors.dvDf]]). */
   val SupportedReaderFeatures: Set[String] =
     Set("timestampNtz", "columnMapping", "graft.deletionVectors",
       "deletionVectors")
@@ -71,11 +71,12 @@ object ProtocolSupport {
           .mkString("[", ", ", "]")} that graft does not implement")
     }
     // mode=name scans through the physical-schema path (ColumnMapping);
-    // mode=id would need parquet field-id matching graft does not do
+    // mode=id rides the same path with parquet field-id matching
+    // (ColumnMapping.readSchema); anything else is unknown territory
     val mapping = ColumnMapping.mode(config(snap))
-    if (mapping != "none" && mapping != "name")
-      refuse(s"uses column mapping mode '$mapping': graft reads only " +
-        "name-mapped tables (parquet field-id matching is not implemented)")
+    if (mapping != "none" && mapping != "name" && mapping != "id")
+      refuse(s"uses column mapping mode '$mapping': graft reads " +
+        "name- and id-mapped tables only")
   }
 
   /** Refuse to COMMIT to a table whose invariants graft would not
@@ -151,7 +152,8 @@ object ProtocolSupport {
           readerFeatures = p.readerFeatures))
       case m: MetaDataAction
           if ColumnMapping.mode(m.configuration) != "none" &&
-            !(allowNameMapping && ColumnMapping.mode(m.configuration) == "name") =>
+            !(allowNameMapping &&
+              Set("name", "id").contains(ColumnMapping.mode(m.configuration))) =>
         refuse(s"commit $version of $tablePath enables column mapping " +
           "mid-stream; files written after it would scan as nulls through " +
           "the stream's fixed logical schema")

@@ -48,7 +48,7 @@ final class DeltaTailer(log: DeltaLog, startAfterVersion: Long = -1L,
       // name-mapped tables: the batch scans PHYSICAL names and aliases
       // back to logical; the snapshot is re-read per poll, so a logical
       // rename between polls serves subsequent batches under the new names
-      val mapped = ColumnMapping.isNameMapped(snap)
+      val mapped = ColumnMapping.isMapped(snap)
       val adds = newAdds(snap.version, allowNameMapping = mapped)
       val schema = snap.schema
       val df =
@@ -61,7 +61,7 @@ final class DeltaTailer(log: DeltaLog, startAfterVersion: Long = -1L,
           if (mapped) {
             val phys = log.spark.read
               .option("basePath", log.tablePath.toString)
-              .schema(ColumnMapping.physicalSchema(schema))
+              .schema(ColumnMapping.readSchema(log.spark, snap))
               .parquet(paths: _*)
             phys.select(schema.fields.toSeq.map { f =>
               val p = ColumnMapping.physicalFieldName(f)

@@ -46,15 +46,16 @@ final class GraftDeltaStreamSource(
 
   // Column mapping: a name-mapped table's files speak PHYSICAL names, so
   // every batch scans physical and aliases back to the declared logical
-  // schema (same single-conversion shape as the table scan); mode=id would
-  // need parquet field-id matching and refuses. A mid-stream ENABLE still
+  // schema (same single-conversion shape as the table scan); mode=id rides
+  // the same path with parquet field-id matching (physicalReadSchema
+  // attaches the ids and enables the matcher). A mid-stream ENABLE still
   // fails per commit (assertCommitServable) — the physical layout under a
   // running stream's fixed schema must not change.
   private val mappedTableFields: Option[Map[String, org.apache.spark.sql.types.StructField]] = {
     val snap = log.snapshot
     graft.delta.ColumnMapping.mode(snap) match {
       case "none" => None
-      case "name" =>
+      case "name" | "id" =>
         val byName = snap.schema.fields.map(f => f.name -> f).toMap
         val unknown = schema.fields.map(_.name)
           .filterNot(n => n == graft.delta.ChangeDataFeed.ChangeType ||
@@ -66,8 +67,19 @@ final class GraftDeltaStreamSource(
         Some(byName)
       case other => throw new graft.delta.UnsupportedProtocolException(
         s"streaming over ${log.tablePath} with column mapping mode '$other' " +
-        "is not implemented (graft reads only name-mapped tables)")
+        "is not implemented (graft reads name- and id-mapped tables)")
     }
+  }
+
+  /** Physical read schema for a field subset, id-aware: restates
+    * `delta.columnMapping.id` as parquet field ids and enables Spark's
+    * matcher on id-mapped tables ([[graft.delta.ColumnMapping.readSchema]]
+    * semantics over an arbitrary subset of the table's fields). */
+  private def physicalReadSchema(fields: Seq[org.apache.spark.sql.types.StructField])
+      : org.apache.spark.sql.types.StructType = {
+    val ids = graft.delta.ColumnMapping.mode(log.snapshot) == "id"
+    if (ids) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    graft.delta.ColumnMapping.physicalSchema(StructType(fields), ids)
   }
 
   /** Alias a physically-scanned frame back to the declared columns in
@@ -232,8 +244,7 @@ final class GraftDeltaStreamSource(
             // scan physical, alias to the declared order in one projection
             aliasToLogical(
               graft.delta.ChangeDataFeed.readChanges(spark, log, startV, endV,
-                graft.delta.ColumnMapping.physicalSchema(
-                  StructType(dataFields.fields.map(f => byName(f.name))))),
+                physicalReadSchema(dataFields.fields.toSeq.map(f => byName(f.name)))),
               schema.fieldNames.toSeq)
           case None =>
             graft.delta.ChangeDataFeed.readChanges(spark, log, startV, endV, dataFields)
@@ -257,8 +268,8 @@ final class GraftDeltaStreamSource(
           case Some(byName) =>
             aliasToLogical(
               spark.read.option("basePath", log.tablePath.toString)
-                .schema(graft.delta.ColumnMapping.physicalSchema(
-                  StructType(schema.fields.map(f => byName(f.name)))))
+                .schema(physicalReadSchema(
+                  schema.fields.toSeq.map(f => byName(f.name))))
                 .parquet(paths: _*),
               schema.fieldNames.toSeq)
           case None =>

@@ -253,8 +253,89 @@ class ColumnMappingSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(stream.getMessage.contains("ghost") ||
       Option(stream.getCause).exists(_.getMessage.contains("ghost")))
-    intercept[UnsupportedProtocolException] {
-      DeltaTable.forPath(spark, mappedTable(mode = "id")).toDF.count()
+  }
+
+  // ------------------------------------------------------- mode = id
+
+  private def fid(n: Long) = new MetadataBuilder().putLong("parquet.field.id", n).build()
+
+  /** Hand-author an id-mapped table whose parquet columns are named NOTHING
+    * like the physical names — only the footer field ids can resolve them.
+    * Field ids follow the logical schema's `delta.columnMapping.id`:
+    * id→1, meta→2, meta.score→3 (region is a partition column, not in
+    * files). */
+  private def idTable(): String = {
+    val dir = Files.createTempDirectory("graft-idmap-").resolve("t")
+    Files.createDirectories(dir)
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val fileSchema = StructType(Seq(
+      StructField("alpha", LongType, nullable = true, fid(1)),
+      StructField("beta", StructType(Seq(
+        StructField("gamma", LongType, nullable = true, fid(3)))),
+        nullable = true, fid(2))))
+    val rows = Seq(1L, 2L, 3L).map(i =>
+      org.apache.spark.sql.Row(i, org.apache.spark.sql.Row(i * 10)))
+    val tmp = Files.createTempDirectory("graft-idmap-stage-")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), fileSchema)
+      .coalesce(1).write.parquet(tmp.resolve("out").toString)
+    val src = Files.list(tmp.resolve("out"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val rel = s"$PhysPart=West/part-west.parquet"
+    Files.createDirectories(dir.resolve(s"$PhysPart=West"))
+    Files.copy(src, dir.resolve(rel), StandardCopyOption.REPLACE_EXISTING)
+    val md = MetaDataAction(
+      id = "idmap-test", name = None, description = None, format = Format(),
+      schemaString = logicalSchema().json,
+      partitionColumns = Seq("region"), createdTime = Some(1L),
+      configuration = Map(
+        "delta.columnMapping.mode" -> "id",
+        "delta.columnMapping.maxColumnId" -> "4"))
+    LogFixtures.writeCommit(dir, 0, Seq(
+      ActionCodec.toJsonLine(ProtocolAction(2, 5)),
+      ActionCodec.toJsonLine(md),
+      ActionCodec.toJsonLine(AddAction(rel, Files.size(dir.resolve(rel)),
+        Map(PhysPart -> "West"), 1L, dataChange = true,
+        stats = Some(s"""{"numRecords":3,"minValues":{"$PhysId":1},"maxValues":{"$PhysId":3},"nullCount":{"$PhysId":0}}""")))))
+    dir.toString
+  }
+
+  test("id-mapped table resolves columns by parquet footer field ids") {
+    val dt = DeltaTable.forPath(spark, idTable())
+    val df = dt.toDF
+    assert(df.schema.fieldNames.toSeq == Seq("id", "meta", "region"))
+    // the at-rest names ("alpha"/"beta"/"gamma") match NOTHING in the read
+    // schema — values arriving at all proves the footer-id matcher engaged
+    val rows = df.select("id", "meta.score", "region")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, 10L, "West"), (2L, 20L, "West"), (3L, 30L, "West")))
+  }
+
+  test("appends to an id-mapped table stamp footer ids (round-trip + raw probe)") {
+    val dir = idTable()
+    GraftWriter.write(logicalRows((20L, 200L, "North")), dir,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.toDF.count() == 4)
+    assert(dt.toDF.filter(col("region") === "North")
+      .select("id", "meta.score").as[(Long, Long)].head() == ((20L, 200L)))
+    // raw probe: read the staged file with a WRONG-named schema carrying
+    // only field ids — values resolve iff the footer really has ids
+    val newAdd = dt.snapshot.files
+      .find(_.partitionValues.get(PhysPart).contains("North")).get
+    val probe = spark.read
+      .schema(StructType(Seq(StructField("zz", LongType, nullable = true, fid(1)))))
+      .parquet(new java.io.File(dir, newAdd.path).getAbsolutePath)
+    assert(probe.as[Long].collect().toSeq == Seq(20L))
+  }
+
+  test("an id table whose files lack footer ids fails loudly, never nulls") {
+    val dir = mappedTable(mode = "id") // fixture files carry NO field ids
+    val e = intercept[Exception] {
+      DeltaTable.forPath(spark, dir).toDF.select("id").collect()
     }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.toLowerCase.contains("field id")),
+      messages(e).mkString(" | "))
   }
 }

@@ -83,7 +83,7 @@ class ProtocolSupportSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("identityColumns"))
   }
 
-  test("column mapping: mode=name scans through physical names, mode=id refuses") {
+  test("column mapping: metadata-only mode flips fall back to logical names intact") {
     val dir = tempTable("ps-cm").toString
     GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir)
     // foreign ALTER flips the mode in a metaData commit WITHOUT per-field
@@ -108,15 +108,19 @@ class ProtocolSupportSpec extends AnyFunSuite with SparkTestBase {
       Dml.delete(spark, dir, org.apache.spark.sql.functions.col("id") === 1L)
     }
     assert(w.getMessage.contains("column mapping"))
-    // mode=id needs parquet field-id matching graft does not do
+    // mode=id matches by parquet footer field ids (ColumnMappingSpec). On
+    // THIS table the schema carries no per-field id metadata, so the read
+    // schema has no ids to match and the same logical-name fallback as the
+    // mode=name flip above serves intact values; the dangerous shape —
+    // id METADATA present but footer ids absent — fails loudly
+    // (ColumnMappingSpec "id table whose files lack footer ids").
     val idLine = ActionCodec.toJsonLine(
       md.copy(configuration = md.configuration +
         ("delta.columnMapping.mode" -> "id")))
     writeCommit(java.nio.file.Paths.get(dir), 3, Seq(idLine))
-    val e = intercept[UnsupportedProtocolException] {
-      DeltaTable.forPath(spark, dir).toDF.count()
-    }
-    assert(e.getMessage.contains("column mapping"))
+    assert(DeltaTable.forPath(spark, dir).toDF
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
   }
 
   test("a non-conformant add.deletionVector descriptor fails the scan loudly") {
