@@ -182,14 +182,23 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
       .map(_.absolutePath(log.tablePath).toUri.getPath
         .stripPrefix(base).stripPrefix("/"))
       .toSet
+    // a standard DV file name, at any prefix depth
+    def isStdDvFile(rel: String): Boolean =
+      rel.substring(rel.lastIndexOf('/') + 1)
+        .matches("deletion_vector_[-0-9a-f]{36}\\.bin")
     val it = fs.listFiles(log.tablePath, true)
     val candidates = Seq.newBuilder[String]
     while (it.hasNext) {
       val st = it.next()
       val rel = st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+      // foreign writers do not tombstone superseded DV files (graft does,
+      // supersededDirTombstones); reclaim ORPHANS — unreferenced and
+      // last-modified before the cutoff — by mtime, the delta-spark rule
+      val dvOrphan = isStdDvFile(rel) && !liveStdDvFiles.contains(rel) &&
+        st.getModificationTime < cutoff
       if (!rel.startsWith("_delta_log") && !isHidden(rel) &&
-          !active.contains(rel) && expired.contains(rel) &&
-          !liveStdDvFiles.contains(rel))
+          !active.contains(rel) &&
+          ((expired.contains(rel) && !liveStdDvFiles.contains(rel)) || dvOrphan))
         candidates += rel
     }
     val result = candidates.result().sorted

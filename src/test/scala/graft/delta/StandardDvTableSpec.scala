@@ -121,6 +121,26 @@ class StandardDvTableSpec extends AnyFunSuite with SparkTestBase {
     assert(Files.exists(dir.resolve(dvRel)))
   }
 
+  test("vacuum reclaims ORPHANED standard DV files by mtime (foreign writers don't tombstone them)") {
+    val (dir, descA) = buildForeignDvTable()
+    // a foreign writer superseded its own DV and left the old file behind:
+    // unreferenced by any add, never tombstoned
+    val Seq(orphan) = StandardDv.writePacked(conf, new Path(dir.toString),
+      Iterator((StandardDv.PositionBitmap.serialize(Array(7L)), 1L)))
+    val orphanRel = orphan.absolutePath(new Path("/")).toUri.getPath.stripPrefix("/")
+    val liveRel = descA.absolutePath(new Path("/")).toUri.getPath.stripPrefix("/")
+    val oldTime = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 400L * 3600 * 1000)
+    Files.setLastModifiedTime(dir.resolve(orphanRel), oldTime)
+    Files.setLastModifiedTime(dir.resolve(liveRel), oldTime) // aged but LIVE
+    val dt = DeltaTable.forPath(spark, dir.toString)
+    val deleted = dt.vacuum()
+    assert(deleted == Seq(orphanRel), deleted)
+    assert(!Files.exists(dir.resolve(orphanRel)))
+    assert(Files.exists(dir.resolve(liveRel)), "live-referenced DV must survive")
+    assert(dt.toDF.count() == 17, "content unchanged after orphan reclaim")
+  }
+
   test("streams classify the DV commit as a delete, never serve the re-adds") {
     val (dir, _) = buildForeignDvTable()
     val log = DeltaLog.forPath(spark, dir.toString)
@@ -183,6 +203,19 @@ class StandardDvTableSpec extends AnyFunSuite with SparkTestBase {
     assert(dt.snapshot.tombstones.exists(_.path == oldRel))
     assert(!Files.exists(dir.resolve(DeletionVectors.Dir)) ||
       Files.list(dir.resolve(DeletionVectors.Dir)).iterator().asScala.isEmpty)
+  }
+
+  test("OPTIMIZE folds foreign standard DVs into clean rewritten files") {
+    val (dir, oldDescA) = buildForeignDvTable()
+    Optimize.compact(spark, dir.toString, targetFileBytes = Long.MaxValue)
+    val dt = DeltaTable.forPath(spark, dir.toString)
+    // logical content preserved, no descriptor survives compaction
+    val ids = dt.toDF.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == ((0L until 20L).toSet -- Set(1L, 3L, 10L)).toSeq.sorted)
+    assert(dt.snapshot.files.flatMap(StandardDv.descriptor).isEmpty)
+    // the superseded packed DV file is tombstoned for vacuum
+    val oldRel = oldDescA.absolutePath(new Path("/")).toUri.getPath.stripPrefix("/")
+    assert(dt.snapshot.tombstones.exists(_.path == oldRel))
   }
 
   test("DV UPDATE on a standard-native table unions the inline positions") {
