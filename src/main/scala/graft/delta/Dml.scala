@@ -427,8 +427,18 @@ object Dml {
     * any deletion vectors applied (a rewrite that re-materialized DV'd rows
     * would silently resurrect them). Distributed parquet read through the
     * same FileIndex as a full scan. */
+  /** Scan exactly `files` (DVs applied), serving the table's LOGICAL
+    * schema: on a column-mapped table the underlying scan speaks physical
+    * names, aliased back here — the same single-conversion-point shape as
+    * [[DeltaTable.toDF]]. */
   private[delta] def scanSubset(spark: SparkSession, log: DeltaLog,
-                                snap: Snapshot, files: Seq[AddAction]) =
-    DeletionVectors.scanWithPos(spark, log, snap, files)
-      .select(snap.schema.fieldNames.map(col).toSeq: _*)
+                                snap: Snapshot, files: Seq[AddAction]) = {
+    val scanned = DeletionVectors.scanWithPos(spark, log, snap, files)
+    if (ColumnMapping.isMapped(snap))
+      scanned.select(snap.schema.fields.map { f =>
+        val phys = ColumnMapping.physicalFieldName(f)
+        scanned.col(s"`$phys`").cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+    else scanned.select(snap.schema.fieldNames.map(col).toSeq: _*)
+  }
 }

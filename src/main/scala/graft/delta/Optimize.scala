@@ -35,14 +35,22 @@ object Optimize {
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
     if (snap.version < 0) throw new NotATableException(path)
-    // OPTIMIZE rewrites data files — refuse up front what the commit fence
-    // would refuse after the rewrite work (e.g. column-mapped tables)
-    ProtocolSupport.assertWritable(snap)
-    val partCols = snap.partitionColumns
+    // compaction reads the table's own bytes and stages them back under
+    // the SAME at-rest names — the physical-name staging contract
+    // (allowNameMapping), so mapped tables get maintenance too
+    ProtocolSupport.assertWritable(snap, allowNameMapping = true)
+    val mapped = ColumnMapping.isMapped(snap)
+    def phys(c: String): String =
+      if (mapped) ColumnMapping.physicalName(snap.schema, c) else c
+    val partCols = snap.partitionColumns          // logical, for df ops
+    val physPartCols = partCols.map(phys)         // at-rest action/dir keys
 
-    // candidate groups: >1 file in the same partition tuple
-    val candidates = PartitionFilter.prune(snap.files, partitionFilters)
-      .groupBy(a => partCols.map(c => a.partitionValues.get(c).orNull))
+    // candidate groups: >1 file in the same partition tuple (physical keys
+    // — `add.partitionValues` speaks at-rest names; caller filters arrive
+    // logical and translate here)
+    val candidates = PartitionFilter.prune(snap.files,
+        partitionFilters.map(PartitionFilter.mapKey(_, phys)))
+      .groupBy(a => physPartCols.map(c => a.partitionValues.get(c).orNull))
       .filter(_._2.size > 1)
     if (candidates.isEmpty)
       return OptimizeMetrics(0, 0, 0, 0, snap.version)
@@ -61,11 +69,16 @@ object Optimize {
     val shaped =
       if (partCols.nonEmpty) df.repartition(math.max(nOut, candidates.size), partCols.map(col): _*)
       else df.repartition(nOut)
+    val staged =
+      if (mapped) ColumnMapping.toPhysical(shaped, snap.schema,
+        attachIds = ColumnMapping.mode(snap) == "id")
+      else shaped
 
-    val adds = GraftWriter.stageFiles(shaped, path, partCols)
+    val adds = GraftWriter.stageFiles(staged, path, physPartCols)
       .map(_.copy(dataChange = false))
     val now = System.currentTimeMillis()
     val txn = log.startTransaction()
+    if (mapped) txn.permitNameMappedCommit()
     oldFiles.foreach(f => txn.addAction(RemoveAction(
       path = f.path, deletionTimestamp = now, dataChange = false,
       extendedFileMetadata = Some(true),
@@ -112,16 +125,22 @@ object Optimize {
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
     if (snap.version < 0) throw new NotATableException(path)
-    ProtocolSupport.assertWritable(snap)
+    ProtocolSupport.assertWritable(snap, allowNameMapping = true)
+    val mapped = ColumnMapping.isMapped(snap)
+    def phys(c: String): String =
+      if (mapped) ColumnMapping.physicalName(snap.schema, c) else c
     val partCols = snap.partitionColumns
     val bad = zorderBy.filter(c => partCols.contains(c) || !snap.schema.fieldNames.contains(c))
     require(bad.isEmpty, s"zorder columns must be non-partition table columns: $bad")
 
-    val oldFiles = PartitionFilter.prune(snap.files, partitionFilters)
+    val oldFiles = PartitionFilter.prune(snap.files,
+      partitionFilters.map(PartitionFilter.mapKey(_, phys)))
     if (oldFiles.isEmpty) return OptimizeMetrics(0, 0, 0, 0, snap.version)
 
     // DV-aware read: the rewrite folds deletion vectors in (new files carry
-    // no DV tags), physically reclaiming deleted rows
+    // no DV tags), physically reclaiming deleted rows. scanSubset serves
+    // LOGICAL names, so the z-value expressions and the partition-range
+    // shuffle below speak the caller's column names on any table.
     val df = Dml.scanSubset(spark, log, snap, oldFiles)
 
     val z = zValue(df, zorderBy, snap.schema)
@@ -132,11 +151,16 @@ object Optimize {
       .repartitionByRange(nOut, (partCols.map(col) :+ col(zc)): _*)
       .sortWithinPartitions((partCols.map(col) :+ col(zc)): _*)
       .drop(zc)
+    val staged =
+      if (mapped) ColumnMapping.toPhysical(shaped, snap.schema,
+        attachIds = ColumnMapping.mode(snap) == "id")
+      else shaped
 
-    val adds = GraftWriter.stageFiles(shaped, path, partCols)
+    val adds = GraftWriter.stageFiles(staged, path, partCols.map(phys))
       .map(_.copy(dataChange = false))
     val now = System.currentTimeMillis()
     val txn = log.startTransaction()
+    if (mapped) txn.permitNameMappedCommit()
     oldFiles.foreach(f => txn.addAction(RemoveAction(
       path = f.path, deletionTimestamp = now, dataChange = false,
       extendedFileMetadata = Some(true),

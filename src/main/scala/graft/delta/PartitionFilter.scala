@@ -48,6 +48,17 @@ object PartitionFilter {
       s"invalid partition filter op '$other' for value list (expected in or not in)")
   }
 
+  /** Rebuild a filter with its partition key renamed — the logical→physical
+    * translation point for column-mapped tables, whose `partitionValues`
+    * are keyed by at-rest physical names. */
+  def mapKey(f: PartitionFilter, rename: String => String): PartitionFilter =
+    f match {
+      case Eq(k, v)     => Eq(rename(k), v)
+      case Ne(k, v)     => Ne(rename(k), v)
+      case In(k, vs)    => In(rename(k), vs)
+      case NotIn(k, vs) => NotIn(rename(k), vs)
+    }
+
   /** Keep files where ALL filters match — `get_files_by_partitions`' pruning
     * fold (`rust/src/delta.rs:733-766`), evaluated against
     * `Add.partitionValues` (authoritative; the reference re-derives from the

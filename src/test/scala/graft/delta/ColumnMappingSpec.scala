@@ -328,6 +328,45 @@ class ColumnMappingSpec extends AnyFunSuite with SparkTestBase {
     assert(probe.as[Long].collect().toSeq == Seq(20L))
   }
 
+  test("OPTIMIZE compaction and Z-ORDER serve mapped tables, staging physical") {
+    val dir = mappedTable()
+    GraftWriter.write(logicalRows((4L, 40L, "West")), dir,
+      mode = org.apache.spark.sql.SaveMode.Append) // West now holds 2 files
+    val m = Optimize.compact(spark, dir, targetFileBytes = Long.MaxValue)
+    assert(m.filesRemoved == 2 && m.filesAdded == 1, m)
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.toDF.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 10L, 11L))
+    // the rewritten file is at-rest physical at every nesting level
+    val westAdd = dt.snapshot.files
+      .find(_.partitionValues.get(PhysPart).contains("West")).get
+    val raw = spark.read.parquet(new java.io.File(dir, westAdd.path).getAbsolutePath)
+    assert(raw.schema.fieldNames.toSet == Set(PhysId, PhysNest))
+    assert(westAdd.stats.exists(_.contains(PhysId)), "stats keyed physically")
+    // Z-ORDER on a logical column name over the same table
+    val z = Optimize.zorder(spark, dir, Seq("id"), targetFileBytes = Long.MaxValue)
+    assert(z.filesRemoved >= 1)
+    assert(DeltaTable.forPath(spark, dir).toDF
+      .select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 10L, 11L))
+  }
+
+  test("OPTIMIZE on an id-mapped table keeps footer ids (raw probe)") {
+    val dir = idTable()
+    GraftWriter.write(logicalRows((5L, 50L, "West")), dir,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    val m = Optimize.compact(spark, dir, targetFileBytes = Long.MaxValue)
+    assert(m.filesRemoved == 2 && m.filesAdded == 1, m)
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.toDF.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 5L))
+    val add = dt.snapshot.files.head
+    val probe = spark.read
+      .schema(StructType(Seq(StructField("zz", LongType, nullable = true, fid(1)))))
+      .parquet(new java.io.File(dir, add.path).getAbsolutePath)
+    assert(probe.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 5L))
+  }
+
   test("an id table whose files lack footer ids fails loudly, never nulls") {
     val dir = mappedTable(mode = "id") // fixture files carry NO field ids
     val e = intercept[Exception] {
