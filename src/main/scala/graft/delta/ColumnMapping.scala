@@ -33,9 +33,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, Metadata, Metad
   * ([[toPhysical]]; Spark writes `parquet.field.id` metadata into footers
   * by default).
   *
-  * Out of scope, refused loudly: DML/OPTIMIZE on mapped tables (physical-
-  * name allocation for rewrites), and mapping-mode values other than
-  * none/name/id.
+  * Writes on mapped tables all ride the same physical staging: appends and
+  * overwrites ([[GraftWriter]]), copy-on-write DELETE/UPDATE ([[Dml]] —
+  * logical predicates against the aliased scan, rewrites staged back via
+  * [[toPhysical]]), and OPTIMIZE/Z-ORDER ([[Optimize]]). Out of scope,
+  * refused loudly: MERGE and merge-on-read (DV) DML on mapped tables
+  * (graft DML falls back to copy-on-write there), schema evolution, and
+  * mapping-mode values other than none/name/id.
   */
 object ColumnMapping {
 
@@ -114,17 +118,23 @@ object ColumnMapping {
     * physical columns, physical partition dirs, physical footer-stats keys.
     * `logical` is the TABLE's schema (it carries the physicalName
     * metadata); `df`'s columns are matched to it by name. */
+  /** `passthrough` columns (feed metadata like `_change_type`) keep their
+    * names untouched — the protocol never maps them. */
   def toPhysical(df: org.apache.spark.sql.DataFrame,
                  logical: StructType,
-                 attachIds: Boolean = false): org.apache.spark.sql.DataFrame = {
+                 attachIds: Boolean = false,
+                 passthrough: Set[String] = Set.empty): org.apache.spark.sql.DataFrame = {
     val byName = logical.fields.map(f => f.name -> f).toMap
     df.select(df.schema.fieldNames.toSeq.map { n =>
-      val f = byName.getOrElse(n, throw new IllegalArgumentException(
-        s"column $n is not in the mapped table's schema"))
-      val physDt = physicalType(f.dataType, attachIds)
-      val c = df.col(s"`$n`")
-      (if (physDt == f.dataType) c else c.cast(physDt))
-        .as(physicalFieldName(f), withFieldId(f.metadata, attachIds))
+      if (passthrough.contains(n)) df.col(s"`$n`")
+      else {
+        val f = byName.getOrElse(n, throw new IllegalArgumentException(
+          s"column $n is not in the mapped table's schema"))
+        val physDt = physicalType(f.dataType, attachIds)
+        val c = df.col(s"`$n`")
+        (if (physDt == f.dataType) c else c.cast(physDt))
+          .as(physicalFieldName(f), withFieldId(f.metadata, attachIds))
+      }
     }: _*)
   }
 }

@@ -34,10 +34,15 @@ object Dml {
   def delete(spark: SparkSession, path: String, predicate: Column): DmlMetrics = {
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
-    // fence BEFORE any scan/stage work: on e.g. a column-mapped table the
-    // refusal must be the protocol one, not a downstream analysis error
-    ProtocolSupport.assertWritable(snap)
-    if (TableConfig.deletionVectorsEnabled(TableConfig.of(snap)))
+    // fence BEFORE any scan/stage work: the copy-on-write rewrite stages
+    // under at-rest names on mapped tables (allowNameMapping); anything
+    // the rewrite cannot maintain still refuses here
+    ProtocolSupport.assertWritable(snap, allowNameMapping = true)
+    // merge-on-read needs a logical-predicate scan over the DV position
+    // substrate that is not mapped-aware; on mapped tables fall back to
+    // the (logically identical) copy-on-write rewrite
+    if (TableConfig.deletionVectorsEnabled(TableConfig.of(snap)) &&
+        !ColumnMapping.isMapped(snap))
       deleteWithDv(spark, path, predicate, Some((log, snap)))
     else rewrite(spark, log, snap, predicate, "DELETE", df => df, keepMatches = false)
   }
@@ -47,8 +52,9 @@ object Dml {
              assignments: Map[String, Column]): DmlMetrics = {
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
-    ProtocolSupport.assertWritable(snap)
-    if (TableConfig.deletionVectorsEnabled(TableConfig.of(snap)))
+    ProtocolSupport.assertWritable(snap, allowNameMapping = true)
+    if (TableConfig.deletionVectorsEnabled(TableConfig.of(snap)) &&
+        !ColumnMapping.isMapped(snap))
       updateWithDv(spark, path, predicate, assignments, Some((log, snap)))
     else rewrite(spark, log, snap, predicate, "UPDATE", df => {
       val matches = coalesce(predicate, lit(false))
@@ -332,11 +338,24 @@ object Dml {
     if (TableConfig.appendOnly(TableConfig.of(snap)))
       throw new AppendOnlyTableException(path)
     val dt = new DeltaTable(log, snap)
+    val mapped = ColumnMapping.isMapped(snap)
+    def phys(c: String): String =
+      if (mapped) ColumnMapping.physicalName(snap.schema, c) else c
 
     // 1. which files contain matching rows? (predicate pushed into the
     // scan; provenance from the DV-aware scan's path column, since
-    // input_file_name() is illegal over a DV anti-join plan)
-    val affectedRel = DeletionVectors.scanWithPos(spark, log, snap, snap.files)
+    // input_file_name() is illegal over a DV anti-join plan). On mapped
+    // tables the scan speaks physical names — alias to logical so the
+    // caller's predicate resolves, keeping the provenance column.
+    val scanned = DeletionVectors.scanWithPos(spark, log, snap, snap.files)
+    val logicalScan =
+      if (mapped)
+        scanned.select((snap.schema.fields.toSeq.map { f =>
+          val p = ColumnMapping.physicalFieldName(f)
+          scanned.col(s"`$p`").cast(f.dataType).as(f.name)
+        } :+ scanned.col(DeletionVectors.PathCol)): _*)
+      else scanned
+    val affectedRel = logicalScan
       .filter(predicate)
       .select(col(DeletionVectors.PathCol)).distinct()
       .collect().map(_.getString(0)).toSet
@@ -365,13 +384,20 @@ object Dml {
       else affectedDf.filter(!coalesce(predicate, lit(false)))
     // only UPDATE carries an observed metric; DELETE must not wait on one
     val checked = Constraints.enforce(rewritten, snap)
+    // mapped tables: rewritten files stage under at-rest names (and footer
+    // field ids under mode=id), exactly like appends
+    def staged(df: org.apache.spark.sql.DataFrame) =
+      if (mapped) ColumnMapping.toPhysical(df, snap.schema,
+        attachIds = ColumnMapping.mode(snap) == "id")
+      else df
+    val physPartCols = snap.partitionColumns.map(phys)
     val (adds, observed) =
       if (keepMatches)
         ObservedMetrics.run(spark, metricName) {
-          GraftWriter.stageFiles(checked, path, snap.partitionColumns)
+          GraftWriter.stageFiles(staged(checked), path, physPartCols)
         }
       else
-        (GraftWriter.stageFiles(checked, path, snap.partitionColumns), None)
+        (GraftWriter.stageFiles(staged(checked), path, physPartCols), None)
     val afterRows = adds.flatMap(_.stats.flatMap(ActionCodec.statsFromJson))
       .map(_.numRecords).sum
     val rowsAffected =
@@ -394,17 +420,25 @@ object Dml {
               .unionByName(transform(matchedRows)
                 .withColumn(ChangeDataFeed.ChangeType, lit("update_postimage")))
           else matchedRows.withColumn(ChangeDataFeed.ChangeType, lit("delete"))
-        ChangeDataFeed.stage(spark, log, changes)
+        // change files are at-rest files: physical names on mapped tables
+        // (the feed reader scans them physical and aliases back)
+        ChangeDataFeed.stage(spark, log,
+          if (mapped) ColumnMapping.toPhysical(changes, snap.schema,
+            attachIds = ColumnMapping.mode(snap) == "id",
+            passthrough = Set(ChangeDataFeed.ChangeType))
+          else changes)
       }
 
     // 3. one commit: remove affected, add rewrites. The predicate's
     // partition-column projection becomes the declared read domain, so
-    // concurrent adds in disjoint partitions commute instead of aborting us.
+    // concurrent adds in disjoint partitions commute instead of aborting us
+    // (read-filter keys translate to the at-rest partitionValues space).
     val now = System.currentTimeMillis()
     val txn = log.startTransaction().withReadFilters(
       PartitionFilter.fromCatalyst(
         org.apache.spark.sql.graftbridge.ColumnBridge.catalystExpression(predicate),
-        snap.partitionColumns))
+        snap.partitionColumns).map(PartitionFilter.mapKey(_, phys)))
+    if (mapped) txn.permitNameMappedCommit()
     affected.foreach(f => txn.addAction(RemoveAction(
       path = f.path, deletionTimestamp = now, dataChange = true,
       extendedFileMetadata = Some(true),

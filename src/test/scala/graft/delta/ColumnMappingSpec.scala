@@ -227,7 +227,7 @@ class ColumnMappingSpec extends AnyFunSuite with SparkTestBase {
     assert(deleted == Seq(1L, 2L, 3L, 10L, 11L))
   }
 
-  test("schema evolution, DML, DDL, format reads, unknown stream columns, mode=id refuse") {
+  test("schema evolution, MERGE, DDL, format reads, unknown stream columns refuse") {
     val dir = mappedTable()
     intercept[UnsupportedProtocolException] {
       GraftWriter.write(
@@ -235,7 +235,8 @@ class ColumnMappingSpec extends AnyFunSuite with SparkTestBase {
         mode = org.apache.spark.sql.SaveMode.Append, mergeSchema = true)
     }
     intercept[UnsupportedProtocolException] {
-      Dml.delete(spark, dir, col("id") === 1L)
+      Merge.into(spark, dir, logicalRows((1L, 99L, "West")).as("s"),
+        col("t.id") === col("s.id")).whenMatchedDelete().execute()
     }
     intercept[UnsupportedProtocolException] {
       DeltaTable.forPath(spark, dir).setProperties(Map("delta.appendOnly" -> "false"))
@@ -326,6 +327,40 @@ class ColumnMappingSpec extends AnyFunSuite with SparkTestBase {
       .schema(StructType(Seq(StructField("zz", LongType, nullable = true, fid(1)))))
       .parquet(new java.io.File(dir, newAdd.path).getAbsolutePath)
     assert(probe.as[Long].collect().toSeq == Seq(20L))
+  }
+
+  test("CoW DELETE and UPDATE serve mapped tables: logical predicates, physical staging, CDF intact") {
+    val dir = mappedTable(extraConfig = Map("delta.enableChangeDataFeed" -> "true"))
+    val d = Dml.delete(spark, dir, col("id") === 2L)
+    assert(d.rowsAffected == 1)
+    assert(DeltaTable.forPath(spark, dir).toDF
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 10L, 11L))
+    val u = Dml.update(spark, dir, col("id") === 10L,
+      Map("meta" -> struct(lit(999L).as("score"))))
+    assert(u.rowsAffected == 1)
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.toDF.filter(col("id") === 10L)
+      .select("meta.score").as[Long].head() == 999L)
+    // the rewritten file is at-rest physical (columns + stats keys)
+    val eastAdd = dt.snapshot.files
+      .find(_.partitionValues.get(PhysPart).contains("East")).get
+    val raw = spark.read.parquet(new java.io.File(dir, eastAdd.path).getAbsolutePath)
+    assert(raw.schema.fieldNames.toSet == Set(PhysId, PhysNest))
+    // CDF images captured physically, served logically
+    val log = DeltaLog.forPath(spark, dir)
+    val feed = ChangeDataFeed.readChanges(spark, log, 0L, log.update().version)
+    assert(feed.filter(col(ChangeDataFeed.ChangeType) === "delete")
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(feed.filter(col(ChangeDataFeed.ChangeType) === "update_postimage")
+      .select("meta.score").as[Long].collect().toSeq == Seq(999L))
+  }
+
+  test("CoW DELETE serves id-mapped tables (readback proves footer ids held)") {
+    val dir = idTable()
+    val d = Dml.delete(spark, dir, col("id") === 2L)
+    assert(d.rowsAffected == 1)
+    assert(DeltaTable.forPath(spark, dir).toDF
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
   }
 
   test("OPTIMIZE compaction and Z-ORDER serve mapped tables, staging physical") {

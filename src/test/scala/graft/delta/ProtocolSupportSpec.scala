@@ -98,16 +98,16 @@ class ProtocolSupportSpec extends AnyFunSuite with SparkTestBase {
     assert(DeltaTable.forPath(spark, dir).toDF
       .select("id", "v").as[(Long, String)].collect().toSeq == Seq((1L, "a")))
     // plain appends stage under physical names (here ≡ logical, the
-    // fallback) and round-trip; DML still refuses (no physical-name DML)
+    // fallback) and round-trip; CoW DML rides the same physical staging
     GraftWriter.write(Seq((2L, "b")).toDF("id", "v"), dir,
       mode = org.apache.spark.sql.SaveMode.Append)
     assert(DeltaTable.forPath(spark, dir).toDF
       .select("id", "v").as[(Long, String)].collect().sortBy(_._1).toSeq ==
       Seq((1L, "a"), (2L, "b")))
-    val w = intercept[UnsupportedProtocolException] {
-      Dml.delete(spark, dir, org.apache.spark.sql.functions.col("id") === 1L)
-    }
-    assert(w.getMessage.contains("column mapping"))
+    val del = Dml.delete(spark, dir, org.apache.spark.sql.functions.col("id") === 1L)
+    assert(del.rowsAffected == 1)
+    assert(DeltaTable.forPath(spark, dir).toDF
+      .select("id", "v").as[(Long, String)].collect().toSeq == Seq((2L, "b")))
     // mode=id matches by parquet footer field ids (ColumnMappingSpec). On
     // THIS table the schema carries no per-field id metadata, so the read
     // schema has no ids to match and the same logical-name fallback as the
