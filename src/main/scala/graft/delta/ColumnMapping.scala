@@ -34,11 +34,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, Metadata, Metad
   * by default).
   *
   * Writes on mapped tables all ride the same physical staging: appends and
-  * overwrites ([[GraftWriter]]), copy-on-write DELETE/UPDATE ([[Dml]] —
-  * logical predicates against the aliased scan, rewrites staged back via
-  * [[toPhysical]]), and OPTIMIZE/Z-ORDER ([[Optimize]]). Out of scope,
-  * refused loudly: MERGE and merge-on-read (DV) DML on mapped tables
-  * (graft DML falls back to copy-on-write there), schema evolution, and
+  * overwrites ([[GraftWriter]], SQL INSERT via [[GraftDeltaInserts]]),
+  * copy-on-write AND merge-on-read (DV) DELETE/UPDATE plus MERGE ([[Dml]]/
+  * [[MergeBuilder]] — logical predicates/clauses against the aliased scan,
+  * rewrites staged back via [[toPhysical]]), OPTIMIZE/Z-ORDER
+  * ([[Optimize]]), and mergeSchema evolution (new columns allocate
+  * `col-<uuid>` physical names + ids, [[ColumnMappingDdl.allocateField]]).
+  * [[ColumnMappingDdl]] is the authoring side: upgrade to mode=name,
+  * RENAME/DROP COLUMN as metadata-only commits. Out of scope, refused
+  * loudly: wholesale schema replacement (`overwriteSchema`) and
   * mapping-mode values other than none/name/id.
   */
 object ColumnMapping {

@@ -56,6 +56,20 @@ object DeltaSchema {
     case other => other
   }
 
+  /** Shape-only view of a type: names + types at every nesting level,
+    * nullability and field metadata erased. Parquet round-trips are
+    * insensitive to both, so schema compatibility checks (exact-match
+    * writes, mergeSchema conflict detection) compare THIS — StructField
+    * equality would drag in nested nullability and e.g. a mapped table's
+    * columnMapping annotations. */
+  def structural(dt: DataType): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f => StructField(f.name, structural(f.dataType))))
+    case a: ArrayType => ArrayType(structural(a.elementType))
+    case m: MapType => MapType(structural(m.keyType), structural(m.valueType))
+    case other => other
+  }
+
   private val supportedPrimitives: Set[DataType] = Set(
     StringType, LongType, IntegerType, ShortType, ByteType, FloatType,
     DoubleType, BooleanType, BinaryType, DateType, TimestampType)

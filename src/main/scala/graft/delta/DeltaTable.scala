@@ -241,12 +241,27 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
   def setProperties(props: Map[String, String]): Long = {
     TableConfig.validate(props)
     val snap = log.update()
-    // DDL commits default to the plain write fence (mapped tables refuse —
-    // fail here with the protocol reason, before staging the metaData)
-    ProtocolSupport.assertWritable(snap)
+    // mode flips route to the real upgrade (field ids + physical names +
+    // protocol floor) — a bare config change would flip scans to physical
+    // names no file carries
+    val curMode = ColumnMapping.mode(TableConfig.of(snap))
+    props.get(ColumnMapping.ModeKey).filterNot(_.trim == curMode).foreach { m =>
+      if (curMode == "none" && m.trim == "name") {
+        require(props.size == 1,
+          s"set ${ColumnMapping.ModeKey} in its own call: the upgrade " +
+          "rewrites the schema's field metadata, not just configuration")
+        return ColumnMappingDdl.enableNameMapping(spark, log.tablePath.toString)
+      }
+      throw new UnsupportedProtocolException(
+        s"unsupported Delta table: cannot change column mapping mode " +
+        s"'$curMode' to '$m' (only none → name upgrades exist)")
+    }
+    // property commits stage no data files, so mapped tables are safe here
+    ProtocolSupport.assertWritable(snap, allowNameMapping = true)
     val md = snap.metadata.getOrElse(
       throw new IllegalStateException(s"table ${log.tablePath} has no metadata"))
     val txn = log.startTransaction()
+    if (ColumnMapping.isMapped(snap)) txn.permitNameMappedCommit()
     txn.addAction(md.copy(configuration = md.configuration ++ props))
     // Enabling deletion vectors fences foreign readers (protocol bump to
     // the table-features floor); see DeletionVectors.protocolFence. Readers
@@ -268,9 +283,17 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
   /** Remove table properties by key (no-op keys ignored). */
   def unsetProperties(keys: Seq[String]): Long = {
     val snap = log.update()
+    if (ColumnMapping.isMapped(snap) &&
+        keys.exists(k => k == ColumnMapping.ModeKey ||
+          k == ColumnMappingDdl.MaxColumnIdKey))
+      throw new UnsupportedProtocolException(
+        "unsupported Delta table: unsetting the column-mapping properties " +
+        "of a mapped table would flip every scan to logical names no file " +
+        "carries")
     val md = snap.metadata.getOrElse(
       throw new IllegalStateException(s"table ${log.tablePath} has no metadata"))
     val txn = log.startTransaction()
+    if (ColumnMapping.isMapped(snap)) txn.permitNameMappedCommit()
     txn.addAction(md.copy(configuration = md.configuration -- keys))
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", System.currentTimeMillis())
@@ -296,6 +319,21 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
   /** Drop a CHECK constraint by name. */
   def dropCheckConstraint(name: String): Long =
     unsetProperties(Seq(Constraints.Prefix + name))
+
+  /** Upgrade to `delta.columnMapping.mode = name` — the one-commit flip
+    * that makes [[renameColumn]]/[[dropColumn]] metadata-only
+    * ([[ColumnMappingDdl.enableNameMapping]]). */
+  def enableColumnMapping(): Long =
+    ColumnMappingDdl.enableNameMapping(spark, log.tablePath.toString)
+
+  /** RENAME COLUMN (requires column mapping; `from` may be a dotted path
+    * into structs). Metadata-only — no data file is touched. */
+  def renameColumn(from: String, to: String): Long =
+    ColumnMappingDdl.renameColumn(spark, log.tablePath.toString, from, to)
+
+  /** DROP COLUMN (requires column mapping). Metadata-only. */
+  def dropColumn(colName: String): Long =
+    ColumnMappingDdl.dropColumn(spark, log.tablePath.toString, colName)
 }
 
 object DeltaTable {

@@ -38,11 +38,7 @@ object Dml {
     // under at-rest names on mapped tables (allowNameMapping); anything
     // the rewrite cannot maintain still refuses here
     ProtocolSupport.assertWritable(snap, allowNameMapping = true)
-    // merge-on-read needs a logical-predicate scan over the DV position
-    // substrate that is not mapped-aware; on mapped tables fall back to
-    // the (logically identical) copy-on-write rewrite
-    if (TableConfig.deletionVectorsEnabled(TableConfig.of(snap)) &&
-        !ColumnMapping.isMapped(snap))
+    if (TableConfig.deletionVectorsEnabled(TableConfig.of(snap)))
       deleteWithDv(spark, path, predicate, Some((log, snap)))
     else rewrite(spark, log, snap, predicate, "DELETE", df => df, keepMatches = false)
   }
@@ -53,8 +49,7 @@ object Dml {
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
     ProtocolSupport.assertWritable(snap, allowNameMapping = true)
-    if (TableConfig.deletionVectorsEnabled(TableConfig.of(snap)) &&
-        !ColumnMapping.isMapped(snap))
+    if (TableConfig.deletionVectorsEnabled(TableConfig.of(snap)))
       updateWithDv(spark, path, predicate, assignments, Some((log, snap)))
     else rewrite(spark, log, snap, predicate, "UPDATE", df => {
       val matches = coalesce(predicate, lit(false))
@@ -77,9 +72,12 @@ object Dml {
       val l = DeltaLog.forPath(spark, path); (l, l.update())
     }
     if (snap.version < 0) throw new NotATableException(path)
-    ProtocolSupport.assertWritable(snap)
+    ProtocolSupport.assertWritable(snap, allowNameMapping = true)
     if (TableConfig.appendOnly(TableConfig.of(snap)))
       throw new AppendOnlyTableException(path)
+    val mapped = ColumnMapping.isMapped(snap)
+    def phys(c: String): String =
+      if (mapped) ColumnMapping.physicalName(snap.schema, c) else c
 
     val (affected, dvRel, counts) = stageDeletionVector(spark, log, snap, predicate)
     if (affected.isEmpty) return DmlMetrics(0, 0, snap.version)
@@ -90,16 +88,19 @@ object Dml {
     val cdcActions =
       if (!ChangeDataFeed.enabled(snap)) Nil
       else ChangeDataFeed.stage(spark, log,
-        DeletionVectors.scanWithPos(spark, log, snap, affected.map(_._1))
-          .filter(coalesce(predicate, lit(false)))
-          .select(snap.schema.fieldNames.map(col).toSeq: _*)
-          .withColumn(ChangeDataFeed.ChangeType, lit("delete")))
+        stagedPhysical(snap,
+          logicalScanWithMeta(spark, log, snap, affected.map(_._1))
+            .filter(coalesce(predicate, lit(false)))
+            .select(snap.schema.fieldNames.map(col).toSeq: _*)
+            .withColumn(ChangeDataFeed.ChangeType, lit("delete")),
+          passthrough = Set(ChangeDataFeed.ChangeType)))
 
     val now = System.currentTimeMillis()
     val txn = log.startTransaction().withReadFilters(
       PartitionFilter.fromCatalyst(
         org.apache.spark.sql.graftbridge.ColumnBridge.catalystExpression(predicate),
-        snap.partitionColumns))
+        snap.partitionColumns).map(PartitionFilter.mapKey(_, phys)))
+    if (mapped) txn.permitNameMappedCommit()
     val dvStorage = commitDvReAdds(spark, log, txn, snap, affected, dvRel, now)
     txn.addActions(cdcActions)
     val info = ActionCodec.mapper.createObjectNode()
@@ -124,22 +125,26 @@ object Dml {
       val l = DeltaLog.forPath(spark, path); (l, l.update())
     }
     if (snap.version < 0) throw new NotATableException(path)
-    ProtocolSupport.assertWritable(snap)
+    ProtocolSupport.assertWritable(snap, allowNameMapping = true)
     if (TableConfig.appendOnly(TableConfig.of(snap)))
       throw new AppendOnlyTableException(path)
+    val mapped = ColumnMapping.isMapped(snap)
+    def phys(c: String): String =
+      if (mapped) ColumnMapping.physicalName(snap.schema, c) else c
 
     val (affected, dvRel, counts) = stageDeletionVector(spark, log, snap, predicate)
     if (affected.isEmpty) return DmlMetrics(0, 0, snap.version)
 
     // matched rows (logical view, old DVs applied) → assignments → append
-    val matched = DeletionVectors.scanWithPos(spark, log, snap, snap.files)
+    val matched = logicalScanWithMeta(spark, log, snap, snap.files)
       .filter(coalesce(predicate, lit(false)))
       .select(snap.schema.fieldNames.map(col).toSeq: _*)
     val updated = assignments.foldLeft(matched) {
       case (d, (name, value)) => d.withColumn(name, value)
     }
     val checked = Constraints.enforce(updated, snap)
-    val newAdds = GraftWriter.stageFiles(checked, path, snap.partitionColumns)
+    val newAdds = GraftWriter.stageFiles(stagedPhysical(snap, checked), path,
+      snap.partitionColumns.map(phys))
     val rowsUpdated = counts.values.sum
 
     // CDF: pre-images are the matched rows as scanned, post-images the
@@ -147,15 +152,18 @@ object Dml {
     val cdcActions =
       if (!ChangeDataFeed.enabled(snap)) Nil
       else ChangeDataFeed.stage(spark, log,
-        matched.withColumn(ChangeDataFeed.ChangeType, lit("update_preimage"))
-          .unionByName(updated.select(snap.schema.fieldNames.map(col).toSeq: _*)
-            .withColumn(ChangeDataFeed.ChangeType, lit("update_postimage"))))
+        stagedPhysical(snap,
+          matched.withColumn(ChangeDataFeed.ChangeType, lit("update_preimage"))
+            .unionByName(updated.select(snap.schema.fieldNames.map(col).toSeq: _*)
+              .withColumn(ChangeDataFeed.ChangeType, lit("update_postimage"))),
+          passthrough = Set(ChangeDataFeed.ChangeType)))
 
     val now = System.currentTimeMillis()
     val txn = log.startTransaction().withReadFilters(
       PartitionFilter.fromCatalyst(
         org.apache.spark.sql.graftbridge.ColumnBridge.catalystExpression(predicate),
-        snap.partitionColumns))
+        snap.partitionColumns).map(PartitionFilter.mapKey(_, phys)))
+    if (mapped) txn.permitNameMappedCommit()
     val dvStorage = commitDvReAdds(spark, log, txn, snap, affected, dvRel, now)
     txn.addActions(newAdds)
     txn.addActions(cdcActions)
@@ -175,6 +183,15 @@ object Dml {
   /** Table-relative parent directory of a staged cdc file. */
   private def parentDir(c: CdcAction): String =
     c.path.substring(0, c.path.lastIndexOf('/'))
+
+  /** Logical-named frame → the table's at-rest names for staging (footer
+    * field ids under mode=id); unmapped tables pass through. */
+  private def stagedPhysical(snap: Snapshot, df: org.apache.spark.sql.DataFrame,
+                             passthrough: Set[String] = Set.empty) =
+    if (ColumnMapping.isMapped(snap))
+      ColumnMapping.toPhysical(df, snap.schema,
+        attachIds = ColumnMapping.mode(snap) == "id", passthrough = passthrough)
+    else df
 
   /** Commit, or — on ANY commit failure (conflict, abort) — delete the
     * staged DV/CDC directories and staged rewrite files before rethrowing:
@@ -216,7 +233,9 @@ object Dml {
     }
 
     val (rel1, abs1) = freshDir()
-    DeletionVectors.scanWithPos(spark, log, snap, snap.files)
+    // mapped tables: the predicate speaks logical names, the provenance
+    // columns survive the alias (logicalScanWithMeta)
+    logicalScanWithMeta(spark, log, snap, snap.files)
       .filter(coalesce(predicate, lit(false)))
       .select(col(PathCol).as("path"), col(PosCol).as("pos"))
       .write.parquet(abs1.toString)
@@ -347,15 +366,7 @@ object Dml {
     // input_file_name() is illegal over a DV anti-join plan). On mapped
     // tables the scan speaks physical names — alias to logical so the
     // caller's predicate resolves, keeping the provenance column.
-    val scanned = DeletionVectors.scanWithPos(spark, log, snap, snap.files)
-    val logicalScan =
-      if (mapped)
-        scanned.select((snap.schema.fields.toSeq.map { f =>
-          val p = ColumnMapping.physicalFieldName(f)
-          scanned.col(s"`$p`").cast(f.dataType).as(f.name)
-        } :+ scanned.col(DeletionVectors.PathCol)): _*)
-      else scanned
-    val affectedRel = logicalScan
+    val affectedRel = logicalScanWithMeta(spark, log, snap, snap.files)
       .filter(predicate)
       .select(col(DeletionVectors.PathCol)).distinct()
       .collect().map(_.getString(0)).toSet
@@ -386,10 +397,7 @@ object Dml {
     val checked = Constraints.enforce(rewritten, snap)
     // mapped tables: rewritten files stage under at-rest names (and footer
     // field ids under mode=id), exactly like appends
-    def staged(df: org.apache.spark.sql.DataFrame) =
-      if (mapped) ColumnMapping.toPhysical(df, snap.schema,
-        attachIds = ColumnMapping.mode(snap) == "id")
-      else df
+    def staged(df: org.apache.spark.sql.DataFrame) = stagedPhysical(snap, df)
     val physPartCols = snap.partitionColumns.map(phys)
     val (adds, observed) =
       if (keepMatches)
@@ -474,5 +482,21 @@ object Dml {
         scanned.col(s"`$phys`").cast(f.dataType).as(f.name)
       }.toSeq: _*)
     else scanned.select(snap.schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** As [[scanSubset]], but KEEPING the scan's provenance metadata
+    * ([[DeletionVectors.PathCol]]/[[DeletionVectors.PosCol]]) alongside the
+    * logical columns — the shape affected-file detection and DV staging
+    * need (caller predicates resolve logically; file/position provenance
+    * survives the alias). Unmapped tables pass through unchanged. */
+  private[delta] def logicalScanWithMeta(spark: SparkSession, log: DeltaLog,
+                                         snap: Snapshot, files: Seq[AddAction]) = {
+    val scanned = DeletionVectors.scanWithPos(spark, log, snap, files)
+    if (!ColumnMapping.isMapped(snap)) scanned
+    else scanned.select((snap.schema.fields.toSeq.map { f =>
+      val p = ColumnMapping.physicalFieldName(f)
+      scanned.col(s"`$p`").cast(f.dataType).as(f.name)
+    } ++ Seq(scanned.col(DeletionVectors.PathCol),
+             scanned.col(DeletionVectors.PosCol))): _*)
   }
 }

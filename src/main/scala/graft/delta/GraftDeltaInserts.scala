@@ -44,13 +44,26 @@ object GraftDeltaInserts extends Rule[LogicalPlan] {
                                   dynamicMode: Boolean): Long = {
     val snap = log.update()
     val txn = log.startTransaction()
-    val adds = GraftWriter.stageFiles(Constraints.enforce(ordered, snap),
-      log.tablePath.toString, snap.partitionColumns)
+    // mapped tables: stage under at-rest names (+ footer ids under
+    // mode=id); the SQL-side partition spec speaks logical names while
+    // add.partitionValues is keyed physically
+    val mapped = ColumnMapping.isMapped(snap)
+    if (mapped) txn.permitNameMappedCommit()
+    def phys(c: String): String =
+      if (mapped) ColumnMapping.physicalName(snap.schema, c) else c
+    // constraints speak logical names — enforce BEFORE the physical rename
+    val enforced = Constraints.enforce(ordered, snap)
+    val staged =
+      if (mapped) ColumnMapping.toPhysical(enforced, snap.schema,
+        attachIds = ColumnMapping.mode(snap) == "id")
+      else enforced
+    val adds = GraftWriter.stageFiles(staged,
+      log.tablePath.toString, snap.partitionColumns.map(phys))
     val removes: Seq[AddAction] =
       if (!overwrite) Nil
       else if (staticPartitions.nonEmpty)
         snap.files.filter(f => staticPartitions.forall { case (k, v) =>
-          f.partitionValues.get(k).contains(v)
+          f.partitionValues.get(phys(k)).contains(v)
         })
       else if (snap.partitionColumns.nonEmpty && dynamicMode) {
         val touched = adds.map(_.partitionValues).toSet

@@ -57,17 +57,19 @@ object GraftWriter {
     // name-mapped tables take the plain append/overwrite path: the frame
     // is renamed to PHYSICAL column names before staging (toPhysical
     // below), so data files, partition dirs, and footer-stats keys all
-    // land protocol-correct. Schema/partitioning changes stay refused —
-    // they would need physical-name + field-id allocation.
+    // land protocol-correct. mergeSchema allocates fresh ids + col-<uuid>
+    // physical names for appended columns (ColumnMappingDdl.allocateField);
+    // wholesale schema REPLACEMENT stays refused — remapping every field
+    // would orphan the old files' columns.
     val mapped = exists && ColumnMapping.isMapped(snap)
     // the protocol fence fires first: an unsupported capability is the
     // real reason, not the schema mismatch physical names masquerade as
     if (exists) ProtocolSupport.assertWritable(snap, allowNameMapping = true)
-    if (mapped && (mergeSchema || overwriteSchema || configuration.nonEmpty))
+    if (mapped && (overwriteSchema || configuration.nonEmpty))
       throw new UnsupportedProtocolException(
-        s"schema evolution / replacement on the column-mapped table $path " +
-        "is not implemented (new columns would need physical-name and " +
-        "column-id allocation)")
+        s"schema replacement on the column-mapped table $path " +
+        "is not implemented (remapping every field would orphan the old " +
+        "files' columns)")
     // configuration override is a CREATE/REPLACE concept: a plain append or
     // overwrite must not silently mutate table properties
     require(configuration.isEmpty || !exists || overwriteSchema,
@@ -111,25 +113,30 @@ object GraftWriter {
             configuration = newConfig))
       } else if (mergeSchema) {
         evolvedMetadata = evolveSchema(snap, df.schema)
+        if (mapped) evolvedMetadata = evolvedMetadata.map { em =>
+          // appended columns get fresh ids + col-<uuid> physical names so
+          // files staged from here on resolve them
+          var maxId = ColumnMappingDdl.maxColumnId(em.configuration)
+          val existing = snap.schema.fieldNames.toSet
+          val annotated = DeltaSchema.fromJson(em.schemaString).fields.map { f =>
+            if (existing.contains(f.name)) f
+            else {
+              val (af, nid) = ColumnMappingDdl.allocateField(f, maxId)
+              maxId = nid; af
+            }
+          }
+          em.copy(
+            schemaString = DeltaSchema.toJson(
+              org.apache.spark.sql.types.StructType(annotated)),
+            configuration = em.configuration +
+              (ColumnMappingDdl.MaxColumnIdKey -> maxId.toString))
+        }
       } else {
         // Schema must match the table's (the reference rejects mismatched
-        // record batches, rust/src/writer.rs:229-248); nullability is not
-        // load-bearing for parquet round-trips, names+types are — so the
-        // comparison is STRUCTURAL at every nesting level (StructField
-        // equality would otherwise drag in nested nullability and field
-        // metadata, e.g. a mapped table's columnMapping annotations).
-        def structural(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = dt match {
-          case s: org.apache.spark.sql.types.StructType =>
-            org.apache.spark.sql.types.StructType(s.fields.map(f =>
-              org.apache.spark.sql.types.StructField(f.name, structural(f.dataType))))
-          case a: org.apache.spark.sql.types.ArrayType =>
-            org.apache.spark.sql.types.ArrayType(structural(a.elementType))
-          case m: org.apache.spark.sql.types.MapType =>
-            org.apache.spark.sql.types.MapType(structural(m.keyType), structural(m.valueType))
-          case other => other
-        }
+        // record batches, rust/src/writer.rs:229-248); the comparison is
+        // STRUCTURAL at every nesting level (DeltaSchema.structural).
         def shape(s: Seq[(String, org.apache.spark.sql.types.DataType)]) =
-          s.map { case (n, dt) => (n, structural(dt)) }
+          s.map { case (n, dt) => (n, DeltaSchema.structural(dt)) }
         if (shape(tbl) != shape(inc))
           throw new SchemaMismatchException(s"schema mismatch: table=$tbl incoming=$inc")
       }
@@ -139,13 +146,17 @@ object GraftWriter {
       throw new SchemaMismatchException(s"partition columns not in data: $missing")
 
     val enforced = Constraints.enforce(df, snap)
+    // mergeSchema may have just evolved the mapped schema — the staging
+    // rename must see the appended columns' fresh physical names
+    lazy val mapSchema = evolvedMetadata
+      .map(em => DeltaSchema.fromJson(em.schemaString)).getOrElse(snap.schema)
     val adds =
       if (mapped)
         // id-mapped tables: staged files must carry parquet footer field
         // ids (Spark stamps them from the attached metadata on write)
-        stageFiles(ColumnMapping.toPhysical(enforced, snap.schema,
+        stageFiles(ColumnMapping.toPhysical(enforced, mapSchema,
             attachIds = ColumnMapping.mode(snap) == "id"), path,
-          partCols.map(c => ColumnMapping.physicalName(snap.schema, c)))
+          partCols.map(c => ColumnMapping.physicalName(mapSchema, c)))
       else stageFiles(enforced, path, partCols)
     val now = System.currentTimeMillis()
     val txn = log.startTransaction()
@@ -214,8 +225,11 @@ object GraftWriter {
                                   rawIncoming: org.apache.spark.sql.types.StructType): Option[MetaDataAction] = {
     val incoming = DeltaSchema.normalize(rawIncoming)
     val tblTypes = snap.schema.fields.map(f => (f.name, f.dataType)).toMap
+    // structural comparison: nested nullability / field metadata are not
+    // load-bearing for parquet round-trips and must not block evolution
     val conflicts = incoming.fields.collect {
-      case f if tblTypes.get(f.name).exists(_ != f.dataType) =>
+      case f if tblTypes.get(f.name).exists(t =>
+          DeltaSchema.structural(t) != DeltaSchema.structural(f.dataType)) =>
         s"${f.name}: table=${tblTypes(f.name)} incoming=${f.dataType}"
     }
     if (conflicts.nonEmpty) throw new SchemaMismatchException(

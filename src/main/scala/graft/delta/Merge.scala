@@ -102,12 +102,16 @@ final class MergeBuilder private[delta] (
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
     if (snap.version < 0) throw new NotATableException(path)
-    // fence BEFORE the join/classify work — protocol refusal, not a
-    // downstream analysis error, is the right failure on e.g. mapped tables
-    ProtocolSupport.assertWritable(snap)
+    // fence BEFORE the join/classify work — the copy-on-write merge stages
+    // its rewrite under at-rest names on mapped tables (allowNameMapping);
+    // anything it cannot maintain still refuses here
+    ProtocolSupport.assertWritable(snap, allowNameMapping = true)
     if (TableConfig.appendOnly(TableConfig.of(snap)))
       throw new AppendOnlyTableException(path)
     val dt = new DeltaTable(log, snap)
+    val mapped = ColumnMapping.isMapped(snap)
+    def phys(c: String): String =
+      if (mapped) ColumnMapping.physicalName(snap.schema, c) else c
 
     val fieldNames = snap.schema.fieldNames.toSet
     (matchedClauses ++ bySourceClauses).foreach {
@@ -133,9 +137,11 @@ final class MergeBuilder private[delta] (
       if (bySourceClauses.nonEmpty) snap.files
       else {
         // provenance via the DV-aware scan (input_file_name() is illegal
-        // over the anti-join plan a DV'd table resolves to)
-        val affectedRel = DeletionVectors
-          .scanWithPos(spark, log, snap, snap.files)
+        // over the anti-join plan a DV'd table resolves to); on mapped
+        // tables the scan serves logical names with provenance kept
+        val affectedRel = Dml
+          .logicalScanWithMeta(spark, log, snap, snap.files)
+          .drop(DeletionVectors.PosCol)
           .withColumnRenamed(DeletionVectors.PathCol, "__file").alias("t")
           .join(source.alias("s"), condition)
           .select(col("__file")).distinct()
@@ -254,9 +260,15 @@ final class MergeBuilder private[delta] (
     val rewritten = joinedObs.filter(outFilter).select(outFields.toSeq: _*)
 
     val removes = if (rewriteFiles) affected else Nil
+    // mapped tables: the rewrite stages under at-rest names (and footer
+    // field ids under mode=id), exactly like appends and CoW DML
+    def stagedDf(df: DataFrame): DataFrame =
+      if (mapped) ColumnMapping.toPhysical(df, snap.schema,
+        attachIds = ColumnMapping.mode(snap) == "id")
+      else df
     val (adds, observed) = ObservedMetrics.run(spark, metricName) {
-      GraftWriter.stageFiles(Constraints.enforce(rewritten, snap), path,
-        snap.partitionColumns)
+      GraftWriter.stageFiles(stagedDf(Constraints.enforce(rewritten, snap)),
+        path, snap.partitionColumns.map(phys))
     }
     def discardStaged(): Unit = GraftWriter.discardStaged(spark, path, adds)
 
@@ -323,7 +335,12 @@ final class MergeBuilder private[delta] (
           joined.filter(isIns).select(outFields.toSeq: _*)
             .withColumn(ct, lit("insert"))
         ).reduce(_ unionByName _)
-        ChangeDataFeed.stage(spark, log, changes)
+        // change files are at-rest files: physical names on mapped tables
+        ChangeDataFeed.stage(spark, log,
+          if (mapped) ColumnMapping.toPhysical(changes, snap.schema,
+            attachIds = ColumnMapping.mode(snap) == "id",
+            passthrough = Set(ChangeDataFeed.ChangeType))
+          else changes)
       }
 
     // 4. one commit: remove rewritten files, add their replacements + inserts.
@@ -337,7 +354,9 @@ final class MergeBuilder private[delta] (
       else PartitionFilter.fromCatalyst(
         org.apache.spark.sql.graftbridge.ColumnBridge.catalystExpression(condition),
         snap.partitionColumns, qualifier = Some("t"))
+        .map(PartitionFilter.mapKey(_, phys))
     val txn = log.startTransaction().withReadFilters(readDomain)
+    if (mapped) txn.permitNameMappedCommit()
     removes.foreach(f => txn.addAction(RemoveAction(
       path = f.path, deletionTimestamp = now, dataChange = true,
       extendedFileMetadata = Some(true),

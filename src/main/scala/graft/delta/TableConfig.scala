@@ -43,6 +43,17 @@ object TableConfig {
   val EnableChangeDataFeed = "delta.enableChangeDataFeed"
 
   private val Known: Map[String, String => Unit] = Map(
+    ColumnMapping.ModeKey -> { v: String =>
+      val t = v.trim.toLowerCase(java.util.Locale.ROOT)
+      require(t == "none" || t == "name" || t == "id",
+        s"${ColumnMapping.ModeKey} must be none|name|id, got '$v'")
+    },
+    ColumnMappingDdl.MaxColumnIdKey -> { v: String =>
+      val n = try v.trim.toLong catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"${ColumnMappingDdl.MaxColumnIdKey} must be a long, got '$v'") }
+      require(n >= 0, s"${ColumnMappingDdl.MaxColumnIdKey} must be >= 0, got $n")
+    },
     AppendOnly -> parseBoolean(AppendOnly) _,
     EnableDeletionVectors -> parseBoolean(EnableDeletionVectors) _,
     EnableChangeDataFeed -> parseBoolean(EnableChangeDataFeed) _,

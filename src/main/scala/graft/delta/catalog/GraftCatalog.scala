@@ -313,6 +313,11 @@ class GraftCatalog extends DelegatingCatalogExtension
     })
   }
 
+  private def isSchemaChange(c: TableChange): Boolean =
+    c.isInstanceOf[TableChange.AddColumn] ||
+      c.isInstanceOf[TableChange.RenameColumn] ||
+      c.isInstanceOf[TableChange.DeleteColumn]
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     graftLocationOf(ident) match {
       case Some(location) =>
@@ -323,7 +328,7 @@ class GraftCatalog extends DelegatingCatalogExtension
         // of delegating the raw AddColumn (which appends at the very end).
         val snap = DeltaLog.forPath(spark, location).update()
         val pc = snap.partitionColumns
-        if (changes.exists(_.isInstanceOf[TableChange.AddColumn])) {
+        if (changes.exists(isSchemaChange)) {
           val reordered = StructType(
             snap.schema.fields.filterNot(f => pc.contains(f.name)) ++
               pc.flatMap(c => snap.schema.fields.find(_.name == c)))
@@ -331,25 +336,50 @@ class GraftCatalog extends DelegatingCatalogExtension
           spark.sessionState.catalog.alterTableSchema(
             org.apache.spark.sql.catalyst.TableIdentifier(ident.name, db), reordered)
         }
-        val rest = changes.filterNot(_.isInstanceOf[TableChange.AddColumn])
+        val rest = changes.filterNot(isSchemaChange)
         if (rest.nonEmpty) super.alterTable(ident, rest: _*)
         loadTable(ident)
       case None => super.alterTable(ident, changes: _*)
     }
 
-  /** Apply ALTER changes to the Delta log as ONE metadata commit; the log,
-    * not the metastore, is what every reader replays. */
+  /** Apply ALTER changes to the Delta log; the log, not the metastore, is
+    * what every reader replays. RENAME/DROP COLUMN and column-mapping mode
+    * flips route to their dedicated protocol-aware commits
+    * ([[ColumnMappingDdl]]); the rest folds into ONE metadata commit. */
   private def alterDeltaLog(location: String, changes: Seq[TableChange]): Unit = {
+    // dedicated-path changes (each a statement of its own in SQL)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        ColumnMappingDdl.renameColumn(spark, location,
+          r.fieldNames.mkString("."), r.newName)
+      case d: TableChange.DeleteColumn =>
+        ColumnMappingDdl.dropColumn(spark, location, d.fieldNames.mkString("."))
+      case s: TableChange.SetProperty if s.property == ColumnMapping.ModeKey =>
+        // the same upgrade routing as the API path (none → name only)
+        DeltaTable.forPath(spark, location)
+          .setProperties(Map(s.property -> s.value))
+      case _ => ()
+    }
+    val rest = changes.filterNot(c => isSchemaChange(c) &&
+        !c.isInstanceOf[TableChange.AddColumn])
+      .filterNot {
+        case s: TableChange.SetProperty => s.property == ColumnMapping.ModeKey
+        case _ => false
+      }
+    if (rest.isEmpty) return
+
     val log = DeltaLog.forPath(spark, location)
     val snap = log.update()
     if (snap.version < 0) throw new IllegalStateException(
       s"no graft-delta table at $location")
     val meta = snap.metadata.getOrElse(throw new IllegalStateException(
       s"table at $location has no metadata action"))
+    val mapped = ColumnMapping.isMapped(snap)
 
     var schema = snap.schema
     var config = TableConfig.of(snap)
-    changes.foreach {
+    var maxId = ColumnMappingDdl.maxColumnId(config)
+    rest.foreach {
       case add: TableChange.AddColumn =>
         if (add.fieldNames.length != 1) throw new IllegalArgumentException(
           "graft-delta supports adding top-level columns only, got " +
@@ -360,17 +390,33 @@ class GraftCatalog extends DelegatingCatalogExtension
         // added columns must be absent-tolerant: old files simply lack them
         if (!add.isNullable) throw new IllegalArgumentException(
           "added columns must be nullable: existing files have no values for them")
-        schema = schema.add(add.fieldNames.head, add.dataType, nullable = true)
+        var field = org.apache.spark.sql.types.StructField(
+          add.fieldNames.head, add.dataType, nullable = true)
+        if (mapped) {
+          // mapped tables: new columns need a fresh id and col-<uuid>
+          // physical name — files written from now on carry them
+          val (af, nid) = ColumnMappingDdl.allocateField(field, maxId)
+          field = af; maxId = nid
+          config = config + (ColumnMappingDdl.MaxColumnIdKey -> maxId.toString)
+        }
+        schema = StructType(schema.fields :+ field)
       case set: TableChange.SetProperty =>
         TableConfig.validate(Map(set.property -> set.value))
         config = config + (set.property -> set.value)
       case rm: TableChange.RemoveProperty =>
+        if (mapped && (rm.property == ColumnMapping.ModeKey ||
+            rm.property == ColumnMappingDdl.MaxColumnIdKey))
+          throw new UnsupportedProtocolException(
+            "unsupported Delta table: unsetting the column-mapping " +
+            "properties of a mapped table would flip every scan to " +
+            "logical names no file carries")
         config = config - rm.property
       case other => throw new IllegalArgumentException(
         s"graft-delta does not support ALTER change $other")
     }
 
     val txn = log.startTransaction()
+    if (mapped) txn.permitNameMappedCommit()
     txn.addAction(meta.copy(
       schemaString = DeltaSchema.toJson(schema),
       configuration = config))

@@ -227,19 +227,11 @@ class ColumnMappingSpec extends AnyFunSuite with SparkTestBase {
     assert(deleted == Seq(1L, 2L, 3L, 10L, 11L))
   }
 
-  test("schema evolution, MERGE, DDL, format reads, unknown stream columns refuse") {
+  test("schema replacement, format reads, unknown stream columns refuse") {
     val dir = mappedTable()
     intercept[UnsupportedProtocolException] {
-      GraftWriter.write(
-        logicalRows((40L, 400L, "West")).withColumn("extra", lit(1L)), dir,
-        mode = org.apache.spark.sql.SaveMode.Append, mergeSchema = true)
-    }
-    intercept[UnsupportedProtocolException] {
-      Merge.into(spark, dir, logicalRows((1L, 99L, "West")).as("s"),
-        col("t.id") === col("s.id")).whenMatchedDelete().execute()
-    }
-    intercept[UnsupportedProtocolException] {
-      DeltaTable.forPath(spark, dir).setProperties(Map("delta.appendOnly" -> "false"))
+      GraftWriter.write(logicalRows((40L, 400L, "West")), dir,
+        mode = org.apache.spark.sql.SaveMode.Overwrite, overwriteSchema = true)
     }
     intercept[UnsupportedProtocolException] {
       spark.read.format("graft-delta").load(dir).count()
@@ -400,6 +392,91 @@ class ColumnMappingSpec extends AnyFunSuite with SparkTestBase {
       .schema(StructType(Seq(StructField("zz", LongType, nullable = true, fid(1)))))
       .parquet(new java.io.File(dir, add.path).getAbsolutePath)
     assert(probe.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("MERGE serves mapped tables: logical clauses, physical staging, CDF images") {
+    val dir = mappedTable(extraConfig = Map("delta.enableChangeDataFeed" -> "true"))
+    val src = Seq((2L, 222L, "West"), (50L, 500L, "North"))
+      .toDF("id", "score", "region")
+      .select(col("id"), struct(col("score")).as("meta"), col("region"))
+    val m = Merge.into(spark, dir, src.as("s"), col("t.id") === col("s.id"))
+      .whenMatchedUpdate(Map("meta" -> col("s.meta")))
+      .whenNotMatchedInsertAll()
+      .execute()
+    assert(m.rowsUpdated == 1 && m.rowsInserted == 1, m)
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.toDF.filter(col("id") === 2L).select("meta.score")
+      .as[Long].head() == 222L)
+    assert(dt.toDF.filter(col("id") === 50L).select("region")
+      .as[String].head() == "North")
+    assert(dt.toDF.count() == 6)
+    // the staged files are at-rest physical (columns + partition keys)
+    val northAdd = dt.snapshot.files
+      .find(_.partitionValues.get(PhysPart).contains("North"))
+    assert(northAdd.isDefined, dt.snapshot.files.map(_.partitionValues).toString)
+    val raw = spark.read.parquet(
+      new java.io.File(dir, northAdd.get.path).getAbsolutePath)
+    assert(raw.schema.fieldNames.toSet == Set(PhysId, PhysNest))
+    // CDF captured physically, served logically
+    val log = DeltaLog.forPath(spark, dir)
+    val feed = ChangeDataFeed.readChanges(spark, log, 0L, log.update().version)
+    assert(feed.filter(col(ChangeDataFeed.ChangeType) === "update_postimage")
+      .select("meta.score").as[Long].collect().toSeq == Seq(222L))
+    assert(feed.filter(col(ChangeDataFeed.ChangeType) === "insert")
+      .filter(col("id") === 50L).count() == 1)
+  }
+
+  test("merge-on-read DV DML serves mapped tables: bytes untouched, positions move") {
+    val dir = mappedTable(extraConfig = Map("delta.enableDeletionVectors" -> "true"))
+    val before = DeltaTable.forPath(spark, dir).snapshot.files
+      .map(a => a.path -> a.size).toMap
+    val d = Dml.delete(spark, dir, col("id") === 2L)
+    assert(d.rowsAffected == 1)
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.toDF.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 10L, 11L))
+    // merge-on-read, not copy-on-write: the West file was re-added with a
+    // DV pointer, its bytes untouched
+    val west = dt.snapshot.files.find(_.partitionValues.get(PhysPart).contains("West")).get
+    assert(before.get(west.path).contains(west.size),
+      s"file ${west.path} was rewritten — expected a DV re-add")
+    assert(DeletionVectors.hasDv(west), "re-added file carries no DV pointer")
+    // DV UPDATE: matched row moves to a new physical file, old bytes stay
+    val u = Dml.update(spark, dir, col("id") === 10L,
+      Map("meta" -> struct(lit(777L).as("score"))))
+    assert(u.rowsAffected == 1)
+    val dt2 = DeltaTable.forPath(spark, dir)
+    assert(dt2.toDF.filter(col("id") === 10L).select("meta.score")
+      .as[Long].head() == 777L)
+    assert(dt2.toDF.count() == 4)
+    // the appended update-copy is at-rest physical
+    val newFiles = dt2.snapshot.files.filterNot(a => before.contains(a.path))
+    assert(newFiles.nonEmpty)
+    newFiles.foreach { a =>
+      val raw = spark.read.parquet(new java.io.File(dir, a.path).getAbsolutePath)
+      assert(raw.schema.fieldNames.toSet == Set(PhysId, PhysNest), a.path)
+    }
+  }
+
+  test("mergeSchema on a mapped table allocates col-<uuid> physical names and ids") {
+    val dir = mappedTable()
+    GraftWriter.write(
+      logicalRows((40L, 400L, "West")).withColumn("extra", lit(7L)), dir,
+      mode = org.apache.spark.sql.SaveMode.Append, mergeSchema = true)
+    val dt = DeltaTable.forPath(spark, dir)
+    val f = dt.schema("extra")
+    assert(f.metadata.getString("delta.columnMapping.physicalName").startsWith("col-"))
+    assert(f.metadata.getLong("delta.columnMapping.id") == 5L)
+    assert(TableConfig.of(dt.snapshot)("delta.columnMapping.maxColumnId") == "5")
+    // logical readback: old rows null-fill, the new row carries the value
+    assert(dt.toDF.filter(col("extra").isNotNull).select("id", "extra")
+      .as[(Long, Long)].collect().toSeq == Seq((40L, 7L)))
+    assert(dt.toDF.count() == 6)
+    // at rest the new file stores the PHYSICAL col-<uuid> name
+    val physExtra = f.metadata.getString("delta.columnMapping.physicalName")
+    val newAdd = dt.snapshot.files.find(_.stats.exists(_.contains(physExtra))).get
+    val raw = spark.read.parquet(new java.io.File(dir, newAdd.path).getAbsolutePath)
+    assert(raw.schema.fieldNames.toSet == Set(PhysId, PhysNest, physExtra), raw.schema)
   }
 
   test("an id table whose files lack footer ids fails loudly, never nulls") {
