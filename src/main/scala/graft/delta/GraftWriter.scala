@@ -113,24 +113,6 @@ object GraftWriter {
             configuration = newConfig))
       } else if (mergeSchema) {
         evolvedMetadata = evolveSchema(snap, df.schema)
-        if (mapped) evolvedMetadata = evolvedMetadata.map { em =>
-          // appended columns get fresh ids + col-<uuid> physical names so
-          // files staged from here on resolve them
-          var maxId = ColumnMappingDdl.maxColumnId(em.configuration)
-          val existing = snap.schema.fieldNames.toSet
-          val annotated = DeltaSchema.fromJson(em.schemaString).fields.map { f =>
-            if (existing.contains(f.name)) f
-            else {
-              val (af, nid) = ColumnMappingDdl.allocateField(f, maxId)
-              maxId = nid; af
-            }
-          }
-          em.copy(
-            schemaString = DeltaSchema.toJson(
-              org.apache.spark.sql.types.StructType(annotated)),
-            configuration = em.configuration +
-              (ColumnMappingDdl.MaxColumnIdKey -> maxId.toString))
-        }
       } else {
         // Schema must match the table's (the reference rejects mismatched
         // record batches, rust/src/writer.rs:229-248); the comparison is
@@ -237,9 +219,27 @@ object GraftWriter {
     val newFields = incoming.fields.filterNot(f =>
       snap.schema.fieldNames.contains(f.name)).map(_.copy(nullable = true))
     if (newFields.isEmpty) None
-    else Some(snap.metadata.get.copy(
-      schemaString = DeltaSchema.toJson(
-        org.apache.spark.sql.types.StructType(snap.schema.fields ++ newFields))))
+    else {
+      var md = snap.metadata.get
+      var fields = snap.schema.fields ++ newFields
+      if (ColumnMapping.isMapped(snap)) {
+        // mapped tables: appended columns get fresh ids + col-<uuid>
+        // physical names so files staged from here on resolve them
+        var maxId = ColumnMappingDdl.maxColumnId(md.configuration)
+        val existing = snap.schema.fieldNames.toSet
+        fields = fields.map { f =>
+          if (existing.contains(f.name)) f
+          else {
+            val (af, nid) = ColumnMappingDdl.allocateField(f, maxId)
+            maxId = nid; af
+          }
+        }
+        md = md.copy(configuration = md.configuration +
+          (ColumnMappingDdl.MaxColumnIdKey -> maxId.toString))
+      }
+      Some(md.copy(schemaString = DeltaSchema.toJson(
+        org.apache.spark.sql.types.StructType(fields))))
+    }
   }
 
   /** Above this many staged files, footer-stats collection runs as a

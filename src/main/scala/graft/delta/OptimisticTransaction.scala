@@ -99,7 +99,7 @@ final class OptimisticTransaction(val log: DeltaLog) {
   /** Declare that this transaction's data files were staged under the
     * table's PHYSICAL column names ([[ColumnMapping.toPhysical]]), lifting
     * the commit fence's column-mapping refusal for mode=name tables. */
-  private[delta] def permitNameMappedCommit(): this.type = {
+  private[graft] def permitNameMappedCommit(): this.type = {
     allowNameMapping = true
     this
   }

@@ -33,7 +33,10 @@ object Restore {
     val log = DeltaLog.forPath(spark, path)
     val current = log.update()
     if (current.version < 0) throw new NotATableException(path)
-    ProtocolSupport.assertWritable(current)
+    // restore stages no data files — mapped tables are a pure action diff
+    // here (physical names are immutable across renames, so re-adding a
+    // target-version file under today's metadata is always sound)
+    ProtocolSupport.assertWritable(current, allowNameMapping = true)
     if (version == current.version)
       return RestoreMetrics(0, 0, current.version)
     val target = log.snapshotForVersion(version) // throws VersionNotFoundException
@@ -72,6 +75,7 @@ object Restore {
 
     val now = System.currentTimeMillis()
     val txn = log.startTransaction()
+    if (ColumnMapping.isMapped(current)) txn.permitNameMappedCommit()
     (current.metadata, target.metadata) match {
       case (Some(cur), Some(tgt))
           if cur.schemaString != tgt.schemaString ||
@@ -137,7 +141,12 @@ object Restore {
     if (current.metadata.map(_.schemaString) != target.metadata.map(_.schemaString))
       return Nil
     if (toAdd.isEmpty && toRemove.isEmpty) return Nil
-    val cols = target.schema.fieldNames.map(col).toSeq
+    // mapped tables: change files are at-rest files — capture PHYSICAL
+    // columns (the scan serves them physical); the feed aliases back
+    val cols =
+      (if (ColumnMapping.isMapped(target))
+         ColumnMapping.readSchema(spark, target)
+       else target.schema).fieldNames.map(col).toSeq
     val ct = ChangeDataFeed.ChangeType
 
     val newFiles = toAdd.filterNot(a => currentByPath.contains(a.path))

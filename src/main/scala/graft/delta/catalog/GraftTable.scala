@@ -45,6 +45,8 @@ class GraftTable(
     if (snap.version < 0) throw new IllegalStateException(
       s"no graft-delta table at $location")
     val txn = log.startTransaction()
+    // remove-only commit: nothing stages, mapped tables are safe
+    if (graft.delta.ColumnMapping.isMapped(snap)) txn.permitNameMappedCommit()
     val now = System.currentTimeMillis()
     snap.files.foreach(f => txn.addAction(graft.delta.RemoveAction(
       path = f.path, deletionTimestamp = now, dataChange = true,

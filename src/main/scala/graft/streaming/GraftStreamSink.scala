@@ -42,25 +42,45 @@ final class GraftStreamSink(
     // ST1: exactly-once gate
     if (snap.appTransactionVersion.get(appId).exists(_ >= epochId)) return -1L
 
+    // mapped tables: the same physical staging contract as the batch
+    // writer (fence first — the protocol reason beats a schema mismatch)
+    val mapped = snap.version >= 0 && ColumnMapping.isMapped(snap)
+    if (snap.version >= 0)
+      ProtocolSupport.assertWritable(snap, allowNameMapping = true)
+
     var evolvedMetadata: Option[MetaDataAction] = None
     if (snap.version >= 0) {
       if (mergeSchema) {
         // mid-stream schema evolution: new nullable columns commit with
         // this epoch's metaData action, same contract as the batch writer
+        // (mapped tables allocate physical names + ids inside evolveSchema)
         evolvedMetadata = GraftWriter.evolveSchema(snap, batch.schema)
       } else {
-        val tbl = snap.schema.fields.map(f => (f.name, f.dataType)).toSeq
-        val inc = graft.delta.DeltaSchema.normalize(batch.schema)
-          .fields.map(f => (f.name, f.dataType)).toSeq
+        // structural: nested nullability / field metadata (e.g. a mapped
+        // table's columnMapping annotations) are not load-bearing
+        def shape(s: org.apache.spark.sql.types.StructType) =
+          s.fields.map(f => (f.name, DeltaSchema.structural(f.dataType))).toSeq
+        val tbl = shape(snap.schema)
+        val inc = shape(graft.delta.DeltaSchema.normalize(batch.schema))
         if (tbl != inc)
           throw new SchemaMismatchException(s"schema mismatch: table=$tbl batch=$inc")
       }
     }
 
-    val adds = GraftWriter.stageFiles(
-      Constraints.enforce(batch, snap), tablePath, partitionBy)
+    val mapSchema = evolvedMetadata
+      .map(em => DeltaSchema.fromJson(em.schemaString)).getOrElse(snap.schema)
+    val enforced = Constraints.enforce(batch, snap)
+    val staged =
+      if (mapped) ColumnMapping.toPhysical(enforced, mapSchema,
+        attachIds = ColumnMapping.mode(snap) == "id")
+      else enforced
+    val physPartitionBy =
+      if (mapped) partitionBy.map(c => ColumnMapping.physicalName(mapSchema, c))
+      else partitionBy
+    val adds = GraftWriter.stageFiles(staged, tablePath, physPartitionBy)
     val now = System.currentTimeMillis()
     val txn = log.startTransaction()
+    if (mapped) txn.permitNameMappedCommit()
     if (snap.version < 0) {
       txn.addAction(ProtocolAction())
       txn.addAction(MetaDataAction(

@@ -204,6 +204,94 @@ class ColumnMappingDdlSpec extends AnyFunSuite with SparkTestBase {
     spark.sql("DROP TABLE cmddl_sql_t")
   }
 
+  test("streaming sink stages physical files into a mapped table") {
+    val dir = freshTable("cmddl-sink")
+    DeltaTable.forPath(spark, dir).enableColumnMapping()
+    DeltaTable.forPath(spark, dir).renameColumn("v", "label")
+    val filesBefore = DeltaLog.forPath(spark, dir).update().files.map(_.path).toSet
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val q = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    q.addData((100L, "s1", "x"), (101L, "s2", "z"))
+    val stream = q.toDF.toDF("id", "label", "p")
+      .writeStream.format("graft-delta")
+      .option("appId", "cmddl-sink")
+      .partitionBy("p")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cmddl-sink-ckpt").toString)
+      .start(dir)
+    try stream.processAllAvailable() finally stream.stop()
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.toDF.count() == 5)
+    assert(dt.toDF.filter(col("id") === 100L).select("label")
+      .as[String].head() == "s1")
+    // streamed files are at-rest physical: original "v" column, "p" dirs
+    val newAdds = dt.snapshot.files.filterNot(a => filesBefore.contains(a.path))
+    assert(newAdds.nonEmpty)
+    newAdds.foreach { a =>
+      val raw = spark.read.parquet(new java.io.File(dir, a.path).getAbsolutePath)
+      assert(raw.schema.fieldNames.toSet == Set("id", "v"),
+        s"${a.path}: ${raw.schema.fieldNames.toSeq}")
+    }
+    assert(newAdds.exists(_.partitionValues.get("p").contains("z")),
+      "partition dirs must stay keyed by the physical name")
+  }
+
+  test("RESTORE across a rename reverts the logical schema, files untouched") {
+    val dir = freshTable("cmddl-restore")
+    DeltaTable.forPath(spark, dir).enableColumnMapping()
+    val preRename = DeltaLog.forPath(spark, dir).update().version
+    DeltaTable.forPath(spark, dir).renameColumn("v", "label")
+    assert(Dml.delete(spark, dir, col("id") === 1L).rowsAffected == 1)
+    // restore to the version before the delete (post-rename): data back
+    val r1 = DeltaTable.forPath(spark, dir).restoreToVersion(preRename + 1)
+    assert(r1.filesRestored >= 1)
+    val afterR1 = DeltaTable.forPath(spark, dir)
+    assert(afterR1.toDF.count() == 3)
+    assert(afterR1.toDF.schema.fieldNames.contains("label"))
+    // restore to BEFORE the rename: the old logical name comes back, the
+    // same physical bytes serve it
+    DeltaTable.forPath(spark, dir).restoreToVersion(preRename)
+    val afterR2 = DeltaTable.forPath(spark, dir)
+    assert(afterR2.toDF.schema.fieldNames.toSeq == Seq("id", "v", "p"))
+    assert(afterR2.toDF.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
+  test("SHALLOW CLONE of a mapped table serves and diverges independently") {
+    val src = freshTable("cmddl-clone-src")
+    DeltaTable.forPath(spark, src).enableColumnMapping()
+    DeltaTable.forPath(spark, src).renameColumn("v", "label")
+    val tgt = tempTable("cmddl-clone-tgt").toString
+    Clone.shallow(spark, src, tgt)
+    val ct = DeltaTable.forPath(spark, tgt)
+    assert(ColumnMapping.isMapped(ct.snapshot))
+    assert(ct.toDF.select("id", "label").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // clone-side DML does not disturb the source
+    assert(Dml.delete(spark, tgt, col("label") === "a").rowsAffected == 1)
+    assert(DeltaTable.forPath(spark, tgt).toDF.count() == 2)
+    assert(DeltaTable.forPath(spark, src).toDF.count() == 3)
+  }
+
+  test("TRUNCATE TABLE serves mapped catalog tables") {
+    val dir = tempTable("cmddl-trunc").toString
+    spark.sql("DROP TABLE IF EXISTS cmddl_trunc_t")
+    spark.sql(s"CREATE TABLE cmddl_trunc_t (id BIGINT, v STRING) " +
+      s"USING `graft-delta` LOCATION '$dir'")
+    spark.sql("INSERT INTO cmddl_trunc_t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE cmddl_trunc_t SET TBLPROPERTIES " +
+      "('delta.columnMapping.mode' = 'name')")
+    spark.sql("ALTER TABLE cmddl_trunc_t RENAME COLUMN v TO w")
+    spark.sql("TRUNCATE TABLE cmddl_trunc_t")
+    assert(spark.table("cmddl_trunc_t").count() == 0)
+    // time travel to pre-truncate still serves the data
+    val pre = DeltaLog.forPath(spark, dir).update().version - 1
+    assert(DeltaTable.forPath(spark, dir, pre).toDF.count() == 2)
+    spark.sql("DROP TABLE cmddl_trunc_t")
+  }
+
   test("DML and OPTIMIZE after an upgrade+rename round-trip") {
     val dir = freshTable("cmddl-dml")
     DeltaTable.forPath(spark, dir).enableColumnMapping()

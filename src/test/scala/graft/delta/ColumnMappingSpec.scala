@@ -479,6 +479,45 @@ class ColumnMappingSpec extends AnyFunSuite with SparkTestBase {
     assert(raw.schema.fieldNames.toSet == Set(PhysId, PhysNest, physExtra), raw.schema)
   }
 
+  /** As [[mappedTable]], but on a table-features protocol advertising BOTH
+    * `columnMapping` and the standard `deletionVectors` feature — the
+    * delta-spark shape for a renamed table with DVs on. */
+  private def mappedDvTable(): String = {
+    val dir = mappedTable(extraConfig = Map("delta.enableDeletionVectors" -> "true"))
+    LogFixtures.writeCommit(java.nio.file.Paths.get(dir), 1, Seq(
+      ActionCodec.toJsonLine(ProtocolAction(3, 7,
+        Some(Set("columnMapping", "deletionVectors")),
+        Some(Set("columnMapping", "deletionVectors"))))))
+    dir
+  }
+
+  test("standard DVs + column mapping combine: DV DML emits protocol descriptors") {
+    val dir = mappedDvTable()
+    val before = DeltaTable.forPath(spark, dir).snapshot.files
+      .map(a => a.path -> a.size).toMap
+    val d = Dml.delete(spark, dir, col("id") === 2L)
+    assert(d.rowsAffected == 1)
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.toDF.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 10L, 11L))
+    // the re-add carries a standard protocol descriptor, not the graft tag
+    val west = dt.snapshot.files
+      .find(_.partitionValues.get(PhysPart).contains("West")).get
+    assert(before.get(west.path).contains(west.size), "bytes must not move")
+    val desc = StandardDv.descriptor(west)
+    assert(desc.isDefined, s"expected add.deletionVector, got tags=${west.tags}")
+    assert(desc.get.cardinality == 1L)
+    assert(west.tags.forall(t => !t.contains(DeletionVectors.PathTag)))
+    // a second DV delete unions positions into ONE self-complete descriptor
+    assert(Dml.delete(spark, dir, col("id") === 1L).rowsAffected == 1)
+    val dt2 = DeltaTable.forPath(spark, dir)
+    val west2 = dt2.snapshot.files
+      .find(_.partitionValues.get(PhysPart).contains("West")).get
+    assert(StandardDv.descriptor(west2).get.cardinality == 2L)
+    assert(dt2.toDF.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(3L, 10L, 11L))
+  }
+
   test("an id table whose files lack footer ids fails loudly, never nulls") {
     val dir = mappedTable(mode = "id") // fixture files carry NO field ids
     val e = intercept[Exception] {
