@@ -181,6 +181,25 @@ object ColumnMappingDdl {
     (one(field), next)
   }
 
+  /** A BRAND-NEW table (or schema-replacing overwrite) whose declared
+    * configuration enables column mapping: no files exist yet, so every
+    * field gets a fresh `col-<uuid>` physical name + id up front
+    * (delta-spark's create-with-mapping shape; both modes work because
+    * the very first staged file already carries the right names/footer
+    * ids). Returns the annotated schema, the configuration with
+    * `maxColumnId`, and the protocol floor — passthrough when the
+    * configuration declares no mapping. */
+  def forCreate(schema: StructType, config: Map[String, String])
+      : (StructType, Map[String, String], (Int, Int)) = {
+    val mode = ColumnMapping.mode(config)
+    if (mode != "name" && mode != "id") return (schema, config, (1, 2))
+    var maxId = maxColumnId(config)
+    val fields = schema.fields.map { f =>
+      val (af, nid) = allocateField(f, maxId); maxId = nid; af
+    }
+    (StructType(fields), config + (MaxColumnIdKey -> maxId.toString), (2, 5))
+  }
+
   // ----------------------------------------------------------- internals
 
   private def split(col: String): Seq[String] = {

@@ -127,6 +127,25 @@ object GraftWriter {
     if (missing.nonEmpty)
       throw new SchemaMismatchException(s"partition columns not in data: $missing")
 
+    // CREATE (or schema-replacing overwrite) with column mapping declared
+    // in the configuration: annotate the brand-new schema with fresh ids +
+    // col-<uuid> physical names and stage physically from the first file
+    val declaredConfig = configuration.getOrElse(Map.empty)
+    val createMapping: Option[(org.apache.spark.sql.types.StructType,
+        Map[String, String], (Int, Int))] =
+      if ((!exists || overwriteSchema) &&
+          Set("name", "id").contains(ColumnMapping.mode(declaredConfig)))
+        Some(ColumnMappingDdl.forCreate(
+          DeltaSchema.normalize(df.schema), declaredConfig))
+      else None
+    createMapping.foreach { case (annSchema, annConfig, _) =>
+      if (exists) // schema-replacing overwrite of an unmapped table
+        evolvedMetadata = Some(snap.metadata.get.copy(
+          schemaString = DeltaSchema.toJson(annSchema),
+          partitionColumns = partCols,
+          configuration = annConfig))
+    }
+
     val enforced = Constraints.enforce(df, snap)
     // mergeSchema may have just evolved the mapped schema — the staging
     // rename must see the appended columns' fresh physical names
@@ -139,30 +158,54 @@ object GraftWriter {
         stageFiles(ColumnMapping.toPhysical(enforced, mapSchema,
             attachIds = ColumnMapping.mode(snap) == "id"), path,
           partCols.map(c => ColumnMapping.physicalName(mapSchema, c)))
-      else stageFiles(enforced, path, partCols)
+      else createMapping match {
+        case Some((annSchema, _, _)) =>
+          stageFiles(ColumnMapping.toPhysical(enforced, annSchema,
+              attachIds = ColumnMapping.mode(declaredConfig) == "id"), path,
+            partCols.map(c => ColumnMapping.physicalName(annSchema, c)))
+        case None => stageFiles(enforced, path, partCols)
+      }
     val now = System.currentTimeMillis()
     val txn = log.startTransaction()
     if (mapped) txn.permitNameMappedCommit()
     if (!exists) {
-      txn.addAction(DeletionVectors.protocolFence(
-        configuration.getOrElse(Map.empty), 1, 2).getOrElse(ProtocolAction()))
+      val (schemaJson, cfg, (fr, fw)) = createMapping match {
+        case Some((annSchema, annConfig, floor)) =>
+          (DeltaSchema.toJson(annSchema), annConfig, floor)
+        case None =>
+          (DeltaSchema.toJson(df.schema), declaredConfig, (1, 2))
+      }
+      txn.addAction(DeletionVectors.protocolFence(cfg, fr, fw)
+        .getOrElse(ProtocolAction(fr, fw)))
       txn.addAction(MetaDataAction(
         id = UUID.randomUUID().toString,
         name = None, description = None,
         format = Format(),
-        schemaString = DeltaSchema.toJson(df.schema),
+        schemaString = schemaJson,
         partitionColumns = partCols,
         createdTime = Some(now),
-        configuration = configuration.getOrElse(Map.empty)))
+        configuration = cfg))
     }
     evolvedMetadata.foreach(txn.addAction)
-    // the committed configuration may enable deletion vectors — the reader
-    // fence must ride the same commit on this path too
+    // the committed configuration may raise the protocol floor — column
+    // mapping (replace-with-mapping) and/or deletion vectors; ONE protocol
+    // action carries the combined floor (two would last-write-wins race)
     if (exists)
-      evolvedMetadata.foreach(md => DeletionVectors.protocolFence(
-        md.configuration, snap.minReaderVersion, snap.minWriterVersion,
-        snap.readerFeatures, snap.writerFeatures)
-        .foreach(txn.addAction))
+      evolvedMetadata.foreach { md =>
+        val (fr, fw) = createMapping.map(_._3)
+          .getOrElse((snap.minReaderVersion, snap.minWriterVersion))
+        val baseR = math.max(snap.minReaderVersion, fr)
+        val baseW = math.max(snap.minWriterVersion, fw)
+        DeletionVectors.protocolFence(md.configuration, baseR, baseW,
+            snap.readerFeatures, snap.writerFeatures) match {
+          case Some(p) => txn.addAction(p)
+          case None if baseR > snap.minReaderVersion ||
+              baseW > snap.minWriterVersion =>
+            txn.addAction(ProtocolAction(baseR, baseW,
+              snap.readerFeatures, snap.writerFeatures))
+          case None => ()
+        }
+      }
     // CDF images for the overwrite rewrite shape — skipped (loud
     // downstream) when the overwrite also changes the schema
     val cdcActions =

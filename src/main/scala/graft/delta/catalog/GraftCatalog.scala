@@ -215,16 +215,20 @@ class GraftCatalog extends DelegatingCatalogExtension
                               config: Map[String, String]): Unit = {
     val now = System.currentTimeMillis()
     val txn = log.startTransaction()
-    txn.addAction(DeletionVectors.protocolFence(config, 1, 2)
-      .getOrElse(ProtocolAction()))
+    // CREATE with column mapping declared: fresh col-<uuid> physical names
+    // + ids from version 0 (no files exist, both modes are safe)
+    val (annSchema, annConfig, (fr, fw)) =
+      ColumnMappingDdl.forCreate(DeltaSchema.normalize(schema), config)
+    txn.addAction(DeletionVectors.protocolFence(annConfig, fr, fw)
+      .getOrElse(ProtocolAction(fr, fw)))
     txn.addAction(MetaDataAction(
       id = java.util.UUID.randomUUID().toString,
       name = None, description = None,
       format = Format(),
-      schemaString = DeltaSchema.toJson(schema),
+      schemaString = DeltaSchema.toJson(annSchema),
       partitionColumns = partCols,
       createdTime = Some(now),
-      configuration = config))
+      configuration = annConfig))
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", now)
     info.put("operation", "CREATE TABLE")

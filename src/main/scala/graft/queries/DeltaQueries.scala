@@ -377,6 +377,27 @@ object DeltaQueries {
           "_commit_version")
     },
 
+    // Column-mapping lifecycle (the delta-spark renamed-table shape):
+    // create mapped from version 0 (every at-rest file speaks col-<uuid>),
+    // copy-on-write DELETE through a logical predicate, RENAME COLUMN as a
+    // metadata-only commit, then UPDATE and read back through the NEW
+    // name. The oracle recomputes the same rows from the raw parquet —
+    // proving the physical indirection never changes a value.
+    "q65_column_mapping" -> { (s, dir) =>
+      val t = freshDir("cmap")
+      GraftWriter.write(li(s, dir).filter(col("l_orderkey") < 1000), t,
+        configuration = Some(Map("delta.columnMapping.mode" -> "name")))
+      Dml.delete(s, t, col("l_quantity") > 40)
+      DeltaTable.forPath(s, t).renameColumn("l_quantity", "qty_raw")
+      Dml.update(s, t, col("l_returnflag") === "R",
+        Map("qty_raw" -> (col("qty_raw") + 200.0)))
+      DeltaTable.forPath(s, t).toDF
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("qty_raw").cast("decimal(18,6)") * 1000000).cast("long").as("qty"),
+          col("l_returnflag"))
+        .orderBy("l_orderkey", "l_linenumber", "qty", "l_returnflag")
+    },
+
     // stats-based file skipping (D4): two disjoint-range commits; the
     // predicate-matching read must prune to one file set via Add.stats
     // before Spark lists anything.
@@ -443,6 +464,13 @@ object DeltaQueries {
       s"""SELECT $cols FROM lineitem
          |WHERE l_orderkey < 1000 AND NOT (l_quantity > 30)
          |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
+    "q65_column_mapping" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CAST(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity + 200 ELSE l_quantity END
+        |  AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS qty,
+        |l_returnflag
+        |FROM lineitem WHERE l_orderkey < 1000 AND NOT (l_quantity > 40)
+        |ORDER BY l_orderkey, l_linenumber, qty, l_returnflag""".stripMargin,
     "q63_dv_dml" ->
       """SELECT l_orderkey, l_linenumber,
         |CAST(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity + 200 ELSE l_quantity END

@@ -67,7 +67,8 @@ final class GraftStreamSink(
       }
     }
 
-    val mapSchema = evolvedMetadata
+    // guarded by `mapped`: a brand-new table has no metadata to read yet
+    lazy val mapSchema = evolvedMetadata
       .map(em => DeltaSchema.fromJson(em.schemaString)).getOrElse(snap.schema)
     val enforced = Constraints.enforce(batch, snap)
     val staged =

@@ -292,6 +292,75 @@ class ColumnMappingDdlSpec extends AnyFunSuite with SparkTestBase {
     spark.sql("DROP TABLE cmddl_trunc_t")
   }
 
+  test("CREATE TABLE with mode=name maps from version 0: col-<uuid> at rest, rename immediately") {
+    val dir = tempTable("cmddl-create").toString
+    spark.sql("DROP TABLE IF EXISTS cmddl_create_t")
+    spark.sql(
+      s"""CREATE TABLE cmddl_create_t (id BIGINT, v STRING, p STRING)
+         |USING `graft-delta` PARTITIONED BY (p) LOCATION '$dir'
+         |TBLPROPERTIES ('delta.columnMapping.mode' = 'name')""".stripMargin)
+    val snap0 = DeltaLog.forPath(spark, dir).update()
+    assert(ColumnMapping.mode(snap0) == "name")
+    snap0.schema.fields.foreach { f =>
+      assert(f.metadata.getString("delta.columnMapping.physicalName")
+        .startsWith("col-"), f.name)
+    }
+    assert(TableConfig.of(snap0)("delta.columnMapping.maxColumnId") == "3")
+    assert(snap0.minReaderVersion >= 2 && snap0.minWriterVersion >= 5)
+    spark.sql("INSERT INTO cmddl_create_t VALUES (1, 'a', 'x'), (2, 'b', 'y')")
+    // at rest: col-<uuid> columns and partition dirs from the FIRST file
+    val add = DeltaLog.forPath(spark, dir).update().files.head
+    assert(add.partitionValues.keys.forall(_.startsWith("col-")),
+      add.partitionValues.toString)
+    val raw = spark.read.parquet(new java.io.File(dir, add.path).getAbsolutePath)
+    assert(raw.schema.fieldNames.forall(_.startsWith("col-")),
+      raw.schema.fieldNames.toSeq.toString)
+    assert(spark.sql("SELECT v FROM cmddl_create_t WHERE id = 2")
+      .as[String].head() == "b")
+    // the whole point: renames work from day one
+    spark.sql("ALTER TABLE cmddl_create_t RENAME COLUMN v TO w")
+    assert(spark.sql("SELECT w FROM cmddl_create_t WHERE id = 1")
+      .as[String].head() == "a")
+    spark.sql("DROP TABLE cmddl_create_t")
+  }
+
+  test("DataFrame create with mode=id stamps footer ids from the first file") {
+    val dir = tempTable("cmddl-createid").toString
+    GraftWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir,
+      configuration = Some(Map("delta.columnMapping.mode" -> "id")))
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(ColumnMapping.mode(dt.snapshot) == "id")
+    assert(dt.toDF.select("id", "v").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq == Seq((1L, "a"), (2L, "b")))
+    // raw probe: a wrong-named schema carrying only the field id resolves
+    val fid = dt.schema("id").metadata.getLong("delta.columnMapping.id")
+    val probe = spark.read
+      .schema(StructType(Seq(StructField("zz", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", fid).build()))))
+      .parquet(dt.snapshot.files.map(a =>
+        new java.io.File(dir, a.path).getAbsolutePath): _*)
+    assert(probe.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("overwriteSchema replace can enable mapping on an unmapped table") {
+    val dir = freshTable("cmddl-replace")
+    GraftWriter.write(Seq((10L, "r", "z")).toDF("id", "v", "p"), dir,
+      mode = SaveMode.Overwrite, partitionBy = Seq("p"),
+      overwriteSchema = true,
+      configuration = Some(Map("delta.columnMapping.mode" -> "name")))
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(ColumnMapping.isMapped(dt.snapshot))
+    assert(dt.snapshot.minReaderVersion >= 2 && dt.snapshot.minWriterVersion >= 5)
+    assert(dt.toDF.select("id", "v", "p").as[(Long, String, String)]
+      .collect().toSeq == Seq((10L, "r", "z")))
+    // replacement files are at-rest col-<uuid>
+    val add = dt.snapshot.files.head
+    assert(add.partitionValues.keys.forall(_.startsWith("col-")))
+    // pre-replace versions still serve the unmapped shape
+    assert(DeltaTable.forPath(spark, dir, dt.version - 1)
+      .toDF.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("DML and OPTIMIZE after an upgrade+rename round-trip") {
     val dir = freshTable("cmddl-dml")
     DeltaTable.forPath(spark, dir).enableColumnMapping()
