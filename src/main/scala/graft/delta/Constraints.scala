@@ -3,26 +3,76 @@ package graft.delta
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Write-path invariants: schema `NOT NULL` nullability plus CHECK
-  * constraints stored as `delta.constraints.<name>` table properties (the
-  * Delta protocol convention, so foreign readers see the declaration too).
+/** Write-path invariants: schema `NOT NULL` nullability, CHECK constraints
+  * stored as `delta.constraints.<name>` table properties, per-column
+  * invariants (the legacy writer-2 field-metadata form `delta.invariants`)
+  * and generated columns (`delta.generationExpression` field metadata) —
+  * all the Delta protocol conventions, so foreign readers see the same
+  * declarations.
   *
   * Enforcement is a guard expression folded INTO the write job — each row
   * evaluates `assert_true` over every constraint while it streams to
   * parquet, so validation costs zero extra passes and a violation aborts
   * the job before anything commits (staged files are discarded; the table
-  * never observes a half-write). SQL semantics: a CHECK passes on TRUE and
-  * NULL, fails only on FALSE.
+  * never observes a half-write). SQL semantics: a CHECK/invariant passes on
+  * TRUE and NULL, fails only on FALSE; a generated column must null-safely
+  * equal its expression (an UPDATE that changes a source column without
+  * refreshing the generated one aborts loudly rather than committing a
+  * stale derivation).
   */
 object Constraints {
 
   val Prefix = "delta.constraints."
+
+  /** Field-metadata key of the legacy per-column invariant, holding
+    * `{"expression":{"expression":"<sql>"}}` (delta-spark's shape). */
+  val InvariantKey = "delta.invariants"
+
+  /** Field-metadata key of a generated column's SQL expression. */
+  val GenerationKey = "delta.generationExpression"
 
   /** Declared CHECK constraints, `(name, sql)`, name-sorted. */
   def of(snap: Snapshot): Seq[(String, String)] =
     TableConfig.of(snap).collect {
       case (k, v) if k.startsWith(Prefix) => (k.stripPrefix(Prefix), v)
     }.toSeq.sortBy(_._1)
+
+  /** Per-column invariants of the schema, `(column, sql)`. Tolerant of the
+    * raw-SQL form some writers emit (a plain string instead of the nested
+    * JSON object). */
+  def invariantsOf(schema: org.apache.spark.sql.types.StructType): Seq[(String, String)] =
+    schema.fields.toSeq.filter(_.metadata.contains(InvariantKey)).flatMap { f =>
+      val raw = f.metadata.getString(InvariantKey)
+      val sql =
+        try {
+          val node = ActionCodec.mapper.readTree(raw)
+          val nested = node.path("expression").path("expression")
+          if (nested.isTextual) nested.asText else raw
+        } catch { case _: Exception => raw }
+      if (sql.trim.nonEmpty) Some(f.name -> sql) else None
+    }
+
+  /** Generated columns of the schema, `(column, sql)`. */
+  def generatedOf(schema: org.apache.spark.sql.types.StructType): Seq[(String, String)] =
+    schema.fields.toSeq.filter(_.metadata.contains(GenerationKey))
+      .map(f => f.name -> f.metadata.getString(GenerationKey))
+
+  /** Fill in generated columns the incoming frame omits (delta-spark write
+    * semantics: omitting a generated column means "compute it"); values the
+    * caller DOES provide are verified per-row by [[enforce]] instead. */
+  def withGenerated(df: DataFrame, snap: Snapshot): DataFrame = {
+    if (snap.version < 0) return df
+    val missing = generatedOf(snap.schema).filterNot(g => df.columns.contains(g._1))
+    if (missing.isEmpty) return df
+    val filled = missing.foldLeft(df) { case (d, (c, sql)) =>
+      d.withColumn(c, expr(sql).cast(snap.schema(c).dataType))
+    }
+    // restore the table's declared column order (the exact-schema check is
+    // positional); columns the table does not know keep their tail spots
+    val tableOrder = snap.schema.fieldNames.filter(filled.columns.contains)
+    val extras = filled.columns.filterNot(tableOrder.contains)
+    filled.select((tableOrder ++ extras).map(c => filled.col(s"`$c`")).toSeq: _*)
+  }
 
   /** Wrap `df` so the write job verifies every row against the table's
     * invariants. Identity when the table declares none. */
@@ -34,7 +84,16 @@ object Constraints {
       notNull.map(c => (s"NOT NULL $c", col(c).isNotNull)) ++
         of(snap).map { case (n, sql) =>
           (s"CHECK $n ($sql)", coalesce(expr(sql).cast("boolean"), lit(true)))
-        }
+        } ++
+        invariantsOf(snap.schema).filter(i => df.columns.contains(i._1))
+          .map { case (c, sql) =>
+            (s"INVARIANT $c ($sql)", coalesce(expr(sql).cast("boolean"), lit(true)))
+          } ++
+        generatedOf(snap.schema).filter(g => df.columns.contains(g._1))
+          .map { case (c, sql) =>
+            (s"GENERATED $c AS ($sql)",
+              col(c) <=> expr(sql).cast(snap.schema(c).dataType))
+          }
     if (checks.isEmpty) df
     else df.filter(checks.map { case (name, cond) =>
       coalesce(assert_true(cond, lit(s"constraint violated: $name")), lit(true))

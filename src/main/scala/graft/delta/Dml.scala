@@ -51,12 +51,8 @@ object Dml {
     ProtocolSupport.assertWritable(snap, allowNameMapping = true)
     if (TableConfig.deletionVectorsEnabled(TableConfig.of(snap)))
       updateWithDv(spark, path, predicate, assignments, Some((log, snap)))
-    else rewrite(spark, log, snap, predicate, "UPDATE", df => {
-      val matches = coalesce(predicate, lit(false))
-      assignments.foldLeft(df) { case (d, (name, value)) =>
-        d.withColumn(name, when(matches, value).otherwise(col(name)))
-      }
-    }, keepMatches = true)
+    else rewrite(spark, log, snap, predicate, "UPDATE",
+      applyAssignments(predicate, assignments), keepMatches = true)
   }
 
   /** Merge-on-read DELETE: write matched row positions as a deletion vector
@@ -139,9 +135,7 @@ object Dml {
     val matched = logicalScanWithMeta(spark, log, snap, snap.files)
       .filter(coalesce(predicate, lit(false)))
       .select(snap.schema.fieldNames.map(col).toSeq: _*)
-    val updated = assignments.foldLeft(matched) {
-      case (d, (name, value)) => d.withColumn(name, value)
-    }
+    val updated = applyAssignments(lit(true), assignments)(matched)
     val checked = Constraints.enforce(updated, snap)
     val newAdds = GraftWriter.stageFiles(stagedPhysical(snap, checked), path,
       snap.partitionColumns.map(phys))
@@ -183,6 +177,29 @@ object Dml {
   /** Table-relative parent directory of a staged cdc file. */
   private def parentDir(c: CdcAction): String =
     c.path.substring(0, c.path.lastIndexOf('/'))
+
+  /** SQL UPDATE semantics: every SET expression AND the WHERE evaluate
+    * against the PRE-update row, in ONE select — a sequential
+    * `withColumn` fold would let the first assignment rewrite a column the
+    * predicate or a later assignment still reads (`SET ts = 20, bucket =
+    * ts % 3 WHERE ts = 10` must see ts = 10 throughout). Found by the
+    * generated-column enforcement tests. */
+  private def applyAssignments(predicate: Column,
+                               assignments: Map[String, Column])
+      : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = df => {
+    val matches = coalesce(predicate, lit(false))
+    val byName = assignments.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val unknown = byName.keySet --
+      df.columns.map(_.toLowerCase(java.util.Locale.ROOT))
+    require(unknown.isEmpty,
+      s"update assigns unknown columns: ${unknown.toSeq.sorted.mkString(", ")}")
+    df.select(df.columns.toSeq.map { c =>
+      byName.get(c.toLowerCase(java.util.Locale.ROOT)) match {
+        case Some(v) => when(matches, v).otherwise(df.col(s"`$c`")).as(c)
+        case None => df.col(s"`$c`")
+      }
+    }: _*)
+  }
 
   /** Logical-named frame → the table's at-rest names for staging (footer
     * field ids under mode=id); unmapped tables pass through. */

@@ -44,16 +44,20 @@ object GraftWriter {
     * in the same commit that removes every previous file. Legal because the
     * new metadata governs exactly the new files; no old file survives to be
     * read under the wrong schema. */
-  def write(df: DataFrame, path: String,
+  def write(dfIn: DataFrame, path: String,
             mode: SaveMode = SaveMode.ErrorIfExists,
             partitionBy: Seq[String] = Nil,
             mergeSchema: Boolean = false,
             overwriteSchema: Boolean = false,
             configuration: Option[Map[String, String]] = None): Long = {
-    val spark = df.sparkSession
+    val spark = dfIn.sparkSession
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
     val exists = snap.version >= 0
+    // generated columns the frame omits are computed here (delta-spark
+    // write semantics); provided values are verified per-row downstream
+    // (Constraints.enforce)
+    val df = if (exists) Constraints.withGenerated(dfIn, snap) else dfIn
     // name-mapped tables take the plain append/overwrite path: the frame
     // is renamed to PHYSICAL column names before staging (toPhysical
     // below), so data files, partition dirs, and footer-stats keys all
@@ -169,12 +173,15 @@ object GraftWriter {
     val txn = log.startTransaction()
     if (mapped) txn.permitNameMappedCommit()
     if (!exists) {
-      val (schemaJson, cfg, (fr, fw)) = createMapping match {
+      val (schemaJson, cfg, (fr, fw0)) = createMapping match {
         case Some((annSchema, annConfig, floor)) =>
           (DeltaSchema.toJson(annSchema), annConfig, floor)
         case None =>
           (DeltaSchema.toJson(df.schema), declaredConfig, (1, 2))
       }
+      // generated columns demand the writer-4 floor per the protocol
+      val fw = if (Constraints.generatedOf(df.schema).nonEmpty) math.max(fw0, 4)
+               else fw0
       txn.addAction(DeletionVectors.protocolFence(cfg, fr, fw)
         .getOrElse(ProtocolAction(fr, fw)))
       txn.addAction(MetaDataAction(

@@ -42,12 +42,14 @@ object ProtocolSupport {
     Set("timestampNtz", "columnMapping", "graft.deletionVectors",
       "deletionVectors")
 
-  /** Writer-7 table features graft maintains on write. `invariants` is
-    * listed by delta-spark on most v7 tables as legacy carry-over; actual
-    * USE is caught by the schema sniff in [[assertWritable]]. */
+  /** Writer-7 table features graft maintains on write. `invariants` and
+    * `generatedColumns` are ENFORCED per-row inside every write job
+    * ([[Constraints.enforce]] — invariant/generation expressions from the
+    * schema's field metadata), so declaring tables commit safely. */
   val SupportedWriterFeatures: Set[String] =
     Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
-      "timestampNtz", "graft.deletionVectors", "deletionVectors")
+      "timestampNtz", "graft.deletionVectors", "deletionVectors",
+      "generatedColumns")
 
   private def config(snap: Snapshot): Map[String, String] =
     snap.metadata.map(_.configuration).getOrElse(Map.empty)
@@ -114,13 +116,11 @@ object ProtocolSupport {
       refuse("uses column mapping: this write path does not stage data " +
         "under the table's physical column names (plain append/overwrite " +
         "through GraftWriter does)")
+    // column invariants and generated columns are maintained: enforced
+    // per-row in every write job (Constraints.enforce), generated values
+    // computed when the frame omits them (Constraints.withGenerated).
+    // Identity columns stay refused — graft allocates no high-water marks.
     val schema = schemaString(snap)
-    if (schema.contains("\"delta.invariants\""))
-      refuse("schema declares column invariants (delta.invariants) that " +
-        "graft would not enforce on write")
-    if (schema.contains("\"delta.generationExpression\""))
-      refuse("schema declares generated columns (delta.generationExpression) " +
-        "that graft would not compute on write")
     if (schema.contains("\"delta.identity.start\"") ||
         schema.contains("\"delta.identity.allowExplicitInsert\""))
       refuse("schema declares identity columns that graft would not " +

@@ -217,8 +217,11 @@ class GraftCatalog extends DelegatingCatalogExtension
     val txn = log.startTransaction()
     // CREATE with column mapping declared: fresh col-<uuid> physical names
     // + ids from version 0 (no files exist, both modes are safe)
-    val (annSchema, annConfig, (fr, fw)) =
+    val (annSchema, annConfig, (fr, fw0)) =
       ColumnMappingDdl.forCreate(DeltaSchema.normalize(schema), config)
+    // generated columns demand the writer-4 floor per the protocol
+    val fw = if (Constraints.generatedOf(annSchema).nonEmpty) math.max(fw0, 4)
+             else fw0
     txn.addAction(DeletionVectors.protocolFence(annConfig, fr, fw)
       .getOrElse(ProtocolAction(fr, fw)))
     txn.addAction(MetaDataAction(

@@ -34,13 +34,17 @@ final class GraftStreamSink(
 
   /** Write one micro-batch transactionally; returns the committed version,
     * or -1 if the epoch was already committed (idempotent skip). */
-  def writeBatch(batch: DataFrame, epochId: Long): Long = {
-    val spark = batch.sparkSession
+  def writeBatch(batchIn: DataFrame, epochId: Long): Long = {
+    val spark = batchIn.sparkSession
     val log = DeltaLog.forPath(spark, tablePath)
     val snap = log.update()
 
     // ST1: exactly-once gate
     if (snap.appTransactionVersion.get(appId).exists(_ >= epochId)) return -1L
+
+    // omitted generated columns are computed, like the batch writer
+    val batch =
+      if (snap.version >= 0) Constraints.withGenerated(batchIn, snap) else batchIn
 
     // mapped tables: the same physical staging contract as the batch
     // writer (fence first — the protocol reason beats a schema mismatch)

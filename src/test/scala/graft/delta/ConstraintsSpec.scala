@@ -109,4 +109,87 @@ class ConstraintsSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(DeltaTable.forPath(spark, dir).toDF.count() == 1)
   }
+
+  private def metaField(name: String, dt: DataType,
+                        key: String, value: String): StructField =
+    StructField(name, dt, nullable = true,
+      new MetadataBuilder().putString(key, value).build())
+
+  test("legacy column invariants (delta.invariants) enforce on every write") {
+    val dir = tempTable("inv-legacy").toString
+    // delta-spark's nested-JSON form in field metadata
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      metaField("qty", LongType, Constraints.InvariantKey,
+        """{"expression":{"expression":"qty >= 0"}}""")))
+    val ok = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, 5L), org.apache.spark.sql.Row(2L, 0L))),
+      schema)
+    GraftWriter.write(ok, dir)
+    // the declaration persists in the log schema and binds appends
+    assert(Constraints.invariantsOf(
+      DeltaLog.forPath(spark, dir).update().schema) == Seq("qty" -> "qty >= 0"))
+    val e = intercept[Exception] {
+      GraftWriter.write(Seq((3L, -1L)).toDF("id", "qty"), dir, SaveMode.Append)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("INVARIANT")), messages(e).mkString(" | "))
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 2)
+    // DML cannot smuggle a violation either
+    intercept[Exception] {
+      Dml.update(spark, dir, col("id") === 1L, Map("qty" -> lit(-5L)))
+    }
+    assert(DeltaTable.forPath(spark, dir).toDF
+      .filter(col("qty") < 0).count() == 0)
+  }
+
+  test("generated partition column: omitted on append, computed, partitions the file") {
+    val dir = tempTable("gen-part").toString
+    val schema = StructType(Seq(
+      StructField("ts", LongType),
+      metaField("bucket", LongType, Constraints.GenerationKey, "ts % 3")))
+    GraftWriter.write(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row(10L, 1L), org.apache.spark.sql.Row(11L, 2L))),
+        schema),
+      dir, partitionBy = Seq("bucket"))
+    // the CREATE bumped the floor to the protocol's generated-columns tier
+    assert(DeltaLog.forPath(spark, dir).update().minWriterVersion >= 4)
+    // append WITHOUT the generated column: computed, lands in the right dir
+    GraftWriter.write(Seq(Tuple1(12L)).toDF("ts"), dir, SaveMode.Append)
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.toDF.select("ts", "bucket").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq ==
+      Seq((10L, 1L), (11L, 2L), (12L, 0L)))
+    assert(dt.snapshot.files.exists(_.partitionValues.get("bucket").contains("0")))
+    // UPDATE that changes the source without refreshing the derivation aborts
+    intercept[Exception] {
+      Dml.update(spark, dir, col("ts") === 10L, Map("ts" -> lit(20L)))
+    }
+    // updating BOTH consistently passes
+    assert(Dml.update(spark, dir, col("ts") === 10L,
+      Map("ts" -> lit(20L), "bucket" -> lit(2L))).rowsAffected == 1)
+    assert(DeltaTable.forPath(spark, dir).toDF
+      .filter(col("ts") === 20L).select("bucket").as[Long].head() == 2L)
+  }
+
+  test("writer-7 generatedColumns feature table commits (enforced, not refused)") {
+    val dir = tempTable("gen-w7").toString
+    GraftWriter.write(Seq((1L, "1")).toDF("id", "v"), dir)
+    val md = DeltaLog.forPath(spark, dir).update().metadata.get
+    val genSchema = md.schemaString.replace(
+      """"name":"v","type":"string","nullable":true,"metadata":{}""",
+      """"name":"v","type":"string","nullable":true,"metadata":{"delta.generationExpression":"CAST(id AS STRING)"}""")
+    LogFixtures.writeCommit(java.nio.file.Paths.get(dir), 1, Seq(
+      ActionCodec.toJsonLine(ProtocolAction(1, 7,
+        writerFeatures = Some(Set("generatedColumns", "invariants")))),
+      ActionCodec.toJsonLine(md.copy(schemaString = genSchema))))
+    GraftWriter.write(Seq(Tuple1(2L)).toDF("id"), dir, SaveMode.Append)
+    assert(DeltaTable.forPath(spark, dir).toDF
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "1"), (2L, "2")))
+  }
 }

@@ -72,4 +72,24 @@ class DmlSpec extends AnyFunSuite with SparkTestBase {
       .select("id").as[Long].collect().sorted
     assert(ids.toSeq == Seq(1L, 2L)) // null-x row kept
   }
+
+  test("UPDATE SET expressions and WHERE all see the PRE-update row (swap)") {
+    // regression: a sequential withColumn fold let `SET a = b, b = a`
+    // collapse both columns to b, and `SET ts = 20 WHERE ts = 10` broke
+    // later assignments' predicates — SQL evaluates everything against the
+    // old row. Covers the copy-on-write path and the DV (merge-on-read)
+    // path, which shares applyAssignments with lit(true).
+    for (dv <- Seq(false, true)) {
+      val dir = tempTable(s"dml-swap-$dv").toString
+      GraftWriter.write(Seq((1L, 10L, 100L), (2L, 20L, 200L)).toDF("id", "a", "b"), dir)
+      if (dv) DeltaTable.forPath(spark, dir)
+        .setProperties(Map(TableConfig.EnableDeletionVectors -> "true"))
+      val m = Dml.update(spark, dir, col("a") === 10L,
+        Map("a" -> col("b"), "b" -> col("a")))
+      assert(m.rowsAffected == 1, s"dv=$dv: $m")
+      val rows = DeltaTable.forPath(spark, dir).toDF
+        .select("id", "a", "b").as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(rows == Seq((1L, 100L, 10L), (2L, 20L, 200L)), s"dv=$dv: $rows")
+    }
+  }
 }

@@ -144,9 +144,9 @@ class ProtocolSupportSpec extends AnyFunSuite with SparkTestBase {
     assert(add.deletionVector.exists(_.contains("\"cardinality\":2")))
   }
 
-  test("schema-level use sniff: generated columns refuse writes, reads stay open") {
+  test("generated columns are maintained: computed when omitted, verified when provided") {
     val dir = tempTable("ps-gen").toString
-    GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir)
+    GraftWriter.write(Seq((1L, "1")).toDF("id", "v"), dir)
     val md = DeltaLog.forPath(spark, dir).update().metadata.get
     val genSchema = md.schemaString.replace(
       """"name":"v","type":"string","nullable":true,"metadata":{}""",
@@ -155,11 +155,22 @@ class ProtocolSupportSpec extends AnyFunSuite with SparkTestBase {
     writeCommit(java.nio.file.Paths.get(dir), 1,
       Seq(ActionCodec.toJsonLine(md.copy(schemaString = genSchema))))
     assert(DeltaTable.forPath(spark, dir).toDF.count() == 1)
-    val e = intercept[UnsupportedProtocolException] {
-      GraftWriter.write(Seq((2L, "b")).toDF("id", "v"), dir,
+    // provided-and-correct passes; provided-and-wrong aborts pre-commit;
+    // omitted is computed (the delta-spark write contract)
+    GraftWriter.write(Seq((2L, "2")).toDF("id", "v"), dir,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    val e = intercept[Exception] {
+      GraftWriter.write(Seq((3L, "NOT3")).toDF("id", "v"), dir,
         mode = org.apache.spark.sql.SaveMode.Append)
     }
-    assert(e.getMessage.contains("generated columns"))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("GENERATED")), messages(e).mkString(" | "))
+    GraftWriter.write(Seq(Tuple1(4L)).toDF("id"), dir,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    assert(DeltaTable.forPath(spark, dir).toDF
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "1"), (2L, "2"), (4L, "4")))
   }
 
   test("mid-stream capability flips stop the append feed at the commit") {
