@@ -74,6 +74,24 @@ object Constraints {
     filled.select((tableOrder ++ extras).map(c => filled.col(s"`$c`")).toSeq: _*)
   }
 
+  /** Recompute generated columns after a row-transforming DML (UPDATE /
+    * MERGE update clauses): the derivation must follow the NEW source
+    * values. Unconditionally recomputing is sound — rows the DML did not
+    * touch re-derive the value they already hold (the table was
+    * consistent), and [[enforce]] verifies explicitly-assigned ones.
+    * `explicit` columns (user-assigned) are left to that verification. */
+  def regenerate(df: DataFrame, snap: Snapshot,
+                 explicit: Set[String] = Set.empty): DataFrame = {
+    if (snap.version < 0) return df
+    val lower = explicit.map(_.toLowerCase(java.util.Locale.ROOT))
+    generatedOf(snap.schema)
+      .filterNot(g => lower.contains(g._1.toLowerCase(java.util.Locale.ROOT)))
+      .filter(g => df.columns.contains(g._1))
+      .foldLeft(df) { case (d, (c, sql)) =>
+        d.withColumn(c, expr(sql).cast(snap.schema(c).dataType))
+      }
+  }
+
   /** Wrap `df` so the write job verifies every row against the table's
     * invariants. Identity when the table declares none. */
   def enforce(df: DataFrame, snap: Snapshot): DataFrame = {

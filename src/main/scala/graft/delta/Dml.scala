@@ -52,7 +52,10 @@ object Dml {
     if (TableConfig.deletionVectorsEnabled(TableConfig.of(snap)))
       updateWithDv(spark, path, predicate, assignments, Some((log, snap)))
     else rewrite(spark, log, snap, predicate, "UPDATE",
-      applyAssignments(predicate, assignments), keepMatches = true)
+      df => Constraints.regenerate(
+        applyAssignments(predicate, assignments)(df), snap,
+        explicit = assignments.keySet),
+      keepMatches = true)
   }
 
   /** Merge-on-read DELETE: write matched row positions as a deletion vector
@@ -135,7 +138,9 @@ object Dml {
     val matched = logicalScanWithMeta(spark, log, snap, snap.files)
       .filter(coalesce(predicate, lit(false)))
       .select(snap.schema.fieldNames.map(col).toSeq: _*)
-    val updated = applyAssignments(lit(true), assignments)(matched)
+    val updated = Constraints.regenerate(
+      applyAssignments(lit(true), assignments)(matched), snap,
+      explicit = assignments.keySet)
     val checked = Constraints.enforce(updated, snap)
     val newAdds = GraftWriter.stageFiles(stagedPhysical(snap, checked), path,
       snap.partitionColumns.map(phys))

@@ -257,7 +257,18 @@ final class MergeBuilder private[delta] (
         .otherwise(tCol)
         .cast(f.dataType).as(f.name)
     }
-    val rewritten = joinedObs.filter(outFilter).select(outFields.toSeq: _*)
+    // generated columns re-derive from the merged row's NEW source values
+    // (unconditional recompute is identity on untouched rows); columns a
+    // clause explicitly assigns are verified by Constraints.enforce instead
+    val assignedCols: Set[String] =
+      (matchedClauses ++ bySourceClauses).collect {
+        case MatchedUpdate(_, set) => set.keys
+      }.flatten.toSet ++
+        insertClauses.flatMap(_._2.map(_.keys.toSeq).getOrElse(Nil))
+    def projected(df: DataFrame): DataFrame =
+      Constraints.regenerate(df.select(outFields.toSeq: _*), snap,
+        explicit = assignedCols)
+    val rewritten = projected(joinedObs.filter(outFilter))
 
     val removes = if (rewriteFiles) affected else Nil
     // mapped tables: the rewrite stages under at-rest names (and footer
@@ -325,14 +336,16 @@ final class MergeBuilder private[delta] (
         val tCols = snap.schema.fields.map(f =>
           col(s"t.`${f.name}`").cast(f.dataType).as(f.name)).toSeq
         val ct = ChangeDataFeed.ChangeType
+        // post/insert images go through the SAME projection (incl. the
+        // generated-column recompute) as the committed rewrite
         val changes = Seq(
           joined.filter(applyUpd || applyBsUpd).select(tCols: _*)
             .withColumn(ct, lit("update_preimage")),
-          joined.filter(applyUpd || applyBsUpd).select(outFields.toSeq: _*)
+          projected(joined.filter(applyUpd || applyBsUpd))
             .withColumn(ct, lit("update_postimage")),
           joined.filter(applyDel || applyBsDel).select(tCols: _*)
             .withColumn(ct, lit("delete")),
-          joined.filter(isIns).select(outFields.toSeq: _*)
+          projected(joined.filter(isIns))
             .withColumn(ct, lit("insert"))
         ).reduce(_ unionByName _)
         // change files are at-rest files: physical names on mapped tables

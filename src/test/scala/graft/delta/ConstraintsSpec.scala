@@ -165,15 +165,46 @@ class ConstraintsSpec extends AnyFunSuite with SparkTestBase {
       .collect().sortBy(_._1).toSeq ==
       Seq((10L, 1L), (11L, 2L), (12L, 0L)))
     assert(dt.snapshot.files.exists(_.partitionValues.get("bucket").contains("0")))
-    // UPDATE that changes the source without refreshing the derivation aborts
-    intercept[Exception] {
-      Dml.update(spark, dir, col("ts") === 10L, Map("ts" -> lit(20L)))
-    }
-    // updating BOTH consistently passes
+    // UPDATE of the source column auto-recomputes the derivation
+    // (delta-spark semantics); untouched rows keep their values
     assert(Dml.update(spark, dir, col("ts") === 10L,
-      Map("ts" -> lit(20L), "bucket" -> lit(2L))).rowsAffected == 1)
+      Map("ts" -> lit(20L))).rowsAffected == 1)
     assert(DeltaTable.forPath(spark, dir).toDF
-      .filter(col("ts") === 20L).select("bucket").as[Long].head() == 2L)
+      .select("ts", "bucket").as[(Long, Long)].collect().sortBy(_._1).toSeq ==
+      Seq((11L, 2L), (12L, 0L), (20L, 2L)))
+    // an EXPLICIT assignment that contradicts the derivation still aborts
+    intercept[Exception] {
+      Dml.update(spark, dir, col("ts") === 11L,
+        Map("ts" -> lit(21L), "bucket" -> lit(1L)))
+    }
+    assert(DeltaTable.forPath(spark, dir).toDF
+      .filter(col("ts") === 21L).count() == 0)
+  }
+
+  test("MERGE re-derives generated columns for updated and inserted rows") {
+    val dir = tempTable("gen-merge").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("ts", LongType),
+      metaField("bucket", LongType, Constraints.GenerationKey, "ts % 3")))
+    GraftWriter.write(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row(1L, 10L, 1L), org.apache.spark.sql.Row(2L, 11L, 2L))),
+        schema), dir)
+    val src = Seq((1L, 12L), (3L, 13L)).toDF("id", "ts")
+      .withColumn("bucket", lit(null).cast(LongType)) // insertAll needs the column
+    val m = Merge.into(spark, dir, src.as("s"), col("t.id") === col("s.id"))
+      .whenMatchedUpdate(Map("ts" -> col("s.ts")))
+      .whenNotMatchedInsert(Map("id" -> col("s.id"), "ts" -> col("s.ts")))
+      .execute()
+    assert(m.rowsUpdated == 1 && m.rowsInserted == 1, m)
+    // updated row re-derived (12 % 3 = 0), inserted row derived (13 % 3 = 1),
+    // untouched row kept (11 % 3 = 2)
+    assert(DeltaTable.forPath(spark, dir).toDF
+      .select("id", "ts", "bucket").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq ==
+      Seq((1L, 12L, 0L), (2L, 11L, 2L), (3L, 13L, 1L)))
   }
 
   test("writer-7 generatedColumns feature table commits (enforced, not refused)") {
