@@ -117,10 +117,24 @@ object Checkpoints {
     StructType(base ++ pvParsed ++ statsParsed)
   }
 
-  private def checkpointSchema(info: SchemaInfo): StructType = StructType(Seq(
-    StructField("txn", txnType), StructField("add", addType(info)),
-    StructField("remove", removeType), StructField("metaData", metaDataType),
-    StructField("protocol", protocolType)))
+  /** `domainMetadata` checkpoint struct (Delta protocol; delta-spark writes
+    * the same three-field shape). Appended to the schema only when the
+    * snapshot carries live domains, so plain tables keep the reference's
+    * exact five-column layout (delta_arrow.rs:140-249). */
+  private def domainMetadataType = StructType(Seq(
+    StructField("domain", StringType),
+    StructField("configuration", StringType),
+    StructField("removed", BooleanType)))
+
+  private def checkpointSchema(info: SchemaInfo, withDomains: Boolean): StructType = {
+    val base = Seq(
+      StructField("txn", txnType), StructField("add", addType(info)),
+      StructField("remove", removeType), StructField("metaData", metaDataType),
+      StructField("protocol", protocolType))
+    StructType(
+      if (withDomains) base :+ StructField("domainMetadata", domainMetadataType)
+      else base)
+  }
 
   // ------------------------------------------------------------ encode
 
@@ -186,23 +200,28 @@ object Checkpoints {
     Row.fromSeq(base ++ pvParsed ++ statsParsed)
   }
 
-  private def actionRow(a: Action, info: SchemaInfo): Row = a match {
-    case t: TxnAction => Row(Row(t.appId, t.version, t.lastUpdated.orNull), null, null, null, null)
-    case add: AddAction => Row(null, addRow(add, info), null, null, null)
-    case r: RemoveAction => Row(null, null,
-      Row(ActionPath.encode(r.path), r.deletionTimestamp, false,
-          r.extendedFileMetadata.orNull,
-          r.partitionValues.orNull, r.size.orNull, r.tags.orNull), null, null)
-    case m: MetaDataAction => Row(null, null, null,
-      Row(m.id, m.name.orNull, m.description.orNull,
-          Row(m.format.provider, m.format.options), m.schemaString,
-          m.partitionColumns, m.configuration, m.createdTime.orNull), null)
-    case p: ProtocolAction => Row(null, null, null, null,
-      Row(p.minReaderVersion, p.minWriterVersion,
-        p.readerFeatures.map(_.toSeq.sorted).orNull,
-        p.writerFeatures.map(_.toSeq.sorted).orNull))
-    case _: CommitInfoAction =>
-      throw new IllegalArgumentException("commitInfo is never checkpointed")
+  private def actionRow(a: Action, info: SchemaInfo, withDomains: Boolean): Row = {
+    val cells: Seq[Any] = a match {
+      case t: TxnAction => Seq(Row(t.appId, t.version, t.lastUpdated.orNull), null, null, null, null, null)
+      case add: AddAction => Seq(null, addRow(add, info), null, null, null, null)
+      case r: RemoveAction => Seq(null, null,
+        Row(ActionPath.encode(r.path), r.deletionTimestamp, false,
+            r.extendedFileMetadata.orNull,
+            r.partitionValues.orNull, r.size.orNull, r.tags.orNull), null, null, null)
+      case m: MetaDataAction => Seq(null, null, null,
+        Row(m.id, m.name.orNull, m.description.orNull,
+            Row(m.format.provider, m.format.options), m.schemaString,
+            m.partitionColumns, m.configuration, m.createdTime.orNull), null, null)
+      case p: ProtocolAction => Seq(null, null, null, null,
+        Row(p.minReaderVersion, p.minWriterVersion,
+          p.readerFeatures.map(_.toSeq.sorted).orNull,
+          p.writerFeatures.map(_.toSeq.sorted).orNull), null)
+      case d: DomainMetadataAction => Seq(null, null, null, null, null,
+        Row(d.domain, d.configuration, d.removed))
+      case _ =>
+        throw new IllegalArgumentException(s"${a.getClass.getSimpleName} is never checkpointed")
+    }
+    Row.fromSeq(if (withDomains) cells else cells.dropRight(1))
   }
 
   /** Snapshot → checkpoint action list, reference order
@@ -224,14 +243,16 @@ object Checkpoints {
     // must not be written: if add(F) replayed before remove(F) the active
     // file would silently vanish and later become vacuum-eligible.
     val activePaths = snap.files.iterator.map(_.path).toSet
+    val withDomains = snap.domainMetadata.nonEmpty
     val acts: Seq[Action] =
       Seq(ProtocolAction(snap.minReaderVersion, snap.minWriterVersion,
         snap.readerFeatures, snap.writerFeatures), md) ++
       snap.appTransactionVersion.toSeq.sortBy(_._1).map { case (app, v) => TxnAction(app, v) } ++
+      snap.domainMetadata.toSeq.sortBy(_._1).map { case (d, c) => DomainMetadataAction(d, c) } ++
       snap.tombstones.filterNot(t => activePaths.contains(t.path)) ++
       snap.files
-    val rows = acts.map(actionRow(_, info))
-    val schema = checkpointSchema(info)
+    val rows = acts.map(actionRow(_, info, withDomains))
+    val schema = checkpointSchema(info, withDomains)
     val nParts = math.max(1, math.ceil(acts.size.toDouble / maxActionsPerPart).toInt)
 
     val tmpDir = new Path(log.logPath, s".tmp-checkpoint-${UUID.randomUUID()}")
@@ -330,6 +351,11 @@ object Checkpoints {
         feats("readerFeatures"), feats("writerFeatures"))
     }).orElse(struct("txn").map { t =>
       TxnAction(t.getAs[String]("appId"), t.getAs[Long]("version"), optL(t, "lastUpdated"))
+    }).orElse(struct("domainMetadata").map { d =>
+      DomainMetadataAction(
+        domain = d.getAs[String]("domain"),
+        configuration = optS(d, "configuration").getOrElse(""),
+        removed = optB(d, "removed").getOrElse(false))
     })
   }
 

@@ -44,10 +44,21 @@ object Clone {
     val now = System.currentTimeMillis()
 
     val txn = tgtLog.startTransaction()
-    txn.addAction(ProtocolAction())
+    // the clone inherits the source's protocol verbatim — its metadata may
+    // demand capabilities (column mapping, timestampNtz, domain metadata)
+    // that a bare (1,2) protocol would under-declare
+    txn.addAction(
+      if (srcSnap.minReaderVersion <= 0) ProtocolAction()
+      else ProtocolAction(srcSnap.minReaderVersion, srcSnap.minWriterVersion,
+        srcSnap.readerFeatures, srcSnap.writerFeatures))
     val md = srcSnap.metadata.getOrElse(
       throw new IllegalStateException(s"source $sourcePath has no metadata"))
     txn.addAction(md.copy(id = UUID.randomUUID().toString, createdTime = Some(now)))
+    // domain metadata is part of the snapshot state being forked (e.g. the
+    // `delta.clustering` domain of a liquid-clustered source)
+    srcSnap.domainMetadata.toSeq.sortBy(_._1).foreach { case (d, c) =>
+      txn.addAction(DomainMetadataAction(d, c))
+    }
     // DV pointers are table-relative and would dangle from the clone's root;
     // cloning a DV-carrying snapshot requires compacting first (OPTIMIZE
     // folds the vectors into rewritten files)

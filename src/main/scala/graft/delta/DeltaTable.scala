@@ -302,6 +302,49 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     txn.commit(Some(CommitInfoAction(info)))
   }
 
+  /** Live metadata domains (domain → configuration), latest-writer-wins
+    * per domain (Delta `domainMetadata`; see [[DomainMetadataAction]]). */
+  def domainMetadata: Map[String, String] = snapshot.domainMetadata
+
+  /** Write one metadata domain. The first domain write lifts the protocol
+    * to writer 7 with the `domainMetadata` feature declared (legacy-implied
+    * features carried along). Concurrent writes to the SAME domain
+    * conflict; different domains commute. */
+  def setDomainMetadata(domain: String, configuration: String): Long = {
+    require(domain.nonEmpty, "domain name must be non-empty")
+    domainCommit(domain, DomainMetadataAction(domain, configuration),
+      "SET DOMAIN METADATA")
+  }
+
+  /** Delete one metadata domain (loud on an absent domain — a silent no-op
+    * would mask a caller racing its own removal). */
+  def removeDomainMetadata(domain: String): Long = {
+    val snap = log.update()
+    require(snap.domainMetadata.contains(domain),
+      s"table ${log.tablePath} has no metadata domain '$domain'")
+    domainCommit(domain, DomainMetadataAction(domain, "", removed = true),
+      "REMOVE DOMAIN METADATA")
+  }
+
+  private def domainCommit(domain: String, action: DomainMetadataAction,
+                           operation: String): Long = {
+    val snap = log.update()
+    if (snap.version < 0) throw new NotATableException(log.tablePath.toString)
+    // domain commits stage no data files — mapped tables are safe
+    ProtocolSupport.assertWritable(snap, allowNameMapping = true)
+    val txn = log.startTransaction()
+    if (ColumnMapping.isMapped(snap)) txn.permitNameMappedCommit()
+    ProtocolSupport.writerFeatureFence(snap, "domainMetadata").foreach(txn.addAction)
+    txn.addAction(action)
+    val info = ActionCodec.mapper.createObjectNode()
+    info.put("timestamp", System.currentTimeMillis())
+    info.put("operation", operation)
+    info.putObject("operationParameters").put("domain", domain)
+    val v = txn.commit(Some(CommitInfoAction(info)))
+    log.maybeCheckpoint(v)
+    v
+  }
+
   /** Declare a CHECK constraint (see [[Constraints]]). Existing rows are
     * validated first — one distributed scan — so the declaration is
     * trustworthy from the moment it commits (ALTER TABLE ADD CONSTRAINT

@@ -26,6 +26,12 @@ final class ConcurrentAppendException(version: Long)
 final class ConcurrentDeleteDeleteException(version: Long, path: String)
   extends ConcurrentCommitException(
     s"concurrent commit $version also removed $path")
+/** A concurrent commit wrote the same metadata domain this transaction
+  * writes — last-writer-wins inside a domain is a lost update, so the
+  * loser aborts (writes to DIFFERENT domains commute). */
+final class ConcurrentDomainMetadataException(version: Long, domain: String)
+  extends ConcurrentCommitException(
+    s"concurrent commit $version also wrote metadata domain '$domain'")
 /** The table is configured `delta.appendOnly=true` and this transaction
   * carries a data-changing remove. */
 final class AppendOnlyTableException(path: String)
@@ -133,6 +139,7 @@ final class OptimisticTransaction(val log: DeltaLog) {
       throw new AppendOnlyTableException(log.tablePath.toString)
     val tmp = prepareCommit(operation.toSeq)
     val ourRemoves = actions.collect { case r: RemoveAction => r.path }.toSet
+    val ourDomains = actions.collect { case d: DomainMetadataAction => d.domain }.toSet
     val ourDataChangeRemoves = actions.exists {
       case r: RemoveAction => r.dataChange
       case _ => false
@@ -146,7 +153,7 @@ final class OptimisticTransaction(val log: DeltaLog) {
         // (re-)attempting; an incompatible winner aborts instead of retrying
         while (checkedThrough < latest) {
           checkedThrough += 1
-          checkConflict(checkedThrough, ourRemoves, ourDataChangeRemoves)
+          checkConflict(checkedThrough, ourRemoves, ourDataChangeRemoves, ourDomains)
         }
         log.store.renameNoReplace(tmp, log.commitFile(latest + 1))
         log.update()
@@ -163,7 +170,8 @@ final class OptimisticTransaction(val log: DeltaLog) {
   }
 
   private def checkConflict(version: Long, ourRemoves: Set[String],
-                            ourDataChangeRemoves: Boolean): Unit =
+                            ourDataChangeRemoves: Boolean,
+                            ourDomains: Set[String]): Unit =
     log.readCommit(version).foreach {
       case _: MetaDataAction | _: ProtocolAction =>
         throw new MetadataChangedException(version)
@@ -171,7 +179,9 @@ final class OptimisticTransaction(val log: DeltaLog) {
         throw new ConcurrentDeleteDeleteException(version, r.path)
       case a: AddAction if a.dataChange && ourDataChangeRemoves && addInReadDomain(a) =>
         throw new ConcurrentAppendException(version)
-      case _ => () // their appends/compactions/disjoint-partition adds commute
+      case d: DomainMetadataAction if ourDomains.contains(d.domain) =>
+        throw new ConcurrentDomainMetadataException(version, d.domain)
+      case _ => () // appends/compactions/disjoint partitions/domains commute
     }
 
   /** Could the concurrent add's rows have matched our read predicate?

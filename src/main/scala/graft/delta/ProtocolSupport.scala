@@ -45,11 +45,18 @@ object ProtocolSupport {
   /** Writer-7 table features graft maintains on write. `invariants` and
     * `generatedColumns` are ENFORCED per-row inside every write job
     * ([[Constraints.enforce]] — invariant/generation expressions from the
-    * schema's field metadata), so declaring tables commit safely. */
+    * schema's field metadata), so declaring tables commit safely.
+    * `domainMetadata`: domains replay into snapshot state, survive every
+    * checkpoint, and concurrent same-domain writes conflict
+    * ([[OptimisticTransaction]]). `clustering` (liquid-clustered tables):
+    * correct writing means preserving the `delta.clustering` domain —
+    * which domain replay + checkpointing do; clustering itself is a
+    * best-effort layout property (appends need not cluster; OPTIMIZE
+    * re-clusters). */
   val SupportedWriterFeatures: Set[String] =
     Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
       "timestampNtz", "graft.deletionVectors", "deletionVectors",
-      "generatedColumns")
+      "generatedColumns", "domainMetadata", "clustering")
 
   private def config(snap: Snapshot): Map[String, String] =
     snap.metadata.map(_.configuration).getOrElse(Map.empty)
@@ -159,6 +166,32 @@ object ProtocolSupport {
           "the stream's fixed logical schema")
       case _ => ()
     }
+
+  /** Writer features implied by a legacy writer version (Delta PROTOCOL.md
+    * upgrade rule: a table moving to writer 7 must NAME every capability
+    * the legacy version granted implicitly, or foreign writers would stop
+    * honoring e.g. append-only). */
+  def impliedWriterFeatures(minWriter: Int): Set[String] =
+    Seq(
+      2 -> Set("appendOnly", "invariants"),
+      3 -> Set("checkConstraints"),
+      4 -> Set("changeDataFeed", "generatedColumns"),
+      5 -> Set("columnMapping"),
+      6 -> Set("identityColumns"))
+      .filter(_._1 <= minWriter).flatMap(_._2).toSet
+
+  /** Protocol action lifting `snap`'s protocol to writer 7 with `feature`
+    * declared, carrying the legacy-implied features along — or None when
+    * the table already declares it. Emitted by the first commit that uses
+    * a table-features-gated capability (e.g. domain metadata). */
+  def writerFeatureFence(snap: Snapshot, feature: String): Option[ProtocolAction] =
+    if (snap.minWriterVersion == 7 && snap.writerFeatures.exists(_.contains(feature)))
+      None
+    else Some(ProtocolAction(
+      math.max(snap.minReaderVersion, 1), 7,
+      snap.readerFeatures,
+      Some(snap.writerFeatures.getOrElse(Set.empty) ++
+        impliedWriterFeatures(snap.minWriterVersion) + feature)))
 
   private def refuse(why: String): Nothing =
     throw new UnsupportedProtocolException(s"unsupported Delta table: $why")

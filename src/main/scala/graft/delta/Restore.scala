@@ -84,6 +84,15 @@ object Restore {
         txn.addAction(tgt)
       case _ => ()
     }
+    // domain metadata restores with the rest of the state: re-commit domains
+    // the target had (changed or since-removed), tombstone ones added since
+    target.domainMetadata.foreach { case (d, cfg) =>
+      if (!current.domainMetadata.get(d).contains(cfg))
+        txn.addAction(DomainMetadataAction(d, cfg))
+    }
+    current.domainMetadata.keys
+      .filterNot(target.domainMetadata.contains)
+      .foreach(d => txn.addAction(DomainMetadataAction(d, "", removed = true)))
     toAdd.foreach(a => txn.addAction(a.copy(dataChange = true)))
     toRemove.foreach(f => txn.addAction(RemoveAction(
       path = f.path, deletionTimestamp = now, dataChange = true,

@@ -28,7 +28,8 @@ final case class Snapshot(
     readerFeatures: Option[Set[String]] = None,
     writerFeatures: Option[Set[String]] = None,
     appTransactionVersion: Map[String, Long] = Map.empty,
-    lastCommitInfo: Option[JsonNode] = None) {
+    lastCommitInfo: Option[JsonNode] = None,
+    domainMetadata: Map[String, String] = Map.empty) {
 
   def schema: org.apache.spark.sql.types.StructType =
     metadata.map(m => DeltaSchema.fromJson(m.schemaString))
@@ -140,6 +141,7 @@ object Snapshot {
     var writerFeats = base.writerFeatures
     val txns = mutable.Map[String, Long](base.appTransactionVersion.toSeq: _*)
     var lastCommitInfo = base.lastCommitInfo
+    val domains = mutable.Map[String, String](base.domainMetadata.toSeq: _*)
 
     actions.foreach {
       case a: AddAction => files.put(a.path, a)
@@ -155,6 +157,12 @@ object Snapshot {
       case t: TxnAction => txns.put(t.appId, t.version)
       case ci: CommitInfoAction => lastCommitInfo = Some(ci.info)
       case _: CdcAction => () // change-data files are commit-scoped, not state
+      // latest action per domain wins; removed=true deletes the domain
+      // (delta-spark keeps only live domains in snapshot state — a removal
+      // needs no checkpoint tombstone because checkpoints are state dumps)
+      case d: DomainMetadataAction =>
+        if (d.removed) domains.remove(d.domain)
+        else domains.put(d.domain, d.configuration)
     }
 
     Snapshot(
@@ -167,6 +175,7 @@ object Snapshot {
       readerFeatures = readerFeats,
       writerFeatures = writerFeats,
       appTransactionVersion = txns.toMap,
-      lastCommitInfo = lastCommitInfo)
+      lastCommitInfo = lastCommitInfo,
+      domainMetadata = domains.toMap)
   }
 }

@@ -92,6 +92,19 @@ final case class CdcAction(
     dataChange: Boolean = false)
   extends Action
 
+/** Domain metadata (Delta protocol `domainMetadata` action, writer
+  * feature `domainMetadata`; beyond the reference, whose action enum at
+  * rust/src/action.rs:706-721 predates it). A named metadata domain whose
+  * `configuration` is an opaque string (by convention serialized JSON —
+  * e.g. the `delta.clustering` domain of liquid-clustered tables). The
+  * latest action per domain wins; `removed=true` deletes the domain from
+  * table state. */
+final case class DomainMetadataAction(
+    domain: String,
+    configuration: String,
+    removed: Boolean = false)
+  extends Action
+
 /** Per-file statistics carried in `Add.stats` as embedded JSON
   * (`rust/src/action.rs:113-127`); min/max/nullCount values stay raw
   * `JsonNode`s because nested-struct stats recurse
@@ -172,6 +185,11 @@ object ActionCodec {
         o.set[ObjectNode]("partitionValues", strMap(c.partitionValues))
         o.put("size", c.size)
         o.put("dataChange", c.dataChange)
+      case d: DomainMetadataAction =>
+        val o = wrapper.putObject("domainMetadata")
+        o.put("domain", d.domain)
+        o.put("configuration", d.configuration)
+        o.put("removed", d.removed)
     }
     wrapper
   }
@@ -258,6 +276,10 @@ object ActionCodec {
         size = optLong(n, "size").getOrElse(0L),
         partitionValues = optStrMap(n, "partitionValues").getOrElse(Map.empty),
         dataChange = optBool(n, "dataChange").getOrElse(false)))
+      case "domainMetadata" => Some(DomainMetadataAction(
+        domain = reqStr(n, "domainMetadata", "domain"),
+        configuration = optStr(n, "configuration").getOrElse(""),
+        removed = optBool(n, "removed").getOrElse(false)))
       case _ => None // forward compatibility: unknown action types are ignored
     }
   }
