@@ -356,6 +356,16 @@ object Checkpoints {
         domain = d.getAs[String]("domain"),
         configuration = optS(d, "configuration").getOrElse(""),
         removed = optB(d, "removed").getOrElse(false))
+    }).orElse(struct("checkpointMetadata").map { c =>
+      CheckpointMetadataAction(
+        version = c.getAs[Long]("version"),
+        tags = optM(c, "tags"))
+    }).orElse(struct("sidecar").map { s =>
+      SidecarAction(
+        path = s.getAs[String]("path"),
+        sizeInBytes = optL(s, "sizeInBytes").getOrElse(0L),
+        modificationTime = optL(s, "modificationTime").getOrElse(0L),
+        tags = optM(s, "tags"))
     })
   }
 
@@ -384,9 +394,208 @@ object Checkpoints {
     * by [[DistributedReplay.activeFiles]]. */
   def readNonAdd(spark: SparkSession, paths: Seq[Path]): Seq[Action] = {
     import org.apache.spark.sql.functions.col
-    val df = spark.read.parquet(paths.map(_.toString): _*)
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(paths.map(_.toString): _*)
     val filtered =
       if (df.columns.contains("add")) df.filter(col("add").isNull) else df
     filtered.collect().iterator.flatMap(rowToAction).toSeq
+  }
+
+  // ------------------------------------------------------------ v2 (UUID)
+
+  /** V2 checkpoints (Delta `v2Checkpoint` table feature): one UUID-named
+    * manifest `%020d.checkpoint.<uuid>.{json,parquet}` holding the
+    * non-file state plus a `checkpointMetadata` marker, with the file
+    * actions in parquet SIDECARS under `_delta_log/_sidecars/` referenced
+    * by `sidecar` actions (inline file actions are also spec-legal and
+    * read here, but graft always writes sidecars — a million-file
+    * inventory belongs in parallel-scannable parquet parts, not one
+    * manifest). Names are discovered by listing ([[DeltaLog]]'s
+    * `V2CheckpointRe`); `_last_checkpoint` stays advisory `{version,size}`. */
+
+  private[delta] def sidecarDir(log: DeltaLog): Path =
+    new Path(log.logPath, "_sidecars")
+
+  /** Resolve a sidecar `path` (file name relative to `_sidecars/`, or an
+    * absolute URI — same two forms as `add.path`). */
+  private[delta] def sidecarPath(log: DeltaLog, name: String): Path =
+    new Path(sidecarDir(log), name)
+
+  /** Actions of a v2 checkpoint MANIFEST only (no sidecar expansion):
+    * ndjson or parquet forms. */
+  private def readV2Manifest(log: DeltaLog, file: Path): Seq[Action] =
+    if (file.getName.endsWith(".json"))
+      log.store.readLines(file).filter(_.nonEmpty)
+        .flatMap(ActionCodec.fromJsonLine).toSeq
+    else read(log.spark, Seq(file))
+
+  /** Sidecar references of a v2 checkpoint manifest. */
+  private[delta] def sidecarRefs(log: DeltaLog, fileName: String): Seq[SidecarAction] =
+    readV2Manifest(log, new Path(log.logPath, fileName))
+      .collect { case s: SidecarAction => s }
+
+  /** Full driver-side read of a v2 checkpoint: manifest + expanded
+    * sidecars, `checkpointMetadata.version` validated, structural actions
+    * stripped (replay must see only state actions). */
+  def readV2(log: DeltaLog, version: Long, fileName: String): Seq[Action] = {
+    val mainActs = readV2Manifest(log, new Path(log.logPath, fileName))
+    mainActs.collectFirst { case c: CheckpointMetadataAction => c }.foreach { c =>
+      if (c.version != version) throw new IllegalStateException(
+        s"v2 checkpoint $fileName declares version ${c.version}, expected $version")
+    }
+    val sidecars = mainActs.collect { case s: SidecarAction => s }
+    val sidecarActs =
+      if (sidecars.isEmpty) Nil
+      else read(log.spark, sidecars.map(s => sidecarPath(log, s.path)))
+    mainActs.filter {
+      case _: CheckpointMetadataAction | _: SidecarAction => false
+      case _ => true
+    } ++ sidecarActs
+  }
+
+  /** Non-add state of a v2 checkpoint: manifest non-file actions plus the
+    * sidecars' tombstones (executor-filtered, driver collect stays tiny). */
+  def readNonAddV2(log: DeltaLog, version: Long, fileName: String): Seq[Action] = {
+    val mainActs = readV2Manifest(log, new Path(log.logPath, fileName))
+    val sidecars = mainActs.collect { case s: SidecarAction => s }
+    val sidecarNonAdd =
+      if (sidecars.isEmpty) Nil
+      else readNonAdd(log.spark, sidecars.map(s => sidecarPath(log, s.path)))
+    mainActs.filter {
+      case _: CheckpointMetadataAction | _: SidecarAction => false
+      case _: AddAction => false
+      case _ => true
+    } ++ sidecarNonAdd
+  }
+
+  /** Parquet paths carrying a v2 checkpoint's FILE actions — the manifest
+    * (inline actions are legal) plus every sidecar — for
+    * [[DistributedReplay]]'s executor-side scan. JSON manifests return
+    * only their sidecars (a JSON manifest with a distributed-scale inline
+    * inventory does not occur: graft writes parquet, and the driver path
+    * handles small JSON checkpoints). */
+  private[delta] def v2DataPaths(log: DeltaLog, fileName: String): Seq[Path] = {
+    val main = new Path(log.logPath, fileName)
+    val sidecars = sidecarRefs(log, fileName).map(s => sidecarPath(log, s.path))
+    if (fileName.endsWith(".json")) sidecars else main +: sidecars
+  }
+
+  /** Write a v2 checkpoint for `snap`: sidecar parquet part(s) under
+    * `_sidecars/` (≤ `maxActionsPerPart` file actions each), then the
+    * UUID-named parquet manifest. Returns (total actions, manifest name).
+    *
+    * Refuses when the table does not declare the `v2Checkpoint` feature:
+    * readers discovering checkpoints only by `_last_checkpoint`-derived
+    * classic names (the reference does exactly this, rust/src/delta.rs:
+    * 412-436) would silently lose the checkpoint otherwise — the feature
+    * is the contract that readers know to LIST for UUID names. */
+  def writeV2(log: DeltaLog, snap: Snapshot,
+              maxActionsPerPart: Int = 500000): (Long, String) = {
+    val md = snap.metadata.getOrElse(
+      throw new IllegalStateException("cannot checkpoint a table without metaData"))
+    if (!(snap.minReaderVersion == 3 &&
+          snap.readerFeatures.exists(_.contains("v2Checkpoint"))))
+      throw new UnsupportedProtocolException(
+        "unsupported Delta table: checkpointPolicy=v2 without the " +
+        "v2Checkpoint table feature — set delta.checkpointPolicy through " +
+        "setProperties, which lifts the protocol")
+    val info = schemaInfo(snap)
+    val spark = log.spark
+    val fs = log.logPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val uuid = UUID.randomUUID().toString
+
+    // ---- sidecars: the file actions (same superseded-tombstone filter as
+    // the classic writer — a checkpoint is an order-insensitive state dump)
+    val activePaths = snap.files.iterator.map(_.path).toSet
+    val fileActs: Seq[Action] =
+      snap.tombstones.filterNot(t => activePaths.contains(t.path)) ++ snap.files
+    val sidecarSchema = StructType(Seq(
+      StructField("add", addType(info)), StructField("remove", removeType)))
+    def fileRow(a: Action): Row = a match {
+      case add: AddAction => Row(addRow(add, info), null)
+      case r: RemoveAction => Row(null,
+        Row(ActionPath.encode(r.path), r.deletionTimestamp, false,
+          r.extendedFileMetadata.orNull,
+          r.partitionValues.orNull, r.size.orNull, r.tags.orNull))
+      case other => throw new IllegalArgumentException(
+        s"sidecars carry file actions only, got ${other.getClass.getSimpleName}")
+    }
+    val nParts =
+      if (fileActs.isEmpty) 0
+      else math.max(1, math.ceil(fileActs.size.toDouble / maxActionsPerPart).toInt)
+    val sidecarActions: Seq[SidecarAction] =
+      if (nParts == 0) Nil
+      else {
+        val tmpDir = new Path(log.logPath, s".tmp-v2sidecar-$uuid")
+        spark.createDataFrame(fileActs.map(fileRow).asJava, sidecarSchema)
+          .repartition(nParts).write.mode("overwrite").parquet(tmpDir.toString)
+        val parts = fs.listStatus(tmpDir).map(_.getPath)
+          .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+          .sortBy(_.getName)
+        if (parts.length != nParts)
+          throw new IllegalStateException(
+            s"expected $nParts sidecar files in $tmpDir, found ${parts.length}")
+        log.store.mkdirs(sidecarDir(log))
+        val refs = parts.zipWithIndex.map { case (src, i) =>
+          val name = s"$uuid-${DeltaLog.pad10(i + 1)}.parquet"
+          val dst = sidecarPath(log, name)
+          if (fs.exists(dst)) fs.delete(dst, false)
+          log.store.renameNoReplace(src, dst)
+          val st = log.store.fileStatus(dst)
+          SidecarAction(name, st.getLen, st.getModificationTime)
+        }.toSeq
+        fs.delete(tmpDir, true)
+        refs
+      }
+
+    // ---- manifest: structural + non-file state
+    val manifestSchema = StructType(Seq(
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType), StructField("tags", strMap)))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType), StructField("sizeInBytes", LongType),
+        StructField("modificationTime", LongType), StructField("tags", strMap)))),
+      StructField("txn", txnType), StructField("metaData", metaDataType),
+      StructField("protocol", protocolType),
+      StructField("domainMetadata", domainMetadataType)))
+    def manifestRow(a: Action): Row = a match {
+      case c: CheckpointMetadataAction =>
+        Row(Row(c.version, c.tags.orNull), null, null, null, null, null)
+      case s: SidecarAction =>
+        Row(null, Row(s.path, s.sizeInBytes, s.modificationTime, s.tags.orNull),
+          null, null, null, null)
+      case t: TxnAction =>
+        Row(null, null, Row(t.appId, t.version, t.lastUpdated.orNull), null, null, null)
+      case m: MetaDataAction => Row(null, null, null,
+        Row(m.id, m.name.orNull, m.description.orNull,
+          Row(m.format.provider, m.format.options), m.schemaString,
+          m.partitionColumns, m.configuration, m.createdTime.orNull), null, null)
+      case p: ProtocolAction => Row(null, null, null, null,
+        Row(p.minReaderVersion, p.minWriterVersion,
+          p.readerFeatures.map(_.toSeq.sorted).orNull,
+          p.writerFeatures.map(_.toSeq.sorted).orNull), null)
+      case d: DomainMetadataAction => Row(null, null, null, null, null,
+        Row(d.domain, d.configuration, d.removed))
+      case other => throw new IllegalArgumentException(
+        s"${other.getClass.getSimpleName} does not belong in a v2 manifest")
+    }
+    val manifestActs: Seq[Action] =
+      Seq(CheckpointMetadataAction(snap.version),
+        ProtocolAction(snap.minReaderVersion, snap.minWriterVersion,
+          snap.readerFeatures, snap.writerFeatures), md) ++
+      snap.appTransactionVersion.toSeq.sortBy(_._1).map { case (a, v) => TxnAction(a, v) } ++
+      snap.domainMetadata.toSeq.sortBy(_._1).map { case (d, c) => DomainMetadataAction(d, c) } ++
+      sidecarActions
+    val manifestName = s"${DeltaLog.pad20(snap.version)}.checkpoint.$uuid.parquet"
+    val tmpDir = new Path(log.logPath, s".tmp-v2manifest-$uuid")
+    spark.createDataFrame(manifestActs.map(manifestRow).asJava, manifestSchema)
+      .coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+    val part = fs.listStatus(tmpDir).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no manifest part in $tmpDir"))
+    log.store.renameNoReplace(part, new Path(log.logPath, manifestName))
+    fs.delete(tmpDir, true)
+    // size counts every action a reader reconstructs state from
+    ((manifestActs.size - 1 - sidecarActions.size + fileActs.size).toLong, manifestName)
   }
 }

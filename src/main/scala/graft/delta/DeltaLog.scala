@@ -13,8 +13,11 @@ final class NotATableException(path: String)
 final class VersionNotFoundException(version: Long, path: String)
   extends IllegalArgumentException(s"version $version does not exist in $path")
 
-/** `_last_checkpoint` pointer content (`rust/src/delta.rs:38-43`). */
-final case class CheckPoint(version: Long, size: Long, parts: Option[Int] = None)
+/** `_last_checkpoint` pointer content (`rust/src/delta.rs:38-43`).
+  * `v2FileName` is set for UUID-named v2 checkpoints (discovered by
+  * listing — their names cannot be derived from the version alone). */
+final case class CheckPoint(version: Long, size: Long, parts: Option[Int] = None,
+                            v2FileName: Option[String] = None)
 
 /** The transaction log of one Delta table: commit-file naming, log replay,
   * incremental refresh, checkpoint discovery, time travel.
@@ -91,16 +94,23 @@ final class DeltaLog private (
           partsSeen(key) = seen
           if (seen == total.toInt && best.forall(_.version < v.toLong))
             best = Some(CheckPoint(v.toLong, 0, Some(total.toInt)))
+        case V2CheckpointRe(v, _, _) if v.toLong <= maxVersion =>
+          // a v2 checkpoint is complete by existing (sidecar refs inside)
+          if (best.forall(_.version < v.toLong))
+            best = Some(CheckPoint(v.toLong, 0, None, Some(st.getPath.getName)))
         case _ => ()
       }
     }
     best
   }
 
-  def checkpointPaths(cp: CheckPoint): Seq[Path] = cp.parts match {
-    case None => Seq(checkpointFile(cp.version))
-    case Some(n) => (1 to n).map(i =>
-      new Path(logPath, DeltaLog.multipartName(cp.version, i, n)))
+  def checkpointPaths(cp: CheckPoint): Seq[Path] = cp.v2FileName match {
+    case Some(name) => Seq(new Path(logPath, name))
+    case None => cp.parts match {
+      case None => Seq(checkpointFile(cp.version))
+      case Some(n) => (1 to n).map(i =>
+        new Path(logPath, DeltaLog.multipartName(cp.version, i, n)))
+    }
   }
 
   // --------------------------------------------------------------- replay
@@ -132,11 +142,19 @@ final class DeltaLog private (
     var snap = cached
     if (snap.version < 0) {
       // `_last_checkpoint` is advisory: if its files are missing/incomplete
-      // (e.g. a torn multipart write), fall back to discovery, then to pure
-      // JSON replay — a stale pointer must never brick the table.
-      lastCheckpoint()
+      // (e.g. a torn multipart write, or a v2 checkpoint whose UUID name the
+      // pointer cannot carry), fall back to discovery, then to pure JSON
+      // replay — a stale pointer must never brick the table. A discovered
+      // checkpoint matching the pointer's version inherits its action count
+      // (discovery alone cannot know it; the count routes the distributed
+      // restore).
+      val pointer = lastCheckpoint()
+      pointer
         .filter(cp => checkpointPaths(cp).forall(store.exists))
-        .orElse(findLatestCheckpointForVersion(Long.MaxValue))
+        .orElse(findLatestCheckpointForVersion(Long.MaxValue).map(d =>
+          if (pointer.exists(_.version == d.version))
+            d.copy(size = pointer.get.size)
+          else d))
         .foreach { cp => snap = restoreCheckpoint(cp) }
     }
     // Contiguous replay only — the reference probes version-by-version and
@@ -185,11 +203,22 @@ final class DeltaLog private (
     * fallback) and stays on the driver path. */
   private def restoreCheckpoint(cp: CheckPoint): Snapshot =
     if (cp.size > 0 && cp.size >= distributedReplayThreshold) {
-      val nonAdd = Checkpoints.readNonAdd(spark, checkpointPaths(cp))
+      val nonAdd = cp.v2FileName match {
+        case Some(name) => Checkpoints.readNonAddV2(this, cp.version, name)
+        case None => Checkpoints.readNonAdd(spark, checkpointPaths(cp))
+      }
       val adds = DistributedReplay.prunedAddActions(this, version = Some(cp.version))
       Snapshot.replay(Snapshot(), nonAdd.iterator ++ adds.iterator, cp.version)
     } else
-      replayCheckpointActions(Checkpoints.read(spark, checkpointPaths(cp)), cp.version)
+      replayCheckpointActions(readCheckpointActions(cp), cp.version)
+
+  /** Driver-side checkpoint actions, any format (classic / multipart /
+    * v2-with-sidecars). */
+  private[delta] def readCheckpointActions(cp: CheckPoint): Seq[Action] =
+    cp.v2FileName match {
+      case Some(name) => Checkpoints.readV2(this, cp.version, name)
+      case None => Checkpoints.read(spark, checkpointPaths(cp))
+    }
 
   /** Checkpoint rows arrive in arbitrary order (multi-part files, parquet
     * row-group scatter), but [[Snapshot.replay]] is order-sensitive:
@@ -220,8 +249,7 @@ final class DeltaLog private (
     if (!versions.contains(version) && !cp.exists(_.version == version))
       throw new VersionNotFoundException(version, tablePath.toString)
     var snap = cp match {
-      case Some(c) =>
-        replayCheckpointActions(Checkpoints.read(spark, checkpointPaths(c)), c.version)
+      case Some(c) => replayCheckpointActions(readCheckpointActions(c), c.version)
       case None => Snapshot()
     }
     replayTail(snap, versions.filter(v => v > snap.version && v <= version))
@@ -282,8 +310,15 @@ final class DeltaLog private (
       .getOption(DeltaLog.MaxActionsPerPartKey).map(_.toInt).getOrElse(500000))
 
   def checkpoint(snap: Snapshot, maxActionsPerPart: Int): CheckPoint = {
-    val (size, parts) = Checkpoints.write(this, snap, maxActionsPerPart)
-    val cp = CheckPoint(snap.version, size, parts)
+    val cfg = TableConfig.of(snap)
+    val cp =
+      if (TableConfig.checkpointPolicy(cfg) == "v2") {
+        val (size, name) = Checkpoints.writeV2(this, snap, maxActionsPerPart)
+        CheckPoint(snap.version, size, None, Some(name))
+      } else {
+        val (size, parts) = Checkpoints.write(this, snap, maxActionsPerPart)
+        CheckPoint(snap.version, size, parts)
+      }
     val json = {
       val o = ActionCodec.mapper.createObjectNode()
       o.put("version", cp.version)
@@ -292,7 +327,6 @@ final class DeltaLog private (
       ActionCodec.mapper.writeValueAsString(o)
     }
     store.write(new Path(logPath, "_last_checkpoint"), json)
-    val cfg = TableConfig.of(snap)
     if (TableConfig.expiredLogCleanupEnabled(cfg))
       cleanUpExpiredLogs(snap.version, TableConfig.logRetentionMillis(cfg))
     cp
@@ -320,18 +354,39 @@ final class DeltaLog private (
   def cleanUpExpiredLogs(checkpointVersion: Long, retentionMillis: Long): Seq[String] = {
     val cutoff = System.currentTimeMillis() - retentionMillis
     val deleted = Seq.newBuilder[String]
+    var sawV2 = false
     store.list(logPath).foreach { st =>
       val name = st.getPath.getName
       val versionOf: Option[Long] = name match {
         case CommitFileRe(v)           => Some(v.toLong)
         case CheckpointFileRe(v)       => Some(v.toLong)
         case CheckpointPartRe(v, _, _) => Some(v.toLong)
+        case V2CheckpointRe(v, _, _)   => sawV2 = true; Some(v.toLong)
         case _                         => None
       }
       versionOf.foreach { v =>
         if (v < checkpointVersion && st.getModificationTime < cutoff) {
           store.delete(st.getPath)
           deleted += name
+        }
+      }
+    }
+    // v2 sidecar hygiene: a deleted v2 checkpoint leaves its sidecars
+    // orphaned (nothing else names them). Reclaim `_sidecars/` files past
+    // the cutoff that NO surviving v2 checkpoint references — the
+    // reference set is read from the few surviving manifests, never
+    // guessed from names.
+    val scDir = Checkpoints.sidecarDir(this)
+    if (sawV2 && store.exists(scDir)) {
+      val referenced: Set[String] = store.list(logPath)
+        .map(_.getPath.getName)
+        .filter(n => V2CheckpointRe.findFirstIn(n).isDefined)
+        .flatMap(n => Checkpoints.sidecarRefs(this, n)).map(_.path).toSet
+      store.list(scDir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.getModificationTime < cutoff && !referenced.contains(name)) {
+          store.delete(st.getPath)
+          deleted += s"_sidecars/$name"
         }
       }
     }
@@ -366,6 +421,11 @@ object DeltaLog {
   /** `%020d.checkpoint.%010d.%010d.parquet` */
   private val CheckpointPartRe: Regex =
     """^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$""".r
+  /** UUID-named v2 checkpoint `%020d.checkpoint.<uuid>.{json,parquet}`.
+    * `[^.]+` cannot span the multipart form's two dotted digit groups, so
+    * the three checkpoint namings stay disjoint. */
+  private[delta] val V2CheckpointRe: Regex =
+    """^(\d{20})\.checkpoint\.([^.]+)\.(json|parquet)$""".r
 
   /** Session conf naming a [[LogStoreFactory]] class; when set, every
     * DeltaLog (and therefore every write path — GraftWriter, DML, MERGE,

@@ -271,6 +271,12 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     DeletionVectors.protocolFence(md.configuration ++ props,
       snap.minReaderVersion, snap.minWriterVersion,
       snap.readerFeatures, snap.writerFeatures).foreach(txn.addAction)
+    // flipping to v2 checkpoints declares the v2Checkpoint feature on BOTH
+    // sides: readers must know to LIST for UUID checkpoint names (a
+    // _last_checkpoint-derived classic name no longer exists)
+    if (TableConfig.checkpointPolicy(md.configuration ++ props) == "v2")
+      ProtocolSupport.readerWriterFeatureFence(snap, "v2Checkpoint")
+        .foreach(txn.addAction)
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", System.currentTimeMillis())
     info.put("operation", "SET TBLPROPERTIES")

@@ -73,9 +73,20 @@ object DistributedReplay {
         .filter(col("path").isNotNull)
     }
 
-    val cpDf: Option[DataFrame] = cp.map { c =>
-      spark.read.parquet(log.checkpointPaths(c).map(_.toString): _*)
-        .filter(col("add").isNotNull)
+    val cpDf: Option[DataFrame] = cp.flatMap { c =>
+      // v2 checkpoints scatter their file actions across sidecar parquet
+      // parts; classic/multipart checkpoints ARE the data paths. The
+      // explicit read schema keeps this tolerant of both layouts (a v2
+      // manifest need not carry an `add` column at all — absent columns
+      // read as null under a supplied schema).
+      val dataPaths = c.v2FileName match {
+        case Some(name) => Checkpoints.v2DataPaths(log, name)
+        case None => log.checkpointPaths(c)
+      }
+      if (dataPaths.isEmpty) None else Some(
+        spark.read.schema(StructType(Seq(StructField("add", addSchema))))
+          .parquet(dataPaths.map(_.toString): _*)
+          .filter(col("add").isNotNull)
         .select(
           lit(c.version).as("version"),
           graft.functions.UriPathDecode(col("add.path")).as("path"),
@@ -85,7 +96,7 @@ object DistributedReplay {
           col("add.dataChange").as("dataChange"),
           col("add.stats").as("stats"),
           col("add.tags").as("tags"),
-          lit(true).as("isAdd"))
+          lit(true).as("isAdd")))
     }
 
     val all = (cpDf.toSeq ++ commitDf.toSeq) match {

@@ -40,7 +40,7 @@ object ProtocolSupport {
     * [[StandardDv]] + [[DeletionVectors.dvDf]]). */
   val SupportedReaderFeatures: Set[String] =
     Set("timestampNtz", "columnMapping", "graft.deletionVectors",
-      "deletionVectors")
+      "deletionVectors", "v2Checkpoint")
 
   /** Writer-7 table features graft maintains on write. `invariants` and
     * `generatedColumns` are ENFORCED per-row inside every write job
@@ -56,7 +56,7 @@ object ProtocolSupport {
   val SupportedWriterFeatures: Set[String] =
     Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
       "timestampNtz", "graft.deletionVectors", "deletionVectors",
-      "generatedColumns", "domainMetadata", "clustering")
+      "generatedColumns", "domainMetadata", "clustering", "v2Checkpoint")
 
   private def config(snap: Snapshot): Map[String, String] =
     snap.metadata.map(_.configuration).getOrElse(Map.empty)
@@ -192,6 +192,29 @@ object ProtocolSupport {
       snap.readerFeatures,
       Some(snap.writerFeatures.getOrElse(Set.empty) ++
         impliedWriterFeatures(snap.minWriterVersion) + feature)))
+
+  /** As [[writerFeatureFence]], for a reader+writer feature (e.g.
+    * `v2Checkpoint`): lifts to (3, 7) with the feature declared on both
+    * sides. The reader base set preserves what the previous protocol
+    * granted implicitly — reader 2 implied columnMapping; a bare reader 3
+    * with no list is graft's own legacy DV bump. */
+  def readerWriterFeatureFence(snap: Snapshot, feature: String): Option[ProtocolAction] = {
+    val hasReader = snap.minReaderVersion == 3 &&
+      snap.readerFeatures.exists(_.contains(feature))
+    val hasWriter = snap.minWriterVersion == 7 &&
+      snap.writerFeatures.exists(_.contains(feature))
+    if (hasReader && hasWriter) None
+    else {
+      val baseReader = snap.readerFeatures.getOrElse(
+        if (snap.minReaderVersion == 3) Set("graft.deletionVectors")
+        else if (snap.minReaderVersion == 2) Set("columnMapping")
+        else Set.empty[String])
+      Some(ProtocolAction(3, 7,
+        Some(baseReader + feature),
+        Some(snap.writerFeatures.getOrElse(Set.empty) ++
+          impliedWriterFeatures(snap.minWriterVersion) + feature)))
+    }
+  }
 
   private def refuse(why: String): Nothing =
     throw new UnsupportedProtocolException(s"unsupported Delta table: $why")

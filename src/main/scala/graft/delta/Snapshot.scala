@@ -163,6 +163,9 @@ object Snapshot {
       case d: DomainMetadataAction =>
         if (d.removed) domains.remove(d.domain)
         else domains.put(d.domain, d.configuration)
+      // v2-checkpoint structural actions: never table state (the sidecar
+      // EXPANSION happens at read time, before replay sees the actions)
+      case _: CheckpointMetadataAction | _: SidecarAction => ()
     }
 
     Snapshot(

@@ -42,6 +42,11 @@ object TableConfig {
     * (see [[ChangeDataFeed]]). */
   val EnableChangeDataFeed = "delta.enableChangeDataFeed"
 
+  /** `classic` (default) writes `N.checkpoint.parquet` / multipart;
+    * `v2` writes UUID-named v2 checkpoints with sidecar files
+    * (`v2Checkpoint` table feature — see [[Checkpoints.writeV2]]). */
+  val CheckpointPolicy = "delta.checkpointPolicy"
+
   private val Known: Map[String, String => Unit] = Map(
     ColumnMapping.ModeKey -> { v: String =>
       val t = v.trim.toLowerCase(java.util.Locale.ROOT)
@@ -64,7 +69,12 @@ object TableConfig {
     },
     LogRetention -> { v: String => parseIntervalMillis(v, LogRetention); () },
     DeletedFileRetention -> { v: String => parseIntervalMillis(v, DeletedFileRetention); () },
-    EnableExpiredLogCleanup -> parseBoolean(EnableExpiredLogCleanup) _)
+    EnableExpiredLogCleanup -> parseBoolean(EnableExpiredLogCleanup) _,
+    CheckpointPolicy -> { v: String =>
+      val t = v.trim.toLowerCase(java.util.Locale.ROOT)
+      require(t == "classic" || t == "v2",
+        s"$CheckpointPolicy must be classic|v2, got '$v'")
+    })
 
   /** Effective configuration of a snapshot (empty before the first
     * `metaData`). */
@@ -90,6 +100,10 @@ object TableConfig {
 
   def changeDataFeedEnabled(config: Map[String, String]): Boolean =
     config.get(EnableChangeDataFeed).exists(_.trim.equalsIgnoreCase("true"))
+
+  def checkpointPolicy(config: Map[String, String]): String =
+    config.get(CheckpointPolicy).map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .getOrElse("classic")
 
   def expiredLogCleanupEnabled(config: Map[String, String]): Boolean =
     !config.get(EnableExpiredLogCleanup).exists(_.trim.equalsIgnoreCase("false"))

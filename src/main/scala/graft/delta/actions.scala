@@ -105,6 +105,24 @@ final case class DomainMetadataAction(
     removed: Boolean = false)
   extends Action
 
+/** V2-checkpoint manifest marker (Delta protocol `v2Checkpoint` feature):
+  * exactly one per v2 checkpoint file, naming the version the checkpoint
+  * reconstructs. Never part of table state — checkpoint-structural only. */
+final case class CheckpointMetadataAction(
+    version: Long,
+    tags: Option[Map[String, String]] = None)
+  extends Action
+
+/** V2-checkpoint sidecar reference: `path` names a parquet file under
+  * `_delta_log/_sidecars/` holding this checkpoint's file actions
+  * (add/remove). Checkpoint-structural only, never table state. */
+final case class SidecarAction(
+    path: String,
+    sizeInBytes: Long,
+    modificationTime: Long,
+    tags: Option[Map[String, String]] = None)
+  extends Action
+
 /** Per-file statistics carried in `Add.stats` as embedded JSON
   * (`rust/src/action.rs:113-127`); min/max/nullCount values stay raw
   * `JsonNode`s because nested-struct stats recurse
@@ -190,6 +208,16 @@ object ActionCodec {
         o.put("domain", d.domain)
         o.put("configuration", d.configuration)
         o.put("removed", d.removed)
+      case cm: CheckpointMetadataAction =>
+        val o = wrapper.putObject("checkpointMetadata")
+        o.put("version", cm.version)
+        cm.tags.foreach(t => o.set[ObjectNode]("tags", strMap(t)))
+      case sc: SidecarAction =>
+        val o = wrapper.putObject("sidecar")
+        o.put("path", sc.path)
+        o.put("sizeInBytes", sc.sizeInBytes)
+        o.put("modificationTime", sc.modificationTime)
+        sc.tags.foreach(t => o.set[ObjectNode]("tags", strMap(t)))
     }
     wrapper
   }
@@ -280,6 +308,14 @@ object ActionCodec {
         domain = reqStr(n, "domainMetadata", "domain"),
         configuration = optStr(n, "configuration").getOrElse(""),
         removed = optBool(n, "removed").getOrElse(false)))
+      case "checkpointMetadata" => Some(CheckpointMetadataAction(
+        version = reqLong(n, "checkpointMetadata", "version"),
+        tags = optStrMap(n, "tags")))
+      case "sidecar" => Some(SidecarAction(
+        path = reqStr(n, "sidecar", "path"),
+        sizeInBytes = optLong(n, "sizeInBytes").getOrElse(0L),
+        modificationTime = optLong(n, "modificationTime").getOrElse(0L),
+        tags = optStrMap(n, "tags")))
       case _ => None // forward compatibility: unknown action types are ignored
     }
   }
