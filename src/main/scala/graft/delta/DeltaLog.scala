@@ -255,13 +255,39 @@ final class DeltaLog private (
     replayTail(snap, versions.filter(v => v > snap.version && v <= version))
   }
 
-  /** Commit-file modification time, cached — `get_version_timestamp`
-    * (`rust/src/delta.rs:711-729`, cache at :566-571). */
-  def versionTimestamp(version: Long): Long =
+  /** Commit timestamp: the commit's `inCommitTimestamp` for versions the
+    * table governs by ICT (`delta.enableInCommitTimestamps`, from the
+    * enablement version on), else the commit file's modification time —
+    * `get_version_timestamp` (`rust/src/delta.rs:711-729`, cache at
+    * :566-571), extended with the ICT clock, which survives log
+    * copies/migrations that rewrite mtimes. */
+  def versionTimestamp(version: Long): Long = {
+    val cfg = TableConfig.of(if (snapshot.version < 0) update() else snapshot)
+    if (TableConfig.inCommitTimestampsEnabled(cfg) &&
+        version >= TableConfig.ictEnablementVersion(cfg))
+      inCommitTimestampOf(version).getOrElse(fileTimestamp(version))
+    else fileTimestamp(version)
+  }
+
+  private def fileTimestamp(version: Long): Long =
     commitTimestamps.synchronized {
       commitTimestamps.getOrElseUpdate(
         version, store.fileStatus(commitFile(version)).getModificationTime)
     }
+
+  private val ictCache = mutable.Map[Long, Option[Long]]()
+
+  /** The `inCommitTimestamp` of a version's leading commitInfo, if any. */
+  def inCommitTimestampOf(version: Long): Option[Long] = {
+    val cached = ictCache.synchronized(ictCache.get(version))
+    cached.getOrElse {
+      val ict = readCommit(version).collectFirst { case ci: CommitInfoAction =>
+        Option(ci.info.get("inCommitTimestamp")).filterNot(_.isNull).map(_.asLong)
+      }.flatten
+      ictCache.synchronized(ictCache.put(version, ict))
+      ict
+    }
+  }
 
   /** Latest version whose commit timestamp ≤ `tsMillis` — the binary search
     * of `load_with_datetime` (`rust/src/delta.rs:1041-1075`). A timestamp

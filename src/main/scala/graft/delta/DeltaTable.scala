@@ -277,6 +277,12 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     if (TableConfig.checkpointPolicy(md.configuration ++ props) == "v2")
       ProtocolSupport.readerWriterFeatureFence(snap, "v2Checkpoint")
         .foreach(txn.addAction)
+    // ICT is a writer-side clock: declare the feature so foreign writers
+    // keep the monotonic commitInfo contract
+    if (TableConfig.inCommitTimestampsEnabled(md.configuration ++ props) &&
+        !TableConfig.inCommitTimestampsEnabled(md.configuration))
+      ProtocolSupport.writerFeatureFence(snap, "inCommitTimestamp")
+        .foreach(txn.addAction)
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", System.currentTimeMillis())
     info.put("operation", "SET TBLPROPERTIES")

@@ -74,6 +74,14 @@ object GraftHistoryFunction {
     val confPairs = spark.sessionState.newHadoopConf().iterator().asScala
       .map(e => (e.getKey, e.getValue)).toArray
     val logPathStr = deltaLog.commitFile(0).getParent.toString
+    // ICT handover point, resolved driver-side once: versions it governs
+    // report the commitInfo clock (already parsed below), older ones mtime
+    val cfg = TableConfig.of(
+      if (deltaLog.snapshot.version < 0) deltaLog.update() else deltaLog.snapshot)
+    val ictFrom: Long =
+      if (TableConfig.inCommitTimestampsEnabled(cfg))
+        TableConfig.ictEnablementVersion(cfg)
+      else Long.MaxValue
     val slices = math.min(versions.size,
       math.max(1, spark.sparkContext.defaultParallelism * 2))
     val rdd = spark.sparkContext.parallelize(versions, slices)
@@ -92,7 +100,12 @@ object GraftHistoryFunction {
               .filter(_.nonEmpty).flatMap(ActionCodec.fromJsonLine)
               .collectFirst { case ci: CommitInfoAction => ci.info }
             finally in.close()
-          Row(v, mtime,
+          val ict =
+            if (v >= ictFrom)
+              info.flatMap(n => Option(n.get("inCommitTimestamp"))
+                .filterNot(_.isNull).map(_.asLong))
+            else None
+          Row(v, ict.getOrElse(mtime),
             info.flatMap(n => Option(n.get("operation")).map(_.asText)).orNull,
             info.map(_.toString).orNull)
         }

@@ -137,7 +137,16 @@ final class OptimisticTransaction(val log: DeltaLog) {
           case _ => false
         })
       throw new AppendOnlyTableException(log.tablePath.toString)
-    val tmp = prepareCommit(operation.toSeq)
+    // In-commit timestamps: when the config this commit leaves behind
+    // enables them, the commit file must LEAD with a commitInfo carrying a
+    // monotonic `inCommitTimestamp` — and the clock depends on the version
+    // we race for, so the temp file is (re)written per candidate version
+    // instead of once up front.
+    val ictEnabled = TableConfig.inCommitTimestampsEnabled(effectiveConfig)
+    val ictEnablement = ictEnabled &&
+      !TableConfig.inCommitTimestampsEnabled(TableConfig.of(log.snapshot))
+    var tmp: Path = if (ictEnabled) null else prepareCommit(operation.toSeq)
+    var tmpFor = Long.MinValue
     val ourRemoves = actions.collect { case r: RemoveAction => r.path }.toSet
     val ourDomains = actions.collect { case d: DomainMetadataAction => d.domain }.toSet
     val ourDataChangeRemoves = actions.exists {
@@ -155,18 +164,57 @@ final class OptimisticTransaction(val log: DeltaLog) {
           checkedThrough += 1
           checkConflict(checkedThrough, ourRemoves, ourDataChangeRemoves, ourDomains)
         }
+        if (ictEnabled && tmpFor != latest) {
+          if (tmp != null) log.store.delete(tmp)
+          tmp = prepareIctCommit(operation, latest, ictEnablement)
+          tmpFor = latest
+        }
         log.store.renameNoReplace(tmp, log.commitFile(latest + 1))
         log.update()
         return latest + 1
       } catch {
         case _: FileAlreadyExistsException => () // lost the race; re-check and retry
         case e: ConcurrentCommitException =>
-          log.store.delete(tmp)
+          if (tmp != null) log.store.delete(tmp)
           throw e
       }
     }
-    log.store.delete(tmp)
+    if (tmp != null) log.store.delete(tmp)
     throw new CommitConflictException(maxAttempts)
+  }
+
+  /** Temp commit file for candidate version `latest + 1` under ICT: a
+    * leading commitInfo stamped `inCommitTimestamp = max(now, prev + 1)`
+    * (strict monotonicity per the protocol — clock skew between writers
+    * must not let history run backwards). The ENABLEMENT commit also
+    * stamps its own version/timestamp into the metaData provenance keys,
+    * so readers know where the mtime clock hands over to ICT. */
+  private def prepareIctCommit(operation: Option[CommitInfoAction],
+                               latest: Long, enablement: Boolean): Path = {
+    val now = System.currentTimeMillis()
+    val prev = if (latest >= 0) log.inCommitTimestampOf(latest) else None
+    val ict = math.max(now, prev.map(_ + 1L).getOrElse(now))
+    val info = operation.map(_.info.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]())
+      .getOrElse {
+        val o = ActionCodec.mapper.createObjectNode()
+        o.put("timestamp", now)
+        o
+      }
+    info.put("inCommitTimestamp", ict)
+    val body: Seq[Action] =
+      if (!enablement) actions.toSeq
+      else actions.toSeq.map {
+        case m: MetaDataAction
+            if TableConfig.inCommitTimestampsEnabled(m.configuration) =>
+          m.copy(configuration = m.configuration ++ Map(
+            TableConfig.IctEnablementVersion -> (latest + 1).toString,
+            TableConfig.IctEnablementTimestamp -> ict.toString))
+        case a => a
+      }
+    val tmp = new Path(log.logPath, s"_commit_${UUID.randomUUID()}.json")
+    log.store.mkdirs(log.logPath)
+    log.store.write(tmp, ActionCodec.logEntry(CommitInfoAction(info) +: body))
+    tmp
   }
 
   private def checkConflict(version: Long, ourRemoves: Set[String],

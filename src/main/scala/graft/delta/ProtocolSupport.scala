@@ -56,7 +56,8 @@ object ProtocolSupport {
   val SupportedWriterFeatures: Set[String] =
     Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
       "timestampNtz", "graft.deletionVectors", "deletionVectors",
-      "generatedColumns", "domainMetadata", "clustering", "v2Checkpoint")
+      "generatedColumns", "domainMetadata", "clustering", "v2Checkpoint",
+      "inCommitTimestamp")
 
   private def config(snap: Snapshot): Map[String, String] =
     snap.metadata.map(_.configuration).getOrElse(Map.empty)
@@ -172,7 +173,8 @@ object ProtocolSupport {
     * the legacy version granted implicitly, or foreign writers would stop
     * honoring e.g. append-only). */
   def impliedWriterFeatures(minWriter: Int): Set[String] =
-    Seq(
+    if (minWriter >= 7) Set.empty // features table: the LIST is the law
+    else Seq(
       2 -> Set("appendOnly", "invariants"),
       3 -> Set("checkConstraints"),
       4 -> Set("changeDataFeed", "generatedColumns"),

@@ -47,6 +47,20 @@ object TableConfig {
     * (`v2Checkpoint` table feature — see [[Checkpoints.writeV2]]). */
   val CheckpointPolicy = "delta.checkpointPolicy"
 
+  /** `true` ⇒ every commit records a monotonic `inCommitTimestamp` in a
+    * leading `commitInfo`, and time travel / history read THAT clock
+    * instead of file modification times (`inCommitTimestamp` writer
+    * feature) — mtimes do not survive log copies/migrations; ICT does. */
+  val EnableInCommitTimestamps = "delta.enableInCommitTimestamps"
+
+  /** Version at which ICT was enabled (absent ⇒ enabled from version 0);
+    * versions below it time-travel by mtime as before. Stamped by the
+    * enablement commit itself. */
+  val IctEnablementVersion = "delta.inCommitTimestampEnablementVersion"
+
+  /** The enablement commit's own inCommitTimestamp. */
+  val IctEnablementTimestamp = "delta.inCommitTimestampEnablementTimestamp"
+
   private val Known: Map[String, String => Unit] = Map(
     ColumnMapping.ModeKey -> { v: String =>
       val t = v.trim.toLowerCase(java.util.Locale.ROOT)
@@ -74,6 +88,15 @@ object TableConfig {
       val t = v.trim.toLowerCase(java.util.Locale.ROOT)
       require(t == "classic" || t == "v2",
         s"$CheckpointPolicy must be classic|v2, got '$v'")
+    },
+    EnableInCommitTimestamps -> parseBoolean(EnableInCommitTimestamps) _,
+    IctEnablementVersion -> { v: String =>
+      require(v.trim.forall(_.isDigit) && v.trim.nonEmpty,
+        s"$IctEnablementVersion must be a version number, got '$v'")
+    },
+    IctEnablementTimestamp -> { v: String =>
+      require(v.trim.forall(_.isDigit) && v.trim.nonEmpty,
+        s"$IctEnablementTimestamp must be epoch millis, got '$v'")
     })
 
   /** Effective configuration of a snapshot (empty before the first
@@ -104,6 +127,13 @@ object TableConfig {
   def checkpointPolicy(config: Map[String, String]): String =
     config.get(CheckpointPolicy).map(_.trim.toLowerCase(java.util.Locale.ROOT))
       .getOrElse("classic")
+
+  def inCommitTimestampsEnabled(config: Map[String, String]): Boolean =
+    config.get(EnableInCommitTimestamps).exists(_.trim.equalsIgnoreCase("true"))
+
+  /** First version governed by ICT (0 when enabled from birth). */
+  def ictEnablementVersion(config: Map[String, String]): Long =
+    config.get(IctEnablementVersion).map(_.trim.toLong).getOrElse(0L)
 
   def expiredLogCleanupEnabled(config: Map[String, String]): Boolean =
     !config.get(EnableExpiredLogCleanup).exists(_.trim.equalsIgnoreCase("false"))
