@@ -357,6 +357,56 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     v
   }
 
+  /** Declared identity columns with their current high-water marks. */
+  def identityColumns: Seq[IdentityColumns.Info] =
+    IdentityColumns.of(snapshot.schema)
+
+  /** `ALTER TABLE … SYNC IDENTITY`: advance each identity column's
+    * high-water mark over the values actually present (explicit inserts on
+    * BY DEFAULT columns bypass the mark). One distributed min/max scan —
+    * DV-aware through the normal table read. Marks only ever advance.
+    * Returns the committed version (unchanged marks commit nothing). */
+  def syncIdentity(): Long = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val snap = log.update()
+    val ids = IdentityColumns.of(snap.schema)
+    require(ids.nonEmpty, s"table ${log.tablePath} has no identity columns")
+    ProtocolSupport.assertWritable(snap, allowNameMapping = true)
+    val row = new DeltaTable(log, snap).toDF
+      .agg(
+        (if (ids.head.step > 0) max(col(ids.head.name)) else min(col(ids.head.name))),
+        ids.tail.map(i =>
+          if (i.step > 0) max(col(i.name)) else min(col(i.name))): _*)
+      .head()
+    val marks: Map[String, Long] = ids.zipWithIndex.flatMap { case (i, idx) =>
+      if (row.isNullAt(idx)) None
+      else {
+        val observed = row.getLong(idx)
+        val beyond = i.highWaterMark.forall(m =>
+          if (i.step > 0) observed > m else observed < m)
+        if (beyond) Some(i.name -> observed) else None
+      }
+    }.toMap
+    if (marks.isEmpty) return snap.version
+    val md = snap.metadata.get
+    val updated = org.apache.spark.sql.types.StructType(snap.schema.fields.map { f =>
+      marks.get(f.name) match {
+        case Some(m) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong(IdentityColumns.HighWaterMarkKey, m).build())
+        case None => f
+      }
+    })
+    val txn = log.startTransaction()
+    if (ColumnMapping.isMapped(snap)) txn.permitNameMappedCommit()
+    txn.addAction(md.copy(schemaString = DeltaSchema.toJson(updated)))
+    val info = ActionCodec.mapper.createObjectNode()
+    info.put("timestamp", System.currentTimeMillis())
+    info.put("operation", "SYNC IDENTITY")
+    txn.commit(Some(CommitInfoAction(info)))
+  }
+
   /** Declare a CHECK constraint (see [[Constraints]]). Existing rows are
     * validated first — one distributed scan — so the declaration is
     * trustworthy from the moment it commits (ALTER TABLE ADD CONSTRAINT

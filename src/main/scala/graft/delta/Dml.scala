@@ -49,6 +49,12 @@ object Dml {
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
     ProtocolSupport.assertWritable(snap, allowNameMapping = true)
+    // an UPDATE writes explicit values, which GENERATED ALWAYS forbids
+    val frozen = IdentityColumns.of(snap.schema)
+      .filterNot(_.allowExplicitInsert).map(_.name)
+      .filter(assignments.contains)
+    require(frozen.isEmpty, "cannot UPDATE GENERATED ALWAYS identity " +
+      s"column(s) ${frozen.mkString(",")}")
     if (TableConfig.deletionVectorsEnabled(TableConfig.of(snap)))
       updateWithDv(spark, path, predicate, assignments, Some((log, snap)))
     else rewrite(spark, log, snap, predicate, "UPDATE",

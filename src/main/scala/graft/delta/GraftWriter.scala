@@ -56,8 +56,12 @@ object GraftWriter {
     val exists = snap.version >= 0
     // generated columns the frame omits are computed here (delta-spark
     // write semantics); provided values are verified per-row downstream
-    // (Constraints.enforce)
-    val df = if (exists) Constraints.withGenerated(dfIn, snap) else dfIn
+    // (Constraints.enforce). Identity columns the frame omits generate
+    // beyond the high-water mark, which advances in this same commit.
+    val (df, genIdentity) =
+      if (exists)
+        IdentityColumns.withIdentity(Constraints.withGenerated(dfIn, snap), snap)
+      else (dfIn, Seq.empty[IdentityColumns.Info])
     // name-mapped tables take the plain append/overwrite path: the frame
     // is renamed to PHYSICAL column names before staging (toPhysical
     // below), so data files, partition dirs, and footer-stats keys all
@@ -179,9 +183,12 @@ object GraftWriter {
         case None =>
           (DeltaSchema.toJson(df.schema), declaredConfig, (1, 2))
       }
-      // generated columns demand the writer-4 floor per the protocol
-      val fw = if (Constraints.generatedOf(df.schema).nonEmpty) math.max(fw0, 4)
-               else fw0
+      // generated columns demand the writer-4 floor per the protocol;
+      // identity columns the writer-6 floor
+      val fw1 = if (Constraints.generatedOf(df.schema).nonEmpty) math.max(fw0, 4)
+                else fw0
+      val fw = if (IdentityColumns.of(df.schema).nonEmpty) math.max(fw1, 6)
+               else fw1
       txn.addAction(DeletionVectors.protocolFence(cfg, fr, fw)
         .getOrElse(ProtocolAction(fr, fw)))
       txn.addAction(MetaDataAction(
@@ -227,6 +234,18 @@ object GraftWriter {
         partitionValues = Some(f.partitionValues), size = Some(f.size))))
     txn.addActions(cdcActions)
     txn.addActions(adds)
+    // identity high-water marks advance IN the generating commit (a crash
+    // between the data and the mark would re-issue values); built over the
+    // evolved metadata when this commit also changed the schema, and
+    // committed last so replay lands on the advanced marks
+    if (genIdentity.nonEmpty) {
+      val baseMd = evolvedMetadata.getOrElse(snap.metadata.get)
+      val phys: String => String =
+        if (mapped) c => ColumnMapping.physicalName(mapSchema, c)
+        else scala.Predef.identity
+      IdentityColumns.highWaterMarkMetadata(baseMd, genIdentity, adds, phys)
+        .foreach(txn.addAction)
+    }
 
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", now)

@@ -129,6 +129,34 @@ final class MergeBuilder private[delta] (
         if (missing.nonEmpty) throw new SchemaMismatchException(
           s"insertAll: source lacks target columns ${missing.mkString(",")}")
     }
+    // identity columns: MERGE clauses speak in explicit values, which a
+    // GENERATED ALWAYS column forbids outright (update or insert); a BY
+    // DEFAULT column must be SET explicitly on partial inserts or a null
+    // would land where the arithmetic belongs
+    val idCols = IdentityColumns.of(snap.schema)
+    val always = idCols.filterNot(_.allowExplicitInsert).map(_.name).toSet
+    if (always.nonEmpty) {
+      (matchedClauses ++ bySourceClauses).foreach {
+        case MatchedUpdate(_, set) =>
+          val bad = set.keys.filter(always.contains)
+          require(bad.isEmpty, "cannot UPDATE GENERATED ALWAYS identity " +
+            s"column(s) ${bad.mkString(",")}")
+        case _ => ()
+      }
+      if (insertClauses.nonEmpty) throw new IllegalArgumentException(
+        "MERGE INSERT into a table with GENERATED ALWAYS identity " +
+        s"column(s) ${always.toSeq.sorted.mkString(",")} would supply " +
+        "explicit values — use the DataFrame writer for generated inserts, " +
+        "or declare the column GENERATED BY DEFAULT")
+    }
+    val byDefault = idCols.filter(_.allowExplicitInsert).map(_.name).toSet
+    insertClauses.foreach {
+      case (_, Some(vs)) =>
+        val omitted = byDefault.filterNot(vs.contains)
+        require(omitted.isEmpty, "MERGE INSERT must set identity " +
+          s"column(s) ${omitted.toSeq.sorted.mkString(",")} explicitly")
+      case _ => ()
+    }
 
     // 1. which files hold matched target rows (condition pushed where
     // possible). By-source clauses touch unmatched rows, which any file may

@@ -57,7 +57,7 @@ object ProtocolSupport {
     Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
       "timestampNtz", "graft.deletionVectors", "deletionVectors",
       "generatedColumns", "domainMetadata", "clustering", "v2Checkpoint",
-      "inCommitTimestamp")
+      "inCommitTimestamp", "identityColumns")
 
   private def config(snap: Snapshot): Map[String, String] =
     snap.metadata.map(_.configuration).getOrElse(Map.empty)
@@ -109,14 +109,11 @@ object ProtocolSupport {
       if (unsupported.nonEmpty)
         refuse(s"requires writer table features ${unsupported.toSeq.sorted
           .mkString("[", ", ", "]")} that graft does not maintain")
-    } else if (snap.minWriterVersion > 4) {
-      // writer 5 = the column-mapping version bump; acceptable exactly when
-      // the caller opted into physical-name staging (identity columns,
-      // writer 6, stay refused — also caught by the schema sniff below)
-      if (!(allowNameMapping && snap.minWriterVersion == 5))
-        refuse(s"requires writer version ${snap.minWriterVersion} " +
-          "(column mapping / identity columns are not implemented)")
     }
+    // writer 5 (column mapping) and 6 (identity columns) are maintained:
+    // mapping misuse is fenced by the mode check below, and identity
+    // columns generate + advance their high-water mark in every insert
+    // path (IdentityColumns) — no version refusal between 4 and 7 remains.
     // version gates are coarse; refuse on ACTUAL use of unmaintained
     // capabilities. The markers are schema-metadata keys (delta-spark
     // conventions) inside metaData.schemaString.
@@ -127,12 +124,8 @@ object ProtocolSupport {
     // column invariants and generated columns are maintained: enforced
     // per-row in every write job (Constraints.enforce), generated values
     // computed when the frame omits them (Constraints.withGenerated).
-    // Identity columns stay refused — graft allocates no high-water marks.
-    val schema = schemaString(snap)
-    if (schema.contains("\"delta.identity.start\"") ||
-        schema.contains("\"delta.identity.allowExplicitInsert\""))
-      refuse("schema declares identity columns that graft would not " +
-        "allocate on write")
+    // Identity columns are maintained too: values generated and high-water
+    // marks advanced by every insert path (IdentityColumns).
   }
 
   /** Row-level feeds (CDF reads, `graft_changes`): name-mapped tables are

@@ -42,9 +42,13 @@ final class GraftStreamSink(
     // ST1: exactly-once gate
     if (snap.appTransactionVersion.get(appId).exists(_ >= epochId)) return -1L
 
-    // omitted generated columns are computed, like the batch writer
-    val batch =
-      if (snap.version >= 0) Constraints.withGenerated(batchIn, snap) else batchIn
+    // omitted generated and identity columns are computed, like the batch
+    // writer (identity high-water marks advance in this epoch's commit)
+    val (batch, genIdentity) =
+      if (snap.version >= 0)
+        graft.delta.IdentityColumns.withIdentity(
+          Constraints.withGenerated(batchIn, snap), snap)
+      else (batchIn, Seq.empty[graft.delta.IdentityColumns.Info])
 
     // mapped tables: the same physical staging contract as the batch
     // writer (fence first — the protocol reason beats a schema mismatch)
@@ -97,6 +101,16 @@ final class GraftStreamSink(
     evolvedMetadata.foreach(txn.addAction)
     txn.addAction(TxnAction(appId, epochId, Some(now)))
     txn.addActions(adds)
+    if (genIdentity.nonEmpty) {
+      val baseMd = evolvedMetadata.orElse(snap.metadata).getOrElse(
+        throw new IllegalStateException("identity table without metadata"))
+      val phys: String => String =
+        if (mapped) c => graft.delta.ColumnMapping.physicalName(mapSchema, c)
+        else identity
+      graft.delta.IdentityColumns
+        .highWaterMarkMetadata(baseMd, genIdentity, adds, phys)
+        .foreach(txn.addAction)
+    }
 
     // ST2: StreamingUpdate commit provenance
     val info = ActionCodec.mapper.createObjectNode()

@@ -53,34 +53,37 @@ class ProtocolSupportSpec extends AnyFunSuite with SparkTestBase {
     assert(DeltaTable.forPath(spark, legacy).toDF.count() == 2)
   }
 
-  test("reader v4 refuses; writer v5 refuses writes but serves reads") {
+  test("reader v4 refuses; writer v5/v6 without mapped columns in use write") {
     val v4 = tableWithProtocol("ps-r4", protocolLine(4, 7))
     intercept[UnsupportedProtocolException] {
       DeltaTable.forPath(spark, v4).toDF.count()
     }
-    val v5 = tableWithProtocol("ps-w5", protocolLine(2, 5))
-    assert(DeltaTable.forPath(spark, v5).toDF.count() == 2)
-    val e = intercept[UnsupportedProtocolException] {
-      GraftWriter.write(Seq((3L, "c")).toDF("id", "v"), v5,
+    // a writer-5/6 table not USING column mapping or identity columns is
+    // safe to write — the version gate was coarse; actual-use checks fence
+    // the real hazards (mapping mode sniff; identity is now maintained)
+    Seq(("ps-w5", 5), ("ps-w6", 6)).foreach { case (name, w) =>
+      val dir = tableWithProtocol(name, protocolLine(2, w))
+      assert(DeltaTable.forPath(spark, dir).toDF.count() == 2)
+      GraftWriter.write(Seq((3L, "c")).toDF("id", "v"), dir,
         mode = org.apache.spark.sql.SaveMode.Append)
+      assert(DeltaTable.forPath(spark, dir).toDF.count() == 3)
     }
-    assert(e.getMessage.contains("writer version 5"))
   }
 
-  test("writer v7: supported feature set writes; identityColumns refuses") {
+  test("writer v7: supported feature set writes, identityColumns included; unknown feature refuses") {
     val ok = tableWithProtocol("ps-w7ok",
-      protocolLine(1, 7, wf = Some(Seq("appendOnly", "changeDataFeed"))))
+      protocolLine(1, 7, wf = Some(Seq("appendOnly", "changeDataFeed", "identityColumns"))))
     GraftWriter.write(Seq((3L, "c")).toDF("id", "v"), ok,
       mode = org.apache.spark.sql.SaveMode.Append)
     assert(DeltaTable.forPath(spark, ok).toDF.count() == 3)
 
-    val bad = tableWithProtocol("ps-w7id",
-      protocolLine(1, 7, wf = Some(Seq("identityColumns"))))
+    val bad = tableWithProtocol("ps-w7unknown",
+      protocolLine(1, 7, wf = Some(Seq("someFutureFeature"))))
     val e = intercept[UnsupportedProtocolException] {
       GraftWriter.write(Seq((3L, "c")).toDF("id", "v"), bad,
         mode = org.apache.spark.sql.SaveMode.Append)
     }
-    assert(e.getMessage.contains("identityColumns"))
+    assert(e.getMessage.contains("someFutureFeature"))
   }
 
   test("column mapping: metadata-only mode flips fall back to logical names intact") {
