@@ -263,26 +263,34 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     val txn = log.startTransaction()
     if (ColumnMapping.isMapped(snap)) txn.permitNameMappedCommit()
     txn.addAction(md.copy(configuration = md.configuration ++ props))
-    // Enabling deletion vectors fences foreign readers (protocol bump to
-    // the table-features floor); see DeletionVectors.protocolFence. Readers
-    // of THIS engine ignore the bump (replay is version-tolerant);
-    // interop-readability returns once OPTIMIZE purges the vectors AND the
-    // protocol is manually lowered.
-    DeletionVectors.protocolFence(md.configuration ++ props,
-      snap.minReaderVersion, snap.minWriterVersion,
-      snap.readerFeatures, snap.writerFeatures).foreach(txn.addAction)
-    // flipping to v2 checkpoints declares the v2Checkpoint feature on BOTH
-    // sides: readers must know to LIST for UUID checkpoint names (a
-    // _last_checkpoint-derived classic name no longer exists)
-    if (TableConfig.checkpointPolicy(md.configuration ++ props) == "v2")
-      ProtocolSupport.readerWriterFeatureFence(snap, "v2Checkpoint")
-        .foreach(txn.addAction)
-    // ICT is a writer-side clock: declare the feature so foreign writers
-    // keep the monotonic commitInfo contract
-    if (TableConfig.inCommitTimestampsEnabled(md.configuration ++ props) &&
+    // Protocol fences FOLD into one action — one call may flip several
+    // gated properties at once (DV + v2 checkpoints + ICT), and two
+    // protocol lines in a commit would last-write-wins drop a feature:
+    //  - deletion vectors bump foreign readers to the features floor
+    //    (DeletionVectors.protocolFence);
+    //  - v2 checkpoints declare v2Checkpoint on BOTH sides (readers must
+    //    know to LIST for UUID names);
+    //  - ICT declares the inCommitTimestamp writer contract.
+    val newCfg = md.configuration ++ props
+    var lifted = snap
+    var pendingProtocol: Option[ProtocolAction] = None
+    def lift(po: Option[ProtocolAction]): Unit = po.foreach { p =>
+      pendingProtocol = Some(p)
+      lifted = lifted.copy(
+        minReaderVersion = p.minReaderVersion,
+        minWriterVersion = p.minWriterVersion,
+        readerFeatures = p.readerFeatures,
+        writerFeatures = p.writerFeatures)
+    }
+    lift(DeletionVectors.protocolFence(newCfg,
+      lifted.minReaderVersion, lifted.minWriterVersion,
+      lifted.readerFeatures, lifted.writerFeatures))
+    if (TableConfig.checkpointPolicy(newCfg) == "v2")
+      lift(ProtocolSupport.readerWriterFeatureFence(lifted, "v2Checkpoint"))
+    if (TableConfig.inCommitTimestampsEnabled(newCfg) &&
         !TableConfig.inCommitTimestampsEnabled(md.configuration))
-      ProtocolSupport.writerFeatureFence(snap, "inCommitTimestamp")
-        .foreach(txn.addAction)
+      lift(ProtocolSupport.writerFeatureFence(lifted, "inCommitTimestamp"))
+    pendingProtocol.foreach(txn.addAction)
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", System.currentTimeMillis())
     info.put("operation", "SET TBLPROPERTIES")

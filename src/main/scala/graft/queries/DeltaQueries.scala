@@ -398,6 +398,36 @@ object DeltaQueries {
         .orderBy("l_orderkey", "l_linenumber", "qty", "l_returnflag")
     },
 
+    // Modern-protocol lifecycle (round 9): in-commit timestamps + v2
+    // checkpoints + domain metadata composed end-to-end — enable ICT and
+    // checkpointPolicy=v2 (protocol lifts to features on both sides),
+    // write a metadata domain, append, DELETE, write the v2 checkpoint
+    // (UUID manifest + sidecars), then COLD-load a fresh log from that
+    // checkpoint and serve the final state. The require()s pin the
+    // non-relational invariants (domain survived the checkpoint, the
+    // last commit carries its ICT); the oracle pins every row.
+    "q66_modern_protocol" -> { (s, dir) =>
+      val t = freshDir("modernproto")
+      GraftWriter.write(li(s, dir).filter(col("l_orderkey") < 1200), t)
+      DeltaTable.forPath(s, t).setProperties(Map(
+        TableConfig.EnableInCommitTimestamps -> "true",
+        TableConfig.CheckpointPolicy -> "v2"))
+      DeltaTable.forPath(s, t).setDomainMetadata("graft.audit", "round-9")
+      GraftWriter.write(li(s, dir)
+        .filter(col("l_orderkey") >= 1200 && col("l_orderkey") < 1500), t,
+        SaveMode.Append)
+      Dml.delete(s, t, col("l_quantity") > 45)
+      DeltaLog.forPath(s, t).checkpoint()
+      val cold = DeltaLog.forPath(s, t)
+      val snap = cold.update()
+      require(snap.domainMetadata.get("graft.audit").contains("round-9"),
+        "domain metadata lost through the v2 checkpoint")
+      require(cold.inCommitTimestampOf(snap.version).nonEmpty,
+        "in-commit timestamp missing from the DELETE commit")
+      DeltaTable.forPath(s, t).toDF
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    },
+
     // stats-based file skipping (D4): two disjoint-range commits; the
     // predicate-matching read must prune to one file set via Add.stats
     // before Spark lists anything.
@@ -463,6 +493,10 @@ object DeltaQueries {
     "q45_delta_delete" ->
       s"""SELECT $cols FROM lineitem
          |WHERE l_orderkey < 1000 AND NOT (l_quantity > 30)
+         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
+    "q66_modern_protocol" ->
+      s"""SELECT $cols FROM lineitem
+         |WHERE l_orderkey < 1500 AND NOT (l_quantity > 45)
          |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
     "q65_column_mapping" ->
       """SELECT l_orderkey, l_linenumber,
