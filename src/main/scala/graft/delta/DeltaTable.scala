@@ -143,6 +143,12 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     * trips. */
   def vacuum(retentionHours: Double, dryRun: Boolean,
              parallelDeleteThreshold: Int): Seq[String] = {
+    // the vacuumProtocolCheck feature's whole contract: vacuum must fence
+    // on the table's protocol before touching files (so future features
+    // can change what is reclaimable without legacy vacuums corrupting
+    // them). The scan fence is exactly that check — graft has always run
+    // it structurally; the feature declares it.
+    ProtocolSupport.assertReadable(snapshot)
     val floorHours =
       TableConfig.deletedFileRetentionMillis(TableConfig.of(snapshot)) / 3600e3
     val effectiveHours = if (retentionHours.isNaN) floorHours else retentionHours

@@ -38,9 +38,14 @@ object ProtocolSupport {
     * field-id matching on the same path, [[ColumnMapping]];
     * `deletionVectors`: standard descriptors feed the DV anti-join,
     * [[StandardDv]] + [[DeletionVectors.dvDf]]). */
+  /** `typeWidening`: widened tables carry NARROW parquet under a WIDE
+    * schema; Spark 4's parquet readers upcast natively (probe pinned in
+    * TypeWideningSpec), so both the scan and appends (which write the
+    * wide type alongside) are correct as-is. */
   val SupportedReaderFeatures: Set[String] =
     Set("timestampNtz", "columnMapping", "graft.deletionVectors",
-      "deletionVectors", "v2Checkpoint")
+      "deletionVectors", "v2Checkpoint", "typeWidening",
+      "vacuumProtocolCheck")
 
   /** Writer-7 table features graft maintains on write. `invariants` and
     * `generatedColumns` are ENFORCED per-row inside every write job
@@ -57,7 +62,8 @@ object ProtocolSupport {
     Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
       "timestampNtz", "graft.deletionVectors", "deletionVectors",
       "generatedColumns", "domainMetadata", "clustering", "v2Checkpoint",
-      "inCommitTimestamp", "identityColumns")
+      "inCommitTimestamp", "identityColumns", "typeWidening",
+      "vacuumProtocolCheck")
 
   private def config(snap: Snapshot): Map[String, String] =
     snap.metadata.map(_.configuration).getOrElse(Map.empty)

@@ -86,6 +86,18 @@ class ProtocolSupportSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("someFutureFeature"))
   }
 
+  test("vacuumProtocolCheck: declared tables vacuum; unknown-feature tables refuse vacuum") {
+    val ok = tableWithProtocol("ps-vpc",
+      protocolLine(3, 7, rf = Some(Seq("vacuumProtocolCheck")),
+        wf = Some(Seq("vacuumProtocolCheck"))))
+    DeltaTable.forPath(spark, ok).vacuum(dryRun = true) // fences, then runs
+    val bad = tableWithProtocol("ps-vpc-bad",
+      protocolLine(3, 7, rf = Some(Seq("someFutureReaderFeature"))))
+    intercept[UnsupportedProtocolException] {
+      DeltaTable.forPath(spark, bad).vacuum(dryRun = true)
+    }
+  }
+
   test("column mapping: metadata-only mode flips fall back to logical names intact") {
     val dir = tempTable("ps-cm").toString
     GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir)
