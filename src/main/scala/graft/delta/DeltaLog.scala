@@ -162,9 +162,14 @@ final class DeltaLog private (
     // 284-291,640-657); a listing-based replay must not leak commits past a
     // gap. (Commits OLDER than the restored checkpoint may legitimately be
     // cleaned away; contiguity is enforced from the replay start.)
+    val before = cached.version
     val versions = contiguousFrom(listCommitVersions().filter(_ > snap.version), snap.version)
     snap = replayTail(snap, versions)
     cached = snap
+    // replay advanced: check the landing version against any recorded
+    // checksum (graft's own or a foreign writer's) — one HEAD per refresh
+    // that actually moved, never per call
+    if (snap.version != before && snap.version >= 0) Checksum.validate(this, snap)
     snap
   }
 
@@ -252,7 +257,9 @@ final class DeltaLog private (
       case Some(c) => replayCheckpointActions(readCheckpointActions(c), c.version)
       case None => Snapshot()
     }
-    replayTail(snap, versions.filter(v => v > snap.version && v <= version))
+    val pinned = replayTail(snap, versions.filter(v => v > snap.version && v <= version))
+    Checksum.validate(this, pinned)
+    pinned
   }
 
   /** Commit timestamp: the commit's `inCommitTimestamp` for versions the
@@ -388,6 +395,7 @@ final class DeltaLog private (
         case CheckpointFileRe(v)       => Some(v.toLong)
         case CheckpointPartRe(v, _, _) => Some(v.toLong)
         case V2CheckpointRe(v, _, _)   => sawV2 = true; Some(v.toLong)
+        case CrcFileRe(v)              => Some(v.toLong)
         case _                         => None
       }
       versionOf.foreach { v =>
@@ -442,6 +450,8 @@ object DeltaLog {
 
   /** `%020d.json` */
   private val CommitFileRe: Regex = """^(\d{20})\.json$""".r
+  /** `%020d.crc` per-version checksum (delta-spark convention). */
+  private val CrcFileRe: Regex = """^(\d{20})\.crc$""".r
   /** `%020d.checkpoint.parquet` (`rust/src/delta.rs:450-455`) */
   private val CheckpointFileRe: Regex = """^(\d{20})\.checkpoint\.parquet$""".r
   /** `%020d.checkpoint.%010d.%010d.parquet` */

@@ -170,7 +170,11 @@ final class OptimisticTransaction(val log: DeltaLog) {
           tmpFor = latest
         }
         log.store.renameNoReplace(tmp, log.commitFile(latest + 1))
-        log.update()
+        val updated = log.update()
+        // advisory per-version checksum (delta-spark's .crc convention);
+        // written only when the refresh landed exactly on our commit (a
+        // concurrent later commit makes ITS committer responsible)
+        if (updated.version == latest + 1) Checksum.write(log, updated)
         return latest + 1
       } catch {
         case _: FileAlreadyExistsException => () // lost the race; re-check and retry

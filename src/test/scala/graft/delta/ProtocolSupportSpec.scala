@@ -133,6 +133,12 @@ class ProtocolSupportSpec extends AnyFunSuite with SparkTestBase {
       md.copy(configuration = md.configuration +
         ("delta.columnMapping.mode" -> "id")))
     writeCommit(java.nio.file.Paths.get(dir), 3, Seq(idLine))
+    // this test REWRITES version 3 (a deliberate history edit); the
+    // delete's recorded .crc would now — correctly — flag the divergence
+    Files.deleteIfExists(java.nio.file.Paths.get(dir, "_delta_log",
+      f"${3L}%020d.crc"))
+    Files.deleteIfExists(java.nio.file.Paths.get(dir, "_delta_log",
+      f".${3L}%020d.crc.crc"))
     assert(DeltaTable.forPath(spark, dir).toDF
       .select("id", "v").as[(Long, String)].collect().sortBy(_._1).toSeq ==
       Seq((1L, "a"), (2L, "b")))
