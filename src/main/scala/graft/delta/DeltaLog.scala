@@ -284,6 +284,11 @@ final class DeltaLog private (
 
   private val ictCache = mutable.Map[Long, Option[Long]]()
 
+  /** Seed the ICT cache for a version whose clock the caller just minted
+    * (our own commit) — saves re-reading the file we wrote. */
+  private[delta] def cacheIct(version: Long, ict: Long): Unit =
+    ictCache.synchronized(ictCache.put(version, Some(ict)))
+
   /** The `inCommitTimestamp` of a version's leading commitInfo, if any. */
   def inCommitTimestampOf(version: Long): Option[Long] = {
     val cached = ictCache.synchronized(ictCache.get(version))

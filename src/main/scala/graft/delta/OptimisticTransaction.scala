@@ -147,6 +147,7 @@ final class OptimisticTransaction(val log: DeltaLog) {
       !TableConfig.inCommitTimestampsEnabled(TableConfig.of(log.snapshot))
     var tmp: Path = if (ictEnabled) null else prepareCommit(operation.toSeq)
     var tmpFor = Long.MinValue
+    var lastIct = 0L
     val ourRemoves = actions.collect { case r: RemoveAction => r.path }.toSet
     val ourDomains = actions.collect { case d: DomainMetadataAction => d.domain }.toSet
     val ourDataChangeRemoves = actions.exists {
@@ -166,10 +167,14 @@ final class OptimisticTransaction(val log: DeltaLog) {
         }
         if (ictEnabled && tmpFor != latest) {
           if (tmp != null) log.store.delete(tmp)
-          tmp = prepareIctCommit(operation, latest, ictEnablement)
+          val (t, ict) = prepareIctCommit(operation, latest, ictEnablement)
+          tmp = t
+          lastIct = ict
           tmpFor = latest
         }
         log.store.renameNoReplace(tmp, log.commitFile(latest + 1))
+        // we minted this version's clock — no need to re-read the file
+        if (ictEnabled) log.cacheIct(latest + 1, lastIct)
         val updated = log.update()
         // advisory per-version checksum (delta-spark's .crc convention);
         // written only when the refresh landed exactly on our commit (a
@@ -194,7 +199,7 @@ final class OptimisticTransaction(val log: DeltaLog) {
     * stamps its own version/timestamp into the metaData provenance keys,
     * so readers know where the mtime clock hands over to ICT. */
   private def prepareIctCommit(operation: Option[CommitInfoAction],
-                               latest: Long, enablement: Boolean): Path = {
+                               latest: Long, enablement: Boolean): (Path, Long) = {
     val now = System.currentTimeMillis()
     val prev = if (latest >= 0) log.inCommitTimestampOf(latest) else None
     val ict = math.max(now, prev.map(_ + 1L).getOrElse(now))
@@ -218,7 +223,7 @@ final class OptimisticTransaction(val log: DeltaLog) {
     val tmp = new Path(log.logPath, s"_commit_${UUID.randomUUID()}.json")
     log.store.mkdirs(log.logPath)
     log.store.write(tmp, ActionCodec.logEntry(CommitInfoAction(info) +: body))
-    tmp
+    (tmp, ict)
   }
 
   private def checkConflict(version: Long, ourRemoves: Set[String],
