@@ -271,32 +271,12 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     txn.addAction(md.copy(configuration = md.configuration ++ props))
     // Protocol fences FOLD into one action — one call may flip several
     // gated properties at once (DV + v2 checkpoints + ICT), and two
-    // protocol lines in a commit would last-write-wins drop a feature:
-    //  - deletion vectors bump foreign readers to the features floor
-    //    (DeletionVectors.protocolFence);
-    //  - v2 checkpoints declare v2Checkpoint on BOTH sides (readers must
-    //    know to LIST for UUID names);
-    //  - ICT declares the inCommitTimestamp writer contract.
-    val newCfg = md.configuration ++ props
-    var lifted = snap
-    var pendingProtocol: Option[ProtocolAction] = None
-    def lift(po: Option[ProtocolAction]): Unit = po.foreach { p =>
-      pendingProtocol = Some(p)
-      lifted = lifted.copy(
-        minReaderVersion = p.minReaderVersion,
-        minWriterVersion = p.minWriterVersion,
-        readerFeatures = p.readerFeatures,
-        writerFeatures = p.writerFeatures)
-    }
-    lift(DeletionVectors.protocolFence(newCfg,
-      lifted.minReaderVersion, lifted.minWriterVersion,
-      lifted.readerFeatures, lifted.writerFeatures))
-    if (TableConfig.checkpointPolicy(newCfg) == "v2")
-      lift(ProtocolSupport.readerWriterFeatureFence(lifted, "v2Checkpoint"))
-    if (TableConfig.inCommitTimestampsEnabled(newCfg) &&
-        !TableConfig.inCommitTimestampsEnabled(md.configuration))
-      lift(ProtocolSupport.writerFeatureFence(lifted, "inCommitTimestamp"))
-    pendingProtocol.foreach(txn.addAction)
+    // protocol lines in a commit would last-write-wins drop a feature
+    // (ProtocolSupport.configFences).
+    val protoBase = ProtocolAction(snap.minReaderVersion,
+      snap.minWriterVersion, snap.readerFeatures, snap.writerFeatures)
+    val fenced = ProtocolSupport.configFences(md.configuration ++ props, protoBase)
+    if (fenced != protoBase) txn.addAction(fenced)
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", System.currentTimeMillis())
     info.put("operation", "SET TBLPROPERTIES")

@@ -189,8 +189,11 @@ object GraftWriter {
                 else fw0
       val fw = if (IdentityColumns.of(df.schema).nonEmpty) math.max(fw1, 6)
                else fw1
-      txn.addAction(DeletionVectors.protocolFence(cfg, fr, fw)
-        .getOrElse(ProtocolAction(fr, fw)))
+      // CREATE-time config may demand table features (DV / v2 checkpoints
+      // / ICT) beyond the legacy floor — one folded protocol action, so a
+      // table born with checkpointPolicy=v2 does not crash its first
+      // auto-checkpoint
+      txn.addAction(ProtocolSupport.configFences(cfg, ProtocolAction(fr, fw)))
       txn.addAction(MetaDataAction(
         id = UUID.randomUUID().toString,
         name = None, description = None,

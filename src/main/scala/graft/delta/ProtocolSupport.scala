@@ -217,6 +217,30 @@ object ProtocolSupport {
     }
   }
 
+  /** Fold every property-gated protocol fence — deletion vectors, v2
+    * checkpoints, in-commit timestamps — over a starting protocol.
+    * Returns the resulting protocol; callers commit it when it differs
+    * from the base (ALTER) or always (CREATE floor). One fold, one
+    * action: separate per-fence actions in a commit would
+    * last-write-wins drop features. */
+  def configFences(config: Map[String, String],
+                   base: ProtocolAction): ProtocolAction = {
+    var p = base
+    def snapOf(pa: ProtocolAction): Snapshot = Snapshot(
+      minReaderVersion = pa.minReaderVersion,
+      minWriterVersion = pa.minWriterVersion,
+      readerFeatures = pa.readerFeatures,
+      writerFeatures = pa.writerFeatures)
+    DeletionVectors.protocolFence(config, p.minReaderVersion,
+      p.minWriterVersion, p.readerFeatures, p.writerFeatures)
+      .foreach(np => p = np)
+    if (TableConfig.checkpointPolicy(config) == "v2")
+      readerWriterFeatureFence(snapOf(p), "v2Checkpoint").foreach(np => p = np)
+    if (TableConfig.inCommitTimestampsEnabled(config))
+      writerFeatureFence(snapOf(p), "inCommitTimestamp").foreach(np => p = np)
+    p
+  }
+
   private def refuse(why: String): Nothing =
     throw new UnsupportedProtocolException(s"unsupported Delta table: $why")
 }

@@ -222,8 +222,9 @@ class GraftCatalog extends DelegatingCatalogExtension
     // generated columns demand the writer-4 floor per the protocol
     val fw = if (Constraints.generatedOf(annSchema).nonEmpty) math.max(fw0, 4)
              else fw0
-    txn.addAction(DeletionVectors.protocolFence(annConfig, fr, fw)
-      .getOrElse(ProtocolAction(fr, fw)))
+    // one folded fence: DV / v2 checkpoints / ICT declared at CREATE all
+    // land in a single protocol action (see ProtocolSupport.configFences)
+    txn.addAction(ProtocolSupport.configFences(annConfig, ProtocolAction(fr, fw)))
     txn.addAction(MetaDataAction(
       id = java.util.UUID.randomUUID().toString,
       name = None, description = None,
@@ -427,11 +428,12 @@ class GraftCatalog extends DelegatingCatalogExtension
     txn.addAction(meta.copy(
       schemaString = DeltaSchema.toJson(schema),
       configuration = config))
-    // same reader fence as DeltaTable.setProperties — SQL ALTER must not be
-    // a fence-less side door into deletion vectors
-    DeletionVectors.protocolFence(config,
-      snap.minReaderVersion, snap.minWriterVersion,
-      snap.readerFeatures, snap.writerFeatures).foreach(txn.addAction)
+    // same folded fence as DeltaTable.setProperties — SQL ALTER must not
+    // be a fence-less side door into DV / v2 checkpoints / ICT
+    val protoBase = ProtocolAction(snap.minReaderVersion,
+      snap.minWriterVersion, snap.readerFeatures, snap.writerFeatures)
+    val fenced = ProtocolSupport.configFences(config, protoBase)
+    if (fenced != protoBase) txn.addAction(fenced)
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", System.currentTimeMillis())
     info.put("operation", "ALTER TABLE")

@@ -247,6 +247,41 @@ class V2CheckpointSpec extends AnyFunSuite with SparkTestBase {
     assert(DeltaTable.forPath(spark, dir).toDF.count() == 11)
   }
 
+  test("a table BORN with checkpointPolicy=v2 + ICT fences at creation and survives its first cadence checkpoint") {
+    val dir = tempTable("v2-born").toString
+    GraftWriter.write(Seq((0L, "a")).toDF("id", "v"), dir,
+      configuration = Some(Map(
+        TableConfig.CheckpointPolicy -> "v2",
+        TableConfig.EnableInCommitTimestamps -> "true",
+        TableConfig.CheckpointInterval -> "2")))
+    val snap0 = DeltaLog.forPath(spark, dir).update()
+    assert(snap0.minReaderVersion == 3 && snap0.minWriterVersion == 7)
+    assert(snap0.readerFeatures.getOrElse(Set.empty).contains("v2Checkpoint"))
+    assert(snap0.writerFeatures.getOrElse(Set.empty).contains("inCommitTimestamp"))
+    // the creation commit itself runs on the ICT clock
+    assert(DeltaLog.forPath(spark, dir).inCommitTimestampOf(0).isDefined)
+    (1 to 3).foreach(i => GraftWriter.write(
+      Seq((i.toLong, "x")).toDF("id", "v"), dir, SaveMode.Append))
+    assert(v2Names(dir).nonEmpty, "cadence checkpoint must land as v2")
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 4)
+  }
+
+  test("SQL CREATE TBLPROPERTIES v2+ICT fences at birth through the catalog") {
+    val dir = tempTable("v2-sql-born").toString
+    spark.sql(s"CREATE TABLE v2_sql_born (id BIGINT, v STRING) " +
+      s"USING `graft-delta` OPTIONS (path '$dir') TBLPROPERTIES (" +
+      "'delta.checkpointPolicy'='v2','delta.enableInCommitTimestamps'='true')")
+    try {
+      spark.sql("INSERT INTO v2_sql_born VALUES (1, 'a')")
+      val snap = DeltaLog.forPath(spark, dir).update()
+      assert(snap.readerFeatures.getOrElse(Set.empty).contains("v2Checkpoint"))
+      assert(snap.writerFeatures.getOrElse(Set.empty).contains("inCommitTimestamp"))
+      DeltaLog.forPath(spark, dir).checkpoint()
+      assert(v2Names(dir).nonEmpty)
+      assert(DeltaLog.forPath(spark, dir).inCommitTimestampOf(snap.version).isDefined)
+    } finally spark.sql("DROP TABLE v2_sql_born")
+  }
+
   test("writeV2 refuses without the v2Checkpoint feature") {
     val dir = tempTable("v2-nofeature").toString
     GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir)
