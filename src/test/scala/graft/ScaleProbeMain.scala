@@ -167,6 +167,55 @@ object ScaleProbeMain {
       // the source table is untouched by the fork's churn
       assert(DeltaTable.forPath(spark, conv).toDF.count() == n)
     }
+
+    // modern-protocol tier at volume: ICT + v2 checkpoints + domains on
+    // the 6M-row table, plus identity-column generation over a 6M insert
+    timed("enable ICT + v2 checkpoints + domain") {
+      DeltaTable.forPath(spark, t).setProperties(Map(
+        TableConfig.EnableInCommitTimestamps -> "true",
+        TableConfig.CheckpointPolicy -> "v2"))
+      DeltaTable.forPath(spark, t).setDomainMetadata("probe.audit", "sf1")
+    }
+    timed("100 ICT commits (append loop, .crc + monotonic clock each)") {
+      val one = li.limit(1).cache()
+      one.count()
+      (1 to 100).foreach(_ => GraftWriter.write(one, t, SaveMode.Append))
+      val log = DeltaLog.forPath(spark, t)
+      val snap = log.update()
+      val vs = log.listCommitVersions().takeRight(100)
+      val icts = vs.map(v => log.inCommitTimestampOf(v).get)
+      assert(icts == icts.sorted && icts.distinct == icts, "ICT monotonic")
+      println(s"PROBE   version now ${snap.version}")
+    }
+    timed("v2 checkpoint write (manifest + sidecars)") {
+      DeltaLog.forPath(spark, t).checkpoint()
+    }
+    timed("cold load THROUGH the v2 checkpoint + count") {
+      val log = DeltaLog.forPath(spark, t)
+      val snap = log.update()
+      assert(snap.domainMetadata.get("probe.audit").contains("sf1"),
+        "domain lost through v2 checkpoint")
+      println("PROBE   rows via v2 " + DeltaTable.forPath(spark, t).toDF.count())
+    }
+    val idT = "/tmp/graft_scaleprobe/identity"
+    timed("identity table: 6M-row generated insert") {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        IdentityColumns.field("row_id", start = 1, step = 1),
+        org.apache.spark.sql.types.StructField("l_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("l_quantity",
+          org.apache.spark.sql.types.DoubleType)))
+      GraftWriter.write(spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema), idT)
+      GraftWriter.write(li.select("l_orderkey", "l_quantity").repartition(32),
+        idT, SaveMode.Append)
+      val dt = DeltaTable.forPath(spark, idT)
+      val stats = dt.toDF.agg(count(col("row_id")), countDistinct(col("row_id")))
+        .collect()(0)
+      assert(stats.getLong(0) == n && stats.getLong(1) == n,
+        s"identity uniqueness violated: $stats")
+      println(s"PROBE   identity hwm ${dt.identityColumns.head.highWaterMark}")
+    }
     spark.stop()
   }
 }
