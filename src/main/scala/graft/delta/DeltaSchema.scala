@@ -70,9 +70,23 @@ object DeltaSchema {
     case other => other
   }
 
+  /** `variant` (Spark 4's VariantType ⇄ the protocol's `variantType`
+    * feature) rides Spark's own JSON name — the schemaString encodes it
+    * as `"variant"` on both sides. */
   private val supportedPrimitives: Set[DataType] = Set(
     StringType, LongType, IntegerType, ShortType, ByteType, FloatType,
-    DoubleType, BooleanType, BinaryType, DateType, TimestampType)
+    DoubleType, BooleanType, BinaryType, DateType, TimestampType,
+    VariantType)
+
+  /** Does the schema carry a variant column anywhere? (Gates the
+    * `variantType` protocol feature at creation.) */
+  def hasVariant(dt: DataType): Boolean = dt match {
+    case VariantType => true
+    case s: StructType => s.fields.exists(f => hasVariant(f.dataType))
+    case a: ArrayType => hasVariant(a.elementType)
+    case m: MapType => hasVariant(m.keyType) || hasVariant(m.valueType)
+    case _ => false
+  }
 
   /** Reject Spark types with no Delta-protocol encoding
     * (`rust/src/delta_arrow.rs:60-104` is the full primitive list). */

@@ -189,11 +189,12 @@ object GraftWriter {
                 else fw0
       val fw = if (IdentityColumns.of(df.schema).nonEmpty) math.max(fw1, 6)
                else fw1
-      // CREATE-time config may demand table features (DV / v2 checkpoints
-      // / ICT) beyond the legacy floor — one folded protocol action, so a
-      // table born with checkpointPolicy=v2 does not crash its first
-      // auto-checkpoint
-      txn.addAction(ProtocolSupport.configFences(cfg, ProtocolAction(fr, fw)))
+      // CREATE-time config/schema may demand table features (DV / v2
+      // checkpoints / ICT / variant columns) beyond the legacy floor — one
+      // folded protocol action, so a table born with checkpointPolicy=v2
+      // does not crash its first auto-checkpoint
+      txn.addAction(ProtocolSupport.configFences(cfg, ProtocolAction(fr, fw),
+        Some(df.schema)))
       txn.addAction(MetaDataAction(
         id = UUID.randomUUID().toString,
         name = None, description = None,
@@ -204,24 +205,24 @@ object GraftWriter {
         configuration = cfg))
     }
     evolvedMetadata.foreach(txn.addAction)
-    // the committed configuration may raise the protocol floor — column
-    // mapping (replace-with-mapping) and/or deletion vectors; ONE protocol
-    // action carries the combined floor (two would last-write-wins race)
+    // the committed configuration/schema may raise the protocol floor —
+    // column mapping (replace-with-mapping), deletion vectors, v2/ICT
+    // properties, a variant column arriving via evolution; ONE folded
+    // protocol action carries the combined floor (two would
+    // last-write-wins race)
     if (exists)
       evolvedMetadata.foreach { md =>
         val (fr, fw) = createMapping.map(_._3)
           .getOrElse((snap.minReaderVersion, snap.minWriterVersion))
         val baseR = math.max(snap.minReaderVersion, fr)
         val baseW = math.max(snap.minWriterVersion, fw)
-        DeletionVectors.protocolFence(md.configuration, baseR, baseW,
-            snap.readerFeatures, snap.writerFeatures) match {
-          case Some(p) => txn.addAction(p)
-          case None if baseR > snap.minReaderVersion ||
-              baseW > snap.minWriterVersion =>
-            txn.addAction(ProtocolAction(baseR, baseW,
-              snap.readerFeatures, snap.writerFeatures))
-          case None => ()
-        }
+        val protoBase = ProtocolAction(baseR, baseW,
+          snap.readerFeatures, snap.writerFeatures)
+        val fenced = ProtocolSupport.configFences(md.configuration, protoBase,
+          Some(DeltaSchema.fromJson(md.schemaString)))
+        if (fenced != protoBase || baseR > snap.minReaderVersion ||
+            baseW > snap.minWriterVersion)
+          txn.addAction(fenced)
       }
     // CDF images for the overwrite rewrite shape — skipped (loud
     // downstream) when the overwrite also changes the schema

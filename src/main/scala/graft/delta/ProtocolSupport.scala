@@ -45,7 +45,7 @@ object ProtocolSupport {
   val SupportedReaderFeatures: Set[String] =
     Set("timestampNtz", "columnMapping", "graft.deletionVectors",
       "deletionVectors", "v2Checkpoint", "typeWidening",
-      "vacuumProtocolCheck")
+      "vacuumProtocolCheck", "variantType", "variantType-preview")
 
   /** Writer-7 table features graft maintains on write. `invariants` and
     * `generatedColumns` are ENFORCED per-row inside every write job
@@ -63,7 +63,7 @@ object ProtocolSupport {
       "timestampNtz", "graft.deletionVectors", "deletionVectors",
       "generatedColumns", "domainMetadata", "clustering", "v2Checkpoint",
       "inCommitTimestamp", "identityColumns", "typeWidening",
-      "vacuumProtocolCheck")
+      "vacuumProtocolCheck", "variantType", "variantType-preview")
 
   private def config(snap: Snapshot): Map[String, String] =
     snap.metadata.map(_.configuration).getOrElse(Map.empty)
@@ -224,7 +224,9 @@ object ProtocolSupport {
     * action: separate per-fence actions in a commit would
     * last-write-wins drop features. */
   def configFences(config: Map[String, String],
-                   base: ProtocolAction): ProtocolAction = {
+                   base: ProtocolAction,
+                   schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : ProtocolAction = {
     var p = base
     def snapOf(pa: ProtocolAction): Snapshot = Snapshot(
       minReaderVersion = pa.minReaderVersion,
@@ -238,6 +240,9 @@ object ProtocolSupport {
       readerWriterFeatureFence(snapOf(p), "v2Checkpoint").foreach(np => p = np)
     if (TableConfig.inCommitTimestampsEnabled(config))
       writerFeatureFence(snapOf(p), "inCommitTimestamp").foreach(np => p = np)
+    // variant columns are a SCHEMA-gated feature (reader+writer)
+    if (schema.exists(DeltaSchema.hasVariant))
+      readerWriterFeatureFence(snapOf(p), "variantType").foreach(np => p = np)
     p
   }
 

@@ -224,7 +224,8 @@ class GraftCatalog extends DelegatingCatalogExtension
              else fw0
     // one folded fence: DV / v2 checkpoints / ICT declared at CREATE all
     // land in a single protocol action (see ProtocolSupport.configFences)
-    txn.addAction(ProtocolSupport.configFences(annConfig, ProtocolAction(fr, fw)))
+    txn.addAction(ProtocolSupport.configFences(annConfig, ProtocolAction(fr, fw),
+      Some(annSchema)))
     txn.addAction(MetaDataAction(
       id = java.util.UUID.randomUUID().toString,
       name = None, description = None,
@@ -432,7 +433,7 @@ class GraftCatalog extends DelegatingCatalogExtension
     // be a fence-less side door into DV / v2 checkpoints / ICT
     val protoBase = ProtocolAction(snap.minReaderVersion,
       snap.minWriterVersion, snap.readerFeatures, snap.writerFeatures)
-    val fenced = ProtocolSupport.configFences(config, protoBase)
+    val fenced = ProtocolSupport.configFences(config, protoBase, Some(schema))
     if (fenced != protoBase) txn.addAction(fenced)
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", System.currentTimeMillis())
