@@ -351,6 +351,67 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     v
   }
 
+  /** The `delta.clustering` metadata domain (delta-spark's liquid-
+    * clustering shape: `{"clusteringColumns":[["a"],["b","c"]]}` — each
+    * inner array a nested-field path). */
+  val ClusteringDomain = "delta.clustering"
+
+  /** Declared clustering columns (dotted for nested paths); empty when
+    * the table is not clustered. */
+  def clusteringColumns: Seq[String] =
+    snapshot.domainMetadata.get(ClusteringDomain).toSeq.flatMap { cfg =>
+      try {
+        import scala.jdk.CollectionConverters._
+        Option(ActionCodec.mapper.readTree(cfg).get("clusteringColumns"))
+          .filterNot(_.isNull).toSeq.flatMap(_.elements().asScala.map(p =>
+            p.elements().asScala.map(_.asText).mkString(".")))
+      } catch { case _: Exception => Nil }
+    }
+
+  /** Declare (or change) the table's clustering columns — the liquid-
+    * clustering authoring commit: writes the `delta.clustering` domain in
+    * delta-spark's shape and declares the `clustering` + `domainMetadata`
+    * writer features. Declaration is metadata-only; layout follows on the
+    * next [[Optimize.cluster]] (clustering is best-effort by design —
+    * appends need not cluster). */
+  def clusterBy(cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "clusterBy needs at least one column")
+    val snap = log.update()
+    if (snap.version < 0) throw new NotATableException(log.tablePath.toString)
+    val unknown = cols.filterNot(c => snap.schema.fieldNames.contains(c.split('.').head))
+    require(unknown.isEmpty, s"unknown clustering column(s): ${unknown.mkString(",")}")
+    val partitioned = cols.filter(snap.partitionColumns.contains)
+    require(partitioned.isEmpty,
+      s"partition column(s) ${partitioned.mkString(",")} cannot also cluster")
+    ProtocolSupport.assertWritable(snap, allowNameMapping = true)
+    val txn = log.startTransaction()
+    if (ColumnMapping.isMapped(snap)) txn.permitNameMappedCommit()
+    // one folded protocol action for both features
+    var proto: Option[ProtocolAction] = None
+    ProtocolSupport.writerFeatureFence(snap, "domainMetadata").foreach(p => proto = Some(p))
+    val lifted = proto.map(p => snap.copy(
+      minReaderVersion = p.minReaderVersion, minWriterVersion = p.minWriterVersion,
+      readerFeatures = p.readerFeatures, writerFeatures = p.writerFeatures))
+      .getOrElse(snap)
+    ProtocolSupport.writerFeatureFence(lifted, "clustering").foreach(p => proto = Some(p))
+    proto.foreach(txn.addAction)
+    val cfg = ActionCodec.mapper.createObjectNode()
+    val arr = cfg.putArray("clusteringColumns")
+    cols.foreach { c =>
+      val p = arr.addArray()
+      c.split('.').foreach(p.add)
+    }
+    txn.addAction(DomainMetadataAction(ClusteringDomain,
+      ActionCodec.mapper.writeValueAsString(cfg)))
+    val info = ActionCodec.mapper.createObjectNode()
+    info.put("timestamp", System.currentTimeMillis())
+    info.put("operation", "CLUSTER BY")
+    info.putObject("operationParameters").put("clusterBy", cols.mkString(","))
+    val v = txn.commit(Some(CommitInfoAction(info)))
+    log.maybeCheckpoint(v)
+    v
+  }
+
   /** Declared identity columns with their current high-water marks. */
   def identityColumns: Seq[IdentityColumns.Info] =
     IdentityColumns.of(snapshot.schema)

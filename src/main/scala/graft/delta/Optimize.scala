@@ -118,6 +118,22 @@ object Optimize {
     * cluster by their first 7 UTF-8 bytes, which preserves lexicographic
     * order). Nulls take bucket 0.
     */
+  /** Re-cluster a liquid-clustered table: read the clustering columns
+    * from the `delta.clustering` domain (delta-spark's shape, authored by
+    * [[DeltaTable.clusterBy]] or a foreign writer) and run the
+    * multi-column z-order rewrite over them — clustering is a best-effort
+    * LAYOUT property, and interleaved-bits ordering is this engine's
+    * layout strategy for multi-column locality. */
+  def cluster(spark: SparkSession, path: String,
+              targetFileBytes: Long = 256L * 1024 * 1024,
+              partitionFilters: Seq[PartitionFilter] = Nil): OptimizeMetrics = {
+    val cols = DeltaTable.forPath(spark, path).clusteringColumns
+    require(cols.nonEmpty,
+      s"$path is not a clustered table (no delta.clustering domain) — " +
+      "declare columns with clusterBy(), or call zorder() directly")
+    zorder(spark, path, cols, targetFileBytes, partitionFilters)
+  }
+
   def zorder(spark: SparkSession, path: String, zorderBy: Seq[String],
              targetFileBytes: Long = 256L * 1024 * 1024,
              partitionFilters: Seq[PartitionFilter] = Nil): OptimizeMetrics = {

@@ -1,0 +1,75 @@
+package graft.delta
+
+import graft.SparkTestBase
+import org.apache.spark.sql.SaveMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Liquid-clustering authoring: clusterBy writes the delta.clustering
+  * domain in delta-spark's shape; Optimize.cluster re-clusters by it. */
+class ClusteredTableSpec extends AnyFunSuite with SparkTestBase {
+  import LogFixtures.tempTable
+  import spark.implicits._
+
+  test("clusterBy declares features and the domain in the delta-spark shape") {
+    val dir = tempTable("cluster-author").toString
+    GraftWriter.write((0 until 100).map(i => (i.toLong, i % 7, s"v$i"))
+      .toDF("id", "grp", "v"), dir)
+    DeltaTable.forPath(spark, dir).clusterBy(Seq("id", "grp"))
+    val snap = DeltaLog.forPath(spark, dir).update()
+    assert(snap.domainMetadata("delta.clustering") ==
+      """{"clusteringColumns":[["id"],["grp"]]}""")
+    val wf = snap.writerFeatures.getOrElse(Set.empty)
+    assert(wf.contains("clustering") && wf.contains("domainMetadata"))
+    assert(DeltaTable.forPath(spark, dir).clusteringColumns == Seq("id", "grp"))
+  }
+
+  test("Optimize.cluster re-clusters by the declared columns; content intact") {
+    val dir = tempTable("cluster-run").toString
+    GraftWriter.write((0 until 2000).map(i => ((i * 37 % 2000).toLong, s"v$i"))
+      .toDF("id", "v").repartition(8), dir)
+    DeltaTable.forPath(spark, dir).clusterBy(Seq("id"))
+    val before = DeltaTable.forPath(spark, dir).toDF
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val m = Optimize.cluster(spark, dir, targetFileBytes = 16 * 1024)
+    assert(m.filesRemoved > 0 && m.filesAdded > 0)
+    val after = DeltaTable.forPath(spark, dir).toDF
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(after == before)
+    // clustering survives the rewrite (domain untouched by OPTIMIZE)
+    assert(DeltaTable.forPath(spark, dir).clusteringColumns == Seq("id"))
+  }
+
+  test("cluster on a non-clustered table refuses with guidance") {
+    val dir = tempTable("cluster-none").toString
+    GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir)
+    val e = intercept[IllegalArgumentException](Optimize.cluster(spark, dir))
+    assert(e.getMessage.contains("clusterBy"))
+  }
+
+  test("a FOREIGN clustered table (nested-path domain) clusters and accepts appends") {
+    val dir = tempTable("cluster-foreign").toString
+    GraftWriter.write((0 until 50).map(i => (i.toLong, s"v$i")).toDF("id", "v"), dir)
+    val log = DeltaLog.forPath(spark, dir)
+    val snap = log.update()
+    log.startTransaction()
+      .addAction(ProtocolAction(1, 7, None,
+        Some(ProtocolSupport.impliedWriterFeatures(snap.minWriterVersion) ++
+          Set("clustering", "domainMetadata"))))
+      .addAction(DomainMetadataAction("delta.clustering",
+        """{"clusteringColumns":[["id"]]}"""))
+      .commit()
+    assert(DeltaTable.forPath(spark, dir).clusteringColumns == Seq("id"))
+    GraftWriter.write(Seq((999L, "x")).toDF("id", "v"), dir, SaveMode.Append)
+    Optimize.cluster(spark, dir)
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 51)
+  }
+
+  test("guardrails: unknown and partition columns refuse") {
+    val dir = tempTable("cluster-guard").toString
+    GraftWriter.write(Seq((1L, "a", "p1")).toDF("id", "v", "part"), dir,
+      partitionBy = Seq("part"))
+    val dt = DeltaTable.forPath(spark, dir)
+    intercept[IllegalArgumentException](dt.clusterBy(Seq("nope")))
+    intercept[IllegalArgumentException](dt.clusterBy(Seq("part")))
+  }
+}
