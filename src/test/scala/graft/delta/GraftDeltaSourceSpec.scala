@@ -557,6 +557,55 @@ class GraftDeltaSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(changes.distinct.length == changes.length, "replayed change rows")
   }
 
+  test("modern-tier soak: streaming a table with ICT + v2 checkpoints + domains across restarts") {
+    // the stream's offset tracking lists commit files; UUID-named v2
+    // checkpoints, .crc checksums, and domain-only commits must all be
+    // transparent to it, across checkpoint restarts
+    val src = tempTable("modern-soak-src").toString
+    val dst = tempTable("modern-soak-dst").toString
+    val ckpt = tempTable("modern-soak-ck").toString
+    (0 until 20).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .write.format("graft-delta").save(src)
+    DeltaTable.forPath(spark, src).setProperties(Map(
+      TableConfig.EnableInCommitTimestamps -> "true",
+      TableConfig.CheckpointPolicy -> "v2",
+      TableConfig.CheckpointInterval -> "3")) // v2 checkpoints land mid-stream
+
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("ignoreDeletes", "true").load(src)
+        .writeStream.format("graft-delta")
+        .option("appId", "modern-soak")
+        .option("checkpointLocation", ckpt).start(dst)
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    run() // leg 1: backfill
+    DeltaTable.forPath(spark, src).setDomainMetadata("app.audit", "leg2")
+    (20 until 30).foreach(i => GraftWriter.write(
+      Seq((i.toLong, s"v$i")).toDF("id", "v"), src,
+      org.apache.spark.sql.SaveMode.Append)) // crosses cadence → v2 checkpoints
+    run() // leg 2: restart over a log now containing UUID checkpoints
+    DeltaTable.forPath(spark, src).setProperties(
+      Map(TableConfig.EnableDeletionVectors -> "true"))
+    Dml.delete(spark, src, col("id") === 3L) // DV delete (ignoreDeletes opted in)
+    (30 until 33).foreach(i => GraftWriter.write(
+      Seq((i.toLong, s"v$i")).toDF("id", "v"), src,
+      org.apache.spark.sql.SaveMode.Append))
+    run() // leg 3
+
+    // append-stream semantics: every insert served exactly once (the DV
+    // delete is invisible by the opt-in)
+    val got = DeltaTable.forPath(spark, dst).toDF
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == (0 until 33).map(i => (i.toLong, s"v$i")))
+    // and the source's log really did checkpoint as v2 with ICT clocks
+    val log = DeltaLog.forPath(spark, src)
+    assert(log.findLatestCheckpointForVersion(Long.MaxValue)
+      .exists(_.v2FileName.isDefined))
+    assert(log.inCommitTimestampOf(log.update().version).isDefined)
+  }
+
   test("writeStream.format('graft-delta') is an exactly-once streaming sink") {
     val dir = tempTable("fmt-stream").toString
     val ckpt = tempTable("fmt-stream-ckpt").toString
