@@ -387,14 +387,11 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     val txn = log.startTransaction()
     if (ColumnMapping.isMapped(snap)) txn.permitNameMappedCommit()
     // one folded protocol action for both features
-    var proto: Option[ProtocolAction] = None
-    ProtocolSupport.writerFeatureFence(snap, "domainMetadata").foreach(p => proto = Some(p))
-    val lifted = proto.map(p => snap.copy(
-      minReaderVersion = p.minReaderVersion, minWriterVersion = p.minWriterVersion,
-      readerFeatures = p.readerFeatures, writerFeatures = p.writerFeatures))
-      .getOrElse(snap)
-    ProtocolSupport.writerFeatureFence(lifted, "clustering").foreach(p => proto = Some(p))
-    proto.foreach(txn.addAction)
+    val protoBase = ProtocolAction(snap.minReaderVersion, snap.minWriterVersion,
+      snap.readerFeatures, snap.writerFeatures)
+    val fenced = ProtocolSupport.writerFeaturesFence(protoBase,
+      Seq("domainMetadata", "clustering"))
+    if (fenced != protoBase) txn.addAction(fenced)
     val cfg = ActionCodec.mapper.createObjectNode()
     val arr = cfg.putArray("clusteringColumns")
     cols.foreach { c =>

@@ -133,7 +133,9 @@ object GraftDetailFunction {
     StructField("size_bytes", LongType, nullable = false),
     StructField("num_records", LongType, nullable = true),
     StructField("partition_columns", StringType, nullable = false),
+    StructField("clustering_columns", StringType, nullable = false),
     StructField("properties", StringType, nullable = false),
+    StructField("domain_metadata", StringType, nullable = false),
     StructField("created_time_ms", LongType, nullable = true),
     StructField("schema_json", StringType, nullable = true)))
 
@@ -146,6 +148,11 @@ object GraftDetailFunction {
     val snap = log.update()
     if (snap.version < 0) throw new NotATableException(path)
     val props = TableConfig.of(snap)
+    def jsonOf(m: Seq[(String, String)]): String =
+      ActionCodec.mapper.writeValueAsString(
+        m.foldLeft(ActionCodec.mapper.createObjectNode()) {
+          case (o, (k, v)) => o.put(k, v)
+        })
     val row = Row(
       log.tablePath.toString,
       snap.version,
@@ -153,10 +160,9 @@ object GraftDetailFunction {
       snap.files.map(_.size).sum,
       snap.statistics.numRecords.map(Long.box).orNull,
       snap.partitionColumns.mkString(","),
-      ActionCodec.mapper.writeValueAsString(
-        props.toSeq.sortBy(_._1).foldLeft(ActionCodec.mapper.createObjectNode()) {
-          case (o, (k, v)) => o.put(k, v)
-        }),
+      new DeltaTable(log, snap).clusteringColumns.mkString(","),
+      jsonOf(props.toSeq.sortBy(_._1)),
+      jsonOf(snap.domainMetadata.toSeq.sortBy(_._1)),
       snap.metadata.flatMap(_.createdTime).map(Long.box).orNull,
       snap.metadata.map(_.schemaString).orNull)
     spark.createDataFrame(spark.sparkContext.parallelize(Seq(row), 1), schema)

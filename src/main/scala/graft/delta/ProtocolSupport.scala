@@ -194,6 +194,17 @@ object ProtocolSupport {
       Some(snap.writerFeatures.getOrElse(Set.empty) ++
         impliedWriterFeatures(snap.minWriterVersion) + feature)))
 
+  /** Fold several writer features onto a protocol action (e.g. the
+    * clustering + domainMetadata pair of a CLUSTER BY declaration). */
+  def writerFeaturesFence(base: ProtocolAction, features: Seq[String]): ProtocolAction =
+    features.foldLeft(base) { (p, f) =>
+      writerFeatureFence(Snapshot(
+        minReaderVersion = p.minReaderVersion,
+        minWriterVersion = p.minWriterVersion,
+        readerFeatures = p.readerFeatures,
+        writerFeatures = p.writerFeatures), f).getOrElse(p)
+    }
+
   /** As [[writerFeatureFence]], for a reader+writer feature (e.g.
     * `v2Checkpoint`): lifts to (3, 7) with the feature declared on both
     * sides. The reader base set preserves what the previous protocol

@@ -148,7 +148,13 @@ class GraftCatalog extends DelegatingCatalogExtension
 
     val declared = org.apache.spark.sql.graftbridge.CatalogBridge
       .v2ColumnsToStructType(columns)
-    val partCols = partitionColumnsOf(partitions)
+    // CREATE TABLE ... CLUSTER BY (…) — authored as the delta.clustering
+    // domain at version 0; the remaining transforms must be identity
+    val clusterCols = org.apache.spark.sql.graftbridge.CatalogBridge
+      .clusterByColumns(partitions)
+    val dataTransforms = org.apache.spark.sql.graftbridge.CatalogBridge
+      .withoutClusterBy(partitions)
+    val partCols = partitionColumnsOf(dataTransforms)
     val location = locationOf(ident, properties)
     val config = tableConfiguration(properties)
     TableConfig.validate(config)
@@ -175,6 +181,12 @@ class GraftCatalog extends DelegatingCatalogExtension
           throw new IllegalArgumentException(
             s"declared partitioning $partCols does not match existing table's " +
               s"${snap.partitionColumns}")
+        if (clusterCols.nonEmpty) {
+          val existing = new DeltaTable(log, snap).clusteringColumns
+          if (existing != clusterCols) throw new IllegalArgumentException(
+            s"declared CLUSTER BY $clusterCols does not match existing " +
+              s"table's $existing")
+        }
         snap.schema
       } else {
         if (declared.isEmpty) throw new IllegalArgumentException(
@@ -183,7 +195,11 @@ class GraftCatalog extends DelegatingCatalogExtension
         val missing = partCols.filterNot(declared.fieldNames.contains)
         if (missing.nonEmpty) throw new IllegalArgumentException(
           s"partition columns not in schema: $missing")
-        initializeTable(log, declared, partCols, config)
+        val badCluster = clusterCols.filterNot(c =>
+          declared.fieldNames.contains(c.split('.').head))
+        if (badCluster.nonEmpty) throw new IllegalArgumentException(
+          s"clustering columns not in schema: $badCluster")
+        initializeTable(log, declared, partCols, config, clusterCols)
         declared
       }
 
@@ -196,7 +212,7 @@ class GraftCatalog extends DelegatingCatalogExtension
     super.createTable(ident,
       org.apache.spark.sql.graftbridge.CatalogBridge
         .structTypeToV2Columns(resolvedSchema),
-      partitions, metastoreProps)
+      dataTransforms, metastoreProps)
 
     // the returned table is what CTAS writes into — it funnels the v2
     // append back into the transactional v1 writer
@@ -212,20 +228,37 @@ class GraftCatalog extends DelegatingCatalogExtension
     * (`rust/src/delta.rs:986-1035` via `prepare_commit`). */
   private def initializeTable(log: DeltaLog, schema: StructType,
                               partCols: Seq[String],
-                              config: Map[String, String]): Unit = {
+                              config: Map[String, String],
+                              clusterCols: Seq[String] = Nil): Unit = {
     val now = System.currentTimeMillis()
     val txn = log.startTransaction()
     // CREATE with column mapping declared: fresh col-<uuid> physical names
     // + ids from version 0 (no files exist, both modes are safe)
     val (annSchema, annConfig, (fr, fw0)) =
       ColumnMappingDdl.forCreate(DeltaSchema.normalize(schema), config)
-    // generated columns demand the writer-4 floor per the protocol
-    val fw = if (Constraints.generatedOf(annSchema).nonEmpty) math.max(fw0, 4)
-             else fw0
-    // one folded fence: DV / v2 checkpoints / ICT declared at CREATE all
-    // land in a single protocol action (see ProtocolSupport.configFences)
-    txn.addAction(ProtocolSupport.configFences(annConfig, ProtocolAction(fr, fw),
-      Some(annSchema)))
+    // generated columns demand the writer-4 floor per the protocol;
+    // identity columns the writer-6 floor
+    val fw1 = if (Constraints.generatedOf(annSchema).nonEmpty) math.max(fw0, 4)
+              else fw0
+    val fw = if (IdentityColumns.of(annSchema).nonEmpty) math.max(fw1, 6)
+             else fw1
+    // one folded fence: DV / v2 checkpoints / ICT / variant / clustering
+    // declared at CREATE all land in a single protocol action
+    val proto0 = ProtocolSupport.configFences(annConfig, ProtocolAction(fr, fw),
+      Some(annSchema))
+    txn.addAction(
+      if (clusterCols.isEmpty) proto0
+      else ProtocolSupport.writerFeaturesFence(proto0,
+        Seq("domainMetadata", "clustering")))
+    if (clusterCols.nonEmpty) {
+      val cfgNode = ActionCodec.mapper.createObjectNode()
+      val arr = cfgNode.putArray("clusteringColumns")
+      clusterCols.foreach { c =>
+        val p = arr.addArray(); c.split('.').foreach(p.add)
+      }
+      txn.addAction(DomainMetadataAction("delta.clustering",
+        ActionCodec.mapper.writeValueAsString(cfgNode)))
+    }
     txn.addAction(MetaDataAction(
       id = java.util.UUID.randomUUID().toString,
       name = None, description = None,

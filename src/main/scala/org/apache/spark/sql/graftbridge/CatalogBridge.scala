@@ -43,6 +43,25 @@ object CatalogBridge {
       case other => Left(other.toString)
     }
 
+  /** `CLUSTER BY` columns of a v2 transform array (dotted nested paths);
+    * empty when the DDL declared none. */
+  def clusterByColumns(
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform])
+      : Seq[String] =
+    partitions.toSeq.flatMap {
+      case org.apache.spark.sql.connector.expressions.ClusterByTransform(refs) =>
+        refs.map(_.fieldNames().mkString("."))
+      case _ => Nil
+    }
+
+  def withoutClusterBy(
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform])
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    partitions.filter {
+      case org.apache.spark.sql.connector.expressions.ClusterByTransform(_) => false
+      case _ => true
+    }
+
   /** v2 Column[] ⇄ StructType (`CatalogV2Util` is `private[sql]`). */
   def v2ColumnsToStructType(
       columns: Array[org.apache.spark.sql.connector.catalog.Column]): org.apache.spark.sql.types.StructType =

@@ -64,6 +64,25 @@ class ClusteredTableSpec extends AnyFunSuite with SparkTestBase {
     assert(DeltaTable.forPath(spark, dir).toDF.count() == 51)
   }
 
+  test("SQL CREATE TABLE ... CLUSTER BY authors the domain at version 0") {
+    val dir = tempTable("cluster-sql").toString
+    spark.sql("CREATE TABLE cluster_sql (id BIGINT, grp INT, v STRING) " +
+      s"USING `graft-delta` CLUSTER BY (id, grp) OPTIONS (path '$dir')")
+    try {
+      val snap = DeltaLog.forPath(spark, dir).update()
+      assert(snap.domainMetadata("delta.clustering") ==
+        """{"clusteringColumns":[["id"],["grp"]]}""")
+      val wf = snap.writerFeatures.getOrElse(Set.empty)
+      assert(wf.contains("clustering") && wf.contains("domainMetadata"))
+      spark.sql("INSERT INTO cluster_sql VALUES (1, 2, 'a')")
+      assert(spark.sql("SELECT count(*) FROM cluster_sql").head().getLong(0) == 1)
+      Optimize.cluster(spark, dir) // domain drives the layout rewrite
+      // detail surfaces the clustering declaration
+      val det = spark.sql(s"SELECT clustering_columns FROM graft_detail('$dir')").head()
+      assert(det.getString(0) == "id,grp")
+    } finally spark.sql("DROP TABLE cluster_sql")
+  }
+
   test("guardrails: unknown and partition columns refuse") {
     val dir = tempTable("cluster-guard").toString
     GraftWriter.write(Seq((1L, "a", "p1")).toDF("id", "v", "part"), dir,
