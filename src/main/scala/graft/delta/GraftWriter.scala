@@ -159,19 +159,24 @@ object GraftWriter {
     // rename must see the appended columns' fresh physical names
     lazy val mapSchema = evolvedMetadata
       .map(em => DeltaSchema.fromJson(em.schemaString)).getOrElse(snap.schema)
+    // stats budget from the config this commit operates under (a CREATE's
+    // declared config is not in the log yet)
+    val statsIdx = TableConfig.dataSkippingNumIndexedCols(
+      if (!exists) declaredConfig
+      else evolvedMetadata.map(_.configuration).getOrElse(TableConfig.of(snap)))
     val adds =
       if (mapped)
         // id-mapped tables: staged files must carry parquet footer field
         // ids (Spark stamps them from the attached metadata on write)
         stageFiles(ColumnMapping.toPhysical(enforced, mapSchema,
             attachIds = ColumnMapping.mode(snap) == "id"), path,
-          partCols.map(c => ColumnMapping.physicalName(mapSchema, c)))
+          partCols.map(c => ColumnMapping.physicalName(mapSchema, c)), statsIdx)
       else createMapping match {
         case Some((annSchema, _, _)) =>
           stageFiles(ColumnMapping.toPhysical(enforced, annSchema,
               attachIds = ColumnMapping.mode(declaredConfig) == "id"), path,
-            partCols.map(c => ColumnMapping.physicalName(annSchema, c)))
-        case None => stageFiles(enforced, path, partCols)
+            partCols.map(c => ColumnMapping.physicalName(annSchema, c)), statsIdx)
+        case None => stageFiles(enforced, path, partCols, statsIdx)
       }
     val now = System.currentTimeMillis()
     val txn = log.startTransaction()
@@ -334,7 +339,17 @@ object GraftWriter {
     * [[StatsExecutorThresholdKey]] files so a 10k-file write never
     * serializes 10k footer reads through one machine. */
   private[graft] def stageFiles(df: DataFrame, path: String,
-                                partCols: Seq[String]): Seq[AddAction] = {
+                                partCols: Seq[String],
+                                numIndexedCols: Int = -2): Seq[AddAction] = {
+    // -2 (the default) = "resolve from the table's own config"; explicit
+    // -1 = unbounded. Resolving here keeps the knob at one choke point for
+    // every write surface (batch, sink, SQL INSERT, DML, MERGE, OPTIMIZE);
+    // the batch writer passes the value explicitly (a CREATE's config is
+    // not in the log yet).
+    val resolvedIdx =
+      if (numIndexedCols != -2) numIndexedCols
+      else TableConfig.dataSkippingNumIndexedCols(
+        TableConfig.of(DeltaLog.forPath(df.sparkSession, path).update()))
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val tablePath = new Path(path)
@@ -366,7 +381,8 @@ object GraftWriter {
       }
 
       // 2. footer stats: distributed job for big writes, driver pool otherwise
-      val statsByRel = collectStats(spark, tablePath, moved.map(_._1), conf)
+      val statsByRel = collectStats(spark, tablePath, moved.map(_._1), conf,
+        resolvedIdx)
 
       moved.map { case (rel, len, mtime) =>
         AddAction(
@@ -387,14 +403,16 @@ object GraftWriter {
     * Shared by the writer's staging and CONVERT TO DELTA. */
   private[delta] def collectStats(spark: SparkSession, tablePath: Path,
                                   rels: Seq[String],
-                                  conf: Configuration): Map[String, String] = {
+                                  conf: Configuration,
+                                  numIndexedCols: Int = -1): Map[String, String] = {
     val threshold = spark.conf.getOption(StatsExecutorThresholdKey)
       .map(_.toInt).getOrElse(StatsExecutorThresholdDefault)
     if (rels.size >= threshold)
-      executorSideStats(spark, tablePath, rels, conf)
+      executorSideStats(spark, tablePath, rels, conf, numIndexedCols)
     else
       inDriverPool(rels)(rel =>
-        rel -> FooterStats.statsJson(new Path(tablePath, rel), conf)).toMap
+        rel -> FooterStats.statsJson(new Path(tablePath, rel), conf,
+          numIndexedCols)).toMap
   }
 
   /** Delete staged-but-uncommitted files (abort path: multi-match or no-op
@@ -445,17 +463,19 @@ object GraftWriter {
     * key-value pairs; `Configuration` itself is not serializable. */
   private def executorSideStats(spark: SparkSession, tablePath: Path,
                                 rels: Seq[String],
-                                conf: Configuration): Map[String, String] = {
+                                conf: Configuration,
+                                numIndexedCols: Int = -1): Map[String, String] = {
     import scala.jdk.CollectionConverters._
     val confPairs = conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
     val table = tablePath.toString
+    val nIdx = numIndexedCols
     val parallelism = math.min(rels.size,
       math.max(1, spark.sparkContext.defaultParallelism))
     spark.sparkContext.parallelize(rels, parallelism)
       .map { rel =>
         val c = new Configuration(false)
         confPairs.foreach { case (k, v) => c.set(k, v) }
-        rel -> FooterStats.statsJson(new Path(new Path(table), rel), c)
+        rel -> FooterStats.statsJson(new Path(new Path(table), rel), c, nIdx)
       }
       .collect().toMap
   }
@@ -496,11 +516,23 @@ object GraftWriter {
   */
 object FooterStats {
 
-  def statsJson(file: Path, conf: Configuration): String = {
+  def statsJson(file: Path, conf: Configuration,
+                numIndexedCols: Int = -1): String = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       val footer = reader.getFooter
       val blocks = footer.getBlocks
+      // `delta.dataSkippingNumIndexedCols`: index only the first n
+      // top-level columns in file (= write) order; -1 = all. numRecords
+      // is recorded regardless.
+      val indexed: String => Boolean =
+        if (numIndexedCols < 0) _ => true
+        else {
+          import scala.jdk.CollectionConverters._
+          val allowed = footer.getFileMetaData.getSchema.getFields.asScala
+            .take(numIndexedCols).map(_.getName).toSet
+          allowed.contains _
+        }
       var numRecords = 0L
       // column dotted path → (min, max, nulls, statsValid)
       final case class Acc(var min: Any, var max: Any, var nulls: Long, var valid: Boolean)
@@ -509,7 +541,7 @@ object FooterStats {
       blocks.forEach { block =>
         numRecords += block.getRowCount
         block.getColumns.forEach { col =>
-          if (col.getPath.size == 1) { // top-level only
+          if (col.getPath.size == 1 && indexed(col.getPath.toDotString)) { // top-level only
             val name = col.getPath.toDotString
             val acc = accs.getOrElseUpdate(name, Acc(null, null, 0L, true))
             val st = col.getStatistics

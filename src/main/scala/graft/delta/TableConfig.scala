@@ -47,6 +47,13 @@ object TableConfig {
     * (`v2Checkpoint` table feature — see [[Checkpoints.writeV2]]). */
   val CheckpointPolicy = "delta.checkpointPolicy"
 
+  /** Collect per-file min/max/nullCount stats for only the FIRST n
+    * top-level columns (delta-spark's knob; default 32, -1 = all). At
+    * 100 TB a 500-column table's full stats dominate the log — every
+    * snapshot load pays for JSON nobody prunes on. `numRecords` is always
+    * recorded. */
+  val DataSkippingNumIndexedCols = "delta.dataSkippingNumIndexedCols"
+
   /** `true` ⇒ every commit records a monotonic `inCommitTimestamp` in a
     * leading `commitInfo`, and time travel / history read THAT clock
     * instead of file modification times (`inCommitTimestamp` writer
@@ -89,6 +96,12 @@ object TableConfig {
       require(t == "classic" || t == "v2",
         s"$CheckpointPolicy must be classic|v2, got '$v'")
     },
+    DataSkippingNumIndexedCols -> { v: String =>
+      val n = try v.trim.toInt catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$DataSkippingNumIndexedCols must be an int, got '$v'") }
+      require(n >= -1, s"$DataSkippingNumIndexedCols must be >= -1, got $n")
+    },
     EnableInCommitTimestamps -> parseBoolean(EnableInCommitTimestamps) _,
     IctEnablementVersion -> { v: String =>
       require(v.trim.forall(_.isDigit) && v.trim.nonEmpty,
@@ -127,6 +140,10 @@ object TableConfig {
   def checkpointPolicy(config: Map[String, String]): String =
     config.get(CheckpointPolicy).map(_.trim.toLowerCase(java.util.Locale.ROOT))
       .getOrElse("classic")
+
+  /** Stats-indexed column budget (-1 = unbounded; default 32). */
+  def dataSkippingNumIndexedCols(config: Map[String, String]): Int =
+    config.get(DataSkippingNumIndexedCols).map(_.trim.toInt).getOrElse(32)
 
   def inCommitTimestampsEnabled(config: Map[String, String]): Boolean =
     config.get(EnableInCommitTimestamps).exists(_.trim.equalsIgnoreCase("true"))
