@@ -400,12 +400,21 @@ class GraftCatalog extends DelegatingCatalogExtension
         // the same upgrade routing as the API path (none → name only)
         DeltaTable.forPath(spark, location)
           .setProperties(Map(s.property -> s.value))
+      case cb: TableChange.ClusterBy =>
+        // ALTER TABLE ... CLUSTER BY (…) re-declares the clustering
+        // domain; CLUSTER BY NONE (empty column list) removes it
+        val cols = cb.clusteringColumns.toSeq.map(_.fieldNames().mkString("."))
+        val dt = DeltaTable.forPath(spark, location)
+        if (cols.nonEmpty) dt.clusterBy(cols)
+        else if (dt.domainMetadata.contains(dt.ClusteringDomain))
+          dt.removeDomainMetadata(dt.ClusteringDomain)
       case _ => ()
     }
     val rest = changes.filterNot(c => isSchemaChange(c) &&
         !c.isInstanceOf[TableChange.AddColumn])
       .filterNot {
         case s: TableChange.SetProperty => s.property == ColumnMapping.ModeKey
+        case _: TableChange.ClusterBy => true
         case _ => false
       }
     if (rest.isEmpty) return

@@ -83,6 +83,20 @@ class ClusteredTableSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE cluster_sql")
   }
 
+  test("ALTER TABLE CLUSTER BY re-declares; CLUSTER BY NONE removes the domain") {
+    val dir = tempTable("cluster-alter").toString
+    spark.sql("CREATE TABLE cluster_alter (id BIGINT, grp INT, v STRING) " +
+      s"USING `graft-delta` OPTIONS (path '$dir')")
+    try {
+      spark.sql("ALTER TABLE cluster_alter CLUSTER BY (grp)")
+      assert(DeltaTable.forPath(spark, dir).clusteringColumns == Seq("grp"))
+      spark.sql("ALTER TABLE cluster_alter CLUSTER BY (id, grp)")
+      assert(DeltaTable.forPath(spark, dir).clusteringColumns == Seq("id", "grp"))
+      spark.sql("ALTER TABLE cluster_alter CLUSTER BY NONE")
+      assert(DeltaTable.forPath(spark, dir).clusteringColumns.isEmpty)
+    } finally spark.sql("DROP TABLE cluster_alter")
+  }
+
   test("guardrails: unknown and partition columns refuse") {
     val dir = tempTable("cluster-guard").toString
     GraftWriter.write(Seq((1L, "a", "p1")).toDF("id", "v", "part"), dir,
