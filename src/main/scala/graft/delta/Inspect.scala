@@ -17,13 +17,28 @@ object Inspect {
   def render(dt: DeltaTable, cmd: String): Seq[String] = cmd match {
     case "info" =>
       val st = dt.statistics
-      Seq(
+      val snap = dt.snapshot
+      val base = Seq(
         s"path:    ${dt.log.tablePath}",
         s"version: ${dt.version}",
         s"schema:  ${dt.schema.simpleString}",
         s"partitions: ${dt.partitionColumns.mkString(", ")}",
         s"files: ${st.numFiles}  bytes: ${st.sizeInBytes}  rows: ${st.numRecords.getOrElse("?")}",
-        s"tombstones: ${dt.snapshot.tombstones.size}")
+        s"tombstones: ${snap.tombstones.size}")
+      val protocol = Seq(
+        s"protocol: reader ${snap.minReaderVersion} / writer ${snap.minWriterVersion}" +
+          (snap.writerFeatures.map(f => s"  features: ${f.toSeq.sorted.mkString(",")}")
+            .getOrElse("")))
+      val modern =
+        dt.clusteringColumns.headOption.map(_ =>
+          s"clusterBy: ${dt.clusteringColumns.mkString(", ")}").toSeq ++
+        (if (snap.domainMetadata.nonEmpty)
+          Seq(s"domains: ${snap.domainMetadata.keys.toSeq.sorted.mkString(", ")}")
+        else Nil) ++
+        dt.log.inCommitTimestampOf(dt.version)
+          .filter(_ => TableConfig.inCommitTimestampsEnabled(TableConfig.of(snap)))
+          .map(t => s"inCommitTimestamp: $t").toSeq
+      base ++ protocol ++ modern
     case "files" =>
       dt.files.map(_.path)
     case other =>

@@ -49,4 +49,18 @@ class InspectSpec extends AnyFunSuite with SparkTestBase {
       Inspect.render(DeltaTable.forPath(spark, dir), "nope")
     }
   }
+
+  test("info surfaces protocol, clustering, domains, and the ICT clock") {
+    val dir = table()
+    DeltaTable.forPath(spark, dir).setProperties(
+      Map(TableConfig.EnableInCommitTimestamps -> "true"))
+    DeltaTable.forPath(spark, dir).clusterBy(Seq("id"))
+    DeltaTable.forPath(spark, dir).setDomainMetadata("app.x", "1")
+    val out = Inspect.render(DeltaTable.forPath(spark, dir), "info")
+    assert(out.exists(l => l.startsWith("protocol: reader") &&
+      l.contains("inCommitTimestamp")))
+    assert(out.contains("clusterBy: id"))
+    assert(out.exists(_.startsWith("domains: app.x")))
+    assert(out.exists(_.startsWith("inCommitTimestamp: ")))
+  }
 }
