@@ -72,17 +72,26 @@ object Checkpoints {
 
   private final case class SchemaInfo(
       dataFields: Seq[StructField],      // non-partition fields, typed-stat-able
-      partitionFields: Seq[StructField]) // partition fields, typed-partition-able
+      partitionFields: Seq[StructField], // partition fields, typed-partition-able
+      statsAsJson: Boolean)              // carry the raw stats string?
 
   private def schemaInfo(snap: Snapshot): SchemaInfo = {
     val md = snap.metadata
     val schema = Try(snap.schema).toOption.getOrElse(StructType(Nil))
     val partCols = md.map(_.partitionColumns).getOrElse(Nil).toSet
+    val cfg = TableConfig.of(snap)
     SchemaInfo(
-      dataFields = schema.fields.toSeq.filterNot(f => partCols.contains(f.name))
-        .flatMap(f => parsedStatsType(f.dataType).map(t => StructField(f.name, t))),
+      // delta.checkpoint.writeStatsAsStruct=false drops the typed struct
+      // (dataFields gate every stats_parsed site); writeStatsAsJson=false
+      // drops the raw string — both shrink million-file checkpoints at the
+      // cost of skipping answers for snapshots restored from them
+      dataFields =
+        if (!TableConfig.checkpointStatsAsStruct(cfg)) Nil
+        else schema.fields.toSeq.filterNot(f => partCols.contains(f.name))
+          .flatMap(f => parsedStatsType(f.dataType).map(t => StructField(f.name, t))),
       partitionFields = schema.fields.toSeq.filter(f => partCols.contains(f.name))
-        .flatMap(f => parsedPartitionType(f.dataType).map(t => StructField(f.name, t))))
+        .flatMap(f => parsedPartitionType(f.dataType).map(t => StructField(f.name, t))),
+      statsAsJson = TableConfig.checkpointStatsAsJson(cfg))
   }
 
   /** `add.deletionVector` descriptor struct — field names and types per the
@@ -178,7 +187,8 @@ object Checkpoints {
         d.cardinality)).orNull
     val base = Seq(
       ActionPath.encode(a.path), a.partitionValues, a.size, a.modificationTime,
-      false, a.stats.orNull, a.tags.orNull, dvRow)
+      false, if (info.statsAsJson) a.stats.orNull else null,
+      a.tags.orNull, dvRow)
     val pvParsed =
       if (info.partitionFields.isEmpty) Nil
       else Seq(Row.fromSeq(info.partitionFields.map(f =>

@@ -47,6 +47,15 @@ object TableConfig {
     * (`v2Checkpoint` table feature — see [[Checkpoints.writeV2]]). */
   val CheckpointPolicy = "delta.checkpointPolicy"
 
+  /** Checkpoint stats shape (delta-spark's knobs): whether checkpoint add
+    * rows carry the JSON `stats` string (default true) and the typed
+    * `stats_parsed` struct (default true — delta-spark writes it when
+    * enabled; graft has always written both). Disabling either shrinks
+    * million-file checkpoints at the cost of skipping/stat answers for
+    * snapshots restored from them. */
+  val CheckpointWriteStatsAsJson = "delta.checkpoint.writeStatsAsJson"
+  val CheckpointWriteStatsAsStruct = "delta.checkpoint.writeStatsAsStruct"
+
   /** Collect per-file min/max/nullCount stats for only the FIRST n
     * top-level columns (delta-spark's knob; default 32, -1 = all). At
     * 100 TB a 500-column table's full stats dominate the log — every
@@ -96,6 +105,8 @@ object TableConfig {
       require(t == "classic" || t == "v2",
         s"$CheckpointPolicy must be classic|v2, got '$v'")
     },
+    CheckpointWriteStatsAsJson -> parseBoolean(CheckpointWriteStatsAsJson) _,
+    CheckpointWriteStatsAsStruct -> parseBoolean(CheckpointWriteStatsAsStruct) _,
     DataSkippingNumIndexedCols -> { v: String =>
       val n = try v.trim.toInt catch { case _: NumberFormatException =>
         throw new IllegalArgumentException(
@@ -140,6 +151,12 @@ object TableConfig {
   def checkpointPolicy(config: Map[String, String]): String =
     config.get(CheckpointPolicy).map(_.trim.toLowerCase(java.util.Locale.ROOT))
       .getOrElse("classic")
+
+  def checkpointStatsAsJson(config: Map[String, String]): Boolean =
+    !config.get(CheckpointWriteStatsAsJson).exists(_.trim.equalsIgnoreCase("false"))
+
+  def checkpointStatsAsStruct(config: Map[String, String]): Boolean =
+    !config.get(CheckpointWriteStatsAsStruct).exists(_.trim.equalsIgnoreCase("false"))
 
   /** Stats-indexed column budget (-1 = unbounded; default 32). */
   def dataSkippingNumIndexedCols(config: Map[String, String]): Int =
