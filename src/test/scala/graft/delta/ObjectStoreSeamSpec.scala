@@ -269,6 +269,30 @@ class ObjectStoreSeamSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("modern tier lands through the locked store: ICT, domains, .crc, v2 checkpoint + sidecars") {
+    withLockedStore {
+      val dir = tempTable("oss-modern").toString
+      GraftWriter.write((0 until 30).map(i => (i.toLong, s"v$i")).toDF("id", "v"), dir)
+      DeltaTable.forPath(spark, dir).setProperties(Map(
+        TableConfig.EnableInCommitTimestamps -> "true",
+        TableConfig.CheckpointPolicy -> "v2"))
+      DeltaTable.forPath(spark, dir).setDomainMetadata("oss.d", "x")
+      GraftWriter.write(Seq((99L, "z")).toDF("id", "v"), dir, SaveMode.Append)
+      val log = DeltaLog.forPath(spark, dir)
+      val snap = log.update()
+      // ICT clock + advisory checksum both written via the locked store
+      assert(log.inCommitTimestampOf(snap.version).isDefined)
+      assert(Checksum.read(log, snap.version).exists(_.numFiles == snap.files.size))
+      log.checkpoint() // v2 manifest + sidecars via copy+delete under lease
+      val fresh = DeltaLog.forPath(spark, dir).update()
+      assert(fresh.version == snap.version)
+      assert(fresh.domainMetadata == Map("oss.d" -> "x"))
+      assert(DeltaTable.forPath(spark, dir).toDF.count() == 31)
+      assert(DeltaLog.forPath(spark, dir)
+        .findLatestCheckpointForVersion(Long.MaxValue).exists(_.v2FileName.isDefined))
+    }
+  }
+
   test("checkpoint parquet renames byte-exactly through the locked store") {
     withLockedStore {
       val dir = tempTable("oss-checkpoint").toString
