@@ -109,7 +109,9 @@ object Checkpoints {
       StructField("path", StringType), StructField("partitionValues", strMap),
       StructField("size", LongType), StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType), StructField("stats", StringType),
-      StructField("tags", strMap), StructField("deletionVector", dvType))
+      StructField("tags", strMap), StructField("deletionVector", dvType),
+      StructField("baseRowId", LongType),
+      StructField("defaultRowCommitVersion", LongType))
     val pvParsed =
       if (info.partitionFields.nonEmpty)
         Seq(StructField("partitionValues_parsed", StructType(info.partitionFields)))
@@ -188,7 +190,9 @@ object Checkpoints {
     val base = Seq(
       ActionPath.encode(a.path), a.partitionValues, a.size, a.modificationTime,
       false, if (info.statsAsJson) a.stats.orNull else null,
-      a.tags.orNull, dvRow)
+      a.tags.orNull, dvRow,
+      a.baseRowId.map(Long.box).orNull,
+      a.defaultRowCommitVersion.map(Long.box).orNull)
     val pvParsed =
       if (info.partitionFields.isEmpty) Nil
       else Seq(Row.fromSeq(info.partitionFields.map(f =>
@@ -329,7 +333,9 @@ object Checkpoints {
                 .map(i => d.get(i).asInstanceOf[Number].intValue()),
               sizeInBytes = d.getAs[Number]("sizeInBytes").intValue(),
               cardinality = d.getAs[Number]("cardinality").longValue()).json
-          })
+          },
+        baseRowId = optL(a, "baseRowId"),
+        defaultRowCommitVersion = optL(a, "defaultRowCommitVersion"))
     }.orElse(struct("remove").map { r =>
       RemoveAction(
         path = ActionPath.decode(r.getAs[String]("path")),

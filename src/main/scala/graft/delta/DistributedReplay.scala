@@ -30,7 +30,9 @@ object DistributedReplay {
     StructField("modificationTime", LongType),
     StructField("dataChange", BooleanType),
     StructField("stats", StringType),
-    StructField("tags", MapType(StringType, StringType))))
+    StructField("tags", MapType(StringType, StringType)),
+    StructField("baseRowId", LongType),
+    StructField("defaultRowCommitVersion", LongType)))
 
   private val lineSchema = StructType(Seq(
     StructField("add", addSchema),
@@ -69,6 +71,8 @@ object DistributedReplay {
           col("add.dataChange").as("dataChange"),
           col("add.stats").as("stats"),
           col("add.tags").as("tags"),
+          col("add.baseRowId").as("baseRowId"),
+          col("add.defaultRowCommitVersion").as("defaultRowCommitVersion"),
           col("add.path").isNotNull.as("isAdd"))
         .filter(col("path").isNotNull)
     }
@@ -96,6 +100,8 @@ object DistributedReplay {
           col("add.dataChange").as("dataChange"),
           col("add.stats").as("stats"),
           col("add.tags").as("tags"),
+          col("add.baseRowId").as("baseRowId"),
+          col("add.defaultRowCommitVersion").as("defaultRowCommitVersion"),
           lit(true).as("isAdd")))
     }
 
@@ -114,14 +120,16 @@ object DistributedReplay {
       .agg(max_by(
         struct(col("isAdd"), col("partitionValues"), col("size"),
           col("modificationTime"), col("dataChange"), col("stats"),
-          col("tags")),
+          col("tags"), col("baseRowId"), col("defaultRowCommitVersion")),
         col("ord")).as("last"))
       .filter(col("last.isAdd"))
       .select(col("path"), col("last.partitionValues").as("partitionValues"),
         col("last.size").as("size"),
         col("last.modificationTime").as("modificationTime"),
         col("last.dataChange").as("dataChange"), col("last.stats").as("stats"),
-        col("last.tags").as("tags"))
+        col("last.tags").as("tags"),
+        col("last.baseRowId").as("baseRowId"),
+        col("last.defaultRowCommitVersion").as("defaultRowCommitVersion"))
   }
 
   private def partitionPredicate(f: PartitionFilter): Column = f match {
@@ -175,7 +183,10 @@ object DistributedReplay {
           .forall(_.booleanValue),
         stats = Option(r.getAs[String]("stats")),
         tags = Option(r.getAs[scala.collection.Map[String, String]]("tags"))
-          .map(_.toMap).filter(_.nonEmpty))
+          .map(_.toMap).filter(_.nonEmpty),
+        baseRowId = Option(r.getAs[java.lang.Long]("baseRowId")).map(_.longValue),
+        defaultRowCommitVersion = Option(
+          r.getAs[java.lang.Long]("defaultRowCommitVersion")).map(_.longValue))
     }
   }
 }

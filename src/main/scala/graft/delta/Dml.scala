@@ -80,6 +80,8 @@ object Dml {
     ProtocolSupport.assertWritable(snap, allowNameMapping = true)
     if (TableConfig.appendOnly(TableConfig.of(snap)))
       throw new AppendOnlyTableException(path)
+    // (row tracking: DV DELETE is SAFE — file bytes and row ids unchanged,
+    // the re-add copies baseRowId/defaultRowCommitVersion through)
     val mapped = ColumnMapping.isMapped(snap)
     def phys(c: String): String =
       if (mapped) ColumnMapping.physicalName(snap.schema, c) else c
@@ -133,6 +135,9 @@ object Dml {
     ProtocolSupport.assertWritable(snap, allowNameMapping = true)
     if (TableConfig.appendOnly(TableConfig.of(snap)))
       throw new AppendOnlyTableException(path)
+    // DV DELETE preserves ids (bytes unchanged); DV UPDATE appends
+    // transformed COPIES whose identities would silently change
+    RowTracking.assertNoRewrite(snap, path, "merge-on-read UPDATE")
     val mapped = ColumnMapping.isMapped(snap)
     def phys(c: String): String =
       if (mapped) ColumnMapping.physicalName(snap.schema, c) else c
@@ -384,6 +389,7 @@ object Dml {
     // catch it too, but only after the wasted write)
     if (TableConfig.appendOnly(TableConfig.of(snap)))
       throw new AppendOnlyTableException(path)
+    RowTracking.assertNoRewrite(snap, path, s"copy-on-write $operation")
     val dt = new DeltaTable(log, snap)
     val mapped = ColumnMapping.isMapped(snap)
     def phys(c: String): String =

@@ -242,7 +242,16 @@ object GraftWriter {
         extendedFileMetadata = Some(true),
         partitionValues = Some(f.partitionValues), size = Some(f.size))))
     txn.addActions(cdcActions)
-    txn.addActions(adds)
+    // row tracking: fresh files get id ranges from the high-water mark,
+    // which bumps in this same commit (defaultRowCommitVersion stamps at
+    // commit time — the landing version is unknown here)
+    val finalAdds =
+      if (exists && RowTracking.enabled(snap)) {
+        val (stamped, bump) = RowTracking.assignFreshRowIds(snap, adds)
+        bump.foreach(txn.addAction)
+        stamped
+      } else adds
+    txn.addActions(finalAdds)
     // identity high-water marks advance IN the generating commit (a crash
     // between the data and the mark would re-issue values); built over the
     // evolved metadata when this commit also changed the schema, and

@@ -108,6 +108,7 @@ final class MergeBuilder private[delta] (
     ProtocolSupport.assertWritable(snap, allowNameMapping = true)
     if (TableConfig.appendOnly(TableConfig.of(snap)))
       throw new AppendOnlyTableException(path)
+    RowTracking.assertNoRewrite(snap, path, "MERGE")
     val dt = new DeltaTable(log, snap)
     val mapped = ColumnMapping.isMapped(snap)
     def phys(c: String): String =

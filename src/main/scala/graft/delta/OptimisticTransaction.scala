@@ -145,7 +145,20 @@ final class OptimisticTransaction(val log: DeltaLog) {
     val ictEnabled = TableConfig.inCommitTimestampsEnabled(effectiveConfig)
     val ictEnablement = ictEnabled &&
       !TableConfig.inCommitTimestampsEnabled(TableConfig.of(log.snapshot))
-    var tmp: Path = if (ictEnabled) null else prepareCommit(operation.toSeq)
+    // Row tracking: new files' defaultRowCommitVersion = the version this
+    // commit LANDS at — also stamped per candidate version. The effective
+    // feature set is what the commit leaves behind (a same-commit protocol
+    // action wins over the read snapshot's).
+    val effectiveWriterFeatures = actions.reverseIterator
+      .collectFirst { case p: ProtocolAction => p.writerFeatures }
+      .getOrElse(log.snapshot.writerFeatures)
+    val rtStamp = effectiveWriterFeatures.exists(_.contains(RowTracking.Feature)) &&
+      actions.exists {
+        case a: AddAction => a.defaultRowCommitVersion.isEmpty
+        case _ => false
+      }
+    val perVersionStamp = ictEnabled || rtStamp
+    var tmp: Path = if (perVersionStamp) null else prepareCommit(operation.toSeq)
     var tmpFor = Long.MinValue
     var lastIct = 0L
     val ourRemoves = actions.collect { case r: RemoveAction => r.path }.toSet
@@ -165,9 +178,10 @@ final class OptimisticTransaction(val log: DeltaLog) {
           checkedThrough += 1
           checkConflict(checkedThrough, ourRemoves, ourDataChangeRemoves, ourDomains)
         }
-        if (ictEnabled && tmpFor != latest) {
+        if (perVersionStamp && tmpFor != latest) {
           if (tmp != null) log.store.delete(tmp)
-          val (t, ict) = prepareIctCommit(operation, latest, ictEnablement)
+          val (t, ict) = prepareStampedCommit(operation, latest,
+            ictEnabled, ictEnablement, rtStamp)
           tmp = t
           lastIct = ict
           tmpFor = latest
@@ -192,37 +206,51 @@ final class OptimisticTransaction(val log: DeltaLog) {
     throw new CommitConflictException(maxAttempts)
   }
 
-  /** Temp commit file for candidate version `latest + 1` under ICT: a
-    * leading commitInfo stamped `inCommitTimestamp = max(now, prev + 1)`
-    * (strict monotonicity per the protocol — clock skew between writers
-    * must not let history run backwards). The ENABLEMENT commit also
-    * stamps its own version/timestamp into the metaData provenance keys,
-    * so readers know where the mtime clock hands over to ICT. */
-  private def prepareIctCommit(operation: Option[CommitInfoAction],
-                               latest: Long, enablement: Boolean): (Path, Long) = {
+  /** Temp commit file for candidate version `latest + 1` carrying the
+    * per-version stamps:
+    *
+    *  - under ICT, a leading commitInfo stamped `inCommitTimestamp =
+    *    max(now, prev + 1)` (strict monotonicity per the protocol — clock
+    *    skew between writers must not let history run backwards), with
+    *    the ENABLEMENT commit recording its own version/timestamp in the
+    *    metaData provenance keys;
+    *  - under row tracking, `defaultRowCommitVersion = latest + 1` on
+    *    every add that does not already carry one (re-adds keep theirs).
+    */
+  private def prepareStampedCommit(operation: Option[CommitInfoAction],
+                                   latest: Long,
+                                   ictEnabled: Boolean, enablement: Boolean,
+                                   rtStamp: Boolean): (Path, Long) = {
     val now = System.currentTimeMillis()
-    val prev = if (latest >= 0) log.inCommitTimestampOf(latest) else None
+    val prev =
+      if (ictEnabled && latest >= 0) log.inCommitTimestampOf(latest) else None
     val ict = math.max(now, prev.map(_ + 1L).getOrElse(now))
-    val info = operation.map(_.info.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]())
-      .getOrElse {
-        val o = ActionCodec.mapper.createObjectNode()
-        o.put("timestamp", now)
-        o
+    val head: Seq[Action] =
+      if (!ictEnabled) operation.toSeq
+      else {
+        val info = operation
+          .map(_.info.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]())
+          .getOrElse {
+            val o = ActionCodec.mapper.createObjectNode()
+            o.put("timestamp", now)
+            o
+          }
+        info.put("inCommitTimestamp", ict)
+        Seq(CommitInfoAction(info))
       }
-    info.put("inCommitTimestamp", ict)
-    val body: Seq[Action] =
-      if (!enablement) actions.toSeq
-      else actions.toSeq.map {
-        case m: MetaDataAction
-            if TableConfig.inCommitTimestampsEnabled(m.configuration) =>
-          m.copy(configuration = m.configuration ++ Map(
-            TableConfig.IctEnablementVersion -> (latest + 1).toString,
-            TableConfig.IctEnablementTimestamp -> ict.toString))
-        case a => a
-      }
+    val body: Seq[Action] = actions.toSeq.map {
+      case m: MetaDataAction
+          if enablement && TableConfig.inCommitTimestampsEnabled(m.configuration) =>
+        m.copy(configuration = m.configuration ++ Map(
+          TableConfig.IctEnablementVersion -> (latest + 1).toString,
+          TableConfig.IctEnablementTimestamp -> ict.toString))
+      case a: AddAction if rtStamp && a.defaultRowCommitVersion.isEmpty =>
+        a.copy(defaultRowCommitVersion = Some(latest + 1))
+      case a => a
+    }
     val tmp = new Path(log.logPath, s"_commit_${UUID.randomUUID()}.json")
     log.store.mkdirs(log.logPath)
-    log.store.write(tmp, ActionCodec.logEntry(CommitInfoAction(info) +: body))
+    log.store.write(tmp, ActionCodec.logEntry(head ++ body))
     (tmp, ict)
   }
 

@@ -39,6 +39,7 @@ object Optimize {
     // the SAME at-rest names — the physical-name staging contract
     // (allowNameMapping), so mapped tables get maintenance too
     ProtocolSupport.assertWritable(snap, allowNameMapping = true)
+    RowTracking.assertNoRewrite(snap, path, "OPTIMIZE")
     val mapped = ColumnMapping.isMapped(snap)
     def phys(c: String): String =
       if (mapped) ColumnMapping.physicalName(snap.schema, c) else c
@@ -142,6 +143,7 @@ object Optimize {
     val snap = log.update()
     if (snap.version < 0) throw new NotATableException(path)
     ProtocolSupport.assertWritable(snap, allowNameMapping = true)
+    RowTracking.assertNoRewrite(snap, path, "Z-ORDER")
     val mapped = ColumnMapping.isMapped(snap)
     def phys(c: String): String =
       if (mapped) ColumnMapping.physicalName(snap.schema, c) else c

@@ -63,7 +63,8 @@ object ProtocolSupport {
       "timestampNtz", "graft.deletionVectors", "deletionVectors",
       "generatedColumns", "domainMetadata", "clustering", "v2Checkpoint",
       "inCommitTimestamp", "identityColumns", "typeWidening",
-      "vacuumProtocolCheck", "variantType", "variantType-preview")
+      "vacuumProtocolCheck", "variantType", "variantType-preview",
+      "rowTracking")
 
   private def config(snap: Snapshot): Map[String, String] =
     snap.metadata.map(_.configuration).getOrElse(Map.empty)
@@ -254,6 +255,9 @@ object ProtocolSupport {
     // variant columns are a SCHEMA-gated feature (reader+writer)
     if (schema.exists(DeltaSchema.hasVariant))
       readerWriterFeatureFence(snapOf(p), "variantType").foreach(np => p = np)
+    // row tracking rides domain metadata (the high-water mark domain)
+    if (TableConfig.rowTrackingEnabled(config))
+      p = writerFeaturesFence(p, Seq("domainMetadata", RowTracking.Feature))
     p
   }
 

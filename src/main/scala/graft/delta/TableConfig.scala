@@ -47,6 +47,10 @@ object TableConfig {
     * (`v2Checkpoint` table feature — see [[Checkpoints.writeV2]]). */
   val CheckpointPolicy = "delta.checkpointPolicy"
 
+  /** `true` ⇒ data files carry row ids (`rowTracking` writer feature; see
+    * [[RowTracking]] for the maintained subset). */
+  val EnableRowTracking = "delta.enableRowTracking"
+
   /** Checkpoint stats shape (delta-spark's knobs): whether checkpoint add
     * rows carry the JSON `stats` string (default true) and the typed
     * `stats_parsed` struct (default true — delta-spark writes it when
@@ -105,6 +109,7 @@ object TableConfig {
       require(t == "classic" || t == "v2",
         s"$CheckpointPolicy must be classic|v2, got '$v'")
     },
+    EnableRowTracking -> parseBoolean(EnableRowTracking) _,
     CheckpointWriteStatsAsJson -> parseBoolean(CheckpointWriteStatsAsJson) _,
     CheckpointWriteStatsAsStruct -> parseBoolean(CheckpointWriteStatsAsStruct) _,
     DataSkippingNumIndexedCols -> { v: String =>
@@ -151,6 +156,9 @@ object TableConfig {
   def checkpointPolicy(config: Map[String, String]): String =
     config.get(CheckpointPolicy).map(_.trim.toLowerCase(java.util.Locale.ROOT))
       .getOrElse("classic")
+
+  def rowTrackingEnabled(config: Map[String, String]): Boolean =
+    config.get(EnableRowTracking).exists(_.trim.equalsIgnoreCase("true"))
 
   def checkpointStatsAsJson(config: Map[String, String]): Boolean =
     !config.get(CheckpointWriteStatsAsJson).exists(_.trim.equalsIgnoreCase("false"))

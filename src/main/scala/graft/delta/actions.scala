@@ -32,7 +32,12 @@ final case class AddAction(
     dataChange: Boolean,
     stats: Option[String] = None,
     tags: Option[Map[String, String]] = None,
-    deletionVector: Option[String] = None)
+    deletionVector: Option[String] = None,
+    // row tracking (`rowTracking` writer feature): this file's rows carry
+    // fresh row ids [baseRowId, baseRowId + numRecords), born at
+    // defaultRowCommitVersion (see [[RowTracking]])
+    baseRowId: Option[Long] = None,
+    defaultRowCommitVersion: Option[Long] = None)
   extends Action
 
 /** A tombstone for a removed file (`rust/src/action.rs:500-522`). */
@@ -158,6 +163,8 @@ object ActionCodec {
         add.stats.foreach(o.put("stats", _))
         add.tags.foreach(t => o.set[ObjectNode]("tags", strMap(t)))
         add.deletionVector.foreach(dv => o.set[JsonNode]("deletionVector", mapper.readTree(dv)))
+        add.baseRowId.foreach(o.put("baseRowId", _))
+        add.defaultRowCommitVersion.foreach(o.put("defaultRowCommitVersion", _))
       case rm: RemoveAction =>
         val o = wrapper.putObject("remove")
         o.put("path", ActionPath.encode(rm.path))
@@ -266,7 +273,9 @@ object ActionCodec {
         stats = optStr(n, "stats"),
         tags = optStrMap(n, "tags"),
         deletionVector = Option(n.get("deletionVector")).filterNot(_.isNull)
-          .map(_.toString)))
+          .map(_.toString),
+        baseRowId = optLong(n, "baseRowId"),
+        defaultRowCommitVersion = optLong(n, "defaultRowCommitVersion")))
       case "remove" => Some(RemoveAction(
         path = ActionPath.decode(reqStr(n, "remove", "path")),
         deletionTimestamp = optLong(n, "deletionTimestamp").getOrElse(0L),

@@ -100,7 +100,13 @@ final class GraftStreamSink(
     }
     evolvedMetadata.foreach(txn.addAction)
     txn.addAction(TxnAction(appId, epochId, Some(now)))
-    txn.addActions(adds)
+    val finalAdds =
+      if (snap.version >= 0 && graft.delta.RowTracking.enabled(snap)) {
+        val (stamped, bump) = graft.delta.RowTracking.assignFreshRowIds(snap, adds)
+        bump.foreach(txn.addAction)
+        stamped
+      } else adds
+    txn.addActions(finalAdds)
     if (genIdentity.nonEmpty) {
       val baseMd = evolvedMetadata.orElse(snap.metadata).getOrElse(
         throw new IllegalStateException("identity table without metadata"))
