@@ -315,9 +315,14 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
   /** Write one metadata domain. The first domain write lifts the protocol
     * to writer 7 with the `domainMetadata` feature declared (legacy-implied
     * features carried along). Concurrent writes to the SAME domain
-    * conflict; different domains commute. */
+    * conflict; different domains commute. `delta.*` domains are
+    * SYSTEM-controlled (deleting `delta.rowTracking` would reset the row-id
+    * mark and collide identities — found by the modern-tier fuzz) and
+    * refuse here; the dedicated APIs (clusterBy, enableRowTracking) own
+    * them. */
   def setDomainMetadata(domain: String, configuration: String): Long = {
     require(domain.nonEmpty, "domain name must be non-empty")
+    assertUserDomain(domain)
     domainCommit(domain, DomainMetadataAction(domain, configuration),
       "SET DOMAIN METADATA")
   }
@@ -325,6 +330,17 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
   /** Delete one metadata domain (loud on an absent domain — a silent no-op
     * would mask a caller racing its own removal). */
   def removeDomainMetadata(domain: String): Long = {
+    assertUserDomain(domain)
+    removeDomainMetadataInternal(domain)
+  }
+
+  private def assertUserDomain(domain: String): Unit =
+    require(!domain.toLowerCase(java.util.Locale.ROOT).startsWith("delta."),
+      s"metadata domain '$domain' is system-controlled (delta.*): use the " +
+      "dedicated API (clusterBy for delta.clustering, " +
+      "delta.enableRowTracking for delta.rowTracking)")
+
+  private[delta] def removeDomainMetadataInternal(domain: String): Long = {
     val snap = log.update()
     require(snap.domainMetadata.contains(domain),
       s"table ${log.tablePath} has no metadata domain '$domain'")

@@ -407,7 +407,7 @@ class GraftCatalog extends DelegatingCatalogExtension
         val dt = DeltaTable.forPath(spark, location)
         if (cols.nonEmpty) dt.clusterBy(cols)
         else if (dt.domainMetadata.contains(dt.ClusteringDomain))
-          dt.removeDomainMetadata(dt.ClusteringDomain)
+          dt.removeDomainMetadataInternal(dt.ClusteringDomain)
       case _ => ()
     }
     val rest = changes.filterNot(c => isSchemaChange(c) &&

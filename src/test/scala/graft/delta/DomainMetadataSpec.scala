@@ -115,16 +115,23 @@ class DomainMetadataSpec extends AnyFunSuite with SparkTestBase {
     assert(DeltaTable.forPath(spark, dir).domainMetadata == Map("stay" -> "s1"))
   }
 
-  test("CLONE copies live domains and the source protocol") {
+  test("CLONE copies live domains (incl. system ones via clusterBy) and the source protocol") {
     val (src, t) = freshTable("dm-clone-src")
-    t.setDomainMetadata("delta.clustering", """{"clusteringColumns":[["id"]]}""")
+    t.clusterBy(Seq("id")) // system domain through its dedicated API
+    DeltaTable.forPath(spark, src).setDomainMetadata("app.meta", "m1")
     val dst = tempTable("dm-clone-dst").toString
     Clone.shallow(spark, src, dst)
     val cloned = DeltaLog.forPath(spark, dst).update()
-    assert(cloned.domainMetadata ==
-      Map("delta.clustering" -> """{"clusteringColumns":[["id"]]}"""))
+    assert(cloned.domainMetadata == Map(
+      "delta.clustering" -> """{"clusteringColumns":[["id"]]}""",
+      "app.meta" -> "m1"))
     assert(cloned.minWriterVersion == 7)
     assert(cloned.writerFeatures.getOrElse(Set.empty).contains("domainMetadata"))
+    // the user API refuses system domains — dedicated APIs own them
+    intercept[IllegalArgumentException](
+      DeltaTable.forPath(spark, dst).setDomainMetadata("delta.rowTracking", "{}"))
+    intercept[IllegalArgumentException](
+      DeltaTable.forPath(spark, dst).removeDomainMetadata("delta.clustering"))
   }
 
   test("a domain-only commit is transparent to append feeds") {

@@ -45,14 +45,18 @@ class ModernTierFuzzSpec extends AnyFunSuite with SparkTestBase {
       live.update()
       var ictOn = false
       var v2On = false
+      var rtOn = false
 
       (1 to OpsPerSeed).foreach { step =>
-        val op = rnd.nextInt(7)
+        val op = rnd.nextInt(8)
         op match {
           case 0 => // append
             GraftWriter.write(freshRows(1 + rnd.nextInt(4)).toDF("id", "v"),
               dir, SaveMode.Append)
-          case 1 => // predicate delete (CoW)
+          case 1 => // predicate delete: CoW normally, merge-on-read under
+            // row tracking (CoW refuses there by design)
+            if (rtOn) DeltaTable.forPath(spark, dir).setProperties(
+              Map(TableConfig.EnableDeletionVectors -> "true"))
             val m = 2 + rnd.nextInt(3)
             val r = rnd.nextInt(m)
             Dml.delete(spark, dir, col("id") % m === r)
@@ -60,8 +64,12 @@ class ModernTierFuzzSpec extends AnyFunSuite with SparkTestBase {
           case 2 => // domain write (random domain of a small pool)
             val d = s"fuzz.d${rnd.nextInt(3)}"
             DeltaTable.forPath(spark, dir).setDomainMetadata(d, s"step$step")
-          case 3 => // domain remove, when one exists
-            val doms = DeltaLog.forPath(spark, dir).update().domainMetadata.keys.toSeq
+          case 3 => // USER domain remove, when one exists (delta.* system
+            // domains refuse removal — the fence this fuzz forced into
+            // existence when a random removal of delta.rowTracking reset
+            // the row-id mark)
+            val doms = DeltaLog.forPath(spark, dir).update()
+              .domainMetadata.keys.filter(_.startsWith("fuzz.")).toSeq
             if (doms.nonEmpty)
               DeltaTable.forPath(spark, dir)
                 .removeDomainMetadata(doms(rnd.nextInt(doms.size)))
@@ -78,6 +86,13 @@ class ModernTierFuzzSpec extends AnyFunSuite with SparkTestBase {
               SaveMode.Append)
           case 6 => // explicit checkpoint in the CURRENT policy
             DeltaLog.forPath(spark, dir).checkpoint()
+          case 7 => // flip on row tracking (one-way)
+            if (!rtOn) {
+              DeltaTable.forPath(spark, dir).setProperties(
+                Map(TableConfig.EnableRowTracking -> "true"))
+              rtOn = true
+            } else GraftWriter.write(freshRows(1).toDF("id", "v"), dir,
+              SaveMode.Append)
         }
 
         // cold ≡ incremental, every step (both runs .crc validation)
@@ -103,6 +118,22 @@ class ModernTierFuzzSpec extends AnyFunSuite with SparkTestBase {
         .select("id", "v").as[(Long, String)].collect().toMap
       assert(got == model, s"seed $seed content diverged: " +
         s"missing=${model.keySet -- got.keySet} extra=${got.keySet -- model.keySet}")
+      // row tracking (once on): every post-enablement data-changing add
+      // carries disjoint id ranges under the recorded high-water mark
+      if (rtOn) {
+        val s = DeltaLog.forPath(spark, dir).update()
+        val ranges = s.files.filter(_.baseRowId.isDefined).flatMap { a =>
+          a.stats.flatMap(ActionCodec.statsFromJson).map(st =>
+            (a.baseRowId.get, a.baseRowId.get + st.numRecords))
+        }.sorted
+        ranges.sliding(2).foreach {
+          case Seq((_, e1), (s2, _)) =>
+            assert(e1 <= s2, s"seed $seed row-id range collision in $ranges")
+          case _ => ()
+        }
+        if (ranges.nonEmpty)
+          assert(RowTracking.highWaterMark(s) >= ranges.map(_._2).max - 1)
+      }
       // and if v2 ever turned on, the newest checkpoint really is v2
       if (v2On) {
         val cp = DeltaLog.forPath(spark, dir)
