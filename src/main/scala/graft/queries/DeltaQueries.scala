@@ -428,6 +428,40 @@ object DeltaQueries {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     },
 
+    // Row-tracking lifecycle (round 9): enable on a populated table,
+    // append twice (disjoint id ranges allocated from the high-water
+    // mark, defaultRowCommitVersion at the landing versions), DV DELETE
+    // (identities preserved — bytes unchanged), cold-load and serve. The
+    // require()s pin the row-id invariants; the oracle pins every row.
+    "q67_row_tracking" -> { (s, dir) =>
+      val t = freshDir("rowtrack")
+      GraftWriter.write(li(s, dir).filter(col("l_orderkey") < 800), t)
+      DeltaTable.forPath(s, t).setProperties(Map(
+        TableConfig.EnableRowTracking -> "true",
+        TableConfig.EnableDeletionVectors -> "true"))
+      GraftWriter.write(li(s, dir)
+        .filter(col("l_orderkey") >= 800 && col("l_orderkey") < 1100), t,
+        SaveMode.Append)
+      GraftWriter.write(li(s, dir)
+        .filter(col("l_orderkey") >= 1100 && col("l_orderkey") < 1300), t,
+        SaveMode.Append)
+      Dml.delete(s, t, col("l_quantity") > 48) // merge-on-read: ids keep
+      val snap = DeltaLog.forPath(s, t).update()
+      val ranges = snap.files.filter(_.baseRowId.isDefined).flatMap(a =>
+        a.stats.flatMap(ActionCodec.statsFromJson).map(st =>
+          (a.baseRowId.get, a.baseRowId.get + st.numRecords))).sorted
+      require(ranges.nonEmpty, "no row-id ranges allocated")
+      ranges.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) =>
+          require(e1 <= s2, s"row-id range collision: $ranges")
+        case _ => ()
+      }
+      require(RowTracking.highWaterMark(snap) == ranges.map(_._2).max - 1,
+        "high-water mark does not cover the top allocation")
+      DeltaTable.forPath(s, t).toDF
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    },
+
     // stats-based file skipping (D4): two disjoint-range commits; the
     // predicate-matching read must prune to one file set via Add.stats
     // before Spark lists anything.
@@ -497,6 +531,10 @@ object DeltaQueries {
     "q66_modern_protocol" ->
       s"""SELECT $cols FROM lineitem
          |WHERE l_orderkey < 1500 AND NOT (l_quantity > 45)
+         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
+    "q67_row_tracking" ->
+      s"""SELECT $cols FROM lineitem
+         |WHERE l_orderkey < 1300 AND NOT (l_quantity > 48)
          |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
     "q65_column_mapping" ->
       """SELECT l_orderkey, l_linenumber,
