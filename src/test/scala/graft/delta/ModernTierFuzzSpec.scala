@@ -24,7 +24,7 @@ class ModernTierFuzzSpec extends AnyFunSuite with SparkTestBase {
   import LogFixtures.tempTable
   import spark.implicits._
 
-  private val Seeds = 12
+  private val Seeds = 20
   private val OpsPerSeed = 8
 
   test(s"$Seeds random modern-tier op sequences: cold ≡ incremental ≡ model") {
