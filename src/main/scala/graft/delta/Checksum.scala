@@ -40,8 +40,11 @@ object Checksum {
       o.put("numFiles", snap.files.size.toLong)
       o.put("numMetadata", 1L)
       o.put("numProtocol", 1L)
-      log.inCommitTimestampOf(snap.version)
-        .foreach(o.put("inCommitTimestampOpt", _))
+      // gate on the config: for non-ICT tables the lookup would re-read
+      // the just-written commit file on EVERY commit only to find nothing
+      if (TableConfig.inCommitTimestampsEnabled(TableConfig.of(snap)))
+        log.inCommitTimestampOf(snap.version)
+          .foreach(o.put("inCommitTimestampOpt", _))
       // metadata + protocol as their action bodies (delta-spark's shape)
       snap.metadata.foreach { md =>
         o.set[JsonNode]("metadata",

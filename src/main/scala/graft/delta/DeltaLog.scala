@@ -306,8 +306,27 @@ final class DeltaLog private (
     * before the first commit clamps to the earliest version (the reference's
     * `if version < 0 { version = 0 }`, `rust/src/delta.rs:1069-1071`). */
   def versionForTimestamp(tsMillis: Long): Long = {
-    val versions = listCommitVersions().toIndexedSeq
-    if (versions.isEmpty) throw new NotATableException(tablePath.toString)
+    val all = listCommitVersions().toIndexedSeq
+    if (all.isEmpty) throw new NotATableException(tablePath.toString)
+    // Under ICT the timestamp axis is PIECEWISE monotonic: mtimes govern
+    // pre-enablement versions, ICT the rest — and a log copy/migration can
+    // rewrite every mtime to "now", putting the mtime segment AFTER the
+    // ICT segment. Search each monotonic segment on its own axis: a target
+    // at/after the enablement timestamp lives in the ICT segment.
+    val cfg = TableConfig.of(if (snapshot.version < 0) update() else snapshot)
+    val versions =
+      if (!TableConfig.inCommitTimestampsEnabled(cfg)) all
+      else {
+        val enableV = TableConfig.ictEnablementVersion(cfg)
+        val enableTs = cfg.get(TableConfig.IctEnablementTimestamp)
+          .map(_.trim.toLong)
+          .orElse(all.find(_ >= enableV).flatMap(inCommitTimestampOf))
+        if (enableTs.exists(tsMillis >= _)) all.filter(_ >= enableV)
+        else all.filter(_ < enableV) match {
+          case pre if pre.nonEmpty => pre
+          case _ => all.filter(_ >= enableV) // whole history is ICT
+        }
+      }
     var lo = 0
     var hi = versions.length - 1
     var ans = -1L
@@ -392,14 +411,13 @@ final class DeltaLog private (
   def cleanUpExpiredLogs(checkpointVersion: Long, retentionMillis: Long): Seq[String] = {
     val cutoff = System.currentTimeMillis() - retentionMillis
     val deleted = Seq.newBuilder[String]
-    var sawV2 = false
     store.list(logPath).foreach { st =>
       val name = st.getPath.getName
       val versionOf: Option[Long] = name match {
         case CommitFileRe(v)           => Some(v.toLong)
         case CheckpointFileRe(v)       => Some(v.toLong)
         case CheckpointPartRe(v, _, _) => Some(v.toLong)
-        case V2CheckpointRe(v, _, _)   => sawV2 = true; Some(v.toLong)
+        case V2CheckpointRe(v, _, _)   => Some(v.toLong)
         case CrcFileRe(v)              => Some(v.toLong)
         case _                         => None
       }
@@ -414,9 +432,12 @@ final class DeltaLog private (
     // orphaned (nothing else names them). Reclaim `_sidecars/` files past
     // the cutoff that NO surviving v2 checkpoint references — the
     // reference set is read from the few surviving manifests, never
-    // guessed from names.
+    // guessed from names. Keyed on the DIRECTORY existing, not on a v2
+    // manifest being listed: once the last manifest ages out (or the
+    // policy flips back to classic), gating on sawV2 would leak the
+    // orphans forever.
     val scDir = Checkpoints.sidecarDir(this)
-    if (sawV2 && store.exists(scDir)) {
+    if (store.exists(scDir)) {
       val referenced: Set[String] = store.list(logPath)
         .map(_.getPath.getName)
         .filter(n => V2CheckpointRe.findFirstIn(n).isDefined)

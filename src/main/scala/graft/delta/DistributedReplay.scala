@@ -23,6 +23,15 @@ import org.apache.spark.sql.types._
   */
 object DistributedReplay {
 
+  /** Standard DV descriptor shape — shared by commit JSON (object) and
+    * checkpoint parquet (struct); one schema reads both. */
+  private val dvSchema = StructType(Seq(
+    StructField("storageType", StringType),
+    StructField("pathOrInlineDv", StringType),
+    StructField("offset", IntegerType),
+    StructField("sizeInBytes", IntegerType),
+    StructField("cardinality", LongType)))
+
   private val addSchema = StructType(Seq(
     StructField("path", StringType),
     StructField("partitionValues", MapType(StringType, StringType)),
@@ -31,6 +40,7 @@ object DistributedReplay {
     StructField("dataChange", BooleanType),
     StructField("stats", StringType),
     StructField("tags", MapType(StringType, StringType)),
+    StructField("deletionVector", dvSchema),
     StructField("baseRowId", LongType),
     StructField("defaultRowCommitVersion", LongType)))
 
@@ -71,6 +81,7 @@ object DistributedReplay {
           col("add.dataChange").as("dataChange"),
           col("add.stats").as("stats"),
           col("add.tags").as("tags"),
+          col("add.deletionVector").as("deletionVector"),
           col("add.baseRowId").as("baseRowId"),
           col("add.defaultRowCommitVersion").as("defaultRowCommitVersion"),
           col("add.path").isNotNull.as("isAdd"))
@@ -100,6 +111,7 @@ object DistributedReplay {
           col("add.dataChange").as("dataChange"),
           col("add.stats").as("stats"),
           col("add.tags").as("tags"),
+          col("add.deletionVector").as("deletionVector"),
           col("add.baseRowId").as("baseRowId"),
           col("add.defaultRowCommitVersion").as("defaultRowCommitVersion"),
           lit(true).as("isAdd")))
@@ -120,7 +132,8 @@ object DistributedReplay {
       .agg(max_by(
         struct(col("isAdd"), col("partitionValues"), col("size"),
           col("modificationTime"), col("dataChange"), col("stats"),
-          col("tags"), col("baseRowId"), col("defaultRowCommitVersion")),
+          col("tags"), col("deletionVector"),
+          col("baseRowId"), col("defaultRowCommitVersion")),
         col("ord")).as("last"))
       .filter(col("last.isAdd"))
       .select(col("path"), col("last.partitionValues").as("partitionValues"),
@@ -128,6 +141,7 @@ object DistributedReplay {
         col("last.modificationTime").as("modificationTime"),
         col("last.dataChange").as("dataChange"), col("last.stats").as("stats"),
         col("last.tags").as("tags"),
+        col("last.deletionVector").as("deletionVector"),
         col("last.baseRowId").as("baseRowId"),
         col("last.defaultRowCommitVersion").as("defaultRowCommitVersion"))
   }
@@ -184,6 +198,18 @@ object DistributedReplay {
         stats = Option(r.getAs[String]("stats")),
         tags = Option(r.getAs[scala.collection.Map[String, String]]("tags"))
           .map(_.toMap).filter(_.nonEmpty),
+        // standard DV descriptor (struct → the JSON the scan path parses)
+        // — dropping it here would RESURRECT deleted rows on snapshots
+        // restored through the distributed path
+        deletionVector = Option(r.getAs[org.apache.spark.sql.Row]("deletionVector"))
+          .map { d =>
+            StandardDv.Descriptor(
+              storageType = d.getAs[String]("storageType"),
+              pathOrInlineDv = d.getAs[String]("pathOrInlineDv"),
+              offset = Option(d.getAs[java.lang.Integer]("offset")).map(_.intValue),
+              sizeInBytes = d.getAs[Number]("sizeInBytes").intValue(),
+              cardinality = d.getAs[Number]("cardinality").longValue()).json
+          },
         baseRowId = Option(r.getAs[java.lang.Long]("baseRowId")).map(_.longValue),
         defaultRowCommitVersion = Option(
           r.getAs[java.lang.Long]("defaultRowCommitVersion")).map(_.longValue))

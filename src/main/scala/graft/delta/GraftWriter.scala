@@ -160,10 +160,23 @@ object GraftWriter {
     lazy val mapSchema = evolvedMetadata
       .map(em => DeltaSchema.fromJson(em.schemaString)).getOrElse(snap.schema)
     // stats budget from the config this commit operates under (a CREATE's
-    // declared config is not in the log yet)
-    val statsIdx = TableConfig.dataSkippingNumIndexedCols(
-      if (!exists) declaredConfig
-      else evolvedMetadata.map(_.configuration).getOrElse(TableConfig.of(snap)))
+    // declared config is not in the log yet). Generated identity columns
+    // must stay INSIDE the budget — their high-water mark advances from
+    // footer stats, and a budget that excludes them would freeze the mark
+    // (IdentityColumns.highWaterMarkMetadata fails loudly as the backstop).
+    val statsIdx = {
+      val base = TableConfig.dataSkippingNumIndexedCols(
+        if (!exists) declaredConfig
+        else evolvedMetadata.map(_.configuration).getOrElse(TableConfig.of(snap)))
+      if (base < 0 || genIdentity.isEmpty) base
+      else {
+        // staged-file column order mirrors the frame's (the physical
+        // rename preserves positions), so logical positions suffice
+        val fileCols = enforced.columns.filterNot(partCols.contains)
+        val needed = genIdentity.map(i => fileCols.indexOf(i.name) + 1).max
+        math.max(base, needed)
+      }
+    }
     val adds =
       if (mapped)
         // id-mapped tables: staged files must carry parquet footer field
@@ -244,9 +257,13 @@ object GraftWriter {
     txn.addActions(cdcActions)
     // row tracking: fresh files get id ranges from the high-water mark,
     // which bumps in this same commit (defaultRowCommitVersion stamps at
-    // commit time — the landing version is unknown here)
+    // commit time — the landing version is unknown here). A CREATE that
+    // declares delta.enableRowTracking allocates from the virgin mark for
+    // its version-0 files too — version 0 is not exempt from the contract.
+    val rtActive = (exists && RowTracking.enabled(snap)) ||
+      (!exists && TableConfig.rowTrackingEnabled(declaredConfig))
     val finalAdds =
-      if (exists && RowTracking.enabled(snap)) {
+      if (rtActive) {
         val (stamped, bump) = RowTracking.assignFreshRowIds(snap, adds)
         bump.foreach(txn.addAction)
         stamped

@@ -104,6 +104,30 @@ class InCommitTimestampSpec extends AnyFunSuite with SparkTestBase {
     finally spark.conf.unset(GraftHistoryFunction.ThresholdKey)
   }
 
+  test("a log copy that rewrites pre-ICT mtimes to NOW cannot break timestamp travel") {
+    // r9 review: the binary search assumed one monotonic timestamp axis,
+    // but a migration rewrites every mtime — putting the mtime segment
+    // AFTER the ICT segment. Each segment now searches on its own axis.
+    val dirP = tempTable("ict-logcopy")
+    val dir = dirP.toString
+    GraftWriter.write(Seq((0L, "a")).toDF("id", "v"), dir)              // v0 (mtime era)
+    GraftWriter.write(Seq((1L, "b")).toDF("id", "v"), dir, SaveMode.Append) // v1
+    enableIct(dir)                                                      // v2
+    GraftWriter.write(Seq((2L, "c")).toDF("id", "v"), dir, SaveMode.Append) // v3
+    val log = DeltaLog.forPath(spark, dir)
+    log.update()
+    val ict2 = log.inCommitTimestampOf(2).get
+    val ict3 = log.inCommitTimestampOf(3).get
+    // "copy the table": every pre-ICT mtime becomes far in the future
+    Seq(0L, 1L).foreach(v =>
+      LogFixtures.setCommitTime(dirP, v, System.currentTimeMillis() + 3600_000L))
+    val fresh = DeltaLog.forPath(spark, dir)
+    fresh.update()
+    assert(fresh.versionForTimestamp(ict2) == 2)
+    assert(fresh.versionForTimestamp(ict3) == 3)
+    assert(fresh.versionForTimestamp(Long.MaxValue) == 3)
+  }
+
   test("pre-enablement versions keep resolving by mtime") {
     val dirP = tempTable("ict-handover")
     val dir = dirP.toString

@@ -114,6 +114,22 @@ class RowTrackingSpec extends AnyFunSuite with SparkTestBase {
         .whenMatchedUpdate(Map("v" -> col("s.v"))).execute())
   }
 
+  test("a table BORN with delta.enableRowTracking allocates ids for its version-0 files") {
+    // r9 review: the create path declared the feature but skipped the
+    // allocation — version 0 is not exempt from the contract
+    val dir = tempTable("rt-born").toString
+    GraftWriter.write((0 until 6).map(i => (i.toLong, "a")).toDF("id", "v")
+      .repartition(2), dir,
+      configuration = Some(Map(TableConfig.EnableRowTracking -> "true")))
+    val s = snap(dir)
+    assert(s.writerFeatures.getOrElse(Set.empty).contains("rowTracking"))
+    val v0 = s.files
+    assert(v0.nonEmpty && v0.forall(_.baseRowId.isDefined),
+      "version-0 files must carry base row ids")
+    assert(v0.forall(_.defaultRowCommitVersion.contains(0L)))
+    assert(RowTracking.highWaterMark(s) == 5L)
+  }
+
   test("racing appends never collide id ranges (domain conflict aborts the loser)") {
     val dir = tempTable("rt-race").toString
     GraftWriter.write(Seq((0L, "a")).toDF("id", "v"), dir)

@@ -86,6 +86,25 @@ class StandardDvTableSpec extends AnyFunSuite with SparkTestBase {
     assert(dt.snapshot.files.map(DeletionVectors.cardinality).sum == 3)
   }
 
+  test("DISTRIBUTED restore preserves standard DV descriptors (no resurrected rows)") {
+    // the r9 review found the distributed add schema silently dropped
+    // add.deletionVector — a snapshot restored through that path served
+    // DV-deleted rows again. Drive both the checkpointed and pure-commit
+    // shapes through the executor-side replay.
+    val (dir, _) = buildForeignDvTable()
+    DeltaLog.forPath(spark, dir.toString).checkpoint()
+    spark.conf.set(DeltaLog.DistributedThresholdKey, "1")
+    try {
+      val cold = DeltaLog.forPath(spark, dir.toString).update()
+      assert(cold.files.count(_.deletionVector.isDefined) == 2,
+        "distributed restore must carry the descriptors")
+      val ids = DeltaTable.forPath(spark, dir.toString)
+        .toDF.select("id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == ((0L until 20L).toSet -- Set(1L, 3L, 10L)).toSeq.sorted,
+        "DV-deleted rows resurrected through the distributed restore")
+    } finally spark.conf.unset(DeltaLog.DistributedThresholdKey)
+  }
+
   test("time travel reads the pre-DV version complete") {
     val (dir, _) = buildForeignDvTable()
     val v0 = DeltaTable.forPath(spark, dir.toString, 0)
