@@ -143,29 +143,34 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     * trips. */
   def vacuum(retentionHours: Double, dryRun: Boolean,
              parallelDeleteThreshold: Int): Seq[String] = {
+    // vacuum judges liveness against the LATEST version, never a pinned
+    // or stale snapshot: a concurrent RESTORE can re-add a long-tombstoned
+    // file, and a stale view would physically delete a file the current
+    // table references (r9 review).
+    val snap = log.update()
     // the vacuumProtocolCheck feature's whole contract: vacuum must fence
     // on the table's protocol before touching files (so future features
     // can change what is reclaimable without legacy vacuums corrupting
     // them). The scan fence is exactly that check — graft has always run
     // it structurally; the feature declares it.
-    ProtocolSupport.assertReadable(snapshot)
+    ProtocolSupport.assertReadable(snap)
     val floorHours =
-      TableConfig.deletedFileRetentionMillis(TableConfig.of(snapshot)) / 3600e3
+      TableConfig.deletedFileRetentionMillis(TableConfig.of(snap)) / 3600e3
     val effectiveHours = if (retentionHours.isNaN) floorHours else retentionHours
     if (effectiveHours < floorHours)
       throw new IllegalArgumentException(
         s"invalid vacuum retention period $effectiveHours h: minimum is " +
         s"$floorHours h (${TableConfig.DeletedFileRetention})")
     val cutoff = System.currentTimeMillis() - (effectiveHours * 3600 * 1000).toLong
-    val expired = snapshot.tombstones
+    val expired = snap.tombstones
       .filter(_.deletionTimestamp < cutoff).map(_.path).toSet
-    val active = snapshot.files.map(_.path).toSet
+    val active = snap.files.map(_.path).toSet
 
     // deletion-vector directories: hidden from the file walk by the
     // underscore rule, reclaimed through their own tombstones (written by
     // the superseding commit, DeletionVectors.supersededDirTombstones).
     // Guarded against any live Add still pointing at the dir.
-    val liveDvDirs = snapshot.files.flatMap(DeletionVectors.dvPath).toSet
+    val liveDvDirs = snap.files.flatMap(DeletionVectors.dvPath).toSet
     val dvDirPrefix = DeletionVectors.Dir + "/"
     val expiredDvDirs = expired
       .filter(p => p.startsWith(dvDirPrefix) && !liveDvDirs.contains(p))
@@ -183,8 +188,12 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     // underscore rule and may be shared by several Adds (one packed file
     // per DML commit); any live descriptor reference shields the file even
     // when another writer tombstoned its own reference to it
-    val liveStdDvFiles = snapshot.files
-      .flatMap(StandardDv.descriptor).filter(_.storageType == "u")
+    // "u" resolves table-relative; an absolute "p" descriptor can ALSO
+    // land inside this table's directory (foreign self-references) — both
+    // shield their file (r9 review)
+    val liveStdDvFiles = snap.files
+      .flatMap(StandardDv.descriptor)
+      .filter(d => d.storageType == "u" || d.storageType == "p")
       .map(_.absolutePath(log.tablePath).toUri.getPath
         .stripPrefix(base).stripPrefix("/"))
       .toSet
@@ -289,6 +298,11 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
   /** Remove table properties by key (no-op keys ignored). */
   def unsetProperties(keys: Seq[String]): Long = {
     val snap = log.update()
+    if (snap.version < 0) throw new NotATableException(log.tablePath.toString)
+    // same write-protocol fence as every other commit path — an unset must
+    // not be a side door into tables whose writer features graft does not
+    // maintain (r9 review)
+    ProtocolSupport.assertWritable(snap, allowNameMapping = true)
     if (ColumnMapping.isMapped(snap) &&
         keys.exists(k => k == ColumnMapping.ModeKey ||
           k == ColumnMappingDdl.MaxColumnIdKey))
@@ -340,18 +354,21 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
       "dedicated API (clusterBy for delta.clustering, " +
       "delta.enableRowTracking for delta.rowTracking)")
 
-  private[delta] def removeDomainMetadataInternal(domain: String): Long = {
-    val snap = log.update()
-    require(snap.domainMetadata.contains(domain),
-      s"table ${log.tablePath} has no metadata domain '$domain'")
+  private[delta] def removeDomainMetadataInternal(domain: String): Long =
     domainCommit(domain, DomainMetadataAction(domain, "", removed = true),
-      "REMOVE DOMAIN METADATA")
-  }
+      "REMOVE DOMAIN METADATA",
+      precheck = s => require(s.domainMetadata.contains(domain),
+        s"table ${log.tablePath} has no metadata domain '$domain'"))
 
   private def domainCommit(domain: String, action: DomainMetadataAction,
-                           operation: String): Long = {
+                           operation: String,
+                           precheck: Snapshot => Unit = _ => ()): Long = {
     val snap = log.update()
     if (snap.version < 0) throw new NotATableException(log.tablePath.toString)
+    // the precheck runs against THIS refresh (one refresh, not two): a
+    // removal's existence guarantee must hold on the snapshot the commit
+    // is actually based on, or two racing removals both pass (r9 review)
+    precheck(snap)
     // domain commits stage no data files — mapped tables are safe
     ProtocolSupport.assertWritable(snap, allowNameMapping = true)
     val txn = log.startTransaction()

@@ -57,11 +57,18 @@ object Restore {
     // (either may have been vacuumed)
     val probePaths = toAdd.map(_.path) ++
       toAdd.flatMap(DeletionVectors.dvPath).distinct ++
-      toAdd.flatMap(StandardDv.descriptor).filter(_.storageType == "u")
+      toAdd.flatMap(StandardDv.descriptor)
+        .filter(d => d.storageType == "u" || d.storageType == "p")
         .map { d =>
-          val abs = d.absolutePath(log.tablePath).toUri.getPath
-          abs.stripPrefix(log.tablePath.toUri.getPath.stripSuffix("/"))
-            .stripPrefix("/")
+          // "u" resolves table-relative; "p" is an absolute URI that
+          // new Path(tableRoot, child) passes through untouched — both
+          // must still exist or the restored scan dies at read time
+          if (d.storageType == "p") d.absolutePath(log.tablePath).toString
+          else {
+            val abs = d.absolutePath(log.tablePath).toUri.getPath
+            abs.stripPrefix(log.tablePath.toUri.getPath.stripSuffix("/"))
+              .stripPrefix("/")
+          }
         }.distinct
     val missing = GraftWriter.inDriverPool(probePaths)(p =>
       if (fs.exists(new Path(log.tablePath, p))) None else Some(p)).flatten
@@ -81,17 +88,28 @@ object Restore {
           if cur.schemaString != tgt.schemaString ||
              cur.partitionColumns != tgt.partitionColumns ||
              cur.configuration != tgt.configuration =>
-        txn.addAction(tgt)
+        // identity high-water marks live in the schemaString's field
+        // metadata and MUST NOT rewind: values issued after the restore
+        // point stay reachable (time travel, restore-forward), so a
+        // rewound mark would re-issue them. Keep the FURTHEST mark per
+        // column (step-direction aware).
+        txn.addAction(tgt.copy(schemaString =
+          mergedIdentityMarks(cur.schemaString, tgt.schemaString)))
       case _ => ()
     }
     // domain metadata restores with the rest of the state: re-commit domains
-    // the target had (changed or since-removed), tombstone ones added since
+    // the target had (changed or since-removed), tombstone ones added since.
+    // delta.rowTracking is CARVED OUT — its high-water mark is monotonic
+    // table history, not restorable state: rewinding or removing it would
+    // re-issue row ids already assigned to reachable versions.
     target.domainMetadata.foreach { case (d, cfg) =>
-      if (!current.domainMetadata.get(d).contains(cfg))
+      if (d != RowTracking.Domain &&
+          !current.domainMetadata.get(d).contains(cfg))
         txn.addAction(DomainMetadataAction(d, cfg))
     }
     current.domainMetadata.keys
       .filterNot(target.domainMetadata.contains)
+      .filterNot(_ == RowTracking.Domain)
       .foreach(d => txn.addAction(DomainMetadataAction(d, "", removed = true)))
     toAdd.foreach(a => txn.addAction(a.copy(dataChange = true)))
     toRemove.foreach(f => txn.addAction(RemoveAction(
@@ -126,6 +144,34 @@ object Restore {
       }
     log.maybeCheckpoint(v)
     RestoreMetrics(toAdd.size, toRemove.size, v)
+  }
+
+  /** The target schemaString with each identity column's high-water mark
+    * advanced to the FURTHEST of (current, target) — marks only ever
+    * advance (see [[IdentityColumns]]). */
+  private def mergedIdentityMarks(currentSchema: String,
+                                  targetSchema: String): String = {
+    val curMarks = IdentityColumns.of(DeltaSchema.fromJson(currentSchema))
+      .flatMap(i => i.highWaterMark.map(i.name -> (i.step, _))).toMap
+    if (curMarks.isEmpty) return targetSchema
+    val tgt = DeltaSchema.fromJson(targetSchema)
+    val merged = org.apache.spark.sql.types.StructType(tgt.fields.map { f =>
+      curMarks.get(f.name) match {
+        case Some((step, curMark)) =>
+          val tgtMark = IdentityColumns.of(
+            org.apache.spark.sql.types.StructType(Seq(f)))
+            .headOption.flatMap(_.highWaterMark)
+          val keep = tgtMark match {
+            case Some(t) => if (step > 0) math.max(t, curMark) else math.min(t, curMark)
+            case None => curMark
+          }
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong(IdentityColumns.HighWaterMarkKey, keep).build())
+        case None => f
+      }
+    })
+    DeltaSchema.toJson(merged)
   }
 
   /** Change capture for a restore commit (only when

@@ -68,8 +68,12 @@ object TableStatistics {
     val numRecords = if (complete) Some(parsed.map(_.numRecords).sum - dvCards) else None
     if (dvCards > 0) complete = false
 
+    // exact numeric comparison via decimalValue: asDouble collapses int64
+    // values past 2^53 (…992 vs …993 compare equal) and the stats-only
+    // aggregate rewrite would then serve a WRONG exact MIN/MAX (r9 review)
     def isLess(a: JsonNode, b: JsonNode): Option[Boolean] =
-      if (a.isNumber && b.isNumber) Some(a.asDouble < b.asDouble)
+      if (a.isNumber && b.isNumber)
+        Some(a.decimalValue.compareTo(b.decimalValue) < 0)
       else if (a.isTextual && b.isTextual) Some(a.asText < b.asText)
       else None
     def fold(maps: Seq[Map[String, JsonNode]], keepLeft: (JsonNode, JsonNode) => Option[Boolean])
@@ -79,13 +83,15 @@ object TableStatistics {
         val keys = maps.map(_.keySet).reduce(_ intersect _)
         keys.flatMap { k =>
           val vs = maps.map(_(k))
-          vs.reduceLeft[JsonNode] { (best, v) =>
-            keepLeft(best, v) match {
-              case Some(true) => best
-              case Some(false) => v
-              case None => return Map.empty // incomparable types: give up column-wide
-            }
-          } match { case best => Some(k -> best) }
+          // incomparable types abandon THIS column only, not the whole
+          // fold (the non-local return here used to nuke every column)
+          vs.tail.foldLeft(Option(vs.head)) { (bestOpt, v) =>
+            bestOpt.flatMap(best => keepLeft(best, v) match {
+              case Some(true) => Some(best)
+              case Some(false) => Some(v)
+              case None => None
+            })
+          }.map(k -> _)
         }.toMap
       }
 
