@@ -49,10 +49,12 @@ object Dml {
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
     ProtocolSupport.assertWritable(snap, allowNameMapping = true)
-    // an UPDATE writes explicit values, which GENERATED ALWAYS forbids
+    // an UPDATE writes explicit values, which GENERATED ALWAYS forbids —
+    // matched CASE-INSENSITIVELY like applyAssignments resolves targets,
+    // or `SET ID = …` would slip past a guard checking only `id`
     val frozen = IdentityColumns.of(snap.schema)
       .filterNot(_.allowExplicitInsert).map(_.name)
-      .filter(assignments.contains)
+      .filter(n => assignments.keys.exists(_.equalsIgnoreCase(n)))
     require(frozen.isEmpty, "cannot UPDATE GENERATED ALWAYS identity " +
       s"column(s) ${frozen.mkString(",")}")
     if (TableConfig.deletionVectorsEnabled(TableConfig.of(snap)))
@@ -94,13 +96,23 @@ object Dml {
     // the affected files only, same contract as the copy-on-write path
     val cdcActions =
       if (!ChangeDataFeed.enabled(snap)) Nil
-      else ChangeDataFeed.stage(spark, log,
-        stagedPhysical(snap,
-          logicalScanWithMeta(spark, log, snap, affected.map(_._1))
-            .filter(coalesce(predicate, lit(false)))
-            .select(snap.schema.fieldNames.map(col).toSeq: _*)
-            .withColumn(ChangeDataFeed.ChangeType, lit("delete")),
-          passthrough = Set(ChangeDataFeed.ChangeType)))
+      else
+        try ChangeDataFeed.stage(spark, log,
+          stagedPhysical(snap,
+            logicalScanWithMeta(spark, log, snap, affected.map(_._1))
+              .filter(coalesce(predicate, lit(false)))
+              .select(snap.schema.fieldNames.map(col).toSeq: _*)
+              .withColumn(ChangeDataFeed.ChangeType, lit("delete")),
+            passthrough = Set(ChangeDataFeed.ChangeType)))
+        catch {
+          case e: Throwable =>
+            // the DV dir is already on disk and vacuum never lists it —
+            // reclaim on CDC staging failure (r9 review)
+            try log.tablePath.getFileSystem(spark.sessionState.newHadoopConf())
+              .delete(new org.apache.hadoop.fs.Path(log.tablePath, dvRel), true)
+            catch { case _: Exception => () }
+            throw e
+        }
 
     val now = System.currentTimeMillis()
     val txn = log.startTransaction().withReadFilters(
@@ -145,28 +157,57 @@ object Dml {
     val (affected, dvRel, counts) = stageDeletionVector(spark, log, snap, predicate)
     if (affected.isEmpty) return DmlMetrics(0, 0, snap.version)
 
-    // matched rows (logical view, old DVs applied) → assignments → append
-    val matched = logicalScanWithMeta(spark, log, snap, snap.files)
-      .filter(coalesce(predicate, lit(false)))
-      .select(snap.schema.fieldNames.map(col).toSeq: _*)
-    val updated = Constraints.regenerate(
-      applyAssignments(lit(true), assignments)(matched), snap,
-      explicit = assignments.keySet)
-    val checked = Constraints.enforce(updated, snap)
-    val newAdds = GraftWriter.stageFiles(stagedPhysical(snap, checked), path,
-      snap.partitionColumns.map(phys))
+    // matched rows derived FROM the staged deletion vector, so the
+    // predicate is evaluated exactly ONCE (inside stageDeletionVector):
+    // re-evaluating it here could diverge on non-deterministic predicates
+    // and DV a row out without re-appending its copy — silent loss inside
+    // one transaction (r9 review). The scan applies the OLD DVs, so a
+    // semi-join against the staged (old ∪ new) positions selects exactly
+    // the new matches; it also reads only the AFFECTED files, not the
+    // whole table.
+    // staging failures after this point (a CHECK violation inside the
+    // write job, a CDC error) must reclaim the already-written DV dir —
+    // underscore-hidden storage vacuum never lists (r9 review)
+    val (newAdds, cdcActions) = try {
+      val stagedDv = spark.read.schema(DeletionVectors.dvSchema).parquet(
+        new org.apache.hadoop.fs.Path(log.tablePath, dvRel).toString)
+      val scanned = logicalScanWithMeta(spark, log, snap, affected.map(_._1))
+      val matched = scanned.join(stagedDv,
+          scanned(DeletionVectors.PathCol) === stagedDv("path") &&
+          scanned(DeletionVectors.PosCol) === stagedDv("pos"), "leftsemi")
+        .select(snap.schema.fieldNames.map(col).toSeq: _*)
+      val updated = Constraints.regenerate(
+        applyAssignments(lit(true), assignments)(matched), snap,
+        explicit = assignments.keySet)
+      val checked = Constraints.enforce(updated, snap)
+      val adds = GraftWriter.stageFiles(stagedPhysical(snap, checked), path,
+        snap.partitionColumns.map(phys))
+      // CDF: pre-images are the matched rows as scanned, post-images the
+      // transformed copies that were just appended
+      val cdc =
+        if (!ChangeDataFeed.enabled(snap)) Nil
+        else
+          try ChangeDataFeed.stage(spark, log,
+            stagedPhysical(snap,
+              matched.withColumn(ChangeDataFeed.ChangeType, lit("update_preimage"))
+                .unionByName(updated.select(snap.schema.fieldNames.map(col).toSeq: _*)
+                  .withColumn(ChangeDataFeed.ChangeType, lit("update_postimage"))),
+              passthrough = Set(ChangeDataFeed.ChangeType)))
+          catch {
+            case e: Throwable =>
+              try GraftWriter.discardStaged(spark, path, adds)
+              catch { case _: Exception => () }
+              throw e
+          }
+      (adds, cdc)
+    } catch {
+      case e: Throwable =>
+        try log.tablePath.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(log.tablePath, dvRel), true)
+        catch { case _: Exception => () }
+        throw e
+    }
     val rowsUpdated = counts.values.sum
-
-    // CDF: pre-images are the matched rows as scanned, post-images the
-    // transformed copies that were just appended
-    val cdcActions =
-      if (!ChangeDataFeed.enabled(snap)) Nil
-      else ChangeDataFeed.stage(spark, log,
-        stagedPhysical(snap,
-          matched.withColumn(ChangeDataFeed.ChangeType, lit("update_preimage"))
-            .unionByName(updated.select(snap.schema.fieldNames.map(col).toSeq: _*)
-              .withColumn(ChangeDataFeed.ChangeType, lit("update_postimage"))),
-          passthrough = Set(ChangeDataFeed.ChangeType)))
 
     val now = System.currentTimeMillis()
     val txn = log.startTransaction().withReadFilters(

@@ -106,8 +106,14 @@ final class MergeBuilder private[delta] (
     // its rewrite under at-rest names on mapped tables (allowNameMapping);
     // anything it cannot maintain still refuses here
     ProtocolSupport.assertWritable(snap, allowNameMapping = true)
-    if (TableConfig.appendOnly(TableConfig.of(snap)))
+    // an INSERT-ONLY merge (no matched/by-source clauses) commits pure
+    // adds — exactly what an append-only table permits; only rewriting
+    // merges are refused (r9 review)
+    if (TableConfig.appendOnly(TableConfig.of(snap)) &&
+        (matchedClauses.nonEmpty || bySourceClauses.nonEmpty))
       throw new AppendOnlyTableException(path)
+    // row tracking refuses ALL merges — even insert-only ones, whose new
+    // files would need id allocation this path does not wire
     RowTracking.assertNoRewrite(snap, path, "MERGE")
     val dt = new DeltaTable(log, snap)
     val mapped = ColumnMapping.isMapped(snap)
@@ -287,13 +293,23 @@ final class MergeBuilder private[delta] (
         .cast(f.dataType).as(f.name)
     }
     // generated columns re-derive from the merged row's NEW source values
-    // (unconditional recompute is identity on untouched rows); columns a
-    // clause explicitly assigns are verified by Constraints.enforce instead
+    // (unconditional recompute is identity on untouched rows). A column
+    // counts as "explicit" (verified instead of recomputed) only when
+    // EVERY clause assigns it: with a union, a row taken by a clause that
+    // does NOT assign the generated column kept its stale value and
+    // failed enforcement — a valid multi-clause merge aborting (r9
+    // review). Partially-assigned generated columns therefore recompute
+    // for all rows; enforcement still proves the output satisfies the
+    // derivation either way.
+    val clauseAssignments: Seq[Set[String]] =
+      (matchedClauses ++ bySourceClauses).toSeq.collect {
+        case MatchedUpdate(_, set) => set.keys.toSet
+      } ++
+        insertClauses.map(_._2.map(_.keys.toSet)
+          .getOrElse(snap.schema.fieldNames.toSet)) // insertAll covers all
     val assignedCols: Set[String] =
-      (matchedClauses ++ bySourceClauses).collect {
-        case MatchedUpdate(_, set) => set.keys
-      }.flatten.toSet ++
-        insertClauses.flatMap(_._2.map(_.keys.toSeq).getOrElse(Nil))
+      if (clauseAssignments.isEmpty) Set.empty
+      else clauseAssignments.reduce(_ intersect _)
     def projected(df: DataFrame): DataFrame =
       Constraints.regenerate(df.select(outFields.toSeq: _*), snap,
         explicit = assignedCols)
@@ -306,10 +322,17 @@ final class MergeBuilder private[delta] (
       if (mapped) ColumnMapping.toPhysical(df, snap.schema,
         attachIds = ColumnMapping.mode(snap) == "id")
       else df
-    val (adds, observed) = ObservedMetrics.run(spark, metricName) {
-      GraftWriter.stageFiles(stagedDf(Constraints.enforce(rewritten, snap)),
-        path, snap.partitionColumns.map(phys))
-    }
+    val (adds, observed) =
+      try ObservedMetrics.run(spark, metricName) {
+        GraftWriter.stageFiles(stagedDf(Constraints.enforce(rewritten, snap)),
+          path, snap.partitionColumns.map(phys))
+      } catch {
+        case e: Throwable =>
+          // a failed write job (e.g. CHECK violation inside it) must not
+          // leave the CDF join's checkpoint blocks pinned (r9 review)
+          releaseJoin()
+          throw e
+      }
     def discardStaged(): Unit = GraftWriter.discardStaged(spark, path, adds)
 
     val (nUpd, nDel, nIns) = observed match {
@@ -361,7 +384,7 @@ final class MergeBuilder private[delta] (
     // (the same affected-files-only cost contract as Dml.rewrite)
     val cdcActions =
       if (!cdfOn) Nil
-      else {
+      else try {
         val tCols = snap.schema.fields.map(f =>
           col(s"t.`${f.name}`").cast(f.dataType).as(f.name)).toSeq
         val ct = ChangeDataFeed.ChangeType
@@ -383,6 +406,12 @@ final class MergeBuilder private[delta] (
             attachIds = ColumnMapping.mode(snap) == "id",
             passthrough = Set(ChangeDataFeed.ChangeType))
           else changes)
+      } catch {
+        case e: Throwable =>
+          // CDC staging failed after the rewrite staged: reclaim both and
+          // release the pinned join (r9 review)
+          discardStaged(); releaseJoin()
+          throw e
       }
 
     // 4. one commit: remove rewritten files, add their replacements + inserts.

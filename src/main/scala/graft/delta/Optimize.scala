@@ -68,8 +68,26 @@ object Optimize {
     val totalBytes = oldFiles.map(_.size).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val shaped =
-      if (partCols.nonEmpty) df.repartition(math.max(nOut, candidates.size), partCols.map(col): _*)
-      else df.repartition(nOut)
+      if (partCols.isEmpty) df.repartition(nOut)
+      else {
+        // hashing on the partition columns alone collapses each tuple into
+        // ONE task — and one output file — regardless of bytes (r9 review:
+        // a 100 GB partition compacted to a single unsplittable file).
+        // Salt each tuple over ceil(tupleBytes/target) buckets instead;
+        // a tuple the map misses degrades to the one-bucket behavior.
+        val NullKey = "\u0000null"
+        val bins: Map[String, Int] = candidates.map { case (tuple, files) =>
+          tuple.map(v => if (v == null) NullKey else v).mkString("\u0001") ->
+            math.max(1, math.ceil(
+              files.map(_.size).sum.toDouble / targetFileBytes).toInt)
+        }
+        val tupleKey = concat_ws("\u0001",
+          partCols.map(c => coalesce(col(c).cast("string"), lit(NullKey))): _*)
+        val salt = (rand() * coalesce(
+          element_at(typedLit(bins), tupleKey), lit(1))).cast("int")
+        df.repartition(math.max(1, bins.values.sum),
+          partCols.map(col) :+ salt: _*)
+      }
     val staged =
       if (mapped) ColumnMapping.toPhysical(shaped, snap.schema,
         attachIds = ColumnMapping.mode(snap) == "id")
@@ -93,7 +111,16 @@ object Optimize {
     params.put("targetFileBytes", targetFileBytes)
     params.put("numFilesRemoved", oldFiles.size)
     params.put("numFilesAdded", adds.size)
-    val version = txn.commit(Some(CommitInfoAction(info)))
+    val version =
+      try txn.commit(Some(CommitInfoAction(info)))
+      catch {
+        case e: Throwable =>
+          // staged rewrites are referenced only by the failed commit and
+          // invisible to vacuum — reclaim or they leak forever (r9 review)
+          try GraftWriter.discardStaged(spark, path, adds)
+          catch { case _: Exception => () }
+          throw e
+      }
     OptimizeMetrics(
       filesRemoved = oldFiles.size, filesAdded = adds.size,
       bytesRemoved = totalBytes, bytesAdded = adds.map(_.size).sum,
@@ -139,6 +166,11 @@ object Optimize {
              targetFileBytes: Long = 256L * 1024 * 1024,
              partitionFilters: Seq[PartitionFilter] = Nil): OptimizeMetrics = {
     require(zorderBy.nonEmpty, "zorder needs at least one column")
+    // 4 bits per column interleave into ONE long: 16+ columns would shift
+    // into (or past) the sign bit and silently scramble the curve (r9
+    // review) — and clustering on that many dimensions is noise anyway
+    require(zorderBy.size <= 15,
+      s"zorder supports at most 15 columns, got ${zorderBy.size}")
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
     if (snap.version < 0) throw new NotATableException(path)
@@ -191,7 +223,14 @@ object Optimize {
     val params = info.putObject("operationParameters")
     params.put("zOrderBy", zorderBy.mkString(","))
     params.put("targetFileBytes", targetFileBytes)
-    val version = txn.commit(Some(CommitInfoAction(info)))
+    val version =
+      try txn.commit(Some(CommitInfoAction(info)))
+      catch {
+        case e: Throwable =>
+          try GraftWriter.discardStaged(spark, path, adds)
+          catch { case _: Exception => () }
+          throw e
+      }
     OptimizeMetrics(
       filesRemoved = oldFiles.size, filesAdded = adds.size,
       bytesRemoved = totalBytes, bytesAdded = adds.map(_.size).sum,

@@ -100,6 +100,90 @@ class ReviewRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(!st.minValues.contains("bad"))
   }
 
+  test("compact honors targetFileBytes INSIDE a hive partition (no one-file collapse)") {
+    val dir = tempTable("rr-compact-salt").toString
+    // one partition tuple, many small files
+    GraftWriter.write((0 until 4000).map(i => (i.toLong, "p1", "x" * 100))
+      .toDF("id", "part", "pad").repartition(8), dir, partitionBy = Seq("part"))
+    val before = DeltaLog.forPath(spark, dir).update().files.size
+    assert(before == 8)
+    val bytes = DeltaLog.forPath(spark, dir).update().files.map(_.size).sum
+    // target ~ quarter of the partition's bytes → expect ~4 outputs, not 1
+    val m = Optimize.compact(spark, dir, targetFileBytes = bytes / 4)
+    assert(m.filesAdded >= 3,
+      s"partition collapsed to ${m.filesAdded} file(s) — salt not applied")
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 4000)
+  }
+
+  test("UPDATE refuses a GENERATED ALWAYS identity column in ANY case") {
+    val dir = tempTable("rr-id-case").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      IdentityColumns.field("id", 1, 1),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    GraftWriter.write(spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema), dir)
+    GraftWriter.write(Seq("a").toDF("v"), dir, SaveMode.Append)
+    val e = intercept[IllegalArgumentException](
+      Dml.update(spark, dir, col("v") === "a", Map("ID" -> lit(99L))))
+    assert(e.getMessage.contains("GENERATED ALWAYS"))
+  }
+
+  test("insert-only MERGE lands on an append-only table; rewriting merges still refuse") {
+    val dir = tempTable("rr-appendonly-merge").toString
+    GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir,
+      configuration = Some(Map(TableConfig.AppendOnly -> "true")))
+    val m = Merge.into(spark, dir, Seq((2L, "b")).toDF("id", "v"),
+        col("t.id") === col("s.id"))
+      .whenNotMatchedInsertAll().execute()
+    assert(m.rowsInserted == 1)
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 2)
+    intercept[AppendOnlyTableException] {
+      Merge.into(spark, dir, Seq((1L, "z")).toDF("id", "v"),
+          col("t.id") === col("s.id"))
+        .whenMatchedUpdate(Map("v" -> col("s.v"))).execute()
+    }
+  }
+
+  test("multi-clause MERGE with a partially-assigned generated column succeeds") {
+    val dir = tempTable("rr-merge-gen").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.LongType,
+        nullable = true,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(Constraints.GenerationKey, "b + 1").build())))
+    GraftWriter.write(spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema), dir)
+    GraftWriter.write(Seq((1L, 10L), (2L, 20L)).toDF("id", "b"), dir, SaveMode.Append)
+    // clause 1 assigns g explicitly; clause 2 does NOT — the row taken by
+    // clause 2 must re-derive g, not abort on a stale value (r9 review)
+    Merge.into(spark, dir,
+        Seq((1L, 100L, "c1"), (2L, 200L, "c2")).toDF("id", "nb", "tag"),
+        col("t.id") === col("s.id"))
+      .whenMatchedUpdate(col("s.tag") === "c1",
+        Map("b" -> col("s.nb"), "g" -> (col("s.nb") + 1)))
+      .whenMatchedUpdate(col("s.tag") === "c2", Map("b" -> col("s.nb")))
+      .execute()
+    val got = DeltaTable.forPath(spark, dir).toDF
+      .select("id", "b", "g").as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 100L, 101L), (2L, 200L, 201L)))
+  }
+
+  test("zorder refuses 16+ columns rather than scrambling the curve") {
+    val dir = tempTable("rr-zorder-cap").toString
+    val base = (0 until 10).map(_.toLong).toDF("c0")
+    val wide = (1 until 16).foldLeft(base)((d, i) => d.withColumn(s"c$i", col("c0")))
+    GraftWriter.write(wide, dir)
+    val e = intercept[IllegalArgumentException](
+      Optimize.zorder(spark, dir, (0 until 16).map(i => s"c$i")))
+    assert(e.getMessage.contains("15"))
+  }
+
   test("cloning a vacuumed-past pinned version refuses instead of committing a corrupt fork") {
     val dir = tempTable("rr-clone-vacuumed").toString
     GraftWriter.write((0 until 10).map(i => (i.toLong, "a")).toDF("id", "v")
