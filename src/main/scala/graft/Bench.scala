@@ -111,6 +111,10 @@ object Bench {
     // a run is degraded only if it NEVER ran at class speed
     val calSt = math.min(calStPre, calStPost)
     val degraded = calSt > BenchCalibration.DegradedStSec
+    // multi-core throughput can degrade independently of single-thread
+    // speed (hypervisor core-stealing under parallel load) — the state
+    // that inflates every parallel query while cal_st reads healthy
+    val degradedMt = calMt > BenchCalibration.DegradedMtSec
     // The primary stdout line carries what the driver's tail capture
     // parses (value + queries + sf) plus three SHORT contention scalars.
     // Round 6's driver recorded `parsed: null` because the full cpu/load1m
@@ -118,7 +122,7 @@ object Bench {
     // maps stay on stderr, next to BENCHDBG.
     System.err.println(
       s"""BENCHTEL {"cpu":${toJson(cpuSec)},"load1m":${toJson(load1m)}}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir","contended":$isContended,"cpu_total":${fmt(cpuTotal)},"load_med":${fmt(loadMed)},"cal_st":${fmt(calSt)},"cal_st_worst":${fmt(math.max(calStPre, calStPost))},"cal_mt":${fmt(calMt)},"degraded":$degraded}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir","contended":$isContended,"cpu_total":${fmt(cpuTotal)},"load_med":${fmt(loadMed)},"cal_st":${fmt(calSt)},"cal_st_worst":${fmt(math.max(calStPre, calStPost))},"cal_mt":${fmt(calMt)},"degraded":$degraded,"degraded_mt":$degradedMt}""")
     spark.stop()
   }
 }

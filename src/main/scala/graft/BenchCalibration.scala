@@ -35,6 +35,15 @@ object BenchCalibration {
     * run so cross-round wall-clocks normalize by the cal ratio. */
   val DegradedStSec = 1.6
 
+  /** All-cores probe threshold: this box's healthy band is ~0.21-0.29 s;
+    * a reading past this means MULTI-CORE throughput is degraded
+    * (hypervisor core-stealing under parallel load) even when the
+    * single-thread probe reads healthy — exactly the state that inflated
+    * a 65 s bench to 122 s at cal_st 0.76 (r9). Gate rule: when
+    * `degraded_mt` is true, normalize cross-round walls by the cal_mt
+    * ratio, not cal_st. */
+  val DegradedMtSec = 0.4
+
   // JIT must not elide the spin — results escape through a volatile sink.
   @volatile private var sink: Long = 0L
 
