@@ -165,11 +165,13 @@ final class DeltaLog private (
     val before = cached.version
     val versions = contiguousFrom(listCommitVersions().filter(_ > snap.version), snap.version)
     snap = replayTail(snap, versions)
-    cached = snap
     // replay advanced: check the landing version against any recorded
     // checksum (graft's own or a foreign writer's) — one HEAD per refresh
-    // that actually moved, never per call
+    // that actually moved, never per call. Validate BEFORE caching: a
+    // snapshot that fails its checksum must never be served, and a retry
+    // must re-replay (and re-validate) rather than see "no new commits".
     if (snap.version != before && snap.version >= 0) Checksum.validate(this, snap)
+    cached = snap
     snap
   }
 

@@ -149,11 +149,13 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     // table references (r9 review).
     val snap = log.update()
     // the vacuumProtocolCheck feature's whole contract: vacuum must fence
-    // on the table's protocol before touching files (so future features
-    // can change what is reclaimable without legacy vacuums corrupting
-    // them). The scan fence is exactly that check — graft has always run
-    // it structurally; the feature declares it.
-    ProtocolSupport.assertReadable(snap)
+    // on the table's WRITER protocol before touching files (so future
+    // features can change what is reclaimable without legacy vacuums
+    // irreversibly corrupting them). A reader fence is not enough: an
+    // unknown writer feature may redefine which files are live even when
+    // the rows read fine. Name mapping is tolerated — vacuum stages no
+    // data and mapping does not change file liveness.
+    ProtocolSupport.assertWritable(snap, allowNameMapping = true)
     val floorHours =
       TableConfig.deletedFileRetentionMillis(TableConfig.of(snap)) / 3600e3
     val effectiveHours = if (retentionHours.isNaN) floorHours else retentionHours

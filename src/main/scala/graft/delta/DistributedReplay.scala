@@ -93,16 +93,28 @@ object DistributedReplay {
       // parts; classic/multipart checkpoints ARE the data paths. The
       // explicit read schema keeps this tolerant of both layouts (a v2
       // manifest need not carry an `add` column at all — absent columns
-      // read as null under a supplied schema).
-      val dataPaths = c.v2FileName match {
-        case Some(name) => Checkpoints.v2DataPaths(log, name)
-        case None => log.checkpointPaths(c)
+      // read as null under a supplied schema). A JSON v2 manifest cannot
+      // join the parquet scan, but spec-legal inline add actions in it
+      // (foreign writers) must not be dropped — read the ndjson manifest
+      // with the same add schema and union it in.
+      val (dataPaths, jsonManifest) = c.v2FileName match {
+        case Some(name) if name.endsWith(".json") =>
+          (Checkpoints.v2DataPaths(log, name),
+           Some(new org.apache.hadoop.fs.Path(log.logPath, name)))
+        case Some(name) => (Checkpoints.v2DataPaths(log, name), None)
+        case None => (log.checkpointPaths(c), None)
       }
-      if (dataPaths.isEmpty) None else Some(
+      val jsonDf = jsonManifest.map { p =>
+        spark.read.schema(StructType(Seq(StructField("add", addSchema))))
+          .json(p.toString)
+          .filter(col("add").isNotNull)
+      }
+      val parquetDf = if (dataPaths.isEmpty) None else Some(
         spark.read.schema(StructType(Seq(StructField("add", addSchema))))
           .parquet(dataPaths.map(_.toString): _*)
-          .filter(col("add").isNotNull)
-        .select(
+          .filter(col("add").isNotNull))
+      (parquetDf.toSeq ++ jsonDf.toSeq).reduceOption(_ unionByName _).map(
+        _.select(
           lit(c.version).as("version"),
           graft.functions.UriPathDecode(col("add.path")).as("path"),
           col("add.partitionValues").as("partitionValues"),

@@ -222,7 +222,10 @@ object GraftWriter {
         createdTime = Some(now),
         configuration = cfg))
     }
-    evolvedMetadata.foreach(txn.addAction)
+    // NOTE: the evolved metaData action itself is added further down, once
+    // `adds` exist — a same-commit identity high-water-mark advance must
+    // FOLD into it (the Delta spec allows at most one metaData action per
+    // commit; strict foreign readers reject a second).
     // the committed configuration/schema may raise the protocol floor —
     // column mapping (replace-with-mapping), deletion vectors, v2/ICT
     // properties, a variant column arriving via evolution; ONE folded
@@ -270,17 +273,19 @@ object GraftWriter {
       } else adds
     txn.addActions(finalAdds)
     // identity high-water marks advance IN the generating commit (a crash
-    // between the data and the mark would re-issue values); built over the
-    // evolved metadata when this commit also changed the schema, and
-    // committed last so replay lands on the advanced marks
-    if (genIdentity.nonEmpty) {
-      val baseMd = evolvedMetadata.getOrElse(snap.metadata.get)
-      val phys: String => String =
-        if (mapped) c => ColumnMapping.physicalName(mapSchema, c)
-        else scala.Predef.identity
-      IdentityColumns.highWaterMarkMetadata(baseMd, genIdentity, adds, phys)
-        .foreach(txn.addAction)
-    }
+    // between the data and the mark would re-issue values); built over —
+    // and folded INTO — the evolved metadata when this commit also changed
+    // the schema, so the commit carries exactly one metaData action
+    val identityMd =
+      if (genIdentity.isEmpty) None
+      else {
+        val baseMd = evolvedMetadata.getOrElse(snap.metadata.get)
+        val phys: String => String =
+          if (mapped) c => ColumnMapping.physicalName(mapSchema, c)
+          else scala.Predef.identity
+        IdentityColumns.highWaterMarkMetadata(baseMd, genIdentity, adds, phys)
+      }
+    (identityMd orElse evolvedMetadata).foreach(txn.addAction)
 
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", now)

@@ -25,6 +25,14 @@ final case class OptimizeMetrics(
   */
 object Optimize {
 
+  /** Types xxhash64 cannot consume (maps anywhere in the tree). */
+  private def containsMap(dt: DataType): Boolean = dt match {
+    case _: MapType => true
+    case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+    case a: ArrayType => containsMap(a.elementType)
+    case _ => false
+  }
+
   /** Compact the (optionally partition-filtered) table. Small files are
     * grouped per partition; each partition's rows are rewritten into
     * `ceil(bytes / targetFileBytes)` files. Returns metrics; no-op when
@@ -83,8 +91,21 @@ object Optimize {
         }
         val tupleKey = concat_ws("\u0001",
           partCols.map(c => coalesce(col(c).cast("string"), lit(NullKey))): _*)
-        val salt = (rand() * coalesce(
-          element_at(typedLit(bins), tupleKey), lit(1))).cast("int")
+        // the salt must be DETERMINISTIC per row: a stage/task retry
+        // re-evaluates it over a possibly re-ordered input (DV reads
+        // involve an anti-join shuffle), and a rand() salt would then
+        // route rows differently — dropping or duplicating them across
+        // the retried write tasks. Hash the row's data columns instead
+        // (maps are not hashable in Spark; skip them — an all-map row
+        // set degrades to one bucket per tuple, coarser but correct).
+        val hashable = df.schema.fields
+          .filterNot(f => partCols.contains(f.name))
+          .filterNot(f => containsMap(f.dataType))
+          .map(f => col(f.name))
+        val rowHash =
+          if (hashable.isEmpty) lit(0L) else abs(xxhash64(hashable: _*))
+        val salt = pmod(rowHash,
+          coalesce(element_at(typedLit(bins), tupleKey), lit(1)).cast("long"))
         df.repartition(math.max(1, bins.values.sum),
           partCols.map(col) :+ salt: _*)
       }

@@ -98,7 +98,6 @@ final class GraftStreamSink(
         partitionColumns = partitionBy, createdTime = Some(now),
         configuration = Map.empty))
     }
-    evolvedMetadata.foreach(txn.addAction)
     txn.addAction(TxnAction(appId, epochId, Some(now)))
     val finalAdds =
       if (snap.version >= 0 && graft.delta.RowTracking.enabled(snap)) {
@@ -107,16 +106,20 @@ final class GraftStreamSink(
         stamped
       } else adds
     txn.addActions(finalAdds)
-    if (genIdentity.nonEmpty) {
-      val baseMd = evolvedMetadata.orElse(snap.metadata).getOrElse(
-        throw new IllegalStateException("identity table without metadata"))
-      val phys: String => String =
-        if (mapped) c => graft.delta.ColumnMapping.physicalName(mapSchema, c)
-        else identity
-      graft.delta.IdentityColumns
-        .highWaterMarkMetadata(baseMd, genIdentity, adds, phys)
-        .foreach(txn.addAction)
-    }
+    // identity marks FOLD into the epoch's evolved metaData (at most one
+    // metaData action per commit — same contract as the batch writer)
+    val identityMd =
+      if (genIdentity.isEmpty) None
+      else {
+        val baseMd = evolvedMetadata.orElse(snap.metadata).getOrElse(
+          throw new IllegalStateException("identity table without metadata"))
+        val phys: String => String =
+          if (mapped) c => graft.delta.ColumnMapping.physicalName(mapSchema, c)
+          else identity
+        graft.delta.IdentityColumns
+          .highWaterMarkMetadata(baseMd, genIdentity, adds, phys)
+      }
+    (identityMd orElse evolvedMetadata).foreach(txn.addAction)
 
     // ST2: StreamingUpdate commit provenance
     val info = ActionCodec.mapper.createObjectNode()
