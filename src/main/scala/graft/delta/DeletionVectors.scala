@@ -211,10 +211,15 @@ object DeletionVectors {
     * PosCol: row index). This is the substrate DV-writing DML reads — the
     * positions it selects are exactly the coordinates a future scan's
     * anti-join will subtract. */
+  /** `extraDataCols`: additional PHYSICAL parquet columns to read beyond
+    * the table schema (row tracking's materialized id columns live in the
+    * files but not in the schema); files lacking one serve nulls. */
   def scanWithPos(spark: SparkSession, log: DeltaLog, snap: Snapshot,
-                  files: Seq[AddAction]): DataFrame = {
+                  files: Seq[AddAction],
+                  extraDataCols: Seq[StructField] = Nil): DataFrame = {
     val index = new GraftFileIndex(spark, log, snap, Some(files))
-    val rel = HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
+    val rel = HadoopFsRelation(index, index.partitionSchema,
+      StructType(index.dataSchema.fields ++ extraDataCols),
       None, new ParquetFileFormat(), Map.empty)(spark)
     val wm = LogicalRelation(rel).withMetadataColumns()
     wm.setTagValue(AppliedTag, true)
@@ -238,7 +243,8 @@ object DeletionVectors {
         ColumnMapping.physicalSchema(snap.schema).fieldNames
       else snap.schema.fieldNames
     filtered.select(
-      (outNames.map(col).toSeq :+ col(PathCol) :+ col(PosCol)): _*)
+      (outNames.map(col).toSeq ++ extraDataCols.map(f => col(s"`${f.name}`"))
+        :+ col(PathCol) :+ col(PosCol)): _*)
   }
 
   /** DataFrame-level DV filter for internal scans that build their own

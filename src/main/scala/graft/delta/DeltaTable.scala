@@ -123,6 +123,17 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
   def changes(startVersion: Long, endVersion: Long): org.apache.spark.sql.DataFrame =
     ChangeDataFeed.readChanges(log.spark, log, startVersion, endVersion)
 
+  /** The table's logical columns plus each row's resolved row-tracking
+    * identity as `_row_id` / `_row_commit_version`: `coalesce(materialized
+    * column, baseRowId + row_index)` and `coalesce(materialized,
+    * defaultRowCommitVersion)` per the Delta spec. Requires the
+    * `rowTracking` feature (ids are meaningless otherwise). */
+  def withRowIds: DataFrame = {
+    require(RowTracking.enabled(snapshot),
+      s"${log.tablePath} does not declare the rowTracking feature")
+    RowTracking.scanWithRowIds(log.spark, log, snapshot)
+  }
+
   /** Delete expired tombstoned files — `vacuum` (`rust/src/delta.rs:920-969`).
     *
     * The retention floor — and the default when `retentionHours` is omitted

@@ -40,8 +40,13 @@ object Dml {
     ProtocolSupport.assertWritable(snap, allowNameMapping = true)
     if (TableConfig.deletionVectorsEnabled(TableConfig.of(snap)))
       deleteWithDv(spark, path, predicate, Some((log, snap)))
-    else rewrite(spark, log, snap, predicate, "DELETE", df => df, keepMatches = false)
+    else rewrite(spark, log, snap, predicate, "DELETE", df => df,
+      keepMatches = false, rtState = rowTrackingState(snap))
   }
+
+  private def rowTrackingState(snap: Snapshot)
+      : Option[(Option[MetaDataAction], (String, String))] =
+    RowTracking.rewriteState(snap)
 
   /** UPDATE table SET assignments WHERE predicate. */
   def update(spark: SparkSession, path: String, predicate: Column,
@@ -59,11 +64,23 @@ object Dml {
       s"column(s) ${frozen.mkString(",")}")
     if (TableConfig.deletionVectorsEnabled(TableConfig.of(snap)))
       updateWithDv(spark, path, predicate, assignments, Some((log, snap)))
-    else rewrite(spark, log, snap, predicate, "UPDATE",
-      df => Constraints.regenerate(
-        applyAssignments(predicate, assignments)(df), snap,
-        explicit = assignments.keySet),
-      keepMatches = true)
+    else {
+      val rtState = rowTrackingState(snap)
+      // row tracking: an updated row's commit version becomes THIS
+      // commit's — null the materialized version for matched rows (the
+      // new file's defaultRowCommitVersion serves it), evaluated against
+      // PRE-update values like every other assignment
+      val assign2 = rtState match {
+        case Some((_, (_, matRcv))) =>
+          assignments + (matRcv -> lit(null).cast("long"))
+        case None => assignments
+      }
+      rewrite(spark, log, snap, predicate, "UPDATE",
+        df => Constraints.regenerate(
+          applyAssignments(predicate, assign2)(df), snap,
+          explicit = assignments.keySet),
+        keepMatches = true, rtState = rtState)
+    }
   }
 
   /** Merge-on-read DELETE: write matched row positions as a deletion vector
@@ -147,9 +164,11 @@ object Dml {
     ProtocolSupport.assertWritable(snap, allowNameMapping = true)
     if (TableConfig.appendOnly(TableConfig.of(snap)))
       throw new AppendOnlyTableException(path)
-    // DV DELETE preserves ids (bytes unchanged); DV UPDATE appends
-    // transformed COPIES whose identities would silently change
-    RowTracking.assertNoRewrite(snap, path, "merge-on-read UPDATE")
+    // DV DELETE preserves ids for free (bytes unchanged); DV UPDATE's
+    // transformed COPIES materialize each moved row's id. The commit
+    // version is NOT materialized — every row in a copy file was modified
+    // by this commit, so the file's defaultRowCommitVersion serves it.
+    val rtState = rowTrackingState(snap)
     val mapped = ColumnMapping.isMapped(snap)
     def phys(c: String): String =
       if (mapped) ColumnMapping.physicalName(snap.schema, c) else c
@@ -171,25 +190,34 @@ object Dml {
     val (newAdds, cdcActions) = try {
       val stagedDv = spark.read.schema(DeletionVectors.dvSchema).parquet(
         new org.apache.hadoop.fs.Path(log.tablePath, dvRel).toString)
-      val scanned = logicalScanWithMeta(spark, log, snap, affected.map(_._1))
+      val scanned = logicalScanWithMeta(spark, log, snap, affected.map(_._1),
+        rtNames = rtState.map(_._2))
+      // moved rows carry their row id (materialized); the commit-version
+      // column is deliberately absent from the copy files (see above)
+      val outCols = snap.schema.fieldNames.map(col).toSeq ++
+        rtState.map { case (_, (matId, _)) => col(s"`$matId`") }.toSeq
       val matched = scanned.join(stagedDv,
           scanned(DeletionVectors.PathCol) === stagedDv("path") &&
           scanned(DeletionVectors.PosCol) === stagedDv("pos"), "leftsemi")
-        .select(snap.schema.fieldNames.map(col).toSeq: _*)
+        .select(outCols: _*)
       val updated = Constraints.regenerate(
         applyAssignments(lit(true), assignments)(matched), snap,
         explicit = assignments.keySet)
       val checked = Constraints.enforce(updated, snap)
-      val adds = GraftWriter.stageFiles(stagedPhysical(snap, checked), path,
+      val rtPassthrough = rtState.map { case (_, (matId, _)) => Set(matId) }
+        .getOrElse(Set.empty[String])
+      val adds = GraftWriter.stageFiles(
+        stagedPhysical(snap, checked, passthrough = rtPassthrough), path,
         snap.partitionColumns.map(phys))
       // CDF: pre-images are the matched rows as scanned, post-images the
-      // transformed copies that were just appended
+      // transformed copies that were just appended — logical columns only
       val cdc =
         if (!ChangeDataFeed.enabled(snap)) Nil
         else
           try ChangeDataFeed.stage(spark, log,
             stagedPhysical(snap,
-              matched.withColumn(ChangeDataFeed.ChangeType, lit("update_preimage"))
+              matched.select(snap.schema.fieldNames.map(col).toSeq: _*)
+                .withColumn(ChangeDataFeed.ChangeType, lit("update_preimage"))
                 .unionByName(updated.select(snap.schema.fieldNames.map(col).toSeq: _*)
                   .withColumn(ChangeDataFeed.ChangeType, lit("update_postimage"))),
               passthrough = Set(ChangeDataFeed.ChangeType)))
@@ -216,7 +244,15 @@ object Dml {
         snap.partitionColumns).map(PartitionFilter.mapKey(_, phys)))
     if (mapped) txn.permitNameMappedCommit()
     val dvStorage = commitDvReAdds(spark, log, txn, snap, affected, dvRel, now)
-    txn.addActions(newAdds)
+    val finalNewAdds = rtState match {
+      case Some((rtMd, _)) =>
+        rtMd.foreach(txn.addAction)
+        val (stamped, bump) = RowTracking.assignFreshRowIds(snap, newAdds)
+        bump.foreach(txn.addAction)
+        stamped
+      case None => newAdds
+    }
+    txn.addActions(finalNewAdds)
     txn.addActions(cdcActions)
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", now)
@@ -423,14 +459,14 @@ object Dml {
   private def rewrite(spark: SparkSession, log: DeltaLog, snap: Snapshot,
                       predicate: Column, operation: String,
                       transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
-                      keepMatches: Boolean): DmlMetrics = {
+                      keepMatches: Boolean,
+                      rtState: Option[(Option[MetaDataAction], (String, String))] = None): DmlMetrics = {
     val path = log.tablePath.toString
     if (snap.version < 0) throw new NotATableException(path)
     // fail before staging any rewrite files (the commit-time gate would
     // catch it too, but only after the wasted write)
     if (TableConfig.appendOnly(TableConfig.of(snap)))
       throw new AppendOnlyTableException(path)
-    RowTracking.assertNoRewrite(snap, path, s"copy-on-write $operation")
     val dt = new DeltaTable(log, snap)
     val mapped = ColumnMapping.isMapped(snap)
     def phys(c: String): String =
@@ -453,7 +489,12 @@ object Dml {
     // (before − after) where `before` comes from the snapshot's footer
     // stats and `after` from the written files' footers; UPDATE's matched
     // count is an observed aggregate collected during the write itself.
-    val affectedDf = scanSubset(spark, log, snap, affected)
+    // row tracking: the scan carries each surviving row's identity in the
+    // materialized columns, which the rewrite stages back out
+    val affectedDf = rtState match {
+      case Some((_, names)) => scanSubsetWithIdentity(spark, log, snap, affected, names)
+      case None => scanSubset(spark, log, snap, affected)
+    }
     val beforeFromStats: Option[Long] = {
       // logical rows = footer rows minus DV'd positions
       val counts = affected.map(a => a.stats.flatMap(ActionCodec.statsFromJson)
@@ -471,8 +512,12 @@ object Dml {
     // only UPDATE carries an observed metric; DELETE must not wait on one
     val checked = Constraints.enforce(rewritten, snap)
     // mapped tables: rewritten files stage under at-rest names (and footer
-    // field ids under mode=id), exactly like appends
-    def staged(df: org.apache.spark.sql.DataFrame) = stagedPhysical(snap, df)
+    // field ids under mode=id), exactly like appends; the materialized
+    // row-identity columns pass through (already physical)
+    val rtPassthrough = rtState.map { case (_, (a, b)) => Set(a, b) }
+      .getOrElse(Set.empty[String])
+    def staged(df: org.apache.spark.sql.DataFrame) =
+      stagedPhysical(snap, df, passthrough = rtPassthrough)
     val physPartCols = snap.partitionColumns.map(phys)
     val (adds, observed) =
       if (keepMatches)
@@ -497,12 +542,16 @@ object Dml {
       if (!ChangeDataFeed.enabled(snap)) Nil
       else {
         val matchedRows = affectedDf.filter(coalesce(predicate, lit(false)))
+        // change images carry the LOGICAL columns only — the hidden
+        // row-tracking columns of a rewrite scan must not leak into them
+        def logicalCt(df: org.apache.spark.sql.DataFrame, ct: String) =
+          df.select(snap.schema.fieldNames.map(col).toSeq: _*)
+            .withColumn(ChangeDataFeed.ChangeType, lit(ct))
         val changes =
           if (keepMatches)
-            matchedRows.withColumn(ChangeDataFeed.ChangeType, lit("update_preimage"))
-              .unionByName(transform(matchedRows)
-                .withColumn(ChangeDataFeed.ChangeType, lit("update_postimage")))
-          else matchedRows.withColumn(ChangeDataFeed.ChangeType, lit("delete"))
+            logicalCt(matchedRows, "update_preimage")
+              .unionByName(logicalCt(transform(matchedRows), "update_postimage"))
+          else logicalCt(matchedRows, "delete")
         // change files are at-rest files: physical names on mapped tables
         // (the feed reader scans them physical and aliases back)
         ChangeDataFeed.stage(spark, log,
@@ -527,7 +576,18 @@ object Dml {
       extendedFileMetadata = Some(true),
       partitionValues = Some(f.partitionValues), size = Some(f.size))))
     txn.addActions(DeletionVectors.supersededDirTombstones(snap, affected, now))
-    txn.addActions(adds)
+    // row tracking: rewritten files still get fresh base ids (materialized
+    // values override them row-by-row; the spec requires every file carry
+    // a range), plus the first-materialization metaData when needed
+    val finalAdds = rtState match {
+      case Some((rtMd, _)) =>
+        rtMd.foreach(txn.addAction)
+        val (stamped, bump) = RowTracking.assignFreshRowIds(snap, adds)
+        bump.foreach(txn.addAction)
+        stamped
+      case None => adds
+    }
+    txn.addActions(finalAdds)
     txn.addActions(cdcActions)
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", now)
@@ -559,19 +619,51 @@ object Dml {
     else scanned.select(snap.schema.fieldNames.map(col).toSeq: _*)
   }
 
+  /** As [[scanSubset]], plus each row's CURRENT row-tracking identity in
+    * the table's two materialized columns (resolved `coalesce(materialized,
+    * fresh)` — [[RowTracking.resolveCurrentIdentity]]). This is the input
+    * shape of every row-moving rewrite on a row-tracking table: staging
+    * these columns back out is what keeps identities stable. */
+  private[delta] def scanSubsetWithIdentity(spark: SparkSession, log: DeltaLog,
+                                            snap: Snapshot, files: Seq[AddAction],
+                                            names: (String, String)) = {
+    val scanned = DeletionVectors.scanWithPos(spark, log, snap, files,
+      extraDataCols = RowTracking.materializedFields(names))
+    val resolved = RowTracking.resolveCurrentIdentity(spark, scanned, files, names)
+    val logical =
+      if (ColumnMapping.isMapped(snap))
+        snap.schema.fields.toSeq.map { f =>
+          val p = ColumnMapping.physicalFieldName(f)
+          resolved.col(s"`$p`").cast(f.dataType).as(f.name)
+        }
+      else snap.schema.fieldNames.toSeq.map(c => resolved.col(s"`$c`"))
+    resolved.select(logical ++ Seq(
+      resolved.col(s"`${names._1}`"), resolved.col(s"`${names._2}`")): _*)
+  }
+
   /** As [[scanSubset]], but KEEPING the scan's provenance metadata
     * ([[DeletionVectors.PathCol]]/[[DeletionVectors.PosCol]]) alongside the
     * logical columns — the shape affected-file detection and DV staging
     * need (caller predicates resolve logically; file/position provenance
-    * survives the alias). Unmapped tables pass through unchanged. */
+    * survives the alias). Unmapped tables pass through unchanged.
+    * `rtNames`: also resolve + expose the materialized row-identity
+    * columns (row-tracking rewrites). */
   private[delta] def logicalScanWithMeta(spark: SparkSession, log: DeltaLog,
-                                         snap: Snapshot, files: Seq[AddAction]) = {
-    val scanned = DeletionVectors.scanWithPos(spark, log, snap, files)
+                                         snap: Snapshot, files: Seq[AddAction],
+                                         rtNames: Option[(String, String)] = None) = {
+    val scanned0 = DeletionVectors.scanWithPos(spark, log, snap, files,
+      extraDataCols = rtNames.map(RowTracking.materializedFields).getOrElse(Nil))
+    val scanned = rtNames match {
+      case Some(n) => RowTracking.resolveCurrentIdentity(spark, scanned0, files, n)
+      case None => scanned0
+    }
     if (!ColumnMapping.isMapped(snap)) scanned
     else scanned.select((snap.schema.fields.toSeq.map { f =>
       val p = ColumnMapping.physicalFieldName(f)
       scanned.col(s"`$p`").cast(f.dataType).as(f.name)
-    } ++ Seq(scanned.col(DeletionVectors.PathCol),
+    } ++ rtNames.toSeq.flatMap(n =>
+        Seq(scanned.col(s"`${n._1}`"), scanned.col(s"`${n._2}`")))
+      ++ Seq(scanned.col(DeletionVectors.PathCol),
              scanned.col(DeletionVectors.PosCol))): _*)
   }
 }

@@ -112,9 +112,11 @@ final class MergeBuilder private[delta] (
     if (TableConfig.appendOnly(TableConfig.of(snap)) &&
         (matchedClauses.nonEmpty || bySourceClauses.nonEmpty))
       throw new AppendOnlyTableException(path)
-    // row tracking refuses ALL merges — even insert-only ones, whose new
-    // files would need id allocation this path does not wire
-    RowTracking.assertNoRewrite(snap, path, "MERGE")
+    // row tracking: carried-over target rows materialize their identity
+    // into the rewritten files; updated rows materialize the id and null
+    // the version (inheriting this commit's); inserts get fresh ids from
+    // the new files' base ranges
+    val rtState = RowTracking.rewriteState(snap)
     val dt = new DeltaTable(log, snap)
     val mapped = ColumnMapping.isMapped(snap)
     def phys(c: String): String =
@@ -186,8 +188,12 @@ final class MergeBuilder private[delta] (
 
     // 2. full-outer join of affected rows vs source. __t doubles as presence
     // marker and per-target-row id for multiple-match detection.
-    val tAug = Dml.scanSubset(spark, log, snap, affected)
-      .withColumn("__t", monotonically_increasing_id()).alias("t")
+    val tScan = rtState match {
+      case Some((_, names)) =>
+        Dml.scanSubsetWithIdentity(spark, log, snap, affected, names)
+      case None => Dml.scanSubset(spark, log, snap, affected)
+    }
+    val tAug = tScan.withColumn("__t", monotonically_increasing_id()).alias("t")
     val sAug = source.withColumn("__s", lit(true)).alias("s")
     // With CDF on, the change images must come from the SAME execution that
     // produced the rewrite — a re-executed join over a non-deterministic
@@ -292,6 +298,17 @@ final class MergeBuilder private[delta] (
         .otherwise(tCol)
         .cast(f.dataType).as(f.name)
     }
+    // row tracking: target rows keep their id; inserted rows get null (→
+    // fresh from the new file's base range). Updated rows null the
+    // materialized version (→ this commit's, via defaultRowCommitVersion);
+    // carried rows keep theirs.
+    val rtFields: Seq[Column] = rtState.toSeq.flatMap { case (_, (matId, matRcv)) =>
+      Seq(
+        when(!tPresent, lit(null).cast("long"))
+          .otherwise(col(s"t.`$matId`")).as(matId),
+        when(!tPresent || applyUpd || applyBsUpd, lit(null).cast("long"))
+          .otherwise(col(s"t.`$matRcv`")).as(matRcv))
+    }
     // generated columns re-derive from the merged row's NEW source values
     // (unconditional recompute is identity on untouched rows). A column
     // counts as "explicit" (verified instead of recomputed) only when
@@ -311,7 +328,7 @@ final class MergeBuilder private[delta] (
       if (clauseAssignments.isEmpty) Set.empty
       else clauseAssignments.reduce(_ intersect _)
     def projected(df: DataFrame): DataFrame =
-      Constraints.regenerate(df.select(outFields.toSeq: _*), snap,
+      Constraints.regenerate(df.select((outFields.toSeq ++ rtFields): _*), snap,
         explicit = assignedCols)
     val rewritten = projected(joinedObs.filter(outFilter))
 
@@ -320,7 +337,9 @@ final class MergeBuilder private[delta] (
     // field ids under mode=id), exactly like appends and CoW DML
     def stagedDf(df: DataFrame): DataFrame =
       if (mapped) ColumnMapping.toPhysical(df, snap.schema,
-        attachIds = ColumnMapping.mode(snap) == "id")
+        attachIds = ColumnMapping.mode(snap) == "id",
+        passthrough = rtState.map { case (_, (a, b)) => Set(a, b) }
+          .getOrElse(Set.empty))
       else df
     val (adds, observed) =
       try ObservedMetrics.run(spark, metricName) {
@@ -389,16 +408,20 @@ final class MergeBuilder private[delta] (
           col(s"t.`${f.name}`").cast(f.dataType).as(f.name)).toSeq
         val ct = ChangeDataFeed.ChangeType
         // post/insert images go through the SAME projection (incl. the
-        // generated-column recompute) as the committed rewrite
+        // generated-column recompute) as the committed rewrite — then
+        // narrowed to the LOGICAL columns (hidden row-tracking columns
+        // must not leak into change images)
+        def logicalOnly(df: DataFrame) =
+          df.select((snap.schema.fieldNames.map(c => col(s"`$c`")).toSeq :+ col(ct)): _*)
         val changes = Seq(
           joined.filter(applyUpd || applyBsUpd).select(tCols: _*)
             .withColumn(ct, lit("update_preimage")),
-          projected(joined.filter(applyUpd || applyBsUpd))
-            .withColumn(ct, lit("update_postimage")),
+          logicalOnly(projected(joined.filter(applyUpd || applyBsUpd))
+            .withColumn(ct, lit("update_postimage"))),
           joined.filter(applyDel || applyBsDel).select(tCols: _*)
             .withColumn(ct, lit("delete")),
-          projected(joined.filter(isIns))
-            .withColumn(ct, lit("insert"))
+          logicalOnly(projected(joined.filter(isIns))
+            .withColumn(ct, lit("insert")))
         ).reduce(_ unionByName _)
         // change files are at-rest files: physical names on mapped tables
         ChangeDataFeed.stage(spark, log,
@@ -433,7 +456,15 @@ final class MergeBuilder private[delta] (
       extendedFileMetadata = Some(true),
       partitionValues = Some(f.partitionValues), size = Some(f.size))))
     txn.addActions(DeletionVectors.supersededDirTombstones(snap, removes, now))
-    txn.addActions(adds)
+    val finalAdds = rtState match {
+      case Some((rtMd, _)) =>
+        rtMd.foreach(txn.addAction)
+        val (stamped, bump) = RowTracking.assignFreshRowIds(snap, adds)
+        bump.foreach(txn.addAction)
+        stamped
+      case None => adds
+    }
+    txn.addActions(finalAdds)
     txn.addActions(cdcActions)
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", now)

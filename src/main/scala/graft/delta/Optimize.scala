@@ -47,7 +47,10 @@ object Optimize {
     // the SAME at-rest names — the physical-name staging contract
     // (allowNameMapping), so mapped tables get maintenance too
     ProtocolSupport.assertWritable(snap, allowNameMapping = true)
-    RowTracking.assertNoRewrite(snap, path, "OPTIMIZE")
+    // row tracking: a compaction MOVES rows, so their identities (id AND
+    // last-modified version — dataChange=false touches neither) are
+    // materialized into the rewritten files
+    val rtState = RowTracking.rewriteState(snap)
     val mapped = ColumnMapping.isMapped(snap)
     def phys(c: String): String =
       if (mapped) ColumnMapping.physicalName(snap.schema, c) else c
@@ -72,7 +75,11 @@ object Optimize {
     // in few tasks, and stage the rewrite
     // DV-aware read: the rewrite folds deletion vectors in (new files carry
     // no DV tags), physically reclaiming deleted rows
-    val df = Dml.scanSubset(spark, log, snap, oldFiles)
+    val df = rtState match {
+      case Some((_, names)) =>
+        Dml.scanSubsetWithIdentity(spark, log, snap, oldFiles, names)
+      case None => Dml.scanSubset(spark, log, snap, oldFiles)
+    }
     val totalBytes = oldFiles.map(_.size).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val shaped =
@@ -111,7 +118,9 @@ object Optimize {
       }
     val staged =
       if (mapped) ColumnMapping.toPhysical(shaped, snap.schema,
-        attachIds = ColumnMapping.mode(snap) == "id")
+        attachIds = ColumnMapping.mode(snap) == "id",
+        passthrough = rtState.map { case (_, (a, b)) => Set(a, b) }
+          .getOrElse(Set.empty))
       else shaped
 
     val adds = GraftWriter.stageFiles(staged, path, physPartCols)
@@ -124,7 +133,15 @@ object Optimize {
       extendedFileMetadata = Some(true),
       partitionValues = Some(f.partitionValues), size = Some(f.size))))
     txn.addActions(DeletionVectors.supersededDirTombstones(snap, oldFiles, now))
-    txn.addActions(adds)
+    val finalAdds = rtState match {
+      case Some((rtMd, _)) =>
+        rtMd.foreach(txn.addAction)
+        val (stamped, bump) = RowTracking.assignFreshRowIds(snap, adds)
+        bump.foreach(txn.addAction)
+        stamped
+      case None => adds
+    }
+    txn.addActions(finalAdds)
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", now)
     info.put("operation", "OPTIMIZE")
@@ -196,7 +213,8 @@ object Optimize {
     val snap = log.update()
     if (snap.version < 0) throw new NotATableException(path)
     ProtocolSupport.assertWritable(snap, allowNameMapping = true)
-    RowTracking.assertNoRewrite(snap, path, "Z-ORDER")
+    // row tracking: same materialized-identity contract as compact
+    val rtState = RowTracking.rewriteState(snap)
     val mapped = ColumnMapping.isMapped(snap)
     def phys(c: String): String =
       if (mapped) ColumnMapping.physicalName(snap.schema, c) else c
@@ -212,7 +230,11 @@ object Optimize {
     // no DV tags), physically reclaiming deleted rows. scanSubset serves
     // LOGICAL names, so the z-value expressions and the partition-range
     // shuffle below speak the caller's column names on any table.
-    val df = Dml.scanSubset(spark, log, snap, oldFiles)
+    val df = rtState match {
+      case Some((_, names)) =>
+        Dml.scanSubsetWithIdentity(spark, log, snap, oldFiles, names)
+      case None => Dml.scanSubset(spark, log, snap, oldFiles)
+    }
 
     val z = zValue(df, zorderBy, snap.schema)
     val totalBytes = oldFiles.map(_.size).sum
@@ -224,7 +246,9 @@ object Optimize {
       .drop(zc)
     val staged =
       if (mapped) ColumnMapping.toPhysical(shaped, snap.schema,
-        attachIds = ColumnMapping.mode(snap) == "id")
+        attachIds = ColumnMapping.mode(snap) == "id",
+        passthrough = rtState.map { case (_, (a, b)) => Set(a, b) }
+          .getOrElse(Set.empty))
       else shaped
 
     val adds = GraftWriter.stageFiles(staged, path, partCols.map(phys))
@@ -237,7 +261,15 @@ object Optimize {
       extendedFileMetadata = Some(true),
       partitionValues = Some(f.partitionValues), size = Some(f.size))))
     txn.addActions(DeletionVectors.supersededDirTombstones(snap, oldFiles, now))
-    txn.addActions(adds)
+    val finalAdds = rtState match {
+      case Some((rtMd, _)) =>
+        rtMd.foreach(txn.addAction)
+        val (stamped, bump) = RowTracking.assignFreshRowIds(snap, adds)
+        bump.foreach(txn.addAction)
+        stamped
+      case None => adds
+    }
+    txn.addActions(finalAdds)
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", now)
     info.put("operation", "OPTIMIZE")

@@ -2,8 +2,11 @@ package graft.delta
 
 import scala.util.Try
 
-/** Row tracking (Delta `rowTracking` writer feature) — the HONEST SUBSET
-  * graft maintains:
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField}
+
+/** Row tracking (Delta `rowTracking` writer feature).
   *
   *  - every data file carries fresh row ids `[baseRowId, baseRowId +
   *    numRecords)` born at `defaultRowCommitVersion`, allocated from the
@@ -15,13 +18,20 @@ import scala.util.Try
   *  - appends (batch, SQL INSERT, streaming), overwrites (delete+insert
   *    semantics), merge-on-read DV DELETE (file bytes and ids unchanged),
   *    RESTORE and CLONE (actions re-committed verbatim) all preserve the
-  *    contract;
+  *    contract for free;
   *  - operations that MOVE surviving rows to new files — copy-on-write
   *    DELETE/UPDATE, DV UPDATE's transformed copies, MERGE, OPTIMIZE and
-  *    Z-ORDER — would need ids MATERIALIZED into the rewritten files to
-  *    keep them stable; graft does not make that write-amplification
-  *    contract, so they refuse loudly on row-tracking tables instead of
-  *    silently reassigning identities.
+  *    Z-ORDER — MATERIALIZE each surviving row's identity into the
+  *    rewritten files, per the spec's materialized-column contract: two
+  *    hidden physical parquet columns (names recorded in the table
+  *    configuration under [[MatRowIdKey]]/[[MatRcvKey]], never part of
+  *    the logical schema) carry the row id and last-modified commit
+  *    version. A reader resolves `row_id = coalesce(materialized,
+  *    baseRowId + row_index)` and `row_commit_version =
+  *    coalesce(materialized, defaultRowCommitVersion)` — so unmodified
+  *    moved rows materialize BOTH, while modified rows (UPDATE/MERGE
+  *    update) materialize the id and leave the version null, inheriting
+  *    the rewriting commit's version through the new file's default.
   *
   * Concurrency: two appends racing the same high-water mark both carry a
   * `delta.rowTracking` domain bump, and same-domain concurrent writes
@@ -72,12 +82,93 @@ object RowTracking {
     (stamped, Some(domainBump(next - 1)))
   }
 
-  /** Loud refusal for operations that would reassign row identities. */
-  def assertNoRewrite(snap: Snapshot, path: String, op: String): Unit =
-    if (enabled(snap))
-      throw new UnsupportedProtocolException(
-        s"unsupported Delta table: $op on $path would move surviving rows " +
-        "to new files, and graft does not materialize row ids into " +
-        "rewritten files (rowTracking) — merge-on-read DV DELETE and " +
-        "appends are supported")
+  // ------------------------------------------------- materialized columns
+
+  /** Table-configuration keys recording the PHYSICAL names of the hidden
+    * materialized columns (delta-spark's keys, so foreign readers resolve
+    * graft-rewritten files and vice versa). */
+  val MatRowIdKey = "delta.rowTracking.materializedRowIdColumnName"
+  val MatRcvKey = "delta.rowTracking.materializedRowCommitVersionColumnName"
+
+  /** The materialized column names, when already assigned. */
+  def materializedCols(snap: Snapshot): Option[(String, String)] =
+    for {
+      md <- snap.metadata
+      id <- md.configuration.get(MatRowIdKey)
+      rcv <- md.configuration.get(MatRcvKey)
+    } yield (id, rcv)
+
+  /** Names for this rewrite — assigning fresh `_row-id-col-<uuid>` names
+    * (delta-spark's shape) when the table has none yet. Returns the
+    * metaData action that records them (to commit WITH the rewrite) or
+    * None when already recorded. */
+  def ensureMaterializedCols(snap: Snapshot): (Option[MetaDataAction], (String, String)) =
+    materializedCols(snap) match {
+      case Some(names) => (None, names)
+      case None =>
+        val md = snap.metadata.getOrElse(throw new IllegalStateException(
+          "row-tracking table without metaData"))
+        val id = s"_row-id-col-${java.util.UUID.randomUUID()}"
+        val rcv = s"_row-commit-version-col-${java.util.UUID.randomUUID()}"
+        (Some(md.copy(configuration = md.configuration +
+          (MatRowIdKey -> id) + (MatRcvKey -> rcv))), (id, rcv))
+    }
+
+  /** The two hidden columns as read-schema fields (files written before
+    * materialization serve nulls). */
+  def materializedFields(names: (String, String)): Seq[StructField] =
+    Seq(StructField(names._1, LongType), StructField(names._2, LongType))
+
+  /** Rewrite-path state bundle: Some((metaData action recording fresh
+    * materialized names — when not yet recorded — to commit WITH the
+    * rewrite, names)) on row-tracking tables, None otherwise. */
+  def rewriteState(snap: Snapshot): Option[(Option[MetaDataAction], (String, String))] =
+    if (enabled(snap)) Some(ensureMaterializedCols(snap)) else None
+
+  /** Per-row CURRENT identity of a scan that exposes the materialized
+    * columns plus [[DeletionVectors.PathCol]]/[[DeletionVectors.PosCol]]:
+    * resolves `coalesce(materialized, fresh)` against the scanned files'
+    * `baseRowId`/`defaultRowCommitVersion` via a broadcast lookup (the
+    * file list is the rewrite's own driver-side subset). Returns the frame
+    * with the materialized columns REPLACED by the resolved values — the
+    * shape a rewrite stages back out, preserving every identity. */
+  def resolveCurrentIdentity(spark: SparkSession, scanned: DataFrame,
+                             files: Seq[AddAction],
+                             names: (String, String)): DataFrame = {
+    import spark.implicits._
+    val (matId, matRcv) = names
+    val info = files.map(a => (a.path,
+        a.baseRowId.map(Long.box).orNull,
+        a.defaultRowCommitVersion.map(Long.box).orNull))
+      .toDF("__rt_path", "__rt_base", "__rt_dcv")
+    val joined = scanned.join(broadcast(info),
+      scanned(DeletionVectors.PathCol) === col("__rt_path"), "left")
+    joined
+      .withColumn(matId,
+        coalesce(joined(s"`$matId`"),
+          col("__rt_base") + joined(DeletionVectors.PosCol)))
+      .withColumn(matRcv,
+        coalesce(joined(s"`$matRcv`"), col("__rt_dcv")))
+      .drop("__rt_path", "__rt_base", "__rt_dcv")
+  }
+
+  /** A full-table scan serving the LOGICAL columns plus each row's
+    * resolved identity as `_row_id` / `_row_commit_version` — the read
+    * side of the contract (what a consumer audits identities with). */
+  def scanWithRowIds(spark: SparkSession, log: DeltaLog,
+                     snap: Snapshot): DataFrame = {
+    val names = materializedCols(snap).getOrElse(("__rt_no_mat_id", "__rt_no_mat_rcv"))
+    val scanned = DeletionVectors.scanWithPos(spark, log, snap, snap.files,
+      extraDataCols = materializedFields(names))
+    val resolved = resolveCurrentIdentity(spark, scanned, snap.files, names)
+    val logical = snap.schema.fields.toSeq.map { f =>
+      if (ColumnMapping.isMapped(snap)) {
+        val p = ColumnMapping.physicalFieldName(f)
+        resolved.col(s"`$p`").cast(f.dataType).as(f.name)
+      } else resolved.col(s"`${f.name}`")
+    }
+    resolved.select(logical ++ Seq(
+      resolved.col(s"`${names._1}`").as("_row_id"),
+      resolved.col(s"`${names._2}`").as("_row_commit_version")): _*)
+  }
 }

@@ -462,6 +462,48 @@ object DeltaQueries {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     },
 
+    // Row tracking across ROW-MOVING rewrites (round 10): identities are
+    // MATERIALIZED into rewritten files. Lifecycle: create with
+    // rowTracking, append, OPTIMIZE (every row keeps id AND version),
+    // CoW UPDATE (ids kept; only touched rows advance to the update
+    // commit's version), CoW DELETE (survivors undisturbed), serve. The
+    // require()s pin the identity invariants row-by-row against the
+    // pre-rewrite capture; the oracle pins the served rows.
+    "q68_rt_rewrite" -> { (s, dir) =>
+      val t = freshDir("rtrewrite")
+      GraftWriter.write(li(s, dir).filter(col("l_orderkey") < 700)
+        .repartition(3), t,
+        configuration = Some(Map(TableConfig.EnableRowTracking -> "true")))
+      GraftWriter.write(li(s, dir)
+        .filter(col("l_orderkey") >= 700 && col("l_orderkey") < 1000)
+        .repartition(2), t, SaveMode.Append)
+      def ids(): Map[String, (Long, Long)] =
+        DeltaTable.forPath(s, t).withRowIds
+          .select(concat_ws("|", col("l_orderkey"), col("l_linenumber")).as("k"),
+            col("_row_id"), col("_row_commit_version"))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val before = ids()
+      require(before.values.map(_._1).toSet.size == before.size,
+        "row ids must be unique before the rewrites")
+      Optimize.compact(s, t)
+      require(ids() == before, "OPTIMIZE changed a row identity or version")
+      val mu = Dml.update(s, t, col("l_quantity") > 48,
+        Map("l_returnflag" -> lit("Z")))
+      val afterU = ids()
+      require(afterU.view.mapValues(_._1).toMap ==
+        before.view.mapValues(_._1).toMap, "CoW UPDATE changed a row id")
+      require(afterU.forall { case (k, (_, v)) =>
+        v == before(k)._2 || v == mu.version },
+        "a row carries a version no commit produced")
+      Dml.delete(s, t, col("l_orderkey") >= 900)
+      val afterD = ids()
+      afterD.foreach { case (k, idv) =>
+        require(idv == afterU(k), s"CoW DELETE disturbed surviving row $k")
+      }
+      DeltaTable.forPath(s, t).toDF
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    },
+
     // stats-based file skipping (D4): two disjoint-range commits; the
     // predicate-matching read must prune to one file set via Add.stats
     // before Spark lists anything.
@@ -536,6 +578,11 @@ object DeltaQueries {
       s"""SELECT $cols FROM lineitem
          |WHERE l_orderkey < 1300 AND NOT (l_quantity > 48)
          |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
+    "q68_rt_rewrite" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |CASE WHEN l_quantity > 48 THEN 'Z' ELSE l_returnflag END AS l_returnflag
+        |FROM lineitem WHERE l_orderkey < 900
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
     "q65_column_mapping" ->
       """SELECT l_orderkey, l_linenumber,
         |CAST(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity + 200 ELSE l_quantity END

@@ -5,11 +5,12 @@ import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Row tracking (`rowTracking` writer feature), the maintained subset:
-  * fresh files get id ranges from the `delta.rowTracking` high-water mark
-  * (bumped in the same commit), `defaultRowCommitVersion` stamps at the
-  * landing version, DV DELETE preserves identities, rewriting ops refuse
-  * loudly. */
+/** Row tracking (`rowTracking` writer feature): fresh files get id ranges
+  * from the `delta.rowTracking` high-water mark (bumped in the same
+  * commit), `defaultRowCommitVersion` stamps at the landing version, DV
+  * DELETE preserves identities for free, and row-moving rewrites
+  * (OPTIMIZE/Z-ORDER/CoW DML/DV UPDATE/MERGE) MATERIALIZE each surviving
+  * row's identity into the rewritten files. */
 class RowTrackingSpec extends AnyFunSuite with SparkTestBase {
   import LogFixtures.tempTable
   import spark.implicits._
@@ -19,6 +20,12 @@ class RowTrackingSpec extends AnyFunSuite with SparkTestBase {
       Map(TableConfig.EnableRowTracking -> "true"))
 
   private def snap(dir: String): Snapshot = DeltaLog.forPath(spark, dir).update()
+
+  /** business key `id` → (row_id, row_commit_version). */
+  private def identityMap(dir: String): Map[Long, (Long, Long)] =
+    DeltaTable.forPath(spark, dir).withRowIds
+      .select(col("id"), col("_row_id"), col("_row_commit_version"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
 
   test("enabling declares rowTracking + domainMetadata; appends allocate disjoint ranges") {
     val dir = tempTable("rt-alloc").toString
@@ -83,7 +90,7 @@ class RowTrackingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("DV DELETE preserves identities; rewriting ops refuse loudly") {
+  test("DV DELETE preserves identities (file bytes unchanged)") {
     val dir = tempTable("rt-dml").toString
     GraftWriter.write((0 until 10).map(i => (i.toLong, "x")).toDF("id", "v"), dir)
     enableRt(dir)
@@ -100,18 +107,105 @@ class RowTrackingSpec extends AnyFunSuite with SparkTestBase {
       assert(after.files.find(_.path == p).flatMap(_.baseRowId).contains(b))
     }
     assert(DeltaTable.forPath(spark, dir).toDF.count() == 19)
+  }
 
-    // CoW rewrite refuses
-    DeltaTable.forPath(spark, dir).setProperties(
-      Map(TableConfig.EnableDeletionVectors -> "false"))
-    val e1 = intercept[UnsupportedProtocolException](
-      Dml.update(spark, dir, col("id") === 1L, Map("v" -> lit("z"))))
-    assert(e1.getMessage.contains("rowTracking"))
-    intercept[UnsupportedProtocolException](Optimize.compact(spark, dir))
-    intercept[UnsupportedProtocolException](
-      Merge.into(spark, dir, Seq((1L, "m")).toDF("id", "v"),
+  test("OPTIMIZE and Z-ORDER materialize identities: every row keeps id AND version") {
+    val dir = tempTable("rt-optimize").toString
+    GraftWriter.write((0 until 10).map(i => (i.toLong, "x")).toDF("id", "v")
+      .repartition(3), dir, configuration = Some(
+        Map(TableConfig.EnableRowTracking -> "true")))
+    GraftWriter.write((10 until 20).map(i => (i.toLong, "y")).toDF("id", "v")
+      .repartition(2), dir, SaveMode.Append)
+    val before = identityMap(dir)
+    assert(before.size == 20 && before.values.map(_._1).toSet.size == 20,
+      "fresh ids must be distinct before the rewrite")
+
+    val m = Optimize.compact(spark, dir)
+    assert(m.filesRemoved == 5)
+    val s = snap(dir)
+    // materialized column names recorded in the table configuration
+    assert(RowTracking.materializedCols(s).isDefined)
+    // every rewritten file still carries a fresh base range beyond the mark
+    assert(s.files.forall(_.baseRowId.isDefined))
+    assert(identityMap(dir) == before,
+      "compaction changed a row identity or last-modified version")
+
+    Optimize.zorder(spark, dir, Seq("v"))
+    assert(identityMap(dir) == before,
+      "z-order changed a row identity or last-modified version")
+
+    // a SECOND rewrite must read the already-materialized values back
+    Optimize.compact(spark, dir)
+    assert(identityMap(dir) == before)
+  }
+
+  test("CoW UPDATE/DELETE keep ids; only touched rows advance their version") {
+    val dir = tempTable("rt-cow").toString
+    GraftWriter.write((0 until 10).map(i => (i.toLong, "x")).toDF("id", "v"), dir,
+      configuration = Some(Map(TableConfig.EnableRowTracking -> "true")))
+    val before = identityMap(dir)
+
+    val mu = Dml.update(spark, dir, col("id") === 3L, Map("v" -> lit("z")))
+    assert(mu.rowsAffected == 1)
+    val afterU = identityMap(dir)
+    assert(afterU.view.mapValues(_._1).toMap == before.view.mapValues(_._1).toMap,
+      "CoW UPDATE must keep every row id")
+    assert(afterU(3L)._2 == mu.version,
+      s"updated row's version must be the update commit (${afterU(3L)._2} != ${mu.version})")
+    (before.keySet - 3L).foreach { k =>
+      assert(afterU(k)._2 == before(k)._2, s"untouched row $k advanced its version")
+    }
+
+    val md = Dml.delete(spark, dir, col("id") === 7L)
+    val afterD = identityMap(dir)
+    assert(!afterD.contains(7L))
+    (afterU.keySet - 7L).foreach { k =>
+      assert(afterD(k) == afterU(k), s"DELETE disturbed surviving row $k")
+    }
+    assert(md.rowsAffected == 1)
+  }
+
+  test("DV UPDATE moves transformed copies WITH their ids") {
+    val dir = tempTable("rt-dvupd").toString
+    GraftWriter.write((0 until 10).map(i => (i.toLong, "x")).toDF("id", "v"), dir,
+      configuration = Some(Map(
+        TableConfig.EnableRowTracking -> "true",
+        TableConfig.EnableDeletionVectors -> "true")))
+    val before = identityMap(dir)
+    val m = Dml.update(spark, dir, col("id") === 4L, Map("v" -> lit("moved")))
+    assert(m.rowsAffected == 1)
+    val after = identityMap(dir)
+    assert(after.view.mapValues(_._1).toMap == before.view.mapValues(_._1).toMap,
+      "DV UPDATE must keep every row id")
+    assert(after(4L)._2 == m.version)
+    (before.keySet - 4L).foreach(k => assert(after(k)._2 == before(k)._2))
+    assert(DeltaTable.forPath(spark, dir).toDF
+      .filter(col("v") === "moved").count() == 1)
+  }
+
+  test("MERGE keeps target ids, advances updated versions, allocates fresh insert ids") {
+    val dir = tempTable("rt-merge").toString
+    GraftWriter.write((0 until 10).map(i => (i.toLong, "x")).toDF("id", "v"), dir,
+      configuration = Some(Map(TableConfig.EnableRowTracking -> "true")))
+    val before = identityMap(dir)
+    val markBefore = RowTracking.highWaterMark(snap(dir))
+
+    val m = Merge.into(spark, dir,
+        Seq((1L, "upd"), (99L, "new")).toDF("id", "v"),
         col("t.id") === col("s.id"))
-        .whenMatchedUpdate(Map("v" -> col("s.v"))).execute())
+      .whenMatchedUpdate(Map("v" -> col("s.v")))
+      .whenNotMatchedInsertAll()
+      .execute()
+    assert(m.rowsUpdated == 1 && m.rowsInserted == 1)
+    val after = identityMap(dir)
+    before.keySet.foreach { k =>
+      assert(after(k)._1 == before(k)._1, s"merge changed row $k's id")
+    }
+    assert(after(1L)._2 == m.version, "updated row must carry the merge version")
+    (before.keySet - 1L).foreach(k => assert(after(k)._2 == before(k)._2))
+    assert(after(99L)._1 > markBefore, "inserted row needs a FRESH id beyond the old mark")
+    assert(after(99L)._2 == m.version)
+    assert(after.values.map(_._1).toSet.size == after.size, "row ids must stay unique")
   }
 
   test("a table BORN with delta.enableRowTracking allocates ids for its version-0 files") {
