@@ -49,6 +49,14 @@ final class MergeBuilder private[delta] (
   private val bySourceClauses = scala.collection.mutable.Buffer[MatchedClause]()
   private val insertClauses =
     scala.collection.mutable.Buffer[(Column, Option[Map[String, Column]])]()
+  private var schemaEvolution = false
+
+  /** Evolve the target schema with source-only columns before applying
+    * clauses (delta-spark's `withSchemaEvolution`): new columns append
+    * nullable, existing rows serve null for them, and clauses may assign
+    * them. Shared columns must keep their type (same contract as
+    * `mergeSchema` on append). */
+  def withSchemaEvolution(): MergeBuilder = { schemaEvolution = true; this }
 
   def whenMatchedUpdate(set: Map[String, Column]): MergeBuilder =
     whenMatchedUpdate(lit(true), set)
@@ -122,7 +130,18 @@ final class MergeBuilder private[delta] (
     def phys(c: String): String =
       if (mapped) ColumnMapping.physicalName(snap.schema, c) else c
 
-    val fieldNames = snap.schema.fieldNames.toSet
+    // schema evolution: source-only columns append (nullable) through the
+    // same core as the batch writer's mergeSchema (mapped tables allocate
+    // physical names + ids inside evolveSchema); the evolved metaData
+    // commits WITH the merge, and old rows serve null for new columns
+    val evolvedMd: Option[MetaDataAction] =
+      if (schemaEvolution) GraftWriter.evolveSchema(snap, source.schema)
+      else None
+    val mergedSchema = evolvedMd
+      .map(m => DeltaSchema.fromJson(m.schemaString)).getOrElse(snap.schema)
+    val newCols = mergedSchema.fieldNames.toSet -- snap.schema.fieldNames
+
+    val fieldNames = mergedSchema.fieldNames.toSet
     (matchedClauses ++ bySourceClauses).foreach {
       case MatchedUpdate(_, set) =>
         val bad = set.keys.filterNot(fieldNames.contains)
@@ -134,7 +153,7 @@ final class MergeBuilder private[delta] (
         val bad = vs.keys.filterNot(fieldNames.contains)
         require(bad.isEmpty, s"insert sets unknown columns: ${bad.mkString(",")}")
       case (_, None) =>
-        val missing = snap.schema.fieldNames.filterNot(source.columns.contains)
+        val missing = mergedSchema.fieldNames.filterNot(source.columns.contains)
         if (missing.nonEmpty) throw new SchemaMismatchException(
           s"insertAll: source lacks target columns ${missing.mkString(",")}")
     }
@@ -277,9 +296,15 @@ final class MergeBuilder private[delta] (
     val rewriteFiles = matchedClauses.nonEmpty || bySourceClauses.nonEmpty
     val outFilter =
       if (rewriteFiles) (tPresent && !applyDel && !applyBsDel) || isIns else isIns
-    val outFields = snap.schema.fields.map { f =>
-      val tCol = col(s"t.`${f.name}`")
-      val sCol = col(s"s.`${f.name}`")
+    val outFields = mergedSchema.fields.map { f =>
+      // evolved columns: existing target rows have no such column — their
+      // pre-merge value is null by definition
+      val tCol: Column =
+        if (newCols.contains(f.name)) lit(null).cast(f.dataType)
+        else col(s"t.`${f.name}`")
+      val sCol: Column =
+        if (source.columns.contains(f.name)) col(s"s.`${f.name}`")
+        else lit(null).cast(f.dataType)
       val insV: Column = insertClauses.toSeq.zip(insEffs).foldRight(lit(null): Column) {
         case (((_, values), eff), acc) =>
           val v = values match {
@@ -336,7 +361,7 @@ final class MergeBuilder private[delta] (
     // mapped tables: the rewrite stages under at-rest names (and footer
     // field ids under mode=id), exactly like appends and CoW DML
     def stagedDf(df: DataFrame): DataFrame =
-      if (mapped) ColumnMapping.toPhysical(df, snap.schema,
+      if (mapped) ColumnMapping.toPhysical(df, mergedSchema,
         attachIds = ColumnMapping.mode(snap) == "id",
         passthrough = rtState.map { case (_, (a, b)) => Set(a, b) }
           .getOrElse(Set.empty))
@@ -404,15 +429,18 @@ final class MergeBuilder private[delta] (
     val cdcActions =
       if (!cdfOn) Nil
       else try {
-        val tCols = snap.schema.fields.map(f =>
-          col(s"t.`${f.name}`").cast(f.dataType).as(f.name)).toSeq
+        // pre-images serve the EVOLVED schema too (one schema per commit's
+        // change feed); old rows carry null for new columns
+        val tCols = mergedSchema.fields.map(f =>
+          (if (newCols.contains(f.name)) lit(null).cast(f.dataType)
+           else col(s"t.`${f.name}`").cast(f.dataType)).as(f.name)).toSeq
         val ct = ChangeDataFeed.ChangeType
         // post/insert images go through the SAME projection (incl. the
         // generated-column recompute) as the committed rewrite — then
         // narrowed to the LOGICAL columns (hidden row-tracking columns
         // must not leak into change images)
         def logicalOnly(df: DataFrame) =
-          df.select((snap.schema.fieldNames.map(c => col(s"`$c`")).toSeq :+ col(ct)): _*)
+          df.select((mergedSchema.fieldNames.map(c => col(s"`$c`")).toSeq :+ col(ct)): _*)
         val changes = Seq(
           joined.filter(applyUpd || applyBsUpd).select(tCols: _*)
             .withColumn(ct, lit("update_preimage")),
@@ -456,9 +484,29 @@ final class MergeBuilder private[delta] (
       extendedFileMetadata = Some(true),
       partitionValues = Some(f.partitionValues), size = Some(f.size))))
     txn.addActions(DeletionVectors.supersededDirTombstones(snap, removes, now))
+    // at-most-one metaData per commit: when the merge both evolves the
+    // schema and first-materializes row tracking, fold the two config
+    // additions into a single action
+    val rtMdOpt = rtState.flatMap(_._1)
+    val mdToCommit: Option[MetaDataAction] = (evolvedMd, rtMdOpt) match {
+      case (Some(e), Some(r)) => Some(e.copy(configuration = e.configuration +
+        (RowTracking.MatRowIdKey -> r.configuration(RowTracking.MatRowIdKey)) +
+        (RowTracking.MatRcvKey -> r.configuration(RowTracking.MatRcvKey))))
+      case (Some(e), None) => Some(e)
+      case (None, r) => r
+    }
+    mdToCommit.foreach(txn.addAction)
+    // schema/config arriving via evolution may raise the protocol floor
+    // (variant or timestampNtz columns) — same fence as the batch writer
+    evolvedMd.foreach { md =>
+      val protoBase = ProtocolAction(snap.minReaderVersion, snap.minWriterVersion,
+        snap.readerFeatures, snap.writerFeatures)
+      val fenced = ProtocolSupport.configFences(md.configuration, protoBase,
+        Some(DeltaSchema.fromJson(md.schemaString)))
+      if (fenced != protoBase) txn.addAction(fenced)
+    }
     val finalAdds = rtState match {
-      case Some((rtMd, _)) =>
-        rtMd.foreach(txn.addAction)
+      case Some(_) =>
         val (stamped, bump) = RowTracking.assignFreshRowIds(snap, adds)
         bump.foreach(txn.addAction)
         stamped

@@ -504,6 +504,37 @@ object DeltaQueries {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     },
 
+    // MERGE with schema evolution (round 10): the source carries a column
+    // the target lacks; withSchemaEvolution appends it (nullable), matched
+    // rows update INTO it, unmatched source rows insert with it, and
+    // pre-existing rows serve null. delta-spark's withSchemaEvolution
+    // semantics, oracle-checked row-for-row.
+    "q69_merge_evolve" -> { (s, dir) =>
+      val t = freshDir("mergeevolve")
+      // orders: o_orderkey is unique (lineitem's compound key is not, in
+      // this corpus) — merge needs at-most-one source match per target row
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      GraftWriter.write(orders.filter(col("o_orderkey") < 800), t)
+      val src = orders
+        .filter(col("o_orderkey") >= 600 && col("o_orderkey") < 1000)
+        .withColumn("src_flag", lit("S"))
+      val m = Merge.into(s, t, src,
+          col("t.o_orderkey") === col("s.o_orderkey"))
+        .withSchemaEvolution()
+        .whenMatchedUpdate(Map(
+          "o_custkey" -> (col("s.o_custkey") + lit(100000L)),
+          "src_flag" -> col("s.src_flag")))
+        .whenNotMatchedInsertAll()
+        .execute()
+      require(m.rowsUpdated > 0 && m.rowsInserted > 0,
+        "the evolution merge must both update and insert")
+      DeltaTable.forPath(s, t).toDF
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("src_flag"))
+        .orderBy("o_orderkey")
+    },
+
     // stats-based file skipping (D4): two disjoint-range commits; the
     // predicate-matching read must prune to one file set via Add.stats
     // before Spark lists anything.
@@ -583,6 +614,14 @@ object DeltaQueries {
         |CASE WHEN l_quantity > 48 THEN 'Z' ELSE l_returnflag END AS l_returnflag
         |FROM lineitem WHERE l_orderkey < 900
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
+    "q69_merge_evolve" ->
+      """SELECT o_orderkey,
+        |CASE WHEN o_orderkey >= 600 AND o_orderkey < 800
+        |  THEN o_custkey + 100000 ELSE o_custkey END AS o_custkey,
+        |o_orderstatus,
+        |CASE WHEN o_orderkey >= 600 THEN 'S' ELSE NULL END AS src_flag
+        |FROM orders WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey""".stripMargin,
     "q65_column_mapping" ->
       """SELECT l_orderkey, l_linenumber,
         |CAST(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity + 200 ELSE l_quantity END

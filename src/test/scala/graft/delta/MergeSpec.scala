@@ -157,4 +157,108 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     assert(dt.toDF.filter(col("p") === 9).select("id").as[Long].collect().toSet
       == Set(3L, 100L))
   }
+
+  test("withSchemaEvolution appends source-only columns; old rows serve null") {
+    val dir = tempTable("merge-evolve").toString
+    GraftWriter.write((0 until 6).map(i => (i.toLong, i * 1.0)).toDF("id", "v"), dir)
+    val src = Seq((2L, 200.0, "m2"), (9L, 9.0, "m9")).toDF("id", "v", "extra")
+
+    // without evolution, assigning the new column refuses (unchanged)
+    intercept[IllegalArgumentException] {
+      Merge.into(spark, dir, src, col("t.id") === col("s.id"))
+        .whenMatchedUpdate(Map("extra" -> col("s.extra"))).execute()
+    }
+
+    val m = Merge.into(spark, dir, src, col("t.id") === col("s.id"))
+      .withSchemaEvolution()
+      .whenMatchedUpdate(Map("v" -> col("s.v"), "extra" -> col("s.extra")))
+      .whenNotMatchedInsertAll()
+      .execute()
+    assert(m.rowsUpdated == 1 && m.rowsInserted == 1)
+
+    val s = DeltaLog.forPath(spark, dir).update()
+    assert(s.schema.fieldNames.contains("extra"))
+    assert(s.schema("extra").nullable)
+    val rows = DeltaTable.forPath(spark, dir).toDF.orderBy("id")
+      .select("id", "v", "extra").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSeq
+    assert(rows.size == 7)
+    assert(rows.find(_._1 == 2L).get == ((2L, 200.0, Some("m2"))))
+    assert(rows.find(_._1 == 9L).get == ((9L, 9.0, Some("m9"))))
+    assert(rows.find(_._1 == 3L).get == ((3L, 3.0, None)), "old rows null-fill")
+  }
+
+  test("withSchemaEvolution refuses a shared-column type conflict") {
+    val dir = tempTable("merge-evolve-conflict").toString
+    GraftWriter.write(Seq((1L, 1.0)).toDF("id", "v"), dir)
+    val src = Seq((1L, "not-a-double")).toDF("id", "v")
+    intercept[SchemaMismatchException] {
+      Merge.into(spark, dir, src, col("t.id") === col("s.id"))
+        .withSchemaEvolution()
+        .whenMatchedUpdate(Map("v" -> col("s.v"))).execute()
+    }
+  }
+
+  test("withSchemaEvolution on a column-mapped table allocates physical names") {
+    val dir = tempTable("merge-evolve-mapped").toString
+    GraftWriter.write((0 until 4).map(i => (i.toLong, s"v$i")).toDF("id", "v"), dir)
+    ColumnMappingDdl.enableNameMapping(spark, dir)
+    val src = Seq((1L, "upd", 77L), (50L, "new", 99L)).toDF("id", "v", "score")
+    val m = Merge.into(spark, dir, src, col("t.id") === col("s.id"))
+      .withSchemaEvolution()
+      .whenMatchedUpdate(Map("v" -> col("s.v"), "score" -> col("s.score")))
+      .whenNotMatchedInsertAll()
+      .execute()
+    assert(m.rowsUpdated == 1 && m.rowsInserted == 1)
+    val s = DeltaLog.forPath(spark, dir).update()
+    val f = s.schema("score")
+    assert(ColumnMapping.physicalFieldName(f) != "score",
+      "evolved column on a mapped table needs a fresh physical name")
+    val got = DeltaTable.forPath(spark, dir).toDF.orderBy("id")
+      .select("id", "score").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(got == Seq((0L, -1L), (1L, 77L), (2L, -1L), (3L, -1L), (50L, 99L)))
+  }
+
+  test("withSchemaEvolution + CDF: change images serve the evolved schema") {
+    val dir = tempTable("merge-evolve-cdf").toString
+    GraftWriter.write((0 until 4).map(i => (i.toLong, i * 1.0)).toDF("id", "v"), dir,
+      configuration = Some(Map(TableConfig.EnableChangeDataFeed -> "true")))
+    val src = Seq((1L, 100.0, "x")).toDF("id", "v", "tag")
+    val m = Merge.into(spark, dir, src, col("t.id") === col("s.id"))
+      .withSchemaEvolution()
+      .whenMatchedUpdate(Map("v" -> col("s.v"), "tag" -> col("s.tag")))
+      .execute()
+    assert(m.rowsUpdated == 1)
+    val ch = DeltaTable.forPath(spark, dir)
+      .changes(m.version - 1, m.version)
+      .filter(col("_change_type").isin("update_preimage", "update_postimage"))
+      .select("id", "tag", "_change_type").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2))).toSet
+    assert(ch == Set((1L, None, "update_preimage"), (1L, Some("x"), "update_postimage")))
+  }
+
+  test("withSchemaEvolution + row tracking: one metaData action, ids preserved") {
+    val dir = tempTable("merge-evolve-rt").toString
+    GraftWriter.write((0 until 5).map(i => (i.toLong, i * 1.0)).toDF("id", "v"), dir,
+      configuration = Some(Map(TableConfig.EnableRowTracking -> "true")))
+    def ids() = DeltaTable.forPath(spark, dir).withRowIds
+      .select(col("id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = ids()
+    val src = Seq((1L, 100.0, "x"), (50L, 50.0, "y")).toDF("id", "v", "tag")
+    val m = Merge.into(spark, dir, src, col("t.id") === col("s.id"))
+      .withSchemaEvolution()
+      .whenMatchedUpdate(Map("v" -> col("s.v"), "tag" -> col("s.tag")))
+      .whenNotMatchedInsertAll()
+      .execute()
+    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+        dir, "_delta_log", f"${m.version}%020d.json"))).asScala
+    assert(lines.count(_.contains("\"metaData\"")) == 1,
+      "evolution + first materialization must fold into ONE metaData action")
+    val after = ids()
+    before.keySet.foreach(k => assert(after(k) == before(k), s"row $k id changed"))
+    assert(DeltaLog.forPath(spark, dir).update().schema.fieldNames.contains("tag"))
+  }
 }
