@@ -337,4 +337,74 @@ class ChangeDataFeedSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e.getMessage.contains("change data"))
   }
+
+  test("foreign-written CDF (hand-authored cdc actions + _change_data files) serves") {
+    // the fixture is built the way delta-spark lays a CDF table out: raw
+    // commit JSON with a `cdc` action per change file, images under
+    // `_change_data/` with `_change_type` but NO version column (the
+    // reader attaches `_commit_version` from the referencing commit)
+    val dirP = tempTable("cdf-foreign")
+    val dir = dirP.toString
+    def onePart(df: org.apache.spark.sql.DataFrame,
+                dst: java.nio.file.Path): Long = {
+      val tmp = java.nio.file.Files.createTempDirectory("cdf-fx-")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+      java.nio.file.Files.size(dst)
+    }
+    val schemaStr =
+      """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"v\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
+    val md =
+      s"""{"metaData":{"id":"aaaaaaaa-0000-4000-8000-000000000001","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":1}}"""
+    val s0 = onePart(Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("id", "v"),
+      dirP.resolve("part-00000-foreign.snappy.parquet"))
+    LogFixtures.writeCommit(dirP, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""", md,
+      s"""{"add":{"path":"part-00000-foreign.snappy.parquet","partitionValues":{},"size":$s0,"modificationTime":2,"dataChange":true}}"""))
+
+    // foreign UPDATE v1: id=1 b→B, rewrite + change images
+    val s1 = onePart(Seq((0L, "a"), (1L, "B"), (2L, "c")).toDF("id", "v"),
+      dirP.resolve("part-00001-foreign.snappy.parquet"))
+    val c1 = onePart(
+      Seq((1L, "b", "update_preimage"), (1L, "B", "update_postimage"))
+        .toDF("id", "v", "_change_type"),
+      dirP.resolve("_change_data/cdc-00000-foreign.c000.snappy.parquet"))
+    LogFixtures.writeCommit(dirP, 1, Seq(
+      """{"remove":{"path":"part-00000-foreign.snappy.parquet","deletionTimestamp":3,"dataChange":true}}""",
+      s"""{"add":{"path":"part-00001-foreign.snappy.parquet","partitionValues":{},"size":$s1,"modificationTime":4,"dataChange":true}}""",
+      s"""{"cdc":{"path":"_change_data/cdc-00000-foreign.c000.snappy.parquet","partitionValues":{},"size":$c1,"dataChange":false}}"""))
+
+    // batch API serves exactly the foreign images with the commit version
+    val ch = DeltaTable.forPath(spark, dir).changes(0, 1)
+      .select("id", "v", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(ch == Set((1L, "b", "update_preimage", 1L),
+      (1L, "B", "update_postimage", 1L)))
+
+    // the TVF path too
+    val viaSql = spark.sql(
+      s"SELECT id, v, _change_type FROM graft_table_changes('$dir', 0, 1)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(viaSql == Set((1L, "b", "update_preimage"), (1L, "B", "update_postimage")))
+
+    // the rewrite itself must NOT trip the no-change-data refusal, and the
+    // current state reads through
+    assert(DeltaTable.forPath(spark, dir).toDF.orderBy("id")
+      .as[(Long, String)].collect().toSeq == Seq((0L, "a"), (1L, "B"), (2L, "c")))
+
+    // append-only v2 (no cdc file, delta-spark writes none): adds serve
+    // as insert images alongside the foreign cdc version
+    val s2 = onePart(Seq((9L, "z")).toDF("id", "v"),
+      dirP.resolve("part-00002-foreign.snappy.parquet"))
+    LogFixtures.writeCommit(dirP, 2, Seq(
+      s"""{"add":{"path":"part-00002-foreign.snappy.parquet","partitionValues":{},"size":$s2,"modificationTime":5,"dataChange":true}}"""))
+    val full = DeltaTable.forPath(spark, dir).changes(0, 2)
+      .select("id", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(full == Set((1L, "update_preimage", 1L), (1L, "update_postimage", 1L),
+      (9L, "insert", 2L)))
+  }
 }
