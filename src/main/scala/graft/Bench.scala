@@ -16,6 +16,29 @@ object Bench {
   private def materialize(df: DataFrame): Unit =
     df.queryExecution.toRdd.foreach(_ => ())
 
+  /** Compact one-line error description for the bench JSON. */
+  private[graft] def describe(e: Throwable): String = {
+    val m = Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(160)
+    s"${e.getClass.getSimpleName}: $m"
+  }
+
+  /** JSON string-escape (quotes, backslashes, control chars). */
+  private[graft] def escape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Time one query run; a throw records the error instead of silently
+    * reading as a fast success (r9 VERDICT: a broken query must not
+    * improve the bench total). */
+  private[graft] def timeOne(run: () => Unit): (Double, Option[String]) = {
+    val t0 = System.nanoTime()
+    val err = try { run(); None } catch { case e: Throwable => Some(describe(e)) }
+    ((System.nanoTime() - t0) / 1e9, err)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -68,11 +91,11 @@ object Bench {
     var lastGc = gcMillis
     val cpuSec = mutable.LinkedHashMap[String, Double]()
     val load1m = mutable.LinkedHashMap[String, Double]()
+    val errors = mutable.LinkedHashMap[String, String]()
     val results = qs.map { case (name, fn) =>
-      val t0 = System.nanoTime()
       val c0 = processCpuNanos
-      try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
-      val sec = (System.nanoTime() - t0) / 1e9
+      val (sec, err) = timeOne(() => materialize(fn(spark, sfDir)))
+      err.foreach(errors(name) = _)
       cpuSec(name) = if (c0 < 0) -1.0 else (processCpuNanos - c0) / 1e9
       load1m(name) = osBean.getSystemLoadAverage
       if (debug) {
@@ -122,7 +145,16 @@ object Bench {
     // maps stay on stderr, next to BENCHDBG.
     System.err.println(
       s"""BENCHTEL {"cpu":${toJson(cpuSec)},"load1m":${toJson(load1m)}}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir","contended":$isContended,"cpu_total":${fmt(cpuTotal)},"load_med":${fmt(loadMed)},"cal_st":${fmt(calSt)},"cal_st_worst":${fmt(math.max(calStPre, calStPost))},"cal_mt":${fmt(calMt)},"degraded":$degraded,"degraded_mt":$degradedMt}""")
+    // a failed query records ~0 s — `errors` makes that loud instead of
+    // letting a broken query masquerade as a fast one
+    val ejson = errors
+      .map { case (k, v) => "\"" + escape(k) + "\":\"" + escape(v) + "\"" }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qjson,"errors":$ejson,"sf":"$sfDir","contended":$isContended,"cpu_total":${fmt(cpuTotal)},"load_med":${fmt(loadMed)},"cal_st":${fmt(calSt)},"cal_st_worst":${fmt(math.max(calStPre, calStPost))},"cal_mt":${fmt(calMt)},"degraded":$degraded,"degraded_mt":$degradedMt}"""
+    println(line)
+    // optional artifact write (the per-round BENCH_sf1.json scale record)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n"))
     spark.stop()
   }
 }

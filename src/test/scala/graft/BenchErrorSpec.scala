@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench error honesty (r9 VERDICT): a query that throws must surface in
+  * the JSON's `errors` map instead of silently reading as a ~0 s success. */
+class BenchErrorSpec extends AnyFunSuite {
+
+  test("timeOne records the error and still returns the elapsed wall") {
+    val (okSec, okErr) = Bench.timeOne(() => ())
+    assert(okErr.isEmpty && okSec >= 0)
+    val (sec, err) = Bench.timeOne(() =>
+      throw new IllegalStateException("boom  with\nnewline"))
+    assert(sec >= 0)
+    assert(err.contains("IllegalStateException: boom with newline"),
+      s"got $err")
+  }
+
+  test("describe truncates and flattens whitespace; null message tolerated") {
+    val long = Bench.describe(new RuntimeException("x" * 500))
+    assert(long.length <= "RuntimeException: ".length + 160)
+    assert(Bench.describe(new RuntimeException(null: String)) ==
+      "RuntimeException: ")
+  }
+
+  test("escape keeps the errors map valid JSON for quotes/backslashes/controls") {
+    val raw = "he said \"a\\b\"\tdone"
+    val s = Bench.escape(raw)
+    assert(!s.exists(_ < ' '), "control chars must be escaped out")
+    // round-trip through a real JSON parser recovers the raw string
+    val node = graft.delta.ActionCodec.mapper.readTree(s"""{"k":"$s"}""")
+    assert(node.get("k").asText == raw)
+  }
+}
