@@ -88,9 +88,18 @@ object MetaBench {
     val (feedSec, feedRows) = timed(
       spark.sql(s"SELECT * FROM graft_changes('${dir.toString}', 0, ${n - 1})").count())
     require(feedRows == n - 1, s"feed rows $feedRows != ${n - 1}")
+    // vacuum candidate WALK over the n-file table: driver iterator vs the
+    // executor fan-out (r10: the listing, not the deletes, is the
+    // object-store bottleneck). Warm handle — the row isolates the walk,
+    // not a cold snapshot restore.
+    val vacDt = graft.delta.DeltaTable.forPath(spark, dir.toString)
+    val (vacDriverSec, _) = timed(vacDt.vacuum(dryRun = true))
+    spark.conf.set(graft.delta.DeltaTable.DistributedVacuumListKey, "0")
+    val (vacDistSec, _) = timed(vacDt.vacuum(dryRun = true))
+    spark.conf.unset(graft.delta.DeltaTable.DistributedVacuumListKey)
 
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    println(s"""{"metric":"metadata_path","commits":$n,"cold_forPath_sec":${fmt(coldSec)},"warm_update_sec":${fmt(warmSec)},"history_sec":${fmt(histSec)},"changes_full_range_sec":${fmt(feedSec)}}""")
+    println(s"""{"metric":"metadata_path","commits":$n,"cold_forPath_sec":${fmt(coldSec)},"warm_update_sec":${fmt(warmSec)},"history_sec":${fmt(histSec)},"changes_full_range_sec":${fmt(feedSec)},"vacuum_walk_driver_sec":${fmt(vacDriverSec)},"vacuum_walk_dist_sec":${fmt(vacDistSec)}}""")
     spark.stop()
   }
 }

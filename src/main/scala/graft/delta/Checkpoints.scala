@@ -54,11 +54,16 @@ object Checkpoints {
     StructField("readerFeatures", ArrayType(StringType)),
     StructField("writerFeatures", ArrayType(StringType))))
 
-  /** Partition-value string→typed conversion supports the same primitive set
-    * as the reference (`rust/src/checkpoints.rs:278-345`): string,
-    * long/integer/short/byte, boolean. Others stay untyped (null). */
+  /** Partition-value string→typed conversion. The reference types only
+    * string/long-family/boolean (`rust/src/checkpoints.rs:278-345`);
+    * delta-spark additionally types date/timestamp/decimal/float/double
+    * partitions — cover those too so foreign readers get a fully-typed
+    * `partitionValues_parsed` on any partitioning graft writes. Others
+    * stay untyped (null). */
   private def parsedPartitionType(dt: DataType): Option[DataType] = dt match {
-    case StringType | LongType | IntegerType | ShortType | ByteType | BooleanType => Some(dt)
+    case StringType | LongType | IntegerType | ShortType | ByteType |
+         BooleanType | DateType | TimestampType | DoubleType | FloatType => Some(dt)
+    case d: DecimalType => Some(d)
     case _ => None
   }
 
@@ -160,6 +165,11 @@ object Checkpoints {
       case DoubleType  => s.toDouble
       case FloatType   => s.toFloat
       case DateType    => java.sql.Date.valueOf(s)
+      // the spec serializes timestamp partitions as
+      // `yyyy-MM-dd HH:mm:ss[.S…]`; tolerate the ISO 'T' separator some
+      // foreign writers emit
+      case TimestampType => java.sql.Timestamp.valueOf(s.replace('T', ' '))
+      case _: DecimalType => new java.math.BigDecimal(s)
       case _ => null
     }).getOrElse(null)
 

@@ -184,25 +184,52 @@ object Optimize {
     * cluster by their first 7 UTF-8 bytes, which preserves lexicographic
     * order). Nulls take bucket 0.
     */
+  /** Tag recording the clustering spec a file was last laid out under —
+    * the incremental-clustering watermark (delta-spark's liquid clustering
+    * records the analogous ZCUBE provenance in file tags). A file whose
+    * tag matches the CURRENT spec is already clustered and is skipped by
+    * the next [[cluster]] run; changing the declared columns changes the
+    * spec string, so every file re-qualifies — a full re-layout. */
+  private[delta] val ClusterSpecTag = "graft.clustering.spec"
+
   /** Re-cluster a liquid-clustered table: read the clustering columns
     * from the `delta.clustering` domain (delta-spark's shape, authored by
     * [[DeltaTable.clusterBy]] or a foreign writer) and run the
     * multi-column z-order rewrite over them — clustering is a best-effort
     * LAYOUT property, and interleaved-bits ordering is this engine's
-    * layout strategy for multi-column locality. */
+    * layout strategy for multi-column locality.
+    *
+    * INCREMENTAL by default: only files written since the last cluster run
+    * (no matching spec tag) rewrite; at 100 TB a maintenance pass must
+    * touch the new data, not re-churn the whole table. `full = true`
+    * forces a whole-table re-layout. */
   def cluster(spark: SparkSession, path: String,
               targetFileBytes: Long = 256L * 1024 * 1024,
-              partitionFilters: Seq[PartitionFilter] = Nil): OptimizeMetrics = {
+              partitionFilters: Seq[PartitionFilter] = Nil,
+              full: Boolean = false): OptimizeMetrics = {
     val cols = DeltaTable.forPath(spark, path).clusteringColumns
     require(cols.nonEmpty,
       s"$path is not a clustered table (no delta.clustering domain) — " +
       "declare columns with clusterBy(), or call zorder() directly")
-    zorder(spark, path, cols, targetFileBytes, partitionFilters)
+    val spec = cols.mkString(",")
+    val filter: AddAction => Boolean =
+      if (full) _ => true
+      else a => !a.tags.exists(_.get(ClusterSpecTag).contains(spec))
+    zorderImpl(spark, path, cols, targetFileBytes, partitionFilters,
+      candidateFilter = filter, stampSpec = Some(spec))
   }
 
   def zorder(spark: SparkSession, path: String, zorderBy: Seq[String],
              targetFileBytes: Long = 256L * 1024 * 1024,
-             partitionFilters: Seq[PartitionFilter] = Nil): OptimizeMetrics = {
+             partitionFilters: Seq[PartitionFilter] = Nil): OptimizeMetrics =
+    zorderImpl(spark, path, zorderBy, targetFileBytes, partitionFilters,
+      candidateFilter = _ => true, stampSpec = None)
+
+  private def zorderImpl(spark: SparkSession, path: String, zorderBy: Seq[String],
+                         targetFileBytes: Long,
+                         partitionFilters: Seq[PartitionFilter],
+                         candidateFilter: AddAction => Boolean,
+                         stampSpec: Option[String]): OptimizeMetrics = {
     require(zorderBy.nonEmpty, "zorder needs at least one column")
     // 4 bits per column interleave into ONE long: 16+ columns would shift
     // into (or past) the sign bit and silently scramble the curve (r9
@@ -223,7 +250,8 @@ object Optimize {
     require(bad.isEmpty, s"zorder columns must be non-partition table columns: $bad")
 
     val oldFiles = PartitionFilter.prune(snap.files,
-      partitionFilters.map(PartitionFilter.mapKey(_, phys)))
+        partitionFilters.map(PartitionFilter.mapKey(_, phys)))
+      .filter(candidateFilter)
     if (oldFiles.isEmpty) return OptimizeMetrics(0, 0, 0, 0, snap.version)
 
     // DV-aware read: the rewrite folds deletion vectors in (new files carry
@@ -253,6 +281,11 @@ object Optimize {
 
     val adds = GraftWriter.stageFiles(staged, path, partCols.map(phys))
       .map(_.copy(dataChange = false))
+      .map(a => stampSpec match {
+        case Some(spec) => a.copy(tags =
+          Some(a.tags.getOrElse(Map.empty) + (ClusterSpecTag -> spec)))
+        case None => a
+      })
     val now = System.currentTimeMillis()
     val txn = log.startTransaction()
     if (mapped) txn.permitNameMappedCommit()

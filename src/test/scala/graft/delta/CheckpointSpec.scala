@@ -109,6 +109,46 @@ class CheckpointSpec extends AnyFunSuite with SparkTestBase {
     assert(adds.forall(_.getLong(5) == 0L))   // no nulls
   }
 
+  test("date/timestamp/decimal partitions checkpoint TYPED partitionValues_parsed and reload cold") {
+    val dir = tempTable("cp-typed-parts").toString
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (0 until 20).map { i =>
+      (i.toLong, java.sql.Date.valueOf(s"2024-0${1 + i % 3}-15"),
+        java.sql.Timestamp.valueOf(s"2024-01-0${1 + i % 2} 10:30:00"),
+        new java.math.BigDecimal(s"${1 + i % 2}.50"))
+    }.toDF("id", "d", "ts", "dec")
+      .select(col("id"), col("d"), col("ts"),
+        col("dec").cast("decimal(5,2)").as("dec"))
+    GraftWriter.write(df, dir, SaveMode.ErrorIfExists, Seq("d", "ts", "dec"))
+    val log = DeltaLog.forPath(spark, dir)
+    log.checkpoint()
+    val cp = spark.read.parquet(log.checkpointFile(0).toString)
+    val pv = cp.schema("add").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .apply("partitionValues_parsed").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(pv("d").dataType == org.apache.spark.sql.types.DateType)
+    assert(pv("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(pv("dec").dataType ==
+      org.apache.spark.sql.types.DecimalType(5, 2))
+    val typed = cp.filter(col("add").isNotNull)
+      .select("add.partitionValues_parsed.d", "add.partitionValues_parsed.ts",
+        "add.partitionValues_parsed.dec")
+      .collect()
+    assert(typed.nonEmpty)
+    assert(typed.map(_.getDate(0).toString).toSet ==
+      Set("2024-01-15", "2024-02-15", "2024-03-15"))
+    assert(typed.map(_.getTimestamp(1)).forall(_ != null),
+      "timestamp partition values must parse typed, not null")
+    assert(typed.map(_.getDecimal(2).toPlainString).toSet == Set("1.50", "2.50"))
+    // the table reloads cold THROUGH this checkpoint (string map intact)
+    val cold = DeltaLog.forPath(spark, dir).update()
+    assert(cold.files.forall(_.partitionValues.keySet == Set("d", "ts", "dec")))
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 20)
+    assert(DeltaTable.forPath(spark, dir).toDF
+      .filter(col("d") === "2024-01-15").count() > 0)
+  }
+
   test("checkpoint parquet schema covers the reference's checkpoint schema field-for-field (delta_arrow.rs:140-249)") {
     // The inverse of the golden-table READ proofs: a delta-rs 0.4.1 client
     // restoring from a graft-written checkpoint resolves fields BY NAME

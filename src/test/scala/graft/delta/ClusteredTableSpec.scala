@@ -39,6 +39,41 @@ class ClusteredTableSpec extends AnyFunSuite with SparkTestBase {
     assert(DeltaTable.forPath(spark, dir).clusteringColumns == Seq("id"))
   }
 
+  test("cluster is INCREMENTAL: a second run rewrites only files added since") {
+    val dir = tempTable("cluster-incr").toString
+    GraftWriter.write((0 until 1000).map(i => ((i * 37 % 1000).toLong, s"v$i"))
+      .toDF("id", "v").repartition(4), dir)
+    DeltaTable.forPath(spark, dir).clusterBy(Seq("id"))
+    val m1 = Optimize.cluster(spark, dir, targetFileBytes = 16 * 1024)
+    assert(m1.filesRemoved == 4, "first run re-lays the whole table")
+    val clustered = DeltaLog.forPath(spark, dir).update().files
+    assert(clustered.forall(_.tags.exists(_.contains(Optimize.ClusterSpecTag))),
+      "clustered outputs must carry the spec tag")
+
+    // nothing new → no-op, zero files churned
+    val m0 = Optimize.cluster(spark, dir, targetFileBytes = 16 * 1024)
+    assert(m0.filesRemoved == 0 && m0.filesAdded == 0,
+      "an up-to-date table must not re-churn")
+
+    // append 3 new files → only they re-cluster; prior outputs untouched
+    GraftWriter.write((1000 until 1600).map(i => (i.toLong, s"n$i"))
+      .toDF("id", "v").repartition(3), dir,
+      org.apache.spark.sql.SaveMode.Append)
+    val m2 = Optimize.cluster(spark, dir, targetFileBytes = 16 * 1024)
+    assert(m2.filesRemoved == 3,
+      s"second run must rewrite ONLY the new files, rewrote ${m2.filesRemoved}")
+    val after = DeltaLog.forPath(spark, dir).update().files.map(_.path).toSet
+    assert(clustered.map(_.path).forall(after.contains),
+      "previously-clustered files must survive untouched")
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 1600)
+
+    // changing the declared columns invalidates every tag → full re-layout
+    DeltaTable.forPath(spark, dir).clusterBy(Seq("v"))
+    val m3 = Optimize.cluster(spark, dir, targetFileBytes = 16 * 1024)
+    assert(m3.filesRemoved == after.size,
+      "a spec change must re-qualify every file")
+  }
+
   test("cluster on a non-clustered table refuses with guidance") {
     val dir = tempTable("cluster-none").toString
     GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir)

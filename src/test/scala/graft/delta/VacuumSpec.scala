@@ -65,6 +65,44 @@ class VacuumSpec extends AnyFunSuite with SparkTestBase {
     val dt = DeltaTable.forPath(spark, dir.toString)
     assert(dt.vacuum(dryRun = true).isEmpty)
   }
+
+  test("distributed candidate listing equals the driver walk (partitioned layout)") {
+    val dir = tempTable("vac-dist-list")
+    val oldTs = System.currentTimeMillis() - 400L * 3600 * 1000
+    // partitioned layout: live + expired files across hive dirs, a hidden
+    // dir that must be pruned, and a root-level expired file
+    val dead = Seq("p=1/dead-a.parquet", "p=2/dead-b.parquet", "root-dead.parquet")
+    val live = Seq("p=1/keep-a.parquet", "p=2/keep-b.parquet")
+    (dead ++ live).foreach { f =>
+      Files.createDirectories(dir.resolve(f).getParent)
+      Files.writeString(dir.resolve(f), "x")
+    }
+    Files.createDirectories(dir.resolve(".stage"))
+    Files.writeString(dir.resolve(".stage").resolve("tmp.parquet"), "h")
+    writeCommit(dir, 0, Seq(protocol, metaData) ++ (dead ++ live).map(add(_)))
+    writeCommit(dir, 1, dead.map(remove(_, ts = oldTs)))
+
+    // driver walk first (threshold default is far above this table)
+    val w0 = DeltaTable.driverVacuumWalks.get()
+    val viaDriver = DeltaTable.forPath(spark, dir.toString).vacuum(dryRun = true)
+    assert(DeltaTable.driverVacuumWalks.get() == w0 + 1)
+
+    // distributed walk: threshold 0 forces the executor fan-out
+    spark.conf.set(DeltaTable.DistributedVacuumListKey, "0")
+    try {
+      val w1 = DeltaTable.driverVacuumWalks.get()
+      val viaDist = DeltaTable.forPath(spark, dir.toString).vacuum(dryRun = true)
+      assert(DeltaTable.driverVacuumWalks.get() == w1,
+        "threshold 0 must route the walk to executors")
+      assert(viaDist == viaDriver && viaDist == dead.sorted)
+      // and the distributed-listed vacuum actually deletes the same set
+      val deleted = DeltaTable.forPath(spark, dir.toString).vacuum()
+      assert(deleted == dead.sorted)
+      assert(dead.forall(f => !Files.exists(dir.resolve(f))))
+      assert(live.forall(f => Files.exists(dir.resolve(f))))
+      assert(Files.exists(dir.resolve(".stage").resolve("tmp.parquet")))
+    } finally spark.conf.unset(DeltaTable.DistributedVacuumListKey)
+  }
 }
 
 class PartitionFilterSpec extends AnyFunSuite {
