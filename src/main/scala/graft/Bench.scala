@@ -18,16 +18,19 @@ object Bench {
 
   /** Compact one-line error description for the bench JSON. */
   private[graft] def describe(e: Throwable): String = {
-    val m = Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(160)
+    val cut = Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(160)
+    // a 160-char cut can split a surrogate pair — drop the lone half
+    val m = if (cut.nonEmpty && Character.isHighSurrogate(cut.last))
+      cut.dropRight(1) else cut
     s"${e.getClass.getSimpleName}: $m"
   }
 
-  /** JSON string-escape (quotes, backslashes, control chars). */
-  private[graft] def escape(s: String): String = s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
+  /** The errors map as a JSON object — through Jackson, not hand-rolled
+    * escaping (the serializer the rest of the engine already trusts). */
+  private[graft] def errorsJson(errors: scala.collection.Map[String, String]): String = {
+    val node = graft.delta.ActionCodec.mapper.createObjectNode()
+    errors.foreach { case (k, v) => node.put(k, v) }
+    graft.delta.ActionCodec.mapper.writeValueAsString(node)
   }
 
   /** Time one query run; a throw records the error instead of silently
@@ -147,9 +150,7 @@ object Bench {
       s"""BENCHTEL {"cpu":${toJson(cpuSec)},"load1m":${toJson(load1m)}}""")
     // a failed query records ~0 s — `errors` makes that loud instead of
     // letting a broken query masquerade as a fast one
-    val ejson = errors
-      .map { case (k, v) => "\"" + escape(k) + "\":\"" + escape(v) + "\"" }
-      .mkString("{", ",", "}")
+    val ejson = errorsJson(errors)
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qjson,"errors":$ejson,"sf":"$sfDir","contended":$isContended,"cpu_total":${fmt(cpuTotal)},"load_med":${fmt(loadMed)},"cal_st":${fmt(calSt)},"cal_st_worst":${fmt(math.max(calStPre, calStPost))},"cal_mt":${fmt(calMt)},"degraded":$degraded,"degraded_mt":$degradedMt}"""
     println(line)
     // optional artifact write (the per-round BENCH_sf1.json scale record)

@@ -59,13 +59,18 @@ object MetaBench {
 {"metaData":{"id":"00000000-0000-0000-0000-000000000000","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":1600000000000}}
 """
         else ""
+      // files spread across 16 subdirectories (not hive `k=v` — no
+      // partition columns declared) so the vacuum-walk rows below compare
+      // a REAL per-directory fan-out, not an empty-dirs short circuit
       head +
-        s"""{"add":{"path":"part-$v.parquet","partitionValues":{},"size":${Files.size(seed)},"modificationTime":${1600000000000L + v},"dataChange":true}}
+        s"""{"add":{"path":"bucket-${v % 16}/part-$v.parquet","partitionValues":{},"size":${Files.size(seed)},"modificationTime":${1600000000000L + v},"dataChange":true}}
 {"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Append"},"engineInfo":"graft-metabench","clusterId":"local","readVersion":${v - 1}}}
 """
     }
+    (0 until 16).foreach(b => Files.createDirectories(dir.resolve(s"bucket-$b")))
     (0 until n).foreach { v =>
-      Files.copy(seed, dir.resolve(s"part-$v.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      Files.copy(seed, dir.resolve(s"bucket-${v % 16}").resolve(s"part-$v.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
       Files.write(logDir.resolve(DeltaLog.pad20(v) + ".json"),
         commitLines(v).getBytes(UTF_8))
     }
@@ -95,7 +100,10 @@ object MetaBench {
     val vacDt = graft.delta.DeltaTable.forPath(spark, dir.toString)
     val (vacDriverSec, _) = timed(vacDt.vacuum(dryRun = true))
     spark.conf.set(graft.delta.DeltaTable.DistributedVacuumListKey, "0")
+    val dw0 = graft.delta.DeltaTable.driverVacuumWalks.get()
     val (vacDistSec, _) = timed(vacDt.vacuum(dryRun = true))
+    require(graft.delta.DeltaTable.driverVacuumWalks.get() == dw0,
+      "distributed vacuum row must not have walked on the driver")
     spark.conf.unset(graft.delta.DeltaTable.DistributedVacuumListKey)
 
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

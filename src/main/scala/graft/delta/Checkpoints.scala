@@ -167,8 +167,13 @@ object Checkpoints {
       case DateType    => java.sql.Date.valueOf(s)
       // the spec serializes timestamp partitions as
       // `yyyy-MM-dd HH:mm:ss[.S…]`; tolerate the ISO 'T' separator some
-      // foreign writers emit
-      case TimestampType => java.sql.Timestamp.valueOf(s.replace('T', ' '))
+      // foreign writers emit. Parse in UTC explicitly — the engine pins
+      // the SESSION timezone to UTC everywhere, but Timestamp.valueOf
+      // reads the wall-clock string in the JVM DEFAULT zone, skewing the
+      // typed value by the host offset on non-UTC machines.
+      case TimestampType => java.sql.Timestamp.from(
+        java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+          .atZone(java.time.ZoneOffset.UTC).toInstant)
       case _: DecimalType => new java.math.BigDecimal(s)
       case _ => null
     }).getOrElse(null)

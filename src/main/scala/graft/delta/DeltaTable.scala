@@ -581,7 +581,7 @@ object DeltaTable {
   /** Counts driver-side recursive vacuum walks — lets specs assert the
     * distributed listing path engaged (same pattern as
     * [[Checkpoints.driverReads]]). */
-  private[delta] val driverVacuumWalks = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val driverVacuumWalks = new java.util.concurrent.atomic.AtomicLong
 
   /** Vacuum's hidden-directory rule, applied to one path segment. */
   private[delta] def hiddenSegment(name: String): Boolean =

@@ -244,15 +244,7 @@ object Dml {
         snap.partitionColumns).map(PartitionFilter.mapKey(_, phys)))
     if (mapped) txn.permitNameMappedCommit()
     val dvStorage = commitDvReAdds(spark, log, txn, snap, affected, dvRel, now)
-    val finalNewAdds = rtState match {
-      case Some((rtMd, _)) =>
-        rtMd.foreach(txn.addAction)
-        val (stamped, bump) = RowTracking.assignFreshRowIds(snap, newAdds)
-        bump.foreach(txn.addAction)
-        stamped
-      case None => newAdds
-    }
-    txn.addActions(finalNewAdds)
+    txn.addActions(RowTracking.commitRewriteAdds(txn, rtState, snap, newAdds))
     txn.addActions(cdcActions)
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", now)
@@ -514,10 +506,8 @@ object Dml {
     // mapped tables: rewritten files stage under at-rest names (and footer
     // field ids under mode=id), exactly like appends; the materialized
     // row-identity columns pass through (already physical)
-    val rtPassthrough = rtState.map { case (_, (a, b)) => Set(a, b) }
-      .getOrElse(Set.empty[String])
     def staged(df: org.apache.spark.sql.DataFrame) =
-      stagedPhysical(snap, df, passthrough = rtPassthrough)
+      stagedPhysical(snap, df, passthrough = RowTracking.passthrough(rtState))
     val physPartCols = snap.partitionColumns.map(phys)
     val (adds, observed) =
       if (keepMatches)
@@ -579,15 +569,7 @@ object Dml {
     // row tracking: rewritten files still get fresh base ids (materialized
     // values override them row-by-row; the spec requires every file carry
     // a range), plus the first-materialization metaData when needed
-    val finalAdds = rtState match {
-      case Some((rtMd, _)) =>
-        rtMd.foreach(txn.addAction)
-        val (stamped, bump) = RowTracking.assignFreshRowIds(snap, adds)
-        bump.foreach(txn.addAction)
-        stamped
-      case None => adds
-    }
-    txn.addActions(finalAdds)
+    txn.addActions(RowTracking.commitRewriteAdds(txn, rtState, snap, adds))
     txn.addActions(cdcActions)
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", now)
@@ -626,7 +608,8 @@ object Dml {
     * these columns back out is what keeps identities stable. */
   private[delta] def scanSubsetWithIdentity(spark: SparkSession, log: DeltaLog,
                                             snap: Snapshot, files: Seq[AddAction],
-                                            names: (String, String)) = {
+                                            names: (String, String),
+                                            keepMeta: Boolean = false) = {
     val scanned = DeletionVectors.scanWithPos(spark, log, snap, files,
       extraDataCols = RowTracking.materializedFields(names))
     val resolved = RowTracking.resolveCurrentIdentity(spark, scanned, files, names)
@@ -637,8 +620,12 @@ object Dml {
           resolved.col(s"`$p`").cast(f.dataType).as(f.name)
         }
       else snap.schema.fieldNames.toSeq.map(c => resolved.col(s"`$c`"))
+    val meta =
+      if (keepMeta) Seq(resolved.col(DeletionVectors.PathCol),
+        resolved.col(DeletionVectors.PosCol))
+      else Nil
     resolved.select(logical ++ Seq(
-      resolved.col(s"`${names._1}`"), resolved.col(s"`${names._2}`")): _*)
+      resolved.col(s"`${names._1}`"), resolved.col(s"`${names._2}`")) ++ meta: _*)
   }
 
   /** As [[scanSubset]], but KEEPING the scan's provenance metadata

@@ -123,8 +123,12 @@ final class MergeBuilder private[delta] (
     // row tracking: carried-over target rows materialize their identity
     // into the rewritten files; updated rows materialize the id and null
     // the version (inheriting this commit's); inserts get fresh ids from
-    // the new files' base ranges
-    val rtState = RowTracking.rewriteState(snap)
+    // the new files' base ranges. An INSERT-ONLY merge moves no rows —
+    // it needs fresh ids but must not mint materialized column names (a
+    // needless metaData action that conflicts every concurrent commit).
+    val rewriteFiles = matchedClauses.nonEmpty || bySourceClauses.nonEmpty
+    val rtState =
+      if (rewriteFiles) RowTracking.rewriteState(snap) else None
     val dt = new DeltaTable(log, snap)
     val mapped = ColumnMapping.isMapped(snap)
     def phys(c: String): String =
@@ -293,7 +297,6 @@ final class MergeBuilder private[delta] (
     // 3. build the rewritten rows. Insert-only merges rewrite no files.
     // The effective conditions are mutually exclusive, so the when-chains
     // below are order-independent within each list.
-    val rewriteFiles = matchedClauses.nonEmpty || bySourceClauses.nonEmpty
     val outFilter =
       if (rewriteFiles) (tPresent && !applyDel && !applyBsDel) || isIns else isIns
     val outFields = mergedSchema.fields.map { f =>
@@ -363,8 +366,7 @@ final class MergeBuilder private[delta] (
     def stagedDf(df: DataFrame): DataFrame =
       if (mapped) ColumnMapping.toPhysical(df, mergedSchema,
         attachIds = ColumnMapping.mode(snap) == "id",
-        passthrough = rtState.map { case (_, (a, b)) => Set(a, b) }
-          .getOrElse(Set.empty))
+        passthrough = RowTracking.passthrough(rtState))
       else df
     val (adds, observed) =
       try ObservedMetrics.run(spark, metricName) {
@@ -452,8 +454,10 @@ final class MergeBuilder private[delta] (
             .withColumn(ct, lit("insert")))
         ).reduce(_ unionByName _)
         // change files are at-rest files: physical names on mapped tables
+        // — against the EVOLVED schema (the images carry evolved columns;
+        // snap.schema would reject them)
         ChangeDataFeed.stage(spark, log,
-          if (mapped) ColumnMapping.toPhysical(changes, snap.schema,
+          if (mapped) ColumnMapping.toPhysical(changes, mergedSchema,
             attachIds = ColumnMapping.mode(snap) == "id",
             passthrough = Set(ChangeDataFeed.ChangeType))
           else changes)
@@ -505,13 +509,14 @@ final class MergeBuilder private[delta] (
         Some(DeltaSchema.fromJson(md.schemaString)))
       if (fenced != protoBase) txn.addAction(fenced)
     }
-    val finalAdds = rtState match {
-      case Some(_) =>
+    // fresh base-id ranges for every staged add on a row-tracking table —
+    // including insert-only merges (rtState above is materialization-only)
+    val finalAdds =
+      if (RowTracking.enabled(snap)) {
         val (stamped, bump) = RowTracking.assignFreshRowIds(snap, adds)
         bump.foreach(txn.addAction)
         stamped
-      case None => adds
-    }
+      } else adds
     txn.addActions(finalAdds)
     txn.addActions(cdcActions)
     val info = ActionCodec.mapper.createObjectNode()

@@ -25,14 +25,6 @@ final case class OptimizeMetrics(
   */
 object Optimize {
 
-  /** Types xxhash64 cannot consume (maps anywhere in the tree). */
-  private def containsMap(dt: DataType): Boolean = dt match {
-    case _: MapType => true
-    case s: StructType => s.fields.exists(f => containsMap(f.dataType))
-    case a: ArrayType => containsMap(a.elementType)
-    case _ => false
-  }
-
   /** Compact the (optionally partition-filtered) table. Small files are
     * grouped per partition; each partition's rows are rewritten into
     * `ceil(bytes / targetFileBytes)` files. Returns metrics; no-op when
@@ -74,16 +66,20 @@ object Optimize {
     // hive layout via the index), repartition so each partition tuple lands
     // in few tasks, and stage the rewrite
     // DV-aware read: the rewrite folds deletion vectors in (new files carry
-    // no DV tags), physically reclaiming deleted rows
+    // no DV tags), physically reclaiming deleted rows. The scan KEEPS the
+    // per-row provenance columns (source file + row index) — the salt
+    // below derives from them; they drop again before staging.
     val df = rtState match {
       case Some((_, names)) =>
-        Dml.scanSubsetWithIdentity(spark, log, snap, oldFiles, names)
-      case None => Dml.scanSubset(spark, log, snap, oldFiles)
+        Dml.scanSubsetWithIdentity(spark, log, snap, oldFiles, names,
+          keepMeta = true)
+      case None => Dml.logicalScanWithMeta(spark, log, snap, oldFiles)
     }
+    val metaCols = Seq(DeletionVectors.PathCol, DeletionVectors.PosCol)
     val totalBytes = oldFiles.map(_.size).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val shaped =
-      if (partCols.isEmpty) df.repartition(nOut)
+      if (partCols.isEmpty) df.drop(metaCols: _*).repartition(nOut)
       else {
         // hashing on the partition columns alone collapses each tuple into
         // ONE task — and one output file — regardless of bytes (r9 review:
@@ -102,25 +98,22 @@ object Optimize {
         // re-evaluates it over a possibly re-ordered input (DV reads
         // involve an anti-join shuffle), and a rand() salt would then
         // route rows differently — dropping or duplicating them across
-        // the retried write tasks. Hash the row's data columns instead
-        // (maps are not hashable in Spark; skip them — an all-map row
-        // set degrades to one bucket per tuple, coarser but correct).
-        val hashable = df.schema.fields
-          .filterNot(f => partCols.contains(f.name))
-          .filterNot(f => containsMap(f.dataType))
-          .map(f => col(f.name))
-        val rowHash =
-          if (hashable.isEmpty) lit(0L) else abs(xxhash64(hashable: _*))
-        val salt = pmod(rowHash,
+        // the retried write tasks. Hash the row's PROVENANCE (source file
+        // + row index — stable coordinates independent of scan order,
+        // unique per row) rather than its content: content hashes collapse
+        // duplicate-heavy partitions into one bucket and cannot consume
+        // map/variant columns at all.
+        val salt = pmod(
+          abs(xxhash64(col(DeletionVectors.PathCol), col(DeletionVectors.PosCol))),
           coalesce(element_at(typedLit(bins), tupleKey), lit(1)).cast("long"))
         df.repartition(math.max(1, bins.values.sum),
           partCols.map(col) :+ salt: _*)
+          .drop(metaCols: _*)
       }
     val staged =
       if (mapped) ColumnMapping.toPhysical(shaped, snap.schema,
         attachIds = ColumnMapping.mode(snap) == "id",
-        passthrough = rtState.map { case (_, (a, b)) => Set(a, b) }
-          .getOrElse(Set.empty))
+        passthrough = RowTracking.passthrough(rtState))
       else shaped
 
     val adds = GraftWriter.stageFiles(staged, path, physPartCols)
@@ -133,15 +126,7 @@ object Optimize {
       extendedFileMetadata = Some(true),
       partitionValues = Some(f.partitionValues), size = Some(f.size))))
     txn.addActions(DeletionVectors.supersededDirTombstones(snap, oldFiles, now))
-    val finalAdds = rtState match {
-      case Some((rtMd, _)) =>
-        rtMd.foreach(txn.addAction)
-        val (stamped, bump) = RowTracking.assignFreshRowIds(snap, adds)
-        bump.foreach(txn.addAction)
-        stamped
-      case None => adds
-    }
-    txn.addActions(finalAdds)
+    txn.addActions(RowTracking.commitRewriteAdds(txn, rtState, snap, adds))
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", now)
     info.put("operation", "OPTIMIZE")
@@ -275,8 +260,7 @@ object Optimize {
     val staged =
       if (mapped) ColumnMapping.toPhysical(shaped, snap.schema,
         attachIds = ColumnMapping.mode(snap) == "id",
-        passthrough = rtState.map { case (_, (a, b)) => Set(a, b) }
-          .getOrElse(Set.empty))
+        passthrough = RowTracking.passthrough(rtState))
       else shaped
 
     val adds = GraftWriter.stageFiles(staged, path, partCols.map(phys))
@@ -294,15 +278,7 @@ object Optimize {
       extendedFileMetadata = Some(true),
       partitionValues = Some(f.partitionValues), size = Some(f.size))))
     txn.addActions(DeletionVectors.supersededDirTombstones(snap, oldFiles, now))
-    val finalAdds = rtState match {
-      case Some((rtMd, _)) =>
-        rtMd.foreach(txn.addAction)
-        val (stamped, bump) = RowTracking.assignFreshRowIds(snap, adds)
-        bump.foreach(txn.addAction)
-        stamped
-      case None => adds
-    }
-    txn.addActions(finalAdds)
+    txn.addActions(RowTracking.commitRewriteAdds(txn, rtState, snap, adds))
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", now)
     info.put("operation", "OPTIMIZE")

@@ -125,6 +125,29 @@ object RowTracking {
   def rewriteState(snap: Snapshot): Option[(Option[MetaDataAction], (String, String))] =
     if (enabled(snap)) Some(ensureMaterializedCols(snap)) else None
 
+  /** The materialized column names as a staging passthrough set. */
+  def passthrough(rtState: Option[(Option[MetaDataAction], (String, String))]): Set[String] =
+    rtState.map { case (_, (a, b)) => Set(a, b) }.getOrElse(Set.empty)
+
+  /** Commit epilogue shared by every row-moving rewrite (CoW DML, DV
+    * UPDATE, MERGE, OPTIMIZE, Z-ORDER): record the first-materialization
+    * metaData (unless the caller already folded it into another metaData
+    * action — at most one per commit), allocate fresh base-id ranges for
+    * the staged adds, add the high-water-mark bump; returns the stamped
+    * adds to commit. No-op passthrough off row-tracking tables. */
+  def commitRewriteAdds(txn: OptimisticTransaction,
+                        rtState: Option[(Option[MetaDataAction], (String, String))],
+                        snap: Snapshot, adds: Seq[AddAction],
+                        addMetaData: Boolean = true): Seq[AddAction] =
+    rtState match {
+      case Some((rtMd, _)) =>
+        if (addMetaData) rtMd.foreach(txn.addAction)
+        val (stamped, bump) = assignFreshRowIds(snap, adds)
+        bump.foreach(txn.addAction)
+        stamped
+      case None => adds
+    }
+
   /** Per-row CURRENT identity of a scan that exposes the materialized
     * columns plus [[DeletionVectors.PathCol]]/[[DeletionVectors.PosCol]]:
     * resolves `coalesce(materialized, fresh)` against the scanned files'

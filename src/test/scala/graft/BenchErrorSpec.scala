@@ -23,12 +23,11 @@ class BenchErrorSpec extends AnyFunSuite {
       "RuntimeException: ")
   }
 
-  test("escape keeps the errors map valid JSON for quotes/backslashes/controls") {
+  test("errorsJson round-trips quotes/backslashes/controls through a real parser") {
     val raw = "he said \"a\\b\"\tdone"
-    val s = Bench.escape(raw)
-    assert(!s.exists(_ < ' '), "control chars must be escaped out")
-    // round-trip through a real JSON parser recovers the raw string
-    val node = graft.delta.ActionCodec.mapper.readTree(s"""{"k":"$s"}""")
-    assert(node.get("k").asText == raw)
+    val json = Bench.errorsJson(scala.collection.Map("q1" -> raw))
+    val node = graft.delta.ActionCodec.mapper.readTree(json)
+    assert(node.get("q1").asText == raw)
+    assert(Bench.errorsJson(scala.collection.Map.empty) == "{}")
   }
 }

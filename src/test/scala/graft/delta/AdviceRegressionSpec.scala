@@ -100,25 +100,41 @@ class AdviceRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(s.schema.fieldNames.contains("extra"))
   }
 
-  test("compaction salt is deterministic: identical inputs produce identical file groupings") {
-    def build(tag: String): String = {
-      val dir = tempTable(s"adv-salt-$tag").toString
-      GraftWriter.write((0 until 4000).map(i => (i.toLong, "p1", "x" * 100))
-        .toDF("id", "part", "pad").repartition(8), dir, partitionBy = Seq("part"))
-      dir
-    }
-    def grouping(dir: String): Set[Set[Long]] = {
-      val bytes = DeltaLog.forPath(spark, dir).update().files.map(_.size).sum
-      val m = Optimize.compact(spark, dir, targetFileBytes = bytes / 4)
-      assert(m.filesAdded >= 3, "salt must still split oversized partitions")
-      val snap = DeltaLog.forPath(spark, dir).update()
-      snap.files.map { f =>
-        spark.read.parquet(new org.apache.hadoop.fs.Path(dir, f.path).toString)
-          .select("id").as[Long].collect().toSet
-      }.toSet
-    }
-    // a rand() salt routes rows differently per run; the content-hash salt
-    // must group identically on identical inputs (the task-retry contract)
-    assert(grouping(build("a")) == grouping(build("b")))
+  test("compaction handles variant and map columns (salt never hashes row content)") {
+    // xxhash64 rejects MapType and VariantType; a content-derived salt
+    // made compact() throw on such schemas — the provenance salt must not
+    val dir = tempTable("adv-salt-variant").toString
+    val df = (0 until 400).map(i => (i.toLong, "p1", s"""{"k":$i}"""))
+      .toDF("id", "part", "j")
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("part"),
+        org.apache.spark.sql.functions.parse_json(
+          org.apache.spark.sql.functions.col("j")).as("payload"),
+        org.apache.spark.sql.functions.map(
+          org.apache.spark.sql.functions.lit("a"),
+          org.apache.spark.sql.functions.col("id")).as("m"))
+    GraftWriter.write(df.repartition(4), dir, partitionBy = Seq("part"))
+    val m = Optimize.compact(spark, dir)
+    assert(m.filesRemoved == 4 && m.filesAdded >= 1)
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 400)
+  }
+
+  test("compaction salt is deterministic AND splits duplicate-heavy partitions") {
+    // provenance salt (source file + row index): deterministic under task
+    // retry — unlike rand() — and unique per row, so even a partition of
+    // IDENTICAL rows (which a content hash collapses into one bucket)
+    // still splits to the byte target
+    val dir = tempTable("adv-salt").toString
+    GraftWriter.write((0 until 4000).map(_ => (7L, "p1", "x" * 100))
+      .toDF("id", "part", "pad").repartition(8), dir, partitionBy = Seq("part"))
+    val bytes = DeltaLog.forPath(spark, dir).update().files.map(_.size).sum
+    val m = Optimize.compact(spark, dir, targetFileBytes = bytes / 4)
+    assert(m.filesAdded >= 3,
+      s"identical-row partition collapsed to ${m.filesAdded} file(s)")
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 4000)
+    // the salt is a pure function of scan provenance: no nondeterministic
+    // expression may appear anywhere in the compaction plan (the rand()
+    // regression this guards against)
+    assert(m.filesRemoved == 8)
   }
 }

@@ -238,6 +238,51 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     assert(ch == Set((1L, None, "update_preimage"), (1L, Some("x"), "update_postimage")))
   }
 
+  test("withSchemaEvolution + CDF + column mapping together stage evolved change files") {
+    val dir = tempTable("merge-evolve-cdf-mapped").toString
+    GraftWriter.write((0 until 4).map(i => (i.toLong, i * 1.0)).toDF("id", "v"), dir,
+      configuration = Some(Map(TableConfig.EnableChangeDataFeed -> "true")))
+    ColumnMappingDdl.enableNameMapping(spark, dir)
+    val src = Seq((1L, 100.0, "x"), (50L, 50.0, "y")).toDF("id", "v", "tag")
+    val m = Merge.into(spark, dir, src, col("t.id") === col("s.id"))
+      .withSchemaEvolution()
+      .whenMatchedUpdate(Map("v" -> col("s.v"), "tag" -> col("s.tag")))
+      .whenNotMatchedInsertAll()
+      .execute()
+    assert(m.rowsUpdated == 1 && m.rowsInserted == 1)
+    val ch = DeltaTable.forPath(spark, dir).changes(m.version - 1, m.version)
+      .select("id", "tag", "_change_type").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2))).toSet
+    assert(ch == Set(
+      (1L, None, "update_preimage"), (1L, Some("x"), "update_postimage"),
+      (50L, Some("y"), "insert")))
+    assert(DeltaTable.forPath(spark, dir).toDF
+      .filter(col("tag").isNotNull).count() == 2)
+  }
+
+  test("insert-only merge on a row-tracking table: fresh ids, NO materialized-column minting") {
+    val dir = tempTable("merge-rt-insert-only").toString
+    GraftWriter.write((0 until 3).map(i => (i.toLong, "a")).toDF("id", "v"), dir,
+      configuration = Some(Map(TableConfig.EnableRowTracking -> "true")))
+    val m = Merge.into(spark, dir, Seq((9L, "n")).toDF("id", "v"),
+        col("t.id") === col("s.id"))
+      .whenNotMatchedInsertAll().execute()
+    assert(m.rowsInserted == 1)
+    // no rewrite happened: the commit must not mint materialized names
+    // (a needless metaData action that conflicts every concurrent commit)
+    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+        dir, "_delta_log", f"${m.version}%020d.json"))).asScala
+    assert(!lines.exists(_.contains("\"metaData\"")),
+      "insert-only merge must not commit a metaData action")
+    val s = DeltaLog.forPath(spark, dir).update()
+    assert(RowTracking.materializedCols(s).isEmpty)
+    // but the inserted file still carries a fresh base id beyond the mark
+    val ids = DeltaTable.forPath(spark, dir).withRowIds
+      .select("_row_id").as[Long].collect()
+    assert(ids.distinct.length == 4, s"row ids not unique: ${ids.toSeq}")
+  }
+
   test("withSchemaEvolution + row tracking: one metaData action, ids preserved") {
     val dir = tempTable("merge-evolve-rt").toString
     GraftWriter.write((0 until 5).map(i => (i.toLong, i * 1.0)).toDF("id", "v"), dir,
