@@ -53,8 +53,9 @@ class ModernTierFuzzSpec extends AnyFunSuite with SparkTestBase {
           case 0 => // append
             GraftWriter.write(freshRows(1 + rnd.nextInt(4)).toDF("id", "v"),
               dir, SaveMode.Append)
-          case 1 => // predicate delete: CoW normally, merge-on-read under
-            // row tracking (CoW refuses there by design)
+          case 1 => // predicate delete: CoW normally; under row tracking
+            // keep exercising the merge-on-read path here (CoW rewrites
+            // on rt tables have their own fuzz, RowTrackingFuzzSpec)
             if (rtOn) DeltaTable.forPath(spark, dir).setProperties(
               Map(TableConfig.EnableDeletionVectors -> "true"))
             val m = 2 + rnd.nextInt(3)

@@ -208,6 +208,50 @@ class RowTrackingSpec extends AnyFunSuite with SparkTestBase {
     assert(after.values.map(_._1).toSet.size == after.size, "row ids must stay unique")
   }
 
+  test("FOREIGN-materialized row ids (hand-authored config + parquet columns) resolve and survive a graft rewrite") {
+    // delta-spark shape: materialized column names recorded in the table
+    // configuration, values written as hidden physical parquet columns
+    val dirP = LogFixtures.tempTable("rt-foreign-mat")
+    val dir = dirP.toString
+    val matId = "_row-id-col-feedc0de"
+    val matRcv = "_row-commit-version-col-feedc0de"
+    def onePart(df: org.apache.spark.sql.DataFrame, dst: java.nio.file.Path): Long = {
+      val tmp = java.nio.file.Files.createTempDirectory("rt-fx-")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+      java.nio.file.Files.size(dst)
+    }
+    // a foreign rewrite moved rows 0..2 into this file, materializing ids
+    // 100,101,102 born at versions 1,1,2
+    val s0 = onePart(
+      Seq((0L, "a", 100L, 1L), (1L, "b", 101L, 1L), (2L, "c", 102L, 2L))
+        .toDF("id", "v", matId, matRcv),
+      dirP.resolve("part-00000-foreign.snappy.parquet"))
+    val schemaStr =
+      """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"v\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
+    LogFixtures.writeCommit(dirP, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking","domainMetadata"]}}""",
+      s"""{"metaData":{"id":"bbbbbbbb-0000-4000-8000-000000000001","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":[],"configuration":{"delta.rowTracking.materializedRowIdColumnName":"$matId","delta.rowTracking.materializedRowCommitVersionColumnName":"$matRcv"},"createdTime":1}}""",
+      """{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{\"rowIdHighWaterMark\":102}","removed":false}}""",
+      s"""{"add":{"path":"part-00000-foreign.snappy.parquet","partitionValues":{},"size":$s0,"modificationTime":2,"dataChange":true,"baseRowId":0,"defaultRowCommitVersion":0,"stats":"{\\"numRecords\\":3,\\"minValues\\":{\\"id\\":0},\\"maxValues\\":{\\"id\\":2},\\"nullCount\\":{\\"id\\":0}}"}}"""))
+
+    // graft resolves the FOREIGN materialized identities, not the fresh ones
+    val before = identityMap(dir)
+    assert(before == Map(0L -> (100L, 1L), 1L -> (101L, 1L), 2L -> (102L, 2L)))
+    // a graft CoW UPDATE preserves them and uses the foreign names
+    val m = Dml.update(spark, dir, col("id") === 1L, Map("v" -> lit("z")))
+    val after = identityMap(dir)
+    assert(after(1L) == ((101L, m.version)))
+    assert(after(0L) == ((100L, 1L)) && after(2L) == ((102L, 2L)))
+    // no second set of names was minted
+    val s = DeltaLog.forPath(spark, dir).update()
+    assert(RowTracking.materializedCols(s).contains((matId, matRcv)))
+    // fresh allocation stayed beyond the foreign high-water mark
+    assert(s.files.flatMap(_.baseRowId).forall(_ > 102L || s.files.size == 1))
+  }
+
   test("a table BORN with delta.enableRowTracking allocates ids for its version-0 files") {
     // r9 review: the create path declared the feature but skipped the
     // allocation — version 0 is not exempt from the contract
