@@ -82,6 +82,16 @@ object DeletionVectors {
     dvPath(a).isDefined || a.deletionVector.isDefined
   def anyDv(files: Seq[AddAction]): Boolean = files.exists(hasDv)
 
+  /** Exact LOGICAL row count of `files` from footer stats (numRecords
+    * minus DV'd positions), or None when any file lacks stats — the
+    * scan-free "before" count DML metrics and MERGE's multi-match
+    * arithmetic both rest on. */
+  def logicalRowCount(files: Seq[AddAction]): Option[Long] = {
+    val counts = files.map(a => a.stats.flatMap(ActionCodec.statsFromJson)
+      .map(_.numRecords - cardinality(a)))
+    if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+  }
+
   /** `<table-dir-abs-path>/` — the prefix located inside
     * `_metadata.file_path` to cut out the table-relative file path. RAW
     * (percent-encoded) URI path, because `_metadata.file_path` is the

@@ -437,15 +437,7 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
 
   /** Declared clustering columns (dotted for nested paths); empty when
     * the table is not clustered. */
-  def clusteringColumns: Seq[String] =
-    snapshot.domainMetadata.get(ClusteringDomain).toSeq.flatMap { cfg =>
-      try {
-        import scala.jdk.CollectionConverters._
-        Option(ActionCodec.mapper.readTree(cfg).get("clusteringColumns"))
-          .filterNot(_.isNull).toSeq.flatMap(_.elements().asScala.map(p =>
-            p.elements().asScala.map(_.asText).mkString(".")))
-      } catch { case _: Exception => Nil }
-    }
+  def clusteringColumns: Seq[String] = DeltaTable.clusteringColumnsOf(snapshot)
 
   /** Declare (or change) the table's clustering columns — the liquid-
     * clustering authoring commit: writes the `delta.clustering` domain in
@@ -607,6 +599,18 @@ object DeltaTable {
     }
     out.toSeq
   }
+
+  /** Declared clustering columns of a snapshot (the `delta.clustering`
+    * domain, delta-spark's shape); empty when the table is not clustered. */
+  def clusteringColumnsOf(snap: Snapshot): Seq[String] =
+    snap.domainMetadata.get("delta.clustering").toSeq.flatMap { cfg =>
+      try {
+        import scala.jdk.CollectionConverters._
+        Option(ActionCodec.mapper.readTree(cfg).get("clusteringColumns"))
+          .filterNot(_.isNull).toSeq.flatMap(_.elements().asScala.map(p =>
+            p.elements().asScala.map(_.asText).mkString(".")))
+      } catch { case _: Exception => Nil }
+    }
 
   /** `open_table` (`rust/src/delta.rs:1453-1459`): latest version. */
   def forPath(spark: SparkSession, path: String): DeltaTable = {

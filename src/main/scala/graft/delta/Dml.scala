@@ -75,9 +75,14 @@ object Dml {
           assignments + (matRcv -> lit(null).cast("long"))
         case None => assignments
       }
+      // assignable targets = table schema + the internal matRcv column —
+      // NOT the scan frame's columns (which include the hidden row-id
+      // column a user must never assign)
+      val allowed = snap.schema.fieldNames.toSeq ++
+        rtState.map { case (_, (_, matRcv)) => matRcv }.toSeq
       rewrite(spark, log, snap, predicate, "UPDATE",
         df => Constraints.regenerate(
-          applyAssignments(predicate, assign2)(df), snap,
+          applyAssignments(predicate, assign2, allowed)(df), snap,
           explicit = assignments.keySet),
         keepMatches = true, rtState = rtState)
     }
@@ -99,6 +104,15 @@ object Dml {
     ProtocolSupport.assertWritable(snap, allowNameMapping = true)
     if (TableConfig.appendOnly(TableConfig.of(snap)))
       throw new AppendOnlyTableException(path)
+    // direct calls must meet the same bar as the delete() router: writing
+    // graft DV pointers without the property's protocol fence would let a
+    // foreign reader (who never saw minReaderVersion rise) resurrect every
+    // deleted row
+    if (!TableConfig.deletionVectorsEnabled(TableConfig.of(snap)))
+      throw new IllegalStateException(
+        s"table $path does not enable deletion vectors " +
+        s"(${TableConfig.EnableDeletionVectors}) — use Dml.delete, or set " +
+        "the property first")
     // (row tracking: DV DELETE is SAFE — file bytes and row ids unchanged,
     // the re-add copies baseRowId/defaultRowCommitVersion through)
     val mapped = ColumnMapping.isMapped(snap)
@@ -109,19 +123,29 @@ object Dml {
     if (affected.isEmpty) return DmlMetrics(0, 0, snap.version)
     val rowsDeleted = counts.values.sum
 
-    // CDF: the DV'd-out rows ARE the delete images — one extra pass over
-    // the affected files only, same contract as the copy-on-write path
+    // CDF: the DV'd-out rows ARE the delete images — derived from the
+    // STAGED positions, never by re-evaluating the predicate (a second
+    // evaluation of a non-deterministic predicate would record images for
+    // rows that stayed live and miss rows actually deleted — the same
+    // one-evaluation contract updateWithDv got in r9). The scan applies
+    // the OLD DVs, so a semi-join against the staged (old ∪ new) set
+    // selects exactly the newly-deleted rows, affected files only.
     val cdcActions =
       if (!ChangeDataFeed.enabled(snap)) Nil
       else
-        try ChangeDataFeed.stage(spark, log,
-          stagedPhysical(snap,
-            logicalScanWithMeta(spark, log, snap, affected.map(_._1))
-              .filter(coalesce(predicate, lit(false)))
-              .select(snap.schema.fieldNames.map(col).toSeq: _*)
-              .withColumn(ChangeDataFeed.ChangeType, lit("delete")),
-            passthrough = Set(ChangeDataFeed.ChangeType)))
-        catch {
+        try {
+          val stagedDv = spark.read.schema(DeletionVectors.dvSchema).parquet(
+            new org.apache.hadoop.fs.Path(log.tablePath, dvRel).toString)
+          val scanned = logicalScanWithMeta(spark, log, snap, affected.map(_._1))
+          ChangeDataFeed.stage(spark, log,
+            stagedPhysical(snap,
+              scanned.join(stagedDv,
+                  scanned(DeletionVectors.PathCol) === stagedDv("path") &&
+                  scanned(DeletionVectors.PosCol) === stagedDv("pos"), "leftsemi")
+                .select(snap.schema.fieldNames.map(col).toSeq: _*)
+                .withColumn(ChangeDataFeed.ChangeType, lit("delete")),
+              passthrough = Set(ChangeDataFeed.ChangeType)))
+        } catch {
           case e: Throwable =>
             // the DV dir is already on disk and vacuum never lists it —
             // reclaim on CDC staging failure (r9 review)
@@ -164,6 +188,19 @@ object Dml {
     ProtocolSupport.assertWritable(snap, allowNameMapping = true)
     if (TableConfig.appendOnly(TableConfig.of(snap)))
       throw new AppendOnlyTableException(path)
+    // direct calls meet the router's bar: DV property required (protocol
+    // fence), and GENERATED ALWAYS identity columns refuse explicit
+    // assignment — matched case-insensitively, like update() does
+    if (!TableConfig.deletionVectorsEnabled(TableConfig.of(snap)))
+      throw new IllegalStateException(
+        s"table $path does not enable deletion vectors " +
+        s"(${TableConfig.EnableDeletionVectors}) — use Dml.update, or set " +
+        "the property first")
+    val frozen = IdentityColumns.of(snap.schema)
+      .filterNot(_.allowExplicitInsert).map(_.name)
+      .filter(n => assignments.keys.exists(_.equalsIgnoreCase(n)))
+    require(frozen.isEmpty, "cannot UPDATE GENERATED ALWAYS identity " +
+      s"column(s) ${frozen.mkString(",")}")
     // DV DELETE preserves ids for free (bytes unchanged); DV UPDATE's
     // transformed COPIES materialize each moved row's id. The commit
     // version is NOT materialized — every row in a copy file was modified
@@ -201,7 +238,8 @@ object Dml {
           scanned(DeletionVectors.PosCol) === stagedDv("pos"), "leftsemi")
         .select(outCols: _*)
       val updated = Constraints.regenerate(
-        applyAssignments(lit(true), assignments)(matched), snap,
+        applyAssignments(lit(true), assignments,
+          snap.schema.fieldNames.toSeq)(matched), snap,
         explicit = assignments.keySet)
       val checked = Constraints.enforce(updated, snap)
       val rtPassthrough = rtState.map { case (_, (matId, _)) => Set(matId) }
@@ -269,13 +307,17 @@ object Dml {
     * predicate or a later assignment still reads (`SET ts = 20, bucket =
     * ts % 3 WHERE ts = 10` must see ts = 10 throughout). Found by the
     * generated-column enforcement tests. */
+  /** `allowed`: the assignable column names — the TABLE schema plus any
+    * internally-added targets, never the frame's raw columns (a rewrite
+    * scan carries hidden row-tracking columns a user must not assign). */
   private def applyAssignments(predicate: Column,
-                               assignments: Map[String, Column])
+                               assignments: Map[String, Column],
+                               allowed: Seq[String])
       : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = df => {
     val matches = coalesce(predicate, lit(false))
     val byName = assignments.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
     val unknown = byName.keySet --
-      df.columns.map(_.toLowerCase(java.util.Locale.ROOT))
+      allowed.map(_.toLowerCase(java.util.Locale.ROOT))
     require(unknown.isEmpty,
       s"update assigns unknown columns: ${unknown.toSeq.sorted.mkString(", ")}")
     df.select(df.columns.toSeq.map { c =>
@@ -459,7 +501,6 @@ object Dml {
     // catch it too, but only after the wasted write)
     if (TableConfig.appendOnly(TableConfig.of(snap)))
       throw new AppendOnlyTableException(path)
-    val dt = new DeltaTable(log, snap)
     val mapped = ColumnMapping.isMapped(snap)
     def phys(c: String): String =
       if (mapped) ColumnMapping.physicalName(snap.schema, c) else c
@@ -487,12 +528,7 @@ object Dml {
       case Some((_, names)) => scanSubsetWithIdentity(spark, log, snap, affected, names)
       case None => scanSubset(spark, log, snap, affected)
     }
-    val beforeFromStats: Option[Long] = {
-      // logical rows = footer rows minus DV'd positions
-      val counts = affected.map(a => a.stats.flatMap(ActionCodec.statsFromJson)
-        .map(_.numRecords - DeletionVectors.cardinality(a)))
-      if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
-    }
+    val beforeFromStats = DeletionVectors.logicalRowCount(affected)
     val metricName = s"graft_dml_${java.util.UUID.randomUUID()}"
     val rewritten =
       if (keepMatches)

@@ -129,7 +129,6 @@ final class MergeBuilder private[delta] (
     val rewriteFiles = matchedClauses.nonEmpty || bySourceClauses.nonEmpty
     val rtState =
       if (rewriteFiles) RowTracking.rewriteState(snap) else None
-    val dt = new DeltaTable(log, snap)
     val mapped = ColumnMapping.isMapped(snap)
     def phys(c: String): String =
       if (mapped) ColumnMapping.physicalName(snap.schema, c) else c
@@ -193,6 +192,26 @@ final class MergeBuilder private[delta] (
     // 1. which files hold matched target rows (condition pushed where
     // possible). By-source clauses touch unmatched rows, which any file may
     // hold — the whole table rewrites, and the detection scan is skipped.
+    // the source executes TWICE — affected-file detection below, then the
+    // rewrite's full-outer join. A NON-DETERMINISTIC source (rand()-derived
+    // keys, a sampled frame) can disagree between the two executions: a row
+    // matching only in the second, against a file detection did not flag,
+    // would classify as not-matched and insert a duplicate key. Pin ONE
+    // execution up front for such sources (eager localCheckpoint — loss
+    // fails loudly, never silently recomputes); deterministic sources skip
+    // the materialization. (A view over a concurrently-moving table is the
+    // caller's snapshot-isolation responsibility, as in delta-spark.)
+    val sourceNondet = source.queryExecution.analyzed.exists(
+      _.expressions.exists(e => e.exists(!_.deterministic)))
+    val src = if (sourceNondet) source.localCheckpoint(true) else source
+    def releaseSrc(): Unit =
+      if (sourceNondet) {
+        try src.queryExecution.analyzed.collectLeaves().foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+          case _ => ()
+        } catch { case _: Throwable => () }
+      }
+
     val affected =
       if (bySourceClauses.nonEmpty) snap.files
       else {
@@ -203,7 +222,7 @@ final class MergeBuilder private[delta] (
           .logicalScanWithMeta(spark, log, snap, snap.files)
           .drop(DeletionVectors.PosCol)
           .withColumnRenamed(DeletionVectors.PathCol, "__file").alias("t")
-          .join(source.alias("s"), condition)
+          .join(src.alias("s"), condition)
           .select(col("__file")).distinct()
           .collect().map(_.getString(0)).toSet
         snap.files.filter(a => affectedRel.contains(a.path))
@@ -217,7 +236,7 @@ final class MergeBuilder private[delta] (
       case None => Dml.scanSubset(spark, log, snap, affected)
     }
     val tAug = tScan.withColumn("__t", monotonically_increasing_id()).alias("t")
-    val sAug = source.withColumn("__s", lit(true)).alias("s")
+    val sAug = src.withColumn("__s", lit(true)).alias("s")
     // With CDF on, the change images must come from the SAME execution that
     // produced the rewrite — a re-executed join over a non-deterministic
     // source (rand(), current_timestamp, a view that moved) would stage
@@ -233,13 +252,15 @@ final class MergeBuilder private[delta] (
       else tAug.join(sAug, condition, "full_outer")
     // free the checkpoint's pinned blocks NOW (ContextCleaner is GC-driven
     // — on a big driver heap that can be never); best-effort
-    def releaseJoin(): Unit =
+    def releaseJoin(): Unit = {
       if (cdfOn) {
         try joined.queryExecution.analyzed.collectLeaves().foreach {
           case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
           case _ => ()
         } catch { case _: Throwable => () }
       }
+      releaseSrc()
+    }
 
     val tPresent = col("__t").isNotNull
     val matched = tPresent && col("__s").isNotNull
@@ -280,12 +301,7 @@ final class MergeBuilder private[delta] (
     // more than one source row. `before` is exact from the affected files'
     // footer stats; when a foreign file lacks stats, a dedicated distinct
     // count verifies instead (rare path).
-    val beforeFromStats: Option[Long] = {
-      // logical rows: footer rows minus DV'd positions
-      val counts = affected.map(a => a.stats.flatMap(ActionCodec.statsFromJson)
-        .map(_.numRecords - DeletionVectors.cardinality(a)))
-      if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
-    }
+    val beforeFromStats = DeletionVectors.logicalRowCount(affected)
     val metricName = s"graft_merge_${java.util.UUID.randomUUID()}"
     val joinedObs = joined.observe(metricName,
       coalesce(sum(when(matched, 1L)), lit(0L)).as("matched_pairs"),

@@ -25,16 +25,27 @@ final case class OptimizeMetrics(
   */
 object Optimize {
 
-  /** Compact the (optionally partition-filtered) table. Small files are
-    * grouped per partition; each partition's rows are rewritten into
-    * `ceil(bytes / targetFileBytes)` files. Returns metrics; no-op when
-    * nothing qualifies (fewer than 2 files in every partition). */
+  /** Compact the (optionally partition-filtered) table. Files SMALLER
+    * than the target are grouped per partition and rewritten into
+    * `ceil(bytes / targetFileBytes)` files; files already at/above the
+    * target never re-churn — a converged table no-ops, so a nightly
+    * maintenance job rewrites only what shrank since (the delta-spark
+    * minFileSize discipline). Returns metrics; no-op when nothing
+    * qualifies (fewer than 2 sub-target files in every partition).
+    *
+    * On a LIQUID-CLUSTERED table compaction delegates to [[cluster]]:
+    * a hash-salted bin-pack would destroy the clustered layout and
+    * re-queue every touched file for the next incremental cluster run —
+    * the two maintenance operations would perpetually churn the same
+    * bytes (delta-spark's OPTIMIZE clusters, not bin-packs, there). */
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 256L * 1024 * 1024,
               partitionFilters: Seq[PartitionFilter] = Nil): OptimizeMetrics = {
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
     if (snap.version < 0) throw new NotATableException(path)
+    if (DeltaTable.clusteringColumnsOf(snap).nonEmpty)
+      return cluster(spark, path, targetFileBytes, partitionFilters)
     // compaction reads the table's own bytes and stages them back under
     // the SAME at-rest names — the physical-name staging contract
     // (allowNameMapping), so mapped tables get maintenance too
@@ -49,18 +60,19 @@ object Optimize {
     val partCols = snap.partitionColumns          // logical, for df ops
     val physPartCols = partCols.map(phys)         // at-rest action/dir keys
 
-    // candidate groups: >1 file in the same partition tuple (physical keys
-    // — `add.partitionValues` speaks at-rest names; caller filters arrive
-    // logical and translate here)
+    // candidate groups: >1 SUB-TARGET file in the same partition tuple
+    // (physical keys — `add.partitionValues` speaks at-rest names; caller
+    // filters arrive logical and translate here). At-target files are
+    // left in place, not re-packed.
     val candidates = PartitionFilter.prune(snap.files,
         partitionFilters.map(PartitionFilter.mapKey(_, phys)))
+      .filter(_.size < targetFileBytes)
       .groupBy(a => physPartCols.map(c => a.partitionValues.get(c).orNull))
       .filter(_._2.size > 1)
     if (candidates.isEmpty)
       return OptimizeMetrics(0, 0, 0, 0, snap.version)
 
     val oldFiles = candidates.values.flatten.toSeq
-    val dt = new DeltaTable(log, snap)
 
     // read exactly the candidate files (partition columns restored from the
     // hive layout via the index), repartition so each partition tuple lands
