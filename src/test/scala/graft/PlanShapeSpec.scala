@@ -57,4 +57,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,
       s"no pushed filters in q2 plan:\n$p")
   }
+
+  test("row-identity resolution BROADCASTS the file-info lookup (no shuffle on the scan)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plan-rt-").resolve("t").toString
+    graft.delta.GraftWriter.write(
+      (0 until 100).map(i => (i.toLong, "x")).toDF("id", "v"), dir,
+      configuration = Some(Map(
+        graft.delta.TableConfig.EnableRowTracking -> "true")))
+    val df = graft.delta.DeltaTable.forPath(spark, dir).withRowIds
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop") ||
+      p.contains("broadcast"),
+      s"file-info lookup must broadcast, not shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"row-identity scan shuffles on the table side:\n$p")
+    assert(df.select(col("_row_id")).distinct().count() == 100)
+  }
 }
