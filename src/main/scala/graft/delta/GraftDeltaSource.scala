@@ -137,9 +137,17 @@ final class GraftDeltaSource extends RelationProvider
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
     val timeTravel = parameters.contains("versionAsOf") || parameters.contains("timestampAsOf")
+    // timestampAsOf accepts epoch millis OR a timestamp string — the
+    // catalog's loadTable(ident, timestamp) supplies ISO-8601 Instants
+    // ("2026-01-01T00:00:00Z"); a bare-millis-only parse would crash the
+    // exact option the catalog path produces
+    def tsMillis(ts: String): Long =
+      scala.util.Try(ts.toLong).getOrElse(
+        scala.util.Try(java.time.Instant.parse(ts).toEpochMilli).getOrElse(
+          java.sql.Timestamp.valueOf(ts.replace('T', ' ')).getTime))
     val table = (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {
       case (Some(v), _) => DeltaTable.forPath(spark, path, v.toLong)
-      case (None, Some(ts)) => DeltaTable.forPathAsOf(spark, path, ts.toLong)
+      case (None, Some(ts)) => DeltaTable.forPathAsOf(spark, path, tsMillis(ts))
       case _ => DeltaTable.forPath(spark, path)
     }
     // the format relation relies on [[ApplyDeletionVectors]] for DV
@@ -179,7 +187,16 @@ final class GraftDeltaSource extends RelationProvider
     val mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean)
     val overwriteSchema = parameters.get("overwriteSchema").exists(_.toBoolean)
     GraftWriter.write(data, path, mode, partitionBy, mergeSchema, overwriteSchema)
-    createRelation(sqlContext, parameters)
+    // the write COMMITTED — the returned relation must not throw (Spark
+    // discards it anyway): building the read relation here re-runs read
+    // fences (column mapping, DV extensions) that legitimately refuse even
+    // though the write succeeded, and a thrown "failure" after a durable
+    // commit makes orchestrator retries append duplicates
+    val ctx = sqlContext
+    new BaseRelation {
+      override val sqlContext: SQLContext = ctx
+      override def schema: StructType = data.schema
+    }
   }
 
   /** table cols + `_change_type` + `_commit_version` — the shape
@@ -201,7 +218,14 @@ final class GraftDeltaSource extends RelationProvider
                             parameters: Map[String, String]): (String, StructType) = {
     val declared = schema.getOrElse(
       DeltaTable.forPath(sqlContext.sparkSession, pathOf(parameters)).schema)
-    (shortName(), if (wantsCdf(parameters)) cdfSchema(declared) else declared)
+    // a user-supplied schema may ALREADY carry the change columns (r7
+    // ADVICE allows them anywhere) — wrapping again would duplicate them
+    val out =
+      if (wantsCdf(parameters) &&
+          !declared.fieldNames.contains(ChangeDataFeed.ChangeType))
+        cdfSchema(declared)
+      else declared
+    (shortName(), out)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,

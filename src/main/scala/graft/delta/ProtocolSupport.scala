@@ -152,7 +152,8 @@ object ProtocolSupport {
     * not invalidate in-flight physical scans). */
   def assertCommitServable(tablePath: String, version: Long,
                            actions: Seq[Action],
-                           allowNameMapping: Boolean = false): Unit =
+                           allowNameMapping: Boolean = false,
+                           declaredSchema: Option[org.apache.spark.sql.types.StructType] = None): Unit =
     actions.foreach {
       case p: ProtocolAction =>
         assertReadable(Snapshot(
@@ -165,6 +166,27 @@ object ProtocolSupport {
         refuse(s"commit $version of $tablePath enables column mapping " +
           "mid-stream; files written after it would scan as nulls through " +
           "the stream's fixed logical schema")
+      case m: MetaDataAction if declaredSchema.isDefined =>
+        // a mid-stream DROP/RENAME/RETYPE of a column the stream's fixed
+        // schema still reads would serve silent nulls from every file
+        // written after it; additive evolution is fine (the scan simply
+        // does not read the new column)
+        scala.util.Try(DeltaSchema.fromJson(m.schemaString)).toOption.foreach { ns =>
+          val newTypes = ns.fields
+            .map(f => f.name -> DeltaSchema.structural(f.dataType)).toMap
+          declaredSchema.get.fields.foreach { f =>
+            newTypes.get(f.name) match {
+              case Some(t) if t == DeltaSchema.structural(f.dataType) => ()
+              case Some(_) => refuse(
+                s"commit $version of $tablePath retypes column ${f.name} " +
+                "under a running stream's fixed schema — restart the stream")
+              case None => refuse(
+                s"commit $version of $tablePath drops or renames column " +
+                s"${f.name} that a running stream's fixed schema still " +
+                "reads — restart the stream with the new schema")
+            }
+          }
+        }
       case _ => ()
     }
 

@@ -24,18 +24,22 @@ package graft.delta
 object RewriteFence {
 
   /** Servable adds of `actions`, or IllegalStateException naming the
-    * missing opt-in. */
+    * missing opt-in. `declaredSchema`: the stream's fixed data schema,
+    * when it has one — a commit dropping/retyping one of its columns
+    * fails the stream instead of serving silent nulls. */
   def servableAdds(tablePath: String, version: Long, actions: Seq[Action],
                    ignoreChanges: Boolean, ignoreDeletes: Boolean,
-                   allowNameMapping: Boolean = false): Seq[AddAction] = {
+                   allowNameMapping: Boolean = false,
+                   declaredSchema: Option[org.apache.spark.sql.types.StructType] = None): Seq[AddAction] = {
     // a mid-stream capability flip (protocol bump past what graft reads,
-    // column mapping enable) must stop the stream here: the scan-time fence
-    // only sees the START snapshot, and files written after e.g. a
-    // columnMapping enable would read as all-null through the stream's
-    // fixed schema (a feed ALREADY serving the table as name-mapped passes
+    // column mapping enable, a schema change under the fixed declared
+    // schema) must stop the stream here: the scan-time fence only sees
+    // the START snapshot, and files written after e.g. a columnMapping
+    // enable would read as all-null through the stream's fixed schema (a
+    // feed ALREADY serving the table as name-mapped passes
     // allowNameMapping — see assertCommitServable)
     ProtocolSupport.assertCommitServable(tablePath, version, actions,
-      allowNameMapping)
+      allowNameMapping, declaredSchema)
     // DV-pointer re-adds of EITHER format (graft tags, add.deletionVector)
     // carry no new rows — never servable
     val adds = actions.collect { case a: AddAction

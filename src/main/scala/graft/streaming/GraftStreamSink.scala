@@ -55,6 +55,23 @@ final class GraftStreamSink(
     val mapped = snap.version >= 0 && ColumnMapping.isMapped(snap)
     if (snap.version >= 0)
       ProtocolSupport.assertWritable(snap, allowNameMapping = true)
+    // the existing table's partitioning WINS, like the batch writer: an
+    // omitted partitionBy inherits it (users rarely re-declare it per
+    // stream), and a mismatch refuses — unpartitioned files committed
+    // into a partitioned table scan as null partition values and vanish
+    // under pruning
+    val effPartitionBy =
+      if (snap.version < 0) partitionBy
+      else {
+        val declared = snap.partitionColumns
+        if (partitionBy.isEmpty) declared
+        else {
+          require(partitionBy == declared,
+            s"stream partitionBy ${partitionBy.mkString("(", ",", ")")} != " +
+            s"table partitioning ${declared.mkString("(", ",", ")")} of $tablePath")
+          partitionBy
+        }
+      }
 
     var evolvedMetadata: Option[MetaDataAction] = None
     if (snap.version >= 0) {
@@ -84,12 +101,22 @@ final class GraftStreamSink(
         attachIds = ColumnMapping.mode(snap) == "id")
       else enforced
     val physPartitionBy =
-      if (mapped) partitionBy.map(c => ColumnMapping.physicalName(mapSchema, c))
-      else partitionBy
+      if (mapped) effPartitionBy.map(c => ColumnMapping.physicalName(mapSchema, c))
+      else effPartitionBy
     val adds = GraftWriter.stageFiles(staged, tablePath, physPartitionBy)
     val now = System.currentTimeMillis()
     val txn = log.startTransaction()
     if (mapped) txn.permitNameMappedCommit()
+    // Append adds; Complete REPLACES the table contents each epoch (the
+    // engine hands the full result per trigger — appending it would stack
+    // N copies of the aggregate). Update has no sound file-level mapping.
+    require(outputMode == "Append" || outputMode == "Complete",
+      s"graft-delta sink supports Append and Complete output modes, got $outputMode")
+    if (outputMode == "Complete" && snap.version >= 0)
+      snap.files.foreach(f => txn.addAction(RemoveAction(
+        path = f.path, deletionTimestamp = now, dataChange = true,
+        extendedFileMetadata = Some(true),
+        partitionValues = Some(f.partitionValues), size = Some(f.size))))
     if (snap.version < 0) {
       txn.addAction(ProtocolAction())
       txn.addAction(MetaDataAction(

@@ -90,7 +90,9 @@ final class StreamableGraftTable(
         location, Some("graft-delta")),
       tableType = org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
       storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat.empty.copy(
-        locationUri = Some(new java.net.URI(location)),
+        // raw-path → URI via Hadoop Path (a bare `new URI` throws on
+        // URI-illegal but filesystem-legal characters like spaces)
+        locationUri = Some(new org.apache.hadoop.fs.Path(location).toUri),
         properties = options),
       schema = tableSchema,
       provider = Some("graft-delta"),

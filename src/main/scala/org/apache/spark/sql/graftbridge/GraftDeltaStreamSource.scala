@@ -44,6 +44,17 @@ final class GraftDeltaStreamSource(
     ignoreDeletes: Boolean = false,
     readChangeFeed: Boolean = false) extends Source {
 
+  // Capability fence at stream START: the table's STANDING protocol must
+  // be readable before any batch serves. Per-commit fences
+  // (assertCommitServable) only see capability flips that arrive DURING
+  // the stream — a table whose base protocol already requires unsupported
+  // reader features would otherwise stream misread rows that a batch scan
+  // refuses (GraftFileIndex fences; this source builds its own scans).
+  {
+    val s = log.update()
+    if (s.version >= 0) graft.delta.ProtocolSupport.assertRowFeedReadable(s)
+  }
+
   // Column mapping: a name-mapped table's files speak PHYSICAL names, so
   // every batch scans physical and aliases back to the declared logical
   // schema (same single-conversion shape as the table scan); mode=id rides
@@ -161,11 +172,21 @@ final class GraftDeltaStreamSource(
     * ([[graft.delta.RewriteFence]]): copy-on-write rewrites, delete-only
     * commits, and merge-on-read (DV) DML all fail loudly without the
     * matching ignoreChanges/ignoreDeletes opt-in (r6 ADVICE). */
+  /** The stream's fixed DATA schema for the mid-stream schema-change
+    * fence — None on mapped tables (they resolve by immutable PHYSICAL
+    * names, so logical renames stay servable). */
+  private def fenceSchema: Option[StructType] =
+    if (mappedTableFields.isDefined) None
+    else Some(StructType(schema.fields.filterNot(f =>
+      f.name == graft.delta.ChangeDataFeed.ChangeType ||
+      f.name == graft.delta.ChangeDataFeed.CommitVersion)))
+
   private def dataChangeAdds(version: Long): Seq[AddAction] =
     graft.delta.RewriteFence.servableAdds(
       log.tablePath.toString, version, log.readCommit(version),
       ignoreChanges, ignoreDeletes,
-      allowNameMapping = mappedTableFields.isDefined)
+      allowNameMapping = mappedTableFields.isDefined,
+      declaredSchema = fenceSchema)
 
   override def getOffset: Option[V1Offset] = {
     val latest = log.update().version
@@ -184,7 +205,12 @@ final class GraftDeltaStreamSource(
         // rewrite fence, which CDF mode exists to make unnecessary)
         if (readChangeFeed || (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty)) byVersions
         else {
-          // walk pending commits in order; stop before the cap-crossing one
+          // walk pending commits in order; stop before the cap-crossing
+          // one, and stop READING once anything was admitted and the next
+          // commit either crosses the cap or fails its serve fence — a
+          // poison commit beyond the cap must not kill the stream before
+          // the servable prefix is offered (it fails loudly on the trigger
+          // AFTER that prefix commits)
           var files = 0L; var bytes = 0L
           var end = lastOffered
           val pending = log.listCommitVersions()
@@ -193,13 +219,25 @@ final class GraftDeltaStreamSource(
           var stop = false
           while (it.hasNext && !stop) {
             val v = it.next()
-            val adds = dataChangeAdds(v)
-            files += adds.size
-            bytes += adds.map(_.size).sum
-            val over = maxFilesPerTrigger.exists(files > _) ||
-              maxBytesPerTrigger.exists(bytes > _)
-            if (over && end > lastOffered) stop = true // keep at least one
-            else end = v
+            val adds =
+              try dataChangeAdds(v)
+              catch {
+                case e: Throwable =>
+                  if (end > lastOffered) { stop = true; Nil }
+                  else throw e
+              }
+            if (!stop) {
+              files += adds.size
+              bytes += adds.map(_.size).sum
+              val over = maxFilesPerTrigger.exists(files > _) ||
+                maxBytesPerTrigger.exists(bytes > _)
+              if (over && end > lastOffered) stop = true // keep at least one
+              else {
+                end = v
+                // one oversized commit admitted alone: nothing more fits
+                if (over) stop = true
+              }
+            }
           }
           end
         }
@@ -229,6 +267,16 @@ final class GraftDeltaStreamSource(
     // commit boundaries, and a restart replay re-reads the identical
     // deterministic change set for (startV, endV].
     if (readChangeFeed) {
+      // per-commit capability fence — the non-CDF path gets this inside
+      // RewriteFence.servableAdds; CDF mode must equally refuse a range
+      // whose commits flip the table into territory the stream's fixed
+      // schema cannot serve (mid-stream column-mapping enable, a protocol
+      // bump past supported reader features)
+      log.listCommitVersions().filter(v => v > startV && v <= endV).foreach(v =>
+        graft.delta.ProtocolSupport.assertCommitServable(
+          log.tablePath.toString, v, log.readCommit(v),
+          allowNameMapping = mappedTableFields.isDefined,
+          declaredSchema = fenceSchema))
       // table schema = declared minus the two change columns BY NAME —
       // a user-supplied .schema() may place them anywhere (r7 ADVICE);
       // passing it skips a full snapshotForVersion replay per micro-batch
