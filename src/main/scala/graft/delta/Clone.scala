@@ -35,6 +35,12 @@ object Clone {
         if (s.version < 0) throw new NotATableException(sourcePath)
         s
     }
+    // a clone MATERIALIZES the source's file inventory: fencing on
+    // readability keeps the refuse-don't-misread contract — an unsupported
+    // reader capability could change which files are live, and a fork
+    // derived from a mis-read log would be trusted by engines that DO
+    // support the feature
+    ProtocolSupport.assertReadable(srcSnap)
     val tgtLog = DeltaLog.forPath(spark, targetPath)
     if (tgtLog.update().version >= 0)
       throw new IllegalStateException(s"clone target $targetPath is already a Delta table")

@@ -43,26 +43,34 @@ object Convert {
     if (missing.nonEmpty) throw new IllegalArgumentException(
       s"partition columns not present in $path: $missing")
 
-    val base = tablePath.toUri.getPath.stripSuffix("/")
-    val rels = {
-      val out = mutable.Buffer[String]()
-      val it = fs.listFiles(tablePath, true)
-      while (it.hasNext) {
-        val st = it.next()
-        val rel = st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
-        val hidden = rel.split('/').exists(seg =>
-          (seg.startsWith(".") || seg.startsWith("_")) && !seg.contains("="))
-        if (st.getPath.getName.endsWith(".parquet") && !hidden)
-          out += rel
+    // listStatus walk (Hadoop's recursive listFiles resolves block
+    // locations per entry — measured ~4 ms/file, see DeltaTable's vacuum),
+    // capturing size+mtime FROM the listing instead of a second
+    // per-file getFileStatus round trip over 10⁵-10⁶ files
+    val relStatus = {
+      val out = mutable.Buffer[(String, (Long, Long))]()
+      val basePrefix = tablePath.toUri.getPath.stripSuffix("/")
+      val stack = mutable.Stack(tablePath)
+      while (stack.nonEmpty) {
+        fs.listStatus(stack.pop()).foreach { st =>
+          val name = st.getPath.getName
+          if (st.isDirectory) {
+            if (!((name.startsWith(".") || name.startsWith("_")) &&
+                  !name.contains("="))) stack.push(st.getPath)
+          } else if (name.endsWith(".parquet"))
+            out += ((st.getPath.toUri.getPath
+              .stripPrefix(basePrefix).stripPrefix("/"),
+              (st.getLen, st.getModificationTime)))
+        }
       }
       out.toSeq
     }
+    val rels = relStatus.map(_._1)
     if (rels.isEmpty)
       throw new IllegalArgumentException(s"no parquet files under $path")
 
     val statsByRel = GraftWriter.collectStats(spark, tablePath, rels, conf)
-    val statuses = GraftWriter.inDriverPool(rels)(rel =>
-      rel -> fs.getFileStatus(new Path(tablePath, rel))).toMap
+    val statuses = relStatus.toMap
     val now = System.currentTimeMillis()
 
     val txn = log.startTransaction()
@@ -82,9 +90,9 @@ object Convert {
         s"file $rel lacks partition values for $missingPv")
       txn.addAction(AddAction(
         path = rel,
-        size = statuses(rel).getLen,
+        size = statuses(rel)._1,
         partitionValues = partitionBy.map(c => c -> pv(c)).toMap,
-        modificationTime = statuses(rel).getModificationTime,
+        modificationTime = statuses(rel)._2,
         dataChange = true,
         stats = Some(statsByRel(rel))))
     }

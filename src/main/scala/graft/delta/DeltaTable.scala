@@ -536,7 +536,13 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     * semantics). */
   def addCheckConstraint(name: String, sqlExpr: String): Long = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit}
-    val violations = toDF
+    // validate against the LATEST snapshot, never this handle's pinned one
+    // — rows committed after the pin would otherwise dodge validation and
+    // the table would declare a constraint its own rows violate. (A row
+    // landing between this scan and the metadata commit remains the
+    // optimistic-concurrency window every engine shares here.)
+    val fresh = new DeltaTable(log, log.update())
+    val violations = fresh.toDF
       .filter(coalesce(expr(sqlExpr).cast("boolean"), lit(true)) === false).count()
     if (violations > 0) throw new IllegalStateException(
       s"cannot add CHECK constraint $name ($sqlExpr): " +

@@ -63,12 +63,16 @@ object Optimize {
     // candidate groups: >1 SUB-TARGET file in the same partition tuple
     // (physical keys — `add.partitionValues` speaks at-rest names; caller
     // filters arrive logical and translate here). At-target files are
-    // left in place, not re-packed.
-    val candidates = PartitionFilter.prune(snap.files,
-        partitionFilters.map(PartitionFilter.mapKey(_, phys)))
-      .filter(_.size < targetFileBytes)
+    // left in place, not re-packed — EXCEPT files carrying deletion
+    // vectors: compaction is the DV-purge path, and a DV'd file at target
+    // size still deserves its physical reclaim. A lone DV'd file in a
+    // partition also qualifies (purging needs no packing peer).
+    val pruned = PartitionFilter.prune(snap.files,
+      partitionFilters.map(PartitionFilter.mapKey(_, phys)))
+    val candidates = pruned
+      .filter(a => a.size < targetFileBytes || DeletionVectors.hasDv(a))
       .groupBy(a => physPartCols.map(c => a.partitionValues.get(c).orNull))
-      .filter(_._2.size > 1)
+      .filter { case (_, files) => files.size > 1 || files.exists(DeletionVectors.hasDv) }
     if (candidates.isEmpty)
       return OptimizeMetrics(0, 0, 0, 0, snap.version)
 

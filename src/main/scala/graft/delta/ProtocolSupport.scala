@@ -280,6 +280,24 @@ object ProtocolSupport {
     // row tracking rides domain metadata (the high-water mark domain)
     if (TableConfig.rowTrackingEnabled(config))
       p = writerFeaturesFence(p, Seq("domainMetadata", RowTracking.Feature))
+    // legacy writer-version floors (Delta spec): CHECK constraints demand
+    // writer >= 3, change data feed writer >= 4 — a (1,2) table carrying
+    // either property would let legacy foreign writers violate the
+    // constraint / skip change capture silently. On a features table the
+    // capability must be NAMED instead.
+    val wantsCdf = TableConfig.changeDataFeedEnabled(config)
+    val wantsConstraints = config.keys.exists(_.startsWith(Constraints.Prefix))
+    if (wantsCdf || wantsConstraints) {
+      if (p.minWriterVersion >= 7)
+        p = writerFeaturesFence(p,
+          (if (wantsCdf) Seq("changeDataFeed") else Nil) ++
+            (if (wantsConstraints) Seq("checkConstraints") else Nil))
+      else {
+        val floor = math.max(if (wantsCdf) 4 else 0,
+          if (wantsConstraints) 3 else 0)
+        if (p.minWriterVersion < floor) p = p.copy(minWriterVersion = floor)
+      }
+    }
     p
   }
 

@@ -193,8 +193,13 @@ object Restore {
                               currentByPath: Map[String, AddAction]): Seq[CdcAction] = {
     import org.apache.spark.sql.functions.{col, lit}
     if (!ChangeDataFeed.enabled(current)) return Nil
-    if (current.metadata.map(_.schemaString) != target.metadata.map(_.schemaString))
-      return Nil
+    // STRUCTURAL schema comparison: raw schemaStrings embed evolving
+    // field metadata (identity high-water marks advance on every insert),
+    // which would silently disable restore CDC — and then readChanges
+    // fails loudly on the capture-less rewrite commit
+    def shape(s: Snapshot) = scala.util.Try(s.schema).toOption
+      .map(_.fields.map(f => (f.name, DeltaSchema.structural(f.dataType))).toSeq)
+    if (shape(current) != shape(target)) return Nil
     if (toAdd.isEmpty && toRemove.isEmpty) return Nil
     // mapped tables: change files are at-rest files — capture PHYSICAL
     // columns (the scan serves them physical); the feed aliases back

@@ -84,11 +84,24 @@ class GraftCatalog extends DelegatingCatalogExtension
 
   /** Build the resolution-time v2 handle from the CURRENT log state (the
     * log, not the metastore, is the schema's source of truth — a table
-    * altered by another writer reads correctly without re-registering). */
+    * altered by another writer reads correctly without re-registering).
+    * Time-travel options pin the handle's SCHEMA to the target version
+    * too: resolving the latest schema over a pinned relation breaks on
+    * any column added/dropped/retyped since the pin (unresolved
+    * attributes / misdeclared types). */
   private def graftTable(location: String,
                          extraOptions: Map[String, String] = Map.empty): GraftTable = {
-    val snap = DeltaLog.forPath(spark, location).update()
-    if (snap.version < 0) throw new NotATableException(location)
+    val log = DeltaLog.forPath(spark, location)
+    val latest = log.update()
+    if (latest.version < 0) throw new NotATableException(location)
+    val snap = (extraOptions.get("versionAsOf"),
+        extraOptions.get("timestampAsOf")) match {
+      case (Some(v), _) => log.snapshotForVersion(v.toLong)
+      case (None, Some(ts)) =>
+        DeltaTable.forPathAsOf(spark, location,
+          java.time.Instant.parse(ts).toEpochMilli).snapshot
+      case _ => latest
+    }
     // StreamableGraftTable adds the V2TableWithV1Fallback hook so
     // readStream.table("name") resolves to the V1 streaming source
     new org.apache.spark.sql.graftbridge.StreamableGraftTable(
@@ -187,6 +200,17 @@ class GraftCatalog extends DelegatingCatalogExtension
             s"declared CLUSTER BY $clusterCols does not match existing " +
               s"table's $existing")
         }
+        // declared TBLPROPERTIES must AGREE with the adopted log (the
+        // log is the source of truth) — previously they were validated
+        // and silently dropped, so DESCRIBE showed e.g. appendOnly=true
+        // while the log kept permitting deletes
+        val existingCfg = TableConfig.of(snap)
+        val mismatched = config.filter { case (k, v) =>
+          !existingCfg.get(k).contains(v) }
+        if (mismatched.nonEmpty) throw new IllegalArgumentException(
+          s"declared TBLPROPERTIES ${mismatched.keys.mkString(", ")} do not " +
+          s"match the existing graft-delta table at $location — adopt the " +
+          "table first, then ALTER TABLE ... SET TBLPROPERTIES")
         snap.schema
       } else {
         if (declared.isEmpty) throw new IllegalArgumentException(
@@ -333,7 +357,16 @@ class GraftCatalog extends DelegatingCatalogExtension
       .v2ColumnsToStructType(columns)
     if (declared.isEmpty) throw new IllegalArgumentException(
       "REPLACE TABLE ... USING graft-delta requires a column list or AS SELECT")
-    val partCols = partitionColumnsOf(partitions)
+    // CLUSTER BY arrives as a transform like on CREATE — strip it before
+    // the identity-partitioning check (REPLACE with the clause previously
+    // crashed on "supports only identity partitioning")
+    if (org.apache.spark.sql.graftbridge.CatalogBridge
+        .clusterByColumns(partitions).nonEmpty)
+      throw new IllegalArgumentException(
+        "REPLACE TABLE ... CLUSTER BY is not supported — REPLACE the table " +
+        "first, then declare clustering with ALTER TABLE ... CLUSTER BY")
+    val partCols = partitionColumnsOf(
+      org.apache.spark.sql.graftbridge.CatalogBridge.withoutClusterBy(partitions))
     val missing = partCols.filterNot(declared.fieldNames.contains)
     if (missing.nonEmpty) throw new IllegalArgumentException(
       s"partition columns not in schema: $missing")
@@ -360,7 +393,14 @@ class GraftCatalog extends DelegatingCatalogExtension
       c.isInstanceOf[TableChange.RenameColumn] ||
       c.isInstanceOf[TableChange.DeleteColumn]
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    // path identifiers (graft-delta.`/abs/path`) have no metastore entry —
+    // route straight to the log, like loadTable does (previously ALTER on
+    // a path table died in the metastore lookup)
+    if (isPathIdent(ident)) {
+      alterDeltaLog(ident.name, changes)
+      return loadTable(ident)
+    }
     graftLocationOf(ident) match {
       case Some(location) =>
         alterDeltaLog(location, changes)
@@ -383,6 +423,7 @@ class GraftCatalog extends DelegatingCatalogExtension
         loadTable(ident)
       case None => super.alterTable(ident, changes: _*)
     }
+  }
 
   /** Apply ALTER changes to the Delta log; the log, not the metastore, is
     * what every reader replays. RENAME/DROP COLUMN and column-mapping mode

@@ -52,6 +52,12 @@ class GraftTable(
       path = f.path, deletionTimestamp = now, dataChange = true,
       extendedFileMetadata = Some(true),
       partitionValues = Some(f.partitionValues), size = Some(f.size))))
+    // DV directories the truncated files pointed at must tombstone HERE
+    // (every other abandoning path does): vacuum reclaims them only from
+    // tombstones — the walk prunes the underscore-hidden dir, so an
+    // untracked DV dir leaks forever
+    txn.addActions(graft.delta.DeletionVectors.supersededDirTombstones(
+      snap, snap.files, now))
     val info = graft.delta.ActionCodec.mapper.createObjectNode()
     info.put("timestamp", now)
     info.put("operation", "TRUNCATE")
