@@ -12,9 +12,9 @@ import org.apache.spark.sql.types._
   *
   * Hyperplane component (p, d) is ±1 by the parity of Spark's
   * `xxhash64(p, d, seed)` — the same hash-derived family as the SQL
-  * formulation it replaces (`Similarity.bucketExpr`), kept bit-identical via
-  * [[XXH64.hashInt]] chaining, so buckets are seed-deterministic with no
-  * stored model.
+  * `aggregate(zip_with(...))` formulation it replaced, kept bit-identical
+  * via [[XXH64.hashInt]] chaining, so buckets are seed-deterministic with
+  * no stored model.
   *
   * Why a custom Expression (tier (b) of the build rules): the SQL version
   * evaluates `nTables·nPlanes` separate `aggregate(zip_with(...))` lambdas,
@@ -49,30 +49,14 @@ case class LshBucketsMultiExpr(child: Expression, nTables: Int, nPlanes: Int,
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"lsh_buckets needs an array<float|double> column, got ${child.dataType.simpleString}")
 
-  /** ±1 sign matrix, laid out [plane][dim], built once per (executor, dim).
-    * Plane p, component d: +1 iff xxhash64(p, d, seed) is even — the exact
-    * chain Spark's `xxhash64(p, d, seed)` literal call produces. */
-  @transient private lazy val signCache =
-    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Byte]]()
-
+  /** ±1 sign matrix, laid out [plane][dim] — EXECUTOR-wide cache in the
+    * companion (an instance cache rebuilds per TASK: every task
+    * deserializes its own copy of the plan and of the codegen reference
+    * object, so a 10⁴-task stage would recompute ~400k hash chains per
+    * task). Plane p, component d: +1 iff xxhash64(p, d, seed) is even —
+    * the exact chain Spark's `xxhash64(p, d, seed)` literal produces. */
   def signMatrix(dim: Int): Array[Byte] =
-    signCache.computeIfAbsent(dim, { _ =>
-      val nP = nTables * nPlanes
-      val m = new Array[Byte](nP * dim)
-      var p = 0
-      while (p < nP) {
-        var d = 0
-        while (d < dim) {
-          var h = XXH64.hashInt(p, 42L)
-          h = XXH64.hashInt(d, h)
-          h = XXH64.hashInt(seed, h)
-          m(p * dim + d) = if ((h & 1L) == 0L) 1 else -1
-          d += 1
-        }
-        p += 1
-      }
-      m
-    })
+    LshBucketsMultiExpr.signMatrix(nTables, nPlanes, seed, dim)
 
   /** Row kernel, shared by interpreted eval and codegen (called through an
     * object reference — the loop itself JITs as ordinary JVM code). */
@@ -116,4 +100,32 @@ case class LshBucketsMultiExpr(child: Expression, nTables: Int, nPlanes: Int,
     copy(child = newChild)
 
   override def prettyName: String = "lsh_buckets_multi"
+}
+
+object LshBucketsMultiExpr {
+  /** JVM-wide sign matrices keyed by the full parameterization — shared
+    * by every task (and every query) on the executor. Bounded: one entry
+    * per distinct (tables, planes, seed, dim) in live use. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Int), Array[Byte]]()
+
+  private[functions] def signMatrix(nTables: Int, nPlanes: Int, seed: Int,
+                                    dim: Int): Array[Byte] =
+    cache.computeIfAbsent((nTables, nPlanes, seed, dim), { _ =>
+      val nP = nTables * nPlanes
+      val m = new Array[Byte](nP * dim)
+      var p = 0
+      while (p < nP) {
+        var d = 0
+        while (d < dim) {
+          var h = XXH64.hashInt(p, 42L)
+          h = XXH64.hashInt(d, h)
+          h = XXH64.hashInt(seed, h)
+          m(p * dim + d) = if ((h & 1L) == 0L) 1 else -1
+          d += 1
+        }
+        p += 1
+      }
+      m
+    })
 }

@@ -35,6 +35,13 @@ case class QuantizedDotProduct(left: Expression, right: Expression, scale: Int)
 
   override def dataType: DataType = LongType
 
+  // a NULL ELEMENT nulls the result even when both array columns are
+  // non-nullable; without this override the non-nullable codegen branch
+  // never declares ev.isNull, and our generated `ev.isNull = true`
+  // references an undeclared variable (Janino compile failure), while the
+  // interpreted path would hand a null through a non-nullable schema slot
+  override def nullable: Boolean = true
+
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
     case ArrayType(t @ (FloatType | DoubleType | LongType | IntegerType), _) => Some(t)
     case _ => None

@@ -27,6 +27,15 @@ case class SimHashAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Int]] {
 
+  // fail at ANALYSIS, not as a per-row ClassCastException inside executor
+  // tasks on a 100 TB aggregation
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash_agg needs a BIGINT feature-hash column (use xxhash64), got " +
+        child.dataType.simpleString)
+
   override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
 
   override def update(buf: Array[Int], input: InternalRow): Array[Int] = {

@@ -89,6 +89,12 @@ object Clustering {
       dropCheckpoint(superseded) // probe above was the last read of it
     }
     dropCheckpoint(sym) // labels' checkpoint is self-contained now
+    // truncated propagation = WRONG labels (one duplicate family split
+    // into several components, each keeping its own "survivor") — fail
+    // loudly instead of silently leaking duplicates through dedup
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIterations iterations " +
+      "(component diameter exceeds the budget) — raise maxIterations")
     labels
   }
 
@@ -97,11 +103,7 @@ object Clustering {
     * driver heap that can be never): a long-lived session running many
     * clustering jobs would otherwise accumulate every iteration's blocks in
     * the BlockManager. Best-effort: no-ops on non-checkpointed plans. */
-  private def dropCheckpoint(df: DataFrame): Unit =
-    try df.queryExecution.analyzed.collectLeaves().foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    } catch { case _: Throwable => () }
+  private def dropCheckpoint(df: DataFrame): Unit = CheckpointUtil.drop(df)
 
   /** One survivor per duplicate family: every document keeps its component
     * (its own id when it appears in no pair), and the first row per

@@ -273,9 +273,15 @@ object Dedup {
 
   /** SimHash near-dup pairs: band the 64-bit hash into 4×16-bit keys, join
     * on band equality (bucketed candidate generation), then filter by exact
-    * Hamming distance (`bit_count(xor)`). */
+    * Hamming distance (`bit_count(xor)`).
+    *
+    * RECALL contract: by pigeonhole, 4 bands GUARANTEE a band match only
+    * for Hamming distance ≤ 3 — the default. A larger `maxHamming` still
+    * returns only band-matched candidates (pairs whose ≤`maxHamming`
+    * differing bits spread across all four bands are MISSED); callers
+    * raising it accept candidate-generation recall, not exact recall. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 16): DataFrame = {
+                   maxHamming: Int = 3): DataFrame = {
     val hashed = simhash(df, textCol, idCol) // uncached: see minhashLshPairs
 
     val bands = hashed.select(col(idCol), col("simhash"),

@@ -43,18 +43,28 @@ object Quantize {
       lit(0L), (acc, e) => acc + e)
 
   /** Brute-force top-k over QUANTIZED codes: one corpus pass against the
-    * broadcast quantized query, ranked by the exact integer dot —
-    * `TakeOrderedAndProject` keeps top-k per partition, no full sort.
-    * The 4×-smaller scan is the point; ranking quality vs float cosine is
-    * the standard int8 trade (≈1 ULP of 1/127 per component). */
+    * broadcast quantized query — `TakeOrderedAndProject` keeps top-k per
+    * partition, no full sort. The 4×-smaller scan is the point; ranking
+    * quality vs float dot is the standard int8 trade (≈1 ULP of 1/127
+    * per component).
+    *
+    * RANKING divides the per-vector scales back out: the raw integer dot
+    * is `dot(a,q)·scale_a·scale_q` with `scale_v = 127/maxAbs(v)`, so
+    * ordering by it ranks `dot/maxAbs(corpus vector)` — a corpus with
+    * non-uniform norms would invert the true ordering (a tiny vector
+    * code-identical to the query would beat a large near-match). The
+    * returned `dot_q8` stays the exact integer; the descale is a
+    * deterministic per-row division, not a float summation. */
   def quantizedTopK(vectors: DataFrame, idCol: String, vecCol: String,
                     queryId: Long, k: Int): DataFrame = {
     val qd = scalarQuantize(vectors, vecCol)
-    val query = qd.filter(col(idCol) === queryId).select(col("q8").as("query_q8"))
+    val query = qd.filter(col(idCol) === queryId)
+      .select(col("q8").as("query_q8"), col("q8_scale").as("query_scale"))
     qd.crossJoin(broadcast(query))
       .withColumn("dot_q8", int8Dot(col("q8"), col("query_q8")))
-      .select(col(idCol), col("dot_q8"))
-      .orderBy(col("dot_q8").desc, col(idCol))
+      .orderBy((col("dot_q8") / (col("q8_scale") * col("query_scale"))).desc,
+        col(idCol))
       .limit(k)
+      .select(col(idCol), col("dot_q8"))
   }
 }

@@ -112,11 +112,7 @@ object Similarity {
         .groupBy(idCol)
         .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cluster"))
 
-    def dropCheckpoint(df: DataFrame): Unit =
-      try df.queryExecution.analyzed.collectLeaves().foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-        case _ => ()
-      } catch { case _: Throwable => () }
+    def dropCheckpoint(df: DataFrame): Unit = CheckpointUtil.drop(df)
 
     var centroids = v.orderBy(col(idCol)).limit(k)
       .select(row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col(idCol)))

@@ -54,17 +54,20 @@ object TextAnalysis {
   private[ops] val IpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
   private[ops] val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
-  def redactPii(df: DataFrame, textCol: String, idCol: String): DataFrame =
+  def redactPii(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // each audit count runs over the text its replacement pass actually
+    // saw: a digit-run nested inside an already-redacted email must not
+    // count as an unredacted phone (the counts reconcile against
+    // placeholders in the redacted output)
+    val afterEmail = regexp_replace(col(textCol), EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, IpRe, "<IP>")
     df.select(
       col(idCol),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
-          IpRe, "<IP>"),
-        PhoneRe, "<PHONE>").as("redacted"),
+      regexp_replace(afterIp, PhoneRe, "<PHONE>").as("redacted"),
       regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
-      regexp_count(col(textCol), lit(IpRe)).cast("long").as("n_ips"),
-      regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phones"))
+      regexp_count(afterEmail, lit(IpRe)).cast("long").as("n_ips"),
+      regexp_count(afterIp, lit(PhoneRe)).cast("long").as("n_phones"))
+  }
 
   /** N-gram-profile language ID: score each candidate language by marker
     * token hits; predict the argmax (ties broken lexicographically).

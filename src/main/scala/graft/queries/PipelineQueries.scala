@@ -31,16 +31,21 @@ object PipelineQueries {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, dir, "events")
     val tsUs = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
+      // convert_timezone pins the nanos vintage to a UTC-wall-clock NTZ —
+      // a bare timestamp_micros is a TZ-AWARE instant whose later
+      // date_trunc buckets in SESSION-local time, diverging from both the
+      // µs vintage and the oracle's naive timestamps in any non-UTC session
+      case org.apache.spark.sql.types.LongType =>
+        convert_timezone(lit("UTC"), timestamp_micros(expr("ts div 1000")))
       case _ => col("ts").cast("timestamp_ntz")
     }
     raw.withColumn("ts_us", tsUs)
   }
 
-  private val dec = DecimalType(18, 6)
-  private def lsum(c: org.apache.spark.sql.Column) =
-    sum((c.cast(dec) * 1000000).cast("long"))
-  private val DSUM = "CAST(SUM(CAST(CAST(%s AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)"
+  // the oracle-exactness micro-unit machinery is Relational's — ONE copy,
+  // so a precision/overflow fix there cannot silently miss this gate
+  private def lsum(c: org.apache.spark.sql.Column) = Relational.lsum(c)
+  private val DSUM = Relational.DSUM
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: representative row per duplicate key group; single
@@ -386,9 +391,14 @@ object PipelineQueries {
         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
         |  CAST(len(regexp_extract_all(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(text,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
-        |  CAST(len(regexp_extract_all(text,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones
         |FROM synth ORDER BY doc_id""".stripMargin,
 
@@ -399,14 +409,14 @@ object PipelineQueries {
         |  FROM (SELECT vec_id, embedding,
         |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
         |        FROM embeddings)),
-        |q AS (SELECT vec_id, list_transform(range(1, len(embedding) + 1),
+        |q AS (SELECT vec_id, sc, list_transform(range(1, len(embedding) + 1),
         |        i -> CAST(round(CAST(embedding[i] AS DOUBLE) * sc) AS BIGINT)) AS q8
         |      FROM s),
-        |qq AS (SELECT q8 AS query_q8 FROM q WHERE vec_id = 0)
+        |qq AS (SELECT q8 AS query_q8, sc AS qsc FROM q WHERE vec_id = 0)
         |SELECT vec_id, CAST(list_sum(list_transform(range(1, len(q8) + 1),
         |  i -> q8[i] * query_q8[i])) AS BIGINT) AS dot_q8
         |FROM q, qq
-        |ORDER BY dot_q8 DESC, vec_id LIMIT 10""".stripMargin,
+        |ORDER BY dot_q8 / (sc * qsc) DESC, vec_id LIMIT 10""".stripMargin,
 
     "q31_events_window" ->
       s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,

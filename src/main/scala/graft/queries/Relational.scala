@@ -25,7 +25,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Relational {
 
-  private val dec = DecimalType(18, 6)
+  private[queries] val dec = DecimalType(18, 6)
   /** Order-insensitive exact sum of a double money/quantity column, emitted as
     * BIGINT micro-units (value × 1e6). The source columns carry ≤2 decimal
     * digits, so the per-row decimal→micro-long conversion is exact, and a sum
@@ -33,8 +33,8 @@ object Relational {
     * entirely: Spark's parquet FIXED_LEN_BYTE_ARRAY decimals hash differently
     * from the oracle's arrow decimal128 at the driver's gate even when values
     * compare equal (round-1 verdict), while int64 is encoding-stable. */
-  private def lsum(c: Column): Column = sum((c.cast(dec) * 1000000).cast("long"))
-  private val DSUM = "CAST(SUM(CAST(CAST(%s AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)"
+  private[queries] def lsum(c: Column): Column = sum((c.cast(dec) * 1000000).cast("long"))
+  private[queries] val DSUM = "CAST(SUM(CAST(CAST(%s AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)"
   /** Per-row `extendedprice × (1 − discount)` in 1e-8 fixed-point (cents ×
     * discount-micro): both factors are exactly representable as longs, the
     * product is exact, and long-sums are order-insensitive. */

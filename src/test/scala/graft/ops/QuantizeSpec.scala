@@ -38,13 +38,20 @@ class QuantizeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("quantizedTopK ranks by exact integer dot: aligned > orthogonal > antipodal") {
-    val ranked = Quantize.quantizedTopK(vecs, "vec_id", "embedding", queryId = 0, k = 4)
-      .as[(Long, Long)].collect().toSeq
-    assert(ranked.map(_._1) == Seq(0L, 1L, 3L, 2L))
+  test("quantizedTopK ranks by the DESCALED dot: magnitude counts, codes alone do not") {
+    // vec 4 is code-identical to the query (same direction) but 1000×
+    // smaller — ranking by the raw integer dot would tie it with vec 0;
+    // the descaled ranking puts it below the genuinely-closer vec 1
+    val withTiny = vecs.union(
+      Seq((4L, Array(0.001f, -0.0005f, 0.00025f, 0.0f))).toDF("vec_id", "embedding"))
+    val ranked = Quantize.quantizedTopK(withTiny, "vec_id", "embedding",
+      queryId = 0, k = 5).as[(Long, Long)].collect().toSeq
+    assert(ranked.map(_._1) == Seq(0L, 1L, 4L, 3L, 2L),
+      s"descaled ranking wrong: $ranked")
     val dots = ranked.toMap
     assert(dots(0L) == 127L * 127 + 64 * 64 + 32 * 32) // self dot
     assert(dots(1L) == dots(0L)) // identical codes after per-vector scaling
+    assert(dots(4L) == dots(0L)) // ...and for the tiny vector too
     assert(dots(2L) == -dots(0L))
     assert(dots(3L) == 0L)
   }
