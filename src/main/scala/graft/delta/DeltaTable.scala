@@ -300,13 +300,18 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     * retention windows). `delta.*` keys are validated up front; other keys
     * pass through as user metadata. Returns the committed version. */
   def setProperties(props: Map[String, String]): Long = {
-    TableConfig.validate(props)
+    // `delta.feature.<name>=supported` entries are protocol DDL (the
+    // delta-spark feature-enable idiom): they lift the protocol to
+    // table-features form and are NOT persisted in configuration
+    val (featProps, cfgProps) =
+      props.partition(_._1.startsWith(ProtocolSupport.FeaturePropPrefix))
+    TableConfig.validate(cfgProps)
     val snap = log.update()
     // mode flips route to the real upgrade (field ids + physical names +
     // protocol floor) — a bare config change would flip scans to physical
     // names no file carries
     val curMode = ColumnMapping.mode(TableConfig.of(snap))
-    props.get(ColumnMapping.ModeKey).filterNot(_.trim == curMode).foreach { m =>
+    cfgProps.get(ColumnMapping.ModeKey).filterNot(_.trim == curMode).foreach { m =>
       if (curMode == "none" && m.trim == "name") {
         require(props.size == 1,
           s"set ${ColumnMapping.ModeKey} in its own call: the upgrade " +
@@ -323,14 +328,18 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
       throw new IllegalStateException(s"table ${log.tablePath} has no metadata"))
     val txn = log.startTransaction()
     if (ColumnMapping.isMapped(snap)) txn.permitNameMappedCommit()
-    txn.addAction(md.copy(configuration = md.configuration ++ props))
+    if (cfgProps.nonEmpty)
+      txn.addAction(md.copy(configuration = md.configuration ++ cfgProps))
     // Protocol fences FOLD into one action — one call may flip several
     // gated properties at once (DV + v2 checkpoints + ICT), and two
     // protocol lines in a commit would last-write-wins drop a feature
-    // (ProtocolSupport.configFences).
+    // (ProtocolSupport.configFences). Explicit feature declarations fold
+    // FIRST, so e.g. `delta.feature.deletionVectors` + the enable property
+    // in one call yields the standard features shape, not the legacy bump.
     val protoBase = ProtocolAction(snap.minReaderVersion,
       snap.minWriterVersion, snap.readerFeatures, snap.writerFeatures)
-    val fenced = ProtocolSupport.configFences(md.configuration ++ props, protoBase)
+    val fenced = ProtocolSupport.configFences(md.configuration ++ cfgProps,
+      ProtocolSupport.featureFences(featProps, protoBase))
     if (fenced != protoBase) txn.addAction(fenced)
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", System.currentTimeMillis())

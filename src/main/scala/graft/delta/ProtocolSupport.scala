@@ -301,6 +301,39 @@ object ProtocolSupport {
     p
   }
 
+  /** Property prefix of the feature-enable DDL idiom
+    * (`ALTER TABLE ... SET TBLPROPERTIES ('delta.feature.<name>'='supported')`,
+    * delta-spark's shape; reference protocol doc: PROTOCOL.md table
+    * features). The key is protocol DDL, not table configuration — it
+    * drives a protocol action and is never persisted in `configuration`. */
+  val FeaturePropPrefix = "delta.feature."
+
+  /** Fold `delta.feature.<name>=supported` entries over a protocol: lift
+    * to table-features form with each name declared — both lists for
+    * reader-writer features, the writer list alone otherwise. Refuses
+    * features graft could not then honor (the ⊆-supported-set fence the
+    * writers already enforce would trip on the very next commit). */
+  def featureFences(featProps: Map[String, String],
+                    base: ProtocolAction): ProtocolAction =
+    featProps.toSeq.sortBy(_._1).foldLeft(base) { case (p, (k, v)) =>
+      val name = k.stripPrefix(FeaturePropPrefix)
+      require(v.trim.equalsIgnoreCase("supported"),
+        s"$k: the only meaningful value is 'supported', got '$v'")
+      val snap = Snapshot(
+        minReaderVersion = p.minReaderVersion,
+        minWriterVersion = p.minWriterVersion,
+        readerFeatures = p.readerFeatures,
+        writerFeatures = p.writerFeatures)
+      if (SupportedReaderFeatures.contains(name))
+        readerWriterFeatureFence(snap, name).getOrElse(p)
+      else if (SupportedWriterFeatures.contains(name))
+        writerFeatureFence(snap, name).getOrElse(p)
+      else refuse(s"cannot declare table feature '$name': graft does not " +
+        s"implement it (supported: ${
+          (SupportedReaderFeatures ++ SupportedWriterFeatures).toSeq.sorted
+            .mkString(", ")})")
+    }
+
   private def refuse(why: String): Nothing =
     throw new UnsupportedProtocolException(s"unsupported Delta table: $why")
 }

@@ -551,9 +551,136 @@ object DeltaQueries {
       pruned.filter(col("l_orderkey") >= 800)
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     },
+
+    // Cross-engine log replay (round 11): unlike every other delta gate,
+    // the oracle never recomputes expectations from the source parquet —
+    // it mechanically replays graft's OWN `_delta_log` in DuckDB (reads
+    // the %020d.json commits and the checkpoint parquet, folds add/remove
+    // per the protocol with last-action-per-path-wins, add outranking
+    // remove within a commit), reads exactly the active files, applies the
+    // pinned physical→logical column mapping, and must hash-match graft's
+    // scan. A green row proves a foreign reader can reconstruct the table
+    // from the log graft wrote — checkpoint base + JSON tail + CoW removes
+    // + a rename across the checkpoint boundary all replayed externally.
+    // Reference shape: rust/tests/read_delta_test.rs:10-36 (file-list
+    // assertions against known logs).
+    "q70_log_replay" -> { (s, dir) =>
+      val t = freshDir("logreplay")
+      val d = li(s, dir)
+      (0 until 3).foreach { i =>
+        GraftWriter.write(
+          d.filter(col("l_orderkey") >= i * 500 && col("l_orderkey") < (i + 1) * 500), t,
+          if (i == 0) SaveMode.ErrorIfExists else SaveMode.Append)
+      }
+      Dml.delete(s, t, col("l_returnflag") === "A")   // CoW: removes + adds
+      DeltaLog.forPath(s, t).checkpoint()              // classic checkpoint
+      // name mapping on an EXISTING table pins physicalName = current name
+      // (ColumnMappingDdl.assignField), so the oracle's physical schema is
+      // static: files keep `l_quantity` after the logical rename to `qty`
+      DeltaTable.forPath(s, t).enableColumnMapping()
+      DeltaTable.forPath(s, t).renameColumn("l_quantity", "qty")
+      GraftWriter.write(
+        d.filter(col("l_orderkey") >= 1500 && col("l_orderkey") < 2000)
+          .withColumnRenamed("l_quantity", "qty"), t, SaveMode.Append)
+      // post-checkpoint removes: the tail fold must subtract, not just add
+      Dml.delete(s, t, col("l_returnflag") === "R" && col("l_orderkey") >= 1000)
+      DeltaTable.forPath(s, t).toDF
+        .orderBy("l_orderkey", "l_linenumber", "qty", "l_returnflag")
+    },
+
+    // Standard deletion-vector replay (round 11): the table declares the
+    // protocol `deletionVectors` feature via the delta.feature DDL, so the
+    // DV DELETE re-adds files with standard `add.deletionVector`
+    // descriptors (the foreign-readable shape, not graft's legacy tags).
+    // The oracle replays the log and cross-checks, per active file,
+    // visible rows = raw parquet rows − descriptor cardinality. (The
+    // roaring-bitmap positions themselves are not decodable in SQL; the
+    // cardinality arithmetic is the protocol-level invariant a foreign
+    // planner relies on.) One file per 400-orderkey bucket keys the join.
+    "q71_dv_replay" -> { (s, dir) =>
+      val t = freshDir("dvreplay")
+      val d = li(s, dir)
+      (0 until 4).foreach { i =>
+        GraftWriter.write(
+          d.filter(col("l_orderkey") >= i * 400 && col("l_orderkey") < (i + 1) * 400)
+            .repartition(1), t,
+          if (i == 0) SaveMode.ErrorIfExists else SaveMode.Append)
+      }
+      DeltaTable.forPath(s, t).setProperties(Map(
+        "delta.feature.deletionVectors" -> "supported",
+        TableConfig.EnableDeletionVectors -> "true"))
+      Dml.delete(s, t, col("l_quantity") > 30)         // merge-on-read DVs
+      DeltaTable.forPath(s, t).toDF
+        .groupBy(floor(col("l_orderkey") / 400).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("visible"))
+        .orderBy("bucket")
+    },
   )
 
+  // q70/q71 oracles read graft's own artifacts, so they need the table
+  // paths the queries write to (constants — workRoot is fixed).
+  private val replayT = s"$workRoot/logreplay"
+  private val dvReplayT = s"$workRoot/dvreplay"
+
   val oracleSql: Map[String, String] = Map(
+    // Mechanical log replay in DuckDB: checkpoint parquet as the base,
+    // JSON commits after it as the tail, last action per path wins (adds
+    // outrank removes within one version — the re-add-with-same-path
+    // shape DV and metadata rewrites use), then read exactly the active
+    // files with the pinned physical column names.
+    "q70_log_replay" ->
+      s"""WITH cv AS (
+         |  SELECT coalesce(max(CAST(regexp_extract(file, '(\\d{20})\\.checkpoint', 1) AS BIGINT)), -1) AS v
+         |  FROM glob('$replayT/_delta_log/*.checkpoint.parquet')),
+         |ckpt AS (
+         |  SELECT add.path AS path, (SELECT v FROM cv) AS v, true AS is_add
+         |  FROM read_parquet('$replayT/_delta_log/*.checkpoint.parquet')
+         |  WHERE add IS NOT NULL),
+         |jl AS (
+         |  SELECT CAST(regexp_extract(filename, '(\\d{20})\\.json', 1) AS BIGINT) AS v, add, remove
+         |  FROM read_json('$replayT/_delta_log/*.json', format='newline_delimited',
+         |                 union_by_name=true, filename=true)),
+         |tail AS (
+         |  SELECT coalesce(add.path, remove.path) AS path, v, (add.path IS NOT NULL) AS is_add
+         |  FROM jl
+         |  WHERE v > (SELECT v FROM cv) AND (add.path IS NOT NULL OR remove.path IS NOT NULL)),
+         |acts AS (SELECT * FROM ckpt UNION ALL SELECT * FROM tail),
+         |active AS (
+         |  SELECT path FROM (
+         |    SELECT path, is_add,
+         |           row_number() OVER (PARTITION BY path ORDER BY v DESC, is_add DESC) AS rn
+         |    FROM acts) WHERE rn = 1 AND is_add)
+         |SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_returnflag
+         |FROM read_parquet('$replayT/*.parquet', filename=true, union_by_name=true)
+         |WHERE regexp_extract(filename, '([^/]+)${"$"}', 1) IN (SELECT path FROM active)
+         |ORDER BY l_orderkey, l_linenumber, qty, l_returnflag""".stripMargin,
+
+    // DV cardinality replay: per active file, visible = parquet rows −
+    // add.deletionVector.cardinality from the latest add in the log.
+    "q71_dv_replay" ->
+      s"""WITH acts AS (
+         |  SELECT CAST(regexp_extract(filename, '(\\d{20})\\.json', 1) AS BIGINT) AS v,
+         |         coalesce(add.path, remove.path) AS path,
+         |         (add.path IS NOT NULL) AS is_add,
+         |         add.deletionVector.cardinality AS dv_card
+         |  FROM read_json('$dvReplayT/_delta_log/*.json', format='newline_delimited',
+         |                 union_by_name=true, filename=true)
+         |  WHERE add.path IS NOT NULL OR remove.path IS NOT NULL),
+         |last AS (
+         |  SELECT path, dv_card FROM (
+         |    SELECT path, is_add, dv_card,
+         |           row_number() OVER (PARTITION BY path ORDER BY v DESC, is_add DESC) AS rn
+         |    FROM acts) WHERE rn = 1 AND is_add),
+         |pf AS (
+         |  SELECT regexp_extract(filename, '([^/]+)${"$"}', 1) AS path,
+         |         CAST(floor(min(l_orderkey) / 400) AS BIGINT) AS bucket,
+         |         count(*) AS n
+         |  FROM read_parquet('$dvReplayT/*.parquet', filename=true)
+         |  GROUP BY 1)
+         |SELECT bucket, CAST(pf.n - coalesce(last.dv_card, 0) AS BIGINT) AS visible
+         |FROM last JOIN pf USING (path)
+         |ORDER BY bucket""".stripMargin,
+
     "q17_delta_roundtrip" ->
       s"""SELECT $cols FROM lineitem WHERE l_orderkey < 1000
          |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,

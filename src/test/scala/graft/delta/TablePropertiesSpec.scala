@@ -177,4 +177,56 @@ class TablePropertiesSpec extends AnyFunSuite with SparkTestBase {
     assert(dt.vacuum() == dry)
     assert(DeltaTable.forPath(spark, dir).toDF.count() == 1)
   }
+
+  test("delta.feature.<name>=supported is protocol DDL (round 11)") {
+    val dir = tempTable("props-feature").toString
+    GraftWriter.write((0 until 100).map(i => (i.toLong, i % 50 + 1.0))
+      .toDF("id", "q").repartition(2), dir)
+
+    // reader-writer feature → (3, 7), declared on BOTH lists; the key is
+    // never persisted as table configuration
+    DeltaTable.forPath(spark, dir).setProperties(Map(
+      "delta.feature.deletionVectors" -> "supported",
+      TableConfig.EnableDeletionVectors -> "true"))
+    val log = DeltaLog.forPath(spark, dir)
+    val snap = log.update()
+    assert(snap.minReaderVersion == 3 && snap.minWriterVersion == 7)
+    assert(snap.readerFeatures.exists(_.contains("deletionVectors")))
+    assert(snap.writerFeatures.exists(_.contains("deletionVectors")))
+    assert(!snap.metadata.get.configuration.contains("delta.feature.deletionVectors"))
+    assert(snap.metadata.get.configuration(TableConfig.EnableDeletionVectors) == "true")
+
+    // the declared feature flips DV DML to the STANDARD descriptor shape
+    // (foreign-readable add.deletionVector, not graft's legacy tags)
+    Dml.delete(spark, dir, col("q") > 40.0)
+    val afterDv = log.update()
+    val dvAdds = afterDv.files.filter(_.deletionVector.isDefined)
+    assert(dvAdds.nonEmpty, "DV delete must emit standard descriptors")
+    assert(afterDv.files.forall(_.tags.forall(t =>
+      !t.contains(DeletionVectors.PathTag))), "no legacy tags expected")
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 80)
+
+    // writer-only feature folds onto the existing lists; idempotent re-set
+    // leaves the protocol unchanged
+    DeltaTable.forPath(spark, dir).setProperties(Map(
+      "delta.feature.domainMetadata" -> "supported"))
+    val s2 = log.update()
+    assert(s2.writerFeatures.exists(f =>
+      f.contains("domainMetadata") && f.contains("deletionVectors")))
+    DeltaTable.forPath(spark, dir).setProperties(Map(
+      "delta.feature.deletionVectors" -> "supported"))
+    val s3 = log.update()
+    assert((s3.minReaderVersion, s3.minWriterVersion, s3.readerFeatures,
+      s3.writerFeatures) ==
+      (s2.minReaderVersion, s2.minWriterVersion, s2.readerFeatures,
+        s2.writerFeatures))
+
+    // unknown features and non-'supported' values refuse loudly
+    intercept[UnsupportedProtocolException](
+      DeltaTable.forPath(spark, dir).setProperties(Map(
+        "delta.feature.collations" -> "supported")))
+    intercept[IllegalArgumentException](
+      DeltaTable.forPath(spark, dir).setProperties(Map(
+        "delta.feature.deletionVectors" -> "enabled")))
+  }
 }
