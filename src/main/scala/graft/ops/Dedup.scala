@@ -16,6 +16,48 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default per-bucket cap for every banded candidate join below. A bucket
+    * of size n emits ~n²/2 candidate pairs, so one degenerate hash key — a
+    * corpus of millions of empty/boilerplate documents collapsing to one
+    * simhash, or all-zero embeddings sharing one LSH bucket — turns a
+    * banded join into the very all-pairs product banding exists to avoid.
+    * AQE skew handling splits *partitions*, not the quadratic pair count,
+    * so the guard must act before the join. 10 000 bounds any single
+    * bucket to ≤ 5·10⁷ pairs while sitting far above real duplicate-family
+    * sizes (the r7 sf1 sweep measured families of ~10). */
+  val DefaultMaxBucketSize = 10000L
+
+  /** The buckets a cap of `cap` would drop: one row per oversized bucket,
+    * `keyCols :+ bucket_n`. Run this (cheap: map-side-combined aggregate)
+    * to audit dropped mass before lowering or raising a cap — every
+    * member of a dropped bucket loses THIS band's collision chance, so
+    * recall for pairs whose only witness was a dropped bucket is 0. */
+  def oversizedBuckets(rows: DataFrame, keyCols: Seq[String], cap: Long): DataFrame =
+    rows.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cap)
+
+  /** Degenerate-bucket guard (round 11): filter out rows of buckets larger
+    * than `cap` BEFORE any quadratic self-join, via a count window OVER THE
+    * SAME partitioning the join shuffles on — the window's exchange and
+    * per-partition sort are exactly what the downstream sort-merge join
+    * needs, so on normal corpora the guard is near-free (no second pass
+    * over the banding lineage, no extra shuffle). Dropping (not salting)
+    * is deliberate: salt spreads a bucket's rows across partitions but
+    * every cross-salt pair must still be emitted, so the pair count stays
+    * quadratic — only dropping bounds it. The recall contract is the
+    * caller's to document. */
+  private def dropOversizedBuckets(rows: DataFrame, keyCols: Seq[String],
+                                   cap: Option[Long]): DataFrame = cap match {
+    case None => rows
+    case Some(c) =>
+      require(c > 0, s"maxBucketSize must be positive, got $c")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+      rows.withColumn("__graft_bucket_n", count(lit(1)).over(w))
+        .filter(col("__graft_bucket_n") <= c)
+        .drop("__graft_bucket_n")
+  }
+
   /** Exact dedup: one representative row (min of `idCol`) per distinct key.
     * Scale: single hash-shuffle on the key columns with map-side partial
     * aggregation; no data skew beyond the key distribution itself. */
@@ -140,16 +182,27 @@ object Dedup {
     * With 16 bands × 4 rows, a pair at J=0.95 is caught with
     * P ≈ 1 − (1 − 0.95⁴)¹⁶ ≈ 1 − 3·10⁻¹²; at the 0.5 threshold the planted
     * near-dup regime (J ≥ 0.9 in practice) loses nothing. Candidate volume
-    * is bounded per bucket, never all-pairs. */
+    * is bounded per bucket, never all-pairs.
+    *
+    * `maxBucketSize` (default [[DefaultMaxBucketSize]]) drops band buckets
+    * larger than the cap before the self-join — the degenerate-key guard.
+    * RECALL contract: a duplicate FAMILY larger than the cap shares every
+    * band bucket, so all its buckets are dropped together and the family's
+    * pairs are LOST, not sampled. Size the cap above the largest real
+    * family (audit with [[oversizedBuckets]] over [[lshBands]] output), or
+    * pass None to disable when the corpus is trusted. */
   def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
                       thresholdNum: Long = 1, thresholdDen: Long = 2,
-                      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+                      numHashes: Int = 64, bands: Int = 16,
+                      maxBucketSize: Option[Long] = Some(DefaultMaxBucketSize)): DataFrame = {
     // deliberately NOT cached: shingles are cheap to recompute per consumer,
     // and pinning an O(corpus) table in executor memory for the lifetime of
     // the session starves later queries (and is infeasible at 100 TB).
     val sh = shingles(docs, textCol, idCol)
     val sigs = minhashSignatures(sh, idCol, numHashes)
-    val bandRows = lshBands(sigs, idCol, bands, numHashes / bands)
+    val bandRows = dropOversizedBuckets(
+      lshBands(sigs, idCol, bands, numHashes / bands),
+      Seq("band_idx", "band_hash"), maxBucketSize)
     val x = bandRows.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
     val y = bandRows.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
     val candidates = x.join(y, Seq("band_idx", "band_hash"))
@@ -203,9 +256,14 @@ object Dedup {
     * 1 − θ/π, so only high-cosine pairs are reliably caught. */
   def embeddingSimilarPairsLsh(vectors: DataFrame, idCol: String, vecCol: String,
                                thresholdNum: Long, thresholdDen: Long,
-                               nPlanes: Int = 8, seed: Int = 42): DataFrame = {
+                               nPlanes: Int = 8, seed: Int = 42,
+                               maxBucketSize: Option[Long] = Some(DefaultMaxBucketSize)): DataFrame = {
     import graft.functions.functions.dot_q
-    val q = Similarity.lshBuckets(vectors, idCol, vecCol, nPlanes, seed)
+    // degenerate-key guard: e.g. all-zero vectors sign-hash identically in
+    // every plane and would meet in one quadratic bucket
+    val q = dropOversizedBuckets(
+        Similarity.lshBuckets(vectors, idCol, vecCol, nPlanes, seed),
+        Seq("bucket"), maxBucketSize)
       .select(col(idCol), col("bucket"), col(vecCol).as("e"))
       .withColumn("nrm", dot_q(col("e"), col("e")))
     val a = q.select(col("bucket"), col(idCol).as("id_a"), col("e").as("ea"), col("nrm").as("na"))
@@ -232,9 +290,14 @@ object Dedup {
   def embeddingSimilarPairsMultiLsh(vectors: DataFrame, idCol: String, vecCol: String,
                                     thresholdNum: Long, thresholdDen: Long,
                                     nTables: Int = 8, nPlanes: Int = 8,
-                                    seed: Int = 42): DataFrame = {
+                                    seed: Int = 42,
+                                    maxBucketSize: Option[Long] = Some(DefaultMaxBucketSize)): DataFrame = {
     import graft.functions.functions.dot_q
-    val bucketed = Similarity.lshBucketsMulti(vectors, idCol, vecCol, nTables, nPlanes, seed)
+    // per-(table, bucket) degenerate-key guard; a vector family collapsing
+    // to one bucket does so in EVERY table, so the cap is the only bound
+    val bucketed = dropOversizedBuckets(
+      Similarity.lshBucketsMulti(vectors, idCol, vecCol, nTables, nPlanes, seed),
+      Seq("tbl", "bucket"), maxBucketSize)
     val ca = bucketed.select(col("tbl"), col("bucket"), col(idCol).as("id_a"))
     val cb = bucketed.select(col("tbl"), col("bucket"), col(idCol).as("id_b"))
     val cand = ca.join(cb, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
@@ -279,15 +342,21 @@ object Dedup {
     * for Hamming distance ≤ 3 — the default. A larger `maxHamming` still
     * returns only band-matched candidates (pairs whose ≤`maxHamming`
     * differing bits spread across all four bands are MISSED); callers
-    * raising it accept candidate-generation recall, not exact recall. */
+    * raising it accept candidate-generation recall, not exact recall.
+    * `maxBucketSize` is the degenerate-key guard (boilerplate corpora
+    * collapse to ONE simhash → one quadratic bucket per band); a family
+    * larger than the cap loses all its pairs — see [[minhashLshPairs]]. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   maxBucketSize: Option[Long] = Some(DefaultMaxBucketSize)): DataFrame = {
     val hashed = simhash(df, textCol, idCol) // uncached: see minhashLshPairs
 
-    val bands = hashed.select(col(idCol), col("simhash"),
-      posexplode(expr(
-        "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)"))
-        .as(Seq("band_idx", "band_key")))
+    val bands = dropOversizedBuckets(
+      hashed.select(col(idCol), col("simhash"),
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)"))
+          .as(Seq("band_idx", "band_key"))),
+      Seq("band_idx", "band_key"), maxBucketSize)
     val x = bands.select(col("band_idx"), col("band_key"),
       col(idCol).as("id_a"), col("simhash").as("h_a"))
     val y = bands.select(col("band_idx"), col("band_key"),

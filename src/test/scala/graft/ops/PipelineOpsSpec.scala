@@ -112,6 +112,44 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs((1L, 4L)) == 0)
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
+
+  test("degenerate-bucket cap bounds adversarial boilerplate corpora (round 11)") {
+    // 60 byte-identical boilerplate docs: ONE shingle set → one minhash
+    // signature → every band bucket holds all 60 → 60·59/2 = 1770 pairs
+    // per the uncapped join. The cap drops those buckets wholesale while
+    // pairs witnessed by small buckets survive.
+    val boiler = (100L until 160L).map(i =>
+      i -> "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod")
+    val adv = docs(boiler ++ Seq(
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      2L -> "the quick brown fox jumps over the lazy dog near the river delta",
+      4L -> "the quick brown fox jumps over the lazy dog near the river bank"): _*)
+
+    val unMinhash = Dedup.minhashLshPairs(adv, "text", "doc_id", 1, 2,
+      maxBucketSize = None).count()
+    assert(unMinhash >= 1770L + 3, s"uncapped must see the flood, got $unMinhash")
+    val capMinhash = Dedup.minhashLshPairs(adv, "text", "doc_id", 1, 2,
+      maxBucketSize = Some(50L)).as[(Long, Long)].collect().toSet
+    assert(capMinhash == Set((1L, 2L), (1L, 4L), (2L, 4L)),
+      s"capped pairs must be exactly the small-bucket dups, got $capMinhash")
+
+    val unSim = Dedup.simhashPairs(adv, "text", "doc_id",
+      maxBucketSize = None).count()
+    assert(unSim >= 1770L)
+    val capSim = Dedup.simhashPairs(adv, "text", "doc_id",
+      maxBucketSize = Some(50L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capSim.contains((1L, 4L)) && capSim.forall(p => p._1 < 100L && p._2 < 100L),
+      s"flood pairs must be dropped, small-bucket exact dup kept: $capSim")
+
+    // the audit surface: exactly the flooded band buckets, each of size 60
+    val sh = Dedup.shingles(adv, "text", "doc_id")
+    val bandRows = Dedup.lshBands(Dedup.minhashSignatures(sh, "doc_id"), "doc_id", 16, 4)
+    val over = Dedup.oversizedBuckets(bandRows, Seq("band_idx", "band_hash"), 50L)
+      .collect()
+    assert(over.length == 16 && over.forall(_.getLong(2) == 60L),
+      s"expected the 16 flooded band buckets, got ${over.length}")
+  }
 }
 
 class EmbeddingDedupSpec extends AnyFunSuite with SparkTestBase {
@@ -180,6 +218,32 @@ class EmbeddingDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(multi.size > single.size, s"multi=${multi.size} single=${single.size}")
     assert(multi.size.toDouble / brute.size >= 0.9,
       s"recall ${multi.size.toDouble / brute.size}")
+  }
+
+  test("LSH bucket cap bounds identical-vector floods (round 11)") {
+    // 60 identical vectors collapse to ONE sign bucket in every plane set
+    // (and every table of the multi variant): 60·59/2 = 1770 quadratic
+    // pairs the cap must bound, while the small-bucket exact dup survives
+    val flood = (100L until 160L).map(i => (i, Array(0.5f, 0.5f, 0.5f)))
+    val adv = (flood ++ Seq(
+      (0L, Array(1.0f, 0.0f, 0.2f)), (4L, Array(1.0f, 0.0f, 0.2f))))
+      .toDF("vec_id", "embedding")
+
+    val un = Dedup.embeddingSimilarPairsLsh(adv, "vec_id", "embedding", 95, 100,
+      maxBucketSize = None).count()
+    assert(un >= 1770L, s"uncapped must see the flood, got $un")
+    val capped = Dedup.embeddingSimilarPairsLsh(adv, "vec_id", "embedding", 95, 100,
+      maxBucketSize = Some(50L)).as[(Long, Long)].collect().toSet
+    assert(capped == Set((0L, 4L)), s"got $capped")
+    val cappedMulti = Dedup.embeddingSimilarPairsMultiLsh(adv, "vec_id", "embedding",
+      95, 100, maxBucketSize = Some(50L)).as[(Long, Long)].collect().toSet
+    assert(cappedMulti == Set((0L, 4L)), s"got $cappedMulti")
+
+    // audit surface: the flooded bucket is visible with its size
+    val over = Dedup.oversizedBuckets(
+      Similarity.lshBuckets(adv, "vec_id", "embedding", 8, 42),
+      Seq("bucket"), 50L).collect()
+    assert(over.nonEmpty && over.forall(_.getLong(1) == 60L))
   }
 }
 
