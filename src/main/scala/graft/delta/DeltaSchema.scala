@@ -27,23 +27,28 @@ object DeltaSchema {
         s"Delta schemaString must be a struct, got: ${other.simpleString}")
     }
 
-  /** Serialize a Spark schema as a Delta schemaString. `timestamp_ntz`
-    * (Spark 4's default reading of tz-less parquet timestamps) is encoded as
-    * the protocol's `timestamp` — µs precision either way; the value is
-    * unchanged, the reader surfaces it as (UTC-normalized) TimestampType. */
+  /** Serialize a Spark schema as a Delta schemaString. Spark's
+    * `TimestampNTZType` serializes as the protocol's distinct
+    * `timestamp_ntz` primitive (round 11 — previously normalized to
+    * `timestamp`, value-preserving under the fixed UTC session zone but
+    * lossy at rest: a foreign reader of a graft table born from NTZ data
+    * saw a tz-aware column). Callers committing an NTZ-bearing schema owe
+    * the `timestampNtz` reader+writer feature — [[ProtocolSupport
+    * .configFences]] folds it from the schema argument. */
   def toJson(schema: StructType): String = {
-    val normalized = normalize(schema)
-    validate(normalized)
-    normalized.json
+    validate(schema)
+    schema.json
   }
 
-  /** Normalize a Spark schema to the shape the protocol records (NTZ → µs
-    * TimestampType, values identical under the engine's fixed UTC session
-    * zone). Every comparison of an INCOMING schema against a table's
-    * metadata schema must go through this: the metadata was persisted via
-    * [[toJson]]'s normalization, so a table created from an NTZ frame would
-    * otherwise refuse an append of the very same frame (found by the
-    * round-8 6M-row scale probe — tz-naive parquet reads as NTZ). */
+  /** Map NTZ → µs TimestampType at every nesting level — values identical
+    * under the engine's fixed UTC session zone. COMPARISON-ONLY since
+    * round 11: [[toJson]] persists NTZ faithfully, but schema-compat
+    * checks (appends, INSERTs, declared-schema catalog binds) normalize
+    * BOTH sides so legacy tables (metadata persisted through the old
+    * NTZ→timestamp mapping) still accept the very same NTZ frame they
+    * were created from (found by the round-8 6M-row scale probe —
+    * tz-naive parquet reads as NTZ), and new NTZ-at-rest tables accept
+    * tz-aware frames of identical UTC values. */
   def normalize(schema: StructType): StructType =
     StructType(schema.fields.map(f => f.copy(dataType = normalizeType(f.dataType))))
 
@@ -76,7 +81,19 @@ object DeltaSchema {
   private val supportedPrimitives: Set[DataType] = Set(
     StringType, LongType, IntegerType, ShortType, ByteType, FloatType,
     DoubleType, BooleanType, BinaryType, DateType, TimestampType,
-    VariantType)
+    TimestampNTZType, VariantType)
+
+  /** Does the schema carry a timestamp-without-timezone column anywhere?
+    * (Gates the `timestampNtz` reader+writer feature — the protocol added
+    * the primitive behind a feature flag, so legacy readers refuse rather
+    * than misread.) */
+  def hasTimestampNtz(dt: DataType): Boolean = dt match {
+    case TimestampNTZType => true
+    case s: StructType => s.fields.exists(f => hasTimestampNtz(f.dataType))
+    case a: ArrayType => hasTimestampNtz(a.elementType)
+    case m: MapType => hasTimestampNtz(m.keyType) || hasTimestampNtz(m.valueType)
+    case _ => false
+  }
 
   /** Does the schema carry a variant column anywhere? (Gates the
     * `variantType` protocol feature at creation.) */

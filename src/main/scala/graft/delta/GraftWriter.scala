@@ -105,9 +105,11 @@ object GraftWriter {
         s"partition columns $partCols != table's ${snap.partitionColumns}")
     var evolvedMetadata: Option[MetaDataAction] = None
     if (exists) {
-      val tbl = snap.schema.fields.map(f => (f.name, f.dataType)).toSeq
-      // normalized: metadata was persisted through DeltaSchema.toJson's
-      // NTZ→timestamp mapping, the incoming frame must compare post-map
+      // NTZ-normalize BOTH sides: legacy tables persisted NTZ as timestamp
+      // (pre-r11 toJson) while new tables keep timestamp_ntz at rest —
+      // either way the same UTC values must keep appending
+      val tbl = DeltaSchema.normalize(snap.schema).fields
+        .map(f => (f.name, f.dataType)).toSeq
       val inc = DeltaSchema.normalize(df.schema).fields.map(f => (f.name, f.dataType)).toSeq
       if (overwriteSchema) {
         // REPLACE semantics: the declared configuration (possibly empty)
@@ -143,8 +145,7 @@ object GraftWriter {
         Map[String, String], (Int, Int))] =
       if ((!exists || overwriteSchema) &&
           Set("name", "id").contains(ColumnMapping.mode(declaredConfig)))
-        Some(ColumnMappingDdl.forCreate(
-          DeltaSchema.normalize(df.schema), declaredConfig))
+        Some(ColumnMappingDdl.forCreate(df.schema, declaredConfig))
       else None
     createMapping.foreach { case (annSchema, annConfig, _) =>
       if (exists) // schema-replacing overwrite of an unmapped table
@@ -314,8 +315,12 @@ object GraftWriter {
     * None when the schema is unchanged. */
   private[graft] def evolveSchema(snap: Snapshot,
                                   rawIncoming: org.apache.spark.sql.types.StructType): Option[MetaDataAction] = {
+    // conflict detection NTZ-normalizes BOTH sides (legacy vs at-rest NTZ
+    // tables, see the write() compare); appended columns come from the RAW
+    // incoming schema so a new timestamp_ntz column persists as itself
     val incoming = DeltaSchema.normalize(rawIncoming)
-    val tblTypes = snap.schema.fields.map(f => (f.name, f.dataType)).toMap
+    val tblTypes = DeltaSchema.normalize(snap.schema).fields
+      .map(f => (f.name, f.dataType)).toMap
     // structural comparison: nested nullability / field metadata are not
     // load-bearing for parquet round-trips and must not block evolution
     val conflicts = incoming.fields.collect {
@@ -325,7 +330,7 @@ object GraftWriter {
     }
     if (conflicts.nonEmpty) throw new SchemaMismatchException(
       s"mergeSchema type conflicts: ${conflicts.mkString("; ")}")
-    val newFields = incoming.fields.filterNot(f =>
+    val newFields = rawIncoming.fields.filterNot(f =>
       snap.schema.fieldNames.contains(f.name)).map(_.copy(nullable = true))
     if (newFields.isEmpty) None
     else {

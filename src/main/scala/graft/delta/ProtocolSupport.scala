@@ -277,6 +277,10 @@ object ProtocolSupport {
     // variant columns are a SCHEMA-gated feature (reader+writer)
     if (schema.exists(DeltaSchema.hasVariant))
       readerWriterFeatureFence(snapOf(p), "variantType").foreach(np => p = np)
+    // so is timestamp_ntz (round 11: NTZ persists at rest; a legacy
+    // reader must refuse the primitive rather than misread it as tz-aware)
+    if (schema.exists(DeltaSchema.hasTimestampNtz))
+      readerWriterFeatureFence(snapOf(p), "timestampNtz").foreach(np => p = np)
     // row tracking rides domain metadata (the high-water mark domain)
     if (TableConfig.rowTrackingEnabled(config))
       p = writerFeaturesFence(p, Seq("domainMetadata", RowTracking.Feature))

@@ -181,12 +181,13 @@ class GraftCatalog extends DelegatingCatalogExtension
         // semantics); a declared schema must agree with the log's on
         // names+types — same policy as the writer's append check
         // (nullability is not load-bearing for parquet round-trips), and
-        // compared post-NTZ-normalization since the metadata was persisted
-        // through DeltaSchema.toJson's timestamp_ntz→timestamp mapping (a
-        // TIMESTAMP_NTZ DDL column is the same protocol type)
+        // NTZ-normalized on BOTH sides: legacy metadata persisted NTZ as
+        // timestamp, r11+ tables keep timestamp_ntz at rest — a
+        // TIMESTAMP_NTZ DDL column must bind to either
         def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
         if (declared.nonEmpty &&
-            shape(DeltaSchema.normalize(declared)) != shape(snap.schema))
+            shape(DeltaSchema.normalize(declared)) !=
+              shape(DeltaSchema.normalize(snap.schema)))
           throw new IllegalArgumentException(
             s"declared schema $declared does not match existing graft-delta " +
               s"table at $location: ${snap.schema}")
@@ -259,7 +260,7 @@ class GraftCatalog extends DelegatingCatalogExtension
     // CREATE with column mapping declared: fresh col-<uuid> physical names
     // + ids from version 0 (no files exist, both modes are safe)
     val (annSchema, annConfig, (fr, fw0)) =
-      ColumnMappingDdl.forCreate(DeltaSchema.normalize(schema), config)
+      ColumnMappingDdl.forCreate(schema, config)
     // generated columns demand the writer-4 floor per the protocol;
     // identity columns the writer-6 floor
     val fw1 = if (Constraints.generatedOf(annSchema).nonEmpty) math.max(fw0, 4)

@@ -615,6 +615,36 @@ object DeltaQueries {
         .agg(count(lit(1)).as("visible"))
         .orderBy("bucket")
     },
+
+    // timestamp_ntz at rest (round 11): a table born from an NTZ frame
+    // (the events vintage Spark 4 reads tz-naive) must persist the
+    // protocol's `timestamp_ntz` primitive — not the old value-preserving
+    // normalization to `timestamp` — declare the timestampNtz
+    // reader+writer feature, and serve TimestampNTZType back on scan.
+    // The require()s pin the at-rest invariants; the oracle pins every
+    // row's µs value (epoch micros on both engines — tz-free arithmetic).
+    "q72_ntz_roundtrip" -> { (s, dir) =>
+      val t = freshDir("ntz")
+      val ev = graft.queries.PipelineQueries.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      GraftWriter.write(ev.filter(col("event_id") % 3 === 0), t)
+      GraftWriter.write(ev.filter(col("event_id") % 3 === 1), t, SaveMode.Append)
+      val snap = DeltaLog.forPath(s, t).update()
+      require(snap.metadata.get.schemaString.contains("timestamp_ntz"),
+        s"NTZ must persist at rest, got ${snap.metadata.get.schemaString}")
+      require(snap.readerFeatures.exists(_.contains("timestampNtz")) &&
+              snap.writerFeatures.exists(_.contains("timestampNtz")),
+        "timestampNtz feature must be declared on both protocol lists")
+      val df = DeltaTable.forPath(s, t).toDF
+      require(df.schema("ts_us").dataType ==
+          org.apache.spark.sql.types.TimestampNTZType,
+        s"scan must serve NTZ, got ${df.schema("ts_us").dataType}")
+      // output epoch micros (no timestamp output columns per oracle rules);
+      // NTZ → timestamp cast is wall-clock-preserving under the UTC session
+      df.select(col("event_id"), col("user_id"),
+          unix_micros(col("ts_us").cast("timestamp")).as("ts_us_epoch"))
+        .orderBy("event_id", "user_id", "ts_us_epoch")
+    },
   )
 
   // q70/q71 oracles read graft's own artifacts, so they need the table
@@ -684,6 +714,13 @@ object DeltaQueries {
     "q17_delta_roundtrip" ->
       s"""SELECT $cols FROM lineitem WHERE l_orderkey < 1000
          |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
+
+    // CAST to µs TIMESTAMP first: identity on the µs events vintage, and
+    // the same floor-to-µs truncation Spark applies on a ns vintage
+    "q72_ntz_roundtrip" ->
+      """SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us_epoch
+        |FROM events WHERE event_id % 3 IN (0, 1)
+        |ORDER BY event_id, user_id, ts_us_epoch""".stripMargin,
     "q18_delta_partition_prune" ->
       s"""SELECT $cols FROM lineitem
          |WHERE l_orderkey < 2000 AND l_returnflag = 'R'

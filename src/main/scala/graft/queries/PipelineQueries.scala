@@ -27,7 +27,7 @@ object PipelineQueries {
     * a raw nanos LONG and floor to µs, the same truncation DuckDB's ns→day
     * truncation implies) vs parquet µs (read natively as TIMESTAMP_NTZ).
     * Normalize both to a µs-precision timestamp column `ts_us`. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, dir, "events")
     val tsUs = raw.schema("ts").dataType match {

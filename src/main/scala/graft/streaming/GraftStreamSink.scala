@@ -85,7 +85,7 @@ final class GraftStreamSink(
         // table's columnMapping annotations) are not load-bearing
         def shape(s: org.apache.spark.sql.types.StructType) =
           s.fields.map(f => (f.name, DeltaSchema.structural(f.dataType))).toSeq
-        val tbl = shape(snap.schema)
+        val tbl = shape(graft.delta.DeltaSchema.normalize(snap.schema))
         val inc = shape(graft.delta.DeltaSchema.normalize(batch.schema))
         if (tbl != inc)
           throw new SchemaMismatchException(s"schema mismatch: table=$tbl batch=$inc")

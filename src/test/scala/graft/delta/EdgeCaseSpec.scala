@@ -137,9 +137,10 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTestBase {
     assert(st.maxValues.get("dt").exists(_.asText == "2021-03-04"))
   }
 
-  test("timestamp_ntz columns write as protocol 'timestamp' and round-trip values") {
+  test("timestamp_ntz columns persist as protocol timestamp_ntz and round-trip values") {
     val dir = tempTable("edge-ntz").toString
-    // testdata timestamps read as TimestampNTZType in Spark 4
+    // testdata timestamps read as TimestampNTZType in Spark 4; since
+    // round 11 the primitive persists as itself (feature-fenced)
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select("l_orderkey", "l_linenumber", "l_shipdate")
       .filter(col("l_orderkey") < 100)
@@ -148,7 +149,9 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTestBase {
     GraftWriter.write(li, dir)
     val dt = DeltaTable.forPath(spark, dir)
     assert(dt.schema("l_shipdate").dataType ==
-      org.apache.spark.sql.types.TimestampType)
+      org.apache.spark.sql.types.TimestampNTZType)
+    val snap = DeltaLog.forPath(spark, dir).update()
+    assert(snap.readerFeatures.exists(_.contains("timestampNtz")))
     // values agree when both sides are viewed as UTC dates
     val expected = li.select(to_date(col("l_shipdate")).cast("string"))
       .as[String].collect().sorted

@@ -180,11 +180,11 @@ class WriterSpec extends AnyFunSuite with SparkTestBase {
     assert(StatsPredicate.prune(dt.files, Seq(StatsPredicate.Ge("id", 10L))).size == 2)
   }
 
-  test("an NTZ-timestamp frame appends to the table it created (round-8 probe find)") {
-    // tz-naive parquet reads as TimestampNTZType in Spark 4; the metadata
-    // records the protocol's `timestamp` (DeltaSchema.toJson normalization),
-    // so every incoming-schema comparison must normalize too — a table
-    // created from an NTZ frame must accept an append of that same frame
+  test("an NTZ-timestamp frame persists as timestamp_ntz and appends back (round 11)") {
+    // tz-naive parquet reads as TimestampNTZType in Spark 4; since round 11
+    // the metadata records the protocol's `timestamp_ntz` primitive (with
+    // the timestampNtz feature on both protocol lists) instead of the old
+    // value-preserving normalization to `timestamp`
     import org.apache.spark.sql.functions._
     val dir = tempTable("wr-ntz").toString
     import spark.implicits._
@@ -196,12 +196,39 @@ class WriterSpec extends AnyFunSuite with SparkTestBase {
     GraftWriter.write(df, dir, SaveMode.Append)                  // batch append
     assert(GraftWriter.evolveSchema(                             // mergeSchema path
       DeltaLog.forPath(spark, dir).update(), df.schema).isEmpty) // no bogus conflict
+    val snap = DeltaLog.forPath(spark, dir).update()
+    assert(snap.metadata.get.schemaString.contains("timestamp_ntz"))
+    assert(snap.readerFeatures.exists(_.contains("timestampNtz")) &&
+           snap.writerFeatures.exists(_.contains("timestampNtz")))
+    // foreign-shaped read: parsing the persisted schemaString alone — what
+    // any foreign reader does — yields NTZ, and graft's scan serves it
+    assert(DeltaSchema.fromJson(snap.metadata.get.schemaString)("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
     val dt = DeltaTable.forPath(spark, dir)
-    assert(dt.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(dt.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
     assert(dt.toDF.count() == 4)
-    // values survive the NTZ→UTC-timestamp normalization bit-for-bit
     assert(dt.toDF.select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("f"))
       .distinct().orderBy("f").as[String].collect().toSeq ==
       Seq("2024-01-02 03:04:05", "2024-06-07 08:09:10"))
+
+    // legacy direction: a table whose metadata says `timestamp` (pre-r11
+    // tables persisted NTZ frames that way) still accepts the NTZ frame —
+    // the compat check normalizes BOTH sides
+    val legacy = tempTable("wr-ntz-legacy").toString
+    GraftWriter.write(df.select(col("id"), col("ts").cast("timestamp").as("ts")), legacy)
+    val lsnap = DeltaLog.forPath(spark, legacy).update()
+    assert(!lsnap.metadata.get.schemaString.contains("timestamp_ntz"))
+    GraftWriter.write(df, legacy, SaveMode.Append)               // NTZ → legacy
+    assert(DeltaTable.forPath(spark, legacy).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)                  // stays legacy
+    assert(DeltaTable.forPath(spark, legacy).toDF.count() == 4)
+
+    // converse: a tz-aware frame of the same UTC values appends to the
+    // NTZ-at-rest table
+    GraftWriter.write(df.select(col("id"), col("ts").cast("timestamp").as("ts")),
+      dir, SaveMode.Append)
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 6)
+    assert(DeltaTable.forPath(spark, dir).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)               // stays NTZ
   }
 }
