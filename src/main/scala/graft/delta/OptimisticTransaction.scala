@@ -60,8 +60,13 @@ final class AppendOnlyTableException(path: String)
   *  - two transactions removing the same file abort the loser
   *    ([[ConcurrentDeleteDeleteException]]) — the file is already gone;
   *  - a concurrent `dataChange` append aborts a transaction carrying
-  *    `dataChange` removes ([[ConcurrentAppendException]]): a predicate
-  *    rewrite (DELETE/UPDATE/MERGE/overwrite) did not see the new rows.
+  *    `dataChange` removes OR one that declared a read domain
+  *    ([[ConcurrentAppendException]]): a predicate rewrite
+  *    (DELETE/UPDATE/MERGE/overwrite) did not see the new rows. The
+  *    declared-read arm closes the r11 storm-found write skew: an
+  *    INSERT-ONLY merge stages no removes, yet its not-matched decision
+  *    was computed against a snapshot the concurrent append invalidates —
+  *    two such merges would otherwise both insert the same key.
   *    When the rewrite declared a partition-scoped read domain
   *    ([[withReadFilters]]), only adds whose `partitionValues` fall INSIDE
   *    that domain conflict — partition-disjoint DMLs and appends commute,
@@ -262,7 +267,8 @@ final class OptimisticTransaction(val log: DeltaLog) {
         throw new MetadataChangedException(version)
       case r: RemoveAction if ourRemoves.contains(r.path) =>
         throw new ConcurrentDeleteDeleteException(version, r.path)
-      case a: AddAction if a.dataChange && ourDataChangeRemoves && addInReadDomain(a) =>
+      case a: AddAction if a.dataChange &&
+          (ourDataChangeRemoves || readFilters.isDefined) && addInReadDomain(a) =>
         throw new ConcurrentAppendException(version)
       case d: DomainMetadataAction if ourDomains.contains(d.domain) =>
         throw new ConcurrentDomainMetadataException(version, d.domain)

@@ -1,0 +1,142 @@
+package graft.delta
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+import scala.util.Try
+
+import graft.SparkTestBase
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized concurrent-DML storms, one level above [[CommitStormSpec]]
+  * (which proves the COMMIT layer safe under crashes and contention): three
+  * writers race real DELETE / UPDATE / MERGE / OPTIMIZE operations with
+  * conflict detection on, over ≥100 seeds. Invariants per storm:
+  *
+  *  - every failure is a clean [[ConcurrentCommitException]] abort (no
+  *    other exception class, no hang), and at least one writer commits;
+  *  - the final table equals the SUCCESSFUL operations' model applied to
+  *    the initial state in committed-version order — the external
+  *    observer's serial history (winner effects exactly-once, compaction a
+  *    no-op on contents);
+  *  - no staged-artifact leaks: every data file on disk is referenced by a
+  *    committed add action — aborted writers reclaimed what they staged.
+  */
+class DmlStormSpec extends AnyFunSuite with SparkTestBase {
+  import LogFixtures.tempTable
+  import spark.implicits._
+
+  private implicit val ec: ExecutionContext =
+    ExecutionContext.fromExecutor(Executors.newFixedThreadPool(3))
+
+  private type Row3 = (Long, String, Int)
+
+  private sealed trait Op {
+    def run(dir: String): Long            // committed version
+    def apply(rows: Set[Row3]): Set[Row3] // serial-model effect
+  }
+  private final case class Delete(part: Int, cut: Long) extends Op {
+    def run(dir: String): Long =
+      Dml.delete(spark, dir, col("p") === part && col("id") % 10 < cut).version
+    def apply(rows: Set[Row3]): Set[Row3] =
+      rows.filterNot(r => r._3 == part && r._1 % 10 < cut)
+  }
+  private final case class Update(part: Int, cut: Long) extends Op {
+    def run(dir: String): Long =
+      Dml.update(spark, dir, col("p") === part && col("id") % 10 < cut,
+        Map("v" -> lit("RACED"))).version
+    def apply(rows: Set[Row3]): Set[Row3] =
+      rows.map(r => if (r._3 == part && r._1 % 10 < cut) (r._1, "RACED", r._3) else r)
+  }
+  /** Upsert of 5 high ids (disjoint from the 80 seeded ids, so a FIRST
+    * merge inserts; a second merge over the same id range matches and
+    * updates in place — both shapes occur across seeds). */
+  private final case class MergeOp(part: Int, k: Int) extends Op {
+    private def ids: Seq[Long] = (800L + k * 10) until (800L + k * 10 + 5)
+    def run(dir: String): Long = {
+      val src = ids.map(i => (i, "MRG", part)).toDF("id", "v", "p")
+      Merge.into(spark, dir, src, col("t.id") === col("s.id"))
+        .whenMatchedUpdate(Map("v" -> lit("MRG")))
+        .whenNotMatchedInsertAll()
+        .execute().version
+    }
+    def apply(rows: Set[Row3]): Set[Row3] = {
+      val present = rows.map(_._1)
+      val idSet = ids.toSet
+      rows.map(r => if (idSet(r._1)) (r._1, "MRG", r._3) else r) ++
+        ids.filterNot(present).map(i => (i, "MRG", part))
+    }
+  }
+  private final case object Compact extends Op {
+    def run(dir: String): Long = Optimize.compact(spark, dir).version
+    def apply(rows: Set[Row3]): Set[Row3] = rows
+  }
+
+  private def randomOp(rnd: scala.util.Random): Op = rnd.nextInt(10) match {
+    case 0 | 1 | 2    => Delete(rnd.nextInt(4), 1 + rnd.nextInt(9))
+    case 3 | 4 | 5    => Update(rnd.nextInt(4), 1 + rnd.nextInt(9))
+    case 6 | 7 | 8    => MergeOp(rnd.nextInt(4), rnd.nextInt(3))
+    case _            => Compact
+  }
+
+  /** Relative paths of every data file on disk (partition dirs included,
+    * `_delta_log` and `_`-prefixed staging dirs excluded — the underscore
+    * rule vacuum uses). */
+  private def dataFilesOnDisk(dir: String): Set[String] = {
+    val root = java.nio.file.Paths.get(dir)
+    val out = scala.collection.mutable.Set[String]()
+    java.nio.file.Files.walk(root).forEach { p =>
+      val rel = root.relativize(p).toString
+      if (rel.endsWith(".parquet") && !rel.startsWith("_") &&
+          java.nio.file.Files.isRegularFile(p))
+        out += rel
+    }
+    out.toSet
+  }
+
+  test("three-writer DELETE/UPDATE/MERGE/OPTIMIZE storms serialize (100 seeds)") {
+    (1 to 100).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 62131)
+      val dir = tempTable(s"dmlstorm-$seed").toString
+      val init = (0 until 80).map(i => (i.toLong, s"v$i", i % 4))
+      GraftWriter.write(init.toDF("id", "v", "p").repartition(2), dir,
+        SaveMode.ErrorIfExists, partitionBy = Seq("p"))
+
+      val ops = Seq.fill(3)(randomOp(rnd))
+      val futs = ops.map(op => Future(Try(op.run(dir))))
+      val outcomes = futs.map(Await.result(_, 180.seconds))
+
+      // losers abort cleanly — ConcurrentCommitException only, and never all
+      outcomes.zip(ops).foreach { case (r, op) =>
+        r.failed.foreach(e => assert(e.isInstanceOf[ConcurrentCommitException],
+          s"seed $seed: $op failed with unexpected ${e.getClass}: ${e.getMessage}"))
+      }
+      assert(outcomes.exists(_.isSuccess), s"seed $seed: all three writers aborted")
+
+      // winner effects exactly-once, in committed-version order
+      val serial = outcomes.zip(ops)
+        .flatMap { case (r, op) => r.toOption.map(v => (v, op)) }
+        .sortBy(_._1)
+      assert(serial.map(_._1).distinct.size == serial.size,
+        s"seed $seed: two ops claim the same committed version: $serial")
+      val want = serial.map(_._2).foldLeft(init.toSet)((s, op) => op.apply(s))
+      val got = DeltaTable.forPath(spark, dir).toDF
+        .as[Row3].collect().toSet
+      assert(got == want,
+        s"seed $seed: state diverges from serial history ${serial.map(_._2)} — " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+
+      // no staged-artifact leaks: every on-disk data file is a committed add
+      val log = DeltaLog.forPath(spark, dir)
+      val committed = (0L to log.update().version)
+        .flatMap(v => log.readCommit(v))
+        .collect { case a: AddAction => ActionPath.decode(a.path) }.toSet
+      val leaked = dataFilesOnDisk(dir) -- committed
+      assert(leaked.isEmpty,
+        s"seed $seed: staged files leaked by aborted writers: ${leaked.take(5)}")
+    }
+  }
+}
