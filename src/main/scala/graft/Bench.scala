@@ -13,6 +13,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    one-time startup cost.
   */
 object Bench {
+
+  /** The 16 round-1 queries whose subtotal is BASELINE.md's regression
+    * gate (≤ 2× the 9.6 s r2-harness steady state). */
+  private[graft] val R1Set: Set[String] = Set(
+    "q1_agg", "q2_filter_sort", "q3_minmax", "q4_projection", "q5_join",
+    "q6_multijoin", "q7_window", "q8_distinct", "q9_intersect", "q10_except",
+    "q11_topk", "q12_scalar", "q13_having", "q14_semijoin", "q15_antijoin",
+    "q16_case")
+
   private def materialize(df: DataFrame): Unit =
     df.queryExecution.toRdd.foreach(_ => ())
 
@@ -92,28 +101,78 @@ object Bench {
         .map(_.getCollectionTime).sum
     }
     var lastGc = gcMillis
-    val cpuSec = mutable.LinkedHashMap[String, Double]()
-    val load1m = mutable.LinkedHashMap[String, Double]()
-    val errors = mutable.LinkedHashMap[String, String]()
-    val results = qs.map { case (name, fn) =>
-      val c0 = processCpuNanos
-      val (sec, err) = timeOne(() => materialize(fn(spark, sfDir)))
-      err.foreach(errors(name) = _)
-      cpuSec(name) = if (c0 < 0) -1.0 else (processCpuNanos - c0) / 1e9
-      load1m(name) = osBean.getSystemLoadAverage
-      if (debug) {
-        val rt = Runtime.getRuntime
-        val heapMb = (rt.totalMemory - rt.freeMemory) / (1 << 20)
-        val gc = gcMillis
-        val threads = Thread.activeCount()
-        val blocks = org.apache.spark.SparkEnv.get.blockManager
-          .getMatchingBlockIds(_ => true).size
-        System.err.println(
-          f"BENCHDBG $name%-24s ${sec}%8.2fs cpu=${cpuSec(name)}%7.2fs heap=${heapMb}MB gcDelta=${gc - lastGc}ms threads=$threads blocks=$blocks load=${load1m(name)}%.1f")
-        lastGc = gc
-      }
-      name -> sec
+
+    /** One full timed sweep + its calibration/contention telemetry.
+      * `calPre` is the pre-warmup probe for attempt 1 and a fresh probe for
+      * a retry (the machine state is exactly what a retry re-measures). */
+    final case class Sweep(results: mutable.LinkedHashMap[String, Double],
+                           cpuSec: mutable.LinkedHashMap[String, Double],
+                           load1m: mutable.LinkedHashMap[String, Double],
+                           errors: mutable.LinkedHashMap[String, String],
+                           contended: Boolean, calSt: Double,
+                           calStWorst: Double, calMt: Double) {
+      def total: Double = if (results.nonEmpty) results.values.sum else 0.0
+      def degraded: Boolean = calSt > BenchCalibration.DegradedStSec
+      def degradedMt: Boolean = calMt > BenchCalibration.DegradedMtSec
+      def unhealthy: Boolean = contended || degraded || degradedMt
     }
+
+    def runSweep(calPre: Double): Sweep = {
+      val cpuSec = mutable.LinkedHashMap[String, Double]()
+      val load1m = mutable.LinkedHashMap[String, Double]()
+      val errors = mutable.LinkedHashMap[String, String]()
+      val results = mutable.LinkedHashMap[String, Double]()
+      qs.foreach { case (name, fn) =>
+        val c0 = processCpuNanos
+        val (sec, err) = timeOne(() => materialize(fn(spark, sfDir)))
+        err.foreach(errors(name) = _)
+        cpuSec(name) = if (c0 < 0) -1.0 else (processCpuNanos - c0) / 1e9
+        load1m(name) = osBean.getSystemLoadAverage
+        if (debug) {
+          val rt = Runtime.getRuntime
+          val heapMb = (rt.totalMemory - rt.freeMemory) / (1 << 20)
+          val gc = gcMillis
+          val threads = Thread.activeCount()
+          val blocks = org.apache.spark.SparkEnv.get.blockManager
+            .getMatchingBlockIds(_ => true).size
+          System.err.println(
+            f"BENCHDBG $name%-24s ${sec}%8.2fs cpu=${cpuSec(name)}%7.2fs heap=${heapMb}MB gcDelta=${gc - lastGc}ms threads=$threads blocks=$blocks load=${load1m(name)}%.1f")
+          lastGc = gc
+        }
+        results(name) = sec
+      }
+      // Self-classify machine contention from the run's own telemetry
+      // (BenchContention; gate rule: compare cpu-seconds when contended).
+      val isContended = BenchContention.contended(
+        results.values.toSeq, cpuSec.values.toSeq, load1m.values.toSeq)
+      val calStPost = BenchCalibration.singleThreadSec()
+      val calMt = BenchCalibration.multiThreadSec(
+        Runtime.getRuntime.availableProcessors())
+      // min of pre/post: the healthiest speed the machine showed this
+      // sweep — a sweep is degraded only if it NEVER ran at class speed
+      Sweep(results, cpuSec, load1m, errors, isContended,
+        math.min(calPre, calStPost), math.max(calPre, calStPost), calMt)
+    }
+
+    var sweep = runSweep(calStPre)
+    // A contended/degraded primary artifact is not comparable across rounds
+    // (r10's BENCH_sf1.json had to be hand-re-run). Full runs retry ONCE
+    // when the sweep self-classifies unhealthy, then emit the healthier of
+    // the two; subset runs and SPARK_GRAFT_BENCH_NORETRY=1 skip the retry.
+    var retried = false
+    if (sweep.unhealthy && only.isEmpty &&
+        !sys.env.get("SPARK_GRAFT_BENCH_NORETRY").contains("1")) {
+      System.err.println(
+        s"BENCHRETRY primary sweep unhealthy (contended=${sweep.contended} " +
+        s"degraded=${sweep.degraded} degraded_mt=${sweep.degradedMt}) — retrying once")
+      val second = runSweep(BenchCalibration.singleThreadSec())
+      retried = true
+      sweep =
+        if (second.unhealthy && !sweep.unhealthy) sweep
+        else if (sweep.unhealthy && !second.unhealthy) second
+        else if (second.total < sweep.total) second else sweep
+    }
+
     // Locale.ROOT: the f"" interpolator formats with the JVM default
     // locale — a comma-decimal locale would emit "value":71,6000 and break
     // the driver's JSON parse (r7 ADVICE).
@@ -121,37 +180,26 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     def toJson(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val results = sweep.results
     val qjson = toJson(results)
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Self-classify machine contention from the run's own telemetry
-    // (BenchContention; gate rule: compare cpu-seconds when contended).
-    val wallSeq = results.values.toSeq
-    val cpuTotal = if (cpuSec.values.exists(_ < 0)) -1.0 else cpuSec.values.sum
-    val loadMed = BenchContention.median(load1m.values.toSeq.filter(_ >= 0))
-    val isContended =
-      BenchContention.contended(wallSeq, cpuSec.values.toSeq, load1m.values.toSeq)
-    val calStPost = BenchCalibration.singleThreadSec()
-    val calMt = BenchCalibration.multiThreadSec(
-      Runtime.getRuntime.availableProcessors())
-    // min of pre/post: the healthiest speed the machine showed this run —
-    // a run is degraded only if it NEVER ran at class speed
-    val calSt = math.min(calStPre, calStPost)
-    val degraded = calSt > BenchCalibration.DegradedStSec
-    // multi-core throughput can degrade independently of single-thread
-    // speed (hypervisor core-stealing under parallel load) — the state
-    // that inflates every parallel query while cal_st reads healthy
-    val degradedMt = calMt > BenchCalibration.DegradedMtSec
+    val total = sweep.total
+    val cpuTotal =
+      if (sweep.cpuSec.values.exists(_ < 0)) -1.0 else sweep.cpuSec.values.sum
+    val loadMed = BenchContention.median(sweep.load1m.values.toSeq.filter(_ >= 0))
+    // the regression-gate subtotal (BASELINE.md: 16-query r1 set ≤ 2×9.6 s),
+    // emitted machine-readable so the gate never has to be recomputed
+    val r1Subtotal = Bench.R1Set.toSeq.flatMap(results.get).sum
     // The primary stdout line carries what the driver's tail capture
     // parses (value + queries + sf) plus three SHORT contention scalars.
     // Round 6's driver recorded `parsed: null` because the full cpu/load1m
     // telemetry MAPS pushed `value` out of the tail window — the per-query
     // maps stay on stderr, next to BENCHDBG.
     System.err.println(
-      s"""BENCHTEL {"cpu":${toJson(cpuSec)},"load1m":${toJson(load1m)}}""")
+      s"""BENCHTEL {"cpu":${toJson(sweep.cpuSec)},"load1m":${toJson(sweep.load1m)}}""")
     // a failed query records ~0 s — `errors` makes that loud instead of
     // letting a broken query masquerade as a fast one
-    val ejson = errorsJson(errors)
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qjson,"errors":$ejson,"sf":"$sfDir","contended":$isContended,"cpu_total":${fmt(cpuTotal)},"load_med":${fmt(loadMed)},"cal_st":${fmt(calSt)},"cal_st_worst":${fmt(math.max(calStPre, calStPost))},"cal_mt":${fmt(calMt)},"degraded":$degraded,"degraded_mt":$degradedMt}"""
+    val ejson = errorsJson(sweep.errors)
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qjson,"errors":$ejson,"sf":"$sfDir","r1_set_subtotal":${fmt(r1Subtotal)},"retried":$retried,"contended":${sweep.contended},"cpu_total":${fmt(cpuTotal)},"load_med":${fmt(loadMed)},"cal_st":${fmt(sweep.calSt)},"cal_st_worst":${fmt(sweep.calStWorst)},"cal_mt":${fmt(sweep.calMt)},"degraded":${sweep.degraded},"degraded_mt":${sweep.degradedMt}}"""
     println(line)
     // optional artifact write (the per-round BENCH_sf1.json scale record)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p =>

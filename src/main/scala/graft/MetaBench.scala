@@ -31,6 +31,12 @@ object MetaBench {
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_META_COMMITS", "10000").toInt
+    // >1 switches to the INVENTORY probe (r11 verdict #6): n commits ×
+    // addsPer files each — a million-Add table at 1000×1000 — measuring
+    // cold load, checkpoint write, vacuum walk, and retained driver heap.
+    // Data files are zero-byte placeholders there (the metadata axis is
+    // under test, footers are not read), so history/feed rows are skipped.
+    val addsPer = sys.env.getOrElse("SPARK_GRAFT_META_ADDS_PER_COMMIT", "1").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -63,36 +69,61 @@ object MetaBench {
       // partition columns declared) so the vacuum-walk rows below compare
       // a REAL per-directory fan-out, not an empty-dirs short circuit
       head +
-        s"""{"add":{"path":"bucket-${v % 16}/part-$v.parquet","partitionValues":{},"size":${Files.size(seed)},"modificationTime":${1600000000000L + v},"dataChange":true}}
-{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Append"},"engineInfo":"graft-metabench","clusterId":"local","readVersion":${v - 1}}}
+        (0 until addsPer).map { j =>
+          s"""{"add":{"path":"bucket-${(v * addsPer + j) % 16}/part-$v-$j.parquet","partitionValues":{},"size":${Files.size(seed)},"modificationTime":${1600000000000L + v},"dataChange":true}}
+"""
+        }.mkString +
+        s"""{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Append"},"engineInfo":"graft-metabench","clusterId":"local","readVersion":${v - 1}}}
 """
     }
     (0 until 16).foreach(b => Files.createDirectories(dir.resolve(s"bucket-$b")))
     (0 until n).foreach { v =>
-      Files.copy(seed, dir.resolve(s"bucket-${v % 16}").resolve(s"part-$v.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
+      (0 until addsPer).foreach { j =>
+        val f = dir.resolve(s"bucket-${(v * addsPer + j) % 16}")
+          .resolve(s"part-$v-$j.parquet")
+        if (addsPer == 1)
+          Files.copy(seed, f, StandardCopyOption.REPLACE_EXISTING)
+        else if (!Files.exists(f)) Files.createFile(f) // metadata-axis probe
+      }
       Files.write(logDir.resolve(DeltaLog.pad20(v) + ".json"),
         commitLines(v).getBytes(UTF_8))
     }
+    def usedHeapMb: Long = {
+      System.gc(); Thread.sleep(50); System.gc()
+      val rt = Runtime.getRuntime
+      (rt.totalMemory - rt.freeMemory) / (1 << 20)
+    }
+    val heapBefore = usedHeapMb
+
     // checkpoint near the tip: cold load = restore + 10-commit tail replay
     val cpLog = DeltaLog.forPath(spark, dir.toString)
-    cpLog.checkpoint(cpLog.snapshotForVersion(n - 11L))
+    val cpSnap = cpLog.snapshotForVersion(n - 11L)
+    val (ckptSec, _) = timed(cpLog.checkpoint(cpSnap))
 
     val (coldSec, cold) = timed {
       val log = DeltaLog.forPath(spark, dir.toString)
       log.update()
     }
-    require(cold.version == n - 1 && cold.files.size == n,
+    require(cold.version == n - 1 && cold.files.size == n * addsPer,
       s"cold snapshot wrong: v=${cold.version} files=${cold.files.size}")
+    // retained driver heap with the live snapshot pinned — the number that
+    // bounds how many Adds a single driver can HOLD, which is what the
+    // distributed-replay/checkpoint thresholds exist to protect
+    val heapWithSnapshot = usedHeapMb
     val warmLog = DeltaLog.forPath(spark, dir.toString)
     warmLog.update()
     val (warmSec, _) = timed(warmLog.update())
-    val (histSec, histRows) = timed(
-      spark.sql(s"SELECT * FROM graft_history('${dir.toString}')").count())
-    require(histRows == n, s"history rows $histRows != $n")
-    val (feedSec, feedRows) = timed(
-      spark.sql(s"SELECT * FROM graft_changes('${dir.toString}', 0, ${n - 1})").count())
-    require(feedRows == n - 1, s"feed rows $feedRows != ${n - 1}")
+    val (histSec, feedSec) =
+      if (addsPer > 1) (-1.0, -1.0) // placeholder files have no footers
+      else {
+        val (hs, histRows) = timed(
+          spark.sql(s"SELECT * FROM graft_history('${dir.toString}')").count())
+        require(histRows == n, s"history rows $histRows != $n")
+        val (fs, feedRows) = timed(
+          spark.sql(s"SELECT * FROM graft_changes('${dir.toString}', 0, ${n - 1})").count())
+        require(feedRows == n - 1, s"feed rows $feedRows != ${n - 1}")
+        (hs, fs)
+      }
     // vacuum candidate WALK over the n-file table: driver iterator vs the
     // executor fan-out (r10: the listing, not the deletes, is the
     // object-store bottleneck). Warm handle — the row isolates the walk,
@@ -107,7 +138,7 @@ object MetaBench {
     spark.conf.unset(graft.delta.DeltaTable.DistributedVacuumListKey)
 
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    println(s"""{"metric":"metadata_path","commits":$n,"cold_forPath_sec":${fmt(coldSec)},"warm_update_sec":${fmt(warmSec)},"history_sec":${fmt(histSec)},"changes_full_range_sec":${fmt(feedSec)},"vacuum_walk_driver_sec":${fmt(vacDriverSec)},"vacuum_walk_dist_sec":${fmt(vacDistSec)}}""")
+    println(s"""{"metric":"metadata_path","commits":$n,"adds_per_commit":$addsPer,"files":${n.toLong * addsPer},"cold_forPath_sec":${fmt(coldSec)},"warm_update_sec":${fmt(warmSec)},"checkpoint_write_sec":${fmt(ckptSec)},"history_sec":${fmt(histSec)},"changes_full_range_sec":${fmt(feedSec)},"vacuum_walk_driver_sec":${fmt(vacDriverSec)},"vacuum_walk_dist_sec":${fmt(vacDistSec)},"heap_before_mb":$heapBefore,"heap_with_snapshot_mb":$heapWithSnapshot}""")
     spark.stop()
   }
 }
