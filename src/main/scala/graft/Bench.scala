@@ -167,10 +167,20 @@ object Bench {
         s"degraded=${sweep.degraded} degraded_mt=${sweep.degradedMt}) — retrying once")
       val second = runSweep(BenchCalibration.singleThreadSec())
       retried = true
-      sweep =
-        if (second.unhealthy && !sweep.unhealthy) sweep
+      // Selection order: fewest FAILED queries first (a crashed query
+      // records ~0 s, so a total built on errors must never win — the r9
+      // honesty rule, one layer up), then health, then lower wall.
+      val chosen =
+        if (second.errors.size != sweep.errors.size)
+          (if (second.errors.size < sweep.errors.size) second else sweep)
         else if (sweep.unhealthy && !second.unhealthy) second
+        else if (second.unhealthy && !sweep.unhealthy) sweep
         else if (second.total < sweep.total) second else sweep
+      val discarded = if (chosen eq second) sweep else second
+      if (discarded.errors.nonEmpty)
+        System.err.println(
+          s"BENCHRETRY discarded sweep had errors: ${errorsJson(discarded.errors)}")
+      sweep = chosen
     }
 
     // Locale.ROOT: the f"" interpolator formats with the JVM default
@@ -187,8 +197,12 @@ object Bench {
       if (sweep.cpuSec.values.exists(_ < 0)) -1.0 else sweep.cpuSec.values.sum
     val loadMed = BenchContention.median(sweep.load1m.values.toSeq.filter(_ >= 0))
     // the regression-gate subtotal (BASELINE.md: 16-query r1 set ≤ 2×9.6 s),
-    // emitted machine-readable so the gate never has to be recomputed
-    val r1Subtotal = Bench.R1Set.toSeq.flatMap(results.get).sum
+    // emitted machine-readable so the gate never has to be recomputed; a
+    // SUBSET run can't produce the gate number — sentinel -1, not a
+    // partial sum a reader would mistake for a trivially passing gate
+    val r1Subtotal =
+      if (Bench.R1Set.forall(results.contains)) Bench.R1Set.toSeq.map(results).sum
+      else -1.0
     // The primary stdout line carries what the driver's tail capture
     // parses (value + queries + sf) plus three SHORT contention scalars.
     // Round 6's driver recorded `parsed: null` because the full cpu/load1m

@@ -95,10 +95,15 @@ object MetaBench {
     }
     val heapBefore = usedHeapMb
 
-    // checkpoint near the tip: cold load = restore + 10-commit tail replay
-    val cpLog = DeltaLog.forPath(spark, dir.toString)
-    val cpSnap = cpLog.snapshotForVersion(n - 11L)
-    val (ckptSec, _) = timed(cpLog.checkpoint(cpSnap))
+    // checkpoint near the tip: cold load = restore + 10-commit tail replay.
+    // In its OWN method frame so the checkpointing log and its ~n·addsPer
+    // Add snapshot are unreachable before the heap measurement below —
+    // measured in-line they doubled heap_with_snapshot (r11 review find).
+    def writeCheckpoint(): Double = {
+      val cpLog = DeltaLog.forPath(spark, dir.toString)
+      timed(cpLog.checkpoint(cpLog.snapshotForVersion(n - 11L)))._1
+    }
+    val ckptSec = writeCheckpoint()
 
     val (coldSec, cold) = timed {
       val log = DeltaLog.forPath(spark, dir.toString)

@@ -74,7 +74,13 @@ object Convert {
     val now = System.currentTimeMillis()
 
     val txn = log.startTransaction()
-    txn.addAction(ProtocolAction())
+    // schema-gated features fence the CREATE protocol exactly like the
+    // writer's create path: converting tz-naive parquet infers NTZ columns
+    // (the common Spark-4 vintage), and persisting `timestamp_ntz` under a
+    // bare legacy protocol would let feature-unaware readers misread the
+    // column as tz-aware (r11 review find)
+    txn.addAction(ProtocolSupport.configFences(
+      Map.empty, ProtocolAction(), Some(inferred)))
     txn.addAction(MetaDataAction(
       id = UUID.randomUUID().toString,
       name = None, description = None,

@@ -155,7 +155,17 @@ object GraftWriter {
           configuration = annConfig))
     }
 
-    val enforced = Constraints.enforce(df, snap)
+    // Stage in the table's AT-REST timestamp flavor: the compat check above
+    // normalizes NTZ↔timestamp, but staging an un-cast frame would write
+    // parquet whose isAdjustedToUTC annotation contradicts the Delta schema
+    // (tz-aware bytes under a timestamp_ntz column, or vice versa) — graft's
+    // own scan tolerates it, spec-conforming foreign readers do not (r11
+    // review find). Values are identical under the fixed UTC session zone.
+    val atRest =
+      if (!exists || overwriteSchema) df
+      else alignTimestampFlavors(df, evolvedMetadata
+        .map(em => DeltaSchema.fromJson(em.schemaString)).getOrElse(snap.schema))
+    val enforced = Constraints.enforce(atRest, snap)
     // mergeSchema may have just evolved the mapped schema — the staging
     // rename must see the appended columns' fresh physical names
     lazy val mapSchema = evolvedMetadata
@@ -307,6 +317,31 @@ object GraftWriter {
 
     log.maybeCheckpoint(version)
     version
+  }
+
+  /** Cast columns whose type differs from the table's ONLY in timestamp
+    * flavor (NTZ vs tz-aware, at any nesting depth) to the table's at-rest
+    * type, so staged parquet carries the isAdjustedToUTC annotation the
+    * Delta schema declares. Shared by the batch writer and the streaming
+    * sink; a no-op frame is returned untouched. */
+  private[graft] def alignTimestampFlavors(
+      df: org.apache.spark.sql.DataFrame,
+      target: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{DataType, StructField, StructType}
+    def shape(dt: DataType) = DeltaSchema.structural(DeltaSchema.normalize(
+      StructType(Array(StructField("x", dt)))))
+    val targetTypes = target.fields.map(f => f.name -> f.dataType).toMap
+    val needsCast = df.schema.fields.filter(f =>
+      targetTypes.get(f.name).exists(t =>
+        t != f.dataType && shape(t) == shape(f.dataType) &&
+          DeltaSchema.structural(t) != DeltaSchema.structural(f.dataType)))
+      .map(_.name).toSet
+    if (needsCast.isEmpty) df
+    else df.select(df.schema.fields.map { f =>
+      if (needsCast(f.name)) col(f.name).cast(targetTypes(f.name)).as(f.name)
+      else col(f.name)
+    }.toSeq: _*)
   }
 
   /** Schema-evolution core shared by the batch writer and streaming sink:

@@ -127,7 +127,12 @@ object PipelineQueries {
     // bucket join → exact verification. Output provably equals brute force
     // at this data's similarity gap.
     "q25_minhash_lsh" -> { (s, dir) =>
-      Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id", 1, 2)
+      // maxBucketSize=None: the DuckDB oracle is UNCAPPED brute force, so
+      // the gate must compare identical semantics at every sf; the default
+      // cap is the production guard, spec-proven in DedupSpec's
+      // adversarial-skew cases
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id", 1, 2,
+          maxBucketSize = None)
         .orderBy("id_a", "id_b")
     },
 
@@ -136,7 +141,8 @@ object PipelineQueries {
     // restatable in DuckDB, so the oracle recomputes the full simhash →
     // band → Hamming pipeline exactly (the q50 restate-the-kernel pattern).
     "q26_simhash" -> { (s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 16)
+      Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 16,
+          maxBucketSize = None) // uncapped: oracle identity, see q25
         .withColumn("hamming", col("hamming").cast("long"))
         .orderBy("id_a", "id_b")
     },
@@ -271,7 +277,8 @@ object PipelineQueries {
       Dedup.embeddingSimilarPairsMultiLsh(
         t(s, dir, "embeddings").filter(col("vec_id") < 1000), "vec_id", "embedding",
         thresholdNum = 45, thresholdDen = 100,
-        nTables = 96, nPlanes = 4)
+        nTables = 96, nPlanes = 4,
+        maxBucketSize = None) // uncapped: oracle identity, see q25
         .orderBy("id_a", "id_b")
     },
   )

@@ -95,7 +95,12 @@ final class GraftStreamSink(
     // guarded by `mapped`: a brand-new table has no metadata to read yet
     lazy val mapSchema = evolvedMetadata
       .map(em => DeltaSchema.fromJson(em.schemaString)).getOrElse(snap.schema)
-    val enforced = Constraints.enforce(batch, snap)
+    // stage in the table's at-rest timestamp flavor (see the batch writer)
+    val atRest =
+      if (snap.version < 0) batch
+      else GraftWriter.alignTimestampFlavors(batch, evolvedMetadata
+        .map(em => DeltaSchema.fromJson(em.schemaString)).getOrElse(snap.schema))
+    val enforced = Constraints.enforce(atRest, snap)
     val staged =
       if (mapped) ColumnMapping.toPhysical(enforced, mapSchema,
         attachIds = ColumnMapping.mode(snap) == "id")
@@ -118,12 +123,25 @@ final class GraftStreamSink(
         extendedFileMetadata = Some(true),
         partitionValues = Some(f.partitionValues), size = Some(f.size))))
     if (snap.version < 0) {
-      txn.addAction(ProtocolAction())
+      // schema-gated feature fences at CREATE, like the batch writer: an
+      // NTZ (or variant) column in the first epoch must declare its
+      // reader+writer feature alongside the schema that carries it
+      txn.addAction(ProtocolSupport.configFences(
+        Map.empty, ProtocolAction(), Some(batch.schema)))
       txn.addAction(MetaDataAction(
         id = UUID.randomUUID().toString, name = None, description = None,
         format = Format(), schemaString = DeltaSchema.toJson(batch.schema),
         partitionColumns = partitionBy, createdTime = Some(now),
         configuration = Map.empty))
+    } else evolvedMetadata.foreach { md =>
+      // mergeSchema evolution can introduce feature-gated types mid-stream
+      // (NTZ, variant) — fence them like GraftWriter's evolution commit
+      // does; one folded action, emitted only when the protocol changes
+      val protoBase = ProtocolAction(snap.minReaderVersion,
+        snap.minWriterVersion, snap.readerFeatures, snap.writerFeatures)
+      val fenced = ProtocolSupport.configFences(md.configuration, protoBase,
+        Some(DeltaSchema.fromJson(md.schemaString)))
+      if (fenced != protoBase) txn.addAction(fenced)
     }
     txn.addAction(TxnAction(appId, epochId, Some(now)))
     val finalAdds =

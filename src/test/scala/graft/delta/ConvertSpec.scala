@@ -31,6 +31,23 @@ class ConvertSpec extends AnyFunSuite with SparkTestBase {
     assert(DeltaTable.forPath(spark, dir, 0).toDF.count() == 200)
   }
 
+  test("converting tz-naive parquet declares the timestampNtz feature (round 11)") {
+    val dir = tempTable("convert-ntz").toString
+    Seq((1L, "2024-01-02 03:04:05"), (2L, "2024-06-07 08:09:10"))
+      .toDF("id", "s")
+      .select(col("id"), col("s").cast("timestamp_ntz").as("ts"))
+      .repartition(2).write.mode("overwrite").parquet(dir)
+
+    Convert.parquetToDelta(spark, dir)
+    val snap = DeltaLog.forPath(spark, dir).update()
+    assert(snap.metadata.get.schemaString.contains("timestamp_ntz"))
+    // the inferred NTZ column fences the protocol — a bare legacy (1,2)
+    // protocol would let feature-unaware readers misread the column
+    assert(snap.readerFeatures.exists(_.contains("timestampNtz")) &&
+           snap.writerFeatures.exists(_.contains("timestampNtz")))
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 2)
+  }
+
   test("hive-partitioned dir converts with typed partition columns") {
     val dir = tempTable("convert-part").toString
     (0 until 90).map(i => (i.toLong, i % 3)).toDF("id", "p")

@@ -224,11 +224,21 @@ class WriterSpec extends AnyFunSuite with SparkTestBase {
     assert(DeltaTable.forPath(spark, legacy).toDF.count() == 4)
 
     // converse: a tz-aware frame of the same UTC values appends to the
-    // NTZ-at-rest table
-    GraftWriter.write(df.select(col("id"), col("ts").cast("timestamp").as("ts")),
+    // NTZ-at-rest table — and is CAST to the at-rest flavor before staging,
+    // so the new file's parquet annotation matches the Delta schema
+    // (isAdjustedToUTC=false; foreign readers reject a contradiction)
+    val v2 = GraftWriter.write(
+      df.select(col("id"), col("ts").cast("timestamp").as("ts")),
       dir, SaveMode.Append)
     assert(DeltaTable.forPath(spark, dir).toDF.count() == 6)
     assert(DeltaTable.forPath(spark, dir).schema("ts").dataType ==
       org.apache.spark.sql.types.TimestampNTZType)               // stays NTZ
+    val newFiles = DeltaLog.forPath(spark, dir).readCommit(v2)
+      .collect { case a: AddAction => s"$dir/${ActionPath.decode(a.path)}" }
+    assert(newFiles.nonEmpty)
+    // schema inference over the raw file alone: tz-naive annotation → NTZ
+    assert(spark.read.parquet(newFiles: _*).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType,
+      "appended file must carry the NTZ parquet annotation, not UTC-adjusted")
   }
 }

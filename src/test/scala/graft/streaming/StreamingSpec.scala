@@ -44,6 +44,32 @@ class StreamingSinkSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("sink-created and sink-evolved NTZ columns declare timestampNtz (round 11)") {
+    import org.apache.spark.sql.functions.col
+    val ntz = Seq((1L, "2024-01-02 03:04:05")).toDF("id", "s")
+      .select(col("id"), col("s").cast("timestamp_ntz").as("ts"))
+
+    // creation epoch: schema-gated feature fenced alongside the metadata
+    val dir = tempTable("sink-ntz").toString
+    val sink = new GraftStreamSink(dir, appId = "app-ntz")
+    assert(sink.writeBatch(ntz, epochId = 0) == 0)
+    val snap = graft.delta.DeltaLog.forPath(spark, dir).update()
+    assert(snap.metadata.get.schemaString.contains("timestamp_ntz"))
+    assert(snap.readerFeatures.exists(_.contains("timestampNtz")) &&
+           snap.writerFeatures.exists(_.contains("timestampNtz")))
+
+    // evolution epoch: an NTZ column arriving mid-stream fences too
+    val dir2 = tempTable("sink-ntz-ev").toString
+    val sink2 = new GraftStreamSink(dir2, appId = "app-ntz-ev", mergeSchema = true)
+    assert(sink2.writeBatch(Seq((1L, "a")).toDF("id", "v"), epochId = 0) == 0)
+    assert(sink2.writeBatch(
+      Seq((2L, "b")).toDF("id", "v").crossJoin(ntz.select("ts")), epochId = 1) == 1)
+    val snap2 = graft.delta.DeltaLog.forPath(spark, dir2).update()
+    assert(snap2.metadata.get.schemaString.contains("timestamp_ntz"))
+    assert(snap2.readerFeatures.exists(_.contains("timestampNtz")) &&
+           snap2.writerFeatures.exists(_.contains("timestampNtz")))
+  }
+
   test("two apps keep independent idempotence cursors") {
     val dir = tempTable("sink-2apps").toString
     val a = new GraftStreamSink(dir, appId = "app-A")
