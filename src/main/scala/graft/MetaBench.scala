@@ -101,7 +101,8 @@ object MetaBench {
     // measured in-line they doubled heap_with_snapshot (r11 review find).
     def writeCheckpoint(): Double = {
       val cpLog = DeltaLog.forPath(spark, dir.toString)
-      timed(cpLog.checkpoint(cpLog.snapshotForVersion(n - 11L)))._1
+      val cpSnap = cpLog.snapshotForVersion(n - 11L) // load OUTSIDE the timer
+      timed(cpLog.checkpoint(cpSnap))._1
     }
     val ckptSec = writeCheckpoint()
 

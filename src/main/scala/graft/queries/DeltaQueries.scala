@@ -616,6 +616,33 @@ object DeltaQueries {
         .orderBy("bucket")
     },
 
+    // Partitioned + multipart variant of the q70 cross-engine replay: the
+    // table is hive-partitioned (add.path carries the partition subdir),
+    // the checkpoint is forced MULTIPART (maxActionsPerPart=7 → the
+    // %020d.checkpoint.%010d.%010d.parquet naming), and a post-checkpoint
+    // append + partition-scoped delete exercise the tail fold. The oracle
+    // reads all parts of the LATEST checkpoint, folds per protocol, and
+    // reads exactly the active files with hive partitioning re-attached.
+    "q73_partitioned_replay" -> { (s, dir) =>
+      val t = freshDir("partreplay")
+      val d = li(s, dir)
+      GraftWriter.write(d.filter(col("l_orderkey") < 600), t,
+        SaveMode.ErrorIfExists, partitionBy = Seq("l_returnflag"))
+      GraftWriter.write(
+        d.filter(col("l_orderkey") >= 600 && col("l_orderkey") < 1200), t,
+        SaveMode.Append)
+      Dml.delete(s, t, col("l_returnflag") === "N" && col("l_quantity") > 25)
+      val log = DeltaLog.forPath(s, t)
+      log.checkpoint(log.update(), maxActionsPerPart = 7)
+      GraftWriter.write(
+        d.filter(col("l_orderkey") >= 1200 && col("l_orderkey") < 1800), t,
+        SaveMode.Append)
+      Dml.delete(s, t, col("l_returnflag") === "A" && col("l_orderkey") >= 900)
+      DeltaTable.forPath(s, t).toDF
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    },
+
     // timestamp_ntz at rest (round 11): a table born from an NTZ frame
     // (the events vintage Spark 4 reads tz-naive) must persist the
     // protocol's `timestamp_ntz` primitive — not the old value-preserving
@@ -651,6 +678,7 @@ object DeltaQueries {
   // paths the queries write to (constants — workRoot is fixed).
   private val replayT = s"$workRoot/logreplay"
   private val dvReplayT = s"$workRoot/dvreplay"
+  private val partReplayT = s"$workRoot/partreplay"
 
   val oracleSql: Map[String, String] = Map(
     // Mechanical log replay in DuckDB: checkpoint parquet as the base,
@@ -664,8 +692,9 @@ object DeltaQueries {
          |  FROM glob('$replayT/_delta_log/*.checkpoint.parquet')),
          |ckpt AS (
          |  SELECT add.path AS path, (SELECT v FROM cv) AS v, true AS is_add
-         |  FROM read_parquet('$replayT/_delta_log/*.checkpoint.parquet')
-         |  WHERE add IS NOT NULL),
+         |  FROM read_parquet('$replayT/_delta_log/*.checkpoint.parquet', filename=true)
+         |  WHERE add IS NOT NULL
+         |    AND CAST(regexp_extract(filename, '(\\d{20})\\.checkpoint', 1) AS BIGINT) = (SELECT v FROM cv)),
          |jl AS (
          |  SELECT CAST(regexp_extract(filename, '(\\d{20})\\.json', 1) AS BIGINT) AS v, add, remove
          |  FROM read_json('$replayT/_delta_log/*.json', format='newline_delimited',
@@ -713,6 +742,39 @@ object DeltaQueries {
 
     "q17_delta_roundtrip" ->
       s"""SELECT $cols FROM lineitem WHERE l_orderkey < 1000
+         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
+
+    // Multipart-checkpoint + hive-partitioned replay: parts of the LATEST
+    // checkpoint only (version-filtered — a second checkpoint must not
+    // double the base), fold as in q70, then read the active files with
+    // hive_partitioning re-attaching l_returnflag from the path.
+    "q73_partitioned_replay" ->
+      s"""WITH cv AS (
+         |  SELECT coalesce(max(CAST(regexp_extract(file, '(\\d{20})\\.checkpoint', 1) AS BIGINT)), -1) AS v
+         |  FROM glob('$partReplayT/_delta_log/*.checkpoint*.parquet')),
+         |ckpt AS (
+         |  SELECT add.path AS path, (SELECT v FROM cv) AS v, true AS is_add
+         |  FROM read_parquet('$partReplayT/_delta_log/*.checkpoint*.parquet', filename=true)
+         |  WHERE add IS NOT NULL
+         |    AND CAST(regexp_extract(filename, '(\\d{20})\\.checkpoint', 1) AS BIGINT) = (SELECT v FROM cv)),
+         |jl AS (
+         |  SELECT CAST(regexp_extract(filename, '(\\d{20})\\.json', 1) AS BIGINT) AS v, add, remove
+         |  FROM read_json('$partReplayT/_delta_log/*.json', format='newline_delimited',
+         |                 union_by_name=true, filename=true)),
+         |tail AS (
+         |  SELECT coalesce(add.path, remove.path) AS path, v, (add.path IS NOT NULL) AS is_add
+         |  FROM jl
+         |  WHERE v > (SELECT v FROM cv) AND (add.path IS NOT NULL OR remove.path IS NOT NULL)),
+         |acts AS (SELECT * FROM ckpt UNION ALL SELECT * FROM tail),
+         |active AS (
+         |  SELECT path FROM (
+         |    SELECT path, is_add,
+         |           row_number() OVER (PARTITION BY path ORDER BY v DESC, is_add DESC) AS rn
+         |    FROM acts) WHERE rn = 1 AND is_add)
+         |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+         |FROM read_parquet('$partReplayT/l_returnflag=*/*.parquet', filename=true,
+         |                  union_by_name=true, hive_partitioning=true)
+         |WHERE replace(filename, '$partReplayT/', '') IN (SELECT path FROM active)
          |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
 
     // CAST to µs TIMESTAMP first: identity on the µs events vintage, and
