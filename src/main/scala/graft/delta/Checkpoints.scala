@@ -260,6 +260,24 @@ object Checkpoints {
     * `find_latest_check_point_for_version` matches,
     * `rust/src/delta.rs:412-436`), so checkpoints of 10⁶-file tables never
     * funnel through one writer task. Returns (actions written, parts). */
+  /** Tombstones still inside the table's deleted-file retention window —
+    * the only ones a checkpoint carries (r11 review). Without this filter,
+    * every removed path rides every future checkpoint FOREVER (rewritten
+    * file names never repeat, so replay's per-path fold cannot shed them):
+    * on a churny table tombstones eventually dwarf live files, degrading
+    * driver heap, checkpoint size, and the non-add collect without bound.
+    * Dropping an expired tombstone is safe: vacuum reclaims the
+    * still-on-disk file through its untracked-file mtime rule (the same
+    * cutoff), and a deletionTimestamp of 0 means "unknown" (foreign remove
+    * without the optional field) — kept conservatively. delta-spark
+    * expires checkpoint tombstones on the same window. */
+  private[delta] def liveTombstones(snap: Snapshot): Seq[RemoveAction] = {
+    val cutoff = System.currentTimeMillis() -
+      TableConfig.deletedFileRetentionMillis(TableConfig.of(snap))
+    snap.tombstones.filter(t =>
+      t.deletionTimestamp <= 0L || t.deletionTimestamp >= cutoff)
+  }
+
   def write(log: DeltaLog, snap: Snapshot,
             maxActionsPerPart: Int = 500000): (Long, Option[Int]) = {
     val md = snap.metadata.getOrElse(
@@ -278,7 +296,7 @@ object Checkpoints {
         snap.readerFeatures, snap.writerFeatures), md) ++
       snap.appTransactionVersion.toSeq.sortBy(_._1).map { case (app, v) => TxnAction(app, v) } ++
       snap.domainMetadata.toSeq.sortBy(_._1).map { case (d, c) => DomainMetadataAction(d, c) } ++
-      snap.tombstones.filterNot(t => activePaths.contains(t.path)) ++
+      liveTombstones(snap).filterNot(t => activePaths.contains(t.path)) ++
       snap.files
     val rows = acts.map(actionRow(_, info, withDomains))
     val schema = checkpointSchema(info, withDomains)
@@ -488,6 +506,14 @@ object Checkpoints {
     * sidecars' tombstones (executor-filtered, driver collect stays tiny). */
   def readNonAddV2(log: DeltaLog, version: Long, fileName: String): Seq[Action] = {
     val mainActs = readV2Manifest(log, new Path(log.logPath, fileName))
+    // same version validation as the driver path (readV2) — the two
+    // restore routes must agree on whether a mislabeled manifest is
+    // readable, and the large-table route must not pick silent
+    // corruption (r11 review)
+    mainActs.collectFirst { case c: CheckpointMetadataAction => c }.foreach { c =>
+      if (c.version != version) throw new IllegalStateException(
+        s"v2 checkpoint $fileName declares version ${c.version}, expected $version")
+    }
     val sidecars = mainActs.collect { case s: SidecarAction => s }
     val sidecarNonAdd =
       if (sidecars.isEmpty) Nil
@@ -539,7 +565,7 @@ object Checkpoints {
     // the classic writer — a checkpoint is an order-insensitive state dump)
     val activePaths = snap.files.iterator.map(_.path).toSet
     val fileActs: Seq[Action] =
-      snap.tombstones.filterNot(t => activePaths.contains(t.path)) ++ snap.files
+      liveTombstones(snap).filterNot(t => activePaths.contains(t.path)) ++ snap.files
     val sidecarSchema = StructType(Seq(
       StructField("add", addType(info)), StructField("remove", removeType)))
     def fileRow(a: Action): Row = a match {

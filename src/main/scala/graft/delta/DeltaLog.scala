@@ -64,17 +64,25 @@ final class DeltaLog private (
 
   def latestVersion(): Long = listCommitVersions().lastOption.getOrElse(-1L)
 
-  /** Read `_delta_log/_last_checkpoint` (`rust/src/delta.rs:438-443`). */
+  /** Read `_delta_log/_last_checkpoint` (`rust/src/delta.rs:438-443`).
+    * TOLERANT: the pointer is written non-atomically (plain overwrite per
+    * the protocol — its readers tolerate staleness by contract), so a torn
+    * or corrupt pointer reads as ABSENT and snapshot loads fall back to
+    * checkpoint discovery + JSON replay, instead of bricking every read of
+    * an otherwise healthy table (r11 review; delta-spark does the same). */
   def lastCheckpoint(): Option[CheckPoint] = {
     val p = new Path(logPath, "_last_checkpoint")
     if (!store.exists(p)) None
-    else {
-      val n = ActionCodec.mapper.readTree(store.read(p))
-      Some(CheckPoint(
-        version = n.get("version").asLong,
-        size = n.get("size").asLong,
-        parts = Option(n.get("parts")).filterNot(_.isNull).map(_.asInt)))
-    }
+    else
+      try {
+        val n = ActionCodec.mapper.readTree(store.read(p))
+        Option(n.get("version")).filterNot(_.isNull).map(v => CheckPoint(
+          version = v.asLong,
+          size = Option(n.get("size")).filterNot(_.isNull).map(_.asLong).getOrElse(0L),
+          parts = Option(n.get("parts")).filterNot(_.isNull).map(_.asInt)))
+      } catch {
+        case scala.util.control.NonFatal(_) => None
+      }
   }
 
   /** Newest complete checkpoint with version ≤ `maxVersion` —
@@ -140,31 +148,31 @@ final class DeltaLog private (
     * (`DeltaTable::load`, `rust/src/delta.rs:589-608`). */
   def update(): Snapshot = synchronized {
     var snap = cached
-    if (snap.version < 0) {
-      // `_last_checkpoint` is advisory: if its files are missing/incomplete
-      // (e.g. a torn multipart write, or a v2 checkpoint whose UUID name the
-      // pointer cannot carry), fall back to discovery, then to pure JSON
-      // replay — a stale pointer must never brick the table. A discovered
-      // checkpoint matching the pointer's version inherits its action count
-      // (discovery alone cannot know it; the count routes the distributed
-      // restore).
-      val pointer = lastCheckpoint()
-      pointer
-        .filter(cp => checkpointPaths(cp).forall(store.exists))
-        .orElse(findLatestCheckpointForVersion(Long.MaxValue).map(d =>
-          if (pointer.exists(_.version == d.version))
-            d.copy(size = pointer.get.size)
-          else d))
-        .foreach { cp => snap = restoreCheckpoint(cp) }
-    }
+    if (snap.version < 0)
+      newestUsableCheckpoint().foreach { cp => snap = restoreCheckpoint(cp) }
     // Contiguous replay only — the reference probes version-by-version and
     // stops at the first missing commit (`EndOfLog`, rust/src/delta.rs:
     // 284-291,640-657); a listing-based replay must not leak commits past a
     // gap. (Commits OLDER than the restored checkpoint may legitimately be
     // cleaned away; contiguity is enforced from the replay start.)
     val before = cached.version
-    val versions = contiguousFrom(listCommitVersions().filter(_ > snap.version), snap.version)
-    snap = replayTail(snap, versions)
+    val listed = listCommitVersions()
+    snap = replayTail(snap, contiguousFrom(listed.filter(_ > snap.version), snap.version))
+    // Warm-handle catch-up across a cleaned gap (r11 review): a long-lived
+    // log cached at N whose successor commits were cleaned past retention
+    // (a newer checkpoint supersedes them) would otherwise return the
+    // stale version-N snapshot FOREVER — the checkpoint restore above only
+    // runs cold. If commits remain beyond what contiguous replay reached,
+    // bridge through the newest usable checkpoint past the gap; with no
+    // covering checkpoint the stale-but-consistent snapshot stands (the
+    // reference's EndOfLog semantics).
+    if (listed.nonEmpty && snap.version < listed.last)
+      newestUsableCheckpoint().filter(_.version > snap.version).foreach { cp =>
+        var bridged = restoreCheckpoint(cp)
+        bridged = replayTail(bridged,
+          contiguousFrom(listed.filter(_ > bridged.version), bridged.version))
+        snap = bridged
+      }
     // replay advanced: check the landing version against any recorded
     // checksum (graft's own or a foreign writer's) — one HEAD per refresh
     // that actually moved, never per call. Validate BEFORE caching: a
@@ -214,7 +222,8 @@ final class DeltaLog private (
         case Some(name) => Checkpoints.readNonAddV2(this, cp.version, name)
         case None => Checkpoints.readNonAdd(spark, checkpointPaths(cp))
       }
-      val adds = DistributedReplay.prunedAddActions(this, version = Some(cp.version))
+      val adds = DistributedReplay.prunedAddActions(this,
+        version = Some(cp.version), resolved = Some(cp))
       Snapshot.replay(Snapshot(), nonAdd.iterator ++ adds.iterator, cp.version)
     } else
       replayCheckpointActions(readCheckpointActions(cp), cp.version)
@@ -239,6 +248,22 @@ final class DeltaLog private (
     Snapshot.replay(Snapshot(), (nonAdds ++ adds).iterator, version)
   }
 
+  /** `_last_checkpoint` is advisory: if its files are missing/incomplete
+    * (e.g. a torn multipart write, or a v2 checkpoint whose UUID name the
+    * pointer cannot carry), fall back to discovery — a stale pointer must
+    * never brick the table. A discovered checkpoint matching the pointer's
+    * version inherits its action count (discovery alone cannot know it;
+    * the count routes the distributed restore). */
+  private def newestUsableCheckpoint(): Option[CheckPoint] = {
+    val pointer = lastCheckpoint()
+    pointer
+      .filter(cp => checkpointPaths(cp).forall(store.exists))
+      .orElse(findLatestCheckpointForVersion(Long.MaxValue).map(d =>
+        if (pointer.exists(_.version == d.version))
+          d.copy(size = pointer.get.size)
+        else d))
+  }
+
   private def contiguousFrom(versions: Seq[Long], after: Long): Seq[Long] =
     versions.headOption match {
       case None => Nil
@@ -252,14 +277,35 @@ final class DeltaLog private (
     * newest checkpoint ≤ version, replay the trailing commits. */
   def snapshotForVersion(version: Long): Snapshot = {
     val versions = listCommitVersions()
-    val cp = findLatestCheckpointForVersion(version)
+    // inherit the pointer's action count when it names this checkpoint, so
+    // a pinned load of a large table routes through the SAME distributed
+    // restore update() uses instead of collecting the full checkpoint on
+    // the driver (r11 review)
+    val cp = findLatestCheckpointForVersion(version).map { c =>
+      lastCheckpoint().filter(_.version == c.version)
+        .map(p => c.copy(size = p.size)).getOrElse(c)
+    }
     if (!versions.contains(version) && !cp.exists(_.version == version))
       throw new VersionNotFoundException(version, tablePath.toString)
     var snap = cp match {
-      case Some(c) => replayCheckpointActions(readCheckpointActions(c), c.version)
+      case Some(c) => restoreCheckpoint(c)
       case None => Snapshot()
     }
-    val pinned = replayTail(snap, versions.filter(v => v > snap.version && v <= version))
+    // Contiguity guard (r11 review): the tail must be EXACTLY
+    // (base, version] — log cleanup can delete early commits while only a
+    // NEWER checkpoint survives, and folding the surviving tail onto an
+    // empty base would silently return a snapshot missing every file the
+    // cleaned commits added. update() refuses gaps via contiguousFrom;
+    // pinned loads must refuse them too.
+    val tailVs = versions.filter(v => v > snap.version && v <= version)
+    val expected = (snap.version + 1) to version
+    if (tailVs.size != expected.size || !tailVs.sameElements(expected))
+      throw new IllegalStateException(
+        s"cannot reconstruct version $version of $tablePath: commit(s) " +
+        s"${(expected.toSet -- tailVs.toSet).toSeq.sorted.take(5).mkString(", ")} " +
+        "missing from the log (cleaned past retention?) and no checkpoint " +
+        "at or before the gap covers them")
+    val pinned = replayTail(snap, tailVs)
     Checksum.validate(this, pinned)
     pinned
   }

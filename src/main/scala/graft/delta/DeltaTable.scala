@@ -250,6 +250,16 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
         }
       rootFiles ++ walked
     }
+    // tombstoned paths are governed by their deletionTimestamp alone: a
+    // file REMOVED recently (tombstone young) must survive even when its
+    // creation mtime is ancient — time travel within retention reads it
+    val tombstoned = snap.tombstones.map(_.path).toSet
+    // the untracked-mtime rule (delta-spark's) applies only to PLAIN data
+    // paths — the _change_data / _delta_index carve-outs are visible to
+    // the walk but exempt from reclaim by contract
+    def plainPath(rel: String): Boolean =
+      !rel.split('/').exists(seg =>
+        (seg.startsWith(".") || seg.startsWith("_")) && !seg.contains("="))
     val candidates = Seq.newBuilder[String]
     listed.foreach { case (rel, mtime) =>
       // foreign writers do not tombstone superseded DV files (graft does,
@@ -257,9 +267,15 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
       // last-modified before the cutoff — by mtime, the delta-spark rule
       val dvOrphan = isStdDvFile(rel) && !liveStdDvFiles.contains(rel) &&
         mtime < cutoff
+      // untracked data files: no live add, no tombstone (either never
+      // committed — a crashed writer's leak — or its tombstone was expired
+      // out of a checkpoint, r11), older than the retention cutoff
+      val untracked = plainPath(rel) && !isStdDvFile(rel) &&
+        !tombstoned.contains(rel) && mtime < cutoff
       if (!rel.startsWith("_delta_log") && !isHidden(rel) &&
           !active.contains(rel) &&
-          ((expired.contains(rel) && !liveStdDvFiles.contains(rel)) || dvOrphan))
+          ((expired.contains(rel) && !liveStdDvFiles.contains(rel)) || dvOrphan ||
+            untracked))
         candidates += rel
     }
     val result = candidates.result().sorted

@@ -54,16 +54,35 @@ object DistributedReplay {
   /** Active files at the latest (or a pinned) version as a DataFrame with
     * columns (path, partitionValues, size, modificationTime, dataChange,
     * stats). */
-  def activeFiles(log: DeltaLog, version: Option[Long] = None): DataFrame = {
+  def activeFiles(log: DeltaLog, version: Option[Long] = None,
+                  resolved: Option[CheckPoint] = None): DataFrame = {
     val spark = log.spark
     val maxV = version.getOrElse(Long.MaxValue)
     val versions = log.listCommitVersions().filter(_ <= maxV)
-    val cp = log.lastCheckpoint()
+    // `resolved`: the caller already picked the checkpoint (restoreCheckpoint
+    // routes here with one in hand) — re-deriving it re-reads the pointer
+    // and re-lists the log for nothing on the cold path (r11 review)
+    val cp = resolved.orElse(log.lastCheckpoint()
       .filter(c => c.version <= maxV && log.checkpointPaths(c).forall(log.store.exists))
-      .orElse(log.findLatestCheckpointForVersion(maxV))
+      .orElse(log.findLatestCheckpointForVersion(maxV)))
 
-    // commits newer than the checkpoint, each tagged with its version
+    // commits newer than the checkpoint, each tagged with its version.
+    // Contiguity guard (r11 review, mirrors DeltaLog.snapshotForVersion):
+    // a gap between the checkpoint base and the surviving tail — cleaned
+    // early commits with no covering checkpoint, or a missing mid-range
+    // commit — must refuse, not union past the hole into a silently wrong
+    // active-file set.
     val tail = versions.filter(v => cp.forall(_.version < v))
+    val base = cp.map(_.version).getOrElse(-1L)
+    tail.lastOption.foreach { last =>
+      val expected = (base + 1) to last
+      if (tail.size != expected.size || !tail.sameElements(expected))
+        throw new IllegalStateException(
+          s"cannot replay ${log.tablePath}: commit(s) " +
+          s"${(expected.toSet -- tail.toSet).toSeq.sorted.take(5).mkString(", ")} " +
+          "missing from the log (cleaned past retention?) and the newest " +
+          "usable checkpoint does not cover them")
+    }
     val commitDf: Option[DataFrame] = if (tail.isEmpty) None else Some {
       spark.read.schema(lineSchema)
         .json(tail.map(v => log.commitFile(v).toString): _*)
@@ -168,21 +187,39 @@ object DistributedReplay {
   }
 
   /** Numeric stats predicate → skip-on-doubt Column over the stats JSON
-    * (missing/unparsable stats keep the file, same as [[StatsPredicate]]). */
+    * (missing/unparsable stats keep the file, same as [[StatsPredicate]]).
+    *
+    * Integral predicate values compare as decimal(38,18): a cast to double
+    * collapses int64 stats past 2⁵³ and silently prunes a file whose only
+    * matching row sits past that edge (r11 review — the executor twin of
+    * StatsPredicate.cmp's fix). 18 fractional digits keep fractional
+    * stats of double columns exact under an integral predicate; values
+    * beyond the 38-digit envelope cast to null and the coalesce keeps the
+    * file — skip-on-doubt as ever. Double predicate values stay on the
+    * double path (the predicate itself carries double precision). */
   private def statsPredicate(p: StatsPredicate): Option[Column] = {
-    def j(field: String, c: String): Column =
-      get_json_object(col("stats"), s"$$.$field['$c']").cast("double")
-    def num(v: Any): Option[Double] = v match {
-      case d: Double => Some(d); case l: Long => Some(l.toDouble)
-      case i: Int => Some(i.toDouble); case _ => None
+    def stat(field: String, c: String, asDouble: Boolean): Column = {
+      val raw = get_json_object(col("stats"), s"$$.$field['$c']")
+      if (asDouble) raw.cast("double") else raw.cast("decimal(38,18)")
+    }
+    def num(v: Any): Option[(Column, Boolean)] = v match {
+      case d: Double => Some((lit(d), true))
+      case l: Long   => Some((lit(java.math.BigDecimal.valueOf(l)), false))
+      case i: Int    => Some((lit(java.math.BigDecimal.valueOf(i.toLong)), false))
+      case _ => None
     }
     p match {
-      case StatsPredicate.Gt(c, v) => num(v).map(d => coalesce(j("maxValues", c) > d, lit(true)))
-      case StatsPredicate.Ge(c, v) => num(v).map(d => coalesce(j("maxValues", c) >= d, lit(true)))
-      case StatsPredicate.Lt(c, v) => num(v).map(d => coalesce(j("minValues", c) < d, lit(true)))
-      case StatsPredicate.Le(c, v) => num(v).map(d => coalesce(j("minValues", c) <= d, lit(true)))
-      case StatsPredicate.EqTo(c, v) => num(v).map(d =>
-        coalesce(j("minValues", c) <= d, lit(true)) && coalesce(j("maxValues", c) >= d, lit(true)))
+      case StatsPredicate.Gt(c, v) => num(v).map { case (x, fd) =>
+        coalesce(stat("maxValues", c, fd) > x, lit(true)) }
+      case StatsPredicate.Ge(c, v) => num(v).map { case (x, fd) =>
+        coalesce(stat("maxValues", c, fd) >= x, lit(true)) }
+      case StatsPredicate.Lt(c, v) => num(v).map { case (x, fd) =>
+        coalesce(stat("minValues", c, fd) < x, lit(true)) }
+      case StatsPredicate.Le(c, v) => num(v).map { case (x, fd) =>
+        coalesce(stat("minValues", c, fd) <= x, lit(true)) }
+      case StatsPredicate.EqTo(c, v) => num(v).map { case (x, fd) =>
+        coalesce(stat("minValues", c, fd) <= x, lit(true)) &&
+          coalesce(stat("maxValues", c, fd) >= x, lit(true)) }
       case StatsPredicate.NotNull(_) => None // needs numRecords comparison; keep file
     }
   }
@@ -193,10 +230,11 @@ object DistributedReplay {
   def prunedAddActions(log: DeltaLog,
                        partitionFilters: Seq[PartitionFilter] = Nil,
                        statsPredicates: Seq[StatsPredicate] = Nil,
-                       version: Option[Long] = None): Seq[AddAction] = {
+                       version: Option[Long] = None,
+                       resolved: Option[CheckPoint] = None): Seq[AddAction] = {
     val filtered = (partitionFilters.map(partitionPredicate) ++
       statsPredicates.flatMap(statsPredicate))
-      .foldLeft(activeFiles(log, version))(_ filter _)
+      .foldLeft(activeFiles(log, version, resolved))(_ filter _)
     filtered.collect().toSeq.map { r =>
       AddAction(
         path = r.getAs[String]("path"),

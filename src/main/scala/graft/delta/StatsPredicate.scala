@@ -25,11 +25,20 @@ object StatsPredicate {
   /** `col IS NOT NULL` — provable only when nullCount == numRecords. */
   final case class NotNull(column: String) extends StatsPredicate
 
-  /** 3-valued stat comparison: Some(cmp sign) when comparable, None on doubt. */
+  /** 3-valued stat comparison: Some(cmp sign) when comparable, None on
+    * doubt. Exact decimal arithmetic, never a double round-trip: asDouble
+    * collapses int64 values past 2⁵³ (…992 and …993 compare equal) and a
+    * file whose only matching row sits past that edge would be wrongly
+    * pruned — silent row loss (r11 review; same class the r9
+    * TableStatistics fix closed). `new BigDecimal(d)` is the exact binary
+    * value of the double. */
   private def cmp(stat: JsonNode, v: Any): Option[Int] = (stat, v) match {
-    case (n, d: Double) if n.isNumber  => Some(java.lang.Double.compare(n.asDouble, d))
-    case (n, l: Long) if n.isNumber    => Some(java.lang.Double.compare(n.asDouble, l.toDouble))
-    case (n, i: Int) if n.isNumber     => Some(java.lang.Double.compare(n.asDouble, i.toDouble))
+    case (n, d: Double) if n.isNumber =>
+      Some(n.decimalValue.compareTo(new java.math.BigDecimal(d)))
+    case (n, l: Long) if n.isNumber =>
+      Some(n.decimalValue.compareTo(java.math.BigDecimal.valueOf(l)))
+    case (n, i: Int) if n.isNumber =>
+      Some(n.decimalValue.compareTo(java.math.BigDecimal.valueOf(i.toLong)))
     case (n, s: String) if n.isTextual => Some(n.asText.compareTo(s))
     case _ => None
   }

@@ -136,8 +136,16 @@ object TableConfig {
   def appendOnly(config: Map[String, String]): Boolean =
     config.get(AppendOnly).exists(_.trim.equalsIgnoreCase("true"))
 
+  /** Tolerant of FOREIGN-written configuration: validate() only guards
+    * graft's own setProperties path, and a zero/garbage interval from
+    * another writer would otherwise crash maybeCheckpoint (÷0) AFTER the
+    * commit already landed — every successful write surfacing as a failure
+    * (r11 review). Unparsable or non-positive values fall back to the
+    * protocol default. */
   def checkpointInterval(config: Map[String, String]): Int =
-    config.get(CheckpointInterval).map(_.trim.toInt).getOrElse(10)
+    config.get(CheckpointInterval)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ > 0).getOrElse(10)
 
   def logRetentionMillis(config: Map[String, String]): Long =
     config.get(LogRetention).map(parseIntervalMillis(_, LogRetention))
