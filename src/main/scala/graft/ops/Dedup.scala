@@ -102,13 +102,17 @@ object Dedup {
   def jaccardPairs(sh: DataFrame, idCol: String,
                    thresholdNum: Long, thresholdDen: Long,
                    maxShingleDf: Option[Long] = None): DataFrame = {
-    val counts = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
     val filtered = maxShingleDf match {
       case Some(cap) =>
         val df = sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= cap)
         sh.join(df.select("shingle"), "shingle")
       case None => sh
     }
+    // set sizes from the SAME (capped) universe the intersection joins
+    // over: counts from the raw set dilute every pair whose shingles the
+    // cap removed — an exact duplicate dominated by stop-shingles scored
+    // 10/190 instead of 10/10 and was silently missed (r11 review)
+    val counts = filtered.groupBy(idCol).agg(count(lit(1)).as("n"))
     val a = filtered.select(col(idCol).as("id_a"), col("shingle"))
     val b = filtered.select(col(idCol).as("id_b"), col("shingle"))
     val inter = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
@@ -169,12 +173,18 @@ object Dedup {
   /** LSH banding: signature → (bandIdx, bandHash) rows; docs sharing any
     * band bucket are candidates. bands×rowsPerBand must equal the signature
     * length. */
-  def lshBands(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame =
+  def lshBands(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    // rowsPerBand = 0 silently hashes an EMPTY slice: one constant bucket
+    // for the whole corpus — either an all-pairs product or (capped) zero
+    // recall. Fail fast instead (r11 review).
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"lshBands needs bands >= 1 and rowsPerBand >= 1, got $bands×$rowsPerBand")
     sigs.select(col(idCol), posexplode(expr(
       s"""transform(sequence(0, ${bands - 1}),
          |  b -> xxhash64(concat_ws(',', transform(slice(sig, b * $rowsPerBand + 1, $rowsPerBand),
          |                                         x -> cast(x as string)))))""".stripMargin))
       .as(Seq("band_idx", "band_hash")))
+  }
 
   /** MinHash-LSH near-dup pairs: band-bucket join → distinct candidates →
     * exact Jaccard verification on candidates only.
@@ -195,6 +205,9 @@ object Dedup {
                       thresholdNum: Long = 1, thresholdDen: Long = 2,
                       numHashes: Int = 64, bands: Int = 16,
                       maxBucketSize: Option[Long] = Some(DefaultMaxBucketSize)): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0 && numHashes / bands >= 1,
+      s"bands ($bands) must divide numHashes ($numHashes) with >= 1 row per " +
+      "band — a zero-row band hashes every document into one constant bucket")
     // deliberately NOT cached: shingles are cheap to recompute per consumer,
     // and pinning an O(corpus) table in executor memory for the lifetime of
     // the session starves later queries (and is infeasible at 100 TB).
@@ -225,6 +238,23 @@ object Dedup {
       .select("id_a", "id_b")
   }
 
+  /** Exact integer-cosine acceptance over columns (dot, na, nb):
+    * `dot > 0 ∧ dot²·den² ≥ na·nb·num²`, computed in decimal(38,0) — the
+    * Long arithmetic this replaces overflowed at na·nb ≈ 10¹⁹, i.e. vector
+    * norms around 10 under the ×1000 quantization, crashing under ANSI or
+    * silently wrapping the filter otherwise (r11 review). The decimal
+    * envelope covers |dot|,na,nb ≤ ~10¹⁷ with den ≤ 100 (components up to
+    * ~10³ at dim 1536); past THAT edge ANSI raises rather than wraps.
+    * One definition for all three pair variants — the overflow fix cannot
+    * drift between them. */
+  private def cosineAccept(thresholdNum: Long, thresholdDen: Long): Column = {
+    def dec(c: Column) = c.cast("decimal(20,0)")
+    def sq(v: Long) = lit(java.math.BigDecimal.valueOf(v).pow(2))
+    col("dot") > 0 &&
+      dec(col("dot")) * dec(col("dot")) * sq(thresholdDen) >=
+        dec(col("na")) * dec(col("nb")) * sq(thresholdNum)
+  }
+
   /** Embedding-cosine similar pairs, exact: quantize components to integers
     * (×1000 → BIGINT) so dot products and squared norms are exact and
     * order-independent, then compare cos²(a,b) ≥ (num/den)² as pure integer
@@ -242,9 +272,7 @@ object Dedup {
     val b = q.select(col(idCol).as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .withColumn("dot", dot_q(col("ea"), col("eb")))
-      .filter(col("dot") > 0 &&
-        col("dot") * col("dot") * (thresholdDen * thresholdDen) >=
-          col("na") * col("nb") * (thresholdNum * thresholdNum))
+      .filter(cosineAccept(thresholdNum, thresholdDen))
       .select("id_a", "id_b")
   }
 
@@ -270,9 +298,7 @@ object Dedup {
     val b = q.select(col("bucket"), col(idCol).as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
     a.join(b, "bucket").filter(col("id_a") < col("id_b"))
       .withColumn("dot", dot_q(col("ea"), col("eb")))
-      .filter(col("dot") > 0 &&
-        col("dot") * col("dot") * (thresholdDen * thresholdDen) >=
-          col("na") * col("nb") * (thresholdNum * thresholdNum))
+      .filter(cosineAccept(thresholdNum, thresholdDen))
       .select("id_a", "id_b").distinct()
   }
 
@@ -309,9 +335,7 @@ object Dedup {
       .join(v.select(col(idCol).as("id_a"), col("e").as("ea"), col("nrm").as("na")), "id_a")
       .join(v.select(col(idCol).as("id_b"), col("e").as("eb"), col("nrm").as("nb")), "id_b")
       .withColumn("dot", dot_q(col("ea"), col("eb")))
-      .filter(col("dot") > 0 &&
-        col("dot") * col("dot") * (thresholdDen * thresholdDen) >=
-          col("na") * col("nb") * (thresholdNum * thresholdNum))
+      .filter(cosineAccept(thresholdNum, thresholdDen))
       .select("id_a", "id_b")
   }
 

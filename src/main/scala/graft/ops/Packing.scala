@@ -32,6 +32,18 @@ object Packing {
   def packSequences(docs: DataFrame, idCol: String, tokenCol: String,
                     budget: Long, numPartitions: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    // Fail fast on non-integral ids: a string id under cast("long") throws
+    // mid-job with ANSI on, or nulls EVERY id with ANSI off — one partition
+    // holding the whole corpus and a bin map keyed entirely by null (the
+    // same trap Clustering.survivors closed in r9; r11 review). Derive an
+    // integral surrogate upstream (e.g. xxhash64(id)) for string corpora.
+    val idType = docs.schema(idCol).dataType
+    require(Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(idType),
+      s"packSequences needs an integral id column, got $idCol: $idType")
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs.select(

@@ -37,9 +37,15 @@ object Quantize {
     df.withColumn(outCol,
       transform(col(qCol), x => (x.cast("double") / col(scaleCol)).cast("float")))
 
-  /** Exact integer dot product of two int8 code arrays. */
+  /** Exact integer dot product of two int8 code arrays. Ragged lengths
+    * score over the COMMON PREFIX (zip_with null-pads the shorter array;
+    * the coalesce treats the padding as 0) — the same semantics as the
+    * float [[graft.functions.functions.dot_q]] kernel, so the quantized
+    * and exact baselines agree on malformed corpora instead of the
+    * quantized row silently nulling to last place (r11 review). */
   def int8Dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+    aggregate(zip_with(a, b, (x, y) =>
+        coalesce(x.cast("long") * y.cast("long"), lit(0L))),
       lit(0L), (acc, e) => acc + e)
 
   /** Brute-force top-k over QUANTIZED codes: one corpus pass against the

@@ -54,12 +54,26 @@ object Similarity {
     * served ANN path that recomputes this per query rescans the corpus
     * (r5 verdict's note on ivfTopK). Mean per (cluster, dim) via
     * positional explode keeps it columnar. */
-  def centroids(vectors: DataFrame, vecCol: String, clusterCol: String): DataFrame = {
-    val comps = vectors.select(col(clusterCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
-    comps.groupBy(clusterCol, "pos").agg(avg("v").as("c"))
-      .groupBy(clusterCol)
+  def centroids(vectors: DataFrame, vecCol: String, clusterCol: String): DataFrame =
+    meanVectors(vectors.select(col(clusterCol), col(vecCol).as("__graft_v")),
+      clusterCol, asFloat = true)
+
+  /** Positional-explode mean — ONE definition for [[centroids]] (float,
+    * the persisted serving table) and the kmeans update loop (double,
+    * in-flight), so a fix to the mean computation cannot drift between
+    * them (r11 review). Input must carry the vector as `__graft_v`. */
+  private def meanVectors(rows: DataFrame, keyCol: String,
+                          asFloat: Boolean): DataFrame = {
+    val folded = rows
+      .select(col(keyCol), posexplode(col("__graft_v")).as(Seq("pos", "v")))
+      .groupBy(keyCol, "pos").agg(avg("v").as("c"))
+      .groupBy(keyCol)
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-      .select(col(clusterCol), expr("transform(pc, x -> cast(x.c as float))").as("centroid"))
+    if (asFloat)
+      folded.select(col(keyCol),
+        expr("transform(pc, x -> cast(x.c as float))").as("centroid"))
+    else
+      folded.select(col(keyCol), expr("transform(pc, p -> p.c)").as("centroid"))
   }
 
   /** As [[ivfTopK]], with PRECOMPUTED centroids (`clusterCol`,
@@ -123,12 +137,10 @@ object Similarity {
     // (the original formulation computed — and discarded — one extra
     // centroid update past the returned assignment)
     for (_ <- 1 until iters) {
-      val next = v.join(assignTo(centroids), idCol)
-        .select(col("cluster").as("cid"), posexplode(col("dv")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg("x").as("c"))
-        .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-        .select(col("cid"), expr("transform(pc, p -> p.c)").as("centroid"))
+      val next = meanVectors(
+        v.join(assignTo(centroids), idCol)
+          .select(col("cluster").as("cid"), col("dv").as("__graft_v")),
+        "cid", asFloat = false)
         .localCheckpoint(true)
       dropCheckpoint(centroids) // the checkpoint of `next` was its last read
       centroids = next

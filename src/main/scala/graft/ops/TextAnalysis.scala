@@ -8,9 +8,14 @@ import org.apache.spark.sql.functions._
   * whole-stage codegen with no UDFs, so throughput scales with scan speed. */
 object TextAnalysis {
 
-  /** Per-document token statistics (whitespace tokenization):
-    * token count, distinct-token count, summed token chars, longest token.
-    * All emitted as BIGINT for cross-engine type stability. */
+  /** Per-document token statistics. Tokenization is SINGLE-SPACE split —
+    * deliberately, not `\s+`: the one-character kernel behaves identically
+    * in every engine (Java regex vs RE2 disagree at the unicode-whitespace
+    * edges), which is what keeps these operators oracle-hash-exact.
+    * Corpora with tabs/newlines/runs of spaces should normalize upstream
+    * (`regexp_replace(text, "\\s+", " ")`) — same contract as
+    * [[Dedup.shingles]]. Emits token count, distinct-token count, summed
+    * token chars, longest token, all BIGINT for type stability. */
   def tokenStats(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol), split(lower(col(textCol)), " ").as("w"))
       .select(
@@ -31,9 +36,11 @@ object TextAnalysis {
               |  (acc, x) -> acc + cast(ceil(length(x) / $chunk.0) as bigint))"""
         .stripMargin).as("n_subwords"))
 
-  /** Quality score components: fraction of very short tokens, repetition
-    * ratio (1 − distinct/total), mean token length — the standard cheap
-    * heuristics for corpus filtering, as exact micro-unit integers. */
+  /** Quality score components: repetition ratio (1 − distinct/total) and
+    * mean token length — cheap corpus-filtering heuristics as exact
+    * micro-unit integers. (r11 review: the doc once promised a
+    * short-token fraction the select never emitted; compose one from
+    * [[tokenStats]] if needed.) */
   def qualityScore(df: DataFrame, textCol: String, idCol: String): DataFrame =
     tokenStats(df, textCol, idCol).select(
       col(idCol),
@@ -70,19 +77,25 @@ object TextAnalysis {
   }
 
   /** N-gram-profile language ID: score each candidate language by marker
-    * token hits; predict the argmax (ties broken lexicographically).
-    * The profiles are deliberately tiny — the operator's value is its plan
-    * shape (one pass, no shuffle, no UDF), not the linguistics. */
+    * token hits; predict the argmax. Ties (including all-zero scores on
+    * text matching no profile) resolve to the lexicographically LAST
+    * language — the struct-max tiebreak, stated here because it surprises:
+    * filter on a score threshold when "no confident answer" must be
+    * distinguishable. The profiles are deliberately tiny — the operator's
+    * value is its plan shape (one pass, no shuffle, no UDF), not the
+    * linguistics. */
   def languageId(df: DataFrame, textCol: String, idCol: String,
                  profiles: Map[String, Seq[String]] = defaultProfiles): DataFrame = {
+    require(profiles.nonEmpty, "languageId needs at least one profile")
     val w = split(lower(col(textCol)), " ")
     val scores: Seq[(String, Column)] = profiles.toSeq.sortBy(_._1).map { case (lang, markers) =>
       val arr = array(markers.map(lit): _*)
       lang -> size(expr_filter(w, arr))
     }
     val best = scores.map { case (lang, s) => struct(s.as("score"), lit(lang).as("lang")) }
-    df.select(col(idCol),
-      greatest(best: _*).getField("lang").as("pred_lang"))
+    // greatest() demands 2+ args — a single-profile call is a plain projection
+    val winner = if (best.size == 1) best.head else greatest(best: _*)
+    df.select(col(idCol), winner.getField("lang").as("pred_lang"))
   }
 
   private def expr_filter(w: Column, markers: Column): Column =

@@ -50,4 +50,11 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
     val sizes = (0 until 500).map(i => 1L + (i * 37 % 80))
     assert(pack(sizes) == pack(sizes))
   }
+
+  test("string ids refuse loudly instead of null-casting (r11 review)") {
+    val docs = Seq(("doc-1", 10L), ("doc-2", 20L)).toDF("doc_id", "n_tokens")
+    val e = intercept[IllegalArgumentException](
+      Packing.packSequences(docs, "doc_id", "n_tokens", 100L))
+    assert(e.getMessage.contains("integral id column"))
+  }
 }

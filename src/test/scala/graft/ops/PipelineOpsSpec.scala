@@ -150,6 +150,36 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(over.length == 16 && over.forall(_.getLong(2) == 60L),
       s"expected the 16 flooded band buckets, got ${over.length}")
   }
+
+  test("jaccard set sizes come from the capped universe (r11 review)") {
+    // two byte-identical docs sharing 30 corpus-wide stop-shingles and 3
+    // private shingles: with the cap dropping the stop-shingles, the pair's
+    // similarity over the CAPPED universe is 3/3 = 1.0 — counts from the
+    // raw set scored it 3/33 and silently missed the exact duplicate
+    val boiler = (0 until 32).map(i => s"w$i").mkString(" ")
+    val adv = docs(
+      (100L until 120L).map(i => i -> s"$boiler unique${i}a unique${i}b"): _*)
+    val dup = docs(
+      1L -> s"$boiler private one two",
+      2L -> s"$boiler private one two")
+    val all = adv.union(dup)
+    val sh = Dedup.shingles(all, "text", "doc_id")
+    val capped = Dedup.jaccardPairs(sh, "doc_id", 1, 2, maxShingleDf = Some(5L))
+      .as[(Long, Long)].collect().toSet
+    assert(capped.contains((1L, 2L)),
+      s"exact dup must survive the stop-shingle cap, got $capped")
+  }
+
+  test("degenerate band geometry fails fast (r11 review)") {
+    // numHashes < bands ⇒ rowsPerBand = 0 ⇒ one constant bucket: refuse
+    intercept[IllegalArgumentException](
+      Dedup.minhashLshPairs(corpus, "text", "doc_id", 1, 2,
+        numHashes = 8, bands = 16).count())
+    intercept[IllegalArgumentException](
+      Dedup.lshBands(
+        Dedup.minhashSignatures(Dedup.shingles(corpus, "text", "doc_id"), "doc_id"),
+        "doc_id", bands = 16, rowsPerBand = 0).count())
+  }
 }
 
 class EmbeddingDedupSpec extends AnyFunSuite with SparkTestBase {
@@ -244,6 +274,21 @@ class EmbeddingDedupSpec extends AnyFunSuite with SparkTestBase {
       Similarity.lshBuckets(adv, "vec_id", "embedding", 8, 42),
       Seq("bucket"), 50L).collect()
     assert(over.nonEmpty && over.forall(_.getLong(1) == 60L))
+  }
+
+  test("cosine filter survives non-unit norms past the Long envelope (r11 review)") {
+    // norm ≈ 17 vectors: quantized nrm ≈ 3·10⁸, so na·nb·num² ≈ 9·10²⁰
+    // overflowed Long (ANSI crash / silent wrap) before the decimal filter
+    val big = Array.fill(3)(10.0f)
+    val bigDup = Array.fill(3)(10.0f)
+    val other = Array(-10.0f, 10.0f, 0.0f)
+    val vecs = Seq((0L, big), (1L, bigDup), (2L, other)).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingSimilarPairs(vecs, "vec_id", "embedding", 99, 100)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)), s"got $pairs")
+    val lsh = Dedup.embeddingSimilarPairsMultiLsh(vecs, "vec_id", "embedding", 99, 100)
+      .as[(Long, Long)].collect().toSet
+    assert(lsh == Set((0L, 1L)), s"got $lsh")
   }
 }
 
@@ -396,6 +441,20 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     val m = TextAnalysis.languageId(d, "text", "doc_id")
       .as[(Long, String)].collect().toMap
     assert(m(1L) == "es" && m(2L) == "en" && m(3L) == "de")
+  }
+
+  test("languageId: single-profile maps work; zero-score ties go to the last language (r11)") {
+    val d = Seq((1L, "the dog"), (2L, "zzz qqq")).toDF("doc_id", "text")
+    // one profile: greatest() needs 2+ args — must be a plain projection
+    val single = TextAnalysis.languageId(d, "text", "doc_id",
+      profiles = Map("en" -> Seq("the"))).as[(Long, String)].collect().toMap
+    assert(single(1L) == "en" && single(2L) == "en")
+    // all-zero scores resolve to the lexicographically LAST language (the
+    // documented struct-max tiebreak) — pinned so the contract stays loud
+    val m = TextAnalysis.languageId(d, "text", "doc_id").as[(Long, String)].collect().toMap
+    assert(m(2L) == "fr")
+    intercept[IllegalArgumentException](
+      TextAnalysis.languageId(d, "text", "doc_id", profiles = Map.empty))
   }
 
   test("fingerprint is deterministic and content-sensitive") {

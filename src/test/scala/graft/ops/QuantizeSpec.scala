@@ -55,4 +55,14 @@ class QuantizeSpec extends AnyFunSuite with SparkTestBase {
     assert(dots(2L) == -dots(0L))
     assert(dots(3L) == 0L)
   }
+
+  test("int8Dot scores ragged arrays over the common prefix (r11 review)") {
+    // note: Array[Byte] encodes as BINARY, so build array<tinyint> literals
+    val d = spark.range(1).select(
+      array(lit(10.toByte), lit(20.toByte), lit(30.toByte)).as("a"),
+      array(lit(1.toByte), lit(2.toByte)).as("b"))
+    val got = d.select(Quantize.int8Dot(col("a"), col("b")).as("dot"))
+      .as[Long].head()
+    assert(got == 10L * 1 + 20L * 2, s"expected common-prefix dot, got $got")
+  }
 }
