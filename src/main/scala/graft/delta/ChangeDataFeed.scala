@@ -82,7 +82,7 @@ object ChangeDataFeed {
       if (ColumnMapping.isMapped(snap))
         ColumnMapping.readSchema(spark, snap)
       else snap.schema
-    val cols = readSchema.fieldNames.map(col).toSeq
+    val cols = readSchema.fieldNames.map(n => col(DeltaSchema.quoted(n))).toSeq
     val deletes = DeletionVectors.scanWithPos(spark, log, snap, removes)
       .select(cols: _*).withColumn(ChangeType, lit("delete"))
     val changes =
@@ -180,8 +180,19 @@ object ChangeDataFeed {
           cdcFiles ++= cdcs.map(c => abs(c.path))
           fileVersion ++= cdcs.map(c => norm(c.path) -> v)
         } else if (adds.nonEmpty && removes.isEmpty) {
-          addFiles ++= adds.map(a => abs(a.path))
-          fileVersion ++= adds.map(a => norm(a.path) -> v)
+          // adds carrying DV pointers (RESTORE re-adds its target's files
+          // verbatim) must NOT serve their whole files as inserts — the
+          // DV'd-out rows are not in the table (r11 review); their frame
+          // gets the same DV subtraction the remove branch applies
+          val (dvAdds, plainAdds) = adds.partition(DeletionVectors.hasDv)
+          addFiles ++= plainAdds.map(a => abs(a.path))
+          fileVersion ++= plainAdds.map(a => norm(a.path) -> v)
+          if (dvAdds.nonEmpty)
+            removeFrames += DeletionVectors.filterDeleted(spark, log, dvAdds,
+              spark.read.option("basePath", log.tablePath.toString)
+                .schema(schema).parquet(dvAdds.map(a => abs(a.path)): _*)
+                .withColumn(ChangeType, lit("insert")))
+              .withColumn(CommitVersion, lit(v))
         } else if (removes.nonEmpty && adds.isEmpty) {
           // rows already DV'd out of a removed file were reported deleted
           // by the DV commit — don't re-report them here
@@ -189,7 +200,7 @@ object ChangeDataFeed {
           prior = Some(p) // pin: advanced below, reused by later versions
           val removedPaths = removes.map(_.path).toSet
           val removedAdds = p.files.filter(a => removedPaths.contains(a.path))
-          removeFrames += DeletionVectors.filterDeleted(spark, log, p, removedAdds,
+          removeFrames += DeletionVectors.filterDeleted(spark, log, removedAdds,
             spark.read.option("basePath", log.tablePath.toString)
               .schema(schema).parquet(removes.map(r => abs(r.path)): _*)
               .withColumn(ChangeType, lit("delete")))
@@ -234,7 +245,8 @@ object ChangeDataFeed {
       case Seq() => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
       case head +: tail =>
-        tail.foldLeft(head)(_ unionByName _).select(outSchema.fieldNames.map(col): _*)
+        tail.foldLeft(head)(_ unionByName _)
+          .select(outSchema.fieldNames.map(n => col(DeltaSchema.quoted(n))): _*)
     }
   }
 }

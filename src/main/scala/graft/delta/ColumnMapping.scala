@@ -106,8 +106,15 @@ object ColumnMapping {
   }
 
   /** The scan-side read schema for a mapped snapshot, enabling Spark's
-    * field-id matching for mode=id (session conf — harmless for schemas
-    * without id metadata, which is every non-id table here). The ONE
+    * field-id matching for mode=id. SESSION-wide conf, deliberately:
+    * ParquetFileFormat reads `spark.sql.parquet.fieldId.read.enabled`
+    * from the SQLConf, not from per-relation options, so scoping it to
+    * graft's scans alone would need internal-API surgery. The flip is
+    * inert for schemas without `parquet.field.id` metadata (every
+    * non-id-mapped read here); the one theoretical casualty — a user's
+    * own parquet read whose supplied schema carries id metadata meant as
+    * documentation only — trades against id-mapped tables simply not
+    * resolving at all (r11 review: considered, kept, documented). The ONE
     * choke point every mapped read path goes through (GraftFileIndex,
     * the row-level feeds, the streaming source and tailer). */
   def readSchema(spark: SparkSession, snap: Snapshot): StructType = {

@@ -109,8 +109,21 @@ object DeletionVectors {
     * expression every `_metadata.file_path` extraction must use. */
   private[delta] def relPathCol(log: DeltaLog,
                                 filePath: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    relPathFromPrefix(tableDirPrefix(log), filePath)
+
+  /** Seam of [[relPathCol]]: for a table at a bucket/volume ROOT the raw
+    * path degenerates to "/" — `substring_index(p, "/", -1)` would then
+    * cut at the LAST slash and return only the file NAME, so partitioned
+    * root tables matched no add path and DV subtraction / DML provenance
+    * silently missed everything (r11 review). Strip `scheme://authority/`
+    * instead: the remaining path IS table-relative there. */
+  private[delta] def relPathFromPrefix(
+      prefix: String,
+      filePath: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.UriPathDecode(
-      substring_index(filePath, tableDirPrefix(log), -1))
+      if (prefix == "/")
+        regexp_replace(filePath, "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/{0,2}[^/]*/", "")
+      else substring_index(filePath, prefix, -1))
 
   /** The protocol bump a configuration demands, or None when the current
     * protocol already satisfies it: enabling deletion vectors must fence
@@ -124,7 +137,22 @@ object DeletionVectors {
                     minReader: Int, minWriter: Int,
                     readerFeatures: Option[Set[String]] = None,
                     writerFeatures: Option[Set[String]] = None): Option[ProtocolAction] =
-    if (TableConfig.deletionVectorsEnabled(config) && minReader < 3)
+    if (!TableConfig.deletionVectorsEnabled(config)) None
+    else if (readerFeatures.isDefined || writerFeatures.isDefined || minWriter >= 7)
+      // Table-features protocol: declare the STANDARD `deletionVectors`
+      // feature on BOTH lists, which also flips DML to protocol
+      // descriptors (Dml.commitDvReAdds keys on the writer feature). The
+      // old no-op here left e.g. a (3,7,{timestampNtz}) table unfenced:
+      // a spec-compliant foreign reader supported every advertised
+      // feature, ignored graft's tag extension, and silently resurrected
+      // every deleted row (r11 review).
+      ProtocolSupport.readerWriterFeatureFence(Snapshot(
+        minReaderVersion = minReader, minWriterVersion = minWriter,
+        readerFeatures = readerFeatures, writerFeatures = writerFeatures),
+        "deletionVectors")
+    else if (minReader < 3)
+      // legacy protocol: graft's reader-3-no-list bump — the in-engine
+      // shape foreign readers refuse outright (reader 3 demands a list)
       Some(ProtocolAction(3, math.max(minWriter, 2), readerFeatures, writerFeatures))
     else None
 
@@ -253,7 +281,8 @@ object DeletionVectors {
         ColumnMapping.physicalSchema(snap.schema).fieldNames
       else snap.schema.fieldNames
     filtered.select(
-      (outNames.map(col).toSeq ++ extraDataCols.map(f => col(s"`${f.name}`"))
+      (outNames.map(n => col(DeltaSchema.quoted(n))).toSeq
+        ++ extraDataCols.map(f => col(s"`${f.name}`"))
         :+ col(PathCol) :+ col(PosCol)): _*)
   }
 
@@ -262,7 +291,7 @@ object DeletionVectors {
     * scan of `files` with the table's columns; returns it with deleted rows
     * subtracted. The relation inside `df` should be tagged [[AppliedTag]]
     * by the caller when the session runs [[ApplyDeletionVectors]]. */
-  def filterDeleted(spark: SparkSession, log: DeltaLog, snap: Snapshot,
+  def filterDeleted(spark: SparkSession, log: DeltaLog,
                     files: Seq[AddAction], df: DataFrame): DataFrame =
     dvDf(spark, log, files) match {
       case None => df
@@ -273,7 +302,7 @@ object DeletionVectors {
         val f = relPathCol(log, meta.getField("file_path"))
         df.join(dv, f === dv("path") && meta.getField("row_index") === dv("pos"),
             "left_anti")
-          .select(df.columns.map(col).toSeq: _*)
+          .select(df.columns.map(n => col(DeltaSchema.quoted(n))).toSeq: _*)
     }
 }
 

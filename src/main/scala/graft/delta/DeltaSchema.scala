@@ -61,6 +61,12 @@ object DeltaSchema {
     case other => other
   }
 
+  /** Backtick-quote a column name for Column-API resolution: an unquoted
+    * `col("a.b")` resolves as struct-field access, mis-binding legal
+    * dotted column names (r11 review). Embedded backticks double, per the
+    * SQL identifier rules. */
+  def quoted(name: String): String = "`" + name.replace("`", "``") + "`"
+
   /** Shape-only view of a type: names + types at every nesting level,
     * nullability and field metadata erased. Parquet round-trips are
     * insensitive to both, so schema compatibility checks (exact-match

@@ -81,7 +81,7 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
       } else {
         val wm = lr.withMetadataColumns()
         wm.setTagValue(DeletionVectors.AppliedTag, true)
-        DeletionVectors.filterDeleted(spark, log, snapshot, files,
+        DeletionVectors.filterDeleted(spark, log, files,
           org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, wm))
       }
     // HadoopFsRelation appends partition columns after data columns;
@@ -95,7 +95,7 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
         base.col(s"`$phys`").cast(f.dataType).as(f.name)
       }.toSeq: _*)
     else
-      base.select(schema.fieldNames.map(col): _*)
+      base.select(schema.fieldNames.map(n => col(DeltaSchema.quoted(n))): _*)
   }
 
   /** Table-level statistics merged from per-file stats (D4). */

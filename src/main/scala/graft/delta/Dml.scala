@@ -142,7 +142,7 @@ object Dml {
               scanned.join(stagedDv,
                   scanned(DeletionVectors.PathCol) === stagedDv("path") &&
                   scanned(DeletionVectors.PosCol) === stagedDv("pos"), "leftsemi")
-                .select(snap.schema.fieldNames.map(col).toSeq: _*)
+                .select(snap.schema.fieldNames.map(n => col(DeltaSchema.quoted(n))).toSeq: _*)
                 .withColumn(ChangeDataFeed.ChangeType, lit("delete")),
               passthrough = Set(ChangeDataFeed.ChangeType)))
         } catch {
@@ -231,7 +231,7 @@ object Dml {
         rtNames = rtState.map(_._2))
       // moved rows carry their row id (materialized); the commit-version
       // column is deliberately absent from the copy files (see above)
-      val outCols = snap.schema.fieldNames.map(col).toSeq ++
+      val outCols = snap.schema.fieldNames.map(n => col(DeltaSchema.quoted(n))).toSeq ++
         rtState.map { case (_, (matId, _)) => col(s"`$matId`") }.toSeq
       val matched = scanned.join(stagedDv,
           scanned(DeletionVectors.PathCol) === stagedDv("path") &&
@@ -254,9 +254,9 @@ object Dml {
         else
           try ChangeDataFeed.stage(spark, log,
             stagedPhysical(snap,
-              matched.select(snap.schema.fieldNames.map(col).toSeq: _*)
+              matched.select(snap.schema.fieldNames.map(n => col(DeltaSchema.quoted(n))).toSeq: _*)
                 .withColumn(ChangeDataFeed.ChangeType, lit("update_preimage"))
-                .unionByName(updated.select(snap.schema.fieldNames.map(col).toSeq: _*)
+                .unionByName(updated.select(snap.schema.fieldNames.map(n => col(DeltaSchema.quoted(n))).toSeq: _*)
                   .withColumn(ChangeDataFeed.ChangeType, lit("update_postimage"))),
               passthrough = Set(ChangeDataFeed.ChangeType)))
           catch {
@@ -571,7 +571,7 @@ object Dml {
         // change images carry the LOGICAL columns only — the hidden
         // row-tracking columns of a rewrite scan must not leak into them
         def logicalCt(df: org.apache.spark.sql.DataFrame, ct: String) =
-          df.select(snap.schema.fieldNames.map(col).toSeq: _*)
+          df.select(snap.schema.fieldNames.map(n => col(DeltaSchema.quoted(n))).toSeq: _*)
             .withColumn(ChangeDataFeed.ChangeType, lit(ct))
         val changes =
           if (keepMatches)
@@ -634,7 +634,7 @@ object Dml {
         val phys = ColumnMapping.physicalFieldName(f)
         scanned.col(s"`$phys`").cast(f.dataType).as(f.name)
       }.toSeq: _*)
-    else scanned.select(snap.schema.fieldNames.map(col).toSeq: _*)
+    else scanned.select(snap.schema.fieldNames.map(n => col(DeltaSchema.quoted(n))).toSeq: _*)
   }
 
   /** As [[scanSubset]], plus each row's CURRENT row-tracking identity in

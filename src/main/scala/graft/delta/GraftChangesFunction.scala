@@ -86,7 +86,7 @@ object GraftChangesFunction {
               val phys = ColumnMapping.physicalFieldName(f)
               col(s"`$phys`").cast(f.dataType).as(f.name)
             }
-          else schema.fieldNames.toSeq.map(col)) :+ col("_commit_version"): _*)
+          else schema.fieldNames.toSeq.map(n => col(DeltaSchema.quoted(n)))) :+ col("_commit_version"): _*)
       }
     out.queryExecution.analyzed
   }

@@ -51,7 +51,7 @@ final class GraftDeltaRelation(
     // this relation's output = dataSchema ++ partitionSchema; rename
     // positionally, then restore the table's declared column order
     val renamed = data.toDF(schema.fieldNames.toSeq: _*)
-    val ordered = renamed.select(index.snapshot.schema.fieldNames.map(col).toSeq: _*)
+    val ordered = renamed.select(index.snapshot.schema.fieldNames.map(n => col(graft.delta.DeltaSchema.quoted(n))).toSeq: _*)
     GraftWriter.write(ordered, index.log.tablePath.toString,
       if (overwrite) SaveMode.Overwrite else SaveMode.Append,
       index.snapshot.partitionColumns)

@@ -124,10 +124,17 @@ object Restore {
     val toAddPaths = toAdd.map(_.path).toSet
     val replacedCurrent =
       current.files.filter(f => toAddPaths.contains(f.path)) ++ toRemove
-    val targetDvDirs = toAdd.flatMap(DeletionVectors.dvPath).toSet
+    // DV storage the restore makes live AGAIN must not be tombstoned —
+    // BOTH representations: graft tag dirs and standard packed files
+    // (the latter was missed, r11 review: a tombstone-honoring cleaner
+    // would reclaim a std DV file the restored adds still point at,
+    // resurrecting their deleted rows after retention)
+    val targetDvStorage =
+      (toAdd.flatMap(DeletionVectors.dvPath) ++
+        toAdd.flatMap(DeletionVectors.stdDvRel)).toSet
     txn.addActions(DeletionVectors
       .supersededDirTombstones(current, replacedCurrent, now)
-      .filterNot(t => targetDvDirs.contains(t.path)))
+      .filterNot(t => targetDvStorage.contains(t.path)))
     txn.addActions(cdcActions)
 
     val info = ActionCodec.mapper.createObjectNode()
@@ -206,7 +213,7 @@ object Restore {
     val cols =
       (if (ColumnMapping.isMapped(target))
          ColumnMapping.readSchema(spark, target)
-       else target.schema).fieldNames.map(col).toSeq
+       else target.schema).fieldNames.map(n => col(DeltaSchema.quoted(n))).toSeq
     val ct = ChangeDataFeed.ChangeType
 
     val newFiles = toAdd.filterNot(a => currentByPath.contains(a.path))

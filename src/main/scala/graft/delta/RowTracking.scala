@@ -183,6 +183,11 @@ object RowTracking {
     val names = materializedCols(snap).getOrElse(("__rt_no_mat_id", "__rt_no_mat_rcv"))
     val scanned = DeletionVectors.scanWithPos(spark, log, snap, snap.files,
       extraDataCols = materializedFields(names))
+    // Full-snapshot file list through the broadcast lookup — deliberate
+    // (r11 review: considered a distributed join): the lookup is O(files)
+    // METADATA the driver already holds in `snap.files`, ~150 MB broadcast
+    // at 10⁶ files, versus shuffling the whole TABLE for a join — at
+    // 100 TB the broadcast is cheaper by orders of magnitude.
     val resolved = resolveCurrentIdentity(spark, scanned, snap.files, names)
     val logical = snap.schema.fields.toSeq.map { f =>
       if (ColumnMapping.isMapped(snap)) {

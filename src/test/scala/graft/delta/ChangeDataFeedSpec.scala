@@ -407,4 +407,41 @@ class ChangeDataFeedSpec extends AnyFunSuite with SparkTestBase {
     assert(full == Set((1L, "update_preimage", 1L), (1L, "update_postimage", 1L),
       (9L, "insert", 2L)))
   }
+
+  test("adds-only commits carrying DV pointers subtract them from the insert feed (r11)") {
+    // The restore shape: a commit that ONLY adds files whose entries carry
+    // DV pointers (re-adding a previously removed DV'd file, no CDC
+    // staged). The feed once served the whole file as inserts — reporting
+    // the DV'd-out rows as inserted rows that are not in the table.
+    import java.nio.file.Files
+    import LogFixtures._
+    val dir = tempTable("cdf-addonly-dv")
+    // one real 20-row data file
+    val tmp = Files.createTempDirectory("cdf-dv-data-")
+    (0L until 20L).toDF("id").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator()
+    val src = Iterator.continually(part).takeWhile(_ => part.hasNext).map(_.next())
+      .find(_.toString.endsWith(".parquet")).get
+    Files.copy(src, dir.resolve("a.parquet"))
+    val size = Files.size(dir.resolve("a.parquet"))
+    // a graft DV dir deleting positions 0..4
+    (0L until 5L).map(p => ("a.parquet", p)).toDF("path", "pos")
+      .write.parquet(dir.resolve("_graft_dv/dv-t").toString)
+    def addDv(withDv: Boolean): String = {
+      val tags = if (withDv)
+        ""","tags":{"graft.dv.path":"_graft_dv/dv-t","graft.dv.cardinality":"5"}"""
+      else ""
+      s"""{"add":{"path":"a.parquet","partitionValues":{},"size":$size,"modificationTime":1587968586000,"dataChange":true$tags}}"""
+    }
+    writeCommit(dir, 0, Seq(protocol, metaData, addDv(withDv = false)))
+    writeCommit(dir, 1, Seq(remove("a.parquet")))          // pure remove
+    writeCommit(dir, 2, Seq(addDv(withDv = true)))         // adds-only, WITH DV
+    val log = DeltaLog.forPath(spark, dir.toString)
+    assert(DeltaTable.forPath(spark, dir.toString).toDF.count() == 15)
+    val feed = ChangeDataFeed.readChanges(spark, log, 1, 2)
+    val inserts = feed.filter(col(ChangeDataFeed.ChangeType) === "insert")
+    assert(inserts.count() == 15,
+      s"DV'd-out rows must not be reported as inserts (got ${inserts.count()})")
+    assert(inserts.select("id").as[Long].collect().toSet == (5L until 20L).toSet)
+  }
 }

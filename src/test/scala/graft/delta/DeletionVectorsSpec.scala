@@ -253,4 +253,53 @@ class DeletionVectorsSpec extends AnyFunSuite with SparkTestBase {
     assert(changes.count() == 1)
     assert(changes.select("id").as[Long].head() == 500L)
   }
+
+  test("DV enable on a table-features protocol declares standard deletionVectors (r11)") {
+    // a (r,7)-features table (ICT first) then the bare enable property: the
+    // old fence no-op'd (minReader already 3 impossible here, but features
+    // lists defined) and DML wrote graft tags a spec-compliant foreign
+    // reader would IGNORE — silently resurrecting every deleted row
+    val dir = tempTable("dv-feature-fence").toString
+    GraftWriter.write((0 until 60).map(i => (i.toLong, s"n$i")).toDF("id", "v")
+      .repartition(2), dir)
+    DeltaTable.forPath(spark, dir).setProperties(
+      Map(TableConfig.EnableInCommitTimestamps -> "true")) // lifts to writer 7
+    DeltaTable.forPath(spark, dir).setProperties(
+      Map(TableConfig.EnableDeletionVectors -> "true"))
+    val snap = DeltaLog.forPath(spark, dir).update()
+    assert(snap.readerFeatures.exists(_.contains("deletionVectors")) &&
+           snap.writerFeatures.exists(_.contains("deletionVectors")),
+      s"features table must declare standard DVs, got ${snap.readerFeatures}/${snap.writerFeatures}")
+    Dml.delete(spark, dir, col("id") < 20)
+    val after = DeltaLog.forPath(spark, dir).update()
+    assert(after.files.exists(_.deletionVector.isDefined),
+      "DML must emit standard descriptors on the fenced table")
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 40)
+  }
+
+  test("dotted column names survive DV scans and DML (r11 quoting)") {
+    val dir = tempTable("dv-dotted").toString
+    GraftWriter.write((0 until 50).map(i => (i.toLong, s"x$i"))
+      .toDF("id", "a.b").repartition(2), dir)
+    DeltaTable.forPath(spark, dir).setProperties(
+      Map(TableConfig.EnableDeletionVectors -> "true"))
+    Dml.delete(spark, dir, col("id") < 10)
+    val df = DeltaTable.forPath(spark, dir).toDF
+    assert(df.count() == 40)
+    assert(df.select(col("`a.b`")).as[String].collect().toSet ==
+      (10 until 50).map(i => s"x$i").toSet)
+  }
+
+  test("relPath of a bucket-root table keeps the partition dir (r11)") {
+    // prefix "/" would substring_index at the LAST slash → file name only
+    val rows = Seq("s3a://bucket/p=1/part-x.parquet",
+                   "file:///p=2/part-y.parquet").toDF("fp")
+    val got = rows.select(DeletionVectors.relPathFromPrefix("/", col("fp")).as("r"))
+      .as[String].collect().toSeq
+    assert(got == Seq("p=1/part-x.parquet", "p=2/part-y.parquet"), got.toString)
+    // the normal (non-root) prefix path is unchanged
+    val normal = rows.limit(1).select(DeletionVectors.relPathFromPrefix(
+      "/bucket/", col("fp")).as("r")).as[String].head()
+    assert(normal == "p=1/part-x.parquet")
+  }
 }
