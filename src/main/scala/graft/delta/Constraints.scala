@@ -96,10 +96,36 @@ object Constraints {
     * invariants. Identity when the table declares none. */
   def enforce(df: DataFrame, snap: Snapshot): DataFrame = {
     if (snap.version < 0) return df
-    val notNull = snap.schema.fields.filterNot(_.nullable).map(_.name)
-      .filter(df.columns.contains).toSeq
+    // NOT NULL at EVERY nesting level (r11 review — top-level-only let a
+    // null addr.city through a declared-non-nullable nested field): a
+    // nested check applies only where the parent itself is present, so
+    // the condition is parent-null-guarded at each step. Backtick-quoted
+    // throughout — a dotted column name must not parse as a field path.
+    def q(n: String) = DeltaSchema.quoted(n)
+    def notNullPaths(fields: Seq[org.apache.spark.sql.types.StructField],
+                     prefix: Option[(String, Column)]): Seq[(String, Column)] =
+      fields.flatMap { f =>
+        val path = prefix.map(_._1 + "." + f.name).getOrElse(f.name)
+        val c = prefix.map(_._2.getField(f.name)).getOrElse(col(q(f.name)))
+        val here =
+          if (f.nullable) Nil
+          else {
+            val cond = prefix match {
+              case Some((_, parent)) => parent.isNull || c.isNotNull
+              case None => c.isNotNull
+            }
+            Seq((s"NOT NULL $path", cond))
+          }
+        here ++ (f.dataType match {
+          case s: org.apache.spark.sql.types.StructType =>
+            notNullPaths(s.fields.toSeq, Some((path, c)))
+          case _ => Nil
+        })
+      }
+    val notNull = notNullPaths(
+      snap.schema.fields.toSeq.filter(f => df.columns.contains(f.name)), None)
     val checks: Seq[(String, Column)] =
-      notNull.map(c => (s"NOT NULL $c", col(c).isNotNull)) ++
+      notNull ++
         of(snap).map { case (n, sql) =>
           (s"CHECK $n ($sql)", coalesce(expr(sql).cast("boolean"), lit(true)))
         } ++
@@ -110,7 +136,7 @@ object Constraints {
         generatedOf(snap.schema).filter(g => df.columns.contains(g._1))
           .map { case (c, sql) =>
             (s"GENERATED $c AS ($sql)",
-              col(c) <=> expr(sql).cast(snap.schema(c).dataType))
+              col(q(c)) <=> expr(sql).cast(snap.schema(c).dataType))
           }
     if (checks.isEmpty) df
     else df.filter(checks.map { case (name, cond) =>

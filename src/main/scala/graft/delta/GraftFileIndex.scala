@@ -100,7 +100,11 @@ final class GraftFileIndex(
 
   // ---- partition-value typing ------------------------------------------
 
-  /** Hive string → Catalyst value for the partition InternalRow. */
+  /** Hive string → Catalyst value for the partition InternalRow. Unknown
+    * types and unparsable values THROW (r11 review): a silent null here is
+    * not conservative — it surfaces as NULL partition values in result
+    * rows, and a pushed `part = x` filter evaluates null→false and prunes
+    * EVERY file (a wrong empty answer, not a kept file). */
   private def catalystPartitionValue(s: String, dt: DataType): Any =
     if (s == null) null
     else try dt match {
@@ -113,9 +117,21 @@ final class GraftFileIndex(
       case DoubleType  => s.toDouble
       case FloatType   => s.toFloat
       case DateType    => java.time.LocalDate.parse(s).toEpochDay.toInt
+      // the spec serializes timestamp partitions as `yyyy-MM-dd HH:mm:ss[.S…]`
+      // (tolerate the ISO 'T'); µs since epoch, parsed in UTC explicitly —
+      // the same contract Checkpoints.parsedPartitionType applies
+      case TimestampType | TimestampNTZType =>
+        java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+          java.time.LocalDateTime.parse(s.replace(' ', 'T')).getNano / 1000L
       case _: DecimalType => org.apache.spark.sql.types.Decimal(BigDecimal(s))
-      case _ => null
-    } catch { case _: Exception => null }
+      case other => throw new IllegalArgumentException(
+        s"partition type ${other.simpleString} has no hive-string decoding")
+    } catch {
+      case e: IllegalArgumentException => throw e
+      case e: Exception => throw new IllegalArgumentException(
+        s"cannot parse partition value '$s' as ${dt.simpleString}", e)
+    }
 
   private def partitionRow(a: AddAction): InternalRow =
     InternalRow.fromSeq(partitionSchema.fields.toSeq.map(f =>
@@ -162,10 +178,20 @@ final class GraftFileIndex(
     * plan-time entry for [[PruneGraftScans]], which re-scopes the index so
     * `sizeInBytes` (and thus broadcast decisions) reflect the pruned set. */
   private[delta] def pruneFiles(partitionFilters: Seq[Expression],
-                                dataFilters: Seq[Expression]): Seq[AddAction] = {
+                                dataFilters: Seq[Expression]): Seq[AddAction] =
+    pruneFiles(partitionFilters, dataFilters, baseFiles)
+
+  /** As above over a CALLER-materialized base — plan-time rewrites
+    * (PruneGraftScans) pass the statsFiles they already read, so one
+    * rescope performs ONE live-log listing and its shrink test compares
+    * a single consistent version (r11 review: two separate calls doubled
+    * the listing and could straddle a concurrent commit). */
+  private[delta] def pruneFiles(partitionFilters: Seq[Expression],
+                                dataFilters: Seq[Expression],
+                                base: Seq[AddAction]): Seq[AddAction] = {
     // 1. partition pruning, mirroring PartitioningAwareFileIndex's binding
     val afterPartition =
-      if (partitionFilters.isEmpty || partitionSchema.isEmpty) baseFiles
+      if (partitionFilters.isEmpty || partitionSchema.isEmpty) base
       else {
         val predicate = partitionFilters.reduce(And)
         val bound = Predicate.createInterpreted(predicate.transform {
@@ -173,7 +199,7 @@ final class GraftFileIndex(
             val idx = partitionSchema.fieldIndex(a.name)
             BoundReference(idx, partitionSchema(idx).dataType, nullable = true)
         })
-        baseFiles.filter(a => bound.eval(partitionRow(a)))
+        base.filter(a => bound.eval(partitionRow(a)))
       }
 
     // 2. stats-based skipping from pushed data filters

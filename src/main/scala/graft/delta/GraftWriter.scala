@@ -684,7 +684,12 @@ object FooterStats {
     else (cur, v) match {
       case (a: Long, b: Long)       => if ((b < a) == takeMin) b else a
       case (a: Double, b: Double)   => if ((b < a) == takeMin) b else a
-      case (a: String, b: String)   => if ((b < a) == takeMin) b else a
+      // UTF-8 binary order, matching parquet's own per-row-group bounds
+      // and the pruner's comparison (StatsPredicate.utf8Compare) — a
+      // UTF-16 fold here picks a wrong min/max across row groups when
+      // supplementary characters are present (r11 review)
+      case (a: String, b: String)   =>
+        if ((StatsPredicate.utf8Compare(b, a) < 0) == takeMin) b else a
       case (a: Boolean, b: Boolean) => if ((b < a) == takeMin) b else a
       case _ => BadStat
     }

@@ -100,13 +100,20 @@ object PartitionFilter {
     // Locale.ROOT case-fold throughout: a default-locale fold breaks
     // I-containing names under tr ("ID" -> "ıd" vs "id" -> "id")
     def fold(s: String) = s.toLowerCase(java.util.Locale.ROOT)
-    val partSet = partCols.map(fold).toSet
+    // resolve to the CANONICAL partition-column spelling, never the user's:
+    // a filter keyed "ID" matches no add's partitionValues (keyed "id"), so
+    // the read domain would be EMPTY and conflict detection would wrongly
+    // prove disjointness against every concurrent append (r11 review —
+    // lost-update, the opposite of the necessary over-approximation this
+    // function's contract demands)
+    val canonical = partCols.map(c => fold(c) -> c).toMap
     def attrName(e: Expression): Option[String] = e match {
-      case a: AttributeReference if partSet(fold(a.name)) => Some(a.name)
+      case a: AttributeReference => canonical.get(fold(a.name))
       case u: UnresolvedAttribute =>
         u.nameParts match {
-          case Seq(c) if partSet(fold(c)) => Some(c)
-          case Seq(q, c) if qualifier.exists(_.equalsIgnoreCase(q)) && partSet(fold(c)) => Some(c)
+          case Seq(c) => canonical.get(fold(c))
+          case Seq(q, c) if qualifier.exists(_.equalsIgnoreCase(q)) =>
+            canonical.get(fold(c))
           case _ => None
         }
       case _ => None

@@ -40,13 +40,24 @@ object PruneGraftScans extends Rule[LogicalPlan] {
       case fs: HadoopFsRelation =>
         fs.location match {
           case idx: GraftFileIndex =>
-            val conjuncts = splitConjuncts(f.condition).filter(_.deterministic)
+            // subqueries are not yet planned at this optimizer phase —
+            // eval'ing one inside pruneFiles throws and kills a valid
+            // query (r11 review; Spark's PruneFileSourcePartitions makes
+            // the same exclusion)
+            val conjuncts = splitConjuncts(f.condition).filter(e =>
+              e.deterministic &&
+                !org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+                  .hasSubquery(e))
             if (conjuncts.isEmpty) return None
             val partCols = idx.partitionSchema.fieldNames.toSet
             val (partFilters, dataFilters) = conjuncts.partition(e =>
               e.references.nonEmpty && e.references.forall(a => partCols.contains(a.name)))
-            val pruned = idx.pruneFiles(partFilters, dataFilters)
-            if (pruned.size >= idx.statsFiles.size) None
+            // ONE base listing: prune it and shrink-test against it — two
+            // separate idx calls doubled the live-log listing and could
+            // straddle a concurrent commit (r11 review)
+            val base = idx.statsFiles
+            val pruned = idx.pruneFiles(partFilters, dataFilters, base)
+            if (pruned.size >= base.size) None
             else {
               val newIndex = new GraftFileIndex(idx.spark, idx.log, idx.snapshot, Some(pruned))
               val newRel = fs.copy(location = newIndex)(fs.sparkSession)

@@ -48,14 +48,12 @@ object RelationStats {
     * keeps catalog stats in step with the shrunk scan so CBO sees the
     * pruned row count, not the whole table's. */
   def pruned(files: Seq[AddAction], conf: SQLConf): CatalogStatistics = {
+    // ONE numRecords definition: TableStatistics.of carries the
+    // completeness check and DV-cardinality subtraction (bug-fixed in r9)
+    // — re-deriving it here would drift (r11 review)
     val rowCount =
-      if (statsEnabled(conf)) {
-        val parsed = files.flatMap(_.stats.flatMap(ActionCodec.statsFromJson))
-        if (parsed.size == files.size)
-          Some(BigInt(parsed.map(_.numRecords).sum -
-            files.map(DeletionVectors.cardinality).sum))
-        else None
-      } else None
+      if (statsEnabled(conf)) TableStatistics.of(files).numRecords.map(BigInt(_))
+      else None
     CatalogStatistics(BigInt(files.map(_.size).sum), rowCount)
   }
 }

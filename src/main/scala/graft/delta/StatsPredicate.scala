@@ -26,21 +26,46 @@ object StatsPredicate {
   final case class NotNull(column: String) extends StatsPredicate
 
   /** 3-valued stat comparison: Some(cmp sign) when comparable, None on
-    * doubt. Exact decimal arithmetic, never a double round-trip: asDouble
-    * collapses int64 values past 2⁵³ (…992 and …993 compare equal) and a
-    * file whose only matching row sits past that edge would be wrongly
-    * pruned — silent row loss (r11 review; same class the r9
-    * TableStatistics fix closed). `new BigDecimal(d)` is the exact binary
-    * value of the double. */
+    * doubt. Exact arithmetic over each side's EXACT value, never a lossy
+    * round-trip (r11 review, two rounds of it):
+    *  - an integral stat's exact value is its decimalValue — `asDouble`
+    *    collapses int64 past 2⁵³ (…992 and …993 compare equal) and a file
+    *    whose only matching row sits past that edge would be wrongly
+    *    pruned (silent row loss; the r9 TableStatistics class);
+    *  - a floating stat's exact value is the BINARY expansion of its
+    *    double (`new BigDecimal(asDouble)`) — its decimalValue is the
+    *    SHORTEST-repr decimal ("0.1"), which differs from the binary
+    *    expansion of the equal predicate double and made `d = 0.1` prune
+    *    the very file holding d == 0.1 (boundary row loss). */
+  private def exactValue(n: JsonNode): java.math.BigDecimal =
+    if (n.isIntegralNumber) n.decimalValue
+    else new java.math.BigDecimal(n.asDouble)
   private def cmp(stat: JsonNode, v: Any): Option[Int] = (stat, v) match {
     case (n, d: Double) if n.isNumber =>
-      Some(n.decimalValue.compareTo(new java.math.BigDecimal(d)))
+      Some(exactValue(n).compareTo(new java.math.BigDecimal(d)))
     case (n, l: Long) if n.isNumber =>
-      Some(n.decimalValue.compareTo(java.math.BigDecimal.valueOf(l)))
+      Some(exactValue(n).compareTo(java.math.BigDecimal.valueOf(l)))
     case (n, i: Int) if n.isNumber =>
-      Some(n.decimalValue.compareTo(java.math.BigDecimal.valueOf(i.toLong)))
-    case (n, s: String) if n.isTextual => Some(n.asText.compareTo(s))
+      Some(exactValue(n).compareTo(java.math.BigDecimal.valueOf(i.toLong)))
+    // UTF-8 binary order — the parquet/Delta stats ordering convention.
+    // Java's String.compareTo orders by UTF-16 code unit, which inverts
+    // for supplementary characters (U+E000..U+FFFF sort ABOVE U+10000+ in
+    // UTF-16, below in UTF-8) and would mis-prune against foreign-written
+    // stats (r11 review; the writer's min/max fold uses the same order).
+    case (n, s: String) if n.isTextual => Some(utf8Compare(n.asText, s))
     case _ => None
+  }
+
+  private[delta] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
   }
 
   /** Can any row in a file with these stats match the predicate? */
