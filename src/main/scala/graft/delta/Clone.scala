@@ -72,18 +72,23 @@ object Clone {
       throw new IllegalStateException(
         s"cannot shallow-clone $sourcePath: snapshot carries deletion " +
         "vectors; run OPTIMIZE (compaction purges them) and retry")
-    // a pinned historical snapshot replays fine from the LOG even after
+    // a PINNED historical snapshot replays fine from the LOG even after
     // its data files were vacuumed — a clone of such a version would be
     // born unreadable. Probe existence up front (same contract as
-    // RESTORE's RestoreException), in parallel on the driver pool.
-    val srcFs = srcBase.getFileSystem(conf)
-    val missing = GraftWriter.inDriverPool(srcSnap.files.map(_.path))(p =>
-      if (srcFs.exists(new Path(srcBase, p))) None else Some(p)).flatten
-    if (missing.nonEmpty)
-      throw new IllegalStateException(
-        s"cannot shallow-clone $sourcePath at version ${srcSnap.version}: " +
-        s"${missing.size} data file(s) were vacuumed, e.g. " +
-        missing.take(3).mkString(", "))
+    // RESTORE's RestoreException), in parallel on the driver pool. The
+    // LATEST snapshot's live files cannot have been legitimately vacuumed,
+    // so un-pinned clones skip the probe — 10⁶ HEAD round trips for a
+    // hazard that cannot apply (r11 review).
+    if (version.isDefined) {
+      val srcFs = srcBase.getFileSystem(conf)
+      val missing = GraftWriter.inDriverPool(srcSnap.files.map(_.path))(p =>
+        if (srcFs.exists(new Path(srcBase, p))) None else Some(p)).flatten
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"cannot shallow-clone $sourcePath at version ${srcSnap.version}: " +
+          s"${missing.size} data file(s) were vacuumed, e.g. " +
+          missing.take(3).mkString(", "))
+    }
     srcSnap.files.foreach { a =>
       // absolute sources stay absolute; relative ones qualify against the
       // source root

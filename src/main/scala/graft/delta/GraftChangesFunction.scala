@@ -70,14 +70,24 @@ object GraftChangesFunction {
             (ChangeDataFeed.normalizedKey(
               new org.apache.hadoop.fs.Path(log.tablePath, rel)), v)
           }).toDF("__graft_path", "_commit_version"))
-        spark.read
-          .option("basePath", log.tablePath.toString)
-          .schema(schema)
-          // distinct: a path re-added in two versions (remove → RESTORE)
-          // is scanned once; the join emits its rows once PER version
-          .parquet(fileVersion.map { case (rel, _) =>
-            new org.apache.hadoop.fs.Path(log.tablePath, rel).toString }
-            .distinct: _*)
+        // distinct: a path re-added in two versions (remove → RESTORE)
+        // is scanned once; the join emits its rows once PER version
+        val resolved = fileVersion.map { case (rel, _) =>
+          new org.apache.hadoop.fs.Path(log.tablePath, rel).toString }.distinct
+        // basePath only when every file sits under the table root: a
+        // shallow clone's adds are ABSOLUTE URIs under the SOURCE root,
+        // and Spark rejects scan roots outside basePath — the file-level
+        // feed failed outright on any cloned table (r11 review; partition
+        // columns of such foreign-rooted files read as null — the
+        // row-level CDF path serves clones with typed partitions)
+        val rootStr = log.tablePath.toString.stripSuffix("/") + "/"
+        val reader0 = spark.read.schema(schema)
+        val reader =
+          if (resolved.forall(_.startsWith(rootStr)))
+            reader0.option("basePath", log.tablePath.toString)
+          else reader0
+        reader
+          .parquet(resolved: _*)
           .withColumn("__graft_path", org.apache.spark.sql.functions.regexp_replace(
             col("_metadata.file_path"), ChangeDataFeed.SchemeRe, "/"))
           .join(mapDf, "__graft_path")

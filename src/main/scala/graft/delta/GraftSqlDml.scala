@@ -37,24 +37,28 @@ final class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
     // SQL time travel (`VERSION AS OF` / `TIMESTAMP AS OF`) — DSv2-only in
     // stock Spark; for graft tables the pinned relation is resolved right
     // here and returned as an ordinary LogicalRelation leaf
-    case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
-        if GraftTarget.unapply(tt.relation).isDefined =>
-      val path = GraftTarget.unapply(tt.relation).get._1
-      val table = (tt.version, tt.timestamp) match {
-        case (Some(v), _) => DeltaTable.forPath(spark, path, v.toLong)
-        case (None, Some(ts)) =>
-          require(ts.foldable, "TIMESTAMP AS OF requires a constant expression")
-          val micros = org.apache.spark.sql.catalyst.expressions.Cast(
-            ts, org.apache.spark.sql.types.TimestampType,
-            Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
-          require(micros != null, s"invalid TIMESTAMP AS OF expression: ${ts.sql}")
-          DeltaTable.forPathAsOf(spark, path, micros.asInstanceOf[Long] / 1000L)
-        case _ => throw new IllegalArgumentException(
-          "time travel needs VERSION AS OF or TIMESTAMP AS OF")
+    // inner match, not a guard: the guard-then-get shape ran the full
+    // tableExists + getTableMetadata RPC pair twice per node (r11 review)
+    case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
+      GraftTarget.unapply(tt.relation) match {
+        case None => tt
+        case Some((path, _)) =>
+          val table = (tt.version, tt.timestamp) match {
+            case (Some(v), _) => DeltaTable.forPath(spark, path, v.toLong)
+            case (None, Some(ts)) =>
+              require(ts.foldable, "TIMESTAMP AS OF requires a constant expression")
+              val micros = org.apache.spark.sql.catalyst.expressions.Cast(
+                ts, org.apache.spark.sql.types.TimestampType,
+                Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+              require(micros != null, s"invalid TIMESTAMP AS OF expression: ${ts.sql}")
+              DeltaTable.forPathAsOf(spark, path, micros.asInstanceOf[Long] / 1000L)
+            case _ => throw new IllegalArgumentException(
+              "time travel needs VERSION AS OF or TIMESTAMP AS OF")
+          }
+          val index = new GraftFileIndex(spark, table.log, table.snapshot)
+          org.apache.spark.sql.execution.datasources.LogicalRelation(
+            new GraftDeltaRelation(index, timeTravel = true, spark), false)
       }
-      val index = new GraftFileIndex(spark, table.log, table.snapshot)
-      org.apache.spark.sql.execution.datasources.LogicalRelation(
-        new GraftDeltaRelation(index, timeTravel = true, spark), false)
 
     // conditions/assignments are converted to opaque Columns here: a command
     // must not expose unresolved Expressions through its constructor fields
@@ -64,28 +68,41 @@ final class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
 
     case UpdateTable(GraftTarget(path, quals), assignments, condition) =>
       GraftSqlUpdateCommand(path,
-        assignments.map(a => (lastName(a.key), colOf(stripQuals(a.value, quals)))),
+        assignments.map(a => (assignName(a.key, quals), colOf(stripQuals(a.value, quals)))),
         condition.map(c => colOf(stripQuals(c, quals))))
 
     case m @ MergeIntoTable(GraftTarget(path, tQuals), _, _, _, _, _, _) =>
+      // an UNALIASED source (MERGE ... USING src ON tgt.id = src.id) keeps
+      // its table-name qualifier on every reference — it must remap to the
+      // engine's `s` alias exactly like an explicit alias does (r11
+      // review: sAlias was empty there and the merge failed analysis)
       val sAlias = m.sourceTable match {
         case SubqueryAlias(ident, _) => Set(ident.name)
+        case u: UnresolvedRelation =>
+          Set(u.multipartIdentifier.last, u.multipartIdentifier.mkString("."))
         case _ => Set.empty[String]
+      }
+      // strip the leading qualifier parts, KEEPING any nested-field tail —
+      // collapsing x.info.id to t.id silently redirected struct references
+      // to a same-named top-level column (r11 review)
+      def strip(parts: Seq[String], quals: Set[String]): Seq[String] = {
+        var p = parts
+        while (p.size > 1 && quals.contains(p.head)) p = p.tail
+        p
       }
       // remap user aliases onto the engine's canonical t/s aliases
       def requalify(e: Expression): Column = colOf(e.transformUp {
         case a: UnresolvedAttribute if a.nameParts.size > 1 =>
-          if (tQuals.contains(a.nameParts.head) ||
-              (a.nameParts.size > 2 && tQuals.contains(a.nameParts.init.mkString("."))))
-            UnresolvedAttribute(Seq("t", a.nameParts.last))
-          else if (sAlias.contains(a.nameParts.head))
-            UnresolvedAttribute(Seq("s", a.nameParts.last))
+          val t = strip(a.nameParts, tQuals)
+          lazy val s = strip(a.nameParts, sAlias)
+          if (!(t eq a.nameParts)) UnresolvedAttribute("t" +: t)
+          else if (!(s eq a.nameParts)) UnresolvedAttribute("s" +: s)
           else a
       })
       def cond(c: Option[Expression]): Column =
         c.map(requalify).getOrElse(org.apache.spark.sql.functions.lit(true))
       def assigns(as: Seq[Assignment]): Map[String, Column] =
-        as.map(a => lastName(a.key) -> requalify(a.value)).toMap
+        as.map(a => assignName(a.key, tQuals) -> requalify(a.value)).toMap
       val matched: Seq[MatchedClause] = m.matchedActions.map {
         case u: UpdateAction     => MatchedUpdate(cond(u.condition), assigns(u.assignments))
         case u: UpdateStarAction => MatchedUpdateStar(cond(u.condition))
@@ -111,8 +128,19 @@ final class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def colOf(e: Expression): Column = ColumnBridge.column(e)
 
-  private def lastName(e: Expression): String = e match {
-    case a: UnresolvedAttribute => a.nameParts.last
+  /** Assignment-key column name with the table/alias qualifier stripped.
+    * Nested-field targets refuse LOUDLY (r11 review): the old last-name
+    * collapse turned `SET addr.city = …` into an assignment to a
+    * top-level `city` column — a silent wrong-column write when one
+    * exists. Assign the whole struct instead. */
+  private def assignName(e: Expression, quals: Set[String]): String = e match {
+    case a: UnresolvedAttribute =>
+      var parts = a.nameParts
+      while (parts.size > 1 && quals.contains(parts.head)) parts = parts.tail
+      if (parts.size > 1) throw new IllegalArgumentException(
+        s"graft-delta DML: nested-field assignment '${a.name}' is not " +
+        "supported — assign the whole struct column")
+      parts.head
     case other => other.sql
   }
 
@@ -147,11 +175,18 @@ final class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       try {
         val catalog = spark.sessionState.catalog
+        // a temp view shadowing the table name must win, exactly as it
+        // does for reads — matching the catalog table here would mutate
+        // the PHYSICAL table behind the user's view (r11 review)
+        if (catalog.isTempView(nameParts)) return None
         if (!catalog.tableExists(ident)) return None
         val meta = catalog.getTableMetadata(ident)
         if (!meta.provider.exists(_.equalsIgnoreCase("graft-delta"))) return None
+        // full URI string, not getPath: stripping scheme/authority would
+        // resolve s3a://bucket/tbl to /tbl on the DEFAULT filesystem (r11)
         val path = meta.storage.properties.get("path")
-          .orElse(meta.storage.locationUri.map(_.getPath))
+          .orElse(meta.storage.locationUri.map(u =>
+            new org.apache.hadoop.fs.Path(u).toString))
         path.map((_, nameParts.toSet + ident.table))
       } catch { case _: Exception => None }
     }

@@ -119,9 +119,15 @@ object Optimize {
         // unique per row) rather than its content: content hashes collapse
         // duplicate-heavy partitions into one bucket and cannot consume
         // map/variant columns at all.
+        // try_element_at: plain element_at THROWS MAP_KEY_DOES_NOT_EXIST
+        // under ANSI (the Spark 4 default) when a foreign-written
+        // partition string renders differently from cast-to-string — the
+        // coalesce fallback to one bucket must actually fire, not die
+        // mid-OPTIMIZE (r11 review). pmod already returns non-negative,
+        // so no abs() (whose Long.MinValue edge raises under ANSI).
         val salt = pmod(
-          abs(xxhash64(col(DeletionVectors.PathCol), col(DeletionVectors.PosCol))),
-          coalesce(element_at(typedLit(bins), tupleKey), lit(1)).cast("long"))
+          xxhash64(col(DeletionVectors.PathCol), col(DeletionVectors.PosCol)),
+          coalesce(try_element_at(typedLit(bins), tupleKey), lit(1)).cast("long"))
         df.repartition(math.max(1, bins.values.sum),
           partCols.map(col) :+ salt: _*)
           .drop(metaCols: _*)
@@ -215,7 +221,13 @@ object Optimize {
     val spec = cols.mkString(",")
     val filter: AddAction => Boolean =
       if (full) _ => true
-      else a => !a.tags.exists(_.get(ClusterSpecTag).contains(spec))
+      // DV-carrying files must re-cluster even when already spec-stamped:
+      // the cluster rewrite is what PURGES their deletion vectors, and
+      // compact() delegates clustered tables here — skipping them let DVs
+      // accumulate forever and permanently blocked shallow clones
+      // (r11 review; mirrors compact's own candidate rule)
+      else a => !a.tags.exists(_.get(ClusterSpecTag).contains(spec)) ||
+        DeletionVectors.hasDv(a)
     zorderImpl(spark, path, cols, targetFileBytes, partitionFilters,
       candidateFilter = filter, stampSpec = Some(spec))
   }

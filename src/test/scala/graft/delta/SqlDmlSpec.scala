@@ -120,4 +120,52 @@ class SqlDmlSpec extends AnyFunSuite with SparkTestBase {
       assert(e.getMessage.contains("does not support DELETE"))
     } finally ext.sql("DROP TABLE plain_pq")
   }
+
+  test("MERGE with an UNALIASED source remaps its table-name qualifiers (r11)") {
+    val dir = mkTable("sqldml-unaliased", "g_unal")
+    try {
+      // registered on the EXTENSION session (temp views are per-session)
+      ext.sql("""CREATE OR REPLACE TEMPORARY VIEW unal_src AS
+                |SELECT CAST(id AS BIGINT) AS id, CAST(v AS DOUBLE) AS v
+                |FROM VALUES (8, 800.0), (20, 2000.0) AS t(id, v)""".stripMargin)
+      // table-name (not alias) qualifiers everywhere — sAlias was empty
+      // for UnresolvedRelation sources and the merge failed analysis
+      val out = ext.sql(
+        """MERGE INTO g_unal USING unal_src
+          |ON g_unal.id = unal_src.id
+          |WHEN MATCHED THEN UPDATE SET v = unal_src.v
+          |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (unal_src.id, unal_src.v)
+          |""".stripMargin).collect()
+      assert(out.map(_.getLong(0)).toSeq == Seq(2L))
+      val rows = ext.sql("SELECT id, v FROM g_unal WHERE id IN (8, 20) ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rows == Seq((8L, 800.0), (20L, 2000.0)))
+    } finally { ext.sql("DROP TABLE g_unal"); ext.catalog.dropTempView("unal_src") }
+  }
+
+  test("nested-field assignment refuses loudly instead of hitting a same-named column (r11)") {
+    val dir = mkTable("sqldml-nested", "g_nested")
+    try {
+      val e = intercept[Exception](
+        ext.sql("UPDATE g_nested SET addr.city = 'x' WHERE id = 1"))
+      assert(e.getMessage.contains("nested-field assignment"), e.getMessage)
+    } finally ext.sql("DROP TABLE g_nested")
+  }
+
+  test("a temp view shadowing a graft table is not mutated by DML (r11)") {
+    val dir = mkTable("sqldml-shadow", "g_shadow_tbl")
+    try {
+      // temp view with the SAME name as a second catalog table entry
+      ext.sql(s"CREATE TABLE g_shadow USING `graft-delta` OPTIONS (path '$dir')")
+      ext.sql("CREATE TEMPORARY VIEW g_shadow AS SELECT * FROM g_shadow_tbl WHERE id < 5")
+      val e = intercept[Exception](ext.sql("DELETE FROM g_shadow WHERE id = 1"))
+      // stock Spark rejects DML on views; the physical table must be intact
+      assert(ext.sql("SELECT count(*) FROM g_shadow_tbl").head().getLong(0) == 10,
+        s"physical table mutated through the shadowing view (error was $e)")
+    } finally {
+      ext.catalog.dropTempView("g_shadow")
+      ext.sql("DROP TABLE g_shadow")
+      ext.sql("DROP TABLE g_shadow_tbl")
+    }
+  }
 }
