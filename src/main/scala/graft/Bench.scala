@@ -2,15 +2,28 @@ package graft
 import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Benchmark main. Prints ONE JSON line with per-query wall seconds.
+/** Benchmark main. Prints ONE COMPACT JSON line; the full per-query record
+  * (wall AND cpu seconds per sweep, plus `wall_min` across sweeps) is
+  * written to a file artifact (`SPARK_GRAFT_BENCH_OUT`, default
+  * `BENCH_FULL.json` in the cwd).
   *
-  * Methodology (round-2 fixes per VERDICT):
+  * Methodology (round-2 fixes per VERDICT, artifact shape per r11 VERDICT):
   *  - Materializes the full physical plan via `queryExecution.toRdd.foreach`
   *    — a bare `.count()` lets Catalyst drop sorts/projections and times a
   *    cheaper plan than the one Verify checks.
   *  - Warms the JVM/codegen/parquet-footer caches with three representative
   *    untimed queries first, so the first timed query isn't charged ~4s of
   *    one-time startup cost.
+  *  - Runs the timed sweep TWICE (full runs; `SPARK_GRAFT_BENCH_SWEEPS` to
+  *    override, subset runs once) and records per-query `wall_min`: round
+  *    11's record carried four 3–15× transient-host outliers that a single
+  *    sample cannot distinguish from engine regressions; the min of two
+  *    independent samples removes that class at ~2× bench cost.
+  *  - The primary stdout line stays SHORT — r11's full 73-entry queries map
+  *    outgrew the driver's tail capture and the round's record read as
+  *    `parsed: null`. The line carries totals, the r1-set gate subtotal,
+  *    health scalars, and the r1-set walls only; `queries_file` names the
+  *    full artifact.
   */
 object Bench {
 
@@ -51,6 +64,23 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, err)
   }
 
+  /** Per-query min over samples, skipping errored samples (a crashed query
+    * records ~0 s wall — the min must never pick a crash). Falls back to
+    * the first sample's wall when every sample errored. */
+  private[graft] def wallMin(sweepWalls: Seq[(scala.collection.Map[String, Double],
+                                              scala.collection.Map[String, String])])
+      : Map[String, Double] = {
+    val names = sweepWalls.headOption.map(_._1.keys.toSeq).getOrElse(Seq.empty)
+    names.map { n =>
+      val clean = sweepWalls.collect {
+        case (walls, errs) if walls.contains(n) && !errs.contains(n) => walls(n)
+      }
+      n -> (if (clean.nonEmpty) clean.min
+            else sweepWalls.collectFirst {
+              case (walls, _) if walls.contains(n) => walls(n) }.getOrElse(0.0))
+    }.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -72,9 +102,9 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
-    // Absolute machine-speed probe BEFORE warmup (and again after the
-    // timed loop): fixed work, so its seconds depend on machine health
-    // alone — the r8 whole-machine slowdown that `contended` cannot see.
+    // Absolute machine-speed probe BEFORE warmup (and around every sweep):
+    // fixed work, so its seconds depend on machine health alone — the r8
+    // whole-machine slowdown that `contended` cannot see.
     val calStPre = BenchCalibration.singleThreadSec()
     // Warmup: one agg, one join, one semi-join — covers codegen paths.
     Seq("q1_agg", "q5_join", "q14_semijoin").foreach { w =>
@@ -83,12 +113,10 @@ object Bench {
     }
     // Per-query session-health telemetry. Round 6 found r5's 2.7×-of-gate
     // "session degradation" does NOT reproduce at identical code + identical
-    // invocation (r1-set back to ~10 s, q13_having 0.6 s) — i.e. it was
-    // machine contention during the driver's run, not engine state. To make
-    // that separable forever, the JSON now carries per-query JVM CPU seconds
-    // (`cpu`) next to wall seconds (`queries`): a query whose wall grows but
-    // whose CPU doesn't was starved by the MACHINE; one whose CPU grows got
-    // slower in the ENGINE. `load1m` samples the OS run-queue per query.
+    // invocation — i.e. it was machine contention during the driver's run.
+    // The artifact carries per-query JVM CPU seconds next to wall seconds:
+    // a query whose wall grows but whose CPU doesn't was starved by the
+    // MACHINE; one whose CPU grows got slower in the ENGINE.
     val debug = sys.env.get("SPARK_GRAFT_BENCH_DEBUG").contains("1")
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     def processCpuNanos: Long = osBean match {
@@ -102,9 +130,7 @@ object Bench {
     }
     var lastGc = gcMillis
 
-    /** One full timed sweep + its calibration/contention telemetry.
-      * `calPre` is the pre-warmup probe for attempt 1 and a fresh probe for
-      * a retry (the machine state is exactly what a retry re-measures). */
+    /** One full timed sweep + its calibration/contention telemetry. */
     final case class Sweep(results: mutable.LinkedHashMap[String, Double],
                            cpuSec: mutable.LinkedHashMap[String, Double],
                            load1m: mutable.LinkedHashMap[String, Double],
@@ -154,34 +180,36 @@ object Bench {
         math.min(calPre, calStPost), math.max(calPre, calStPost), calMt)
     }
 
-    var sweep = runSweep(calStPre)
-    // A contended/degraded primary artifact is not comparable across rounds
-    // (r10's BENCH_sf1.json had to be hand-re-run). Full runs retry ONCE
-    // when the sweep self-classifies unhealthy, then emit the healthier of
-    // the two; subset runs and SPARK_GRAFT_BENCH_NORETRY=1 skip the retry.
-    var retried = false
-    if (sweep.unhealthy && only.isEmpty &&
-        !sys.env.get("SPARK_GRAFT_BENCH_NORETRY").contains("1")) {
+    // Full runs sweep twice by default (subset runs once; NORETRY forces
+    // one): two independent samples per query let `wall_min` separate
+    // transient host stalls from engine regressions WITHIN the artifact —
+    // the r11 record had four >3× outlier rows it could not explain.
+    val nSweeps =
+      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_NORETRY").contains("1")) 1
+      else math.max(1, math.min(4,
+        sys.env.get("SPARK_GRAFT_BENCH_SWEEPS").flatMap(_.toIntOption).getOrElse(2)))
+    val sweeps = mutable.ArrayBuffer[Sweep]()
+    sweeps += runSweep(calStPre)
+    while (sweeps.size < nSweeps)
+      sweeps += runSweep(BenchCalibration.singleThreadSec())
+    // One extra sweep when every sample so far is unhealthy — the r10 rule
+    // (a contended primary artifact is not comparable across rounds).
+    if (sweeps.forall(_.unhealthy) && only.isEmpty && nSweeps > 1 &&
+        sweeps.size < 4) {
       System.err.println(
-        s"BENCHRETRY primary sweep unhealthy (contended=${sweep.contended} " +
-        s"degraded=${sweep.degraded} degraded_mt=${sweep.degradedMt}) — retrying once")
-      val second = runSweep(BenchCalibration.singleThreadSec())
-      retried = true
-      // Selection order: fewest FAILED queries first (a crashed query
-      // records ~0 s, so a total built on errors must never win — the r9
-      // honesty rule, one layer up), then health, then lower wall.
-      val chosen =
-        if (second.errors.size != sweep.errors.size)
-          (if (second.errors.size < sweep.errors.size) second else sweep)
-        else if (sweep.unhealthy && !second.unhealthy) second
-        else if (second.unhealthy && !sweep.unhealthy) sweep
-        else if (second.total < sweep.total) second else sweep
-      val discarded = if (chosen eq second) sweep else second
-      if (discarded.errors.nonEmpty)
-        System.err.println(
-          s"BENCHRETRY discarded sweep had errors: ${errorsJson(discarded.errors)}")
-      sweep = chosen
+        s"BENCHRETRY all ${sweeps.size} sweeps unhealthy — one more attempt")
+      sweeps += runSweep(BenchCalibration.singleThreadSec())
     }
+    // Headline-sweep selection: fewest FAILED queries first (a crashed
+    // query records ~0 s, so a total built on errors must never win — the
+    // r9 honesty rule), then healthy over unhealthy, then lower wall.
+    val chosen = sweeps.minBy(s => (s.errors.size, s.unhealthy, s.total))
+    val mins = wallMin(sweeps.map(s => (s.results, s.errors)).toSeq)
+    // Cross-sweep errors: a query failed THIS BENCH only if it failed in
+    // every sweep; one-off failures are listed separately for the record.
+    val persistentErrors = chosen.errors.filter { case (n, _) =>
+      sweeps.forall(_.errors.contains(n)) }
+    val transientErrors = sweeps.flatMap(_.errors).toMap -- persistentErrors.keys
 
     // Locale.ROOT: the f"" interpolator formats with the JVM default
     // locale — a comma-decimal locale would emit "value":71,6000 and break
@@ -190,34 +218,67 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     def toJson(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val results = sweep.results
-    val qjson = toJson(results)
-    val total = sweep.total
+
+    val total = chosen.total
+    val totalMin = mins.values.sum
     val cpuTotal =
-      if (sweep.cpuSec.values.exists(_ < 0)) -1.0 else sweep.cpuSec.values.sum
-    val loadMed = BenchContention.median(sweep.load1m.values.toSeq.filter(_ >= 0))
+      if (chosen.cpuSec.values.exists(_ < 0)) -1.0 else chosen.cpuSec.values.sum
+    val loadMed = BenchContention.median(chosen.load1m.values.toSeq.filter(_ >= 0))
     // the regression-gate subtotal (BASELINE.md: 16-query r1 set ≤ 2×9.6 s),
     // emitted machine-readable so the gate never has to be recomputed; a
     // SUBSET run can't produce the gate number — sentinel -1, not a
     // partial sum a reader would mistake for a trivially passing gate
-    val r1Subtotal =
-      if (Bench.R1Set.forall(results.contains)) Bench.R1Set.toSeq.map(results).sum
-      else -1.0
-    // The primary stdout line carries what the driver's tail capture
-    // parses (value + queries + sf) plus three SHORT contention scalars.
-    // Round 6's driver recorded `parsed: null` because the full cpu/load1m
-    // telemetry MAPS pushed `value` out of the tail window — the per-query
-    // maps stay on stderr, next to BENCHDBG.
-    System.err.println(
-      s"""BENCHTEL {"cpu":${toJson(sweep.cpuSec)},"load1m":${toJson(sweep.load1m)}}""")
-    // a failed query records ~0 s — `errors` makes that loud instead of
-    // letting a broken query masquerade as a fast one
-    val ejson = errorsJson(sweep.errors)
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qjson,"errors":$ejson,"sf":"$sfDir","r1_set_subtotal":${fmt(r1Subtotal)},"retried":$retried,"contended":${sweep.contended},"cpu_total":${fmt(cpuTotal)},"load_med":${fmt(loadMed)},"cal_st":${fmt(sweep.calSt)},"cal_st_worst":${fmt(sweep.calStWorst)},"cal_mt":${fmt(sweep.calMt)},"degraded":${sweep.degraded},"degraded_mt":${sweep.degradedMt}}"""
+    def r1Sum(walls: scala.collection.Map[String, Double]): Double =
+      if (R1Set.forall(walls.contains)) R1Set.toSeq.map(walls).sum else -1.0
+    val r1Subtotal = r1Sum(chosen.results)
+    val r1SubtotalMin = r1Sum(mins)
+    // queries whose headline wall is >3× their best sample — with two
+    // samples in the artifact these are PROVEN transient, not suspected
+    val outliers = mins.keys.toSeq.sorted
+      .filter(n => mins(n) > 0.05 && chosen.results.get(n).exists(_ > 3 * mins(n)))
+
+    // ---- full file artifact: everything, per sweep, via Jackson ----
+    val mapper = graft.delta.ActionCodec.mapper
+    val root = mapper.createObjectNode()
+    root.put("metric", "total"); root.put("value", total)
+    root.put("value_min", totalMin); root.put("unit", "sec")
+    root.put("sf", sfDir); root.put("n_queries", qs.size)
+    root.put("r1_set_subtotal", r1Subtotal)
+    root.put("r1_set_subtotal_min", r1SubtotalMin)
+    root.put("sweeps_run", sweeps.size)
+    root.put("chosen_sweep", sweeps.indexOf(chosen))
+    def putMap(n: com.fasterxml.jackson.databind.node.ObjectNode,
+               k: String, m: scala.collection.Map[String, Double]): Unit = {
+      val o = n.putObject(k)
+      m.foreach { case (q, v) => o.put(q, math.rint(v * 1e4) / 1e4) }
+    }
+    putMap(root, "wall_min", mins)
+    val outliersNode = root.putArray("outliers_over_3x")
+    outliers.foreach(outliersNode.add)
+    val sweepArr = root.putArray("sweeps")
+    sweeps.foreach { s =>
+      val n = sweepArr.addObject()
+      n.put("total", math.rint(s.total * 1e4) / 1e4)
+      n.put("contended", s.contended); n.put("degraded", s.degraded)
+      n.put("degraded_mt", s.degradedMt)
+      n.put("cal_st", math.rint(s.calSt * 1e4) / 1e4)
+      n.put("cal_st_worst", math.rint(s.calStWorst * 1e4) / 1e4)
+      n.put("cal_mt", math.rint(s.calMt * 1e4) / 1e4)
+      putMap(n, "wall", s.results); putMap(n, "cpu", s.cpuSec)
+      putMap(n, "load1m", s.load1m)
+      val e = n.putObject("errors")
+      s.errors.foreach { case (k, v) => e.put(k, v) }
+    }
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root) + "\n")
+
+    // ---- compact primary stdout line (must fit the driver's tail capture;
+    //      r11's 73-entry map did not — keep this WELL under ~2 kB) ----
+    val r1Walls = mins.view.filterKeys(R1Set).toMap
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(r1Walls)},"errors":${errorsJson(persistentErrors)},"transient_errors":${transientErrors.size},"sf":"$sfDir","n_queries":${qs.size},"value_min":${fmt(totalMin)},"r1_set_subtotal":${fmt(r1Subtotal)},"r1_set_subtotal_min":${fmt(r1SubtotalMin)},"sweeps":${sweeps.size},"outliers_over_3x":${outliers.size},"queries_file":"$outPath","contended":${chosen.contended},"cpu_total":${fmt(cpuTotal)},"load_med":${fmt(loadMed)},"cal_st":${fmt(chosen.calSt)},"cal_st_worst":${fmt(chosen.calStWorst)},"cal_mt":${fmt(chosen.calMt)},"degraded":${chosen.degraded},"degraded_mt":${chosen.degradedMt},"note":"line queries = r1-set wall_min; full per-query wall+cpu per sweep in queries_file"}"""
     println(line)
-    // optional artifact write (the per-round BENCH_sf1.json scale record)
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n"))
     spark.stop()
   }
 }

@@ -30,4 +30,21 @@ class BenchErrorSpec extends AnyFunSuite {
     assert(node.get("q1").asText == raw)
     assert(Bench.errorsJson(scala.collection.Map.empty) == "{}")
   }
+
+  test("wallMin takes the min over clean samples and never picks a crash") {
+    val s1 = (Map("qa" -> 5.0, "qb" -> 0.01, "qc" -> 1.0),
+              Map("qb" -> "boom"))             // qb crashed in sweep 1 (~0 s)
+    val s2 = (Map("qa" -> 1.2, "qb" -> 2.0, "qc" -> 0.9),
+              Map.empty[String, String])
+    val mins = Bench.wallMin(Seq(s1, s2))
+    assert(mins("qa") == 1.2)                   // genuine min across sweeps
+    assert(mins("qb") == 2.0)                   // crash sample excluded
+    assert(mins("qc") == 0.9)
+  }
+
+  test("wallMin falls back to the recorded wall when every sample errored") {
+    val s1 = (Map("qa" -> 0.02), Map("qa" -> "boom1"))
+    val s2 = (Map("qa" -> 0.03), Map("qa" -> "boom2"))
+    assert(Bench.wallMin(Seq(s1, s2))("qa") == 0.02)
+  }
 }
