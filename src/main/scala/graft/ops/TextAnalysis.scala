@@ -77,15 +77,18 @@ object TextAnalysis {
   }
 
   /** N-gram-profile language ID: score each candidate language by marker
-    * token hits; predict the argmax. Ties (including all-zero scores on
-    * text matching no profile) resolve to the lexicographically LAST
-    * language — the struct-max tiebreak, stated here because it surprises:
-    * filter on a score threshold when "no confident answer" must be
-    * distinguishable. The profiles are deliberately tiny — the operator's
-    * value is its plan shape (one pass, no shuffle, no UDF), not the
-    * linguistics. */
+    * token hits; predict the argmax. A document whose best score is below
+    * `minScore` predicts NULL — by default (minScore = 1) text matching no
+    * profile honestly reports "no answer" instead of an arbitrary language
+    * (r11 verdict #7). Pass `minScore = 0` to force a prediction for every
+    * row; EQUAL scores (all-zero included at minScore = 0) then resolve to
+    * the lexicographically LAST language — the struct-max tiebreak, stated
+    * here because it surprises. The profiles are deliberately tiny — the
+    * operator's value is its plan shape (one pass, no shuffle, no UDF),
+    * not the linguistics. */
   def languageId(df: DataFrame, textCol: String, idCol: String,
-                 profiles: Map[String, Seq[String]] = defaultProfiles): DataFrame = {
+                 profiles: Map[String, Seq[String]] = defaultProfiles,
+                 minScore: Int = 1): DataFrame = {
     require(profiles.nonEmpty, "languageId needs at least one profile")
     val w = split(lower(col(textCol)), " ")
     val scores: Seq[(String, Column)] = profiles.toSeq.sortBy(_._1).map { case (lang, markers) =>
@@ -95,7 +98,10 @@ object TextAnalysis {
     val best = scores.map { case (lang, s) => struct(s.as("score"), lit(lang).as("lang")) }
     // greatest() demands 2+ args — a single-profile call is a plain projection
     val winner = if (best.size == 1) best.head else greatest(best: _*)
-    df.select(col(idCol), winner.getField("lang").as("pred_lang"))
+    val pred =
+      if (minScore <= 0) winner.getField("lang") // scores are non-negative
+      else when(winner.getField("score") >= minScore, winner.getField("lang"))
+    df.select(col(idCol), pred.as("pred_lang"))
   }
 
   private def expr_filter(w: Column, markers: Column): Column =

@@ -219,9 +219,11 @@ object PipelineQueries {
     // language-ID heuristic. Oracle-checked since round 6: the marker-hit
     // argmax (ties → lexicographically largest lang, Spark's greatest over
     // (score, lang) structs) restates exactly as DuckDB list_max over the
-    // same structs. (The testdata lang COLUMN stays unusable as truth — the
-    // synthetic vocabulary is language-blind — but the operator's own
-    // semantics are now cross-engine-verified.)
+    // same structs; since r12 a best score of ZERO predicts NULL (the
+    // honest "no profile matched" default, r11 verdict #7) — both engines
+    // apply the same minScore=1 threshold. (The testdata lang COLUMN stays
+    // unusable as truth — the synthetic vocabulary is language-blind — but
+    // the operator's own semantics are cross-engine-verified.)
     "q33_langid" -> { (s, dir) =>
       TextAnalysis.languageId(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")
@@ -478,15 +480,18 @@ object PipelineQueries {
         |ORDER BY id_a, id_b""".stripMargin,
 
     // marker-hit argmax, ties to the lexicographically largest lang —
-    // DuckDB struct comparison matches Spark greatest() over structs
+    // DuckDB struct comparison matches Spark greatest() over structs;
+    // best score 0 → NULL (the minScore=1 default, in lockstep with
+    // TextAnalysis.languageId)
     "q33_langid" ->
-      """SELECT doc_id, (list_max([
+      """SELECT doc_id, CASE WHEN best.score >= 1 THEN best.lang END AS pred_lang
+        |FROM (SELECT doc_id, list_max([
         |  {'score': len(list_filter(w, x -> x IN ('der','die','das','und','nicht'))), 'lang': 'de'},
         |  {'score': len(list_filter(w, x -> x IN ('the','and','of','to','a'))), 'lang': 'en'},
         |  {'score': len(list_filter(w, x -> x IN ('el','la','los','que','de'))), 'lang': 'es'},
         |  {'score': len(list_filter(w, x -> x IN ('le','les','des','et','une'))), 'lang': 'fr'}
-        |])).lang AS pred_lang
-        |FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+        |]) AS best
+        |FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents))
         |ORDER BY doc_id""".stripMargin,
 
     // base-31 mod-1e9+7 rolling hash over the raw characters

@@ -443,16 +443,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(m(1L) == "es" && m(2L) == "en" && m(3L) == "de")
   }
 
-  test("languageId: single-profile maps work; zero-score ties go to the last language (r11)") {
+  test("languageId: single-profile maps work; zero scores → NULL by default, last-language tiebreak at minScore=0 (r12)") {
     val d = Seq((1L, "the dog"), (2L, "zzz qqq")).toDF("doc_id", "text")
     // one profile: greatest() needs 2+ args — must be a plain projection
     val single = TextAnalysis.languageId(d, "text", "doc_id",
-      profiles = Map("en" -> Seq("the"))).as[(Long, String)].collect().toMap
-    assert(single(1L) == "en" && single(2L) == "en")
-    // all-zero scores resolve to the lexicographically LAST language (the
-    // documented struct-max tiebreak) — pinned so the contract stays loud
-    val m = TextAnalysis.languageId(d, "text", "doc_id").as[(Long, String)].collect().toMap
-    assert(m(2L) == "fr")
+      profiles = Map("en" -> Seq("the"))).as[(Long, Option[String])].collect().toMap
+    assert(single(1L).contains("en") && single(2L).isEmpty)
+    // default minScore=1: text matching no profile honestly predicts NULL
+    val m = TextAnalysis.languageId(d, "text", "doc_id")
+      .as[(Long, Option[String])].collect().toMap
+    assert(m(1L).contains("en") && m(2L).isEmpty)
+    // minScore=0 forces a prediction; all-zero ties resolve to the
+    // lexicographically LAST language (the documented struct-max tiebreak)
+    val forced = TextAnalysis.languageId(d, "text", "doc_id", minScore = 0)
+      .as[(Long, String)].collect().toMap
+    assert(forced(2L) == "fr")
     intercept[IllegalArgumentException](
       TextAnalysis.languageId(d, "text", "doc_id", profiles = Map.empty))
   }
