@@ -216,6 +216,18 @@ object PipelineQueries {
       MultiModal.extractMetadata(docs, "payload").orderBy("doc_id")
     },
 
+    // real container sniffing (r12): deterministic REAL-layout PNG/JPEG/WAV
+    // heads (plus truncated-PNG corrupt rows) synthesized from doc_id, then
+    // sniffed by the production magic-number parser. The oracle predicts
+    // the metadata closed-form from doc_id — any sniffer offset error
+    // breaks the hash-match.
+    "q74_media_sniff" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id")
+      MultiModal.sniffMetadata(
+        MultiModal.MediaSynth.attach(docs, "doc_id"), "payload")
+        .orderBy("doc_id")
+    },
+
     // language-ID heuristic. Oracle-checked since round 6: the marker-hit
     // argmax (ties → lexicographically largest lang, Spark's greatest over
     // (score, lang) structs) restates exactly as DuckDB list_max over the
@@ -523,6 +535,24 @@ object PipelineQueries {
         |    list_prepend(CAST(0 AS BIGINT),
         |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |    (acc, c) -> (acc * 131 + c) % 1000000007) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // MediaSynth.forId formulas restated closed-form: the Spark side built
+    // REAL container bytes from doc_id and sniffed them back; the oracle
+    // never touches binary. Sizes are the fixed header-only container
+    // sizes (png 33 / jpeg 41 / wav 44; corrupt rows truncate to
+    // doc_id % 20 bytes — ≥8 keeps the PNG signature, <8 is unknown).
+    "q74_media_sniff" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'wav'
+        |       ELSE CASE WHEN doc_id % 20 >= 8 THEN 'png' ELSE 'unknown' END END AS format,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN doc_id % 500 + 1 WHEN 1 THEN doc_id % 300 + 1 END AS INTEGER) AS width,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN (doc_id // 7) % 500 + 1 WHEN 1 THEN (doc_id // 3) % 300 + 1 END AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 4 = 2 THEN 8000 + (doc_id % 8) * 4000 END AS INTEGER) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 4 = 2 THEN doc_id % 2 + 1 END AS INTEGER) AS channels,
+        |  CAST(CASE WHEN doc_id % 4 = 2 THEN 16 END AS INTEGER) AS bits_per_sample,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 41 WHEN 2 THEN 44 ELSE doc_id % 20 END AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END AS INTEGER) AS valid
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q30: the full-probe IVF gate equals brute force by construction, so

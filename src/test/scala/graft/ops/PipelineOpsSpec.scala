@@ -500,4 +500,75 @@ class MultiModalSpec extends AnyFunSuite with SparkTestBase {
     assert(out.map(r => new String(r.getAs[Array[Byte]]("payload"))).toSeq ==
       Seq("ab", "cd", "ef", "gh"))
   }
+
+  import MultiModal.{MediaSniffer, MediaSynth}
+
+  test("MediaSniffer reads PNG IHDR / JPEG SOF / WAV fmt from real layouts") {
+    val p = MediaSniffer.sniff(MediaSynth.png(640, 480))
+    assert(p == MediaSniffer.Meta("png", Some(640), Some(480), None, None, None,
+      MediaSynth.PngBytes.toLong, valid = true))
+    val j = MediaSniffer.sniff(MediaSynth.jpeg(1920, 1080))
+    assert(j == MediaSniffer.Meta("jpeg", Some(1920), Some(1080), None, None, None,
+      MediaSynth.JpegBytes.toLong, valid = true))
+    val w = MediaSniffer.sniff(MediaSynth.wav(44100, 2, 16))
+    assert(w == MediaSniffer.Meta("wav", None, None, Some(44100), Some(2), Some(16),
+      MediaSynth.WavBytes.toLong, valid = true))
+  }
+
+  test("MediaSniffer survives corrupt and truncated payloads honestly") {
+    // truncated PNG: signature intact, IHDR gone → png but invalid
+    val t12 = MediaSniffer.sniff(java.util.Arrays.copyOf(MediaSynth.png(9, 9), 12))
+    assert(t12.format == "png" && !t12.valid && t12.width.isEmpty && t12.nBytes == 12)
+    // under 8 bytes the signature itself is gone → unknown
+    assert(MediaSniffer.sniff(java.util.Arrays.copyOf(MediaSynth.png(9, 9), 5))
+      .format == "unknown")
+    // JPEG with SOI+EOI but no frame header → jpeg, invalid
+    val noSof = MediaSniffer.sniff(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte))
+    assert(noSof.format == "jpeg" && !noSof.valid)
+    // JPEG truncated mid-SOF-segment → invalid, no crash
+    val jt = MediaSniffer.sniff(java.util.Arrays.copyOf(MediaSynth.jpeg(5, 5), 26))
+    assert(jt.format == "jpeg" && !jt.valid)
+    // WAV with a junk chunk before fmt still finds it (word-aligned walk)
+    val pre = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3, 0) ++
+      MediaSynth.wav(8000, 1, 8).drop(12)
+    val wv = MediaSniffer.sniff(pre)
+    assert(wv.format == "wav" && wv.valid && wv.sampleRate.contains(8000) &&
+      wv.channels.contains(1) && wv.bitsPerSample.contains(8))
+    // WAV whose fmt chunk never appears → wav, invalid
+    val noFmt = MediaSniffer.sniff("RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++
+      "WAVE".getBytes ++ "data".getBytes ++ Array[Byte](0, 0, 0, 0))
+    assert(noFmt.format == "wav" && !noFmt.valid)
+    // zero-dim PNG header parses but is flagged corrupt
+    assert(!MediaSniffer.sniff(MediaSynth.png(0, 7)).valid)
+    // garbage / empty / null
+    assert(MediaSniffer.sniff("hello world".getBytes).format == "unknown")
+    assert(MediaSniffer.sniff(Array.emptyByteArray).format == "unknown")
+    assert(MediaSniffer.sniff(null).format == "unknown")
+  }
+
+  test("MediaSniffer only examines the head — metadata past 1 KB of junk is not required") {
+    // a big payload with a valid PNG head sniffs fine (window is a copy cap)
+    val big = MediaSynth.png(33, 44) ++ Array.fill[Byte](100000)(0x5a)
+    val m = MediaSniffer.sniff(big)
+    assert(m.valid && m.width.contains(33) && m.nBytes == big.length.toLong)
+  }
+
+  test("sniffMetadata attaches typed columns and drops the payload; synth attach is deterministic") {
+    val ids = Seq(0L, 1L, 2L, 3L, 7L, 11L).toDF("doc_id")
+    val out = MultiModal.sniffMetadata(MediaSynth.attach(ids, "doc_id"), "payload")
+      .orderBy("doc_id").collect()
+    assert(out.head.schema.fieldNames.toSeq == Seq("doc_id", "format", "width",
+      "height", "sample_rate", "channels", "bits_per_sample", "n_bytes", "valid"))
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(0L).getString(1) == "png" && byId(0L).getInt(2) == 1 &&
+      byId(0L).getInt(8) == 1)
+    assert(byId(1L).getString(1) == "jpeg" && byId(1L).getInt(2) == 2)
+    assert(byId(2L).getString(1) == "wav" && byId(2L).getInt(4) == 16000 &&
+      byId(2L).getInt(5) == 1)
+    // corrupt rows: 3 % 20 = 3 < 8 → unknown; 7 → unknown; 11 ≥ 8 → png invalid
+    assert(byId(3L).getString(1) == "unknown" && byId(3L).getInt(8) == 0)
+    assert(byId(11L).getString(1) == "png" && byId(11L).getInt(8) == 0 &&
+      byId(11L).isNullAt(2))
+  }
 }
