@@ -41,6 +41,41 @@ final class DeltaLog private (
   def commitFile(version: Long): Path =
     new Path(logPath, DeltaLog.pad20(version) + ".json")
 
+  /** `_delta_log/_commits/` — coordinated commits not yet backfilled to
+    * their classic names ([[CoordinatedCommits]]). */
+  val commitsDir: Path = CoordinatedCommits.commitsDir(logPath)
+
+  /** version → staged file for commits the coordinator tracks as
+    * un-backfilled; merged over the filesystem listing so replay, time
+    * travel and conflict checks see the coordinated tail. Refreshed from
+    * the coordinator on [[update]] and extended by this process's own
+    * coordinated commits. */
+  @volatile private var stagedCommits: Map[Long, Path] = Map.empty
+
+  private[delta] def registerStaged(commits: Seq[CoordinatedCommit]): Unit =
+    if (commits.nonEmpty)
+      stagedCommits = stagedCommits ++
+        commits.map(c => c.version -> new Path(commitsDir, c.fileName))
+
+  /** Replace the staged map with the coordinator's current un-backfilled
+    * tail; false when the snapshot is not coordinated (or the coordinator
+    * is unknown here — reads then serve the backfilled view). */
+  private def refreshStaged(snap: Snapshot): Boolean =
+    CoordinatedCommits.clientForRead(snap) match {
+      case Some((client, tconf)) =>
+        val (pending, _) = client.getCommits(logPath.toString, tconf)
+        stagedCommits =
+          pending.map(c => c.version -> new Path(commitsDir, c.fileName)).toMap
+        true
+      case None => false
+    }
+
+  /** A commit's readable location: the classic name, or the staged file
+    * while un-backfilled. Preferring the staged copy is safe — backfill
+    * writes identical bytes and staged files outlive it until retention. */
+  private def resolveCommitFile(version: Long): Path =
+    stagedCommits.getOrElse(version, commitFile(version))
+
   /** Single-part checkpoint naming (`rust/src/delta.rs:412-416`). */
   def checkpointFile(version: Long): Path =
     new Path(logPath, DeltaLog.pad20(version) + ".checkpoint.parquet")
@@ -50,8 +85,8 @@ final class DeltaLog private (
   /** All commit versions present, ascending — one listing instead of the
     * reference's per-version HEAD probe loop (`rust/src/delta.rs:548-586`;
     * its own TODO at /root/reference/TODO:2 suggests exactly this). */
-  def listCommitVersions(): Seq[Long] =
-    store.list(logPath).flatMap { st =>
+  def listCommitVersions(): Seq[Long] = {
+    val backfilled = store.list(logPath).flatMap { st =>
       st.getPath.getName match {
         case CommitFileRe(v) =>
           commitTimestamps.synchronized {
@@ -60,7 +95,11 @@ final class DeltaLog private (
           Some(v.toLong)
         case _ => None
       }
-    }.sorted
+    }
+    // the coordinated tail extends the listing (staged-only versions are
+    // real commits; a version both staged and backfilled counts once)
+    (backfilled ++ stagedCommits.keys).distinct.sorted
+  }
 
   def latestVersion(): Long = listCommitVersions().lastOption.getOrElse(-1L)
 
@@ -126,16 +165,18 @@ final class DeltaLog private (
   /** Parse one commit file into actions — `apply_log`
     * (`rust/src/delta.rs:504-522`): newline-delimited JSON, one wrapped
     * action per line. */
-  def readCommit(version: Long): Seq[Action] =
+  def readCommit(version: Long): Seq[Action] = {
+    val file = resolveCommitFile(version)
     try
-      store.readLines(commitFile(version))
+      store.readLines(file)
         .filter(_.nonEmpty)
         .flatMap(ActionCodec.fromJsonLine)
         .toSeq
     catch {
       case e: Exception => throw new IllegalStateException(
-        s"corrupt commit file ${commitFile(version)}: ${e.getMessage}", e)
+        s"corrupt commit file $file: ${e.getMessage}", e)
     }
+  }
 
   @volatile private var cached: Snapshot = Snapshot()
   private val commitTimestamps = mutable.Map[Long, Long]()
@@ -148,6 +189,10 @@ final class DeltaLog private (
     * (`DeltaTable::load`, `rust/src/delta.rs:589-608`). */
   def update(): Snapshot = synchronized {
     var snap = cached
+    // Coordinated tables: refresh the staged tail FIRST so the listing
+    // below already includes it. A cold load cannot know it is coordinated
+    // yet — the second phase below covers the crossing-the-enablement case.
+    val preRefreshed = refreshStaged(snap)
     if (snap.version < 0)
       newestUsableCheckpoint().foreach { cp => snap = restoreCheckpoint(cp) }
     // Contiguous replay only — the reference probes version-by-version and
@@ -173,6 +218,16 @@ final class DeltaLog private (
           contiguousFrom(listed.filter(_ > bridged.version), bridged.version))
         snap = bridged
       }
+    // Second phase for loads that CROSSED the coordinated-commits
+    // enablement during this refresh (cold start, or a warm handle that
+    // just replayed the enablement commit): the snapshot now names a
+    // coordinator the first phase did not consult — fetch its tail and
+    // replay it too.
+    if (!preRefreshed && refreshStaged(snap)) {
+      val listed2 = listCommitVersions()
+      snap = replayTail(snap,
+        contiguousFrom(listed2.filter(_ > snap.version), snap.version))
+    }
     // replay advanced: check the landing version against any recorded
     // checksum (graft's own or a foreign writer's) — one HEAD per refresh
     // that actually moved, never per call. Validate BEFORE caching: a
@@ -327,7 +382,7 @@ final class DeltaLog private (
   private def fileTimestamp(version: Long): Long =
     commitTimestamps.synchronized {
       commitTimestamps.getOrElseUpdate(
-        version, store.fileStatus(commitFile(version)).getModificationTime)
+        version, store.fileStatus(resolveCommitFile(version)).getModificationTime)
     }
 
   private val ictCache = mutable.Map[Long, Option[Long]]()
@@ -476,6 +531,22 @@ final class DeltaLog private (
         }
       }
     }
+    // Staged-commit hygiene: `_commits/` files for versions a surviving
+    // checkpoint supersedes are retention-expired like their classic
+    // twins (backfilled copies exist; version-race losers are garbage the
+    // moment the race resolved). Current un-backfilled versions are ≥ the
+    // checkpoint version by construction, so the staged tail is safe.
+    if (store.exists(commitsDir))
+      store.list(commitsDir).foreach { st =>
+        val name = st.getPath.getName
+        name match {
+          case CoordinatedCommits.StagedRe(v, _)
+              if v.toLong < checkpointVersion && st.getModificationTime < cutoff =>
+            store.delete(st.getPath)
+            deleted += s"_commits/$name"
+          case _ => ()
+        }
+      }
     // v2 sidecar hygiene: a deleted v2 checkpoint leaves its sidecars
     // orphaned (nothing else names them). Reclaim `_sidecars/` files past
     // the cutoff that NO surviving v2 checkpoint references — the

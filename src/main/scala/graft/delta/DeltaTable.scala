@@ -393,6 +393,40 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     txn.commit(Some(CommitInfoAction(info)))
   }
 
+  /** Route all future commits through a registered commit coordinator
+    * ([[CoordinatedCommits]], delta-spark's `coordinatedCommits-preview`
+    * feature): registers the table with the coordinator, persists the
+    * coordinator name + confs, and lifts the protocol to writer 7 with
+    * the feature declared — in ONE filesystem-routed enablement commit.
+    * The coordinator is re-seeded at the exact landed version afterwards,
+    * so its arbitration starts precisely where rename arbitration ended
+    * (an fs writer racing the enablement aborts on the metadata-change
+    * conflict rule, so no rename-routed commit can follow it). */
+  def enableCoordinatedCommits(coordinatorName: String,
+                               coordinatorConf: Map[String, String] = Map.empty): Long = {
+    val client = CommitCoordinatorProvider.lookup(coordinatorName).getOrElse(
+      throw new IllegalArgumentException(
+        s"no commit coordinator registered under '$coordinatorName' " +
+        "(CommitCoordinatorProvider.register)"))
+    val snap = log.update()
+    if (snap.version < 0) throw new NotATableException(log.tablePath.toString)
+    val tableConf = client.registerTable(log.logPath.toString, snap.version)
+    val v = setProperties(Map(
+      CoordinatedCommits.CoordinatorNameKey -> coordinatorName,
+      CoordinatedCommits.CoordinatorConfKey -> CoordinatedCommits.toJson(coordinatorConf),
+      CoordinatedCommits.TableConfKey -> CoordinatedCommits.toJson(tableConf)))
+    client.registerTable(log.logPath.toString, v)
+    v
+  }
+
+  /** Return the table to filesystem-arbitrated commits. The disablement
+    * commit itself routes through the coordinator and force-backfills the
+    * whole staged tail ([[OptimisticTransaction]]), so the log is classic
+    * and complete before the first rename-routed commit after it. */
+  def disableCoordinatedCommits(): Long =
+    unsetProperties(Seq(CoordinatedCommits.CoordinatorNameKey,
+      CoordinatedCommits.CoordinatorConfKey, CoordinatedCommits.TableConfKey))
+
   /** Live metadata domains (domain → configuration), latest-writer-wins
     * per domain (Delta `domainMetadata`; see [[DomainMetadataAction]]). */
   def domainMetadata: Map[String, String] = snapshot.domainMetadata

@@ -163,6 +163,16 @@ final class OptimisticTransaction(val log: DeltaLog) {
         case _ => false
       }
     val perVersionStamp = ictEnabled || rtStamp
+    // Coordinated-commits routing comes from the READ snapshot
+    // ([[CoordinatedCommits]]): the ENABLEMENT commit (snapshot not yet
+    // coordinated) still goes through the filesystem rename; every commit
+    // after — including the DISABLEMENT commit, which must leave the log
+    // fully backfilled or the next filesystem writer would re-claim an
+    // un-backfilled version and fork history — goes through the
+    // coordinator.
+    val coordinated = CoordinatedCommits.clientForWrite(log.snapshot)
+    val disabling = coordinated.isDefined &&
+      !CoordinatedCommits.isCoordinated(effectiveConfig)
     var tmp: Path = if (perVersionStamp) null else prepareCommit(operation.toSeq)
     var tmpFor = Long.MinValue
     var lastIct = 0L
@@ -175,7 +185,16 @@ final class OptimisticTransaction(val log: DeltaLog) {
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
-      val latest = log.latestVersion()
+      val latest = coordinated match {
+        case Some((client, tconf)) =>
+          // the coordinator's view bounds the filesystem's: staged commits
+          // it still tracks must be visible to the conflict check below
+          val (pending, coordLatest) =
+            client.getCommits(log.logPath.toString, tconf)
+          log.registerStaged(pending)
+          math.max(log.latestVersion(), coordLatest)
+        case None => log.latestVersion()
+      }
       try {
         // classify every commit that landed since our read snapshot before
         // (re-)attempting; an incompatible winner aborts instead of retrying
@@ -191,7 +210,33 @@ final class OptimisticTransaction(val log: DeltaLog) {
           lastIct = ict
           tmpFor = latest
         }
-        log.store.renameNoReplace(tmp, log.commitFile(latest + 1))
+        coordinated match {
+          case Some((client, tconf)) =>
+            // stage under a race-proof UUID name, then CLAIM the version at
+            // the coordinator — ITS accept/reject is the linearization
+            // point that replaces the rename
+            val staged = new Path(log.commitsDir,
+              CoordinatedCommits.stagedName(latest + 1))
+            log.store.mkdirs(log.commitsDir)
+            log.store.write(staged, log.store.read(tmp))
+            val cc = CoordinatedCommit(latest + 1, staged.getName,
+              System.currentTimeMillis())
+            try client.commit(log.logPath.toString, tconf, cc)
+            catch {
+              case e: CommitVersionConflictException =>
+                log.store.delete(staged) // our staged file lost the race
+                // surface on the same lost-the-race retry path as the
+                // filesystem primitive
+                throw new FileAlreadyExistsException(e.getMessage)
+            }
+            log.registerStaged(Seq(cc))
+            log.store.delete(tmp)
+            if (disabling || client.backfillInterval <= 1 ||
+                (latest + 1) % client.backfillInterval == 0)
+              CoordinatedCommits.backfill(log, client, tconf)
+          case None =>
+            log.store.renameNoReplace(tmp, log.commitFile(latest + 1))
+        }
         // we minted this version's clock — no need to re-read the file
         if (ictEnabled) log.cacheIct(latest + 1, lastIct)
         val updated = log.update()

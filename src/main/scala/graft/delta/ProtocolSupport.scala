@@ -64,7 +64,11 @@ object ProtocolSupport {
       "generatedColumns", "domainMetadata", "clustering", "v2Checkpoint",
       "inCommitTimestamp", "identityColumns", "typeWidening",
       "vacuumProtocolCheck", "variantType", "variantType-preview",
-      "rowTracking")
+      "rowTracking",
+      // commits route through the named coordinator ([[CoordinatedCommits]]);
+      // assertWritable separately refuses when that coordinator is not
+      // registered in this process
+      CoordinatedCommits.Feature, CoordinatedCommits.FeatureBare)
 
   private def config(snap: Snapshot): Map[String, String] =
     snap.metadata.map(_.configuration).getOrElse(Map.empty)
@@ -128,6 +132,15 @@ object ProtocolSupport {
       refuse("uses column mapping: this write path does not stage data " +
         "under the table's physical column names (plain append/overwrite " +
         "through GraftWriter does)")
+    // Coordinated tables are writable ONLY through their coordinator — a
+    // filesystem-routed commit would fork history past the staged tail.
+    // Readable regardless (writer feature: the backfilled view is legal).
+    CoordinatedCommits.coordinatorNameOf(config(snap)).foreach { name =>
+      if (CommitCoordinatorProvider.lookup(name).isEmpty)
+        refuse(s"commits route through commit coordinator '$name', which " +
+          "is not registered in this process " +
+          "(CommitCoordinatorProvider.register)")
+    }
     // column invariants and generated columns are maintained: enforced
     // per-row in every write job (Constraints.enforce), generated values
     // computed when the frame omits them (Constraints.withGenerated).
@@ -274,6 +287,9 @@ object ProtocolSupport {
       readerWriterFeatureFence(snapOf(p), "v2Checkpoint").foreach(np => p = np)
     if (TableConfig.inCommitTimestampsEnabled(config))
       writerFeatureFence(snapOf(p), "inCommitTimestamp").foreach(np => p = np)
+    // naming a commit coordinator gates the coordinatedCommits feature
+    if (CoordinatedCommits.isCoordinated(config))
+      writerFeatureFence(snapOf(p), CoordinatedCommits.Feature).foreach(np => p = np)
     // variant columns are a SCHEMA-gated feature (reader+writer)
     if (schema.exists(DeltaSchema.hasVariant))
       readerWriterFeatureFence(snapOf(p), "variantType").foreach(np => p = np)

@@ -126,7 +126,15 @@ object TableConfig {
     IctEnablementTimestamp -> { v: String =>
       require(v.trim.forall(_.isDigit) && v.trim.nonEmpty,
         s"$IctEnablementTimestamp must be epoch millis, got '$v'")
-    })
+    },
+    // coordinated commits ([[CoordinatedCommits]]): the name must be
+    // non-empty; the two conf payloads are coordinator-opaque JSON
+    CoordinatedCommits.CoordinatorNameKey -> { v: String =>
+      require(v.trim.nonEmpty,
+        s"${CoordinatedCommits.CoordinatorNameKey} must name a coordinator")
+    },
+    CoordinatedCommits.CoordinatorConfKey -> { _: String => () },
+    CoordinatedCommits.TableConfKey -> { _: String => () })
 
   /** Effective configuration of a snapshot (empty before the first
     * `metaData`). */

@@ -672,6 +672,43 @@ object DeltaQueries {
           unix_micros(col("ts_us").cast("timestamp")).as("ts_us_epoch"))
         .orderBy("event_id", "user_id", "ts_us_epoch")
     },
+
+    // Coordinated commits end-to-end (round 12, r11 verdict #4): after the
+    // enablement commit, versions are claimed by a COMMIT COORDINATOR and
+    // staged under `_delta_log/_commits/`; an interval-2 coordinator
+    // leaves v3 staged-only so the gate can PROVE merge-on-read (a fresh
+    // log reads v3 while the classic name does not exist), then the v4
+    // delete backfills the tail. The oracle replays the BACKFILLED log
+    // mechanically in DuckDB — a green row proves read-after-backfill
+    // equivalence: a feature-unaware foreign reader reconstructs exactly
+    // the state the coordinated writers produced.
+    "q75_coordinated_commits" -> { (s, dir) =>
+      val t = freshDir("coordcommit")
+      val d = li(s, dir)
+      GraftWriter.write(d.filter(col("l_orderkey") < 400), t,
+        SaveMode.ErrorIfExists)                                       // v0 (fs)
+      CommitCoordinatorProvider.register("in-memory-i2",
+        new InMemoryCommitCoordinator(backfillInterval = 2))
+      DeltaTable.forPath(s, t).enableCoordinatedCommits("in-memory-i2") // v1 (fs)
+      GraftWriter.write(
+        d.filter(col("l_orderkey") >= 400 && col("l_orderkey") < 800),
+        t, SaveMode.Append)                                           // v2 → backfills
+      GraftWriter.write(
+        d.filter(col("l_orderkey") >= 800 && col("l_orderkey") < 1200),
+        t, SaveMode.Append)                                           // v3 staged-only
+      val coordLog = DeltaLog.forPath(s, t)
+      val seen = coordLog.update().version
+      require(seen == 3, s"coordinator-aware read must see v3, got v$seen")
+      require(!coordLog.store.exists(coordLog.commitFile(3)),
+        "v3 must be un-backfilled at this point (interval 2)")
+      Dml.delete(s, t, col("l_returnflag") === "A")                   // v4 → backfills 3..4
+      require(coordLog.store.exists(coordLog.commitFile(3)) &&
+              coordLog.store.exists(coordLog.commitFile(4)),
+        "the v4 commit must have backfilled the staged tail")
+      DeltaTable.forPath(s, t).toDF
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    },
   )
 
   // q70/q71 oracles read graft's own artifacts, so they need the table
@@ -679,6 +716,7 @@ object DeltaQueries {
   private val replayT = s"$workRoot/logreplay"
   private val dvReplayT = s"$workRoot/dvreplay"
   private val partReplayT = s"$workRoot/partreplay"
+  private val coordT = s"$workRoot/coordcommit"
 
   val oracleSql: Map[String, String] = Map(
     // Mechanical log replay in DuckDB: checkpoint parquet as the base,
@@ -713,6 +751,27 @@ object DeltaQueries {
          |FROM read_parquet('$replayT/*.parquet', filename=true, union_by_name=true)
          |WHERE regexp_extract(filename, '([^/]+)${"$"}', 1) IN (SELECT path FROM active)
          |ORDER BY l_orderkey, l_linenumber, qty, l_returnflag""".stripMargin,
+
+    // Read-after-backfill: the coordinated writers' history, replayed
+    // from the BACKFILLED classic names only (the *.json glob does not
+    // descend into _commits/) — what a feature-unaware reader sees.
+    "q75_coordinated_commits" ->
+      s"""WITH jl AS (
+         |  SELECT CAST(regexp_extract(filename, '(\\d{20})\\.json', 1) AS BIGINT) AS v, add, remove
+         |  FROM read_json('$coordT/_delta_log/*.json', format='newline_delimited',
+         |                 union_by_name=true, filename=true)),
+         |acts AS (
+         |  SELECT coalesce(add.path, remove.path) AS path, v, (add.path IS NOT NULL) AS is_add
+         |  FROM jl WHERE add.path IS NOT NULL OR remove.path IS NOT NULL),
+         |active AS (
+         |  SELECT path FROM (
+         |    SELECT path, is_add,
+         |           row_number() OVER (PARTITION BY path ORDER BY v DESC, is_add DESC) AS rn
+         |    FROM acts) WHERE rn = 1 AND is_add)
+         |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+         |FROM read_parquet('$coordT/*.parquet', filename=true, union_by_name=true)
+         |WHERE regexp_extract(filename, '([^/]+)${"$"}', 1) IN (SELECT path FROM active)
+         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
 
     // DV cardinality replay: per active file, visible = parquet rows −
     // add.deletionVector.cardinality from the latest add in the log.

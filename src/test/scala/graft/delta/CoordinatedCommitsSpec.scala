@@ -1,0 +1,246 @@
+package graft.delta
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.Executors
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+import scala.jdk.CollectionConverters._
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Coordinated commits ([[CoordinatedCommits]]): commit-via-coordinator,
+  * staged files under `_delta_log/_commits/`, backfill to classic names,
+  * merge-on-read of the staged tail, the enable/disable lifecycle, and a
+  * randomized commit/backfill safety model. */
+class CoordinatedCommitsSpec extends AnyFunSuite with SparkTestBase {
+  import LogFixtures._
+
+  private def registered(name: String, interval: Int): String = {
+    CommitCoordinatorProvider.register(name,
+      new InMemoryCommitCoordinator(backfillInterval = interval))
+    name
+  }
+
+  private def fsJson(dir: java.nio.file.Path, v: Long): java.nio.file.Path =
+    dir.resolve("_delta_log").resolve(f"$v%020d.json")
+
+  private def stagedFiles(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val d = dir.resolve("_delta_log").resolve("_commits")
+    if (Files.isDirectory(d))
+      Files.list(d).iterator().asScala.toSeq
+        .filterNot(_.getFileName.toString.startsWith(".")) // Hadoop .crc sidecars
+        .sortBy(_.getFileName.toString)
+    else Nil
+  }
+
+  private def append(dir: java.nio.file.Path, file: String): Long = {
+    val log = DeltaLog.forPath(spark, dir.toString)
+    log.startTransaction()
+      .addAction(ActionCodec.fromJsonLine(add(file)).get).commit()
+  }
+
+  test("enable → coordinated append stages under _commits and backfills at interval 1") {
+    val dir = tempTable("cc-basic")
+    writeCommit(dir, 0, Seq(protocol, metaData))
+    val t = DeltaTable.forPath(spark, dir.toString)
+    val enableV = t.enableCoordinatedCommits("in-memory")
+    assert(enableV == 1)
+    // the enablement commit is filesystem-routed and declares the feature
+    assert(Files.exists(fsJson(dir, 1)))
+    val snap = DeltaLog.forPath(spark, dir.toString).update()
+    assert(snap.writerFeatures.exists(_.contains(CoordinatedCommits.Feature)))
+    val v = append(dir, "c0.parquet")
+    assert(v == 2)
+    // staged AND backfilled (interval 1), byte-identical
+    val staged = stagedFiles(dir)
+    assert(staged.size == 1 &&
+      staged.head.getFileName.toString.startsWith(f"${2L}%020d."))
+    assert(Files.exists(fsJson(dir, 2)))
+    assert(Files.readString(staged.head) == Files.readString(fsJson(dir, 2)))
+    val files = DeltaLog.forPath(spark, dir.toString).update().files.map(_.path)
+    assert(files == Vector("c0.parquet"))
+  }
+
+  test("staged-only commits are visible to coordinator-aware readers before backfill") {
+    val dir = tempTable("cc-staged-vis")
+    writeCommit(dir, 0, Seq(protocol, metaData))
+    DeltaTable.forPath(spark, dir.toString)
+      .enableCoordinatedCommits(registered("im-i3", 3))
+    assert(append(dir, "a.parquet") == 2)      // 2 % 3 != 0 → staged only
+    assert(!Files.exists(fsJson(dir, 2)), "v2 must not be backfilled yet")
+    // a FRESH log (cold read) merges the coordinator tail over the listing
+    val cold = DeltaLog.forPath(spark, dir.toString).update()
+    assert(cold.version == 2 && cold.files.map(_.path) == Vector("a.parquet"))
+    assert(append(dir, "b.parquet") == 3)      // 3 % 3 == 0 → backfills 2..3
+    assert(Files.exists(fsJson(dir, 2)) && Files.exists(fsJson(dir, 3)))
+    assert(append(dir, "c.parquet") == 4)      // staged only again
+    assert(!Files.exists(fsJson(dir, 4)))
+    val cold2 = DeltaLog.forPath(spark, dir.toString).update()
+    assert(cold2.version == 4 &&
+      cold2.files.map(_.path).toSet == Set("a.parquet", "b.parquet", "c.parquet"))
+    // feature-unaware view (fs only) is stale but consistent at v3
+    assert(DeltaLog.forPath(spark, dir.toString).snapshotForVersion(3)
+      .files.map(_.path).toSet == Set("a.parquet", "b.parquet"))
+  }
+
+  test("a table naming an unregistered coordinator reads (stale view) but refuses writes") {
+    val dir = tempTable("cc-foreign")
+    val md = s"""{"metaData":{"id":"11111111-2222-3333-4444-666666666666","format":{"provider":"parquet","options":{}},"schemaString":"$schemaString","partitionColumns":[],"configuration":{"${CoordinatedCommits.CoordinatorNameKey}":"no-such-coordinator"},"createdTime":1587968585000}}"""
+    val proto = s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["${CoordinatedCommits.Feature}"]}}"""
+    writeCommit(dir, 0, Seq(proto, md, add("f0.parquet")))
+    val log = DeltaLog.forPath(spark, dir.toString)
+    val snap = log.update() // read OK: writer feature, backfilled view legal
+    assert(snap.version == 0 && snap.files.map(_.path) == Vector("f0.parquet"))
+    val e = intercept[UnsupportedProtocolException] {
+      log.startTransaction()
+        .addAction(ActionCodec.fromJsonLine(add("x.parquet")).get).commit()
+    }
+    assert(e.getMessage.contains("no-such-coordinator"))
+  }
+
+  test("3 writers x 5 commits race through one coordinator: contiguous versions, every add lands") {
+    val dir = tempTable("cc-storm")
+    writeCommit(dir, 0, Seq(protocol, metaData))
+    DeltaTable.forPath(spark, dir.toString)
+      .enableCoordinatedCommits(registered("im-storm", 2))
+    val pool = Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val fs = (0 until 3).map { w =>
+      Future {
+        val log = DeltaLog.forPath(spark, dir.toString)
+        log.update()
+        (0 until 5).map { i =>
+          log.startTransaction()
+            .addAction(ActionCodec.fromJsonLine(add(s"w$w-$i.parquet")).get)
+            .commit()
+        }
+      }
+    }
+    val versions = Await.result(Future.sequence(fs), 120.seconds).flatten
+    pool.shutdown()
+    // versions 2..16 claimed exactly once
+    assert(versions.sorted == (2L to 16L))
+    val snap = DeltaLog.forPath(spark, dir.toString).update()
+    assert(snap.version == 16)
+    assert(snap.files.map(_.path).toSet ==
+      (for (w <- 0 until 3; i <- 0 until 5) yield s"w$w-$i.parquet").toSet)
+    // finish the backfill and check fs bytes == staged bytes for every version
+    val log = DeltaLog.forPath(spark, dir.toString)
+    val Some((client, tconf)) = CoordinatedCommits.clientForRead(log.update())
+    CoordinatedCommits.backfill(log, client, tconf)
+    (2L to 16L).foreach { v =>
+      assert(Files.exists(fsJson(dir, v)), s"v$v not backfilled")
+      val staged = stagedFiles(dir).find(_.getFileName.toString.startsWith(f"$v%020d."))
+      staged.foreach(s =>
+        assert(Files.readString(s) == Files.readString(fsJson(dir, v))))
+    }
+    // coordinator no longer tracks anything
+    assert(client.getCommits(log.logPath.toString, tconf)._1.isEmpty)
+  }
+
+  test("disablement commits through the coordinator and leaves the log fully backfilled") {
+    val dir = tempTable("cc-disable")
+    writeCommit(dir, 0, Seq(protocol, metaData))
+    val t = DeltaTable.forPath(spark, dir.toString)
+    t.enableCoordinatedCommits(registered("im-i100", 100))
+    append(dir, "a.parquet"); append(dir, "b.parquet") // staged only (interval 100)
+    assert(!Files.exists(fsJson(dir, 2)) && !Files.exists(fsJson(dir, 3)))
+    val dv = DeltaTable.forPath(spark, dir.toString).disableCoordinatedCommits()
+    assert(dv == 4)
+    // the disable commit force-backfilled EVERYTHING including itself
+    (2L to 4L).foreach(v => assert(Files.exists(fsJson(dir, v)), s"v$v missing"))
+    // the next commit is rename-routed: no new staged file appears
+    val stagedBefore = stagedFiles(dir).size
+    assert(append(dir, "after.parquet") == 5)
+    assert(Files.exists(fsJson(dir, 5)) && stagedFiles(dir).size == stagedBefore)
+    val files = DeltaLog.forPath(spark, dir.toString).update().files.map(_.path).toSet
+    assert(files == Set("a.parquet", "b.parquet", "after.parquet"))
+  }
+
+  test("backfill is idempotent across a crash between copy and register") {
+    val dir = tempTable("cc-crash")
+    writeCommit(dir, 0, Seq(protocol, metaData))
+    DeltaTable.forPath(spark, dir.toString)
+      .enableCoordinatedCommits(registered("im-crash", 100))
+    append(dir, "a.parquet"); append(dir, "b.parquet")
+    // simulate a backfiller that copied v2 then died before registerBackfill
+    val v2staged = stagedFiles(dir)
+      .find(_.getFileName.toString.startsWith(f"${2L}%020d.")).get
+    Files.copy(v2staged, fsJson(dir, 2))
+    val log = DeltaLog.forPath(spark, dir.toString)
+    val Some((client, tconf)) = CoordinatedCommits.clientForRead(log.update())
+    CoordinatedCommits.backfill(log, client, tconf) // must skip v2, copy v3
+    assert(Files.exists(fsJson(dir, 3)))
+    assert(Files.readString(fsJson(dir, 2)) == Files.readString(v2staged))
+    assert(client.getCommits(log.logPath.toString, tconf)._1.isEmpty)
+    assert(DeltaLog.forPath(spark, dir.toString).update().files.size == 2)
+  }
+
+  test("randomized model: concurrent commits + racing backfills keep history linear") {
+    (1 to 12).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val dir = tempTable(s"cc-model-$seed")
+      writeCommit(dir, 0, Seq(protocol, metaData))
+      val interval = Seq(1, 2, 5)(rnd.nextInt(3))
+      DeltaTable.forPath(spark, dir.toString)
+        .enableCoordinatedCommits(registered(s"im-model-$seed", interval))
+      val writers = 2 + rnd.nextInt(2)
+      val perWriter = 3
+      val pool = Executors.newFixedThreadPool(writers + 1)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val commitFs = (0 until writers).map { w =>
+        Future {
+          val log = DeltaLog.forPath(spark, dir.toString)
+          log.update()
+          (0 until perWriter).map { i =>
+            log.startTransaction()
+              .addAction(ActionCodec.fromJsonLine(add(s"s$seed-w$w-$i.parquet")).get)
+              .commit()
+          }
+        }
+      }
+      // a backfiller races the writers the whole time
+      val backfiller = Future {
+        val log = DeltaLog.forPath(spark, dir.toString)
+        (0 until 5).foreach { _ =>
+          CoordinatedCommits.clientForRead(log.update()).foreach {
+            case (c, tc) => CoordinatedCommits.backfill(log, c, tc)
+          }
+        }
+      }
+      val versions =
+        Await.result(Future.sequence(commitFs), 120.seconds).flatten.sorted
+      Await.result(backfiller, 120.seconds)
+      pool.shutdown()
+      val n = writers * perWriter
+      assert(versions == (2L to (1L + n)),
+        s"seed $seed: versions not contiguous/unique: $versions")
+      val snap = DeltaLog.forPath(spark, dir.toString).update()
+      assert(snap.version == 1L + n)
+      assert(snap.files.size == n, s"seed $seed: lost adds")
+      // every backfilled file is byte-identical to its staged source
+      stagedFiles(dir).foreach { s =>
+        val v = s.getFileName.toString.take(20).toLong
+        val fs = fsJson(dir, v)
+        if (Files.exists(fs))
+          assert(Files.readString(fs) == Files.readString(s),
+            s"seed $seed: v$v backfill diverged from staged bytes")
+      }
+    }
+  }
+
+  test("time travel and timestamps resolve staged-only versions") {
+    val dir = tempTable("cc-tt")
+    writeCommit(dir, 0, Seq(protocol, metaData))
+    DeltaTable.forPath(spark, dir.toString)
+      .enableCoordinatedCommits(registered("im-tt", 100))
+    append(dir, "a.parquet")
+    append(dir, "b.parquet")
+    val log = DeltaLog.forPath(spark, dir.toString)
+    log.update()
+    // pinned load of a staged-only version replays through the staged file
+    assert(log.snapshotForVersion(2).files.map(_.path) == Vector("a.parquet"))
+    assert(log.versionTimestamp(3) > 0)
+  }
+}
