@@ -138,7 +138,7 @@ object DeltaQueries {
         Map("l_quantity" -> (col("l_quantity") + 100.0)))
       DeltaTable.forPath(s, t).toDF
         .select(col("l_orderkey"), col("l_linenumber"),
-          (col("l_quantity").cast("decimal(18,6)") * 1000000).cast("long").as("qty"),
+          Relational.micro(col("l_quantity")).as("qty"),
           col("l_returnflag"))
         .orderBy("l_orderkey", "l_linenumber", "qty", "l_returnflag")
     },
@@ -165,7 +165,7 @@ object DeltaQueries {
         .execute()
       DeltaTable.forPath(s, t).toDF
         .select(col("l_orderkey"), col("l_linenumber"),
-          (col("l_quantity").cast("decimal(18,6)") * 1000000).cast("long").as("qty"),
+          Relational.micro(col("l_quantity")).as("qty"),
           col("l_returnflag"))
         .orderBy("l_orderkey", "l_linenumber", "qty", "l_returnflag")
     },
@@ -181,7 +181,7 @@ object DeltaQueries {
         t, SaveMode.Append, mergeSchema = true)
       DeltaTable.forPath(s, t).toDF
         .select(col("l_orderkey"), col("l_linenumber"),
-          (col("l_quantity").cast("decimal(18,6)") * 1000000).cast("long").as("qty"),
+          Relational.micro(col("l_quantity")).as("qty"),
           coalesce(col("l_returnflag"), lit("-")).as("flag"))
         .orderBy("l_orderkey", "l_linenumber", "qty", "flag")
     },
@@ -353,7 +353,7 @@ object DeltaQueries {
         Map("l_quantity" -> (col("l_quantity") + 200.0)))
       DeltaTable.forPath(s, t).toDF
         .select(col("l_orderkey"), col("l_linenumber"),
-          (col("l_quantity").cast("decimal(18,6)") * 1000000).cast("long").as("qty"),
+          Relational.micro(col("l_quantity")).as("qty"),
           col("l_returnflag"))
         .orderBy("l_orderkey", "l_linenumber", "qty", "l_returnflag")
     },
@@ -371,7 +371,7 @@ object DeltaQueries {
         Map("l_quantity" -> (col("l_quantity") + 100.0)))
       DeltaTable.forPath(s, t).changes(1, 2)
         .select(col("l_orderkey"), col("l_linenumber"),
-          (col("l_quantity").cast("decimal(18,6)") * 1000000).cast("long").as("qty"),
+          Relational.micro(col("l_quantity")).as("qty"),
           col("l_returnflag"), col("_change_type"), col("_commit_version"))
         .orderBy("_change_type", "l_orderkey", "l_linenumber", "qty", "l_returnflag",
           "_commit_version")
@@ -393,7 +393,7 @@ object DeltaQueries {
         Map("qty_raw" -> (col("qty_raw") + 200.0)))
       DeltaTable.forPath(s, t).toDF
         .select(col("l_orderkey"), col("l_linenumber"),
-          (col("qty_raw").cast("decimal(18,6)") * 1000000).cast("long").as("qty"),
+          Relational.micro(col("qty_raw")).as("qty"),
           col("l_returnflag"))
         .orderBy("l_orderkey", "l_linenumber", "qty", "l_returnflag")
     },
@@ -447,9 +447,16 @@ object DeltaQueries {
         SaveMode.Append)
       Dml.delete(s, t, col("l_quantity") > 48) // merge-on-read: ids keep
       val snap = DeltaLog.forPath(s, t).update()
-      val ranges = snap.files.filter(_.baseRowId.isDefined).flatMap(a =>
-        a.stats.flatMap(ActionCodec.statsFromJson).map(st =>
-          (a.baseRowId.get, a.baseRowId.get + st.numRecords))).sorted
+      val ranges = snap.files.filter(_.baseRowId.isDefined).map { a =>
+        // an add with a baseRowId but NO stats would silently vanish from
+        // the collision/high-water checks below (r12 review) — stats are
+        // protocol-optional, so their absence must fail the gate loudly,
+        // not weaken it
+        val st = a.stats.flatMap(ActionCodec.statsFromJson).getOrElse(
+          throw new IllegalStateException(
+            s"row-tracked add ${a.path} carries no stats; cannot bound its row-id range"))
+        (a.baseRowId.get, a.baseRowId.get + st.numRecords)
+      }.sorted
       require(ranges.nonEmpty, "no row-id ranges allocated")
       ranges.sliding(2).foreach {
         case Seq((_, e1), (s2, _)) =>

@@ -24,19 +24,34 @@ object PipelineQueries {
 
   /** The events table's `ts` physical type has varied across driver-generated
     * testdata vintages: parquet ns (which Spark 4 refuses by default — read as
-    * a raw nanos LONG and floor to µs, the same truncation DuckDB's ns→day
-    * truncation implies) vs parquet µs (read natively as TIMESTAMP_NTZ).
-    * Normalize both to a µs-precision timestamp column `ts_us`. */
+    * a raw nanos LONG and floor to µs, matching DuckDB's ns→µs conversion)
+    * vs parquet µs (read natively as TIMESTAMP_NTZ).
+    * Normalize both to a µs-precision timestamp column `ts_us`.
+    *
+    * The legacy nanosAsLong flag flips ONLY when the plain read refuses
+    * (the ns vintage) — unconditionally setting it would silently change
+    * parquet read semantics for every later query in the session (r12
+    * review). It must then STAY set for the session: the scan consults it
+    * at execution, after this function returns. */
   private[queries] def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t(s, dir, "events")
+    val raw =
+      try t(s, dir, "events")
+      catch {
+        case _: Exception => // ns-typed ts: Spark 4 refuses at inference
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          t(s, dir, "events")
+      }
     val tsUs = raw.schema("ts").dataType match {
       // convert_timezone pins the nanos vintage to a UTC-wall-clock NTZ —
       // a bare timestamp_micros is a TZ-AWARE instant whose later
       // date_trunc buckets in SESSION-local time, diverging from both the
-      // µs vintage and the oracle's naive timestamps in any non-UTC session
+      // µs vintage and the oracle's naive timestamps in any non-UTC session.
+      // ns→µs is FLOOR division ((ts − pmod) div 1000, exact on longs):
+      // `ts div 1000` truncates toward zero, which lands pre-epoch
+      // off-boundary nanos 1µs high of the instant's floor (r12 review).
       case org.apache.spark.sql.types.LongType =>
-        convert_timezone(lit("UTC"), timestamp_micros(expr("ts div 1000")))
+        convert_timezone(lit("UTC"),
+          timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
       case _ => col("ts").cast("timestamp_ntz")
     }
     raw.withColumn("ts_us", tsUs)
@@ -107,10 +122,14 @@ object PipelineQueries {
     // literal 0 — any budget violation breaks the hash match). Bin-level
     // detail (fill > 0.9, determinism) stays under PackingSpec.
     "q56_packing" -> { (s, dir) =>
+      // ONE budget constant for the packer, the over-budget invariant, and
+      // nothing else — three independent literals let a budget change
+      // silently void the invariant this query exists to pin (r12 review)
+      val budget = 2048L
       val docs = t(s, dir, "documents")
         .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
       val packed = Packing.packSequences(docs, "doc_id", "n_tokens",
-        budget = 2048, numPartitions = 8)
+        budget = budget, numPartitions = 8)
       val totals = packed.agg(
         count(lit(1)).as("docs_packed"),
         countDistinct("doc_id").as("docs_distinct"),
@@ -118,7 +137,7 @@ object PipelineQueries {
       val overBudget = packed
         .groupBy("bin_id")
         .agg(sum("n_tokens").as("bin_tokens"), count(lit(1)).as("n_docs"))
-        .agg(coalesce(sum(when(col("bin_tokens") > 2048 && col("n_docs") > 1, 1L)),
+        .agg(coalesce(sum(when(col("bin_tokens") > budget && col("n_docs") > 1, 1L)),
           lit(0L)).as("over_budget_bins"))
       totals.crossJoin(overBudget)
     },
@@ -201,7 +220,9 @@ object PipelineQueries {
     // tumbling-window event aggregation (batch shape of the streaming agg).
     "q31_events_window" -> { (s, dir) =>
       events(s, dir)
-        .groupBy(to_date(date_trunc("day", col("ts_us"))).as("day"), col("event_type"))
+        // to_date alone truncates a timestamp to its day — a date_trunc
+        // wrapper would be dead work suggesting sub-day semantics
+        .groupBy(to_date(col("ts_us")).as("day"), col("event_type"))
         .agg(count(lit(1)).as("n"), lsum(col("value")).as("sum_value"))
         .orderBy("day", "event_type")
     },

@@ -26,6 +26,15 @@ import org.apache.spark.sql.types.DecimalType
 object Relational {
 
   private[queries] val dec = DecimalType(18, 6)
+  /** The SQL spelling of [[dec]] — every oracle/SQL string that converts a
+    * value to micro-units must use THIS precision (ConsistencySpec pins
+    * it), so a precision fix here cannot silently miss a gate. */
+  private[queries] val DecSql = "DECIMAL(18,6)"
+  /** Per-row value → exact micro-unit long — the single scalar recipe
+    * behind [[lsum]]/[[DSUM]] and every per-row `qty` projection. */
+  private[queries] def micro(c: Column): Column = (c.cast(dec) * 1000000).cast("long")
+  /** SQL form of [[micro]] (`%s` = the source expression). */
+  private[queries] val DMICRO = s"CAST(CAST(%s AS $DecSql) * 1000000 AS BIGINT)"
   /** Order-insensitive exact sum of a double money/quantity column, emitted as
     * BIGINT micro-units (value × 1e6). The source columns carry ≤2 decimal
     * digits, so the per-row decimal→micro-long conversion is exact, and a sum
@@ -33,8 +42,8 @@ object Relational {
     * entirely: Spark's parquet FIXED_LEN_BYTE_ARRAY decimals hash differently
     * from the oracle's arrow decimal128 at the driver's gate even when values
     * compare equal (round-1 verdict), while int64 is encoding-stable. */
-  private[queries] def lsum(c: Column): Column = sum((c.cast(dec) * 1000000).cast("long"))
-  private[queries] val DSUM = "CAST(SUM(CAST(CAST(%s AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)"
+  private[queries] def lsum(c: Column): Column = sum(micro(c))
+  private[queries] val DSUM = s"CAST(SUM($DMICRO) AS BIGINT)"
   /** Per-row `extendedprice × (1 − discount)` in 1e-8 fixed-point (cents ×
     * discount-micro): both factors are exactly representable as longs, the
     * product is exact, and long-sums are order-insensitive. */
