@@ -17,6 +17,14 @@ def main():
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     results = {}
+    # a query that CRASHED in Verify writes no result dir — it must fail
+    # the gate, not silently vanish from it (r12 review: an empty outDir
+    # used to print "== 0/0 pass ==" and exit green)
+    result_dirs = {os.path.basename(d)
+                   for d in glob.glob(os.path.join(out_dir, "*"))
+                   if os.path.isdir(d)}
+    for missing in sorted(set(oracles) - result_dirs):
+        results[missing] = "MISSING: no result written (query crashed in Verify?)"
     for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
         if not os.path.isdir(qdir):
             continue
@@ -59,9 +67,20 @@ def main():
         if got_s.combine_chunks().equals(exp_s.combine_chunks()):
             results[name] = "OK"
             continue
+        # NaN-tolerant python compare (arrow equals() is NaN != NaN, so two
+        # engines AGREEING on a NaN would otherwise red-fail — r12 review)
+        def veq(a, b):
+            if isinstance(a, float) and isinstance(b, float):
+                return a == b or (a != a and b != b)
+            if isinstance(a, list) and isinstance(b, list):
+                return len(a) == len(b) and all(veq(x, y) for x, y in zip(a, b))
+            if isinstance(a, dict) and isinstance(b, dict):
+                return a.keys() == b.keys() and all(veq(a[k], b[k]) for k in a)
+            return a == b
         gv, ev = got_s.to_pylist(), exp_s.to_pylist()
-        if gv != ev:
-            bad = next(i for i, (a, b) in enumerate(zip(gv, ev)) if a != b)
+        bad = next((i for i, (a, b) in enumerate(zip(gv, ev))
+                    if not veq(a, b)), None)
+        if bad is not None:
             results[name] = f"VALUES first diff at row {bad}: got={gv[bad]} exp={ev[bad]}"
             continue
         results[name] = "OK"

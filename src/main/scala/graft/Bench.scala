@@ -107,7 +107,13 @@ object Bench {
     // whole-machine slowdown that `contended` cannot see.
     val calStPre = BenchCalibration.singleThreadSec()
     // Warmup: one agg, one join, one semi-join — covers codegen paths.
-    Seq("q1_agg", "q5_join", "q14_semijoin").foreach { w =>
+    // A subset run that includes none of the three still needs SOME warmup
+    // (the first timed query would otherwise absorb ~4 s of one-time
+    // JVM/codegen/footer-cache cost and read as a phantom regression —
+    // r12 review): fall back to one untimed run of the subset's first query.
+    val warmups = Seq("q1_agg", "q5_join", "q14_semijoin").filter(qs.contains)
+    val warmupQs = if (warmups.nonEmpty) warmups else qs.keys.take(1).toSeq
+    warmupQs.foreach { w =>
       qs.get(w).foreach(fn => try materialize(fn(spark, sfDir))
                         catch { case _: Throwable => () })
     }
@@ -211,27 +217,26 @@ object Bench {
       sweeps.forall(_.errors.contains(n)) }
     val transientErrors = sweeps.flatMap(_.errors).toMap -- persistentErrors.keys
 
-    // Locale.ROOT: the f"" interpolator formats with the JVM default
-    // locale — a comma-decimal locale would emit "value":71,6000 and break
-    // the driver's JSON parse (r7 ADVICE).
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    def toJson(m: scala.collection.Map[String, Double]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-
     val total = chosen.total
     val totalMin = mins.values.sum
     val cpuTotal =
       if (chosen.cpuSec.values.exists(_ < 0)) -1.0 else chosen.cpuSec.values.sum
     val loadMed = BenchContention.median(chosen.load1m.values.toSeq.filter(_ >= 0))
     // the regression-gate subtotal (BASELINE.md: 16-query r1 set ≤ 2×9.6 s),
-    // emitted machine-readable so the gate never has to be recomputed; a
-    // SUBSET run can't produce the gate number — sentinel -1, not a
-    // partial sum a reader would mistake for a trivially passing gate
-    def r1Sum(walls: scala.collection.Map[String, Double]): Double =
-      if (R1Set.forall(walls.contains)) R1Set.toSeq.map(walls).sum else -1.0
-    val r1Subtotal = r1Sum(chosen.results)
-    val r1SubtotalMin = r1Sum(mins)
+    // emitted machine-readable so the gate never has to be recomputed.
+    // Sentinel -1 when the number would LIE: a SUBSET run (partial sum),
+    // or any r1 query that ERRORED (a crash records ~0 s, which would
+    // read as a comfortably-passing gate over a broken engine — the r9
+    // honesty rule applied to the gate number itself, r12 review).
+    def r1Sum(walls: scala.collection.Map[String, Double],
+              errored: String => Boolean): Double =
+      if (R1Set.forall(walls.contains) && !R1Set.exists(errored))
+        R1Set.toSeq.map(walls).sum
+      else -1.0
+    val r1Subtotal = r1Sum(chosen.results, chosen.errors.contains)
+    // min-based gate number: errored only if the query failed in EVERY
+    // sweep (wallMin excludes crash samples when a clean one exists)
+    val r1SubtotalMin = r1Sum(mins, persistentErrors.contains)
     // queries whose headline wall is >3× their best sample — with two
     // samples in the artifact these are PROVEN transient, not suspected
     val outliers = mins.keys.toSeq.sorted
@@ -274,11 +279,36 @@ object Bench {
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root) + "\n")
 
     // ---- compact primary stdout line (must fit the driver's tail capture;
-    //      r11's 73-entry map did not — keep this WELL under ~2 kB) ----
-    val r1Walls = mins.view.filterKeys(R1Set).toMap
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(r1Walls)},"errors":${errorsJson(persistentErrors)},"transient_errors":${transientErrors.size},"sf":"$sfDir","n_queries":${qs.size},"value_min":${fmt(totalMin)},"r1_set_subtotal":${fmt(r1Subtotal)},"r1_set_subtotal_min":${fmt(r1SubtotalMin)},"sweeps":${sweeps.size},"outliers_over_3x":${outliers.size},"queries_file":"$outPath","contended":${chosen.contended},"cpu_total":${fmt(cpuTotal)},"load_med":${fmt(loadMed)},"cal_st":${fmt(chosen.calSt)},"cal_st_worst":${fmt(chosen.calStWorst)},"cal_mt":${fmt(chosen.calMt)},"degraded":${chosen.degraded},"degraded_mt":${chosen.degradedMt},"note":"line queries = r1-set wall_min; full per-query wall+cpu per sweep in queries_file"}"""
-    println(line)
+    //      r11's 73-entry map did not — keep this WELL under ~2 kB).
+    //      Built ENTIRELY through Jackson: hand-assembled JSON with raw
+    //      string interpolation (sfDir, outPath) was the exact
+    //      parse-breaking class the r7/r11 records suffered (r12 review). ----
+    def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
+    val lineNode = mapper.createObjectNode()
+    lineNode.put("metric", "total"); lineNode.put("value", r4(total))
+    lineNode.put("unit", "sec")
+    putMap(lineNode, "queries", mins.view.filterKeys(R1Set).toMap)
+    val errNode = lineNode.putObject("errors")
+    persistentErrors.foreach { case (k, v) => errNode.put(k, v) }
+    lineNode.put("transient_errors", transientErrors.size)
+    lineNode.put("sf", sfDir); lineNode.put("n_queries", qs.size)
+    lineNode.put("value_min", r4(totalMin))
+    lineNode.put("r1_set_subtotal", r4(r1Subtotal))
+    lineNode.put("r1_set_subtotal_min", r4(r1SubtotalMin))
+    lineNode.put("sweeps", sweeps.size)
+    lineNode.put("outliers_over_3x", outliers.size)
+    lineNode.put("queries_file", outPath)
+    lineNode.put("contended", chosen.contended)
+    lineNode.put("cpu_total", r4(cpuTotal))
+    lineNode.put("load_med", r4(loadMed))
+    lineNode.put("cal_st", r4(chosen.calSt))
+    lineNode.put("cal_st_worst", r4(chosen.calStWorst))
+    lineNode.put("cal_mt", r4(chosen.calMt))
+    lineNode.put("degraded", chosen.degraded)
+    lineNode.put("degraded_mt", chosen.degradedMt)
+    lineNode.put("note",
+      "line queries = r1-set wall_min; full per-query wall+cpu per sweep in queries_file")
+    println(mapper.writeValueAsString(lineNode))
     spark.stop()
   }
 }

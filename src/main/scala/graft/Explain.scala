@@ -16,6 +16,9 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", false)
       .config("spark.sql.extensions", "graft.delta.GraftSparkExtensions")
+      // same catalog as Bench/Verify — without it the catalog-DDL queries
+      // would audit a V2SessionCatalog plan nobody benches (r12 review)
+      .config("spark.sql.catalog.spark_catalog", "graft.delta.catalog.GraftCatalog")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names =

@@ -48,14 +48,27 @@ object MetaBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val dir = Files.createTempDirectory("graft-metabench-")
+    // the probe can synthesize ~10⁶ placeholder files; a few undeleted runs
+    // would exhaust tmpfs inodes on the shared VM (r12 review) — reclaim on
+    // ANY exit (normal or thrown)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
     val logDir = dir.resolve("_delta_log")
     Files.createDirectories(logDir)
     // one real (tiny) parquet data file, hard-copied per commit so the
     // full-range feed scan reads real footers, not fakes
     import spark.implicits._
     Seq((1L, "x")).toDF("id", "v").coalesce(1).write.parquet(dir.resolve("seed").toString)
-    val seed = Files.list(dir.resolve("seed")).filter(_.toString.endsWith(".parquet"))
-      .findFirst().get()
+    val seed = {
+      val s = Files.list(dir.resolve("seed"))
+      try s.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally s.close()
+    }
     val schemaJson =
       """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"v\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
     def commitLines(v: Int): String = {
@@ -101,7 +114,9 @@ object MetaBench {
     // measured in-line they doubled heap_with_snapshot (r11 review find).
     def writeCheckpoint(): Double = {
       val cpLog = DeltaLog.forPath(spark, dir.toString)
-      val cpSnap = cpLog.snapshotForVersion(n - 11L) // load OUTSIDE the timer
+      // clamp: a quick SPARK_GRAFT_META_COMMITS<12 sanity run would
+      // otherwise request a negative version and die here (r12 review)
+      val cpSnap = cpLog.snapshotForVersion(math.max(0L, n - 11L))
       timed(cpLog.checkpoint(cpSnap))._1
     }
     val ckptSec = writeCheckpoint()

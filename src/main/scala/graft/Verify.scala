@@ -10,6 +10,9 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(a, b)    => (a, b, None)
       case Array(a, b, f) => (a, b, Some(f.r))
+      case _ =>
+        System.err.println("usage: graft.Verify <sfDir> <outDir> [queryRegex]")
+        sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -41,21 +44,18 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // oracle_sql.json through Jackson — the serializer the rest of the
+    // engine already trusts; a gap in a bespoke escaper would silently
+    // zero the round's correctness (r11 class, r12 review: the hand-rolled
+    // escaper here was the last one standing)
+    val node = graft.delta.ActionCodec.mapper.createObjectNode()
+    // subset runs dump only the matching oracles — check.py fails any
+    // oracle key with no result dir, so the dump must mirror the run
+    SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      .filter { case (k, _) => only.forall(_.findFirstIn(k).isDefined) }
+      .foreach { case (k, v) => node.put(k, v) }
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      graft.delta.ActionCodec.mapper.writeValueAsString(node))
     spark.stop()
   }
 }
