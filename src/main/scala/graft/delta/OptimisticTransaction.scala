@@ -32,6 +32,15 @@ final class ConcurrentDeleteDeleteException(version: Long, path: String)
 final class ConcurrentDomainMetadataException(version: Long, domain: String)
   extends ConcurrentCommitException(
     s"concurrent commit $version also wrote metadata domain '$domain'")
+/** A concurrent commit recorded a `txn` action for the same appId this
+  * transaction records — the streaming sink's exactly-once gate is a
+  * read-then-commit on `appTransactionVersion`, so a racing epoch writer
+  * must abort and RE-CHECK, never retry blindly: two drivers finishing
+  * the same epoch would otherwise both commit it (delta-spark's
+  * ConcurrentTransactionException; r12 review). */
+final class ConcurrentTransactionException(version: Long, appId: String)
+  extends ConcurrentCommitException(
+    s"concurrent commit $version also recorded a txn for appId '$appId'")
 /** The table is configured `delta.appendOnly=true` and this transaction
   * carries a data-changing remove. */
 final class AppendOnlyTableException(path: String)
@@ -178,6 +187,7 @@ final class OptimisticTransaction(val log: DeltaLog) {
     var lastIct = 0L
     val ourRemoves = actions.collect { case r: RemoveAction => r.path }.toSet
     val ourDomains = actions.collect { case d: DomainMetadataAction => d.domain }.toSet
+    val ourTxnApps = actions.collect { case t: TxnAction => t.appId }.toSet
     val ourDataChangeRemoves = actions.exists {
       case r: RemoveAction => r.dataChange
       case _ => false
@@ -200,7 +210,8 @@ final class OptimisticTransaction(val log: DeltaLog) {
         // (re-)attempting; an incompatible winner aborts instead of retrying
         while (checkedThrough < latest) {
           checkedThrough += 1
-          checkConflict(checkedThrough, ourRemoves, ourDataChangeRemoves, ourDomains)
+          checkConflict(checkedThrough, ourRemoves, ourDataChangeRemoves,
+            ourDomains, ourTxnApps)
         }
         if (perVersionStamp && tmpFor != latest) {
           if (tmp != null) log.store.delete(tmp)
@@ -306,7 +317,8 @@ final class OptimisticTransaction(val log: DeltaLog) {
 
   private def checkConflict(version: Long, ourRemoves: Set[String],
                             ourDataChangeRemoves: Boolean,
-                            ourDomains: Set[String]): Unit =
+                            ourDomains: Set[String],
+                            ourTxnApps: Set[String]): Unit =
     log.readCommit(version).foreach {
       case _: MetaDataAction | _: ProtocolAction =>
         throw new MetadataChangedException(version)
@@ -317,6 +329,8 @@ final class OptimisticTransaction(val log: DeltaLog) {
         throw new ConcurrentAppendException(version)
       case d: DomainMetadataAction if ourDomains.contains(d.domain) =>
         throw new ConcurrentDomainMetadataException(version, d.domain)
+      case t: TxnAction if ourTxnApps.contains(t.appId) =>
+        throw new ConcurrentTransactionException(version, t.appId)
       case _ => () // appends/compactions/disjoint partitions/domains commute
     }
 

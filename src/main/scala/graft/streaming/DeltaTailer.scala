@@ -43,6 +43,12 @@ final class DeltaTailer(log: DeltaLog, startAfterVersion: Long = -1L,
     * The batch contains exactly the rows added since the last poll. */
   def nextBatch(): Option[(Long, DataFrame)] = synchronized {
     val snap = log.update()
+    // STANDING-protocol fence per poll: the per-commit fence inside
+    // servableAdds only sees capability flips that arrive as commit
+    // actions — a table whose base protocol already demands unsupported
+    // reader features must refuse here, as every batch scan does (r12
+    // review; the readStream source carries the same start-time fence).
+    if (snap.version >= 0) ProtocolSupport.assertRowFeedReadable(snap)
     if (snap.version <= lastSeen) None
     else {
       // name-mapped tables: the batch scans PHYSICAL names and aliases
@@ -72,6 +78,11 @@ final class DeltaTailer(log: DeltaLog, startAfterVersion: Long = -1L,
               .option("basePath", log.tablePath.toString)
               .schema(schema)
               .parquet(paths: _*)
+              // Spark appends hive-partition columns to the END of the
+              // relation even under an explicit schema (probed r12) —
+              // re-select so every poll's column order matches the empty
+              // and mapped batches (snap.schema order)
+              .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
         }
       val version = snap.version
       lastSeen = version

@@ -32,6 +32,12 @@ final class GraftStreamSink(
     queryId: String = UUID.randomUUID().toString,
     mergeSchema: Boolean = false) {
 
+  // Validate BEFORE any epoch stages data: the same require used to sit
+  // after stageFiles, so every start attempt of an unsupported-mode stream
+  // orphaned a full micro-batch of parquet under the table (r12 review).
+  require(outputMode == "Append" || outputMode == "Complete",
+    s"graft-delta sink supports Append and Complete output modes, got $outputMode")
+
   /** Write one micro-batch transactionally; returns the committed version,
     * or -1 if the epoch was already committed (idempotent skip). */
   def writeBatch(batchIn: DataFrame, epochId: Long): Long = {
@@ -114,9 +120,8 @@ final class GraftStreamSink(
     if (mapped) txn.permitNameMappedCommit()
     // Append adds; Complete REPLACES the table contents each epoch (the
     // engine hands the full result per trigger — appending it would stack
-    // N copies of the aggregate). Update has no sound file-level mapping.
-    require(outputMode == "Append" || outputMode == "Complete",
-      s"graft-delta sink supports Append and Complete output modes, got $outputMode")
+    // N copies of the aggregate). Update has no sound file-level mapping
+    // (mode validated in the constructor, before any staging I/O).
     if (outputMode == "Complete" && snap.version >= 0)
       snap.files.foreach(f => txn.addAction(RemoveAction(
         path = f.path, deletionTimestamp = now, dataChange = true,
@@ -174,7 +179,19 @@ final class GraftStreamSink(
     params.put("outputMode", outputMode)
     params.put("queryId", queryId)
     params.put("epochId", epochId)
-    val version = txn.commit(Some(CommitInfoAction(info)))
+    val version =
+      try txn.commit(Some(CommitInfoAction(info)))
+      catch {
+        case e: ConcurrentTransactionException =>
+          // a racing writer of the SAME appId committed while we staged
+          // (zombie driver during failover). Re-check the gate: if it
+          // covered our epoch, this delivery is a duplicate — skip it
+          // (our staged files stay uncommitted orphans for vacuum);
+          // otherwise the race was a different epoch and must surface.
+          if (log.update().appTransactionVersion.get(appId).exists(_ >= epochId))
+            return -1L
+          else throw e
+      }
     log.maybeCheckpoint(version)
     version
   }

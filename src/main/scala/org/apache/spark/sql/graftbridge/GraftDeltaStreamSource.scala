@@ -134,18 +134,39 @@ final class GraftDeltaStreamSource(
   private lazy val anchorFs = anchorFile.map(
     _.getFileSystem(spark.sessionState.newHadoopConf()))
 
+  /** Anchor persistence is value-in-NAME (`graft-throttle-anchor.<v>`),
+    * written create-new FIRST and with older anchors deleted AFTER: the
+    * previous delete-then-rename scheme had a crash window that lost the
+    * anchor entirely, regressing offsets and re-serving committed
+    * versions on restart (r12 review). Offsets are monotonic, so the
+    * reader's max-over-suffixes is correct even when a crash leaves
+    * several anchor files; a torn write cannot corrupt a value that
+    * lives in the file NAME. The legacy content-bearing file is still
+    * read for checkpoints written by older builds. */
+  private def anchorPeers(): Seq[org.apache.hadoop.fs.Path] =
+    anchorFile.toSeq.flatMap { p =>
+      val fs = anchorFs.get
+      if (!fs.exists(p.getParent)) Nil
+      else fs.listStatus(p.getParent).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith(p.getName + "."))
+        .filter(_.getName.stripPrefix(p.getName + ".").forall(_.isDigit))
+    }
+
   private def readAnchor(): Option[Long] =
     anchorFile.flatMap { p =>
       try {
-        val fs = anchorFs.get
-        if (!fs.exists(p)) None
-        else {
-          val in = fs.open(p)
-          try Some(new String(
-            org.apache.commons.io.IOUtils.toByteArray(in),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-          finally in.close()
-        }
+        val suffixed = anchorPeers()
+          .map(_.getName.stripPrefix(p.getName + ".").toLong)
+        val legacy =
+          if (!anchorFs.get.exists(p)) None
+          else {
+            val in = anchorFs.get.open(p)
+            try Some(new String(
+              org.apache.commons.io.IOUtils.toByteArray(in),
+              java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+            finally in.close()
+          }
+        (suffixed ++ legacy).maxOption
       } catch { case scala.util.control.NonFatal(_) => None } // corrupt → floor
     }
 
@@ -153,13 +174,16 @@ final class GraftDeltaStreamSource(
     anchorFile.foreach { p =>
       try {
         val fs = anchorFs.get
-        val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tmp")
-        val out = fs.create(tmp, true)
+        val next = new org.apache.hadoop.fs.Path(p.getParent, s"${p.getName}.$v")
+        val out = fs.create(next, true)
         try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
+        // reclaim older anchors (and the legacy file) only AFTER the new
+        // one exists — every crash point leaves at least one anchor
+        anchorPeers().filter(_.getName != next.getName)
+          .foreach(fs.delete(_, false))
         if (fs.exists(p)) fs.delete(p, false)
-        fs.rename(tmp, p)
-      } catch { case scala.util.control.NonFatal(_) => () } // lost anchor ≤ stale anchor
+      } catch { case scala.util.control.NonFatal(_) => () } // stale anchor is safe; lost is not, hence write-first
     }
 
   /** Highest version already offered as a batch end — the throttle anchor.
@@ -181,9 +205,26 @@ final class GraftDeltaStreamSource(
       f.name == graft.delta.ChangeDataFeed.ChangeType ||
       f.name == graft.delta.ChangeDataFeed.CommitVersion)))
 
+  // Commits are immutable, but one trigger reads the same versions in
+  // getOffset's throttle walk and again in getBatch (CDF mode a third
+  // time in its fence loop) — two to three FS round trips per commit per
+  // trigger on an object store (r12 review). A bounded LRU collapses them.
+  private val commitCache =
+    new java.util.LinkedHashMap[Long, Seq[graft.delta.Action]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, Seq[graft.delta.Action]]): Boolean =
+        size() > 512
+    }
+  private def commitActionsOf(v: Long): Seq[graft.delta.Action] =
+    commitCache.synchronized {
+      val hit = commitCache.get(v)
+      if (hit != null) hit
+      else { val a = log.readCommit(v); commitCache.put(v, a); a }
+    }
+
   private def dataChangeAdds(version: Long): Seq[AddAction] =
     graft.delta.RewriteFence.servableAdds(
-      log.tablePath.toString, version, log.readCommit(version),
+      log.tablePath.toString, version, commitActionsOf(version),
       ignoreChanges, ignoreDeletes,
       allowNameMapping = mappedTableFields.isDefined,
       declaredSchema = fenceSchema)
@@ -222,7 +263,9 @@ final class GraftDeltaStreamSource(
             val adds =
               try dataChangeAdds(v)
               catch {
-                case e: Throwable =>
+                // NonFatal only: an OOM/VM error must propagate, not read
+                // as "next commit unservable" (r12 review)
+                case scala.util.control.NonFatal(e) =>
                   if (end > lastOffered) { stop = true; Nil }
                   else throw e
               }
@@ -251,7 +294,11 @@ final class GraftDeltaStreamSource(
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val startV = math.max(start.map(versionOf).getOrElse(-1L), floor)
+    // the checkpointed offset takes PRECEDENCE over startingVersion (the
+    // floor exists for fresh queries only): max(start, floor) would let a
+    // raised startingVersion silently skip committed-but-unserved versions
+    // on restart (r12 review)
+    val startV = start.map(versionOf).getOrElse(floor)
     val endV = versionOf(end)
     // start is the engine's checkpointed offset on a restart replay — a
     // second recovery path for the throttle anchor alongside the persisted
@@ -274,7 +321,7 @@ final class GraftDeltaStreamSource(
       // bump past supported reader features)
       log.listCommitVersions().filter(v => v > startV && v <= endV).foreach(v =>
         graft.delta.ProtocolSupport.assertCommitServable(
-          log.tablePath.toString, v, log.readCommit(v),
+          log.tablePath.toString, v, commitActionsOf(v),
           allowNameMapping = mappedTableFields.isDefined,
           declaredSchema = fenceSchema))
       // table schema = declared minus the two change columns BY NAME —
@@ -325,6 +372,12 @@ final class GraftDeltaStreamSource(
               .option("basePath", log.tablePath.toString)
               .schema(schema)
               .parquet(paths: _*)
+              // Spark moves hive-partition columns to the END of the
+              // relation schema even under an explicit .schema() (probed
+              // r12) — re-select to the DECLARED order before the raw
+              // internal-row relabel below, or a partitioned table whose
+              // partition column is not last serves scrambled columns
+              .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
         }
       }
     // streaming-tagged DataFrame over the same (lazy) rows, as file/kafka

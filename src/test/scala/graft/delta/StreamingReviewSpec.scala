@@ -67,10 +67,11 @@ class StreamingReviewSpec extends AnyFunSuite with SparkTestBase {
       .as[(String, Long)].collect().toSeq
     assert(rows == Seq(("a", 5L), ("b", 6L), ("c", 1L)),
       s"Complete mode must not stack epochs: $rows")
-    val upd = new graft.streaming.GraftStreamSink(dir, appId = "sr-upd",
-      outputMode = "Update")
+    // Update refuses at CONSTRUCTION since r12 — the old post-staging
+    // check orphaned a micro-batch of parquet per start attempt
     intercept[IllegalArgumentException](
-      upd.writeBatch(Seq(("z", 9L)).toDF("k", "n"), 0L))
+      new graft.streaming.GraftStreamSink(dir, appId = "sr-upd",
+        outputMode = "Update"))
   }
 
   test("stream START fences an unsupported standing protocol") {
