@@ -66,6 +66,11 @@ object CoordinatedCommits {
     s"${DeltaLog.pad20(version)}.${UUID.randomUUID()}.json"
   private[delta] val StagedRe = """^(\d{20})\.([^.]+)\.json$""".r
 
+  /** Backfill's transient copy name under `_delta_log/` (crash leftovers
+    * are retention-swept by [[DeltaLog.cleanUpExpiredLogs]]). */
+  private[delta] def BackfillTmpName(uuid: String): String = s"_backfill_$uuid.json"
+  private[delta] val BackfillTmpRe = """^_backfill_[0-9a-fA-F-]+\.json$""".r
+
   def coordinatorNameOf(config: Map[String, String]): Option[String] =
     config.get(CoordinatorNameKey).map(_.trim).filter(_.nonEmpty)
 
@@ -130,10 +135,20 @@ object CoordinatedCommits {
       val dst = log.commitFile(c.version)
       if (!log.store.exists(dst)) {
         val src = new Path(commitsDir(log.logPath), c.fileName)
-        val tmp = new Path(log.logPath, s"_backfill_${UUID.randomUUID()}.json")
-        log.store.write(tmp, log.store.read(src))
-        try log.store.renameNoReplace(tmp, dst)
-        catch { case _: FileAlreadyExistsException => log.store.delete(tmp) }
+        val tmp = new Path(log.logPath, BackfillTmpName(UUID.randomUUID().toString))
+        try {
+          log.store.write(tmp, log.store.read(src))
+          log.store.renameNoReplace(tmp, dst)
+        } catch {
+          case _: FileAlreadyExistsException => () // concurrent backfiller won; bytes identical
+        } finally {
+          // success moved tmp away; any OTHER failure (IO, lock timeout)
+          // must reclaim it — the name matches no cleanup regex, so a
+          // leaked tmp would sit in _delta_log forever (r12 review find;
+          // the crash window between write and rename is swept by
+          // [[DeltaLog.cleanUpExpiredLogs]]'s aged-tmp rule)
+          if (log.store.exists(tmp)) log.store.delete(tmp)
+        }
       }
       through = c.version
     }
@@ -209,7 +224,9 @@ final class InMemoryCommitCoordinator(
   override def registerTable(logPath: String, currentVersion: Long): Map[String, String] =
     synchronized {
       val st = tables.getOrElseUpdate(logPath, new TableState(currentVersion))
-      if (st.latest != currentVersion || st.unbackfilled.lastOption.exists(_._1 > currentVersion)) {
+      // commit() keeps every unbackfilled key ≤ latest, so latest alone
+      // decides whether this is a re-seed
+      if (st.latest != currentVersion) {
         st.latest = currentVersion
         st.unbackfilled.clear()
       }

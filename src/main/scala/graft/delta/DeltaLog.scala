@@ -72,9 +72,12 @@ final class DeltaLog private (
 
   /** A commit's readable location: the classic name, or the staged file
     * while un-backfilled. Preferring the staged copy is safe — backfill
-    * writes identical bytes and staged files outlive it until retention. */
+    * writes identical bytes and staged files outlive it until retention.
+    * A staged file retention already reclaimed (its classic twin exists,
+    * but the coordinator's tail is lagging a crashed `registerBackfill`)
+    * falls back to the classic name instead of a dead path. */
   private def resolveCommitFile(version: Long): Path =
-    stagedCommits.getOrElse(version, commitFile(version))
+    stagedCommits.get(version).filter(store.exists).getOrElse(commitFile(version))
 
   /** Single-part checkpoint naming (`rust/src/delta.rs:412-416`). */
   def checkpointFile(version: Long): Path =
@@ -514,7 +517,16 @@ final class DeltaLog private (
   def cleanUpExpiredLogs(checkpointVersion: Long, retentionMillis: Long): Seq[String] = {
     val cutoff = System.currentTimeMillis() - retentionMillis
     val deleted = Seq.newBuilder[String]
-    store.list(logPath).foreach { st =>
+    val listing = store.list(logPath)
+    // classic commit versions present AT ENTRY — the staged-hygiene rule
+    // below keys on this snapshot, not a live exists() probe, so a classic
+    // twin deleted by THIS pass still licenses reclaiming its staged copy
+    val classicAtEntry: Set[Long] = listing.flatMap(st =>
+      st.getPath.getName match {
+        case CommitFileRe(v) => Some(v.toLong)
+        case _ => None
+      }).toSet
+    listing.foreach { st =>
       val name = st.getPath.getName
       val versionOf: Option[Long] = name match {
         case CommitFileRe(v)           => Some(v.toLong)
@@ -530,18 +542,31 @@ final class DeltaLog private (
           deleted += name
         }
       }
+      // Backfill-tmp hygiene: a writer that crashed between writing
+      // `_backfill_<uuid>.json` and renaming it leaves a file no other
+      // rule names; anything past the cutoff is a leftover (live tmps
+      // are seconds old).
+      if (CoordinatedCommits.BackfillTmpRe.findFirstIn(name).isDefined &&
+          st.getModificationTime < cutoff) {
+        store.delete(st.getPath)
+        deleted += name
+      }
     }
-    // Staged-commit hygiene: `_commits/` files for versions a surviving
-    // checkpoint supersedes are retention-expired like their classic
-    // twins (backfilled copies exist; version-race losers are garbage the
-    // moment the race resolved). Current un-backfilled versions are ≥ the
-    // checkpoint version by construction, so the staged tail is safe.
+    // Staged-commit hygiene: `_commits/` files are retention-expired like
+    // their classic twins — but ONLY once the classic twin exists. With
+    // `backfillInterval > 1` a checkpoint can cover staged-ONLY versions,
+    // so `v < checkpointVersion` alone would delete the single copy of a
+    // commit the coordinator still tracks, making it permanently
+    // un-backfillable (r12 review find). Requiring the backfilled twin
+    // also covers version-race losers: the winner backfills the same
+    // version, after which every staged file at it is reclaimable.
     if (store.exists(commitsDir))
       store.list(commitsDir).foreach { st =>
         val name = st.getPath.getName
         name match {
           case CoordinatedCommits.StagedRe(v, _)
-              if v.toLong < checkpointVersion && st.getModificationTime < cutoff =>
+              if v.toLong < checkpointVersion && st.getModificationTime < cutoff &&
+                 classicAtEntry.contains(v.toLong) =>
             store.delete(st.getPath)
             deleted += s"_commits/$name"
           case _ => ()

@@ -42,6 +42,13 @@ trait LogStore {
   def readBytes(path: Path): Array[Byte]
   def writeBytes(path: Path, bytes: Array[Byte]): Unit
 
+  /** Byte-exact copy `src` → `dst` (overwrite). The default round-trips
+    * through one heap array — correct for every store but O(file) memory;
+    * stores with a native stream (or server-side copy) MUST override so
+    * multi-GB checkpoint parts move in constant memory through the
+    * [[LockingRename]] seam (r12 review find). */
+  def copy(src: Path, dst: Path): Unit = writeBytes(dst, readBytes(src))
+
   /** Move `src` to `dst` atomically, failing with
     * [[VersionAlreadyExists]]-able `FileAlreadyExistsException` when `dst`
     * exists. Mirrors `rename_obj_noreplace`
@@ -137,6 +144,16 @@ final class HadoopLogStore(conf: Configuration) extends LogStore {
     finally out.close()
   }
 
+  /** Streaming copy — constant memory regardless of file size. */
+  override def copy(src: Path, dst: Path): Unit = {
+    val in = fs(src).open(src)
+    try {
+      val out = fs(dst).create(dst, true)
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024)
+      finally out.close()
+    } finally in.close()
+  }
+
   override def delete(path: Path): Unit = fs(path).delete(path, false)
 
   override def mkdirs(dir: Path): Unit = fs(dir).mkdirs(dir)
@@ -177,6 +194,7 @@ final class ObjectStoreLogStore(inner: LogStore, client: LockClient)
   override def readBytes(path: Path): Array[Byte] = inner.readBytes(path)
   override def writeBytes(path: Path, bytes: Array[Byte]): Unit =
     inner.writeBytes(path, bytes)
+  override def copy(src: Path, dst: Path): Unit = inner.copy(src, dst)
   override def delete(path: Path): Unit = inner.delete(path)
   override def mkdirs(dir: Path): Unit = inner.mkdirs(dir)
 }

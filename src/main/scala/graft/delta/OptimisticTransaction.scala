@@ -202,7 +202,19 @@ final class OptimisticTransaction(val log: DeltaLog) {
           val (pending, coordLatest) =
             client.getCommits(log.logPath.toString, tconf)
           log.registerStaged(pending)
-          math.max(log.latestVersion(), coordLatest)
+          val fsLatest = log.latestVersion()
+          if (coordLatest < fsLatest) {
+            // The coordinator lags the filesystem: the enablement window
+            // (the post-commit re-registration never ran) or a fresh/
+            // recovered coordinator (-1). Every version ≤ fsLatest is
+            // durably on the filesystem, so re-seeding there is safe —
+            // and without it the coordinator rejects every proposal
+            // forever, an unwinnable conflict-retry loop (r12 review
+            // find). `pending` is empty in this state (tracked commits
+            // never trail the coordinator's own latest).
+            client.registerTable(log.logPath.toString, fsLatest)
+          }
+          math.max(fsLatest, coordLatest)
         case None => log.latestVersion()
       }
       try {
