@@ -13,11 +13,14 @@ Design: ten KEY-SHIFTED DISJOINT REPLICAS of sf0.1, so that
     sf0.1 slice and stays feasible in DuckDB;
   - region/nation stay fixed (5/25 rows), as TPC-H does at every SF.
 
-Numeric headroom note (why sf1 is the max SF for this sweep as-is): the
-DISC_PRICE 1e-8 fixed-point sum in q1/q6 peaks at 5.05e17 per group at
-sf0.1, i.e. 5.05e18 at sf1 -- 1.8x below int64 max. At sf10 the scheme
-would overflow int64 (DuckDB hugeint-sums then errors on the BIGINT cast
-while Spark wraps), so a larger sweep needs a re-scaled fixed point.
+Numeric headroom note: DISC_PRICE now sums in 1e-4 fixed point (cents x
+discount-hundredths -- exact, both source columns carry 2 decimals),
+peaking at ~5e14 per q1 group at sf1 and ~5e15 at sf10, 3 decades under
+int64 max. (The earlier 1e-8 unit capped the sweep at sf1: 5.05e18 per
+group, 1.8x under max, overflowing at sf10.) The binding ceiling is now
+lsum(l_extendedprice) micro-units: ~3.8e17 per q1 group at sf10, which
+holds to ~sf100. Replicas are written incrementally (one row group per
+replica) so sf10 (N=100) builds in constant memory.
 
 pyarrow (driver-side tooling, like scripts/check.py) preserves physical
 parquet types exactly -- notably the events table's nanosecond
@@ -83,15 +86,16 @@ def main():
         print(f"{t}: copied")
     for t, shifts in SHIFTS.items():
         base = pq.read_table(f"{SRC}/{t}.parquet")
-        replicas = []
+        writer = None
         for i in range(N):
             r = shifted(base, shifts, i)
             if t == "documents" and i > 0:
                 r = suffix_tokens(r, i)
-            replicas.append(r)
-        out = pa.concat_tables(replicas)
-        pq.write_table(out, f"{DST}/{t}.parquet")
-        print(f"{t}: {base.num_rows} -> {out.num_rows}")
+            if writer is None:
+                writer = pq.ParquetWriter(f"{DST}/{t}.parquet", r.schema)
+            writer.write_table(r)
+        writer.close()
+        print(f"{t}: {base.num_rows} -> {base.num_rows * N}")
 
 
 if __name__ == "__main__":

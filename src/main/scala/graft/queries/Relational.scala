@@ -44,15 +44,18 @@ object Relational {
     * compare equal (round-1 verdict), while int64 is encoding-stable. */
   private[queries] def lsum(c: Column): Column = sum(micro(c))
   private[queries] val DSUM = s"CAST(SUM($DMICRO) AS BIGINT)"
-  /** Per-row `extendedprice × (1 − discount)` in 1e-8 fixed-point (cents ×
-    * discount-micro): both factors are exactly representable as longs, the
-    * product is exact, and long-sums are order-insensitive. */
+  /** Per-row `extendedprice × (1 − discount)` in 1e-4 fixed-point (cents ×
+    * discount-hundredths): both source columns carry exactly 2 decimal
+    * digits, so both factors are exact longs, the product is exact, and
+    * long-sums are order-insensitive. 1e-4 (not the earlier 1e-8) keeps the
+    * per-group sum ~3 decades under int64 max at sf10 (10⁷ rows/group ×
+    * ~5·10⁸ avg ≈ 5·10¹⁵); the 1e-8 unit overflowed one decade past sf1. */
   private def discPrice(price: Column, discount: Column): Column =
     sum((price.cast(dec) * 100).cast("long") *
-        ((lit(1).cast(dec) - discount.cast(dec)) * 1000000).cast("long"))
+        ((lit(1).cast(dec) - discount.cast(dec)) * 100).cast("long"))
   private val DISC_PRICE =
     "CAST(SUM(CAST(CAST(%s AS DECIMAL(18,6)) * 100 AS BIGINT) * " +
-    "CAST((1 - CAST(%s AS DECIMAL(18,6))) * 1000000 AS BIGINT)) AS BIGINT)"
+    "CAST((1 - CAST(%s AS DECIMAL(18,6))) * 100 AS BIGINT)) AS BIGINT)"
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
