@@ -79,6 +79,33 @@ final class DeltaLog private (
   private def resolveCommitFile(version: Long): Path =
     stagedCommits.get(version).filter(store.exists).getOrElse(commitFile(version))
 
+  /** Finish a dead coordinated era's backfill: copy any tracked staged
+    * commit whose classic twin is missing to its classic name (tmp +
+    * atomic claim, identical to [[CoordinatedCommits.backfill]] minus the
+    * coordinator notification). Called from the filesystem-rename write
+    * path — after a DISABLEMENT whose backfill crashed or failed, every
+    * future writer sees "not coordinated" and would rename PAST the
+    * staged version, leaving a permanent classic-log gap foreign readers
+    * cannot cross (r12 review). No-op when no staged commits are tracked
+    * (the overwhelmingly common case). */
+  private[delta] def repairStagedGaps(): Unit =
+    if (stagedCommits.nonEmpty)
+      stagedCommits.toSeq.sortBy(_._1).foreach { case (v, src) =>
+        val dst = commitFile(v)
+        if (!store.exists(dst) && store.exists(src)) {
+          val tmp = new Path(logPath, CoordinatedCommits.BackfillTmpName(
+            java.util.UUID.randomUUID().toString))
+          try {
+            store.copy(src, tmp)
+            store.renameNoReplace(tmp, dst)
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+          } finally {
+            if (store.exists(tmp)) store.delete(tmp)
+          }
+        }
+      }
+
   /** Single-part checkpoint naming (`rust/src/delta.rs:412-416`). */
   def checkpointFile(version: Long): Path =
     new Path(logPath, DeltaLog.pad20(version) + ".checkpoint.parquet")

@@ -58,8 +58,15 @@ object GraftWriter {
     // write semantics); provided values are verified per-row downstream
     // (Constraints.enforce). Identity columns the frame omits generate
     // beyond the high-water mark, which advances in this same commit.
+    // A schema-REPLACING overwrite is a re-CREATE: the old snapshot's
+    // generated/identity/constraint definitions are the ones being
+    // replaced — consulting them here resurrected dropped generated
+    // columns into the new schema (the evolved metadata is built from
+    // df.schema) or crashed when a derivation referenced a dropped
+    // column (r12 review).
+    val replacing = exists && overwriteSchema
     val (df, genIdentity) =
-      if (exists)
+      if (exists && !replacing)
         IdentityColumns.withIdentity(Constraints.withGenerated(dfIn, snap), snap)
       else (dfIn, Seq.empty[IdentityColumns.Info])
     // name-mapped tables take the plain append/overwrite path: the frame
@@ -165,7 +172,12 @@ object GraftWriter {
       if (!exists || overwriteSchema) df
       else alignTimestampFlavors(df, evolvedMetadata
         .map(em => DeltaSchema.fromJson(em.schemaString)).getOrElse(snap.schema))
-    val enforced = Constraints.enforce(atRest, snap)
+    // replace = re-CREATE: the outgoing snapshot's NOT NULL / CHECK /
+    // invariant / generation rules do not govern the replacing data (a
+    // dropped CHECK would spuriously reject it, a column gone from the new
+    // schema would fail analysis) — CREATE parity, where the first write
+    // defines the table rather than being checked against it
+    val enforced = if (replacing) atRest else Constraints.enforce(atRest, snap)
     // mergeSchema may have just evolved the mapped schema — the staging
     // rename must see the appended columns' fresh physical names
     lazy val mapSchema = evolvedMetadata
@@ -661,18 +673,46 @@ object FooterStats {
     * truncation happens only at emit. */
   private[delta] val MaxStringStatLength = 64
 
-  private def truncateMin(v: Any): Any = v match {
+  /** Truncation cut that never splits a surrogate pair: a prefix ending in
+    * an unpaired high surrogate UTF-8-encodes as `?` (0x3F) — the emitted
+    * bound would sort BELOW the actual value's bytes (invalid as a max,
+    * and a lone surrogate is not interchange-valid JSON either). */
+  private def codePointCut(s: String): Int =
+    if (Character.isHighSurrogate(s.charAt(MaxStringStatLength - 1)) &&
+        Character.isLowSurrogate(s.charAt(MaxStringStatLength)))
+      MaxStringStatLength - 1
+    else MaxStringStatLength
+
+  private[delta] def truncateMin(v: Any): Any = v match {
     case s: String if s.length > MaxStringStatLength =>
-      s.substring(0, MaxStringStatLength)
+      s.substring(0, codePointCut(s))
     case other => other
   }
 
+  /** Upper bound for a truncated string: bump the prefix's LAST CODE POINT
+    * (UTF-8 byte order == code-point order, so `prefix + (cp+1)` bounds
+    * every string extending `prefix + cp`). Bumping skips the surrogate
+    * range (U+D7FF + 1 → U+E000: D800–DFFF are unencodable alone) and code
+    * points at U+10FFFF drop right-to-left first — the old code-unit bump
+    * produced a lone surrogate when the cut landed inside a pair, whose
+    * UTF-8 form (`?`) sorted below the data it claimed to bound. */
   private[delta] def truncateMax(v: Any): Any = v match {
     case s: String if s.length > MaxStringStatLength =>
-      var i = MaxStringStatLength - 1
-      while (i >= 0 && s.charAt(i) == Char.MaxValue) i -= 1
-      if (i < 0) BadStat // no upper bound expressible; omit (skip-on-doubt)
-      else s.substring(0, i) + (s.charAt(i) + 1).toChar
+      var end = codePointCut(s)
+      var out: Any = null
+      while (out == null && end > 0) {
+        val cp = s.codePointBefore(end)
+        val start = end - Character.charCount(cp)
+        if (cp >= 0x10FFFF) end = start // unbumpable; drop, carry left
+        else {
+          val bumped =
+            if (cp >= 0xD7FF && cp < 0xE000) 0xE000 // skip surrogate block
+            else cp + 1
+          out = s.substring(0, start) + new String(Character.toChars(bumped))
+        }
+      }
+      if (out == null) BadStat // no upper bound expressible; omit (skip-on-doubt)
+      else out
     case other => other
   }
 
@@ -703,12 +743,21 @@ object FooterStats {
           case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
             Some(LocalDate.ofEpochDay(v.asInstanceOf[Number].longValue).toString)
           case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => None
+          // full-width unsigned annotations (foreign files via CONVERT):
+          // the raw int is a reinterpreted bit pattern — reading it signed
+          // flips the order past the sign bit (UINT32 0xFFFFFFFF → min of
+          // -1) and the pruner would skip live files (r12 review). Narrower
+          // unsigned widths (UINT8/16) cannot set the sign bit; keep them.
+          case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+              if !i.isSigned && i.getBitWidth >= 32 => None
           case _ => Some(v.asInstanceOf[Number].longValue)
         }
       case PrimitiveTypeName.INT64 =>
         logical match {
           case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => None
           case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => None
+          case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+              if !i.isSigned && i.getBitWidth >= 64 => None
           case _ => Some(v.asInstanceOf[Number].longValue)
         }
       case PrimitiveTypeName.FLOAT =>

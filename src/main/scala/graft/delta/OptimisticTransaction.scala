@@ -256,8 +256,25 @@ final class OptimisticTransaction(val log: DeltaLog) {
             log.store.delete(tmp)
             if (disabling || client.backfillInterval <= 1 ||
                 (latest + 1) % client.backfillInterval == 0)
-              CoordinatedCommits.backfill(log, client, tconf)
+              // The commit is DURABLE at the coordinator from this point:
+              // a backfill failure must not surface as a failed write —
+              // the caller would retry the whole operation and apply it
+              // twice (r12 review). Backfill is idempotent and re-run by
+              // any later interval commit; a failed DISABLEMENT backfill
+              // is finished by the next filesystem-mode writer's
+              // repairStagedGaps before it can fork the classic log.
+              try CoordinatedCommits.backfill(log, client, tconf)
+              catch {
+                case scala.util.control.NonFatal(e) =>
+                  System.err.println(s"graft: backfill of ${log.tablePath} " +
+                    s"failed after durable commit ${latest + 1} (will be " +
+                    s"re-attempted by a later writer): $e")
+              }
           case None =>
+            // staged commits from a disabled coordinated era whose
+            // backfill never finished: claim their classic names FIRST —
+            // renaming latest+1 past them would leave a permanent gap
+            log.repairStagedGaps()
             log.store.renameNoReplace(tmp, log.commitFile(latest + 1))
         }
         // we minted this version's clock — no need to re-read the file

@@ -300,6 +300,27 @@ object ProtocolSupport {
     // row tracking rides domain metadata (the high-water mark domain)
     if (TableConfig.rowTrackingEnabled(config))
       p = writerFeaturesFence(p, Seq("domainMetadata", RowTracking.Feature))
+    // generated / identity columns are SCHEMA-gated writer capabilities
+    // (legacy floors 4 / 6, named on features tables) — fencing here covers
+    // every surface that can introduce them via a schema change (replace,
+    // mergeSchema evolution, catalog DDL), not just CREATE (r12 review:
+    // a schema-replacing overwrite that introduced identity columns left
+    // the table at its old floor, letting legacy foreign writers append
+    // without honoring generation)
+    schema.foreach { sch =>
+      val hasGen = Constraints.generatedOf(sch).nonEmpty
+      val hasId = IdentityColumns.of(sch).nonEmpty
+      if (hasGen || hasId) {
+        if (p.minWriterVersion >= 7)
+          p = writerFeaturesFence(p,
+            (if (hasGen) Seq("generatedColumns") else Nil) ++
+              (if (hasId) Seq("identityColumns") else Nil))
+        else {
+          val floor = math.max(if (hasId) 6 else 0, if (hasGen) 4 else 0)
+          if (p.minWriterVersion < floor) p = p.copy(minWriterVersion = floor)
+        }
+      }
+    }
     // legacy writer-version floors (Delta spec): CHECK constraints demand
     // writer >= 3, change data feed writer >= 4 — a (1,2) table carrying
     // either property would let legacy foreign writers violate the

@@ -243,4 +243,39 @@ class CoordinatedCommitsSpec extends AnyFunSuite with SparkTestBase {
     assert(log.snapshotForVersion(2).files.map(_.path) == Vector("a.parquet"))
     assert(log.versionTimestamp(3) > 0)
   }
+
+  test("disablement backfill failure: durable commit reported, gap healed (r12)") {
+    // After the coordinator accepts the disablement commit, a backfill
+    // failure must NOT surface as a failed write (the caller would retry
+    // and double-apply) — and the staged-but-never-backfilled versions
+    // must be claimed by the next filesystem-mode writer, or the classic
+    // log keeps a permanent gap no future writer would ever fill (every
+    // writer from here on sees "not coordinated" and renames past it).
+    spark.conf.set(DeltaLog.LogStoreFactoryKey, classOf[FailingRenameFactory].getName)
+    try {
+      val dir = tempTable("failrename-disable")
+      writeCommit(dir, 0, Seq(protocol, metaData))
+      DeltaTable.forPath(spark, dir.toString)
+        .enableCoordinatedCommits(registered("im-disfail", 100))
+      append(dir, "a.parquet"); append(dir, "b.parquet") // v2, v3 staged only
+      assert(!Files.exists(fsJson(dir, 2)) && !Files.exists(fsJson(dir, 3)))
+      // every backfill rename now fails — the disablement commit itself is
+      // durable at the coordinator before backfill starts
+      FailingRenameFactory.failFromVersion = 2
+      val dv =
+        try DeltaTable.forPath(spark, dir.toString).disableCoordinatedCommits()
+        finally FailingRenameFactory.failFromVersion = Long.MaxValue
+      assert(dv == 4, "disablement must report success: the commit is durable")
+      assert(!Files.exists(fsJson(dir, 4)), "backfill was injected to fail")
+      // next writer is filesystem-routed; it must heal v2..v4 before
+      // claiming v5 — a fresh log (new process) must heal identically
+      assert(append(dir, "after.parquet") == 5)
+      (2L to 5L).foreach(v =>
+        assert(Files.exists(fsJson(dir, v)), s"classic v$v missing: gap"))
+      // a coordinator-less foreign-style read (classic files only) sees
+      // the full history
+      val files = DeltaLog.forPath(spark, dir.toString).update().files.map(_.path).toSet
+      assert(files == Set("a.parquet", "b.parquet", "after.parquet"))
+    } finally spark.conf.unset(DeltaLog.LogStoreFactoryKey)
+  }
 }

@@ -113,4 +113,63 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkTestBase {
     assert(dt.schema.fieldNames.toSeq == Seq("name", "n"))
     assert(dt.toDF.as[(String, Long)].collect().toSeq == Seq(("z", 9L)))
   }
+
+  test("overwriteSchema does not resurrect dropped generated columns (r12)") {
+    // old table has a generated column derived from `id`; the replacement
+    // drops BOTH — the old code re-computed `twice` from the old snapshot
+    // and folded it into the replacing schema (or crashed on the missing
+    // source column)
+    import org.apache.spark.sql.types._
+    val dir = tempTable("evolve-ows-gen").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("twice", LongType, nullable = true, metadata =
+        new MetadataBuilder()
+          .putString("delta.generationExpression", "id * 2").build())))
+    val rows = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1L, 2L)), schema)
+    GraftWriter.write(rows, dir)
+    GraftWriter.write(Seq(("x", 1.0)).toDF("name", "score"),
+      dir, SaveMode.Overwrite, overwriteSchema = true)
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.schema.fieldNames.toSeq == Seq("name", "score"),
+      "replaced schema must be exactly the incoming frame's")
+    assert(dt.toDF.as[(String, Double)].collect().toSeq == Seq(("x", 1.0)))
+  }
+
+  test("overwriteSchema does not enforce the outgoing table's constraints (r12)") {
+    val dir = tempTable("evolve-ows-check").toString
+    GraftWriter.write(Seq((1L, 5L)).toDF("id", "qty"), dir)
+    DeltaTable.forPath(spark, dir).addCheckConstraint("qty_pos", "qty > 0")
+    // replacement drops `qty` entirely; the old CHECK would fail analysis
+    GraftWriter.write(Seq(("a", -9.0)).toDF("name", "score"),
+      dir, SaveMode.Overwrite, overwriteSchema = true,
+      configuration = Some(Map.empty))
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.schema.fieldNames.toSeq == Seq("name", "score"))
+    assert(!TableConfig.of(DeltaLog.forPath(spark, dir).update())
+      .keys.exists(_.startsWith("delta.constraints.")),
+      "replaced (empty) configuration must drop the CHECK constraint")
+  }
+
+  test("overwriteSchema introducing identity columns raises the writer floor (r12)") {
+    import org.apache.spark.sql.types._
+    val dir = tempTable("evolve-ows-idfloor").toString
+    GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir)
+    assert(DeltaLog.forPath(spark, dir).update().minWriterVersion == 2)
+    val schema = StructType(Seq(
+      IdentityColumns.field("rid", 1L, 1L, allowExplicitInsert = true),
+      StructField("v", StringType)))
+    val rows = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(10L, "z")), schema)
+    GraftWriter.write(rows, dir, SaveMode.Overwrite, overwriteSchema = true)
+    val snap = DeltaLog.forPath(spark, dir).update()
+    assert(snap.minWriterVersion >= 6,
+      s"identity columns demand writer >= 6, got ${snap.minWriterVersion}")
+    // and the subsequent omitted-column append generates on the arithmetic
+    GraftWriter.write(Seq("w").toDF("v"), dir, SaveMode.Append)
+    val got = DeltaTable.forPath(spark, dir).toDF
+      .select("rid").as[Long].collect().toSeq.sorted
+    assert(got.size == 2 && got.distinct.size == 2)
+  }
 }

@@ -63,13 +63,63 @@ class WriterSpec extends AnyFunSuite with SparkTestBase {
       Seq(StatsPredicate.Ge("text", "zzz"))).size == 1)
   }
 
-  test("truncateMax bumps past Char.MaxValue runs right-to-left") {
+  private def utf8Geq(bound: String, value: String): Boolean =
+    StatsPredicate.utf8Compare(bound, value) >= 0
+
+  test("truncateMax bumps code points, not code units") {
+    // U+FFFF is bumpable in code-point space (→ U+10000); the bound must
+    // still upper-bound the original in UTF-8 order
     val s = "ab" + (Char.MaxValue.toString * 100)
-    val out = FooterStats.truncateMax(s)
-    assert(out == "ac", s"got $out")
-    // all-maxchar string: no expressible upper bound → omitted
-    val none = FooterStats.truncateMax(Char.MaxValue.toString * 100)
+    val out = FooterStats.truncateMax(s).asInstanceOf[String]
+    assert(out.length <= FooterStats.MaxStringStatLength + 1)
+    assert(utf8Geq(out, s), "bound must dominate the value in UTF-8 order")
+    // U+10FFFF (the max code point) is unbumpable: drops right-to-left
+    val top = new String(Character.toChars(0x10FFFF))
+    val s2 = "ab" + (top * 100)
+    val out2 = FooterStats.truncateMax(s2).asInstanceOf[String]
+    assert(out2 == "ac", s"got $out2")
+    // all-U+10FFFF string: no expressible upper bound → omitted
+    val none = FooterStats.truncateMax(top * 100)
     assert(none != null && none.toString.contains("BadStat"))
+  }
+
+  test("truncation never splits a surrogate pair (r12: invalid max bound)") {
+    // supplementary char spanning the 64-char cut: the old code-unit bump
+    // left a lone high surrogate, whose UTF-8 form (`?` 0x3F) sorted BELOW
+    // the data it claimed to bound — Ge/EqTo pruning then skipped a live file
+    val emoji = new String(Character.toChars(0x1F600))
+    val s = ("a" * 63) + emoji + "zzz"
+    val mx = FooterStats.truncateMax(s).asInstanceOf[String]
+    val mn = FooterStats.truncateMin(s).asInstanceOf[String]
+    // well-formed UTF-16: every surrogate in either bound is part of a pair
+    def wellFormed(str: String): Boolean = {
+      var i = 0
+      while (i < str.length) {
+        val c = str.charAt(i)
+        if (Character.isHighSurrogate(c)) {
+          if (i + 1 >= str.length || !Character.isLowSurrogate(str.charAt(i + 1)))
+            return false
+          i += 2
+        } else if (Character.isLowSurrogate(c)) return false
+        else i += 1
+      }
+      true
+    }
+    assert(wellFormed(mn), "min bound must not contain a lone surrogate")
+    assert(wellFormed(mx), "max bound must not contain a lone surrogate")
+    assert(utf8Geq(mx, s), "max bound must dominate the value in UTF-8 order")
+    assert(StatsPredicate.utf8Compare(mn, s) <= 0, "min bound must lower-bound")
+    // end-to-end: file containing the value must survive Ge/EqTo pruning
+    import spark.implicits._
+    val dir = tempTable("wr-surrogate-stats").toString
+    GraftWriter.write(Seq((1L, s)).toDF("id", "text").coalesce(1), dir)
+    val snap = DeltaLog.forPath(spark, dir).update()
+    assert(StatsPredicate.prune(snap.files,
+      Seq(StatsPredicate.EqTo("text", s))).size == 1,
+      "EqTo on the actual value must not prune its own file")
+    assert(StatsPredicate.prune(snap.files,
+      Seq(StatsPredicate.Ge("text", ("a" * 63) + "b"))).size == 1,
+      "Ge below the value must not prune its file")
   }
 
   test("executor-side stats path produces identical Adds to the driver pool") {
