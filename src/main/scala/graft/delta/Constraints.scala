@@ -32,8 +32,10 @@ object Constraints {
   val GenerationKey = "delta.generationExpression"
 
   /** Declared CHECK constraints, `(name, sql)`, name-sorted. */
-  def of(snap: Snapshot): Seq[(String, String)] =
-    TableConfig.of(snap).collect {
+  def of(snap: Snapshot): Seq[(String, String)] = ofConfig(TableConfig.of(snap))
+
+  def ofConfig(config: Map[String, String]): Seq[(String, String)] =
+    config.collect {
       case (k, v) if k.startsWith(Prefix) => (k.stripPrefix(Prefix), v)
     }.toSeq.sortBy(_._1)
 
@@ -94,8 +96,18 @@ object Constraints {
 
   /** Wrap `df` so the write job verifies every row against the table's
     * invariants. Identity when the table declares none. */
-  def enforce(df: DataFrame, snap: Snapshot): DataFrame = {
-    if (snap.version < 0) return df
+  def enforce(df: DataFrame, snap: Snapshot): DataFrame =
+    if (snap.version < 0) df
+    else enforceAgainst(df, snap.schema, TableConfig.of(snap))
+
+  /** As [[enforce]], against an explicit (schema, configuration) pair —
+    * the pair a schema-replacing overwrite is COMMITTING rather than the
+    * one it replaces (r12 review: a replace that carried the old
+    * configuration forward shipped data unvalidated against CHECK
+    * constraints that remained declared on the table). */
+  def enforceAgainst(df: DataFrame,
+                     schema: org.apache.spark.sql.types.StructType,
+                     config: Map[String, String]): DataFrame = {
     // NOT NULL at EVERY nesting level (r11 review — top-level-only let a
     // null addr.city through a declared-non-nullable nested field): a
     // nested check applies only where the parent itself is present, so
@@ -122,21 +134,22 @@ object Constraints {
           case _ => Nil
         })
       }
+    val declaredChecks = ofConfig(config)
     val notNull = notNullPaths(
-      snap.schema.fields.toSeq.filter(f => df.columns.contains(f.name)), None)
+      schema.fields.toSeq.filter(f => df.columns.contains(f.name)), None)
     val checks: Seq[(String, Column)] =
       notNull ++
-        of(snap).map { case (n, sql) =>
+        declaredChecks.map { case (n, sql) =>
           (s"CHECK $n ($sql)", coalesce(expr(sql).cast("boolean"), lit(true)))
         } ++
-        invariantsOf(snap.schema).filter(i => df.columns.contains(i._1))
+        invariantsOf(schema).filter(i => df.columns.contains(i._1))
           .map { case (c, sql) =>
             (s"INVARIANT $c ($sql)", coalesce(expr(sql).cast("boolean"), lit(true)))
           } ++
-        generatedOf(snap.schema).filter(g => df.columns.contains(g._1))
+        generatedOf(schema).filter(g => df.columns.contains(g._1))
           .map { case (c, sql) =>
             (s"GENERATED $c AS ($sql)",
-              col(q(c)) <=> expr(sql).cast(snap.schema(c).dataType))
+              col(q(c)) <=> expr(sql).cast(schema(c).dataType))
           }
     if (checks.isEmpty) df
     else df.filter(checks.map { case (name, cond) =>

@@ -89,22 +89,80 @@ final class DeltaLog private (
     * cannot cross (r12 review). No-op when no staged commits are tracked
     * (the overwhelmingly common case). */
   private[delta] def repairStagedGaps(): Unit =
-    if (stagedCommits.nonEmpty)
+    if (stagedCommits.nonEmpty) {
+      var healed = Set.empty[Long]
       stagedCommits.toSeq.sortBy(_._1).foreach { case (v, src) =>
         val dst = commitFile(v)
-        if (!store.exists(dst) && store.exists(src)) {
-          val tmp = new Path(logPath, CoordinatedCommits.BackfillTmpName(
-            java.util.UUID.randomUUID().toString))
-          try {
-            store.copy(src, tmp)
-            store.renameNoReplace(tmp, dst)
-          } catch {
-            case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
-          } finally {
-            if (store.exists(tmp)) store.delete(tmp)
-          }
+        if (store.exists(dst)) healed += v
+        else if (store.exists(src)) {
+          claimClassic(src, dst)
+          healed += v
         }
       }
+      // prune confirmed-classic entries: a long-lived handle must not pay
+      // per-entry existence probes on every later commit (r12 review);
+      // resolveCommitFile falls back to the classic name it just verified
+      stagedCommits = stagedCommits -- healed
+    }
+
+  /** Claim a classic commit name from a staged source: tmp copy + atomic
+    * rename, concurrent-claimer tolerant (identical bytes by contract). */
+  private def claimClassic(src: Path, dst: Path): Unit = {
+    val tmp = new Path(logPath, CoordinatedCommits.BackfillTmpName(
+      java.util.UUID.randomUUID().toString))
+    try {
+      store.copy(src, tmp)
+      store.renameNoReplace(tmp, dst)
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+    } finally {
+      if (store.exists(tmp)) store.delete(tmp)
+    }
+  }
+
+  /** Adopt staged commits stranded ABOVE the classic tip by a coordinator
+    * that lost its state (the in-memory map cannot know them — the
+    * coordinator that tracked them is gone): for each version contiguously
+    * above `classicLatest` with EXACTLY ONE staged candidate under
+    * `_commits/`, claim the classic name. A single candidate is either the
+    * acked commit or a crashed proposal whose outcome its writer never
+    * learned — adopting either is linearizable (equivalent to the original
+    * rename landing late). TWO candidates for the same missing version are
+    * undecidable (only the lost coordinator knew the winner): refuse
+    * loudly rather than silently fork acked history (r12 review — the
+    * coordinator-lag re-seed previously re-claimed such versions with new
+    * content). Staged versions beyond the first gap are definitionally
+    * unacked (acked versions are contiguous) and stay ignored. Returns the
+    * classic tip after adoption. */
+  private[delta] def adoptStagedTail(classicLatest: Long): Long = {
+    if (!store.exists(commitsDir)) return classicLatest
+    val byVersion = store.list(commitsDir).flatMap { st =>
+      st.getPath.getName match {
+        case CoordinatedCommits.StagedRe(v, _) => Some(v.toLong -> st.getPath)
+        case _ => None
+      }
+    }.groupBy(_._1)
+    var tip = classicLatest
+    var done = false
+    while (!done) {
+      val next = tip + 1
+      if (store.exists(commitFile(next))) tip = next // raced backfill/adopter
+      else byVersion.get(next).map(_.map(_._2)) match {
+        case Some(Seq(only)) =>
+          claimClassic(only, commitFile(next))
+          tip = next
+        case Some(many) if many.size > 1 =>
+          throw new IllegalStateException(
+            s"cannot recover coordinated commits of $tablePath: version " +
+            s"$next has ${many.size} staged candidates under _commits/ and " +
+            "no classic copy — the coordinator that knew the winner lost " +
+            "its state. Refusing to pick one (forking acked history); " +
+            "repair manually by promoting the correct staged file")
+        case _ => done = true
+      }
+    }
+    tip
+  }
 
   /** Single-part checkpoint naming (`rust/src/delta.rs:412-416`). */
   def checkpointFile(version: Long): Path =

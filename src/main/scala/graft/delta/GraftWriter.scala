@@ -162,41 +162,56 @@ object GraftWriter {
           configuration = annConfig))
     }
 
+    // The (schema, configuration) pair this commit LEAVES BEHIND: the
+    // evolved/replaced metadata when the commit changes it, the table's
+    // otherwise. Enforcement, staging flavor and identity marks are all
+    // governed by this pair, never by what a replace is throwing away.
+    lazy val mapSchema = evolvedMetadata
+      .map(em => DeltaSchema.fromJson(em.schemaString)).getOrElse(snap.schema)
+    val committedConfig =
+      if (!exists) createMapping.map(_._2).getOrElse(declaredConfig)
+      else evolvedMetadata.map(_.configuration).getOrElse(TableConfig.of(snap))
     // Stage in the table's AT-REST timestamp flavor: the compat check above
     // normalizes NTZ↔timestamp, but staging an un-cast frame would write
     // parquet whose isAdjustedToUTC annotation contradicts the Delta schema
     // (tz-aware bytes under a timestamp_ntz column, or vice versa) — graft's
     // own scan tolerates it, spec-conforming foreign readers do not (r11
     // review find). Values are identical under the fixed UTC session zone.
-    val atRest =
-      if (!exists || overwriteSchema) df
-      else alignTimestampFlavors(df, evolvedMetadata
-        .map(em => DeltaSchema.fromJson(em.schemaString)).getOrElse(snap.schema))
-    // replace = re-CREATE: the outgoing snapshot's NOT NULL / CHECK /
-    // invariant / generation rules do not govern the replacing data (a
-    // dropped CHECK would spuriously reject it, a column gone from the new
-    // schema would fail analysis) — CREATE parity, where the first write
-    // defines the table rather than being checked against it
-    val enforced = if (replacing) atRest else Constraints.enforce(atRest, snap)
-    // mergeSchema may have just evolved the mapped schema — the staging
-    // rename must see the appended columns' fresh physical names
-    lazy val mapSchema = evolvedMetadata
-      .map(em => DeltaSchema.fromJson(em.schemaString)).getOrElse(snap.schema)
+    // This includes a REPLACE whose schema is normalize-equal to the
+    // table's: the old schemaString is kept, so the staged flavor must
+    // match IT, not the incoming frame's (r12 review).
+    val atRest = if (!exists) df else alignTimestampFlavors(df, mapSchema)
+    // replace = re-CREATE against the COMMITTED pair: dropped CHECKs and
+    // dropped columns' rules no longer apply, but constraints and column
+    // rules that survive into (or arrive with) the replacement still
+    // validate the replacing data (r12 review: a replace carrying the old
+    // configuration forward shipped data unvalidated against CHECKs that
+    // remained declared on the table)
+    val enforced =
+      if (replacing) Constraints.enforceAgainst(atRest, mapSchema, committedConfig)
+      else Constraints.enforce(atRest, snap)
+    // Identity columns whose high-water mark must advance in this commit:
+    // the GENERATED (omitted) ones on the append path — and at CREATE /
+    // REPLACE, every identity column of the newborn schema, because a
+    // schema born with a mark trailing data it was born with would
+    // re-issue those values on the first generated insert (r12 review;
+    // explicit appends still defer to SYNC IDENTITY, delta-spark parity).
+    val hwmIdentity: Seq[IdentityColumns.Info] =
+      if (exists && !replacing) genIdentity
+      else IdentityColumns.of(createMapping.map(_._1).getOrElse(df.schema))
     // stats budget from the config this commit operates under (a CREATE's
-    // declared config is not in the log yet). Generated identity columns
-    // must stay INSIDE the budget — their high-water mark advances from
-    // footer stats, and a budget that excludes them would freeze the mark
+    // declared config is not in the log yet). Identity columns due a
+    // high-water-mark advance must stay INSIDE the budget — a budget that
+    // excludes them would freeze the mark
     // (IdentityColumns.highWaterMarkMetadata fails loudly as the backstop).
     val statsIdx = {
-      val base = TableConfig.dataSkippingNumIndexedCols(
-        if (!exists) declaredConfig
-        else evolvedMetadata.map(_.configuration).getOrElse(TableConfig.of(snap)))
-      if (base < 0 || genIdentity.isEmpty) base
+      val base = TableConfig.dataSkippingNumIndexedCols(committedConfig)
+      if (base < 0 || hwmIdentity.isEmpty) base
       else {
         // staged-file column order mirrors the frame's (the physical
         // rename preserves positions), so logical positions suffice
         val fileCols = enforced.columns.filterNot(partCols.contains)
-        val needed = genIdentity.map(i => fileCols.indexOf(i.name) + 1).max
+        val needed = hwmIdentity.map(i => fileCols.indexOf(i.name) + 1).max
         math.max(base, needed)
       }
     }
@@ -217,33 +232,43 @@ object GraftWriter {
     val now = System.currentTimeMillis()
     val txn = log.startTransaction()
     if (mapped) txn.permitNameMappedCommit()
+    // identity high-water marks over this commit's staged footer stats,
+    // folded into whichever metaData action the commit carries (at most
+    // one per commit — strict foreign readers reject a second)
+    val physForStats: String => String =
+      if (mapped) c => ColumnMapping.physicalName(mapSchema, c)
+      else createMapping match {
+        case Some((annSchema, _, _)) =>
+          c => ColumnMapping.physicalName(annSchema, c)
+        case None => scala.Predef.identity
+      }
+    def withIdentityMarks(base: MetaDataAction): Option[MetaDataAction] =
+      IdentityColumns.highWaterMarkMetadata(base, hwmIdentity, adds, physForStats)
     if (!exists) {
-      val (schemaJson, cfg, (fr, fw0)) = createMapping match {
+      val (schemaJson, cfg, (fr, fw)) = createMapping match {
         case Some((annSchema, annConfig, floor)) =>
           (DeltaSchema.toJson(annSchema), annConfig, floor)
         case None =>
           (DeltaSchema.toJson(df.schema), declaredConfig, (1, 2))
       }
-      // generated columns demand the writer-4 floor per the protocol;
-      // identity columns the writer-6 floor
-      val fw1 = if (Constraints.generatedOf(df.schema).nonEmpty) math.max(fw0, 4)
-                else fw0
-      val fw = if (IdentityColumns.of(df.schema).nonEmpty) math.max(fw1, 6)
-               else fw1
-      // CREATE-time config/schema may demand table features (DV / v2
-      // checkpoints / ICT / variant columns) beyond the legacy floor — one
-      // folded protocol action, so a table born with checkpointPolicy=v2
+      // CREATE-time config/schema may demand capabilities beyond the
+      // legacy floor — generated/identity column floors, DV / v2
+      // checkpoints / ICT / variant features — all folded by configFences
+      // into ONE protocol action, so a table born with checkpointPolicy=v2
       // does not crash its first auto-checkpoint
       txn.addAction(ProtocolSupport.configFences(cfg, ProtocolAction(fr, fw),
         Some(df.schema)))
-      txn.addAction(MetaDataAction(
+      val createMd = MetaDataAction(
         id = UUID.randomUUID().toString,
         name = None, description = None,
         format = Format(),
         schemaString = schemaJson,
         partitionColumns = partCols,
         createdTime = Some(now),
-        configuration = cfg))
+        configuration = cfg)
+      // a CREATE born with explicit identity values records their mark —
+      // the first generated insert must start beyond them (r12 review)
+      txn.addAction(withIdentityMarks(createMd).getOrElse(createMd))
     }
     // NOTE: the evolved metaData action itself is added further down, once
     // `adds` exist — a same-commit identity high-water-mark advance must
@@ -300,14 +325,8 @@ object GraftWriter {
     // and folded INTO — the evolved metadata when this commit also changed
     // the schema, so the commit carries exactly one metaData action
     val identityMd =
-      if (genIdentity.isEmpty) None
-      else {
-        val baseMd = evolvedMetadata.getOrElse(snap.metadata.get)
-        val phys: String => String =
-          if (mapped) c => ColumnMapping.physicalName(mapSchema, c)
-          else scala.Predef.identity
-        IdentityColumns.highWaterMarkMetadata(baseMd, genIdentity, adds, phys)
-      }
+      if (hwmIdentity.isEmpty || !exists) None
+      else withIdentityMarks(evolvedMetadata.getOrElse(snap.metadata.get))
     (identityMd orElse evolvedMetadata).foreach(txn.addAction)
 
     val info = ActionCodec.mapper.createObjectNode()

@@ -211,10 +211,16 @@ final class OptimisticTransaction(val log: DeltaLog) {
             // and without it the coordinator rejects every proposal
             // forever, an unwinnable conflict-retry loop (r12 review
             // find). `pending` is empty in this state (tracked commits
-            // never trail the coordinator's own latest).
-            client.registerTable(log.logPath.toString, fsLatest)
-          }
-          math.max(fsLatest, coordLatest)
+            // never trail the coordinator's own latest). A state-LOST
+            // coordinator may additionally strand acked staged-only
+            // commits ABOVE fsLatest: adopt them (single candidate) or
+            // refuse (ambiguous) before re-seeding — a re-seed at bare
+            // fsLatest would hand their versions to new commits and fork
+            // acked history (r12 review).
+            val tip = log.adoptStagedTail(fsLatest)
+            client.registerTable(log.logPath.toString, tip)
+            math.max(tip, coordLatest)
+          } else math.max(fsLatest, coordLatest)
         case None => log.latestVersion()
       }
       try {
@@ -273,8 +279,13 @@ final class OptimisticTransaction(val log: DeltaLog) {
           case None =>
             // staged commits from a disabled coordinated era whose
             // backfill never finished: claim their classic names FIRST —
-            // renaming latest+1 past them would leave a permanent gap
+            // renaming latest+1 past them would leave a permanent gap.
+            // repairStagedGaps covers what this handle tracked; the
+            // fs-level adoption covers a fresh process whose coordinator
+            // lost state (nothing to track). An adoption landing exactly
+            // on latest+1 surfaces as AlreadyExists → normal retry.
             log.repairStagedGaps()
+            log.adoptStagedTail(latest)
             log.store.renameNoReplace(tmp, log.commitFile(latest + 1))
         }
         // we minted this version's clock — no need to re-read the file

@@ -259,16 +259,12 @@ class GraftCatalog extends DelegatingCatalogExtension
     val txn = log.startTransaction()
     // CREATE with column mapping declared: fresh col-<uuid> physical names
     // + ids from version 0 (no files exist, both modes are safe)
-    val (annSchema, annConfig, (fr, fw0)) =
+    val (annSchema, annConfig, (fr, fw)) =
       ColumnMappingDdl.forCreate(schema, config)
-    // generated columns demand the writer-4 floor per the protocol;
-    // identity columns the writer-6 floor
-    val fw1 = if (Constraints.generatedOf(annSchema).nonEmpty) math.max(fw0, 4)
-              else fw0
-    val fw = if (IdentityColumns.of(annSchema).nonEmpty) math.max(fw1, 6)
-             else fw1
-    // one folded fence: DV / v2 checkpoints / ICT / variant / clustering
-    // declared at CREATE all land in a single protocol action
+    // one folded fence: generated/identity column floors, DV / v2
+    // checkpoints / ICT / variant / clustering declared at CREATE all land
+    // in a single protocol action (configFences owns the schema-gated
+    // floors since r12 — no per-call-site copies to diverge)
     val proto0 = ProtocolSupport.configFences(annConfig, ProtocolAction(fr, fw),
       Some(annSchema))
     txn.addAction(

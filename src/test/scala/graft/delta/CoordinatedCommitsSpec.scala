@@ -244,6 +244,50 @@ class CoordinatedCommitsSpec extends AnyFunSuite with SparkTestBase {
     assert(log.versionTimestamp(3) > 0)
   }
 
+  test("state-lost coordinator: acked staged-only commits are adopted, not forked (r12)") {
+    // the coordinator acked v2,v3 (staged-only, interval 100) and then
+    // lost its state. The bare re-seed at fsLatest=1 would hand v2 to the
+    // next commit and overwrite acked history; adoption must claim the
+    // single staged candidates first, then commit beyond them.
+    val dir = tempTable("cc-lost")
+    writeCommit(dir, 0, Seq(protocol, metaData))
+    DeltaTable.forPath(spark, dir.toString)
+      .enableCoordinatedCommits(registered("im-lost", 100))
+    append(dir, "a.parquet"); append(dir, "b.parquet") // v2, v3 staged only
+    assert(!Files.exists(fsJson(dir, 2)) && !Files.exists(fsJson(dir, 3)))
+    // state loss: a fresh coordinator instance under the same name
+    CommitCoordinatorProvider.register("im-lost",
+      new InMemoryCommitCoordinator(backfillInterval = 100))
+    assert(append(dir, "c.parquet") == 4,
+      "next commit must land AFTER the adopted acked tail, not on v2")
+    (2L to 3L).foreach(v =>
+      assert(Files.exists(fsJson(dir, v)), s"acked v$v must be adopted to classic"))
+    val files = DeltaLog.forPath(spark, dir.toString).update().files.map(_.path).toSet
+    assert(files == Set("a.parquet", "b.parquet", "c.parquet"),
+      "every acked add must survive coordinator state loss")
+  }
+
+  test("state-lost coordinator with ambiguous staged candidates refuses loudly (r12)") {
+    val dir = tempTable("cc-lost-ambig")
+    writeCommit(dir, 0, Seq(protocol, metaData))
+    DeltaTable.forPath(spark, dir.toString)
+      .enableCoordinatedCommits(registered("im-lost2", 100))
+    append(dir, "a.parquet") // v2 staged only
+    // a second staged candidate for v2 with different content (a crashed
+    // proposal from a racing writer): the winner is unknowable once the
+    // coordinator is gone
+    val real = stagedFiles(dir).head
+    val fake = real.getParent.resolve(
+      f"${2L}%020d.${java.util.UUID.randomUUID()}.json")
+    Files.writeString(fake, Files.readString(real).replace("a.parquet", "z.parquet"))
+    CommitCoordinatorProvider.register("im-lost2",
+      new InMemoryCommitCoordinator(backfillInterval = 100))
+    val e = intercept[IllegalStateException] { append(dir, "c.parquet") }
+    assert(e.getMessage.contains("staged candidates"),
+      s"must refuse to pick a winner, got: ${e.getMessage}")
+    assert(!Files.exists(fsJson(dir, 2)), "no candidate may be silently promoted")
+  }
+
   test("disablement backfill failure: durable commit reported, gap healed (r12)") {
     // After the coordinator accepts the disablement commit, a backfill
     // failure must NOT surface as a failed write (the caller would retry

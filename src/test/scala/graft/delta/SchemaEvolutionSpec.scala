@@ -152,6 +152,72 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkTestBase {
       "replaced (empty) configuration must drop the CHECK constraint")
   }
 
+  test("overwriteSchema enforces constraints carried forward into the replacement (r12)") {
+    // configuration=None carries the old config — including its CHECK —
+    // into the replaced table; the replacing data must validate against
+    // what the table will DECLARE, not skip enforcement entirely
+    val dir = tempTable("evolve-ows-keepcheck").toString
+    GraftWriter.write(Seq((1L, 5L)).toDF("id", "qty"), dir)
+    DeltaTable.forPath(spark, dir).addCheckConstraint("qty_pos", "qty > 0")
+    val before = DeltaLog.forPath(spark, dir).update().version
+    intercept[Exception] { // violating replace (repartitioning use-case)
+      GraftWriter.write(Seq((9L, -5L)).toDF("id", "qty"),
+        dir, SaveMode.Overwrite, partitionBy = Seq("id"), overwriteSchema = true)
+    }
+    assert(DeltaLog.forPath(spark, dir).update().version == before,
+      "violating replace must not commit")
+    // clean replace passes, and the constraint survives into the new table
+    GraftWriter.write(Seq((9L, 7L)).toDF("id", "qty"),
+      dir, SaveMode.Overwrite, partitionBy = Seq("id"), overwriteSchema = true)
+    val snap = DeltaLog.forPath(spark, dir).update()
+    assert(TableConfig.of(snap).get("delta.constraints.qty_pos").contains("qty > 0"))
+    intercept[Exception] { // and keeps enforcing on the next append
+      GraftWriter.write(Seq((10L, -1L)).toDF("id", "qty"), dir, SaveMode.Append)
+    }
+  }
+
+  test("overwriteSchema with a flavor-only schema keeps and stages the at-rest flavor (r12)") {
+    // replace whose schema differs from the table's ONLY in timestamp
+    // flavor: the normalize-equal compare keeps the OLD schemaString, so
+    // the staged parquet must carry the OLD flavor's annotation too
+    val dir = tempTable("evolve-ows-flavor").toString
+    val tz = Seq((1L, java.sql.Timestamp.valueOf("2024-01-02 03:04:05")))
+      .toDF("id", "ts")
+    GraftWriter.write(tz, dir)
+    val ntz = tz.select(col("id"), col("ts").cast("timestamp_ntz").as("ts"))
+    val v = GraftWriter.write(ntz, dir, SaveMode.Overwrite, overwriteSchema = true)
+    val snap = DeltaLog.forPath(spark, dir).update()
+    assert(DeltaSchema.fromJson(snap.metadata.get.schemaString)("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType, "old schemaString kept")
+    val newFiles = DeltaLog.forPath(spark, dir).readCommit(v)
+      .collect { case a: AddAction => s"$dir/${ActionPath.decode(a.path)}" }
+    assert(newFiles.nonEmpty)
+    assert(spark.read.parquet(newFiles: _*).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType,
+      "staged file must carry the UTC-adjusted annotation the kept schema declares")
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 1)
+  }
+
+  test("explicit identity values at create and replace advance the high-water mark (r12)") {
+    import org.apache.spark.sql.types._
+    val dir = tempTable("evolve-idhwm").toString
+    val schema = StructType(Seq(
+      IdentityColumns.field("rid", 1L, 1L, allowExplicitInsert = true),
+      StructField("v", StringType)))
+    val rows = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(100L, "a")), schema)
+    GraftWriter.write(rows, dir)
+    val info = DeltaTable.forPath(spark, dir).identityColumns.head
+    assert(info.highWaterMark.contains(100L),
+      s"create with explicit rid=100 must record the mark, got ${info.highWaterMark}")
+    // first generated insert starts beyond the explicit values
+    GraftWriter.write(Seq("b").toDF("v"), dir, SaveMode.Append)
+    val got = DeltaTable.forPath(spark, dir).toDF
+      .select("rid").as[Long].collect().toSeq.sorted
+    assert(got == got.distinct.sorted && got.head == 100L && got(1) > 100L,
+      s"generated value must exceed the explicit mark, got $got")
+  }
+
   test("overwriteSchema introducing identity columns raises the writer floor (r12)") {
     import org.apache.spark.sql.types._
     val dir = tempTable("evolve-ows-idfloor").toString
