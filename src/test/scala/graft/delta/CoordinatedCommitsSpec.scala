@@ -230,6 +230,59 @@ class CoordinatedCommitsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("randomized model: coordinator state loss never forks or loses acked commits (r12)") {
+    // sequential schedule of {commit, state-loss, backfill, fresh-read}
+    // events: every acked commit must survive any number of coordinator
+    // state losses, history must stay contiguous, and a fresh reader must
+    // always see a version-PREFIX of the acked sequence (stale-but-
+    // consistent is legal; forks and holes are not)
+    (1 to 15).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val dir = tempTable(s"cc-loss-$seed")
+      writeCommit(dir, 0, Seq(protocol, metaData))
+      val interval = Seq(1, 2, 5, 100)(rnd.nextInt(4))
+      val name = s"im-loss-$seed"
+      DeltaTable.forPath(spark, dir.toString)
+        .enableCoordinatedCommits(registered(name, interval))
+      val acked = scala.collection.mutable.TreeMap[Long, String]() // version → file
+      var n = 0
+      (0 until 14).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 | 1 => // commit (weighted: the interesting events need commits between them)
+            val f = s"f$n.parquet"; n += 1
+            val v = append(dir, f)
+            assert(!acked.contains(v), s"seed $seed: version $v forked")
+            acked(v) = f
+          case 2 => // coordinator loses all state
+            CommitCoordinatorProvider.register(name,
+              new InMemoryCommitCoordinator(backfillInterval = interval))
+          case 3 => // racing backfill attempt (no-op on a lost coordinator)
+            val log = DeltaLog.forPath(spark, dir.toString)
+            CoordinatedCommits.clientForRead(log.update()).foreach {
+              case (c, tc) => CoordinatedCommits.backfill(log, c, tc)
+            }
+        }
+        // a fresh reader sees a version-prefix of acked history
+        val snap = DeltaLog.forPath(spark, dir.toString).update()
+        val visible = snap.files.map(_.path).toSet
+        val prefix = acked.takeWhile(_._1 <= snap.version).values.toSet
+        assert(visible == prefix,
+          s"seed $seed: reader at v${snap.version} saw $visible, acked prefix $prefix")
+      }
+      // one final commit forces adoption of any stranded tail, then the
+      // full acked history must be visible and contiguous
+      val f = s"f$n.parquet"
+      val v = append(dir, f)
+      acked(v) = f
+      assert(acked.keys.toSeq == (2L to acked.keys.max),
+        s"seed $seed: acked versions not contiguous: ${acked.keys}")
+      val snap = DeltaLog.forPath(spark, dir.toString).update()
+      assert(snap.version == acked.keys.max)
+      assert(snap.files.map(_.path).toSet == acked.values.toSet,
+        s"seed $seed: acked commits lost after state losses")
+    }
+  }
+
   test("time travel and timestamps resolve staged-only versions") {
     val dir = tempTable("cc-tt")
     writeCommit(dir, 0, Seq(protocol, metaData))
