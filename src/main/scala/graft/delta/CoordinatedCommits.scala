@@ -133,23 +133,11 @@ object CoordinatedCommits {
     var through = -1L
     pending.sortBy(_.version).foreach { c =>
       val dst = log.commitFile(c.version)
-      if (!log.store.exists(dst)) {
-        val src = new Path(commitsDir(log.logPath), c.fileName)
-        val tmp = new Path(log.logPath, BackfillTmpName(UUID.randomUUID().toString))
-        try {
-          log.store.write(tmp, log.store.read(src))
-          log.store.renameNoReplace(tmp, dst)
-        } catch {
-          case _: FileAlreadyExistsException => () // concurrent backfiller won; bytes identical
-        } finally {
-          // success moved tmp away; any OTHER failure (IO, lock timeout)
-          // must reclaim it — the name matches no cleanup regex, so a
-          // leaked tmp would sit in _delta_log forever (r12 review find;
-          // the crash window between write and rename is swept by
-          // [[DeltaLog.cleanUpExpiredLogs]]'s aged-tmp rule)
-          if (log.store.exists(tmp)) log.store.delete(tmp)
-        }
-      }
+      if (!log.store.exists(dst))
+        // tmp copy + atomic claim + AlreadyExists-tolerant + tmp
+        // reclamation on any failure — one shared implementation
+        // (DeltaLog.claimClassic) since the r12 second-pass review
+        log.claimClassic(new Path(commitsDir(log.logPath), c.fileName), dst)
       through = c.version
     }
     if (through >= 0) client.registerBackfill(log.logPath.toString, through)

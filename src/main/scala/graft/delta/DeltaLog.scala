@@ -51,11 +51,16 @@ final class DeltaLog private (
     * the coordinator on [[update]] and extended by this process's own
     * coordinated commits. */
   @volatile private var stagedCommits: Map[Long, Path] = Map.empty
+  /** True once a probe established `_delta_log/_commits/` does not exist;
+    * cleared by any staged registration (see [[adoptStagedTail]]). */
+  @volatile private var commitsDirKnownAbsent = false
 
   private[delta] def registerStaged(commits: Seq[CoordinatedCommit]): Unit =
-    if (commits.nonEmpty)
+    if (commits.nonEmpty) {
       stagedCommits = stagedCommits ++
         commits.map(c => c.version -> new Path(commitsDir, c.fileName))
+      commitsDirKnownAbsent = false
+    }
 
   /** Replace the staged map with the coordinator's current un-backfilled
     * tail; false when the snapshot is not coordinated (or the coordinator
@@ -66,6 +71,7 @@ final class DeltaLog private (
         val (pending, _) = client.getCommits(logPath.toString, tconf)
         stagedCommits =
           pending.map(c => c.version -> new Path(commitsDir, c.fileName)).toMap
+        commitsDirKnownAbsent = false
         true
       case None => false
     }
@@ -106,8 +112,9 @@ final class DeltaLog private (
     }
 
   /** Claim a classic commit name from a staged source: tmp copy + atomic
-    * rename, concurrent-claimer tolerant (identical bytes by contract). */
-  private def claimClassic(src: Path, dst: Path): Unit = {
+    * rename, concurrent-claimer tolerant (identical bytes by contract).
+    * Shared with [[CoordinatedCommits.backfill]]. */
+  private[delta] def claimClassic(src: Path, dst: Path): Unit = {
     val tmp = new Path(logPath, CoordinatedCommits.BackfillTmpName(
       java.util.UUID.randomUUID().toString))
     try {
@@ -135,7 +142,15 @@ final class DeltaLog private (
     * unacked (acked versions are contiguous) and stay ignored. Returns the
     * classic tip after adoption. */
   private[delta] def adoptStagedTail(classicLatest: Long): Long = {
-    if (!store.exists(commitsDir)) return classicLatest
+    // absence cache: a never-coordinated table pays ONE probe per handle,
+    // not one per commit. Invalidated by any staged registration (the only
+    // way _commits/ can appear for this handle is coordinated activity,
+    // which flows through registerStaged/refreshStaged).
+    if (commitsDirKnownAbsent) return classicLatest
+    if (!store.exists(commitsDir)) {
+      commitsDirKnownAbsent = true
+      return classicLatest
+    }
     val byVersion = store.list(commitsDir).flatMap { st =>
       st.getPath.getName match {
         case CoordinatedCommits.StagedRe(v, _) => Some(v.toLong -> st.getPath)

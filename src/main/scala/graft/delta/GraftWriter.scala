@@ -181,24 +181,31 @@ object GraftWriter {
     // table's: the old schemaString is kept, so the staged flavor must
     // match IT, not the incoming frame's (r12 review).
     val atRest = if (!exists) df else alignTimestampFlavors(df, mapSchema)
-    // replace = re-CREATE against the COMMITTED pair: dropped CHECKs and
-    // dropped columns' rules no longer apply, but constraints and column
-    // rules that survive into (or arrive with) the replacement still
-    // validate the replacing data (r12 review: a replace carrying the old
-    // configuration forward shipped data unvalidated against CHECKs that
-    // remained declared on the table)
+    // CREATE and replace = validate against the COMMITTED pair: dropped
+    // CHECKs and dropped columns' rules no longer apply, but constraints
+    // and column rules that survive into (or arrive with) the new table
+    // still validate its data (r12 review: a replace carrying the old
+    // configuration forward — and a CREATE declaring CHECKs in its
+    // configuration — shipped data unvalidated against constraints the
+    // table would declare from this very commit)
+    val committedSchema =
+      if (!exists) createMapping.map(_._1).getOrElse(df.schema)
+      else mapSchema
     val enforced =
-      if (replacing) Constraints.enforceAgainst(atRest, mapSchema, committedConfig)
+      if (replacing || !exists)
+        Constraints.enforceAgainst(atRest, committedSchema, committedConfig)
       else Constraints.enforce(atRest, snap)
     // Identity columns whose high-water mark must advance in this commit:
     // the GENERATED (omitted) ones on the append path — and at CREATE /
-    // REPLACE, every identity column of the newborn schema, because a
-    // schema born with a mark trailing data it was born with would
-    // re-issue those values on the first generated insert (r12 review;
-    // explicit appends still defer to SYNC IDENTITY, delta-spark parity).
+    // REPLACE, every identity column of the COMMITTED schema (on a
+    // kept-schema replace that is the OLD schemaString's identity
+    // metadata, which a plain incoming frame lacks — r12 second-pass
+    // review), because a schema born with a mark trailing data it was
+    // born with would re-issue those values on the first generated insert
+    // (explicit appends still defer to SYNC IDENTITY, delta-spark parity).
     val hwmIdentity: Seq[IdentityColumns.Info] =
       if (exists && !replacing) genIdentity
-      else IdentityColumns.of(createMapping.map(_._1).getOrElse(df.schema))
+      else IdentityColumns.of(committedSchema)
     // stats budget from the config this commit operates under (a CREATE's
     // declared config is not in the log yet). Identity columns due a
     // high-water-mark advance must stay INSIDE the budget — a budget that

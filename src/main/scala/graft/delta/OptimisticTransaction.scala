@@ -193,6 +193,7 @@ final class OptimisticTransaction(val log: DeltaLog) {
       case _ => false
     }
     var attempt = 0
+    var healedStaged = false
     while (attempt < maxAttempts) {
       attempt += 1
       val latest = coordinated match {
@@ -216,7 +217,12 @@ final class OptimisticTransaction(val log: DeltaLog) {
             // commits ABOVE fsLatest: adopt them (single candidate) or
             // refuse (ambiguous) before re-seeding — a re-seed at bare
             // fsLatest would hand their versions to new commits and fork
-            // acked history (r12 review).
+            // acked history (r12 review). latestVersion() merges this
+            // handle's OWN staged map, so heal those to classic names
+            // first — otherwise a warm handle re-seeds the new coordinator
+            // PAST map-known staged-only versions nothing will ever
+            // backfill (r12 second-pass review).
+            log.repairStagedGaps()
             val tip = log.adoptStagedTail(fsLatest)
             client.registerTable(log.logPath.toString, tip)
             math.max(tip, coordLatest)
@@ -250,18 +256,33 @@ final class OptimisticTransaction(val log: DeltaLog) {
             log.store.write(staged, log.store.read(tmp))
             val cc = CoordinatedCommit(latest + 1, staged.getName,
               System.currentTimeMillis())
-            try client.commit(log.logPath.toString, tconf, cc)
-            catch {
-              case e: CommitVersionConflictException =>
-                log.store.delete(staged) // our staged file lost the race
-                // surface on the same lost-the-race retry path as the
-                // filesystem primitive
-                throw new FileAlreadyExistsException(e.getMessage)
-            }
+            val adoptedWin =
+              try { client.commit(log.logPath.toString, tconf, cc); false }
+              catch {
+                case e: CommitVersionConflictException =>
+                  // a state-loss recovery racing this proposal may have
+                  // ADOPTED our staged file as the version's winner before
+                  // the re-seeded coordinator heard our claim — if the
+                  // classic copy is byte-identical to our staged file, this
+                  // commit IS durably applied; retrying would apply the
+                  // same actions twice (r12 second-pass review)
+                  val classic = log.commitFile(latest + 1)
+                  val ours =
+                    try log.store.exists(classic) &&
+                      log.store.read(classic) == log.store.read(staged)
+                    catch { case scala.util.control.NonFatal(_) => false }
+                  if (!ours) {
+                    log.store.delete(staged) // our staged file lost the race
+                    // surface on the same lost-the-race retry path as the
+                    // filesystem primitive
+                    throw new FileAlreadyExistsException(e.getMessage)
+                  }
+                  true
+              }
             log.registerStaged(Seq(cc))
             log.store.delete(tmp)
-            if (disabling || client.backfillInterval <= 1 ||
-                (latest + 1) % client.backfillInterval == 0)
+            if (!adoptedWin && (disabling || client.backfillInterval <= 1 ||
+                (latest + 1) % client.backfillInterval == 0))
               // The commit is DURABLE at the coordinator from this point:
               // a backfill failure must not surface as a failed write —
               // the caller would retry the whole operation and apply it
@@ -283,9 +304,15 @@ final class OptimisticTransaction(val log: DeltaLog) {
             // repairStagedGaps covers what this handle tracked; the
             // fs-level adoption covers a fresh process whose coordinator
             // lost state (nothing to track). An adoption landing exactly
-            // on latest+1 surfaces as AlreadyExists → normal retry.
-            log.repairStagedGaps()
-            log.adoptStagedTail(latest)
+            // on latest+1 surfaces as AlreadyExists → normal retry. Once
+            // per commit call: the gap state is static while this commit
+            // runs (a new coordinated era is a metadata change that
+            // aborts this transaction), so retry attempts skip the probe.
+            if (!healedStaged) {
+              log.repairStagedGaps()
+              log.adoptStagedTail(latest)
+              healedStaged = true
+            }
             log.store.renameNoReplace(tmp, log.commitFile(latest + 1))
         }
         // we minted this version's clock — no need to re-read the file
@@ -298,8 +325,15 @@ final class OptimisticTransaction(val log: DeltaLog) {
         return latest + 1
       } catch {
         case _: FileAlreadyExistsException => () // lost the race; re-check and retry
-        case e: ConcurrentCommitException =>
-          if (tmp != null) log.store.delete(tmp)
+        case e: Throwable =>
+          // ConcurrentCommitException, adoption-ambiguity refusal, hard
+          // IO failures: the prepared _commit_<uuid>.json matches no
+          // retention rule and would sit in _delta_log forever (r12
+          // second-pass review — previously only ConcurrentCommitException
+          // reclaimed it)
+          if (tmp != null)
+            try log.store.delete(tmp)
+            catch { case scala.util.control.NonFatal(_) => () }
           throw e
       }
     }

@@ -230,6 +230,77 @@ class CoordinatedCommitsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("warm handle with state-lost coordinator backfills its staged map before re-seeding (r12)") {
+    // latestVersion() merges the handle's own staged map, so the lag
+    // branch must heal those versions to classic names before
+    // registerTable — a bare re-seed at the map-inclusive tip would leave
+    // them staged-only forever (the new coordinator never tracked them)
+    val dir = tempTable("cc-warm-loss")
+    writeCommit(dir, 0, Seq(protocol, metaData))
+    DeltaTable.forPath(spark, dir.toString)
+      .enableCoordinatedCommits(registered("im-warm", 100))
+    val log = DeltaLog.forPath(spark, dir.toString)
+    log.update()
+    def appendVia(f: String): Long = log.startTransaction()
+      .addAction(ActionCodec.fromJsonLine(add(f)).get).commit()
+    assert(appendVia("a.parquet") == 2 && appendVia("b.parquet") == 3)
+    assert(!Files.exists(fsJson(dir, 2)) && !Files.exists(fsJson(dir, 3)))
+    CommitCoordinatorProvider.register("im-warm",
+      new InMemoryCommitCoordinator(backfillInterval = 100)) // state loss
+    assert(appendVia("c.parquet") == 4)
+    (2L to 3L).foreach(v => assert(Files.exists(fsJson(dir, v)),
+      s"warm handle must heal its own staged v$v to classic before re-seeding"))
+    val fresh = DeltaLog.forPath(spark, dir.toString).update()
+    assert(fresh.files.map(_.path).toSet ==
+      Set("a.parquet", "b.parquet", "c.parquet"))
+  }
+
+  test("a proposal adopted mid-commit by a recovering writer is success, not a retry (r12)") {
+    // Race shape: writer W stages its proposal; a state-loss recovery
+    // adopts that single staged candidate as the version's winner and
+    // re-seeds the coordinator; W's claim then conflicts. W must detect
+    // the classic copy is byte-identical to its own staged file and
+    // report SUCCESS — a blind retry would apply the same actions twice.
+    val dir = tempTable("cc-adopt-race")
+    writeCommit(dir, 0, Seq(protocol, metaData))
+    val inner = new InMemoryCommitCoordinator(backfillInterval = 100)
+    val logForAdopt = () => DeltaLog.forPath(spark, dir.toString)
+    CommitCoordinatorProvider.register("im-adopt", new CommitCoordinatorClient {
+      @volatile var armed = false
+      override def backfillInterval: Int = inner.backfillInterval
+      override def registerTable(p: String, v: Long): Map[String, String] = {
+        armed = true // arm after enablement registration
+        inner.registerTable(p, v)
+      }
+      override def getCommits(p: String, tc: Map[String, String],
+                              sv: Option[Long]): (Seq[CoordinatedCommit], Long) =
+        inner.getCommits(p, tc, sv)
+      override def registerBackfill(p: String, t: Long): Unit =
+        inner.registerBackfill(p, t)
+      override def commit(p: String, tc: Map[String, String],
+                          c: CoordinatedCommit): Unit = {
+        if (armed && c.version == 2) {
+          armed = false
+          // the recovery races in: adopts W's staged file, re-seeds
+          val log = logForAdopt()
+          log.claimClassic(
+            new org.apache.hadoop.fs.Path(
+              CoordinatedCommits.commitsDir(log.logPath), c.fileName),
+            log.commitFile(c.version))
+          inner.registerTable(p, c.version)
+        }
+        inner.commit(p, tc, c) // now a version conflict for W
+      }
+    })
+    DeltaTable.forPath(spark, dir.toString).enableCoordinatedCommits("im-adopt")
+    val v = append(dir, "a.parquet")
+    assert(v == 2, s"adopted proposal must report its own version, got $v")
+    val snap = DeltaLog.forPath(spark, dir.toString).update()
+    assert(snap.version == 2, "no duplicate commit may follow the adopted one")
+    assert(snap.files.map(_.path) == Vector("a.parquet"),
+      "the actions must be applied exactly once")
+  }
+
   test("randomized model: coordinator state loss never forks or loses acked commits (r12)") {
     // sequential schedule of {commit, state-loss, backfill, fresh-read}
     // events: every acked commit must survive any number of coordinator

@@ -198,6 +198,94 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkTestBase {
     assert(DeltaTable.forPath(spark, dir).toDF.count() == 1)
   }
 
+  test("CREATE validates against its own declared constraints (r12)") {
+    // the 'validate against what the commit leaves behind' principle must
+    // hold at CREATE too: a table born declaring CHECK qty_pos must not
+    // be born containing a violation
+    val dir = tempTable("create-check").toString
+    intercept[Exception] {
+      GraftWriter.write(Seq((1L, -5L)).toDF("id", "qty"), dir,
+        configuration = Some(Map("delta.constraints.qty_pos" -> "qty > 0")))
+    }
+    assert(DeltaLog.forPath(spark, dir).update().version < 0,
+      "violating create must not commit")
+    GraftWriter.write(Seq((1L, 5L)).toDF("id", "qty"), dir,
+      configuration = Some(Map("delta.constraints.qty_pos" -> "qty > 0")))
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 1)
+  }
+
+  test("kept-schema replace advances identity marks from the kept metadata (r12)") {
+    import org.apache.spark.sql.types._
+    // the incoming frame has NO identity metadata; the normalize-equal
+    // compare keeps the OLD schemaString (identity metadata included) —
+    // the mark harvest must follow the COMMITTED schema, not the frame's
+    val dir = tempTable("evolve-ows-keptid").toString
+    val schema = StructType(Seq(
+      IdentityColumns.field("rid", 1L, 1L, allowExplicitInsert = true),
+      StructField("v", StringType)))
+    GraftWriter.write(spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(100L, "a")), schema), dir)
+    // plain frame, same (name, type) shape → schemaString kept
+    GraftWriter.write(Seq((500L, "b")).toDF("rid", "v"),
+      dir, SaveMode.Overwrite, overwriteSchema = true)
+    val info = DeltaTable.forPath(spark, dir).identityColumns.head
+    assert(info.highWaterMark.contains(500L),
+      s"kept-schema replace must record the explicit mark, got ${info.highWaterMark}")
+    GraftWriter.write(Seq("c").toDF("v"), dir, SaveMode.Append)
+    val got = DeltaTable.forPath(spark, dir).toDF
+      .select("rid").as[Long].collect().toSeq.sorted
+    assert(got == Seq(500L, 501L), s"generated must continue beyond 500, got $got")
+  }
+
+  test("identity column as partition column harvests its mark from partitionValues (r12)") {
+    import org.apache.spark.sql.types._
+    // partition columns never appear in footer stats; the mark must come
+    // from the adds' partitionValues instead of failing with a
+    // stats-budget error no knob can fix
+    val dir = tempTable("create-id-part").toString
+    val schema = StructType(Seq(
+      IdentityColumns.field("rid", 1L, 1L, allowExplicitInsert = true),
+      StructField("v", StringType)))
+    GraftWriter.write(spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(3L, "a"),
+        org.apache.spark.sql.Row(7L, "b")), schema),
+      dir, partitionBy = Seq("rid"))
+    val info = DeltaTable.forPath(spark, dir).identityColumns.head
+    assert(info.highWaterMark.contains(7L),
+      s"mark must come from partitionValues, got ${info.highWaterMark}")
+  }
+
+  test("explicit identity marks align to the declared start/step grid (r12)") {
+    import org.apache.spark.sql.types._
+    // start=1000 step=10, explicit rid=7: below START WITH → no mark;
+    // generation starts at 1000. Explicit rid=1003: mark aligns UP to the
+    // grid (1010), next generated = 1020 — on the declared arithmetic.
+    val below = tempTable("create-id-below").toString
+    val schema = StructType(Seq(
+      IdentityColumns.field("rid", 1000L, 10L, allowExplicitInsert = true),
+      StructField("v", StringType)))
+    GraftWriter.write(spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(7L, "a")), schema), below)
+    assert(DeltaTable.forPath(spark, below).identityColumns.head.highWaterMark.isEmpty,
+      "values below START WITH need no mark")
+    GraftWriter.write(Seq("b").toDF("v"), below, SaveMode.Append)
+    val gotBelow = DeltaTable.forPath(spark, below).toDF
+      .select("rid").as[Long].collect().toSeq.sorted
+    assert(gotBelow == Seq(7L, 1000L), s"generation starts at START WITH, got $gotBelow")
+
+    val offGrid = tempTable("create-id-offgrid").toString
+    GraftWriter.write(spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1003L, "a")), schema), offGrid)
+    assert(DeltaTable.forPath(spark, offGrid).identityColumns.head
+      .highWaterMark.contains(1010L), "mark must align UP onto the grid")
+    GraftWriter.write(Seq("b").toDF("v"), offGrid, SaveMode.Append)
+    val gotOff = DeltaTable.forPath(spark, offGrid).toDF
+      .select("rid").as[Long].collect().toSeq.sorted
+    assert(gotOff == Seq(1003L, 1020L),
+      s"generated values stay on the declared grid, got $gotOff")
+  }
+
   test("explicit identity values at create and replace advance the high-water mark (r12)") {
     import org.apache.spark.sql.types._
     val dir = tempTable("evolve-idhwm").toString
