@@ -716,6 +716,52 @@ object DeltaQueries {
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     },
+
+    // Coordinator STATE LOSS recovery (round 12): two acked commits are
+    // staged-only (interval 100) when the coordinator loses all state —
+    // the acked history survives only under `_delta_log/_commits/`. The
+    // next writer must ADOPT those versions to their classic names before
+    // re-seeding (a bare re-seed would hand v2/v3 to new commits and fork
+    // acked history), and disablement leaves the log fully classic. The
+    // oracle replays the CLASSIC names only: a green row proves every
+    // acked commit survived the loss and a feature-unaware foreign reader
+    // reconstructs the exact state the coordinated writers produced.
+    "q76_coordinator_recovery" -> { (s, dir) =>
+      val t = freshDir("coordrecover")
+      val d = li(s, dir)
+      GraftWriter.write(d.filter(col("l_orderkey") < 400), t,
+        SaveMode.ErrorIfExists)                                       // v0 (fs)
+      CommitCoordinatorProvider.register("in-memory-i100r",
+        new InMemoryCommitCoordinator(backfillInterval = 100))
+      DeltaTable.forPath(s, t)
+        .enableCoordinatedCommits("in-memory-i100r")                  // v1 (fs)
+      GraftWriter.write(
+        d.filter(col("l_orderkey") >= 400 && col("l_orderkey") < 800),
+        t, SaveMode.Append)                                           // v2 staged-only
+      GraftWriter.write(
+        d.filter(col("l_orderkey") >= 800 && col("l_orderkey") < 1200),
+        t, SaveMode.Append)                                           // v3 staged-only
+      val log = DeltaLog.forPath(s, t)
+      require(!log.store.exists(log.commitFile(2)) &&
+              !log.store.exists(log.commitFile(3)),
+        "v2/v3 must be staged-only before the state loss (interval 100)")
+      // the coordinator loses ALL state (fresh instance, same name)
+      CommitCoordinatorProvider.register("in-memory-i100r",
+        new InMemoryCommitCoordinator(backfillInterval = 100))
+      GraftWriter.write(
+        d.filter(col("l_orderkey") >= 1200 && col("l_orderkey") < 1600),
+        t, SaveMode.Append)                                           // v4: adopts 2..3, re-seeds
+      require(log.store.exists(log.commitFile(2)) &&
+              log.store.exists(log.commitFile(3)),
+        "the post-loss commit must adopt the acked staged tail to classic names")
+      Dml.delete(s, t, col("l_returnflag") === "A")                   // v5 (staged)
+      DeltaTable.forPath(s, t).disableCoordinatedCommits()            // v6 → full backfill
+      (4L to 6L).foreach(v => require(log.store.exists(log.commitFile(v)),
+        s"disablement must leave v$v at its classic name"))
+      DeltaTable.forPath(s, t).toDF
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    },
   )
 
   // q70/q71 oracles read graft's own artifacts, so they need the table
@@ -724,6 +770,7 @@ object DeltaQueries {
   private val dvReplayT = s"$workRoot/dvreplay"
   private val partReplayT = s"$workRoot/partreplay"
   private val coordT = s"$workRoot/coordcommit"
+  private val coordRecoverT = s"$workRoot/coordrecover"
 
   val oracleSql: Map[String, String] = Map(
     // Mechanical log replay in DuckDB: checkpoint parquet as the base,
@@ -777,6 +824,27 @@ object DeltaQueries {
          |    FROM acts) WHERE rn = 1 AND is_add)
          |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
          |FROM read_parquet('$coordT/*.parquet', filename=true, union_by_name=true)
+         |WHERE regexp_extract(filename, '([^/]+)${"$"}', 1) IN (SELECT path FROM active)
+         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
+
+    // Post-recovery replay: identical classic-names-only fold — after a
+    // coordinator state loss, adoption + disablement must leave a classic
+    // log from which a foreign reader reconstructs every acked commit.
+    "q76_coordinator_recovery" ->
+      s"""WITH jl AS (
+         |  SELECT CAST(regexp_extract(filename, '(\\d{20})\\.json', 1) AS BIGINT) AS v, add, remove
+         |  FROM read_json('$coordRecoverT/_delta_log/*.json', format='newline_delimited',
+         |                 union_by_name=true, filename=true)),
+         |acts AS (
+         |  SELECT coalesce(add.path, remove.path) AS path, v, (add.path IS NOT NULL) AS is_add
+         |  FROM jl WHERE add.path IS NOT NULL OR remove.path IS NOT NULL),
+         |active AS (
+         |  SELECT path FROM (
+         |    SELECT path, is_add,
+         |           row_number() OVER (PARTITION BY path ORDER BY v DESC, is_add DESC) AS rn
+         |    FROM acts) WHERE rn = 1 AND is_add)
+         |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+         |FROM read_parquet('$coordRecoverT/*.parquet', filename=true, union_by_name=true)
          |WHERE regexp_extract(filename, '([^/]+)${"$"}', 1) IN (SELECT path FROM active)
          |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
 
