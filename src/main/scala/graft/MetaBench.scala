@@ -29,6 +29,67 @@ object MetaBench {
     ((System.nanoTime() - t0) / 1e9, a)
   }
 
+  /** Coordinated-commits scale probe: N staged-only commits (interval >
+    * N, nothing backfills), then the costs that must stay O(tail):
+    * cold coordinator-aware load (classic replay + staged merge), warm
+    * update, and the post-state-loss adoption walk (one claim per staged
+    * version) triggered by the next commit. */
+  private def coordProbe(spark: SparkSession, n: Int): Unit = {
+    import graft.delta._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-coordbench-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    val t = dir.toString
+    GraftWriter.write(Seq((1L, "x")).toDF("id", "v").coalesce(1), t) // v0
+    val name = "metabench-coord"
+    CommitCoordinatorProvider.register(name,
+      new InMemoryCommitCoordinator(backfillInterval = n + 10))
+    DeltaTable.forPath(spark, t).enableCoordinatedCommits(name)      // v1
+    val log = DeltaLog.forPath(spark, t)
+    log.update()
+    val add0 = log.snapshot.files.head
+    // N coordinated commits, each staging one (zero-byte-placeholder) add
+    val (commitLoopSec, _) = timed {
+      (0 until n).foreach { i =>
+        val f = s"coord-$i.parquet"
+        Files.createFile(dir.resolve(f))
+        log.startTransaction()
+          .addAction(add0.copy(path = f, stats = None))
+          .commit(): Unit
+      }
+    }
+    require(!log.store.exists(log.commitFile(2)),
+      "probe precondition: the tail must be staged-only")
+    val (coldSec, cold) = timed(DeltaLog.forPath(spark, t).update())
+    require(cold.version == n + 1 && cold.files.size == n + 1,
+      s"cold coordinated snapshot wrong: v=${cold.version} files=${cold.files.size}")
+    val warmLog = DeltaLog.forPath(spark, t)
+    warmLog.update()
+    val (warmSec, _) = timed(warmLog.update())
+    // coordinator loses all state; the next commit adopts the acked tail
+    CommitCoordinatorProvider.register(name,
+      new InMemoryCommitCoordinator(backfillInterval = n + 10))
+    Files.createFile(dir.resolve("post-loss.parquet"))
+    val (adoptSec, _) = timed {
+      DeltaLog.forPath(spark, t).startTransaction()
+        .addAction(add0.copy(path = "post-loss.parquet", stats = None))
+        .commit(): Unit
+    }
+    (2L to (n + 1L)).foreach(v => require(log.store.exists(log.commitFile(v)),
+      s"adoption must have claimed v$v"))
+    val (postSec, post) = timed(DeltaLog.forPath(spark, t).update())
+    require(post.version == n + 2 && post.files.size == n + 2,
+      s"post-recovery snapshot wrong: v=${post.version} files=${post.files.size}")
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    println(s"""{"metric":"coordinated_path","staged_commits":$n,"commit_loop_sec":${fmt(commitLoopSec)},"commit_sec_each":${fmt(commitLoopSec / n)},"cold_merge_sec":${fmt(coldSec)},"warm_update_sec":${fmt(warmSec)},"state_loss_adoption_commit_sec":${fmt(adoptSec)},"post_recovery_cold_sec":${fmt(postSec)}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_META_COMMITS", "10000").toInt
     // >1 switches to the INVENTORY probe (r11 verdict #6): n commits ×
@@ -46,6 +107,19 @@ object MetaBench {
       .config("spark.sql.catalog.spark_catalog", "graft.delta.catalog.GraftCatalog")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // SPARK_GRAFT_META_COORD=N switches to the COORDINATED-COMMITS probe
+    // (r12): N staged-only commits through a coordinator (interval > N),
+    // measuring real commit throughput, the staged-tail merge a cold
+    // coordinator-aware reader pays, and the adoption walk after a
+    // coordinator state loss — the three coordinated paths whose cost
+    // must stay O(tail), not O(history).
+    val coordN = sys.env.getOrElse("SPARK_GRAFT_META_COORD", "0").toInt
+    if (coordN > 0) {
+      coordProbe(spark, coordN)
+      spark.stop()
+      return
+    }
 
     val dir = Files.createTempDirectory("graft-metabench-")
     // the probe can synthesize ~10⁶ placeholder files; a few undeleted runs

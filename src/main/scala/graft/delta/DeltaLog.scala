@@ -55,8 +55,15 @@ final class DeltaLog private (
     * cleared by any staged registration (see [[adoptStagedTail]]). */
   @volatile private var commitsDirKnownAbsent = false
 
+  /** Mutations of [[stagedCommits]] are read-modify-writes on a volatile
+    * — two concurrent `++`/`--` folds would lose one side's update (a
+    * racing prune could drop a just-registered staged-only commit, making
+    * it unreadable until the next refresh). One lock serializes them;
+    * reads stay lock-free on the volatile. */
+  private val stagedLock = new Object
+
   private[delta] def registerStaged(commits: Seq[CoordinatedCommit]): Unit =
-    if (commits.nonEmpty) {
+    if (commits.nonEmpty) stagedLock.synchronized {
       stagedCommits = stagedCommits ++
         commits.map(c => c.version -> new Path(commitsDir, c.fileName))
       commitsDirKnownAbsent = false
@@ -69,9 +76,11 @@ final class DeltaLog private (
     CoordinatedCommits.clientForRead(snap) match {
       case Some((client, tconf)) =>
         val (pending, _) = client.getCommits(logPath.toString, tconf)
-        stagedCommits =
-          pending.map(c => c.version -> new Path(commitsDir, c.fileName)).toMap
-        commitsDirKnownAbsent = false
+        stagedLock.synchronized {
+          stagedCommits =
+            pending.map(c => c.version -> new Path(commitsDir, c.fileName)).toMap
+          commitsDirKnownAbsent = false
+        }
         true
       case None => false
     }
@@ -108,7 +117,7 @@ final class DeltaLog private (
       // prune confirmed-classic entries: a long-lived handle must not pay
       // per-entry existence probes on every later commit (r12 review);
       // resolveCommitFile falls back to the classic name it just verified
-      stagedCommits = stagedCommits -- healed
+      stagedLock.synchronized { stagedCommits = stagedCommits -- healed }
     }
 
   /** Claim a classic commit name from a staged source: tmp copy + atomic
