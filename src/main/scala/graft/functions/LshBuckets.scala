@@ -1,6 +1,5 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -33,7 +32,10 @@ case class LshBucketsMultiExpr(child: Expression, nTables: Int, nPlanes: Int,
                                seed: Int) extends UnaryExpression {
 
   require(nPlanes >= 1 && nPlanes <= 63, "nPlanes must be in [1, 63]")
-  require(nTables >= 1, "nTables must be >= 1")
+  // the upper bound keeps nTables*nPlanes*dim safely inside Int and the
+  // sign matrix inside the companion cache's size cap (r12 review: an
+  // unbounded nTables overflowed the matrix size computation)
+  require(nTables >= 1 && nTables <= 4096, "nTables must be in [1, 4096]")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -50,7 +52,7 @@ case class LshBucketsMultiExpr(child: Expression, nTables: Int, nPlanes: Int,
         s"lsh_buckets needs an array<float|double> column, got ${child.dataType.simpleString}")
 
   /** ±1 sign matrix, laid out [plane][dim] — EXECUTOR-wide cache in the
-    * companion (an instance cache rebuilds per TASK: every task
+    * companion (an instance cache ALONE rebuilds per TASK: every task
     * deserializes its own copy of the plan and of the codegen reference
     * object, so a 10⁴-task stage would recompute ~400k hash chains per
     * task). Plane p, component d: +1 iff xxhash64(p, d, seed) is even —
@@ -58,12 +60,25 @@ case class LshBucketsMultiExpr(child: Expression, nTables: Int, nPlanes: Int,
   def signMatrix(dim: Int): Array[Byte] =
     LshBucketsMultiExpr.signMatrix(nTables, nPlanes, seed, dim)
 
+  // per-instance memo over the companion cache: the row kernel runs per
+  // ROW, and a boxed-Tuple4 ConcurrentHashMap probe per row is garbage +
+  // contention in the hot loop (r12 review). A deserialized task instance
+  // is single-threaded; dim is constant in practice, so this is one
+  // branch per row. @transient: never ship matrices with the plan.
+  @transient private var lastDim: Int = -1
+  @transient private var lastMatrix: Array[Byte] = _
+  @transient private lazy val isFloatElem: Boolean = elemType.get == FloatType
+
   /** Row kernel, shared by interpreted eval and codegen (called through an
     * object reference — the loop itself JITs as ordinary JVM code). */
   def buckets(a: ArrayData): ArrayData = {
-    val isFloat = elemType.get == FloatType
+    val isFloat = isFloatElem
     val dim = a.numElements()
-    val signs = signMatrix(dim)
+    if (dim != lastDim) {
+      lastMatrix = signMatrix(dim)
+      lastDim = dim
+    }
+    val signs = lastMatrix
     val out = new Array[Long](nTables)
     var t = 0
     while (t < nTables) {
@@ -103,9 +118,18 @@ case class LshBucketsMultiExpr(child: Expression, nTables: Int, nPlanes: Int,
 }
 
 object LshBucketsMultiExpr {
+  /** Largest sign matrix the cache will hold (bytes): 96×4 planes × a
+    * 4096-dim embedding is ~1.6 MB; anything past this cap is a malformed
+    * (ragged) row or a misuse, and allocating-and-caching it forever
+    * would be an executor memory leak (r12 review). */
+  private val MaxMatrixBytes = 1L << 26 // 64 MB
+
   /** JVM-wide sign matrices keyed by the full parameterization — shared
-    * by every task (and every query) on the executor. Bounded: one entry
-    * per distinct (tables, planes, seed, dim) in live use. */
+    * by every task (and every query) on the executor. Bounded two ways:
+    * a per-matrix size cap (above) and a whole-cache entry cap — a seed
+    * sweep or ragged-dim stream must not accrete matrices forever; on
+    * overflow the cache resets (recompute is a few hundred µs). */
+  private val MaxCacheEntries = 64
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Int), Array[Byte]]()
 
@@ -113,6 +137,11 @@ object LshBucketsMultiExpr {
                                     dim: Int): Array[Byte] =
     cache.computeIfAbsent((nTables, nPlanes, seed, dim), { _ =>
       val nP = nTables * nPlanes
+      require(nP.toLong * dim <= MaxMatrixBytes,
+        s"lsh_buckets_multi: sign matrix $nTables×$nPlanes×dim=$dim exceeds " +
+        s"$MaxMatrixBytes bytes — a ragged/malformed embedding row, or a " +
+        "parameterization far past any useful LSH configuration")
+      if (cache.size >= MaxCacheEntries) cache.clear()
       val m = new Array[Byte](nP * dim)
       var p = 0
       while (p < nP) {

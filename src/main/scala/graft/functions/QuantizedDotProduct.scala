@@ -1,18 +1,48 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Rounding helper shared by interpreted and generated code: HALF_UP away
-  * from zero, matching both Spark's `round()` and DuckDB's `round()` so
-  * results stay oracle-exact. */
+  * from zero, matching both Spark's `round()` (BigDecimal HALF_UP) and
+  * DuckDB's `round()` (std::round) so results stay oracle-exact.
+  *
+  * NOT `floor(v + 0.5)`: that classic shortcut rounds UP at the largest
+  * double below a halfway point (JDK-8010430 — `0.49999999999999994 + 0.5`
+  * lands exactly on 1.0 after float rounding), where both engines round
+  * DOWN. Comparing `v` against `floor(v) + 0.5` is exact — `floor(v)` is
+  * an integer and adding 0.5 to an integer below 2^52 is representable —
+  * so the three-way compare reproduces true half-away-from-zero. (The
+  * fractional-part formulation `v - floor(v)` is NOT exact: the
+  * subtraction itself rounds at the same boundary.)
+  *
+  * Non-finite input throws: the `aggregate(zip_with(round(...)))`
+  * formulation this expression replaces errors under ANSI (as does the
+  * DuckDB oracle's BIGINT cast) — quantizing NaN to 0 or Infinity to
+  * Long.MaxValue would let corrupt embeddings silently join similarity
+  * rankings exactly where the oracle gate would have caught them (r12
+  * review). */
 object QMath {
-  def qround(v: Double): Long =
-    if (v < 0) -math.floor(-v + 0.5).toLong else math.floor(v + 0.5).toLong
+  def qround(v: Double): Long = {
+    if (!java.lang.Double.isFinite(v))
+      throw new ArithmeticException(
+        s"dot_q: non-finite embedding component $v cannot be quantized " +
+        "(the ANSI zip_with/round formulation and the DuckDB oracle both " +
+        "reject it)")
+    // at |v| >= 2^52 every double is an integer — nothing to round (and
+    // f + 0.5 below would no longer be exact)
+    if (math.abs(v) >= 4.503599627370496e15) return v.toLong
+    val f = math.floor(v)
+    val h = f + 0.5 // exact: f is an integer with |f| <= 2^52
+    val r =
+      if (v > h) f + 1
+      else if (v < h) f
+      else if (v >= 0) f + 1 // halfway: away from zero
+      else f                 // negative halfway: floor IS away from zero
+    r.toLong
+  }
 }
 
 /** Codegen'd quantized dot product of two float/double array columns:
@@ -113,18 +143,3 @@ case class QuantizedDotProduct(left: Expression, right: Expression, scale: Int)
   override def prettyName: String = "dot_q"
 }
 
-/** Column-API entry points for the custom expressions. */
-object functions {
-  import org.apache.spark.sql.graftbridge.ColumnBridge
-
-  /** Exact quantized dot product (see [[QuantizedDotProduct]]). */
-  def dot_q(a: Column, b: Column, scale: Int = 1000): Column =
-    ColumnBridge.column(QuantizedDotProduct(
-      ColumnBridge.expression(a), ColumnBridge.expression(b), scale))
-
-  /** All multi-table LSH bucket ids in one fused pass (see
-    * [[LshBucketsMultiExpr]]). */
-  def lsh_buckets_multi(vec: Column, nTables: Int, nPlanes: Int, seed: Int): Column =
-    ColumnBridge.column(LshBucketsMultiExpr(
-      ColumnBridge.expression(vec), nTables, nPlanes, seed))
-}

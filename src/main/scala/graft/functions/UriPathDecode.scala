@@ -48,31 +48,41 @@ case class UriPathDecodeExpr(child: Expression) extends UnaryExpression {
 object UriPathDecode {
 
   /** Static decode kernel shared by eval and codegen. Returns the input
-    * object unchanged (no copy) when no `%` escape is present — the common
-    * case for clean paths. */
+    * object unchanged when no `%` escape is present — the common case for
+    * clean paths — scanning in place via `getByte` (the previous version
+    * copied the whole string out of its UnsafeRow backing just to scan,
+    * and built the escape path through a synchronized per-byte
+    * ByteArrayOutputStream plus a final copy; r12 review). Decoded output
+    * is never longer than the input, so the escape path is one exact-size
+    * array and one slice-framed result. */
   def decode(s: UTF8String): UTF8String = {
-    val b = s.getBytes
+    val n = s.numBytes
     var i = 0
     var hasEscape = false
-    while (i < b.length && !hasEscape) {
-      if (b(i) == '%' && i + 2 < b.length && isHex(b(i + 1)) && isHex(b(i + 2)))
+    while (i < n && !hasEscape) {
+      if (s.getByte(i) == '%' && i + 2 < n &&
+          isHex(s.getByte(i + 1)) && isHex(s.getByte(i + 2)))
         hasEscape = true
       i += 1
     }
     if (!hasEscape) return s
-    val out = new java.io.ByteArrayOutputStream(b.length)
+    val b = s.getBytes // one copy, escape path only
+    val out = new Array[Byte](b.length)
+    var o = 0
     i = 0
     while (i < b.length) {
       val c = b(i)
       if (c == '%' && i + 2 < b.length && isHex(b(i + 1)) && isHex(b(i + 2))) {
-        out.write((hexVal(b(i + 1)) << 4) | hexVal(b(i + 2)))
+        out(o) = ((hexVal(b(i + 1)) << 4) | hexVal(b(i + 2))).toByte
+        o += 1
         i += 3
       } else {
-        out.write(c)
+        out(o) = c
+        o += 1
         i += 1
       }
     }
-    UTF8String.fromBytes(out.toByteArray)
+    UTF8String.fromBytes(out, 0, o)
   }
 
   private def isHex(b: Byte): Boolean =

@@ -45,6 +45,34 @@ class QuantizedDotProductSpec extends AnyFunSuite with SparkTestBase {
     assert(QMath.qround(0.0) == 0L)
   }
 
+  test("qround does not inherit the floor(v+0.5) midpoint defect (r12)") {
+    // 0.49999999999999994 + 0.5 rounds UP to 1.0 in float arithmetic
+    // (JDK-8010430); Spark's BigDecimal HALF_UP and DuckDB's std::round
+    // both keep it at 0 — so must we
+    assert(QMath.qround(0.49999999999999994) == 0L)
+    assert(QMath.qround(-0.49999999999999994) == 0L)
+    // and a Spark-side cross-check on the same value through round()
+    val viaSpark = spark.sql(
+      "SELECT cast(round(0.49999999999999994d) as bigint)").head.getLong(0)
+    assert(viaSpark == 0L && QMath.qround(0.49999999999999994) == viaSpark)
+  }
+
+  test("non-finite components throw instead of silently quantizing (r12)") {
+    intercept[ArithmeticException](QMath.qround(Double.NaN))
+    intercept[ArithmeticException](QMath.qround(Double.PositiveInfinity))
+    intercept[ArithmeticException](QMath.qround(Double.NegativeInfinity))
+    // end-to-end through the expression (codegen path): the corrupted
+    // embedding must fail loudly, not join a similarity ranking as 0
+    val df = Seq((1L, Array(1.0, Double.NaN), Array(1.0, 1.0))).toDF("id", "a", "b")
+    val e = intercept[Exception] {
+      df.withColumn("d", dot_q(col("a"), col("b"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected an ArithmeticException in the cause chain, got $e")
+  }
+
   test("null array → null; null element → null; length mismatch → common prefix") {
     val df = Seq(
       (1L, Some(Seq(Some(1.0f), Some(2.0f))), Some(Seq(Some(1.0f), Some(1.0f)))),
