@@ -654,8 +654,11 @@ final class DeltaLog private (
       // Backfill-tmp hygiene: a writer that crashed between writing
       // `_backfill_<uuid>.json` and renaming it leaves a file no other
       // rule names; anything past the cutoff is a leftover (live tmps
-      // are seconds old).
-      if (CoordinatedCommits.BackfillTmpRe.findFirstIn(name).isDefined &&
+      // are seconds old). Same rule for `.<name>.<uuid>.copytmp` — the
+      // atomic-copy staging name (r12: LogStore.copy publishes via
+      // tmp+rename so readers never see a partial commit file).
+      if ((CoordinatedCommits.BackfillTmpRe.findFirstIn(name).isDefined ||
+           name.endsWith(".copytmp")) &&
           st.getModificationTime < cutoff) {
         store.delete(st.getPath)
         deleted += name

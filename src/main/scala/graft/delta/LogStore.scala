@@ -42,11 +42,18 @@ trait LogStore {
   def readBytes(path: Path): Array[Byte]
   def writeBytes(path: Path, bytes: Array[Byte]): Unit
 
-  /** Byte-exact copy `src` → `dst` (overwrite). The default round-trips
-    * through one heap array — correct for every store but O(file) memory;
-    * stores with a native stream (or server-side copy) MUST override so
-    * multi-GB checkpoint parts move in constant memory through the
-    * [[LockingRename]] seam (r12 review find). */
+  /** Byte-exact copy `src` → `dst` (overwrite) with ATOMIC destination
+    * visibility: `dst` must appear complete-or-absent, never partial — a
+    * copy+delete rename publishes commit files through this, and a
+    * concurrent reader observing a torn commit would replay (and
+    * .crc-stamp) a snapshot missing that version's actions (r12 storm
+    * find). Object-store PUTs are atomic by the store's own contract;
+    * filesystem implementations must stage + rename (see
+    * [[HadoopLogStore.copy]]). The default round-trips through one heap
+    * array — single-PUT atomic on object-store-backed impls but O(file)
+    * memory; stores with a native stream (or server-side copy) MUST
+    * override so multi-GB checkpoint parts move in constant memory
+    * through the [[LockingRename]] seam (r12 review find). */
   def copy(src: Path, dst: Path): Unit = writeBytes(dst, readBytes(src))
 
   /** Move `src` to `dst` atomically, failing with
@@ -144,14 +151,31 @@ final class HadoopLogStore(conf: Configuration) extends LogStore {
     finally out.close()
   }
 
-  /** Streaming copy — constant memory regardless of file size. */
+  /** Streaming copy — constant memory regardless of file size — with
+    * ATOMIC destination visibility: bytes stream into a hidden sibling
+    * tmp and a filesystem rename publishes the complete file. A real
+    * object store's PUT is all-or-nothing; streaming straight into `dst`
+    * on a filesystem is NOT — a concurrent reader of a commit file being
+    * copy+delete-renamed under the lock could replay a PARTIAL commit,
+    * building (and .crc-stamping) a snapshot missing that version's adds
+    * (r12: caught by the lock-contended storm, a wrong-checksum flake). */
   override def copy(src: Path, dst: Path): Unit = {
+    val tmp = new Path(dst.getParent,
+      s".${dst.getName}.${java.util.UUID.randomUUID()}.copytmp")
     val in = fs(src).open(src)
     try {
-      val out = fs(dst).create(dst, true)
+      val out = fs(tmp).create(tmp, true)
       try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024)
       finally out.close()
     } finally in.close()
+    val f = fs(dst)
+    try {
+      if (f.exists(dst)) f.delete(dst, false) // copy overwrites, like PUT
+      if (!f.rename(tmp, dst))
+        throw new IOException(s"copy publish $tmp -> $dst failed")
+    } finally {
+      if (f.exists(tmp)) f.delete(tmp, false)
+    }
   }
 
   override def delete(path: Path): Unit = fs(path).delete(path, false)

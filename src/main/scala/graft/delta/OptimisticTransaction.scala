@@ -253,7 +253,12 @@ final class OptimisticTransaction(val log: DeltaLog) {
             val staged = new Path(log.commitsDir,
               CoordinatedCommits.stagedName(latest + 1))
             log.store.mkdirs(log.commitsDir)
-            log.store.write(staged, log.store.read(tmp))
+            // atomic copy (r12): a state-loss recovery's adoption scan can
+            // list this file BEFORE we propose it — streaming bytes
+            // straight in would let it promote a torn commit to a classic
+            // name. copy() publishes complete-or-absent (and never buffers
+            // the payload on the heap).
+            log.store.copy(tmp, staged)
             val cc = CoordinatedCommit(latest + 1, staged.getName,
               System.currentTimeMillis())
             val adoptedWin =

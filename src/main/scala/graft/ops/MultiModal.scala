@@ -81,8 +81,15 @@ object MultiModal {
                           bitsPerSample: Option[Int], nBytes: Long, valid: Boolean)
 
     private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
-    /** Bytes examined — metadata for all three containers lives in the head. */
-    val SniffWindow = 1024
+    /** Bytes examined. PNG (IHDR-first) and WAV (fmt-first in practice)
+      * resolve within tens of bytes, but a real-world JPEG routinely
+      * carries a 10–64 KB EXIF APP1 segment BEFORE its SOF frame header —
+      * the old 1 KB window declared every such photo `valid=false` (r12
+      * review). 64 KiB covers any single APPn segment (their length field
+      * is 16-bit); a SOF beyond several such segments still degrades to
+      * valid=false rather than throwing. The window is a PARSE BOUND, not
+      * a copy — sniffing reads the payload in place. */
+    val SniffWindow = 64 * 1024
 
     private def u8(p: Array[Byte], i: Int): Int = p(i) & 0xff
     private def be16(p: Array[Byte], i: Int): Int = (u8(p, i) << 8) | u8(p, i + 1)
@@ -97,7 +104,10 @@ object MultiModal {
     def sniff(payload: Array[Byte]): Meta = {
       val p0 = if (payload == null) Array.emptyByteArray else payload
       val n = p0.length.toLong
-      val p = if (p0.length > SniffWindow) java.util.Arrays.copyOf(p0, SniffWindow) else p0
+      // parse bound: the old code COPIED the first KB per row; a bound on
+      // the scan index does the same job allocation-free
+      val p = p0
+      val lim = math.min(p0.length, SniffWindow)
       def invalid(fmt: String) = Meta(fmt, None, None, None, None, None, n, valid = false)
       if (p.length >= 8 && p.take(8).sameElements(PngSig)) {
         // PNG: sig, then the IHDR chunk MUST be first — [len=13]["IHDR"]
@@ -116,7 +126,7 @@ object MultiModal {
         var i = 2
         var out: Option[Meta] = None
         var broken = false
-        while (out.isEmpty && !broken && i + 3 < p.length) {
+        while (out.isEmpty && !broken && i + 3 < lim) {
           if (u8(p, i) != 0xff) broken = true
           else {
             val m = u8(p, i + 1)
@@ -127,7 +137,7 @@ object MultiModal {
               val segLen = be16(p, i + 2)
               if (segLen < 2) broken = true
               else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
-                if (i + 8 < p.length) {
+                if (i + 8 < lim) {
                   val h = be16(p, i + 5); val w = be16(p, i + 7)
                   out = Some(
                     if (w > 0 && h > 0)
@@ -145,16 +155,16 @@ object MultiModal {
         // [blockAlign][bitsPerSample LE16]
         var i = 12
         var out: Option[Meta] = None
-        while (out.isEmpty && i + 8 <= p.length) {
+        while (out.isEmpty && i + 8 <= lim) {
           val size = le32(p, i + 4)
-          if (tag(p, i, "fmt ") && size >= 16 && i + 8 + 16 <= p.length) {
+          if (tag(p, i, "fmt ") && size >= 16 && i + 8 + 16 <= lim) {
             val ch = le16(p, i + 10); val rate = le32(p, i + 12)
             val bits = le16(p, i + 22)
             out = Some(
               if (ch > 0 && rate > 0 && rate <= Int.MaxValue)
                 Meta("wav", None, None, Some(rate.toInt), Some(ch), Some(bits), n, valid = true)
               else invalid("wav"))
-          } else if (size < 0 || size > Int.MaxValue - 9) i = p.length // corrupt size
+          } else if (size < 0 || size > Int.MaxValue - 9) i = lim // corrupt size
           else i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
         }
         out.getOrElse(invalid("wav"))

@@ -547,11 +547,36 @@ class MultiModalSpec extends AnyFunSuite with SparkTestBase {
     assert(MediaSniffer.sniff(null).format == "unknown")
   }
 
-  test("MediaSniffer only examines the head — metadata past 1 KB of junk is not required") {
-    // a big payload with a valid PNG head sniffs fine (window is a copy cap)
+  test("MediaSniffer only examines the head — metadata past the window is not required") {
+    // a big payload with a valid PNG head sniffs fine (window is a parse
+    // bound, not a copy)
     val big = MediaSynth.png(33, 44) ++ Array.fill[Byte](100000)(0x5a)
     val m = MediaSniffer.sniff(big)
     assert(m.valid && m.width.contains(33) && m.nBytes == big.length.toLong)
+  }
+
+  test("JPEG with an EXIF-sized APP1 before SOF sniffs valid (r12: 1 KB window)") {
+    // real photos carry 10-64 KB EXIF APP1 segments before the frame
+    // header; the old 1 KB window declared every such JPEG invalid
+    val base = MediaSynth.jpeg(800, 600)
+    val exifLen = 12000
+    val app1 = Array[Byte](0xff.toByte, 0xe1.toByte,
+      ((exifLen + 2) >> 8).toByte, ((exifLen + 2) & 0xff).toByte) ++
+      Array.fill[Byte](exifLen)(0x11)
+    // splice APP1 right after SOI (ff d8)
+    val withExif = base.take(2) ++ app1 ++ base.drop(2)
+    val m = MediaSniffer.sniff(withExif)
+    assert(m.valid && m.width.contains(800) && m.height.contains(600),
+      s"EXIF-bearing JPEG must sniff its SOF dims, got $m")
+    // a SOF beyond the 64 KiB window still degrades honestly
+    val hugeLen = 65000
+    val appHuge = Array[Byte](0xff.toByte, 0xe1.toByte,
+      ((hugeLen + 2) >> 8).toByte, ((hugeLen + 2) & 0xff).toByte) ++
+      Array.fill[Byte](hugeLen)(0x11)
+    val beyond = base.take(2) ++ appHuge ++ appHuge ++ base.drop(2)
+    val mb = MediaSniffer.sniff(beyond)
+    assert(mb.format == "jpeg" && !mb.valid,
+      s"SOF past the window must degrade to valid=false, got $mb")
   }
 
   test("sniffMetadata attaches typed columns and drops the payload; synth attach is deterministic") {
