@@ -122,12 +122,17 @@ final class DeltaLog private (
 
   /** Claim a classic commit name from a staged source: tmp copy + atomic
     * rename, concurrent-claimer tolerant (identical bytes by contract).
-    * Shared with [[CoordinatedCommits.backfill]]. */
+    * Shared with [[CoordinatedCommits.backfill]]. The tmp is written with
+    * a plain byte round-trip, NOT store.copy — copy's atomic-visibility
+    * staging would double-stage every claim (copytmp → backfill-tmp →
+    * classic; r12 aggregate review), and nobody reads the private
+    * backfill tmp mid-write. Commit JSONs are small; the heap buffer is
+    * fine here (checkpoint parts never pass through claimClassic). */
   private[delta] def claimClassic(src: Path, dst: Path): Unit = {
     val tmp = new Path(logPath, CoordinatedCommits.BackfillTmpName(
       java.util.UUID.randomUUID().toString))
     try {
-      store.copy(src, tmp)
+      store.writeBytes(tmp, store.readBytes(src))
       store.renameNoReplace(tmp, dst)
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
@@ -155,6 +160,16 @@ final class DeltaLog private (
     // not one per commit. Invalidated by any staged registration (the only
     // way _commits/ can appear for this handle is coordinated activity,
     // which flows through registerStaged/refreshStaged).
+    //
+    // Deliberately NO "present but nothing to adopt" cache (r12 aggregate
+    // review raised the per-commit LIST on once-coordinated tables): a
+    // whole coordinated era can come and go through OTHER processes while
+    // this handle only ever observes post-disablement snapshots — nothing
+    // on this handle would invalidate a stale clean flag, and a stale
+    // flag is not merely delayed healing: the rename below would claim a
+    // stranded acked version's number and FORK history. The LIST of a
+    // retention-bounded directory once per commit is the price of that
+    // safety.
     if (commitsDirKnownAbsent) return classicLatest
     if (!store.exists(commitsDir)) {
       commitsDirKnownAbsent = true
@@ -679,6 +694,15 @@ final class DeltaLog private (
           case CoordinatedCommits.StagedRe(v, _)
               if v.toLong < checkpointVersion && st.getModificationTime < cutoff &&
                  classicAtEntry.contains(v.toLong) =>
+            store.delete(st.getPath)
+            deleted += s"_commits/$name"
+          // atomic-copy staging leftovers: the coordinated proposal write
+          // stages `.<name>.<uuid>.copytmp` IN _commits/ (dst's parent),
+          // and a crash mid-stream leaves it matching no other rule (r12
+          // aggregate review — the root-listing copytmp rule above never
+          // descends here)
+          case _ if name.endsWith(".copytmp") &&
+                    st.getModificationTime < cutoff =>
             store.delete(st.getPath)
             deleted += s"_commits/$name"
           case _ => ()

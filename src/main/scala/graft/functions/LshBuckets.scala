@@ -134,14 +134,18 @@ object LshBucketsMultiExpr {
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Int), Array[Byte]]()
 
   private[functions] def signMatrix(nTables: Int, nPlanes: Int, seed: Int,
-                                    dim: Int): Array[Byte] =
+                                    dim: Int): Array[Byte] = {
+    // evict BEFORE computeIfAbsent: the CHM contract forbids the mapping
+    // function from mutating the map — clear() inside it locks every bin
+    // while holding one, a cross-thread deadlock two concurrent new keys
+    // can hit (r12 aggregate review). A racing double-clear is harmless.
+    if (cache.size >= MaxCacheEntries) cache.clear()
     cache.computeIfAbsent((nTables, nPlanes, seed, dim), { _ =>
       val nP = nTables * nPlanes
       require(nP.toLong * dim <= MaxMatrixBytes,
         s"lsh_buckets_multi: sign matrix $nTables×$nPlanes×dim=$dim exceeds " +
         s"$MaxMatrixBytes bytes — a ragged/malformed embedding row, or a " +
         "parameterization far past any useful LSH configuration")
-      if (cache.size >= MaxCacheEntries) cache.clear()
       val m = new Array[Byte](nP * dim)
       var p = 0
       while (p < nP) {
@@ -157,4 +161,5 @@ object LshBucketsMultiExpr {
       }
       m
     })
+  }
 }

@@ -31,6 +31,14 @@ object QMath {
         s"dot_q: non-finite embedding component $v cannot be quantized " +
         "(the ANSI zip_with/round formulation and the DuckDB oracle both " +
         "reject it)")
+    // past Long range the ANSI cast and the DuckDB BIGINT cast both raise
+    // — silently saturating to Long.MaxValue would let a corrupt-but-
+    // finite component (1e17 at scale 1000) wrap the accumulator while
+    // the oracle errors (r12 aggregate review)
+    if (v >= 9.223372036854776e18 || v <= -9.223372036854776e18)
+      throw new ArithmeticException(
+        s"dot_q: quantized component $v overflows BIGINT (the ANSI and " +
+        "DuckDB casts both reject it)")
     // at |v| >= 2^52 every double is an integer — nothing to round (and
     // f + 0.5 below would no longer be exact)
     if (math.abs(v) >= 4.503599627370496e15) return v.toLong

@@ -272,6 +272,30 @@ class LockTierReviewSpec extends AnyFunSuite with SparkTestBase {
     assert(Files.exists(live), "fresh tmp (an in-flight backfill) must survive")
   }
 
+  test("aged .copytmp leftovers are swept in _delta_log AND _commits (r12)") {
+    // the atomic-copy publish stages `.<name>.<uuid>.copytmp`; a crash
+    // mid-stream leaves it — in the log root (lease renames) or under
+    // _commits/ (coordinated proposal staging)
+    val dir = tempTable("locktier-copytmp")
+    writeCommit(dir, 0, Seq(protocol, metaData, add("f0.parquet")))
+    val logDir = dir.resolve("_delta_log")
+    val commits = logDir.resolve("_commits")
+    Files.createDirectories(commits)
+    val old = System.currentTimeMillis() - 100000
+    val rootTmp = logDir.resolve(".00000000000000000001.json.abcd.copytmp")
+    val cTmp = commits.resolve(".00000000000000000002.uuid.json.efgh.copytmp")
+    Files.writeString(rootTmp, "{}"); Files.writeString(cTmp, "{}")
+    Files.setLastModifiedTime(rootTmp, FileTime.fromMillis(old))
+    Files.setLastModifiedTime(cTmp, FileTime.fromMillis(old))
+    val fresh = commits.resolve(".00000000000000000003.uuid.json.ijkl.copytmp")
+    Files.writeString(fresh, "{}") // in-flight: must survive
+    val log = DeltaLog.forPath(spark, dir.toString)
+    val deleted = log.cleanUpExpiredLogs(0, retentionMillis = 50000)
+    assert(!Files.exists(rootTmp), s"root copytmp must be swept: $deleted")
+    assert(!Files.exists(cTmp), s"_commits copytmp must be swept: $deleted")
+    assert(Files.exists(fresh), "fresh copytmp (in-flight publish) must survive")
+  }
+
   // ---- finding: a coordinator lagging the filesystem (enablement crash
   // window, fresh in-memory coordinator) rejected every proposal forever
 

@@ -38,6 +38,18 @@ class LshBucketsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("cache eviction past the entry cap neither hangs nor corrupts (r12)") {
+    // the old clear() INSIDE computeIfAbsent violated the CHM contract
+    // (deadlockable); eviction now happens before the probe. 70 distinct
+    // seeds overflow the 64-entry cap at least once; matrices stay
+    // deterministic across the reset.
+    val before = LshBucketsMultiExpr.signMatrix(2, 2, 7, 4).clone()
+    (0 until 70).foreach(s => LshBucketsMultiExpr.signMatrix(2, 2, 1000 + s, 4))
+    val after = LshBucketsMultiExpr.signMatrix(2, 2, 7, 4)
+    assert(java.util.Arrays.equals(before, after),
+      "recomputed matrix after eviction must be bit-identical")
+  }
+
   test("buckets are stable across the per-instance memo and dim changes") {
     // same row twice (memo hit) and a different dim in between (memo
     // refresh): buckets must be identical for identical inputs

@@ -61,6 +61,11 @@ class QuantizedDotProductSpec extends AnyFunSuite with SparkTestBase {
     intercept[ArithmeticException](QMath.qround(Double.NaN))
     intercept[ArithmeticException](QMath.qround(Double.PositiveInfinity))
     intercept[ArithmeticException](QMath.qround(Double.NegativeInfinity))
+    // finite BIGINT overflow throws too (ANSI/DuckDB cast parity): a
+    // corrupt 1e17 component at scale 1000 must not saturate-and-wrap
+    intercept[ArithmeticException](QMath.qround(1e20))
+    intercept[ArithmeticException](QMath.qround(-1e20))
+    assert(QMath.qround(9e18) == 9000000000000000000L) // inside range: fine
     // end-to-end through the expression (codegen path): the corrupted
     // embedding must fail loudly, not join a similarity ranking as 0
     val df = Seq((1L, Array(1.0, Double.NaN), Array(1.0, 1.0))).toDF("id", "a", "b")
