@@ -165,7 +165,10 @@ trait CommitCoordinatorClient {
   /** Register (or re-register) a table; returns coordinator-issued table
     * conf to persist under [[CoordinatedCommits.TableConfKey]].
     * `currentVersion` is the table's latest version at enablement — the
-    * coordinator arbitrates versions AFTER it. */
+    * coordinator arbitrates versions AFTER it. Re-registration MUST be
+    * monotonic: a `currentVersion` at or below the tracked latest is a
+    * no-op (never drops tracked commits) — a stale registrant racing a
+    * live coordinated commit must not un-ack it, or history forks. */
   def registerTable(logPath: String, currentVersion: Long): Map[String, String]
 
   /** Claim `commit.version` as the next version. Throws
@@ -206,15 +209,20 @@ final class InMemoryCommitCoordinator(
   }
   private val tables = mutable.Map[String, TableState]()
 
-  /** Idempotent at the same version; a DIFFERENT `currentVersion` re-seeds
-    * (the table was re-created, or the caller declares the filesystem log
-    * authoritative again) and drops any tracked tail. */
+  /** Idempotent at or below the tracked version; a HIGHER `currentVersion`
+    * re-seeds forward (the caller proved the filesystem/adopted log reaches
+    * it) and drops the tracked tail it supersedes. Re-seeding is MONOTONIC:
+    * a `currentVersion` below the tracked latest is ignored — a stale
+    * registrant (enablement retry, recovery racing a live commit) must not
+    * drop an already-acked staged commit, or the next writer re-claims its
+    * version and acked history forks. Production implementations of the
+    * trait must honor the same contract. */
   override def registerTable(logPath: String, currentVersion: Long): Map[String, String] =
     synchronized {
       val st = tables.getOrElseUpdate(logPath, new TableState(currentVersion))
       // commit() keeps every unbackfilled key ≤ latest, so latest alone
-      // decides whether this is a re-seed
-      if (st.latest != currentVersion) {
+      // decides whether this moves the seed forward
+      if (currentVersion > st.latest) {
         st.latest = currentVersion
         st.unbackfilled.clear()
       }

@@ -410,6 +410,21 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
         "(CommitCoordinatorProvider.register)"))
     val snap = log.update()
     if (snap.version < 0) throw new NotATableException(log.tablePath.toString)
+    // Refuse a coordinator SWITCH (delta-spark forbids it too): routing the
+    // property change through the OLD coordinator without a forced backfill
+    // would strand its un-backfilled staged tail — readers bound to the new
+    // coordinator would never see those acked commits and the classic log
+    // would keep a gap nothing backfills. disableCoordinatedCommits first
+    // (it force-backfills), then enable the new coordinator.
+    val currentCfg = snap.metadata.map(_.configuration).getOrElse(Map.empty)
+    CoordinatedCommits.coordinatorNameOf(currentCfg).foreach { existing =>
+      if (existing != coordinatorName)
+        throw new IllegalStateException(
+          s"table is already coordinated by '$existing'; switching " +
+          s"coordinators directly (to '$coordinatorName') would strand its " +
+          "un-backfilled staged tail — call disableCoordinatedCommits() " +
+          "(which force-backfills) first, then re-enable")
+    }
     val tableConf = client.registerTable(log.logPath.toString, snap.version)
     val v = setProperties(Map(
       CoordinatedCommits.CoordinatorNameKey -> coordinatorName,

@@ -160,8 +160,21 @@ object LockingRename {
     // failed release after a SUCCESSFUL rename is deliberately not an
     // error: the lease was stolen mid-copy yet our rename durably
     // completed (the thief replayed the identical bytes) — see the
-    // scaladoc for why throwing here risks a double-commit.
-    Try(client.releaseLock(lock))
+    // scaladoc for why throwing here risks a double-commit. But a
+    // TRANSIENT release failure on a healthy lease would leak it until
+    // expiry, taxing every subsequent writer a full lease-wait with no
+    // signal why — retry once, then at least say so (r12 ADVICE).
+    // (a `false` return — stolen lease — stays silent: that IS the
+    // anticipated benign case; only a THROWN release is the leak)
+    Try(client.releaseLock(lock)).recoverWith { case first =>
+      Try(client.releaseLock(lock)).recoverWith { case _ =>
+        System.err.println(
+          s"graft: releaseLock failed twice for owner ${lock.ownerName} " +
+          s"(${first.getClass.getSimpleName}: ${first.getMessage}); " +
+          "lease leaks until expiry — subsequent writers pay a lease-wait")
+        Failure(first)
+      }
+    }
     renameResult.get
   }
 

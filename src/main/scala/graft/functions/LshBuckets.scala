@@ -62,11 +62,15 @@ case class LshBucketsMultiExpr(child: Expression, nTables: Int, nPlanes: Int,
 
   // per-instance memo over the companion cache: the row kernel runs per
   // ROW, and a boxed-Tuple4 ConcurrentHashMap probe per row is garbage +
-  // contention in the hot loop (r12 review). A deserialized task instance
-  // is single-threaded; dim is constant in practice, so this is one
-  // branch per row. @transient: never ship matrices with the plan.
-  @transient private var lastDim: Int = -1
-  @transient private var lastMatrix: Array[Byte] = _
+  // contention in the hot loop (r12 review). Dim is constant in practice,
+  // so this is one branch per row. The (dim, matrix) pair lives in ONE
+  // immutable holder written through ONE field — if the instance is ever
+  // evaluated from two threads (driver-side interpreted eval of a reused
+  // Column), a reader can't observe a torn new-dim/stale-matrix pairing
+  // (r12 ADVICE). @transient: never ship matrices with the plan.
+  // (no initializer semantics to rely on: @transient fields deserialize to
+  // null on executors, so the null check below is the real init path)
+  @transient private var memo: (Int, Array[Byte]) = _
   @transient private lazy val isFloatElem: Boolean = elemType.get == FloatType
 
   /** Row kernel, shared by interpreted eval and codegen (called through an
@@ -74,11 +78,12 @@ case class LshBucketsMultiExpr(child: Expression, nTables: Int, nPlanes: Int,
   def buckets(a: ArrayData): ArrayData = {
     val isFloat = isFloatElem
     val dim = a.numElements()
-    if (dim != lastDim) {
-      lastMatrix = signMatrix(dim)
-      lastDim = dim
+    var m = memo
+    if (m == null || m._1 != dim) {
+      m = (dim, signMatrix(dim))
+      memo = m
     }
-    val signs = lastMatrix
+    val signs = m._2
     val out = new Array[Long](nTables)
     var t = 0
     while (t < nTables) {

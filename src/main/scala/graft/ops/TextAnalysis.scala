@@ -98,10 +98,19 @@ object TextAnalysis {
     val best = scores.map { case (lang, s) => struct(s.as("score"), lit(lang).as("lang")) }
     // greatest() demands 2+ args — a single-profile call is a plain projection
     val winner = if (best.size == 1) best.head else greatest(best: _*)
-    val pred =
-      if (minScore <= 0) winner.getField("lang") // scores are non-negative
-      else when(winner.getField("score") >= minScore, winner.getField("lang"))
-    df.select(col(idCol), pred.as("pred_lang"))
+    if (minScore <= 0)
+      df.select(col(idCol), winner.getField("lang").as("pred_lang")) // scores are non-negative
+    else {
+      // materialize the winner struct ONCE before reading both fields: the
+      // higher-order filter() lambdas inside it are outside codegen CSE, so
+      // referencing `winner` twice in one projection re-scans the token
+      // array per language a second time (the r12 q33 1.7× regression).
+      // CollapseProject keeps the stages apart (non-cheap alias, used 2×).
+      df.select(col(idCol), winner.as("_w"))
+        .select(col(idCol),
+          when(col("_w").getField("score") >= minScore,
+            col("_w").getField("lang")).as("pred_lang"))
+    }
   }
 
   private def expr_filter(w: Column, markers: Column): Column =

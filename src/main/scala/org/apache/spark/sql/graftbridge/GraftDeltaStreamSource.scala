@@ -174,15 +174,22 @@ final class GraftDeltaStreamSource(
     anchorFile.foreach { p =>
       try {
         val fs = anchorFs.get
-        val next = new org.apache.hadoop.fs.Path(p.getParent, s"${p.getName}.$v")
-        val out = fs.create(next, true)
-        try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        // reclaim older anchors (and the legacy file) only AFTER the new
-        // one exists — every crash point leaves at least one anchor
-        anchorPeers().filter(_.getName != next.getName)
-          .foreach(fs.delete(_, false))
-        if (fs.exists(p)) fs.delete(p, false)
+        val suffixOf = (n: String) => n.stripPrefix(p.getName + ".").toLong
+        // a zombie driver (failover) may race here with a STALE v: never
+        // delete a peer recording a higher version, and skip the write
+        // entirely when one exists — readAnchor takes max-over-suffixes,
+        // so the live driver's floor survives the zombie (r12 ADVICE)
+        if (!anchorPeers().exists(q => suffixOf(q.getName) >= v)) {
+          val next = new org.apache.hadoop.fs.Path(p.getParent, s"${p.getName}.$v")
+          val out = fs.create(next, true)
+          try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          // reclaim strictly-LOWER anchors (and the legacy file) only AFTER
+          // the new one exists — every crash point leaves at least one anchor
+          anchorPeers().filter(q => suffixOf(q.getName) < v)
+            .foreach(fs.delete(_, false))
+          if (fs.exists(p)) fs.delete(p, false)
+        }
       } catch { case scala.util.control.NonFatal(_) => () } // stale anchor is safe; lost is not, hence write-first
     }
 

@@ -446,4 +446,47 @@ class CoordinatedCommitsSpec extends AnyFunSuite with SparkTestBase {
       assert(files == Set("a.parquet", "b.parquet", "after.parquet"))
     } finally spark.conf.unset(DeltaLog.LogStoreFactoryKey)
   }
+
+  test("registerTable is monotonic: a stale downward re-seed cannot drop an acked staged commit (r13)") {
+    val coord = new InMemoryCommitCoordinator(backfillInterval = 100)
+    CommitCoordinatorProvider.register("im-mono", coord)
+    val dir = tempTable("cc-mono")
+    writeCommit(dir, 0, Seq(protocol, metaData))
+    DeltaTable.forPath(spark, dir.toString).enableCoordinatedCommits("im-mono")
+    assert(append(dir, "live.parquet") == 2) // staged-only (interval 100), acked
+    // a stale registrant (enablement retry / recovery racing the live
+    // commit) re-seeds DOWNWARD — must be ignored, not drop v2
+    coord.registerTable(DeltaLog.forPath(spark, dir.toString).logPath.toString, 1)
+    val (pending, latest) = coord.getCommits(
+      DeltaLog.forPath(spark, dir.toString).logPath.toString, Map.empty)
+    assert(latest == 2, s"stale re-seed must not rewind latest (got $latest)")
+    assert(pending.map(_.version) == Seq(2L), "acked staged commit must survive")
+    // and the next writer continues at v3 — no re-claim of v2, no fork
+    assert(append(dir, "next.parquet") == 3)
+    assert(DeltaLog.forPath(spark, dir.toString).update().files.map(_.path).toSet ==
+      Set("live.parquet", "next.parquet"))
+  }
+
+  test("enableCoordinatedCommits refuses a coordinator switch on an already-coordinated table (r13)") {
+    val dir = tempTable("cc-switch")
+    writeCommit(dir, 0, Seq(protocol, metaData))
+    val t = DeltaTable.forPath(spark, dir.toString)
+    t.enableCoordinatedCommits(registered("im-old", 100))
+    append(dir, "staged.parquet") // un-backfilled tail on the OLD coordinator
+    val e = intercept[IllegalStateException] {
+      DeltaTable.forPath(spark, dir.toString)
+        .enableCoordinatedCommits(registered("im-new", 100))
+    }
+    assert(e.getMessage.contains("disableCoordinatedCommits"))
+    // re-enabling the SAME coordinator stays legal (idempotent re-register)
+    assert(DeltaTable.forPath(spark, dir.toString)
+      .enableCoordinatedCommits("im-old") > 0)
+    // and the supported path — disable (force-backfills) then enable new —
+    // leaves no gap and loses no commit
+    DeltaTable.forPath(spark, dir.toString).disableCoordinatedCommits()
+    DeltaTable.forPath(spark, dir.toString)
+      .enableCoordinatedCommits(registered("im-new2", 100))
+    val files = DeltaLog.forPath(spark, dir.toString).update().files.map(_.path).toSet
+    assert(files == Set("staged.parquet"))
+  }
 }

@@ -309,9 +309,13 @@ class LockTierReviewSpec extends AnyFunSuite with SparkTestBase {
     log.update()
     assert(log.startTransaction()
       .addAction(ActionCodec.fromJsonLine(add("a.parquet")).get).commit() == 2)
-    // simulate the enablement crash window: the coordinator's seed is
-    // behind the filesystem's latest
-    coord.registerTable(log.logPath.toString, 0)
+    // simulate the enablement crash window: a restarted coordinator whose
+    // recovered seed is behind the filesystem's latest (registerTable is
+    // monotonic now, so a live instance can't be walked backwards — the
+    // lag state only arises from a fresh/restored coordinator)
+    val lagging = new InMemoryCommitCoordinator()
+    lagging.registerTable(log.logPath.toString, 0)
+    CommitCoordinatorProvider.register("im-heal", lagging)
     val v = log.startTransaction()
       .addAction(ActionCodec.fromJsonLine(add("b.parquet")).get).commit()
     assert(v == 3, "commit must succeed after self-heal re-seed")
