@@ -142,6 +142,39 @@ object PipelineQueries {
       totals.crossJoin(overBudget)
     },
 
+    // THE composed LLM-data pipeline as ONE lineage (r12 verdict #1):
+    // shingle → MinHash-LSH candidates → exact Jaccard verify → connected
+    // components → one survivor per duplicate family (longest text, then
+    // lowest id) → sequence packing. The gate pins the SURVIVOR SET row by
+    // row (DuckDB replays brute-force Jaccard + recursive closure + the
+    // same window preference) and the packing invariants as replicated
+    // constants: exactly-once count, token conservation, and the literal-0
+    // over-budget bin count. Bin COMPOSITION is partitioning-defined and
+    // stays under PackingSpec, as in q56.
+    "q77_dedup_pipeline" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id", 1, 2,
+        maxBucketSize = None)
+      val surv = Clustering.survivors(docs, "doc_id", pairs,
+        Seq(length(col("text")).desc, col("doc_id")))
+      val withTok = surv
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .select("doc_id", "n_tokens")
+        .localCheckpoint(true) // survivors feed BOTH packing and the output
+      val budget = 2048L
+      val packed = Packing.packSequences(withTok, "doc_id", "n_tokens",
+        budget = budget, numPartitions = 8)
+      val totals = packed.agg(
+        count(lit(1)).as("docs_packed"),
+        sum("n_tokens").as("tokens_packed"))
+      val overBudget = packed
+        .groupBy("bin_id")
+        .agg(sum("n_tokens").as("bin_tokens"), count(lit(1)).as("n_docs"))
+        .agg(coalesce(sum(when(col("bin_tokens") > budget && col("n_docs") > 1, 1L)),
+          lit(0L)).as("over_budget_bins"))
+      withTok.crossJoin(totals).crossJoin(overBudget).orderBy("doc_id")
+    },
+
     // MinHash-LSH near-dedup over the FULL document set: banded signatures →
     // bucket join → exact verification. Output provably equals brute force
     // at this data's similarity gap.
@@ -355,6 +388,39 @@ object PipelineQueries {
     "q24_dedup_jaccard" -> jaccardOracle.format(" WHERE doc_id < 300"),
 
     "q25_minhash_lsh" -> jaccardOracle.format(""),
+
+    // the composed pipeline's survivor set: brute-force Jaccard pairs
+    // (= the LSH+verify output, q25) → recursive transitive closure →
+    // longest-text-then-lowest-id survivor per family → token counts and
+    // the packing invariants as constants on every row
+    "q77_dedup_pipeline" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |       FROM d, UNNEST(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b FROM p0
+        |      JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+        |      WHERE 2 * inter >= (ca.n + cb.n - inter)),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (SELECT a, b FROM e
+        |                UNION
+        |                SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+        |fam AS (SELECT d.doc_id, d.text, coalesce(c.comp, d.doc_id) AS comp
+        |        FROM d LEFT JOIN comp c ON c.id = d.doc_id),
+        |surv AS (SELECT doc_id, text FROM (
+        |           SELECT doc_id, text, row_number() OVER (
+        |             PARTITION BY comp ORDER BY length(text) DESC, doc_id) AS rn
+        |           FROM fam) WHERE rn = 1),
+        |st AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM surv),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS docs_packed,
+        |               CAST(sum(n_tokens) AS BIGINT) AS tokens_packed FROM st)
+        |SELECT doc_id, n_tokens, docs_packed, tokens_packed,
+        |       CAST(0 AS BIGINT) AS over_budget_bins
+        |FROM st, tot ORDER BY doc_id""".stripMargin,
 
     "q59_contamination" ->
       """WITH c AS (SELECT doc_id, string_split(lower(text), ' ') AS w
