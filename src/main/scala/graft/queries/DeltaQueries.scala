@@ -595,6 +595,20 @@ object DeltaQueries {
         .orderBy("l_orderkey", "l_linenumber", "qty", "l_returnflag")
     },
 
+    // Seeded-lifecycle cross-engine replay (round 13, r12 verdict #2): one
+    // representative LifecycleFuzzSpec seed — append, Z-ORDER, CoW update,
+    // two CoW deletes, a MID-SEQUENCE checkpoint, compact, RESTORE to an
+    // earlier version, update, append (seed 11, 10 ops, DVs off so contents
+    // are mechanically derivable) — replayed by the same DuckDB fold as
+    // q70. The in-suite fuzz runs 26 such seeds (with DV deletes and
+    // time-travel checks) against an independent Scala replayer; this gate
+    // pins one under the real cross-engine oracle.
+    "q78_lifecycle_fuzz" -> { (s, dir) =>
+      val t = freshDir("lifecycle")
+      graft.delta.LifecycleFuzz.run(s, t, seed = 11, nOps = 10, allowDv = false)
+      DeltaTable.forPath(s, t).toDF.orderBy("id", "v")
+    },
+
     // Standard deletion-vector replay (round 11): the table declares the
     // protocol `deletionVectors` feature via the delta.feature DDL, so the
     // DV DELETE re-adds files with standard `add.deletionVector`
@@ -767,6 +781,7 @@ object DeltaQueries {
   // q70/q71 oracles read graft's own artifacts, so they need the table
   // paths the queries write to (constants — workRoot is fixed).
   private val replayT = s"$workRoot/logreplay"
+  private val lifecycleT = s"$workRoot/lifecycle"
   private val dvReplayT = s"$workRoot/dvreplay"
   private val partReplayT = s"$workRoot/partreplay"
   private val coordT = s"$workRoot/coordcommit"
@@ -805,6 +820,37 @@ object DeltaQueries {
          |FROM read_parquet('$replayT/*.parquet', filename=true, union_by_name=true)
          |WHERE regexp_extract(filename, '([^/]+)${"$"}', 1) IN (SELECT path FROM active)
          |ORDER BY l_orderkey, l_linenumber, qty, l_returnflag""".stripMargin,
+
+    // Seeded-lifecycle replay: q70's mechanical fold (latest classic
+    // checkpoint base + JSON tail, last-per-path wins, add outranks remove
+    // within a commit) over the fuzz-driven table
+    "q78_lifecycle_fuzz" ->
+      s"""WITH cv AS (
+         |  SELECT coalesce(max(CAST(regexp_extract(file, '(\\d{20})\\.checkpoint', 1) AS BIGINT)), -1) AS v
+         |  FROM glob('$lifecycleT/_delta_log/*.checkpoint.parquet')),
+         |ckpt AS (
+         |  SELECT add.path AS path, (SELECT v FROM cv) AS v, true AS is_add
+         |  FROM read_parquet('$lifecycleT/_delta_log/*.checkpoint.parquet', filename=true)
+         |  WHERE add IS NOT NULL
+         |    AND CAST(regexp_extract(filename, '(\\d{20})\\.checkpoint', 1) AS BIGINT) = (SELECT v FROM cv)),
+         |jl AS (
+         |  SELECT CAST(regexp_extract(filename, '(\\d{20})\\.json', 1) AS BIGINT) AS v, add, remove
+         |  FROM read_json('$lifecycleT/_delta_log/*.json', format='newline_delimited',
+         |                 union_by_name=true, filename=true)),
+         |tail AS (
+         |  SELECT coalesce(add.path, remove.path) AS path, v, (add.path IS NOT NULL) AS is_add
+         |  FROM jl
+         |  WHERE v > (SELECT v FROM cv) AND (add.path IS NOT NULL OR remove.path IS NOT NULL)),
+         |acts AS (SELECT * FROM ckpt UNION ALL SELECT * FROM tail),
+         |active AS (
+         |  SELECT path FROM (
+         |    SELECT path, is_add,
+         |           row_number() OVER (PARTITION BY path ORDER BY v DESC, is_add DESC) AS rn
+         |    FROM acts) WHERE rn = 1 AND is_add)
+         |SELECT id, v
+         |FROM read_parquet('$lifecycleT/*.parquet', filename=true, union_by_name=true)
+         |WHERE regexp_extract(filename, '([^/]+)${"$"}', 1) IN (SELECT path FROM active)
+         |ORDER BY id, v""".stripMargin,
 
     // Read-after-backfill: the coordinated writers' history, replayed
     // from the BACKFILLED classic names only (the *.json glob does not
