@@ -71,6 +71,28 @@ object CoordinatedCommits {
   private[delta] def BackfillTmpName(uuid: String): String = s"_backfill_$uuid.json"
   private[delta] val BackfillTmpRe = """^_backfill_[0-9a-fA-F-]+\.json$""".r
 
+  /** Domain metadata the DISABLEMENT commit writes (r12 verdict #3): its
+    * presence in a NOT-coordinated snapshot proves "no coordinated era has
+    * started since this mark" (re-enablement tombstones it in a commit
+    * that precedes the new era), so a filesystem-routed writer can skip
+    * the per-commit `_commits/` adoption LIST entirely. Safety argument:
+    * backfill and adoption both claim classic names ASCENDING, so a
+    * coordinated era's classic names form a PREFIX of the era — if the
+    * mark-bearing disablement commit is readable from a classic name, every
+    * acked commit before it is too; if it is only readable through a live
+    * coordinator's staged tail, `repairStagedGaps` (which runs before
+    * adoption on every write path) heals that tracked tail first. The
+    * domain is graft-system-controlled (`graft.*` refuses user writes). */
+  val AdoptionDomain = "graft.coordinatedCommits"
+
+  def adoptionMarkJson(disablementOf: Long): String =
+    s"""{"fencedAfter":$disablementOf}"""
+
+  /** The mark's presence (parsed or not — an unparsable payload still
+    * proves a graft disablement wrote it) in live domain metadata. */
+  def hasAdoptionMark(snap: Snapshot): Boolean =
+    snap.domainMetadata.contains(AdoptionDomain)
+
   def coordinatorNameOf(config: Map[String, String]): Option[String] =
     config.get(CoordinatorNameKey).map(_.trim).filter(_.nonEmpty)
 

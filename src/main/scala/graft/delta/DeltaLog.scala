@@ -171,10 +171,26 @@ final class DeltaLog private (
     // retention-bounded directory once per commit is the price of that
     // safety.
     if (commitsDirKnownAbsent) return classicLatest
+    // Adoption-mark fast path (r12 verdict #3): a not-coordinated snapshot
+    // carrying the disablement's durable mark proves "nothing to adopt" —
+    // no era has started since the mark (re-enablement tombstones it
+    // BEFORE registering the new coordinator), and the mark's classic
+    // readability implies (ascending-backfill prefix) every acked commit
+    // of the marked era is classic. The caller's conflict check has
+    // already classified every commit up to `classicLatest`, so a
+    // concurrent enablement cannot be hiding above this snapshot. Tracked
+    // staged leftovers are healed by repairStagedGaps before this runs.
+    val snapForMark = cached
+    if (snapForMark.version >= 0 &&
+        !CoordinatedCommits.isCoordinated(
+          snapForMark.metadata.map(_.configuration).getOrElse(Map.empty)) &&
+        CoordinatedCommits.hasAdoptionMark(snapForMark))
+      return classicLatest
     if (!store.exists(commitsDir)) {
       commitsDirKnownAbsent = true
       return classicLatest
     }
+    DeltaLog.commitsDirLists.incrementAndGet()
     val byVersion = store.list(commitsDir).flatMap { st =>
       st.getPath.getName match {
         case CoordinatedCommits.StagedRe(v, _) => Some(v.toLong -> st.getPath)
@@ -735,6 +751,11 @@ final class DeltaLog private (
 }
 
 object DeltaLog {
+  /** Diagnostic counter: `_commits/` adoption LISTs performed (the scan
+    * the adoption mark exists to elide) — observable by specs, the
+    * [[Checkpoints.driverReads]] pattern. */
+  private[delta] val commitsDirLists = new java.util.concurrent.atomic.AtomicLong()
+
   /** Zero-padded protocol numbering under `Locale.ROOT` — the f""
     * interpolator's `%020d` formats with the JVM default locale, and on a
     * CLDR JDK under e.g. ar-EG that yields Arabic-Indic digits: every

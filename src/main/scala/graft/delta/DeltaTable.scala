@@ -425,7 +425,15 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
           "un-backfilled staged tail — call disableCoordinatedCommits() " +
           "(which force-backfills) first, then re-enable")
     }
-    val tableConf = client.registerTable(log.logPath.toString, snap.version)
+    // tombstone a previous disablement's adoption mark BEFORE the era
+    // starts (remove-first is the crash-safe order: a mark must never be
+    // live while a coordinated era is — a filesystem writer would skip the
+    // adoption scan the era's staged tail depends on). The extra commit
+    // only happens on RE-enablement after a marked disablement.
+    if (CoordinatedCommits.hasAdoptionMark(snap))
+      removeDomainMetadataInternal(CoordinatedCommits.AdoptionDomain)
+    val seedSnap = log.update()
+    val tableConf = client.registerTable(log.logPath.toString, seedSnap.version)
     val v = setProperties(Map(
       CoordinatedCommits.CoordinatorNameKey -> coordinatorName,
       CoordinatedCommits.CoordinatorConfKey -> CoordinatedCommits.toJson(coordinatorConf),
@@ -437,10 +445,39 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
   /** Return the table to filesystem-arbitrated commits. The disablement
     * commit itself routes through the coordinator and force-backfills the
     * whole staged tail ([[OptimisticTransaction]]), so the log is classic
-    * and complete before the first rename-routed commit after it. */
-  def disableCoordinatedCommits(): Long =
-    unsetProperties(Seq(CoordinatedCommits.CoordinatorNameKey,
-      CoordinatedCommits.CoordinatorConfKey, CoordinatedCommits.TableConfKey))
+    * and complete before the first rename-routed commit after it.
+    *
+    * The same commit writes the [[CoordinatedCommits.AdoptionDomain]] mark:
+    * once it is READABLE in a not-coordinated snapshot, future filesystem
+    * writers skip the per-commit `_commits/` adoption LIST (r12 verdict #3
+    * — a once-coordinated table previously paid that LIST forever). The
+    * mark rides IN the disablement commit (not after it) so version
+    * numbering is unchanged and the mark can never exist without the
+    * disablement: classic readability of this commit implies, by the
+    * ascending-backfill prefix property, that every earlier acked commit
+    * is classic too. */
+  def disableCoordinatedCommits(): Long = {
+    val keys = Seq(CoordinatedCommits.CoordinatorNameKey,
+      CoordinatedCommits.CoordinatorConfKey, CoordinatedCommits.TableConfKey)
+    val snap = log.update()
+    val md = snap.metadata.getOrElse(
+      throw new IllegalStateException(s"table ${log.tablePath} has no metadata"))
+    val wasCoordinated = CoordinatedCommits.isCoordinated(md.configuration)
+    val txn = log.startTransaction()
+    if (ColumnMapping.isMapped(snap)) txn.permitNameMappedCommit()
+    txn.addAction(md.copy(configuration = md.configuration -- keys))
+    if (wasCoordinated) {
+      ProtocolSupport.writerFeatureFence(snap, "domainMetadata")
+        .foreach(txn.addAction)
+      txn.addAction(DomainMetadataAction(CoordinatedCommits.AdoptionDomain,
+        CoordinatedCommits.adoptionMarkJson(snap.version)))
+    }
+    val info = ActionCodec.mapper.createObjectNode()
+    info.put("timestamp", System.currentTimeMillis())
+    info.put("operation", "UNSET TBLPROPERTIES")
+    info.putObject("operationParameters").put("properties", keys.sorted.mkString(","))
+    txn.commit(Some(CommitInfoAction(info)))
+  }
 
   /** Live metadata domains (domain → configuration), latest-writer-wins
     * per domain (Delta `domainMetadata`; see [[DomainMetadataAction]]). */
@@ -468,11 +505,18 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     removeDomainMetadataInternal(domain)
   }
 
-  private def assertUserDomain(domain: String): Unit =
-    require(!domain.toLowerCase(java.util.Locale.ROOT).startsWith("delta."),
+  private def assertUserDomain(domain: String): Unit = {
+    val lower = domain.toLowerCase(java.util.Locale.ROOT)
+    require(!lower.startsWith("delta."),
       s"metadata domain '$domain' is system-controlled (delta.*): use the " +
       "dedicated API (clusterBy for delta.clustering, " +
       "delta.enableRowTracking for delta.rowTracking)")
+    // graft.* domains carry engine state too (the coordinated-commits
+    // adoption mark) — a forged mark would let writers skip the staged
+    // adoption scan and fork acked history
+    require(!lower.startsWith("graft."),
+      s"metadata domain '$domain' is system-controlled (graft.*)")
+  }
 
   private[delta] def removeDomainMetadataInternal(domain: String): Long =
     domainCommit(domain, DomainMetadataAction(domain, "", removed = true),

@@ -447,6 +447,51 @@ class CoordinatedCommitsSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.unset(DeltaLog.LogStoreFactoryKey)
   }
 
+  test("fenced disablement bounds the _commits/ tax: no adoption LIST on later commits (r13)") {
+    val dir = tempTable("cc-fence")
+    writeCommit(dir, 0, Seq(protocol, metaData))
+    DeltaTable.forPath(spark, dir.toString)
+      .enableCoordinatedCommits(registered("im-fence", 1))
+    append(dir, "era.parquet") // v2: staged + backfilled (interval 1)
+    val dv = DeltaTable.forPath(spark, dir.toString).disableCoordinatedCommits()
+    // the disablement commit carries the adoption mark (same version)
+    val snap = DeltaLog.forPath(spark, dir.toString).update()
+    assert(snap.version == dv)
+    assert(snap.domainMetadata.contains(CoordinatedCommits.AdoptionDomain))
+    assert(!CoordinatedCommits.isCoordinated(
+      snap.metadata.get.configuration))
+    // post-fence filesystem commits perform ZERO _commits/ adoption LISTs
+    // — from a warm handle AND from a fresh (cold) one
+    val before = DeltaLog.commitsDirLists.get()
+    append(dir, "after1.parquet")
+    val fresh = DeltaLog.forPath(spark, dir.toString)
+    fresh.update()
+    assert(fresh.startTransaction()
+      .addAction(ActionCodec.fromJsonLine(add("after2.parquet")).get).commit() > dv)
+    assert(DeltaLog.commitsDirLists.get() == before,
+      "marked table must not pay the _commits/ adoption LIST")
+    // contents intact: the era's commit and both post-fence commits
+    assert(DeltaLog.forPath(spark, dir.toString).update().files.map(_.path).toSet ==
+      Set("era.parquet", "after1.parquet", "after2.parquet"))
+    // re-enablement tombstones the mark BEFORE the era starts, and the
+    // LIST resumes for the new era's filesystem-routed successors only
+    // after ITS disablement writes a fresh mark
+    DeltaTable.forPath(spark, dir.toString)
+      .enableCoordinatedCommits(registered("im-fence2", 1))
+    val midEra = DeltaLog.forPath(spark, dir.toString).update()
+    assert(!midEra.domainMetadata.contains(CoordinatedCommits.AdoptionDomain),
+      "enablement must remove the mark")
+    append(dir, "era2.parquet")
+    DeltaTable.forPath(spark, dir.toString).disableCoordinatedCommits()
+    val after2 = DeltaLog.forPath(spark, dir.toString).update()
+    assert(after2.domainMetadata.contains(CoordinatedCommits.AdoptionDomain))
+    // and a user cannot forge or clobber the graft.* mark
+    intercept[IllegalArgumentException] {
+      DeltaTable.forPath(spark, dir.toString)
+        .setDomainMetadata(CoordinatedCommits.AdoptionDomain, "{}")
+    }
+  }
+
   test("registerTable is monotonic: a stale downward re-seed cannot drop an acked staged commit (r13)") {
     val coord = new InMemoryCommitCoordinator(backfillInterval = 100)
     CommitCoordinatorProvider.register("im-mono", coord)
