@@ -98,6 +98,13 @@ object MetaBench {
     // Data files are zero-byte placeholders there (the metadata axis is
     // under test, footers are not read), so history/feed rows are skipped.
     val addsPer = sys.env.getOrElse("SPARK_GRAFT_META_ADDS_PER_COMMIT", "1").toInt
+    // Log-only mode for the 10⁷-Add decade (r12 verdict #5): no placeholder
+    // data files are materialized (10⁷ inodes would exhaust the shared
+    // VM's /tmp), so the vacuum-walk rows are skipped (-1) — the walk's
+    // distributed linearity is pinned by a separate multi-million-file
+    // point; the metadata axis (distributed replay, checkpoint, heap) is
+    // what the decade run measures.
+    val skipFiles = sys.env.get("SPARK_GRAFT_META_SKIP_FILES").contains("1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -165,7 +172,7 @@ object MetaBench {
     }
     (0 until 16).foreach(b => Files.createDirectories(dir.resolve(s"bucket-$b")))
     (0 until n).foreach { v =>
-      (0 until addsPer).foreach { j =>
+      if (!skipFiles) (0 until addsPer).foreach { j =>
         val f = dir.resolve(s"bucket-${(v * addsPer + j) % 16}")
           .resolve(s"part-$v-$j.parquet")
         if (addsPer == 1)
@@ -223,14 +230,19 @@ object MetaBench {
     // executor fan-out (r10: the listing, not the deletes, is the
     // object-store bottleneck). Warm handle — the row isolates the walk,
     // not a cold snapshot restore.
-    val vacDt = graft.delta.DeltaTable.forPath(spark, dir.toString)
-    val (vacDriverSec, _) = timed(vacDt.vacuum(dryRun = true))
-    spark.conf.set(graft.delta.DeltaTable.DistributedVacuumListKey, "0")
-    val dw0 = graft.delta.DeltaTable.driverVacuumWalks.get()
-    val (vacDistSec, _) = timed(vacDt.vacuum(dryRun = true))
-    require(graft.delta.DeltaTable.driverVacuumWalks.get() == dw0,
-      "distributed vacuum row must not have walked on the driver")
-    spark.conf.unset(graft.delta.DeltaTable.DistributedVacuumListKey)
+    val (vacDriverSec, vacDistSec) =
+      if (skipFiles) (-1.0, -1.0) // no data files on disk to walk
+      else {
+        val vacDt = graft.delta.DeltaTable.forPath(spark, dir.toString)
+        val (dSec, _) = timed(vacDt.vacuum(dryRun = true))
+        spark.conf.set(graft.delta.DeltaTable.DistributedVacuumListKey, "0")
+        val dw0 = graft.delta.DeltaTable.driverVacuumWalks.get()
+        val (xSec, _) = timed(vacDt.vacuum(dryRun = true))
+        require(graft.delta.DeltaTable.driverVacuumWalks.get() == dw0,
+          "distributed vacuum row must not have walked on the driver")
+        spark.conf.unset(graft.delta.DeltaTable.DistributedVacuumListKey)
+        (dSec, xSec)
+      }
 
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     println(s"""{"metric":"metadata_path","commits":$n,"adds_per_commit":$addsPer,"files":${n.toLong * addsPer},"cold_forPath_sec":${fmt(coldSec)},"warm_update_sec":${fmt(warmSec)},"checkpoint_write_sec":${fmt(ckptSec)},"history_sec":${fmt(histSec)},"changes_full_range_sec":${fmt(feedSec)},"vacuum_walk_driver_sec":${fmt(vacDriverSec)},"vacuum_walk_dist_sec":${fmt(vacDistSec)},"heap_before_mb":$heapBefore,"heap_with_snapshot_mb":$heapWithSnapshot}""")

@@ -387,14 +387,16 @@ final class DeltaLog private (
     * store at 10⁴ commits. Chunking bounds driver memory to 256 commits'
     * actions at once. */
   private def replayTail(start: Snapshot, versions: Seq[Long]): Snapshot = {
-    var snap = start
+    if (versions.isEmpty) return start
+    // ONE mutable fold across the whole tail: a per-commit Snapshot.replay
+    // re-materializes the O(#files) base maps per commit — O(tail × files),
+    // a cliff the 10⁷-Add decade probe hit (20+ min where seconds belong).
+    val st = new Snapshot.ReplayState(start)
     versions.grouped(256).foreach { chunk =>
       val read = GraftWriter.inDriverPool(chunk)(v => v -> readCommit(v))
-      read.foreach { case (v, actions) =>
-        snap = Snapshot.replay(snap, actions.iterator, v)
-      }
+      read.foreach { case (_, actions) => st.fold(actions.iterator) }
     }
-    snap
+    st.result(versions.last)
   }
 
   /** Checkpoints at or above this many actions restore through

@@ -131,25 +131,38 @@ object Snapshot {
     * semantics; the reference's writer never emits duplicate adds).
     */
   def replay(base: Snapshot, actions: Iterator[Action], newVersion: Long): Snapshot = {
-    val files = new mutable.LinkedHashMap[String, AddAction]
+    val st = new ReplayState(base)
+    st.fold(actions)
+    st.result(newVersion)
+  }
+
+  /** The replay fold's mutable state, reusable across a whole commit TAIL:
+    * materializing the base maps costs O(#files), so a per-commit
+    * `replay()` call inside a tail loop is O(tail × files) — the 10⁷-Add
+    * decade probe (r12 verdict #5) spent MINUTES there. A long tail folds
+    * through ONE ReplayState instead: O(files + tail-actions) total
+    * ([[DeltaLog.replayTail]]). Same fold kernel, same semantics — this IS
+    * the body `replay()` runs. */
+  final class ReplayState(base: Snapshot) {
+    private val files = new mutable.LinkedHashMap[String, AddAction]
     base.files.foreach(a => files.put(a.path, a))
     // tombstones keyed by path, LAST remove wins: a path re-deleted every
     // DML cycle (DV re-adds do this on purpose) must not grow the tombstone
     // list — and therefore every future checkpoint — by one entry per
     // cycle. Expiry then judges by the LATEST deletionTimestamp, which is
     // also the correct vacuum semantics.
-    val tombstones = new mutable.LinkedHashMap[String, RemoveAction]
+    private val tombstones = new mutable.LinkedHashMap[String, RemoveAction]
     base.tombstones.foreach(r => tombstones.put(r.path, r))
-    var metadata = base.metadata
-    var minReader = base.minReaderVersion
-    var minWriter = base.minWriterVersion
-    var readerFeats = base.readerFeatures
-    var writerFeats = base.writerFeatures
-    val txns = mutable.Map[String, Long](base.appTransactionVersion.toSeq: _*)
-    var lastCommitInfo = base.lastCommitInfo
-    val domains = mutable.Map[String, String](base.domainMetadata.toSeq: _*)
+    private var metadata = base.metadata
+    private var minReader = base.minReaderVersion
+    private var minWriter = base.minWriterVersion
+    private var readerFeats = base.readerFeatures
+    private var writerFeats = base.writerFeatures
+    private val txns = mutable.Map[String, Long](base.appTransactionVersion.toSeq: _*)
+    private var lastCommitInfo = base.lastCommitInfo
+    private val domains = mutable.Map[String, String](base.domainMetadata.toSeq: _*)
 
-    actions.foreach {
+    def fold(actions: Iterator[Action]): Unit = actions.foreach {
       case a: AddAction => files.put(a.path, a)
       case r: RemoveAction =>
         files.remove(r.path)
@@ -174,7 +187,7 @@ object Snapshot {
       case _: CheckpointMetadataAction | _: SidecarAction => ()
     }
 
-    Snapshot(
+    def result(newVersion: Long): Snapshot = Snapshot(
       version = newVersion,
       files = files.values.toVector,
       tombstones = tombstones.values.toVector,
