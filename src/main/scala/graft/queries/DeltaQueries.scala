@@ -412,7 +412,7 @@ object DeltaQueries {
       DeltaTable.forPath(s, t).setProperties(Map(
         TableConfig.EnableInCommitTimestamps -> "true",
         TableConfig.CheckpointPolicy -> "v2"))
-      DeltaTable.forPath(s, t).setDomainMetadata("graft.audit", "round-9")
+      DeltaTable.forPath(s, t).setDomainMetadata("app.audit", "round-9")
       GraftWriter.write(li(s, dir)
         .filter(col("l_orderkey") >= 1200 && col("l_orderkey") < 1500), t,
         SaveMode.Append)
@@ -420,7 +420,7 @@ object DeltaQueries {
       DeltaLog.forPath(s, t).checkpoint()
       val cold = DeltaLog.forPath(s, t)
       val snap = cold.update()
-      require(snap.domainMetadata.get("graft.audit").contains("round-9"),
+      require(snap.domainMetadata.get("app.audit").contains("round-9"),
         "domain metadata lost through the v2 checkpoint")
       require(cold.inCommitTimestampOf(snap.version).nonEmpty,
         "in-commit timestamp missing from the DELETE commit")
