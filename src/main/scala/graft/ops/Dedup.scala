@@ -262,10 +262,24 @@ object Dedup {
     *
     * This is the all-pairs BASELINE (O(n²) — fine for a bounded slice, and
     * the recall=1 reference for the LSH variant below, which is the 100 TB
-    * path). */
+    * path). The convenient name attracts misuse at scale (r12 verdict), so
+    * it REFUSES above `maxRows` input rows (default 65,536 ≈ 2.1×10⁹
+    * candidate pairs — already minutes of dot products): pass
+    * `maxRows = None` to run the oracle deliberately at any size, or use
+    * [[embeddingSimilarPairsMultiLsh]], which scales. The guard costs one
+    * O(n) count — three orders cheaper than the quadratic join it gates. */
   def embeddingSimilarPairs(vectors: DataFrame, idCol: String, vecCol: String,
-                            thresholdNum: Long, thresholdDen: Long): DataFrame = {
+                            thresholdNum: Long, thresholdDen: Long,
+                            maxRows: Option[Long] = Some(65536L)): DataFrame = {
     import graft.functions.functions.dot_q
+    maxRows.foreach { cap =>
+      val n = vectors.count()
+      require(n <= cap,
+        s"embeddingSimilarPairs is the O(n²) recall oracle: $n input rows " +
+        s"exceed the $cap-row guard (~${n * n / 2} candidate pairs). Use " +
+        "embeddingSimilarPairsMultiLsh (bucketed, scales) or pass " +
+        "maxRows = None to run the oracle deliberately")
+    }
     val q = vectors.select(col(idCol), col(vecCol).as("e"))
       .withColumn("nrm", dot_q(col("e"), col("e")))
     val a = q.select(col(idCol).as("id_a"), col("e").as("ea"), col("nrm").as("na"))
