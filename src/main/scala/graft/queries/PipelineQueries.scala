@@ -327,9 +327,11 @@ object PipelineQueries {
     // embedding-cosine similar pairs (exact integer cosine threshold) on a
     // bounded slice — the brute-force recall=1 BASELINE for q50 below.
     "q35_embed_similar" -> { (s, dir) =>
+      // maxRows=None: the slice is already bounded to 1000 ids — the
+      // guard's O(n) count would be a wasted extra pass in the gate
       Dedup.embeddingSimilarPairs(
         t(s, dir, "embeddings").filter(col("vec_id") < 1000), "vec_id", "embedding",
-        thresholdNum = 45, thresholdDen = 100)
+        thresholdNum = 45, thresholdDen = 100, maxRows = None)
         .orderBy("id_a", "id_b")
     },
 
