@@ -85,8 +85,13 @@ object CoordinatedCommits {
     * domain is graft-system-controlled (`graft.*` refuses user writes). */
   val AdoptionDomain = "graft.coordinatedCommits"
 
-  def adoptionMarkJson(disablementOf: Long): String =
-    s"""{"fencedAfter":$disablementOf}"""
+  /** `builtAtVersion` is DIAGNOSTIC ONLY: it is the snapshot version the
+    * disablement transaction was built against, which under commit retries
+    * can trail the version the disablement actually lands at — the
+    * contract is the mark's PRESENCE ([[hasAdoptionMark]]), never the
+    * payload. */
+  def adoptionMarkJson(builtAtVersion: Long): String =
+    s"""{"builtAtVersion":$builtAtVersion}"""
 
   /** The mark's presence (parsed or not — an unparsable payload still
     * proves a graft disablement wrote it) in live domain metadata. */
@@ -210,6 +215,14 @@ trait CommitCoordinatorClient {
     * the coordinator may stop tracking them. */
   def registerBackfill(logPath: String, backfilledThrough: Long): Unit
 
+  /** Drop ALL state for a table path — the explicit operator action for a
+    * table DELETED AND RE-CREATED at the same path. Monotonic
+    * [[registerTable]] deliberately cannot walk a seed backwards (a stale
+    * registrant racing a live commit must not un-ack it), so recreation
+    * needs this escape hatch: without it the stale high seed wedges every
+    * coordinated commit of the new table behind a version conflict. */
+  def unregisterTable(logPath: String): Unit = ()
+
   /** Writers backfill after every commit whose version is a multiple of
     * this (1 = every commit), and ALWAYS on feature disablement. */
   def backfillInterval: Int = 1
@@ -281,6 +294,9 @@ final class InMemoryCommitCoordinator(
           .foreach(st.unbackfilled.remove)
       }
     }
+
+  override def unregisterTable(logPath: String): Unit =
+    synchronized { tables.remove(logPath): Unit }
 }
 
 /** Process-wide name → client registry (the builder-side seam: deployments

@@ -460,6 +460,7 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     val keys = Seq(CoordinatedCommits.CoordinatorNameKey,
       CoordinatedCommits.CoordinatorConfKey, CoordinatedCommits.TableConfKey)
     val snap = log.update()
+    if (snap.version < 0) throw new NotATableException(log.tablePath.toString)
     val md = snap.metadata.getOrElse(
       throw new IllegalStateException(s"table ${log.tablePath} has no metadata"))
     val wasCoordinated = CoordinatedCommits.isCoordinated(md.configuration)

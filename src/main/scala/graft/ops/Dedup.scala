@@ -273,12 +273,15 @@ object Dedup {
                             maxRows: Option[Long] = Some(65536L)): DataFrame = {
     import graft.functions.functions.dot_q
     maxRows.foreach { cap =>
-      val n = vectors.count()
-      require(n <= cap,
-        s"embeddingSimilarPairs is the O(n²) recall oracle: $n input rows " +
-        s"exceed the $cap-row guard (~${n * n / 2} candidate pairs). Use " +
-        "embeddingSimilarPairsMultiLsh (bucketed, scales) or pass " +
-        "maxRows = None to run the oracle deliberately")
+      // limit-bounded probe: LocalLimit short-circuits after cap+1 rows —
+      // a full count() would execute the entire upstream lineage just to
+      // refuse, the exact waste this guard exists to prevent
+      val over = vectors.limit(math.min(cap, Int.MaxValue - 1L).toInt + 1)
+        .count() > cap
+      require(!over,
+        s"embeddingSimilarPairs is the O(n²) recall oracle: input exceeds " +
+        s"the $cap-row guard. Use embeddingSimilarPairsMultiLsh (bucketed, " +
+        "scales) or pass maxRows = None to run the oracle deliberately")
     }
     val q = vectors.select(col(idCol), col(vecCol).as("e"))
       .withColumn("nrm", dot_q(col("e"), col("e")))

@@ -57,18 +57,12 @@ object IvfIndex {
     val fresh = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .join(existing, Seq("id"), "left_anti")
     val cents = DeltaTable.forPath(spark, centroidsPath(root)).toDF
-    // nearest existing centroid by exact quantized dot on normalized...
-    // squared-distance assignment, same metric as kmeansAssign
-    val distExpr =
-      "aggregate(zip_with(dv, cdv, (x, y) -> (x - y) * (x - y)), cast(0 as double), (a, b) -> a + b)"
+    // nearest EXISTING centroid via the shared squared-L2 assignment —
+    // same metric as the build's kmeans loop and the probe's cluster
+    // ranking (one definition, Similarity.SqDistExpr)
     val assigned = fresh
-      .withColumn("dv", expr("transform(vec, x -> cast(x as double))"))
-      .crossJoin(broadcast(cents.select(col("cid"),
-        expr("transform(centroid, x -> cast(x as double))").as("cdv"))))
-      .withColumn("dist", expr(distExpr))
-      .groupBy("id")
-      .agg(min_by(struct(col("cid"), col("vec")), struct(col("dist"), col("cid"))).as("w"))
-      .select(col("id"), col("w.cid").as("cluster"), col("w.vec").as("vec"))
+      .join(Similarity.assignToCentroids(fresh, "id", "vec", cents), "id")
+      .select(col("id"), col("cluster"), col("vec"))
       .localCheckpoint(true)
     val n = assigned.count()
     if (n > 0)
@@ -77,19 +71,17 @@ object IvfIndex {
     n
   }
 
-  /** Probe the committed index: rank centroids against the query (a
-    * |clusters|-row scan), PARTITION-PRUNE the posting table to the nProbe
-    * best clusters, exact-rank within them. Output (id, dot_q), top-k. */
+  /** Probe the committed index: rank centroids against the query by the
+    * ASSIGNMENT metric (squared L2 — [[Similarity.probeClusters]]),
+    * PARTITION-PRUNE the posting table to the nProbe best clusters,
+    * exact-rank by quantized dot within them. Output (id, dot_q), top-k. */
   def topK(spark: SparkSession, root: String, queryVec: Array[Float],
            k: Int, nProbe: Int = 2): DataFrame = {
     import spark.implicits._
     val query = Seq(Tuple1(queryVec)).toDF("query_vec")
-    val probed = DeltaTable.forPath(spark, centroidsPath(root)).toDF
-      .crossJoin(broadcast(query))
-      .withColumn("cdot", dotQ("centroid", "query_vec"))
-      .orderBy(col("cdot").desc, col("cid"))
-      .limit(nProbe)
-      .select("cid").as[Int].collect() // nProbe ints — driver-side by design
+    val probed = Similarity.probeClusters(
+        DeltaTable.forPath(spark, centroidsPath(root)).toDF, "cid", query, nProbe)
+      .as[Int].collect() // nProbe ints — driver-side by design
     val postings = DeltaTable.forPath(spark, postingsPath(root))
       .toDF(Seq(PartitionFilter.In("cluster", probed.map(_.toString).toSet)))
     postings.crossJoin(broadcast(query))

@@ -79,15 +79,17 @@ object Similarity {
   /** As [[ivfTopK]], with PRECOMPUTED centroids (`clusterCol`,
     * `centroid: Array[Float]` — the output of [[centroids]], typically read
     * back from a persisted table): the query probes |clusters| rows and the
-    * probed partitions only, never the full corpus. */
+    * probed partitions only, never the full corpus.
+    *
+    * Clusters are probed by squared-L2 distance to the query — the SAME
+    * metric [[kmeansAssign]]/[[assignToCentroids]] assign postings by
+    * (ranking by raw dot let a high-norm centroid shadow the L2-nearest
+    * cluster on unnormalized embeddings, silently costing recall — r13
+    * review). Within probed clusters, ranking is the exact quantized dot. */
   def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String, clusterCol: String,
               centroids: DataFrame, queryId: Long, k: Int, nProbe: Int): DataFrame = {
     val query = vectors.filter(col(idCol) === queryId).select(col(vecCol).as("query_vec"))
-    val probed = centroids.crossJoin(broadcast(query))
-      .withColumn("cdot", dotQ("centroid", "query_vec"))
-      .orderBy(col("cdot").desc, col(clusterCol))
-      .limit(nProbe)
-      .select(clusterCol)
+    val probed = probeClusters(centroids, clusterCol, query, nProbe)
 
     vectors.join(broadcast(probed), clusterCol)
       .crossJoin(broadcast(query))
@@ -96,6 +98,44 @@ object Similarity {
       .orderBy(col("dot_q").desc, col(idCol))
       .limit(k)
   }
+
+  /** The nProbe clusters nearest the query by squared L2 — probe ordering
+    * and posting assignment share [[SqDistExpr]], so the metrics can never
+    * drift. `query` is one row with `query_vec: array<numeric>`. */
+  private[ops] def probeClusters(centroids: DataFrame, clusterCol: String,
+                                 query: DataFrame, nProbe: Int): DataFrame =
+    centroids
+      .select(col(clusterCol),
+        expr("transform(centroid, x -> cast(x as double))").as("cdv"))
+      .crossJoin(broadcast(query.select(
+        expr("transform(query_vec, x -> cast(x as double))").as("dv"))))
+      .withColumn("dist", expr(SqDistExpr))
+      .orderBy(col("dist").asc, col(clusterCol))
+      .limit(nProbe)
+      .select(clusterCol)
+
+  /** Squared-L2 between `dv` and `cdv` double arrays — ONE definition for
+    * the kmeans update loop, incremental assignment, and probe ordering. */
+  private[ops] val SqDistExpr =
+    "aggregate(zip_with(dv, cdv, (x, y) -> (x - y) * (x - y)), cast(0 as double), (a, b) -> a + b)"
+
+  /** Nearest-existing-centroid assignment (squared L2, ties to the lowest
+    * cid) — the incremental path [[IvfIndex.refresh]] shares with the
+    * kmeans loop. `cents` is (cid, centroid: array<numeric>). Returns
+    * (idCol, cluster). */
+  def assignToCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+                        cents: DataFrame): DataFrame =
+    assignDv(
+      vectors.select(col(idCol),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("dv")),
+      idCol, cents)
+
+  private def assignDv(v: DataFrame, idCol: String, cents: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cents.select(col("cid"),
+        expr("transform(centroid, x -> cast(x as double))").as("cdv"))))
+      .withColumn("dist", expr(SqDistExpr))
+      .groupBy(idCol)
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cluster"))
 
   /** Deterministic k-means-lite coarse quantizer: centroids initialized from
     * the `k` lowest-id vectors, `iters` Lloyd iterations expressed as
@@ -117,14 +157,10 @@ object Similarity {
                    k: Int, iters: Int = 3): DataFrame = {
     val v = vectors.select(col(idCol),
       expr(s"transform($vecCol, x -> cast(x as double))").as("dv"))
-    val distExpr =
-      "aggregate(zip_with(dv, centroid, (x, y) -> (x - y) * (x - y)), cast(0 as double), (a, b) -> a + b)"
 
-    def assignTo(centroids: DataFrame): DataFrame =
-      v.crossJoin(broadcast(centroids))
-        .withColumn("dist", expr(distExpr))
-        .groupBy(idCol)
-        .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cluster"))
+    // the shared squared-L2 assignment ([[assignDv]]) — the loop, the
+    // incremental refresh, and the probe ordering use ONE metric definition
+    def assignTo(centroids: DataFrame): DataFrame = assignDv(v, idCol, centroids)
 
     def dropCheckpoint(df: DataFrame): Unit = CheckpointUtil.drop(df)
 

@@ -175,18 +175,24 @@ final class GraftDeltaStreamSource(
       try {
         val fs = anchorFs.get
         val suffixOf = (n: String) => n.stripPrefix(p.getName + ".").toLong
+        // ONE listing serves both the zombie guard and the reclaim filter —
+        // this runs per trigger, and a second LIST doubles checkpoint-dir
+        // RPCs on an object store. A peer appearing between this listing
+        // and the reclaim is only ever OUR `next` (other writers are
+        // zombies by definition and would be writing lower versions).
+        val peers = anchorPeers()
         // a zombie driver (failover) may race here with a STALE v: never
         // delete a peer recording a higher version, and skip the write
         // entirely when one exists — readAnchor takes max-over-suffixes,
         // so the live driver's floor survives the zombie (r12 ADVICE)
-        if (!anchorPeers().exists(q => suffixOf(q.getName) >= v)) {
+        if (!peers.exists(q => suffixOf(q.getName) >= v)) {
           val next = new org.apache.hadoop.fs.Path(p.getParent, s"${p.getName}.$v")
           val out = fs.create(next, true)
           try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
           // reclaim strictly-LOWER anchors (and the legacy file) only AFTER
           // the new one exists — every crash point leaves at least one anchor
-          anchorPeers().filter(q => suffixOf(q.getName) < v)
+          peers.filter(q => suffixOf(q.getName) < v)
             .foreach(fs.delete(_, false))
           if (fs.exists(p)) fs.delete(p, false)
         }

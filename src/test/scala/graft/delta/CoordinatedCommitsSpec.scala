@@ -512,6 +512,35 @@ class CoordinatedCommitsSpec extends AnyFunSuite with SparkTestBase {
       Set("live.parquet", "next.parquet"))
   }
 
+  test("re-created table at the same path: unregisterTable unwedges the stale high seed (r13)") {
+    val coord = new InMemoryCommitCoordinator(backfillInterval = 1)
+    CommitCoordinatorProvider.register("im-recreate", coord)
+    val dir = tempTable("cc-recreate")
+    writeCommit(dir, 0, Seq(protocol, metaData))
+    DeltaTable.forPath(spark, dir.toString).enableCoordinatedCommits("im-recreate")
+    (1 to 3).foreach(i => append(dir, s"old-$i.parquet")) // coordinator latest = 4
+    val logPath = DeltaLog.forPath(spark, dir.toString).logPath.toString
+    // the table is DELETED and RE-CREATED at the same path
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(dir.toFile)
+    writeCommit(dir, 0, Seq(protocol, metaData))
+    // monotonic registerTable ignores the downward seed: the new table's
+    // coordinated commits wedge behind the stale latest=4
+    DeltaTable.forPath(spark, dir.toString).enableCoordinatedCommits("im-recreate")
+    intercept[Exception] { append(dir, "wedged.parquet") }
+    // the explicit operator action for recreation
+    coord.unregisterTable(logPath)
+    // re-enable on the clean slate (the wedged era's properties are still
+    // on the table; same coordinator, so re-registration is legal)
+    DeltaTable.forPath(spark, dir.toString).enableCoordinatedCommits("im-recreate")
+    val v = append(dir, "new.parquet")
+    assert(v >= 2, s"commit must land after unregister, got $v")
+    assert(DeltaLog.forPath(spark, dir.toString).update().files.map(_.path).toSet ==
+      Set("new.parquet"))
+  }
+
   test("enableCoordinatedCommits refuses a coordinator switch on an already-coordinated table (r13)") {
     val dir = tempTable("cc-switch")
     writeCommit(dir, 0, Seq(protocol, metaData))
