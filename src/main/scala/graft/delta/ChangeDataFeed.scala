@@ -159,8 +159,13 @@ object ChangeDataFeed {
     // `prior` tracks table state BEFORE the current version, initialized
     // lazily on the first remove-only commit and advanced incrementally
     // thereafter — one O(log) replay total, not one per remove-only
-    // version (a truncate-heavy feed would otherwise be O(V²))
-    var prior: Option[Snapshot] = None
+    // version (a truncate-heavy feed would otherwise be O(V²)). Held as a
+    // mutable ReplayState: per-version Snapshot.replay re-materialized the
+    // O(#files) maps per ADVANCE too, i.e. O(range × files) once pinned
+    // (the same shape the r13 10⁷-Add probe caught in replayTail); the
+    // fold is O(actions) per version, files materialize only when a
+    // remove-only commit actually reads them.
+    var prior: Option[Snapshot.ReplayState] = None
     val cdcFiles = Seq.newBuilder[String]      // absolute cdc paths, all versions
     val addFiles = Seq.newBuilder[String]      // absolute add paths, all versions
     val fileVersion = Seq.newBuilder[(String, Long)] // normalized path -> version
@@ -196,10 +201,12 @@ object ChangeDataFeed {
         } else if (removes.nonEmpty && adds.isEmpty) {
           // rows already DV'd out of a removed file were reported deleted
           // by the DV commit — don't re-report them here
-          val p = prior.getOrElse(log.snapshotForVersion(v - 1))
+          val p = prior.getOrElse(
+            new Snapshot.ReplayState(log.snapshotForVersion(v - 1)))
           prior = Some(p) // pin: advanced below, reused by later versions
           val removedPaths = removes.map(_.path).toSet
-          val removedAdds = p.files.filter(a => removedPaths.contains(a.path))
+          val removedAdds = p.result(v - 1).files
+            .filter(a => removedPaths.contains(a.path))
           removeFrames += DeletionVectors.filterDeleted(spark, log, removedAdds,
             spark.read.option("basePath", log.tablePath.toString)
               .schema(schema).parquet(removes.map(r => abs(r.path)): _*)
@@ -210,7 +217,7 @@ object ChangeDataFeed {
             s"table ${log.tablePath} version $v rewrote files without " +
             "change data (committed before capture was enabled?); the " +
             "change feed cannot reconstruct row-level changes from a rewrite")
-        prior = prior.map(p => Snapshot.replay(p, actions.iterator, v))
+        prior.foreach(_.fold(actions.iterator))
       }
 
     // the scan's _metadata.file_path run through the SAME SchemeRe strip
