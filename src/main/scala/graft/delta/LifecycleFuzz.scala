@@ -61,7 +61,7 @@ object LifecycleFuzz {
     var ictOn = false
 
     (1 to nOps).foreach { _ =>
-      rnd.nextInt(10) match {
+      rnd.nextInt(12) match {
         case 0 | 1 =>
           ops += "append"
           GraftWriter.write(freshRows(1 + rnd.nextInt(4)), dir, SaveMode.Append)
@@ -127,6 +127,28 @@ object LifecycleFuzz {
             ops += "append"
             GraftWriter.write(freshRows(1), dir, SaveMode.Append)
           }
+        case 10 => // MERGE upsert: update a slice of existing ids, insert fresh
+          ops += "merge"
+          if (dvOn) { setDv(false); dvOn = false } // CoW rewrite path
+          val m = 3 + rnd.nextInt(3); val r = rnd.nextInt(m)
+          val updates = model.collect {
+            case (id, v) if id % m == r => (id, v + "m")
+          }.toSeq
+          val inserts = (0 until (1 + rnd.nextInt(2))).map { _ =>
+            val id = nextId; nextId += 1; (id, s"s$seed-$id")
+          }
+          val src = (updates ++ inserts).toDF("id", "v")
+          if (updates.nonEmpty || inserts.nonEmpty) {
+            Merge.into(spark, dir, src, col("t.id") === col("s.id"))
+              .whenMatchedUpdate(Map("v" -> col("s.v")))
+              .whenNotMatchedInsertAll()
+              .execute(): Unit
+            model = model ++ updates ++ inserts
+          }
+        case 11 => // full OVERWRITE: remove-all + fresh adds in one commit
+          ops += "overwrite"
+          model = Map.empty
+          GraftWriter.write(freshRows(2 + rnd.nextInt(3)), dir, SaveMode.Overwrite)
       }
       history += (log.update().version -> model)
     }

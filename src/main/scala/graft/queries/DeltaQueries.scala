@@ -596,16 +596,17 @@ object DeltaQueries {
     },
 
     // Seeded-lifecycle cross-engine replay (round 13, r12 verdict #2): one
-    // representative LifecycleFuzzSpec seed — append, Z-ORDER, CoW update,
-    // two CoW deletes, a MID-SEQUENCE checkpoint, compact, RESTORE to an
-    // earlier version, update, append (seed 11, 10 ops, DVs off so contents
-    // are mechanically derivable) — replayed by the same DuckDB fold as
-    // q70. The in-suite fuzz runs 26 such seeds (with DV deletes and
-    // time-travel checks) against an independent Scala replayer; this gate
-    // pins one under the real cross-engine oracle.
+    // representative LifecycleFuzzSpec seed — CoW delete, update, a
+    // MID-SEQUENCE checkpoint, update, RESTORE across the checkpoint, ICT
+    // flip, delete, MERGE upsert, full OVERWRITE, append, compact, append
+    // (seed 18, 12 ops, DVs off so contents are mechanically derivable) —
+    // replayed by the same DuckDB fold as q70. The in-suite fuzz runs 26
+    // such seeds (with DV deletes and time-travel checks) against an
+    // independent Scala replayer; this gate pins one under the real
+    // cross-engine oracle.
     "q78_lifecycle_fuzz" -> { (s, dir) =>
       val t = freshDir("lifecycle")
-      graft.delta.LifecycleFuzz.run(s, t, seed = 11, nOps = 10, allowDv = false)
+      graft.delta.LifecycleFuzz.run(s, t, seed = 18, nOps = 12, allowDv = false)
       DeltaTable.forPath(s, t).toDF.orderBy("id", "v")
     },
 
