@@ -298,13 +298,21 @@ object Checkpoints {
       snap.domainMetadata.toSeq.sortBy(_._1).map { case (d, c) => DomainMetadataAction(d, c) } ++
       liveTombstones(snap).filterNot(t => activePaths.contains(t.path)) ++
       snap.files
-    val rows = acts.map(actionRow(_, info, withDomains))
     val schema = checkpointSchema(info, withDomains)
     val nParts = math.max(1, math.ceil(acts.size.toDouble / maxActionsPerPart).toInt)
 
     val tmpDir = new Path(log.logPath, s".tmp-checkpoint-${UUID.randomUUID()}")
-    log.spark.createDataFrame(rows.asJava, schema)
-      .repartition(nParts).write.mode("overwrite").parquet(tmpDir.toString)
+    // Row construction + Catalyst conversion run on the EXECUTORS:
+    // a driver-side `acts.map(actionRow)` + LocalRelation converted 10⁷
+    // actions single-threaded (~19 µs each — minutes at decade scale, the
+    // r13 10⁷ probe's cost center), and the old `repartition(nParts)` then
+    // shuffled every row a second time. parallelize already yields nParts
+    // slices, so the write is shuffle-free.
+    log.spark.createDataFrame(
+        log.spark.sparkContext.parallelize(acts, nParts)
+          .map(a => actionRow(a, info, withDomains)),
+        schema)
+      .write.mode("overwrite").parquet(tmpDir.toString)
     val fs = tmpDir.getFileSystem(log.spark.sessionState.newHadoopConf())
     val parts = fs.listStatus(tmpDir).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
