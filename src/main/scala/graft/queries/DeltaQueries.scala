@@ -22,6 +22,10 @@ object DeltaQueries {
 
   private val workRoot = "/root/repo/target/graftwork"
 
+  /** Shared work-dir factory for sibling query sets (PipelineQueries'
+    * committed-index gate builds real tables too). */
+  private[queries] def freshWorkDir(name: String): String = freshDir(name)
+
   private def freshDir(name: String): String = {
     val dir = new java.io.File(s"$workRoot/$name")
     def rm(f: java.io.File): Unit = {

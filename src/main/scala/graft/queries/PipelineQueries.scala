@@ -250,6 +250,27 @@ object PipelineQueries {
         queryId = 0, k = 10, nProbe = Int.MaxValue)
     },
 
+    // IVF index as COMMITTED graft tables (r13): build on ~90% of the
+    // vectors, append the rest through the incremental nearest-centroid
+    // refresh, then serve an EXHAUSTIVE probe (nProbe = all clusters) —
+    // which must equal DuckDB's brute-force ranking over every vector, so
+    // the gate pins the whole index lifecycle (kmeans build commits,
+    // refresh commit, partition-pruned probe scan, exact quantized
+    // ranking). Partial-probe recall is IvfIndexSpec/IvfProbeMain territory.
+    "q79_ivf_index" -> { (s, dir) =>
+      import s.implicits._
+      val vecs = t(s, dir, "embeddings")
+      val root = graft.queries.DeltaQueries.freshWorkDir("ivfindex")
+      val cut = vecs.selectExpr("percentile_approx(vec_id, 0.9)").first().getLong(0)
+      IvfIndex.build(s, vecs.filter(col("vec_id") < cut), "vec_id", "embedding",
+        root, nClusters = 8)
+      IvfIndex.refresh(s, vecs.filter(col("vec_id") >= cut), "vec_id", "embedding", root)
+      val qv = vecs.filter(col("vec_id") === 0)
+        .select("embedding").as[Array[Float]].head()
+      IvfIndex.topK(s, root, qv, k = 10, nProbe = 8)
+        .select(col("id").as("vec_id"), col("dot_q"))
+    },
+
     // tumbling-window event aggregation (batch shape of the streaming agg).
     "q31_events_window" -> { (s, dir) =>
       events(s, dir)
@@ -650,6 +671,16 @@ object PipelineQueries {
     // spans 6 of 10 labels, one ranking 8th by centroid dot — so the
     // sub-linear invariants live in SimilaritySpec instead.)
     "q30_ann_ivf" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+        |  i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+        |     * CAST(round(CAST(qe[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS dot_q
+        |FROM embeddings, q
+        |ORDER BY dot_q DESC, vec_id LIMIT 10""".stripMargin,
+
+    // exhaustive probe over the committed index ≡ brute force over every
+    // vector — same oracle shape as q29/q30
+    "q79_ivf_index" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, CAST(list_sum(list_transform(range(1, len(embedding) + 1),
         |  i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
