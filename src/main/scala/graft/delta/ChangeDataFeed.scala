@@ -205,8 +205,8 @@ object ChangeDataFeed {
             new Snapshot.ReplayState(log.snapshotForVersion(v - 1)))
           prior = Some(p) // pin: advanced below, reused by later versions
           val removedPaths = removes.map(_.path).toSet
-          val removedAdds = p.result(v - 1).files
-            .filter(a => removedPaths.contains(a.path))
+          val removedAdds = p.activeFiles
+            .filter(a => removedPaths.contains(a.path)).toVector
           removeFrames += DeletionVectors.filterDeleted(spark, log, removedAdds,
             spark.read.option("basePath", log.tablePath.toString)
               .schema(schema).parquet(removes.map(r => abs(r.path)): _*)

@@ -137,14 +137,13 @@ object LifecycleFuzz {
           val inserts = (0 until (1 + rnd.nextInt(2))).map { _ =>
             val id = nextId; nextId += 1; (id, s"s$seed-$id")
           }
+          // inserts is never empty (≥ 1 fresh row), so the merge always runs
           val src = (updates ++ inserts).toDF("id", "v")
-          if (updates.nonEmpty || inserts.nonEmpty) {
-            Merge.into(spark, dir, src, col("t.id") === col("s.id"))
-              .whenMatchedUpdate(Map("v" -> col("s.v")))
-              .whenNotMatchedInsertAll()
-              .execute(): Unit
-            model = model ++ updates ++ inserts
-          }
+          Merge.into(spark, dir, src, col("t.id") === col("s.id"))
+            .whenMatchedUpdate(Map("v" -> col("s.v")))
+            .whenNotMatchedInsertAll()
+            .execute(): Unit
+          model = model ++ updates ++ inserts
         case 11 => // full OVERWRITE: remove-all + fresh adds in one commit
           ops += "overwrite"
           model = Map.empty

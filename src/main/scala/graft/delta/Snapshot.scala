@@ -187,6 +187,12 @@ object Snapshot {
       case _: CheckpointMetadataAction | _: SidecarAction => ()
     }
 
+    /** Read-only view of the CURRENT active files — for consumers that
+      * need only the file map mid-fold (the change feed's remove-only
+      * branch), without paying [[result]]'s full Snapshot materialization
+      * (tombstones/txns/domains copied to immutable collections) per read. */
+    def activeFiles: Iterator[AddAction] = files.valuesIterator
+
     def result(newVersion: Long): Snapshot = Snapshot(
       version = newVersion,
       files = files.values.toVector,

@@ -386,6 +386,18 @@ object PipelineQueries {
       |WHERE 2 * inter >= (ca.n + cb.n - inter)
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** ONE brute-force quantized-dot ranking — the shared oracle for q29
+    * (direct brute force), q30 (full-probe session IVF), and q79 (full-
+    * probe committed IVF index): a quantization-arithmetic fix cannot
+    * desynchronize the three gates (r13 review). */
+  private val bruteForceAnnOracle =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id, CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+      |  i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+      |     * CAST(round(CAST(qe[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS dot_q
+      |FROM embeddings, q
+      |ORDER BY dot_q DESC, vec_id LIMIT 10""".stripMargin
+
   private val embedPairsOracle =
     """WITH v AS (SELECT vec_id,
       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
@@ -500,13 +512,7 @@ object PipelineQueries {
         |FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
-    "q29_ann_cosine" ->
-      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-        |SELECT vec_id, CAST(list_sum(list_transform(range(1, len(embedding) + 1),
-        |  i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
-        |     * CAST(round(CAST(qe[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS dot_q
-        |FROM embeddings, q
-        |ORDER BY dot_q DESC, vec_id LIMIT 10""".stripMargin,
+    "q29_ann_cosine" -> bruteForceAnnOracle,
 
     "q62_pii_redact" ->
       """WITH synth AS (
@@ -670,22 +676,10 @@ object PipelineQueries {
     // this testdata — the labels are not cosine clusters: the true top-10
     // spans 6 of 10 labels, one ranking 8th by centroid dot — so the
     // sub-linear invariants live in SimilaritySpec instead.)
-    "q30_ann_ivf" ->
-      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-        |SELECT vec_id, CAST(list_sum(list_transform(range(1, len(embedding) + 1),
-        |  i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
-        |     * CAST(round(CAST(qe[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS dot_q
-        |FROM embeddings, q
-        |ORDER BY dot_q DESC, vec_id LIMIT 10""".stripMargin,
+    "q30_ann_ivf" -> bruteForceAnnOracle,
 
     // exhaustive probe over the committed index ≡ brute force over every
-    // vector — same oracle shape as q29/q30
-    "q79_ivf_index" ->
-      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-        |SELECT vec_id, CAST(list_sum(list_transform(range(1, len(embedding) + 1),
-        |  i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
-        |     * CAST(round(CAST(qe[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS dot_q
-        |FROM embeddings, q
-        |ORDER BY dot_q DESC, vec_id LIMIT 10""".stripMargin
+    // vector — same oracle as q29/q30
+    "q79_ivf_index" -> bruteForceAnnOracle
   )
 }
