@@ -512,6 +512,41 @@ class CoordinatedCommitsSpec extends AnyFunSuite with SparkTestBase {
       Set("live.parquet", "next.parquet"))
   }
 
+  test("RESTORE across a disablement boundary keeps mark and coordination atomic (r13)") {
+    val dir = tempTable("cc-restore-mark")
+    writeCommit(dir, 0, Seq(protocol, metaData))
+    DeltaTable.forPath(spark, dir.toString)
+      .enableCoordinatedCommits(registered("im-rmark", 1)) // v1
+    // RESTORE refuses adds whose physical files are gone — touch them
+    Files.createFile(dir.resolve("era.parquet"))
+    Files.createFile(dir.resolve("post.parquet"))
+    append(dir, "era.parquet")                             // v2 (coordinated)
+    DeltaTable.forPath(spark, dir.toString).disableCoordinatedCommits() // v3 + mark
+    append(dir, "post.parquet")                            // v4 (fs-routed)
+    // restore to the MID-ERA version: the ONE restore commit must both
+    // re-apply the coordinated config AND tombstone the adoption mark —
+    // a mark surviving into a coordinated era would let fs writers skip
+    // the staged-adoption scan the era depends on
+    DeltaTable.forPath(spark, dir.toString).restoreToVersion(2)
+    val midEra = DeltaLog.forPath(spark, dir.toString).update()
+    assert(CoordinatedCommits.isCoordinated(midEra.metadata.get.configuration),
+      "restore to a coordinated version re-applies the coordinated config")
+    assert(!midEra.domainMetadata.contains(CoordinatedCommits.AdoptionDomain),
+      "the adoption mark must not survive into the restored coordinated era")
+    // the next write self-heals the coordinator (its seed lags) and lands
+    assert(append(dir, "revived.parquet") > midEra.version)
+    // restore FORWARD to the post-disablement state: config clears and the
+    // mark returns in the same commit
+    val back = DeltaLog.forPath(spark, dir.toString).update().version
+    DeltaTable.forPath(spark, dir.toString).restoreToVersion(4)
+    val post = DeltaLog.forPath(spark, dir.toString).update()
+    assert(post.version > back)
+    assert(!CoordinatedCommits.isCoordinated(post.metadata.get.configuration))
+    assert(post.domainMetadata.contains(CoordinatedCommits.AdoptionDomain),
+      "restoring to a marked version restores the mark with it")
+    assert(post.files.map(_.path).toSet == Set("era.parquet", "post.parquet"))
+  }
+
   test("re-created table at the same path: unregisterTable unwedges the stale high seed (r13)") {
     val coord = new InMemoryCommitCoordinator(backfillInterval = 1)
     CommitCoordinatorProvider.register("im-recreate", coord)
