@@ -269,6 +269,10 @@ object PipelineQueries {
         .select("embedding").as[Array[Float]].head()
       IvfIndex.topK(s, root, qv, k = 10, nProbe = 8)
         .select(col("id").as("vec_id"), col("dot_q"))
+        // re-assert the total order ON THE OUTPUT NAMES: topK already
+        // ordered by (dot_q, id), but the rename hides the unique key
+        // from the row-order-totality audit (10 rows — free)
+        .orderBy(col("dot_q").desc, col("vec_id"))
     },
 
     // tumbling-window event aggregation (batch shape of the streaming agg).
