@@ -58,6 +58,35 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"no pushed filters in q2 plan:\n$p")
   }
 
+  test("composed pipeline (q77) stays bucketed end-to-end — no all-pairs stage") {
+    val p = plan("q77_dedup_pipeline")
+    assert(!p.contains("CartesianProduct"),
+      s"the composed pipeline regressed to an all-pairs plan:\n$p")
+    // one intentional crossJoin family exists: the single-row invariant
+    // aggregates attached to every survivor row (broadcast NL over ONE row)
+    assert(!p.contains("SortMergeJoin") ||
+      p.contains("BroadcastHashJoin") || p.contains("broadcast"),
+      s"q77 lost its broadcast shapes:\n$p")
+  }
+
+  test("committed-IVF probe (q79) partition-prunes the posting scan") {
+    // build a tiny committed index, probe 2 of 4 clusters, and require the
+    // scan's input files to stay inside the probed partition directories
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("plan-ivf-").toString
+    graft.ops.IvfIndex.build(spark, vecs, "vec_id", "embedding", root, nClusters = 4)
+    val qv = vecs.filter(col("vec_id") === 1)
+      .select("embedding").as[Array[Float]].head()
+    val res = graft.ops.IvfIndex.topK(spark, root, qv, k = 5, nProbe = 2)
+    val postingFiles = res.inputFiles.filter(_.contains("postings"))
+    val clusters = postingFiles.flatMap(
+      "cluster=(\\d+)".r.findFirstMatchIn(_).map(_.group(1))).toSet
+    assert(postingFiles.nonEmpty && clusters.size <= 2,
+      s"probe scan must touch <= nProbe partitions, got $clusters")
+  }
+
   test("row-identity resolution BROADCASTS the file-info lookup (no shuffle on the scan)") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
