@@ -38,13 +38,8 @@ object MetaBench {
     import graft.delta._
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-coordbench-")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(dir.toFile)
-    }))
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      LocalPaths.deleteRecursively(dir.toFile)))
     val t = dir.toString
     GraftWriter.write(Seq((1L, "x")).toDF("id", "v").coalesce(1), t) // v0
     val name = "metabench-coord"
@@ -132,13 +127,8 @@ object MetaBench {
     // the probe can synthesize ~10⁶ placeholder files; a few undeleted runs
     // would exhaust tmpfs inodes on the shared VM (r12 review) — reclaim on
     // ANY exit (normal or thrown)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(dir.toFile)
-    }))
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      LocalPaths.deleteRecursively(dir.toFile)))
     val logDir = dir.resolve("_delta_log")
     Files.createDirectories(logDir)
     // one real (tiny) parquet data file, hard-copied per commit so the
@@ -216,7 +206,8 @@ object MetaBench {
     warmLog.update()
     val (warmSec, _) = timed(warmLog.update())
     val (histSec, feedSec) =
-      if (addsPer > 1) (-1.0, -1.0) // placeholder files have no footers
+      // placeholder files have no footers; log-only mode has no files at all
+      if (addsPer > 1 || skipFiles) (-1.0, -1.0)
       else {
         val (hs, histRows) = timed(
           spark.sql(s"SELECT * FROM graft_history('${dir.toString}')").count())

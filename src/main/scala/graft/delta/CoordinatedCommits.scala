@@ -220,8 +220,14 @@ trait CommitCoordinatorClient {
     * [[registerTable]] deliberately cannot walk a seed backwards (a stale
     * registrant racing a live commit must not un-ack it), so recreation
     * needs this escape hatch: without it the stale high seed wedges every
-    * coordinated commit of the new table behind a version conflict. */
-  def unregisterTable(logPath: String): Unit = ()
+    * coordinated commit of the new table behind a version conflict.
+    * Deliberately NOT defaulted to a no-op: an operator following the
+    * recovery procedure against a client that silently did nothing would
+    * believe the fix applied while the table stays wedged. */
+  def unregisterTable(logPath: String): Unit =
+    throw new UnsupportedOperationException(
+      s"${getClass.getName} does not implement unregisterTable — the " +
+      "table-recreation escape hatch requires coordinator support")
 
   /** Writers backfill after every commit whose version is a multiple of
     * this (1 = every commit), and ALWAYS on feature disablement. */

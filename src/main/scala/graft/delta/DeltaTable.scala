@@ -315,13 +315,30 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     * behind [[TableConfig]]'s behaviors (append-only, checkpoint cadence,
     * retention windows). `delta.*` keys are validated up front; other keys
     * pass through as user metadata. Returns the committed version. */
-  def setProperties(props: Map[String, String]): Long = {
+  def setProperties(props: Map[String, String]): Long =
+    setPropertiesImpl(props, allowCoordinatorKey = false)
+
+  /** `allowCoordinatorKey`: ONLY [[enableCoordinatedCommits]] may set the
+    * coordinator-naming key — routing it through bare setProperties would
+    * start a coordinated era WITHOUT registering the table at the
+    * coordinator and WITHOUT tombstoning a previous disablement's adoption
+    * mark, so a later filesystem writer holding the stale mark would skip
+    * the staged-adoption scan the era depends on and fork acked history
+    * (r13 third review pass). Same fence shape as ColumnMapping.ModeKey. */
+  private def setPropertiesImpl(props: Map[String, String],
+                                allowCoordinatorKey: Boolean): Long = {
     // `delta.feature.<name>=supported` entries are protocol DDL (the
     // delta-spark feature-enable idiom): they lift the protocol to
     // table-features form and are NOT persisted in configuration
     val (featProps, cfgProps) =
       props.partition(_._1.startsWith(ProtocolSupport.FeaturePropPrefix))
     TableConfig.validate(cfgProps)
+    if (!allowCoordinatorKey && cfgProps.contains(CoordinatedCommits.CoordinatorNameKey))
+      throw new IllegalArgumentException(
+        s"${CoordinatedCommits.CoordinatorNameKey} cannot be set directly: " +
+        "use enableCoordinatedCommits(name) — it registers the table with " +
+        "the coordinator and retires any previous disablement's adoption " +
+        "mark in the required order")
     val snap = log.update()
     // mode flips route to the real upgrade (field ids + physical names +
     // protocol floor) — a bare config change would flip scans to physical
@@ -434,10 +451,11 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
       removeDomainMetadataInternal(CoordinatedCommits.AdoptionDomain)
     val seedSnap = log.update()
     val tableConf = client.registerTable(log.logPath.toString, seedSnap.version)
-    val v = setProperties(Map(
+    val v = setPropertiesImpl(Map(
       CoordinatedCommits.CoordinatorNameKey -> coordinatorName,
       CoordinatedCommits.CoordinatorConfKey -> CoordinatedCommits.toJson(coordinatorConf),
-      CoordinatedCommits.TableConfKey -> CoordinatedCommits.toJson(tableConf)))
+      CoordinatedCommits.TableConfKey -> CoordinatedCommits.toJson(tableConf)),
+      allowCoordinatorKey = true)
     client.registerTable(log.logPath.toString, v)
     v
   }

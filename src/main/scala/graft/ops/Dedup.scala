@@ -266,8 +266,12 @@ object Dedup {
     * it REFUSES above `maxRows` input rows (default 65,536 ≈ 2.1×10⁹
     * candidate pairs — already minutes of dot products): pass
     * `maxRows = None` to run the oracle deliberately at any size, or use
-    * [[embeddingSimilarPairsMultiLsh]], which scales. The guard costs one
-    * O(n) count — three orders cheaper than the quadratic join it gates. */
+    * [[embeddingSimilarPairsMultiLsh]], which scales. The guard runs one
+    * limit-bounded count AT CALL TIME — a Spark job during plan
+    * construction (upstream stages execute once for the probe and again
+    * for the real query) — the deliberate price of refusing the quadratic
+    * join before it is built; pass None where the input size is already
+    * known to be bounded. */
   def embeddingSimilarPairs(vectors: DataFrame, idCol: String, vecCol: String,
                             thresholdNum: Long, thresholdDen: Long,
                             maxRows: Option[Long] = Some(65536L)): DataFrame = {

@@ -28,11 +28,7 @@ object DeltaQueries {
 
   private def freshDir(name: String): String = {
     val dir = new java.io.File(s"$workRoot/$name")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    if (dir.exists()) rm(dir)
+    if (dir.exists()) graft.LocalPaths.deleteRecursively(dir)
     dir.mkdirs()
     dir.toString
   }

@@ -23,10 +23,7 @@ object IvfProbeMain {
     import spark.implicits._
 
     val root = "/tmp/graft_ivfprobe"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(new java.io.File(root))
+    LocalPaths.deleteRecursively(root)
 
     def timed[A](label: String)(body: => A): A = {
       val t0 = System.nanoTime()

@@ -60,13 +60,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
 
   test("composed pipeline (q77) stays bucketed end-to-end — no all-pairs stage") {
     val p = plan("q77_dedup_pipeline")
+    // (the single-row invariant crossJoins legitimately plan as broadcast
+    // NL over ONE row; the only statically checkable scale claim here is
+    // no-all-pairs — AQE decides broadcast-vs-SMJ for the rest at runtime)
     assert(!p.contains("CartesianProduct"),
       s"the composed pipeline regressed to an all-pairs plan:\n$p")
-    // one intentional crossJoin family exists: the single-row invariant
-    // aggregates attached to every survivor row (broadcast NL over ONE row)
-    assert(!p.contains("SortMergeJoin") ||
-      p.contains("BroadcastHashJoin") || p.contains("broadcast"),
-      s"q77 lost its broadcast shapes:\n$p")
   }
 
   test("committed-IVF probe (q79) partition-prunes the posting scan") {
@@ -75,7 +73,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val root = java.nio.file.Files.createTempDirectory("plan-ivf-").toString
+    // under target/ so `sbt clean` (not /tmp accretion) owns the lifetime
+    val root = {
+      val d = new java.io.File(s"target/plan-ivf-${java.util.UUID.randomUUID()}")
+      d.mkdirs(); d.getAbsolutePath
+    }
     graft.ops.IvfIndex.build(spark, vecs, "vec_id", "embedding", root, nClusters = 4)
     val qv = vecs.filter(col("vec_id") === 1)
       .select("embedding").as[Array[Float]].head()
@@ -90,7 +92,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
   test("row-identity resolution BROADCASTS the file-info lookup (no shuffle on the scan)") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("plan-rt-").resolve("t").toString
+    val dir = new java.io.File(
+      s"target/plan-rt-${java.util.UUID.randomUUID()}/t").getAbsolutePath
     graft.delta.GraftWriter.write(
       (0 until 100).map(i => (i.toLong, "x")).toDF("id", "v"), dir,
       configuration = Some(Map(

@@ -31,10 +31,7 @@ object ScaleProbeMain {
     spark.sparkContext.setLogLevel("WARN")
 
     val t = "/tmp/graft_scaleprobe/lineitem"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-    }
-    rm(new java.io.File("/tmp/graft_scaleprobe"))
+    LocalPaths.deleteRecursively("/tmp/graft_scaleprobe")
 
     def timed[A](label: String)(body: => A): A = {
       val t0 = System.nanoTime()

@@ -29,10 +29,7 @@ object StreamBenchMain {
     spark.sparkContext.setLogLevel("WARN")
 
     val root = "/tmp/graft_streambench"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(new java.io.File(root))
+    LocalPaths.deleteRecursively(root)
     val src = s"$root/src"; val dst = s"$root/dst"; val ckpt = s"$root/ckpt"
 
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -490,6 +490,15 @@ class CoordinatedCommitsSpec extends AnyFunSuite with SparkTestBase {
       DeltaTable.forPath(spark, dir.toString)
         .setDomainMetadata(CoordinatedCommits.AdoptionDomain, "{}")
     }
+    // nor start an era through bare setProperties — that path would skip
+    // coordinator registration AND leave the mark live (r13 review: a
+    // stale live mark during an era lets fs writers skip the staged-
+    // adoption scan and fork acked history)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaTable.forPath(spark, dir.toString).setProperties(
+        Map(CoordinatedCommits.CoordinatorNameKey -> "im-fence2"))
+    }
+    assert(e2.getMessage.contains("enableCoordinatedCommits"))
   }
 
   test("registerTable is monotonic: a stale downward re-seed cannot drop an acked staged commit (r13)") {
@@ -556,10 +565,7 @@ class CoordinatedCommitsSpec extends AnyFunSuite with SparkTestBase {
     (1 to 3).foreach(i => append(dir, s"old-$i.parquet")) // coordinator latest = 4
     val logPath = DeltaLog.forPath(spark, dir.toString).logPath.toString
     // the table is DELETED and RE-CREATED at the same path
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-    }
-    rm(dir.toFile)
+    graft.LocalPaths.deleteRecursively(dir.toFile)
     writeCommit(dir, 0, Seq(protocol, metaData))
     // monotonic registerTable ignores the downward seed: the new table's
     // coordinated commits wedge behind the stale latest=4

@@ -10,9 +10,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
 
   private def root(name: String): String = {
-    val d = java.nio.file.Files.createTempDirectory(s"ivfindex-$name")
-    d.toFile.deleteOnExit()
-    d.toString
+    // under target/ — deleteOnExit can't remove non-empty dirs, so /tmp
+    // would accrete one committed index per run (r13 review); sbt clean
+    // owns target/'s lifetime
+    val d = new java.io.File(
+      s"target/ivfindex-$name-${java.util.UUID.randomUUID()}")
+    d.mkdirs()
+    d.getAbsolutePath
   }
 
   private lazy val vecs =
