@@ -51,6 +51,13 @@ object CoordinatedCommits {
     * [[CommitCoordinatorClient.registerTable]] at enablement. */
   val TableConfKey = "delta.coordinatedCommits.tableConf-preview"
 
+  /** All three coordinated-commits properties: settable ONLY through
+    * [[graft.delta.DeltaTable.enableCoordinatedCommits]] / unset ONLY
+    * through `disableCoordinatedCommits` — bare property DDL clobbering
+    * any of them forges the engine's routing state (r13 advice). */
+  val ReservedKeys: Set[String] =
+    Set(CoordinatorNameKey, CoordinatorConfKey, TableConfKey)
+
   /** Writer table-feature name (delta-spark preview string; the bare name
     * is accepted on foreign tables too). */
   val Feature = "coordinatedCommits-preview"

@@ -154,8 +154,19 @@ final class DeltaLog private (
     * coordinator-lag re-seed previously re-claimed such versions with new
     * content). Staged versions beyond the first gap are definitionally
     * unacked (acked versions are contiguous) and stay ignored. Returns the
-    * classic tip after adoption. */
-  private[delta] def adoptStagedTail(classicLatest: Long): Long = {
+    * classic tip after adoption.
+    *
+    * `conflictChecked` carries the adoption-mark fast path's precondition
+    * (r13 advice — previously read the handle's mutable `cached`, safe only
+    * by an unstated invariant of the two callers): the CALLER must have
+    * conflict-classified every commit in `(conflictChecked.version,
+    * classicLatest]` as a non-metadata change, OR pass a coordinated
+    * snapshot (for which the fast path is vacuous). A stale marked snapshot
+    * without that guarantee would silently skip adopting a NEWER era's
+    * stranded staged commits — and skipping here is not benign: the next
+    * rename would claim their version numbers and fork acked history. */
+  private[delta] def adoptStagedTail(classicLatest: Long,
+                                     conflictChecked: Snapshot): Long = {
     // absence cache: a never-coordinated table pays ONE probe per handle,
     // not one per commit. Invalidated by any staged registration (the only
     // way _commits/ can appear for this handle is coordinated activity,
@@ -177,10 +188,11 @@ final class DeltaLog private (
     // BEFORE registering the new coordinator), and the mark's classic
     // readability implies (ascending-backfill prefix) every acked commit
     // of the marked era is classic. The caller's conflict check has
-    // already classified every commit up to `classicLatest`, so a
-    // concurrent enablement cannot be hiding above this snapshot. Tracked
-    // staged leftovers are healed by repairStagedGaps before this runs.
-    val snapForMark = cached
+    // already classified every commit up to `classicLatest` (the
+    // documented precondition), so a concurrent enablement cannot be
+    // hiding above this snapshot. Tracked staged leftovers are healed by
+    // repairStagedGaps before this runs.
+    val snapForMark = conflictChecked
     if (snapForMark.version >= 0 &&
         !CoordinatedCommits.isCoordinated(
           snapForMark.metadata.map(_.configuration).getOrElse(Map.empty)) &&

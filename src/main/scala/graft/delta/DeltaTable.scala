@@ -319,12 +319,15 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     setPropertiesImpl(props, allowCoordinatorKey = false)
 
   /** `allowCoordinatorKey`: ONLY [[enableCoordinatedCommits]] may set the
-    * coordinator-naming key — routing it through bare setProperties would
-    * start a coordinated era WITHOUT registering the table at the
+    * coordinated-commits keys — routing them through bare setProperties
+    * would start a coordinated era WITHOUT registering the table at the
     * coordinator and WITHOUT tombstoning a previous disablement's adoption
     * mark, so a later filesystem writer holding the stale mark would skip
     * the staged-adoption scan the era depends on and fork acked history
-    * (r13 third review pass). Same fence shape as ColumnMapping.ModeKey. */
+    * (r13 third review pass). The conf keys are fenced too (r13 advice):
+    * clobbering tableConf/coordinatorConf on a live coordinated table
+    * breaks getCommits routing — the same forged-engine-state class.
+    * Same fence shape as ColumnMapping.ModeKey. */
   private def setPropertiesImpl(props: Map[String, String],
                                 allowCoordinatorKey: Boolean): Long = {
     // `delta.feature.<name>=supported` entries are protocol DDL (the
@@ -333,12 +336,15 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     val (featProps, cfgProps) =
       props.partition(_._1.startsWith(ProtocolSupport.FeaturePropPrefix))
     TableConfig.validate(cfgProps)
-    if (!allowCoordinatorKey && cfgProps.contains(CoordinatedCommits.CoordinatorNameKey))
-      throw new IllegalArgumentException(
-        s"${CoordinatedCommits.CoordinatorNameKey} cannot be set directly: " +
-        "use enableCoordinatedCommits(name) — it registers the table with " +
-        "the coordinator and retires any previous disablement's adoption " +
-        "mark in the required order")
+    if (!allowCoordinatorKey) {
+      CoordinatedCommits.ReservedKeys.find(cfgProps.contains).foreach { k =>
+        throw new IllegalArgumentException(
+          s"$k cannot be set directly: use enableCoordinatedCommits(name) — " +
+          "it registers the table with the coordinator, persists the " +
+          "coordinator/table confs the registration returned, and retires " +
+          "any previous disablement's adoption mark in the required order")
+      }
+    }
     val snap = log.update()
     // mode flips route to the real upgrade (field ids + physical names +
     // protocol floor) — a bare config change would flip scans to physical
@@ -385,6 +391,15 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
 
   /** Remove table properties by key (no-op keys ignored). */
   def unsetProperties(keys: Seq[String]): Long = {
+    // unsetting the coordinated-commits keys here would end the era WITHOUT
+    // the force-backfill and adoption mark disableCoordinatedCommits
+    // provides — stranding the staged tail for every later fs writer
+    keys.find(CoordinatedCommits.ReservedKeys.contains).foreach { k =>
+      throw new IllegalArgumentException(
+        s"$k cannot be unset directly: use disableCoordinatedCommits() — " +
+        "it force-backfills the staged tail and writes the adoption mark " +
+        "in the same commit")
+    }
     val snap = log.update()
     if (snap.version < 0) throw new NotATableException(log.tablePath.toString)
     // same write-protocol fence as every other commit path — an unset must
@@ -475,8 +490,7 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     * ascending-backfill prefix property, that every earlier acked commit
     * is classic too. */
   def disableCoordinatedCommits(): Long = {
-    val keys = Seq(CoordinatedCommits.CoordinatorNameKey,
-      CoordinatedCommits.CoordinatorConfKey, CoordinatedCommits.TableConfKey)
+    val keys = CoordinatedCommits.ReservedKeys.toSeq.sorted
     val snap = log.update()
     if (snap.version < 0) throw new NotATableException(log.tablePath.toString)
     val md = snap.metadata.getOrElse(

@@ -49,7 +49,17 @@ trait LockClient {
     * when the lock changed hands. */
   def updateData(lock: LockItem, data: Option[String]): LockItem
   /** Delete the record if still the holder; false = someone stole it
-    * (`release_lock`, dynamodb_lock.rs:353-377). */
+    * (`release_lock`, dynamodb_lock.rs:353-377).
+    *
+    * CONTRACT — release must be conditional on RECORD IDENTITY (ownerName
+    * + recordVersionNumber of `lock`), never on the lock name alone, and a
+    * no-longer-held record must come back as `false`, not a throw. Callers
+    * retry a THROWN release once (LockingRename): if the first call
+    * released server-side but the response was lost, the retry must be a
+    * no-op `false` — a by-name delete would instead remove a SUCCESSOR'S
+    * live lease (r13 advice). The in-tree client satisfies this for every
+    * backend: it routes through `deleteIfOwnerAndRvnMatch`, which
+    * compares-and-deletes on the RVN the caller holds. */
   def releaseLock(lock: LockItem): Boolean
 }
 

@@ -166,6 +166,11 @@ object LockingRename {
     // signal why — retry once, then at least say so (r12 ADVICE).
     // (a `false` return — stolen lease — stays silent: that IS the
     // anticipated benign case; only a THROWN release is the leak)
+    // The immediate retry is safe ONLY under LockClient.releaseLock's
+    // identity contract: release compares-and-deletes on the RVN we hold,
+    // so a first call that released server-side but threw on the response
+    // makes the retry a no-op `false` — never a delete of a successor's
+    // lease (r13 advice; contract documented on the trait).
     Try(client.releaseLock(lock)).recoverWith { case first =>
       Try(client.releaseLock(lock)).recoverWith { case _ =>
         System.err.println(

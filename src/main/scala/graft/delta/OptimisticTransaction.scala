@@ -92,8 +92,15 @@ final class AppendOnlyTableException(path: String)
   */
 final class OptimisticTransaction(val log: DeltaLog) {
 
+  /** The snapshot this transaction's view of the table is based on —
+    * captured once at construction so commit-time decisions (coordinator
+    * routing, the adoption-mark fast path) are made against the SAME state
+    * the conflict check classifies from, not whatever `log.snapshot`
+    * happens to hold at commit time (r13 advice). */
+  private val readSnapshot: Snapshot = log.snapshot
+
   /** The version this transaction's view of the table is based on. */
-  private val readVersion: Long = log.snapshot.version
+  private val readVersion: Long = readSnapshot.version
   private var checkedThrough: Long = readVersion
 
   /** Partition-level projection of this transaction's read predicate.
@@ -179,7 +186,7 @@ final class OptimisticTransaction(val log: DeltaLog) {
     // fully backfilled or the next filesystem writer would re-claim an
     // un-backfilled version and fork history — goes through the
     // coordinator.
-    val coordinated = CoordinatedCommits.clientForWrite(log.snapshot)
+    val coordinated = CoordinatedCommits.clientForWrite(readSnapshot)
     val disabling = coordinated.isDefined &&
       !CoordinatedCommits.isCoordinated(effectiveConfig)
     var tmp: Path = if (perVersionStamp) null else prepareCommit(operation.toSeq)
@@ -223,7 +230,9 @@ final class OptimisticTransaction(val log: DeltaLog) {
             // PAST map-known staged-only versions nothing will ever
             // backfill (r12 second-pass review).
             log.repairStagedGaps()
-            val tip = log.adoptStagedTail(fsLatest)
+            // readSnapshot is coordinated here (clientForWrite above), so
+            // the adoption-mark fast path is vacuous and the full scan runs
+            val tip = log.adoptStagedTail(fsLatest, readSnapshot)
             client.registerTable(log.logPath.toString, tip)
             math.max(tip, coordLatest)
           } else math.max(fsLatest, coordLatest)
@@ -315,7 +324,11 @@ final class OptimisticTransaction(val log: DeltaLog) {
             // aborts this transaction), so retry attempts skip the probe.
             if (!healedStaged) {
               log.repairStagedGaps()
-              log.adoptStagedTail(latest)
+              // every commit in (readSnapshot.version, latest] has been
+              // conflict-classified above (a metadata change — the only way
+              // a new era starts — threw before reaching here), which is
+              // exactly the fast-path precondition adoptStagedTail states
+              log.adoptStagedTail(latest, readSnapshot)
               healedStaged = true
             }
             log.store.renameNoReplace(tmp, log.commitFile(latest + 1))

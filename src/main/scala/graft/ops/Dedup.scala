@@ -277,11 +277,18 @@ object Dedup {
                             maxRows: Option[Long] = Some(65536L)): DataFrame = {
     import graft.functions.functions.dot_q
     maxRows.foreach { cap =>
+      // the limit-bounded probe below can only observe up to
+      // Int.MaxValue-1 rows, so a larger cap would silently never trip
+      // (count <= probe limit <= cap) — refuse it instead (r13 advice);
+      // a caller with a genuinely larger bound wants maxRows = None anyway
+      require(cap < Int.MaxValue,
+        s"embeddingSimilarPairs maxRows cap $cap exceeds the " +
+        s"${Int.MaxValue - 1} ceiling the limit-probe can verify; pass " +
+        "maxRows = None to skip the guard deliberately")
       // limit-bounded probe: LocalLimit short-circuits after cap+1 rows —
       // a full count() would execute the entire upstream lineage just to
       // refuse, the exact waste this guard exists to prevent
-      val over = vectors.limit(math.min(cap, Int.MaxValue - 1L).toInt + 1)
-        .count() > cap
+      val over = vectors.limit(cap.toInt + 1).count() > cap
       require(!over,
         s"embeddingSimilarPairs is the O(n²) recall oracle: input exceeds " +
         s"the $cap-row guard. Use embeddingSimilarPairsMultiLsh (bucketed, " +

@@ -499,6 +499,24 @@ class CoordinatedCommitsSpec extends AnyFunSuite with SparkTestBase {
         Map(CoordinatedCommits.CoordinatorNameKey -> "im-fence2"))
     }
     assert(e2.getMessage.contains("enableCoordinatedCommits"))
+    // the conf keys are fenced too (r13 advice): clobbering tableConf/
+    // coordinatorConf on a coordinated table breaks getCommits routing —
+    // the same forged-engine-state class as the name key
+    Seq(CoordinatedCommits.TableConfKey,
+        CoordinatedCommits.CoordinatorConfKey).foreach { k =>
+      val e = intercept[IllegalArgumentException] {
+        DeltaTable.forPath(spark, dir.toString).setProperties(Map(k -> "{}"))
+      }
+      assert(e.getMessage.contains("enableCoordinatedCommits"), k)
+    }
+    // and unset must route through disableCoordinatedCommits — a bare
+    // unset would end the era without the force-backfill + adoption mark
+    CoordinatedCommits.ReservedKeys.foreach { k =>
+      val e = intercept[IllegalArgumentException] {
+        DeltaTable.forPath(spark, dir.toString).unsetProperties(Seq(k))
+      }
+      assert(e.getMessage.contains("disableCoordinatedCommits"), k)
+    }
   }
 
   test("registerTable is monotonic: a stale downward re-seed cannot drop an acked staged commit (r13)") {

@@ -112,6 +112,32 @@ class StreamingR12ReviewSpec extends AnyFunSuite with SparkTestBase {
     assert(s3.getOffset.get.toString.toLong >= 2L)
   }
 
+  test("equal-suffix anchor replay still reclaims lower anchors and the legacy file (r13 advice)") {
+    val src = Files.createTempDirectory("r13-anchor-eq-").toString
+    (0 until 3).foreach { i =>
+      Seq((i, s"v$i")).toDF("id", "v").write.format("graft-delta")
+        .mode(if (i == 0) "errorifexists" else "append").save(src)
+    }
+    // crash aftermath: the anchor for the latest version (2) already
+    // exists, a stale lower anchor lingers, and the legacy content file is
+    // corrupt — so readAnchor() floors and the restart re-offers version 2
+    val meta = Files.createTempDirectory("r13-anchor-eq-meta-")
+    Files.createFile(meta.resolve("graft-throttle-anchor.0"))
+    Files.createFile(meta.resolve("graft-throttle-anchor.2"))
+    Files.writeString(meta.resolve("graft-throttle-anchor"), "not-a-number")
+    val log = DeltaLog.forPath(spark, src)
+    val s = new org.apache.spark.sql.graftbridge.GraftDeltaStreamSource(
+      classicSpark, log, log.update().schema, maxVersionsPerTrigger = Some(100),
+      metadataPath = Some(meta.toString))
+    assert(s.getOffset.get.toString.toLong == 2L)
+    // the equal-suffix skip branch used to skip the reclaim too, leaving
+    // this garbage until the offered version advanced
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      Files.list(meta).iterator()).asScala.map(_.getFileName.toString)
+      .filterNot(_.startsWith(".")).toSeq.sorted
+    assert(names == Seq("graft-throttle-anchor.2"), names.toString)
+  }
+
   test("checkpointed offset takes precedence over a raised startingVersion") {
     val src = Files.createTempDirectory("r12-startv-").toString
     val ck = Files.createTempDirectory("r12-startv-ck-").toString

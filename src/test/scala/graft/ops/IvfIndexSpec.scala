@@ -92,5 +92,12 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(Dedup.embeddingSimilarPairs(
       vecs.filter(col("vec_id") < 50), "vec_id", "embedding", 95, 100,
       maxRows = None).count() >= 0)
+    // a cap the limit-probe cannot verify (≥ Int.MaxValue) is refused
+    // up front instead of silently never tripping (r13 advice)
+    val big = intercept[IllegalArgumentException] {
+      Dedup.embeddingSimilarPairs(vecs, "vec_id", "embedding", 95, 100,
+        maxRows = Some(Int.MaxValue.toLong))
+    }
+    assert(big.getMessage.contains("maxRows = None"))
   }
 }
