@@ -49,7 +49,14 @@ object GraftWriter {
             partitionBy: Seq[String] = Nil,
             mergeSchema: Boolean = false,
             overwriteSchema: Boolean = false,
-            configuration: Option[Map[String, String]] = None): Long = {
+            configuration: Option[Map[String, String]] = None,
+            // extra actions committed ATOMICALLY with this write's adds —
+            // the seam incremental maintainers need for an exactly-once
+            // progress mark (a TxnAction high-water mark that rides the
+            // data commit; a separate mark commit would re-apply the batch
+            // on a crash between the two). Same idiom as the streaming
+            // sink's epoch TxnAction.
+            extraActions: Seq[Action] = Nil): Long = {
     val spark = dfIn.sparkSession
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
@@ -335,6 +342,7 @@ object GraftWriter {
       if (hwmIdentity.isEmpty || !exists) None
       else withIdentityMarks(evolvedMetadata.getOrElse(snap.metadata.get))
     (identityMd orElse evolvedMetadata).foreach(txn.addAction)
+    txn.addActions(extraActions)
 
     val info = ActionCodec.mapper.createObjectNode()
     info.put("timestamp", now)

@@ -3,7 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.delta.{DeltaTable, GraftWriter, PartitionFilter}
+import graft.delta.{ChangeDataFeed, DeltaLog, DeltaTable, GraftWriter, Merge,
+  PartitionFilter, TxnAction}
 
 /** IVF ANN index MAINTAINED AS GRAFT TABLES (r12 verdict #8): the
   * centroids and posting lists live in committed, partitioned delta
@@ -12,13 +13,32 @@ import graft.delta.{DeltaTable, GraftWriter, PartitionFilter}
   * grows INCREMENTALLY on append — the index shape a 100 TB corpus needs.
   *
   * Layout under `root`:
-  *  - `root/centroids` — (cid int, centroid array<float>), |clusters| rows;
-  *  - `root/postings`  — (id, cluster, vec) PARTITIONED BY cluster, so a
-  *    probe's scan prunes to `nProbe/|clusters|` of the files at the
-  *    metadata layer (partition pruning), never touching the rest.
+  *  - `root/centroids`  — (cid int, centroid array<float>), |clusters| rows;
+  *  - `root/postings`   — (id, cluster, vec, ver) PARTITIONED BY cluster,
+  *    so a probe's scan prunes to `nProbe/|clusters|` of the files at the
+  *    metadata layer (partition pruning), never touching the rest. `ver`
+  *    is the source commit version the row's state was born at;
+  *  - `root/tombstones` — (id, ver): "every posting row of `id` born
+  *    BEFORE source version `ver` is dead". The LSM shape: deletes land
+  *    here in O(batch), probes subtract the (small, broadcast) set, and
+  *    [[compactTombstones]] amortizes the physical posting delete.
   *
-  * [[refresh]] assigns ONLY the new vectors to the nearest EXISTING
-  * centroid and appends — the incremental-clustering pattern
+  * Two maintenance tiers (r13 verdict #1):
+  *  - [[build]]/[[refresh]] take an arbitrary DataFrame — the ad-hoc tier.
+  *    `refresh` pays a full posting-id scan per call for its dedup, fine
+  *    for sessions, wrong at 100 TB.
+  *  - [[buildFromTable]]/[[refreshFromSource]] bind the index to a SOURCE
+  *    graft table with change-data-feed enabled: refresh reads ONLY
+  *    `graft_changes(lastIndexed, now]` (O(new commits), never the
+  *    postings), folds inserts/updates/deletes, and records the indexed
+  *    high-water mark as a TxnAction IN the posting append commit — the
+  *    streaming-sink exactly-once idiom, so a crash between batch and
+  *    mark is impossible by construction. Source DELETEs and the
+  *    pre-images of UPDATEs become tombstones, so a deleted vector is
+  *    never served (q80 gate) even before compaction.
+  *
+  * [[refresh]]/[[refreshFromSource]] assign new vectors to the nearest
+  * EXISTING centroid — the incremental-clustering pattern
   * ([[graft.delta.Optimize.cluster]]): centroids drift only on an explicit
   * [[build]] rebuild, queries stay correct throughout because ranking is
   * exact within probed clusters.
@@ -27,43 +47,92 @@ object IvfIndex {
 
   private def centroidsPath(root: String) = s"$root/centroids"
   private def postingsPath(root: String) = s"$root/postings"
+  private def tombstonesPath(root: String) = s"$root/tombstones"
+
+  /** TxnAction appId carrying the indexed source high-water mark on the
+    * postings table (version = last folded source commit). */
+  private[ops] val SourceVersionApp = "graft.ivf.sourceVersion"
+  /** Postings-table configuration keys binding the index to its source. */
+  private[ops] val SourcePathKey = "graft.ivf.sourcePath"
+  private[ops] val SourceIdKey = "graft.ivf.idCol"
+  private[ops] val SourceVecKey = "graft.ivf.vecCol"
 
   private def dotQ(a: String, b: String) =
     graft.functions.functions.dot_q(col(a), col(b))
 
-  /** Full (re)build: k-means-lite assignment, then commit both tables.
-    * Overwrites any previous index at `root`. */
+  /** Full (re)build from an arbitrary frame: k-means-lite assignment, then
+    * commit all three tables. Overwrites any previous index at `root`.
+    * `ver` stamps 0 on every row — an unbound index has no source clock. */
   def build(spark: SparkSession, vectors: DataFrame, idCol: String,
             vecCol: String, root: String, nClusters: Int = 16,
-            kmeansIters: Int = 3): Unit = {
+            kmeansIters: Int = 3): Unit =
+    buildInternal(spark, vectors, idCol, vecCol, root, nClusters,
+      kmeansIters, ver = 0L, binding = Map.empty, mark = Nil)
+
+  /** Full (re)build BOUND to a source graft table (must have
+    * `delta.enableChangeDataFeed=true` for [[refreshFromSource]] to work):
+    * reads the source at its current version V, stamps every posting row
+    * `ver = V`, persists the binding in the postings configuration, and
+    * records V as the indexed high-water mark in the same create commit. */
+  def buildFromTable(spark: SparkSession, sourcePath: String, idCol: String,
+                     vecCol: String, root: String, nClusters: Int = 16,
+                     kmeansIters: Int = 3): Long = {
+    val srcLog = DeltaLog.forPath(spark, sourcePath)
+    val snap = srcLog.update()
+    require(snap.version >= 0, s"no graft table at $sourcePath")
+    val vectors = DeltaTable.forPath(spark, sourcePath).toDF
+      .select(col(idCol), col(vecCol))
+    buildInternal(spark, vectors, idCol, vecCol, root, nClusters, kmeansIters,
+      ver = snap.version,
+      binding = Map(SourcePathKey -> sourcePath, SourceIdKey -> idCol,
+        SourceVecKey -> vecCol),
+      mark = Seq(TxnAction(SourceVersionApp, snap.version)))
+    snap.version
+  }
+
+  private def buildInternal(spark: SparkSession, vectors: DataFrame,
+                            idCol: String, vecCol: String, root: String,
+                            nClusters: Int, kmeansIters: Int, ver: Long,
+                            binding: Map[String, String],
+                            mark: Seq[TxnAction]): Unit = {
     val assigned = vectors
       .join(Similarity.kmeansAssign(vectors, idCol, vecCol, nClusters, kmeansIters), idCol)
-      .select(col(idCol).as("id"), col("cluster"), col(vecCol).as("vec"))
+      .select(col(idCol).as("id"), col("cluster"), col(vecCol).as("vec"),
+        lit(ver).as("ver"))
       .localCheckpoint(true) // centroids + postings both read it
     val cents = Similarity.centroids(
       assigned.select(col("cluster"), col("vec")), "vec", "cluster")
       .select(col("cluster").as("cid"), col("centroid"))
     GraftWriter.write(cents.coalesce(1), centroidsPath(root), SaveMode.Overwrite)
+    // the binding + mark ride the postings commit; on a REBUILD of a bound
+    // index the overwrite re-stamps both (configuration only applies at
+    // create/replace, hence overwriteSchema when the table exists)
+    val exists = DeltaLog.forPath(spark, postingsPath(root)).update().version >= 0
     GraftWriter.write(assigned, postingsPath(root), SaveMode.Overwrite,
-      partitionBy = Seq("cluster"))
+      partitionBy = Seq("cluster"), overwriteSchema = exists,
+      configuration = if (binding.isEmpty && !exists) None else Some(binding),
+      extraActions = mark)
+    import spark.implicits._
+    GraftWriter.write(
+      Seq.empty[(Long, Long)].toDF("id", "ver"), tombstonesPath(root),
+      SaveMode.Overwrite, overwriteSchema =
+        DeltaLog.forPath(spark, tombstonesPath(root)).update().version >= 0)
   }
 
-  /** Incremental append: vectors whose ids the index does not yet hold are
-    * assigned to the nearest existing centroid and appended to the posting
-    * table (one commit). Returns how many were appended. */
+  /** Ad-hoc incremental append: vectors whose ids the index does not yet
+    * hold are assigned to the nearest existing centroid and appended to the
+    * posting table (one commit). Returns how many were appended.
+    *
+    * SCALE NOTE: the id dedup is a left-anti join against the FULL posting
+    * table — O(postings) per call. Bind the index to a source table
+    * ([[buildFromTable]]) and use [[refreshFromSource]] to pay O(new
+    * commits) instead (r13 verdict #1). */
   def refresh(spark: SparkSession, vectors: DataFrame, idCol: String,
               vecCol: String, root: String): Long = {
     val existing = DeltaTable.forPath(spark, postingsPath(root)).toDF.select("id")
     val fresh = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .join(existing, Seq("id"), "left_anti")
-    val cents = DeltaTable.forPath(spark, centroidsPath(root)).toDF
-    // nearest EXISTING centroid via the shared squared-L2 assignment —
-    // same metric as the build's kmeans loop and the probe's cluster
-    // ranking (one definition, Similarity.SqDistExpr)
-    val assigned = fresh
-      .join(Similarity.assignToCentroids(fresh, "id", "vec", cents), "id")
-      .select(col("id"), col("cluster"), col("vec"))
-      .localCheckpoint(true)
+    val assigned = assignFresh(spark, fresh.withColumn("ver", lit(0L)), root)
     val n = assigned.count()
     if (n > 0)
       GraftWriter.write(assigned, postingsPath(root), SaveMode.Append,
@@ -71,10 +140,155 @@ object IvfIndex {
     n
   }
 
+  /** nearest EXISTING centroid via the shared squared-L2 assignment —
+    * same metric as the build's kmeans loop and the probe's cluster
+    * ranking (one definition, Similarity.SqDistExpr). Input (id, vec, ver),
+    * output (id, cluster, vec, ver) materialized. */
+  private def assignFresh(spark: SparkSession, fresh: DataFrame,
+                          root: String): DataFrame = {
+    val cents = DeltaTable.forPath(spark, centroidsPath(root)).toDF
+    fresh
+      .join(Similarity.assignToCentroids(fresh, "id", "vec", cents), "id")
+      .select(col("id"), col("cluster"), col("vec"), col("ver"))
+      .localCheckpoint(true)
+  }
+
+  /** The source binding of an index built by [[buildFromTable]]:
+    * (sourcePath, idCol, vecCol, lastIndexedVersion). */
+  private def bindingOf(spark: SparkSession,
+                        root: String): (String, String, String, Long) = {
+    val snap = DeltaLog.forPath(spark, postingsPath(root)).update()
+    val cfg = snap.metadata.map(_.configuration).getOrElse(Map.empty)
+    val src = cfg.getOrElse(SourcePathKey, throw new IllegalStateException(
+      s"index at $root is not bound to a source table — build it with " +
+      "buildFromTable, or maintain it with refresh(vectors)"))
+    val last = snap.appTransactionVersion.getOrElse(SourceVersionApp,
+      throw new IllegalStateException(
+        s"index at $root carries no $SourceVersionApp mark"))
+    (src, cfg(SourceIdKey), cfg(SourceVecKey), last)
+  }
+
+  /** The source changes the next [[refreshFromSource]] will fold — the CDF
+    * window `(lastIndexed, currentSourceVersion]`. Exposed so callers (and
+    * the spec's O(new-commits) inputFiles assertion) can inspect exactly
+    * what refresh reads; refresh consumes THIS frame. Empty window → None. */
+  def pendingChanges(spark: SparkSession, root: String): Option[DataFrame] =
+    pendingWindow(spark, root).map(_._1)
+
+  private def pendingWindow(spark: SparkSession,
+                            root: String): Option[(DataFrame, Long)] = {
+    val (src, _, _, last) = bindingOf(spark, root)
+    val srcLog = DeltaLog.forPath(spark, src)
+    val now = srcLog.update().version
+    if (now <= last) None
+    else Some((ChangeDataFeed.readChanges(spark, srcLog, last, now), now))
+  }
+
+  /** Fold the source's change feed since the last refresh into the index:
+    *  - per changed id, the LATEST post-image (insert/update_postimage)
+    *    at source version b becomes a posting row `ver = b`;
+    *  - per id with any prior-state-killing event (delete /
+    *    update_preimage), a tombstone `(id, maxKillVersion)` appends —
+    *    killing every posting row born strictly before it (the new
+    *    post-image row, born AT the kill version, survives);
+    *  - the high-water mark TxnAction rides IN the posting append commit
+    *    (or a bare mark commit when the window held no post-images), so a
+    *    crash can only re-fold an unmarked window — tombstone re-appends
+    *    are duplicate (id, ver) pairs the probe rule is insensitive to and
+    *    [[compactTombstones]] dedups away.
+    *
+    * Reads O(changed commits) — never the posting or source base files.
+    * Returns (postingRowsAppended, tombstonesAppended). */
+  def refreshFromSource(spark: SparkSession, root: String): (Long, Long) = {
+    val (_, idCol, vecCol, _) = bindingOf(spark, root)
+    pendingWindow(spark, root) match {
+      case None => (0L, 0L)
+      case Some((changes, now)) =>
+        val ct = col(ChangeDataFeed.ChangeType)
+        val cv = col(ChangeDataFeed.CommitVersion)
+        val ev = changes.select(col(idCol).as("id"), col(vecCol).as("vec"),
+          ct.as("ct"), cv.as("cver"))
+        // one aggregation folds both sides: latest post-image and latest
+        // kill version per id. max over (cver, vec) structs orders by the
+        // leading commit version and — like every agg — ignores the NULLs
+        // the `when` assigns to non-post-image events, so a delete-only id
+        // folds to born = null
+        val folded = ev.groupBy("id").agg(
+          max(when(col("ct").isin("insert", "update_postimage"),
+            struct(col("cver"), col("vec")))).as("born"),
+          max(when(col("ct").isin("delete", "update_preimage"), col("cver")))
+            .as("killed"))
+          .localCheckpoint(true) // adds + tombstones both read the fold
+        val adds = folded
+          .filter(col("born").isNotNull &&
+            (col("killed").isNull || col("born.cver") >= col("killed")))
+          .select(col("id"), col("born.vec").as("vec"),
+            col("born.cver").as("ver"))
+        val tombs = folded.filter(col("killed").isNotNull)
+          .select(col("id"), col("killed").as("ver"))
+        val nTombs = tombs.count()
+        if (nTombs > 0)
+          GraftWriter.write(tombs, tombstonesPath(root), SaveMode.Append)
+        val assigned = assignFresh(spark, adds, root)
+        val nAdds = assigned.count()
+        val markAction = Seq(TxnAction(SourceVersionApp, now))
+        if (nAdds > 0)
+          GraftWriter.write(assigned, postingsPath(root), SaveMode.Append,
+            partitionBy = Seq("cluster"), extraActions = markAction)
+        else {
+          // delete-only (or no-op) window: advance the mark with a bare
+          // metadata commit so later refreshes never re-read this window
+          val log = DeltaLog.forPath(spark, postingsPath(root))
+          log.update()
+          val txn = log.startTransaction()
+          markAction.foreach(txn.addAction)
+          txn.commit()
+        }
+        (nAdds, nTombs)
+    }
+  }
+
+  /** Live tombstones, one row per id (max kill version wins) — small by
+    * construction between compactions, hence broadcast at the probe. */
+  private def liveTombstones(spark: SparkSession, root: String): Option[DataFrame] = {
+    val log = DeltaLog.forPath(spark, tombstonesPath(root))
+    if (log.update().version < 0) None // pre-r14 index layout
+    else Some(DeltaTable.forPath(spark, tombstonesPath(root)).toDF
+      .groupBy("id").agg(max("ver").as("kill_ver")))
+  }
+
+  /** Physically apply the tombstones to the posting table (one MERGE — the
+    * amortized full-scan moment of the LSM shape), then reset the tombstone
+    * table. Probe results are identical before and after; this exists to
+    * reclaim space and keep the probe's broadcast side small. Returns how
+    * many posting rows were deleted. */
+  def compactTombstones(spark: SparkSession, root: String): Long = {
+    liveTombstones(spark, root) match {
+      case None => 0L
+      case Some(t) =>
+        val tombs = t.localCheckpoint(true) // merge + the reset guard read it
+        if (tombs.isEmpty) return 0L
+        val m = Merge.into(spark, postingsPath(root), tombs,
+            col("t.id") === col("s.id") && col("t.ver") < col("s.kill_ver"))
+          .whenMatchedDelete()
+          .execute()
+        // overwrite-with-empty rather than delete-table: a refresh racing
+        // this reset appends dataChange rows, which CONFLICTS the
+        // overwrite's dataChange removes (ConcurrentAppend) — its
+        // tombstones survive, ours are already applied
+        import spark.implicits._
+        GraftWriter.write(Seq.empty[(Long, Long)].toDF("id", "ver"),
+          tombstonesPath(root), SaveMode.Overwrite)
+        m.rowsDeleted
+    }
+  }
+
   /** Probe the committed index: rank centroids against the query by the
     * ASSIGNMENT metric (squared L2 — [[Similarity.probeClusters]]),
     * PARTITION-PRUNE the posting table to the nProbe best clusters,
-    * exact-rank by quantized dot within them. Output (id, dot_q), top-k. */
+    * subtract tombstoned rows (broadcast anti-join — a source-deleted
+    * vector must never be served even before compaction), exact-rank by
+    * quantized dot within them. Output (id, dot_q), top-k. */
   def topK(spark: SparkSession, root: String, queryVec: Array[Float],
            k: Int, nProbe: Int = 2): DataFrame = {
     import spark.implicits._
@@ -84,7 +298,13 @@ object IvfIndex {
       .as[Int].collect() // nProbe ints — driver-side by design
     val postings = DeltaTable.forPath(spark, postingsPath(root))
       .toDF(Seq(PartitionFilter.In("cluster", probed.map(_.toString).toSet)))
-    postings.crossJoin(broadcast(query))
+    val live = liveTombstones(spark, root) match {
+      case Some(t) => postings.join(broadcast(t),
+        postings("id") === t("id") && postings("ver") < t("kill_ver"),
+        "left_anti")
+      case None => postings
+    }
+    live.crossJoin(broadcast(query))
       .withColumn("dot_q", dotQ("vec", "query_vec"))
       .select(col("id"), col("dot_q"))
       .orderBy(col("dot_q").desc, col("id"))

@@ -275,6 +275,37 @@ object PipelineQueries {
         .orderBy(col("dot_q").desc, col("vec_id"))
     },
 
+    // CDF-maintained IVF index (r14, verdict #1): the index binds to a
+    // SOURCE graft table with change-data-feed enabled; a DELETE and an
+    // APPEND land in the source AFTER the build, and refreshFromSource
+    // folds ONLY the change window (O(new commits) — never re-reading the
+    // base corpus or the posting ids). The exhaustive probe must then
+    // equal DuckDB's brute force over the POST-delete+append corpus — a
+    // deleted vector served from a stale posting row, a missed append, or
+    // a tombstone mis-fold all break the hash.
+    "q80_ivf_cdf" -> { (s, dir) =>
+      import s.implicits._
+      val vecs = t(s, dir, "embeddings")
+      val root = graft.queries.DeltaQueries.freshWorkDir("ivfcdf")
+      val src = s"$root/source"
+      graft.delta.GraftWriter.write(
+        vecs.select(col("vec_id"), col("embedding")), src,
+        configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+      IvfIndex.buildFromTable(s, src, "vec_id", "embedding", s"$root/idx",
+        nClusters = 8)
+      graft.delta.Dml.delete(s, src, col("vec_id") % 7 === lit(3L))
+      graft.delta.GraftWriter.write(
+        vecs.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+        src, org.apache.spark.sql.SaveMode.Append)
+      IvfIndex.refreshFromSource(s, s"$root/idx")
+      val qv = vecs.filter(col("vec_id") === 0)
+        .select("embedding").as[Array[Float]].head()
+      IvfIndex.topK(s, s"$root/idx", qv, k = 10, nProbe = 8)
+        .select(col("id").as("vec_id"), col("dot_q"))
+        .orderBy(col("dot_q").desc, col("vec_id"))
+    },
+
     // tumbling-window event aggregation (batch shape of the streaming agg).
     "q31_events_window" -> { (s, dir) =>
       events(s, dir)
@@ -684,6 +715,21 @@ object PipelineQueries {
 
     // exhaustive probe over the committed index ≡ brute force over every
     // vector — same oracle as q29/q30
-    "q79_ivf_index" -> bruteForceAnnOracle
+    "q79_ivf_index" -> bruteForceAnnOracle,
+
+    // the q80 corpus is the source table AFTER its post-build lifecycle:
+    // the %7 slice deleted, ten twin vectors appended — brute force over
+    // exactly that, in the shared quantized-dot arithmetic
+    "q80_ivf_cdf" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 10),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+        |  i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+        |     * CAST(round(CAST(qe[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS dot_q
+        |FROM corpus, q
+        |ORDER BY dot_q DESC, vec_id LIMIT 10""".stripMargin
   )
 }

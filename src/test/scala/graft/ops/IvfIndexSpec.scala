@@ -82,6 +82,112 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(graft.delta.DeltaLog.forPath(spark, s"$r/postings").update().version == v0)
   }
 
+  // ---- source-bound tier (r13 verdict #1): CDF-sourced refresh + deletes
+
+  private def boundSource(name: String): (String, String) = {
+    val r = root(name)
+    val src = s"$r/source"
+    graft.delta.GraftWriter.write(
+      vecs.select(col("vec_id"), col("embedding")), src,
+      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    (r, src)
+  }
+
+  test("source DELETE between refreshes is never served, at ANY nProbe") {
+    import spark.implicits._
+    val (r, src) = boundSource("del")
+    IvfIndex.buildFromTable(spark, src, "vec_id", "embedding", s"$r/idx",
+      nClusters = 8)
+    // delete the exact nearest neighbors of query 0 (its own vector stays):
+    // brute-force truth BEFORE the delete, minus id 0
+    val pre = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 0, 6)
+      .select("vec_id").as[Long].collect().toSet - 0L
+    graft.delta.Dml.delete(spark, src, col("vec_id").isin(pre.toSeq: _*))
+    val (added, tombed) = IvfIndex.refreshFromSource(spark, s"$r/idx")
+    assert(added == 0 && tombed == pre.size, s"($added, $tombed)")
+    val qv = vecs.filter(col("vec_id") === 0)
+      .select("embedding").as[Array[Float]].head()
+    // every probe width — including exhaustive — must exclude the deleted
+    // ids BEFORE any compaction
+    Seq(1, 4, 8).foreach { nProbe =>
+      val got = IvfIndex.topK(spark, s"$r/idx", qv, k = 10, nProbe = nProbe)
+        .select("id").as[Long].collect().toSet
+      assert((got intersect pre).isEmpty,
+        s"nProbe=$nProbe served deleted ids: ${got intersect pre}")
+    }
+    // exhaustive probe ≡ brute force over the POST-delete corpus
+    val truth = Similarity.bruteForceTopK(
+      vecs.filter(!col("vec_id").isin(pre.toSeq: _*)),
+      "vec_id", "embedding", 0, 10).select("vec_id").as[Long].collect().toSeq
+    val served = IvfIndex.topK(spark, s"$r/idx", qv, k = 10, nProbe = 8)
+      .select("id").as[Long].collect().toSeq
+    assert(served == truth, s"served $served != truth $truth")
+    // idempotent: nothing pending after the fold
+    assert(IvfIndex.refreshFromSource(spark, s"$r/idx") == ((0L, 0L)))
+  }
+
+  test("source UPDATE re-homes the vector: old state dies, new state serves") {
+    import spark.implicits._
+    val (r, src) = boundSource("upd")
+    IvfIndex.buildFromTable(spark, src, "vec_id", "embedding", s"$r/idx",
+      nClusters = 4)
+    // move vector 42 exactly onto vector 7's embedding: post-update, 42
+    // must rank as 7's twin (same dot against 7's own query)
+    val target = vecs.filter(col("vec_id") === 7)
+      .select("embedding").as[Array[Float]].head()
+    graft.delta.Dml.update(spark, src, col("vec_id") === 42,
+      Map("embedding" -> typedLit(target)))
+    val (added, tombed) = IvfIndex.refreshFromSource(spark, s"$r/idx")
+    assert(added == 1 && tombed == 1, s"($added, $tombed)")
+    val top = IvfIndex.topK(spark, s"$r/idx", target, k = 2, nProbe = 4)
+      .select("id").as[Long].collect().toSet
+    assert(top == Set(7L, 42L), s"updated vector must tie its target: $top")
+    // exactly one live posting row for the updated id (old one tombstoned)
+    def postings42() = graft.delta.DeltaTable.forPath(spark, s"$r/idx/postings")
+      .toDF.filter(col("id") === 42).count()
+    assert(postings42() == 2, "pre-compaction: old + new rows both stored")
+    assert(IvfIndex.compactTombstones(spark, s"$r/idx") == 1)
+    assert(postings42() == 1, "post-compaction: only the live row remains")
+    // probe unchanged by compaction
+    val top2 = IvfIndex.topK(spark, s"$r/idx", target, k = 2, nProbe = 4)
+      .select("id").as[Long].collect().toSet
+    assert(top2 == Set(7L, 42L))
+    // tombstone table reset
+    assert(graft.delta.DeltaTable.forPath(spark, s"$r/idx/tombstones")
+      .toDF.count() == 0)
+  }
+
+  test("refreshFromSource reads O(new commits): pending window never touches base files") {
+    import spark.implicits._
+    val (r, src) = boundSource("incr")
+    val baseFiles = graft.delta.DeltaLog.forPath(spark, src)
+      .update().files.map(_.path).toSet
+    IvfIndex.buildFromTable(spark, src, "vec_id", "embedding", s"$r/idx",
+      nClusters = 4)
+    assert(IvfIndex.pendingChanges(spark, s"$r/idx").isEmpty)
+    // one small append lands in the source
+    val batch = vecs.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    graft.delta.GraftWriter.write(batch, src,
+      org.apache.spark.sql.SaveMode.Append)
+    val pending = IvfIndex.pendingChanges(spark, s"$r/idx").get
+    val read = pending.inputFiles.map(f =>
+      f.substring(f.lastIndexOf('/') + 1)).toSet
+    val baseNames = baseFiles.map(f => f.substring(f.lastIndexOf('/') + 1))
+    assert(read.nonEmpty && (read intersect baseNames).isEmpty,
+      s"pending window must read ONLY the new commit's files; " +
+      s"touched base files: ${read intersect baseNames}")
+    val (added, tombed) = IvfIndex.refreshFromSource(spark, s"$r/idx")
+    assert(added == 5 && tombed == 0)
+    // the appended vectors serve: 1000000 carries vec 0's embedding, so
+    // the top-2 for that embedding is exactly the twin pair
+    val qv = vecs.filter(col("vec_id") === 0)
+      .select("embedding").as[Array[Float]].head()
+    val top = IvfIndex.topK(spark, s"$r/idx", qv, k = 2, nProbe = 4)
+      .select("id").as[Long].collect().toSet
+    assert(top == Set(0L, 1000000L), s"twin pair must serve: $top")
+  }
+
   test("embeddingSimilarPairs guard refuses above maxRows unless overridden") {
     val e = intercept[IllegalArgumentException] {
       Dedup.embeddingSimilarPairs(vecs, "vec_id", "embedding", 95, 100,
