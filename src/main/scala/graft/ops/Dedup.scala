@@ -226,6 +226,18 @@ object Dedup {
     // to the corpus (near-dup pairs + band collisions) but still scales with
     // it, so no hard-coded broadcast — AQE converts these to broadcast joins
     // at runtime when the side is actually small.
+    verifyJaccard(sh, idCol, candidates, thresholdNum, thresholdDen)
+  }
+
+  /** Exact Jaccard verification of explicit candidate pairs `(id_a, id_b)`
+    * over a shingle relation that covers BOTH endpoints of every pair: set
+    * sizes and intersections both come from `sh`, so the accepted pairs are
+    * exactly what [[jaccardPairs]] would accept — one definition shared by
+    * the batch LSH pipeline and [[DedupIndex]]'s incremental refresh (the
+    * two must never drift, or incremental ≠ full-recompute). */
+  private[ops] def verifyJaccard(sh: DataFrame, idCol: String,
+                                 candidates: DataFrame, thresholdNum: Long,
+                                 thresholdDen: Long): DataFrame = {
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
     val counts = sh.groupBy(idCol).agg(count(lit(1)).as("n"))

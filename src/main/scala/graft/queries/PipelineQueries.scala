@@ -306,6 +306,40 @@ object PipelineQueries {
         .orderBy(col("dot_q").desc, col("vec_id"))
     },
 
+    // Standing dedup index (r14, verdict #2): the corpus arrives as a base
+    // build plus THREE CDF-folded append batches; each refresh shingles
+    // only its batch and joins the standing bucket table. The final
+    // survivor set must hash-match DuckDB's FULL brute-force Jaccard +
+    // recursive-closure recompute over the whole corpus — any drift in the
+    // incremental candidate accumulation, the subgraph component merge, or
+    // the survivor MERGE breaks the row set.
+    "q81_dedup_incremental" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val root = graft.queries.DeltaQueries.freshWorkDir("dedupincr")
+      val src = s"$root/source"
+      // id percentiles, not literals: sf10 replica ids are non-contiguous
+      val cuts = docs
+        .selectExpr("percentile_approx(doc_id, array(0.5, 0.7, 0.9))")
+        .first().getSeq[Long](0).toIndexedSeq
+      graft.delta.GraftWriter.write(
+        docs.filter(col("doc_id") < cuts(0)).select("doc_id", "text"), src,
+        configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+      DedupIndex.buildFromSource(s, src, "text", "doc_id", s"$root/idx")
+      val ranges = Seq((cuts(0), cuts(1)), (cuts(1), cuts(2)),
+        (cuts(2), Long.MaxValue))
+      ranges.foreach { case (a, b) =>
+        graft.delta.GraftWriter.write(
+          docs.filter(col("doc_id") >= a && col("doc_id") < b)
+            .select("doc_id", "text"),
+          src, org.apache.spark.sql.SaveMode.Append)
+        DedupIndex.refreshFromSource(s, s"$root/idx")
+      }
+      DedupIndex.survivors(s, s"$root/idx")
+        .select(col("comp"), col("id").as("doc_id"),
+          col("len").as("text_len"))
+        .orderBy("comp")
+    },
+
     // tumbling-window event aggregation (batch shape of the streaming agg).
     "q31_events_window" -> { (s, dir) =>
       events(s, dir)
@@ -491,6 +525,31 @@ object PipelineQueries {
         |SELECT doc_id, n_tokens, docs_packed, tokens_packed,
         |       CAST(0 AS BIGINT) AS over_budget_bins
         |FROM st, tot ORDER BY doc_id""".stripMargin,
+
+    // full recompute of the q77 closure, survivor rows (comp, id, length) —
+    // the incremental index must land on exactly this
+    "q81_dedup_incremental" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |       FROM d, UNNEST(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b FROM p0
+        |      JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+        |      WHERE 2 * inter >= (ca.n + cb.n - inter)),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (SELECT a, b FROM e
+        |                UNION
+        |                SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+        |fam AS (SELECT d.doc_id, d.text, coalesce(c.comp, d.doc_id) AS comp
+        |        FROM d LEFT JOIN comp c ON c.id = d.doc_id)
+        |SELECT comp, doc_id, CAST(length(text) AS BIGINT) AS text_len FROM (
+        |  SELECT comp, doc_id, text, row_number() OVER (
+        |    PARTITION BY comp ORDER BY length(text) DESC, doc_id) AS rn
+        |  FROM fam) WHERE rn = 1 ORDER BY comp""".stripMargin,
 
     "q59_contamination" ->
       """WITH c AS (SELECT doc_id, string_split(lower(text), ' ') AS w

@@ -1,0 +1,134 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[DedupIndex]]: the standing MinHash-LSH dedup index (r13 verdict #2) —
+  * incremental refresh over an append-only CDF source must be
+  * indistinguishable from a full recompute, including family merges
+  * bridged across batches. */
+class DedupIndexSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def root(name: String): String = {
+    val d = new java.io.File(
+      s"target/dedupindex-$name-${java.util.UUID.randomUUID()}")
+    d.mkdirs()
+    d.getAbsolutePath
+  }
+
+  /** Deterministic word soup: `words(seed, n)` is reproducible and two
+    * different seeds share no words (seed is baked into every token). */
+  private def words(seed: Int, from: Int, until: Int): String =
+    (from until until).map(i => s"w${seed}x$i").mkString(" ")
+
+  /** The synthetic corpus, split into 4 slices by id range:
+    *  - family F: ids 1 (base), 101 (b1), 301 (b3) — near-identical texts;
+    *  - bridge: 10 (base) = words 0..19, 110 (b1) = words 10..29 — NOT
+    *    similar to each other (J ≈ 0.29); 210 (b2) = words 0..29 — similar
+    *    to both, so batch 2 must MERGE the two standing families;
+    *  - singletons everywhere else. */
+  private def corpus: DataFrame = {
+    val fam = words(7, 0, 24)
+    val rows =
+      Seq((1L, fam + " tailone"), (101L, fam + " tailtwo"),
+        (301L, fam + " tailthree"),
+        (10L, words(9, 0, 20)), (110L, words(9, 10, 30)),
+        (210L, words(9, 0, 30))) ++
+      Seq(5L, 6L, 105L, 106L, 205L, 206L, 305L, 306L).map(i =>
+        (i, words(i.toInt, 0, 15)))
+    rows.toDF("doc_id", "text")
+  }
+
+  private def slice(df: DataFrame, from: Long, until: Long): DataFrame =
+    df.filter(col("doc_id") >= from && col("doc_id") < until)
+
+  private def dump(df: DataFrame): Seq[(Long, Long, Long)] =
+    df.select("comp", "id", "len").as[(Long, Long, Long)]
+      .collect().toSeq.sorted
+
+  test("incremental over 3 batches ≡ full recompute; cross-batch bridge merges families") {
+    val r = root("equiv")
+    val src = s"$r/source"
+    graft.delta.GraftWriter.write(slice(corpus, 0, 100), src,
+      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    // bands=64×1 rows: candidate recall 1 at any J, so the spec's planted
+    // J≈0.6 bridge pair cannot be lost to band luck (verify stays exact)
+    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$r/idx",
+      numHashes = 64, bands = 64)
+    Seq((100L, 200L), (200L, 300L), (300L, 400L)).foreach { case (a, b) =>
+      graft.delta.GraftWriter.write(slice(corpus, a, b), src, SaveMode.Append)
+      DedupIndex.refreshFromSource(spark, s"$r/idx")
+    }
+    // full recompute over the final corpus, same parameters
+    val rf = root("full")
+    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$rf/idx",
+      numHashes = 64, bands = 64)
+    assert(dump(DedupIndex.survivors(spark, s"$r/idx")) ==
+      dump(DedupIndex.survivors(spark, s"$rf/idx")), "survivors diverged")
+    assert(dump(DedupIndex.members(spark, s"$r/idx")
+        .select(col("comp"), col("id"), col("len"))) ==
+      dump(DedupIndex.members(spark, s"$rf/idx")
+        .select(col("comp"), col("id"), col("len"))), "members diverged")
+    // the bridge: 10 and 110 were separate families until 210 arrived
+    val m = DedupIndex.members(spark, s"$r/idx")
+      .filter(col("id").isin(10L, 110L, 210L))
+      .select("comp").as[Long].collect().toSet
+    assert(m == Set(10L), s"bridge family must merge to comp 10, got $m")
+    // family F spans base, batch1 and batch3
+    val f = DedupIndex.members(spark, s"$r/idx")
+      .filter(col("id").isin(1L, 101L, 301L))
+      .select("comp").as[Long].collect().toSet
+    assert(f == Set(1L), s"family F must label comp 1, got $f")
+    // survivor of the merged bridge family: longest text (210, 30 words)
+    val bs = DedupIndex.survivors(spark, s"$r/idx")
+      .filter(col("comp") === 10L).select("id").as[Long].head()
+    assert(bs == 210L, s"longest bridge member must survive, got $bs")
+    // no-op refresh: nothing pending
+    assert(DedupIndex.refreshFromSource(spark, s"$r/idx") == ((0L, 0L)))
+  }
+
+  test("replayed window (mark rewound) leaves members/survivors unchanged") {
+    val r = root("replay")
+    val src = s"$r/source"
+    graft.delta.GraftWriter.write(slice(corpus, 0, 100), src,
+      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    val v0 = DedupIndex.buildFromSource(spark, src, "text", "doc_id",
+      s"$r/idx", numHashes = 64, bands = 64)
+    graft.delta.GraftWriter.write(slice(corpus, 100, 200), src, SaveMode.Append)
+    DedupIndex.refreshFromSource(spark, s"$r/idx")
+    val before = dump(DedupIndex.survivors(spark, s"$r/idx"))
+    val membersBefore = dump(DedupIndex.members(spark, s"$r/idx")
+      .select(col("comp"), col("id"), col("len")))
+    // rewind the high-water mark (the crash shape: derived state advanced,
+    // mark not) and re-fold the same window — every merge must re-apply
+    // identical rows
+    val log = graft.delta.DeltaLog.forPath(spark, s"$r/idx/buckets")
+    log.update()
+    val txn = log.startTransaction()
+    txn.addAction(graft.delta.TxnAction(DedupIndex.SourceVersionApp, v0))
+    txn.commit()
+    val (n, _) = DedupIndex.refreshFromSource(spark, s"$r/idx")
+    assert(n > 0, "rewound mark must re-offer the window")
+    assert(dump(DedupIndex.survivors(spark, s"$r/idx")) == before,
+      "replay must not change survivors")
+    assert(dump(DedupIndex.members(spark, s"$r/idx")
+        .select(col("comp"), col("id"), col("len"))) == membersBefore,
+      "replay must not change members")
+  }
+
+  test("non-append source changes are refused loudly") {
+    val r = root("refuse")
+    val src = s"$r/source"
+    graft.delta.GraftWriter.write(slice(corpus, 0, 100), src,
+      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$r/idx")
+    graft.delta.Dml.delete(spark, src, col("doc_id") === 5L)
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.refreshFromSource(spark, s"$r/idx")
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
+}
