@@ -188,6 +188,37 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(top == Set(0L, 1000000L), s"twin pair must serve: $top")
   }
 
+  test("adversarial corpus: recall@10 is monotone in nProbe; exhaustive probe ≡ brute force") {
+    import spark.implicits._
+    val r = root("frontier")
+    // overlapping gaussians + 20% uniform noise — partial probes genuinely
+    // miss here (testdata clusters are too easy: recall 1.0 at nProbe=8/64)
+    val vecs = AdversarialVectors.corpus(spark, 5000, dim = 16, g = 8)
+      .localCheckpoint(true)
+    IvfIndex.build(spark, vecs, "vec_id", "embedding", r, nClusters = 8)
+    val queryIds = Seq(0L, 3L, 4999L, 2500L, 4L)
+    val truths = queryIds.map { qid =>
+      qid -> Similarity.bruteForceTopK(vecs, "vec_id", "embedding", qid, 10)
+        .select("vec_id").as[Long].collect().toSet
+    }.toMap
+    val recalls = Seq(1, 2, 4, 8).map { nProbe =>
+      val per = queryIds.map { qid =>
+        val qv = vecs.filter(col("vec_id") === qid)
+          .select("embedding").as[Array[Float]].head()
+        val got = IvfIndex.topK(spark, r, qv, k = 10, nProbe = nProbe)
+          .select("id").as[Long].collect().toSet
+        (got intersect truths(qid)).size / 10.0
+      }
+      per.sum / per.size
+    }
+    assert(recalls == recalls.sorted,
+      s"recall must be monotone non-decreasing in nProbe: $recalls")
+    assert(recalls.last == 1.0,
+      s"nProbe = k must equal brute force, got ${recalls.last}")
+    assert(recalls.head < 1.0,
+      s"adversarial corpus must actually degrade partial probes: $recalls")
+  }
+
   test("embeddingSimilarPairs guard refuses above maxRows unless overridden") {
     val e = intercept[IllegalArgumentException] {
       Dedup.embeddingSimilarPairs(vecs, "vec_id", "embedding", 95, 100,
