@@ -391,17 +391,22 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
 
   /** Remove table properties by key (no-op keys ignored). */
   def unsetProperties(keys: Seq[String]): Long = {
-    // unsetting the coordinated-commits keys here would end the era WITHOUT
-    // the force-backfill and adoption mark disableCoordinatedCommits
-    // provides — stranding the staged tail for every later fs writer
-    keys.find(CoordinatedCommits.ReservedKeys.contains).foreach { k =>
+    val snap = log.update()
+    if (snap.version < 0) throw new NotATableException(log.tablePath.toString)
+    // unsetting a LIVE coordinated-commits key here would end the era
+    // WITHOUT the force-backfill and adoption mark
+    // disableCoordinatedCommits provides — stranding the staged tail for
+    // every later fs writer. Absent keys stay no-ops per this method's
+    // contract (r14 review — the fence must not break idempotent cleanup
+    // scripts on never-coordinated tables).
+    val live = snap.metadata.map(_.configuration).getOrElse(Map.empty)
+    keys.find(k => CoordinatedCommits.ReservedKeys.contains(k) &&
+        live.contains(k)).foreach { k =>
       throw new IllegalArgumentException(
         s"$k cannot be unset directly: use disableCoordinatedCommits() — " +
         "it force-backfills the staged tail and writes the adoption mark " +
         "in the same commit")
     }
-    val snap = log.update()
-    if (snap.version < 0) throw new NotATableException(log.tablePath.toString)
     // same write-protocol fence as every other commit path — an unset must
     // not be a side door into tables whose writer features graft does not
     // maintain (r9 review)

@@ -274,9 +274,24 @@ object DedupIndex {
       .execute()
 
     // buckets append + high-water mark LAST: before this commit the window
-    // is still "pending" and the whole refresh replays identically
-    GraftWriter.write(newBands, bucketsPath(root), SaveMode.Append,
-      partitionBy = Seq("band_idx"), extraActions = markAction)
+    // is still "pending" and the whole refresh replays identically. A
+    // REPLAYED window (rewound mark) finds its band rows already standing —
+    // the append is one atomic commit, so presence of ANY batch id means
+    // the whole batch landed (ids are unique per the append-only contract):
+    // advance the mark without duplicating the rows (r14 review — buckets
+    // was the one non-idempotent step of the replay)
+    val alreadyLanded = buckets.select("id")
+      .join(broadcast(batch.select("id")), Seq("id"))
+      .limit(1).count() > 0
+    if (alreadyLanded) {
+      val log = DeltaLog.forPath(spark, bucketsPath(root))
+      log.update()
+      val txn = log.startTransaction()
+      markAction.foreach(txn.addAction)
+      txn.commit()
+    } else
+      GraftWriter.write(newBands, bucketsPath(root), SaveMode.Append,
+        partitionBy = Seq("band_idx"), extraActions = markAction)
     (nNew, nEdges)
   }
 

@@ -62,12 +62,27 @@ object IvfIndex {
 
   /** Full (re)build from an arbitrary frame: k-means-lite assignment, then
     * commit all three tables. Overwrites any previous index at `root`.
-    * `ver` stamps 0 on every row — an unbound index has no source clock. */
+    * `ver` stamps 0 on every row — an unbound index has no source clock.
+    *
+    * Refused over LIVE tombstones (r14 review): the fresh ver=0 rows would
+    * be killed by any stale tombstone in the gap between the postings
+    * overwrite and the tombstone reset (two separate commits) — a crash or
+    * concurrent probe there silently hides re-indexed ids, and a
+    * compaction physically deletes them. A `buildFromTable` rebuild is
+    * arithmetic-safe (ver = V ≥ every kill version), the ver=0 path is
+    * not — compact first, or rebuild bound. */
   def build(spark: SparkSession, vectors: DataFrame, idCol: String,
             vecCol: String, root: String, nClusters: Int = 16,
-            kmeansIters: Int = 3): Unit =
+            kmeansIters: Int = 3): Unit = {
+    liveTombstones(spark, root).foreach { t =>
+      require(t.isEmpty,
+        s"index at $root carries live tombstones: an unbound rebuild " +
+        "stamps ver=0, which stale tombstones would kill — run " +
+        "compactTombstones first or rebuild with buildFromTable")
+    }
     buildInternal(spark, vectors, idCol, vecCol, root, nClusters,
       kmeansIters, ver = 0L, binding = Map.empty, mark = Nil)
+  }
 
   /** Full (re)build BOUND to a source graft table (must have
     * `delta.enableChangeDataFeed=true` for [[refreshFromSource]] to work):
@@ -129,14 +144,28 @@ object IvfIndex {
     * commits) instead (r13 verdict #1). */
   def refresh(spark: SparkSession, vectors: DataFrame, idCol: String,
               vecCol: String, root: String): Long = {
+    val snap = DeltaLog.forPath(spark, postingsPath(root)).update()
+    val cfg = snap.metadata.map(_.configuration).getOrElse(Map.empty)
+    // a source-bound index must advance through refreshFromSource: an
+    // ad-hoc append neither advances the high-water mark (the next CDF
+    // fold re-adds the same ids — duplicate live rows) nor stamps a
+    // source version (ver=0 rows die to any later tombstone) (r14 review)
+    require(!cfg.contains(SourcePathKey),
+      s"index at $root is bound to ${cfg.getOrElse(SourcePathKey, "")} — " +
+      "maintain it with refreshFromSource, not ad-hoc refresh")
     val existing = DeltaTable.forPath(spark, postingsPath(root)).toDF.select("id")
     val fresh = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .join(existing, Seq("id"), "left_anti")
     val assigned = assignFresh(spark, fresh.withColumn("ver", lit(0L)), root)
     val n = assigned.count()
-    if (n > 0)
-      GraftWriter.write(assigned, postingsPath(root), SaveMode.Append,
+    if (n > 0) {
+      // pre-r14 posting tables have no ver column — keep appending to them
+      val frame =
+        if (snap.schema.fieldNames.contains("ver")) assigned
+        else assigned.drop("ver")
+      GraftWriter.write(frame, postingsPath(root), SaveMode.Append,
         partitionBy = Seq("cluster"))
+    }
     n
   }
 
@@ -173,11 +202,11 @@ object IvfIndex {
     * the spec's O(new-commits) inputFiles assertion) can inspect exactly
     * what refresh reads; refresh consumes THIS frame. Empty window → None. */
   def pendingChanges(spark: SparkSession, root: String): Option[DataFrame] =
-    pendingWindow(spark, root).map(_._1)
+    pendingWindow(spark, bindingOf(spark, root)).map(_._1)
 
   private def pendingWindow(spark: SparkSession,
-                            root: String): Option[(DataFrame, Long)] = {
-    val (src, _, _, last) = bindingOf(spark, root)
+      binding: (String, String, String, Long)): Option[(DataFrame, Long)] = {
+    val (src, _, _, last) = binding
     val srcLog = DeltaLog.forPath(spark, src)
     val now = srcLog.update().version
     if (now <= last) None
@@ -200,8 +229,9 @@ object IvfIndex {
     * Reads O(changed commits) — never the posting or source base files.
     * Returns (postingRowsAppended, tombstonesAppended). */
   def refreshFromSource(spark: SparkSession, root: String): (Long, Long) = {
-    val (_, idCol, vecCol, _) = bindingOf(spark, root)
-    pendingWindow(spark, root) match {
+    val binding = bindingOf(spark, root)
+    val (_, idCol, vecCol, _) = binding
+    pendingWindow(spark, binding) match {
       case None => (0L, 0L)
       case Some((changes, now)) =>
         val ct = col(ChangeDataFeed.ChangeType)

@@ -185,27 +185,24 @@ final class GraftDeltaStreamSource(
         // delete a peer recording a higher version, and skip the write
         // entirely when one exists — readAnchor takes max-over-suffixes,
         // so the live driver's floor survives the zombie (r12 ADVICE)
+        // The strictly-higher case stays fully conservative (no write, no
+        // reclaim): there WE are the zombie, and cleanup belongs to the
+        // live driver whose reclaim we must not race. At equal suffix (a
+        // restart replaying the same version) the write is skipped but the
+        // reclaim still runs — otherwise lower anchors and the legacy file
+        // (post-crash garbage) linger until the offered version advances
+        // (r13 advice); deleting strictly-lower suffixes is safe under
+        // max-over-suffixes because an anchor at v survives as the floor.
         val hasHigher = peers.exists(q => suffixOf(q.getName) > v)
-        val hasEqual = peers.exists(q => suffixOf(q.getName) == v)
-        if (!hasHigher && !hasEqual) {
-          val next = new org.apache.hadoop.fs.Path(p.getParent, s"${p.getName}.$v")
-          val out = fs.create(next, true)
-          try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-          // reclaim strictly-LOWER anchors (and the legacy file) only AFTER
-          // the new one exists — every crash point leaves at least one anchor
-          peers.filter(q => suffixOf(q.getName) < v)
-            .foreach(fs.delete(_, false))
-          if (fs.exists(p)) fs.delete(p, false)
-        } else if (hasEqual && !hasHigher) {
-          // a restart replaying the same version: OUR anchor already exists,
-          // so skip the write but still reclaim — otherwise lower anchors
-          // and the legacy file (post-crash garbage) linger until the
-          // offered version advances (r13 advice). Deleting strictly-lower
-          // suffixes is safe under max-over-suffixes: the equal-suffix peer
-          // survives as the floor. The strictly-higher case stays fully
-          // conservative — there WE are the zombie, and cleanup belongs to
-          // the live driver whose reclaim we must not race.
+        if (!hasHigher) {
+          if (!peers.exists(q => suffixOf(q.getName) == v)) {
+            val next = new org.apache.hadoop.fs.Path(p.getParent, s"${p.getName}.$v")
+            val out = fs.create(next, true)
+            try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+          }
+          // reclaim strictly-LOWER anchors (and the legacy file) only once
+          // an anchor at v exists — every crash point leaves at least one
           peers.filter(q => suffixOf(q.getName) < v)
             .foreach(fs.delete(_, false))
           if (fs.exists(p)) fs.delete(p, false)

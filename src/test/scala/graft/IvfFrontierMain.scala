@@ -34,8 +34,11 @@ object IvfFrontierMain {
     IvfIndex.build(spark, vecs, "vec_id", "embedding", root, nClusters = k)
     println(f"PROBE build ${(System.nanoTime() - t0) / 1e9}%.2f s")
 
-    // 20 queries: 16 mixture members + 4 noise points, fixed ids
-    val queryIds = (0L until 16L) ++ Seq(4L, 9L, 14L, 19L).map(_ + n - 20)
+    // 20 queries: 16 mixture members + 4 noise points, fixed ids. Members
+    // must dodge pmod(id,5)=4 — those ids ARE the noise under
+    // AdversarialVectors (r14 review: the first cut mislabeled 4/9/14)
+    val queryIds = (0L until 20L).filter(_ % 5 != 4) ++
+      Seq(4L, 9L, 14L, 19L).map(_ + n - 20)
     val queries = queryIds.map { qid =>
       qid -> vecs.filter(col("vec_id") === qid)
         .select("embedding").as[Array[Float]].head()

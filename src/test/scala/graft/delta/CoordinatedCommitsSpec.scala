@@ -509,8 +509,17 @@ class CoordinatedCommitsSpec extends AnyFunSuite with SparkTestBase {
       }
       assert(e.getMessage.contains("enableCoordinatedCommits"), k)
     }
-    // and unset must route through disableCoordinatedCommits — a bare
-    // unset would end the era without the force-backfill + adoption mark
+    // unset of an ABSENT reserved key stays a no-op (the method's
+    // contract — idempotent cleanup scripts must not break on
+    // never/no-longer-coordinated tables, r14 review)
+    val vNoop = DeltaTable.forPath(spark, dir.toString)
+      .unsetProperties(Seq(CoordinatedCommits.CoordinatorNameKey))
+    assert(vNoop >= 0)
+    // but unsetting a LIVE key must route through
+    // disableCoordinatedCommits — a bare unset would end the era without
+    // the force-backfill + adoption mark
+    DeltaTable.forPath(spark, dir.toString)
+      .enableCoordinatedCommits("im-fence2")
     CoordinatedCommits.ReservedKeys.foreach { k =>
       val e = intercept[IllegalArgumentException] {
         DeltaTable.forPath(spark, dir.toString).unsetProperties(Seq(k))

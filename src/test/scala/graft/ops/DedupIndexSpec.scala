@@ -110,6 +110,8 @@ class DedupIndexSpec extends AnyFunSuite with SparkTestBase {
     val txn = log.startTransaction()
     txn.addAction(graft.delta.TxnAction(DedupIndex.SourceVersionApp, v0))
     txn.commit()
+    val bucketsBefore = graft.delta.DeltaTable
+      .forPath(spark, s"$r/idx/buckets").toDF.count()
     val (n, _) = DedupIndex.refreshFromSource(spark, s"$r/idx")
     assert(n > 0, "rewound mark must re-offer the window")
     assert(dump(DedupIndex.survivors(spark, s"$r/idx")) == before,
@@ -117,6 +119,13 @@ class DedupIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(dump(DedupIndex.members(spark, s"$r/idx")
         .select(col("comp"), col("id"), col("len"))) == membersBefore,
       "replay must not change members")
+    // the batch's band rows landed atomically in the first run — the
+    // replay must advance the mark WITHOUT duplicating them (r14 review)
+    assert(graft.delta.DeltaTable.forPath(spark, s"$r/idx/buckets")
+        .toDF.count() == bucketsBefore,
+      "replay must not duplicate bucket rows")
+    assert(DedupIndex.refreshFromSource(spark, s"$r/idx") == ((0L, 0L)),
+      "replay must still advance the high-water mark")
   }
 
   test("non-append source changes are refused loudly") {
