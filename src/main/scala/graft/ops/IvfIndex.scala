@@ -326,18 +326,63 @@ object IvfIndex {
     val probed = Similarity.probeClusters(
         DeltaTable.forPath(spark, centroidsPath(root)).toDF, "cid", query, nProbe)
       .as[Int].collect() // nProbe ints — driver-side by design
+    prunedLive(spark, root, probed.toSeq)
+      .crossJoin(broadcast(query))
+      .withColumn("dot_q", dotQ("vec", "query_vec"))
+      .select(col("id"), col("dot_q"))
+      .orderBy(col("dot_q").desc, col("id"))
+      .limit(k)
+  }
+
+  /** The partition-pruned, tombstone-subtracted posting scan over
+    * `clusters` — shared by the single-query and batched probes. */
+  private def prunedLive(spark: SparkSession, root: String,
+                         clusters: Seq[Int]): DataFrame = {
     val postings = DeltaTable.forPath(spark, postingsPath(root))
-      .toDF(Seq(PartitionFilter.In("cluster", probed.map(_.toString).toSet)))
-    val live = liveTombstones(spark, root) match {
+      .toDF(Seq(PartitionFilter.In("cluster", clusters.map(_.toString).toSet)))
+    liveTombstones(spark, root) match {
       case Some(t) => postings.join(broadcast(t),
         postings("id") === t("id") && postings("ver") < t("kill_ver"),
         "left_anti")
       case None => postings
     }
-    live.crossJoin(broadcast(query))
+  }
+
+  /** Serve MANY queries in one job (r13 verdict #8): the per-query probe
+    * sets union into ONE partition-pruned posting scan instead of one scan
+    * per query, each posting row joins only the queries that probed its
+    * cluster, and one qid-partitioned window ranks all answers. Per-query
+    * results are identical to [[topK]] (same probe ordering, same ranking
+    * tie-break). Output (qid, id, dot_q), k rows per query. */
+  def topKBatch(spark: SparkSession, root: String,
+                queries: Seq[(Long, Array[Float])], k: Int,
+                nProbe: Int = 2): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    require(queries.map(_._1).distinct.size == queries.size,
+      "topKBatch query ids must be unique")
+    val qdf = queries.toDF("qid", "query_vec")
+    // per-query nProbe clusters, ranked by the shared assignment metric —
+    // one centroid pass serves every query (centroids are k rows)
+    val ranked = DeltaTable.forPath(spark, centroidsPath(root)).toDF
+      .select(col("cid"),
+        expr("transform(centroid, x -> cast(x as double))").as("cdv"))
+      .crossJoin(broadcast(qdf.select(col("qid"),
+        expr("transform(query_vec, x -> cast(x as double))").as("dv"))))
+      .withColumn("dist", expr(Similarity.SqDistExpr))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist").asc, col("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("cid"))
+    val probePairs = ranked.as[(Long, Int)].collect() // queries × nProbe — driver-side by design
+    val live = prunedLive(spark, root, probePairs.map(_._2).distinct.toSeq)
+    live.join(broadcast(probePairs.toSeq.toDF("qid", "cluster")), Seq("cluster"))
+      .join(broadcast(qdf), Seq("qid"))
       .withColumn("dot_q", dotQ("vec", "query_vec"))
-      .select(col("id"), col("dot_q"))
-      .orderBy(col("dot_q").desc, col("id"))
-      .limit(k)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dot_q").desc, col("id"))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("id"), col("dot_q"))
+      .orderBy(col("qid"), col("dot_q").desc, col("id"))
   }
 }

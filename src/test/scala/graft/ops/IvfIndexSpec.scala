@@ -188,6 +188,34 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(top == Set(0L, 1000000L), s"twin pair must serve: $top")
   }
 
+  test("topKBatch: one pruned scan, per-query results identical to topK") {
+    import spark.implicits._
+    val r = root("batch")
+    IvfIndex.build(spark, vecs, "vec_id", "embedding", r, nClusters = 8)
+    val qids = Seq(0L, 7L, 23L, 41L)
+    val queries = qids.map { qid =>
+      qid -> vecs.filter(col("vec_id") === qid)
+        .select("embedding").as[Array[Float]].head()
+    }
+    val batch = IvfIndex.topKBatch(spark, r, queries, k = 5, nProbe = 2)
+    val batchRows = batch.as[(Long, Long, Long)].collect().toSeq
+    // per-query identity with the single probe (ids AND ranking values)
+    val singleFiles = scala.collection.mutable.Set[String]()
+    queries.foreach { case (qid, qv) =>
+      val single = IvfIndex.topK(spark, r, qv, k = 5, nProbe = 2)
+      singleFiles ++= single.inputFiles.filter(_.contains("postings"))
+      val expected = single.as[(Long, Long)].collect().toSeq
+      assert(batchRows.filter(_._1 == qid).map(t => (t._2, t._3)) == expected,
+        s"batch results for qid $qid diverge from topK")
+    }
+    // plan-identical file set: the batch's ONE pruned scan reads exactly
+    // the union of the per-query probes' posting files
+    val batchFiles = batch.inputFiles.filter(_.contains("postings")).toSet
+    assert(batchFiles == singleFiles.toSet,
+      s"batch scan files != union of single-probe files\n" +
+      s"batch: $batchFiles\nsingles: $singleFiles")
+  }
+
   test("adversarial corpus: recall@10 is monotone in nProbe; exhaustive probe ≡ brute force") {
     import spark.implicits._
     val r = root("frontier")
