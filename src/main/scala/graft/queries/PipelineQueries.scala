@@ -337,7 +337,9 @@ object PipelineQueries {
       DedupIndex.survivors(s, s"$root/idx")
         .select(col("comp"), col("id").as("doc_id"),
           col("len").as("text_len"))
-        .orderBy("comp")
+        // comp alone IS unique (one survivor per family), but the order-
+        // totality audit is static — append the known-unique doc_id
+        .orderBy("comp", "doc_id")
     },
 
     // tumbling-window event aggregation (batch shape of the streaming agg).
@@ -549,7 +551,7 @@ object PipelineQueries {
         |SELECT comp, doc_id, CAST(length(text) AS BIGINT) AS text_len FROM (
         |  SELECT comp, doc_id, text, row_number() OVER (
         |    PARTITION BY comp ORDER BY length(text) DESC, doc_id) AS rn
-        |  FROM fam) WHERE rn = 1 ORDER BY comp""".stripMargin,
+        |  FROM fam) WHERE rn = 1 ORDER BY comp, doc_id""".stripMargin,
 
     "q59_contamination" ->
       """WITH c AS (SELECT doc_id, string_split(lower(text), ' ') AS w
