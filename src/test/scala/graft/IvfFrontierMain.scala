@@ -63,6 +63,23 @@ object IvfFrontierMain {
       if (nProbe == k) require(r == 1.0,
         s"exhaustive probe must equal brute force, recall $r")
     }
+
+    // batched serving: all 20 queries in ONE job vs 20 sequential probes
+    Seq(4, 16).foreach { nProbe =>
+      val t1 = System.nanoTime()
+      queries.foreach { case (_, qv) =>
+        IvfIndex.topK(spark, root, qv, k = 10, nProbe = nProbe)
+          .select("id").as[Long].collect()
+      }
+      val single = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val batched = IvfIndex.topKBatch(spark, root, queries, k = 10,
+        nProbe = nProbe).select("qid", "id").as[(Long, Long)].collect()
+      val batch = (System.nanoTime() - t2) / 1e9
+      require(batched.length == queries.size * 10)
+      println(f"PROBE batch20 nProbe=$nProbe%-2d  single-loop $single%6.2f s  " +
+        f"topKBatch $batch%6.2f s  (${single / batch}%.1f x)")
+    }
     spark.stop()
   }
 }
