@@ -56,10 +56,23 @@ object GraftWriter {
             // data commit; a separate mark commit would re-apply the batch
             // on a crash between the two). Same idiom as the streaming
             // sink's epoch TxnAction.
-            extraActions: Seq[Action] = Nil): Long = {
+            extraActions: Seq[Action] = Nil,
+            // (appId, version): refuse the write unless the table's
+            // current TxnAction mark for appId is exactly version. The
+            // check runs against THIS transaction's read snapshot, and a
+            // competing mark landing later trips the same-appId
+            // ConcurrentTransaction conflict — together they make two
+            // racing incremental maintainers serialize instead of
+            // double-applying a window and regressing the mark (r14
+            // second review pass).
+            requireAppVersion: Option[(String, Long)] = None): Long = {
     val spark = dfIn.sparkSession
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
+    requireAppVersion.foreach { case (app, want) =>
+      val cur = snap.appTransactionVersion.get(app)
+      if (!cur.contains(want)) throw new StaleAppVersionException(app, want, cur)
+    }
     val exists = snap.version >= 0
     // generated columns the frame omits are computed here (delta-spark
     // write semantics); provided values are verified per-row downstream

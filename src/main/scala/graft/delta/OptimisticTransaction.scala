@@ -41,6 +41,15 @@ final class ConcurrentDomainMetadataException(version: Long, domain: String)
 final class ConcurrentTransactionException(version: Long, appId: String)
   extends ConcurrentCommitException(
     s"concurrent commit $version also recorded a txn for appId '$appId'")
+/** The table's current TxnAction mark for an appId is not what the caller
+  * required (GraftWriter `requireAppVersion`): a concurrent incremental
+  * maintainer already advanced (or regressed) the mark — re-read the mark
+  * and fold from there instead of double-applying a window. */
+final class StaleAppVersionException(appId: String, expected: Long,
+                                     found: Option[Long])
+  extends ConcurrentCommitException(
+    s"txn mark for appId '$appId' is $found, expected Some($expected) — " +
+    "a concurrent maintainer moved it; re-read and retry")
 /** The table is configured `delta.appendOnly=true` and this transaction
   * carries a data-changing remove. */
 final class AppendOnlyTableException(path: String)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.delta.{ChangeDataFeed, DeltaLog, DeltaTable, GraftWriter, Merge,
-  TxnAction}
+  PartitionFilter, TxnAction}
 
 /** STANDING near-dup index (r13 verdict #2): the MinHash-LSH dedup state
   * persisted as graft tables, so an arriving batch is deduplicated against
@@ -66,6 +66,24 @@ object DedupIndex {
   private[ops] val IdColKey = "graft.dedup.idCol"
   private[ops] val ParamsKey = "graft.dedup.params" // tNum,tDen,numHashes,bands
 
+  /** Doc ids must be non-null and unique: a null id breaks the survivor
+    * recompute's comp join AND re-inserts on every replayed window (null
+    * never equals null in the MERGE condition); a duplicated id makes the
+    * members MERGE throw MultipleMatchException on every retry — the index
+    * wedges on an append-only source it cannot repair (r14 review). One
+    * aggregate checks both. */
+  private def requireCleanIds(docs: DataFrame, what: String): Unit = {
+    val c = docs.agg(count(lit(1)), countDistinct(col("id")),
+      coalesce(sum(col("id").isNull.cast("long")), lit(0L))).first()
+    require(c.getLong(2) == 0,
+      s"$what carries ${c.getLong(2)} null doc ids (or ids that fail the " +
+      "long cast) — the dedup index requires non-null unique ids")
+    require(c.getLong(0) == c.getLong(1),
+      s"$what carries duplicate doc ids (${c.getLong(0)} rows, " +
+      s"${c.getLong(1)} distinct) — the dedup index requires unique ids " +
+      "(identical redelivered rows are collapsed before this check)")
+  }
+
   /** The survivor preference (longest text, then lowest id) as a min_by
     * ordering key over (id, len) structs — ONE definition for build and
     * refresh. */
@@ -96,8 +114,12 @@ object DedupIndex {
     val srcLog = DeltaLog.forPath(spark, sourcePath)
     val snap = srcLog.update()
     require(snap.version >= 0, s"no graft table at $sourcePath")
-    val docs = DeltaTable.forPath(spark, sourcePath).toDF
+    // read AT the marked version: an unpinned read races a concurrent
+    // source append, which would be indexed here AND re-offered by the
+    // first refresh's window (r14 review)
+    val docs = DeltaTable.forPath(spark, sourcePath, snap.version).toDF
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    requireCleanIds(docs, s"source $sourcePath")
     val sh = Dedup.shingles(docs, "text", "id")
     val bandRows = bandRowsOf(docs, numHashes, bands).localCheckpoint(true)
     val x = bandRows.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
@@ -155,28 +177,45 @@ object DedupIndex {
     val srcLog = DeltaLog.forPath(spark, srcPath)
     val now = srcLog.update().version
     if (now <= last) return (0L, 0L)
-    val changes = ChangeDataFeed.readChanges(spark, srcLog, last, now)
+    // ONE window read serves the append-only fence AND the batch — the
+    // change-type check used to execute the CDF read twice (r14 review)
+    val pinned = ChangeDataFeed.readChanges(spark, srcLog, last, now)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"),
+        col(ChangeDataFeed.ChangeType).as("ct"))
+      .localCheckpoint(true)
     // append-only contract: a delete/update would have to RETRACT pairs and
     // re-split families — out of this index's scope, refuse loudly (≤4
     // distinct change-type strings, driver-bounded)
-    val kinds = changes.select(ChangeDataFeed.ChangeType).distinct()
+    val kinds = pinned.select("ct").distinct()
       .collect().map(_.getString(0)).toSet
     require(kinds.subsetOf(Set("insert")),
       s"dedup index source must be append-only; window ($last, $now] " +
       s"carries change types ${kinds - "insert"}")
-    val batch = changes
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    // at-least-once upstream delivery: byte-identical redelivered rows
+    // collapse here; anything else (null ids, two texts under one id)
+    // fails loudly instead of wedging the members MERGE (r14 review)
+    val batch = pinned.select("id", "text").dropDuplicates("id", "text")
       .localCheckpoint(true) // shingles, bands, lengths all read it
+    requireCleanIds(batch, s"window ($last, $now]")
     val nNew = batch.count()
     val markAction = Seq(TxnAction(SourceVersionApp, now))
-    if (nNew == 0) {
-      // data-free window (property commits etc.): advance the mark so the
-      // window is never re-read
+    // bare mark advance, under the same still-at-`last` precondition as
+    // the data path — two racing refreshes must serialize, not regress
+    // the mark (r14 review)
+    def bareMark(): Unit = {
       val log = DeltaLog.forPath(spark, bucketsPath(root))
-      log.update()
+      val cur = log.update().appTransactionVersion.get(SourceVersionApp)
+      if (!cur.contains(last))
+        throw new graft.delta.StaleAppVersionException(
+          SourceVersionApp, last, cur)
       val txn = log.startTransaction()
       markAction.foreach(txn.addAction)
       txn.commit()
+    }
+    if (nNew == 0) {
+      // data-free window (property commits etc.): advance the mark so the
+      // window is never re-read
+      bareMark()
       return (0L, 0L)
     }
 
@@ -275,23 +314,22 @@ object DedupIndex {
 
     // buckets append + high-water mark LAST: before this commit the window
     // is still "pending" and the whole refresh replays identically. A
-    // REPLAYED window (rewound mark) finds its band rows already standing —
-    // the append is one atomic commit, so presence of ANY batch id means
-    // the whole batch landed (ids are unique per the append-only contract):
-    // advance the mark without duplicating the rows (r14 review — buckets
-    // was the one non-idempotent step of the replay)
-    val alreadyLanded = buckets.select("id")
+    // REPLAYED window (rewound mark) may MIX landed and never-landed docs
+    // (the mark rewound past several windows), so the landed set is
+    // resolved PER DOC, not all-or-nothing (r14 review — an any⇒all skip
+    // permanently dropped the unlanded docs' band rows). band_idx=0 holds
+    // exactly one row per indexed doc, so the landed probe reads 1/bands
+    // of the standing table.
+    val landed = DeltaTable.forPath(spark, bucketsPath(root))
+      .toDF(Seq(PartitionFilter.Eq("band_idx", "0"))).select("id")
       .join(broadcast(batch.select("id")), Seq("id"))
-      .limit(1).count() > 0
-    if (alreadyLanded) {
-      val log = DeltaLog.forPath(spark, bucketsPath(root))
-      log.update()
-      val txn = log.startTransaction()
-      markAction.foreach(txn.addAction)
-      txn.commit()
-    } else
-      GraftWriter.write(newBands, bucketsPath(root), SaveMode.Append,
-        partitionBy = Seq("band_idx"), extraActions = markAction)
+      .localCheckpoint(true) // bounded by the batch
+    val unlanded = newBands.join(landed, Seq("id"), "left_anti")
+      .select("band_idx", "band_hash", "id") // the join moved the key first
+    if (unlanded.isEmpty) bareMark()
+    else GraftWriter.write(unlanded, bucketsPath(root), SaveMode.Append,
+      partitionBy = Seq("band_idx"), extraActions = markAction,
+      requireAppVersion = Some((SourceVersionApp, last)))
     (nNew, nEdges)
   }
 

@@ -56,6 +56,11 @@ object IvfIndex {
   private[ops] val SourcePathKey = "graft.ivf.sourcePath"
   private[ops] val SourceIdKey = "graft.ivf.idCol"
   private[ops] val SourceVecKey = "graft.ivf.vecCol"
+  /** Build-epoch stamp shared by the centroids and postings tables: a
+    * rebuild writes them in two commits, and a crash between the two
+    * leaves cluster ids denoting DIFFERENT regions — mixed state must
+    * refuse to serve, not silently collapse recall (r14 review). */
+  private[ops] val EpochKey = "graft.ivf.epoch"
 
   private def dotQ(a: String, b: String) =
     graft.functions.functions.dot_q(col(a), col(b))
@@ -95,7 +100,21 @@ object IvfIndex {
     val srcLog = DeltaLog.forPath(spark, sourcePath)
     val snap = srcLog.update()
     require(snap.version >= 0, s"no graft table at $sourcePath")
-    val vectors = DeltaTable.forPath(spark, sourcePath).toDF
+    // stale tombstones are arithmetic-safe only against the SAME source
+    // clock (every kill ≤ V): a REBIND to a younger source would leave
+    // kill versions above the fresh rows' ver, hiding them exactly like
+    // the ver=0 hazard build() refuses (r14 review)
+    liveTombstones(spark, root).foreach { t =>
+      val maxKill = t.agg(max("kill_ver")).first()
+      require(maxKill.isNullAt(0) || maxKill.getLong(0) <= snap.version,
+        s"index at $root carries tombstones with kill versions above the " +
+        s"source's version ${snap.version} (rebinding to a younger " +
+        "source?) — compactTombstones first")
+    }
+    // read the rows AT the marked version: an unpinned read races a
+    // concurrent source commit, which would be indexed here AND re-folded
+    // by the first refresh — duplicate live rows (r14 review)
+    val vectors = DeltaTable.forPath(spark, sourcePath, snap.version).toDF
       .select(col(idCol), col(vecCol))
     buildInternal(spark, vectors, idCol, vecCol, root, nClusters, kmeansIters,
       ver = snap.version,
@@ -110,6 +129,13 @@ object IvfIndex {
                             nClusters: Int, kmeansIters: Int, ver: Long,
                             binding: Map[String, String],
                             mark: Seq[TxnAction]): Unit = {
+    // zero vectors would commit zero centroids, after which every refresh
+    // silently assigns nothing while still advancing the mark — total,
+    // permanent, silent loss (r14 review). Refuse up front.
+    require(!vectors.isEmpty,
+      "cannot build an IVF index over zero vectors (the empty centroid " +
+      "set would silently discard every future refresh) — build once the " +
+      "source has rows")
     val assigned = vectors
       .join(Similarity.kmeansAssign(vectors, idCol, vecCol, nClusters, kmeansIters), idCol)
       .select(col(idCol).as("id"), col("cluster"), col(vecCol).as("vec"),
@@ -118,20 +144,50 @@ object IvfIndex {
     val cents = Similarity.centroids(
       assigned.select(col("cluster"), col("vec")), "vec", "cluster")
       .select(col("cluster").as("cid"), col("centroid"))
-    GraftWriter.write(cents.coalesce(1), centroidsPath(root), SaveMode.Overwrite)
+    // ONE epoch stamps both tables; a crash between the two overwrites
+    // leaves them differing, which checkEpoch turns into a loud refusal
+    // instead of silent mixed-clustering recall collapse (r14 review)
+    val epoch = java.util.UUID.randomUUID().toString
+    def exists(p: String) = DeltaLog.forPath(spark, p).update().version >= 0
+    GraftWriter.write(cents.coalesce(1), centroidsPath(root),
+      SaveMode.Overwrite, overwriteSchema = exists(centroidsPath(root)),
+      configuration = Some(Map(EpochKey -> epoch)))
     // the binding + mark ride the postings commit; on a REBUILD of a bound
     // index the overwrite re-stamps both (configuration only applies at
     // create/replace, hence overwriteSchema when the table exists)
-    val exists = DeltaLog.forPath(spark, postingsPath(root)).update().version >= 0
     GraftWriter.write(assigned, postingsPath(root), SaveMode.Overwrite,
-      partitionBy = Seq("cluster"), overwriteSchema = exists,
-      configuration = if (binding.isEmpty && !exists) None else Some(binding),
+      partitionBy = Seq("cluster"),
+      overwriteSchema = exists(postingsPath(root)),
+      configuration = Some(binding + (EpochKey -> epoch)),
       extraActions = mark)
-    import spark.implicits._
+    // the tombstone id column must carry the SOURCE id type — a (long,
+    // long) literal frame wedged every non-long-keyed index on its first
+    // delete window (r14 review)
+    val tombSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        assigned.schema("id").dataType),
+      org.apache.spark.sql.types.StructField("ver",
+        org.apache.spark.sql.types.LongType)))
     GraftWriter.write(
-      Seq.empty[(Long, Long)].toDF("id", "ver"), tombstonesPath(root),
-      SaveMode.Overwrite, overwriteSchema =
-        DeltaLog.forPath(spark, tombstonesPath(root)).update().version >= 0)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        tombSchema),
+      tombstonesPath(root), SaveMode.Overwrite,
+      overwriteSchema = exists(tombstonesPath(root)))
+  }
+
+  /** Refuse an index whose centroids and postings carry DIFFERENT build
+    * epochs — the torn-rebuild state (see [[EpochKey]]). Absent epochs
+    * (pre-epoch layouts) stay accepted. */
+  private def checkEpoch(spark: SparkSession, root: String): Unit = {
+    def cfg(p: String) = DeltaLog.forPath(spark, p).update()
+      .metadata.map(_.configuration).getOrElse(Map.empty[String, String])
+    (cfg(centroidsPath(root)).get(EpochKey),
+     cfg(postingsPath(root)).get(EpochKey)) match {
+      case (Some(a), Some(b)) if a != b => throw new IllegalStateException(
+        s"index at $root is torn: centroids epoch $a != postings epoch $b " +
+        "(a rebuild crashed between its table overwrites) — rebuild it")
+      case _ => ()
+    }
   }
 
   /** Ad-hoc incremental append: vectors whose ids the index does not yet
@@ -144,6 +200,7 @@ object IvfIndex {
     * commits) instead (r13 verdict #1). */
   def refresh(spark: SparkSession, vectors: DataFrame, idCol: String,
               vecCol: String, root: String): Long = {
+    checkEpoch(spark, root)
     val snap = DeltaLog.forPath(spark, postingsPath(root)).update()
     val cfg = snap.metadata.map(_.configuration).getOrElse(Map.empty)
     // a source-bound index must advance through refreshFromSource: an
@@ -176,6 +233,10 @@ object IvfIndex {
   private def assignFresh(spark: SparkSession, fresh: DataFrame,
                           root: String): DataFrame = {
     val cents = DeltaTable.forPath(spark, centroidsPath(root)).toDF
+    // an empty centroid set silently assigns nothing (inner join) — only
+    // reachable on pre-guard indexes, but the failure mode is total silent
+    // loss, so defend here too (r14 review)
+    require(!cents.isEmpty, s"index at $root has an empty centroid table")
     fresh
       .join(Similarity.assignToCentroids(fresh, "id", "vec", cents), "id")
       .select(col("id"), col("cluster"), col("vec"), col("ver"))
@@ -227,10 +288,24 @@ object IvfIndex {
     *    [[compactTombstones]] dedups away.
     *
     * Reads O(changed commits) — never the posting or source base files.
-    * Returns (postingRowsAppended, tombstonesAppended). */
+    * Returns (postingRowsAppended, tombstonesAppended).
+    *
+    * Crash shapes: the mark advances only in the final commit, so ANY
+    * crash re-folds the same window on the next call (tombstone re-appends
+    * are duplicate pairs the kill rule is insensitive to). One transient
+    * state to know about: a crash AFTER the tombstone append but BEFORE
+    * the posting append leaves an UPDATED id serving neither its old
+    * vector (killed) nor its new one (not yet appended) until that next
+    * call — schedule refreshes with retry, not fire-and-forget (r14
+    * review). Concurrent refreshes are safe but not parallel: the mark
+    * precondition on the final commit ([[GraftWriter]] requireAppVersion
+    * + the same-appId conflict rule) makes the laggard abort with
+    * [[graft.delta.StaleAppVersionException]] instead of double-applying
+    * its window and regressing the mark. */
   def refreshFromSource(spark: SparkSession, root: String): (Long, Long) = {
+    checkEpoch(spark, root)
     val binding = bindingOf(spark, root)
-    val (_, idCol, vecCol, _) = binding
+    val (_, idCol, vecCol, last) = binding
     pendingWindow(spark, binding) match {
       case None => (0L, 0L)
       case Some((changes, now)) =>
@@ -264,12 +339,17 @@ object IvfIndex {
         val markAction = Seq(TxnAction(SourceVersionApp, now))
         if (nAdds > 0)
           GraftWriter.write(assigned, postingsPath(root), SaveMode.Append,
-            partitionBy = Seq("cluster"), extraActions = markAction)
+            partitionBy = Seq("cluster"), extraActions = markAction,
+            requireAppVersion = Some((SourceVersionApp, last)))
         else {
           // delete-only (or no-op) window: advance the mark with a bare
-          // metadata commit so later refreshes never re-read this window
+          // metadata commit so later refreshes never re-read this window —
+          // under the same still-at-`last` precondition as the data path
           val log = DeltaLog.forPath(spark, postingsPath(root))
-          log.update()
+          val cur = log.update().appTransactionVersion.get(SourceVersionApp)
+          if (!cur.contains(last))
+            throw new graft.delta.StaleAppVersionException(
+              SourceVersionApp, last, cur)
           val txn = log.startTransaction()
           markAction.foreach(txn.addAction)
           txn.commit()
@@ -302,13 +382,21 @@ object IvfIndex {
             col("t.id") === col("s.id") && col("t.ver") < col("s.kill_ver"))
           .whenMatchedDelete()
           .execute()
-        // overwrite-with-empty rather than delete-table: a refresh racing
-        // this reset appends dataChange rows, which CONFLICTS the
-        // overwrite's dataChange removes (ConcurrentAppend) — its
-        // tombstones survive, ours are already applied
-        import spark.implicits._
-        GraftWriter.write(Seq.empty[(Long, Long)].toDF("id", "ver"),
-          tombstonesPath(root), SaveMode.Overwrite)
+        // reset by MERGE-deleting exactly the SUBSUMED tombstone rows
+        // (ver ≤ the kill just applied), never by overwriting with empty:
+        // the overwrite's removes would target its own fresh read
+        // snapshot, so a tombstone appended by a concurrent refresh
+        // DURING the (long) posting merge — never applied to any posting
+        // row — would be destroyed without any conflict firing (r14
+        // review; the previous in-code ConcurrentAppend claim only covers
+        // appends landing AFTER the overwrite's snapshot). Matched rows
+        // are pinned by `tombs`; concurrent rows survive to the next
+        // compaction. Duplicate target rows per id all match the one
+        // source row — target-side multi-match is legal.
+        Merge.into(spark, tombstonesPath(root), tombs,
+            col("t.id") === col("s.id") && col("t.ver") <= col("s.kill_ver"))
+          .whenMatchedDelete()
+          .execute()
         m.rowsDeleted
     }
   }
@@ -338,6 +426,7 @@ object IvfIndex {
     * `clusters` — shared by the single-query and batched probes. */
   private def prunedLive(spark: SparkSession, root: String,
                          clusters: Seq[Int]): DataFrame = {
+    checkEpoch(spark, root)
     val postings = DeltaTable.forPath(spark, postingsPath(root))
       .toDF(Seq(PartitionFilter.In("cluster", clusters.map(_.toString).toSet)))
     liveTombstones(spark, root) match {

@@ -128,6 +128,89 @@ class DedupIndexSpec extends AnyFunSuite with SparkTestBase {
       "replay must still advance the high-water mark")
   }
 
+  test("mixed replay window (mark rewound past a landed AND an unlanded batch) heals per doc") {
+    val r = root("mixed")
+    val src = s"$r/source"
+    graft.delta.GraftWriter.write(slice(corpus, 0, 100), src,
+      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    val v0 = DedupIndex.buildFromSource(spark, src, "text", "doc_id",
+      s"$r/idx", numHashes = 64, bands = 64)
+    // batch A lands through a refresh; batch B appends WITHOUT one
+    graft.delta.GraftWriter.write(slice(corpus, 100, 200), src, SaveMode.Append)
+    DedupIndex.refreshFromSource(spark, s"$r/idx")
+    graft.delta.GraftWriter.write(slice(corpus, 200, 300), src, SaveMode.Append)
+    // rewind the mark PAST BOTH: the replay window now mixes landed (A)
+    // and never-landed (B) docs — the r14 any⇒all skip dropped B's band
+    // rows here forever
+    val log = graft.delta.DeltaLog.forPath(spark, s"$r/idx/buckets")
+    log.update()
+    val txn = log.startTransaction()
+    txn.addAction(graft.delta.TxnAction(DedupIndex.SourceVersionApp, v0))
+    txn.commit()
+    val bucketsBefore = graft.delta.DeltaTable
+      .forPath(spark, s"$r/idx/buckets").toDF.count()
+    DedupIndex.refreshFromSource(spark, s"$r/idx")
+    val bucketsAfter = graft.delta.DeltaTable
+      .forPath(spark, s"$r/idx/buckets").toDF.count()
+    // B has 101 docs (200..299 slice of the corpus = 210, 205, 206) —
+    // exactly its band rows appended, none of A's duplicated
+    val bDocs = slice(corpus, 200, 300).count()
+    assert(bucketsAfter == bucketsBefore + bDocs * 64,
+      s"replay must append exactly batch B's band rows " +
+      s"($bucketsBefore -> $bucketsAfter, B=$bDocs docs × 64 bands)")
+    // and the merged state equals a full recompute (210 bridges 10/110)
+    graft.delta.GraftWriter.write(slice(corpus, 300, 400), src, SaveMode.Append)
+    DedupIndex.refreshFromSource(spark, s"$r/idx")
+    val rf = root("mixedfull")
+    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$rf/idx",
+      numHashes = 64, bands = 64)
+    assert(dump(DedupIndex.survivors(spark, s"$r/idx")) ==
+      dump(DedupIndex.survivors(spark, s"$rf/idx")))
+  }
+
+  test("window hygiene: identical redelivery collapses, divergent duplicate ids refuse") {
+    val r = root("hygiene")
+    val src = s"$r/source"
+    graft.delta.GraftWriter.write(slice(corpus, 0, 100), src,
+      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$r/idx")
+    // byte-identical redelivery of one row: collapses to one doc
+    graft.delta.GraftWriter.write(
+      Seq((900L, words(90, 0, 12)), (900L, words(90, 0, 12)))
+        .toDF("doc_id", "text"), src, SaveMode.Append)
+    val (n, _) = DedupIndex.refreshFromSource(spark, s"$r/idx")
+    assert(n == 1, s"identical redelivery must collapse, got $n")
+    // two TEXTS under one id is an update in disguise: refuse loudly
+    // (previously wedged the members MERGE with MultipleMatchException)
+    graft.delta.GraftWriter.write(
+      Seq((901L, words(91, 0, 12)), (901L, words(91, 0, 13)))
+        .toDF("doc_id", "text"), src, SaveMode.Append)
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.refreshFromSource(spark, s"$r/idx")
+    }
+    assert(e.getMessage.contains("duplicate doc ids"))
+  }
+
+  test("requireAppVersion refuses a write when the mark moved (concurrent maintainer)") {
+    val r = root("stale")
+    val src = s"$r/source"
+    graft.delta.GraftWriter.write(slice(corpus, 0, 100), src,
+      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    val v0 = DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$r/idx")
+    // simulate the race: another refresh advanced the mark after this
+    // one read its binding
+    intercept[graft.delta.StaleAppVersionException] {
+      graft.delta.GraftWriter.write(
+        Seq((0, 0L, 999L)).toDF("band_idx", "band_hash", "id"),
+        s"$r/idx/buckets", SaveMode.Append,
+        partitionBy = Seq("band_idx"),
+        requireAppVersion = Some((DedupIndex.SourceVersionApp, v0 + 7)))
+    }
+    // and the index is untouched by the refused write
+    assert(graft.delta.DeltaTable.forPath(spark, s"$r/idx/buckets")
+      .toDF.filter(col("id") === 999L).count() == 0)
+  }
+
   test("non-append source changes are refused loudly") {
     val r = root("refuse")
     val src = s"$r/source"

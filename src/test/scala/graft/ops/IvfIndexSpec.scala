@@ -188,6 +188,58 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(top == Set(0L, 1000000L), s"twin pair must serve: $top")
   }
 
+  test("empty source, torn epoch, and non-long ids all fail safe (r14 review)") {
+    import spark.implicits._
+    // 1. building over zero vectors refuses — zero centroids would make
+    //    every future refresh silently discard its adds
+    val r1 = root("empty")
+    graft.delta.GraftWriter.write(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+      s"$r1/source",
+      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    val e1 = intercept[IllegalArgumentException] {
+      IvfIndex.buildFromTable(spark, s"$r1/source", "vec_id", "embedding",
+        s"$r1/idx", nClusters = 4)
+    }
+    assert(e1.getMessage.contains("zero vectors"))
+    // 2. a torn rebuild (centroids re-written, postings not) refuses to
+    //    serve instead of silently mixing two clusterings
+    val r2 = root("torn")
+    IvfIndex.build(spark, vecs.filter(col("vec_id") < 200), "vec_id",
+      "embedding", r2, nClusters = 4)
+    val cents = graft.delta.DeltaTable.forPath(spark, s"$r2/centroids").toDF
+      .collect().toSeq
+    graft.delta.GraftWriter.write(
+      spark.createDataFrame(scala.jdk.CollectionConverters
+          .SeqHasAsJava(cents).asJava,
+        graft.delta.DeltaTable.forPath(spark, s"$r2/centroids").toDF.schema),
+      s"$r2/centroids", org.apache.spark.sql.SaveMode.Overwrite,
+      overwriteSchema = true,
+      configuration = Some(Map(IvfIndex.EpochKey -> "other-epoch")))
+    val qv = vecs.filter(col("vec_id") === 0)
+      .select("embedding").as[Array[Float]].head()
+    val e2 = intercept[IllegalStateException] {
+      IvfIndex.topK(spark, r2, qv, k = 1, nProbe = 4).collect()
+    }
+    assert(e2.getMessage.contains("torn"))
+    // 3. an int-keyed source survives its first delete window (the
+    //    tombstone table used to be hard-typed (long, long))
+    val r3 = root("intids")
+    graft.delta.GraftWriter.write(
+      (0 until 50).map(i => (i, Array.fill(8)(i.toFloat / 50)))
+        .toDF("vid", "emb"), s"$r3/source",
+      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    IvfIndex.buildFromTable(spark, s"$r3/source", "vid", "emb", s"$r3/idx",
+      nClusters = 2)
+    graft.delta.Dml.delete(spark, s"$r3/source", col("vid") === 49)
+    val (a, t) = IvfIndex.refreshFromSource(spark, s"$r3/idx")
+    assert(a == 0 && t == 1, s"($a, $t)")
+    val served = IvfIndex.topK(spark, s"$r3/idx",
+      Array.fill(8)(49f / 50), k = 1, nProbe = 2)
+      .select("id").as[Int].head()
+    assert(served != 49, "deleted int-keyed id must not serve")
+  }
+
   test("topKBatch: one pruned scan, per-query results identical to topK") {
     import spark.implicits._
     val r = root("batch")
