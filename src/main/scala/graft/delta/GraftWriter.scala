@@ -70,6 +70,18 @@ object GraftWriter {
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
     requireAppVersion.foreach { case (app, want) =>
+      // the guarantee is two-legged: this check covers marks that landed
+      // BEFORE our read snapshot; marks landing after are caught by the
+      // same-appId conflict rule — which only fires if THIS commit also
+      // carries a TxnAction for the appId. A guarded write without one
+      // would slip the retry loop and double-apply (r14 third review pass)
+      require(extraActions.exists {
+          case t: TxnAction => t.appId == app
+          case _ => false
+        },
+        s"requireAppVersion('$app') needs a same-appId TxnAction in " +
+        "extraActions — without it a competing mark landing during the " +
+        "commit retry loop is not conflict-classified")
       val cur = snap.appTransactionVersion.get(app)
       if (!cur.contains(want)) throw new StaleAppVersionException(app, want, cur)
     }

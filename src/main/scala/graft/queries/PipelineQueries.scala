@@ -294,9 +294,13 @@ object PipelineQueries {
       IvfIndex.buildFromTable(s, src, "vec_id", "embedding", s"$root/idx",
         nClusters = 8)
       graft.delta.Dml.delete(s, src, col("vec_id") % 7 === lit(3L))
+      // twin ids shift ABOVE the whole id space: make_sf1.py offsets
+      // replicas by 1e6 per copy, so a +1e6 shift collided with replica
+      // 1's real ids at sf1+ and the "missed append" signal degraded to a
+      // duplicate-count difference (r14 third review pass)
       graft.delta.GraftWriter.write(
         vecs.filter(col("vec_id") < 10)
-          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+          .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding")),
         src, org.apache.spark.sql.SaveMode.Append)
       IvfIndex.refreshFromSource(s, s"$root/idx")
       val qv = vecs.filter(col("vec_id") === 0)
@@ -785,7 +789,7 @@ object PipelineQueries {
       """WITH corpus AS (
         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 3
         |  UNION ALL
-        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 10),
+        |  SELECT vec_id + 1000000000, embedding FROM embeddings WHERE vec_id < 10),
         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, CAST(list_sum(list_transform(range(1, len(embedding) + 1),
         |  i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)

@@ -38,19 +38,31 @@ final class FileCommitCoordinator(dir: String,
     sys.props.get("graft.storm.haltSeed").map(_.toLong).getOrElse(7L))
 
   private def tableDir(logPath: String): JPath =
-    Paths.get(dir, logPath.replaceAll("[^A-Za-z0-9._-]", "_"))
+    // the hash suffix keeps the mapping injective: sanitization alone can
+    // collapse two distinct paths ('/a b' vs '/a_b') into one state dir,
+    // cross-arbitrating their versions (r14 third review pass)
+    Paths.get(dir, logPath.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "-" + Integer.toHexString(logPath.hashCode))
 
-  private def versionsOf(d: JPath, prefix: String): Seq[Long] =
+  /** ONE directory listing, closed deterministically — Files.list leaks a
+    * directory fd per call otherwise, and storm writers list in tight
+    * retry loops (r14 third review pass). */
+  private def listNames(d: JPath): Seq[String] =
     if (!Files.isDirectory(d)) Nil
-    else Files.list(d).iterator().asScala.map(_.getFileName.toString)
-      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix).toLong)
-      .toSeq.sorted
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally s.close()
+    }
 
-  private def markerMax(d: JPath, prefix: String): Long =
-    versionsOf(d, prefix).lastOption.getOrElse(-1L)
+  private def versionsOf(names: Seq[String], prefix: String): Seq[Long] =
+    names.filter(_.startsWith(prefix)).map(_.stripPrefix(prefix).toLong).sorted
 
-  private def latestOf(d: JPath): Long =
-    math.max(markerMax(d, "seed_"), markerMax(d, "claim_"))
+  private def markerMax(names: Seq[String], prefix: String): Long =
+    versionsOf(names, prefix).lastOption.getOrElse(-1L)
+
+  private def latestOf(names: Seq[String]): Long =
+    math.max(markerMax(names, "seed_"), markerMax(names, "claim_"))
 
   private def writeMarker(d: JPath, name: String): Unit = {
     try Files.createFile(d.resolve(name))
@@ -65,6 +77,18 @@ final class FileCommitCoordinator(dir: String,
     // write: a stale low seed lands as a file nothing ever reads
     if (currentVersion >= 0)
       writeMarker(d, f"seed_$currentVersion%020d")
+    // reclaim tmp files stranded by halted commits (the halt fires before
+    // the finally) — only STALE ones, or we would race an in-flight
+    // commit's tmp between its write and its link (r14 third review pass)
+    val cutoff = System.currentTimeMillis() - 10 * 60 * 1000
+    listNames(d).filter(n => n.startsWith(".claim.") && n.endsWith(".tmp"))
+      .foreach { n =>
+        val p = d.resolve(n)
+        try {
+          if (Files.getLastModifiedTime(p).toMillis < cutoff)
+            Files.deleteIfExists(p)
+        } catch { case _: java.io.IOException => () }
+      }
     Map("graft.coordinated.tableDir" -> d.toString)
   }
 
@@ -74,7 +98,7 @@ final class FileCommitCoordinator(dir: String,
     if (!Files.isDirectory(d))
       throw new IllegalStateException(
         s"file coordinator has no state for $logPath — registerTable first")
-    val latest = latestOf(d)
+    val latest = latestOf(listNames(d))
     if (commit.version != latest + 1)
       throw new CommitVersionConflictException(commit.version, latest)
     val tmp = d.resolve(s".claim.${java.util.UUID.randomUUID()}.tmp")
@@ -97,18 +121,23 @@ final class FileCommitCoordinator(dir: String,
       : (Seq[CoordinatedCommit], Long) = {
     val d = tableDir(logPath)
     if (!Files.isDirectory(d)) return (Nil, -1L)
-    val floor = math.max(markerMax(d, "seed_"), markerMax(d, "backfilled_"))
+    // ONE listing feeds pending AND latest: two scans let a claim landing
+    // between them appear in latest but not pending, so a reader would
+    // conflict-classify a version it cannot resolve — a hard failure on a
+    // healthy log (r14 third review pass)
+    val names = listNames(d)
+    val floor = math.max(markerMax(names, "seed_"),
+      markerMax(names, "backfilled_"))
     val from = math.max(startVersion.getOrElse(Long.MinValue), floor + 1)
-    val pending = versionsOf(d, "claim_").filter(_ >= from).flatMap { v =>
-      // a claim listed then pruned by a concurrent backfill reads as
-      // missing — it is, by definition, backfilled: skip it
-      try {
-        val Array(name, ts) = Files.readAllLines(
-          d.resolve(f"claim_$v%020d")).asScala.head.split(",")
-        Some(CoordinatedCommit(v, name, ts.toLong))
-      } catch { case _: java.io.IOException => None }
+    val pending = versionsOf(names, "claim_").filter(_ >= from).map { v =>
+      // claims are immortal until unregisterTable, and the link publishes
+      // complete-or-absent — a read failure here is a real fault and must
+      // surface, not silently hide an ACKED commit from a fresh reader
+      val Array(name, ts) = Files.readAllLines(
+        d.resolve(f"claim_$v%020d")).asScala.head.split(",")
+      CoordinatedCommit(v, name, ts.toLong)
     }
-    (pending, latestOf(d))
+    (pending, latestOf(names))
   }
 
   override def registerBackfill(logPath: String,
@@ -120,9 +149,7 @@ final class FileCommitCoordinator(dir: String,
 
   override def unregisterTable(logPath: String): Unit = {
     val d = tableDir(logPath)
-    if (Files.isDirectory(d)) {
-      Files.list(d).iterator().asScala.toSeq.foreach(Files.deleteIfExists)
-      Files.deleteIfExists(d)
-    }
+    listNames(d).foreach(n => Files.deleteIfExists(d.resolve(n)))
+    Files.deleteIfExists(d)
   }
 }

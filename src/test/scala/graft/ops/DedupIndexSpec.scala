@@ -204,7 +204,18 @@ class DedupIndexSpec extends AnyFunSuite with SparkTestBase {
         Seq((0, 0L, 999L)).toDF("band_idx", "band_hash", "id"),
         s"$r/idx/buckets", SaveMode.Append,
         partitionBy = Seq("band_idx"),
+        extraActions = Seq(
+          graft.delta.TxnAction(DedupIndex.SourceVersionApp, v0 + 8)),
         requireAppVersion = Some((DedupIndex.SourceVersionApp, v0 + 7)))
+    }
+    // and a guard WITHOUT its same-appId TxnAction is a misuse the writer
+    // refuses up front — the retry-loop leg of the guarantee needs it
+    intercept[IllegalArgumentException] {
+      graft.delta.GraftWriter.write(
+        Seq((0, 0L, 999L)).toDF("band_idx", "band_hash", "id"),
+        s"$r/idx/buckets", SaveMode.Append,
+        partitionBy = Seq("band_idx"),
+        requireAppVersion = Some((DedupIndex.SourceVersionApp, v0)))
     }
     // and the index is untouched by the refused write
     assert(graft.delta.DeltaTable.forPath(spark, s"$r/idx/buckets")
