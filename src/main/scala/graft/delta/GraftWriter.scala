@@ -59,22 +59,25 @@ object GraftWriter {
             extraActions: Seq[Action] = Nil,
             // (appId, version): refuse the write unless the table's
             // current TxnAction mark for appId is exactly version. The
-            // check runs against THIS transaction's read snapshot, and a
-            // competing mark landing later trips the same-appId
+            // authoritative check runs against the COMMIT transaction's own
+            // read snapshot (txn.requireAppVersion below), and a competing
+            // mark landing above it trips the same-appId
             // ConcurrentTransaction conflict — together they make two
             // racing incremental maintainers serialize instead of
             // double-applying a window and regressing the mark (r14
-            // second review pass).
+            // second review pass; snapshot threading fixed per r15 advice).
             requireAppVersion: Option[(String, Long)] = None): Long = {
     val spark = dfIn.sparkSession
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
     requireAppVersion.foreach { case (app, want) =>
-      // the guarantee is two-legged: this check covers marks that landed
-      // BEFORE our read snapshot; marks landing after are caught by the
-      // same-appId conflict rule — which only fires if THIS commit also
-      // carries a TxnAction for the appId. A guarded write without one
-      // would slip the retry loop and double-apply (r14 third review pass)
+      // FAST-FAIL only: saves the staging job when the mark is already
+      // stale. The binding check is txn.requireAppVersion at commit time —
+      // this snapshot predates the (possibly long) staging job, and a
+      // concurrent same-JVM committer can advance the shared snapshot
+      // cache in between, landing a mark below the txn's readVersion
+      // where the conflict check never looks (r15 advice). The TxnAction-
+      // presence contract is also re-enforced by txn.commit.
       require(extraActions.exists {
           case t: TxnAction => t.appId == app
           case _ => false
@@ -270,6 +273,11 @@ object GraftWriter {
       }
     val now = System.currentTimeMillis()
     val txn = log.startTransaction()
+    // the authoritative mark precondition, against the txn's OWN read
+    // snapshot — see the parameter doc (r15 advice)
+    requireAppVersion.foreach { case (app, want) =>
+      txn.requireAppVersion(app, want)
+    }
     if (mapped) txn.permitNameMappedCommit()
     // identity high-water marks over this commit's staged footer stats,
     // folded into whichever metaData action the commit carries (at most

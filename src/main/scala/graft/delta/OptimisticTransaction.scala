@@ -130,6 +130,27 @@ final class OptimisticTransaction(val log: DeltaLog) {
   def addAction(a: Action): this.type = { actions += a; this }
   def addActions(as: Seq[Action]): this.type = { actions ++= as; this }
 
+  private var appVersionRequirement: Option[(String, Long)] = None
+
+  /** Refuse this transaction unless the table's TxnAction mark for `appId`
+    * is exactly `version` in THIS transaction's read snapshot. The guarantee
+    * is two-legged: this check covers marks at or below `readVersion`, and a
+    * competing mark landing above it trips the same-appId
+    * [[ConcurrentTransactionException]] in the conflict check — provided
+    * this commit ALSO carries a TxnAction for the appId ([[commit]]
+    * enforces that). Checking any OTHER snapshot (e.g. a caller-side
+    * `log.update()` taken before a long staging job) leaves a gap: a
+    * concurrent same-JVM committer can advance the shared snapshot cache
+    * between that check and `startTransaction()`, and its mark lands below
+    * our readVersion where the conflict check never looks (r15 advice). */
+  def requireAppVersion(appId: String, version: Long): this.type = {
+    val cur = readSnapshot.appTransactionVersion.get(appId)
+    if (!cur.contains(version))
+      throw new StaleAppVersionException(appId, version, cur)
+    appVersionRequirement = Some((appId, version))
+    this
+  }
+
   private var allowNameMapping = false
 
   /** Declare that this transaction's data files were staged under the
@@ -157,6 +178,19 @@ final class OptimisticTransaction(val log: DeltaLog) {
     // graft would not maintain (fresh tables have version -1 / writer 0 and
     // pass trivially; a same-commit protocol bump is graft's own and exempt)
     ProtocolSupport.assertWritable(log.snapshot, allowNameMapping)
+    // requireAppVersion's second leg needs the conflict rule armed: without
+    // a same-appId TxnAction in THIS commit, a competing mark landing during
+    // the retry loop is not conflict-classified and the precondition is
+    // silently void (r14 third review pass)
+    appVersionRequirement.foreach { case (app, _) =>
+      require(actions.exists {
+          case t: TxnAction => t.appId == app
+          case _ => false
+        },
+        s"requireAppVersion('$app') needs a same-appId TxnAction in this " +
+        "commit — without it a competing mark landing during the commit " +
+        "retry loop is not conflict-classified")
+    }
     // delta.appendOnly gate — the effective config is the one this commit
     // leaves behind (a same-commit metaData wins over the read snapshot's).
     val effectiveConfig = actions.reverseIterator

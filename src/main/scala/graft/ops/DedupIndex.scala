@@ -65,6 +65,27 @@ object DedupIndex {
   private[ops] val TextColKey = "graft.dedup.textCol"
   private[ops] val IdColKey = "graft.dedup.idCol"
   private[ops] val ParamsKey = "graft.dedup.params" // tNum,tDen,numHashes,bands
+  /** Build-epoch stamp shared by all three tables: a (re)build writes them
+    * in three commits, and a crash in between — especially a rebuild with
+    * CHANGED params — leaves members/survivors computed under the new
+    * params bound to a buckets table carrying the old params and mark,
+    * served silently. Mirrors [[IvfIndex.EpochKey]] (r15 advice). */
+  private[ops] val EpochKey = "graft.dedup.epoch"
+
+  /** Refuse an index whose three tables carry DIFFERENT build epochs — the
+    * torn-rebuild state (see [[EpochKey]]). Absent epochs (pre-epoch
+    * layouts) stay accepted. */
+  private def checkEpoch(spark: SparkSession, root: String): Unit = {
+    def cfg(p: String) = DeltaLog.forPath(spark, p).update()
+      .metadata.map(_.configuration).getOrElse(Map.empty[String, String])
+    val epochs = Seq("buckets" -> bucketsPath(root),
+        "members" -> membersPath(root), "survivors" -> survivorsPath(root))
+      .flatMap { case (n, p) => cfg(p).get(EpochKey).map(n -> _) }
+    if (epochs.map(_._2).distinct.size > 1) throw new IllegalStateException(
+      s"dedup index at $root is torn: build epochs disagree " +
+      s"(${epochs.map { case (n, e) => s"$n=$e" }.mkString(", ")}) — a " +
+      "rebuild crashed between its table overwrites; rebuild it")
+  }
 
   /** Doc ids must be non-null and unique: a null id breaks the survivor
     * recompute's comp join AND re-inserts on every replayed window (null
@@ -137,14 +158,20 @@ object DedupIndex {
       .localCheckpoint(true) // members table + survivor pick both read it
     // write order mirrors refresh: derived tables first, buckets + the
     // high-water mark LAST — a crash leaves the mark un-advanced and the
-    // next build/refresh redoes deterministic work
+    // next build/refresh redoes deterministic work. ONE epoch stamps all
+    // three tables; a crash between the overwrites leaves them differing,
+    // which checkEpoch turns into a loud refusal instead of silently
+    // serving mixed-params state (r15 advice)
+    val epoch = java.util.UUID.randomUUID().toString
     def exists(p: String) = DeltaLog.forPath(spark, p).update().version >= 0
     GraftWriter.write(members.select("id", "comp", "len"), membersPath(root),
-      SaveMode.Overwrite, overwriteSchema = exists(membersPath(root)))
+      SaveMode.Overwrite, overwriteSchema = exists(membersPath(root)),
+      configuration = Some(Map(EpochKey -> epoch)))
     GraftWriter.write(pickSurvivor(members), survivorsPath(root),
-      SaveMode.Overwrite, overwriteSchema = exists(survivorsPath(root)))
+      SaveMode.Overwrite, overwriteSchema = exists(survivorsPath(root)),
+      configuration = Some(Map(EpochKey -> epoch)))
     val binding = Map(SourcePathKey -> sourcePath, TextColKey -> textCol,
-      IdColKey -> idCol,
+      IdColKey -> idCol, EpochKey -> epoch,
       ParamsKey -> s"$thresholdNum,$thresholdDen,$numHashes,$bands")
     GraftWriter.write(bandRows, bucketsPath(root), SaveMode.Overwrite,
       partitionBy = Seq("band_idx"),
@@ -172,6 +199,7 @@ object DedupIndex {
     * the object doc for the algorithm and the crash story). Returns
     * (newDocsIndexed, newVerifiedEdges). */
   def refreshFromSource(spark: SparkSession, root: String): (Long, Long) = {
+    checkEpoch(spark, root)
     val (srcPath, textCol, idCol, tNum, tDen, numHashes, bands, last) =
       bindingOf(spark, root)
     val srcLog = DeltaLog.forPath(spark, srcPath)
@@ -204,11 +232,9 @@ object DedupIndex {
     // the mark (r14 review)
     def bareMark(): Unit = {
       val log = DeltaLog.forPath(spark, bucketsPath(root))
-      val cur = log.update().appTransactionVersion.get(SourceVersionApp)
-      if (!cur.contains(last))
-        throw new graft.delta.StaleAppVersionException(
-          SourceVersionApp, last, cur)
+      log.update() // freshen the cache the txn pins its read snapshot to
       val txn = log.startTransaction()
+        .requireAppVersion(SourceVersionApp, last)
       markAction.foreach(txn.addAction)
       txn.commit()
     }
@@ -218,6 +244,26 @@ object DedupIndex {
       bareMark()
       return (0L, 0L)
     }
+
+    // cross-window id-reuse fence (r15 advice): requireCleanIds only sees
+    // THIS window — an id re-used across windows with DIFFERENT text would
+    // fold silently (members keeps the old len while comp is rewritten, and
+    // both texts' band rows accumulate under one id), drifting from the
+    // full recompute instead of failing loudly as the unique-id contract
+    // promises. Replayed windows redeliver byte-identical rows, so
+    // equal-LENGTH matches stay allowed (length is the only text residue
+    // the standing table carries; an equal-length different-text reuse is
+    // invisible to this fence — documented). Broadcast-bounded by the batch.
+    val reused = DeltaTable.forPath(spark, membersPath(root)).toDF
+      .join(broadcast(batch.select(col("id"),
+        length(col("text")).cast("long").as("batch_len"))), Seq("id"))
+      .filter(col("len") =!= col("batch_len"))
+      .limit(1).collect()
+    require(reused.isEmpty,
+      s"window ($last, $now] re-delivers already-indexed doc id " +
+      s"${reused.headOption.map(_.get(0)).getOrElse("?")} with DIFFERENT " +
+      "text (standing len != batch len) — the dedup index requires " +
+      "globally unique ids; delete the old doc first")
 
     val shNew = Dedup.shingles(batch, "text", "id")
     val newBands = bandRowsOf(batch, numHashes, bands).localCheckpoint(true)
@@ -335,10 +381,14 @@ object DedupIndex {
 
   /** The current survivor set: (comp, id, len), one row per duplicate
     * family (comp = the family's min doc id). */
-  def survivors(spark: SparkSession, root: String): DataFrame =
+  def survivors(spark: SparkSession, root: String): DataFrame = {
+    checkEpoch(spark, root)
     DeltaTable.forPath(spark, survivorsPath(root)).toDF
+  }
 
   /** Full family membership: (id, comp, len) for every indexed doc. */
-  def members(spark: SparkSession, root: String): DataFrame =
+  def members(spark: SparkSession, root: String): DataFrame = {
+    checkEpoch(spark, root)
     DeltaTable.forPath(spark, membersPath(root)).toDF
+  }
 }

@@ -346,11 +346,9 @@ object IvfIndex {
           // metadata commit so later refreshes never re-read this window —
           // under the same still-at-`last` precondition as the data path
           val log = DeltaLog.forPath(spark, postingsPath(root))
-          val cur = log.update().appTransactionVersion.get(SourceVersionApp)
-          if (!cur.contains(last))
-            throw new graft.delta.StaleAppVersionException(
-              SourceVersionApp, last, cur)
+          log.update() // freshen the cache the txn pins its read snapshot to
           val txn = log.startTransaction()
+            .requireAppVersion(SourceVersionApp, last)
           markAction.foreach(txn.addAction)
           txn.commit()
         }

@@ -137,4 +137,38 @@ class AdviceRegressionSpec extends AnyFunSuite with SparkTestBase {
     // regression this guards against)
     assert(m.filesRemoved == 8)
   }
+
+  test("r15: requireAppVersion binds to the txn's OWN read snapshot — a mark advanced after an early check still refuses") {
+    val dir = tempTable("adv-r15-appver").toString
+    val app = "graft.test.maintainer"
+    GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir,
+      extraActions = Seq(TxnAction(app, 10L)))
+    val log = DeltaLog.forPath(spark, dir)
+    log.update()
+    // maintainer M1 pins its transaction while the mark is at 10 (the
+    // r15-advice shape: an early caller-side check passed, then a long
+    // staging job ran, and the txn was only started afterwards)
+    val txn1 = log.startTransaction().requireAppVersion(app, 10L)
+    // a competing maintainer lands the same window first, advancing the mark
+    GraftWriter.write(Seq((2L, "b")).toDF("id", "v"), dir, SaveMode.Append,
+      extraActions = Seq(TxnAction(app, 11L)),
+      requireAppVersion = Some((app, 10L)))
+    // M1's commit must CONFLICT on the same-appId TxnAction instead of
+    // double-applying the window and regressing nothing
+    txn1.addAction(TxnAction(app, 11L))
+    intercept[ConcurrentTransactionException](txn1.commit())
+    // a fresh transaction sees the advanced mark in its own read snapshot
+    log.update()
+    intercept[StaleAppVersionException] {
+      log.startTransaction().requireAppVersion(app, 10L)
+    }
+    // a guarded txn WITHOUT its same-appId TxnAction refuses at commit —
+    // the conflict-rule leg of the guarantee would be unarmed
+    log.update()
+    val txn3 = log.startTransaction().requireAppVersion(app, 11L)
+    val e = intercept[IllegalArgumentException](txn3.commit())
+    assert(e.getMessage.contains("same-appId TxnAction"))
+    // exactly one advance landed
+    assert(log.update().appTransactionVersion.get(app).contains(11L))
+  }
 }

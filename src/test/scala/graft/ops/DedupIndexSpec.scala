@@ -222,6 +222,57 @@ class DedupIndexSpec extends AnyFunSuite with SparkTestBase {
       .toDF.filter(col("id") === 999L).count() == 0)
   }
 
+  test("r15: torn rebuild (epoch mismatch across tables) refuses to serve or refresh") {
+    val r = root("epoch")
+    val src = s"$r/source"
+    graft.delta.GraftWriter.write(slice(corpus, 0, 100), src,
+      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$r/idx")
+    // simulate a rebuild (with changed params) crashing after the members
+    // overwrite: members carries a fresh epoch, buckets/survivors the old
+    val frozen = graft.delta.DeltaTable.forPath(spark, s"$r/idx/members")
+      .toDF.localCheckpoint(true)
+    graft.delta.GraftWriter.write(frozen, s"$r/idx/members",
+      SaveMode.Overwrite, overwriteSchema = true,
+      configuration = Some(Map(DedupIndex.EpochKey -> "torn-epoch")))
+    val e1 = intercept[IllegalStateException] {
+      DedupIndex.refreshFromSource(spark, s"$r/idx")
+    }
+    assert(e1.getMessage.contains("torn"))
+    intercept[IllegalStateException](DedupIndex.survivors(spark, s"$r/idx"))
+    intercept[IllegalStateException](DedupIndex.members(spark, s"$r/idx"))
+    // a full rebuild re-stamps one shared epoch and heals the index
+    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$r/idx")
+    assert(DedupIndex.survivors(spark, s"$r/idx").count() > 0)
+  }
+
+  test("r15: cross-window id reuse with different text refuses; identical redelivery is idempotent") {
+    val r = root("reuse")
+    val src = s"$r/source"
+    graft.delta.GraftWriter.write(slice(corpus, 0, 100), src,
+      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$r/idx")
+    val before = dump(DedupIndex.members(spark, s"$r/idx")
+      .select(col("comp"), col("id"), col("len")))
+    // identical redelivery of an ALREADY-INDEXED doc (at-least-once
+    // upstream): equal length, folds idempotently
+    graft.delta.GraftWriter.write(Seq((5L, words(5, 0, 15)))
+      .toDF("doc_id", "text"), src, SaveMode.Append)
+    DedupIndex.refreshFromSource(spark, s"$r/idx")
+    assert(dump(DedupIndex.members(spark, s"$r/idx")
+        .select(col("comp"), col("id"), col("len"))) == before,
+      "identical redelivery must not change members")
+    // the same id arriving with DIFFERENT text is an update in disguise —
+    // previously folded silently (members kept the old len while both
+    // texts' band rows accumulated under one id); must refuse loudly
+    graft.delta.GraftWriter.write(Seq((6L, words(99, 0, 25)))
+      .toDF("doc_id", "text"), src, SaveMode.Append)
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.refreshFromSource(spark, s"$r/idx")
+    }
+    assert(e.getMessage.contains("globally unique ids"))
+  }
+
   test("non-append source changes are refused loudly") {
     val r = root("refuse")
     val src = s"$r/source"
