@@ -50,6 +50,15 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     scanWithIndex(new GraftFileIndex(spark, log, snapshot, Some(selected)))
   }
 
+  /** Scan an EXPLICIT file subset of this snapshot — for callers that
+    * pre-prune with heterogeneous per-partition predicates (e.g. the dedup
+    * index's per-band probe: each band's key set prunes only its own
+    * partition's files, then ONE scan covers the union instead of a
+    * partition-count-wide plan union). The caller owns the claim that the
+    * dropped files hold no needed rows. */
+  private[graft] def toDFWithFiles(selected: Seq[AddAction]): DataFrame =
+    scanWithIndex(new GraftFileIndex(spark, log, snapshot, Some(selected)))
+
   /** The live index of the most recent scan (observability/tests). */
   @volatile private var lastIndexVar: Option[GraftFileIndex] = None
   def lastFileIndex: Option[GraftFileIndex] = lastIndexVar

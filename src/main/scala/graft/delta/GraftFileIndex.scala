@@ -3,7 +3,7 @@ package graft.delta
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Literal, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, LessThan, LessThanOrEqual, Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -168,8 +168,29 @@ final class GraftFileIndex(
       case LessThan(l: Literal, a: AttributeReference) => v(l).map(StatsPredicate.Gt(a.name, _))
       case LessThanOrEqual(l: Literal, a: AttributeReference) => v(l).map(StatsPredicate.Ge(a.name, _))
       case IsNotNull(a: AttributeReference) => Some(StatsPredicate.NotNull(a.name))
+      // IN-list point lookups over integral columns — the index-probe shape
+      // (e.g. a band-hash or id set). Against a value-clustered layout this
+      // prunes to O(|list|) files regardless of table size (r15). Catalyst
+      // rewrites long lists to InSet past inSetConversionThreshold, so both
+      // forms must translate.
+      case In(a: AttributeReference, list)
+          if integralLong(a.dataType) && list.nonEmpty &&
+            list.forall(_.isInstanceOf[Literal]) =>
+        val vs = list.map { case Literal(v, _) => v }
+        if (vs.contains(null)) None // null never matches, but keep it simple
+        else Some(StatsPredicate.inLongSet(a.name,
+          vs.map(v => v.asInstanceOf[Number].longValue).toArray))
+      case InSet(a: AttributeReference, hset)
+          if integralLong(a.dataType) && hset.nonEmpty && !hset.contains(null) =>
+        Some(StatsPredicate.inLongSet(a.name,
+          hset.iterator.map(_.asInstanceOf[Number].longValue).toArray))
       case _ => None // unsupported shape: no pruning from this conjunct
     }
+  }
+
+  private def integralLong(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
   }
 
   // ---- the prune --------------------------------------------------------

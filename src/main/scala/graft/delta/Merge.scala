@@ -58,6 +58,21 @@ final class MergeBuilder private[delta] (
     * `mergeSchema` on append). */
   def withSchemaEvolution(): MergeBuilder = { schemaEvolution = true; this }
 
+  private var targetPrunePreds: Seq[StatsPredicate] = Nil
+
+  /** Pre-prune the target's file inventory with stats predicates the CALLER
+    * proves exclude no source-matching row (typically an IN-set over the
+    * source's equi-join keys — delta-spark's merge source-key pruning).
+    * Pruned files skip the affected-file detection scan entirely, turning a
+    * small-batch MERGE into a huge, key-clustered target from an O(target)
+    * scan into an O(batch) one (r15 — the incremental maintainers' shape).
+    * Semantics are unchanged: files the predicates drop behave exactly like
+    * files the detection scan finds unaffected. Illegal with by-source
+    * clauses, where ANY file may hold unmatched target rows. */
+  def withTargetScanPredicates(preds: Seq[StatsPredicate]): MergeBuilder = {
+    targetPrunePreds = preds; this
+  }
+
   def whenMatchedUpdate(set: Map[String, Column]): MergeBuilder =
     whenMatchedUpdate(lit(true), set)
   def whenMatchedUpdate(cond: Column, set: Map[String, Column]): MergeBuilder = {
@@ -212,6 +227,12 @@ final class MergeBuilder private[delta] (
         } catch { case _: Throwable => () }
       }
 
+    require(targetPrunePreds.isEmpty || bySourceClauses.isEmpty,
+      "withTargetScanPredicates cannot compose with by-source clauses: " +
+      "any file may hold unmatched target rows")
+    val candidateFiles =
+      if (targetPrunePreds.isEmpty) snap.files
+      else StatsPredicate.prune(snap.files, targetPrunePreds)
     val affected =
       if (bySourceClauses.nonEmpty) snap.files
       else {
@@ -219,13 +240,13 @@ final class MergeBuilder private[delta] (
         // over the anti-join plan a DV'd table resolves to); on mapped
         // tables the scan serves logical names with provenance kept
         val affectedRel = Dml
-          .logicalScanWithMeta(spark, log, snap, snap.files)
+          .logicalScanWithMeta(spark, log, snap, candidateFiles)
           .drop(DeletionVectors.PosCol)
           .withColumnRenamed(DeletionVectors.PathCol, "__file").alias("t")
           .join(src.alias("s"), condition)
           .select(col("__file")).distinct()
           .collect().map(_.getString(0)).toSet
-        snap.files.filter(a => affectedRel.contains(a.path))
+        candidateFiles.filter(a => affectedRel.contains(a.path))
       }
 
     // 2. full-outer join of affected rows vs source. __t doubles as presence

@@ -277,7 +277,20 @@ object Optimize {
       case None => Dml.scanSubset(spark, log, snap, oldFiles)
     }
 
-    val z = zValue(df, zorderBy, snap.schema)
+    // a SINGLE clustering column needs no interleaving: ordering by the raw
+    // column gives full-resolution per-file min/max stats — the 16-bucket
+    // code would cap the layout at 16 value ranges per partition, useless
+    // for point-lookup probes (the dedup index's band-hash probe, r15).
+    // Multi-column layouts take the interleaved curve as before.
+    val z =
+      if (zorderBy.size == 1) {
+        snap.schema(zorderBy.head).dataType match {
+          case _: NumericType | DateType | TimestampType | StringType => ()
+          case other => throw new IllegalArgumentException(
+            s"zorder does not support column ${zorderBy.head} of type $other")
+        }
+        col(zorderBy.head)
+      } else zValue(df, zorderBy, snap.schema)
     val totalBytes = oldFiles.map(_.size).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val zc = "__graft_zvalue"

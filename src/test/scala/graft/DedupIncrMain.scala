@@ -20,6 +20,11 @@ object DedupIncrMain {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
+      // a real 100 TB corpus spans thousands of files; at probe scale the
+      // default 256 MiB target collapses every standing table to ONE file,
+      // which hides the layout-pruning behavior this probe measures — 1 MiB
+      // keeps the file counts representative
+      .config("spark.graft.dedup.maintainTargetBytes", 1L << 20)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

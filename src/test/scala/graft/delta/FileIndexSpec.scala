@@ -64,6 +64,53 @@ class FileIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(listedCount(dt) == 2)
   } }
 
+  test("r15: IN-list point lookups skip files via Add.stats (In and InSet forms)") { withoutPlanRewrites {
+    val dir = tempTable("fi-inset").toString
+    // 4 files with disjoint id ranges
+    (0 until 4).foreach { k =>
+      GraftWriter.write(
+        (k * 1000 until k * 1000 + 50).map(i => (i.toLong, s"n$i"))
+          .toDF("id", "name").repartition(1),
+        dir, if (k == 0) SaveMode.ErrorIfExists else SaveMode.Append)
+    }
+    val dt = DeltaTable.forPath(spark, dir)
+    assert(dt.files.size == 4)
+
+    // short list (stays Catalyst `In`): hits files 0 and 2 only
+    val short = dt.toDF.filter(col("id").isin(3L, 2007L))
+    assert(short.count() == 2)
+    assert(listedCount(dt) == 2)
+
+    // long list (Catalyst converts to InSet past the threshold): all values
+    // inside file 1's range
+    val vals: Seq[Any] = (1000L until 1040L).map(v => v: Any)
+    val longList = dt.toDF.filter(col("id").isin(vals: _*))
+    assert(longList.count() == 40)
+    assert(listedCount(dt) == 1)
+
+    // list entirely between the files' ranges: provably-empty scan
+    val miss = dt.toDF.filter(col("id").isin(777L, 888L))
+    assert(miss.count() == 0)
+    assert(listedCount(dt) == 0)
+  } }
+
+  test("r15: eager InLongSet pre-pruning bounds inputFiles") {
+    val dir = tempTable("fi-inset-eager").toString
+    (0 until 4).foreach { k =>
+      GraftWriter.write(
+        (k * 1000 until k * 1000 + 50).map(i => (i.toLong, s"n$i"))
+          .toDF("id", "name").repartition(1),
+        dir, if (k == 0) SaveMode.ErrorIfExists else SaveMode.Append)
+    }
+    val dt = DeltaTable.forPath(spark, dir)
+    val df = dt.toDF(Nil, Seq(StatsPredicate.inLongSet("id", Array(3L, 2007L))))
+    assert(df.inputFiles.length == 2)
+    assert(df.count() == 100) // eager prune drops FILES, not rows
+    // boundary inclusivity: min and max values of a file must keep it
+    val edge = dt.toDF(Nil, Seq(StatsPredicate.inLongSet("id", Array(1049L, 3000L))))
+    assert(edge.inputFiles.length == 2)
+  }
+
   test("explicit pre-pruning composes with Catalyst-pushed filters") { withoutPlanRewrites {
     val dir = tempTable("fi-compose").toString
     GraftWriter.write(

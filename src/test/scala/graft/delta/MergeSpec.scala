@@ -306,4 +306,42 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     before.keySet.foreach(k => assert(after(k) == before(k), s"row $k id changed"))
     assert(DeltaLog.forPath(spark, dir).update().schema.fieldNames.contains("tag"))
   }
+
+  test("r15: withTargetScanPredicates skips the detection scan on pruned files, same results") {
+    val dir = tempTable("merge-prune").toString
+    // 4 files with disjoint id ranges
+    (0 until 4).foreach { k =>
+      GraftWriter.write(
+        (k * 1000 until k * 1000 + 50).map(i => (i.toLong, i * 1.0))
+          .toDF("id", "v").repartition(1),
+        dir, if (k == 0) SaveMode.ErrorIfExists else SaveMode.Append)
+    }
+    val src = Seq((2005L, -1.0), (2006L, -2.0), (9999L, -3.0)).toDF("id", "v")
+    val before = DeltaLog.forPath(spark, dir).update().files.map(_.path).toSet
+    val m = Merge.into(spark, dir, src, col("t.id") === col("s.id"))
+      .withTargetScanPredicates(Seq(
+        StatsPredicate.inLongSet("id", Array(2005L, 2006L, 9999L))))
+      .whenMatchedUpdate(Map("v" -> col("s.v")))
+      .whenNotMatchedInsertAll()
+      .execute()
+    assert(m.rowsUpdated == 2 && m.rowsInserted == 1)
+    // only file 2 was rewritten; the other three survived untouched
+    val paths = DeltaLog.forPath(spark, dir).update().files.map(_.path).toSet
+    assert((before & paths).size == 3,
+      s"exactly the 3 unpruned-and-unmatched files must survive untouched")
+    val rows = DeltaTable.forPath(spark, dir).toDF.orderBy("id")
+      .as[(Long, Double)].collect()
+    assert(rows.length == 201)
+    assert(rows.find(_._1 == 2005L).get._2 == -1.0)
+    assert(rows.find(_._1 == 9999L).get._2 == -3.0)
+    assert(rows.find(_._1 == 5L).get._2 == 5.0)
+    // by-source clauses cannot compose — any file may hold unmatched rows
+    intercept[IllegalArgumentException] {
+      Merge.into(spark, dir, src, col("t.id") === col("s.id"))
+        .withTargetScanPredicates(Seq(
+          StatsPredicate.inLongSet("id", Array(1L))))
+        .whenNotMatchedBySourceDelete()
+        .execute()
+    }
+  }
 }

@@ -273,6 +273,46 @@ class DedupIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("globally unique ids"))
   }
 
+  test("r15: a fixed batch's probe reads a bounded file subset while the corpus grows") {
+    val r = root("bounded")
+    val src = s"$r/source"
+    // tiny files so the layout machinery produces many per partition
+    spark.conf.set("spark.graft.dedup.maintainTargetBytes", "2048")
+    try {
+      def docs(from: Int, until: Int) =
+        spark.range(from, until).selectExpr("id AS doc_id",
+          "concat_ws(' ', transform(sequence(0, 14), " +
+          "i -> concat('u', id, 'x', i))) AS text")
+      graft.delta.GraftWriter.write(docs(0, 400), src,
+        configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+      DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$r/idx",
+        numHashes = 16, bands = 4)
+      // grow the corpus through refreshes (each maintains the layout)
+      Seq((400, 800), (800, 1200)).foreach { case (a, b) =>
+        graft.delta.GraftWriter.write(docs(a, b), src, SaveMode.Append)
+        DedupIndex.refreshFromSource(spark, s"$r/idx")
+      }
+      val bucketsPath = s"$r/idx/buckets"
+      val total = graft.delta.DeltaLog.forPath(spark, bucketsPath)
+        .update().files.size
+      assert(total >= 12, s"layout must produce many files, got $total")
+      // a small fixed probe (one doc's band hashes) — the exact shape
+      // refreshFromSource's candidate probe pushes
+      val keyRows = graft.delta.DeltaTable.forPath(spark, bucketsPath)
+        .toDF.filter(col("id") === 700L)
+        .select("band_idx", "band_hash").collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+      assert(keyRows.length == 4)
+      val probe = DedupIndex.prunedBuckets(spark, s"$r/idx", Some(keyRows))
+      val read = probe.inputFiles.length
+      assert(read < total / 2,
+        s"bounded probe must skip most files: read $read of $total")
+      // pruning is file-level only — the kept files still serve every row
+      // the unpruned scan would (exactness comes from the join above)
+      assert(probe.filter(col("id") === 700L).count() == 4)
+    } finally spark.conf.unset("spark.graft.dedup.maintainTargetBytes")
+  }
+
   test("non-append source changes are refused loudly") {
     val r = root("refuse")
     val src = s"$r/source"
