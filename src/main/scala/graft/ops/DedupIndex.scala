@@ -22,7 +22,9 @@ import graft.delta.{ChangeDataFeed, DeltaLog, DeltaTable, GraftWriter, Merge,
   *    the fixed preference (longest text, then lowest id — q77's order).
   *
   * INCREMENT = one [[refreshFromSource]] call after new docs land in the
-  * (append-only, CDF-enabled) source table:
+  * (CDF-enabled) source table. Windows may carry INSERTs and DELETEs
+  * (takedowns re-split affected families and re-elect survivors — r15);
+  * UPDATEs stay refused (delete + re-insert instead). The insert path:
   *  1. only the CDF window `(lastIndexed, now]` is shingled/signed — the
   *     CPU-heavy work is O(batch), never O(corpus);
   *  2. candidates = the batch's band rows joined against `buckets` with the
@@ -293,27 +295,55 @@ object DedupIndex {
     val srcLog = DeltaLog.forPath(spark, srcPath)
     val now = srcLog.update().version
     if (now <= last) return (0L, 0L)
-    // ONE window read serves the append-only fence AND the batch — the
-    // change-type check used to execute the CDF read twice (r14 review)
+    // ONE window read serves the change-kind fence AND both folds; the
+    // commit version rides along so multi-commit windows net-fold per id
     val pinned = ChangeDataFeed.readChanges(spark, srcLog, last, now)
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"),
-        col(ChangeDataFeed.ChangeType).as("ct"))
+        col(ChangeDataFeed.ChangeType).as("ct"),
+        col(ChangeDataFeed.CommitVersion).as("cver"))
       .localCheckpoint(true)
-    // append-only contract: a delete/update would have to RETRACT pairs and
-    // re-split families — out of this index's scope, refuse loudly (≤4
+    // supported change kinds: insert + delete (r15 verdict #2 — takedowns
+    // are a first-class pipeline event). UPDATE stays refused: an in-place
+    // text swap is a delete + re-insert in this index's model, and folding
+    // it silently would hide the id-reuse hazard the fences guard (≤4
     // distinct change-type strings, driver-bounded)
     val kinds = pinned.select("ct").distinct()
       .collect().map(_.getString(0)).toSet
-    require(kinds.subsetOf(Set("insert")),
-      s"dedup index source must be append-only; window ($last, $now] " +
-      s"carries change types ${kinds - "insert"}")
-    // at-least-once upstream delivery: byte-identical redelivered rows
-    // collapse here; anything else (null ids, two texts under one id)
-    // fails loudly instead of wedging the members MERGE (r14 review)
-    val batch = pinned.select("id", "text").dropDuplicates("id", "text")
+    require(kinds.subsetOf(Set("insert", "delete")),
+      s"dedup index source window ($last, $now] carries unsupported " +
+      s"change types ${kinds -- Set("insert", "delete")} — UPDATE is not " +
+      "supported; DELETE the doc and re-insert it instead")
+    // NET-fold the window per id: the LAST event wins, and a delete
+    // anywhere in an id's window history marks its standing rows for
+    // removal (a delete + re-insert in one window is a deliberate
+    // replacement). Byte-identical redelivered inserts collapse naturally
+    // (one net row per id); two DIFFERENT texts among one id's inserts is
+    // an update in disguise — refuse loudly instead of wedging the members
+    // MERGE (r14 review). Null ids fail in requireCleanIds below.
+    val nets = pinned.groupBy("id").agg(
+        max(struct(col("cver"), col("ct"), col("text"))).as("last_ev"),
+        max(when(col("ct") === "delete",
+          struct(col("cver"), col("text")))).as("last_del"),
+        countDistinct(when(col("ct") === "insert", col("text"))).as("n_ins"))
+      .select(col("id"), col("last_ev.ct").as("ct"),
+        col("last_ev.text").as("text"), col("last_del.text").as("del_text"),
+        col("last_del").isNotNull.as("has_delete"), col("n_ins"))
+      .localCheckpoint(true) // batch/delete splits + hygiene both read it
+    require(nets.filter(col("n_ins") > 1).isEmpty,
+      s"window ($last, $now] carries duplicate doc ids with divergent " +
+      "texts — the dedup index requires unique ids (identical redelivered " +
+      "rows are collapsed before this check)")
+    requireCleanIds(nets.select("id", "text"), s"window ($last, $now]")
+    val batch = nets.filter(col("ct") === "insert").select("id", "text")
       .localCheckpoint(true) // shingles, bands, lengths all read it
-    requireCleanIds(batch, s"window ($last, $now]")
     val nNew = batch.count()
+    // every id with a delete event: its standing band rows (recomputable
+    // from the CDF pre-image text) must go, whether or not a re-insert
+    // follows in this same window
+    val delDocs = nets.filter(col("has_delete"))
+      .select(col("id"), col("del_text").as("text"))
+      .localCheckpoint(true) // buckets delete + family fold read it
+    val nDel = delDocs.count()
     val markAction = Seq(TxnAction(SourceVersionApp, now))
     // bare mark advance, under the same still-at-`last` precondition as
     // the data path — two racing refreshes must serialize, not regress
@@ -326,7 +356,7 @@ object DedupIndex {
       markAction.foreach(txn.addAction)
       txn.commit()
     }
-    if (nNew == 0) {
+    if (nNew == 0 && nDel == 0) {
       // data-free window (property commits etc.): advance the mark so the
       // window is never re-read
       bareMark()
@@ -340,9 +370,11 @@ object DedupIndex {
     // corpus. Exactness always comes from the joins; the predicates only
     // drop files that provably hold no probe key.
     val inMax = probeInMax(spark)
-    val batchIds: Option[Array[Long]] =
-      if (nNew <= inMax) Some(batch.select("id").collect().map(_.getLong(0)))
+    def idsOf(df: DataFrame, n: Long): Option[Array[Long]] =
+      if (n <= inMax) Some(df.select("id").collect().map(_.getLong(0)))
       else None
+    val batchIds = idsOf(batch, nNew)
+    val delIds = idsOf(delDocs, nDel)
 
     // cross-window id-reuse fence (r15 advice): requireCleanIds only sees
     // THIS window — an id re-used across windows with DIFFERENT text would
@@ -352,10 +384,13 @@ object DedupIndex {
     // promises. Replayed windows redeliver byte-identical rows, so
     // equal-LENGTH matches stay allowed (length is the only text residue
     // the standing table carries; an equal-length different-text reuse is
-    // invisible to this fence — documented). Broadcast-bounded by the batch.
+    // invisible to this fence — documented). Ids with a same-window delete
+    // event are EXEMPT: that is the sanctioned replacement path, folded
+    // below. Broadcast-bounded by the batch.
+    val fenceSrc = nets.filter(col("ct") === "insert" && !col("has_delete"))
+      .select(col("id"), length(col("text")).cast("long").as("batch_len"))
     val reused = prunedScan(spark, membersPath(root), "id", batchIds)
-      .join(broadcast(batch.select(col("id"),
-        length(col("text")).cast("long").as("batch_len"))), Seq("id"))
+      .join(broadcast(fenceSrc), Seq("id"))
       .filter(col("len") =!= col("batch_len"))
       .limit(1).collect()
     require(reused.isEmpty,
@@ -363,6 +398,118 @@ object DedupIndex {
       s"${reused.headOption.map(_.get(0)).getOrElse("?")} with DIFFERENT " +
       "text (standing len != batch len) — the dedup index requires " +
       "globally unique ids; delete the old doc first")
+
+    // ---- DELETE fold (r15 verdict #2), BEFORE the insert fold so inserts
+    // probe the post-delete standing state. Write order is chosen for
+    // replay (a crash leaves the mark un-advanced and the whole window
+    // re-folds): buckets MERGE-delete first (idempotent), survivors merge
+    // second (idempotent up/del rows computed from the PRE-fold members),
+    // members merge LAST — the fold's "standing" test keys off members, so
+    // once members reflects the fold a replay resolves the same ids as
+    // no-longer-standing and skips cleanly, with buckets/survivors already
+    // consistent.
+    if (nDel > 0) {
+      // a deleted doc's band rows are recomputed from its CDF pre-image
+      // text (minhash is deterministic) — prunable on the hash-clustered
+      // layout, and available identically on every replay
+      val delBands = bandRowsOf(delDocs, numHashes, bands)
+        .localCheckpoint(true)
+      val delBandKeys = {
+        val rows = delBands.select("band_hash").distinct()
+          .limit(inMax + 1).collect()
+        if (rows.length > inMax) None else Some(rows.map(_.getLong(0)))
+      }
+      Merge.into(spark, bucketsPath(root),
+          delBands.select("band_idx", "band_hash", "id"),
+          col("t.band_idx") === col("s.band_idx") &&
+            col("t.band_hash") === col("s.band_hash") &&
+            col("t.id") === col("s.id"))
+        .withTargetScanPredicates(delBandKeys.toSeq
+          .map(ks => StatsPredicate.inLongSet("band_hash", ks)))
+        .whenMatchedDelete()
+        .execute()
+      // family re-split: a deleted doc may be a BRIDGE — re-verify the
+      // affected families' remaining members (O(family): candidates from
+      // an LSH self-join, texts re-read from the source pinned at `now`)
+      // and relabel by connected components. Components only ever SPLIT
+      // when nodes vanish — no cross-family merge can appear here, so the
+      // subgraph is exactly the affected families.
+      val standingDel = prunedScan(spark, membersPath(root), "id", delIds)
+        .join(broadcast(delDocs.select("id")), Seq("id"))
+        .select("id", "comp").localCheckpoint(true) // bounded by the window
+      if (!standingDel.isEmpty) {
+        val affComps = standingDel.select("comp").distinct()
+        val affCompIds = longsOf(affComps, "comp", inMax)
+        val famMembers = prunedScan(spark, membersPath(root), "comp", affCompIds)
+          .join(broadcast(affComps), Seq("comp"))
+        val remaining = famMembers
+          .join(broadcast(delDocs.select("id")), Seq("id"), "left_anti")
+          .select("id", "comp", "len").localCheckpoint(true)
+        val remIds = longsOf(remaining, "id", inMax)
+        val remDocs = DeltaTable.forPath(spark, srcPath, now)
+          .toDF(Nil, remIds.toSeq.map(ks => StatsPredicate.inLongSet(idCol, ks)))
+          .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+          .join(broadcast(remaining.select("id")), Seq("id"))
+        val remBands = bandRowsOf(remDocs, numHashes, bands)
+          .localCheckpoint(true)
+        val cand2 = remBands
+          .select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
+          .join(remBands
+              .select(col("band_idx"), col("band_hash"), col("id").as("id_b")),
+            Seq("band_idx", "band_hash"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        val pairs2 = Dedup.verifyJaccard(Dedup.shingles(remDocs, "text", "id"),
+          "id", cand2, tNum, tDen)
+        val newLabels2 = remaining.select("id", "len")
+          .join(Clustering.connectedComponents(pairs2), Seq("id"), "left")
+          .select(col("id"), coalesce(col("comp"), col("id")).as("comp"),
+            col("len"))
+          .localCheckpoint(true) // survivors + members merges both read it
+        // survivors: re-elect per surviving label from the remaining
+        // members; labels that vanished (fully-deleted families, or a
+        // bridge label that was itself a deleted id) delete
+        val newComps2 = newLabels2.select("comp").distinct()
+        val ups2 = pickSurvivor(newLabels2).withColumn("op", lit("up"))
+        val dels2 = affComps.except(newComps2)
+          .withColumn("id", lit(null).cast("long"))
+          .withColumn("len", lit(null).cast("long"))
+          .withColumn("op", lit("del"))
+        val survKeys = for { a <- affCompIds; r <- remIds } yield a ++ r
+        Merge.into(spark, survivorsPath(root), ups2.unionByName(dels2),
+            col("t.comp") === col("s.comp"))
+          .withTargetScanPredicates(survKeys.toSeq
+            .map(ks => StatsPredicate.inLongSet("comp", ks)))
+          .whenMatchedDelete(col("s.op") === "del")
+          .whenMatchedUpdate(col("s.op") === "up",
+            Map("id" -> col("s.id"), "len" -> col("s.len")))
+          .whenNotMatchedInsert(col("s.op") === "up",
+            Map("comp" -> col("s.comp"), "id" -> col("s.id"),
+              "len" -> col("s.len")))
+          .execute()
+        // members LAST: drop the deleted ids, relabel the remaining
+        val mdel = standingDel.select("id")
+          .withColumn("comp", lit(null).cast("long"))
+          .withColumn("len", lit(null).cast("long"))
+          .withColumn("op", lit("del"))
+        val mup = newLabels2.withColumn("op", lit("up"))
+        val memberKeys = for { d <- delIds; r <- remIds } yield d ++ r
+        Merge.into(spark, membersPath(root), mdel.unionByName(mup),
+            col("t.id") === col("s.id"))
+          .withTargetScanPredicates(memberKeys.toSeq
+            .map(ks => StatsPredicate.inLongSet("id", ks)))
+          .whenMatchedDelete(col("s.op") === "del")
+          .whenMatchedUpdate(col("s.op") === "up",
+            Map("comp" -> col("s.comp")))
+          .execute()
+      }
+    }
+    if (nNew == 0) {
+      // delete-only window: the fold above is complete; advance the mark
+      bareMark()
+      maintain(spark, root)
+      return (0L, 0L)
+    }
 
     val shNew = Dedup.shingles(batch, "text", "id")
     val newBands = bandRowsOf(batch, numHashes, bands).localCheckpoint(true)
@@ -405,8 +552,11 @@ object DedupIndex {
     // the source is not index-managed, but append-mostly corpora land in
     // rough id order — the IN-set predicate prunes whatever natural
     // clustering its files have, and proves nothing otherwise
-    // (skip-on-doubt keeps every file)
-    val oldDocs = DeltaTable.forPath(spark, srcPath)
+    // (skip-on-doubt keeps every file). Pinned AT `now`: every colliding
+    // standing doc is live at `now` (a same-window delete was folded out
+    // above), but a CONCURRENT delete landing past `now` must not hide its
+    // text mid-fold (r15 review)
+    val oldDocs = DeltaTable.forPath(spark, srcPath, now)
       .toDF(Nil, longsOf(oldIds, "id", inMax).toSeq
         .map(ks => StatsPredicate.inLongSet(idCol, ks)))
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))

@@ -346,6 +346,49 @@ object PipelineQueries {
         .orderBy("comp", "doc_id")
     },
 
+    // Dedup-index DELETE folding (r15, verdict #2): the corpus lifecycle
+    // interleaves CDF-folded appends with two DML delete waves (doc_id%10
+    // ∈ {3,7} — survivors, non-survivors, and bridges alike; the second
+    // wave lands after the final append so it prunes every family shape).
+    // Deleting a doc re-splits its family by re-verifying the remaining
+    // members and re-elects survivors; the final survivor set must
+    // hash-match DuckDB's full recompute over the POST-DELETE corpus.
+    "q82_dedup_deletes" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val root = graft.queries.DeltaQueries.freshWorkDir("dedupdel")
+      val src = s"$root/source"
+      val cuts = docs
+        .selectExpr("percentile_approx(doc_id, array(0.6, 0.8))")
+        .first().getSeq[Long](0).toIndexedSeq
+      graft.delta.GraftWriter.write(
+        docs.filter(col("doc_id") < cuts(0)).select("doc_id", "text"), src,
+        configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+      DedupIndex.buildFromSource(s, src, "text", "doc_id", s"$root/idx")
+      graft.delta.GraftWriter.write(
+        docs.filter(col("doc_id") >= cuts(0) && col("doc_id") < cuts(1))
+          .select("doc_id", "text"),
+        src, org.apache.spark.sql.SaveMode.Append)
+      DedupIndex.refreshFromSource(s, s"$root/idx")
+      // delete wave 1 (delete-only window; the last batch below EXCLUDES
+      // these ids, so the final corpus is documents minus both waves —
+      // exactly what the oracle recomputes over)
+      graft.delta.Dml.delete(s, src, pmod(col("doc_id"), lit(10)) === 3)
+      DedupIndex.refreshFromSource(s, s"$root/idx")
+      graft.delta.GraftWriter.write(
+        docs.filter(col("doc_id") >= cuts(1) &&
+            pmod(col("doc_id"), lit(10)) =!= 3)
+          .select("doc_id", "text"),
+        src, org.apache.spark.sql.SaveMode.Append)
+      DedupIndex.refreshFromSource(s, s"$root/idx")
+      // delete wave 2: prunes families formed across every batch
+      graft.delta.Dml.delete(s, src, pmod(col("doc_id"), lit(10)) === 7)
+      DedupIndex.refreshFromSource(s, s"$root/idx")
+      DedupIndex.survivors(s, s"$root/idx")
+        .select(col("comp"), col("id").as("doc_id"),
+          col("len").as("text_len"))
+        .orderBy("comp", "doc_id")
+    },
+
     // tumbling-window event aggregation (batch shape of the streaming agg).
     "q31_events_window" -> { (s, dir) =>
       events(s, dir)
@@ -537,6 +580,33 @@ object PipelineQueries {
     "q81_dedup_incremental" ->
       """WITH RECURSIVE
         |d AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |       FROM d, UNNEST(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b FROM p0
+        |      JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+        |      WHERE 2 * inter >= (ca.n + cb.n - inter)),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (SELECT a, b FROM e
+        |                UNION
+        |                SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+        |fam AS (SELECT d.doc_id, d.text, coalesce(c.comp, d.doc_id) AS comp
+        |        FROM d LEFT JOIN comp c ON c.id = d.doc_id)
+        |SELECT comp, doc_id, CAST(length(text) AS BIGINT) AS text_len FROM (
+        |  SELECT comp, doc_id, text, row_number() OVER (
+        |    PARTITION BY comp ORDER BY length(text) DESC, doc_id) AS rn
+        |  FROM fam) WHERE rn = 1 ORDER BY comp, doc_id""".stripMargin,
+
+    // full recompute of the q81 closure over the POST-DELETE corpus
+    // (documents minus both q82 delete waves) — the delete-folding index
+    // must land on exactly this
+    "q82_dedup_deletes" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w
+        |      FROM documents WHERE doc_id % 10 NOT IN (3, 7)),
         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
         |       FROM d, UNNEST(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

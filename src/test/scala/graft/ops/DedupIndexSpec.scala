@@ -313,16 +313,129 @@ class DedupIndexSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.unset("spark.graft.dedup.maintainTargetBytes")
   }
 
-  test("non-append source changes are refused loudly") {
+  test("r15: deletes fold — non-survivor, survivor, and bridge deletions ≡ full recompute") {
+    val r = root("del")
+    val src = s"$r/source"
+    graft.delta.GraftWriter.write(corpus, src,
+      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$r/idx",
+      numHashes = 64, bands = 64)
+    // family {1,101,301} comp 1 (301 survives: longest); bridge family
+    // {10,110,210} comp 10 (210 survives; 10~210, 110~210, but 10 !~ 110)
+    def comps(ids: Long*): Set[Long] =
+      DedupIndex.members(spark, s"$r/idx")
+        .filter(col("id").isin(ids.map(Long.box): _*))
+        .select("comp").as[Long].collect().toSet
+
+    // 1. delete a NON-SURVIVOR member (1): family relabels to min remaining
+    graft.delta.Dml.delete(spark, src, col("doc_id") === 1L)
+    DedupIndex.refreshFromSource(spark, s"$r/idx")
+    assert(comps(101L, 301L) == Set(101L), "family must relabel to 101")
+    assert(DedupIndex.survivors(spark, s"$r/idx")
+      .filter(col("comp") === 101L).select("id").as[Long].head() == 301L)
+    assert(DedupIndex.survivors(spark, s"$r/idx")
+      .filter(col("comp") === 1L).count() == 0, "old label row must go")
+
+    // 2. delete the BRIDGE (210): {10,110} must SPLIT (J(10,110) < 1/2)
+    graft.delta.Dml.delete(spark, src, col("doc_id") === 210L)
+    DedupIndex.refreshFromSource(spark, s"$r/idx")
+    assert(comps(10L) == Set(10L) && comps(110L) == Set(110L),
+      "bridge deletion must split the family")
+    assert(DedupIndex.survivors(spark, s"$r/idx")
+      .filter(col("comp").isin(10L, 110L)).count() == 2)
+
+    // 3. delete the SURVIVOR (301): {101} re-elects 101
+    graft.delta.Dml.delete(spark, src, col("doc_id") === 301L)
+    DedupIndex.refreshFromSource(spark, s"$r/idx")
+    assert(DedupIndex.survivors(spark, s"$r/idx")
+      .filter(col("comp") === 101L).select("id").as[Long].head() == 101L)
+
+    // 4. a later insert window still folds correctly against the
+    // post-delete standing state, and the whole thing ≡ a full rebuild
+    graft.delta.GraftWriter.write(
+      Seq((900L, words(7, 0, 24) + " tailnine")).toDF("doc_id", "text"),
+      src, SaveMode.Append) // near-dup of the remaining 101
+    DedupIndex.refreshFromSource(spark, s"$r/idx")
+    assert(comps(101L, 900L) == Set(101L), "insert must join the family")
+    val rf = root("delfull")
+    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$rf/idx",
+      numHashes = 64, bands = 64)
+    assert(dump(DedupIndex.survivors(spark, s"$r/idx")) ==
+      dump(DedupIndex.survivors(spark, s"$rf/idx")), "≡ full recompute")
+    assert(dump(DedupIndex.members(spark, s"$r/idx")
+        .select(col("comp"), col("id"), col("len"))) ==
+      dump(DedupIndex.members(spark, s"$rf/idx")
+        .select(col("comp"), col("id"), col("len"))), "members ≡")
+    // deleted docs' band rows are physically gone
+    assert(graft.delta.DeltaTable.forPath(spark, s"$r/idx/buckets").toDF
+      .filter(col("id").isin(1L, 210L, 301L)).count() == 0)
+  }
+
+  test("r15: same-window delete + re-insert (replacement) re-indexes under the new text") {
+    val r = root("replace")
+    val src = s"$r/source"
+    graft.delta.GraftWriter.write(slice(corpus, 0, 100), src,
+      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$r/idx",
+      numHashes = 64, bands = 64)
+    // replace singleton 5's text with a near-dup of family {1,...}: the
+    // window carries DELETE(5, old) then INSERT(5, new)
+    graft.delta.Dml.delete(spark, src, col("doc_id") === 5L)
+    graft.delta.GraftWriter.write(
+      Seq((5L, words(7, 0, 24) + " tailfive")).toDF("doc_id", "text"),
+      src, SaveMode.Append)
+    DedupIndex.refreshFromSource(spark, s"$r/idx")
+    val m = DedupIndex.members(spark, s"$r/idx")
+      .filter(col("id").isin(1L, 5L)).select("comp").as[Long].collect().toSet
+    assert(m == Set(1L), s"replaced doc must join family 1, got $m")
+    val rf = root("replacefull")
+    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$rf/idx",
+      numHashes = 64, bands = 64)
+    assert(dump(DedupIndex.survivors(spark, s"$r/idx")) ==
+      dump(DedupIndex.survivors(spark, s"$rf/idx")))
+  }
+
+  test("r15: a replayed DELETE window (mark rewound) folds idempotently") {
+    val r = root("delreplay")
+    val src = s"$r/source"
+    graft.delta.GraftWriter.write(corpus, src,
+      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    val v0 = DedupIndex.buildFromSource(spark, src, "text", "doc_id",
+      s"$r/idx", numHashes = 64, bands = 64)
+    graft.delta.Dml.delete(spark, src, col("doc_id").isin(210L, 301L))
+    DedupIndex.refreshFromSource(spark, s"$r/idx")
+    val before = dump(DedupIndex.survivors(spark, s"$r/idx"))
+    val membersBefore = dump(DedupIndex.members(spark, s"$r/idx")
+      .select(col("comp"), col("id"), col("len")))
+    val bucketsBefore = graft.delta.DeltaTable
+      .forPath(spark, s"$r/idx/buckets").toDF.count()
+    // rewind the mark and re-fold the same delete window
+    val log = graft.delta.DeltaLog.forPath(spark, s"$r/idx/buckets")
+    log.update()
+    val txn = log.startTransaction()
+    txn.addAction(graft.delta.TxnAction(DedupIndex.SourceVersionApp, v0))
+    txn.commit()
+    DedupIndex.refreshFromSource(spark, s"$r/idx")
+    assert(dump(DedupIndex.survivors(spark, s"$r/idx")) == before)
+    assert(dump(DedupIndex.members(spark, s"$r/idx")
+      .select(col("comp"), col("id"), col("len"))) == membersBefore)
+    assert(graft.delta.DeltaTable.forPath(spark, s"$r/idx/buckets")
+      .toDF.count() == bucketsBefore)
+    assert(DedupIndex.refreshFromSource(spark, s"$r/idx") == ((0L, 0L)),
+      "the replay must still advance the mark")
+  }
+
+  test("UPDATE source changes are refused loudly (delete + re-insert is the path)") {
     val r = root("refuse")
     val src = s"$r/source"
     graft.delta.GraftWriter.write(slice(corpus, 0, 100), src,
       configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
     DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$r/idx")
-    graft.delta.Dml.delete(spark, src, col("doc_id") === 5L)
+    graft.delta.Dml.update(spark, src, col("doc_id") === 5L,
+      Map("text" -> lit("replaced text entirely")))
     val e = intercept[IllegalArgumentException] {
       DedupIndex.refreshFromSource(spark, s"$r/idx")
     }
-    assert(e.getMessage.contains("append-only"))
+    assert(e.getMessage.contains("UPDATE is not supported"))
   }
 }
