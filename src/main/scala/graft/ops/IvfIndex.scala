@@ -3,8 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.delta.{ChangeDataFeed, DeltaLog, DeltaTable, GraftWriter, Merge,
-  PartitionFilter, TxnAction}
+import graft.delta.{ChangeDataFeed, ColumnMapping, DeltaLog, DeltaTable, Dml,
+  GraftWriter, Merge, PartitionFilter, RemoveAction, TxnAction}
 
 /** IVF ANN index MAINTAINED AS GRAFT TABLES (r12 verdict #8): the
   * centroids and posting lists live in committed, partitioned delta
@@ -48,6 +48,7 @@ object IvfIndex {
   private def centroidsPath(root: String) = s"$root/centroids"
   private def postingsPath(root: String) = s"$root/postings"
   private def tombstonesPath(root: String) = s"$root/tombstones"
+  private def driftPath(root: String) = s"$root/drift"
 
   /** TxnAction appId carrying the indexed source high-water mark on the
     * postings table (version = last folded source commit). */
@@ -144,12 +145,30 @@ object IvfIndex {
     val cents = Similarity.centroids(
       assigned.select(col("cluster"), col("vec")), "vec", "cluster")
       .select(col("cluster").as("cid"), col("centroid"))
+      .localCheckpoint(true) // the base-distance stats re-read it
+    // per-cluster mean assignment distance at build — the DRIFT BASELINE
+    // (r15 verdict #3): refreshes observe their batches' distances against
+    // it, so a distribution shift surfaces as ratio > 1 in driftReport
+    // without ever re-scanning the index
+    val baseStats = assigned
+      .select(col("cluster").as("cid"),
+        expr("transform(vec, x -> cast(x as double))").as("dv"))
+      .join(broadcast(cents.select(col("cid"),
+        expr("transform(centroid, x -> cast(x as double))").as("cdv"))),
+        Seq("cid"))
+      .withColumn("dist", expr(Similarity.SqDistExpr))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"), avg("dist").as("base_dist"))
+    val centsOut = cents.join(baseStats, Seq("cid"), "left")
+      .select(col("cid"), col("centroid"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("base_dist"), lit(0.0)).as("base_dist"))
     // ONE epoch stamps both tables; a crash between the two overwrites
     // leaves them differing, which checkEpoch turns into a loud refusal
     // instead of silent mixed-clustering recall collapse (r14 review)
     val epoch = java.util.UUID.randomUUID().toString
     def exists(p: String) = DeltaLog.forPath(spark, p).update().version >= 0
-    GraftWriter.write(cents.coalesce(1), centroidsPath(root),
+    GraftWriter.write(centsOut.coalesce(1), centroidsPath(root),
       SaveMode.Overwrite, overwriteSchema = exists(centroidsPath(root)),
       configuration = Some(Map(EpochKey -> epoch)))
     // the binding + mark ride the postings commit; on a REBUILD of a bound
@@ -173,6 +192,22 @@ object IvfIndex {
         tombSchema),
       tombstonesPath(root), SaveMode.Overwrite,
       overwriteSchema = exists(tombstonesPath(root)))
+    // drift observations reset with the index (the baselines they compare
+    // against were just recomputed)
+    val driftSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ver",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("mean_dist",
+        org.apache.spark.sql.types.DoubleType)))
+    GraftWriter.write(
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        driftSchema),
+      driftPath(root), SaveMode.Overwrite,
+      overwriteSchema = exists(driftPath(root)))
   }
 
   /** Refuse an index whose centroids and postings carry DIFFERENT build
@@ -218,8 +253,8 @@ object IvfIndex {
     if (n > 0) {
       // pre-r14 posting tables have no ver column — keep appending to them
       val frame =
-        if (snap.schema.fieldNames.contains("ver")) assigned
-        else assigned.drop("ver")
+        if (snap.schema.fieldNames.contains("ver")) assigned.drop("dist")
+        else assigned.drop("ver", "dist")
       GraftWriter.write(frame, postingsPath(root), SaveMode.Append,
         partitionBy = Seq("cluster"))
     }
@@ -229,7 +264,8 @@ object IvfIndex {
   /** nearest EXISTING centroid via the shared squared-L2 assignment —
     * same metric as the build's kmeans loop and the probe's cluster
     * ranking (one definition, Similarity.SqDistExpr). Input (id, vec, ver),
-    * output (id, cluster, vec, ver) materialized. */
+    * output (id, cluster, vec, ver, dist) materialized — `dist` feeds the
+    * drift telemetry and is dropped before any table write. */
   private def assignFresh(spark: SparkSession, fresh: DataFrame,
                           root: String): DataFrame = {
     val cents = DeltaTable.forPath(spark, centroidsPath(root)).toDF
@@ -238,8 +274,8 @@ object IvfIndex {
     // loss, so defend here too (r14 review)
     require(!cents.isEmpty, s"index at $root has an empty centroid table")
     fresh
-      .join(Similarity.assignToCentroids(fresh, "id", "vec", cents), "id")
-      .select(col("id"), col("cluster"), col("vec"), col("ver"))
+      .join(Similarity.assignToCentroidsWithDist(fresh, "id", "vec", cents), "id")
+      .select(col("id"), col("cluster"), col("vec"), col("ver"), col("dist"))
       .localCheckpoint(true)
   }
 
@@ -337,11 +373,15 @@ object IvfIndex {
         val assigned = assignFresh(spark, adds, root)
         val nAdds = assigned.count()
         val markAction = Seq(TxnAction(SourceVersionApp, now))
-        if (nAdds > 0)
-          GraftWriter.write(assigned, postingsPath(root), SaveMode.Append,
+        if (nAdds > 0) {
+          GraftWriter.write(assigned.drop("dist"), postingsPath(root),
+            SaveMode.Append,
             partitionBy = Seq("cluster"), extraActions = markAction,
             requireAppVersion = Some((SourceVersionApp, last)))
-        else {
+          // drift telemetry AFTER the mark — advisory only, so a crash
+          // loses a drift row, never index state (r15 verdict #3)
+          appendDriftObs(spark, root, now, assigned)
+        } else {
           // delete-only (or no-op) window: advance the mark with a bare
           // metadata commit so later refreshes never re-read this window —
           // under the same still-at-`last` precondition as the data path
@@ -363,6 +403,152 @@ object IvfIndex {
     if (log.update().version < 0) None // pre-r14 index layout
     else Some(DeltaTable.forPath(spark, tombstonesPath(root)).toDF
       .groupBy("id").agg(max("ver").as("kill_ver")))
+  }
+
+  /** One (ver, cid, n, mean_dist) row per cluster the refresh touched —
+    * the stats the refresh computed anyway. Pre-r15 layouts (no drift
+    * table) skip silently. */
+  private def appendDriftObs(spark: SparkSession, root: String, ver: Long,
+                             assigned: DataFrame): Unit = {
+    if (DeltaLog.forPath(spark, driftPath(root)).update().version < 0) return
+    val obs = assigned
+      .groupBy(col("cluster").as("cid"))
+      .agg(count(lit(1)).as("n"), avg("dist").as("mean_dist"))
+      .select(lit(ver).as("ver"), col("cid"), col("n"), col("mean_dist"))
+    GraftWriter.write(obs.coalesce(1), driftPath(root), SaveMode.Append)
+  }
+
+  /** Per-cluster drift report (r15 verdict #3): the build-time baseline
+    * mean assignment distance vs the weighted mean over the most recent
+    * `recentRefreshes` refreshes' observations. `ratio` > ~2 with a
+    * non-trivial `recent_n` means arriving vectors no longer fit the
+    * cluster's build-time region — recall at a fixed nProbe decays
+    * silently; [[reclusterCluster]] repairs the flagged cluster in
+    * O(cluster), not O(index). Reads k + O(refreshes) rows — never the
+    * postings. Columns: (cid, n, base_dist, recent_n, recent_dist, ratio);
+    * ratio is null for clusters with no recent arrivals or a zero
+    * baseline. */
+  def driftReport(spark: SparkSession, root: String,
+                  recentRefreshes: Int = 5): DataFrame = {
+    checkEpoch(spark, root)
+    val cents = DeltaTable.forPath(spark, centroidsPath(root)).toDF
+    require(cents.columns.contains("base_dist"),
+      s"index at $root predates drift baselines — rebuild it to enable " +
+      "drift detection")
+    val drift = DeltaTable.forPath(spark, driftPath(root)).toDF
+    val recentVers = drift.select("ver").distinct()
+      .orderBy(col("ver").desc).limit(recentRefreshes)
+    val recent = drift.join(broadcast(recentVers), Seq("ver"))
+      .groupBy("cid")
+      .agg((sum(col("mean_dist") * col("n")) / sum(col("n"))).as("recent_dist"),
+        sum("n").as("recent_n"))
+    cents.select("cid", "n", "base_dist")
+      .join(recent, Seq("cid"), "left")
+      .select(col("cid"), col("n"), col("base_dist"),
+        coalesce(col("recent_n"), lit(0L)).as("recent_n"),
+        col("recent_dist"),
+        when(col("base_dist") > 0, col("recent_dist") / col("base_dist"))
+          .as("ratio"))
+      .orderBy("cid")
+  }
+
+  /** Split ONE drifted cluster and reassign only ITS postings — O(hot
+    * cluster), never O(index) (r15 verdict #3). Commit order is chosen so
+    * a crash anywhere leaves only harmless extra or empty centroid rows,
+    * never hidden postings:
+    *  1. append the `nSplit` fresh centroid rows (new cids above the
+    *     current max) with their own drift baselines — the old centroid
+    *     row STAYS, so rows still in the old partition remain probeable;
+    *  2. move the cluster's LIVE posting rows to their new clusters in ONE
+    *     commit (remove old partition files + add reassigned files;
+    *     tombstoned rows drop — a free partial compaction). The commit
+    *     declares its read domain, so a concurrent refresh appending into
+    *     the moving cluster conflicts instead of landing in a removed
+    *     partition;
+    *  3. drop the now-empty old centroid row.
+    * A crash between 2 and 3 leaves an empty probed partition (wasted
+    * nProbe slot, zero recall impact); re-running the method heals it (an
+    * empty live cluster skips to step 3). Returns the new cids (empty when
+    * the cluster had no live rows). */
+  def reclusterCluster(spark: SparkSession, root: String, cid: Int,
+                       nSplit: Int = 2, kmeansIters: Int = 3): Seq[Int] = {
+    checkEpoch(spark, root)
+    require(nSplit >= 2, s"nSplit must be >= 2, got $nSplit")
+    val live = prunedLive(spark, root, Seq(cid))
+      .localCheckpoint(true) // sub-kmeans + centroid stats + stage read it
+    if (live.isEmpty) {
+      // crash heal (step 2 landed, 3 did not) or a genuinely empty cluster
+      Dml.delete(spark, centroidsPath(root), col("cid") === cid)
+      return Nil
+    }
+    val maxCid = DeltaTable.forPath(spark, centroidsPath(root)).toDF
+      .agg(max("cid")).first().getInt(0)
+    val sub = Similarity.kmeansAssign(live, "id", "vec", nSplit, kmeansIters)
+    val moved = live.select("id", "vec", "ver")
+      .join(sub.select(col("id"),
+        (col("cluster") + lit(maxCid + 1)).cast("int").as("cluster")), "id")
+      .select(col("id"), col("cluster"), col("vec"), col("ver"))
+      .localCheckpoint(true) // centroid stats + the staged write read it
+    val newCids = moved.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    // 1. fresh centroid rows, with their own drift baselines
+    val subCents = Similarity.centroids(
+        moved.select(col("cluster"), col("vec")), "vec", "cluster")
+      .select(col("cluster").as("cid"), col("centroid"))
+      .localCheckpoint(true)
+    val subStats = moved
+      .select(col("cluster").as("cid"),
+        expr("transform(vec, x -> cast(x as double))").as("dv"))
+      .join(broadcast(subCents.select(col("cid"),
+        expr("transform(centroid, x -> cast(x as double))").as("cdv"))),
+        Seq("cid"))
+      .withColumn("dist", expr(Similarity.SqDistExpr))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"), avg("dist").as("base_dist"))
+    GraftWriter.write(
+      subCents.join(subStats, Seq("cid"), "left")
+        .select(col("cid"), col("centroid"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("base_dist"), lit(0.0)).as("base_dist"))
+        .coalesce(1),
+      centroidsPath(root), SaveMode.Append)
+    // 2. the move — one commit, read-domain-declared
+    val log = DeltaLog.forPath(spark, postingsPath(root))
+    val snap = log.update()
+    require(!ColumnMapping.isMapped(snap) && !ChangeDataFeed.enabled(snap),
+      "reclusterCluster supports plain posting tables only")
+    val oldFiles = PartitionFilter.prune(snap.files,
+      Seq(PartitionFilter.Eq("cluster", cid.toString)))
+    val adds = GraftWriter.stageFiles(moved, postingsPath(root), Seq("cluster"))
+    val nowMs = System.currentTimeMillis()
+    val txn = log.startTransaction()
+      .withReadFilters(Seq(PartitionFilter.Eq("cluster", cid.toString)))
+    // mutual loud exclusion with a concurrent refreshFromSource (which
+    // assigns against the centroids read at ITS start — a stale read could
+    // append into the partition this commit removes): re-assert the
+    // CURRENT mark value. Either order now trips the same-appId conflict
+    // on the laggard, which retries against the new layout. Unbound
+    // indexes have no mark — do not run ad-hoc refresh() concurrently
+    // with maintenance.
+    snap.appTransactionVersion.get(SourceVersionApp).foreach { m =>
+      txn.requireAppVersion(SourceVersionApp, m)
+      txn.addAction(TxnAction(SourceVersionApp, m))
+    }
+    oldFiles.foreach(f => txn.addAction(RemoveAction(
+      path = f.path, deletionTimestamp = nowMs, dataChange = true,
+      extendedFileMetadata = Some(true),
+      partitionValues = Some(f.partitionValues), size = Some(f.size))))
+    txn.addActions(adds)
+    try txn.commit()
+    catch {
+      case e: Throwable =>
+        try GraftWriter.discardStaged(spark, postingsPath(root), adds)
+        catch { case _: Exception => () }
+        throw e
+    }
+    // 3. retire the old centroid row
+    Dml.delete(spark, centroidsPath(root), col("cid") === cid)
+    newCids
   }
 
   /** Physically apply the tombstones to the posting table (one MERGE — the

@@ -137,6 +137,22 @@ object Similarity {
       .groupBy(idCol)
       .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cluster"))
 
+  /** As [[assignToCentroids]], but ALSO returning the winning squared
+    * distance — (idCol, cluster, dist). The drift telemetry's substrate:
+    * the refresh computes these distances anyway, so observing them per
+    * cluster is free (r15 verdict #3). */
+  def assignToCentroidsWithDist(vectors: DataFrame, idCol: String,
+                                vecCol: String, cents: DataFrame): DataFrame =
+    vectors.select(col(idCol),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("dv"))
+      .crossJoin(broadcast(cents.select(col("cid"),
+        expr("transform(centroid, x -> cast(x as double))").as("cdv"))))
+      .withColumn("dist", expr(SqDistExpr))
+      .groupBy(idCol)
+      .agg(min_by(struct(col("cid"), col("dist")),
+        struct(col("dist"), col("cid"))).as("w"))
+      .select(col(idCol), col("w.cid").as("cluster"), col("w.dist").as("dist"))
+
   /** Deterministic k-means-lite coarse quantizer: centroids initialized from
     * the `k` lowest-id vectors, `iters` Lloyd iterations expressed as
     * DataFrame ops (assign = broadcast-centroids crossJoin + `min_by` on

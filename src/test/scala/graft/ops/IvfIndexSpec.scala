@@ -299,6 +299,100 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
       s"adversarial corpus must actually degrade partial probes: $recalls")
   }
 
+  test("r15: drift is flagged, a partial re-cluster restores recall, baselines refresh") {
+    import spark.implicits._
+    val r = root("drift")
+    val src = s"$r/source"
+    // unit directions scaled to norm 10, so dot ranking ≡ L2 ranking and
+    // both the assignment metric and the probe ordering agree with truth
+    def vec(dir: Seq[Double]): Array[Float] = {
+      val n = math.sqrt(dir.map(x => x * x).sum)
+      dir.map(x => (x / n * 10.0).toFloat).toArray
+    }
+    // ids interleave across modes (m + 4i) so k-means' lowest-id seeds —
+    // ids 100..103 — land one per mode and the build separates cleanly
+    def mode(base: Int, count: Int): Seq[(Long, Array[Float])] =
+      (0 until count).map { i =>
+        val d = Seq(0.0, 0.0, 0.0, 0.0)
+          .updated(base, 1.0).updated((base + 1) % 4, 0.0005 * i)
+        (100L + base + 4L * i, vec(d))
+      }
+    // four tight build modes along e1..e4 — k-means lands one cluster each
+    val buildRows = mode(0, 40) ++ mode(1, 40) ++ mode(2, 40) ++ mode(3, 40)
+    graft.delta.GraftWriter.write(
+      buildRows.toDF("vec_id", "embedding"), src,
+      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    IvfIndex.buildFromTable(spark, src, "vec_id", "embedding", s"$r/idx",
+      nClusters = 4, kmeansIters = 4)
+    val baseReport = IvfIndex.driftReport(spark, s"$r/idx").collect()
+    assert(baseReport.length == 4 && baseReport.forall(_.isNullAt(5)),
+      "no refreshes yet: every ratio must be null")
+
+    // DRIFT: a new mode between e1 and e2, all slightly e1-side — every
+    // vector assigns to the e1 cluster with a huge assignment distance.
+    // One drift id (50) sits BELOW every build id, so the later partial
+    // re-cluster's 2 lowest-id seeds are one drift vector + one core
+    // vector — a clean deterministic split
+    val driftRows = (0 until 20).map { i =>
+      val id = if (i == 0) 50L else 1000L + i
+      (id, vec(Seq(1.0 + 0.02 + 0.001 * i, 1.0, 0.0, 0.0)))
+    }
+    graft.delta.GraftWriter.write(driftRows.toDF("vec_id", "embedding"),
+      src, org.apache.spark.sql.SaveMode.Append)
+    IvfIndex.refreshFromSource(spark, s"$r/idx")
+
+    // the flag fires on exactly one cluster
+    val rep = IvfIndex.driftReport(spark, s"$r/idx")
+      .filter(col("ratio") > 2.0).collect()
+    assert(rep.length == 1, s"exactly the drifted cluster must flag, got " +
+      rep.map(_.getInt(0)).mkString(","))
+    val hotCid = rep.head.getInt(0)
+    assert(rep.head.getLong(3) == 20, "all 20 drift rows observed")
+
+    // a query just e2-side of the new mode: its nearest CENTROID is the e2
+    // cluster, but the truth (the new mode) lives in the e1 cluster —
+    // fixed-nProbe recall is broken until the hot cluster splits
+    val qv = vec(Seq(1.0 - 0.05, 1.0, 0.0, 0.0))
+    def top10Ids(nProbe: Int): Set[Long] =
+      IvfIndex.topK(spark, s"$r/idx", qv, k = 10, nProbe = nProbe)
+        .select("id").as[Long].collect().toSet
+    val truth = driftRows.map(_._1).toSet // every drift id dominates by dot
+    val before = top10Ids(1)
+    assert((before intersect truth).isEmpty,
+      s"drifted state must MISS the new mode at nProbe=1, got $before")
+
+    // partial re-cluster of the flagged cluster only
+    val newCids = IvfIndex.reclusterCluster(spark, s"$r/idx", hotCid,
+      nSplit = 2, kmeansIters = 4)
+    assert(newCids.size == 2)
+    val after = top10Ids(1)
+    assert((after intersect truth).size == 10,
+      s"split must restore nProbe=1 recall, got $after")
+    // exhaustive probe still exact, and no row was lost or duplicated
+    val kNow = graft.delta.DeltaTable
+      .forPath(spark, s"$r/idx/centroids").toDF.count().toInt
+    val all = IvfIndex.topK(spark, s"$r/idx", qv, k = 10, nProbe = kNow)
+      .select("id").as[Long].collect().toSet
+    assert(all == after, "exhaustive probe agrees with the split probe")
+    assert(graft.delta.DeltaTable.forPath(spark, s"$r/idx/postings")
+      .toDF.count() == buildRows.size + driftRows.size)
+    assert(graft.delta.DeltaTable.forPath(spark, s"$r/idx/postings")
+      .toDF.select("id").distinct().count() == buildRows.size + driftRows.size)
+    // the old centroid row retired; the split rows carry fresh baselines
+    val cents = graft.delta.DeltaTable.forPath(spark, s"$r/idx/centroids")
+      .toDF.select("cid").as[Int].collect().toSet
+    assert(!cents.contains(hotCid) && newCids.forall(cents.contains))
+    // re-running the re-cluster on a now-empty cid heals idempotently
+    assert(IvfIndex.reclusterCluster(spark, s"$r/idx", hotCid).isEmpty)
+    // and the lifecycle continues: another refresh lands in the new layout
+    graft.delta.GraftWriter.write(
+      Seq((2000L, vec(Seq(1.02, 1.0, 0.0, 0.0)))).toDF("vec_id", "embedding"),
+      src, org.apache.spark.sql.SaveMode.Append)
+    IvfIndex.refreshFromSource(spark, s"$r/idx")
+    assert(IvfIndex.topK(spark, s"$r/idx", qv, k = 21, nProbe = kNow)
+      .filter(col("id") === 2000L).count() == 1)
+  }
+
   test("embeddingSimilarPairs guard refuses above maxRows unless overridden") {
     val e = intercept[IllegalArgumentException] {
       Dedup.embeddingSimilarPairs(vecs, "vec_id", "embedding", 95, 100,
