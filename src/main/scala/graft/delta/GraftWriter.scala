@@ -66,11 +66,19 @@ object GraftWriter {
             // racing incremental maintainers serialize instead of
             // double-applying a window and regressing the mark (r14
             // second review pass; snapshot threading fixed per r15 advice).
-            requireAppVersion: Option[(String, Long)] = None): Long = {
+            requireAppVersion: Option[(String, Long)] = None,
+            // additional (appId, version) preconditions with the same
+            // contract as requireAppVersion — independent marks compose
+            // (e.g. a progress mark plus a layout epoch, r15)
+            requireAppVersions: Seq[(String, Long)] = Nil,
+            // tags stamped on every Add this write commits — lets a caller
+            // lay data out pre-sorted AND stamp the clustering spec in ONE
+            // pass instead of write-then-recluster (r15 review)
+            fileTags: Map[String, String] = Map.empty): Long = {
     val spark = dfIn.sparkSession
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
-    requireAppVersion.foreach { case (app, want) =>
+    (requireAppVersion.toSeq ++ requireAppVersions).foreach { case (app, want) =>
       // FAST-FAIL only: saves the staging job when the mark is already
       // stale. The binding check is txn.requireAppVersion at commit time —
       // this snapshot predates the (possibly long) staging job, and a
@@ -257,7 +265,7 @@ object GraftWriter {
         math.max(base, needed)
       }
     }
-    val adds =
+    val addsUntagged =
       if (mapped)
         // id-mapped tables: staged files must carry parquet footer field
         // ids (Spark stamps them from the attached metadata on write)
@@ -271,11 +279,15 @@ object GraftWriter {
             partCols.map(c => ColumnMapping.physicalName(annSchema, c)), statsIdx)
         case None => stageFiles(enforced, path, partCols, statsIdx)
       }
+    val adds =
+      if (fileTags.isEmpty) addsUntagged
+      else addsUntagged.map(a =>
+        a.copy(tags = Some(a.tags.getOrElse(Map.empty) ++ fileTags)))
     val now = System.currentTimeMillis()
     val txn = log.startTransaction()
-    // the authoritative mark precondition, against the txn's OWN read
+    // the authoritative mark preconditions, against the txn's OWN read
     // snapshot — see the parameter doc (r15 advice)
-    requireAppVersion.foreach { case (app, want) =>
+    (requireAppVersion.toSeq ++ requireAppVersions).foreach { case (app, want) =>
       txn.requireAppVersion(app, want)
     }
     if (mapped) txn.permitNameMappedCommit()

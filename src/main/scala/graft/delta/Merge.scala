@@ -73,6 +73,17 @@ final class MergeBuilder private[delta] (
     targetPrunePreds = preds; this
   }
 
+  private var targetPruner: Option[Seq[AddAction] => Seq[AddAction]] = None
+
+  /** As [[withTargetScanPredicates]] but with a caller-supplied file
+    * pruner, for shapes one conjunctive predicate list cannot express
+    * (e.g. a DIFFERENT key set per partition — the dedup index's per-band
+    * probe, r15 review). Same contract: the pruner must return a superset
+    * of the files holding source-matching rows; same by-source refusal. */
+  def withTargetScanPruner(pruner: Seq[AddAction] => Seq[AddAction]): MergeBuilder = {
+    targetPruner = Some(pruner); this
+  }
+
   def whenMatchedUpdate(set: Map[String, Column]): MergeBuilder =
     whenMatchedUpdate(lit(true), set)
   def whenMatchedUpdate(cond: Column, set: Map[String, Column]): MergeBuilder = {
@@ -227,12 +238,16 @@ final class MergeBuilder private[delta] (
         } catch { case _: Throwable => () }
       }
 
-    require(targetPrunePreds.isEmpty || bySourceClauses.isEmpty,
-      "withTargetScanPredicates cannot compose with by-source clauses: " +
-      "any file may hold unmatched target rows")
-    val candidateFiles =
-      if (targetPrunePreds.isEmpty) snap.files
-      else StatsPredicate.prune(snap.files, targetPrunePreds)
+    require((targetPrunePreds.isEmpty && targetPruner.isEmpty) ||
+        bySourceClauses.isEmpty,
+      "withTargetScanPredicates/Pruner cannot compose with by-source " +
+      "clauses: any file may hold unmatched target rows")
+    val candidateFiles = targetPruner match {
+      case Some(p) => p(StatsPredicate.prune(snap.files, targetPrunePreds))
+      case None =>
+        if (targetPrunePreds.isEmpty) snap.files
+        else StatsPredicate.prune(snap.files, targetPrunePreds)
+    }
     val affected =
       if (bySourceClauses.nonEmpty) snap.files
       else {

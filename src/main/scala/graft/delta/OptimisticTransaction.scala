@@ -130,7 +130,7 @@ final class OptimisticTransaction(val log: DeltaLog) {
   def addAction(a: Action): this.type = { actions += a; this }
   def addActions(as: Seq[Action]): this.type = { actions ++= as; this }
 
-  private var appVersionRequirement: Option[(String, Long)] = None
+  private val appVersionRequirements = mutable.Buffer[(String, Long)]()
 
   /** Refuse this transaction unless the table's TxnAction mark for `appId`
     * is exactly `version` in THIS transaction's read snapshot. The guarantee
@@ -142,12 +142,14 @@ final class OptimisticTransaction(val log: DeltaLog) {
     * `log.update()` taken before a long staging job) leaves a gap: a
     * concurrent same-JVM committer can advance the shared snapshot cache
     * between that check and `startTransaction()`, and its mark lands below
-    * our readVersion where the conflict check never looks (r15 advice). */
+    * our readVersion where the conflict check never looks (r15 advice).
+    * May be called once per appId — independent marks compose (e.g. a
+    * progress mark plus a layout epoch). */
   def requireAppVersion(appId: String, version: Long): this.type = {
     val cur = readSnapshot.appTransactionVersion.get(appId)
     if (!cur.contains(version))
       throw new StaleAppVersionException(appId, version, cur)
-    appVersionRequirement = Some((appId, version))
+    appVersionRequirements += ((appId, version))
     this
   }
 
@@ -182,7 +184,7 @@ final class OptimisticTransaction(val log: DeltaLog) {
     // a same-appId TxnAction in THIS commit, a competing mark landing during
     // the retry loop is not conflict-classified and the precondition is
     // silently void (r14 third review pass)
-    appVersionRequirement.foreach { case (app, _) =>
+    appVersionRequirements.foreach { case (app, _) =>
       require(actions.exists {
           case t: TxnAction => t.appId == app
           case _ => false

@@ -197,7 +197,7 @@ object Optimize {
     * tag matches the CURRENT spec is already clustered and is skipped by
     * the next [[cluster]] run; changing the declared columns changes the
     * spec string, so every file re-qualifies — a full re-layout. */
-  private[delta] val ClusterSpecTag = "graft.clustering.spec"
+  private[graft] val ClusterSpecTag = "graft.clustering.spec"
 
   /** Re-cluster a liquid-clustered table: read the clustering columns
     * from the `delta.clustering` domain (delta-spark's shape, authored by

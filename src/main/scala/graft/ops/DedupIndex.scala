@@ -3,8 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.delta.{ChangeDataFeed, DeltaLog, DeltaTable, GraftWriter, Merge,
-  Optimize, PartitionFilter, StatsPredicate, TxnAction}
+import graft.delta.{AddAction, ChangeDataFeed, DeltaLog, DeltaTable,
+  GraftWriter, Merge, Optimize, PartitionFilter, StatsPredicate, TxnAction}
 
 /** STANDING near-dup index (r13 verdict #2): the MinHash-LSH dedup state
   * persisted as graft tables, so an arriving batch is deduplicated against
@@ -95,30 +95,32 @@ object DedupIndex {
     DeltaTable.forPath(spark, path)
       .toDF(parts, keys.toSeq.map(ks => StatsPredicate.inLongSet(keyCol, ks)))
 
-  /** Buckets scan pruned PER BAND partition: a flat band_hash key set
-    * false-hits other bands' files whose hash ranges happen to contain a
-    * key (hashes are uniform, so every band's range overlaps every other's)
-    * — multiplying kept files by the band count. Each band's key set prunes
-    * only its own partition's files; ONE scan then covers the union (a
-    * per-band plan union cost bands× the planning work). `None` keys ⇒
-    * unpruned full scan (the over-cap fallback). */
+  /** Per-band file prune over buckets Adds: each band's key set prunes
+    * only its own partition's files — a FLAT key set would false-hit other
+    * bands' files whose (uniform) hash ranges overlap every key, keeping
+    * ~bands× more files. Shared by the probe scan and the delete MERGE. */
+  private def perBandPrune(files: Seq[AddAction],
+                           byBand: Map[Int, Array[Long]]): Seq[AddAction] =
+    files
+      // files of a band partition the probe has no keys for drop here
+      .filter(a => a.partitionValues.get("band_idx")
+        .exists(v => byBand.contains(v.toInt)))
+      .groupBy(_.partitionValues("band_idx").toInt)
+      .toSeq.flatMap { case (b, fs) =>
+        StatsPredicate.prune(fs,
+          Seq(StatsPredicate.inLongSet("band_hash", byBand(b))))
+      }
+
+  /** ONE buckets scan covering the union of the per-band pruned file sets.
+    * `None` keys ⇒ unpruned full scan (the over-cap fallback). */
   private[ops] def prunedBuckets(spark: SparkSession, root: String,
                                  keys: Option[Array[(Int, Long)]]): DataFrame = {
     val dt = DeltaTable.forPath(spark, bucketsPath(root))
     keys match {
       case None => dt.toDF
       case Some(ks) =>
-        val byBand = ks.groupBy(_._1)
-        val selected = dt.snapshot.files
-          // files of a band partition the probe has no keys for drop here
-          .filter(a => a.partitionValues.get("band_idx")
-            .exists(v => byBand.contains(v.toInt)))
-          .groupBy(_.partitionValues("band_idx").toInt)
-          .toSeq.flatMap { case (b, fs) =>
-            StatsPredicate.prune(fs,
-              Seq(StatsPredicate.inLongSet("band_hash", byBand(b).map(_._2))))
-          }
-        dt.toDFWithFiles(selected)
+        val byBand = ks.groupBy(_._1).map { case (b, ps) => b -> ps.map(_._2) }
+        dt.toDFWithFiles(perBandPrune(dt.snapshot.files, byBand))
     }
   }
 
@@ -135,6 +137,20 @@ object DedupIndex {
   private def maintainTargetBytes(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.dedup.maintainTargetBytes")
       .map(_.toLong).getOrElse(256L * 1024 * 1024)
+
+  /** [[maintain]] as a best-effort step inside refresh: by the time it
+    * runs the fold is fully committed and the mark advanced — a layout
+    * failure (e.g. an optimistic conflict with a concurrent writer) must
+    * not turn a COMMITTED refresh into a caller-visible failure; the next
+    * refresh's pass redoes the layout (r15 review). */
+  private def maintainBestEffort(spark: SparkSession, root: String): Unit =
+    try maintain(spark, root)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"graft: dedup-index layout maintenance at $root skipped " +
+          s"(next refresh retries): ${e.getMessage}")
+    }
 
   /** Layout maintenance: keep `buckets` clustered by band_hash and
     * `members` by id so the NEXT increment's probes prune to O(batch)
@@ -162,10 +178,16 @@ object DedupIndex {
     val epochs = Seq("buckets" -> bucketsPath(root),
         "members" -> membersPath(root), "survivors" -> survivorsPath(root))
       .flatMap { case (n, p) => cfg(p).get(EpochKey).map(n -> _) }
-    if (epochs.map(_._2).distinct.size > 1) throw new IllegalStateException(
-      s"dedup index at $root is torn: build epochs disagree " +
-      s"(${epochs.map { case (n, e) => s"$n=$e" }.mkString(", ")}) — a " +
-      "rebuild crashed between its table overwrites; rebuild it")
+    // mixed PRESENT/ABSENT is torn too: a rebuild of a pre-epoch index
+    // that crashed mid-way stamps some tables and not others (r15 review
+    // — the present-only comparison accepted exactly that state). Only
+    // all-absent (pre-epoch layout) or all-equal passes.
+    if (epochs.nonEmpty &&
+        (epochs.size < 3 || epochs.map(_._2).distinct.size > 1))
+      throw new IllegalStateException(
+        s"dedup index at $root is torn: build epochs disagree " +
+        s"(${epochs.map { case (n, e) => s"$n=$e" }.mkString(", ")}) — a " +
+        "rebuild crashed between its table overwrites; rebuild it")
   }
 
   /** Doc ids must be non-null and unique: a null id breaks the survivor
@@ -245,29 +267,39 @@ object DedupIndex {
     // serving mixed-params state (r15 advice)
     val epoch = java.util.UUID.randomUUID().toString
     def exists(p: String) = DeltaLog.forPath(spark, p).update().version >= 0
-    GraftWriter.write(members.select("id", "comp", "len"), membersPath(root),
+    // the probe-serving layout lands in ONE pass: the frames are
+    // range-shuffled and sorted on their clustering keys BEFORE the write
+    // and the files stamped with the clustering spec tag — writing
+    // unsorted and re-clustering would copy the whole corpus twice at
+    // build (r15 review). Buckets cluster by band_hash within each
+    // band_idx partition (the candidate + landed probes' key); members by
+    // id (the endpoint/fence probes' key; comp probes prune on the same
+    // layout because comp = the family's min id, which tracks id closely).
+    // Incremental cluster() passes during refresh keep the layout current.
+    GraftWriter.write(
+      members.select("id", "comp", "len")
+        .repartitionByRange(col("id")).sortWithinPartitions("id"),
+      membersPath(root),
       SaveMode.Overwrite, overwriteSchema = exists(membersPath(root)),
-      configuration = Some(Map(EpochKey -> epoch)))
+      configuration = Some(Map(EpochKey -> epoch)),
+      fileTags = Map(Optimize.ClusterSpecTag -> "id"))
     GraftWriter.write(pickSurvivor(members), survivorsPath(root),
       SaveMode.Overwrite, overwriteSchema = exists(survivorsPath(root)),
       configuration = Some(Map(EpochKey -> epoch)))
     val binding = Map(SourcePathKey -> sourcePath, TextColKey -> textCol,
       IdColKey -> idCol, EpochKey -> epoch,
       ParamsKey -> s"$thresholdNum,$thresholdDen,$numHashes,$bands")
-    GraftWriter.write(bandRows, bucketsPath(root), SaveMode.Overwrite,
+    GraftWriter.write(
+      bandRows.repartitionByRange(col("band_idx"), col("band_hash"))
+        .sortWithinPartitions("band_idx", "band_hash"),
+      bucketsPath(root), SaveMode.Overwrite,
       partitionBy = Seq("band_idx"),
       overwriteSchema = exists(bucketsPath(root)),
       configuration = Some(binding),
-      extraActions = Seq(TxnAction(SourceVersionApp, snap.version)))
-    // declare the probe-serving layout and lay it out once: buckets
-    // clustered by band_hash (the candidate + landed probes' key), members
-    // by id (the endpoint/fence probes' key; comp probes prune on the same
-    // layout because comp = the family's min id, which tracks id closely).
-    // Incremental cluster() passes during refresh keep it current — layout
-    // only, so a crash anywhere here never affects state (r15).
+      extraActions = Seq(TxnAction(SourceVersionApp, snap.version)),
+      fileTags = Map(Optimize.ClusterSpecTag -> "band_hash"))
     DeltaTable.forPath(spark, bucketsPath(root)).clusterBy(Seq("band_hash"))
     DeltaTable.forPath(spark, membersPath(root)).clusterBy(Seq("id"))
-    maintain(spark, root, full = true)
     snap.version
   }
 
@@ -338,12 +370,11 @@ object DedupIndex {
       .localCheckpoint(true) // shingles, bands, lengths all read it
     val nNew = batch.count()
     // every id with a delete event: its standing band rows (recomputable
-    // from the CDF pre-image text) must go, whether or not a re-insert
+    // from the window's texts) must go, whether or not a re-insert
     // follows in this same window
-    val delDocs = nets.filter(col("has_delete"))
-      .select(col("id"), col("del_text").as("text"))
+    val delIdsDf = nets.filter(col("has_delete")).select("id")
       .localCheckpoint(true) // buckets delete + family fold read it
-    val nDel = delDocs.count()
+    val nDel = delIdsDf.count()
     val markAction = Seq(TxnAction(SourceVersionApp, now))
     // bare mark advance, under the same still-at-`last` precondition as
     // the data path — two racing refreshes must serialize, not regress
@@ -374,7 +405,7 @@ object DedupIndex {
       if (n <= inMax) Some(df.select("id").collect().map(_.getLong(0)))
       else None
     val batchIds = idsOf(batch, nNew)
-    val delIds = idsOf(delDocs, nDel)
+    val delIds = idsOf(delIdsDf, nDel)
 
     // cross-window id-reuse fence (r15 advice): requireCleanIds only sees
     // THIS window — an id re-used across windows with DIFFERENT text would
@@ -409,25 +440,42 @@ object DedupIndex {
     // no-longer-standing and skips cleanly, with buckets/survivors already
     // consistent.
     if (nDel > 0) {
-      // a deleted doc's band rows are recomputed from its CDF pre-image
-      // text (minhash is deterministic) — prunable on the hash-clustered
-      // layout, and available identically on every replay
-      val delBands = bandRowsOf(delDocs, numHashes, bands)
-        .localCheckpoint(true)
-      val delBandKeys = {
-        val rows = delBands.select("band_hash").distinct()
+      // the standing rows for a deleted id derive from SOME text observed
+      // in or before this window: the pre-window text is a delete event's
+      // pre-image, and a REPLAYED window may have landed its in-window
+      // insert text (r15 review — folding only the LAST delete's pre-image
+      // orphaned the first pre-image's band rows on delete→insert→delete).
+      // Band rows recompute per (id, text) over ALL the id's window texts
+      // (≤2 distinct — divergent insert texts are refused above), keyed by
+      // a surrogate so a multi-text id doesn't merge its shingle sets.
+      val delTexts = pinned.join(broadcast(delIdsDf), Seq("id"))
+        .select(col("id"), col("text")).distinct()
+        .withColumn("k", xxhash64(col("id"), col("text")))
+        .localCheckpoint(true) // band recompute + the key re-join read it
+      val delBands = bandRowsOf(
+          delTexts.select(col("k").as("id"), col("text")), numHashes, bands)
+        .join(broadcast(delTexts.select(col("k").as("id"),
+          col("id").as("doc_id"))), Seq("id"))
+        .select(col("band_idx"), col("band_hash"), col("doc_id").as("id"))
+        .distinct() // two texts may share a band row — one source row each
+        .localCheckpoint(true) // MERGE source + prune keys both read it
+      val delBandKeys: Option[Map[Int, Array[Long]]] = {
+        val rows = delBands.select("band_idx", "band_hash").distinct()
           .limit(inMax + 1).collect()
-        if (rows.length > inMax) None else Some(rows.map(_.getLong(0)))
+        if (rows.length > inMax) None
+        else Some(rows.groupBy(_.getInt(0))
+          .map { case (b, rs) => b -> rs.map(_.getLong(1)) })
       }
-      Merge.into(spark, bucketsPath(root),
+      val bucketsDel = Merge.into(spark, bucketsPath(root),
           delBands.select("band_idx", "band_hash", "id"),
           col("t.band_idx") === col("s.band_idx") &&
             col("t.band_hash") === col("s.band_hash") &&
             col("t.id") === col("s.id"))
-        .withTargetScanPredicates(delBandKeys.toSeq
-          .map(ks => StatsPredicate.inLongSet("band_hash", ks)))
         .whenMatchedDelete()
-        .execute()
+      // per-band prune (a flat key set false-hits across bands, r15 review)
+      delBandKeys.foreach(bb =>
+        bucketsDel.withTargetScanPruner(fs => perBandPrune(fs, bb)))
+      bucketsDel.execute()
       // family re-split: a deleted doc may be a BRIDGE — re-verify the
       // affected families' remaining members (O(family): candidates from
       // an LSH self-join, texts re-read from the source pinned at `now`)
@@ -435,7 +483,7 @@ object DedupIndex {
       // when nodes vanish — no cross-family merge can appear here, so the
       // subgraph is exactly the affected families.
       val standingDel = prunedScan(spark, membersPath(root), "id", delIds)
-        .join(broadcast(delDocs.select("id")), Seq("id"))
+        .join(broadcast(delIdsDf), Seq("id"))
         .select("id", "comp").localCheckpoint(true) // bounded by the window
       if (!standingDel.isEmpty) {
         val affComps = standingDel.select("comp").distinct()
@@ -443,7 +491,7 @@ object DedupIndex {
         val famMembers = prunedScan(spark, membersPath(root), "comp", affCompIds)
           .join(broadcast(affComps), Seq("comp"))
         val remaining = famMembers
-          .join(broadcast(delDocs.select("id")), Seq("id"), "left_anti")
+          .join(broadcast(delIdsDf), Seq("id"), "left_anti")
           .select("id", "comp", "len").localCheckpoint(true)
         val remIds = longsOf(remaining, "id", inMax)
         val remDocs = DeltaTable.forPath(spark, srcPath, now)
@@ -507,7 +555,7 @@ object DedupIndex {
     if (nNew == 0) {
       // delete-only window: the fold above is complete; advance the mark
       bareMark()
-      maintain(spark, root)
+      maintainBestEffort(spark, root)
       return (0L, 0L)
     }
 
@@ -659,7 +707,7 @@ object DedupIndex {
       requireAppVersion = Some((SourceVersionApp, last)))
     // layout maintenance LAST (after the mark): pure layout, so a crash
     // before it only leaves some files unsorted for the next pass
-    maintain(spark, root)
+    maintainBestEffort(spark, root)
     (nNew, nEdges)
   }
 

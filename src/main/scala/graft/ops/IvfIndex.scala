@@ -53,6 +53,16 @@ object IvfIndex {
   /** TxnAction appId carrying the indexed source high-water mark on the
     * postings table (version = last folded source commit). */
   private[ops] val SourceVersionApp = "graft.ivf.sourceVersion"
+  /** TxnAction appId carrying the postings LAYOUT EPOCH: every commit that
+    * changes the CENTROID SET (re-cluster move, ghost/orphan heal) bumps
+    * it, and every refresh's posting append re-asserts the value it read
+    * BEFORE assigning clusters. A refresh whose centroid read predates a
+    * concurrent re-cluster therefore aborts (StaleAppVersionException or
+    * the same-appId conflict) instead of appending rows into a cluster
+    * whose centroid was just retired — rows no probe would ever rank (r15
+    * review). Builds stamp 0; pre-r15 posting tables convert on their
+    * first refresh. */
+  private[ops] val LayoutEpochApp = "graft.ivf.layoutEpoch"
   /** Postings-table configuration keys binding the index to its source. */
   private[ops] val SourcePathKey = "graft.ivf.sourcePath"
   private[ops] val SourceIdKey = "graft.ivf.idCol"
@@ -89,6 +99,11 @@ object IvfIndex {
     buildInternal(spark, vectors, idCol, vecCol, root, nClusters,
       kmeansIters, ver = 0L, binding = Map.empty, mark = Nil)
   }
+
+  /** The postings table's current layout epoch (absent on pre-r15 tables). */
+  private def layoutEpochOf(spark: SparkSession, root: String): Option[Long] =
+    DeltaLog.forPath(spark, postingsPath(root)).update()
+      .appTransactionVersion.get(LayoutEpochApp)
 
   /** Full (re)build BOUND to a source graft table (must have
     * `delta.enableChangeDataFeed=true` for [[refreshFromSource]] to work):
@@ -178,7 +193,7 @@ object IvfIndex {
       partitionBy = Seq("cluster"),
       overwriteSchema = exists(postingsPath(root)),
       configuration = Some(binding + (EpochKey -> epoch)),
-      extraActions = mark)
+      extraActions = mark :+ TxnAction(LayoutEpochApp, 0L))
     // the tombstone id column must carry the SOURCE id type — a (long,
     // long) literal frame wedged every non-long-keyed index on its first
     // delete window (r14 review)
@@ -342,6 +357,11 @@ object IvfIndex {
     checkEpoch(spark, root)
     val binding = bindingOf(spark, root)
     val (_, idCol, vecCol, last) = binding
+    // the layout epoch is read BEFORE any centroid read: the posting
+    // append below re-asserts it, so a centroid-set change landing
+    // anywhere between here and the commit aborts this refresh instead of
+    // letting it append into a retired cluster (see LayoutEpochApp)
+    val layoutV = layoutEpochOf(spark, root)
     pendingWindow(spark, binding) match {
       case None => (0L, 0L)
       case Some((changes, now)) =>
@@ -376,8 +396,11 @@ object IvfIndex {
         if (nAdds > 0) {
           GraftWriter.write(assigned.drop("dist"), postingsPath(root),
             SaveMode.Append,
-            partitionBy = Seq("cluster"), extraActions = markAction,
-            requireAppVersion = Some((SourceVersionApp, last)))
+            partitionBy = Seq("cluster"),
+            extraActions = markAction :+
+              TxnAction(LayoutEpochApp, layoutV.getOrElse(0L)),
+            requireAppVersion = Some((SourceVersionApp, last)),
+            requireAppVersions = layoutV.map((LayoutEpochApp, _)).toSeq)
           // drift telemetry AFTER the mark — advisory only, so a crash
           // loses a drift row, never index state (r15 verdict #3)
           appendDriftObs(spark, root, now, assigned)
@@ -453,32 +476,40 @@ object IvfIndex {
   }
 
   /** Split ONE drifted cluster and reassign only ITS postings — O(hot
-    * cluster), never O(index) (r15 verdict #3). Commit order is chosen so
-    * a crash anywhere leaves only harmless extra or empty centroid rows,
-    * never hidden postings:
+    * cluster), never O(index) (r15 verdict #3). Order of operations (each
+    * its own commit; two tables cannot commit atomically):
+    *  0. [[healLayout]] — ghosts from any previously crashed attempt die
+    *     first, so a retry cannot leave centroid rows that consume probe
+    *     slots in the hot region forever (r15 review);
     *  1. append the `nSplit` fresh centroid rows (new cids above the
     *     current max) with their own drift baselines — the old centroid
     *     row STAYS, so rows still in the old partition remain probeable;
     *  2. move the cluster's LIVE posting rows to their new clusters in ONE
-    *     commit (remove old partition files + add reassigned files;
-    *     tombstoned rows drop — a free partial compaction). The commit
-    *     declares its read domain, so a concurrent refresh appending into
-    *     the moving cluster conflicts instead of landing in a removed
-    *     partition;
-    *  3. drop the now-empty old centroid row.
-    * A crash between 2 and 3 leaves an empty probed partition (wasted
-    * nProbe slot, zero recall impact); re-running the method heals it (an
-    * empty live cluster skips to step 3). Returns the new cids (empty when
-    * the cluster had no live rows). */
+    *     commit that also bumps the layout epoch (tombstoned rows drop — a
+    *     free partial compaction);
+    *  3. retire the old centroid row and its drift telemetry, then bump
+    *     the layout epoch again — a refresh that read centroids between 2
+    *     and 3 aborts at its commit instead of landing rows in the retired
+    *     cluster. (One that commits inside the tiny 3→bump window leaves
+    *     orphan rows; the next [[healLayout]] re-homes them.)
+    * Returns the new cids (empty when the cluster had no live rows). */
   def reclusterCluster(spark: SparkSession, root: String, cid: Int,
                        nSplit: Int = 2, kmeansIters: Int = 3): Seq[Int] = {
     checkEpoch(spark, root)
     require(nSplit >= 2, s"nSplit must be >= 2, got $nSplit")
+    healLayout(spark, root)
     val live = prunedLive(spark, root, Seq(cid))
       .localCheckpoint(true) // sub-kmeans + centroid stats + stage read it
     if (live.isEmpty) {
-      // crash heal (step 2 landed, 3 did not) or a genuinely empty cluster
-      Dml.delete(spark, centroidsPath(root), col("cid") === cid)
+      // all-tombstoned cluster: drop its dead files, retire the centroid
+      val dt = DeltaTable.forPath(spark, postingsPath(root))
+      val deadFiles = PartitionFilter.prune(dt.snapshot.files,
+        Seq(PartitionFilter.Eq("cluster", cid.toString)))
+      if (deadFiles.nonEmpty)
+        moveRows(spark, root, deadFiles,
+          live.select("id", "cluster", "vec", "ver"), Seq(cid))
+      retireCentroids(spark, root, Seq(cid))
+      bumpLayout(spark, root)
       return Nil
     }
     val maxCid = DeltaTable.forPath(spark, centroidsPath(root)).toDF
@@ -512,29 +543,37 @@ object IvfIndex {
           coalesce(col("base_dist"), lit(0.0)).as("base_dist"))
         .coalesce(1),
       centroidsPath(root), SaveMode.Append)
-    // 2. the move — one commit, read-domain-declared
+    // 2. the move — one commit, read-domain-declared, layout-bumping
+    val dt = DeltaTable.forPath(spark, postingsPath(root))
+    val oldFiles = PartitionFilter.prune(dt.snapshot.files,
+      Seq(PartitionFilter.Eq("cluster", cid.toString)))
+    moveRows(spark, root, oldFiles, moved, Seq(cid))
+    // 3. retire the old centroid + its telemetry, fence once more
+    retireCentroids(spark, root, Seq(cid))
+    bumpLayout(spark, root)
+    newCids
+  }
+
+  /** One-commit posting move (stage `rows`, remove `removeFiles`, declare
+    * the `readClusters` domain, bump the layout epoch under its
+    * still-unchanged precondition). Shared by [[reclusterCluster]] and
+    * [[healLayout]]. */
+  private def moveRows(spark: SparkSession, root: String,
+                       removeFiles: Seq[graft.delta.AddAction],
+                       rows: DataFrame, readClusters: Seq[Int]): Unit = {
     val log = DeltaLog.forPath(spark, postingsPath(root))
     val snap = log.update()
     require(!ColumnMapping.isMapped(snap) && !ChangeDataFeed.enabled(snap),
-      "reclusterCluster supports plain posting tables only")
-    val oldFiles = PartitionFilter.prune(snap.files,
-      Seq(PartitionFilter.Eq("cluster", cid.toString)))
-    val adds = GraftWriter.stageFiles(moved, postingsPath(root), Seq("cluster"))
+      "IVF layout maintenance supports plain posting tables only")
+    val adds = GraftWriter.stageFiles(rows, postingsPath(root), Seq("cluster"))
     val nowMs = System.currentTimeMillis()
     val txn = log.startTransaction()
-      .withReadFilters(Seq(PartitionFilter.Eq("cluster", cid.toString)))
-    // mutual loud exclusion with a concurrent refreshFromSource (which
-    // assigns against the centroids read at ITS start — a stale read could
-    // append into the partition this commit removes): re-assert the
-    // CURRENT mark value. Either order now trips the same-appId conflict
-    // on the laggard, which retries against the new layout. Unbound
-    // indexes have no mark — do not run ad-hoc refresh() concurrently
-    // with maintenance.
-    snap.appTransactionVersion.get(SourceVersionApp).foreach { m =>
-      txn.requireAppVersion(SourceVersionApp, m)
-      txn.addAction(TxnAction(SourceVersionApp, m))
-    }
-    oldFiles.foreach(f => txn.addAction(RemoveAction(
+      .withReadFilters(Seq(PartitionFilter.In("cluster",
+        readClusters.map(_.toString).toSet)))
+    val cur = snap.appTransactionVersion.get(LayoutEpochApp)
+    cur.foreach(v => txn.requireAppVersion(LayoutEpochApp, v))
+    txn.addAction(TxnAction(LayoutEpochApp, cur.getOrElse(0L) + 1L))
+    removeFiles.foreach(f => txn.addAction(RemoveAction(
       path = f.path, deletionTimestamp = nowMs, dataChange = true,
       extendedFileMetadata = Some(true),
       partitionValues = Some(f.partitionValues), size = Some(f.size))))
@@ -546,9 +585,72 @@ object IvfIndex {
         catch { case _: Exception => () }
         throw e
     }
-    // 3. retire the old centroid row
-    Dml.delete(spark, centroidsPath(root), col("cid") === cid)
-    newCids
+  }
+
+  /** Bare layout-epoch bump on the postings table — fences refreshes whose
+    * centroid read predates a centroid-row deletion. */
+  private def bumpLayout(spark: SparkSession, root: String): Unit = {
+    val log = DeltaLog.forPath(spark, postingsPath(root))
+    val cur = log.update().appTransactionVersion.get(LayoutEpochApp)
+    val txn = log.startTransaction()
+    cur.foreach(v => txn.requireAppVersion(LayoutEpochApp, v))
+    txn.addAction(TxnAction(LayoutEpochApp, cur.getOrElse(0L) + 1L))
+    txn.commit()
+  }
+
+  /** Retire centroid rows together with their drift observations — a
+    * retired cid may be re-minted by a later split, which must not inherit
+    * a dead cluster's telemetry (r15 review). */
+  private def retireCentroids(spark: SparkSession, root: String,
+                              cids: Seq[Int]): Unit = {
+    if (cids.isEmpty) return
+    Dml.delete(spark, centroidsPath(root),
+      col("cid").isin(cids.map(Int.box): _*))
+    if (DeltaLog.forPath(spark, driftPath(root)).update().version >= 0)
+      Dml.delete(spark, driftPath(root),
+        col("cid").isin(cids.map(Int.box): _*))
+  }
+
+  /** Repair the benign-but-wasteful states a crashed or raced re-cluster
+    * can leave (r15 review): GHOST centroids — centroid rows whose cluster
+    * holds no posting files (a crash between the split append and the
+    * move; also legitimately-empty build clusters, whose removal is
+    * harmless) — and ORPHAN postings — posting files in a cluster with no
+    * centroid row (a refresh that raced a retirement into the tiny
+    * unfenced window). Ghost rows delete with their drift telemetry;
+    * orphan rows re-assign to the CURRENT centroids and move in one
+    * commit. Every change bumps the layout epoch, so racing refreshes and
+    * re-clusters abort loudly and retry against the healed layout. Runs at
+    * the start of every [[reclusterCluster]]; also callable on a
+    * maintenance cadence. Returns (ghostCentroidsRemoved, orphanRowsMoved). */
+  def healLayout(spark: SparkSession, root: String): (Long, Long) = {
+    checkEpoch(spark, root)
+    val snap = DeltaLog.forPath(spark, postingsPath(root)).update()
+    val populated = snap.files
+      .flatMap(_.partitionValues.get("cluster")).map(_.toInt).toSet
+    val centCids = DeltaTable.forPath(spark, centroidsPath(root)).toDF
+      .select("cid").collect().map(_.getInt(0)).toSet
+    val ghosts = (centCids -- populated).toSeq.sorted
+    if (ghosts.nonEmpty) {
+      retireCentroids(spark, root, ghosts)
+      bumpLayout(spark, root)
+    }
+    val orphanCids = (populated -- centCids).toSeq.sorted
+    var moved = 0L
+    if (orphanCids.nonEmpty) {
+      require((centCids -- ghosts).nonEmpty,
+        s"index at $root has orphan postings and NO live centroids — " +
+        "rebuild it")
+      val dt = DeltaTable.forPath(spark, postingsPath(root))
+      val parts = Seq(PartitionFilter.In("cluster",
+        orphanCids.map(_.toString).toSet))
+      val orphanFiles = PartitionFilter.prune(dt.snapshot.files, parts)
+      val reassigned = assignFresh(spark,
+        dt.toDF(parts).select("id", "vec", "ver"), root).drop("dist")
+      moved = reassigned.count()
+      moveRows(spark, root, orphanFiles, reassigned, orphanCids)
+    }
+    (ghosts.size.toLong, moved)
   }
 
   /** Physically apply the tombstones to the posting table (one MERGE — the

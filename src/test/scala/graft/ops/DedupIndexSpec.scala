@@ -371,6 +371,54 @@ class DedupIndexSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("id").isin(1L, 210L, 301L)).count() == 0)
   }
 
+  test("r15 review: delete→insert→delete in ONE window leaves no orphan band rows") {
+    val r = root("dxd")
+    val src = s"$r/source"
+    graft.delta.GraftWriter.write(slice(corpus, 0, 100), src,
+      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$r/idx",
+      numHashes = 64, bands = 64)
+    // one window: delete 5 (pre-image = original text A), re-insert with
+    // text B, delete again (pre-image = B). Folding only the LAST delete's
+    // pre-image would miss A's standing band rows.
+    graft.delta.Dml.delete(spark, src, col("doc_id") === 5L)
+    graft.delta.GraftWriter.write(Seq((5L, words(95, 0, 20)))
+      .toDF("doc_id", "text"), src, SaveMode.Append)
+    graft.delta.Dml.delete(spark, src, col("doc_id") === 5L)
+    DedupIndex.refreshFromSource(spark, s"$r/idx")
+    assert(graft.delta.DeltaTable.forPath(spark, s"$r/idx/buckets").toDF
+      .filter(col("id") === 5L).count() == 0,
+      "no band rows of ANY of the window's texts may survive")
+    assert(DedupIndex.members(spark, s"$r/idx")
+      .filter(col("id") === 5L).count() == 0)
+    // ≡ full recompute over the final corpus (5 gone)
+    val rf = root("dxdfull")
+    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$rf/idx",
+      numHashes = 64, bands = 64)
+    assert(dump(DedupIndex.survivors(spark, s"$r/idx")) ==
+      dump(DedupIndex.survivors(spark, s"$rf/idx")))
+  }
+
+  test("r15 review: a MIXED present/absent epoch set is torn too") {
+    val r = root("epochmix")
+    val src = s"$r/source"
+    graft.delta.GraftWriter.write(slice(corpus, 0, 100), src,
+      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$r/idx")
+    // simulate a rebuild of a PRE-epoch index crashing after the members
+    // overwrite: members carries an epoch, the other tables none — strip
+    // the epoch from members (equivalent torn shape, inverted)
+    val frozen = graft.delta.DeltaTable.forPath(spark, s"$r/idx/members")
+      .toDF.localCheckpoint(true)
+    graft.delta.GraftWriter.write(frozen, s"$r/idx/members",
+      SaveMode.Overwrite, overwriteSchema = true,
+      configuration = Some(Map.empty))
+    val e = intercept[IllegalStateException] {
+      DedupIndex.survivors(spark, s"$r/idx")
+    }
+    assert(e.getMessage.contains("torn"))
+  }
+
   test("r15: same-window delete + re-insert (replacement) re-indexes under the new text") {
     val r = root("replace")
     val src = s"$r/source"

@@ -393,6 +393,69 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("id") === 2000L).count() == 1)
   }
 
+  test("r15 review: layout epoch fences stale appends; healLayout repairs ghosts and orphans") {
+    import spark.implicits._
+    val r = root("layout")
+    val src = s"$r/source"
+    graft.delta.GraftWriter.write(
+      vecs.filter(col("vec_id") < 400).select("vec_id", "embedding"), src,
+      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    IvfIndex.buildFromTable(spark, src, "vec_id", "embedding", s"$r/idx",
+      nClusters = 4)
+    val postings = s"$r/idx/postings"
+    def layoutEpoch: Option[Long] = graft.delta.DeltaLog
+      .forPath(spark, postings).update()
+      .appTransactionVersion.get(IvfIndex.LayoutEpochApp)
+    assert(layoutEpoch.contains(0L), "builds stamp layout epoch 0")
+    // re-cluster any populated cluster: the move + the retirement fence
+    // each bump the epoch
+    val someCid = graft.delta.DeltaTable.forPath(spark, s"$r/idx/centroids")
+      .toDF.select("cid").as[Int].collect().min
+    IvfIndex.reclusterCluster(spark, s"$r/idx", someCid)
+    assert(layoutEpoch.exists(_ >= 2L), s"got $layoutEpoch")
+    // the stale-refresh shape: an append whose layout epoch was read
+    // BEFORE the re-cluster must refuse instead of landing rows in a
+    // retired cluster
+    val dim = vecs.select("embedding").as[Array[Float]].head().length
+    intercept[graft.delta.StaleAppVersionException] {
+      graft.delta.GraftWriter.write(
+        Seq((777000L, someCid, Array.fill(dim)(9.0f), 0L))
+          .toDF("id", "cluster", "vec", "ver"),
+        postings, org.apache.spark.sql.SaveMode.Append,
+        partitionBy = Seq("cluster"),
+        extraActions = Seq(graft.delta.TxnAction(IvfIndex.LayoutEpochApp, 0L)),
+        requireAppVersions = Seq((IvfIndex.LayoutEpochApp, 0L)))
+    }
+    // GHOST: a centroid row with no posting files (crashed split attempt)
+    graft.delta.GraftWriter.write(
+      Seq((999, Array.fill(dim)(5.0f), 0L, 0.0))
+        .toDF("cid", "centroid", "n", "base_dist"),
+      s"$r/idx/centroids", org.apache.spark.sql.SaveMode.Append)
+    // ORPHAN: posting rows in a cluster with no centroid row (raced
+    // retirement) — invisible to every probe until healed
+    graft.delta.GraftWriter.write(
+      Seq((777001L, 998, Array.fill(dim)(9.0f), 0L))
+        .toDF("id", "cluster", "vec", "ver"),
+      postings, org.apache.spark.sql.SaveMode.Append,
+      partitionBy = Seq("cluster"))
+    val kAll = graft.delta.DeltaTable.forPath(spark, s"$r/idx/centroids")
+      .toDF.count().toInt
+    assert(IvfIndex.topK(spark, s"$r/idx", Array.fill(dim)(9.0f), 10, kAll)
+      .filter(col("id") === 777001L).count() == 0,
+      "the orphan must be invisible pre-heal (that IS the defect)")
+    val (ghosts, moved) = IvfIndex.healLayout(spark, s"$r/idx")
+    assert(ghosts >= 1 && moved == 1, s"got ($ghosts, $moved)")
+    val centsAfter = graft.delta.DeltaTable.forPath(spark, s"$r/idx/centroids")
+      .toDF.select("cid").as[Int].collect().toSet
+    assert(!centsAfter.contains(999), "ghost centroid retired")
+    assert(IvfIndex.topK(spark, s"$r/idx", Array.fill(dim)(9.0f), 10,
+        centsAfter.size)
+      .filter(col("id") === 777001L).count() == 1,
+      "the healed orphan must be searchable")
+    // idempotent: a second heal finds nothing
+    assert(IvfIndex.healLayout(spark, s"$r/idx") == ((0L, 0L)))
+  }
+
   test("embeddingSimilarPairs guard refuses above maxRows unless overridden") {
     val e = intercept[IllegalArgumentException] {
       Dedup.embeddingSimilarPairs(vecs, "vec_id", "embedding", 95, 100,
