@@ -17,11 +17,19 @@ import graft.delta.{ChangeDataFeed, ColumnMapping, DeltaLog, DeltaTable, Dml,
   *  - `root/postings`   — (id, cluster, vec, ver) PARTITIONED BY cluster,
   *    so a probe's scan prunes to `nProbe/|clusters|` of the files at the
   *    metadata layer (partition pruning), never touching the rest. `ver`
-  *    is the source commit version the row's state was born at;
-  *  - `root/tombstones` — (id, ver): "every posting row of `id` born
-  *    BEFORE source version `ver` is dead". The LSM shape: deletes land
-  *    here in O(batch), probes subtract the (small, broadcast) set, and
-  *    [[compactTombstones]] amortizes the physical posting delete.
+  *    is the source commit version the row's state was born at. Tombstones
+  *    live IN this table as rows of the reserved partition
+  *    `cluster = -1` (vec null, ver = kill version): "every posting row of
+  *    `id` born BEFORE source version `ver` is dead". The LSM shape:
+  *    deletes land as O(batch) rows IN THE SAME COMMIT as the window's
+  *    post-images and the high-water mark (single table ⇒ genuinely
+  *    atomic — the r14 cross-table crash window, where an updated id
+  *    briefly served neither old nor new vector, is unrepresentable by
+  *    construction, r15 verdict #7); probes subtract the (small,
+  *    broadcast, partition-pruned) set; [[compactTombstones]] amortizes
+  *    the physical posting delete and retires the applied markers in ONE
+  *    commit. Pre-r15 indexes keep their separate `root/tombstones` table
+  *    (read-supported, drained by compaction, never appended again).
   *
   * Two maintenance tiers (r13 verdict #1):
   *  - [[build]]/[[refresh]] take an arbitrary DataFrame — the ad-hoc tier.
@@ -72,6 +80,16 @@ object IvfIndex {
     * leaves cluster ids denoting DIFFERENT regions — mixed state must
     * refuse to serve, not silently collapse recall (r14 review). */
   private[ops] val EpochKey = "graft.ivf.epoch"
+  /** Postings-table configuration key marking the single-table LSM layout
+    * (value "inline"): tombstones are rows of the reserved
+    * `cluster = [[TombstoneCluster]]` partition, committed atomically with
+    * post-images and the mark (r15 verdict #7). Absent on pre-r15 indexes,
+    * which keep the separate tombstones table. */
+  private[ops] val LayoutKey = "graft.ivf.tombstoneLayout"
+  /** The reserved posting partition holding tombstone rows. Never a real
+    * cluster id: build cids start at 1 (row_number) and splits mint above
+    * the current max, so no probe set, heal, or re-cluster can name it. */
+  private[ops] val TombstoneCluster = -1
 
   private def dotQ(a: String, b: String) =
     graft.functions.functions.dot_q(col(a), col(b))
@@ -80,21 +98,24 @@ object IvfIndex {
     * commit all three tables. Overwrites any previous index at `root`.
     * `ver` stamps 0 on every row — an unbound index has no source clock.
     *
-    * Refused over LIVE tombstones (r14 review): the fresh ver=0 rows would
-    * be killed by any stale tombstone in the gap between the postings
-    * overwrite and the tombstone reset (two separate commits) — a crash or
-    * concurrent probe there silently hides re-indexed ids, and a
-    * compaction physically deletes them. A `buildFromTable` rebuild is
-    * arithmetic-safe (ver = V ≥ every kill version), the ver=0 path is
-    * not — compact first, or rebuild bound. */
+    * Refused over LIVE LEGACY tombstones (r14 review): the fresh ver=0
+    * rows would be killed by any stale tombstone in the separate pre-r15
+    * table, whose reset is a different commit from the postings overwrite —
+    * a crash or concurrent probe there silently hides re-indexed ids, and
+    * a compaction physically deletes them. INLINE tombstones carry no such
+    * hazard: the postings overwrite replaces them atomically with the new
+    * rows. A `buildFromTable` rebuild is arithmetic-safe for legacy
+    * residue too (ver = V ≥ every kill version) — compact first, or
+    * rebuild bound. */
   def build(spark: SparkSession, vectors: DataFrame, idCol: String,
             vecCol: String, root: String, nClusters: Int = 16,
             kmeansIters: Int = 3): Unit = {
-    liveTombstones(spark, root).foreach { t =>
+    legacyTombstones(spark, root).foreach { t =>
       require(t.isEmpty,
-        s"index at $root carries live tombstones: an unbound rebuild " +
-        "stamps ver=0, which stale tombstones would kill — run " +
-        "compactTombstones first or rebuild with buildFromTable")
+        s"index at $root carries live tombstones in its pre-r15 separate " +
+        "table: an unbound rebuild stamps ver=0, which stale tombstones " +
+        "would kill — run compactTombstones first or rebuild with " +
+        "buildFromTable")
     }
     buildInternal(spark, vectors, idCol, vecCol, root, nClusters,
       kmeansIters, ver = 0L, binding = Map.empty, mark = Nil)
@@ -116,11 +137,13 @@ object IvfIndex {
     val srcLog = DeltaLog.forPath(spark, sourcePath)
     val snap = srcLog.update()
     require(snap.version >= 0, s"no graft table at $sourcePath")
-    // stale tombstones are arithmetic-safe only against the SAME source
-    // clock (every kill ≤ V): a REBIND to a younger source would leave
-    // kill versions above the fresh rows' ver, hiding them exactly like
-    // the ver=0 hazard build() refuses (r14 review)
-    liveTombstones(spark, root).foreach { t =>
+    // stale LEGACY tombstones are arithmetic-safe only against the SAME
+    // source clock (every kill ≤ V): a REBIND to a younger source would
+    // leave kill versions above the fresh rows' ver, hiding them exactly
+    // like the ver=0 hazard build() refuses (r14 review). Inline
+    // tombstones need no check — the postings overwrite wipes them in the
+    // same commit that lands the fresh rows.
+    legacyTombstones(spark, root).foreach { t =>
       val maxKill = t.agg(max("kill_ver")).first()
       require(maxKill.isNullAt(0) || maxKill.getLong(0) <= snap.version,
         s"index at $root carries tombstones with kill versions above the " +
@@ -189,24 +212,33 @@ object IvfIndex {
     // the binding + mark ride the postings commit; on a REBUILD of a bound
     // index the overwrite re-stamps both (configuration only applies at
     // create/replace, hence overwriteSchema when the table exists)
-    GraftWriter.write(assigned, postingsPath(root), SaveMode.Overwrite,
+    // the vec field is forced NULLABLE in the table schema: tombstone rows
+    // (inline, cluster = TombstoneCluster) carry vec = null, and a source
+    // whose vectors happened to arrive non-nullable must not wedge the
+    // first delete window on a nullability check
+    val nullableVec = spark.createDataFrame(assigned.rdd,
+      org.apache.spark.sql.types.StructType(assigned.schema.map(f =>
+        if (f.name == "vec") f.copy(nullable = true) else f)))
+    GraftWriter.write(nullableVec, postingsPath(root), SaveMode.Overwrite,
       partitionBy = Seq("cluster"),
       overwriteSchema = exists(postingsPath(root)),
-      configuration = Some(binding + (EpochKey -> epoch)),
+      configuration = Some(binding +
+        (EpochKey -> epoch) + (LayoutKey -> "inline")),
       extraActions = mark :+ TxnAction(LayoutEpochApp, 0L))
-    // the tombstone id column must carry the SOURCE id type — a (long,
-    // long) literal frame wedged every non-long-keyed index on its first
-    // delete window (r14 review)
-    val tombSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("id",
-        assigned.schema("id").dataType),
-      org.apache.spark.sql.types.StructField("ver",
-        org.apache.spark.sql.types.LongType)))
-    GraftWriter.write(
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        tombSchema),
-      tombstonesPath(root), SaveMode.Overwrite,
-      overwriteSchema = exists(tombstonesPath(root)))
+    // a pre-r15 separate tombstones table resets here (its content is dead
+    // by the guards above + the overwrite); fresh roots never create one —
+    // inline tombstones live in the postings table (r15 verdict #7)
+    if (exists(tombstonesPath(root))) {
+      val tombSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          assigned.schema("id").dataType),
+        org.apache.spark.sql.types.StructField("ver",
+          org.apache.spark.sql.types.LongType)))
+      GraftWriter.write(
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          tombSchema),
+        tombstonesPath(root), SaveMode.Overwrite, overwriteSchema = true)
+    }
     // drift observations reset with the index (the baselines they compare
     // against were just recomputed)
     val driftSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -329,27 +361,28 @@ object IvfIndex {
     *  - per changed id, the LATEST post-image (insert/update_postimage)
     *    at source version b becomes a posting row `ver = b`;
     *  - per id with any prior-state-killing event (delete /
-    *    update_preimage), a tombstone `(id, maxKillVersion)` appends —
-    *    killing every posting row born strictly before it (the new
-    *    post-image row, born AT the kill version, survives);
-    *  - the high-water mark TxnAction rides IN the posting append commit
-    *    (or a bare mark commit when the window held no post-images), so a
-    *    crash can only re-fold an unmarked window — tombstone re-appends
-    *    are duplicate (id, ver) pairs the probe rule is insensitive to and
-    *    [[compactTombstones]] dedups away.
+    *    update_preimage), a tombstone row `(id, cluster = -1, vec = null,
+    *    ver = maxKillVersion)` — killing every posting row born strictly
+    *    before it (the new post-image row, born AT the kill version,
+    *    survives);
+    *  - post-images, tombstones, and the high-water mark TxnAction land in
+    *    ONE posting-table commit (single-table LSM, r15 verdict #7; a bare
+    *    mark commit when the window held neither), so every window is
+    *    folded exactly-once and ATOMICALLY: there is no observable state
+    *    between "window not applied" and "window fully applied".
     *
     * Reads O(changed commits) — never the posting or source base files.
     * Returns (postingRowsAppended, tombstonesAppended).
     *
-    * Crash shapes: the mark advances only in the final commit, so ANY
-    * crash re-folds the same window on the next call (tombstone re-appends
-    * are duplicate pairs the kill rule is insensitive to). One transient
-    * state to know about: a crash AFTER the tombstone append but BEFORE
-    * the posting append leaves an UPDATED id serving neither its old
-    * vector (killed) nor its new one (not yet appended) until that next
-    * call — schedule refreshes with retry, not fire-and-forget (r14
-    * review). Concurrent refreshes are safe but not parallel: the mark
-    * precondition on the final commit ([[GraftWriter]] requireAppVersion
+    * Crash shapes: the whole fold is one commit, so a crash anywhere
+    * before it re-folds the same window identically on the next call and
+    * a crash after it finds nothing pending. The pre-r15 cross-table
+    * window — a crash between the tombstone append and the posting append
+    * left an UPDATED id transiently serving neither its old vector nor its
+    * new one — is unrepresentable in this layout (it can still occur on an
+    * unmigrated pre-r15 index, which keeps the two-commit path below).
+    * Concurrent refreshes are safe but not parallel: the mark
+    * precondition on the commit ([[GraftWriter]] requireAppVersion
     * + the same-appId conflict rule) makes the laggard abort with
     * [[graft.delta.StaleAppVersionException]] instead of double-applying
     * its window and regressing the mark. */
@@ -388,13 +421,21 @@ object IvfIndex {
         val tombs = folded.filter(col("killed").isNotNull)
           .select(col("id"), col("killed").as("ver"))
         val nTombs = tombs.count()
-        if (nTombs > 0)
-          GraftWriter.write(tombs, tombstonesPath(root), SaveMode.Append)
         val assigned = assignFresh(spark, adds, root)
         val nAdds = assigned.count()
         val markAction = Seq(TxnAction(SourceVersionApp, now))
-        if (nAdds > 0) {
-          GraftWriter.write(assigned.drop("dist"), postingsPath(root),
+        val postingsSnap = DeltaLog.forPath(spark, postingsPath(root)).update()
+        val inline = postingsSnap.metadata
+          .exists(_.configuration.get(LayoutKey).contains("inline"))
+        if (inline && nAdds + nTombs > 0) {
+          // single-table LSM: post-images, tombstone rows, and the mark in
+          // ONE commit — the fold is atomic (r15 verdict #7)
+          val tombRows = tombs.select(col("id"),
+            lit(TombstoneCluster).as("cluster"),
+            lit(null).cast(postingsSnap.schema("vec").dataType).as("vec"),
+            col("ver"))
+          GraftWriter.write(
+            assigned.drop("dist").unionByName(tombRows), postingsPath(root),
             SaveMode.Append,
             partitionBy = Seq("cluster"),
             extraActions = markAction :+
@@ -403,28 +444,86 @@ object IvfIndex {
             requireAppVersions = layoutV.map((LayoutEpochApp, _)).toSeq)
           // drift telemetry AFTER the mark — advisory only, so a crash
           // loses a drift row, never index state (r15 verdict #3)
-          appendDriftObs(spark, root, now, assigned)
+          if (nAdds > 0) appendDriftObs(spark, root, now, assigned)
+        } else if (!inline && nTombs > 0 || !inline && nAdds > 0) {
+          // pre-r15 layout: the legacy two-commit fold (tombstones table
+          // first, postings + mark second) with its documented transient
+          // updated-id window — rebuild to migrate to the atomic layout
+          if (nTombs > 0)
+            GraftWriter.write(tombs, tombstonesPath(root), SaveMode.Append)
+          if (nAdds > 0) {
+            GraftWriter.write(assigned.drop("dist"), postingsPath(root),
+              SaveMode.Append,
+              partitionBy = Seq("cluster"),
+              extraActions = markAction :+
+                TxnAction(LayoutEpochApp, layoutV.getOrElse(0L)),
+              requireAppVersion = Some((SourceVersionApp, last)),
+              requireAppVersions = layoutV.map((LayoutEpochApp, _)).toSeq)
+            appendDriftObs(spark, root, now, assigned)
+          } else {
+            bareMark(spark, root, last, markAction)
+          }
         } else {
-          // delete-only (or no-op) window: advance the mark with a bare
-          // metadata commit so later refreshes never re-read this window —
-          // under the same still-at-`last` precondition as the data path
-          val log = DeltaLog.forPath(spark, postingsPath(root))
-          log.update() // freshen the cache the txn pins its read snapshot to
-          val txn = log.startTransaction()
-            .requireAppVersion(SourceVersionApp, last)
-          markAction.foreach(txn.addAction)
-          txn.commit()
+          // no-op window (property commits etc.): advance the mark with a
+          // bare metadata commit so later refreshes never re-read this
+          // window — under the same still-at-`last` precondition
+          bareMark(spark, root, last, markAction)
         }
         (nAdds, nTombs)
     }
   }
 
-  /** Live tombstones, one row per id (max kill version wins) — small by
-    * construction between compactions, hence broadcast at the probe. */
-  private def liveTombstones(spark: SparkSession, root: String): Option[DataFrame] = {
+  /** Bare high-water-mark advance on the postings table, under the
+    * still-at-`last` precondition — two racing refreshes must serialize,
+    * not regress the mark (r14 review). */
+  private def bareMark(spark: SparkSession, root: String, last: Long,
+                       markAction: Seq[TxnAction]): Unit = {
+    val log = DeltaLog.forPath(spark, postingsPath(root))
+    log.update() // freshen the cache the txn pins its read snapshot to
+    val txn = log.startTransaction()
+      .requireAppVersion(SourceVersionApp, last)
+    markAction.foreach(txn.addAction)
+    txn.commit()
+  }
+
+  /** The pre-r15 SEPARATE tombstones table's rows, aggregated to one row
+    * per id — None when that table was never created (every index built at
+    * r15+). Only the rebuild guards consult this alone; probes and
+    * compaction read [[liveTombstones]], which folds both layouts. */
+  private def legacyTombstones(spark: SparkSession,
+                               root: String): Option[DataFrame] = {
     val log = DeltaLog.forPath(spark, tombstonesPath(root))
-    if (log.update().version < 0) None // pre-r14 index layout
+    if (log.update().version < 0) None
     else Some(DeltaTable.forPath(spark, tombstonesPath(root)).toDF
+      .groupBy("id").agg(max("ver").as("kill_ver")))
+  }
+
+  /** The inline tombstone rows — the reserved partition's (id, ver) pairs,
+    * read under partition pruning (never the posting partitions). None on
+    * pre-r15 layouts. */
+  private def inlineTombstoneRows(spark: SparkSession,
+                                  root: String): Option[DataFrame] = {
+    val snap = DeltaLog.forPath(spark, postingsPath(root)).update()
+    if (!snap.metadata.exists(_.configuration.get(LayoutKey).contains("inline")))
+      None
+    else Some(DeltaTable.forPath(spark, postingsPath(root))
+      .toDF(Seq(PartitionFilter.Eq("cluster", TombstoneCluster.toString)))
+      .select(col("id"), col("ver")))
+  }
+
+  /** Live tombstones across BOTH layouts (inline partition ∪ any pre-r15
+    * separate-table residue), one row per id (max kill version wins) —
+    * small by construction between compactions, hence broadcast at the
+    * probe. None only on a pre-r14 index (neither layout present). */
+  private def liveTombstones(spark: SparkSession, root: String): Option[DataFrame] = {
+    val inline = inlineTombstoneRows(spark, root)
+    val legacyLog = DeltaLog.forPath(spark, tombstonesPath(root))
+    val legacy =
+      if (legacyLog.update().version < 0) None
+      else Some(DeltaTable.forPath(spark, tombstonesPath(root)).toDF)
+    val both = inline.toSeq ++ legacy.toSeq
+    if (both.isEmpty) None
+    else Some(both.reduce(_ unionByName _)
       .groupBy("id").agg(max("ver").as("kill_ver")))
   }
 
@@ -497,6 +596,8 @@ object IvfIndex {
                        nSplit: Int = 2, kmeansIters: Int = 3): Seq[Int] = {
     checkEpoch(spark, root)
     require(nSplit >= 2, s"nSplit must be >= 2, got $nSplit")
+    require(cid >= 0,
+      s"cluster $cid is the reserved tombstone partition, not a cluster")
     healLayout(spark, root)
     val live = prunedLive(spark, root, Seq(cid))
       .localCheckpoint(true) // sub-kmeans + centroid stats + stage read it
@@ -628,6 +729,7 @@ object IvfIndex {
     val snap = DeltaLog.forPath(spark, postingsPath(root)).update()
     val populated = snap.files
       .flatMap(_.partitionValues.get("cluster")).map(_.toInt).toSet
+      .filter(_ >= 0) // the reserved tombstone partition is never a cluster
     val centCids = DeltaTable.forPath(spark, centroidsPath(root)).toDF
       .select("cid").collect().map(_.getInt(0)).toSet
     val ghosts = (centCids -- populated).toSeq.sorted
@@ -654,36 +756,49 @@ object IvfIndex {
   }
 
   /** Physically apply the tombstones to the posting table (one MERGE — the
-    * amortized full-scan moment of the LSM shape), then reset the tombstone
-    * table. Probe results are identical before and after; this exists to
-    * reclaim space and keep the probe's broadcast side small. Returns how
-    * many posting rows were deleted. */
+    * amortized full-scan moment of the LSM shape). On the inline layout
+    * the SAME merge commit also retires exactly the applied marker rows
+    * (a marker is a target row of the reserved partition with
+    * ver ≤ its id's kill), so apply-and-retire is ATOMIC — a tombstone
+    * appended by a concurrent refresh mid-merge carries a newer kill
+    * version, matches nothing, and survives to the next compaction. A
+    * pre-r15 separate-table residue is applied by the same merge and then
+    * drained by MERGE-deleting its SUBSUMED rows (never an empty
+    * overwrite, whose removes would destroy a concurrent never-applied
+    * tombstone without a conflict — r14 review). Probe results are
+    * identical before and after; this exists to reclaim space and keep
+    * the probe's broadcast side small. Returns how many posting rows were
+    * deleted (marker retirements excluded; under a racing refresh the
+    * count is best-effort, the row outcomes exact). */
   def compactTombstones(spark: SparkSession, root: String): Long = {
     liveTombstones(spark, root) match {
       case None => 0L
       case Some(t) =>
         val tombs = t.localCheckpoint(true) // merge + the reset guard read it
         if (tombs.isEmpty) return 0L
+        // markers retired by the merge below — counted up front so the
+        // return value stays "posting rows deleted" (inline-less layouts
+        // count 0 here)
+        val nMarkers = inlineTombstoneRows(spark, root)
+          .map(_.count()).getOrElse(0L)
         val m = Merge.into(spark, postingsPath(root), tombs,
-            col("t.id") === col("s.id") && col("t.ver") < col("s.kill_ver"))
+            col("t.id") === col("s.id") &&
+              (col("t.ver") < col("s.kill_ver") ||
+                (col("t.cluster") === lit(TombstoneCluster) &&
+                  col("t.ver") === col("s.kill_ver"))))
           .whenMatchedDelete()
           .execute()
-        // reset by MERGE-deleting exactly the SUBSUMED tombstone rows
-        // (ver ≤ the kill just applied), never by overwriting with empty:
-        // the overwrite's removes would target its own fresh read
-        // snapshot, so a tombstone appended by a concurrent refresh
-        // DURING the (long) posting merge — never applied to any posting
-        // row — would be destroyed without any conflict firing (r14
-        // review; the previous in-code ConcurrentAppend claim only covers
-        // appends landing AFTER the overwrite's snapshot). Matched rows
-        // are pinned by `tombs`; concurrent rows survive to the next
-        // compaction. Duplicate target rows per id all match the one
-        // source row — target-side multi-match is legal.
-        Merge.into(spark, tombstonesPath(root), tombs,
-            col("t.id") === col("s.id") && col("t.ver") <= col("s.kill_ver"))
-          .whenMatchedDelete()
-          .execute()
-        m.rowsDeleted
+        // pre-r15 residue: drain exactly the SUBSUMED rows (ver ≤ the kill
+        // just applied). Matched rows are pinned by `tombs`; concurrent
+        // rows survive to the next compaction. Duplicate target rows per
+        // id all match the one source row — target-side multi-match is
+        // legal.
+        if (DeltaLog.forPath(spark, tombstonesPath(root)).update().version >= 0)
+          Merge.into(spark, tombstonesPath(root), tombs,
+              col("t.id") === col("s.id") && col("t.ver") <= col("s.kill_ver"))
+            .whenMatchedDelete()
+            .execute()
+        m.rowsDeleted - nMarkers
     }
   }
 

@@ -142,19 +142,60 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     val top = IvfIndex.topK(spark, s"$r/idx", target, k = 2, nProbe = 4)
       .select("id").as[Long].collect().toSet
     assert(top == Set(7L, 42L), s"updated vector must tie its target: $top")
-    // exactly one live posting row for the updated id (old one tombstoned)
-    def postings42() = graft.delta.DeltaTable.forPath(spark, s"$r/idx/postings")
-      .toDF.filter(col("id") === 42).count()
-    assert(postings42() == 2, "pre-compaction: old + new rows both stored")
+    // exactly one live posting row for the updated id (old one tombstoned);
+    // the tombstone is an inline row of the reserved cluster=-1 partition,
+    // committed ATOMICALLY with the post-image (r15 verdict #7)
+    def rows42(live: Boolean) = graft.delta.DeltaTable
+      .forPath(spark, s"$r/idx/postings").toDF
+      .filter(col("id") === 42 &&
+        (if (live) col("cluster") >= 0 else col("cluster") === -1)).count()
+    assert(rows42(live = true) == 2, "pre-compaction: old + new rows both stored")
+    assert(rows42(live = false) == 1, "the inline tombstone marker row")
     assert(IvfIndex.compactTombstones(spark, s"$r/idx") == 1)
-    assert(postings42() == 1, "post-compaction: only the live row remains")
+    assert(rows42(live = true) == 1, "post-compaction: only the live row remains")
     // probe unchanged by compaction
     val top2 = IvfIndex.topK(spark, s"$r/idx", target, k = 2, nProbe = 4)
       .select("id").as[Long].collect().toSet
     assert(top2 == Set(7L, 42L))
-    // tombstone table reset
-    assert(graft.delta.DeltaTable.forPath(spark, s"$r/idx/tombstones")
-      .toDF.count() == 0)
+    // the applied marker was retired by the SAME merge commit
+    assert(rows42(live = false) == 0)
+    // no separate tombstones table exists on an r15 index
+    assert(graft.delta.DeltaLog.forPath(spark, s"$r/idx/tombstones")
+      .update().version < 0)
+  }
+
+  test("r15: a refresh window folds post-images + tombstones + mark in ONE commit") {
+    import spark.implicits._
+    val (r, src) = boundSource("atomic")
+    IvfIndex.buildFromTable(spark, src, "vec_id", "embedding", s"$r/idx",
+      nClusters = 4)
+    val log = graft.delta.DeltaLog.forPath(spark, s"$r/idx/postings")
+    val v0 = log.update().version
+    // a mixed window: one delete + one append, folded by one refresh
+    graft.delta.Dml.delete(spark, src, col("vec_id") === 3)
+    graft.delta.GraftWriter.write(
+      vecs.filter(col("vec_id") === 0)
+        .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding")),
+      src, org.apache.spark.sql.SaveMode.Append)
+    assert(IvfIndex.refreshFromSource(spark, s"$r/idx") == ((1L, 1L)))
+    val v1 = log.update().version
+    assert(v1 == v0 + 1,
+      s"the whole fold must be ONE postings commit, got ${v1 - v0}")
+    // that single commit carries the post-image, the tombstone row, AND
+    // the advanced high-water mark — the r14 crash window (tombstone
+    // landed, posting not) is unrepresentable
+    val acts = log.readCommit(v1)
+    val marks = acts.collect {
+      case t: graft.delta.TxnAction if t.appId == "graft.ivf.sourceVersion" => t }
+    assert(marks.nonEmpty, "the mark rides the fold commit")
+    val post = graft.delta.DeltaTable.forPath(spark, s"$r/idx/postings").toDF
+    assert(post.filter(col("cluster") === -1 && col("id") === 3).count() == 1)
+    assert(post.filter(col("cluster") >= 0 && col("id") === 5000000L).count() == 1)
+    // the deleted id is gone from every probe; the appended id serves
+    val qv = vecs.filter(col("vec_id") === 3)
+      .select("embedding").as[Array[Float]].head()
+    assert(IvfIndex.topK(spark, s"$r/idx", qv, k = 10, nProbe = 4)
+      .filter(col("id") === 3).count() == 0)
   }
 
   test("refreshFromSource reads O(new commits): pending window never touches base files") {
