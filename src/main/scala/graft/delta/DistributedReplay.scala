@@ -221,6 +221,10 @@ object DistributedReplay {
         coalesce(stat("minValues", c, fd) <= x, lit(true)) &&
           coalesce(stat("maxValues", c, fd) >= x, lit(true)) }
       case StatsPredicate.NotNull(_) => None // needs numRecords comparison; keep file
+      // IN-set shapes stay driver-side (StatsPredicate.prune): expressing a
+      // binary search as a Column buys nothing, and an unhandled case here
+      // was a latent MatchError, not a conservative keep (r15)
+      case _: StatsPredicate.InLongSet | _: StatsPredicate.InStringSet => None
     }
   }
 

@@ -33,11 +33,51 @@ object StatsPredicate {
   final case class InLongSet(column: String, sorted: Array[Long])
       extends StatsPredicate
 
+  /** `col IN (values)` over a string column — the [[InLongSet]] shape for
+    * string-keyed probes (URL/UUID doc ids, r15 verdict #8). `sorted` MUST
+    * be ascending under UTF-8 BINARY order ([[utf8Compare]] — the
+    * parquet/Delta stats convention, NOT String.compareTo); use
+    * [[inStringSet]] to construct. Conservative against truncated foreign
+    * stats: a truncated min is ≤ the true min and a Delta-style padded max
+    * is ≥ the true max, so the checked interval only ever widens. */
+  final case class InStringSet(column: String, sorted: Array[String])
+      extends StatsPredicate
+
   /** Build an [[InLongSet]] from unsorted values. */
   def inLongSet(column: String, values: Array[Long]): InLongSet = {
     val s = values.clone()
     java.util.Arrays.sort(s)
     InLongSet(column, s)
+  }
+
+  /** Build an [[InStringSet]] from unsorted values. */
+  def inStringSet(column: String, values: Array[String]): InStringSet = {
+    val s = values.clone()
+    java.util.Arrays.sort(s, (a: String, b: String) => utf8Compare(a, b))
+    InStringSet(column, s)
+  }
+
+  /** Build the IN-set predicate matching the runtime type of `values` —
+    * long/int/short/byte → [[InLongSet]], string → [[InStringSet]]; any
+    * other key type returns None (no pruning — the caller's join stays
+    * exact, the scan just doesn't skip files). Null elements drop first
+    * (an IN-list null matches no row); an empty (or all-null) set matches
+    * no row regardless of element type. */
+  def inSetOf(column: String, values: Array[Any]): Option[StatsPredicate] = {
+    val vs = values.filter(_ != null)
+    if (vs.isEmpty) Some(InLongSet(column, Array.emptyLongArray))
+    else vs.head match {
+      case _: Long | _: Int | _: Short | _: Byte =>
+        Some(inLongSet(column, vs.map {
+          case l: Long => l
+          case i: Int => i.toLong
+          case s: Short => s.toLong
+          case b: Byte => b.toLong
+        }))
+      case _: String =>
+        Some(inStringSet(column, vs.map(_.asInstanceOf[String])))
+      case _ => None
+    }
   }
 
   /** 3-valued stat comparison: Some(cmp sign) when comparable, None on
@@ -115,6 +155,24 @@ object StatsPredicate {
             }
             a < vs.length &&
               java.math.BigDecimal.valueOf(vs(a)).compareTo(hi) <= 0
+          case _ => true // missing/odd stats ⇒ cannot prove ⇒ keep
+        }
+      case InStringSet(c, vs) =>
+        if (vs.isEmpty) false // an empty IN-list matches no row, exactly
+        else (minOf(c), maxOf(c)) match {
+          case (Some(mn), Some(mx)) if mn.isTextual && mx.isTextual =>
+            // ∃ v with min ≤ v ≤ max under UTF-8 binary order ⇔
+            // (smallest v ≥ min) ≤ max — the InLongSet rule over strings
+            val lo = mn.asText
+            val hi = mx.asText
+            var a = 0
+            var b = vs.length
+            while (a < b) {
+              val m = (a + b) >>> 1
+              if (utf8Compare(vs(m), lo) < 0) a = m + 1
+              else b = m
+            }
+            a < vs.length && utf8Compare(vs(a), hi) <= 0
           case _ => true // missing/odd stats ⇒ cannot prove ⇒ keep
         }
     }

@@ -85,15 +85,18 @@ object DedupIndex {
   /** Scan one of the index's standing tables pruned to the files whose
     * `keyCol` stats may contain one of `keys` — the bounded-probe shape
     * every [[refreshFromSource]] probe uses. `None` keys ⇒ unpruned full
-    * scan (the over-cap fallback). Exactness always comes from the join
-    * ABOVE this scan; the predicate only drops files that provably hold no
-    * probe key, so the layout can never change results (r15 — the r14
-    * verdict's `weak` item). */
+    * scan (the over-cap fallback). Keys match by runtime type
+    * ([[StatsPredicate.inSetOf]]): integral ids prune via InLongSet,
+    * string ids (URLs/UUIDs, r15 verdict #8) via InStringSet, anything
+    * else falls back to the unpruned scan. Exactness always comes from the
+    * join ABOVE this scan; the predicate only drops files that provably
+    * hold no probe key, so the layout can never change results (r15 — the
+    * r14 verdict's `weak` item). */
   private[ops] def prunedScan(spark: SparkSession, path: String,
-                              keyCol: String, keys: Option[Array[Long]],
+                              keyCol: String, keys: Option[Array[Any]],
                               parts: Seq[PartitionFilter] = Nil): DataFrame =
     DeltaTable.forPath(spark, path)
-      .toDF(parts, keys.toSeq.map(ks => StatsPredicate.inLongSet(keyCol, ks)))
+      .toDF(parts, keys.flatMap(ks => StatsPredicate.inSetOf(keyCol, ks)).toSeq)
 
   /** Per-band file prune over buckets Adds: each band's key set prunes
     * only its own partition's files — a FLAT key set would false-hit other
@@ -125,10 +128,11 @@ object DedupIndex {
   }
 
   /** Distinct values of `c` as a driver array when they fit under the probe
-    * cap, else None (fallback to unpruned scans). */
-  private def longsOf(df: DataFrame, c: String, cap: Int): Option[Array[Long]] = {
+    * cap, else None (fallback to unpruned scans). Values keep their native
+    * type — long and string ids both prune (r15 verdict #8). */
+  private def keysOf(df: DataFrame, c: String, cap: Int): Option[Array[Any]] = {
     val rows = df.select(c).distinct().limit(cap + 1).collect()
-    if (rows.length > cap) None else Some(rows.map(_.getLong(0)))
+    if (rows.length > cap) None else Some(rows.map(_.get(0)))
   }
 
   /** Target bytes per standing-table file laid out by [[maintain]] —
@@ -195,13 +199,15 @@ object DedupIndex {
     * never equals null in the MERGE condition); a duplicated id makes the
     * members MERGE throw MultipleMatchException on every retry — the index
     * wedges on an append-only source it cannot repair (r14 review). One
-    * aggregate checks both. */
+    * aggregate checks both. Ids keep their source type (long and string
+    * doc ids are both first-class, r15 verdict #8); any orderable type
+    * works — comp labels are min-ids under the type's ordering. */
   private def requireCleanIds(docs: DataFrame, what: String): Unit = {
     val c = docs.agg(count(lit(1)), countDistinct(col("id")),
       coalesce(sum(col("id").isNull.cast("long")), lit(0L))).first()
     require(c.getLong(2) == 0,
-      s"$what carries ${c.getLong(2)} null doc ids (or ids that fail the " +
-      "long cast) — the dedup index requires non-null unique ids")
+      s"$what carries ${c.getLong(2)} null doc ids — the dedup index " +
+      "requires non-null unique ids")
     require(c.getLong(0) == c.getLong(1),
       s"$what carries duplicate doc ids (${c.getLong(0)} rows, " +
       s"${c.getLong(1)} distinct) — the dedup index requires unique ids " +
@@ -242,7 +248,7 @@ object DedupIndex {
     // source append, which would be indexed here AND re-offered by the
     // first refresh's window (r14 review)
     val docs = DeltaTable.forPath(spark, sourcePath, snap.version).toDF
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .select(col(idCol).as("id"), col(textCol).as("text"))
     requireCleanIds(docs, s"source $sourcePath")
     val sh = Dedup.shingles(docs, "text", "id")
     val bandRows = bandRowsOf(docs, numHashes, bands).localCheckpoint(true)
@@ -330,10 +336,11 @@ object DedupIndex {
     // ONE window read serves the change-kind fence AND both folds; the
     // commit version rides along so multi-commit windows net-fold per id
     val pinned = ChangeDataFeed.readChanges(spark, srcLog, last, now)
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"),
+      .select(col(idCol).as("id"), col(textCol).as("text"),
         col(ChangeDataFeed.ChangeType).as("ct"),
         col(ChangeDataFeed.CommitVersion).as("cver"))
       .localCheckpoint(true)
+    val idType = pinned.schema("id").dataType // null literals must match it
     // supported change kinds: insert + delete (r15 verdict #2 — takedowns
     // are a first-class pipeline event). UPDATE stays refused: an in-place
     // text swap is a delete + re-insert in this index's model, and folding
@@ -401,8 +408,8 @@ object DedupIndex {
     // corpus. Exactness always comes from the joins; the predicates only
     // drop files that provably hold no probe key.
     val inMax = probeInMax(spark)
-    def idsOf(df: DataFrame, n: Long): Option[Array[Long]] =
-      if (n <= inMax) Some(df.select("id").collect().map(_.getLong(0)))
+    def idsOf(df: DataFrame, n: Long): Option[Array[Any]] =
+      if (n <= inMax) Some(df.select("id").collect().map(_.get(0)))
       else None
     val batchIds = idsOf(batch, nNew)
     val delIds = idsOf(delIdsDf, nDel)
@@ -487,16 +494,16 @@ object DedupIndex {
         .select("id", "comp").localCheckpoint(true) // bounded by the window
       if (!standingDel.isEmpty) {
         val affComps = standingDel.select("comp").distinct()
-        val affCompIds = longsOf(affComps, "comp", inMax)
+        val affCompIds = keysOf(affComps, "comp", inMax)
         val famMembers = prunedScan(spark, membersPath(root), "comp", affCompIds)
           .join(broadcast(affComps), Seq("comp"))
         val remaining = famMembers
           .join(broadcast(delIdsDf), Seq("id"), "left_anti")
           .select("id", "comp", "len").localCheckpoint(true)
-        val remIds = longsOf(remaining, "id", inMax)
+        val remIds = keysOf(remaining, "id", inMax)
         val remDocs = DeltaTable.forPath(spark, srcPath, now)
-          .toDF(Nil, remIds.toSeq.map(ks => StatsPredicate.inLongSet(idCol, ks)))
-          .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+          .toDF(Nil, remIds.flatMap(ks => StatsPredicate.inSetOf(idCol, ks)).toSeq)
+          .select(col(idCol).as("id"), col(textCol).as("text"))
           .join(broadcast(remaining.select("id")), Seq("id"))
         val remBands = bandRowsOf(remDocs, numHashes, bands)
           .localCheckpoint(true)
@@ -520,14 +527,14 @@ object DedupIndex {
         val newComps2 = newLabels2.select("comp").distinct()
         val ups2 = pickSurvivor(newLabels2).withColumn("op", lit("up"))
         val dels2 = affComps.except(newComps2)
-          .withColumn("id", lit(null).cast("long"))
+          .withColumn("id", lit(null).cast(idType))
           .withColumn("len", lit(null).cast("long"))
           .withColumn("op", lit("del"))
         val survKeys = for { a <- affCompIds; r <- remIds } yield a ++ r
         Merge.into(spark, survivorsPath(root), ups2.unionByName(dels2),
             col("t.comp") === col("s.comp"))
-          .withTargetScanPredicates(survKeys.toSeq
-            .map(ks => StatsPredicate.inLongSet("comp", ks)))
+          .withTargetScanPredicates(survKeys
+            .flatMap(ks => StatsPredicate.inSetOf("comp", ks)).toSeq)
           .whenMatchedDelete(col("s.op") === "del")
           .whenMatchedUpdate(col("s.op") === "up",
             Map("id" -> col("s.id"), "len" -> col("s.len")))
@@ -537,15 +544,15 @@ object DedupIndex {
           .execute()
         // members LAST: drop the deleted ids, relabel the remaining
         val mdel = standingDel.select("id")
-          .withColumn("comp", lit(null).cast("long"))
+          .withColumn("comp", lit(null).cast(idType))
           .withColumn("len", lit(null).cast("long"))
           .withColumn("op", lit("del"))
         val mup = newLabels2.withColumn("op", lit("up"))
         val memberKeys = for { d <- delIds; r <- remIds } yield d ++ r
         Merge.into(spark, membersPath(root), mdel.unionByName(mup),
             col("t.id") === col("s.id"))
-          .withTargetScanPredicates(memberKeys.toSeq
-            .map(ks => StatsPredicate.inLongSet("id", ks)))
+          .withTargetScanPredicates(memberKeys
+            .flatMap(ks => StatsPredicate.inSetOf("id", ks)).toSeq)
           .whenMatchedDelete(col("s.op") === "del")
           .whenMatchedUpdate(col("s.op") === "up",
             Map("comp" -> col("s.comp")))
@@ -605,9 +612,9 @@ object DedupIndex {
     // above), but a CONCURRENT delete landing past `now` must not hide its
     // text mid-fold (r15 review)
     val oldDocs = DeltaTable.forPath(spark, srcPath, now)
-      .toDF(Nil, longsOf(oldIds, "id", inMax).toSeq
-        .map(ks => StatsPredicate.inLongSet(idCol, ks)))
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .toDF(Nil, keysOf(oldIds, "id", inMax)
+        .flatMap(ks => StatsPredicate.inSetOf(idCol, ks)).toSeq)
+      .select(col(idCol).as("id"), col(textCol).as("text"))
       .join(broadcast(oldIds), Seq("id"))
     val pairs = Dedup.verifyJaccard(
         shNew.union(Dedup.shingles(oldDocs, "text", "id")), "id",
@@ -620,14 +627,14 @@ object DedupIndex {
       .union(pairs.select(col("id_b").as("id"))).distinct()
     val oldEndpoints = endpoints.join(batch.select("id"), Seq("id"), "left_anti")
     val affComps = prunedScan(spark, membersPath(root), "id",
-        longsOf(oldEndpoints, "id", inMax))
+        keysOf(oldEndpoints, "id", inMax))
       .join(broadcast(oldEndpoints), Seq("id"))
       .select("comp").distinct()
     // comp = the family's min id, so the id-clustered members layout also
     // serves comp probes (families that bridge distant ids cost a few
     // extra kept files, never correctness)
     val affMembers = prunedScan(spark, membersPath(root), "comp",
-        longsOf(affComps, "comp", inMax))
+        keysOf(affComps, "comp", inMax))
       .join(broadcast(affComps), Seq("comp"))
       .select("id", "comp", "len").localCheckpoint(true)
     val stars = affMembers.filter(col("id") =!= col("comp"))
@@ -646,12 +653,12 @@ object DedupIndex {
     // detection scan with the source's key set (mSrc ids ⊆ allNodes; every
     // survivor comp label is the min id of a subgraph component, so comps
     // ⊆ allNodes too) — O(batch) files touched on the id-clustered layout
-    val mergeKeys = longsOf(allNodes, "id", inMax)
+    val mergeKeys = keysOf(allNodes, "id", inMax)
     val mSrc = newLabels.join(batchLen.select(col("id"), col("len")),
       Seq("id"), "left")
     Merge.into(spark, membersPath(root), mSrc, col("t.id") === col("s.id"))
-      .withTargetScanPredicates(mergeKeys.toSeq
-        .map(ks => StatsPredicate.inLongSet("id", ks)))
+      .withTargetScanPredicates(mergeKeys
+        .flatMap(ks => StatsPredicate.inSetOf("id", ks)).toSeq)
       .whenMatchedUpdate(Map("comp" -> col("s.comp")))
       .whenNotMatchedInsert(Map("id" -> col("s.id"), "comp" -> col("s.comp"),
         "len" -> col("s.len")))
@@ -662,18 +669,18 @@ object DedupIndex {
     // subgraph node ids that are no longer labels — delete those rows
     val newComps = newLabels.select("comp").distinct()
     val membersAfter = prunedScan(spark, membersPath(root), "comp",
-      longsOf(newComps, "comp", inMax))
+      keysOf(newComps, "comp", inMax))
     val upRows = pickSurvivor(
         membersAfter.join(broadcast(newComps), Seq("comp")))
       .withColumn("op", lit("up"))
     val delRows = allNodes.select(col("id").as("comp")).except(newComps)
-      .withColumn("id", lit(null).cast("long"))
+      .withColumn("id", lit(null).cast(idType))
       .withColumn("len", lit(null).cast("long"))
       .withColumn("op", lit("del"))
     Merge.into(spark, survivorsPath(root), upRows.unionByName(delRows),
         col("t.comp") === col("s.comp"))
-      .withTargetScanPredicates(mergeKeys.toSeq
-        .map(ks => StatsPredicate.inLongSet("comp", ks)))
+      .withTargetScanPredicates(mergeKeys
+        .flatMap(ks => StatsPredicate.inSetOf("comp", ks)).toSeq)
       .whenMatchedDelete(col("s.op") === "del")
       .whenMatchedUpdate(col("s.op") === "up",
         Map("id" -> col("s.id"), "len" -> col("s.len")))
@@ -694,7 +701,7 @@ object DedupIndex {
     // deterministic), so its band_idx=0 row carries a band_hash from THIS
     // batch's band-0 hash set — the hash-clustered layout prunes the probe
     val landed = prunedScan(spark, bucketsPath(root), "band_hash",
-        bandKeys.map(_.collect { case (0, h) => h }),
+        bandKeys.map(_.collect { case (0, h) => h: Any }),
         Seq(PartitionFilter.Eq("band_idx", "0")))
       .select("id")
       .join(broadcast(batch.select("id")), Seq("id"))

@@ -111,6 +111,33 @@ class FileIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(edge.inputFiles.length == 2)
   }
 
+  test("r15: eager InStringSet pre-pruning bounds inputFiles (string keys)") {
+    val dir = tempTable("fi-instr-eager").toString
+    // four files with disjoint lexicographic key ranges a*, b*, c*, d*
+    (0 until 4).foreach { k =>
+      val p = ('a' + k).toChar
+      GraftWriter.write(
+        (0 until 50).map(i => (f"$p%c-key-$i%03d", i))
+          .toDF("k", "v").repartition(1),
+        dir, if (k == 0) SaveMode.ErrorIfExists else SaveMode.Append)
+    }
+    val dt = DeltaTable.forPath(spark, dir)
+    val df = dt.toDF(Nil,
+      Seq(StatsPredicate.inStringSet("k", Array("a-key-003", "c-key-007"))))
+    assert(df.inputFiles.length == 2)
+    assert(df.count() == 100) // eager prune drops FILES, not rows
+    // boundary inclusivity: a file's exact min and max keys must keep it
+    val edge = dt.toDF(Nil,
+      Seq(StatsPredicate.inStringSet("k", Array("b-key-000", "d-key-049"))))
+    assert(edge.inputFiles.length == 2)
+    // between-ranges values prove emptiness (UTF-8 order, not UTF-16:
+    // '' sorts ABOVE supplementary chars in UTF-16 but the stats
+    // convention is UTF-8 binary — a between-files probe must still miss)
+    val miss = dt.toDF(Nil,
+      Seq(StatsPredicate.inStringSet("k", Array("az", "cz"))))
+    assert(miss.inputFiles.isEmpty)
+  }
+
   test("explicit pre-pruning composes with Catalyst-pushed filters") { withoutPlanRewrites {
     val dir = tempTable("fi-compose").toString
     GraftWriter.write(

@@ -473,6 +473,65 @@ class DedupIndexSpec extends AnyFunSuite with SparkTestBase {
       "the replay must still advance the mark")
   }
 
+  test("r15: string doc ids — lifecycle ≡ full recompute; fences hold (verdict #8)") {
+    // real corpora key on URLs/UUIDs: the whole index must run on a STRING
+    // id column with no long cast anywhere — comp labels become min ids
+    // under UTF-8 order, probes prune via InStringSet, null literals take
+    // the id type
+    val r = root("strids")
+    val src = s"$r/source"
+    def strify(df: org.apache.spark.sql.DataFrame) =
+      df.select(format_string("doc://s%d/p%04d", col("doc_id") % 7,
+        col("doc_id")).as("doc_id"), col("text"))
+    graft.delta.GraftWriter.write(strify(slice(corpus, 0, 200)), src,
+      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$r/idx",
+      numHashes = 64, bands = 64)
+    assert(DedupIndex.members(spark, s"$r/idx").schema("id").dataType ==
+      org.apache.spark.sql.types.StringType,
+      "ids must keep their native string type end-to-end")
+    // an insert window (bridges 10–110 via 210), then a delete window
+    // (take the bridge down again), then another insert window
+    graft.delta.GraftWriter.write(strify(slice(corpus, 200, 300)), src,
+      SaveMode.Append)
+    DedupIndex.refreshFromSource(spark, s"$r/idx")
+    graft.delta.Dml.delete(spark, src, col("doc_id") === "doc://s0/p0210")
+    DedupIndex.refreshFromSource(spark, s"$r/idx")
+    graft.delta.GraftWriter.write(strify(slice(corpus, 300, 400)), src,
+      SaveMode.Append)
+    DedupIndex.refreshFromSource(spark, s"$r/idx")
+    // ≡ full recompute over the final (post-delete) corpus
+    val rf = root("strfull")
+    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$rf/idx",
+      numHashes = 64, bands = 64)
+    def dumpS(df: org.apache.spark.sql.DataFrame): Seq[(String, String, Long)] =
+      df.select("comp", "id", "len").as[(String, String, Long)]
+        .collect().toSeq.sorted
+    assert(dumpS(DedupIndex.survivors(spark, s"$r/idx")) ==
+      dumpS(DedupIndex.survivors(spark, s"$rf/idx")),
+      "string-id survivors ≡ full recompute")
+    assert(dumpS(DedupIndex.members(spark, s"$r/idx")
+        .select(col("comp"), col("id"), col("len"))) ==
+      dumpS(DedupIndex.members(spark, s"$rf/idx")
+        .select(col("comp"), col("id"), col("len"))), "members ≡")
+    // the bridge delete split {10,110} under string labels too
+    val m = DedupIndex.members(spark, s"$r/idx")
+      .filter(col("id").isin("doc://s3/p0010", "doc://s5/p0110"))
+      .select("id", "comp").as[(String, String)].collect().toMap
+    assert(m("doc://s3/p0010") == "doc://s3/p0010" &&
+      m("doc://s5/p0110") == "doc://s5/p0110",
+      s"bridge deletion must split the string-keyed family, got $m")
+    // the cross-window id-reuse fence works on strings: re-delivering an
+    // indexed id with DIFFERENT text refuses loudly
+    graft.delta.GraftWriter.write(
+      Seq(("doc://s5/p0005", "completely different body")).toDF("doc_id", "text"),
+      src, SaveMode.Append)
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.refreshFromSource(spark, s"$r/idx")
+    }
+    assert(e.getMessage.contains("DIFFERENT"))
+  }
+
   test("UPDATE source changes are refused loudly (delete + re-insert is the path)") {
     val r = root("refuse")
     val src = s"$r/source"

@@ -279,6 +279,31 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
       Array.fill(8)(49f / 50), k = 1, nProbe = 2)
       .select("id").as[Int].head()
     assert(served != 49, "deleted int-keyed id must not serve")
+    // 4. a STRING-keyed source (URL/UUID ids, r15 verdict #8): build,
+    //    delete window (inline tombstone carries the string id), append
+    //    window, probe — ids keep their native type end-to-end
+    val r4 = root("strids")
+    graft.delta.GraftWriter.write(
+      (0 until 50).map(i => (f"vec-$i%03d", Array.fill(8)(i.toFloat / 50)))
+        .toDF("vid", "emb"), s"$r4/source",
+      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    IvfIndex.buildFromTable(spark, s"$r4/source", "vid", "emb", s"$r4/idx",
+      nClusters = 2)
+    graft.delta.Dml.delete(spark, s"$r4/source", col("vid") === "vec-049")
+    val (a4, t4) = IvfIndex.refreshFromSource(spark, s"$r4/idx")
+    assert(a4 == 0 && t4 == 1, s"($a4, $t4)")
+    assert(IvfIndex.topK(spark, s"$r4/idx", Array.fill(8)(49f / 50),
+        k = 1, nProbe = 2)
+      .select("id").as[String].head() != "vec-049",
+      "deleted string-keyed id must not serve")
+    graft.delta.GraftWriter.write(
+      Seq(("vec-999", Array.fill(8)(0.98f))).toDF("vid", "emb"),
+      s"$r4/source", org.apache.spark.sql.SaveMode.Append)
+    IvfIndex.refreshFromSource(spark, s"$r4/idx")
+    assert(IvfIndex.topK(spark, s"$r4/idx", Array.fill(8)(0.98f),
+        k = 1, nProbe = 2)
+      .select("id").as[String].head() == "vec-999",
+      "appended string-keyed id must serve")
   }
 
   test("topKBatch: one pruned scan, per-query results identical to topK") {
