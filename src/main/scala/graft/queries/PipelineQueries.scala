@@ -389,6 +389,38 @@ object PipelineQueries {
         .orderBy("comp", "doc_id")
     },
 
+    // Generic doc keys at the driver gate (r15, verdict #8): the SAME
+    // standing-index lifecycle — build, CDF increment, delete fold — on a
+    // STRING id column (URL-shaped, zero-padded so string order matches
+    // the numeric order the oracle labels components with). Exercises the
+    // string comp labels, the InStringSet probe pruning, and the
+    // string-typed null literals end-to-end; survivors must hash-match
+    // DuckDB's recursive-closure recompute keyed by the same strings.
+    "q83_dedup_string_ids" -> { (s, dir) =>
+      val numDocs = t(s, dir, "documents")
+      val docs = numDocs
+        .select(format_string("doc://%012d", col("doc_id")).as("doc_id"),
+          col("text"))
+      val cut = numDocs.selectExpr("percentile_approx(doc_id, 0.7)")
+        .first().getLong(0)
+      val cutS = f"doc://$cut%012d"
+      val root = graft.queries.DeltaQueries.freshWorkDir("dedupstr")
+      val src = s"$root/source"
+      graft.delta.GraftWriter.write(docs.filter(col("doc_id") < cutS), src,
+        configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+      DedupIndex.buildFromSource(s, src, "text", "doc_id", s"$root/idx")
+      graft.delta.GraftWriter.write(docs.filter(col("doc_id") >= cutS), src,
+        org.apache.spark.sql.SaveMode.Append)
+      DedupIndex.refreshFromSource(s, s"$root/idx")
+      // takedown wave: zero-padded decimal ⇒ last char '3' ≡ doc_id%10=3
+      graft.delta.Dml.delete(s, src, substring(col("doc_id"), -1, 1) === "3")
+      DedupIndex.refreshFromSource(s, s"$root/idx")
+      DedupIndex.survivors(s, s"$root/idx")
+        .select(col("comp"), col("id").as("doc_id"),
+          col("len").as("text_len"))
+        .orderBy("comp", "doc_id")
+    },
+
     // tumbling-window event aggregation (batch shape of the streaming agg).
     "q31_events_window" -> { (s, dir) =>
       events(s, dir)
@@ -607,6 +639,33 @@ object PipelineQueries {
       """WITH RECURSIVE
         |d AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w
         |      FROM documents WHERE doc_id % 10 NOT IN (3, 7)),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |       FROM d, UNNEST(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b FROM p0
+        |      JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+        |      WHERE 2 * inter >= (ca.n + cb.n - inter)),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (SELECT a, b FROM e
+        |                UNION
+        |                SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+        |fam AS (SELECT d.doc_id, d.text, coalesce(c.comp, d.doc_id) AS comp
+        |        FROM d LEFT JOIN comp c ON c.id = d.doc_id)
+        |SELECT comp, doc_id, CAST(length(text) AS BIGINT) AS text_len FROM (
+        |  SELECT comp, doc_id, text, row_number() OVER (
+        |    PARTITION BY comp ORDER BY length(text) DESC, doc_id) AS rn
+        |  FROM fam) WHERE rn = 1 ORDER BY comp, doc_id""".stripMargin,
+
+    // the q82 closure with STRING doc ids (zero-padded, so the min-id comp
+    // labels agree with the numeric labeling) over the post-delete corpus
+    "q83_dedup_string_ids" ->
+      """WITH RECURSIVE
+        |d AS (SELECT printf('doc://%012d', doc_id) AS doc_id, text,
+        |             string_split(lower(text), ' ') AS w
+        |      FROM documents WHERE doc_id % 10 <> 3),
         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
         |       FROM d, UNNEST(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

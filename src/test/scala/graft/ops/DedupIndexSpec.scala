@@ -313,6 +313,42 @@ class DedupIndexSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.unset("spark.graft.dedup.maintainTargetBytes")
   }
 
+  test("r15: string-keyed members probe reads a bounded file subset") {
+    // the verdict-#8 scale posture: generic keys keep the bounded-probe
+    // property — InStringSet prunes the id-clustered members layout just
+    // like InLongSet prunes long keys
+    val r = root("strbounded")
+    val src = s"$r/source"
+    spark.conf.set("spark.graft.dedup.maintainTargetBytes", "2048")
+    try {
+      def docs(from: Int, until: Int) =
+        spark.range(from, until).selectExpr(
+          "format_string('doc://%04d', id) AS doc_id",
+          "concat_ws(' ', transform(sequence(0, 14), " +
+          "i -> concat('u', id, 'x', i))) AS text")
+      graft.delta.GraftWriter.write(docs(0, 400), src,
+        configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+      DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$r/idx",
+        numHashes = 16, bands = 4)
+      Seq((400, 800), (800, 1200)).foreach { case (a, b) =>
+        graft.delta.GraftWriter.write(docs(a, b), src, SaveMode.Append)
+        DedupIndex.refreshFromSource(spark, s"$r/idx")
+      }
+      val membersPath = s"$r/idx/members"
+      val total = graft.delta.DeltaLog.forPath(spark, membersPath)
+        .update().files.size
+      assert(total >= 6, s"layout must produce many files, got $total")
+      val probe = DedupIndex.prunedScan(spark, membersPath, "id",
+        Some(Array[Any]("doc://0007", "doc://0700")))
+      val read = probe.inputFiles.length
+      assert(read < total / 2,
+        s"string probe must skip most files: read $read of $total")
+      // file-level pruning only — the kept files serve every matching row
+      assert(probe.filter(col("id").isin("doc://0007", "doc://0700"))
+        .count() == 2)
+    } finally spark.conf.unset("spark.graft.dedup.maintainTargetBytes")
+  }
+
   test("r15: deletes fold — non-survivor, survivor, and bridge deletions ≡ full recompute") {
     val r = root("del")
     val src = s"$r/source"
