@@ -12,14 +12,27 @@ import graft.delta.{AddAction, ChangeDataFeed, DeltaLog, DeltaTable,
   * a 100 TB pipeline cannot re-run [[Dedup.minhashLshPairs]] per increment.
   *
   * Layout under `root`:
-  *  - `root/buckets`   — (band_idx, band_hash, id), every indexed doc's LSH
-  *    band rows, PARTITIONED BY band_idx. ~16 fixed-width rows per doc —
-  *    the probe side an increment broadcast-joins against;
-  *  - `root/members`   — (id, comp, len): every indexed doc's duplicate
-  *    FAMILY (comp = min id over the connected component of the verified
-  *    pair graph) and its survivor-preference key;
-  *  - `root/survivors` — (comp, id, len): the family representative under
-  *    the fixed preference (longest text, then lowest id — q77's order).
+  *  - `root/buckets`   — (band_idx, band_hash, id, asof), every indexed
+  *    doc's LSH band rows, PARTITIONED BY band_idx. ~16 fixed-width rows
+  *    per doc — the probe side an increment broadcast-joins against;
+  *  - `root/members`   — (id, comp, len, asof, dead): every indexed doc's
+  *    duplicate FAMILY (comp = min id over the connected component of the
+  *    verified pair graph) and its survivor-preference key;
+  *  - `root/survivors` — (comp, id, len, asof, dead): the family
+  *    representative under the fixed preference (longest text, then
+  *    lowest id — q77's order).
+  *
+  * MONOTONE FOLDS (r15 second review): `asof` is the source version a
+  * row's state was computed AT, and takedowns flag `dead = true` instead
+  * of physically deleting members/survivors rows. Every fold merge guards
+  * every clause with `t.asof <= windowEnd`, so a STALE laggard refresh —
+  * one that raced a twin on the same window, lost, and resumed after a
+  * NEWER window was folded — no-ops per row instead of writing old labels
+  * over new ones, atomically inside each merge commit; the kept dead rows
+  * block it from resurrecting a doc a newer fold took down. (The final
+  * buckets append's mark precondition already aborted the laggard — these
+  * guards close the merges that COMMIT BEFORE that abort.) Serves filter
+  * `dead`; dead rows are O(takedowns) and stay as guard state.
   *
   * INCREMENT = one [[refreshFromSource]] call after new docs land in the
   * (CDF-enabled) source table. Windows may carry INSERTs and DELETEs
@@ -202,7 +215,7 @@ object DedupIndex {
     * aggregate checks both. Ids keep their source type (long and string
     * doc ids are both first-class, r15 verdict #8); any orderable type
     * works — comp labels are min-ids under the type's ordering. */
-  private def requireCleanIds(docs: DataFrame, what: String): Unit = {
+  private def requireCleanIds(docs: DataFrame, what: String): Long = {
     val c = docs.agg(count(lit(1)), countDistinct(col("id")),
       coalesce(sum(col("id").isNull.cast("long")), lit(0L))).first()
     require(c.getLong(2) == 0,
@@ -212,7 +225,18 @@ object DedupIndex {
       s"$what carries duplicate doc ids (${c.getLong(0)} rows, " +
       s"${c.getLong(1)} distinct) — the dedup index requires unique ids " +
       "(identical redelivered rows are collapsed before this check)")
+    c.getLong(0)
   }
+
+  /** Range-partition count targeting [[maintainTargetBytes]]-sized files
+    * for a fixed-width standing-table write (~32 B/row on disk — exact
+    * sizing is maintain()'s job; this keeps BUILD files near the target
+    * instead of tied to spark.sql.shuffle.partitions, which wrote ~0.5 TB
+    * files per partition at 100 TB and starved the probes' file skipping —
+    * r15 second review). */
+  private def layoutParts(spark: SparkSession, rows: Long): Int =
+    math.max(1, math.min(1 << 20,
+      math.ceil(rows * 32.0 / maintainTargetBytes(spark)).toInt))
 
   /** The survivor preference (longest text, then lowest id) as a min_by
     * ordering key over (id, len) structs — ONE definition for build and
@@ -249,7 +273,7 @@ object DedupIndex {
     // first refresh's window (r14 review)
     val docs = DeltaTable.forPath(spark, sourcePath, snap.version).toDF
       .select(col(idCol).as("id"), col(textCol).as("text"))
-    requireCleanIds(docs, s"source $sourcePath")
+    val nDocs = requireCleanIds(docs, s"source $sourcePath")
     val sh = Dedup.shingles(docs, "text", "id")
     val bandRows = bandRowsOf(docs, numHashes, bands).localCheckpoint(true)
     val x = bandRows.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
@@ -282,21 +306,40 @@ object DedupIndex {
     // id (the endpoint/fence probes' key; comp probes prune on the same
     // layout because comp = the family's min id, which tracks id closely).
     // Incremental cluster() passes during refresh keep the layout current.
+    // every standing row carries `asof` — the source version its state was
+    // computed AT — and members/survivors a `dead` flag instead of physical
+    // deletes: the folds' merges guard every clause with t.asof <= window
+    // end, so a STALE laggard refresh (raced past by a completed fold plus
+    // a newer window) can no longer write W1-era labels over W2-era rows —
+    // its clauses no-op per row, atomically inside the merge (r15 second
+    // review). Dead rows also block stale resurrection: a laggard's
+    // not-matched insert cannot re-create a row a newer fold killed,
+    // because the row is still there, dead, carrying the newer asof.
     GraftWriter.write(
       members.select("id", "comp", "len")
-        .repartitionByRange(col("id")).sortWithinPartitions("id"),
+        .withColumn("asof", lit(snap.version))
+        .withColumn("dead", lit(false))
+        .repartitionByRange(layoutParts(spark, nDocs), col("id"))
+        .sortWithinPartitions("id"),
       membersPath(root),
       SaveMode.Overwrite, overwriteSchema = exists(membersPath(root)),
       configuration = Some(Map(EpochKey -> epoch)),
       fileTags = Map(Optimize.ClusterSpecTag -> "id"))
-    GraftWriter.write(pickSurvivor(members), survivorsPath(root),
+    GraftWriter.write(
+      pickSurvivor(members)
+        .withColumn("asof", lit(snap.version))
+        .withColumn("dead", lit(false)),
+      survivorsPath(root),
       SaveMode.Overwrite, overwriteSchema = exists(survivorsPath(root)),
       configuration = Some(Map(EpochKey -> epoch)))
     val binding = Map(SourcePathKey -> sourcePath, TextColKey -> textCol,
       IdColKey -> idCol, EpochKey -> epoch,
       ParamsKey -> s"$thresholdNum,$thresholdDen,$numHashes,$bands")
     GraftWriter.write(
-      bandRows.repartitionByRange(col("band_idx"), col("band_hash"))
+      bandRows
+        .withColumn("asof", lit(snap.version))
+        .repartitionByRange(layoutParts(spark, nDocs * bands),
+          col("band_idx"), col("band_hash"))
         .sortWithinPartitions("band_idx", "band_hash"),
       bucketsPath(root), SaveMode.Overwrite,
       partitionBy = Seq("band_idx"),
@@ -333,6 +376,13 @@ object DedupIndex {
     val srcLog = DeltaLog.forPath(spark, srcPath)
     val now = srcLog.update().version
     if (now <= last) return (0L, 0L)
+    // pre-asof layouts (no monotone fold guard) cannot be folded safely —
+    // refuse loudly; a rebuild adopts the guarded layout (r15 second
+    // review)
+    require(DeltaLog.forPath(spark, membersPath(root)).update()
+        .schema.fieldNames.contains("asof"),
+      s"dedup index at $root predates the asof-guarded layout — rebuild " +
+      "it with buildFromSource")
     // ONE window read serves the change-kind fence AND both folds; the
     // commit version rides along so multi-commit windows net-fold per id
     val pinned = ChangeDataFeed.readChanges(spark, srcLog, last, now)
@@ -356,22 +406,32 @@ object DedupIndex {
     // anywhere in an id's window history marks its standing rows for
     // removal (a delete + re-insert in one window is a deliberate
     // replacement). Byte-identical redelivered inserts collapse naturally
-    // (one net row per id); two DIFFERENT texts among one id's inserts is
-    // an update in disguise — refuse loudly instead of wedging the members
-    // MERGE (r14 review). Null ids fail in requireCleanIds below.
-    val nets = pinned.groupBy("id").agg(
+    // (one net row per id); two DIFFERENT texts among one id's LIVE
+    // inserts is an update in disguise — refuse loudly instead of wedging
+    // the members MERGE (r14 review). LIVE means not superseded by a later
+    // delete: create→delete→re-create inside ONE window is the sanctioned
+    // replacement shape and must fold, not wedge the index permanently
+    // (r15 second review — the unsegmented count refused it). Two
+    // divergent inserts BOTH superseded by a delete fold cleanly too: all
+    // their texts are dead and the delete fold recomputes band rows over
+    // every window text. Null ids fail in requireCleanIds below.
+    val delCvW = max(when(col("ct") === "delete", col("cver")))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy("id"))
+    val nets = pinned.withColumn("del_cv", delCvW)
+      .groupBy("id").agg(
         max(struct(col("cver"), col("ct"), col("text"))).as("last_ev"),
-        max(when(col("ct") === "delete",
-          struct(col("cver"), col("text")))).as("last_del"),
-        countDistinct(when(col("ct") === "insert", col("text"))).as("n_ins"))
+        max(col("del_cv")).as("last_del_cv"),
+        countDistinct(when(col("ct") === "insert" &&
+            (col("del_cv").isNull || col("cver") > col("del_cv")),
+          col("text"))).as("n_ins"))
       .select(col("id"), col("last_ev.ct").as("ct"),
-        col("last_ev.text").as("text"), col("last_del.text").as("del_text"),
-        col("last_del").isNotNull.as("has_delete"), col("n_ins"))
+        col("last_ev.text").as("text"),
+        col("last_del_cv").isNotNull.as("has_delete"), col("n_ins"))
       .localCheckpoint(true) // batch/delete splits + hygiene both read it
     require(nets.filter(col("n_ins") > 1).isEmpty,
       s"window ($last, $now] carries duplicate doc ids with divergent " +
-      "texts — the dedup index requires unique ids (identical redelivered " +
-      "rows are collapsed before this check)")
+      "live texts — the dedup index requires unique ids (identical " +
+      "redelivered rows are collapsed before this check)")
     requireCleanIds(nets.select("id", "text"), s"window ($last, $now]")
     val batch = nets.filter(col("ct") === "insert").select("id", "text")
       .localCheckpoint(true) // shingles, bands, lengths all read it
@@ -428,6 +488,7 @@ object DedupIndex {
     val fenceSrc = nets.filter(col("ct") === "insert" && !col("has_delete"))
       .select(col("id"), length(col("text")).cast("long").as("batch_len"))
     val reused = prunedScan(spark, membersPath(root), "id", batchIds)
+      .filter(!col("dead")) // a dead id is re-insertable with ANY text
       .join(broadcast(fenceSrc), Seq("id"))
       .filter(col("len") =!= col("batch_len"))
       .limit(1).collect()
@@ -473,12 +534,17 @@ object DedupIndex {
         else Some(rows.groupBy(_.getInt(0))
           .map { case (b, rs) => b -> rs.map(_.getLong(1)) })
       }
+      // every clause below guards on t.asof <= now (the window end): a
+      // STALE laggard (its `now` older than rows a newer fold wrote)
+      // no-ops per row instead of deleting or relabeling newer state —
+      // the cross-refresh clobber the final mark guard alone could not
+      // prevent (r15 second review)
       val bucketsDel = Merge.into(spark, bucketsPath(root),
           delBands.select("band_idx", "band_hash", "id"),
           col("t.band_idx") === col("s.band_idx") &&
             col("t.band_hash") === col("s.band_hash") &&
             col("t.id") === col("s.id"))
-        .whenMatchedDelete()
+        .whenMatchedDelete(col("t.asof") <= lit(now))
       // per-band prune (a flat key set false-hits across bands, r15 review)
       delBandKeys.foreach(bb =>
         bucketsDel.withTargetScanPruner(fs => perBandPrune(fs, bb)))
@@ -490,12 +556,14 @@ object DedupIndex {
       // when nodes vanish — no cross-family merge can appear here, so the
       // subgraph is exactly the affected families.
       val standingDel = prunedScan(spark, membersPath(root), "id", delIds)
+        .filter(!col("dead"))
         .join(broadcast(delIdsDf), Seq("id"))
         .select("id", "comp").localCheckpoint(true) // bounded by the window
       if (!standingDel.isEmpty) {
         val affComps = standingDel.select("comp").distinct()
         val affCompIds = keysOf(affComps, "comp", inMax)
         val famMembers = prunedScan(spark, membersPath(root), "comp", affCompIds)
+          .filter(!col("dead"))
           .join(broadcast(affComps), Seq("comp"))
         val remaining = famMembers
           .join(broadcast(delIdsDf), Seq("id"), "left_anti")
@@ -535,12 +603,15 @@ object DedupIndex {
             col("t.comp") === col("s.comp"))
           .withTargetScanPredicates(survKeys
             .flatMap(ks => StatsPredicate.inSetOf("comp", ks)).toSeq)
-          .whenMatchedDelete(col("s.op") === "del")
-          .whenMatchedUpdate(col("s.op") === "up",
-            Map("id" -> col("s.id"), "len" -> col("s.len")))
+          .whenMatchedUpdate(col("s.op") === "del" && col("t.asof") <= lit(now),
+            Map("dead" -> lit(true), "asof" -> lit(now)))
+          .whenMatchedUpdate(col("s.op") === "up" && col("t.asof") <= lit(now),
+            Map("id" -> col("s.id"), "len" -> col("s.len"),
+              "asof" -> lit(now), "dead" -> lit(false)))
           .whenNotMatchedInsert(col("s.op") === "up",
             Map("comp" -> col("s.comp"), "id" -> col("s.id"),
-              "len" -> col("s.len")))
+              "len" -> col("s.len"), "asof" -> lit(now),
+              "dead" -> lit(false)))
           .execute()
         // members LAST: drop the deleted ids, relabel the remaining
         val mdel = standingDel.select("id")
@@ -553,9 +624,11 @@ object DedupIndex {
             col("t.id") === col("s.id"))
           .withTargetScanPredicates(memberKeys
             .flatMap(ks => StatsPredicate.inSetOf("id", ks)).toSeq)
-          .whenMatchedDelete(col("s.op") === "del")
-          .whenMatchedUpdate(col("s.op") === "up",
-            Map("comp" -> col("s.comp")))
+          .whenMatchedUpdate(col("s.op") === "del" && col("t.asof") <= lit(now),
+            Map("dead" -> lit(true), "asof" -> lit(now)))
+          .whenMatchedUpdate(col("s.op") === "up" && col("t.asof") <= lit(now),
+            Map("comp" -> col("s.comp"), "asof" -> lit(now),
+              "dead" -> lit(false)))
           .execute()
       }
     }
@@ -628,6 +701,7 @@ object DedupIndex {
     val oldEndpoints = endpoints.join(batch.select("id"), Seq("id"), "left_anti")
     val affComps = prunedScan(spark, membersPath(root), "id",
         keysOf(oldEndpoints, "id", inMax))
+      .filter(!col("dead"))
       .join(broadcast(oldEndpoints), Seq("id"))
       .select("comp").distinct()
     // comp = the family's min id, so the id-clustered members layout also
@@ -635,6 +709,7 @@ object DedupIndex {
     // extra kept files, never correctness)
     val affMembers = prunedScan(spark, membersPath(root), "comp",
         keysOf(affComps, "comp", inMax))
+      .filter(!col("dead"))
       .join(broadcast(affComps), Seq("comp"))
       .select("id", "comp", "len").localCheckpoint(true)
     val stars = affMembers.filter(col("id") =!= col("comp"))
@@ -656,12 +731,20 @@ object DedupIndex {
     val mergeKeys = keysOf(allNodes, "id", inMax)
     val mSrc = newLabels.join(batchLen.select(col("id"), col("len")),
       Seq("id"), "left")
+    // t.asof <= now guards the stale-laggard clobber (see the delete
+    // fold); dead=false RESURRECTS a taken-down id legitimately re-added
+    // in a later window (the matched-but-dead shape — len must travel
+    // then, hence the coalesce: relabels of live old rows carry s.len
+    // null and keep t.len)
     Merge.into(spark, membersPath(root), mSrc, col("t.id") === col("s.id"))
       .withTargetScanPredicates(mergeKeys
         .flatMap(ks => StatsPredicate.inSetOf("id", ks)).toSeq)
-      .whenMatchedUpdate(Map("comp" -> col("s.comp")))
+      .whenMatchedUpdate(col("t.asof") <= lit(now),
+        Map("comp" -> col("s.comp"),
+          "len" -> coalesce(col("s.len"), col("t.len")),
+          "asof" -> lit(now), "dead" -> lit(false)))
       .whenNotMatchedInsert(Map("id" -> col("s.id"), "comp" -> col("s.comp"),
-        "len" -> col("s.len")))
+        "len" -> col("s.len"), "asof" -> lit(now), "dead" -> lit(false)))
       .execute()
 
     // survivors: recompute per surviving affected family from the merged
@@ -669,7 +752,8 @@ object DedupIndex {
     // subgraph node ids that are no longer labels — delete those rows
     val newComps = newLabels.select("comp").distinct()
     val membersAfter = prunedScan(spark, membersPath(root), "comp",
-      keysOf(newComps, "comp", inMax))
+        keysOf(newComps, "comp", inMax))
+      .filter(!col("dead"))
     val upRows = pickSurvivor(
         membersAfter.join(broadcast(newComps), Seq("comp")))
       .withColumn("op", lit("up"))
@@ -681,12 +765,14 @@ object DedupIndex {
         col("t.comp") === col("s.comp"))
       .withTargetScanPredicates(mergeKeys
         .flatMap(ks => StatsPredicate.inSetOf("comp", ks)).toSeq)
-      .whenMatchedDelete(col("s.op") === "del")
-      .whenMatchedUpdate(col("s.op") === "up",
-        Map("id" -> col("s.id"), "len" -> col("s.len")))
+      .whenMatchedUpdate(col("s.op") === "del" && col("t.asof") <= lit(now),
+        Map("dead" -> lit(true), "asof" -> lit(now)))
+      .whenMatchedUpdate(col("s.op") === "up" && col("t.asof") <= lit(now),
+        Map("id" -> col("s.id"), "len" -> col("s.len"),
+          "asof" -> lit(now), "dead" -> lit(false)))
       .whenNotMatchedInsert(col("s.op") === "up",
         Map("comp" -> col("s.comp"), "id" -> col("s.id"),
-          "len" -> col("s.len")))
+          "len" -> col("s.len"), "asof" -> lit(now), "dead" -> lit(false)))
       .execute()
 
     // buckets append + high-water mark LAST: before this commit the window
@@ -707,7 +793,8 @@ object DedupIndex {
       .join(broadcast(batch.select("id")), Seq("id"))
       .localCheckpoint(true) // bounded by the batch
     val unlanded = newBands.join(landed, Seq("id"), "left_anti")
-      .select("band_idx", "band_hash", "id") // the join moved the key first
+      .select(col("band_idx"), col("band_hash"), col("id"),
+        lit(now).as("asof")) // the join moved the key first
     if (unlanded.isEmpty) bareMark()
     else GraftWriter.write(unlanded, bucketsPath(root), SaveMode.Append,
       partitionBy = Seq("band_idx"), extraActions = markAction,
@@ -718,16 +805,25 @@ object DedupIndex {
     (nNew, nEdges)
   }
 
-  /** The current survivor set: (comp, id, len), one row per duplicate
+  /** LIVE rows of a standing table — the r15 asof layout keeps dead
+    * (taken-down) rows as guard state for stale-laggard protection, so
+    * every serve filters them; pre-asof layouts have no dead column and
+    * pass through. */
+  private def liveRows(spark: SparkSession, path: String): DataFrame = {
+    val df = DeltaTable.forPath(spark, path).toDF
+    if (df.columns.contains("dead")) df.filter(!col("dead")) else df
+  }
+
+  /** The current survivor set: (comp, id, len, …), one row per duplicate
     * family (comp = the family's min doc id). */
   def survivors(spark: SparkSession, root: String): DataFrame = {
     checkEpoch(spark, root)
-    DeltaTable.forPath(spark, survivorsPath(root)).toDF
+    liveRows(spark, survivorsPath(root))
   }
 
-  /** Full family membership: (id, comp, len) for every indexed doc. */
+  /** Full family membership: (id, comp, len, …) for every indexed doc. */
   def members(spark: SparkSession, root: String): DataFrame = {
     checkEpoch(spark, root)
-    DeltaTable.forPath(spark, membersPath(root)).toDF
+    liveRows(spark, membersPath(root))
   }
 }

@@ -188,19 +188,7 @@ object IvfIndex {
     // (r15 verdict #3): refreshes observe their batches' distances against
     // it, so a distribution shift surfaces as ratio > 1 in driftReport
     // without ever re-scanning the index
-    val baseStats = assigned
-      .select(col("cluster").as("cid"),
-        expr("transform(vec, x -> cast(x as double))").as("dv"))
-      .join(broadcast(cents.select(col("cid"),
-        expr("transform(centroid, x -> cast(x as double))").as("cdv"))),
-        Seq("cid"))
-      .withColumn("dist", expr(Similarity.SqDistExpr))
-      .groupBy("cid")
-      .agg(count(lit(1)).as("n"), avg("dist").as("base_dist"))
-    val centsOut = cents.join(baseStats, Seq("cid"), "left")
-      .select(col("cid"), col("centroid"),
-        coalesce(col("n"), lit(0L)).as("n"),
-        coalesce(col("base_dist"), lit(0.0)).as("base_dist"))
+    val centsOut = centroidsWithBaselines(assigned, cents)
     // ONE epoch stamps both tables; a crash between the two overwrites
     // leaves them differing, which checkEpoch turns into a loud refusal
     // instead of silent mixed-clustering recall collapse (r14 review)
@@ -257,6 +245,29 @@ object IvfIndex {
       overwriteSchema = exists(driftPath(root)))
   }
 
+  /** Per-cluster drift baselines joined onto `cents`: (cid, centroid, n,
+    * base_dist) where base_dist is the mean squared assignment distance of
+    * `rows` (cluster, vec) to their centroid. ONE definition for the full
+    * build and the partial re-cluster (r15 second review) — a baseline
+    * change applied to one site would silently skew driftReport ratios
+    * for split clusters versus built ones. */
+  private def centroidsWithBaselines(rows: DataFrame,
+                                     cents: DataFrame): DataFrame = {
+    val stats = rows
+      .select(col("cluster").as("cid"),
+        expr("transform(vec, x -> cast(x as double))").as("dv"))
+      .join(broadcast(cents.select(col("cid"),
+        expr("transform(centroid, x -> cast(x as double))").as("cdv"))),
+        Seq("cid"))
+      .withColumn("dist", expr(Similarity.SqDistExpr))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"), avg("dist").as("base_dist"))
+    cents.join(stats, Seq("cid"), "left")
+      .select(col("cid"), col("centroid"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("base_dist"), lit(0.0)).as("base_dist"))
+  }
+
   /** Refuse an index whose centroids and postings carry DIFFERENT build
     * epochs — the torn-rebuild state (see [[EpochKey]]). Absent epochs
     * (pre-epoch layouts) stay accepted. */
@@ -292,6 +303,12 @@ object IvfIndex {
     require(!cfg.contains(SourcePathKey),
       s"index at $root is bound to ${cfg.getOrElse(SourcePathKey, "")} — " +
       "maintain it with refreshFromSource, not ad-hoc refresh")
+    // the layout epoch is read BEFORE the centroid read (inside
+    // assignFresh) and re-asserted on the append: an ad-hoc refresh racing
+    // a reclusterCluster would otherwise land rows in a retired cluster —
+    // orphans no probe ranks until the next heal (r15 second review; same
+    // fence refreshFromSource carries)
+    val layoutV = layoutEpochOf(spark, root)
     val existing = DeltaTable.forPath(spark, postingsPath(root)).toDF.select("id")
     val fresh = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .join(existing, Seq("id"), "left_anti")
@@ -302,8 +319,14 @@ object IvfIndex {
       val frame =
         if (snap.schema.fieldNames.contains("ver")) assigned.drop("dist")
         else assigned.drop("ver", "dist")
-      GraftWriter.write(frame, postingsPath(root), SaveMode.Append,
-        partitionBy = Seq("cluster"))
+      val v = GraftWriter.write(frame, postingsPath(root), SaveMode.Append,
+        partitionBy = Seq("cluster"),
+        extraActions = layoutV.map(v => TxnAction(LayoutEpochApp, v)).toSeq,
+        requireAppVersions = layoutV.map((LayoutEpochApp, _)).toSeq)
+      // drift telemetry for the ad-hoc tier too (r15 second review —
+      // without it driftReport stays permanently inert on unbound
+      // indexes); the commit version is the tier's refresh clock
+      appendDriftObs(spark, root, v, assigned)
     }
     n
   }
@@ -628,21 +651,8 @@ object IvfIndex {
         moved.select(col("cluster"), col("vec")), "vec", "cluster")
       .select(col("cluster").as("cid"), col("centroid"))
       .localCheckpoint(true)
-    val subStats = moved
-      .select(col("cluster").as("cid"),
-        expr("transform(vec, x -> cast(x as double))").as("dv"))
-      .join(broadcast(subCents.select(col("cid"),
-        expr("transform(centroid, x -> cast(x as double))").as("cdv"))),
-        Seq("cid"))
-      .withColumn("dist", expr(Similarity.SqDistExpr))
-      .groupBy("cid")
-      .agg(count(lit(1)).as("n"), avg("dist").as("base_dist"))
     GraftWriter.write(
-      subCents.join(subStats, Seq("cid"), "left")
-        .select(col("cid"), col("centroid"),
-          coalesce(col("n"), lit(0L)).as("n"),
-          coalesce(col("base_dist"), lit(0.0)).as("base_dist"))
-        .coalesce(1),
+      centroidsWithBaselines(moved, subCents).coalesce(1),
       centroidsPath(root), SaveMode.Append)
     // 2. the move — one commit, read-domain-declared, layout-bumping
     val dt = DeltaTable.forPath(spark, postingsPath(root))

@@ -125,10 +125,11 @@ object Similarity {
     * (idCol, cluster). */
   def assignToCentroids(vectors: DataFrame, idCol: String, vecCol: String,
                         cents: DataFrame): DataFrame =
-    assignDv(
-      vectors.select(col(idCol),
-        expr(s"transform($vecCol, x -> cast(x as double))").as("dv")),
-      idCol, cents)
+    // one assignment pipeline (r15 review): the with-dist variant IS the
+    // assignment; this is its projection, so a metric or tie-break change
+    // can never diverge the two
+    assignToCentroidsWithDist(vectors, idCol, vecCol, cents)
+      .select(col(idCol), col("cluster"))
 
   private def assignDv(v: DataFrame, idCol: String, cents: DataFrame): DataFrame =
     v.crossJoin(broadcast(cents.select(col("cid"),

@@ -568,6 +568,118 @@ class DedupIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("DIFFERENT"))
   }
 
+  test("r15 second review: create→delete→re-create in ONE window folds; live divergence still refuses") {
+    val r = root("cdr")
+    val src = s"$r/source"
+    graft.delta.GraftWriter.write(slice(corpus, 0, 100), src,
+      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$r/idx",
+      numHashes = 64, bands = 64)
+    // ONE window: doc 900 created with one text, deleted, re-created with
+    // a DIFFERENT text (a near-dup of family {1,101}) — the sanctioned
+    // replacement shape; the old unsegmented divergent-text count refused
+    // it and permanently wedged the index
+    graft.delta.GraftWriter.write(
+      Seq((900L, words(55, 0, 12))).toDF("doc_id", "text"), src, SaveMode.Append)
+    graft.delta.Dml.delete(spark, src, col("doc_id") === 900L)
+    graft.delta.GraftWriter.write(
+      Seq((900L, words(7, 0, 24) + " tailnine")).toDF("doc_id", "text"),
+      src, SaveMode.Append)
+    val (n, _) = DedupIndex.refreshFromSource(spark, s"$r/idx")
+    assert(n == 1, s"the re-created doc must index, got $n")
+    val m = DedupIndex.members(spark, s"$r/idx")
+      .filter(col("id") === 900L).select("comp", "len")
+      .as[(Long, Long)].collect().toSeq
+    assert(m == Seq((1L, (words(7, 0, 24) + " tailnine").length.toLong)),
+      s"900 must join family 1 under its FINAL text, got $m")
+    // two divergent LIVE inserts (no delete between) still refuse
+    graft.delta.GraftWriter.write(
+      Seq((901L, words(61, 0, 10))).toDF("doc_id", "text"), src, SaveMode.Append)
+    graft.delta.GraftWriter.write(
+      Seq((901L, words(62, 0, 10))).toDF("doc_id", "text"), src, SaveMode.Append)
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.refreshFromSource(spark, s"$r/idx")
+    }
+    assert(e.getMessage.contains("divergent"))
+  }
+
+  test("r15 second review: takedown then re-add with DIFFERENT text re-indexes (resurrection)") {
+    val r = root("resurrect")
+    val src = s"$r/source"
+    graft.delta.GraftWriter.write(slice(corpus, 0, 200), src,
+      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$r/idx",
+      numHashes = 64, bands = 64)
+    // takedown in one window…
+    graft.delta.Dml.delete(spark, src, col("doc_id") === 5L)
+    DedupIndex.refreshFromSource(spark, s"$r/idx")
+    assert(DedupIndex.members(spark, s"$r/idx")
+      .filter(col("id") === 5L).count() == 0, "taken-down doc must not serve")
+    // …then a LATER window re-adds the id with entirely different text —
+    // the cross-window reuse fence must not fire on a dead id, and the
+    // dead row must resurrect with the new length and a fresh family
+    val newText = words(7, 0, 24) + " tailfive"
+    graft.delta.GraftWriter.write(
+      Seq((5L, newText)).toDF("doc_id", "text"), src, SaveMode.Append)
+    DedupIndex.refreshFromSource(spark, s"$r/idx")
+    val row = DedupIndex.members(spark, s"$r/idx")
+      .filter(col("id") === 5L).select("comp", "len")
+      .as[(Long, Long)].collect().toSeq
+    assert(row == Seq((1L, newText.length.toLong)),
+      s"resurrected doc must carry the NEW text's family and len, got $row")
+    // and the whole state ≡ a full rebuild over the final corpus
+    val rf = root("resfull")
+    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$rf/idx",
+      numHashes = 64, bands = 64)
+    assert(dump(DedupIndex.survivors(spark, s"$r/idx")) ==
+      dump(DedupIndex.survivors(spark, s"$rf/idx")), "≡ full recompute")
+  }
+
+  test("r15 second review: rows newer than a stale fold's clock are immune to its merges") {
+    val r = root("stale")
+    val src = s"$r/source"
+    graft.delta.GraftWriter.write(slice(corpus, 0, 200), src,
+      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$r/idx",
+      numHashes = 64, bands = 64)
+    graft.delta.GraftWriter.write(slice(corpus, 200, 400), src, SaveMode.Append)
+    DedupIndex.refreshFromSource(spark, s"$r/idx")
+    val membersPath = s"$r/idx/members"
+    val before = DedupIndex.members(spark, s"$r/idx")
+      .select("id", "comp", "len").as[(Long, Long, Long)].collect().toSet
+    val curAsof = graft.delta.DeltaTable.forPath(spark, membersPath).toDF
+      .filter(col("id") === 210L).select("asof").as[Long].head()
+    // a STALE laggard's members merge: the exact clause shape
+    // refreshFromSource commits, with a window-end clock OLDER than the
+    // standing rows — every row it would touch carries a newer asof, so
+    // the guarded clauses must no-op per row
+    val staleNow = curAsof - 1
+    import org.apache.spark.sql.functions.{coalesce => cl}
+    graft.delta.Merge.into(spark, membersPath,
+        Seq((210L, 9999L, 1L)).toDF("id", "comp", "len"),
+        col("t.id") === col("s.id"))
+      .whenMatchedUpdate(col("t.asof") <= lit(staleNow),
+        Map("comp" -> col("s.comp"),
+          "len" -> cl(col("s.len"), col("t.len")),
+          "asof" -> lit(staleNow), "dead" -> lit(false)))
+      .execute()
+    val after = DedupIndex.members(spark, s"$r/idx")
+      .select("id", "comp", "len").as[(Long, Long, Long)].collect().toSet
+    assert(after == before, "a stale-clocked merge must change nothing")
+    // the same merge with the CURRENT clock applies — the guard is the
+    // only thing that stopped it
+    graft.delta.Merge.into(spark, membersPath,
+        Seq((210L, 9999L, 1L)).toDF("id", "comp", "len"),
+        col("t.id") === col("s.id"))
+      .whenMatchedUpdate(col("t.asof") <= lit(curAsof),
+        Map("comp" -> col("s.comp"),
+          "len" -> cl(col("s.len"), col("t.len")),
+          "asof" -> lit(curAsof), "dead" -> lit(false)))
+      .execute()
+    assert(DedupIndex.members(spark, s"$r/idx")
+      .filter(col("id") === 210L).select("comp").as[Long].head() == 9999L)
+  }
+
   test("UPDATE source changes are refused loudly (delete + re-insert is the path)") {
     val r = root("refuse")
     val src = s"$r/source"
