@@ -814,16 +814,17 @@ object DedupIndex {
     if (df.columns.contains("dead")) df.filter(!col("dead")) else df
   }
 
-  /** The current survivor set: (comp, id, len, …), one row per duplicate
-    * family (comp = the family's min doc id). */
+  /** The current survivor set: (comp, id, len), one row per duplicate
+    * family (comp = the family's min doc id). The asof/dead guard columns
+    * are internal fold state and stay behind this API. */
   def survivors(spark: SparkSession, root: String): DataFrame = {
     checkEpoch(spark, root)
-    liveRows(spark, survivorsPath(root))
+    liveRows(spark, survivorsPath(root)).select("comp", "id", "len")
   }
 
-  /** Full family membership: (id, comp, len, …) for every indexed doc. */
+  /** Full family membership: (id, comp, len) for every indexed doc. */
   def members(spark: SparkSession, root: String): DataFrame = {
     checkEpoch(spark, root)
-    liveRows(spark, membersPath(root))
+    liveRows(spark, membersPath(root)).select("id", "comp", "len")
   }
 }
