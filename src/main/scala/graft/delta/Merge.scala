@@ -73,6 +73,37 @@ final class MergeBuilder private[delta] (
     targetPrunePreds = preds; this
   }
 
+  private var appVersionPrecond: Option[(String, Long, Long)] = None
+
+  /** Abort with [[StaleAppVersionException]] unless the target's TxnAction
+    * mark for `appId` still equals `expected` — checked eagerly against the
+    * merge's read snapshot (before any join or rewrite work) AND
+    * transactionally at commit, the same two-leg guarantee as GraftWriter's
+    * `requireAppVersion`: the commit re-asserts the mark with a same-appId
+    * TxnAction (at the unchanged `expected` value), arming the retry loop's
+    * conflict rule so a competing mark landing mid-commit is
+    * conflict-classified. Lets a DESTRUCTIVE fold merge distinguish a crash
+    * replay (mark untouched — proceed) from a raced twin of the same window
+    * (mark advanced — abort BEFORE deleting): per-row monotone clock guards
+    * alone cannot, because an equal-clock twin passes them (r16 advice —
+    * the dedup index's buckets MERGE-delete). */
+  def requireAppVersion(appId: String, expected: Long): MergeBuilder =
+    requireAppVersion(appId, expected, expected)
+
+  /** As [[requireAppVersion]] but the committed TxnAction ADVANCES the mark
+    * to `newVersion` — a compare-and-swap: concurrent merges carrying the
+    * old `expected` abort instead of double-applying, and an index's
+    * incremental maintainer can make every fold merge abort-on-stale
+    * WITHOUT an extra mark commit per table (the mark rides the fold
+    * commit itself). A no-op merge commits nothing and leaves the mark
+    * untouched — re-read it before chaining another CAS merge. */
+  def requireAppVersion(appId: String, expected: Long,
+                        newVersion: Long): MergeBuilder = {
+    require(appVersionPrecond.isEmpty,
+      "requireAppVersion may be set at most once per merge")
+    appVersionPrecond = Some((appId, expected, newVersion)); this
+  }
+
   private var targetPruner: Option[Seq[AddAction] => Seq[AddAction]] = None
 
   /** As [[withTargetScanPredicates]] but with a caller-supplied file
@@ -140,6 +171,13 @@ final class MergeBuilder private[delta] (
     // its rewrite under at-rest names on mapped tables (allowNameMapping);
     // anything it cannot maintain still refuses here
     ProtocolSupport.assertWritable(snap, allowNameMapping = true)
+    // mark-precondition first leg: a merge already stale at its read
+    // snapshot aborts here, before any join work; the second (commit-time,
+    // conflict-armed) leg is below at the transaction
+    appVersionPrecond.foreach { case (app, want, _) =>
+      val cur = snap.appTransactionVersion.get(app)
+      if (!cur.contains(want)) throw new StaleAppVersionException(app, want, cur)
+    }
     // an INSERT-ONLY merge (no matched/by-source clauses) commits pure
     // adds — exactly what an append-only table permits; only rewriting
     // merges are refused (r9 review)
@@ -534,6 +572,21 @@ final class MergeBuilder private[delta] (
         snap.partitionColumns, qualifier = Some("t"))
         .map(PartitionFilter.mapKey(_, phys))
     val txn = log.startTransaction().withReadFilters(readDomain)
+    // mark-precondition second leg: checked against the commit txn's own
+    // read snapshot, re-asserted (unchanged) so the retry loop
+    // conflict-classifies a competing mark. An abort here is after the
+    // rewrite staged — reclaim it like a failed commit.
+    appVersionPrecond.foreach { case (app, want, next) =>
+      try txn.requireAppVersion(app, want)
+      catch {
+        case e: Throwable =>
+          discardStaged()
+          ChangeDataFeed.discardStaged(spark, log, cdcActions)
+          releaseJoin()
+          throw e
+      }
+      txn.addAction(TxnAction(app, next))
+    }
     if (mapped) txn.permitNameMappedCommit()
     removes.foreach(f => txn.addAction(RemoveAction(
       path = f.path, deletionTimestamp = now, dataChange = true,

@@ -20,7 +20,9 @@ import graft.delta.{AddAction, ChangeDataFeed, DeltaLog, DeltaTable,
   *    verified pair graph) and its survivor-preference key;
   *  - `root/survivors` — (comp, id, len, asof, dead): the family
   *    representative under the fixed preference (longest text, then
-  *    lowest id — q77's order).
+  *    lowest id — q77's order), clustered by comp so the refresh's two
+  *    survivors MERGEs prune to O(batch) files like the members merges
+  *    (r16 — the r15 verdict's last standing scan).
   *
   * MONOTONE FOLDS (r15 second review): `asof` is the source version a
   * row's state was computed AT, and takedowns flag `dead = true` instead
@@ -94,6 +96,16 @@ object DedupIndex {
   private[ops] def probeInMax(spark: SparkSession): Int =
     spark.conf.getOption("spark.graft.dedup.probeInMax")
       .map(_.toInt).getOrElse(100000)
+
+  /** Broadcast `df` only while the matching probe-key set fit under
+    * [[probeInMax]] (`under`). Past the cap the window is no longer small:
+    * a 10M-doc window's band-key set is GBs, and an unconditional hint
+    * would force-broadcast it exactly when the scans fall back to full
+    * reads — driver/executor memory pressure at the worst moment (r15
+    * verdict #2). Above the cap the hint drops and AQE picks the join
+    * strategy from observed sizes. */
+  private def maybeBroadcast(df: DataFrame, under: Boolean): DataFrame =
+    if (under) broadcast(df) else df
 
   /** Scan one of the index's standing tables pruned to the files whose
     * `keyCol` stats may contain one of `keys` — the bounded-probe shape
@@ -169,18 +181,18 @@ object DedupIndex {
           s"(next refresh retries): ${e.getMessage}")
     }
 
-  /** Layout maintenance: keep `buckets` clustered by band_hash and
-    * `members` by id so the NEXT increment's probes prune to O(batch)
-    * files. INCREMENTAL by default — only files written since the last
-    * pass re-sort (cluster() skips spec-tagged files), `dataChange=false`,
-    * O(batch) rewrite work per refresh. Each incremental pass adds one
-    * hash-ranged "generation"; a probe reads O(probe keys) files PER
-    * generation, so schedule `full = true` occasionally (the LSM-compaction
-    * moment) to fold generations back to one sorted run.
-    * [[refreshFromSource]] runs the incremental pass itself; pre-r15
-    * indexes (no clustering domain) skip silently. */
+  /** Layout maintenance: keep `buckets` clustered by band_hash, `members`
+    * by id, and `survivors` by comp so the NEXT increment's probes prune
+    * to O(batch) files. INCREMENTAL by default — only files written since
+    * the last pass re-sort (cluster() skips spec-tagged files),
+    * `dataChange=false`, O(batch) rewrite work per refresh. Each
+    * incremental pass adds one hash-ranged "generation"; a probe reads
+    * O(probe keys) files PER generation, so schedule `full = true`
+    * occasionally (the LSM-compaction moment) to fold generations back to
+    * one sorted run. [[refreshFromSource]] runs the incremental pass
+    * itself; pre-r16 indexes (no clustering domain) skip silently. */
   def maintain(spark: SparkSession, root: String, full: Boolean = false): Unit =
-    Seq(bucketsPath(root), membersPath(root)).foreach { p =>
+    Seq(bucketsPath(root), membersPath(root), survivorsPath(root)).foreach { p =>
       if (DeltaTable.forPath(spark, p).clusteringColumns.nonEmpty)
         Optimize.cluster(spark, p,
           targetFileBytes = maintainTargetBytes(spark), full = full)
@@ -215,9 +227,15 @@ object DedupIndex {
     * aggregate checks both. Ids keep their source type (long and string
     * doc ids are both first-class, r15 verdict #8); any orderable type
     * works — comp labels are min-ids under the type's ordering. */
-  private def requireCleanIds(docs: DataFrame, what: String): Long = {
+  private def requireCleanIds(docs: DataFrame, what: String): (Long, Double) = {
+    // the id-width average rides the hygiene aggregate for free: string
+    // doc ids (URLs/UUIDs) are several times wider than the 8 B a long
+    // occupies, and a fixed-width assumption landed build files far over
+    // the layout target, starving the bounded-probe file skipping until
+    // the first maintain() pass (r16 advice)
     val c = docs.agg(count(lit(1)), countDistinct(col("id")),
-      coalesce(sum(col("id").isNull.cast("long")), lit(0L))).first()
+      coalesce(sum(col("id").isNull.cast("long")), lit(0L)),
+      coalesce(avg(octet_length(col("id").cast("string"))), lit(8.0))).first()
     require(c.getLong(2) == 0,
       s"$what carries ${c.getLong(2)} null doc ids — the dedup index " +
       "requires non-null unique ids")
@@ -225,18 +243,26 @@ object DedupIndex {
       s"$what carries duplicate doc ids (${c.getLong(0)} rows, " +
       s"${c.getLong(1)} distinct) — the dedup index requires unique ids " +
       "(identical redelivered rows are collapsed before this check)")
-    c.getLong(0)
+    val idWidth = docs.schema("id").dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        math.max(8.0, c.getDouble(3))
+      case _ => 8.0 // fixed-width scalar, whatever its decimal rendering
+    }
+    (c.getLong(0), idWidth)
   }
 
   /** Range-partition count targeting [[maintainTargetBytes]]-sized files
-    * for a fixed-width standing-table write (~32 B/row on disk — exact
-    * sizing is maintain()'s job; this keeps BUILD files near the target
-    * instead of tied to spark.sql.shuffle.partitions, which wrote ~0.5 TB
-    * files per partition at 100 TB and starved the probes' file skipping —
-    * r15 second review). */
-  private def layoutParts(spark: SparkSession, rows: Long): Int =
+    * for a standing-table write — exact sizing is maintain()'s job; this
+    * keeps BUILD files near the target instead of tied to
+    * spark.sql.shuffle.partitions, which wrote ~0.5 TB files per partition
+    * at 100 TB and starved the probes' file skipping (r15 second review).
+    * `bytesPerRow` comes from the actual schema (sampled id width +
+    * 8 B/fixed column) — a hardcoded long-id constant undersized string-id
+    * layouts severalfold (r16 advice). */
+  private def layoutParts(spark: SparkSession, rows: Long,
+                          bytesPerRow: Double): Int =
     math.max(1, math.min(1 << 20,
-      math.ceil(rows * 32.0 / maintainTargetBytes(spark)).toInt))
+      math.ceil(rows * bytesPerRow / maintainTargetBytes(spark)).toInt))
 
   /** The survivor preference (longest text, then lowest id) as a min_by
     * ordering key over (id, len) structs — ONE definition for build and
@@ -273,7 +299,12 @@ object DedupIndex {
     // first refresh's window (r14 review)
     val docs = DeltaTable.forPath(spark, sourcePath, snap.version).toDF
       .select(col(idCol).as("id"), col(textCol).as("text"))
-    val nDocs = requireCleanIds(docs, s"source $sourcePath")
+    val (nDocs, idW) = requireCleanIds(docs, s"source $sourcePath")
+    // bytes/row: members and survivors carry two id-typed columns
+    // (id + comp) plus len/asof/dead; buckets one id plus band_idx/
+    // band_hash/asof
+    val memberRowB = idW * 2 + 20
+    val bucketRowB = idW + 20
     val sh = Dedup.shingles(docs, "text", "id")
     val bandRows = bandRowsOf(docs, numHashes, bands).localCheckpoint(true)
     val x = bandRows.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
@@ -319,26 +350,42 @@ object DedupIndex {
       members.select("id", "comp", "len")
         .withColumn("asof", lit(snap.version))
         .withColumn("dead", lit(false))
-        .repartitionByRange(layoutParts(spark, nDocs), col("id"))
+        .repartitionByRange(layoutParts(spark, nDocs, memberRowB), col("id"))
         .sortWithinPartitions("id"),
       membersPath(root),
       SaveMode.Overwrite, overwriteSchema = exists(membersPath(root)),
       configuration = Some(Map(EpochKey -> epoch)),
+      // per-table CAS mark (r16): members/survivors carry their OWN
+      // SourceVersionApp mark, advanced by each fold merge that touches
+      // the table and required by every fold merge — a stale laggard
+      // aborts at its FIRST merge instead of silently inserting old rows,
+      // which is what makes [[compactDead]] safe
+      extraActions = Seq(TxnAction(SourceVersionApp, snap.version)),
       fileTags = Map(Optimize.ClusterSpecTag -> "id"))
+    // survivors cluster by comp (r16 — the r15 verdict's last `weak`):
+    // both survivors MERGEs per refresh push comp IN-set predicates, and
+    // against an unclustered layout stats-skipping degenerates into an
+    // O(families) detect-scan — at 100 TB survivors is corpus-sized (worst
+    // case one family per doc). nDocs upper-bounds the family count, so
+    // the build files land at-or-under the target.
     GraftWriter.write(
       pickSurvivor(members)
         .withColumn("asof", lit(snap.version))
-        .withColumn("dead", lit(false)),
+        .withColumn("dead", lit(false))
+        .repartitionByRange(layoutParts(spark, nDocs, memberRowB), col("comp"))
+        .sortWithinPartitions("comp"),
       survivorsPath(root),
       SaveMode.Overwrite, overwriteSchema = exists(survivorsPath(root)),
-      configuration = Some(Map(EpochKey -> epoch)))
+      configuration = Some(Map(EpochKey -> epoch)),
+      extraActions = Seq(TxnAction(SourceVersionApp, snap.version)),
+      fileTags = Map(Optimize.ClusterSpecTag -> "comp"))
     val binding = Map(SourcePathKey -> sourcePath, TextColKey -> textCol,
       IdColKey -> idCol, EpochKey -> epoch,
       ParamsKey -> s"$thresholdNum,$thresholdDen,$numHashes,$bands")
     GraftWriter.write(
       bandRows
         .withColumn("asof", lit(snap.version))
-        .repartitionByRange(layoutParts(spark, nDocs * bands),
+        .repartitionByRange(layoutParts(spark, nDocs * bands, bucketRowB),
           col("band_idx"), col("band_hash"))
         .sortWithinPartitions("band_idx", "band_hash"),
       bucketsPath(root), SaveMode.Overwrite,
@@ -349,6 +396,7 @@ object DedupIndex {
       fileTags = Map(Optimize.ClusterSpecTag -> "band_hash"))
     DeltaTable.forPath(spark, bucketsPath(root)).clusterBy(Seq("band_hash"))
     DeltaTable.forPath(spark, membersPath(root)).clusterBy(Seq("id"))
+    DeltaTable.forPath(spark, survivorsPath(root)).clusterBy(Seq("comp"))
     snap.version
   }
 
@@ -383,6 +431,25 @@ object DedupIndex {
         .schema.fieldNames.contains("asof"),
       s"dedup index at $root predates the asof-guarded layout — rebuild " +
       "it with buildFromSource")
+    // per-table CAS marks (r16): captured ONCE at the refresh's logical
+    // read point. Every members/survivors fold merge below requires its
+    // table's mark still at this value and advances it to `now` in the
+    // same commit — a stale laggard (raced past by newer folds) aborts at
+    // its FIRST merge on either table instead of committing W1-era rows,
+    // independently of the dead guard rows (making [[compactDead]] safe).
+    // A crash replay re-reads the already-advanced mark and passes; a
+    // no-op merge leaves the mark untouched, so it re-reads after each
+    // merge. Pre-r16 indexes carry no per-table mark: folds run unguarded
+    // (the r15 behavior) and compactDead refuses.
+    def tableMark(p: String): Option[Long] =
+      DeltaLog.forPath(spark, p).update()
+        .appTransactionVersion.get(SourceVersionApp)
+    var memberMark = tableMark(membersPath(root))
+    var survMark = tableMark(survivorsPath(root))
+    def cas(b: graft.delta.MergeBuilder, mark: Option[Long]): graft.delta.MergeBuilder = {
+      mark.foreach(m => b.requireAppVersion(SourceVersionApp, m, now))
+      b
+    }
     // ONE window read serves the change-kind fence AND both folds; the
     // commit version rides along so multi-commit windows net-fold per id
     val pinned = ChangeDataFeed.readChanges(spark, srcLog, last, now)
@@ -423,15 +490,32 @@ object DedupIndex {
         max(col("del_cv")).as("last_del_cv"),
         countDistinct(when(col("ct") === "insert" &&
             (col("del_cv").isNull || col("cver") > col("del_cv")),
-          col("text"))).as("n_ins"))
+          col("text"))).as("n_ins"),
+        // inserts sharing the LAST delete's own commit (the
+        // overwrite-shaped CDF commit): an insert AT del_cv is neither
+        // live (cver > del_cv fails) nor cleanly superseded — when it is
+        // the id's final commit, the struct-max picks among its texts
+        // lexically. One text folds deterministically as a replacement;
+        // two divergent texts would index an arbitrary one, silently
+        // bypassing the n_ins refusal (r16 advice) — counted here, refused
+        // below when no later live insert supersedes them.
+        countDistinct(when(col("ct") === "insert" &&
+            col("cver") === col("del_cv"),
+          col("text"))).as("n_ins_at_del"))
       .select(col("id"), col("last_ev.ct").as("ct"),
         col("last_ev.text").as("text"),
-        col("last_del_cv").isNotNull.as("has_delete"), col("n_ins"))
+        col("last_del_cv").isNotNull.as("has_delete"), col("n_ins"),
+        col("n_ins_at_del"))
       .localCheckpoint(true) // batch/delete splits + hygiene both read it
     require(nets.filter(col("n_ins") > 1).isEmpty,
       s"window ($last, $now] carries duplicate doc ids with divergent " +
       "live texts — the dedup index requires unique ids (identical " +
       "redelivered rows are collapsed before this check)")
+    require(nets.filter(col("n_ins") === 0 && col("n_ins_at_del") > 1).isEmpty,
+      s"window ($last, $now] carries an id whose final commit holds a " +
+      "delete plus more than one distinct insert text — folding the " +
+      "overwrite-shaped commit would index an arbitrary one of them; " +
+      "re-insert the intended text in its own commit")
     requireCleanIds(nets.select("id", "text"), s"window ($last, $now]")
     val batch = nets.filter(col("ct") === "insert").select("id", "text")
       .localCheckpoint(true) // shingles, bands, lengths all read it
@@ -489,7 +573,7 @@ object DedupIndex {
       .select(col("id"), length(col("text")).cast("long").as("batch_len"))
     val reused = prunedScan(spark, membersPath(root), "id", batchIds)
       .filter(!col("dead")) // a dead id is re-insertable with ANY text
-      .join(broadcast(fenceSrc), Seq("id"))
+      .join(maybeBroadcast(fenceSrc, batchIds.isDefined), Seq("id"))
       .filter(col("len") =!= col("batch_len"))
       .limit(1).collect()
     require(reused.isEmpty,
@@ -516,14 +600,15 @@ object DedupIndex {
       // Band rows recompute per (id, text) over ALL the id's window texts
       // (≤2 distinct — divergent insert texts are refused above), keyed by
       // a surrogate so a multi-text id doesn't merge its shingle sets.
-      val delTexts = pinned.join(broadcast(delIdsDf), Seq("id"))
+      val delTexts = pinned
+        .join(maybeBroadcast(delIdsDf, delIds.isDefined), Seq("id"))
         .select(col("id"), col("text")).distinct()
         .withColumn("k", xxhash64(col("id"), col("text")))
         .localCheckpoint(true) // band recompute + the key re-join read it
       val delBands = bandRowsOf(
           delTexts.select(col("k").as("id"), col("text")), numHashes, bands)
-        .join(broadcast(delTexts.select(col("k").as("id"),
-          col("id").as("doc_id"))), Seq("id"))
+        .join(maybeBroadcast(delTexts.select(col("k").as("id"),
+          col("id").as("doc_id")), delIds.isDefined), Seq("id"))
         .select(col("band_idx"), col("band_hash"), col("doc_id").as("id"))
         .distinct() // two texts may share a band row — one source row each
         .localCheckpoint(true) // MERGE source + prune keys both read it
@@ -538,12 +623,23 @@ object DedupIndex {
       // STALE laggard (its `now` older than rows a newer fold wrote)
       // no-ops per row instead of deleting or relabeling newer state —
       // the cross-refresh clobber the final mark guard alone could not
-      // prevent (r15 second review)
+      // prevent (r15 second review). The asof guard admits EQUALITY
+      // (crash replays re-apply at the same clock), which leaves one
+      // destructive hole: a raced TWIN of the SAME window, resumed after
+      // the winner's complete fold, would pass asof == now and physically
+      // delete the winner's freshly appended band rows for ids
+      // deleted-and-re-created in the window — band rows no restore path
+      // recreates. The mark precondition distinguishes the two shapes
+      // transactionally: crash replay sees the mark still at `last` and
+      // proceeds; a raced twin sees it advanced and aborts BEFORE
+      // deleting (r16 advice). Members/survivors merges need no such
+      // guard — their equal-clock re-apply is idempotent.
       val bucketsDel = Merge.into(spark, bucketsPath(root),
           delBands.select("band_idx", "band_hash", "id"),
           col("t.band_idx") === col("s.band_idx") &&
             col("t.band_hash") === col("s.band_hash") &&
             col("t.id") === col("s.id"))
+        .requireAppVersion(SourceVersionApp, last)
         .whenMatchedDelete(col("t.asof") <= lit(now))
       // per-band prune (a flat key set false-hits across bands, r15 review)
       delBandKeys.foreach(bb =>
@@ -557,22 +653,23 @@ object DedupIndex {
       // subgraph is exactly the affected families.
       val standingDel = prunedScan(spark, membersPath(root), "id", delIds)
         .filter(!col("dead"))
-        .join(broadcast(delIdsDf), Seq("id"))
+        .join(maybeBroadcast(delIdsDf, delIds.isDefined), Seq("id"))
         .select("id", "comp").localCheckpoint(true) // bounded by the window
       if (!standingDel.isEmpty) {
         val affComps = standingDel.select("comp").distinct()
         val affCompIds = keysOf(affComps, "comp", inMax)
         val famMembers = prunedScan(spark, membersPath(root), "comp", affCompIds)
           .filter(!col("dead"))
-          .join(broadcast(affComps), Seq("comp"))
+          .join(maybeBroadcast(affComps, affCompIds.isDefined), Seq("comp"))
         val remaining = famMembers
-          .join(broadcast(delIdsDf), Seq("id"), "left_anti")
+          .join(maybeBroadcast(delIdsDf, delIds.isDefined), Seq("id"), "left_anti")
           .select("id", "comp", "len").localCheckpoint(true)
         val remIds = keysOf(remaining, "id", inMax)
         val remDocs = DeltaTable.forPath(spark, srcPath, now)
           .toDF(Nil, remIds.flatMap(ks => StatsPredicate.inSetOf(idCol, ks)).toSeq)
           .select(col(idCol).as("id"), col(textCol).as("text"))
-          .join(broadcast(remaining.select("id")), Seq("id"))
+          .join(maybeBroadcast(remaining.select("id"), remIds.isDefined),
+            Seq("id"))
         val remBands = bandRowsOf(remDocs, numHashes, bands)
           .localCheckpoint(true)
         val cand2 = remBands
@@ -599,8 +696,8 @@ object DedupIndex {
           .withColumn("len", lit(null).cast("long"))
           .withColumn("op", lit("del"))
         val survKeys = for { a <- affCompIds; r <- remIds } yield a ++ r
-        Merge.into(spark, survivorsPath(root), ups2.unionByName(dels2),
-            col("t.comp") === col("s.comp"))
+        cas(Merge.into(spark, survivorsPath(root), ups2.unionByName(dels2),
+            col("t.comp") === col("s.comp")), survMark)
           .withTargetScanPredicates(survKeys
             .flatMap(ks => StatsPredicate.inSetOf("comp", ks)).toSeq)
           .whenMatchedUpdate(col("s.op") === "del" && col("t.asof") <= lit(now),
@@ -613,6 +710,7 @@ object DedupIndex {
               "len" -> col("s.len"), "asof" -> lit(now),
               "dead" -> lit(false)))
           .execute()
+        survMark = tableMark(survivorsPath(root))
         // members LAST: drop the deleted ids, relabel the remaining
         val mdel = standingDel.select("id")
           .withColumn("comp", lit(null).cast(idType))
@@ -620,8 +718,8 @@ object DedupIndex {
           .withColumn("op", lit("del"))
         val mup = newLabels2.withColumn("op", lit("up"))
         val memberKeys = for { d <- delIds; r <- remIds } yield d ++ r
-        Merge.into(spark, membersPath(root), mdel.unionByName(mup),
-            col("t.id") === col("s.id"))
+        cas(Merge.into(spark, membersPath(root), mdel.unionByName(mup),
+            col("t.id") === col("s.id")), memberMark)
           .withTargetScanPredicates(memberKeys
             .flatMap(ks => StatsPredicate.inSetOf("id", ks)).toSeq)
           .whenMatchedUpdate(col("s.op") === "del" && col("t.asof") <= lit(now),
@@ -630,6 +728,7 @@ object DedupIndex {
             Map("comp" -> col("s.comp"), "asof" -> lit(now),
               "dead" -> lit(false)))
           .execute()
+        memberMark = tableMark(membersPath(root))
       }
     }
     if (nNew == 0) {
@@ -654,7 +753,8 @@ object DedupIndex {
     val probe = newBands.select("band_idx", "band_hash").distinct()
     val newOld = newBands
       .select(col("band_idx"), col("band_hash"), col("id").as("id_new"))
-      .join(buckets.join(broadcast(probe), Seq("band_idx", "band_hash"))
+      .join(buckets.join(maybeBroadcast(probe, bandKeys.isDefined),
+            Seq("band_idx", "band_hash"))
           .select(col("band_idx"), col("band_hash"), col("id").as("id_old")),
         Seq("band_idx", "band_hash"))
       .select(least(col("id_new"), col("id_old")).as("id_a"),
@@ -684,11 +784,12 @@ object DedupIndex {
     // standing doc is live at `now` (a same-window delete was folded out
     // above), but a CONCURRENT delete landing past `now` must not hide its
     // text mid-fold (r15 review)
+    val oldIdKeys = keysOf(oldIds, "id", inMax)
     val oldDocs = DeltaTable.forPath(spark, srcPath, now)
-      .toDF(Nil, keysOf(oldIds, "id", inMax)
+      .toDF(Nil, oldIdKeys
         .flatMap(ks => StatsPredicate.inSetOf(idCol, ks)).toSeq)
       .select(col(idCol).as("id"), col(textCol).as("text"))
-      .join(broadcast(oldIds), Seq("id"))
+      .join(maybeBroadcast(oldIds, oldIdKeys.isDefined), Seq("id"))
     val pairs = Dedup.verifyJaccard(
         shNew.union(Dedup.shingles(oldDocs, "text", "id")), "id",
         candidates, tNum, tDen)
@@ -699,18 +800,18 @@ object DedupIndex {
     val endpoints = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
     val oldEndpoints = endpoints.join(batch.select("id"), Seq("id"), "left_anti")
-    val affComps = prunedScan(spark, membersPath(root), "id",
-        keysOf(oldEndpoints, "id", inMax))
+    val oldEpKeys = keysOf(oldEndpoints, "id", inMax)
+    val affComps = prunedScan(spark, membersPath(root), "id", oldEpKeys)
       .filter(!col("dead"))
-      .join(broadcast(oldEndpoints), Seq("id"))
+      .join(maybeBroadcast(oldEndpoints, oldEpKeys.isDefined), Seq("id"))
       .select("comp").distinct()
     // comp = the family's min id, so the id-clustered members layout also
     // serves comp probes (families that bridge distant ids cost a few
     // extra kept files, never correctness)
-    val affMembers = prunedScan(spark, membersPath(root), "comp",
-        keysOf(affComps, "comp", inMax))
+    val affCompKeys = keysOf(affComps, "comp", inMax)
+    val affMembers = prunedScan(spark, membersPath(root), "comp", affCompKeys)
       .filter(!col("dead"))
-      .join(broadcast(affComps), Seq("comp"))
+      .join(maybeBroadcast(affComps, affCompKeys.isDefined), Seq("comp"))
       .select("id", "comp", "len").localCheckpoint(true)
     val stars = affMembers.filter(col("id") =!= col("comp"))
       .select(col("id").as("id_a"), col("comp").as("id_b"))
@@ -736,7 +837,8 @@ object DedupIndex {
     // in a later window (the matched-but-dead shape — len must travel
     // then, hence the coalesce: relabels of live old rows carry s.len
     // null and keep t.len)
-    Merge.into(spark, membersPath(root), mSrc, col("t.id") === col("s.id"))
+    cas(Merge.into(spark, membersPath(root), mSrc,
+        col("t.id") === col("s.id")), memberMark)
       .withTargetScanPredicates(mergeKeys
         .flatMap(ks => StatsPredicate.inSetOf("id", ks)).toSeq)
       .whenMatchedUpdate(col("t.asof") <= lit(now),
@@ -746,23 +848,25 @@ object DedupIndex {
       .whenNotMatchedInsert(Map("id" -> col("s.id"), "comp" -> col("s.comp"),
         "len" -> col("s.len"), "asof" -> lit(now), "dead" -> lit(false)))
       .execute()
+    memberMark = tableMark(membersPath(root))
 
     // survivors: recompute per surviving affected family from the merged
     // members; family labels that vanished in a merge are exactly the
     // subgraph node ids that are no longer labels — delete those rows
     val newComps = newLabels.select("comp").distinct()
-    val membersAfter = prunedScan(spark, membersPath(root), "comp",
-        keysOf(newComps, "comp", inMax))
+    val newCompKeys = keysOf(newComps, "comp", inMax)
+    val membersAfter = prunedScan(spark, membersPath(root), "comp", newCompKeys)
       .filter(!col("dead"))
     val upRows = pickSurvivor(
-        membersAfter.join(broadcast(newComps), Seq("comp")))
+        membersAfter.join(maybeBroadcast(newComps, newCompKeys.isDefined),
+          Seq("comp")))
       .withColumn("op", lit("up"))
     val delRows = allNodes.select(col("id").as("comp")).except(newComps)
       .withColumn("id", lit(null).cast(idType))
       .withColumn("len", lit(null).cast("long"))
       .withColumn("op", lit("del"))
-    Merge.into(spark, survivorsPath(root), upRows.unionByName(delRows),
-        col("t.comp") === col("s.comp"))
+    cas(Merge.into(spark, survivorsPath(root), upRows.unionByName(delRows),
+        col("t.comp") === col("s.comp")), survMark)
       .withTargetScanPredicates(mergeKeys
         .flatMap(ks => StatsPredicate.inSetOf("comp", ks)).toSeq)
       .whenMatchedUpdate(col("s.op") === "del" && col("t.asof") <= lit(now),
@@ -790,7 +894,7 @@ object DedupIndex {
         bandKeys.map(_.collect { case (0, h) => h: Any }),
         Seq(PartitionFilter.Eq("band_idx", "0")))
       .select("id")
-      .join(broadcast(batch.select("id")), Seq("id"))
+      .join(maybeBroadcast(batch.select("id"), batchIds.isDefined), Seq("id"))
       .localCheckpoint(true) // bounded by the batch
     val unlanded = newBands.join(landed, Seq("id"), "left_anti")
       .select(col("band_idx"), col("band_hash"), col("id"),
@@ -803,6 +907,45 @@ object DedupIndex {
     // before it only leaves some files unsorted for the next pass
     maintainBestEffort(spark, root)
     (nNew, nEdges)
+  }
+
+  /** Physically reclaim dead guard rows (takedown tombstones) from
+    * members and survivors. The r15 layout kept them FOREVER as
+    * stale-laggard guard state — O(takedowns) grows unboundedly under a
+    * sustained GDPR-style takedown workload, and "dead forever" retains
+    * the id and text length a takedown may be obligated to erase (r15
+    * verdict #3). The r16 per-table CAS marks make reclamation safe:
+    * every fold merge requires its table's mark at the refresh's read
+    * point and advances it in the same commit, so a stale laggard aborts
+    * with [[graft.delta.StaleAppVersionException]] at its FIRST merge —
+    * BEFORE the not-matched-insert that a missing dead row would have
+    * admitted. `retainVersions` keeps dead rows younger than
+    * `mark - retainVersions` as defense in depth (0 = reclaim all).
+    *
+    * Cost: one copy-on-write DELETE per table over the files holding dead
+    * rows — the LSM-compaction moment, like `maintain(full = true)`; run
+    * it on takedown-heavy indexes on the same cadence. Safe against a
+    * concurrent refresh: both sides commit optimistically and the DELETE's
+    * predicate is idempotent under replay. Refuses pre-r16 indexes (no
+    * per-table mark — their laggard protection IS the dead rows). Returns
+    * rows reclaimed. */
+  def compactDead(spark: SparkSession, root: String,
+                  retainVersions: Long = 0L): Long = {
+    checkEpoch(spark, root)
+    val mark = DeltaLog.forPath(spark, bucketsPath(root)).update()
+      .appTransactionVersion.getOrElse(SourceVersionApp,
+        throw new IllegalStateException(
+          s"no dedup index at $root (buildFromSource first)"))
+    val cutoff = mark - retainVersions
+    Seq(membersPath(root), survivorsPath(root)).map { p =>
+      val snap = DeltaLog.forPath(spark, p).update()
+      require(snap.appTransactionVersion.contains(SourceVersionApp),
+        s"$p carries no per-table $SourceVersionApp mark — dead-row " +
+        "compaction needs the r16 layout (fold merges abort stale " +
+        "laggards on the mark); rebuild with buildFromSource")
+      graft.delta.Dml.delete(spark, p,
+        col("dead") && col("asof") <= lit(cutoff)).rowsAffected
+    }.sum
   }
 
   /** LIVE rows of a standing table — the r15 asof layout keeps dead

@@ -203,10 +203,12 @@ object IvfIndex {
     // the vec field is forced NULLABLE in the table schema: tombstone rows
     // (inline, cluster = TombstoneCluster) carry vec = null, and a source
     // whose vectors happened to arrive non-nullable must not wedge the
-    // first delete window on a nullability check
-    val nullableVec = spark.createDataFrame(assigned.rdd,
-      org.apache.spark.sql.types.StructType(assigned.schema.map(f =>
-        if (f.name == "vec") f.copy(nullable = true) else f)))
+    // first delete window on a nullability check. Flipped INSIDE the
+    // Catalyst plan — an else-less CASE WHEN is nullable by construction
+    // and identity at runtime; the old createDataFrame(rdd, schema)
+    // round-trip deserialized/reserialized every vector and dropped
+    // whole-stage codegen on the index's biggest write (r16 advice).
+    val nullableVec = assigned.withColumn("vec", when(lit(true), col("vec")))
     GraftWriter.write(nullableVec, postingsPath(root), SaveMode.Overwrite,
       partitionBy = Seq("cluster"),
       overwriteSchema = exists(postingsPath(root)),
@@ -763,6 +765,60 @@ object IvfIndex {
       moveRows(spark, root, orphanFiles, reassigned, orphanCids)
     }
     (ghosts.size.toLong, moved)
+  }
+
+  /** One [[maintain]] call's outcome: which clusters were split, how many
+    * posting rows the splits re-homed (estimated from the drift report's
+    * counts), what [[healLayout]] repaired, and how many tombstoned
+    * posting rows [[compactTombstones]] reclaimed. */
+  final case class Maintenance(clustersRepaired: Seq[Int],
+                               rowsReassigned: Long,
+                               ghostCentroidsRemoved: Long,
+                               orphanRowsMoved: Long,
+                               tombstoneRowsReclaimed: Long)
+
+  /** The operator loop a production index runs on a cadence (r15 verdict
+    * #6): ONE call (a) heals layout residue from crashed or raced
+    * re-clusters, (b) reads [[driftReport]] and splits the worst-drifted
+    * clusters — ratio ≥ `ratioThreshold` with ≥ `minRecentN` recent
+    * arrivals — hottest first while the estimated re-homed rows fit under
+    * `rowBudget` (each split is the O(cluster) [[reclusterCluster]], never
+    * O(index)), then (c) applies tombstones. Every step is the existing
+    * racing-refresh-safe primitive: layout-epoch fences abort a refresh
+    * that read centroids across a split, and maintain itself retries
+    * nothing — the next cadence call picks up whatever a race aborted.
+    * Budget accounting uses base + recent row counts (the report's view);
+    * a cluster whose estimate alone exceeds the budget is skipped, not
+    * partially split. */
+  def maintain(spark: SparkSession, root: String,
+               rowBudget: Long = 1000000L,
+               ratioThreshold: Double = 2.0,
+               minRecentN: Long = 20L,
+               recentRefreshes: Int = 5,
+               nSplit: Int = 2,
+               kmeansIters: Int = 3): Maintenance = {
+    checkEpoch(spark, root)
+    val (ghosts, orphans) = healLayout(spark, root)
+    // k rows at most — driver-bounded like every centroid read here
+    val hot = driftReport(spark, root, recentRefreshes)
+      .filter(col("ratio").isNotNull && col("ratio") >= lit(ratioThreshold) &&
+        col("recent_n") >= lit(minRecentN))
+      .orderBy(col("ratio").desc)
+      .select("cid", "n", "recent_n").collect()
+    var budget = rowBudget
+    val repaired = scala.collection.mutable.Buffer[Int]()
+    var reassigned = 0L
+    hot.foreach { r =>
+      val est = r.getLong(1) + r.getLong(2)
+      if (est <= budget) {
+        reclusterCluster(spark, root, r.getInt(0), nSplit, kmeansIters)
+        repaired += r.getInt(0)
+        reassigned += est
+        budget -= est
+      }
+    }
+    val reclaimed = compactTombstones(spark, root)
+    Maintenance(repaired.toSeq, reassigned, ghosts, orphans, reclaimed)
   }
 
   /** Physically apply the tombstones to the posting table (one MERGE — the

@@ -22,6 +22,58 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** ONE shared standing-dedup-index lifecycle drives the q81 AND q82
+    * gates (r15 verdict #4: the dedup lifecycle gates cost 53% of the
+    * driver's bench wall, almost all fixed per-commit floors across ~15
+    * refreshes — this halves the builds and refreshes at unchanged oracle
+    * coverage). Batching is by doc_id % 10 so every capture point is
+    * restatable as static oracle SQL; near-dup family members have
+    * effectively random ids (22 of 23 sf0.01 families span >1 mod-10
+    * residue), so modulo batching keeps the cross-batch bridge and
+    * partial-family delete shapes the percentile cuts had:
+    *   1. build over %10 ∈ {0..3};
+    *   2. append {4,5}, refresh; append {6,7}, refresh
+    *      ⇒ **S81**: insert-only incremental ≡ recompute over %10 < 8;
+    *   3. delete %10 = 3, refresh (a delete-ONLY window);
+    *   4. append {8,9}, refresh (inserts probing post-delete state);
+    *   5. delete %10 = 7, refresh (prunes families formed across
+    *      every batch) ⇒ **S82**: ≡ recompute over %10 ∉ {3,7}.
+    * Both captures pin their rows (eager localCheckpoint) the moment they
+    * exist; the memo keys by testdata dir, so within one JVM (Verify, or
+    * a Bench sweep pair) the lifecycle runs ONCE — q81's wall carries the
+    * lifecycle, q82's only its capture read (recorded in BASELINE). */
+  private val dedupLifecycleMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]
+
+  private def dedupLifecycle(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    dedupLifecycleMemo.computeIfAbsent(dir, _ => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val root = graft.queries.DeltaQueries.freshWorkDir("deduplife")
+      val src = s"$root/source"
+      def part(rs: Int*) =
+        docs.filter(pmod(col("doc_id"), lit(10)).isin(rs.map(Int.box): _*))
+      def survivors() = DedupIndex.survivors(s, s"$root/idx")
+        .select(col("comp"), col("id").as("doc_id"),
+          col("len").as("text_len"))
+      graft.delta.GraftWriter.write(part(0, 1, 2, 3), src,
+        configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+      DedupIndex.buildFromSource(s, src, "text", "doc_id", s"$root/idx")
+      Seq(Seq(4, 5), Seq(6, 7)).foreach { rs =>
+        graft.delta.GraftWriter.write(part(rs: _*), src,
+          org.apache.spark.sql.SaveMode.Append)
+        DedupIndex.refreshFromSource(s, s"$root/idx")
+      }
+      val s81 = survivors().localCheckpoint(true)
+      graft.delta.Dml.delete(s, src, pmod(col("doc_id"), lit(10)) === 3)
+      DedupIndex.refreshFromSource(s, s"$root/idx")
+      graft.delta.GraftWriter.write(part(8, 9), src,
+        org.apache.spark.sql.SaveMode.Append)
+      DedupIndex.refreshFromSource(s, s"$root/idx")
+      graft.delta.Dml.delete(s, src, pmod(col("doc_id"), lit(10)) === 7)
+      DedupIndex.refreshFromSource(s, s"$root/idx")
+      (s81, survivors().localCheckpoint(true))
+    })
+
   /** The events table's `ts` physical type has varied across driver-generated
     * testdata vintages: parquet ns (which Spark 4 refuses by default — read as
     * a raw nanos LONG and floor to µs, matching DuckDB's ns→µs conversion)
@@ -310,83 +362,29 @@ object PipelineQueries {
         .orderBy(col("dot_q").desc, col("vec_id"))
     },
 
-    // Standing dedup index (r14, verdict #2): the corpus arrives as a base
-    // build plus THREE CDF-folded append batches; each refresh shingles
-    // only its batch and joins the standing bucket table. The final
+    // Standing dedup index, insert-only equivalence (r14, verdict #2): the
+    // S81 capture of the SHARED lifecycle below — the corpus prefix
+    // (doc_id % 10 < 8) arrives as a base build plus two CDF-folded append
+    // batches, each refresh shingling only its batch against the standing
+    // bucket table. The capture point precedes every delete, so the
     // survivor set must hash-match DuckDB's FULL brute-force Jaccard +
-    // recursive-closure recompute over the whole corpus — any drift in the
+    // recursive-closure recompute over that prefix — any drift in the
     // incremental candidate accumulation, the subgraph component merge, or
     // the survivor MERGE breaks the row set.
     "q81_dedup_incremental" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val root = graft.queries.DeltaQueries.freshWorkDir("dedupincr")
-      val src = s"$root/source"
-      // id percentiles, not literals: sf10 replica ids are non-contiguous
-      val cuts = docs
-        .selectExpr("percentile_approx(doc_id, array(0.5, 0.7, 0.9))")
-        .first().getSeq[Long](0).toIndexedSeq
-      graft.delta.GraftWriter.write(
-        docs.filter(col("doc_id") < cuts(0)).select("doc_id", "text"), src,
-        configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
-      DedupIndex.buildFromSource(s, src, "text", "doc_id", s"$root/idx")
-      val ranges = Seq((cuts(0), cuts(1)), (cuts(1), cuts(2)),
-        (cuts(2), Long.MaxValue))
-      ranges.foreach { case (a, b) =>
-        graft.delta.GraftWriter.write(
-          docs.filter(col("doc_id") >= a && col("doc_id") < b)
-            .select("doc_id", "text"),
-          src, org.apache.spark.sql.SaveMode.Append)
-        DedupIndex.refreshFromSource(s, s"$root/idx")
-      }
-      DedupIndex.survivors(s, s"$root/idx")
-        .select(col("comp"), col("id").as("doc_id"),
-          col("len").as("text_len"))
-        // comp alone IS unique (one survivor per family), but the order-
-        // totality audit is static — append the known-unique doc_id
-        .orderBy("comp", "doc_id")
+      dedupLifecycle(s, dir)._1.orderBy("comp", "doc_id")
     },
 
-    // Dedup-index DELETE folding (r15, verdict #2): the corpus lifecycle
-    // interleaves CDF-folded appends with two DML delete waves (doc_id%10
-    // ∈ {3,7} — survivors, non-survivors, and bridges alike; the second
-    // wave lands after the final append so it prunes every family shape).
-    // Deleting a doc re-splits its family by re-verifying the remaining
-    // members and re-elects survivors; the final survivor set must
-    // hash-match DuckDB's full recompute over the POST-DELETE corpus.
+    // Dedup-index DELETE folding (r15, verdict #2): the S82 capture of the
+    // shared lifecycle — two DML delete waves (doc_id%10 ∈ {3,7}:
+    // survivors, non-survivors, and bridges alike) interleaved with a
+    // post-delete append, ending with a wave that prunes families formed
+    // across every batch. Deleting a doc re-splits its family by
+    // re-verifying the remaining members and re-elects survivors; the
+    // final survivor set must hash-match DuckDB's full recompute over the
+    // POST-DELETE corpus.
     "q82_dedup_deletes" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val root = graft.queries.DeltaQueries.freshWorkDir("dedupdel")
-      val src = s"$root/source"
-      val cuts = docs
-        .selectExpr("percentile_approx(doc_id, array(0.6, 0.8))")
-        .first().getSeq[Long](0).toIndexedSeq
-      graft.delta.GraftWriter.write(
-        docs.filter(col("doc_id") < cuts(0)).select("doc_id", "text"), src,
-        configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
-      DedupIndex.buildFromSource(s, src, "text", "doc_id", s"$root/idx")
-      graft.delta.GraftWriter.write(
-        docs.filter(col("doc_id") >= cuts(0) && col("doc_id") < cuts(1))
-          .select("doc_id", "text"),
-        src, org.apache.spark.sql.SaveMode.Append)
-      DedupIndex.refreshFromSource(s, s"$root/idx")
-      // delete wave 1 (delete-only window; the last batch below EXCLUDES
-      // these ids, so the final corpus is documents minus both waves —
-      // exactly what the oracle recomputes over)
-      graft.delta.Dml.delete(s, src, pmod(col("doc_id"), lit(10)) === 3)
-      DedupIndex.refreshFromSource(s, s"$root/idx")
-      graft.delta.GraftWriter.write(
-        docs.filter(col("doc_id") >= cuts(1) &&
-            pmod(col("doc_id"), lit(10)) =!= 3)
-          .select("doc_id", "text"),
-        src, org.apache.spark.sql.SaveMode.Append)
-      DedupIndex.refreshFromSource(s, s"$root/idx")
-      // delete wave 2: prunes families formed across every batch
-      graft.delta.Dml.delete(s, src, pmod(col("doc_id"), lit(10)) === 7)
-      DedupIndex.refreshFromSource(s, s"$root/idx")
-      DedupIndex.survivors(s, s"$root/idx")
-        .select(col("comp"), col("id").as("doc_id"),
-          col("len").as("text_len"))
-        .orderBy("comp", "doc_id")
+      dedupLifecycle(s, dir)._2.orderBy("comp", "doc_id")
     },
 
     // Generic doc keys at the driver gate (r15, verdict #8): the SAME
@@ -396,8 +394,12 @@ object PipelineQueries {
     // string comp labels, the InStringSet probe pruning, and the
     // string-typed null literals end-to-end; survivors must hash-match
     // DuckDB's recursive-closure recompute keyed by the same strings.
+    // Runs on the doc_id % 3 = 1 third of the corpus (r15 verdict #4 —
+    // gate-harness cost): every string-keyed fold shape at a third of the
+    // build/refresh volume, same oracle-expressible final corpus.
     "q83_dedup_string_ids" -> { (s, dir) =>
       val numDocs = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(3)) === 1)
       val docs = numDocs
         .select(format_string("doc://%012d", col("doc_id")).as("doc_id"),
           col("text"))
@@ -607,11 +609,14 @@ object PipelineQueries {
         |       CAST(0 AS BIGINT) AS over_budget_bins
         |FROM st, tot ORDER BY doc_id""".stripMargin,
 
-    // full recompute of the q77 closure, survivor rows (comp, id, length) —
+    // full recompute of the q77 closure over the shared lifecycle's
+    // insert-only capture corpus (doc_id % 10 < 8 — every doc inserted
+    // before the first delete wave), survivor rows (comp, id, length) —
     // the incremental index must land on exactly this
     "q81_dedup_incremental" ->
       """WITH RECURSIVE
-        |d AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents),
+        |d AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w
+        |      FROM documents WHERE doc_id % 10 < 8),
         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
         |       FROM d, UNNEST(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -660,12 +665,13 @@ object PipelineQueries {
         |  FROM fam) WHERE rn = 1 ORDER BY comp, doc_id""".stripMargin,
 
     // the q82 closure with STRING doc ids (zero-padded, so the min-id comp
-    // labels agree with the numeric labeling) over the post-delete corpus
+    // labels agree with the numeric labeling) over the post-delete corpus —
+    // the doc_id % 3 = 1 third (gate-cost trim, r15 verdict #4)
     "q83_dedup_string_ids" ->
       """WITH RECURSIVE
         |d AS (SELECT printf('doc://%012d', doc_id) AS doc_id, text,
         |             string_split(lower(text), ' ') AS w
-        |      FROM documents WHERE doc_id % 10 <> 3),
+        |      FROM documents WHERE doc_id % 3 = 1 AND doc_id % 10 <> 3),
         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
         |       FROM d, UNNEST(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

@@ -344,4 +344,38 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
         .execute()
     }
   }
+
+  test("r16: requireAppVersion aborts a stale destructive merge BEFORE it deletes") {
+    val dir = tempTable("merge-appver").toString
+    val app = "graft.test.mark"
+    GraftWriter.write((0 until 10).map(i => (i.toLong, i * 1.0)).toDF("id", "v"),
+      dir, extraActions = Seq(TxnAction(app, 5L)))
+    val src = (0 until 10).map(i => (i.toLong, 0.0)).toDF("id", "v")
+    // stale expectation (a twin already advanced the mark past 4): the
+    // eager first leg throws before any join or rewrite work, and the
+    // target keeps every row
+    intercept[StaleAppVersionException] {
+      Merge.into(spark, dir, src, col("t.id") === col("s.id"))
+        .requireAppVersion(app, 4L)
+        .whenMatchedDelete()
+        .execute()
+    }
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 10,
+      "a stale merge must not delete anything")
+    // matching expectation: the merge applies and RE-ASSERTS the mark at
+    // the same value (arming the conflict rule, not advancing progress)
+    val m = Merge.into(spark, dir, src, col("t.id") === col("s.id"))
+      .requireAppVersion(app, 5L)
+      .whenMatchedDelete(col("t.id") >= 8)
+      .execute()
+    assert(m.rowsDeleted == 2)
+    assert(DeltaLog.forPath(spark, dir).update()
+      .appTransactionVersion.get(app).contains(5L),
+      "the precondition re-asserts, never advances, the mark")
+    // at most one precondition per merge
+    intercept[IllegalArgumentException] {
+      Merge.into(spark, dir, src, col("t.id") === col("s.id"))
+        .requireAppVersion(app, 5L).requireAppVersion(app, 6L)
+    }
+  }
 }

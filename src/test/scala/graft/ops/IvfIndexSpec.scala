@@ -522,6 +522,85 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(IvfIndex.healLayout(spark, s"$r/idx") == ((0L, 0L)))
   }
 
+  test("r16: maintain() autopilot — heal + budgeted drift repair + tombstone compaction in one call") {
+    import spark.implicits._
+    val r = root("autopilot")
+    val src = s"$r/source"
+    def vec(dir: Seq[Double]): Array[Float] = {
+      val n = math.sqrt(dir.map(x => x * x).sum)
+      dir.map(x => (x / n * 10.0).toFloat).toArray
+    }
+    def mode(base: Int, count: Int): Seq[(Long, Array[Float])] =
+      (0 until count).map { i =>
+        val d = Seq(0.0, 0.0, 0.0, 0.0)
+          .updated(base, 1.0).updated((base + 1) % 4, 0.0005 * i)
+        (100L + base + 4L * i, vec(d))
+      }
+    val buildRows = mode(0, 40) ++ mode(1, 40) ++ mode(2, 40) ++ mode(3, 40)
+    graft.delta.GraftWriter.write(
+      buildRows.toDF("vec_id", "embedding"), src,
+      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    IvfIndex.buildFromTable(spark, src, "vec_id", "embedding", s"$r/idx",
+      nClusters = 4, kmeansIters = 4)
+    // a maintain() on a healthy index is a no-op end to end
+    val idle = IvfIndex.maintain(spark, s"$r/idx")
+    assert(idle == IvfIndex.Maintenance(Nil, 0L, 0L, 0L, 0L), s"got $idle")
+    // inject drift (the r15 drift-spec shape: a new mode between e1 and
+    // e2, all e1-assigned at huge distance) AND a takedown wave, so one
+    // maintain() has both repairs pending
+    val driftRows = (0 until 20).map { i =>
+      val id = if (i == 0) 50L else 1000L + i
+      (id, vec(Seq(1.0 + 0.02 + 0.001 * i, 1.0, 0.0, 0.0)))
+    }
+    graft.delta.GraftWriter.write(driftRows.toDF("vec_id", "embedding"),
+      src, org.apache.spark.sql.SaveMode.Append)
+    IvfIndex.refreshFromSource(spark, s"$r/idx")
+    graft.delta.Dml.delete(spark, src, col("vec_id").isin(104L, 108L))
+    IvfIndex.refreshFromSource(spark, s"$r/idx")
+    val qv = vec(Seq(1.0 - 0.05, 1.0, 0.0, 0.0))
+    def top10Ids(nProbe: Int): Set[Long] =
+      IvfIndex.topK(spark, s"$r/idx", qv, k = 10, nProbe = nProbe)
+        .select("id").as[Long].collect().toSet
+    val truth = driftRows.map(_._1).toSet
+    assert((top10Ids(1) intersect truth).isEmpty,
+      "drifted state must miss the new mode at nProbe=1")
+    // a budget too small for the hot cluster: maintain must SKIP the
+    // split (never partially apply) but still compact the tombstones
+    val tiny = IvfIndex.maintain(spark, s"$r/idx", rowBudget = 10L)
+    assert(tiny.clustersRepaired.isEmpty && tiny.rowsReassigned == 0L,
+      s"over-budget cluster must be skipped whole, got $tiny")
+    assert(tiny.tombstoneRowsReclaimed == 2L,
+      s"the takedown tombstones compact regardless, got $tiny")
+    // ONE adequately-budgeted call: repairs exactly the hot cluster,
+    // restores fixed-nProbe recall, leaves no ghosts or orphans
+    val m = IvfIndex.maintain(spark, s"$r/idx", kmeansIters = 4)
+    assert(m.clustersRepaired.size == 1,
+      s"exactly the flagged cluster must split, got $m")
+    assert((top10Ids(1) intersect truth).size == 10,
+      "maintain must restore nProbe=1 recall")
+    assert(IvfIndex.healLayout(spark, s"$r/idx") == ((0L, 0L)),
+      "no ghost or orphan may survive maintain")
+    // no row lost or duplicated (2 takedowns physically gone)
+    val postings = graft.delta.DeltaTable
+      .forPath(spark, s"$r/idx/postings").toDF
+    assert(postings.count() == buildRows.size + driftRows.size - 2)
+    assert(postings.select("id").distinct().count() ==
+      buildRows.size + driftRows.size - 2)
+    // the lifecycle continues in the repaired layout: refresh + probe
+    graft.delta.GraftWriter.write(
+      Seq((2000L, vec(Seq(1.02, 1.0, 0.0, 0.0)))).toDF("vec_id", "embedding"),
+      src, org.apache.spark.sql.SaveMode.Append)
+    IvfIndex.refreshFromSource(spark, s"$r/idx")
+    val kNow = graft.delta.DeltaTable
+      .forPath(spark, s"$r/idx/centroids").toDF.count().toInt
+    assert(IvfIndex.topK(spark, s"$r/idx", qv, k = 21, nProbe = kNow)
+      .filter(col("id") === 2000L).count() == 1)
+    // and a second maintain on the repaired index is a no-op again
+    val m2 = IvfIndex.maintain(spark, s"$r/idx")
+    assert(m2.clustersRepaired.isEmpty && m2.ghostCentroidsRemoved == 0L &&
+      m2.orphanRowsMoved == 0L, s"got $m2")
+  }
+
   test("embeddingSimilarPairs guard refuses above maxRows unless overridden") {
     val e = intercept[IllegalArgumentException] {
       Dedup.embeddingSimilarPairs(vecs, "vec_id", "embedding", 95, 100,
