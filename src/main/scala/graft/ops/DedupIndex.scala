@@ -117,9 +117,9 @@ object DedupIndex {
     * join ABOVE this scan; the predicate only drops files that provably
     * hold no probe key, so the layout can never change results (r15 — the
     * r14 verdict's `weak` item). */
-  private[ops] def prunedScan(spark: SparkSession, path: String,
-                              keyCol: String, keys: Option[Array[Any]],
-                              parts: Seq[PartitionFilter] = Nil): DataFrame =
+  private[graft] def prunedScan(spark: SparkSession, path: String,
+                                keyCol: String, keys: Option[Array[Any]],
+                                parts: Seq[PartitionFilter] = Nil): DataFrame =
     DeltaTable.forPath(spark, path)
       .toDF(parts, keys.flatMap(ks => StatsPredicate.inSetOf(keyCol, ks)).toSeq)
 
@@ -141,8 +141,8 @@ object DedupIndex {
 
   /** ONE buckets scan covering the union of the per-band pruned file sets.
     * `None` keys ⇒ unpruned full scan (the over-cap fallback). */
-  private[ops] def prunedBuckets(spark: SparkSession, root: String,
-                                 keys: Option[Array[(Int, Long)]]): DataFrame = {
+  private[graft] def prunedBuckets(spark: SparkSession, root: String,
+                                   keys: Option[Array[(Int, Long)]]): DataFrame = {
     val dt = DeltaTable.forPath(spark, bucketsPath(root))
     keys match {
       case None => dt.toDF
@@ -189,13 +189,33 @@ object DedupIndex {
     * incremental pass adds one hash-ranged "generation"; a probe reads
     * O(probe keys) files PER generation, so schedule `full = true`
     * occasionally (the LSM-compaction moment) to fold generations back to
-    * one sorted run. [[refreshFromSource]] runs the incremental pass
-    * itself; pre-r16 indexes (no clustering domain) skip silently. */
+    * one sorted run.
+    *
+    * LSM floor (r16): a generation smaller than 1/16 of the target file
+    * size (and under 64 files) is NOT worth a re-sort pass — the unsorted
+    * residue is bounded (a probe conservatively keeps those files, never
+    * wrongly skips them) and folding it can ride a later, larger pass.
+    * Without the floor every small refresh paid three scan+shuffle+write
+    * commits of pure churn — at sf0.1 gate scale that was most of the
+    * refresh wall, and at 100 TB it is the same anti-pattern of re-sorting
+    * a KB-sized generation of a TB-sized table. DV-carrying files always
+    * count as pending (the cluster rewrite is what purges them).
+    * [[refreshFromSource]] runs the incremental pass itself; pre-r16
+    * indexes (no clustering domain) skip silently. */
   def maintain(spark: SparkSession, root: String, full: Boolean = false): Unit =
     Seq(bucketsPath(root), membersPath(root), survivorsPath(root)).foreach { p =>
-      if (DeltaTable.forPath(spark, p).clusteringColumns.nonEmpty)
-        Optimize.cluster(spark, p,
-          targetFileBytes = maintainTargetBytes(spark), full = full)
+      val dt = DeltaTable.forPath(spark, p)
+      val cols = dt.clusteringColumns
+      if (cols.nonEmpty) {
+        val spec = cols.mkString(",")
+        val pending = dt.snapshot.files.filter(a =>
+          !a.tags.exists(_.get(Optimize.ClusterSpecTag).contains(spec)) ||
+            graft.delta.DeletionVectors.hasDv(a))
+        val floor = maintainTargetBytes(spark) / 16
+        if (full || pending.size >= 64 || pending.map(_.size).sum >= floor)
+          Optimize.cluster(spark, p,
+            targetFileBytes = maintainTargetBytes(spark), full = full)
+      }
     }
 
   /** Refuse an index whose three tables carry DIFFERENT build epochs — the

@@ -38,6 +38,18 @@ object Similarity {
       .limit(k)
   }
 
+  /** As above, but against an explicit query vector — id-type-agnostic
+    * (string vec ids rank the same way; the id column only breaks ties,
+    * under its own type's ordering — r16, verdict #8). */
+  def bruteForceTopK(vectors: DataFrame, idCol: String, vecCol: String,
+                     queryVec: Array[Float], k: Int): DataFrame =
+    vectors
+      .withColumn("dot_q",
+        graft.functions.functions.dot_q(col(vecCol), typedLit(queryVec)))
+      .select(col(idCol), col("dot_q"))
+      .orderBy(col("dot_q").desc, col(idCol))
+      .limit(k)
+
   /** IVF-style ANN: coarse-quantize by `clusterCol` (centroid = mean vector
     * per cluster), probe the `nProbe` clusters nearest to the query, then
     * exact-search only within the probed clusters.

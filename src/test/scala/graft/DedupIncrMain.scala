@@ -11,7 +11,19 @@ import graft.ops.DedupIndex
   * across SFs, the full wall should track the corpus while the increment
   * wall tracks the batch.
   *
+  * r16 (verdict #7) adds, after the increments: a ~500-doc DELETE wave
+  * folded through the index (timed), and bounded-probe measurements — a
+  * fixed probe's `inputFiles` count against each standing table's total,
+  * required < 1/2 (the DedupIndexSpec assertion at corpus scale). For the
+  * 5M-doc point the FULL-recompute control is skippable
+  * (SPARK_GRAFT_DEDUP_FULL=0): equivalence is gate-proven at sf0.1 and
+  * probe-proven at 500k; at 5M the walls and probe bounds are the measure,
+  * and a second full build would double a ~half-hour run for no new
+  * information. The survivor-equivalence require() only runs with the
+  * control.
+  *
   * Run: SPARK_GRAFT_SF_DIR=/tmp/sf1 sbt "Test/runMain graft.DedupIncrMain"
+  * 5M docs: SPARK_GRAFT_SF_DIR=/tmp/sf100docs SPARK_GRAFT_DEDUP_FULL=0
   */
 object DedupIncrMain {
   def main(args: Array[String]): Unit = {
@@ -54,13 +66,16 @@ object DedupIncrMain {
     println(s"PROBE corpus $n docs; base ${base.count()}, " +
       s"batches ${batchA.count()} + ${batchB.count()}")
 
+    val withFull = !sys.env.get("SPARK_GRAFT_DEDUP_FULL").contains("0")
     // the cost an increment AVOIDS: one full recompute over everything
-    val srcFull = s"$root/src_full"
-    graft.delta.GraftWriter.write(docs, srcFull,
-      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
-    timed(s"FULL recompute (buildFromSource, $n docs)") {
-      DedupIndex.buildFromSource(spark, srcFull, "text", "doc_id",
-        s"$root/idx_full")
+    if (withFull) {
+      val srcFull = s"$root/src_full"
+      graft.delta.GraftWriter.write(docs, srcFull,
+        configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+      timed(s"FULL recompute (buildFromSource, $n docs)") {
+        DedupIndex.buildFromSource(spark, srcFull, "text", "doc_id",
+          s"$root/idx_full")
+      }
     }
 
     val src = s"$root/src"
@@ -79,14 +94,58 @@ object DedupIncrMain {
     }
     println(s"PROBE increments: A=($a1 docs, $e1 edges) B=($a2 docs, $e2 edges)")
 
-    // the equivalence that makes the walls comparable: same survivors
-    val full = DedupIndex.survivors(spark, s"$root/idx_full")
-      .orderBy("comp").collect().toSeq
-    val incr = DedupIndex.survivors(spark, s"$root/idx")
-      .orderBy("comp").collect().toSeq
-    require(full == incr,
-      s"incremental (${incr.size}) != full (${full.size}) survivors")
-    println(s"PROBE survivors match: ${full.size} families")
+    // DELETE wave (r16): ~500 standing docs spread across the id space,
+    // folded as one delete-only window — family re-splits, survivor
+    // re-elections, buckets MERGE-delete, all at corpus scale
+    val step = math.max(1L, n / 500)
+    graft.delta.Dml.delete(spark, src,
+      pmod(col("doc_id"), lit(step)) === 0 && col("doc_id") < c1)
+    timed(s"delete wave (~${c1 / step} docs) fold") {
+      DedupIndex.refreshFromSource(spark, s"$root/idx")
+    }
+
+    // bounded-probe measurement (r16): a FIXED probe must read a small
+    // file subset of each standing table, whatever the corpus size — the
+    // DedupIndexSpec inputFiles assertions at scale
+    def probeBound(label: String, path: String, keyCol: String,
+                   keys: Array[Any]): Unit = {
+      val total = graft.delta.DeltaLog.forPath(spark, path).update().files.size
+      val read = DedupIndex.prunedScan(spark, path, keyCol, Some(keys))
+        .inputFiles.length
+      println(f"PROBE probe_bound $label%-12s $read%5d of $total%5d files")
+      require(read < total / 2, s"$label probe must skip most files")
+    }
+    val someId = batchA.select("doc_id").orderBy("doc_id")
+      .limit(1).first().getLong(0)
+    probeBound("members", s"$root/idx/members", "id",
+      Array[Any](someId, someId + 7))
+    probeBound("survivors", s"$root/idx/survivors", "comp",
+      Array[Any](someId, someId + 7))
+    val bandKeys = graft.delta.DeltaTable.forPath(spark, s"$root/idx/buckets")
+      .toDF.filter(col("id") === someId)
+      .select("band_idx", "band_hash").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val bTotal = graft.delta.DeltaLog.forPath(spark, s"$root/idx/buckets")
+      .update().files.size
+    val bRead = DedupIndex.prunedBuckets(spark, s"$root/idx", Some(bandKeys))
+      .inputFiles.length
+    println(f"PROBE probe_bound buckets      $bRead%5d of $bTotal%5d files")
+    require(bRead < bTotal / 2, "buckets probe must skip most files")
+
+    if (withFull) {
+      // the equivalence that makes the walls comparable: same survivors
+      // (the full index sees the delete wave too, via its own refresh)
+      graft.delta.Dml.delete(spark, s"$root/src_full",
+        pmod(col("doc_id"), lit(step)) === 0 && col("doc_id") < c1)
+      DedupIndex.refreshFromSource(spark, s"$root/idx_full")
+      val full = DedupIndex.survivors(spark, s"$root/idx_full")
+        .orderBy("comp").collect().toSeq
+      val incr = DedupIndex.survivors(spark, s"$root/idx")
+        .orderBy("comp").collect().toSeq
+      require(full == incr,
+        s"incremental (${incr.size}) != full (${full.size}) survivors")
+      println(s"PROBE survivors match: ${full.size} families")
+    }
     spark.stop()
   }
 }
