@@ -204,11 +204,15 @@ object IvfIndex {
     // (inline, cluster = TombstoneCluster) carry vec = null, and a source
     // whose vectors happened to arrive non-nullable must not wedge the
     // first delete window on a nullability check. Flipped INSIDE the
-    // Catalyst plan — an else-less CASE WHEN is nullable by construction
-    // and identity at runtime; the old createDataFrame(rdd, schema)
+    // Catalyst plan — an else-less CASE WHEN guarded on isNotNull is
+    // nullable by schema and identity at runtime (`when(lit(true), _)`
+    // does NOT work: the analyzer folds the trivially-true branch and
+    // keeps the child's non-nullability — caught by the 1M string-id
+    // probe's first tombstone write); the old createDataFrame(rdd, schema)
     // round-trip deserialized/reserialized every vector and dropped
     // whole-stage codegen on the index's biggest write (r16 advice).
-    val nullableVec = assigned.withColumn("vec", when(lit(true), col("vec")))
+    val nullableVec = assigned.withColumn("vec",
+      when(col("vec").isNotNull, col("vec")))
     GraftWriter.write(nullableVec, postingsPath(root), SaveMode.Overwrite,
       partitionBy = Seq("cluster"),
       overwriteSchema = exists(postingsPath(root)),

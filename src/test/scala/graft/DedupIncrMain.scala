@@ -57,8 +57,12 @@ object DedupIncrMain {
     // two fixed ~500-doc holdout batches off the top of the id order —
     // the increment size stays CONSTANT across SFs so the walls compare
     val batchFrac = 500.0 / n
+    // accuracy raised to 1e6: the default (1e4) places extreme quantiles
+    // (0.9998 at 5M docs) a whole replica off, degenerating the fixed
+    // ~500-doc batches to 999 + 1
     val Seq(c1, c2) = docs.selectExpr(
-        s"percentile_approx(doc_id, array(${1 - 2 * batchFrac}, ${1 - batchFrac}))")
+        s"percentile_approx(doc_id, array(${1 - 2 * batchFrac}, " +
+        s"${1 - batchFrac}), 1000000)")
       .first().getSeq[Long](0).toIndexedSeq
     val base = docs.filter(col("doc_id") < c1)
     val batchA = docs.filter(col("doc_id") >= c1 && col("doc_id") < c2)
@@ -98,9 +102,9 @@ object DedupIncrMain {
     // folded as one delete-only window — family re-splits, survivor
     // re-elections, buckets MERGE-delete, all at corpus scale
     val step = math.max(1L, n / 500)
-    graft.delta.Dml.delete(spark, src,
-      pmod(col("doc_id"), lit(step)) === 0 && col("doc_id") < c1)
-    timed(s"delete wave (~${c1 / step} docs) fold") {
+    val nDeleted = graft.delta.Dml.delete(spark, src,
+      pmod(col("doc_id"), lit(step)) === 0 && col("doc_id") < c1).rowsAffected
+    timed(s"delete wave ($nDeleted docs) fold") {
       DedupIndex.refreshFromSource(spark, s"$root/idx")
     }
 

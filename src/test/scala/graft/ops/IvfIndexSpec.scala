@@ -522,6 +522,28 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(IvfIndex.healLayout(spark, s"$r/idx") == ((0L, 0L)))
   }
 
+  test("r16: a NON-nullable source vec still lands a nullable postings vec (tombstones writable)") {
+    // expression-built embeddings are non-nullable — the shape that
+    // regressed when the nullable flip was written as when(lit(true), _)
+    // and the analyzer folded it (caught by the 1M string-id probe's
+    // first tombstone write). The postings vec must land nullable so the
+    // first delete window's tombstone rows (vec = null) can commit.
+    val r = root("nonnullvec")
+    val src = spark.range(50)
+      .selectExpr("id AS vid", "array(cast(id AS float) / 50) AS emb")
+    assert(!src.schema("emb").nullable, "the source shape must be non-nullable")
+    graft.delta.GraftWriter.write(src, s"$r/source",
+      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    IvfIndex.buildFromTable(spark, s"$r/source", "vid", "emb", s"$r/idx",
+      nClusters = 2)
+    assert(graft.delta.DeltaLog.forPath(spark, s"$r/idx/postings")
+      .update().schema("vec").nullable,
+      "postings vec must be nullable whatever the source's nullability")
+    graft.delta.Dml.delete(spark, s"$r/source", col("vid") === 49)
+    assert(IvfIndex.refreshFromSource(spark, s"$r/idx") == ((0L, 1L)),
+      "the first tombstone fold must commit")
+  }
+
   test("r16: maintain() autopilot — heal + budgeted drift repair + tombstone compaction in one call") {
     import spark.implicits._
     val r = root("autopilot")
