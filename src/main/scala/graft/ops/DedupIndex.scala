@@ -209,10 +209,15 @@ object DedupIndex {
       if (cols.nonEmpty) {
         val spec = cols.mkString(",")
         val pending = dt.snapshot.files.filter(a =>
-          !a.tags.exists(_.get(Optimize.ClusterSpecTag).contains(spec)) ||
-            graft.delta.DeletionVectors.hasDv(a))
+          !a.tags.exists(_.get(Optimize.ClusterSpecTag).contains(spec)))
         val floor = maintainTargetBytes(spark) / 16
-        if (full || pending.size >= 64 || pending.map(_.size).sum >= floor)
+        // DV-carrying files BYPASS the floor, not just count toward it: the
+        // cluster rewrite is the only thing that purges their deletion
+        // vectors, and a quiescent table whose DV files sit under the floor
+        // would otherwise defer the purge forever — re-opening the r11
+        // "DVs accumulate and block shallow clones" condition (r16 review)
+        if (full || dt.snapshot.files.exists(graft.delta.DeletionVectors.hasDv)
+            || pending.size >= 64 || pending.map(_.size).sum >= floor)
           Optimize.cluster(spark, p,
             targetFileBytes = maintainTargetBytes(spark), full = full)
       }
@@ -470,6 +475,30 @@ object DedupIndex {
       mark.foreach(m => b.requireAppVersion(SourceVersionApp, m, now))
       b
     }
+    // advance a table's CAS mark with a bare commit when this window's
+    // fold did not touch the table: a delete window whose deleted ids
+    // were never indexed (created and deleted entirely inside newer
+    // windows) commits NOTHING to members/survivors, yet its RESULT —
+    // "these ids are not standing" — is exactly the state a stale
+    // laggard's not-matched INSERT would override. Without the advance
+    // the laggard's CAS passes (mark unchanged) and a source-deleted doc
+    // lands live in members/survivors with no band rows, permanently
+    // (r16 review — the 'aborts at its first merge' invariant had a hole
+    // exactly when the winner's fold was commit-free on these tables).
+    // Also bootstraps marks on pre-r16 indexes (no precondition to
+    // require); concurrent stampers are serialized by the same-appId
+    // conflict rule.
+    def ensureTableMark(p: String, cur: Option[Long]): Option[Long] =
+      if (cur.contains(now)) cur
+      else {
+        val log = DeltaLog.forPath(spark, p)
+        log.update() // freshen the cache the txn pins its read snapshot to
+        val txn = log.startTransaction()
+        cur.foreach(m => txn.requireAppVersion(SourceVersionApp, m))
+        txn.addAction(TxnAction(SourceVersionApp, now))
+        txn.commit()
+        Some(now)
+      }
     // ONE window read serves the change-kind fence AND both folds; the
     // commit version rides along so multi-commit windows net-fold per id
     val pinned = ChangeDataFeed.readChanges(spark, srcLog, last, now)
@@ -750,6 +779,11 @@ object DedupIndex {
           .execute()
         memberMark = tableMark(membersPath(root))
       }
+      // commit-free folds still advance the CAS marks (see ensureTableMark)
+      // BEFORE the buckets mark moves — a laggard interleaving here aborts
+      // on whichever table it touches first
+      survMark = ensureTableMark(survivorsPath(root), survMark)
+      memberMark = ensureTableMark(membersPath(root), memberMark)
     }
     if (nNew == 0) {
       // delete-only window: the fold above is complete; advance the mark

@@ -622,12 +622,23 @@ object IvfIndex {
     *     orphan rows; the next [[healLayout]] re-homes them.)
     * Returns the new cids (empty when the cluster had no live rows). */
   def reclusterCluster(spark: SparkSession, root: String, cid: Int,
-                       nSplit: Int = 2, kmeansIters: Int = 3): Seq[Int] = {
+                       nSplit: Int = 2, kmeansIters: Int = 3): Seq[Int] =
+    reclusterImpl(spark, root, cid, nSplit, kmeansIters, heal = true)
+
+  /** [[reclusterCluster]] with the step-0 heal optional: [[maintain]]
+    * heals ONCE up front and then splits several clusters — re-scanning
+    * the layout before every split in the same single-threaded pass is
+    * k× redundant metadata cost (a successful split leaves no ghosts, a
+    * failed one aborts the pass, and the next pass heals first). Direct
+    * callers keep the healing contract (r16 review). */
+  private def reclusterImpl(spark: SparkSession, root: String, cid: Int,
+                            nSplit: Int, kmeansIters: Int,
+                            heal: Boolean): Seq[Int] = {
     checkEpoch(spark, root)
     require(nSplit >= 2, s"nSplit must be >= 2, got $nSplit")
     require(cid >= 0,
       s"cluster $cid is the reserved tombstone partition, not a cluster")
-    healLayout(spark, root)
+    if (heal) healLayout(spark, root)
     val live = prunedLive(spark, root, Seq(cid))
       .localCheckpoint(true) // sub-kmeans + centroid stats + stage read it
     if (live.isEmpty) {
@@ -815,7 +826,8 @@ object IvfIndex {
     hot.foreach { r =>
       val est = r.getLong(1) + r.getLong(2)
       if (est <= budget) {
-        reclusterCluster(spark, root, r.getInt(0), nSplit, kmeansIters)
+        reclusterImpl(spark, root, r.getInt(0), nSplit, kmeansIters,
+          heal = false) // maintain healed once up front
         repaired += r.getInt(0)
         reassigned += est
         budget -= est

@@ -44,12 +44,23 @@ object PipelineQueries {
     * Both captures pin their rows (eager localCheckpoint) the moment they
     * exist; the memo keys by testdata dir, so within one JVM (Verify, or
     * a Bench sweep pair) the lifecycle runs ONCE — q81's wall carries the
-    * lifecycle, q82's only its capture read (recorded in BASELINE). */
-  private val dedupLifecycleMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]
+    * lifecycle, q82's only its capture read (recorded in BASELINE). The
+    * cached frames are bound to the session that built them (checkpoint
+    * blocks die with its SparkContext), so a hit from a DIFFERENT or
+    * stopped session recomputes instead of serving dead blocks (r16
+    * review — long-lived JVMs with session churn). */
+  private val dedupLifecycleMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (SparkSession, (DataFrame, DataFrame))]
+
+  private def sessionLive(s: SparkSession): Boolean =
+    try !s.sparkContext.isStopped catch { case _: Throwable => false }
 
   private def dedupLifecycle(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    dedupLifecycleMemo.computeIfAbsent(dir, _ => {
+    dedupLifecycleMemo.compute(dir, (_, old) =>
+      if (old != null && (old._1 eq s) && sessionLive(s)) old
+      else (s, runDedupLifecycle(s, dir)))._2
+
+  private def runDedupLifecycle(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val root = graft.queries.DeltaQueries.freshWorkDir("deduplife")
       val src = s"$root/source"
@@ -73,10 +84,10 @@ object PipelineQueries {
       graft.delta.Dml.delete(s, src, pmod(col("doc_id"), lit(10)) === 7)
       DedupIndex.refreshFromSource(s, s"$root/idx")
       (s81, survivors().localCheckpoint(true))
-    })
+  }
 
-  private val strLifecycleMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+  private val strLifecycleMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (SparkSession, DataFrame)]
 
   /** The q83 string-keyed lifecycle: build, CDF increment, delete fold on
     * URL-shaped doc ids over the doc_id % 3 = 1 third of the corpus.
@@ -433,8 +444,10 @@ object PipelineQueries {
     // build/refresh volume, same oracle-expressible final corpus. Memoized
     // per dir like the shared lifecycle (same commit-floor rationale).
     "q83_dedup_string_ids" -> { (s, dir) =>
-      strLifecycleMemo.computeIfAbsent(dir, _ => q83Lifecycle(s, dir))
-        .orderBy("comp", "doc_id")
+      strLifecycleMemo.compute(dir, (_, old) =>
+          if (old != null && (old._1 eq s) && sessionLive(s)) old
+          else (s, q83Lifecycle(s, dir)))
+        ._2.orderBy("comp", "doc_id")
     },
 
     // tumbling-window event aggregation (batch shape of the streaming agg).

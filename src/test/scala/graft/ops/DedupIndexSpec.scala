@@ -962,6 +962,73 @@ class DedupIndexSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("id") === 5L).count() == 1)
   }
 
+  test("r16 review: a commit-free delete fold still advances the CAS marks (no laggard resurrection)") {
+    // the hole: a window whose deleted ids were never indexed commits
+    // NOTHING to members/survivors, so without a bare mark advance a
+    // stale laggard's CAS would pass and its not-matched INSERT would
+    // land a source-deleted doc as a live survivor with no band rows —
+    // permanently (no later window re-deletes it)
+    val r = root("cfree")
+    val src = s"$r/source"
+    graft.delta.GraftWriter.write(slice(corpus, 0, 100), src,
+      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$r/idx",
+      numHashes = 64, bands = 64)
+    val membersPath = s"$r/idx/members"
+    def mark = graft.delta.DeltaLog.forPath(spark, membersPath).update()
+      .appTransactionVersion(DedupIndex.SourceVersionApp)
+    val m0 = mark
+    // the laggard's window: INSERT 900 lands on the source, its refresh
+    // stalls (simulated below); a NEWER source commit deletes 900
+    graft.delta.GraftWriter.write(Seq((900L, words(90, 0, 15)))
+      .toDF("doc_id", "text"), src, SaveMode.Append)
+    graft.delta.Dml.delete(spark, src, col("doc_id") === 900L)
+    // the winner folds both commits as one window: 900 nets to
+    // delete-of-never-indexed — zero merge commits on members/survivors
+    val (n, _) = DedupIndex.refreshFromSource(spark, s"$r/idx")
+    assert(n == 0, "the netted window must index nothing")
+    assert(mark > m0, "a commit-free fold must still advance the CAS mark")
+    // the stale laggard resumes: its members merge carries the
+    // pre-window mark — must abort BEFORE its not-matched insert lands
+    intercept[graft.delta.StaleAppVersionException] {
+      graft.delta.Merge.into(spark, membersPath,
+          Seq((900L, 900L, 100L)).toDF("id", "comp", "len"),
+          col("t.id") === col("s.id"))
+        .requireAppVersion(DedupIndex.SourceVersionApp, m0, m0 + 1)
+        .whenMatchedUpdate(col("t.asof") <= lit(m0),
+          Map("comp" -> col("s.comp"), "asof" -> lit(m0),
+            "dead" -> lit(false)))
+        .whenNotMatchedInsert(Map("id" -> col("s.id"),
+          "comp" -> col("s.comp"), "len" -> col("s.len"),
+          "asof" -> lit(m0), "dead" -> lit(false)))
+        .execute()
+    }
+    assert(DedupIndex.members(spark, s"$r/idx")
+      .filter(col("id") === 900L).count() == 0,
+      "the deleted doc must never appear in members")
+  }
+
+  test("r16 review: DV-carrying files bypass the maintain floor (purge never deferred)") {
+    val r = root("dvfloor")
+    val src = s"$r/source"
+    graft.delta.GraftWriter.write(slice(corpus, 0, 100), src,
+      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$r/idx")
+    val membersPath = s"$r/idx/members"
+    // an out-of-band DV delete on the standing table (an operator's
+    // layout-level intervention, not an index op): the DV bytes sit far
+    // under the floor on a quiescent table — maintain must still run the
+    // cluster pass, because that rewrite is the only DV purge
+    graft.delta.DeltaTable.forPath(spark, membersPath)
+      .setProperties(Map(graft.delta.TableConfig.EnableDeletionVectors -> "true"))
+    graft.delta.Dml.deleteWithDv(spark, membersPath, col("id") === 5L)
+    def dvFiles = graft.delta.DeltaLog.forPath(spark, membersPath).update()
+      .files.count(graft.delta.DeletionVectors.hasDv)
+    assert(dvFiles == 1, "the DV delete must have marked a file")
+    DedupIndex.maintain(spark, s"$r/idx")
+    assert(dvFiles == 0, "maintain must purge DV files despite the floor")
+  }
+
   test("UPDATE source changes are refused loudly (delete + re-insert is the path)") {
     val r = root("refuse")
     val src = s"$r/source"
