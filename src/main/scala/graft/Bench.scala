@@ -140,6 +140,7 @@ object Bench {
     final case class Sweep(results: mutable.LinkedHashMap[String, Double],
                            cpuSec: mutable.LinkedHashMap[String, Double],
                            load1m: mutable.LinkedHashMap[String, Double],
+                           commits: mutable.LinkedHashMap[String, Long],
                            errors: mutable.LinkedHashMap[String, String],
                            contended: Boolean, calSt: Double,
                            calStWorst: Double, calMt: Double) {
@@ -152,12 +153,19 @@ object Bench {
     def runSweep(calPre: Double): Sweep = {
       val cpuSec = mutable.LinkedHashMap[String, Double]()
       val load1m = mutable.LinkedHashMap[String, Double]()
+      val commits = mutable.LinkedHashMap[String, Long]()
       val errors = mutable.LinkedHashMap[String, String]()
       val results = mutable.LinkedHashMap[String, Double]()
       qs.foreach { case (name, fn) =>
         val c0 = processCpuNanos
+        // per-query delta of the engine's committed-transaction counter:
+        // commit-floor cost (≈ fixed ms per commit) is mechanically
+        // separable from plan time in the record (r16 verdict #4)
+        val k0 = graft.delta.OptimisticTransaction.committedCount.get()
         val (sec, err) = timeOne(() => materialize(fn(spark, sfDir)))
         err.foreach(errors(name) = _)
+        commits(name) =
+          graft.delta.OptimisticTransaction.committedCount.get() - k0
         cpuSec(name) = if (c0 < 0) -1.0 else (processCpuNanos - c0) / 1e9
         load1m(name) = osBean.getSystemLoadAverage
         if (debug) {
@@ -182,7 +190,7 @@ object Bench {
         Runtime.getRuntime.availableProcessors())
       // min of pre/post: the healthiest speed the machine showed this
       // sweep — a sweep is degraded only if it NEVER ran at class speed
-      Sweep(results, cpuSec, load1m, errors, isContended,
+      Sweep(results, cpuSec, load1m, commits, errors, isContended,
         math.min(calPre, calStPost), math.max(calPre, calStPost), calMt)
     }
 
@@ -258,6 +266,15 @@ object Bench {
       m.foreach { case (q, v) => o.put(q, math.rint(v * 1e4) / 1e4) }
     }
     putMap(root, "wall_min", mins)
+    // per-query commit counts, max across sweeps: memoized lifecycles
+    // commit only in their first sweep, and the MAX is the real cost of
+    // computing the query once (r16 verdict #4)
+    val commitsMax: Map[String, Long] = qs.keys.map { n =>
+      n -> sweeps.map(_.commits.getOrElse(n, 0L)).max
+    }.toMap
+    val commitsNode = root.putObject("commits")
+    commitsMax.toSeq.sortBy(_._1).foreach { case (q, v) =>
+      if (v > 0) commitsNode.put(q, v) }
     val outliersNode = root.putArray("outliers_over_3x")
     outliers.foreach(outliersNode.add)
     val sweepArr = root.putArray("sweeps")
@@ -271,6 +288,8 @@ object Bench {
       n.put("cal_mt", math.rint(s.calMt * 1e4) / 1e4)
       putMap(n, "wall", s.results); putMap(n, "cpu", s.cpuSec)
       putMap(n, "load1m", s.load1m)
+      val cn = n.putObject("commits")
+      s.commits.foreach { case (q, v) => if (v > 0) cn.put(q, v) }
       val e = n.putObject("errors")
       s.errors.foreach { case (k, v) => e.put(k, v) }
     }
@@ -298,6 +317,15 @@ object Bench {
     lineNode.put("sweeps", sweeps.size)
     lineNode.put("outliers_over_3x", outliers.size)
     lineNode.put("queries_file", outPath)
+    // per-query commit counts (max across sweeps): lets the round-over-
+    // round comparison divide out per-commit fixed-cost drift without
+    // opening the artifact (r16 verdict #4). The LINE carries counts >= 2
+    // (the commit-heavy class; single-commit queries are in the artifact's
+    // full map) so it stays well under the tail-capture cap.
+    val lineCommits = lineNode.putObject("commits")
+    commitsMax.toSeq.sortBy(_._1).foreach { case (q, v) =>
+      if (v >= 2) lineCommits.put(q, v) }
+    lineNode.put("commits_total", commitsMax.values.sum)
     lineNode.put("contended", chosen.contended)
     lineNode.put("cpu_total", r4(cpuTotal))
     lineNode.put("load_med", r4(loadMed))

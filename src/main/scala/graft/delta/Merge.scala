@@ -511,6 +511,17 @@ final class MergeBuilder private[delta] (
     // nothing (matters most for no-op by-source merges)
     if (nUpd == 0 && nDel == 0 && nIns == 0) {
       discardStaged(); releaseJoin()
+      // no commit ⇒ the commit-time precondition leg never runs, so
+      // re-check against a FRESH snapshot: a mark advanced by a concurrent
+      // committer during the (potentially long) join/classify phase must
+      // surface as the same abort signal a destructive stale merge gets,
+      // not a silent "success" the caller then chains off (r16 advice —
+      // DedupIndex's post-merge mark re-read adopted the foreign value)
+      appVersionPrecond.foreach { case (app, want, _) =>
+        val cur = log.update().appTransactionVersion.get(app)
+        if (!cur.contains(want))
+          throw new StaleAppVersionException(app, want, cur)
+      }
       return MergeMetrics(0, 0, 0, 0, snap.version)
     }
 

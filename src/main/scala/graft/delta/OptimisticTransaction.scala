@@ -385,6 +385,7 @@ final class OptimisticTransaction(val log: DeltaLog) {
         // written only when the refresh landed exactly on our commit (a
         // concurrent later commit makes ITS committer responsible)
         if (updated.version == latest + 1) Checksum.write(log, updated)
+        OptimisticTransaction.committedCount.incrementAndGet()
         return latest + 1
       } catch {
         case _: FileAlreadyExistsException => () // lost the race; re-check and retry
@@ -482,4 +483,12 @@ final class OptimisticTransaction(val log: DeltaLog) {
 object OptimisticTransaction {
   /** Reference default retry budget (`rust/src/delta.rs:1158`). */
   val MaxRetryCommitAttempts: Int = 10000000
+
+  /** Process-wide committed-transaction counter (monotone, incremented at
+    * the single success point of [[OptimisticTransaction.commit]]). Bench
+    * samples per-query deltas so per-commit fixed-cost ("commit floor")
+    * inflation is mechanically separable from plan-time regressions in the
+    * bench record (r16 verdict #4 — a 4.6× wall flip on untouched DML code
+    * took a round of forensics that a commit count would have closed). */
+  val committedCount = new java.util.concurrent.atomic.AtomicLong(0L)
 }

@@ -37,9 +37,11 @@ import graft.delta.{AddAction, ChangeDataFeed, DeltaLog, DeltaTable,
   * `dead`; dead rows are O(takedowns) and stay as guard state.
   *
   * INCREMENT = one [[refreshFromSource]] call after new docs land in the
-  * (CDF-enabled) source table. Windows may carry INSERTs and DELETEs
-  * (takedowns re-split affected families and re-elect survivors — r15);
-  * UPDATEs stay refused (delete + re-insert instead). The insert path:
+  * (CDF-enabled) source table. Windows may carry INSERTs, DELETEs
+  * (takedowns re-split affected families and re-elect survivors — r15),
+  * and UPDATEs (r17 — folded natively as pre-image delete + post-image
+  * insert at the same commit, the sanctioned replacement shape; updates
+  * whose text is byte-identical net out entirely). The insert path:
   *  1. only the CDF window `(lastIndexed, now]` is shingled/signed — the
   *     CPU-heavy work is O(batch), never O(corpus);
   *  2. candidates = the batch's band rows joined against `buckets` with the
@@ -78,6 +80,10 @@ object DedupIndex {
   private def survivorsPath(root: String) = s"$root/survivors"
 
   private[ops] val SourceVersionApp = "graft.dedup.sourceVersion"
+  /** TxnAction appId (on buckets) recording the index mark at the last
+    * dead-row compaction — the cadence fence [[maintain]]'s reclamation
+    * autopilot keys off (r16 verdict #2). */
+  private[ops] val CompactedAtApp = "graft.dedup.compactedAt"
   private[ops] val SourcePathKey = "graft.dedup.sourcePath"
   private[ops] val TextColKey = "graft.dedup.textCol"
   private[ops] val IdColKey = "graft.dedup.idCol"
@@ -202,7 +208,9 @@ object DedupIndex {
     * count as pending (the cluster rewrite is what purges them).
     * [[refreshFromSource]] runs the incremental pass itself; pre-r16
     * indexes (no clustering domain) skip silently. */
-  def maintain(spark: SparkSession, root: String, full: Boolean = false): Unit =
+  def maintain(spark: SparkSession, root: String, full: Boolean = false,
+               reclaimEvery: Long = 16L,
+               retainVersions: Long = 16L): Long = {
     Seq(bucketsPath(root), membersPath(root), survivorsPath(root)).foreach { p =>
       val dt = DeltaTable.forPath(spark, p)
       val cols = dt.clusteringColumns
@@ -222,6 +230,45 @@ object DedupIndex {
             targetFileBytes = maintainTargetBytes(spark), full = full)
       }
     }
+    // dead-row reclamation autopilot (r16 verdict #2, mirroring
+    // [[IvfIndex.maintain]]): layout upkeep and dead-row reclamation used
+    // to be SEPARATE manual calls, so an operator running maintain() on
+    // cadence still accumulated takedown guard rows forever. Now, once the
+    // index mark has advanced `reclaimEvery` source versions past the last
+    // compaction (a CompactedAtApp TxnAction on buckets), ONE maintain
+    // call runs the retention-fenced [[compactDead]] and re-stamps — the
+    // per-table DELETE scan amortizes to 1/reclaimEvery per refresh, and
+    // dead rows stay bounded by O(takedowns over reclaimEvery +
+    // retainVersions source versions). `reclaimEvery <= 0` disables.
+    // Pre-r16 tables (no per-table CAS mark yet) skip silently — they
+    // converge to the guarded layout on their first refresh and join the
+    // cadence then. The first stamp starts the cadence WITHOUT compacting
+    // (a fresh build has no dead rows; an upgraded index waits one period,
+    // its dead rows already bounded by its history). Returns rows
+    // reclaimed this call.
+    if (reclaimEvery <= 0) return 0L
+    val bLog = DeltaLog.forPath(spark, bucketsPath(root))
+    val bSnap = bLog.update()
+    bSnap.appTransactionVersion.get(SourceVersionApp).fold(0L) { mark =>
+      val guarded = Seq(membersPath(root), survivorsPath(root)).forall(p =>
+        DeltaLog.forPath(spark, p).update()
+          .appTransactionVersion.contains(SourceVersionApp))
+      def stamp(): Unit = {
+        bLog.update()
+        val txn = bLog.startTransaction()
+        txn.addAction(TxnAction(CompactedAtApp, mark))
+        txn.commit()
+      }
+      if (!guarded) 0L
+      else bSnap.appTransactionVersion.get(CompactedAtApp) match {
+        case None => stamp(); 0L
+        case Some(at) if mark - at >= reclaimEvery =>
+          val n = compactDead(spark, root, retainVersions)
+          stamp(); n
+        case _ => 0L
+      }
+    }
+  }
 
   /** Refuse an index whose three tables carry DIFFERENT build epochs — the
     * torn-rebuild state (see [[EpochKey]]). Absent epochs (pre-epoch
@@ -462,10 +509,11 @@ object DedupIndex {
     // same commit — a stale laggard (raced past by newer folds) aborts at
     // its FIRST merge on either table instead of committing W1-era rows,
     // independently of the dead guard rows (making [[compactDead]] safe).
-    // A crash replay re-reads the already-advanced mark and passes; a
-    // no-op merge leaves the mark untouched, so it re-reads after each
-    // merge. Pre-r16 indexes carry no per-table mark: folds run unguarded
-    // (the r15 behavior) and compactDead refuses.
+    // A crash replay re-reads the already-advanced mark and passes; after
+    // each merge the local value advances from the merge RESULT (see
+    // `advanced` — r16 advice closed the re-read adoption hole). Pre-r16
+    // indexes bootstrap their marks below and converge to the guarded
+    // layout on their first refresh of any window shape (r16 advice).
     def tableMark(p: String): Option[Long] =
       DeltaLog.forPath(spark, p).update()
         .appTransactionVersion.get(SourceVersionApp)
@@ -475,6 +523,37 @@ object DedupIndex {
       mark.foreach(m => b.requireAppVersion(SourceVersionApp, m, now))
       b
     }
+    // post-merge mark advance is derived LOCALLY from the merge result
+    // (r16 advice): rows changed ⇒ the CAS committed `now`; a no-op merge
+    // leaves the mark untouched (Merge re-verifies the precondition
+    // against a fresh snapshot before its no-op return, so "untouched" is
+    // proven, not assumed). Re-reading the log here would silently ADOPT a
+    // concurrent refresh's mark landing in the gap, and the next merge
+    // would chain off the foreign value and pass CAS instead of aborting.
+    def advanced(mark: Option[Long], m: graft.delta.MergeMetrics): Option[Long] =
+      if (m.rowsUpdated + m.rowsDeleted + m.rowsInserted > 0) mark.map(_ => now)
+      else mark
+    // pre-r16 bootstrap (r16 advice): marks used to appear only via the
+    // delete branch's ensureTableMark, so a pre-r16 index on an
+    // insert-only workload never converged to the guarded layout — its
+    // folds stayed unguarded and compactDead refused forever. Stamp
+    // missing marks at `last` (the refresh's logical read point) so the
+    // very FIRST guarded fold CASes last→now exactly like a native r16
+    // index; a mark that appeared since the capture above is adopted
+    // as-is (a concurrent refresh owns it — our CAS folds then abort on
+    // it, which is the correct signal).
+    def bootstrapMark(p: String): Option[Long] = {
+      val log = DeltaLog.forPath(spark, p)
+      val cur = log.update().appTransactionVersion.get(SourceVersionApp)
+      cur.orElse {
+        val txn = log.startTransaction()
+        txn.addAction(TxnAction(SourceVersionApp, last))
+        txn.commit()
+        Some(last)
+      }
+    }
+    if (memberMark.isEmpty) memberMark = bootstrapMark(membersPath(root))
+    if (survMark.isEmpty) survMark = bootstrapMark(survivorsPath(root))
     // advance a table's CAS mark with a bare commit when this window's
     // fold did not touch the table: a delete window whose deleted ids
     // were never indexed (created and deleted entirely inside newer
@@ -501,23 +580,47 @@ object DedupIndex {
       }
     // ONE window read serves the change-kind fence AND both folds; the
     // commit version rides along so multi-commit windows net-fold per id
-    val pinned = ChangeDataFeed.readChanges(spark, srcLog, last, now)
+    val raw = ChangeDataFeed.readChanges(spark, srcLog, last, now)
       .select(col(idCol).as("id"), col(textCol).as("text"),
         col(ChangeDataFeed.ChangeType).as("ct"),
         col(ChangeDataFeed.CommitVersion).as("cver"))
+      .localCheckpoint(true) // fence + no-op-update netting both read it
+    // supported change kinds: insert + delete (r15 verdict #2) + update
+    // pre/post images (r16 verdict #1 — ≤4 distinct strings, driver-bounded)
+    val updateKinds = Set("update_preimage", "update_postimage")
+    val kinds = raw.select("ct").distinct()
+      .collect().map(_.getString(0)).toSet
+    require(kinds.subsetOf(Set("insert", "delete") ++ updateKinds),
+      s"dedup index source window ($last, $now] carries unsupported " +
+      s"change types ${kinds -- Set("insert", "delete") -- updateKinds}")
+    // UPDATE folds natively as pre-image → delete + post-image → insert at
+    // the SAME commit version (r16 verdict #1 — the index must consume the
+    // engine's own Dml.update output, redactPii-then-UPDATE included):
+    // that is byte-for-byte the sanctioned overwrite-shaped commit the net
+    // fold below already handles — the pre-image text recomputes the
+    // standing band rows to drop, the post-image re-indexes, and id-reuse
+    // divergence stays checkable because BOTH images ride the window.
+    // Updates that keep the text byte-identical (a non-text column
+    // changed) net out FIRST: they change nothing the index stores, and
+    // folding them would re-split families for zero state change. The
+    // null-presence guard keeps a null↔non-null image pair folding (nt=1
+    // alone would mis-net it).
+    val noopUpd = raw.filter(col("ct").isin(updateKinds.toSeq: _*))
+      .groupBy("id", "cver")
+      .agg(countDistinct(col("text")).as("nt"),
+        max(col("text").isNull.cast("int")).as("hasnull"))
+      .filter(col("nt") === 1 && col("hasnull") === 0)
+      .select("id", "cver")
+    val pinned = raw
+      .join(noopUpd.withColumn("noop", lit(true)), Seq("id", "cver"), "left")
+      .filter(!col("ct").isin(updateKinds.toSeq: _*) || col("noop").isNull)
+      .withColumn("ct",
+        when(col("ct") === "update_preimage", lit("delete"))
+          .when(col("ct") === "update_postimage", lit("insert"))
+          .otherwise(col("ct")))
+      .select("id", "text", "ct", "cver")
       .localCheckpoint(true)
     val idType = pinned.schema("id").dataType // null literals must match it
-    // supported change kinds: insert + delete (r15 verdict #2 — takedowns
-    // are a first-class pipeline event). UPDATE stays refused: an in-place
-    // text swap is a delete + re-insert in this index's model, and folding
-    // it silently would hide the id-reuse hazard the fences guard (≤4
-    // distinct change-type strings, driver-bounded)
-    val kinds = pinned.select("ct").distinct()
-      .collect().map(_.getString(0)).toSet
-    require(kinds.subsetOf(Set("insert", "delete")),
-      s"dedup index source window ($last, $now] carries unsupported " +
-      s"change types ${kinds -- Set("insert", "delete")} — UPDATE is not " +
-      "supported; DELETE the doc and re-insert it instead")
     // NET-fold the window per id: the LAST event wins, and a delete
     // anywhere in an id's window history marks its standing rows for
     // removal (a delete + re-insert in one window is a deliberate
@@ -647,8 +750,10 @@ object DedupIndex {
       // insert text (r15 review — folding only the LAST delete's pre-image
       // orphaned the first pre-image's band rows on delete→insert→delete).
       // Band rows recompute per (id, text) over ALL the id's window texts
-      // (≤2 distinct — divergent insert texts are refused above), keyed by
-      // a surrogate so a multi-text id doesn't merge its shingle sets.
+      // (O(events per id) distinct — update chains contribute one pre/post
+      // pair per rewrite; divergent LIVE insert texts are refused above),
+      // keyed by a surrogate so a multi-text id doesn't merge its shingle
+      // sets.
       val delTexts = pinned
         .join(maybeBroadcast(delIdsDf, delIds.isDefined), Seq("id"))
         .select(col("id"), col("text")).distinct()
@@ -745,7 +850,8 @@ object DedupIndex {
           .withColumn("len", lit(null).cast("long"))
           .withColumn("op", lit("del"))
         val survKeys = for { a <- affCompIds; r <- remIds } yield a ++ r
-        cas(Merge.into(spark, survivorsPath(root), ups2.unionByName(dels2),
+        val survDelM = cas(Merge.into(spark, survivorsPath(root),
+            ups2.unionByName(dels2),
             col("t.comp") === col("s.comp")), survMark)
           .withTargetScanPredicates(survKeys
             .flatMap(ks => StatsPredicate.inSetOf("comp", ks)).toSeq)
@@ -759,7 +865,7 @@ object DedupIndex {
               "len" -> col("s.len"), "asof" -> lit(now),
               "dead" -> lit(false)))
           .execute()
-        survMark = tableMark(survivorsPath(root))
+        survMark = advanced(survMark, survDelM)
         // members LAST: drop the deleted ids, relabel the remaining
         val mdel = standingDel.select("id")
           .withColumn("comp", lit(null).cast(idType))
@@ -767,7 +873,8 @@ object DedupIndex {
           .withColumn("op", lit("del"))
         val mup = newLabels2.withColumn("op", lit("up"))
         val memberKeys = for { d <- delIds; r <- remIds } yield d ++ r
-        cas(Merge.into(spark, membersPath(root), mdel.unionByName(mup),
+        val memDelM = cas(Merge.into(spark, membersPath(root),
+            mdel.unionByName(mup),
             col("t.id") === col("s.id")), memberMark)
           .withTargetScanPredicates(memberKeys
             .flatMap(ks => StatsPredicate.inSetOf("id", ks)).toSeq)
@@ -777,7 +884,7 @@ object DedupIndex {
             Map("comp" -> col("s.comp"), "asof" -> lit(now),
               "dead" -> lit(false)))
           .execute()
-        memberMark = tableMark(membersPath(root))
+        memberMark = advanced(memberMark, memDelM)
       }
       // commit-free folds still advance the CAS marks (see ensureTableMark)
       // BEFORE the buckets mark moves — a laggard interleaving here aborts
@@ -891,7 +998,7 @@ object DedupIndex {
     // in a later window (the matched-but-dead shape — len must travel
     // then, hence the coalesce: relabels of live old rows carry s.len
     // null and keep t.len)
-    cas(Merge.into(spark, membersPath(root), mSrc,
+    val memInsM = cas(Merge.into(spark, membersPath(root), mSrc,
         col("t.id") === col("s.id")), memberMark)
       .withTargetScanPredicates(mergeKeys
         .flatMap(ks => StatsPredicate.inSetOf("id", ks)).toSeq)
@@ -902,7 +1009,7 @@ object DedupIndex {
       .whenNotMatchedInsert(Map("id" -> col("s.id"), "comp" -> col("s.comp"),
         "len" -> col("s.len"), "asof" -> lit(now), "dead" -> lit(false)))
       .execute()
-    memberMark = tableMark(membersPath(root))
+    memberMark = advanced(memberMark, memInsM)
 
     // survivors: recompute per surviving affected family from the merged
     // members; family labels that vanished in a merge are exactly the

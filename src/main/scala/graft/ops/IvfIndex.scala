@@ -80,6 +80,16 @@ object IvfIndex {
     * leaves cluster ids denoting DIFFERENT regions — mixed state must
     * refuse to serve, not silently collapse recall (r14 review). */
   private[ops] val EpochKey = "graft.ivf.epoch"
+  /** Postings-table configuration key marking the int8-QUANTIZED layout
+    * (value "int8", r16 verdict #3): every posting row also carries
+    * `q8 array<tinyint>` + `q8_scale double` ([[Quantize.scalarQuantize]]
+    * of `vec` — a pure per-row function, recomputed by every posting
+    * writer). [[topKQuantized]] then ranks probes by the exact integer
+    * dot over a scan that projects ONLY the code columns — on the
+    * columnar posting layout that is ~4× fewer vector bytes per probe,
+    * the 100 TB bandwidth lever — while `vec` stays for exact re-rank,
+    * drift, and re-clustering. Absent = float-only probes. */
+  private[ops] val QuantKey = "graft.ivf.quantize"
   /** Postings-table configuration key marking the single-table LSM layout
     * (value "inline"): tombstones are rows of the reserved
     * `cluster = [[TombstoneCluster]]` partition, committed atomically with
@@ -109,7 +119,7 @@ object IvfIndex {
     * rebuild bound. */
   def build(spark: SparkSession, vectors: DataFrame, idCol: String,
             vecCol: String, root: String, nClusters: Int = 16,
-            kmeansIters: Int = 3): Unit = {
+            kmeansIters: Int = 3, quantize: Boolean = false): Unit = {
     legacyTombstones(spark, root).foreach { t =>
       require(t.isEmpty,
         s"index at $root carries live tombstones in its pre-r15 separate " +
@@ -118,7 +128,8 @@ object IvfIndex {
         "buildFromTable")
     }
     buildInternal(spark, vectors, idCol, vecCol, root, nClusters,
-      kmeansIters, ver = 0L, binding = Map.empty, mark = Nil)
+      kmeansIters, ver = 0L, binding = Map.empty, mark = Nil,
+      quantize = quantize)
   }
 
   /** The postings table's current layout epoch (absent on pre-r15 tables). */
@@ -133,7 +144,7 @@ object IvfIndex {
     * records V as the indexed high-water mark in the same create commit. */
   def buildFromTable(spark: SparkSession, sourcePath: String, idCol: String,
                      vecCol: String, root: String, nClusters: Int = 16,
-                     kmeansIters: Int = 3): Long = {
+                     kmeansIters: Int = 3, quantize: Boolean = false): Long = {
     val srcLog = DeltaLog.forPath(spark, sourcePath)
     val snap = srcLog.update()
     require(snap.version >= 0, s"no graft table at $sourcePath")
@@ -159,7 +170,8 @@ object IvfIndex {
       ver = snap.version,
       binding = Map(SourcePathKey -> sourcePath, SourceIdKey -> idCol,
         SourceVecKey -> vecCol),
-      mark = Seq(TxnAction(SourceVersionApp, snap.version)))
+      mark = Seq(TxnAction(SourceVersionApp, snap.version)),
+      quantize = quantize)
     snap.version
   }
 
@@ -167,7 +179,8 @@ object IvfIndex {
                             idCol: String, vecCol: String, root: String,
                             nClusters: Int, kmeansIters: Int, ver: Long,
                             binding: Map[String, String],
-                            mark: Seq[TxnAction]): Unit = {
+                            mark: Seq[TxnAction],
+                            quantize: Boolean = false): Unit = {
     // zero vectors would commit zero centroids, after which every refresh
     // silently assigns nothing while still advancing the mark — total,
     // permanent, silent loss (r14 review). Refuse up front.
@@ -213,11 +226,16 @@ object IvfIndex {
     // whole-stage codegen on the index's biggest write (r16 advice).
     val nullableVec = assigned.withColumn("vec",
       when(col("vec").isNotNull, col("vec")))
-    GraftWriter.write(nullableVec, postingsPath(root), SaveMode.Overwrite,
+    // quantized layout (r16 verdict #3): codes ride every posting row,
+    // derived from the (nullable) vec so tombstone rows carry null codes
+    val postingRows =
+      if (quantize) appendCodes(nullableVec) else nullableVec
+    GraftWriter.write(postingRows, postingsPath(root), SaveMode.Overwrite,
       partitionBy = Seq("cluster"),
       overwriteSchema = exists(postingsPath(root)),
       configuration = Some(binding +
-        (EpochKey -> epoch) + (LayoutKey -> "inline")),
+        (EpochKey -> epoch) + (LayoutKey -> "inline") ++
+        (if (quantize) Map(QuantKey -> "int8") else Map.empty)),
       extraActions = mark :+ TxnAction(LayoutEpochApp, 0L))
     // a pre-r15 separate tombstones table resets here (its content is dead
     // by the guards above + the overwrite); fresh roots never create one —
@@ -325,7 +343,8 @@ object IvfIndex {
       val frame =
         if (snap.schema.fieldNames.contains("ver")) assigned.drop("dist")
         else assigned.drop("ver", "dist")
-      val v = GraftWriter.write(frame, postingsPath(root), SaveMode.Append,
+      val v = GraftWriter.write(codesIfQuantized(spark, root, frame),
+        postingsPath(root), SaveMode.Append,
         partitionBy = Seq("cluster"),
         extraActions = layoutV.map(v => TxnAction(LayoutEpochApp, v)).toSeq,
         requireAppVersions = layoutV.map((LayoutEpochApp, _)).toSeq)
@@ -342,6 +361,24 @@ object IvfIndex {
     * ranking (one definition, Similarity.SqDistExpr). Input (id, vec, ver),
     * output (id, cluster, vec, ver, dist) materialized — `dist` feeds the
     * drift telemetry and is dropped before any table write. */
+  /** The quantized layout's code columns appended to a posting-row frame:
+    * `q8`/`q8_scale` are a PURE per-row function of `vec`
+    * ([[Quantize.scalarQuantize]] — max-abs int8, the q60-gated scheme),
+    * so every posting writer derives them at write time and no
+    * maintenance path can let codes and vectors drift apart. A null vec
+    * (tombstone row) yields null codes. */
+  private def appendCodes(rows: DataFrame): DataFrame =
+    Quantize.scalarQuantize(rows, "vec")
+
+  /** True when the postings table carries the int8-quantized layout. */
+  private[ops] def isQuantized(spark: SparkSession, root: String): Boolean =
+    DeltaLog.forPath(spark, postingsPath(root)).update()
+      .metadata.exists(_.configuration.get(QuantKey).contains("int8"))
+
+  private def codesIfQuantized(spark: SparkSession, root: String,
+                               rows: DataFrame): DataFrame =
+    if (isQuantized(spark, root)) appendCodes(rows) else rows
+
   private def assignFresh(spark: SparkSession, fresh: DataFrame,
                           root: String): DataFrame = {
     val cents = DeltaTable.forPath(spark, centroidsPath(root)).toDF
@@ -464,7 +501,8 @@ object IvfIndex {
             lit(null).cast(postingsSnap.schema("vec").dataType).as("vec"),
             col("ver"))
           GraftWriter.write(
-            assigned.drop("dist").unionByName(tombRows), postingsPath(root),
+            codesIfQuantized(spark, root,
+              assigned.drop("dist").unionByName(tombRows)), postingsPath(root),
             SaveMode.Append,
             partitionBy = Seq("cluster"),
             extraActions = markAction :+
@@ -648,7 +686,8 @@ object IvfIndex {
         Seq(PartitionFilter.Eq("cluster", cid.toString)))
       if (deadFiles.nonEmpty)
         moveRows(spark, root, deadFiles,
-          live.select("id", "cluster", "vec", "ver"), Seq(cid))
+          codesIfQuantized(spark, root,
+            live.select("id", "cluster", "vec", "ver")), Seq(cid))
       retireCentroids(spark, root, Seq(cid))
       bumpLayout(spark, root)
       return Nil
@@ -675,7 +714,8 @@ object IvfIndex {
     val dt = DeltaTable.forPath(spark, postingsPath(root))
     val oldFiles = PartitionFilter.prune(dt.snapshot.files,
       Seq(PartitionFilter.Eq("cluster", cid.toString)))
-    moveRows(spark, root, oldFiles, moved, Seq(cid))
+    moveRows(spark, root, oldFiles, codesIfQuantized(spark, root, moved),
+      Seq(cid))
     // 3. retire the old centroid + its telemetry, fence once more
     retireCentroids(spark, root, Seq(cid))
     bumpLayout(spark, root)
@@ -777,7 +817,8 @@ object IvfIndex {
       val reassigned = assignFresh(spark,
         dt.toDF(parts).select("id", "vec", "ver"), root).drop("dist")
       moved = reassigned.count()
-      moveRows(spark, root, orphanFiles, reassigned, orphanCids)
+      moveRows(spark, root, orphanFiles,
+        codesIfQuantized(spark, root, reassigned), orphanCids)
     }
     (ghosts.size.toLong, moved)
   }
@@ -903,6 +944,61 @@ object IvfIndex {
       .select(col("id"), col("dot_q"))
       .orderBy(col("dot_q").desc, col("id"))
       .limit(k)
+  }
+
+  /** Probe a QUANTIZED index ([[build]]/[[buildFromTable]] with
+    * `quantize = true` — r16 verdict #3): the same partition-pruned,
+    * tombstone-subtracted posting scan as [[topK]], ranked by the EXACT
+    * int8 integer dot ([[Quantize.int8Dot]]) with the per-vector scales
+    * divided back out for ordering — and the scan projects ONLY
+    * (id, ver, q8, q8_scale), never `vec`, so on the columnar posting
+    * layout a probe moves ~4× fewer vector bytes: the bandwidth lever at
+    * corpus scale. The query quantizes through the same codegen'd
+    * expressions as the stored rows, making the ranking
+    * engine-reproducible (the q60 contract; the q85 gate pins this path
+    * through the index against DuckDB's replica of the arithmetic).
+    *
+    * `rerank = 0` (default) returns (id, dot_q8) — the exact integer
+    * dot, ordered by its descaled value (ties by id). `rerank = m > 0`
+    * takes the top max(k, m) quantized candidates and re-ranks them by
+    * the exact float dot read from the SAME pruned partitions (an O(m)
+    * second look over vec), returning (id, dot_q) — float-exact top-k
+    * whenever the true top-k survives the quantized cut. */
+  def topKQuantized(spark: SparkSession, root: String,
+                    queryVec: Array[Float], k: Int, nProbe: Int = 2,
+                    rerank: Int = 0): DataFrame = {
+    import spark.implicits._
+    require(isQuantized(spark, root),
+      s"index at $root carries no int8-quantized posting layout — " +
+      "rebuild with quantize = true, or probe with topK")
+    val qdf = Seq(Tuple1(queryVec)).toDF("query_vec")
+    val probed = Similarity.probeClusters(
+        DeltaTable.forPath(spark, centroidsPath(root)).toDF, "cid", qdf, nProbe)
+      .as[Int].collect() // nProbe ints — driver-side by design
+    val qq = Quantize.scalarQuantize(
+        qdf.select(col("query_vec").as("vec")), "vec")
+      .select(col("q8").as("query_q8"), col("q8_scale").as("query_scale"))
+    val live = prunedLive(spark, root, probed.toSeq)
+    val ranked = live.select("id", "q8", "q8_scale")
+      .crossJoin(broadcast(qq))
+      .withColumn("dot_q8", Quantize.int8Dot(col("q8"), col("query_q8")))
+      .withColumn("ord",
+        col("dot_q8") / (col("q8_scale") * col("query_scale")))
+    if (rerank <= 0)
+      ranked.select(col("id"), col("dot_q8"), col("ord"))
+        .orderBy(col("ord").desc, col("id")).limit(k)
+        .select(col("id"), col("dot_q8"))
+    else {
+      val cand = ranked.select(col("id"), col("ord"))
+        .orderBy(col("ord").desc, col("id"))
+        .limit(math.max(k, rerank)).select("id")
+      live.join(broadcast(cand), Seq("id"))
+        .crossJoin(broadcast(qdf))
+        .withColumn("dot_q", dotQ("vec", "query_vec"))
+        .select(col("id"), col("dot_q"))
+        .orderBy(col("dot_q").desc, col("id"))
+        .limit(k)
+    }
   }
 
   /** The partition-pruned, tombstone-subtracted posting scan over

@@ -56,33 +56,113 @@ object Packing {
 
     parted.as[(Long, Long)].mapPartitions { it =>
       val pid = TaskContext.getPartitionId().toLong
-      // remaining capacity → open bin ids with exactly that capacity
-      val open = new java.util.TreeMap[Long, mutable.ArrayDeque[Long]]()
-      var nextBin = 0L
-      def newBin(): Long = { val b = nextBin; nextBin += 1; b }
-      it.map { case (id, rawN) =>
-        val n = math.max(rawN, 0L)
-        val bin =
-          if (n >= budget) newBin() // dedicated, never reopened
-          else {
-            // best fit: smallest capacity that still takes n
-            val e = open.ceilingEntry(n)
-            val b = if (e == null) {
-              val fresh = newBin()
-              put(open, budget - n, fresh)
-              fresh
-            } else {
-              val q = e.getValue
-              val b = q.removeHead()
-              if (q.isEmpty) open.remove(e.getKey)
-              put(open, e.getKey - n, b)
-              b
-            }
+      bfdPack(it.map { case (id, n) => (pid, id, n) }, budget)
+    }.toDF("bin_id", "doc_id", "n_tokens")
+  }
+
+  /** The best-fit-decreasing kernel over (pid, doc_id, n_tokens) triples
+    * sorted by (pid, n_tokens desc, doc_id): packs each pid segment
+    * independently (state resets on pid change), emitting the same
+    * globally-unique `pid << 32 | localBin` ids as [[packSequences]] —
+    * ONE definition, so the incremental repack provably replays the full
+    * pack's per-partition decisions. */
+  private def bfdPack(it: Iterator[(Long, Long, Long)],
+                      budget: Long): Iterator[(Long, Long, Long)] = {
+    var curPid = Long.MinValue
+    // remaining capacity → open bin ids with exactly that capacity
+    var open: java.util.TreeMap[Long, mutable.ArrayDeque[Long]] = null
+    var nextBin = 0L
+    def newBin(): Long = { val b = nextBin; nextBin += 1; b }
+    it.map { case (pid, id, rawN) =>
+      if (pid != curPid || open == null) {
+        curPid = pid
+        open = new java.util.TreeMap[Long, mutable.ArrayDeque[Long]]()
+        nextBin = 0L
+      }
+      val n = math.max(rawN, 0L)
+      val bin =
+        if (n >= budget) newBin() // dedicated, never reopened
+        else {
+          // best fit: smallest capacity that still takes n
+          val e = open.ceilingEntry(n)
+          if (e == null) {
+            val fresh = newBin()
+            put(open, budget - n, fresh)
+            fresh
+          } else {
+            val q = e.getValue
+            val b = q.removeHead()
+            if (q.isEmpty) open.remove(e.getKey)
+            put(open, e.getKey - n, b)
             b
           }
-        (pid << 32 | bin, id, rawN)
-      }
-    }.toDF("bin_id", "doc_id", "n_tokens")
+        }
+      (pid << 32 | bin, id, rawN)
+    }
+  }
+
+  /** Incremental repack after a takedown wave (r16 verdict #7): deleting
+    * a doc invalidates ONLY its hash partition's bins — [[packSequences]]
+    * partitions by doc_id and packs each partition independently, so
+    * every partition holding no deleted doc keeps byte-identical bins
+    * under a full repack of the remaining corpus. This recomputes
+    * best-fit-decreasing for JUST the affected partitions' surviving docs
+    * (each routed by the pid already encoded in bits 32+ of its bin_id —
+    * no re-hash, no assumption about the original partition count), so
+    *
+    *   repackDeletes(packed, deleted)._1  ≡  packSequences(docs ∖ deleted)
+    *
+    * at the same partition count, for O(affected partitions) work — a
+    * 100-doc takedown against a 100 TB packed corpus touches ~100
+    * partitions, not the corpus.
+    *
+    * Returns (packed', binCdf): `binCdf` is the bin-level change feed
+    * (bin_id, change) with change ∈ `removed` (bin vanished) |
+    * `rewritten` (membership changed) | `added` (new bin) — exactly the
+    * downstream training-shard invalidation set; bins the repack
+    * reproduced identically emit NO row, so the feed stays O(changed). */
+  def repackDeletes(packed: DataFrame, deletedIds: DataFrame,
+                    budget: Long): (DataFrame, DataFrame) = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = packed.sparkSession
+    import spark.implicits._
+    val del = deletedIds
+      .select(col(deletedIds.columns.head).cast("long").as("doc_id"))
+      .distinct()
+    val withPid = packed.select(col("bin_id"), col("doc_id"),
+      col("n_tokens"), shiftright(col("bin_id"), 32).as("pid"))
+    // affected partitions: O(delete wave) ids → O(wave) pids, broadcast
+    val affectedPids = withPid.join(del, Seq("doc_id"))
+      .select("pid").distinct()
+    val keep = withPid.join(broadcast(affectedPids), Seq("pid"), "left_anti")
+      .select("bin_id", "doc_id", "n_tokens")
+    val oldAffected = withPid.join(broadcast(affectedPids), Seq("pid"))
+      .localCheckpoint(true) // repack input + the bin diff both read it
+    val repacked = oldAffected
+      .join(del, Seq("doc_id"), "left_anti")
+      .select(col("pid"), col("doc_id"), col("n_tokens"))
+      .repartition(col("pid"))
+      .sortWithinPartitions(col("pid"), col("n_tokens").desc, col("doc_id"))
+      .as[(Long, Long, Long)]
+      .mapPartitions(it => bfdPack(it, budget))
+      .toDF("bin_id", "doc_id", "n_tokens")
+      .localCheckpoint(true) // output union + the bin diff both read it
+    val binCdf = oldAffected.select(col("bin_id"), col("doc_id"))
+      .withColumn("o", lit(1))
+      .join(repacked.select(col("bin_id"), col("doc_id"))
+        .withColumn("n", lit(1)), Seq("bin_id", "doc_id"), "full_outer")
+      .groupBy("bin_id")
+      .agg(coalesce(sum("n"), lit(0)).as("n_new"),
+        coalesce(sum("o"), lit(0)).as("n_old"),
+        coalesce(sum(when(col("o").isNull || col("n").isNull, 1)
+          .otherwise(0)), lit(0)).as("n_diff"))
+      .withColumn("change",
+        when(col("n_new") === 0, "removed")
+          .when(col("n_old") === 0, "added")
+          .when(col("n_diff") > 0, "rewritten"))
+      .filter(col("change").isNotNull)
+      .select("bin_id", "change")
+    (keep.unionByName(repacked), binCdf)
   }
 
   private def put(m: java.util.TreeMap[Long, mutable.ArrayDeque[Long]],

@@ -40,8 +40,10 @@ object PipelineQueries {
     *   3. delete %10 = 3, refresh (a delete-ONLY window);
     *   4. append {8,9}, refresh (inserts probing post-delete state);
     *   5. delete %10 = 7, refresh (prunes families formed across
-    *      every batch) ⇒ **S82**: ≡ recompute over %10 ∉ {3,7}.
-    * Both captures pin their rows (eager localCheckpoint) the moment they
+    *      every batch) ⇒ **S82**: ≡ recompute over %10 ∉ {3,7};
+    *   6. UPDATE %10 = 5 texts, refresh ⇒ **S84**: the update-pre/post-
+    *      image fold ≡ recompute over the post-update corpus (r17).
+    * All captures pin their rows (eager localCheckpoint) the moment they
     * exist; the memo keys by testdata dir, so within one JVM (Verify, or
     * a Bench sweep pair) the lifecycle runs ONCE — q81's wall carries the
     * lifecycle, q82's only its capture read (recorded in BASELINE). The
@@ -50,17 +52,19 @@ object PipelineQueries {
     * stopped session recomputes instead of serving dead blocks (r16
     * review — long-lived JVMs with session churn). */
   private val dedupLifecycleMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (SparkSession, (DataFrame, DataFrame))]
+    String, (SparkSession, (DataFrame, DataFrame, DataFrame))]
 
   private def sessionLive(s: SparkSession): Boolean =
     try !s.sparkContext.isStopped catch { case _: Throwable => false }
 
-  private def dedupLifecycle(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private def dedupLifecycle(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
     dedupLifecycleMemo.compute(dir, (_, old) =>
       if (old != null && (old._1 eq s) && sessionLive(s)) old
       else (s, runDedupLifecycle(s, dir)))._2
 
-  private def runDedupLifecycle(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def runDedupLifecycle(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val root = graft.queries.DeltaQueries.freshWorkDir("deduplife")
       val src = s"$root/source"
@@ -83,7 +87,18 @@ object PipelineQueries {
       DedupIndex.refreshFromSource(s, s"$root/idx")
       graft.delta.Dml.delete(s, src, pmod(col("doc_id"), lit(10)) === 7)
       DedupIndex.refreshFromSource(s, s"$root/idx")
-      (s81, survivors().localCheckpoint(true))
+      val s82 = survivors().localCheckpoint(true)
+      //   6. UPDATE %10 = 5 texts in place (vowels → digits: length-
+      //      preserving but rewrites nearly every shingle, so updated docs
+      //      genuinely RE-HOME — they leave mixed families while same-wave
+      //      near-dup pairs stay together post-rewrite), refresh (an
+      //      update-pre/postimage CDF window) ⇒ **S84**: the index folds
+      //      the engine's own Dml.update output ≡ recompute over the
+      //      post-update corpus (r16 verdict #1).
+      graft.delta.Dml.update(s, src, pmod(col("doc_id"), lit(10)) === 5,
+        Map("text" -> translate(col("text"), "aeiou", "01234")))
+      DedupIndex.refreshFromSource(s, s"$root/idx")
+      (s81, s82, survivors().localCheckpoint(true))
   }
 
   private val strLifecycleMemo = new java.util.concurrent.ConcurrentHashMap[
@@ -372,6 +387,28 @@ object PipelineQueries {
         .orderBy(col("dot_q").desc, col("vec_id"))
     },
 
+    // int8-QUANTIZED IVF index (r16, verdict #3): build with quantize=true
+    // (codes + scale ride every posting row), append ~10% through the
+    // incremental refresh (the append-time code derivation), then serve an
+    // EXHAUSTIVE quantized probe — rank by the exact integer dot with the
+    // scales divided back out, scanning ONLY the code columns. Must equal
+    // DuckDB's replica of the max-abs int8 arithmetic over every vector
+    // (the q60 contract routed through the committed index lifecycle).
+    "q85_ivf_quantized" -> { (s, dir) =>
+      import s.implicits._
+      val vecs = t(s, dir, "embeddings")
+      val root = graft.queries.DeltaQueries.freshWorkDir("ivfquant")
+      val cut = vecs.selectExpr("percentile_approx(vec_id, 0.9)").first().getLong(0)
+      IvfIndex.build(s, vecs.filter(col("vec_id") < cut), "vec_id", "embedding",
+        root, nClusters = 8, quantize = true)
+      IvfIndex.refresh(s, vecs.filter(col("vec_id") >= cut), "vec_id", "embedding", root)
+      val qv = vecs.filter(col("vec_id") === 0)
+        .select("embedding").as[Array[Float]].head()
+      IvfIndex.topKQuantized(s, root, qv, k = 10, nProbe = 8)
+        .select(col("id").as("vec_id"), col("dot_q8"))
+        .orderBy((col("dot_q8")).desc, col("vec_id"))
+    },
+
     // CDF-maintained IVF index (r14, verdict #1): the index binds to a
     // SOURCE graft table with change-data-feed enabled; a DELETE and an
     // APPEND land in the source AFTER the build, and refreshFromSource
@@ -430,6 +467,18 @@ object PipelineQueries {
     // POST-DELETE corpus.
     "q82_dedup_deletes" -> { (s, dir) =>
       dedupLifecycle(s, dir)._2.orderBy("comp", "doc_id")
+    },
+
+    // Dedup-index UPDATE folding (r16, verdict #1): the S84 capture — a
+    // Dml.update wave rewrites %10 = 5 texts in place (vowels → digits)
+    // and ONE refresh folds the resulting update_pre/postimage CDF window:
+    // pre-images recompute the standing band rows to drop, post-images
+    // re-index, affected families re-split AND re-form across the rewrite.
+    // The survivor set must hash-match DuckDB's full recompute over the
+    // post-update corpus — the index consuming the engine's own UPDATE
+    // output (redactPii-then-UPDATE, the pipeline's canonical rewrite).
+    "q84_dedup_updates" -> { (s, dir) =>
+      dedupLifecycle(s, dir)._3.orderBy("comp", "doc_id")
     },
 
     // Generic doc keys at the driver gate (r15, verdict #8): the SAME
@@ -691,6 +740,38 @@ object PipelineQueries {
         |    PARTITION BY comp ORDER BY length(text) DESC, doc_id) AS rn
         |  FROM fam) WHERE rn = 1 ORDER BY comp, doc_id""".stripMargin,
 
+    // the q82 closure over the POST-UPDATE corpus: %10 ∉ {3,7} with %10=5
+    // texts rewritten by the same vowel→digit translate the Spark-side
+    // Dml.update wave applied — the update-folding index must land on
+    // exactly this
+    "q84_dedup_updates" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id,
+        |             CASE WHEN doc_id % 10 = 5
+        |                  THEN translate(text, 'aeiou', '01234')
+        |                  ELSE text END AS text
+        |      FROM documents WHERE doc_id % 10 NOT IN (3, 7)),
+        |dw AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM d),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |       FROM dw, UNNEST(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b FROM p0
+        |      JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+        |      WHERE 2 * inter >= (ca.n + cb.n - inter)),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (SELECT a, b FROM e
+        |                UNION
+        |                SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+        |fam AS (SELECT dw.doc_id, dw.text, coalesce(c.comp, dw.doc_id) AS comp
+        |        FROM dw LEFT JOIN comp c ON c.id = dw.doc_id)
+        |SELECT comp, doc_id, CAST(length(text) AS BIGINT) AS text_len FROM (
+        |  SELECT comp, doc_id, text, row_number() OVER (
+        |    PARTITION BY comp ORDER BY length(text) DESC, doc_id) AS rn
+        |  FROM fam) WHERE rn = 1 ORDER BY comp, doc_id""".stripMargin,
+
     // the q82 closure with STRING doc ids (zero-padded, so the min-id comp
     // labels agree with the numeric labeling) over the post-delete corpus —
     // the doc_id % 3 = 1 third (gate-cost trim, r15 verdict #4)
@@ -943,6 +1024,27 @@ object PipelineQueries {
     // exhaustive probe over the committed index ≡ brute force over every
     // vector — same oracle as q29/q30
     "q79_ivf_index" -> bruteForceAnnOracle,
+
+    // q60's max-abs int8 arithmetic, selected by the descaled quantized
+    // rank (the index's probe order), output rows re-ordered on the
+    // output columns (dot_q8, vec_id) for the totality audit — exactly
+    // the Spark gate's shape
+    "q85_ivf_quantized" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN mx IS NULL OR mx = 0 THEN 1.0 ELSE 127.0 / mx END AS sc
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |        FROM embeddings)),
+        |q AS (SELECT vec_id, sc, list_transform(range(1, len(embedding) + 1),
+        |        i -> CAST(round(CAST(embedding[i] AS DOUBLE) * sc) AS BIGINT)) AS q8
+        |      FROM s),
+        |qq AS (SELECT q8 AS query_q8, sc AS qsc FROM q WHERE vec_id = 0),
+        |top AS (SELECT vec_id, CAST(list_sum(list_transform(range(1, len(q8) + 1),
+        |          i -> q8[i] * query_q8[i])) AS BIGINT) AS dot_q8
+        |        FROM q, qq
+        |        ORDER BY dot_q8 / (sc * qsc) DESC, vec_id LIMIT 10)
+        |SELECT vec_id, dot_q8 FROM top ORDER BY dot_q8 DESC, vec_id""".stripMargin,
 
     // the q80 corpus is the source table AFTER its post-build lifecycle:
     // the %7 slice deleted, ten twin vectors appended — brute force over

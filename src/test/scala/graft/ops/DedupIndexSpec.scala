@@ -1029,17 +1029,183 @@ class DedupIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(dvFiles == 0, "maintain must purge DV files despite the floor")
   }
 
-  test("UPDATE source changes are refused loudly (delete + re-insert is the path)") {
-    val r = root("refuse")
+  test("r17: UPDATE windows fold — re-home, bridge-update split, ≡ full recompute, replay idempotent") {
+    val r = root("upd")
     val src = s"$r/source"
-    graft.delta.GraftWriter.write(slice(corpus, 0, 100), src,
+    graft.delta.GraftWriter.write(corpus, src,
       configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
-    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$r/idx")
+    val v0 = DedupIndex.buildFromSource(spark, src, "text", "doc_id",
+      s"$r/idx", numHashes = 64, bands = 64)
+    def comps(ids: Long*): Set[Long] =
+      DedupIndex.members(spark, s"$r/idx")
+        .filter(col("id").isin(ids.map(Long.box): _*))
+        .select("comp").as[Long].collect().toSet
+    // ONE window, two update commits: the BRIDGE 210 rewrites to an
+    // unrelated text — {10,110} must SPLIT (J(10,110) < 1/2 without the
+    // bridge) — and singleton 5 rewrites INTO family {1,101,301}
+    graft.delta.Dml.update(spark, src, col("doc_id") === 210L,
+      Map("text" -> lit(words(97, 0, 30))))
     graft.delta.Dml.update(spark, src, col("doc_id") === 5L,
-      Map("text" -> lit("replaced text entirely")))
-    val e = intercept[IllegalArgumentException] {
-      DedupIndex.refreshFromSource(spark, s"$r/idx")
+      Map("text" -> lit(words(7, 0, 24) + " tailfive")))
+    DedupIndex.refreshFromSource(spark, s"$r/idx")
+    assert(comps(10L) == Set(10L) && comps(110L) == Set(110L) &&
+      comps(210L) == Set(210L), "bridge update-away must split the family")
+    assert(comps(1L, 5L, 101L, 301L) == Set(1L),
+      "update-into must join the standing family")
+    // the old texts' band rows are physically replaced, not accumulated:
+    // exactly `bands` rows per updated doc
+    val perDoc = graft.delta.DeltaTable.forPath(spark, s"$r/idx/buckets")
+      .toDF.filter(col("id").isin(5L, 210L))
+      .groupBy("id").count().select("count").as[Long].collect()
+    assert(perDoc.length == 2 && perDoc.forall(_ == 64L),
+      s"band rows per updated doc must be exactly bands, got ${perDoc.toSeq}")
+    // ≡ a full rebuild over the post-update corpus
+    val rf = root("updfull")
+    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$rf/idx",
+      numHashes = 64, bands = 64)
+    assert(dump(DedupIndex.survivors(spark, s"$r/idx")) ==
+      dump(DedupIndex.survivors(spark, s"$rf/idx")), "≡ full recompute")
+    assert(dump(DedupIndex.members(spark, s"$r/idx")
+        .select(col("comp"), col("id"), col("len"))) ==
+      dump(DedupIndex.members(spark, s"$rf/idx")
+        .select(col("comp"), col("id"), col("len"))), "members ≡")
+    // REPLAY the same update window (mark rewound): state must not move
+    val before = dump(DedupIndex.survivors(spark, s"$r/idx"))
+    val bucketsBefore = graft.delta.DeltaTable
+      .forPath(spark, s"$r/idx/buckets").toDF.count()
+    val log = graft.delta.DeltaLog.forPath(spark, s"$r/idx/buckets")
+    log.update()
+    val txn = log.startTransaction()
+    txn.addAction(graft.delta.TxnAction(DedupIndex.SourceVersionApp, v0))
+    txn.commit()
+    DedupIndex.refreshFromSource(spark, s"$r/idx")
+    assert(dump(DedupIndex.survivors(spark, s"$r/idx")) == before,
+      "replayed update window must fold idempotently")
+    assert(graft.delta.DeltaTable.forPath(spark, s"$r/idx/buckets")
+      .toDF.count() == bucketsBefore, "no band-row accumulation on replay")
+    assert(DedupIndex.refreshFromSource(spark, s"$r/idx") == ((0L, 0L)))
+  }
+
+  test("r17: update + delete and insert + update inside ONE window net correctly") {
+    val r = root("updnet")
+    val src = s"$r/source"
+    graft.delta.GraftWriter.write(corpus, src,
+      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$r/idx",
+      numHashes = 64, bands = 64)
+    // 301 updated THEN deleted: a net takedown — the update's post-image
+    // must not survive, and family {1,101} relabels + re-elects
+    graft.delta.Dml.update(spark, src, col("doc_id") === 301L,
+      Map("text" -> lit(words(96, 0, 25))))
+    graft.delta.Dml.delete(spark, src, col("doc_id") === 301L)
+    // 950 inserted THEN updated: a net insert of the POST-image text,
+    // which is a near-dup of family {1,101}
+    graft.delta.GraftWriter.write(
+      Seq((950L, words(95, 0, 20))).toDF("doc_id", "text"),
+      src, SaveMode.Append)
+    graft.delta.Dml.update(spark, src, col("doc_id") === 950L,
+      Map("text" -> lit(words(7, 0, 24) + " tailninefifty")))
+    DedupIndex.refreshFromSource(spark, s"$r/idx")
+    assert(DedupIndex.members(spark, s"$r/idx")
+      .filter(col("id") === 301L).count() == 0, "update+delete nets to gone")
+    val m = DedupIndex.members(spark, s"$r/idx")
+      .filter(col("id").isin(1L, 101L, 950L))
+      .select("comp").as[Long].collect().toSet
+    assert(m == Set(1L), s"insert+update must land the POST text, got $m")
+    val rf = root("updnetfull")
+    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$rf/idx",
+      numHashes = 64, bands = 64)
+    assert(dump(DedupIndex.survivors(spark, s"$r/idx")) ==
+      dump(DedupIndex.survivors(spark, s"$rf/idx")), "≡ full recompute")
+  }
+
+  test("r17: text-identical updates net out — no fold work, no members/survivors commits") {
+    val r = root("updnoop")
+    val src = s"$r/source"
+    graft.delta.GraftWriter.write(corpus, src,
+      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$r/idx",
+      numHashes = 64, bands = 64)
+    def v(p: String) = graft.delta.DeltaLog.forPath(spark, p).update().version
+    val mv = v(s"$r/idx/members")
+    val sv = v(s"$r/idx/survivors")
+    val surv = dump(DedupIndex.survivors(spark, s"$r/idx"))
+    // a rewrite that keeps every text byte-identical (the metadata-update
+    // shape): the window carries update_pre/postimage rows that must net
+    // out BEFORE any fold work
+    graft.delta.Dml.update(spark, src, col("doc_id") < 200L,
+      Map("text" -> col("text")))
+    assert(DedupIndex.refreshFromSource(spark, s"$r/idx") == ((0L, 0L)),
+      "a text-identical update window is a data-free window")
+    assert(v(s"$r/idx/members") == mv && v(s"$r/idx/survivors") == sv,
+      "no members/survivors commits on a netted-out window")
+    assert(dump(DedupIndex.survivors(spark, s"$r/idx")) == surv)
+    // and the mark advanced: the window is never re-read
+    assert(DedupIndex.refreshFromSource(spark, s"$r/idx") == ((0L, 0L)))
+  }
+
+  test("r17: maintain autopilot — cadence-fenced compactDead keeps dead rows bounded; laggard aborts") {
+    val r = root("autopilot")
+    val src = s"$r/source"
+    graft.delta.GraftWriter.write(corpus, src,
+      configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$r/idx",
+      numHashes = 64, bands = 64)
+    val membersPath = s"$r/idx/members"
+    def deadRows() = graft.delta.DeltaTable.forPath(spark, membersPath)
+      .toDF.filter(col("dead")).count() +
+      graft.delta.DeltaTable.forPath(spark, s"$r/idx/survivors")
+        .toDF.filter(col("dead")).count()
+    def bucketsApp(app: String) = graft.delta.DeltaLog
+      .forPath(spark, s"$r/idx/buckets").update()
+      .appTransactionVersion.get(app)
+    val memberMark0 = graft.delta.DeltaLog.forPath(spark, membersPath)
+      .update().appTransactionVersion(DedupIndex.SourceVersionApp)
+    // wave 1: the refresh-embedded maintain STAMPS the cadence start
+    // (default horizon 16 — no compaction yet, dead rows accumulate)
+    graft.delta.Dml.delete(spark, src, col("doc_id").isin(5L, 6L))
+    DedupIndex.refreshFromSource(spark, s"$r/idx")
+    assert(bucketsApp(DedupIndex.CompactedAtApp).isDefined,
+      "first maintain must stamp the cadence start")
+    graft.delta.Dml.delete(spark, src, col("doc_id").isin(105L, 106L))
+    DedupIndex.refreshFromSource(spark, s"$r/idx")
+    assert(deadRows() >= 4, "under-horizon waves accumulate dead rows")
+    // operator cadence call with a tight horizon: ONE call reclaims
+    val reclaimed = DedupIndex.maintain(spark, s"$r/idx",
+      reclaimEvery = 1, retainVersions = 0)
+    assert(reclaimed >= 4 && deadRows() == 0,
+      s"cadence maintain must reclaim, got $reclaimed / ${deadRows()}")
+    // within the same mark the fence makes the next call free
+    assert(DedupIndex.maintain(spark, s"$r/idx",
+      reclaimEvery = 1, retainVersions = 0) == 0L)
+    // sustained waves + cadence maintain: dead rows stay bounded
+    graft.delta.Dml.delete(spark, src, col("doc_id").isin(205L, 206L))
+    DedupIndex.refreshFromSource(spark, s"$r/idx")
+    DedupIndex.maintain(spark, s"$r/idx", reclaimEvery = 1, retainVersions = 0)
+    assert(deadRows() == 0, "cadence-called maintain keeps dead rows bounded")
+    // post-compaction stale laggard still aborts on the per-table mark
+    intercept[graft.delta.StaleAppVersionException] {
+      graft.delta.Merge.into(spark, membersPath,
+          Seq((5L, 5L, 100L)).toDF("id", "comp", "len"),
+          col("t.id") === col("s.id"))
+        .requireAppVersion(DedupIndex.SourceVersionApp, memberMark0,
+          memberMark0 + 1)
+        .whenMatchedUpdate(col("t.asof") <= lit(memberMark0),
+          Map("comp" -> col("s.comp"), "asof" -> lit(memberMark0),
+            "dead" -> lit(false)))
+        .whenNotMatchedInsert(Map("id" -> col("s.id"),
+          "comp" -> col("s.comp"), "len" -> col("s.len"),
+          "asof" -> lit(memberMark0), "dead" -> lit(false)))
+        .execute()
     }
-    assert(e.getMessage.contains("UPDATE is not supported"))
+    assert(DedupIndex.members(spark, s"$r/idx")
+      .filter(col("id") === 5L).count() == 0,
+      "the taken-down doc must stay gone after the laggard's abort")
+    // live state untouched throughout: ≡ full recompute
+    val rf = root("autopilotfull")
+    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$rf/idx",
+      numHashes = 64, bands = 64)
+    assert(dump(DedupIndex.survivors(spark, s"$r/idx")) ==
+      dump(DedupIndex.survivors(spark, s"$rf/idx")), "≡ full recompute")
   }
 }

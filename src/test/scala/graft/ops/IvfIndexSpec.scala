@@ -623,6 +623,74 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
       m2.orphanRowsMoved == 0L, s"got $m2")
   }
 
+  test("r17: int8-quantized layout — codes on every write path, probe skips vec, deletes never served, rerank ≡ float") {
+    import spark.implicits._
+    val (r, src) = boundSource("quant")
+    IvfIndex.buildFromTable(spark, src, "vec_id", "embedding", s"$r/idx",
+      nClusters = 8, quantize = true)
+    val qv = vecs.filter(col("vec_id") === 0)
+      .select("embedding").as[Array[Float]].head()
+    def quant(nProbe: Int = 8) =
+      IvfIndex.topKQuantized(spark, s"$r/idx", qv, k = 10, nProbe = nProbe)
+        .as[(Long, Long)].collect().toSeq
+    def bf(corpus: org.apache.spark.sql.DataFrame) =
+      Quantize.quantizedTopK(corpus, "vec_id", "embedding", 0, 10)
+        .as[(Long, Long)].collect().toSeq
+    // exhaustive quantized probe ≡ the q60 quantized brute force
+    assert(quant() == bf(vecs))
+    // the probe plan reads codes, never the float vectors
+    val plan = IvfIndex.topKQuantized(spark, s"$r/idx", qv, 10, 8)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    val reads = "ReadSchema: [^\\n]+".r.findAllIn(plan).toSeq
+    assert(reads.nonEmpty && reads.exists(_.contains("q8")) &&
+      reads.forall(!_.contains("vec")), s"probe must not scan vec:\n$reads")
+    // delete wave: tombstone rows (null codes) fold; never served at any
+    // probe width, and the quantized ranking matches the post-delete
+    // brute force
+    val pre = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 0, 6)
+      .select("vec_id").as[Long].collect().toSet - 0L
+    graft.delta.Dml.delete(spark, src, col("vec_id").isin(pre.toSeq: _*))
+    IvfIndex.refreshFromSource(spark, s"$r/idx")
+    val live = vecs.select("vec_id", "embedding")
+      .filter(!col("vec_id").isin(pre.toSeq: _*))
+    Seq(1, 4, 8).foreach { np =>
+      assert(quant(np).map(_._1).toSet.intersect(pre).isEmpty,
+        s"nProbe=$np served deleted ids")
+    }
+    assert(quant() == bf(live))
+    // rerank recovers the exact float ranking (candidate pool ≫ k)
+    val rr = IvfIndex.topKQuantized(spark, s"$r/idx", qv, 10, 8,
+        rerank = 10000).as[(Long, Double)].collect().toSeq
+    val fl = IvfIndex.topK(spark, s"$r/idx", qv, 10, 8)
+      .as[(Long, Double)].collect().toSeq
+    assert(rr == fl, "rerank must recover the float top-k")
+    // the APPEND path derives codes too: new ids become quantized-servable
+    graft.delta.GraftWriter.write(
+      vecs.filter(col("vec_id").isin(pre.toSeq: _*))
+        .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding")),
+      src, org.apache.spark.sql.SaveMode.Append)
+    IvfIndex.refreshFromSource(spark, s"$r/idx")
+    val live2 = live.unionByName(
+      vecs.filter(col("vec_id").isin(pre.toSeq: _*))
+        .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding")))
+    assert(quant() == bf(live2), "appended vectors must serve quantized")
+    // maintenance paths re-derive codes: recluster a populated cluster,
+    // then compact tombstones — the quantized probe is unchanged by both
+    val cid = graft.delta.DeltaTable.forPath(spark, s"$r/idx/centroids")
+      .toDF.orderBy(col("n").desc).select("cid").as[Int].head()
+    IvfIndex.reclusterCluster(spark, s"$r/idx", cid)
+    assert(quant() == bf(live2), "recluster must preserve quantized serving")
+    IvfIndex.compactTombstones(spark, s"$r/idx")
+    assert(quant() == bf(live2), "compaction must preserve quantized serving")
+    // a float-only index refuses the quantized probe loudly
+    val rf = root("quantrefuse")
+    IvfIndex.build(spark, vecs.limit(50), "vec_id", "embedding", s"$rf/idx",
+      nClusters = 2)
+    val e = intercept[IllegalArgumentException](
+      IvfIndex.topKQuantized(spark, s"$rf/idx", qv, 5))
+    assert(e.getMessage.contains("quantize"))
+  }
+
   test("embeddingSimilarPairs guard refuses above maxRows unless overridden") {
     val e = intercept[IllegalArgumentException] {
       Dedup.embeddingSimilarPairs(vecs, "vec_id", "embedding", 95, 100,

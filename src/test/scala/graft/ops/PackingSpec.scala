@@ -57,4 +57,70 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
       Packing.packSequences(docs, "doc_id", "n_tokens", 100L))
     assert(e.getMessage.contains("integral id column"))
   }
+
+  test("r17: repackDeletes ≡ full repack; untouched partitions byte-identical; CDF is O(changed)") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val sizes = (0 until 3000).map(_ => 1L + rnd.nextInt(60))
+    val docs = sizes.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("doc_id", "n_tokens")
+    val packed = Packing.packSequences(docs, "doc_id", "n_tokens", budget, 8)
+      .localCheckpoint(true)
+    val delIds = Seq(5L, 17L, 100L, 2999L)
+    val (newPacked0, cdf0) = Packing.repackDeletes(packed,
+      delIds.toDF("doc_id"), budget)
+    val newPacked = newPacked0.as[(Long, Long, Long)].collect().toSet
+    val cdf = cdf0.as[(Long, String)].collect().toSeq
+    // the incremental result IS the full repack of the remaining corpus
+    val full = Packing.packSequences(
+        docs.filter(!col("doc_id").isin(delIds.map(Long.box): _*)),
+        "doc_id", "n_tokens", budget, 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(newPacked == full, "repackDeletes must equal the full repack")
+    // O(affected): only the deleted docs' partitions were touched —
+    // every other partition's rows pass through byte-identical, and the
+    // bin CDF names bins of affected partitions only
+    val oldRows = packed.as[(Long, Long, Long)].collect()
+    val affPids = oldRows.filter(r => delIds.contains(r._2))
+      .map(_._1 >> 32).toSet
+    assert(affPids.size < 8, "the wave must leave some partition untouched")
+    val untouchedOld = oldRows.filterNot(r => affPids.contains(r._1 >> 32)).toSet
+    assert(untouchedOld.subsetOf(newPacked),
+      "untouched partitions must pass through byte-identical")
+    assert(cdf.forall { case (b, _) => affPids.contains(b >> 32) },
+      "the bin CDF must only name affected partitions' bins")
+    // CDF consistency: removed bins vanished, added bins are new,
+    // rewritten bins exist on both sides with different membership
+    val oldBins = oldRows.map(_._1).toSet
+    val newBins = newPacked.map(_._1)
+    cdf.foreach {
+      case (b, "removed") => assert(oldBins(b) && !newBins(b), s"bin $b")
+      case (b, "added") => assert(!oldBins(b) && newBins(b), s"bin $b")
+      case (b, "rewritten") =>
+        assert(oldBins(b) && newBins(b) &&
+          oldRows.filter(_._1 == b).map(_._2).toSet !=
+            newPacked.filter(_._1 == b).map(_._2), s"bin $b")
+      case (b, c) => fail(s"unexpected change '$c' for bin $b")
+    }
+    // bins the repack reproduced identically emit NO row
+    val cdfBins = cdf.map(_._1).toSet
+    val reproduced = newPacked.map(_._1)
+      .filter(b => affPids.contains(b >> 32) && !cdfBins.contains(b))
+    reproduced.foreach { b =>
+      assert(oldRows.filter(_._1 == b).map(_._2).toSet ==
+        newPacked.filter(_._1 == b).map(_._2), s"bin $b silently changed")
+    }
+  }
+
+  test("r17: repackDeletes with no matching ids is a no-op with an empty CDF") {
+    val docs = (0 until 200).map(i => (i.toLong, 1L + (i * 13 % 50)))
+      .toDF("doc_id", "n_tokens")
+    val packed = Packing.packSequences(docs, "doc_id", "n_tokens", budget, 4)
+      .localCheckpoint(true)
+    val (out, cdf) = Packing.repackDeletes(packed,
+      Seq(99999L).toDF("doc_id"), budget)
+    assert(out.as[(Long, Long, Long)].collect().toSet ==
+      packed.as[(Long, Long, Long)].collect().toSet)
+    assert(cdf.isEmpty)
+  }
 }
