@@ -2,7 +2,6 @@ package graft.ops
 
 import scala.collection.mutable
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -46,18 +45,28 @@ object Packing {
       s"packSequences needs an integral id column, got $idCol: $idType")
     val spark = docs.sparkSession
     import spark.implicits._
+    // the packing partition is an EXPLICIT deterministic column, never the
+    // physical partition index: TaskContext.getPartitionId tracks the
+    // POST-AQE physical plan (coalesced/replanned shuffles renumber it),
+    // which made bin ids depend on runtime planning — two packs of the
+    // same rows could disagree, and the incremental repack's ≡-full-repack
+    // contract with them (r17 — caught by PipelineProbeMain's stage-4
+    // control). pmod(hash(doc_id)) is a pure row function; bfdPack keys on
+    // the VALUE, so any physical partitioning that keeps a pid's rows
+    // together (hash repartition on pid does) yields identical bins.
+    val nParts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
     val base = docs.select(
       col(idCol).cast("long").as("doc_id"),
       col(tokenCol).cast("long").as("n_tokens"))
-    val parted =
-      (if (numPartitions > 0) base.repartition(numPartitions, col("doc_id"))
-       else base.repartition(col("doc_id")))
-        .sortWithinPartitions(col("n_tokens").desc, col("doc_id"))
-
-    parted.as[(Long, Long)].mapPartitions { it =>
-      val pid = TaskContext.getPartitionId().toLong
-      bfdPack(it.map { case (id, n) => (pid, id, n) }, budget)
-    }.toDF("bin_id", "doc_id", "n_tokens")
+    base
+      .withColumn("pid", pmod(hash(col("doc_id")), lit(nParts)).cast("long"))
+      .select("pid", "doc_id", "n_tokens")
+      .repartition(nParts, col("pid"))
+      .sortWithinPartitions(col("pid"), col("n_tokens").desc, col("doc_id"))
+      .as[(Long, Long, Long)]
+      .mapPartitions(it => bfdPack(it, budget))
+      .toDF("bin_id", "doc_id", "n_tokens")
   }
 
   /** The best-fit-decreasing kernel over (pid, doc_id, n_tokens) triples

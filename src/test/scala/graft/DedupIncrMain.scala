@@ -108,6 +108,18 @@ object DedupIncrMain {
       DedupIndex.refreshFromSource(spark, s"$root/idx")
     }
 
+    // UPDATE wave (r17 — the new fold path): ~500 standing docs rewritten
+    // in place (vowels → digits, the q84 shape: near-total shingle
+    // rewrite, so families genuinely re-home), folded as ONE
+    // update_pre/postimage window — pre-image band deletes + post-image
+    // re-index + family re-splits, all at corpus scale
+    val nUpdated = graft.delta.Dml.update(spark, src,
+      pmod(col("doc_id"), lit(step)) === 1 && col("doc_id") < c1,
+      Map("text" -> translate(col("text"), "aeiou", "01234"))).rowsAffected
+    timed(s"update wave ($nUpdated docs) fold") {
+      DedupIndex.refreshFromSource(spark, s"$root/idx")
+    }
+
     // bounded-probe measurement (r16): a FIXED probe must read a small
     // file subset of each standing table, whatever the corpus size — the
     // DedupIndexSpec inputFiles assertions at scale
@@ -138,9 +150,13 @@ object DedupIncrMain {
 
     if (withFull) {
       // the equivalence that makes the walls comparable: same survivors
-      // (the full index sees the delete wave too, via its own refresh)
+      // (the full index sees the delete AND update waves too, via its
+      // own refresh)
       graft.delta.Dml.delete(spark, s"$root/src_full",
         pmod(col("doc_id"), lit(step)) === 0 && col("doc_id") < c1)
+      graft.delta.Dml.update(spark, s"$root/src_full",
+        pmod(col("doc_id"), lit(step)) === 1 && col("doc_id") < c1,
+        Map("text" -> translate(col("text"), "aeiou", "01234")))
       DedupIndex.refreshFromSource(spark, s"$root/idx_full")
       val full = DedupIndex.survivors(spark, s"$root/idx_full")
         .orderBy("comp").collect().toSeq

