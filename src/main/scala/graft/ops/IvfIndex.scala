@@ -1053,4 +1053,54 @@ object IvfIndex {
       .select(col("qid"), col("id"), col("dot_q"))
       .orderBy(col("qid"), col("dot_q").desc, col("id"))
   }
+
+  /** [[topKBatch]] on a QUANTIZED index: ONE code-column posting scan for
+    * the probe-set union (vec never read — the [[topKQuantized]]
+    * bandwidth contract at batch fan-in), the exact int8 dot per
+    * (query, row) pair, one qid-partitioned window. Per-query results are
+    * identical to `topKQuantized(…, rerank = 0)`. Output
+    * (qid, id, dot_q8), k rows per query. */
+  def topKBatchQuantized(spark: SparkSession, root: String,
+                         queries: Seq[(Long, Array[Float])], k: Int,
+                         nProbe: Int = 2): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    require(isQuantized(spark, root),
+      s"index at $root carries no int8-quantized posting layout — " +
+      "rebuild with quantize = true, or probe with topKBatch")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "topKBatchQuantized query ids must be unique")
+    val qdf = queries.toDF("qid", "query_vec")
+    val ranked = DeltaTable.forPath(spark, centroidsPath(root)).toDF
+      .select(col("cid"),
+        expr("transform(centroid, x -> cast(x as double))").as("cdv"))
+      .crossJoin(broadcast(qdf.select(col("qid"),
+        expr("transform(query_vec, x -> cast(x as double))").as("dv"))))
+      .withColumn("dist", expr(Similarity.SqDistExpr))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist").asc, col("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("cid"))
+    val probePairs = ranked.as[(Long, Int)].collect() // queries × nProbe — driver-side by design
+    // queries quantize through the SAME codegen'd expressions as the
+    // stored rows (the engine-reproducibility contract)
+    val qq = Quantize.scalarQuantize(
+        qdf.select(col("qid"), col("query_vec").as("vec")), "vec")
+      .select(col("qid"), col("q8").as("query_q8"),
+        col("q8_scale").as("query_scale"))
+    val live = prunedLive(spark, root, probePairs.map(_._2).distinct.toSeq)
+    live.select("id", "cluster", "q8", "q8_scale")
+      .join(broadcast(probePairs.toSeq.toDF("qid", "cluster")), Seq("cluster"))
+      .join(broadcast(qq), Seq("qid"))
+      .withColumn("dot_q8", Quantize.int8Dot(col("q8"), col("query_q8")))
+      .withColumn("ord",
+        col("dot_q8") / (col("q8_scale") * col("query_scale")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ord").desc, col("id"))))
+      .filter(col("rn") <= k)
+      // row order matches topKQuantized's (descaled rank, then id) so the
+      // batch is a drop-in for the per-query probe
+      .orderBy(col("qid"), col("ord").desc, col("id"))
+      .select(col("qid"), col("id"), col("dot_q8"))
+  }
 }

@@ -104,8 +104,9 @@ object PipelineQueries {
   private val strLifecycleMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (SparkSession, DataFrame)]
 
-  /** The q83 string-keyed lifecycle: build, CDF increment, delete fold on
-    * URL-shaped doc ids over the doc_id % 3 = 1 third of the corpus.
+  /** The q83 string-keyed lifecycle: build, CDF increment, delete fold,
+    * and (r17) an update-wave fold on URL-shaped doc ids over the
+    * doc_id % 3 = 1 third of the corpus.
     * Memoized per dir like [[dedupLifecycle]] (fixed commit floors; the
     * driver's bench sweeps twice). */
   private def q83Lifecycle(s: SparkSession, dir: String): DataFrame = {
@@ -127,6 +128,12 @@ object PipelineQueries {
     DedupIndex.refreshFromSource(s, s"$root/idx")
     // takedown wave: zero-padded decimal ⇒ last char '3' ≡ doc_id%10=3
     graft.delta.Dml.delete(s, src, substring(col("doc_id"), -1, 1) === "3")
+    DedupIndex.refreshFromSource(s, s"$root/idx")
+    // update wave on STRING keys (r17): %10=7 texts rewritten in place —
+    // the update_pre/postimage fold with string band-delete keys, string
+    // null literals, and InStringSet pruning end-to-end
+    graft.delta.Dml.update(s, src, substring(col("doc_id"), -1, 1) === "7",
+      Map("text" -> translate(col("text"), "aeiou", "01234")))
     DedupIndex.refreshFromSource(s, s"$root/idx")
     DedupIndex.survivors(s, s"$root/idx")
       .select(col("comp"), col("id").as("doc_id"),
@@ -247,6 +254,34 @@ object PipelineQueries {
         countDistinct("doc_id").as("docs_distinct"),
         sum("n_tokens").as("tokens_packed"))
       val overBudget = packed
+        .groupBy("bin_id")
+        .agg(sum("n_tokens").as("bin_tokens"), count(lit(1)).as("n_docs"))
+        .agg(coalesce(sum(when(col("bin_tokens") > budget && col("n_docs") > 1, 1L)),
+          lit(0L)).as("over_budget_bins"))
+      totals.crossJoin(overBudget)
+    },
+
+    // incremental sequence packing (r16 verdict #7): a %10=3 takedown wave
+    // folds through repackDeletes — only the deleted docs' hash partitions
+    // repack (PackingSpec proves ≡ full repack row-for-row; the bin CDF is
+    // spec territory). The gate pins the q56 invariant shape THROUGH the
+    // incremental path over the post-takedown corpus: every surviving doc
+    // packed exactly once, token conservation, zero over-budget bins.
+    "q86_incremental_packing" -> { (s, dir) =>
+      val budget = 2048L
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .select("doc_id", "n_tokens")
+      val packed = Packing.packSequences(docs, "doc_id", "n_tokens",
+        budget = budget, numPartitions = 8)
+      val wave = docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+        .select("doc_id")
+      val (repacked, _) = Packing.repackDeletes(packed, wave, budget)
+      val totals = repacked.agg(
+        count(lit(1)).as("docs_packed"),
+        countDistinct("doc_id").as("docs_distinct"),
+        sum("n_tokens").as("tokens_packed"))
+      val overBudget = repacked
         .groupBy("bin_id")
         .agg(sum("n_tokens").as("bin_tokens"), count(lit(1)).as("n_docs"))
         .agg(coalesce(sum(when(col("bin_tokens") > budget && col("n_docs") > 1, 1L)),
@@ -482,7 +517,8 @@ object PipelineQueries {
     },
 
     // Generic doc keys at the driver gate (r15, verdict #8): the SAME
-    // standing-index lifecycle — build, CDF increment, delete fold — on a
+    // standing-index lifecycle — build, CDF increment, delete fold, and
+    // (r17) an UPDATE-wave fold — on a
     // STRING id column (URL-shaped, zero-padded so string order matches
     // the numeric order the oracle labels components with). Exercises the
     // string comp labels, the InStringSet probe pruning, and the
@@ -777,9 +813,12 @@ object PipelineQueries {
     // the doc_id % 3 = 1 third (gate-cost trim, r15 verdict #4)
     "q83_dedup_string_ids" ->
       """WITH RECURSIVE
-        |d AS (SELECT printf('doc://%012d', doc_id) AS doc_id, text,
-        |             string_split(lower(text), ' ') AS w
-        |      FROM documents WHERE doc_id % 3 = 1 AND doc_id % 10 <> 3),
+        |d0 AS (SELECT printf('doc://%012d', doc_id) AS doc_id,
+        |              CASE WHEN doc_id % 10 = 7
+        |                   THEN translate(text, 'aeiou', '01234')
+        |                   ELSE text END AS text
+        |       FROM documents WHERE doc_id % 3 = 1 AND doc_id % 10 <> 3),
+        |d AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM d0),
         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
         |       FROM d, UNNEST(generate_series(1, len(w) - 2)) AS t(i) WHERE len(w) >= 3),
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -982,6 +1021,15 @@ object PipelineQueries {
         |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS tokens_packed,
         |  CAST(0 AS BIGINT) AS over_budget_bins
         |FROM documents""".stripMargin,
+
+    // q56's invariants over the post-takedown corpus — what the
+    // INCREMENTAL repack must retain exactly once
+    "q86_incremental_packing" ->
+      """SELECT CAST(count(*) AS BIGINT) AS docs_packed,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_distinct,
+        |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS tokens_packed,
+        |  CAST(0 AS BIGINT) AS over_budget_bins
+        |FROM documents WHERE doc_id % 10 <> 3""".stripMargin,
 
     // stub decoder restated over the ASCII payload: width/height from the
     // first two bytes (+1), byte length, and the mod-1e9+7 checksum fold

@@ -682,6 +682,20 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(quant() == bf(live2), "recluster must preserve quantized serving")
     IvfIndex.compactTombstones(spark, s"$r/idx")
     assert(quant() == bf(live2), "compaction must preserve quantized serving")
+    // batched quantized serving: per-query identical to topKQuantized
+    val batchQs = Seq(0L, 7L, 42L).map { qid =>
+      qid -> vecs.filter(col("vec_id") === qid)
+        .select("embedding").as[Array[Float]].head()
+    }
+    val batch = IvfIndex.topKBatchQuantized(spark, s"$r/idx", batchQs,
+        k = 10, nProbe = 8)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(r => (r._2, r._3)).toSeq }
+    batchQs.foreach { case (qid, qv) =>
+      val single = IvfIndex.topKQuantized(spark, s"$r/idx", qv, 10, 8)
+        .as[(Long, Long)].collect().toSeq
+      assert(batch(qid) == single, s"batch != single for query $qid")
+    }
     // a float-only index refuses the quantized probe loudly
     val rf = root("quantrefuse")
     IvfIndex.build(spark, vecs.limit(50), "vec_id", "embedding", s"$rf/idx",
