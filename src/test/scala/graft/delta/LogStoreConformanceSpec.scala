@@ -54,7 +54,10 @@ abstract class LogStoreConformance extends AnyFunSuite {
 
   private lazy val root =
     Files.createTempDirectory(s"logstore-conformance-$storeName").toFile
-  private def p(name: String) = new Path(s"file:${root.getAbsolutePath}/$name")
+  /** Namespace root the matrix runs under — file: by default; a cloud
+    * store overrides with its own URI (e.g. `s3://bucket/run-uuid`). */
+  protected def rootUri: String = s"file:${root.getAbsolutePath}"
+  private def p(name: String) = new Path(s"$rootUri/$name")
 
   test(s"[$storeName] read-after-write and list-after-put") {
     val s = newStore()
@@ -201,6 +204,63 @@ class ObjectStoreLogStoreConformanceSpec extends LogStoreConformance {
   override def storeName = "objectstore"
   override def newStore(): LogStore =
     new ObjectStoreLogStore(new HadoopLogStore(new Configuration()),
+      new DynamoStyleLockClient(backend, LockOptions(
+        leaseDurationSecs = 2,
+        refreshPeriodMillis = 20,
+        additionalTimeToWaitMillis = 20)))
+}
+
+/** The WIRE-LEVEL S3 store against a LIVE endpoint (r16 verdict #8): a
+  * local moto S3 server (the AWS-API emulator shipped in this
+  * environment's driver tooling) is spawned for the suite, and the full
+  * contract matrix runs over real HTTP — SigV4-signed PUT/GET/HEAD/
+  * DELETE/ListObjectsV2/CopyObject — through the SAME
+  * [[ObjectStoreLogStore]]+lease wrapper as the production factory
+  * ([[S3HttpLogStoreFactory]]). Each newStore() is a fresh writer
+  * identity over one shared lock backend, per the abstract contract.
+  * What stays environment-bound: endpoint-side SigV4 signature
+  * VALIDATION (moto parses but does not verify signatures) and table
+  * DATA files (Spark's parquet I/O needs the hadoop-aws jar). */
+class S3HttpLogStoreConformanceSpec extends LogStoreConformance
+    with org.scalatest.BeforeAndAfterAll {
+  private val port = {
+    val ss = new java.net.ServerSocket(0)
+    try ss.getLocalPort finally ss.close()
+  }
+  private val bucket = "graft-conformance"
+  private var moto: Process = _
+
+  private def rawStore() =
+    new S3HttpLogStore(s"http://127.0.0.1:$port", "us-east-1",
+      "graft-test-key", "graft-test-secret")
+
+  override def beforeAll(): Unit = {
+    moto = new ProcessBuilder("moto_server", "-H", "127.0.0.1",
+        "-p", port.toString)
+      .redirectErrorStream(true)
+      .redirectOutput(ProcessBuilder.Redirect.to(
+        new java.io.File(s"/tmp/moto-conformance-$port.log")))
+      .start()
+    // readiness: the first successful HTTP round-trip
+    val deadline = System.currentTimeMillis() + 30000
+    var up = false
+    while (!up && System.currentTimeMillis() < deadline) {
+      try {
+        rawStore().createBucket(bucket)
+        up = true
+      } catch { case _: Exception => Thread.sleep(200) }
+    }
+    require(up, s"moto_server did not come up on port $port in 30s")
+  }
+
+  override def afterAll(): Unit = if (moto != null) moto.destroy()
+
+  private val backend = new InMemoryLockBackend
+  override def storeName = "s3-wire-moto"
+  override protected lazy val rootUri: String =
+    s"s3://$bucket/run-${java.util.UUID.randomUUID()}"
+  override def newStore(): LogStore =
+    new ObjectStoreLogStore(rawStore(),
       new DynamoStyleLockClient(backend, LockOptions(
         leaseDurationSecs = 2,
         refreshPeriodMillis = 20,
