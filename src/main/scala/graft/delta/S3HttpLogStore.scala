@@ -1,12 +1,9 @@
 package graft.delta
 
 import java.io.FileNotFoundException
-import java.net.URI
-import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.http.HttpResponse
 import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
 import java.time.format.DateTimeFormatter
-import java.time.{ZoneOffset, ZonedDateTime}
 
 import org.apache.hadoop.fs.{FileAlreadyExistsException, FileStatus, Path}
 
@@ -48,13 +45,8 @@ final class S3HttpLogStore(endpoint: String, region: String,
                            accessKey: String, secretKey: String,
                            allowUnsafeRename: Boolean = false) extends LogStore {
 
-  private val http = HttpClient.newBuilder()
-    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
-  private val endpointUri = URI.create(endpoint)
-  private val hostHeader = {
-    val p = endpointUri.getPort
-    if (p == -1) endpointUri.getHost else s"${endpointUri.getHost}:$p"
-  }
+  private val aws = new AwsSigV4Http(endpoint, region, "s3",
+    accessKey, secretKey)
 
   /** (bucket, key) from `s3://bucket/key...`. */
   private def split(path: Path): (String, String) = {
@@ -64,77 +56,19 @@ final class S3HttpLogStore(endpoint: String, region: String,
     (bucket, u.getPath.stripPrefix("/"))
   }
 
-  // ---- SigV4 ----------------------------------------------------------
-  private val amzDateFmt = DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'")
-  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
-  private def sha256Hex(b: Array[Byte]): String =
-    hex(MessageDigest.getInstance("SHA-256").digest(b))
-  private def hmac(key: Array[Byte], data: String): Array[Byte] = {
-    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
-    mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
-    mac.doFinal(data.getBytes(StandardCharsets.UTF_8))
-  }
-  /** RFC 3986 strict encode (AWS canonical form): unreserved chars bare,
-    * everything else %XX; '/' preserved only for URI paths. */
-  private def enc(s: String, keepSlash: Boolean): String = {
-    val sb = new StringBuilder
-    s.getBytes(StandardCharsets.UTF_8).foreach { b =>
-      val c = (b & 0xff).toChar
-      if (c.isLetterOrDigit && c < 128 || "-._~".contains(c) ||
-          (keepSlash && c == '/')) sb.append(c)
-      else sb.append(f"%%${b & 0xff}%02X")
-    }
-    sb.toString
-  }
-
-  /** Sign + send. `query` as (k, v) pairs; payload null for GET-class. */
+  /** Sign + send through the shared SigV4 client (path-style). */
   private def request(method: String, bucket: String, key: String,
                       query: Seq[(String, String)] = Nil,
                       payload: Array[Byte] = Array.emptyByteArray,
                       extraHeaders: Seq[(String, String)] = Nil)
       : HttpResponse[Array[Byte]] = {
-    val now = ZonedDateTime.now(ZoneOffset.UTC)
-    val amzDate = amzDateFmt.format(now)
-    val date = amzDate.substring(0, 8)
-    val canonicalUri = "/" + enc(bucket, keepSlash = false) +
-      (if (key.isEmpty) "" else "/" + enc(key, keepSlash = true))
-    val canonicalQuery = query.map { case (k, v) =>
-        (enc(k, keepSlash = false), enc(v, keepSlash = false)) }
-      .sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
-    val payloadHash = sha256Hex(payload)
-    // host is computed into the signature but never set explicitly — the
-    // JDK client sets it itself (and forbids overriding) to the same value
-    val headers: Seq[(String, String)] = (Seq(
-      "host" -> hostHeader,
-      "x-amz-content-sha256" -> payloadHash,
-      "x-amz-date" -> amzDate) ++
-      extraHeaders.map { case (k, v) => (k.toLowerCase, v) }).sortBy(_._1)
-    val signedHeaderNames = headers.map(_._1).mkString(";")
-    val canonicalRequest = Seq(method, canonicalUri, canonicalQuery,
-      headers.map { case (k, v) => s"$k:${v.trim}" }.mkString("", "\n", "\n"),
-      signedHeaderNames, payloadHash).mkString("\n")
-    val scope = s"$date/$region/s3/aws4_request"
-    val stringToSign = Seq("AWS4-HMAC-SHA256", amzDate, scope,
-      sha256Hex(canonicalRequest.getBytes(StandardCharsets.UTF_8))).mkString("\n")
-    val kSigning = hmac(hmac(hmac(hmac(
-      ("AWS4" + secretKey).getBytes(StandardCharsets.UTF_8),
-      date), region), "s3"), "aws4_request")
-    val signature = hex(hmac(kSigning, stringToSign))
-    val auth = s"AWS4-HMAC-SHA256 Credential=$accessKey/$scope, " +
-      s"SignedHeaders=$signedHeaderNames, Signature=$signature"
-    val url = endpoint + canonicalUri +
-      (if (canonicalQuery.isEmpty) "" else "?" + canonicalQuery)
-    var b = HttpRequest.newBuilder(URI.create(url))
-      .header("Authorization", auth)
-    headers.filterNot(_._1 == "host").foreach { case (k, v) => b = b.header(k, v) }
-    b = method match {
-      case "GET" => b.GET()
-      case "HEAD" => b.method("HEAD", HttpRequest.BodyPublishers.noBody())
-      case "PUT" => b.PUT(HttpRequest.BodyPublishers.ofByteArray(payload))
-      case "DELETE" => b.DELETE()
-    }
-    http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+    val canonicalUri = "/" + aws.enc(bucket, keepSlash = false) +
+      (if (key.isEmpty) "" else "/" + aws.enc(key, keepSlash = true))
+    aws.send(method, canonicalUri, query, payload, extraHeaders)
   }
+
+  private def enc(s: String, keepSlash: Boolean): String =
+    aws.enc(s, keepSlash)
 
   private def fail(what: String, r: HttpResponse[Array[Byte]]): Nothing =
     throw new java.io.IOException(
@@ -283,11 +217,14 @@ final class S3HttpLogStore(endpoint: String, region: String,
   *  - `spark.graft.s3.region`    (default `us-east-1`)
   *  - `spark.graft.s3.accessKey` / `spark.graft.s3.secretKey`
   *    (fall back to `AWS_ACCESS_KEY_ID` / `AWS_SECRET_ACCESS_KEY`)
+  *  - `spark.graft.s3.lockTableName` — a DynamoDB lock table: the
+  *    PRODUCTION multi-process path ([[DynamoDbHttpLockBackend]], one
+  *    lock item per table path, `spark.graft.dynamodb.endpoint`
+  *    overridable for emulators);
   *  - `spark.graft.s3.lockBackendClass` — a zero-arg-constructible
-  *    [[LockBackend]]; REQUIRED for multi-process safety (the DynamoDB
-  *    analog). Defaults to ONE process-wide [[InMemoryLockBackend]],
-  *    which serializes committers of THIS JVM only — single-driver
-  *    deployments; anything else needs a shared backend.
+  *    [[LockBackend]] alternative;
+  *  - neither set: ONE process-wide [[InMemoryLockBackend]], which
+  *    serializes committers of THIS JVM only — single-driver use.
   */
 final class S3HttpLogStoreFactory extends LogStoreFactory {
   override def create(spark: org.apache.spark.sql.SparkSession,
@@ -302,10 +239,19 @@ final class S3HttpLogStoreFactory extends LogStoreFactory {
     val sk = conf("spark.graft.s3.secretKey")
       .orElse(sys.env.get("AWS_SECRET_ACCESS_KEY")).getOrElse(
         throw new IllegalStateException("spark.graft.s3.secretKey unset"))
-    val backend = conf("spark.graft.s3.lockBackendClass") match {
-      case Some(cls) => Class.forName(cls).getDeclaredConstructor()
-        .newInstance().asInstanceOf[LockBackend]
-      case None => S3HttpLogStoreFactory.processLockBackend
+    val backend = conf("spark.graft.s3.lockTableName") match {
+      case Some(table) =>
+        // the reference's production shape: a DynamoDB lock item PER
+        // TABLE PATH, spoken wire-level with the same credentials
+        new DynamoDbHttpLockBackend(
+          conf("spark.graft.dynamodb.endpoint")
+            .getOrElse(s"https://dynamodb.$region.amazonaws.com"),
+          region, ak, sk, table, tablePath.toString)
+      case None => conf("spark.graft.s3.lockBackendClass") match {
+        case Some(cls) => Class.forName(cls).getDeclaredConstructor()
+          .newInstance().asInstanceOf[LockBackend]
+        case None => S3HttpLogStoreFactory.processLockBackend
+      }
     }
     new ObjectStoreLogStore(
       new S3HttpLogStore(endpoint, region, ak, sk),

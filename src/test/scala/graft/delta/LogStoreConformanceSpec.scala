@@ -266,3 +266,60 @@ class S3HttpLogStoreConformanceSpec extends LogStoreConformance
         refreshPeriodMillis = 20,
         additionalTimeToWaitMillis = 20)))
 }
+
+/** BOTH halves of the reference's S3 architecture over the wire at once:
+  * data through [[S3HttpLogStore]] AND the lease through
+  * [[DynamoDbHttpLockBackend]] (conditional PutItem/DeleteItem against
+  * moto's DynamoDB), so the rename-race row exercises the REAL
+  * conditional-write serialization, not the in-memory stand-in. */
+class S3DynamoWireConformanceSpec extends LogStoreConformance
+    with org.scalatest.BeforeAndAfterAll {
+  private val port = {
+    val ss = new java.net.ServerSocket(0)
+    try ss.getLocalPort finally ss.close()
+  }
+  private val bucket = "graft-conformance-dyn"
+  private var moto: Process = _
+
+  private def endpoint = s"http://127.0.0.1:$port"
+  private def rawStore() =
+    new S3HttpLogStore(endpoint, "us-east-1",
+      "graft-test-key", "graft-test-secret")
+  private lazy val lockTable = {
+    val b = new DynamoDbHttpLockBackend(endpoint, "us-east-1",
+      "graft-test-key", "graft-test-secret", "graft-locks", "conformance")
+    b.createTable()
+    b
+  }
+
+  override def beforeAll(): Unit = {
+    moto = new ProcessBuilder("moto_server", "-H", "127.0.0.1",
+        "-p", port.toString)
+      .redirectErrorStream(true)
+      .redirectOutput(ProcessBuilder.Redirect.to(
+        new java.io.File(s"/tmp/moto-dyn-conformance-$port.log")))
+      .start()
+    val deadline = System.currentTimeMillis() + 30000
+    var up = false
+    while (!up && System.currentTimeMillis() < deadline) {
+      try {
+        rawStore().createBucket(bucket)
+        up = true
+      } catch { case _: Exception => Thread.sleep(200) }
+    }
+    require(up, s"moto_server did not come up on port $port in 30s")
+    lockTable // create the lock table before any rename needs it
+  }
+
+  override def afterAll(): Unit = if (moto != null) moto.destroy()
+
+  override def storeName = "s3+dynamo-wire"
+  override protected lazy val rootUri: String =
+    s"s3://$bucket/run-${java.util.UUID.randomUUID()}"
+  override def newStore(): LogStore =
+    new ObjectStoreLogStore(rawStore(),
+      new DynamoStyleLockClient(lockTable, LockOptions(
+        leaseDurationSecs = 2,
+        refreshPeriodMillis = 20,
+        additionalTimeToWaitMillis = 20)))
+}

@@ -48,6 +48,12 @@ class S3WireCommitSpec extends AnyFunSuite with SparkTestBase
       } catch { case _: Exception => Thread.sleep(200) }
     }
     require(up, s"moto_server did not come up on port $port in 30s")
+    // the factory's PRODUCTION lock path: a DynamoDB lock table, spoken
+    // wire-level — the commit race below serializes through REAL
+    // conditional PutItem, not the in-memory stand-in
+    new DynamoDbHttpLockBackend(s"http://127.0.0.1:$port", "us-east-1",
+      "graft-test-key", "graft-test-secret", "graft-locks", "bootstrap")
+      .createTable()
   }
 
   override def afterAll(): Unit = {
@@ -61,7 +67,9 @@ class S3WireCommitSpec extends AnyFunSuite with SparkTestBase
       "spark.graft.s3.endpoint" -> s"http://127.0.0.1:$port",
       "spark.graft.s3.region" -> "us-east-1",
       "spark.graft.s3.accessKey" -> "graft-test-key",
-      "spark.graft.s3.secretKey" -> "graft-test-secret")
+      "spark.graft.s3.secretKey" -> "graft-test-secret",
+      "spark.graft.s3.lockTableName" -> "graft-locks",
+      "spark.graft.dynamodb.endpoint" -> s"http://127.0.0.1:$port")
     keys.foreach { case (k, v) => spark.conf.set(k, v) }
     try body
     finally keys.keys.foreach(spark.conf.unset)
