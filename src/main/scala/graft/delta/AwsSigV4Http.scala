@@ -13,10 +13,28 @@ import java.time.{ZoneOffset, ZonedDateTime}
   * SDK, no added dependencies: canonical request → string-to-sign → HMAC
   * chain per the published SigV4 spec. `host` is computed into the
   * signature but never set explicitly (the JDK client forbids overriding
-  * it and sends the same value itself). */
+  * it and sends the same value itself).
+  *
+  * Transient-failure policy (what the replaced SDK clients do for free):
+  * every request carries a hard per-request timeout (a stalled endpoint
+  * must never wedge the commit or lock thread — the rename lease would
+  * expire underneath it), and 5xx responses (S3 `503 SlowDown`, internal
+  * errors) plus request-layer IOExceptions retry up to [[maxAttempts]]
+  * with exponential backoff, RE-SIGNING each attempt (a replayed
+  * x-amz-date outside the endpoint's clock skew window is rejected).
+  * Replay is safe for every request this client carries: S3 ops are
+  * idempotent full-content PUT/GET/DELETE/Copy, and DynamoDB ops are
+  * endpoint-side conditional writes — an ambiguous failure whose first
+  * attempt actually landed makes the retry's condition miss, which the
+  * lock protocol already treats as "lost the race" (lease expiry
+  * restores liveness). */
 private[delta] final class AwsSigV4Http(endpoint: String, region: String,
                                         service: String, accessKey: String,
-                                        secretKey: String) {
+                                        secretKey: String,
+                                        requestTimeout: java.time.Duration =
+                                          java.time.Duration.ofSeconds(60),
+                                        maxAttempts: Int = 4,
+                                        backoffBaseMs: Long = 100L) {
 
   private val http = HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofSeconds(10)).build()
@@ -49,12 +67,36 @@ private[delta] final class AwsSigV4Http(endpoint: String, region: String,
     sb.toString
   }
 
-  /** Sign and send. `canonicalUri` must be the ALREADY-ENCODED absolute
-    * path ("/" for service roots). */
+  /** Sign and send, retrying transient failures (see class doc).
+    * `canonicalUri` must be the ALREADY-ENCODED absolute path ("/" for
+    * service roots). */
   def send(method: String, canonicalUri: String,
            query: Seq[(String, String)] = Nil,
            payload: Array[Byte] = Array.emptyByteArray,
            extraHeaders: Seq[(String, String)] = Nil)
+      : HttpResponse[Array[Byte]] = {
+    var attempt = 0
+    var last: Either[java.io.IOException, HttpResponse[Array[Byte]]] = null
+    while (attempt < maxAttempts) {
+      if (attempt > 0)
+        Thread.sleep(backoffBaseMs << (attempt - 1)) // 100/200/400 ms
+      attempt += 1
+      last =
+        try {
+          val r = sendOnce(method, canonicalUri, query, payload, extraHeaders)
+          if (r.statusCode() < 500) return r
+          Right(r) // 5xx: transient endpoint trouble — back off and re-sign
+        } catch {
+          case e: java.io.IOException => Left(e) // connect reset / timeout
+        }
+    }
+    last.fold(throw _, identity) // exhausted: surface the final attempt
+  }
+
+  private def sendOnce(method: String, canonicalUri: String,
+                       query: Seq[(String, String)],
+                       payload: Array[Byte],
+                       extraHeaders: Seq[(String, String)])
       : HttpResponse[Array[Byte]] = {
     val now = ZonedDateTime.now(ZoneOffset.UTC)
     val amzDate = amzDateFmt.format(now)
@@ -84,6 +126,7 @@ private[delta] final class AwsSigV4Http(endpoint: String, region: String,
     val url = endpoint + canonicalUri +
       (if (canonicalQuery.isEmpty) "" else "?" + canonicalQuery)
     var b = HttpRequest.newBuilder(URI.create(url))
+      .timeout(requestTimeout)
       .header("Authorization", auth)
     headers.filterNot(_._1 == "host").foreach { case (k, v) => b = b.header(k, v) }
     b = method match {

@@ -36,15 +36,30 @@ final class DynamoDbHttpLockBackend(endpoint: String, region: String,
   private val mapper = ActionCodec.mapper
 
   private def call(target: String, body: ObjectNode): (Int, JsonNode) = {
-    val r = aws.send("POST", "/",
-      payload = mapper.writeValueAsBytes(body),
-      extraHeaders = Seq(
-        "x-amz-target" -> s"DynamoDB_20120810.$target",
-        "content-type" -> "application/x-amz-json-1.0"))
-    val node =
-      if (r.body().isEmpty) mapper.createObjectNode()
-      else mapper.readTree(r.body())
-    (r.statusCode(), node)
+    // the SigV4 client already retries 5xx + I/O errors; DynamoDB signals
+    // throttling as HTTP 400 with a __type the client can't see into, so
+    // that class retries HERE (safe: every op is an endpoint-side
+    // conditional write or a consistent read — replay cannot double-apply)
+    var attempt = 0
+    while (true) {
+      if (attempt > 0) Thread.sleep(100L << (attempt - 1))
+      attempt += 1
+      val r = aws.send("POST", "/",
+        payload = mapper.writeValueAsBytes(body),
+        extraHeaders = Seq(
+          "x-amz-target" -> s"DynamoDB_20120810.$target",
+          "content-type" -> "application/x-amz-json-1.0"))
+      val node =
+        if (r.body().isEmpty) mapper.createObjectNode()
+        else mapper.readTree(r.body())
+      val t = Option(node.get("__type")).map(_.asText).getOrElse("")
+      val throttled = r.statusCode() == 400 &&
+        (t.contains("ProvisionedThroughputExceededException") ||
+          t.contains("ThrottlingException") ||
+          t.contains("RequestLimitExceeded"))
+      if (!throttled || attempt >= 4) return (r.statusCode(), node)
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def conditional(target: String, body: ObjectNode): Boolean = {
@@ -155,12 +170,18 @@ final class DynamoDbHttpLockBackend(endpoint: String, region: String,
   /** Create the lock table (tooling/tests; idempotent — an existing table
     * succeeds). Pay-per-request, single S hash key `lockKey`. */
   def createTable(): Unit = {
-    val b = mapper.readTree(
-      s"""{"TableName":"$tableName",
-         |"AttributeDefinitions":[{"AttributeName":"lockKey","AttributeType":"S"}],
-         |"KeySchema":[{"AttributeName":"lockKey","KeyType":"HASH"}],
-         |"BillingMode":"PAY_PER_REQUEST"}""".stripMargin)
-      .asInstanceOf[ObjectNode]
+    // node API, not string interpolation — a tableName carrying a quote
+    // or backslash must escape correctly, like every other call here
+    val b = mapper.createObjectNode()
+    b.put("TableName", tableName)
+    val attr = mapper.createObjectNode()
+    attr.put("AttributeName", "lockKey"); attr.put("AttributeType", "S")
+    b.set[ObjectNode]("AttributeDefinitions",
+      mapper.createArrayNode().add(attr))
+    val key = mapper.createObjectNode()
+    key.put("AttributeName", "lockKey"); key.put("KeyType", "HASH")
+    b.set[ObjectNode]("KeySchema", mapper.createArrayNode().add(key))
+    b.put("BillingMode", "PAY_PER_REQUEST")
     val (code, node) = call("CreateTable", b)
     val t = Option(node.get("__type")).map(_.asText).getOrElse("")
     require(code / 100 == 2 || t.contains("ResourceInUseException"),

@@ -56,8 +56,11 @@ object LockingRename {
     * the lock's repair path exists for. */
   final class StoreRenameOps(store: LogStore) extends UnsafeRenameOps {
     override def unsafeRename(src: Path, dst: Path): Unit = {
-      if (store.exists(dst)) throw new FileAlreadyExistsException(dst.toString)
-      if (!store.exists(src)) throw new FileNotFoundException(src.toString)
+      // rename endpoints are always single objects — the object-only check
+      // spares object stores a directory-probe LIST per commit attempt
+      if (store.existsObject(dst))
+        throw new FileAlreadyExistsException(dst.toString)
+      if (!store.existsObject(src)) throw new FileNotFoundException(src.toString)
       // byte-exact and (where the store supports it) streaming: checkpoint
       // parquet renames through this seam too, and buffering a multi-GB
       // part on the heap is an OOM (r12 review find)
@@ -65,7 +68,7 @@ object LockingRename {
       store.delete(src)
     }
     override def deleteIfExists(path: Path): Unit =
-      if (store.exists(path)) store.delete(path)
+      if (store.existsObject(path)) store.delete(path)
   }
 
   /** The lock `data` payload (`LockData`, mod.rs:448-466). */

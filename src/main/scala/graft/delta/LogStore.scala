@@ -21,6 +21,13 @@ trait LogStore {
 
   def exists(path: Path): Boolean
 
+  /** [[exists]] when the caller KNOWS `path` names a single object, never
+    * a directory/prefix — the rename seam's per-commit dst/src checks.
+    * Object stores override to skip the directory-probe fallback
+    * (on S3 that is a ListObjectsV2 per 404'd HEAD, ~10× GET pricing on
+    * the hottest path in the engine). Default: plain [[exists]]. */
+  def existsObject(path: Path): Boolean = exists(path)
+
   def fileStatus(path: Path): FileStatus
 
   /** Read a whole UTF-8 text file. */
@@ -212,6 +219,7 @@ final class ObjectStoreLogStore(inner: LogStore, client: LockClient)
 
   override def list(dir: Path): Seq[FileStatus] = inner.list(dir)
   override def exists(path: Path): Boolean = inner.exists(path)
+  override def existsObject(path: Path): Boolean = inner.existsObject(path)
   override def fileStatus(path: Path): FileStatus = inner.fileStatus(path)
   override def read(path: Path): String = inner.read(path)
   override def write(path: Path, content: String): Unit = inner.write(path, content)

@@ -85,9 +85,20 @@ final class S3HttpLogStore(endpoint: String, region: String,
       // a "directory" exists iff any key lives under its prefix
       val l = request("GET", b, "", Seq("list-type" -> "2",
         "prefix" -> (k.stripSuffix("/") + "/"), "max-keys" -> "1"))
-      l.statusCode() == 200 &&
-        new String(l.body(), StandardCharsets.UTF_8).contains("<Key>")
+      // a failed probe must RAISE, not read as "absent" — callers branch
+      // on existence (lease repair, log discovery) and a silent false
+      // sends them down the wrong arm
+      if (l.statusCode() != 200) fail("ListObjectsV2", l)
+      new String(l.body(), StandardCharsets.UTF_8).contains("<Key>")
     } else fail("HEAD", r)
+  }
+
+  override def existsObject(path: Path): Boolean = {
+    val (b, k) = split(path)
+    val r = request("HEAD", b, k)
+    if (r.statusCode() == 200) true
+    else if (r.statusCode() == 404) false // object semantics: no prefix probe
+    else fail("HEAD", r)
   }
 
   override def fileStatus(path: Path): FileStatus = {
@@ -194,8 +205,8 @@ final class S3HttpLogStore(endpoint: String, region: String,
         "overwrites the winner. Wrap this store in ObjectStoreLogStore " +
         "(lease-serialized rename — see S3HttpLogStoreFactory), or pass " +
         "allowUnsafeRename = true for SINGLE-writer use only")
-    if (exists(dst)) throw new FileAlreadyExistsException(dst.toString)
-    if (!exists(src)) throw new FileNotFoundException(src.toString)
+    if (existsObject(dst)) throw new FileAlreadyExistsException(dst.toString)
+    if (!existsObject(src)) throw new FileNotFoundException(src.toString)
     copy(src, dst)
     delete(src)
   }

@@ -602,14 +602,21 @@ object DedupIndex {
     // divergence stays checkable because BOTH images ride the window.
     // Updates that keep the text byte-identical (a non-text column
     // changed) net out FIRST: they change nothing the index stores, and
-    // folding them would re-split families for zero state change. The
-    // null-presence guard keeps a null↔non-null image pair folding (nt=1
-    // alone would mis-net it).
+    // folding them would re-split families for zero state change.
+    // "Identical" is NULL-SAFE (null pre ≡ null post — a metadata-only
+    // update of a null-text doc is exactly as much of a no-op as one of a
+    // non-null doc; a countDistinct-based check mis-folds it because
+    // countDistinct ignores nulls), and requires exactly one image per
+    // side so a malformed window conservatively folds instead of netting.
     val noopUpd = raw.filter(col("ct").isin(updateKinds.toSeq: _*))
       .groupBy("id", "cver")
-      .agg(countDistinct(col("text")).as("nt"),
-        max(col("text").isNull.cast("int")).as("hasnull"))
-      .filter(col("nt") === 1 && col("hasnull") === 0)
+      .agg(
+        count(when(col("ct") === "update_preimage", lit(1))).as("n_pre"),
+        count(when(col("ct") === "update_postimage", lit(1))).as("n_post"),
+        max(when(col("ct") === "update_preimage", col("text"))).as("pre_text"),
+        max(when(col("ct") === "update_postimage", col("text"))).as("post_text"))
+      .filter(col("n_pre") === 1 && col("n_post") === 1 &&
+        col("pre_text") <=> col("post_text"))
       .select("id", "cver")
     val pinned = raw
       .join(noopUpd.withColumn("noop", lit(true)), Seq("id", "cver"), "left")

@@ -375,9 +375,16 @@ object IvfIndex {
     DeltaLog.forPath(spark, postingsPath(root)).update()
       .metadata.exists(_.configuration.get(QuantKey).contains("int8"))
 
+  /** Idempotent (rows already carrying `q8` pass through), and applied
+    * INSIDE [[moveRows]] as well as at the append-writers — so a future
+    * maintenance path routed through the shared move funnel cannot land
+    * code-less rows that quantized probes would silently rank last
+    * (int8Dot(null,·) is null → NULLS LAST under desc — silent recall
+    * loss, the exact class the layout-epoch guards exist to prevent). */
   private def codesIfQuantized(spark: SparkSession, root: String,
                                rows: DataFrame): DataFrame =
-    if (isQuantized(spark, root)) appendCodes(rows) else rows
+    if (rows.columns.contains("q8") || !isQuantized(spark, root)) rows
+    else appendCodes(rows)
 
   private def assignFresh(spark: SparkSession, fresh: DataFrame,
                           root: String): DataFrame = {
@@ -686,8 +693,7 @@ object IvfIndex {
         Seq(PartitionFilter.Eq("cluster", cid.toString)))
       if (deadFiles.nonEmpty)
         moveRows(spark, root, deadFiles,
-          codesIfQuantized(spark, root,
-            live.select("id", "cluster", "vec", "ver")), Seq(cid))
+          live.select("id", "cluster", "vec", "ver"), Seq(cid))
       retireCentroids(spark, root, Seq(cid))
       bumpLayout(spark, root)
       return Nil
@@ -714,8 +720,7 @@ object IvfIndex {
     val dt = DeltaTable.forPath(spark, postingsPath(root))
     val oldFiles = PartitionFilter.prune(dt.snapshot.files,
       Seq(PartitionFilter.Eq("cluster", cid.toString)))
-    moveRows(spark, root, oldFiles, codesIfQuantized(spark, root, moved),
-      Seq(cid))
+    moveRows(spark, root, oldFiles, moved, Seq(cid))
     // 3. retire the old centroid + its telemetry, fence once more
     retireCentroids(spark, root, Seq(cid))
     bumpLayout(spark, root)
@@ -733,7 +738,8 @@ object IvfIndex {
     val snap = log.update()
     require(!ColumnMapping.isMapped(snap) && !ChangeDataFeed.enabled(snap),
       "IVF layout maintenance supports plain posting tables only")
-    val adds = GraftWriter.stageFiles(rows, postingsPath(root), Seq("cluster"))
+    val adds = GraftWriter.stageFiles(codesIfQuantized(spark, root, rows),
+      postingsPath(root), Seq("cluster"))
     val nowMs = System.currentTimeMillis()
     val txn = log.startTransaction()
       .withReadFilters(Seq(PartitionFilter.In("cluster",
@@ -817,8 +823,7 @@ object IvfIndex {
       val reassigned = assignFresh(spark,
         dt.toDF(parts).select("id", "vec", "ver"), root).drop("dist")
       moved = reassigned.count()
-      moveRows(spark, root, orphanFiles,
-        codesIfQuantized(spark, root, reassigned), orphanCids)
+      moveRows(spark, root, orphanFiles, reassigned, orphanCids)
     }
     (ghosts.size.toLong, moved)
   }

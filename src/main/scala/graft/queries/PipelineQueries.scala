@@ -289,6 +289,56 @@ object PipelineQueries {
       totals.crossJoin(overBudget)
     },
 
+    // AS-OF join (r17): attribute each click to the latest at-or-before
+    // purchase state of the same user — the time-alignment shape every
+    // feature pipeline needs and Spark can only express as a
+    // nested-loop-joined inequality. graft's operator is the union trick:
+    // ONE hash shuffle + in-partition sort, NO join node
+    // (AsOfJoinSpec pins the plan). The oracle is DuckDB's NATIVE
+    // `ASOF LEFT JOIN` — an independent engine's implementation of the
+    // same semantics, row-for-row. The purchase side pre-aggregates to
+    // one row per (user, ts): the determinism contract both engines need.
+    "q87_asof_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("c_us"))
+      // doubles ride as micro-unit BIGINTs and timestamps as epoch micros
+      // (the repo-wide oracle exactness rules — Relational scaladoc)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"),
+          unix_micros(col("ts").cast("timestamp")).as("pts"))
+        .agg(max((col("value").cast("decimal(18,6)") * 1000000)
+          .cast("long")).as("p_value_u"),
+          max(col("event_id")).as("p_event"))
+        .withColumnRenamed("p_user", "user_id")
+      AsOfJoin.asOf(clicks, purchases, Seq("user_id"), "c_us", "pts",
+          Seq("p_value_u", "p_event"))
+        .orderBy(col("event_id")) // total: event_id is unique
+    },
+
+    // POINT-IN-INTERVAL range join (r17): every click inside a purchase's
+    // 24 h attribution window, same user — the bucketized range join
+    // (intervals explode to fixed-width buckets, points equi-join on
+    // (user, bucket), exact containment filters). The oracle is DuckDB's
+    // plain inequality join over the same epoch-microsecond arithmetic.
+    "q88_range_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val dayUs = 86400000000L
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_event"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("c_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("s_us"))
+        .withColumn("e_us", col("s_us") + lit(dayUs))
+      AsOfJoin.rangePointJoin(clicks, purchases, "c_us", "s_us", "e_us",
+          bucketWidth = dayUs, keyCols = Seq("user_id"))
+        .select(col("p_event"), col("c_event"), col("user_id"),
+          (col("c_us") - col("s_us")).as("lag_us"))
+        .orderBy(col("p_event"), col("c_event")) // total: the pair is unique
+    },
+
     // THE composed LLM-data pipeline as ONE lineage (r12 verdict #1):
     // shingle → MinHash-LSH candidates → exact Jaccard verify → connected
     // components → one survivor per duplicate family (longest text, then
@@ -1030,6 +1080,33 @@ object PipelineQueries {
         |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS tokens_packed,
         |  CAST(0 AS BIGINT) AS over_budget_bins
         |FROM documents WHERE doc_id % 10 <> 3""".stripMargin,
+
+    // DuckDB's NATIVE ASOF JOIN as the oracle for graft's single-shuffle
+    // windowed implementation — two independent engines, same semantics
+    "q87_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS c_us
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS pts,
+        |        max(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+        |          AS p_value_u,
+        |        max(event_id) AS p_event
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.c_us, p.p_value_u, p.p_event
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.c_us >= p.pts
+        |ORDER BY c.event_id""".stripMargin,
+
+    // the bucketized range join vs DuckDB's plain inequality join
+    "q88_range_join" ->
+      """WITH c AS (SELECT event_id AS c_event, user_id,
+        |        epoch_us(ts) AS c_us
+        |      FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS p_event, user_id, epoch_us(ts) AS s_us
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.p_event, c.c_event, c.user_id, c.c_us - p.s_us AS lag_us
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND c.c_us >= p.s_us AND c.c_us <= p.s_us + 86400000000
+        |ORDER BY p.p_event, c.c_event""".stripMargin,
 
     // stub decoder restated over the ASCII payload: width/height from the
     // first two bytes (+1), byte length, and the mod-1e9+7 checksum fold

@@ -1144,6 +1144,43 @@ class DedupIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(DedupIndex.refreshFromSource(spark, s"$r/idx") == ((0L, 0L)))
   }
 
+  test("r17 review: a metadata-only update of a NULL-text doc nets out too") {
+    // countDistinct ignores nulls, so a null→null image pair read nt=0 and
+    // was folded as a real change — members/survivors merge commits and
+    // family churn for zero state change, on every such wave. The netting
+    // is null-safe now (pre <=> post); a null↔non-null pair still folds.
+    val r = root("updnoopnull")
+    val src = s"$r/source"
+    graft.delta.GraftWriter.write(
+      corpus.unionByName(Seq((990L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text")),
+      src, configuration = Some(Map("delta.enableChangeDataFeed" -> "true")))
+    DedupIndex.buildFromSource(spark, src, "text", "doc_id", s"$r/idx",
+      numHashes = 64, bands = 64)
+    def v(p: String) = graft.delta.DeltaLog.forPath(spark, p).update().version
+    // the null-text doc has a null `len` — dump() null-tolerantly here
+    def dumpN(df: org.apache.spark.sql.DataFrame) =
+      df.select("comp", "id", "len").as[(Long, Long, Option[Long])]
+        .collect().toSeq.sorted
+    val mv = v(s"$r/idx/members")
+    val sv = v(s"$r/idx/survivors")
+    val surv = dumpN(DedupIndex.survivors(spark, s"$r/idx"))
+    graft.delta.Dml.update(spark, src, col("doc_id") === 990L,
+      Map("text" -> col("text"))) // null→null: byte-identical
+    assert(DedupIndex.refreshFromSource(spark, s"$r/idx") == ((0L, 0L)),
+      "a null→null text update is a data-free window")
+    assert(v(s"$r/idx/members") == mv && v(s"$r/idx/survivors") == sv,
+      "no members/survivors commits on a netted-out null-text window")
+    assert(dumpN(DedupIndex.survivors(spark, s"$r/idx")) == surv)
+    // the asymmetric pair still folds: null → real text re-indexes 990
+    graft.delta.Dml.update(spark, src, col("doc_id") === 990L,
+      Map("text" -> lit(words(97, 0, 26))))
+    DedupIndex.refreshFromSource(spark, s"$r/idx")
+    assert(DedupIndex.members(spark, s"$r/idx")
+      .filter(col("id") === 990L && col("len").isNotNull).count() == 1,
+      "null→non-null update must fold as a re-index")
+  }
+
   test("r17: maintain autopilot — cadence-fenced compactDead keeps dead rows bounded; laggard aborts") {
     val r = root("autopilot")
     val src = s"$r/source"
