@@ -181,13 +181,21 @@ object Bench {
         }
         results(name) = sec
       }
-      // Self-classify machine contention from the run's own telemetry
-      // (BenchContention; gate rule: compare cpu-seconds when contended).
-      val isContended = BenchContention.contended(
-        results.values.toSeq, cpuSec.values.toSeq, load1m.values.toSeq)
+      // Absolute machine-speed probes FIRST: they corroborate (or acquit)
+      // the load signal below — the engine's own parallel task load now
+      // holds load1m past the serial-era threshold on a healthy box (r17
+      // measurement fix, see BenchContention's 4-arg overload).
       val calStPost = BenchCalibration.singleThreadSec()
       val calMt = BenchCalibration.multiThreadSec(
         Runtime.getRuntime.availableProcessors())
+      val probesDegraded =
+        math.min(calPre, calStPost) > BenchCalibration.DegradedStSec ||
+          calMt > BenchCalibration.DegradedMtSec
+      // Self-classify machine contention from the run's own telemetry
+      // (BenchContention; gate rule: compare cpu-seconds when contended).
+      val isContended = BenchContention.contended(
+        results.values.toSeq, cpuSec.values.toSeq, load1m.values.toSeq,
+        absoluteProbesDegraded = probesDegraded)
       // min of pre/post: the healthiest speed the machine showed this
       // sweep — a sweep is degraded only if it NEVER ran at class speed
       Sweep(results, cpuSec, load1m, commits, errors, isContended,

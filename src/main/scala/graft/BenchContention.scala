@@ -44,4 +44,24 @@ object BenchContention {
     val starved = cpuKnown && wall.sum > 0 && cpu.sum / wall.sum < CpuWallFloor
     loadSignal || starved
   }
+
+  /** r17 recalibration (declared measurement fix, OPTIMIZATION_r17.md):
+    * the load-median threshold was set when the engine ran mostly SERIAL
+    * (r5–r7: healthy medians ≤ ~2, contended runs ≥ 2.9). After the r17
+    * parallelism fixes the engine's OWN task load holds the 1-minute
+    * average at 4–6 on a healthy idle box, so the load signal alone now
+    * convicts every run — a false positive the absolute calibration probes
+    * (cal_st / cal_mt, added r8 exactly because load cannot see
+    * whole-machine slowdown) can arbitrate: EXTERNAL load that matters
+    * must also slow the fixed-work probes or starve the process. Load is
+    * therefore corroborated by `absoluteProbesDegraded`; the starvation
+    * signal (wall up at flat cpu) still convicts on its own, and the raw
+    * load medians stay in the bench artifact for the record. */
+  def contended(wall: Seq[Double], cpu: Seq[Double], load1m: Seq[Double],
+                absoluteProbesDegraded: Boolean): Boolean = {
+    val loadSignal = median(load1m.filter(_ >= 0)) > LoadThreshold
+    val cpuKnown = cpu.nonEmpty && cpu.forall(_ >= 0)
+    val starved = cpuKnown && wall.sum > 0 && cpu.sum / wall.sum < CpuWallFloor
+    (loadSignal && absoluteProbesDegraded) || starved
+  }
 }

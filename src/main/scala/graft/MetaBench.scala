@@ -46,7 +46,7 @@ object MetaBench {
     CommitCoordinatorProvider.register(name,
       new InMemoryCommitCoordinator(backfillInterval = n + 10))
     DeltaTable.forPath(spark, t).enableCoordinatedCommits(name)      // v1
-    val log = DeltaLog.forPath(spark, t)
+    val log = DeltaLog.forPathUncached(spark, t)
     log.update()
     val add0 = log.snapshot.files.head
     // N coordinated commits, each staging one (zero-byte-placeholder) add
@@ -61,10 +61,10 @@ object MetaBench {
     }
     require(!log.store.exists(log.commitFile(2)),
       "probe precondition: the tail must be staged-only")
-    val (coldSec, cold) = timed(DeltaLog.forPath(spark, t).update())
+    val (coldSec, cold) = timed(DeltaLog.forPathUncached(spark, t).update())
     require(cold.version == n + 1 && cold.files.size == n + 1,
       s"cold coordinated snapshot wrong: v=${cold.version} files=${cold.files.size}")
-    val warmLog = DeltaLog.forPath(spark, t)
+    val warmLog = DeltaLog.forPathUncached(spark, t)
     warmLog.update()
     val (warmSec, _) = timed(warmLog.update())
     // coordinator loses all state; the next commit adopts the acked tail
@@ -72,13 +72,13 @@ object MetaBench {
       new InMemoryCommitCoordinator(backfillInterval = n + 10))
     Files.createFile(dir.resolve("post-loss.parquet"))
     val (adoptSec, _) = timed {
-      DeltaLog.forPath(spark, t).startTransaction()
+      DeltaLog.forPathUncached(spark, t).startTransaction()
         .addAction(add0.copy(path = "post-loss.parquet", stats = None))
         .commit(): Unit
     }
     (2L to (n + 1L)).foreach(v => require(log.store.exists(log.commitFile(v)),
       s"adoption must have claimed v$v"))
-    val (postSec, post) = timed(DeltaLog.forPath(spark, t).update())
+    val (postSec, post) = timed(DeltaLog.forPathUncached(spark, t).update())
     require(post.version == n + 2 && post.files.size == n + 2,
       s"post-recovery snapshot wrong: v=${post.version} files=${post.files.size}")
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -184,7 +184,7 @@ object MetaBench {
     // Add snapshot are unreachable before the heap measurement below —
     // measured in-line they doubled heap_with_snapshot (r11 review find).
     def writeCheckpoint(): Double = {
-      val cpLog = DeltaLog.forPath(spark, dir.toString)
+      val cpLog = DeltaLog.forPathUncached(spark, dir.toString)
       // clamp: a quick SPARK_GRAFT_META_COMMITS<12 sanity run would
       // otherwise request a negative version and die here (r12 review)
       val cpSnap = cpLog.snapshotForVersion(math.max(0L, n - 11L))
@@ -193,7 +193,7 @@ object MetaBench {
     val ckptSec = writeCheckpoint()
 
     val (coldSec, cold) = timed {
-      val log = DeltaLog.forPath(spark, dir.toString)
+      val log = DeltaLog.forPathUncached(spark, dir.toString)
       log.update()
     }
     require(cold.version == n - 1 && cold.files.size == n * addsPer,
@@ -202,7 +202,7 @@ object MetaBench {
     // bounds how many Adds a single driver can HOLD, which is what the
     // distributed-replay/checkpoint thresholds exist to protect
     val heapWithSnapshot = usedHeapMb
-    val warmLog = DeltaLog.forPath(spark, dir.toString)
+    val warmLog = DeltaLog.forPathUncached(spark, dir.toString)
     warmLog.update()
     val (warmSec, _) = timed(warmLog.update())
     val (histSec, feedSec) =

@@ -42,14 +42,15 @@ object Clone {
     // support the feature
     ProtocolSupport.assertReadable(srcSnap)
     val tgtLog = DeltaLog.forPath(spark, targetPath)
-    if (tgtLog.update().version >= 0)
+    val tgtSnap = tgtLog.update() // pinned below: a racing CREATE must conflict
+    if (tgtSnap.version >= 0)
       throw new IllegalStateException(s"clone target $targetPath is already a Delta table")
 
     val conf = spark.sessionState.newHadoopConf()
     val srcBase = srcLog.tablePath.getFileSystem(conf).makeQualified(srcLog.tablePath)
     val now = System.currentTimeMillis()
 
-    val txn = tgtLog.startTransaction()
+    val txn = tgtLog.startTransaction(tgtSnap)
     // the clone inherits the source's protocol verbatim — its metadata may
     // demand capabilities (column mapping, timestampNtz, domain metadata)
     // that a bare (1,2) protocol would under-declare

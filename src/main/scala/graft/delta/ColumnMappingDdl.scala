@@ -269,7 +269,7 @@ object ColumnMappingDdl {
   private def commitMeta(log: DeltaLog, snap: Snapshot, md: MetaDataAction,
                          operation: String, params: Map[String, String],
                          protocol: Option[ProtocolAction] = None): Long = {
-    val txn = log.startTransaction()
+    val txn = log.startTransaction(snap)
     txn.permitNameMappedCommit()
     protocol.foreach(txn.addAction)
     txn.addAction(md)

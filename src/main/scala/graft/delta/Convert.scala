@@ -28,7 +28,8 @@ object Convert {
   def parquetToDelta(spark: SparkSession, path: String,
                      partitionBy: Seq[String] = Nil): Long = {
     val log = DeltaLog.forPath(spark, path)
-    if (log.update().version >= 0)
+    val preSnap = log.update() // pinned below: a racing CREATE must conflict
+    if (preSnap.version >= 0)
       throw new IllegalStateException(s"$path is already a Delta table")
 
     val conf = spark.sessionState.newHadoopConf()
@@ -73,7 +74,7 @@ object Convert {
     val statuses = relStatus.toMap
     val now = System.currentTimeMillis()
 
-    val txn = log.startTransaction()
+    val txn = log.startTransaction(preSnap)
     // schema-gated features fence the CREATE protocol exactly like the
     // writer's create path: converting tz-naive parquet infers NTZ columns
     // (the common Spark-4 vintage), and persisting `timestamp_ntz` under a

@@ -348,15 +348,38 @@ final class DeltaLog private (
     // below already includes it. A cold load cannot know it is coordinated
     // yet — the second phase below covers the crossing-the-enablement case.
     val preRefreshed = refreshStaged(snap)
-    if (snap.version < 0)
+    var listed = listCommitVersions()
+    // Recreate guard for SHARED handles (the r17 forPath cache): a WARM
+    // handle whose log now holds NOTHING at or above the cached snapshot —
+    // no commit AND no checkpoint — is looking at a deleted or re-created-
+    // shorter table; the cached state describes a dead incarnation and
+    // must never be served or extended. Rebuild from scratch, dropping the
+    // per-version caches (their version numbers collide with the new
+    // incarnation's). The checkpoint corroboration matters: commits
+    // legitimately vanish below a covering checkpoint (retention cleanup,
+    // checkpoint-only tables), which is NOT a recreate — the first guard
+    // cut reset such tables to version -1 (caught by CheckpointSpec's
+    // foreign-fixture replay). Checked BEFORE the cold-restore path so a
+    // cold load is never judged by a snapshot it just restored. A
+    // re-creation that has already grown PAST the cached version is
+    // indistinguishable from normal progress by length alone — the same
+    // documented limit as delta-spark's shared handles.
+    if (snap.version >= 0 && listed.lastOption.forall(_ < snap.version) &&
+        findLatestCheckpointForVersion(Long.MaxValue).forall(_.version < snap.version)) {
+      commitTimestamps.synchronized(commitTimestamps.clear())
+      ictCache.synchronized(ictCache.clear())
+      snap = Snapshot()
+    }
+    if (snap.version < 0) {
       newestUsableCheckpoint().foreach { cp => snap = restoreCheckpoint(cp) }
+      listed = listCommitVersions() // restore ran jobs; pick up late commits
+    }
     // Contiguous replay only — the reference probes version-by-version and
     // stops at the first missing commit (`EndOfLog`, rust/src/delta.rs:
     // 284-291,640-657); a listing-based replay must not leak commits past a
     // gap. (Commits OLDER than the restored checkpoint may legitimately be
     // cleaned away; contiguity is enforced from the replay start.)
     val before = cached.version
-    val listed = listCommitVersions()
     snap = replayTail(snap, contiguousFrom(listed.filter(_ > snap.version), snap.version))
     // Warm-handle catch-up across a cleaned gap (r11 review): a long-lived
     // log cached at N whose successor commits were cleaned past retention
@@ -612,6 +635,16 @@ final class DeltaLog private (
     new OptimisticTransaction(this)
   }
 
+  /** New transaction pinned to the snapshot the CALLER planned from.
+    * REQUIRED whenever the transaction's actions were computed against a
+    * snapshot captured earlier (removes, CDF images, rewrites, metadata
+    * evolution): with shared handles (the r17 forPath cache) a concurrent
+    * same-JVM commit can advance `snapshot` between the planning read and
+    * transaction start, and the no-arg form would start the conflict
+    * window PAST the racing commit — a lost update. */
+  def startTransaction(pinned: Snapshot): OptimisticTransaction =
+    new OptimisticTransaction(this, Some(pinned))
+
   /** Write a single-part checkpoint for the current snapshot + update
     * `_last_checkpoint` — `create_checkpoint_from_table`
     * (`rust/src/checkpoints.rs:104-248`). */
@@ -823,7 +856,57 @@ object DeltaLog {
   private val NonAtomicRenameSchemes =
     Set("s3", "s3a", "s3n", "gs", "oss", "cos", "wasb", "wasbs", "abfs", "abfss", "swift")
 
+  /** Handle cache (delta-spark's `DeltaLog.forTable` idiom, r17
+    * optimization): ONE DeltaLog per (session, store-config, table path),
+    * so repeated opens refresh the cached snapshot INCREMENTALLY instead
+    * of cold-restoring a checkpoint (a Spark parquet job each) plus the
+    * full commit tail on every call. The r17 bench measured the
+    * commit-heavy query class spending most of its wall in exactly those
+    * repeated cold `update()`s. The session is part of the key, so a new
+    * session never sees another session's handle; the store config is part
+    * of the key, so flipping `spark.graft.logStore.factory` mid-session
+    * gets a fresh store. LRU-bounded — snapshots are O(#files) driver
+    * state and long-lived JVMs (test suites) open thousands of short-lived
+    * tables. [[DeltaLog.update]] carries the recreate guard that makes a
+    * shared handle safe when a table is deleted and re-created at the same
+    * path. [[forPathUncached]] is the deliberate-cold-path escape
+    * (checkpoint-restore gates, cold-load benchmarks). */
+  private val HandleCacheMax = 64
+  private val handleCache =
+    new java.util.LinkedHashMap[(SparkSession, String, Option[String], Option[String]),
+                                DeltaLog](HandleCacheMax, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, Option[String], Option[String]),
+                                 DeltaLog]): Boolean =
+        size > HandleCacheMax
+    }
+
   def forPath(spark: SparkSession, path: String): DeltaLog = {
+    val key = (spark, new Path(path).toUri.toString,
+      spark.conf.getOption(LogStoreFactoryKey),
+      spark.conf.getOption(AllowUnsafeRenameKey))
+    handleCache.synchronized {
+      val hit = handleCache.get(key)
+      if (hit != null) return hit
+    }
+    val fresh = forPathUncached(spark, path)
+    handleCache.synchronized {
+      val raced = handleCache.get(key)
+      if (raced != null) raced
+      else { handleCache.put(key, fresh); fresh }
+    }
+  }
+
+  /** Drop every cached handle (delta-spark's `DeltaLog.clearCache`
+    * analog): the next [[forPath]] of any table builds a cold handle. For
+    * tests simulating process restarts and for operators that need to
+    * force a from-disk reload. */
+  def clearHandleCache(): Unit = handleCache.synchronized(handleCache.clear())
+
+  /** A fresh, never-shared handle — cold snapshot, cold caches. For paths
+    * that deliberately exercise the cold-load/checkpoint-restore machinery
+    * (gates and benchmarks); production code wants [[forPath]]. */
+  def forPathUncached(spark: SparkSession, path: String): DeltaLog = {
     val p = new Path(path)
     val store = spark.conf.getOption(LogStoreFactoryKey) match {
       case Some(cls) =>

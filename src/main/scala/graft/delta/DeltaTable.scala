@@ -374,7 +374,7 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     ProtocolSupport.assertWritable(snap, allowNameMapping = true)
     val md = snap.metadata.getOrElse(
       throw new IllegalStateException(s"table ${log.tablePath} has no metadata"))
-    val txn = log.startTransaction()
+    val txn = log.startTransaction(snap)
     if (ColumnMapping.isMapped(snap)) txn.permitNameMappedCommit()
     if (cfgProps.nonEmpty)
       txn.addAction(md.copy(configuration = md.configuration ++ cfgProps))
@@ -429,7 +429,7 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
         "carries")
     val md = snap.metadata.getOrElse(
       throw new IllegalStateException(s"table ${log.tablePath} has no metadata"))
-    val txn = log.startTransaction()
+    val txn = log.startTransaction(snap)
     if (ColumnMapping.isMapped(snap)) txn.permitNameMappedCommit()
     txn.addAction(md.copy(configuration = md.configuration -- keys))
     val info = ActionCodec.mapper.createObjectNode()
@@ -510,7 +510,7 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     val md = snap.metadata.getOrElse(
       throw new IllegalStateException(s"table ${log.tablePath} has no metadata"))
     val wasCoordinated = CoordinatedCommits.isCoordinated(md.configuration)
-    val txn = log.startTransaction()
+    val txn = log.startTransaction(snap)
     if (ColumnMapping.isMapped(snap)) txn.permitNameMappedCommit()
     txn.addAction(md.copy(configuration = md.configuration -- keys))
     if (wasCoordinated) {
@@ -582,7 +582,7 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     precheck(snap)
     // domain commits stage no data files — mapped tables are safe
     ProtocolSupport.assertWritable(snap, allowNameMapping = true)
-    val txn = log.startTransaction()
+    val txn = log.startTransaction(snap)
     if (ColumnMapping.isMapped(snap)) txn.permitNameMappedCommit()
     ProtocolSupport.writerFeatureFence(snap, "domainMetadata").foreach(txn.addAction)
     txn.addAction(action)
@@ -620,7 +620,7 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
     require(partitioned.isEmpty,
       s"partition column(s) ${partitioned.mkString(",")} cannot also cluster")
     ProtocolSupport.assertWritable(snap, allowNameMapping = true)
-    val txn = log.startTransaction()
+    val txn = log.startTransaction(snap)
     if (ColumnMapping.isMapped(snap)) txn.permitNameMappedCommit()
     // one folded protocol action for both features
     val protoBase = ProtocolAction(snap.minReaderVersion, snap.minWriterVersion,
@@ -686,7 +686,7 @@ final class DeltaTable private[delta] (val log: DeltaLog, val snapshot: Snapshot
         case None => f
       }
     })
-    val txn = log.startTransaction()
+    val txn = log.startTransaction(snap)
     if (ColumnMapping.isMapped(snap)) txn.permitNameMappedCommit()
     txn.addAction(md.copy(schemaString = DeltaSchema.toJson(updated)))
     val info = ActionCodec.mapper.createObjectNode()
@@ -786,6 +786,16 @@ object DeltaTable {
   /** `open_table` (`rust/src/delta.rs:1453-1459`): latest version. */
   def forPath(spark: SparkSession, path: String): DeltaTable = {
     val log = DeltaLog.forPath(spark, path)
+    val snap = log.update()
+    if (snap.version < 0) throw new NotATableException(path)
+    new DeltaTable(log, snap)
+  }
+
+  /** [[forPath]] on a fresh, never-shared log handle — for callers that
+    * deliberately exercise the cold-load/checkpoint-restore path (see
+    * [[DeltaLog.forPathUncached]]). */
+  def forPathUncached(spark: SparkSession, path: String): DeltaTable = {
+    val log = DeltaLog.forPathUncached(spark, path)
     val snap = log.update()
     if (snap.version < 0) throw new NotATableException(path)
     new DeltaTable(log, snap)

@@ -156,7 +156,7 @@ object Dml {
         }
 
     val now = System.currentTimeMillis()
-    val txn = log.startTransaction().withReadFilters(
+    val txn = log.startTransaction(snap).withReadFilters(
       PartitionFilter.fromCatalyst(
         org.apache.spark.sql.graftbridge.ColumnBridge.catalystExpression(predicate),
         snap.partitionColumns).map(PartitionFilter.mapKey(_, phys)))
@@ -276,7 +276,7 @@ object Dml {
     val rowsUpdated = counts.values.sum
 
     val now = System.currentTimeMillis()
-    val txn = log.startTransaction().withReadFilters(
+    val txn = log.startTransaction(snap).withReadFilters(
       PartitionFilter.fromCatalyst(
         org.apache.spark.sql.graftbridge.ColumnBridge.catalystExpression(predicate),
         snap.partitionColumns).map(PartitionFilter.mapKey(_, phys)))
@@ -592,7 +592,7 @@ object Dml {
     // concurrent adds in disjoint partitions commute instead of aborting us
     // (read-filter keys translate to the at-rest partitionValues space).
     val now = System.currentTimeMillis()
-    val txn = log.startTransaction().withReadFilters(
+    val txn = log.startTransaction(snap).withReadFilters(
       PartitionFilter.fromCatalyst(
         org.apache.spark.sql.graftbridge.ColumnBridge.catalystExpression(predicate),
         snap.partitionColumns).map(PartitionFilter.mapKey(_, phys)))

@@ -284,7 +284,7 @@ object GraftWriter {
       else addsUntagged.map(a =>
         a.copy(tags = Some(a.tags.getOrElse(Map.empty) ++ fileTags)))
     val now = System.currentTimeMillis()
-    val txn = log.startTransaction()
+    val txn = log.startTransaction(snap)
     // the authoritative mark preconditions, against the txn's OWN read
     // snapshot — see the parameter doc (r15 advice)
     (requireAppVersion.toSeq ++ requireAppVersions).foreach { case (app, want) =>

@@ -582,7 +582,7 @@ final class MergeBuilder private[delta] (
         org.apache.spark.sql.graftbridge.ColumnBridge.catalystExpression(condition),
         snap.partitionColumns, qualifier = Some("t"))
         .map(PartitionFilter.mapKey(_, phys))
-    val txn = log.startTransaction().withReadFilters(readDomain)
+    val txn = log.startTransaction(snap).withReadFilters(readDomain)
     // mark-precondition second leg: checked against the commit txn's own
     // read snapshot, re-asserted (unchanged) so the retry loop
     // conflict-classifies a competing mark. An abort here is after the

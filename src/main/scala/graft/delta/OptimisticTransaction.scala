@@ -99,14 +99,26 @@ final class AppendOnlyTableException(path: String)
   * the check reads only the commits that actually raced (O(contention),
   * not O(log)).
   */
-final class OptimisticTransaction(val log: DeltaLog) {
+final class OptimisticTransaction(val log: DeltaLog,
+                                  pinned: Option[Snapshot] = None) {
 
   /** The snapshot this transaction's view of the table is based on —
     * captured once at construction so commit-time decisions (coordinator
     * routing, the adoption-mark fast path) are made against the SAME state
     * the conflict check classifies from, not whatever `log.snapshot`
-    * happens to hold at commit time (r13 advice). */
-  private val readSnapshot: Snapshot = log.snapshot
+    * happens to hold at commit time (r13 advice).
+    *
+    * `pinned` (r17, forced by the shared-handle cache): a writer that
+    * PLANS against a snapshot — computes removes, CDF images, a rewrite,
+    * a metadata evolution — must pin THAT snapshot here, via
+    * [[DeltaLog.startTransaction(pinned*]]. With per-call handles the
+    * `log.snapshot` fallback was equivalent (nothing could advance a
+    * private handle); with shared handles a concurrent same-JVM commit can
+    * advance the cache between the planning read and transaction start,
+    * and the conflict window `(readVersion, latest]` would then SKIP the
+    * very commit the plan raced — a lost update (caught by DmlStormSpec
+    * seed 4: a concurrent rewrite resurrected three deleted rows). */
+  private val readSnapshot: Snapshot = pinned.getOrElse(log.snapshot)
 
   /** The version this transaction's view of the table is based on. */
   private val readVersion: Long = readSnapshot.version

@@ -141,7 +141,7 @@ object Optimize {
     val adds = GraftWriter.stageFiles(staged, path, physPartCols)
       .map(_.copy(dataChange = false))
     val now = System.currentTimeMillis()
-    val txn = log.startTransaction()
+    val txn = log.startTransaction(snap)
     if (mapped) txn.permitNameMappedCommit()
     oldFiles.foreach(f => txn.addAction(RemoveAction(
       path = f.path, deletionTimestamp = now, dataChange = false,
@@ -312,7 +312,7 @@ object Optimize {
         case None => a
       })
     val now = System.currentTimeMillis()
-    val txn = log.startTransaction()
+    val txn = log.startTransaction(snap)
     if (mapped) txn.permitNameMappedCommit()
     oldFiles.foreach(f => txn.addAction(RemoveAction(
       path = f.path, deletionTimestamp = now, dataChange = false,

@@ -81,7 +81,7 @@ object Restore {
       toAdd, toRemove, currentByPath)
 
     val now = System.currentTimeMillis()
-    val txn = log.startTransaction()
+    val txn = log.startTransaction(current)
     if (ColumnMapping.isMapped(current)) txn.permitNameMappedCommit()
     (current.metadata, target.metadata) match {
       case (Some(cur), Some(tgt))

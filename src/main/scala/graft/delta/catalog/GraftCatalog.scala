@@ -256,7 +256,9 @@ class GraftCatalog extends DelegatingCatalogExtension
                               config: Map[String, String],
                               clusterCols: Seq[String] = Nil): Unit = {
     val now = System.currentTimeMillis()
-    val txn = log.startTransaction()
+    // pin the pre-create snapshot: a racing CREATE at the same path must
+    // conflict-classify, not be silently skipped (r17 shared handles)
+    val txn = log.startTransaction(log.update())
     // CREATE with column mapping declared: fresh col-<uuid> physical names
     // + ids from version 0 (no files exist, both modes are safe)
     val (annSchema, annConfig, (fr, fw)) =
@@ -504,7 +506,7 @@ class GraftCatalog extends DelegatingCatalogExtension
         s"graft-delta does not support ALTER change $other")
     }
 
-    val txn = log.startTransaction()
+    val txn = log.startTransaction(snap)
     if (mapped) txn.permitNameMappedCommit()
     txn.addAction(meta.copy(
       schemaString = DeltaSchema.toJson(schema),

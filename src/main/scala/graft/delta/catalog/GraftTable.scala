@@ -44,7 +44,7 @@ class GraftTable(
     val snap = log.update()
     if (snap.version < 0) throw new IllegalStateException(
       s"no graft-delta table at $location")
-    val txn = log.startTransaction()
+    val txn = log.startTransaction(snap)
     // remove-only commit: nothing stages, mapped tables are safe
     if (graft.delta.ColumnMapping.isMapped(snap)) txn.permitNameMappedCommit()
     val now = System.currentTimeMillis()

@@ -103,6 +103,22 @@ object DedupIndex {
     spark.conf.getOption("spark.graft.dedup.probeInMax")
       .map(_.toInt).getOrElse(100000)
 
+  /** Widen a CPU-stage frame to the session's default parallelism when it
+    * scans as fewer partitions (single-commit seeds, small CDF windows —
+    * the unsplittable-input skew of the optimization guide §2.5): the
+    * shingle/sign/verify work above it is the refresh's CPU wall and would
+    * otherwise run near-serial. Hash partitioning on the unique id is
+    * deterministic (retry-safe) and leaves results unchanged by
+    * construction; a frame already at or above the session's slot count —
+    * any production-scale window — passes through untouched, no exchange.
+    * Writes are NOT widened by this: the standing tables keep their
+    * layoutParts-sized range shuffles. */
+  private def widen(df: DataFrame, key: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, col(key))
+  }
+
   /** Broadcast `df` only while the matching probe-key set fit under
     * [[probeInMax]] (`under`). Past the cap the window is no longer small:
     * a 10M-doc window's band-key set is GBs, and an unconditional hint
@@ -254,8 +270,7 @@ object DedupIndex {
         DeltaLog.forPath(spark, p).update()
           .appTransactionVersion.contains(SourceVersionApp))
       def stamp(): Unit = {
-        bLog.update()
-        val txn = bLog.startTransaction()
+        val txn = bLog.startTransaction(bLog.update())
         txn.addAction(TxnAction(CompactedAtApp, mark))
         txn.commit()
       }
@@ -369,8 +384,12 @@ object DedupIndex {
     // read AT the marked version: an unpinned read races a concurrent
     // source append, which would be indexed here AND re-offered by the
     // first refresh's window (r14 review)
-    val docs = DeltaTable.forPath(spark, sourcePath, snap.version).toDF
-      .select(col(idCol).as("id"), col(textCol).as("text"))
+    // widen: the source often arrives as fewer files than the session has
+    // slots (a single-commit seed), and shingling + MinHash signing — the
+    // build's CPU wall — would run near-serial on them; no-op at scale
+    // (r17 optimization, guide §2.5 unsplittable-input skew)
+    val docs = widen(DeltaTable.forPath(spark, sourcePath, snap.version).toDF
+      .select(col(idCol).as("id"), col(textCol).as("text")), "id")
     val (nDocs, idW) = requireCleanIds(docs, s"source $sourcePath")
     // bytes/row: members and survivors carry two id-typed columns
     // (id + comp) plus len/asof/dead; buckets one id plus band_idx/
@@ -546,7 +565,7 @@ object DedupIndex {
       val log = DeltaLog.forPath(spark, p)
       val cur = log.update().appTransactionVersion.get(SourceVersionApp)
       cur.orElse {
-        val txn = log.startTransaction()
+        val txn = log.startTransaction(log.snapshot)
         txn.addAction(TxnAction(SourceVersionApp, last))
         txn.commit()
         Some(last)
@@ -571,19 +590,21 @@ object DedupIndex {
       if (cur.contains(now)) cur
       else {
         val log = DeltaLog.forPath(spark, p)
-        log.update() // freshen the cache the txn pins its read snapshot to
-        val txn = log.startTransaction()
+        val txn = log.startTransaction(log.update())
         cur.foreach(m => txn.requireAppVersion(SourceVersionApp, m))
         txn.addAction(TxnAction(SourceVersionApp, now))
         txn.commit()
         Some(now)
       }
     // ONE window read serves the change-kind fence AND both folds; the
-    // commit version rides along so multi-commit windows net-fold per id
-    val raw = ChangeDataFeed.readChanges(spark, srcLog, last, now)
+    // commit version rides along so multi-commit windows net-fold per id.
+    // widen: a window is typically a handful of small files — the batch's
+    // shingle/sign/verify CPU would otherwise run near-serial (r17; no-op
+    // when the window already has >= slots splits)
+    val raw = widen(ChangeDataFeed.readChanges(spark, srcLog, last, now)
       .select(col(idCol).as("id"), col(textCol).as("text"),
         col(ChangeDataFeed.ChangeType).as("ct"),
-        col(ChangeDataFeed.CommitVersion).as("cver"))
+        col(ChangeDataFeed.CommitVersion).as("cver")), "id")
       .localCheckpoint(true) // fence + no-op-update netting both read it
     // supported change kinds: insert + delete (r15 verdict #2) + update
     // pre/post images (r16 verdict #1 — ≤4 distinct strings, driver-bounded)
@@ -691,8 +712,7 @@ object DedupIndex {
     // the mark (r14 review)
     def bareMark(): Unit = {
       val log = DeltaLog.forPath(spark, bucketsPath(root))
-      log.update() // freshen the cache the txn pins its read snapshot to
-      val txn = log.startTransaction()
+      val txn = log.startTransaction(log.update())
         .requireAppVersion(SourceVersionApp, last)
       markAction.foreach(txn.addAction)
       txn.commit()

@@ -553,8 +553,7 @@ object IvfIndex {
   private def bareMark(spark: SparkSession, root: String, last: Long,
                        markAction: Seq[TxnAction]): Unit = {
     val log = DeltaLog.forPath(spark, postingsPath(root))
-    log.update() // freshen the cache the txn pins its read snapshot to
-    val txn = log.startTransaction()
+    val txn = log.startTransaction(log.update())
       .requireAppVersion(SourceVersionApp, last)
     markAction.foreach(txn.addAction)
     txn.commit()
@@ -741,7 +740,7 @@ object IvfIndex {
     val adds = GraftWriter.stageFiles(codesIfQuantized(spark, root, rows),
       postingsPath(root), Seq("cluster"))
     val nowMs = System.currentTimeMillis()
-    val txn = log.startTransaction()
+    val txn = log.startTransaction(snap) // pinned: removes planned from snap
       .withReadFilters(Seq(PartitionFilter.In("cluster",
         readClusters.map(_.toString).toSet)))
     val cur = snap.appTransactionVersion.get(LayoutEpochApp)
@@ -765,8 +764,9 @@ object IvfIndex {
     * centroid read predates a centroid-row deletion. */
   private def bumpLayout(spark: SparkSession, root: String): Unit = {
     val log = DeltaLog.forPath(spark, postingsPath(root))
-    val cur = log.update().appTransactionVersion.get(LayoutEpochApp)
-    val txn = log.startTransaction()
+    val pinSnap = log.update()
+    val cur = pinSnap.appTransactionVersion.get(LayoutEpochApp)
+    val txn = log.startTransaction(pinSnap)
     cur.foreach(v => txn.requireAppVersion(LayoutEpochApp, v))
     txn.addAction(TxnAction(LayoutEpochApp, cur.getOrElse(0L) + 1L))
     txn.commit()

@@ -82,7 +82,11 @@ object DeltaQueries {
           d.filter(col("l_orderkey") >= i * 100 && col("l_orderkey") < (i + 1) * 100), t,
           if (i == 0) SaveMode.ErrorIfExists else SaveMode.Append)
       }
-      DeltaTable.forPath(s, t).toDF
+      // COLD handle for the serving read: the gate's claim is that the
+      // auto-checkpoint at version 10 restores + the 2-commit tail replays
+      // — the shared-handle cache (r17) would serve the writer's warm
+      // snapshot and never exercise the restore
+      DeltaTable.forPathUncached(s, t).toDF
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     },
 
@@ -418,7 +422,10 @@ object DeltaQueries {
         SaveMode.Append)
       Dml.delete(s, t, col("l_quantity") > 45)
       DeltaLog.forPath(s, t).checkpoint()
-      val cold = DeltaLog.forPath(s, t)
+      // forPathUncached: the gate's claim is that a COLD load restores the
+      // v2 checkpoint — the shared-handle cache would serve the warm
+      // snapshot and never exercise the restore (r17)
+      val cold = DeltaLog.forPathUncached(s, t)
       val snap = cold.update()
       require(snap.domainMetadata.get("app.audit").contains("round-9"),
         "domain metadata lost through the v2 checkpoint")
@@ -660,7 +667,9 @@ object DeltaQueries {
         d.filter(col("l_orderkey") >= 1200 && col("l_orderkey") < 1800), t,
         SaveMode.Append)
       Dml.delete(s, t, col("l_returnflag") === "A" && col("l_orderkey") >= 900)
-      DeltaTable.forPath(s, t).toDF
+      // COLD handle: the gate's claim is the multipart restore + tail fold
+      // — a shared warm handle (r17 cache) would never re-read the parts
+      DeltaTable.forPathUncached(s, t).toDF
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     },

@@ -19,8 +19,11 @@ import graft.ops._
   */
 object PipelineQueries {
 
+  // raw reads; the unsplittable-scan widening (Inputs.parallel) is OPT-IN
+  // per query — measured a win only where per-row CPU dominates (MinHash /
+  // SimHash / language-ID / exact cosine verify), a small loss elsewhere
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Inputs.raw(s, dir, name)
 
   /** ONE shared standing-dedup-index lifecycle drives the q81 AND q82
     * gates (r15 verdict #4: the dedup lifecycle gates cost 53% of the
@@ -65,7 +68,11 @@ object PipelineQueries {
 
   private def runDedupLifecycle(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
+      // raw read (no widening): these frames SEED the source table — a
+      // widened frame stages parallelism-many tiny files per batch commit,
+      // inflating every later merge/maintain pass (r17: lifecycle 70→108 s);
+      // the index widens its own CPU-heavy window folds internally
+      val docs = Inputs.raw(s, dir, "documents").select("doc_id", "text")
       val root = graft.queries.DeltaQueries.freshWorkDir("deduplife")
       val src = s"$root/source"
       def part(rs: Int*) =
@@ -110,7 +117,8 @@ object PipelineQueries {
     * Memoized per dir like [[dedupLifecycle]] (fixed commit floors; the
     * driver's bench sweeps twice). */
   private def q83Lifecycle(s: SparkSession, dir: String): DataFrame = {
-    val numDocs = t(s, dir, "documents")
+    // raw read: seeds the source table (see runDedupLifecycle's note)
+    val numDocs = Inputs.raw(s, dir, "documents")
       .filter(pmod(col("doc_id"), lit(3)) === 1)
     val docs = numDocs
       .select(format_string("doc://%012d", col("doc_id")).as("doc_id"),
@@ -153,12 +161,13 @@ object PipelineQueries {
     * review). It must then STAY set for the session: the scan consults it
     * at execution, after this function returns. */
   private[queries] def events(s: SparkSession, dir: String): DataFrame = {
+    def read() = Inputs.raw(s, dir, "events")
     val raw =
-      try t(s, dir, "events")
+      try read()
       catch {
         case _: Exception => // ns-typed ts: Spark 4 refuses at inference
           s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          t(s, dir, "events")
+          read()
       }
     val tsUs = raw.schema("ts").dataType match {
       // convert_timezone pins the nanos vintage to a UTC-wall-clock NTZ —
@@ -336,7 +345,12 @@ object PipelineQueries {
           bucketWidth = dayUs, keyCols = Seq("user_id"))
         .select(col("p_event"), col("c_event"), col("user_id"),
           (col("c_us") - col("s_us")).as("lag_us"))
-        .orderBy(col("p_event"), col("c_event")) // total: the pair is unique
+        // the (p_event, c_event) pair is unique (a point lands in exactly
+        // one bucket, so a pair joins at most once) — the trailing keys
+        // never fire and row order is byte-identical; they make totality
+        // PROVABLE to the order-audit (inherited r17 mid-build failure:
+        // OrderTotalitySpec cannot see uniqueness through the renames)
+        .orderBy(col("p_event"), col("c_event"), col("user_id"), col("lag_us"))
     },
 
     // THE composed LLM-data pipeline as ONE lineage (r12 verdict #1):
@@ -380,7 +394,9 @@ object PipelineQueries {
       // the gate must compare identical semantics at every sf; the default
       // cap is the production guard, spec-proven in DedupSpec's
       // adversarial-skew cases
-      Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id", 1, 2,
+      Dedup.minhashLshPairs(
+        Inputs.parallel(t(s, dir, "documents"), "doc_id"), // CPU-heavy: signing
+        "text", "doc_id", 1, 2,
           maxBucketSize = None)
         .orderBy("id_a", "id_b")
     },
@@ -390,7 +406,8 @@ object PipelineQueries {
     // restatable in DuckDB, so the oracle recomputes the full simhash →
     // band → Hamming pipeline exactly (the q50 restate-the-kernel pattern).
     "q26_simhash" -> { (s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 16,
+      Dedup.simhashPairs(Inputs.parallel(t(s, dir, "documents"), "doc_id"),
+        "text", "doc_id", maxHamming = 16,
           maxBucketSize = None) // uncapped: oracle identity, see q25
         .withColumn("hamming", col("hamming").cast("long"))
         .orderBy("id_a", "id_b")
@@ -456,7 +473,9 @@ object PipelineQueries {
     // ranking). Partial-probe recall is IvfIndexSpec/IvfProbeMain territory.
     "q79_ivf_index" -> { (s, dir) =>
       import s.implicits._
-      val vecs = t(s, dir, "embeddings")
+      // raw read: vecs feeds GraftWriter/IvfIndex builds — widening would
+      // stage parallelism-many tiny files per commit (see runDedupLifecycle)
+      val vecs = Inputs.raw(s, dir, "embeddings")
       val root = graft.queries.DeltaQueries.freshWorkDir("ivfindex")
       val cut = vecs.selectExpr("percentile_approx(vec_id, 0.9)").first().getLong(0)
       IvfIndex.build(s, vecs.filter(col("vec_id") < cut), "vec_id", "embedding",
@@ -481,7 +500,7 @@ object PipelineQueries {
     // (the q60 contract routed through the committed index lifecycle).
     "q85_ivf_quantized" -> { (s, dir) =>
       import s.implicits._
-      val vecs = t(s, dir, "embeddings")
+      val vecs = Inputs.raw(s, dir, "embeddings") // raw: seeds builds (q79 note)
       val root = graft.queries.DeltaQueries.freshWorkDir("ivfquant")
       val cut = vecs.selectExpr("percentile_approx(vec_id, 0.9)").first().getLong(0)
       IvfIndex.build(s, vecs.filter(col("vec_id") < cut), "vec_id", "embedding",
@@ -504,7 +523,7 @@ object PipelineQueries {
     // a tombstone mis-fold all break the hash.
     "q80_ivf_cdf" -> { (s, dir) =>
       import s.implicits._
-      val vecs = t(s, dir, "embeddings")
+      val vecs = Inputs.raw(s, dir, "embeddings") // raw: seeds builds (q79 note)
       val root = graft.queries.DeltaQueries.freshWorkDir("ivfcdf")
       val src = s"$root/source"
       graft.delta.GraftWriter.write(
@@ -626,7 +645,8 @@ object PipelineQueries {
     // unusable as truth — the synthetic vocabulary is language-blind — but
     // the operator's own semantics are cross-engine-verified.)
     "q33_langid" -> { (s, dir) =>
-      TextAnalysis.languageId(t(s, dir, "documents"), "text", "doc_id")
+      TextAnalysis.languageId(Inputs.parallel(t(s, dir, "documents"), "doc_id"),
+        "text", "doc_id")
         .orderBy("doc_id")
     },
 
@@ -649,7 +669,8 @@ object PipelineQueries {
     // base-31 mod-1e9+7 char fold restates as a DuckDB list_reduce (both
     // engines agree on split(''), ascii, and the fold — verified).
     "q34_fingerprint" -> { (s, dir) =>
-      TextAnalysis.fingerprint(t(s, dir, "documents"), "text", "doc_id")
+      TextAnalysis.fingerprint(Inputs.parallel(t(s, dir, "documents"), "doc_id"),
+        "text", "doc_id")
         .orderBy("doc_id")
     },
 
@@ -665,7 +686,8 @@ object PipelineQueries {
       // maxRows=None: the slice is already bounded to 1000 ids — the
       // guard's O(n) count would be a wasted extra pass in the gate
       Dedup.embeddingSimilarPairs(
-        t(s, dir, "embeddings").filter(col("vec_id") < 1000), "vec_id", "embedding",
+        Inputs.parallel(t(s, dir, "embeddings"), "vec_id") // CPU: O(n²) verify
+          .filter(col("vec_id") < 1000), "vec_id", "embedding",
         thresholdNum = 45, thresholdDen = 100, maxRows = None)
         .orderBy("id_a", "id_b")
     },
@@ -680,7 +702,8 @@ object PipelineQueries {
     // run is reproducible bit-for-bit.
     "q50_embed_lsh" -> { (s, dir) =>
       Dedup.embeddingSimilarPairsMultiLsh(
-        t(s, dir, "embeddings").filter(col("vec_id") < 1000), "vec_id", "embedding",
+        Inputs.parallel(t(s, dir, "embeddings"), "vec_id") // CPU: 96-table LSH
+          .filter(col("vec_id") < 1000), "vec_id", "embedding",
         thresholdNum = 45, thresholdDen = 100,
         nTables = 96, nPlanes = 4,
         maxBucketSize = None) // uncapped: oracle identity, see q25

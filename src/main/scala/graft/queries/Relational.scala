@@ -57,8 +57,11 @@ object Relational {
     "CAST(SUM(CAST(CAST(%s AS DECIMAL(18,6)) * 100 AS BIGINT) * " +
     "CAST((1 - CAST(%s AS DECIMAL(18,6))) * 100 AS BIGINT)) AS BIGINT)"
 
+  // raw reads: a blanket scan-widening exchange was measured a net LOSS on
+  // this scan-light set (r1 gate 9.1→14.2 s) — see Inputs.parallel's doc;
+  // the widening is opt-in for CPU-heavy operators only
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Inputs.raw(s, dir, name)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary: map-side partial aggregation, one shuffle

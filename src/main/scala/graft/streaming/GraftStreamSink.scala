@@ -116,7 +116,7 @@ final class GraftStreamSink(
       else effPartitionBy
     val adds = GraftWriter.stageFiles(staged, tablePath, physPartitionBy)
     val now = System.currentTimeMillis()
-    val txn = log.startTransaction()
+    val txn = log.startTransaction(snap)
     if (mapped) txn.permitNameMappedCommit()
     // Append adds; Complete REPLACES the table contents each epoch (the
     // engine hands the full result per trigger — appending it would stack

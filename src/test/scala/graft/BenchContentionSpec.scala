@@ -49,6 +49,24 @@ class BenchContentionSpec extends AnyFunSuite {
     assert(!BenchContention.contended(wall(143.0), noCpu, Seq.fill(n)(1.0)))
   }
 
+  test("r17 probe-corroborated overload: self-load alone no longer convicts") {
+    // post-parallelism engine shape: the engine's own 32-way task bursts
+    // hold load1m at 4-6 on a healthy idle box (measured r17 — all three
+    // sweeps self-flagged), healthy cal probes, healthy cpu/wall
+    val selfLoad = Seq.fill(n)(5.5)
+    assert(!BenchContention.contended(wall(60.0), cpu(170.0), selfLoad,
+      absoluteProbesDegraded = false))
+    // the SAME load with degraded absolute probes is real external load
+    assert(BenchContention.contended(wall(60.0), cpu(170.0), selfLoad,
+      absoluteProbesDegraded = true))
+    // starvation still convicts on its own, probes healthy or not
+    assert(BenchContention.contended(wall(143.0), cpu(132.0), Seq.fill(n)(2.0),
+      absoluteProbesDegraded = false))
+    // clean run stays clean under the overload too
+    assert(!BenchContention.contended(wall(53.0), cpu(132.0), Seq.fill(n)(1.0),
+      absoluteProbesDegraded = false))
+  }
+
   test("median: odd, even, empty") {
     assert(BenchContention.median(Seq(3.0, 1.0, 2.0)) == 2.0)
     assert(BenchContention.median(Seq(1.0, 2.0, 3.0, 4.0)) == 2.5)

@@ -24,7 +24,7 @@ class AdviceRegressionSpec extends AnyFunSuite with SparkTestBase {
     GraftWriter.write(Seq((1L, "a")).toDF("id", "v"), dir)
     overwriteBehindHadoop(dir, f"${0L}%020d.crc",
       """{"tableSizeBytes":1,"numFiles":42,"numMetadata":1,"numProtocol":1}""")
-    val log = DeltaLog.forPath(spark, dir) // fresh instance, nothing cached
+    val log = DeltaLog.forPathUncached(spark, dir) // fresh instance, nothing cached
     intercept[IllegalStateException](log.update())
     assert(log.snapshot.version < 0,
       "the failed snapshot must not have been cached")

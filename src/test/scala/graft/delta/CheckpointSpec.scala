@@ -252,7 +252,9 @@ class CheckpointSpec extends AnyFunSuite with SparkTestBase {
     java.nio.file.Files.list(java.nio.file.Paths.get(work, "_delta_log"))
       .filter(_.toString.endsWith(".json"))
       .forEach(p => java.nio.file.Files.delete(p))
-    val after = DeltaLog.forPath(spark, work).update()
+    // forPathUncached: the claim is a COLD restore from the graft-written
+    // checkpoint — the r17 shared-handle cache would serve the warm snapshot
+    val after = DeltaLog.forPathUncached(spark, work).update()
     assert(after.version == before.version)
     assert(after.files.map(_.path).sorted == before.files.map(_.path).sorted)
     assert(after.metadata.map(_.schemaString) == before.metadata.map(_.schemaString))

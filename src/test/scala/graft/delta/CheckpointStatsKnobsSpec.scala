@@ -44,12 +44,15 @@ class CheckpointStatsKnobsSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("add.stats").isNotNull).count() == 0)
     // cold load restores WITHOUT stats — row answers must stay exact
     // (stats are a pruning aid, never the data)
-    val cold = DeltaLog.forPath(spark, dir).update()
+    // uncached: the claim is the RESTORE serves stats-free adds — the warm
+    // writer handle still holds the footer stats in memory
+    val cold = DeltaLog.forPathUncached(spark, dir).update()
     assert(cold.files.head.stats.isEmpty)
-    assert(DeltaTable.forPath(spark, dir).toDF.count() == 20)
-    assert(DeltaTable.forPath(spark, dir).toDF
+    assert(DeltaTable.forPathUncached(spark, dir).toDF.count() == 20)
+    assert(DeltaTable.forPathUncached(spark, dir).toDF
       .filter(col("id") >= 10).count() == 10)
-    // and the statistics fold degrades honestly (no exact numRecords)
-    assert(DeltaTable.forPath(spark, dir).statistics.numRecords.isEmpty)
+    // and the statistics fold degrades honestly (no exact numRecords) —
+    // uncached: the warm writer handle still holds the footer stats
+    assert(DeltaTable.forPathUncached(spark, dir).statistics.numRecords.isEmpty)
   }
 }

@@ -48,7 +48,9 @@ class ChecksumSpec extends AnyFunSuite with SparkTestBase {
     // a foreign writer's bookkeeping disagrees with what replay will find
     overwriteBehindHadoop(dir, f"$v%020d.crc",
       """{"tableSizeBytes":1,"numFiles":42,"numMetadata":1,"numProtocol":1}""")
-    val e = intercept[IllegalStateException](DeltaLog.forPath(spark, dir).update())
+    // forPathUncached: the claim is the COLD refresh validates — the r17
+    // shared-handle cache would serve the warm snapshot and never re-validate
+    val e = intercept[IllegalStateException](DeltaLog.forPathUncached(spark, dir).update())
     assert(e.getMessage.contains("checksum mismatch"))
     assert(e.getMessage.contains("numFiles=42"))
   }
@@ -60,9 +62,9 @@ class ChecksumSpec extends AnyFunSuite with SparkTestBase {
     val v = log.update().version
     val crcPath = Paths.get(dir, "_delta_log", f"$v%020d.crc")
     Files.delete(crcPath)
-    assert(DeltaLog.forPath(spark, dir).update().version == v) // absent: fine
+    assert(DeltaLog.forPathUncached(spark, dir).update().version == v) // absent: fine
     overwriteBehindHadoop(dir, f"$v%020d.crc", "not json at all {{{")
-    assert(DeltaLog.forPath(spark, dir).update().version == v) // garbage: fine
+    assert(DeltaLog.forPathUncached(spark, dir).update().version == v) // garbage: fine
 
     GraftWriter.write(Seq((2L, "b")).toDF("id", "v"), dir, SaveMode.Append)
     val log2 = DeltaLog.forPath(spark, dir)

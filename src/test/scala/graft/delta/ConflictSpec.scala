@@ -152,7 +152,9 @@ class ConflictSpec extends AnyFunSuite with SparkTestBase {
     val dir = mkPartTable("cf-dml-e2e")
     // two full DML operations racing on disjoint partitions: the second
     // starts from a snapshot that predates the first's commit
-    val logA = DeltaLog.forPath(spark, dir)
+    // uncached: the scenario IS a stale independent handle racing the DML —
+    // the r17 shared-handle cache would advance logA with the racer's commit
+    val logA = DeltaLog.forPathUncached(spark, dir)
     logA.update() // snapshot v0 pinned
     Dml.delete(spark, dir, col("p") === "b" && col("id") < 10) // racer wins v1
     // stale rewrite through the full Dml path would re-read; emulate the

@@ -406,6 +406,10 @@ class CoordinatedCommitsSpec extends AnyFunSuite with SparkTestBase {
     Files.writeString(fake, Files.readString(real).replace("a.parquet", "z.parquet"))
     CommitCoordinatorProvider.register("im-lost2",
       new InMemoryCommitCoordinator(backfillInterval = 100))
+    // the scenario is a FRESH PROCESS after total coordinator state loss:
+    // a warm handle (r17 forPath cache) still tracks the real winner in its
+    // staged map and would heal it instead of facing the ambiguity
+    DeltaLog.clearHandleCache()
     val e = intercept[IllegalStateException] { append(dir, "c.parquet") }
     assert(e.getMessage.contains("staged candidates"),
       s"must refuse to pick a winner, got: ${e.getMessage}")

@@ -88,7 +88,9 @@ class InCommitTimestampSpec extends AnyFunSuite with SparkTestBase {
     val ict2 = log.inCommitTimestampOf(2).get
     // sabotage the mtimes: if anything still reads them, resolution breaks
     Seq(1L, 2L, 3L).foreach(v => LogFixtures.setCommitTime(dirP, v, 1000L))
-    val fresh = DeltaLog.forPath(spark, dir)
+    // uncached: the scenario is a fresh reader AFTER a log copy rewrote
+    // mtimes — a warm handle's mtime cache would serve the old clocks
+    val fresh = DeltaLog.forPathUncached(spark, dir)
     fresh.update()
     assert(fresh.versionForTimestamp(ict2) == 2)
     assert(fresh.versionTimestamp(2) == ict2)
@@ -136,7 +138,9 @@ class InCommitTimestampSpec extends AnyFunSuite with SparkTestBase {
     LogFixtures.setCommitTime(dirP, 0, 5000L)
     LogFixtures.setCommitTime(dirP, 1, 6000L)
     enableIct(dir)                                                     // v2
-    val log = DeltaLog.forPath(spark, dir)
+    // uncached: setCommitTime rewrote v0/v1 mtimes behind the writer's
+    // warm handle, whose mtime cache would otherwise serve the old values
+    val log = DeltaLog.forPathUncached(spark, dir)
     log.update()
     assert(log.versionTimestamp(0) == 5000L)
     assert(log.versionTimestamp(1) == 6000L)

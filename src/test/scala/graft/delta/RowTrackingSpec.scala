@@ -272,8 +272,10 @@ class RowTrackingSpec extends AnyFunSuite with SparkTestBase {
     val dir = tempTable("rt-race").toString
     GraftWriter.write(Seq((0L, "a")).toDF("id", "v"), dir)
     enableRt(dir)
-    val log1 = DeltaLog.forPath(spark, dir); log1.update()
-    val log2 = DeltaLog.forPath(spark, dir); log2.update()
+    // uncached: two INDEPENDENT writers (the r17 cache would hand both the
+    // same handle and the second would never see a stale high-water mark)
+    val log1 = DeltaLog.forPathUncached(spark, dir); log1.update()
+    val log2 = DeltaLog.forPathUncached(spark, dir); log2.update()
     def appendVia(log: DeltaLog, p: String): Unit = {
       val snap = log.snapshot
       val add = AddAction(p, 10, Map.empty, 1L, dataChange = true,

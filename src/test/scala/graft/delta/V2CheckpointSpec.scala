@@ -163,7 +163,7 @@ class V2CheckpointSpec extends AnyFunSuite with SparkTestBase {
     Files.writeString(Paths.get(dir, "_delta_log", "_last_checkpoint"),
       s"""{"version":${snap.version},"size":${rows.size}}""")
 
-    val cold = DeltaLog.forPath(spark, dir).update()
+    val cold = DeltaLog.forPathUncached(spark, dir).update()
     assert(cold.version == snap.version)
     assert(cold.files.map(_.path).sorted == snap.files.map(_.path).sorted)
     assert(cold.minReaderVersion == 3)
@@ -184,7 +184,7 @@ class V2CheckpointSpec extends AnyFunSuite with SparkTestBase {
     val name = f"${snap.version}%020d.checkpoint.cafebabe-0000-4000-8000-000000000002.json"
     Files.writeString(Paths.get(dir, "_delta_log", name), lines.mkString("\n"))
 
-    val cold = DeltaLog.forPath(spark, dir).update()
+    val cold = DeltaLog.forPathUncached(spark, dir).update()
     assert(cold.files.map(_.path).sorted == snap.files.map(_.path).sorted)
     assert(DeltaTable.forPath(spark, dir).toDF.count() == 5)
   }
@@ -200,7 +200,8 @@ class V2CheckpointSpec extends AnyFunSuite with SparkTestBase {
       ActionCodec.toJsonLine(snap.metadata.get)) ++ snap.files.map(ActionCodec.toJsonLine)
     val name = f"${snap.version}%020d.checkpoint.0badc0de-0000-4000-8000-000000000003.json"
     Files.writeString(Paths.get(dir, "_delta_log", name), lines.mkString("\n"))
-    val e = intercept[IllegalStateException](DeltaLog.forPath(spark, dir).update())
+    val e = intercept[IllegalStateException](
+      DeltaLog.forPathUncached(spark, dir).update())
     assert(e.getMessage.contains("declares version 99"))
   }
 
@@ -213,7 +214,7 @@ class V2CheckpointSpec extends AnyFunSuite with SparkTestBase {
     val before = Checkpoints.driverReads.get()
     spark.conf.set(DeltaLog.DistributedThresholdKey, "1")
     try {
-      val cold = DeltaLog.forPath(spark, dir).update()
+      val cold = DeltaLog.forPathUncached(spark, dir).update()
       assert(cold.files.size == 5)
       // manifest reads are driver-side (tiny); the ADD inventory must not
       // be: exactly the sidecar-ref probes hit Checkpoints.read, never a
