@@ -111,7 +111,7 @@ object StatsPredicate {
     case _ => None
   }
 
-  private[delta] def utf8Compare(a: String, b: String): Int = {
+  private[graft] def utf8Compare(a: String, b: String): Int = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0

@@ -47,6 +47,20 @@ object Clustering {
       if (integral)
         pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       else pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // r17 optimization: near-dup pair sets from a bounded batch (an index
+    // refresh window, a gate slice) are routinely a few hundred edges, and
+    // the distributed loop's fixed cost — symmetrize + per-round join +
+    // convergence probe, each a multi-stage Spark job — dominated the
+    // standing-index refresh wall (profiled ~1.3 s per invocation at ~50
+    // edges). Under a cap the edge list is collected and labeled by a
+    // driver union-find that computes the IDENTICAL per-component min-id
+    // labels; past the cap (full-corpus builds at scale) the distributed
+    // loop below runs unchanged. The cap-guarded collect mirrors the
+    // probeInMax idiom (bounded by construction, never data-sized).
+    driverComponents(edges, integral) match {
+      case Some(labeled) => return labeled
+      case None => ()
+    }
     val sym = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -96,6 +110,80 @@ object Clustering {
       s"connectedComponents did not converge in $maxIterations iterations " +
       "(component diameter exceeds the budget) — raise maxIterations")
     labels
+  }
+
+  /** Conf key bounding the driver fast-path: edge sets at or under this
+    * many rows are labeled by an in-memory union-find; 0 disables (every
+    * call takes the distributed loop). Default 100k edges — ~3 MB of ids
+    * on the driver, far under any collect-audit concern. */
+  val DriverMaxEdgesKey = "spark.graft.cc.driverMaxEdges"
+
+  /** Driver union-find over a LIMIT-bounded edge collect: returns the same
+    * (id, comp = min node id of the component) labeling as the distributed
+    * min-label loop, or None when the edge set exceeds the cap, carries
+    * nulls, or the id type is neither integral nor string (those keep the
+    * loop's generality). String minima use UTF-8 byte order
+    * ([[graft.delta.StatsPredicate.utf8Compare]]) — the order Spark's
+    * `min` aggregate and the oracle's DuckDB `min` both use; a UTF-16
+    * comparison would pick a different representative for components whose
+    * ids differ in supplementary characters. */
+  private def driverComponents(edges: DataFrame,
+                               integral: Boolean): Option[DataFrame] = {
+    val spark = edges.sparkSession
+    val cap = math.min(
+      spark.conf.getOption(DriverMaxEdgesKey).map(_.toLong).getOrElse(100000L),
+      (Int.MaxValue - 2).toLong)
+    if (cap <= 0) return None
+    val isString =
+      edges.schema("src").dataType == org.apache.spark.sql.types.StringType
+    if (!integral && !isString) return None
+    val rows = edges.limit(cap.toInt + 1).collect()
+    if (rows.length > cap) return None
+    if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+
+    // union-find with path compression; representative = min id, computed
+    // after all unions so the choice is order-independent
+    val index = new java.util.HashMap[Any, Integer]()
+    val ids = scala.collection.mutable.ArrayBuffer[Any]()
+    def idx(v: Any): Int = {
+      val cur = index.get(v)
+      if (cur == null) { val i = ids.length; index.put(v, Int.box(i)); ids += v; i }
+      else cur.intValue
+    }
+    val parent = scala.collection.mutable.ArrayBuffer[Int]()
+    def find(i: Int): Int = {
+      var r = i
+      while (parent(r) != r) r = parent(r)
+      var c = i
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    rows.foreach { r =>
+      val a = idx(r.get(0)); val b = idx(r.get(1))
+      while (parent.length < ids.length) parent += parent.length
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(rb) = ra
+    }
+    val lt: (Any, Any) => Boolean =
+      if (integral) (x, y) => x.asInstanceOf[Long] < y.asInstanceOf[Long]
+      else (x, y) => graft.delta.StatsPredicate.utf8Compare(
+        x.asInstanceOf[String], y.asInstanceOf[String]) < 0
+    val minOf = new java.util.HashMap[Int, Any]()
+    ids.indices.foreach { i =>
+      val r = find(i)
+      val cur = minOf.get(r)
+      if (cur == null || lt(ids(i), cur)) minOf.put(r, ids(i))
+    }
+    val t = if (integral) org.apache.spark.sql.types.LongType
+            else org.apache.spark.sql.types.StringType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", t),
+      org.apache.spark.sql.types.StructField("comp", t)))
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](ids.length)
+    ids.indices.foreach { i =>
+      out.add(org.apache.spark.sql.Row(ids(i), minOf.get(find(i))))
+    }
+    Some(spark.createDataFrame(out, schema))
   }
 
   /** Free a superseded eager-localCheckpoint's pinned blocks NOW instead of

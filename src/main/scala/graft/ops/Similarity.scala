@@ -143,28 +143,92 @@ object Similarity {
     assignToCentroidsWithDist(vectors, idCol, vecCol, cents)
       .select(col(idCol), col("cluster"))
 
+  /** Conf key bounding the literal-centroid assignment fast path (total
+    * DOUBLES across all centroids, i.e. k·dim); 0 disables. Default 65536
+    * (512 KB in the plan) — typical coarse quantizers (k ≤ 1024, dim ≤ 64)
+    * fit; past it the broadcast-crossJoin path runs unchanged. */
+  private[ops] val LiteralCentroidDoublesKey = "spark.graft.kmeans.literalMaxDoubles"
+
+  /** The centroid set as a driver literal — (cid, cdv) pairs — when it fits
+    * under [[LiteralCentroidDoublesKey]]; None ⇒ callers fall back to the
+    * broadcast-crossJoin + min_by shape. The literal turns every assignment
+    * into a PROJECTION (argmin over a constant array via `array_min` on
+    * (dist, cid) structs — the same interpreted struct ordering `min_by`
+    * uses, so labels are bit-identical, ties to the lowest cid included):
+    * the r17 profile measured ~1.8 s of crossJoin + groupBy fixed cost per
+    * Lloyd iteration at gate scale, for k·dim literals of a few KB. */
+  private def literalCents(cents: DataFrame): Option[Seq[(Int, Seq[Double])]] = {
+    val cap = cents.sparkSession.conf
+      .getOption(LiteralCentroidDoublesKey).map(_.toLong).getOrElse(65536L)
+    if (cap <= 0) return None
+    val maxRows = 4096
+    val rows = cents.select(col("cid").cast("int"),
+        expr("transform(centroid, x -> cast(x as double))"))
+      .limit(maxRows + 1).collect()
+    // empty centroids must keep the crossJoin semantics (zero output rows,
+    // not null clusters); over-cap sets keep the broadcast path
+    if (rows.isEmpty || rows.length > maxRows) return None
+    val pairs = rows.map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq
+    if (pairs.iterator.map(_._2.size.toLong).sum > cap) None else Some(pairs)
+  }
+
+  /** Argmin-over-literal-centroids columns: (winning struct) with fields
+    * cid, dist — distance arithmetic is [[SqDistExpr]] verbatim with `cdv`
+    * bound to each literal candidate, so the metric cannot drift. */
+  private def literalWinner(pairs: Seq[(Int, Seq[Double])]): org.apache.spark.sql.Column = {
+    val distOnCand = SqDistExpr.replace("cdv", "c._2")
+    expr(s"array_min(transform(__graft_cents, c -> " +
+      s"named_struct('dist', $distOnCand, 'cid', c._1)))")
+  }
+
   private def assignDv(v: DataFrame, idCol: String, cents: DataFrame): DataFrame =
-    v.crossJoin(broadcast(cents.select(col("cid"),
-        expr("transform(centroid, x -> cast(x as double))").as("cdv"))))
-      .withColumn("dist", expr(SqDistExpr))
-      .groupBy(idCol)
-      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cluster"))
+    assignDvFull(v, idCol, cents).select(col(idCol), col("cluster"))
+
+  /** As [[assignDv]] but keeping `dv` in the output — the Lloyd loop needs
+    * (cluster, dv) pairs and a separate re-join of the assignment against
+    * `v` was one avoidable shuffle per iteration (r17). */
+  private def assignDvFull(v: DataFrame, idCol: String, cents: DataFrame): DataFrame =
+    literalCents(cents) match {
+      case Some(pairs) =>
+        v.withColumn("__graft_cents", typedLit(pairs))
+          .withColumn("__graft_w", literalWinner(pairs))
+          .select(col(idCol), col("dv"), col("__graft_w.cid").as("cluster"))
+      case None =>
+        v.crossJoin(broadcast(cents.select(col("cid"),
+            expr("transform(centroid, x -> cast(x as double))").as("cdv"))))
+          .withColumn("dist", expr(SqDistExpr))
+          .groupBy(idCol)
+          // min_by(dv, ...) carries the winning row's dv through — every
+          // candidate row of one id carries the identical dv, so the pick
+          // is value-stable whichever candidate wins
+          .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cluster"),
+            min_by(col("dv"), struct(col("dist"), col("cid"))).as("dv"))
+          .select(col(idCol), col("dv"), col("cluster"))
+    }
 
   /** As [[assignToCentroids]], but ALSO returning the winning squared
     * distance — (idCol, cluster, dist). The drift telemetry's substrate:
     * the refresh computes these distances anyway, so observing them per
     * cluster is free (r15 verdict #3). */
   def assignToCentroidsWithDist(vectors: DataFrame, idCol: String,
-                                vecCol: String, cents: DataFrame): DataFrame =
-    vectors.select(col(idCol),
-        expr(s"transform($vecCol, x -> cast(x as double))").as("dv"))
-      .crossJoin(broadcast(cents.select(col("cid"),
-        expr("transform(centroid, x -> cast(x as double))").as("cdv"))))
-      .withColumn("dist", expr(SqDistExpr))
-      .groupBy(idCol)
-      .agg(min_by(struct(col("cid"), col("dist")),
-        struct(col("dist"), col("cid"))).as("w"))
-      .select(col(idCol), col("w.cid").as("cluster"), col("w.dist").as("dist"))
+                                vecCol: String, cents: DataFrame): DataFrame = {
+    val v = vectors.select(col(idCol),
+      expr(s"transform($vecCol, x -> cast(x as double))").as("dv"))
+    literalCents(cents) match {
+      case Some(pairs) =>
+        v.withColumn("__graft_cents", typedLit(pairs))
+          .withColumn("w", literalWinner(pairs))
+          .select(col(idCol), col("w.cid").as("cluster"), col("w.dist").as("dist"))
+      case None =>
+        v.crossJoin(broadcast(cents.select(col("cid"),
+            expr("transform(centroid, x -> cast(x as double))").as("cdv"))))
+          .withColumn("dist", expr(SqDistExpr))
+          .groupBy(idCol)
+          .agg(min_by(struct(col("cid"), col("dist")),
+            struct(col("dist"), col("cid"))).as("w"))
+          .select(col(idCol), col("w.cid").as("cluster"), col("w.dist").as("dist"))
+    }
+  }
 
   /** Deterministic k-means-lite coarse quantizer: centroids initialized from
     * the `k` lowest-id vectors, `iters` Lloyd iterations expressed as
@@ -202,8 +266,10 @@ object Similarity {
     // (the original formulation computed — and discarded — one extra
     // centroid update past the returned assignment)
     for (_ <- 1 until iters) {
+      // assignDvFull keeps dv next to the label — re-joining the
+      // assignment against v was one avoidable shuffle per iteration (r17)
       val next = meanVectors(
-        v.join(assignTo(centroids), idCol)
+        assignDvFull(v, idCol, centroids)
           .select(col("cluster").as("cid"), col("dv").as("__graft_v")),
         "cid", asFloat = false)
         .localCheckpoint(true)

@@ -73,6 +73,32 @@ class ClusteringSpec extends AnyFunSuite with SparkTestBase {
     assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("driver union-find fast path ≡ distributed loop (long and string ids)") {
+    // the r17 fast path must label IDENTICALLY to the distributed
+    // min-propagation loop on the same edges — force the loop via cap=0
+    val rnd = new scala.util.Random(13)
+    val edges = (0 until 300).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    def run(): Map[Long, Long] = comps(edges)
+    val fast = run()
+    spark.conf.set(Clustering.DriverMaxEdgesKey, "0")
+    val slow = try run() finally spark.conf.unset(Clustering.DriverMaxEdgesKey)
+    assert(fast == slow)
+
+    // string ids, including a supplementary-plane char: the driver min must
+    // use UTF-8 byte order like Spark's min aggregate, not UTF-16
+    val sPairs = Seq(("�-doc", "😀-doc"), ("b", "a"), ("b", "c"))
+      .toDF("id_a", "id_b")
+    def runS(df: org.apache.spark.sql.DataFrame): Map[String, String] =
+      Clustering.connectedComponents(df).as[(String, String)].collect().toMap
+    val fastS = runS(sPairs)
+    spark.conf.set(Clustering.DriverMaxEdgesKey, "0")
+    val slowS = try runS(sPairs) finally spark.conf.unset(Clustering.DriverMaxEdgesKey)
+    assert(fastS == slowS)
+    // U+FFFD (3-byte UTF-8) sorts BELOW U+1F600 (4-byte) in byte order
+    assert(fastS("😀-doc") == "�-doc")
+  }
+
   test("survivors keeps one row per family by preference, singletons intact") {
     val docs = Seq(
       (1L, "short"), (2L, "a much longer body"), (3L, "mid body"),
