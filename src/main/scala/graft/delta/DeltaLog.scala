@@ -368,7 +368,17 @@ final class DeltaLog private (
         findLatestCheckpointForVersion(Long.MaxValue).forall(_.version < snap.version)) {
       commitTimestamps.synchronized(commitTimestamps.clear())
       ictCache.synchronized(ictCache.clear())
+      // the dead incarnation's staged-commit map must die with it (r17
+      // advice): resolveCommitFile prefers a staged file that still exists
+      // on disk, so a recreate that left _delta_log/_commits behind would
+      // otherwise replay the OLD incarnation's staged bytes at a colliding
+      // version — folding dead-table actions into the rebuilt snapshot
+      stagedLock.synchronized {
+        stagedCommits = Map.empty
+        commitsDirKnownAbsent = false
+      }
       snap = Snapshot()
+      listed = listCommitVersions() // staged entries no longer pad the listing
     }
     if (snap.version < 0) {
       newestUsableCheckpoint().foreach { cp => snap = restoreCheckpoint(cp) }
@@ -881,8 +891,37 @@ object DeltaLog {
         size > HandleCacheMax
     }
 
+  /** Filesystem-qualified key paths for the handle cache (r17 advice):
+    * '/tmp/t', 'file:/tmp/t' and trailing-slash spellings must map to ONE
+    * handle, or the one-handle-per-table sharing (and the recreate-guard
+    * reasoning built on it) is silently defeated for aliased spellings.
+    * Qualification needs a FileSystem round trip, so results are memoized
+    * (LRU-bounded like the handle cache itself). */
+  private val QualifiedCacheMax = 1024
+  private val qualifiedCache =
+    new java.util.LinkedHashMap[(SparkSession, String), String](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), String]): Boolean =
+        size > QualifiedCacheMax
+    }
+
+  private def qualifiedKeyPath(spark: SparkSession, path: String): String = {
+    val k = (spark, path)
+    qualifiedCache.synchronized {
+      val hit = qualifiedCache.get(k)
+      if (hit != null) return hit
+    }
+    val p = new Path(path)
+    val q =
+      try p.getFileSystem(spark.sessionState.newHadoopConf())
+        .makeQualified(p).toUri.toString
+      catch { case scala.util.control.NonFatal(_) => p.toUri.toString }
+    qualifiedCache.synchronized { qualifiedCache.put(k, q) }
+    q
+  }
+
   def forPath(spark: SparkSession, path: String): DeltaLog = {
-    val key = (spark, new Path(path).toUri.toString,
+    val key = (spark, qualifiedKeyPath(spark, path),
       spark.conf.getOption(LogStoreFactoryKey),
       spark.conf.getOption(AllowUnsafeRenameKey))
     handleCache.synchronized {

@@ -76,8 +76,11 @@ object GraftWriter {
             // pass instead of write-then-recluster (r15 review)
             fileTags: Map[String, String] = Map.empty): Long = {
     val spark = dfIn.sparkSession
+    val profSb = if (commitProf) new StringBuilder(s"GRAFTPROF write $path") else null
+    var profT = profMark()
     val log = DeltaLog.forPath(spark, path)
     val snap = log.update()
+    profT = profNote(profSb, "open", profT)
     (requireAppVersion.toSeq ++ requireAppVersions).foreach { case (app, want) =>
       // FAST-FAIL only: saves the staging job when the mark is already
       // stale. The binding check is txn.requireAppVersion at commit time —
@@ -283,6 +286,7 @@ object GraftWriter {
       if (fileTags.isEmpty) addsUntagged
       else addsUntagged.map(a =>
         a.copy(tags = Some(a.tags.getOrElse(Map.empty) ++ fileTags)))
+    profT = profNote(profSb, "stage_total", profT)
     val now = System.currentTimeMillis()
     val txn = log.startTransaction(snap)
     // the authoritative mark preconditions, against the txn's OWN read
@@ -395,6 +399,7 @@ object GraftWriter {
     val params = info.putObject("operationParameters")
     params.put("mode", mode.toString)
     params.put("partitionBy", partCols.mkString(","))
+    profT = profNote(profSb, "plan_actions", profT)
     val version =
       try txn.commit(Some(CommitInfoAction(info)))
       catch {
@@ -405,8 +410,13 @@ object GraftWriter {
           ChangeDataFeed.discardStaged(spark, log, cdcActions)
           throw e
       }
+    profT = profNote(profSb, "txn_commit", profT)
 
     log.maybeCheckpoint(version)
+    if (commitProf) {
+      profNote(profSb, "maybe_checkpoint", profT)
+      System.err.println(profSb)
+    }
     version
   }
 
@@ -482,6 +492,20 @@ object GraftWriter {
     }
   }
 
+  /** Env-gated per-phase commit profiling (`SPARK_GRAFT_COMMIT_PROF=1`):
+    * one stderr line per write with the staging/stats/commit/update split,
+    * so the per-commit fixed cost ("commit floor") attributes to a phase
+    * instead of being a single opaque number (guide §1). */
+  private[delta] lazy val commitProf: Boolean =
+    sys.env.get("SPARK_GRAFT_COMMIT_PROF").contains("1")
+  private[delta] def profMark(): Long = if (commitProf) System.nanoTime() else 0L
+  private[delta] def profNote(sb: StringBuilder, label: String, t0: Long): Long = {
+    if (!commitProf) return 0L
+    val now = System.nanoTime()
+    sb.append(f" $label=${(now - t0) / 1e6}%.0fms")
+    now
+  }
+
   /** Above this many staged files, footer-stats collection runs as a
     * distributed Spark job instead of on the driver pool (overridable via
     * `spark.graft.write.statsExecutorThreshold`). */
@@ -518,8 +542,11 @@ object GraftWriter {
     val fs = tablePath.getFileSystem(conf)
     val staging = new Path(tablePath, s".tmp-write-${UUID.randomUUID()}")
     try {
+      val sb = if (commitProf) new StringBuilder("GRAFTPROF stage") else null
+      var t = profMark()
       val writer = if (partCols.nonEmpty) df.write.partitionBy(partCols: _*) else df.write
       writer.mode(SaveMode.Overwrite).parquet(staging.toString)
+      t = profNote(sb, "parquet_job", t)
 
       val stagingBase = staging.toUri.getPath.stripSuffix("/")
       val staged = mutable.Buffer[(String, Path)]() // (table-relative, staged src)
@@ -541,10 +568,13 @@ object GraftWriter {
         val s = fs.getFileStatus(dst)
         (rel, s.getLen, s.getModificationTime)
       }
+      t = profNote(sb, "list_move", t)
 
       // 2. footer stats: distributed job for big writes, driver pool otherwise
       val statsByRel = collectStats(spark, tablePath, moved.map(_._1), conf,
         resolvedIdx)
+      t = profNote(sb, "footer_stats", t)
+      if (commitProf) System.err.println(sb.append(s" files=${moved.size}"))
 
       moved.map { case (rel, len, mtime) =>
         AddAction(

@@ -392,11 +392,19 @@ final class OptimisticTransaction(val log: DeltaLog,
         }
         // we minted this version's clock — no need to re-read the file
         if (ictEnabled) log.cacheIct(latest + 1, lastIct)
+        val profSb =
+          if (GraftWriter.commitProf) new StringBuilder("GRAFTPROF txn") else null
+        var profT = GraftWriter.profMark()
         val updated = log.update()
+        profT = GraftWriter.profNote(profSb, "post_update", profT)
         // advisory per-version checksum (delta-spark's .crc convention);
         // written only when the refresh landed exactly on our commit (a
         // concurrent later commit makes ITS committer responsible)
         if (updated.version == latest + 1) Checksum.write(log, updated)
+        if (GraftWriter.commitProf) {
+          GraftWriter.profNote(profSb, "checksum", profT)
+          System.err.println(profSb)
+        }
         OptimisticTransaction.committedCount.incrementAndGet()
         return latest + 1
       } catch {

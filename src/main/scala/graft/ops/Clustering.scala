@@ -57,14 +57,23 @@ object Clustering {
     // labels; past the cap (full-corpus builds at scale) the distributed
     // loop below runs unchanged. The cap-guarded collect mirrors the
     // probeInMax idiom (bounded by construction, never data-sized).
+    // The under-cap probe stays a bare limit+collect (CollectLimitExec is
+    // incremental — no extra materialization action on the common path);
+    // when the probe overflows, the edge frame is checkpointed ONCE so the
+    // symmetrize below reads it twice from blocks instead of re-running
+    // the (possibly expensive) pair generation per read — the over-cap
+    // path now pays probe + one materialization instead of the old probe
+    // + two recomputes (r17 advice).
     driverComponents(edges, integral) match {
       case Some(labeled) => return labeled
       case None => ()
     }
-    val sym = edges
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val edgesCk = edges.localCheckpoint(true)
+    val sym = edgesCk
+      .union(edgesCk.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    dropCheckpoint(edgesCk) // sym's checkpoint is self-contained now
 
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))

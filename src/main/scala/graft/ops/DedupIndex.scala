@@ -687,25 +687,44 @@ object DedupIndex {
         col("last_del_cv").isNotNull.as("has_delete"), col("n_ins"),
         col("n_ins_at_del"))
       .localCheckpoint(true) // batch/delete splits + hygiene both read it
-    require(nets.filter(col("n_ins") > 1).isEmpty,
+    // ONE hygiene aggregate over the checkpointed nets (r18, guide §1/§2:
+    // the refresh is fixed-overhead-bound at gate scale — five separate
+    // probe actions here were five multi-stage Spark queries). Computes
+    // the two malformed-window counts, the null-id count (ids are
+    // structurally UNIQUE in nets — it is a groupBy("id") result — so the
+    // requireCleanIds duplicate check is vacuous on this frame), and the
+    // insert/delete fold sizes, all in one job.
+    val hyg = nets.agg(
+      count(when(col("n_ins") > 1, 1)).as("bad_ins"),
+      count(when(col("n_ins") === 0 && col("n_ins_at_del") > 1, 1))
+        .as("bad_overwrite"),
+      coalesce(sum(col("id").isNull.cast("long")), lit(0L)).as("null_ids"),
+      count(when(col("ct") === "insert", 1)).as("n_new"),
+      count(when(col("has_delete"), 1)).as("n_del")).first()
+    require(hyg.getLong(0) == 0,
       s"window ($last, $now] carries duplicate doc ids with divergent " +
       "live texts — the dedup index requires unique ids (identical " +
       "redelivered rows are collapsed before this check)")
-    require(nets.filter(col("n_ins") === 0 && col("n_ins_at_del") > 1).isEmpty,
+    require(hyg.getLong(1) == 0,
       s"window ($last, $now] carries an id whose final commit holds a " +
       "delete plus more than one distinct insert text — folding the " +
       "overwrite-shaped commit would index an arbitrary one of them; " +
       "re-insert the intended text in its own commit")
-    requireCleanIds(nets.select("id", "text"), s"window ($last, $now]")
-    val batch = nets.filter(col("ct") === "insert").select("id", "text")
+    require(hyg.getLong(2) == 0,
+      s"window ($last, $now] carries ${hyg.getLong(2)} null doc ids — " +
+      "the dedup index requires non-null unique ids")
+    val nNew = hyg.getLong(3)
+    val nDel = hyg.getLong(4)
+    // the fold frames materialize only when their side of the window is
+    // non-empty — an insert-only window used to pay the delete frame's
+    // checkpoint + count (and vice versa) for nothing
+    lazy val batch = nets.filter(col("ct") === "insert").select("id", "text")
       .localCheckpoint(true) // shingles, bands, lengths all read it
-    val nNew = batch.count()
     // every id with a delete event: its standing band rows (recomputable
     // from the window's texts) must go, whether or not a re-insert
     // follows in this same window
-    val delIdsDf = nets.filter(col("has_delete")).select("id")
+    lazy val delIdsDf = nets.filter(col("has_delete")).select("id")
       .localCheckpoint(true) // buckets delete + family fold read it
-    val nDel = delIdsDf.count()
     val markAction = Seq(TxnAction(SourceVersionApp, now))
     // bare mark advance, under the same still-at-`last` precondition as
     // the data path — two racing refreshes must serialize, not regress
@@ -734,8 +753,8 @@ object DedupIndex {
     def idsOf(df: DataFrame, n: Long): Option[Array[Any]] =
       if (n <= inMax) Some(df.select("id").collect().map(_.get(0)))
       else None
-    val batchIds = idsOf(batch, nNew)
-    val delIds = idsOf(delIdsDf, nDel)
+    val batchIds = if (nNew == 0) None else idsOf(batch, nNew)
+    val delIds = if (nDel == 0) None else idsOf(delIdsDf, nDel)
 
     // cross-window id-reuse fence (r15 advice): requireCleanIds only sees
     // THIS window — an id re-used across windows with DIFFERENT text would
@@ -747,19 +766,22 @@ object DedupIndex {
     // the standing table carries; an equal-length different-text reuse is
     // invisible to this fence — documented). Ids with a same-window delete
     // event are EXEMPT: that is the sanctioned replacement path, folded
-    // below. Broadcast-bounded by the batch.
-    val fenceSrc = nets.filter(col("ct") === "insert" && !col("has_delete"))
-      .select(col("id"), length(col("text")).cast("long").as("batch_len"))
-    val reused = prunedScan(spark, membersPath(root), "id", batchIds)
-      .filter(!col("dead")) // a dead id is re-insertable with ANY text
-      .join(maybeBroadcast(fenceSrc, batchIds.isDefined), Seq("id"))
-      .filter(col("len") =!= col("batch_len"))
-      .limit(1).collect()
-    require(reused.isEmpty,
-      s"window ($last, $now] re-delivers already-indexed doc id " +
-      s"${reused.headOption.map(_.get(0)).getOrElse("?")} with DIFFERENT " +
-      "text (standing len != batch len) — the dedup index requires " +
-      "globally unique ids; delete the old doc first")
+    // below. Broadcast-bounded by the batch; vacuous (skipped) on
+    // delete-only windows — nothing new arrives to collide.
+    if (nNew > 0) {
+      val fenceSrc = nets.filter(col("ct") === "insert" && !col("has_delete"))
+        .select(col("id"), length(col("text")).cast("long").as("batch_len"))
+      val reused = prunedScan(spark, membersPath(root), "id", batchIds)
+        .filter(!col("dead")) // a dead id is re-insertable with ANY text
+        .join(maybeBroadcast(fenceSrc, batchIds.isDefined), Seq("id"))
+        .filter(col("len") =!= col("batch_len"))
+        .limit(1).collect()
+      require(reused.isEmpty,
+        s"window ($last, $now] re-delivers already-indexed doc id " +
+        s"${reused.headOption.map(_.get(0)).getOrElse("?")} with DIFFERENT " +
+        "text (standing len != batch len) — the dedup index requires " +
+        "globally unique ids; delete the old doc first")
+    }
 
     // ---- DELETE fold (r15 verdict #2), BEFORE the insert fold so inserts
     // probe the post-delete standing state. Write order is chosen for
@@ -1083,12 +1105,16 @@ object DedupIndex {
         Seq(PartitionFilter.Eq("band_idx", "0")))
       .select("id")
       .join(maybeBroadcast(batch.select("id"), batchIds.isDefined), Seq("id"))
-      .localCheckpoint(true) // bounded by the batch
     val unlanded = newBands.join(landed, Seq("id"), "left_anti")
       .select(col("band_idx"), col("band_hash"), col("id"),
         lit(now).as("asof")) // the join moved the key first
-    if (unlanded.isEmpty) bareMark()
-    else GraftWriter.write(unlanded, bucketsPath(root), SaveMode.Append,
+    // one action instead of three (r18): the landed probe and the
+    // emptiness test used to be a checkpoint + an isEmpty query before the
+    // write; the anti-join now rides inside the write's own staging job,
+    // and a fully-landed replay (possible only under an operator mark
+    // rewind) stages zero files — the commit then carries just the mark,
+    // which is exactly what bareMark() committed.
+    GraftWriter.write(unlanded, bucketsPath(root), SaveMode.Append,
       partitionBy = Seq("band_idx"), extraActions = markAction,
       requireAppVersion = Some((SourceVersionApp, last)))
     // layout maintenance LAST (after the mark): pure layout, so a crash

@@ -188,8 +188,12 @@ object IvfIndex {
       "cannot build an IVF index over zero vectors (the empty centroid " +
       "set would silently discard every future refresh) — build once the " +
       "source has rows")
-    val assigned = vectors
-      .join(Similarity.kmeansAssign(vectors, idCol, vecCol, nClusters, kmeansIters), idCol)
+    // kmeansAssignKeep: under the literal cap the assignment is a pure
+    // projection — the old vectors ⋈ kmeansAssign self-join (two
+    // exchanges + sorts over the corpus) existed only to re-attach the
+    // vector column (r18, guide §2.4 remove shuffles outright)
+    val assigned = Similarity
+      .kmeansAssignKeep(vectors, idCol, vecCol, nClusters, kmeansIters)
       .select(col(idCol).as("id"), col("cluster"), col(vecCol).as("vec"),
         lit(ver).as("ver"))
       .localCheckpoint(true) // centroids + postings both read it
@@ -252,22 +256,29 @@ object IvfIndex {
         tombstonesPath(root), SaveMode.Overwrite, overwriteSchema = true)
     }
     // drift observations reset with the index (the baselines they compare
-    // against were just recomputed)
-    val driftSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("ver",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("cid",
-        org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("n",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("mean_dist",
-        org.apache.spark.sql.types.DoubleType)))
-    GraftWriter.write(
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        driftSchema),
-      driftPath(root), SaveMode.Overwrite,
-      overwriteSchema = exists(driftPath(root)))
+    // against were just recomputed). The table is created LAZILY by the
+    // first observation (r18: creating it here was one full commit of pure
+    // fixed cost per build — ~0.3 s of the q79/q80/q85 gates' wall each);
+    // a REBUILD over an existing drift table still resets it, because its
+    // rows compare against baselines this build just replaced.
+    if (exists(driftPath(root)))
+      GraftWriter.write(
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          DriftSchema),
+        driftPath(root), SaveMode.Overwrite, overwriteSchema = true)
   }
+
+  /** The drift-observation table's schema — shared by the lazy create and
+    * the absent-table read (one definition, r18). */
+  private val DriftSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("ver",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cid",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("n",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("mean_dist",
+      org.apache.spark.sql.types.DoubleType)))
 
   /** Per-cluster drift baselines joined onto `cents`: (cid, centroid, n,
     * base_dist) where base_dist is the mean squared assignment distance of
@@ -486,16 +497,24 @@ object IvfIndex {
           max(when(col("ct").isin("delete", "update_preimage"), col("cver")))
             .as("killed"))
           .localCheckpoint(true) // adds + tombstones both read the fold
-        val adds = folded
-          .filter(col("born").isNotNull &&
-            (col("killed").isNull || col("born.cver") >= col("killed")))
+        val alive = col("born").isNotNull &&
+          (col("killed").isNull || col("born.cver") >= col("killed"))
+        val adds = folded.filter(alive)
           .select(col("id"), col("born.vec").as("vec"),
             col("born.cver").as("ver"))
         val tombs = folded.filter(col("killed").isNotNull)
           .select(col("id"), col("killed").as("ver"))
-        val nTombs = tombs.count()
-        val assigned = assignFresh(spark, adds, root)
-        val nAdds = assigned.count()
+        // ONE aggregate over the checkpointed fold sizes both sides (r18:
+        // the two separate counts were two jobs — and ids are unique post-
+        // groupBy, so the add count equals the assignment count exactly);
+        // a delete-only window now skips the centroid read + assignment
+        // join entirely.
+        val sizes = folded.agg(
+          count(when(col("killed").isNotNull, 1)),
+          count(when(alive, 1))).first()
+        val nTombs = sizes.getLong(0)
+        val nAdds = sizes.getLong(1)
+        lazy val assigned = assignFresh(spark, adds, root)
         val markAction = Seq(TxnAction(SourceVersionApp, now))
         val postingsSnap = DeltaLog.forPath(spark, postingsPath(root)).update()
         val inline = postingsSnap.metadata
@@ -507,9 +526,11 @@ object IvfIndex {
             lit(TombstoneCluster).as("cluster"),
             lit(null).cast(postingsSnap.schema("vec").dataType).as("vec"),
             col("ver"))
+          val postRows =
+            if (nAdds == 0) tombRows
+            else assigned.drop("dist").unionByName(tombRows)
           GraftWriter.write(
-            codesIfQuantized(spark, root,
-              assigned.drop("dist").unionByName(tombRows)), postingsPath(root),
+            codesIfQuantized(spark, root, postRows), postingsPath(root),
             SaveMode.Append,
             partitionBy = Seq("cluster"),
             extraActions = markAction :+
@@ -601,11 +622,15 @@ object IvfIndex {
   }
 
   /** One (ver, cid, n, mean_dist) row per cluster the refresh touched —
-    * the stats the refresh computed anyway. Pre-r15 layouts (no drift
-    * table) skip silently. */
+    * the stats the refresh computed anyway. The table is CREATED by the
+    * first observation (r18 — see buildInternal); pre-r15 layouts, whose
+    * centroids carry no drift baselines for the report to compare against,
+    * keep skipping silently. */
   private def appendDriftObs(spark: SparkSession, root: String, ver: Long,
                              assigned: DataFrame): Unit = {
-    if (DeltaLog.forPath(spark, driftPath(root)).update().version < 0) return
+    if (DeltaLog.forPath(spark, driftPath(root)).update().version < 0 &&
+        !DeltaLog.forPath(spark, centroidsPath(root)).update()
+          .schema.fieldNames.contains("base_dist")) return
     val obs = assigned
       .groupBy(col("cluster").as("cid"))
       .agg(count(lit(1)).as("n"), avg("dist").as("mean_dist"))
@@ -630,7 +655,14 @@ object IvfIndex {
     require(cents.columns.contains("base_dist"),
       s"index at $root predates drift baselines — rebuild it to enable " +
       "drift detection")
-    val drift = DeltaTable.forPath(spark, driftPath(root)).toDF
+    // absent = created lazily by the first observation (r18): a fresh
+    // index that has never been refreshed reports no recent arrivals,
+    // exactly like the old empty table did
+    val drift =
+      if (DeltaLog.forPath(spark, driftPath(root)).update().version < 0)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), DriftSchema)
+      else DeltaTable.forPath(spark, driftPath(root)).toDF
     val recentVers = drift.select("ver").distinct()
       .orderBy(col("ver").desc).limit(recentRefreshes)
     val recent = drift.join(broadcast(recentVers), Seq("ver"))

@@ -209,7 +209,15 @@ object Similarity {
   /** As [[assignToCentroids]], but ALSO returning the winning squared
     * distance — (idCol, cluster, dist). The drift telemetry's substrate:
     * the refresh computes these distances anyway, so observing them per
-    * cluster is free (r15 verdict #3). */
+    * cluster is free (r15 verdict #3).
+    *
+    * CONTRACT: `idCol` must be unique (r17 advice). Every engine caller
+    * already guarantees it (posting ids are deduped, kmeans inputs carry
+    * table primary keys), and the two assignment shapes agree only then:
+    * the literal fast path emits one row per INPUT row, the broadcast
+    * fallback one row per DISTINCT id — with duplicated ids the paths
+    * would return different cardinalities (pinned both ways by
+    * SimilarityLiteralSpec). */
   def assignToCentroidsWithDist(vectors: DataFrame, idCol: String,
                                 vecCol: String, cents: DataFrame): DataFrame = {
     val v = vectors.select(col(idCol),
@@ -230,6 +238,51 @@ object Similarity {
     }
   }
 
+  /** Driver-resident Lloyd loop (r18, guide §1.2 "the distributed
+    * algorithm first"): at coarse-quantizer scale — k·dim doubles under
+    * [[LiteralCentroidDoublesKey]], the SAME cap the r17 literal
+    * assignment path uses — every iteration is ONE aggregation job:
+    * assignment is a projection over literal centroids and the centroid
+    * update returns k·dim doubles to the driver, instead of a
+    * positional-explode mean (two shuffles) plus an eager localCheckpoint
+    * per iteration. The assignment expression is [[literalWinner]]
+    * verbatim, so labels are bit-identical to the DataFrame loop's; the
+    * update is the same Spark `avg` aggregate grouped per cluster (per-
+    * position float summation order is partitioning-dependent in BOTH
+    * formulations). Returns None — callers fall back to the distributed
+    * loop — when the cap is exceeded, there are no vectors, or the init
+    * rows carry null/ragged vectors. */
+  private def driverKmeansCentroids(v: DataFrame, idCol: String, k: Int,
+                                    iters: Int): Option[Seq[(Int, Seq[Double])]] = {
+    val cap = v.sparkSession.conf
+      .getOption(LiteralCentroidDoublesKey).map(_.toLong).getOrElse(65536L)
+    if (cap <= 0 || k > 4096) return None
+    val initRows = v.orderBy(col(idCol)).limit(k).select("dv").collect()
+    if (initRows.isEmpty || initRows.exists(_.isNullAt(0))) return None
+    var cents: Seq[(Int, Seq[Double])] = initRows.iterator.zipWithIndex
+      .map { case (r, i) => (i + 1) -> r.getSeq[Double](0).toSeq }.toSeq
+    val dim = cents.head._2.size
+    if (dim == 0 || cents.exists(_._2.size != dim) || k.toLong * dim > cap)
+      return None
+    var iter = 1
+    while (iter < iters) {
+      val aggCols = (0 until dim).map(i => avg(col("dv").getItem(i)).as(s"c$i"))
+      val rows = v
+        .withColumn("__graft_cents", typedLit(cents))
+        .select(literalWinner(cents).getField("cid").as("cluster"), col("dv"))
+        .groupBy("cluster").agg(aggCols.head, aggCols.tail: _*)
+        .collect()
+      // an all-null position (possible only from null vector elements)
+      // has no literal representation here — keep the DataFrame loop's
+      // semantics by falling back instead of guessing
+      if (rows.exists(r => (1 to dim).exists(r.isNullAt))) return None
+      cents = rows.map(r =>
+        r.getInt(0) -> (1 to dim).map(r.getDouble).toSeq).toSeq.sortBy(_._1)
+      iter += 1
+    }
+    Some(cents)
+  }
+
   /** Deterministic k-means-lite coarse quantizer: centroids initialized from
     * the `k` lowest-id vectors, `iters` Lloyd iterations expressed as
     * DataFrame ops (assign = broadcast-centroids crossJoin + `min_by` on
@@ -245,11 +298,19 @@ object Similarity {
     * every Lloyd round would nest the previous round's whole plan and
     * `iters=25` blows up analysis/optimization time (r6 verdict #4); with
     * it, plan size is flat in `iters` (the returned assignment reads one
-    * materialized k-row relation). */
+    * materialized k-row relation). Under the literal cap the whole loop
+    * instead runs via [[driverKmeansCentroids]] — one job per iteration,
+    * no checkpoints, identical labels. */
   def kmeansAssign(vectors: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int = 3): DataFrame = {
     val v = vectors.select(col(idCol),
       expr(s"transform($vecCol, x -> cast(x as double))").as("dv"))
+
+    driverKmeansCentroids(v, idCol, k, iters).foreach { pairs =>
+      return v.withColumn("__graft_cents", typedLit(pairs))
+        .withColumn("__graft_w", literalWinner(pairs))
+        .select(col(idCol), col("__graft_w.cid").as("cluster"))
+    }
 
     // the shared squared-L2 assignment ([[assignDv]]) — the loop, the
     // incremental refresh, and the probe ordering use ONE metric definition
@@ -279,6 +340,38 @@ object Similarity {
     // references only the live (final) checkpoint — safe for the caller to
     // execute any time; its k-row block is freed by the ContextCleaner
     assignTo(centroids)
+  }
+
+  /** [[kmeansAssign]] keeping the caller's columns: returns `vectors` plus
+    * a `cluster` column. Under the literal cap the assignment is a pure
+    * per-row projection, so no join is needed at all; past it this IS the
+    * join the caller would have written (r18 — IvfIndex.buildInternal paid
+    * a full self-join of the corpus against the assignment, two exchanges
+    * plus sorts, to re-attach columns a projection already had). Same
+    * unique-id contract as [[assignToCentroidsWithDist]]. */
+  private[ops] def kmeansAssignKeep(vectors: DataFrame, idCol: String,
+                                    vecCol: String, k: Int,
+                                    iters: Int = 3): DataFrame = {
+    val v = vectors.select(col(idCol),
+      expr(s"transform($vecCol, x -> cast(x as double))").as("dv"))
+    // the winner expression references the working columns by NAME (dv,
+    // __graft_cents) — a caller frame already using either keeps the join
+    val clash = vectors.columns.contains("dv") ||
+      vectors.columns.contains("__graft_cents")
+    val centsOpt =
+      if (clash) None else driverKmeansCentroids(v, idCol, k, iters)
+    centsOpt match {
+      case Some(pairs) =>
+        vectors
+          .withColumn("dv",
+            expr(s"transform($vecCol, x -> cast(x as double))"))
+          .withColumn("__graft_cents", typedLit(pairs))
+          .withColumn("cluster",
+            literalWinner(pairs).getField("cid"))
+          .drop("dv", "__graft_cents")
+      case None =>
+        vectors.join(kmeansAssign(vectors, idCol, vecCol, k, iters), idCol)
+    }
   }
 
   /** IVF without a pre-existing cluster column: quantize with

@@ -256,8 +256,12 @@ object PipelineQueries {
       val budget = 2048L
       val docs = t(s, dir, "documents")
         .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      // materialized once: the invariant totals and the over-budget audit
+      // both read it, and an unmaterialized frame re-runs the whole
+      // shuffle+sort+pack per reference (r18 plan audit: 2 executions)
       val packed = Packing.packSequences(docs, "doc_id", "n_tokens",
         budget = budget, numPartitions = 8)
+        .localCheckpoint(true)
       val totals = packed.agg(
         count(lit(1)).as("docs_packed"),
         countDistinct("doc_id").as("docs_distinct"),
@@ -281,8 +285,13 @@ object PipelineQueries {
       val docs = t(s, dir, "documents")
         .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
         .select("doc_id", "n_tokens")
+      // materialized once (r18 plan audit): repackDeletes reads the packed
+      // state three times (affected-pid probe, kept partitions, repack
+      // input) — in deployment that state is a TABLE; an unmaterialized
+      // frame re-ran the whole pack per reference (3 executions)
       val packed = Packing.packSequences(docs, "doc_id", "n_tokens",
         budget = budget, numPartitions = 8)
+        .localCheckpoint(true)
       val wave = docs.filter(pmod(col("doc_id"), lit(10)) === 3)
         .select("doc_id")
       val (repacked, _) = Packing.repackDeletes(packed, wave, budget)
@@ -373,8 +382,11 @@ object PipelineQueries {
         .select("doc_id", "n_tokens")
         .localCheckpoint(true) // survivors feed BOTH packing and the output
       val budget = 2048L
+      // materialized once — totals and the over-budget audit both read it
+      // (same rationale as q56, r18 plan audit)
       val packed = Packing.packSequences(withTok, "doc_id", "n_tokens",
         budget = budget, numPartitions = 8)
+        .localCheckpoint(true)
       val totals = packed.agg(
         count(lit(1)).as("docs_packed"),
         sum("n_tokens").as("tokens_packed"))
