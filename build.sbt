@@ -38,3 +38,47 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dfile.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// ---- Parallel forked test groups (r18, VERDICT #1) -------------------
+// The suite outgrew the driver's verification window running sequentially
+// in ONE forked JVM (r17: tests_ok:false was a timeout — 850/0 green in
+// the report XMLs). Suites are greedily bin-packed into a fixed number of
+// groups by their measured wall (the weights below are the r18 recorded
+// times; unknown suites default to 10s), each group a separate forked JVM
+// with its own SparkSession — no shared session state across groups, so
+// per-suite behavior is unchanged. Wall drops from the suite SUM to the
+// heaviest group (~6x). SPARK_GRAFT_TEST_GROUPS=1 restores serial runs.
+val suiteWeights: Map[String, Double] = Map(
+  "graft.ops.DedupIndexFoldSpec" -> 324, "graft.ops.DedupIndexSpec" -> 278,
+  "graft.OrderTotalitySpec" -> 127, "graft.delta.CoordinatedProcessStormSpec" -> 105,
+  "graft.delta.LifecycleFuzzSpec" -> 85, "graft.ops.IvfIndexSpec" -> 79,
+  "graft.delta.ProcessStormSpec" -> 47, "graft.delta.RowTrackingFuzzSpec" -> 35,
+  "graft.delta.DmlPropSpec" -> 33, "graft.delta.MergeSpec" -> 33,
+  "graft.delta.ChangeDataFeedSpec" -> 32, "graft.delta.GraftDeltaSourceSpec" -> 29,
+  "graft.delta.VersionLedgerPropSpec" -> 22, "graft.delta.ModernTierFuzzSpec" -> 20,
+  "graft.delta.DmlStormSpec" -> 25, "graft.ops.SimilaritySpec" -> 18,
+  "graft.delta.ConflictSpec" -> 15, "graft.delta.ObjectStoreSeamSpec" -> 15,
+  "graft.delta.DeletionVectorsSpec" -> 15, "graft.delta.ColumnMappingSpec" -> 15,
+)
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val fo = (Test / forkOptions).value
+  val n = sys.env.get("SPARK_GRAFT_TEST_GROUPS")
+    .flatMap(s => scala.util.Try(s.toInt).toOption)
+    .getOrElse(6).max(1)
+  val loads = Array.fill(n)(0.0)
+  val groups = Array.fill(n)(Seq.newBuilder[TestDefinition])
+  tests.sortBy(t => -suiteWeights.getOrElse(t.name, 10.0)).foreach { t =>
+    val i = loads.indexOf(loads.min)
+    loads(i) += suiteWeights.getOrElse(t.name, 10.0)
+    groups(i) += t
+  }
+  groups.zipWithIndex.map { case (g, i) =>
+    Tests.Group(s"group$i", g.result(), Tests.SubProcess(fo))
+  }.toSeq
+}
+// REPLACE the defaults: sbt's default restrictions cap forked test groups
+// at 1, and `+=` would leave that cap in force alongside ours
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(math.max(8, java.lang.Runtime.getRuntime.availableProcessors)),
+  Tags.limit(Tags.ForkedTestGroup, 6))

@@ -271,6 +271,11 @@ object Relational {
     // aggregate over the join).
     "q44_partsupp" -> { (s, dir) =>
       import s.implicits._
+      // Deliberately NOT widened (r18 A/B): hash-repartitioning the
+      // unsplittable lineitem scan regressed 1.59 → 1.93 s at 32c — the
+      // exchange shuffles 600k rows to parallelize two broadcast probes
+      // whose per-row cost is a hash lookup. The plan is already optimal
+      // (both joins broadcast, filters pushed; plans/r18/).
       val li = t(s, dir, "lineitem"); val p = t(s, dir, "part")
       val su = t(s, dir, "supplier")
       li.join(p, li("l_partkey") === p("p_partkey"))
