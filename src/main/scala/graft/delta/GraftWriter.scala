@@ -74,7 +74,15 @@ object GraftWriter {
             // tags stamped on every Add this write commits — lets a caller
             // lay data out pre-sorted AND stamp the clustering spec in ONE
             // pass instead of write-then-recluster (r15 review)
-            fileTags: Map[String, String] = Map.empty): Long = {
+            fileTags: Map[String, String] = Map.empty,
+            // CREATE-only: declare liquid-clustering columns IN the create
+            // commit (the delta.clustering domain + its writer-feature
+            // fence folded into the create protocol) instead of a separate
+            // DeltaTable.clusterBy commit per table — the dedup-index
+            // build paid three pure-metadata commits for this (r18; each
+            // commit is ~0.3 s of fixed floor). Rebuilds keep the
+            // standalone clusterBy call (the domain survives overwrites).
+            clusterBy: Seq[String] = Nil): Long = {
     val spark = dfIn.sparkSession
     val profSb = if (commitProf) new StringBuilder(s"GRAFTPROF write $path") else null
     var profT = profMark()
@@ -307,6 +315,18 @@ object GraftWriter {
       }
     def withIdentityMarks(base: MetaDataAction): Option[MetaDataAction] =
       IdentityColumns.highWaterMarkMetadata(base, hwmIdentity, adds, physForStats)
+    require(clusterBy.isEmpty || !exists,
+      "clusterBy can only be declared at CREATE — use DeltaTable.clusterBy " +
+      "on an existing table")
+    if (clusterBy.nonEmpty) {
+      val unknown = clusterBy.filterNot(c =>
+        df.schema.fieldNames.contains(c.split('.').head))
+      require(unknown.isEmpty,
+        s"unknown clustering column(s): ${unknown.mkString(",")}")
+      val part = clusterBy.filter(partCols.contains)
+      require(part.isEmpty,
+        s"partition column(s) ${part.mkString(",")} cannot also cluster")
+    }
     if (!exists) {
       val (schemaJson, cfg, (fr, fw)) = createMapping match {
         case Some((annSchema, annConfig, floor)) =>
@@ -318,9 +338,27 @@ object GraftWriter {
       // legacy floor — generated/identity column floors, DV / v2
       // checkpoints / ICT / variant features — all folded by configFences
       // into ONE protocol action, so a table born with checkpointPolicy=v2
-      // does not crash its first auto-checkpoint
-      txn.addAction(ProtocolSupport.configFences(cfg, ProtocolAction(fr, fw),
-        Some(df.schema)))
+      // does not crash its first auto-checkpoint. A clusterBy declaration
+      // folds its writer-feature fence into the SAME action (two protocol
+      // actions in one commit would last-write-wins race).
+      val baseProto = ProtocolSupport.configFences(cfg, ProtocolAction(fr, fw),
+        Some(df.schema))
+      txn.addAction(
+        if (clusterBy.isEmpty) baseProto
+        else ProtocolSupport.writerFeaturesFence(baseProto,
+          Seq("domainMetadata", "clustering")))
+      if (clusterBy.nonEmpty) {
+        // delta-spark's delta.clustering domain shape, exactly as
+        // DeltaTable.clusterBy writes it
+        val ccfg = ActionCodec.mapper.createObjectNode()
+        val arr = ccfg.putArray("clusteringColumns")
+        clusterBy.foreach { c =>
+          val p = arr.addArray()
+          c.split('.').foreach(p.add)
+        }
+        txn.addAction(DomainMetadataAction("delta.clustering",
+          ActionCodec.mapper.writeValueAsString(ccfg)))
+      }
       val createMd = MetaDataAction(
         id = UUID.randomUUID().toString,
         name = None, description = None,

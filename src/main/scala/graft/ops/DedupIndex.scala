@@ -437,6 +437,11 @@ object DedupIndex {
     // review). Dead rows also block stale resurrection: a laggard's
     // not-matched insert cannot re-create a row a newer fold killed,
     // because the row is still there, dead, carrying the newer asof.
+    // clustering declarations ride the CREATE commits (r18): three
+    // standalone clusterBy commits per build were pure fixed cost; a
+    // REBUILD's tables already carry the domain (it survives overwrites),
+    // so only fresh tables declare here
+    val memExists = exists(membersPath(root))
     GraftWriter.write(
       members.select("id", "comp", "len")
         .withColumn("asof", lit(snap.version))
@@ -444,7 +449,7 @@ object DedupIndex {
         .repartitionByRange(layoutParts(spark, nDocs, memberRowB), col("id"))
         .sortWithinPartitions("id"),
       membersPath(root),
-      SaveMode.Overwrite, overwriteSchema = exists(membersPath(root)),
+      SaveMode.Overwrite, overwriteSchema = memExists,
       configuration = Some(Map(EpochKey -> epoch)),
       // per-table CAS mark (r16): members/survivors carry their OWN
       // SourceVersionApp mark, advanced by each fold merge that touches
@@ -452,13 +457,15 @@ object DedupIndex {
       // aborts at its FIRST merge instead of silently inserting old rows,
       // which is what makes [[compactDead]] safe
       extraActions = Seq(TxnAction(SourceVersionApp, snap.version)),
-      fileTags = Map(Optimize.ClusterSpecTag -> "id"))
+      fileTags = Map(Optimize.ClusterSpecTag -> "id"),
+      clusterBy = if (memExists) Nil else Seq("id"))
     // survivors cluster by comp (r16 — the r15 verdict's last `weak`):
     // both survivors MERGEs per refresh push comp IN-set predicates, and
     // against an unclustered layout stats-skipping degenerates into an
     // O(families) detect-scan — at 100 TB survivors is corpus-sized (worst
     // case one family per doc). nDocs upper-bounds the family count, so
     // the build files land at-or-under the target.
+    val survExists = exists(survivorsPath(root))
     GraftWriter.write(
       pickSurvivor(members)
         .withColumn("asof", lit(snap.version))
@@ -466,13 +473,15 @@ object DedupIndex {
         .repartitionByRange(layoutParts(spark, nDocs, memberRowB), col("comp"))
         .sortWithinPartitions("comp"),
       survivorsPath(root),
-      SaveMode.Overwrite, overwriteSchema = exists(survivorsPath(root)),
+      SaveMode.Overwrite, overwriteSchema = survExists,
       configuration = Some(Map(EpochKey -> epoch)),
       extraActions = Seq(TxnAction(SourceVersionApp, snap.version)),
-      fileTags = Map(Optimize.ClusterSpecTag -> "comp"))
+      fileTags = Map(Optimize.ClusterSpecTag -> "comp"),
+      clusterBy = if (survExists) Nil else Seq("comp"))
     val binding = Map(SourcePathKey -> sourcePath, TextColKey -> textCol,
       IdColKey -> idCol, EpochKey -> epoch,
       ParamsKey -> s"$thresholdNum,$thresholdDen,$numHashes,$bands")
+    val bucketsExists = exists(bucketsPath(root))
     GraftWriter.write(
       bandRows
         .withColumn("asof", lit(snap.version))
@@ -481,13 +490,19 @@ object DedupIndex {
         .sortWithinPartitions("band_idx", "band_hash"),
       bucketsPath(root), SaveMode.Overwrite,
       partitionBy = Seq("band_idx"),
-      overwriteSchema = exists(bucketsPath(root)),
+      overwriteSchema = bucketsExists,
       configuration = Some(binding),
       extraActions = Seq(TxnAction(SourceVersionApp, snap.version)),
-      fileTags = Map(Optimize.ClusterSpecTag -> "band_hash"))
-    DeltaTable.forPath(spark, bucketsPath(root)).clusterBy(Seq("band_hash"))
-    DeltaTable.forPath(spark, membersPath(root)).clusterBy(Seq("id"))
-    DeltaTable.forPath(spark, survivorsPath(root)).clusterBy(Seq("comp"))
+      fileTags = Map(Optimize.ClusterSpecTag -> "band_hash"),
+      clusterBy = if (bucketsExists) Nil else Seq("band_hash"))
+    // legacy-rebuild fallback: a PRE-clustering table being rebuilt still
+    // needs the declaration commit the fresh-create path folds in; on the
+    // common paths this is a snapshot-metadata check, no commit
+    Seq(bucketsPath(root) -> Seq("band_hash"), membersPath(root) -> Seq("id"),
+        survivorsPath(root) -> Seq("comp")).foreach { case (p, cols) =>
+      val dt = DeltaTable.forPath(spark, p)
+      if (dt.clusteringColumns.isEmpty) dt.clusterBy(cols)
+    }
     snap.version
   }
 
